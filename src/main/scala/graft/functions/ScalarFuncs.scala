@@ -1,0 +1,209 @@
+package graft.functions
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function capability surface (SURVEY.md §2B "Scalar functions"):
+  * string / date / math / JSON / array + higher-order functions, all from
+  * `org.apache.spark.sql.functions._` — codegen'd expressions, zero UDFs.
+  *
+  * The reference's only expression evaluation is positional casting of the
+  * OpenSky state vector (opensky_plugin.go:165-168); everything here is the
+  * query-side surface the reference delegates to MySQL. Oracles cast
+  * DuckDB's wider return types (BIGINT length/year, DOUBLE ceil) to match
+  * Spark's types exactly.
+  */
+object ScalarFuncs extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q32_string_funcs",
+      "String surface: upper/lower, length, substring, concat_ws, trim, " +
+        "lpad, replace, reverse — all codegen'd, no UDFs.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "part")
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            lower($"p_brand").as("brand_lower"),
+            length($"p_name").as("name_len"),
+            substring($"p_name", 1, 5).as("name_head"),
+            concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+            lpad($"p_partkey".cast("string"), 8, "0").as("key_padded"),
+            regexp_replace($"p_name", " ", "_").as("name_snake"),
+            reverse($"p_brand").as("brand_rev"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               upper(p_name)                         AS name_upper,
+               lower(p_brand)                        AS brand_lower,
+               CAST(length(p_name) AS INTEGER)       AS name_len,
+               substr(p_name, 1, 5)                  AS name_head,
+               concat_ws('/', p_brand, p_type)       AS brand_type,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+               replace(p_name, ' ', '_')             AS name_snake,
+               reverse(p_brand)                      AS brand_rev
+        FROM part
+        ORDER BY p_partkey""")),
+
+    Q(
+      "q33_date_funcs",
+      "Date/time surface: year/month/day extraction, quarter, date_trunc, " +
+        "last_day, epoch seconds, day difference from a fixed origin.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("o_year"),
+            month($"o_orderdate").as("o_month"),
+            dayofmonth($"o_orderdate").as("o_day"),
+            quarter($"o_orderdate").as("o_quarter"),
+            date_trunc("month", $"o_orderdate").cast("timestamp_ntz").as("month_start"),
+            last_day($"o_orderdate").as("month_end"),
+            unix_timestamp($"o_orderdate").as("epoch_s"),
+            datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("days_since_95"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER)       AS o_year,
+               CAST(month(o_orderdate) AS INTEGER)      AS o_month,
+               CAST(day(o_orderdate) AS INTEGER)        AS o_day,
+               CAST(quarter(o_orderdate) AS INTEGER)    AS o_quarter,
+               CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP)
+                                                        AS month_start,
+               last_day(CAST(o_orderdate AS DATE))      AS month_end,
+               CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                                                        AS days_since_95
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    Q(
+      "q34_math_funcs",
+      "Math surface: abs, ceil/floor, sqrt, power, ln, log10, exp, modulo, " +
+        "greatest/least.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 100 === 0)
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            abs($"l_extendedprice" - 1000.0).as("abs_diff"),
+            ceil($"l_quantity").as("qty_ceil"),
+            floor($"l_quantity").as("qty_floor"),
+            round(sqrt($"l_extendedprice"), 6).as("price_sqrt"),
+            round(pow($"l_discount" + 1.0, 2.0), 6).as("disc_sq"),
+            round(log($"l_extendedprice" + 1.0), 6).as("price_ln"),
+            round(log10($"l_extendedprice" + 1.0), 6).as("price_log10"),
+            round(exp($"l_discount"), 6).as("disc_exp"),
+            ($"l_orderkey" % 7).as("key_mod7"),
+            greatest($"l_quantity", $"l_discount" * 100.0).as("greatest_v"),
+            least($"l_tax", $"l_discount").as("least_v"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 1000.0)             AS abs_diff,
+               CAST(ceil(l_quantity) AS BIGINT)          AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT)         AS qty_floor,
+               round(sqrt(l_extendedprice), 6)           AS price_sqrt,
+               round(pow(l_discount + 1.0, 2.0), 6)      AS disc_sq,
+               round(ln(l_extendedprice + 1.0), 6)       AS price_ln,
+               round(log10(l_extendedprice + 1.0), 6)    AS price_log10,
+               round(exp(l_discount), 6)                 AS disc_exp,
+               l_orderkey % 7                            AS key_mod7,
+               greatest(l_quantity, l_discount * 100.0)  AS greatest_v,
+               least(l_tax, l_discount)                  AS least_v
+        FROM lineitem
+        WHERE l_orderkey % 100 = 0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q(
+      "q35_json_funcs",
+      "JSON surface over events.props (the analogue of the reference's " +
+        "`sensors JSON` column, opensky_plugin.go:49): get_json_object " +
+        "extraction + typed cast + aggregation.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(
+            $"event_type",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+          .groupBy($"event_type")
+          .agg(
+            sum($"k").as("sum_k"),
+            count($"k").as("n_with_k"),
+            round(avg($"k"), 4).as("avg_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               CAST(sum(k) AS BIGINT)  AS sum_k,
+               count(k)                AS n_with_k,
+               round(avg(k), 4)        AS avg_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    Q(
+      "q36_array_funcs",
+      "Array surface over tokenized text: split, size, array_distinct, " +
+        "array_contains, sort_array, array_join on a slice.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            split(trim($"text"), " ").as("toks"))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            size(array_distinct($"toks")).as("n_unique"),
+            array_contains($"toks", "spark").as("has_spark"),
+            array_join(slice(sort_array($"toks"), 1, 3), ",").as("first3_sorted"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER)                   AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INTEGER)    AS n_unique,
+               list_contains(toks, 'spark')                 AS has_spark,
+               array_to_string(list_sort(toks)[1:3], ',')   AS first3_sorted
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    Q(
+      "q37_higher_order_funcs",
+      "Higher-order functions over the 64-dim embedding vectors: aggregate " +
+        "(fold) for the squared L2 norm, filter+size for positive-component " +
+        "count, transform for scaling — the codegen'd path for vector math " +
+        "(SURVEY §2B similarity-search groundwork; no UDFs).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "embeddings")
+          .select(
+            $"vec_id",
+            round(aggregate($"embedding", lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("norm_sq"),
+            size(filter($"embedding", x => x > 0.0f)).as("n_pos"),
+            round(aggregate($"embedding", lit(0.0d),
+              (acc, x) => acc + x.cast("double")), 6).as("sum_components"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        SELECT vec_id,
+               round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)  AS norm_sq,
+               CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos,
+               round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6)                      AS sum_components
+        FROM embeddings
+        ORDER BY vec_id"""))
+  )
+}

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Core scan / filter / projection / aggregation capability surface
+  * (SURVEY.md §2B "Projection/filter" + "Aggregation" rows).
+  *
+  * The reference delegates all of this to MySQL (SURVEY §2A: the only SQL it
+  * emits is DDL + INSERT, main.go:189-195); here each capability is a
+  * declarative DataFrame plan so Catalyst provides pushdown, partial
+  * aggregation and whole-stage codegen.
+  *
+  * Scale notes (100 TB): every query below is a single scan→(partial agg)→
+  * shuffle-on-group-keys→final agg pipeline. Group-key cardinality is tiny
+  * relative to input, so map-side combine collapses the shuffle; filters and
+  * column pruning reach the parquet reader (verified via .explain in
+  * PlanSpec).
+  */
+object CoreRelational extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q01_pricing_summary",
+      "TPC-H Q1-style wide aggregate: filter→groupBy→8 aggregates. " +
+        "Partial agg (map-side combine) makes the shuffle carry only " +
+        "|returnflag×linestatus| rows per task.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    Q(
+      "q02_filter_project",
+      "Predicate + projection pushdown: both the shipdate/quantity filters " +
+        "and the 4-column ReadSchema must reach the parquet scan.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .filter(
+            $"l_shipdate" >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-07-01 00:00:00").cast("timestamp") &&
+            $"l_quantity" < 10.0)
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+          AND l_quantity < 10.0
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q(
+      "q03_agg_distinct",
+      "Distinct aggregates: COUNT(DISTINCT) + SUM(DISTINCT) alongside plain " +
+        "aggregates (Catalyst expands to a two-phase distinct-agg plan).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            countDistinct($"o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("sum_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey)    AS n_customers,
+               count(*)                     AS n_orders,
+               round(sum(o_totalprice), 2)  AS sum_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    Q(
+      "q04_approx_distinct",
+      "HyperLogLog++ approximate distinct (approx_count_distinct). No SQL " +
+        "oracle: DuckDB's approx_count_distinct uses a different sketch, so " +
+        "the driver records a rows-only check; exactness is covered by " +
+        "q03_agg_distinct.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            approx_count_distinct($"l_orderkey").as("approx_orders"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    Q(
+      "q05_rollup",
+      "ROLLUP hierarchy totals (returnflag → linestatus → grand total).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Q(
+      "q06_cube",
+      "CUBE over orderstatus × orderpriority (all 4 grouping sets).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"), round(avg($"o_totalprice"), 4).as("avg_price"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    Q(
+      "q07_grouping_sets",
+      "Explicit GROUPING SETS ((flag), (status), ()) via SQL.",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    Q(
+      "q08_distinct_rows",
+      "Row-level DISTINCT (dropDuplicates ≡ groupBy-all-cols).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select($"o_orderstatus", $"o_orderpriority")
+          .distinct()
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders
+        ORDER BY o_orderstatus, o_orderpriority""")),
+
+    Q(
+      "q09_conditional_agg",
+      "CASE WHEN / NULLIF / COALESCE expression surface feeding an aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select(
+            when($"o_totalprice" > 300000.0, "big")
+              .when($"o_totalprice" > 150000.0, "mid")
+              .otherwise("small").as("bucket"),
+            coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_label"),
+            $"o_totalprice")
+          .groupBy($"bucket", $"status_label")
+          .agg(count(lit(1)).as("n"), round(max($"o_totalprice"), 2).as("max_price"))
+          .orderBy($"bucket", $"status_label")
+      },
+      Some("""
+        SELECT CASE WHEN o_totalprice > 300000.0 THEN 'big'
+                    WHEN o_totalprice > 150000.0 THEN 'mid'
+                    ELSE 'small' END                              AS bucket,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN')       AS status_label,
+               count(*)                                           AS n,
+               round(max(o_totalprice), 2)                        AS max_price
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY bucket, status_label"""))
+  )
+}

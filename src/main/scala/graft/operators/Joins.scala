@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join capability surface (SURVEY.md §2B "Joins"): inner / left / full /
+  * semi / anti / cross equi-joins, theta (range) join, multi-way join with
+  * agg, and a composed as-of join.
+  *
+  * Scale notes (100 TB): dimension sides (region/nation/customer/supplier/
+  * part at TPC-H proportions) are explicitly `broadcast()` so fact scans
+  * never shuffle for them; the only shuffle joins are fact-to-fact
+  * (lineitem⋈orders) on their natural join key, which is also the key any
+  * bucketing layout would use. AQE (enabled in the session) handles skew
+  * and converts to broadcast when runtime sizes allow.
+  */
+object Joins extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q10_join_inner_topn",
+      "TPC-H Q3-style: broadcast dim filter (customer) + shuffled fact-fact " +
+        "equi-join (orders⋈lineitem) + agg + top-N. revenue desc with " +
+        "unique orderkey tiebreak keeps the limit deterministic.",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("2000-01-01 00:00:00").cast("timestamp"))
+        val l = Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" > lit("1999-06-30 00:00:00").cast("timestamp"))
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+          AND l_shipdate  > TIMESTAMP '1999-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")),
+
+    Q(
+      "q11_join_left_outer",
+      "Left outer join preserving all customers; per-customer order count " +
+        "and spend (0 for order-less customers via coalesce).",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+        c.join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               count(o_orderkey)                             AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2)    AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    Q(
+      "q12_join_semi",
+      "Left-semi join (EXISTS): suppliers with at least one 2001 shipment. " +
+        "Semi-join only carries the key — no row multiplication.",
+      (s, dir) => {
+        import s.implicits._
+        val sup = Tables.t(s, dir, "supplier")
+        val l = Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("2001-01-01 00:00:00").cast("timestamp"))
+        sup.join(l, sup("s_suppkey") === l("l_suppkey"), "left_semi")
+          .select($"s_suppkey", $"s_name")
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_shipdate >= TIMESTAMP '2001-01-01')
+        ORDER BY s_suppkey""")),
+
+    Q(
+      "q13_join_anti",
+      "Left-anti join (NOT EXISTS): customers with no 1995 order.",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" < lit("1996-01-01 00:00:00").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate < TIMESTAMP '1996-01-01')
+        ORDER BY c_custkey""")),
+
+    Q(
+      "q14_join_full_outer",
+      "Full outer join of two pre-aggregated sides on nationkey; missing " +
+        "sides surface as NULL counts.",
+      (s, dir) => {
+        import s.implicits._
+        val cn = Tables.t(s, dir, "customer").filter($"c_acctbal" > 7000.0)
+          .groupBy($"c_nationkey").agg(count(lit(1)).as("n_rich_customers"))
+        val sn = Tables.t(s, dir, "supplier").filter($"s_acctbal" < 1000.0)
+          .groupBy($"s_nationkey").agg(count(lit(1)).as("n_poor_suppliers"))
+        cn.join(sn, $"c_nationkey" === $"s_nationkey", "full")
+          .select(
+            coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+            $"n_rich_customers", $"n_poor_suppliers")
+          .orderBy($"nationkey")
+      },
+      Some("""
+        WITH cn AS (SELECT c_nationkey, count(*) AS n_rich_customers
+                    FROM customer WHERE c_acctbal > 7000.0 GROUP BY c_nationkey),
+             sn AS (SELECT s_nationkey, count(*) AS n_poor_suppliers
+                    FROM supplier WHERE s_acctbal < 1000.0 GROUP BY s_nationkey)
+        SELECT coalesce(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+               n_rich_customers, n_poor_suppliers
+        FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+        ORDER BY nationkey""")),
+
+    Q(
+      "q15_join_cross",
+      "Cross join of two tiny sides (region × distinct priorities) — " +
+        "explicitly declared via crossJoin; both sides broadcastable.",
+      (s, dir) => {
+        import s.implicits._
+        val r = Tables.t(s, dir, "region").select($"r_name")
+        val p = Tables.t(s, dir, "orders").select($"o_orderpriority").distinct()
+        r.crossJoin(p).orderBy($"r_name", $"o_orderpriority")
+      },
+      Some("""
+        SELECT r_name, o_orderpriority
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        ORDER BY r_name, o_orderpriority""")),
+
+    Q(
+      "q16_join_range_theta",
+      "Theta (range) join: part banded by p_size BETWEEN lo AND hi against " +
+        "an inline band table. Broadcast nested-loop on the 3-row side — " +
+        "the right plan at any scale since the band table is constant-size.",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq((1, 16, "small"), (17, 33, "medium"), (34, 50, "large"))
+          .toDF("lo", "hi", "band")
+        Tables.t(s, dir, "part")
+          .join(broadcast(bands), $"p_size" >= $"lo" && $"p_size" <= $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_parts"), round(avg($"p_retailprice"), 4).as("avg_price"))
+          .orderBy($"band")
+      },
+      Some("""
+        SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part
+        JOIN (VALUES (1, 16, 'small'), (17, 33, 'medium'), (34, 50, 'large'))
+             AS bands(lo, hi, band)
+          ON p_size >= lo AND p_size <= hi
+        GROUP BY band
+        ORDER BY band""")),
+
+    Q(
+      "q17_multiway_join",
+      "TPC-H Q5-style 6-table join: region→nation→customer→orders→lineitem→" +
+        "supplier with co-nation condition; dims broadcast, facts shuffle " +
+        "once on orderkey.",
+      (s, dir) => {
+        import s.implicits._
+        val r = Tables.t(s, dir, "region").filter($"r_name" === "ASIA")
+        val n = Tables.t(s, dir, "nation")
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                  $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val l = Tables.t(s, dir, "lineitem")
+        val sup = Tables.t(s, dir, "supplier")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(c),
+            $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
+    Q(
+      "q18_asof_join",
+      "As-of join (composed op, SURVEY §2B): for each 'error' event, the " +
+        "latest 'purchase' by the same user at-or-before it. Spark lacks a " +
+        "builtin; composed as equi-join on user + range filter + " +
+        "row_number()=1, which sort-merges on the user key. Oracle uses " +
+        "DuckDB's native ASOF LEFT JOIN (ts cast to µs to match Spark's " +
+        "timestamp precision).",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts".as("err_ts"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+            $"ts".as("p_ts"), $"value".as("p_value"))
+        val w = Window.partitionBy($"err_id").orderBy($"p_ts".desc, $"p_id".desc)
+        errors
+          .join(purchases,
+            $"user_id" === $"p_user" && $"p_ts" <= $"err_ts", "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"err_id", $"p_id", round($"p_value", 2).as("p_value"))
+          .orderBy($"err_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+                   FROM events WHERE event_type = 'error'),
+             p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts,
+                          value AS p_value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT e.user_id, e.err_id, p.p_id, round(p.p_value, 2) AS p_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
+        ORDER BY e.err_id"""))
+  )
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+
+/** SQL-surface features exercised through `spark.sql` over temp views:
+  * scalar / IN / correlated-EXISTS subqueries, CTEs, HAVING (SURVEY.md §3.3:
+  * the reference's "query interface" was raw SQL strings against MySQL; here
+  * the same text goes through Catalyst parse→analyze→optimize→execute).
+  *
+  * The SQL is written in the ANSI subset shared by Spark and DuckDB, so the
+  * query text doubles as its own oracle.
+  */
+object SqlFeatures extends QueryModule {
+
+  private def sqlQ(name: String, doc: String, sql: String): Q =
+    Q(name, doc, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql))
+
+  override def queries: Seq[Q] = Seq(
+    sqlQ(
+      "q38_scalar_subquery",
+      "Uncorrelated scalar subquery in WHERE (orders above global mean).",
+      """
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+
+    sqlQ(
+      "q39_in_subquery",
+      "IN subquery (semi-join after Catalyst rewrite): customers in nations " +
+        "of region ASIA.",
+      """
+      SELECT c_nationkey, count(*) AS n_customers
+      FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                                                  WHERE r_name = 'ASIA'))
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""),
+
+    sqlQ(
+      "q40_exists_correlated",
+      "Correlated EXISTS (decorrelated to a semi-join by Catalyst): " +
+        "customers with any order above 400000.",
+      """
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey"""),
+
+    sqlQ(
+      "q41_cte",
+      "WITH (CTE) chaining: yearly revenue then year-over-year comparison " +
+        "via self-join of the CTE.",
+      """
+      WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY 1
+      )
+      SELECT a.yr AS yr, a.revenue AS revenue, b.revenue AS prev_revenue
+      FROM yearly a LEFT JOIN yearly b ON b.yr = a.yr - 1
+      ORDER BY yr"""),
+
+    sqlQ(
+      "q42_having",
+      "GROUP BY … HAVING post-aggregate filter.",
+      """
+      SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem
+      GROUP BY l_suppkey
+      HAVING count(*) > 550
+      ORDER BY l_suppkey""")
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, local[4]). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("4").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Smoke-level corpus check on sf0.001: every declared query plans and
+  * executes; structural invariants of the driver contract hold. DuckDB
+  * value-parity is the driver's gate (tools/check.py locally). */
+class QueryCorpusSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query names are unique and oracle keys are a subset") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("oracle SQL is single-line (driver JSON safety)") {
+    SparkEntry.oracleSql.values.foreach { sql =>
+      assert(!sql.contains("\n") && !sql.contains("\t"))
+    }
+  }
+
+  SparkEntry.allQueries.foreach { q =>
+    test(s"${q.name} executes on sf0.001") {
+      val df = q.run(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      // Execute the full plan; empty results are legal for some filters at
+      // tiny SF, so only executability is asserted here.
+      df.count()
+    }
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: load each Verify parquet
+result, run the corresponding oracle SQL in DuckDB over the same sf dir,
+sort columns by name + rows by all values, and compare."""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(str(v))
+        out.append("\x00".join(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        res = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        got_cols, got = canon(res.fetchall(), list(res.columns))
+        if name not in oracle:
+            print(f"  ~ {name}: rows-only ({len(got)} rows)"
+                  + ("  !! EMPTY" if not got else ""))
+            continue
+        try:
+            exp_res = con.sql(oracle[name])
+            exp_cols, exp = canon(exp_res.fetchall(), list(exp_res.columns))
+        except Exception as e:
+            print(f"  X {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"  X {name}: columns differ: spark={got_cols} duck={exp_cols}")
+            n_fail += 1
+        elif len(got) != len(exp):
+            print(f"  X {name}: row count {len(got)} vs {len(exp)}")
+            n_fail += 1
+        elif got != exp:
+            bad = [(g, e) for g, e in zip(got, exp) if g != e]
+            print(f"  X {name}: {len(bad)}/{len(got)} rows differ; first: ")
+            print(f"      spark: {bad[0][0][:200]}")
+            print(f"      duck : {bad[0][1][:200]}")
+            n_fail += 1
+        else:
+            print(f"  ok {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"PASS {n_pass} FAIL {n_fail}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"))
