@@ -16,7 +16,10 @@ object SparkEntry {
     graft.operators.WindowOps,
     graft.operators.SetSortOps,
     graft.functions.ScalarFuncs,
-    graft.operators.SqlFeatures)
+    graft.operators.SqlFeatures,
+    graft.functions.TextAnalysis,
+    graft.operators.Dedup,
+    graft.operators.Similarity)
 
   val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,195 @@
+package graft.functions
+
+import graft.catalyst.TextHash
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension, SURVEY.md §2B): language-ID heuristic, quality scoring,
+  * token counting (whitespace + BPE-ish regex), document fingerprinting.
+  *
+  * Everything except the fingerprints is pure `functions._` composition
+  * (codegen'd, oracle-checkable in DuckDB); the fingerprints are native
+  * Catalyst expressions (graft.catalyst.TextHash) since a byte-level
+  * rolling hash has no built-in equivalent.
+  *
+  * Scale notes (100 TB): all per-document — embarrassingly parallel map
+  * over the scan, no shuffle at all until the final (tiny) aggregate or
+  * sort. This is the shape that saturates a 1000-executor cluster.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
+
+  private def toks: Column = split(trim(col("text")), " ")
+
+  /** #tokens (as double) present in `words`. */
+  private def hits(words: Seq[String]): Column =
+    size(filter(toks, x => array_contains(typedLit(words), x))).cast("double")
+
+  private def duckHits(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(string_split(trim(text), ' '), x -> list_contains($lst, x))) AS DOUBLE)"
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q50_token_stats",
+      "Tokenization statistics per document: whitespace tokens, unique " +
+        "tokens, type-token ratio, mean token length.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", toks.as("t"), length(trim($"text")).cast("double").as("len"))
+          .select(
+            $"doc_id",
+            size($"t").as("n_tokens"),
+            size(array_distinct($"t")).as("n_unique"),
+            round(size(array_distinct($"t")).cast("double") / size($"t"), 4).as("ttr"),
+            round(($"len" - (size($"t") - 1)) / size($"t"), 4).as("avg_tok_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER)                                    AS n_tokens,
+               CAST(len(list_distinct(t)) AS INTEGER)                     AS n_unique,
+               round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)   AS ttr,
+               round((length(trim(text)) - (len(t) - 1.0)) / len(t), 4)   AS avg_tok_len
+        FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents)
+        ORDER BY doc_id""")),
+
+    Q(
+      "q51_lang_id",
+      "Language-ID heuristic: per-language stopword-hit ratio, argmax with " +
+        "fixed priority order (en>de>es>fr>zh), 'und' when no list hits. " +
+        "The per-language scores are emitted so the decision is auditable.",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id", $"lang".as("labeled_lang"),
+            (hits(stopwords(0)._2) / size(toks)).as("s_en"),
+            (hits(stopwords(1)._2) / size(toks)).as("s_de"),
+            (hits(stopwords(2)._2) / size(toks)).as("s_es"),
+            (hits(stopwords(3)._2) / size(toks)).as("s_fr"),
+            (hits(stopwords(4)._2) / size(toks)).as("s_zh"))
+        scored.select(
+            $"doc_id", $"labeled_lang",
+            round($"s_en", 4).as("score_en"),
+            when(greatest($"s_en", $"s_de", $"s_es", $"s_fr", $"s_zh") === 0.0, "und")
+              .when($"s_en" >= greatest($"s_de", $"s_es", $"s_fr", $"s_zh"), "en")
+              .when($"s_de" >= greatest($"s_es", $"s_fr", $"s_zh"), "de")
+              .when($"s_es" >= greatest($"s_fr", $"s_zh"), "es")
+              .when($"s_fr" >= $"s_zh", "fr")
+              .otherwise("zh").as("predicted_lang"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang AS labeled_lang,
+                 ${duckHits(stopwords(0)._2)} / len(string_split(trim(text), ' ')) AS s_en,
+                 ${duckHits(stopwords(1)._2)} / len(string_split(trim(text), ' ')) AS s_de,
+                 ${duckHits(stopwords(2)._2)} / len(string_split(trim(text), ' ')) AS s_es,
+                 ${duckHits(stopwords(3)._2)} / len(string_split(trim(text), ' ')) AS s_fr,
+                 ${duckHits(stopwords(4)._2)} / len(string_split(trim(text), ' ')) AS s_zh
+          FROM documents)
+        SELECT doc_id, labeled_lang, round(s_en, 4) AS score_en,
+               CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0.0 THEN 'und'
+                    WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted_lang
+        FROM scored
+        ORDER BY doc_id""")),
+
+    Q(
+      "q52_quality_score",
+      "Document quality scoring: length score, type-token ratio, stopword " +
+        "ratio, composite 0-1 score — the filter stage of a training-data " +
+        "pipeline (kept as a scored projection so downstream thresholds " +
+        "stay tunable).",
+      (s, dir) => {
+        import s.implicits._
+        val en = stopwords.head._2
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            least(size(toks).cast("double") / 20.0, lit(1.0)).as("len_score"),
+            (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+            (hits(en) / size(toks)).as("stop_ratio"))
+          .select(
+            $"doc_id",
+            round($"len_score", 4).as("len_score"),
+            round($"ttr", 4).as("ttr"),
+            round($"stop_ratio", 4).as("stop_ratio"),
+            round($"len_score" * 0.4 + $"ttr" * 0.4 + (lit(1.0) - $"stop_ratio") * 0.2, 4)
+              .as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+                 least(len(string_split(trim(text), ' ')) / 20.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE)
+                   / len(string_split(trim(text), ' ')) AS ttr,
+                 ${duckHits(stopwords.head._2)} / len(string_split(trim(text), ' ')) AS stop_ratio
+          FROM documents)
+        SELECT doc_id, round(len_score, 4) AS len_score, round(ttr, 4) AS ttr,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(len_score * 0.4 + ttr * 0.4 + (1.0 - stop_ratio) * 0.2, 4) AS quality
+        FROM f
+        ORDER BY doc_id""")),
+
+    Q(
+      "q53_token_count",
+      "Token counting: whitespace count, BPE-ish regex segment count " +
+        "(letter runs / digit runs / single punctuation), and the chars/4 " +
+        "token estimate used for budget accounting.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            size(toks).as("n_ws_tokens"),
+            size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+              .as("n_bpeish_tokens"),
+            ceil($"n_chars".cast("double") / 4.0).as("est_tokens_chars4"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                    AS INTEGER)                                    AS n_bpeish_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT)                 AS est_tokens_chars4
+        FROM documents
+        ORDER BY doc_id""")),
+
+    Q(
+      "q54_fingerprint",
+      "Document fingerprinting via two native Catalyst expressions " +
+        "(graft.catalyst.RollingHash / SimHash, both with doGenCode): " +
+        "rolling polynomial hash of the bytes + 64-bit SimHash of the " +
+        "token set. No SQL oracle (byte-level hashes aren't expressible in " +
+        "DuckDB); golden values + invariances are unit-tested in " +
+        "TextHashSpec.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            TextHash.rolling_hash($"text").as("fingerprint"),
+            TextHash.sim_hash($"text").as("simhash"))
+          .orderBy($"doc_id")
+      },
+      None)
+  )
+}

@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.catalyst.TextHash
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extension, SURVEY.md §2B): exact, content-hash, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB):
+  *  - Exact/hash dedup is one shuffle on the (64-char) content hash, never
+  *    on the document body — at 100 TB you shuffle 5000× less data.
+  *  - Jaccard candidates come from a shingle inverted index (explode +
+  *    self-equi-join on the shingle), NOT an O(n²) cross join; hot shingles
+  *    are the skew risk → AQE skew-join handles it, and a df-cap filter is
+  *    the documented knob.
+  *  - MinHash+LSH reduces the candidate join to band-signature equality —
+  *    the standard sub-quadratic near-dup path. Signatures are computed
+  *    with codegen'd higher-order functions over xxhash64 (deterministic
+  *    across runs/executors — safe to persist).
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct 3-token shingles of the whitespace-tokenized text. */
+  def shingles(text: Column): Column = {
+    val t = split(trim(text), " ")
+    array_distinct(
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws("_", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array(concat_ws("_", t))))
+  }
+
+  /** DuckDB rendering of [[shingles]] (1-based list comprehension). */
+  val duckShingles: String =
+    """list_distinct(CASE WHEN len(t) >= 3
+      |  THEN [t[i] || '_' || t[i+1] || '_' || t[i+2] for i in range(1, len(t) - 1)]
+      |  ELSE [array_to_string(t, '_')] END)""".stripMargin
+
+  /** doc_id + distinct shingle array. */
+  def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents").select($"doc_id", shingles($"text").as("sh"))
+  }
+
+  /** Exact Jaccard pairs (d1 < d2) with similarity >= threshold, via the
+    * shingle inverted index. Both oracle-checked queries reuse this. */
+  def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val ex = docShingles(s, dir)
+      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
+    val a = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"s")
+    val b = ex.select($"doc_id".as("d2"), $"n".as("n2"), $"s")
+    a.join(b, Seq("s")).filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("common"), first($"n1").as("n1"), first($"n2").as("n2"))
+      .withColumn("jac", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
+      .filter($"jac" >= threshold)
+      .select($"d1", $"d2", round($"jac", 4).as("jac"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Oracle SQL matching [[jaccardPairs]]. */
+  def jaccardOracle(threshold: Double): String =
+    s"""
+      WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+               any_value(a.n) AS n1, any_value(b.n) AS n2
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jac
+      FROM pairs
+      WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= $threshold
+      ORDER BY d1, d2"""
+
+  /** k deterministic MinHash values: min over shingles of xxhash64(shingle,
+    * seed_i). Each is an array_min over a codegen'd transform. */
+  def minhashSignature(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map(i => array_min(transform(sh, x => xxhash64(x, lit(i)))))
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q60_dedup_exact",
+      "Exact dedup: group identical texts, keep the smallest doc_id " +
+        "(deterministic survivor, unlike bare dropDuplicates).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies")
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    Q(
+      "q61_dedup_content_hash",
+      "Content-hash dedup: shuffle on sha256(text) instead of the body — " +
+        "the form that scales to 100 TB (fixed 64-byte shuffle keys).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(sha2($"text", 256).as("content_sha"), $"doc_id")
+          .groupBy($"content_sha")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"keep_id")
+      },
+      Some("""
+        SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY sha256(text) ORDER BY keep_id""")),
+
+    Q(
+      "q62_ngram_jaccard_pairs",
+      "Exact near-dup pairs: 3-gram shingle inverted index → self-join → " +
+        "Jaccard >= 0.8. The exact ground truth the LSH variant is " +
+        "measured against.",
+      (s, dir) => jaccardPairs(s, dir, 0.8),
+      Some(jaccardOracle(0.8))),
+
+    Q(
+      "q63_minhash_lsh_pairs",
+      "MinHash(32)+LSH(8 bands × 4 rows) candidates, then exact-Jaccard " +
+        "confirm >= 0.8. Sub-quadratic: candidates come from band-key " +
+        "equality, not pairwise compare. At the fixtures' planted " +
+        "similarity (~0.97+) band-recall is 1-1e-7, so the result equals " +
+        "the exact oracle.",
+      (s, dir) => {
+        import s.implicits._
+        val k = 32; val bands = 8; val rows = 4
+        val sig = docShingles(s, dir)
+          .select($"doc_id", $"sh", array(minhashSignature($"sh", k): _*).as("mh"))
+        val banded = sig.select(
+          $"doc_id", $"sh",
+          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64((0 until rows).map(r =>
+              element_at($"mh", b * rows + r + 1)): _*))).as(Seq("band_idx", "band_key")))
+        val a = banded.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band_idx", $"band_key")
+        val b = banded.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band_idx", $"band_key")
+        a.join(b, Seq("band_idx", "band_key"))
+          .filter($"d1" < $"d2")
+          .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+          .withColumn("jac",
+            size(array_intersect($"sh1", $"sh2")).cast("double") /
+              size(array_union($"sh1", $"sh2")))
+          .filter($"jac" >= 0.8)
+          .select($"d1", $"d2", round($"jac", 4).as("jac"))
+          .orderBy($"d1", $"d2")
+      },
+      Some(jaccardOracle(0.8))),
+
+    Q(
+      "q64_simhash_pairs",
+      "SimHash near-dup: 64-bit signatures (native SimHash expression), " +
+        "blocked on 4×16-bit bands (pigeonhole: Hamming<=3 pairs always " +
+        "share a band), confirmed with bit_count(xor)<=3. Rows-only check " +
+        "(bit-level hashing isn't DuckDB-expressible); SimHashSpec covers " +
+        "the expression.",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Tables.t(s, dir, "documents")
+          .select($"doc_id", TextHash.sim_hash($"text").as("sig"))
+        val banded = sigs.select(
+          $"doc_id", $"sig",
+          posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535)"))
+            .as(Seq("band_idx", "band_key")))
+        val a = banded.select($"doc_id".as("d1"), $"sig".as("sig1"), $"band_idx", $"band_key")
+        val b = banded.select($"doc_id".as("d2"), $"sig".as("sig2"), $"band_idx", $"band_key")
+        a.join(b, Seq("band_idx", "band_key"))
+          .filter($"d1" < $"d2")
+          .select($"d1", $"d2", $"sig1", $"sig2").distinct()
+          .withColumn("hamming", bit_count($"sig1".bitwiseXOR($"sig2")))
+          .filter($"hamming" <= 3)
+          .select($"d1", $"d2", $"hamming")
+          .orderBy($"d1", $"d2")
+      },
+      None),
+
+    Q(
+      "q65_embedding_neardup",
+      "Embedding-cosine near-dup pairs (cos >= 0.45) — exact pairwise via " +
+        "a self cross-join on the (small) embedding table; documented " +
+        "scale path is the LSH bucketing of q67. Dot products in double " +
+        "via codegen'd zip_with+aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            sqrt(aggregate($"embedding", lit(0.0d),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+        val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"norm".as("nm1"))
+        val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"norm".as("nm2"))
+        a.crossJoin(b).filter($"v1" < $"v2")
+          .withColumn("dot", aggregate(zip_with($"e1", $"e2",
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x))
+          .withColumn("cos", $"dot" / ($"nm1" * $"nm2"))
+          .filter($"cos" >= 0.45)
+          .select($"v1", $"v2", round($"cos", 4).as("cos"))
+          .orderBy($"v1", $"v2")
+      },
+      Some("""
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY v1, v2"""))
+  )
+}
