@@ -19,7 +19,8 @@ object SparkEntry {
     graft.operators.SqlFeatures,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
-    graft.operators.Similarity)
+    graft.operators.Similarity,
+    graft.streaming.StreamingOps)
 
   val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming capability surface (SURVEY.md §2B "Streaming"):
+  * tumbling / sliding / session windows, watermarked streaming dedup.
+  *
+  * The reference's entire product is a streaming ingest loop
+  * (main.go:101-127: fetch → sleep(interval) → fan-out); its Spark-native
+  * form is Structured Streaming. Each corpus query below runs a real
+  * streaming query (file source → transforms → memory sink), drains it
+  * with processAllAvailable, and returns the result table — so the
+  * STREAMING operator itself is what the DuckDB oracle checks, via the
+  * batch-equivalent SQL. Watermark *dropping* semantics need multi-batch
+  * input and are covered deterministically in StreamingSpec with
+  * MemoryStream.
+  *
+  * Scale notes: streaming aggs shuffle by (window, key) exactly like batch
+  * groupBy; state store size is bounded by |windows|x|keys| and watermarks
+  * evict closed windows — the knobs that keep 100 TB/day ingest bounded.
+  */
+object StreamingOps extends QueryModule {
+
+  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS) → LongType
+    * under nanosAsLong; converted to µs TIMESTAMP_NTZ after load). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events fixture with the same ts normalization
+    * as the batch loader. The file streaming source requires a directory,
+    * so the single fixture file is exposed through a per-sf symlink dir
+    * (what a real deployment's landing directory is anyway). Event time is
+    * LTZ TIMESTAMP (session tz = UTC) because watermarks require it.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Paths.get(s"/tmp/graft_stream_src/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
+    s.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  }
+
+  /** Run a streaming DataFrame to a memory sink, drain, stop, return. */
+  def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = streamed.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q70_stream_tumbling",
+      "Streaming tumbling-window aggregate (1h × event_type): real " +
+        "readStream→window→memory-sink lifecycle, drained synchronously. " +
+        "Oracle = batch time_bucket equivalent.",
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventsStream(s, dir)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .select($"window.start".cast("timestamp_ntz").as("w_start"), $"event_type", $"n", $"sum_value")
+        runToMemory(s, agg, "graft_mem_tumbling", "complete")
+          .orderBy($"w_start", $"event_type")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY w_start, event_type""")),
+
+    Q(
+      "q71_stream_sliding",
+      "Streaming sliding-window aggregate (2h window, 1h slide): each " +
+        "event lands in 2 windows. Oracle unnests both candidate starts " +
+        "per event.",
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventsStream(s, dir)
+          .groupBy(window($"ts", "2 hours", "1 hour"))
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
+          .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n",
+            floor($"sum_v" / $"n" * 10000.0).cast("double").divide(10000.0).as("avg_value"))
+        runToMemory(s, agg, "graft_mem_sliding", "complete")
+          .orderBy($"w_start")
+      },
+      Some("""
+        WITH expanded AS (
+          SELECT unnest([time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                         time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                           - INTERVAL '1 hour']) AS w_start,
+                 value
+          FROM events)
+        SELECT w_start, n, CAST(floor(sum_v / n * 10000.0) AS DOUBLE) / 10000.0 AS avg_value
+        FROM (SELECT w_start, count(*) AS n, round(sum(value), 2) AS sum_v
+              FROM expanded GROUP BY w_start)
+        ORDER BY w_start""")),
+
+    Q(
+      "q72_session_window",
+      "Session windows (30-min inactivity gap) per user via " +
+        "session_window(). Oracle = classic gaps-and-islands SQL (lag + " +
+        "cumulative new-session flags) — verifying Spark's session " +
+        "semantics [start=min ts, end=last ts+gap) against first " +
+        "principles.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("session_value"))
+          .select(
+            $"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                        > INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM e)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""")),
+
+    Q(
+      "q73_stream_dedup",
+      "Watermarked streaming dedup: dropDuplicates on (user_id, " +
+        "event_type) with a 1h watermark, re-aggregated to distinct-user " +
+        "counts. Oracle = batch COUNT(DISTINCT).",
+      (s, dir) => {
+        import s.implicits._
+        val deduped = eventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("user_id", "event_type")
+          .select($"user_id", $"event_type")
+        val out = runToMemory(s, deduped, "graft_mem_dedup", "append")
+        out.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  )
+}

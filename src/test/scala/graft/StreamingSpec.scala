@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch streaming semantics that single-batch fixture streams can't
+  * show: watermark-based late-data dropping and incremental window updates.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops late rows beyond the threshold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_test").start()
+    try {
+      // batch 1: events up to 10:30 → watermark advances to 10:20
+      input.addData((ts("2024-01-01 10:00:10"), 1L), (ts("2024-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      // batch 2: a row at 10:02 is >10min behind the 10:20 watermark → dropped;
+      // a row at 10:29 is within it → counted
+      input.addData((ts("2024-01-01 10:02:00"), 3L), (ts("2024-01-01 10:29:00"), 4L))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so all windows close and emit
+      input.addData((ts("2024-01-01 12:00:00"), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    // 10:00 window: only the on-time 10:00:10 row (late 10:02 dropped)
+    assert(out("2024-01-01 10:00:00.0") === 1L)
+    // 10:25 window: 10:29 row arrived within watermark
+    assert(out("2024-01-01 10:25:00.0") === 1L)
+    assert(out("2024-01-01 10:30:00.0") === 1L)
+  }
+
+  test("streaming session window merges within gap across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "u")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "10 minutes"), $"u")
+      .agg(count(lit(1)).as("n"))
+      .select($"u", $"session_window.start".as("s"), $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    try {
+      input.addData((ts("2024-01-01 09:00:00"), "a"), (ts("2024-01-01 09:05:00"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:08:00"), "a")) // merges into same session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:00:00"), "a")) // far future: closes session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), "a")) // close the 11:00 session too
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_test").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(rows.contains(("a", "2024-01-01 09:00:00.0", 3L)))
+  }
+}
