@@ -20,7 +20,8 @@ object SparkEntry {
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,
-    graft.streaming.StreamingOps)
+    graft.streaming.StreamingOps,
+    graft.sources.IngestOps)
 
   val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

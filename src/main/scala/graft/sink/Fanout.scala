@@ -1,0 +1,79 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.slf4j.LoggerFactory
+
+/** Append sink abstraction + multi-target fan-out (SURVEY §2A rows A5,
+  * A8-A11).
+  *
+  * The reference fans each batch out to every (db, table) over per-table
+  * goroutines with racy channel teardown (main.go:149-155, SURVEY §1.3-4)
+  * and row-at-a-time INSERTs inside a broken per-record-commit tx
+  * (main.go:181-210, §1.3-3). Spark-first replacement: persist the batch
+  * once, then write it per target — deterministic order, batched appends,
+  * per-partition parallelism inside each write. Delivery is at-least-once
+  * per micro-batch (same guarantee class as the reference, better
+  * granularity).
+  */
+trait AppendSink {
+  /** Append a batch to `db`.`table`; errors must not kill the stream. */
+  def append(df: DataFrame, db: String, table: String): Unit
+  /** DDL bootstrap (A9/A10): ensure db + table exist. */
+  def ensure(db: String, table: String, ddl: String): Unit = ()
+}
+
+/** Local parquet layout `<root>/<db>/<table>/` — the test stand-in wired
+  * through the same trait a JDBC sink implements. */
+final class ParquetSink(root: String) extends AppendSink {
+  override def append(df: DataFrame, db: String, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(s"$root/$db/$table")
+}
+
+/** JDBC append sink (A8): Spark's JDBC writer does batched INSERTs with
+  * one connection per partition — the scalable form of the reference's
+  * 1-connection-per-table workers. Pool sizes become numPartitions hints.
+  */
+final class JdbcSink(url: String, props: java.util.Properties,
+    numPartitions: Int) extends AppendSink {
+  override def append(df: DataFrame, db: String, table: String): Unit = {
+    val sized = if (numPartitions > 0 && df.rdd.getNumPartitions > numPartitions)
+      df.coalesce(numPartitions) else df
+    sized.write.mode(SaveMode.Append).jdbc(url, s"$db.$table", props)
+  }
+  override def ensure(db: String, table: String, ddl: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute(s"CREATE DATABASE IF NOT EXISTS $db")
+      st.execute(s"USE $db")
+      st.execute(ddl)
+      st.close()
+    } finally conn.close()
+  }
+}
+
+object Fanout {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Write one batch to every target. Persist once so the (possibly
+    * expensive) upstream plan runs a single time, not once per target;
+    * warn-and-continue per target (the reference's error policy,
+    * main.go:198-203).
+    *
+    * @return number of targets written successfully */
+  def writeBatch(df: DataFrame, targets: Seq[(String, String)],
+      sink: AppendSink): Int = {
+    val cached = df.persist()
+    try {
+      cached.count() // materialize once before the per-target writes
+      targets.count { case (db, table) =>
+        try { sink.append(cached, db, table); true }
+        catch {
+          case e: Exception =>
+            log.warn(s"fanout: append to $db.$table failed: ${e.getMessage}")
+            false
+        }
+      }
+    } finally { cached.unpersist(); () }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.config.IngestConfig
+import graft.sink.{AppendSink, Fanout}
+import graft.sources.{FlightState, OpenSky}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.slf4j.LoggerFactory
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** A pollable ingest source (SURVEY §2A A1/A14): the Scala-trait
+  * replacement for the reference's dlopen plugin registry
+  * (registry.go:10-55). Returns raw response bodies; parsing happens in
+  * the Spark pipeline. */
+trait IngestSource {
+  def name: String
+  def tablePrefix: String
+  /** Fetch one snapshot (HTTP GET in production; fixture for tests). */
+  def fetch(): String
+  /** Fail-fast credential/config validation (A16/A17). */
+  def validate(): Unit = ()
+}
+
+/** Deterministic fixture source standing in for the HTTP endpoint. */
+final class SyntheticOpenSkySource(statesPerTick: Int) extends IngestSource {
+  private var tick = 0
+  override def name = "opensky"
+  override def tablePrefix = "flights"
+  override def fetch(): String = {
+    tick += 1
+    OpenSky.sampleResponse(statesPerTick, 1700000000L + tick * 60L)
+  }
+}
+
+/** The ingest control loop (SURVEY §2A A5-A7, §3.2), Spark-first:
+  * every tick = fetch (driver; a single HTTP endpoint has nothing to
+  * partition) → parse/explode/project (Catalyst pipeline on executors) →
+  * fan-out append to all targets. Interval scheduling, 5s-class backoff on
+  * fetch errors, graceful stop, bounded run — the reference's semantics
+  * (main.go:101-127) with the §1.3 fix-list applied.
+  */
+object PollingIngest {
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final class Handle {
+    private[PollingIngest] val stopFlag = new AtomicBoolean(false)
+    @volatile var ticks: Int = 0
+    @volatile var rowsIngested: Long = 0L
+    def stop(): Unit = stopFlag.set(true)
+  }
+
+  /** Run the loop synchronously; returns the handle with counters.
+    *
+    * @param maxTicks stop after N successful ticks (<=0: until stop()/
+    *                 runForSec); tests use this for determinism
+    * @param sleepFn  injectable sleeper so tests run instantly
+    */
+  def run(spark: SparkSession, source: IngestSource, cfg: IngestConfig,
+      sink: AppendSink, maxTicks: Int = -1,
+      sleepFn: Long => Unit = Thread.sleep, handle: Handle = new Handle): Handle = {
+    source.validate()
+    val targets = cfg.targets(source.tablePrefix)
+    targets.foreach { case (db, t) =>
+      sink.ensure(db, t, OpenSky.createTableDdl(t))
+    }
+    val deadline =
+      if (cfg.runForSec > 0) System.nanoTime() + cfg.runForSec * 1000000000L
+      else Long.MaxValue
+
+    while (!handle.stopFlag.get() && System.nanoTime() < deadline &&
+        (maxTicks <= 0 || handle.ticks < maxTicks)) {
+      try {
+        val raw = source.fetch()
+        val batch: Dataset[FlightState] =
+          OpenSky.parseJson(spark, Seq(raw))
+        val written = Fanout.writeBatch(batch.toDF(), targets, sink)
+        handle.ticks += 1
+        handle.rowsIngested += batch.count()
+        log.info(s"tick ${handle.ticks}: fanned out to $written/${targets.size} targets")
+        if (!(maxTicks > 0 && handle.ticks >= maxTicks))
+          sleepFn(cfg.plugin.intervalSec * 1000L)
+      } catch {
+        case e: Exception =>
+          // warn-and-continue with backoff — never fatal mid-stream
+          log.warn(s"ingest tick failed: ${e.getMessage}; backing off")
+          sleepFn(cfg.backoffSec * 1000L)
+      }
+    }
+    handle
+  }
+}
