@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.streaming.StreamingOps,
-    graft.sources.IngestOps)
+    graft.sources.IngestOps,
+    graft.operators.Multimodal)
 
   val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

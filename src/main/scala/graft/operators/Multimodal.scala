@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north-star extension, SURVEY §2B): treat
+  * image/audio/video payloads as opaque BinaryType columns with typed
+  * metadata, and run decode / feature-extract / resize / frame-sample as
+  * per-partition batch transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (byte-level statistics standing in
+  * for pixel decoding); everything around it — the binary column, the
+  * metadata struct, the mapPartitions batch shape (Scala's analogue of
+  * mapInPandas batches), the explode of sampled frames — is the real
+  * Spark plumbing a production pipeline would keep while swapping the
+  * codec in.
+  *
+  * Scale notes (100 TB of media): payload bytes never enter a shuffle —
+  * every operator is a narrow per-partition map; only scalar features /
+  * metadata flow into joins and aggregates. Partition sizing is by input
+  * bytes (`spark.sql.files.maxPartitionBytes`), not rows, because row
+  * width dominates.
+  */
+object Multimodal extends QueryModule {
+
+  /** One decoded media item: deterministic fake features from the bytes. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, mean_byte: Double, max_byte: Int,
+      hist4: Seq[Long])
+
+  /** STUB DECODE (would be a codec call in production): byte statistics
+    * as a stand-in feature vector. Deterministic in the payload. */
+  def fakeDecode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val hist = new Array[Long](4)
+    var sum = 0L
+    var max = 0
+    payload.foreach { b =>
+      val u = b & 0xff
+      sum += u
+      if (u > max) max = u
+      hist(u >> 6) += 1
+    }
+    MediaFeatures(docId, payload.length,
+      if (payload.isEmpty) 0.0 else sum.toDouble / payload.length, max, hist.toSeq)
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q82_multimodal_metadata",
+      "Binary media columns + typed metadata: payload as BinaryType " +
+        "(UTF-8 bytes of text stand in for image bytes), metadata struct " +
+        "(format/width/height) derived deterministically, frame count " +
+        "from payload size. Fully codegen'd projection — the metadata " +
+        "path never touches the payload bytes after octet_length.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            $"text".cast("binary").as("payload"),
+            $"n_chars")
+          .select(
+            $"doc_id",
+            length($"payload").as("n_bytes"),
+            element_at(typedLit(Seq("jpeg", "png", "wav", "mp4")),
+              (($"doc_id" % 4) + 1).cast("int")).as("format"),
+            (($"doc_id" % 8) * 160 + 320).cast("int").as("width"),
+            (($"doc_id" % 8) * 90 + 180).cast("int").as("height"),
+            floor(length($"payload") / 16.0).cast("int").as("n_frames"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER)      AS n_bytes,
+               (['jpeg', 'png', 'wav', 'mp4'])[(doc_id % 4) + 1] AS format,
+               CAST((doc_id % 8) * 160 + 320 AS INTEGER)         AS width,
+               CAST((doc_id % 8) * 90 + 180 AS INTEGER)          AS height,
+               CAST(floor(octet_length(encode(text)) / 16.0) AS INTEGER) AS n_frames
+        FROM documents
+        ORDER BY doc_id""")),
+
+    Q(
+      "q83_multimodal_decode",
+      "Per-partition batch decode (mapPartitions — the Scala shape of " +
+        "mapInPandas): binary payload → fake feature vector (STUB codec: " +
+        "byte stats; swap point is Multimodal.fakeDecode). Narrow " +
+        "transform, payloads never shuffled; only features aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        media.mapPartitions { batch =>
+          // batch-shaped: one iterator per partition, like an Arrow batch
+          batch.map { case (id, payload) => fakeDecode(id, payload) }
+        }.toDF()
+          .select($"doc_id", $"n_bytes", round($"mean_byte", 4).as("mean_byte"),
+            $"max_byte", $"hist4")
+          .orderBy($"doc_id")
+      },
+      None),
+
+    Q(
+      "q84_multimodal_framesample",
+      "Frame sampling: treat the payload as fixed-size frames (16 B), " +
+        "sample every 4th, explode to one row per sampled frame with a " +
+        "per-frame checksum — the video keyframe-extraction access " +
+        "pattern (generator/explode over substrings of the payload).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+          .select($"doc_id",
+            posexplode(expr(
+              """transform(sequence(0, int(floor(length(payload) / 16.0)) - 1),
+                 f -> substring(payload, f * 16 + 1, 16))"""))
+              .as(Seq("frame_idx", "frame")))
+          .filter($"frame_idx" % 4 === 0)
+          .select($"doc_id", $"frame_idx", xxhash64($"frame").as("frame_hash"))
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      None)
+  )
+}
