@@ -13,7 +13,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Memoize per (session, dir, table): schema/footer discovery is pure
+  // driver-side overhead that would otherwise be paid on every query.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(spark), dir, name),
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
     // nanos LongType (spark.sql.legacy.parquet.nanosAsLong, set in
@@ -27,7 +37,13 @@ object Tables {
     else raw
   }
 
+  // Re-registering identical views per query is wasted driver work; track
+  // which (session, dir) is already registered.
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
   /** Register every fixture table as a temp view (for spark.sql corpora). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((System.identityHashCode(spark), dir)))
+      all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,139 @@
+package graft.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.{ColumnBridgeImpl => ColumnBridge}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native vector/sketch kernels (SURVEY §2B similarity rows). The
+  * higher-order-function formulation (zip_with + aggregate) allocates an
+  * intermediate array per row pair; these expressions run a primitive loop
+  * inside whole-stage codegen — the difference between a similarity scan
+  * that is ALU-bound and one that is allocation-bound, which at 100 TB is
+  * the whole game.
+  */
+object VecOps {
+
+  /** Sequential-order double dot product of two float arrays (sequential
+    * so results are bit-identical to any other sequential evaluator). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** One-pass MinHash signature over hashed shingles: k minima of
+    * xxh64(shingle_hash, seed=i). */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val v = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = XXH64.hashLong(v, i.toLong)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** One-pass distinct 3-token shingle hashes of a whitespace-tokenized
+    * text: per-token xxh64, combined per window via seeded chaining; <3
+    * tokens degrade to one whole-text shingle (mirroring the string-level
+    * semantics of the SQL oracle: same per-doc set sizes and the same
+    * intersection sizes, with 64-bit-collision probability ~2^-64 per
+    * pair). Avoids materializing any intermediate token/shingle strings —
+    * the allocation profile that matters when the scan is 100 TB. */
+  def shingleHashes(s: UTF8String, nGram: Int): ArrayData = {
+    val tokenHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val n = s.numBytes()
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val isSep = i == n ||
+        org.apache.spark.unsafe.Platform.getByte(s.getBaseObject, s.getBaseOffset + i) == ' '.toByte
+      if (isSep) {
+        if (i > start)
+          tokenHashes += XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + start, i - start, 7L)
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokenHashes.length
+    val out =
+      if (m < nGram) {
+        Array(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, n, 7L))
+      } else {
+        val seen = new java.util.HashSet[java.lang.Long](m * 2)
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](m)
+        var w = 0
+        while (w <= m - nGram) {
+          var h = 1234567891011L
+          var g = 0
+          while (g < nGram) { h = XXH64.hashLong(tokenHashes(w + g), h); g += 1 }
+          if (seen.add(h)) buf += h
+          w += 1
+        }
+        buf.toArray
+      }
+    new GenericArrayData(out)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+
+  def shingle_hashes(c: Column, nGram: Int = 3): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
+}
+
+/** shingle_hashes(string, n) → array<long>: distinct hashed n-gram token
+  * shingles in one pass (no intermediate token/shingle strings). */
+case class ShingleHashes(child: Expression, nGram: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.shingleHashes(v.asInstanceOf[UTF8String], nGram)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.VecOps.shingleHashes($c, $nGram)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** dot(array<float>, array<float>) → double, codegen'd primitive loop. */
+case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.VecOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
+    copy(l, r)
+  override def prettyName: String = "float_vec_dot"
+}
+
+/** minhash_sig(array<string>, k) → array<long>: one pass over the shingle
+  * set computing all k permutation minima (vs k separate
+  * array_min(transform(...)) passes + k intermediate arrays). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.minhash(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.VecOps.minhash($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}

@@ -17,21 +17,21 @@ import org.apache.spark.sql.functions._
   *    are the skew risk → AQE skew-join handles it, and a df-cap filter is
   *    the documented knob.
   *  - MinHash+LSH reduces the candidate join to band-signature equality —
-  *    the standard sub-quadratic near-dup path. Signatures are computed
-  *    with codegen'd higher-order functions over xxhash64 (deterministic
-  *    across runs/executors — safe to persist).
+  *    the standard sub-quadratic near-dup path. Shingle + signature
+  *    kernels are native codegen'd expressions (graft.catalyst.VecOps),
+  *    deterministic across runs/executors — safe to persist.
   */
 object Dedup extends QueryModule {
 
-  /** Distinct 3-token shingles of the whitespace-tokenized text. */
-  def shingles(text: Column): Column = {
-    val t = split(trim(text), " ")
-    array_distinct(
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2), i =>
-          concat_ws("_", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array(concat_ws("_", t))))
-  }
+  /** Distinct hashed 3-token shingles via the native ShingleHashes
+    * expression (graft.catalyst.VecOps.shingleHashes): one pass over the
+    * text bytes, no intermediate token/shingle strings. The built-in
+    * formulation (split → transform → concat_ws → array_distinct) was 5×
+    * slower even after materializing tokens, because CollapseProject
+    * re-inlines the tokenizer into the per-element lambda. Set semantics
+    * match the SQL oracle's string shingles (same per-doc set and
+    * intersection sizes) up to 2^-64 hash collisions. */
+  def shingles(text: Column): Column = graft.catalyst.VecOps.shingle_hashes(text)
 
   /** DuckDB rendering of [[shingles]] (1-based list comprehension). */
   val duckShingles: String =
@@ -39,23 +39,31 @@ object Dedup extends QueryModule {
       |  THEN [t[i] || '_' || t[i+1] || '_' || t[i+2] for i in range(1, len(t) - 1)]
       |  ELSE [array_to_string(t, '_')] END)""".stripMargin
 
-  /** doc_id + distinct shingle array. */
+  /** doc_id + distinct hashed-shingle array. */
   def docShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "documents").select($"doc_id", shingles($"text").as("sh"))
+    Tables.t(s, dir, "documents").select($"doc_id", shingles(trim($"text")).as("sh"))
   }
 
   /** Exact Jaccard pairs (d1 < d2) with similarity >= threshold, via the
-    * shingle inverted index. Both oracle-checked queries reuse this. */
+    * shingle inverted index. Both oracle-checked queries reuse this.
+    *
+    * Shuffle-slimming for scale: the inverted index carries 8-byte hashed
+    * shingles (never ~20-byte strings), and doc sizes travel in a small
+    * broadcast side table instead of widening every joined row.
+    */
   def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
-    val ex = docShingles(s, dir)
-      .select($"doc_id", size($"sh").as("n"), explode($"sh").as("s"))
-    val a = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"s")
-    val b = ex.select($"doc_id".as("d2"), $"n".as("n2"), $"s")
-    a.join(b, Seq("s")).filter($"d1" < $"d2")
+    val sh = docShingles(s, dir)
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    val ex = sh.select($"doc_id", explode($"sh").as("h"))
+    val a = ex.select($"doc_id".as("d1"), $"h")
+    val b = ex.select($"doc_id".as("d2"), $"h")
+    a.join(b, Seq("h")).filter($"d1" < $"d2")
       .groupBy($"d1", $"d2")
-      .agg(count(lit(1)).as("common"), first($"n1").as("n1"), first($"n2").as("n2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
+      .join(broadcast(sizes.select($"doc_id".as("d2"), $"n".as("n2"))), Seq("d2"))
       .withColumn("jac", $"common".cast("double") / ($"n1" + $"n2" - $"common"))
       .filter($"jac" >= threshold)
       .select($"d1", $"d2", round($"jac", 4).as("jac"))
@@ -78,10 +86,10 @@ object Dedup extends QueryModule {
       WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= $threshold
       ORDER BY d1, d2"""
 
-  /** k deterministic MinHash values: min over shingles of xxhash64(shingle,
-    * seed_i). Each is an array_min over a codegen'd transform. */
-  def minhashSignature(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => array_min(transform(sh, x => xxhash64(x, lit(i)))))
+  /** k deterministic MinHash values via the native one-pass MinHashSig
+    * expression (graft.catalyst.VecOps.minhash). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    graft.catalyst.VecOps.minhash_sig(sh, k)
 
   override def queries: Seq[Q] = Seq(
     Q(
@@ -135,7 +143,7 @@ object Dedup extends QueryModule {
         import s.implicits._
         val k = 32; val bands = 8; val rows = 4
         val sig = docShingles(s, dir)
-          .select($"doc_id", $"sh", array(minhashSignature($"sh", k): _*).as("mh"))
+          .select($"doc_id", $"sh", minhashSignature($"sh", k).as("mh"))
         val banded = sig.select(
           $"doc_id", $"sh",
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -189,16 +197,15 @@ object Dedup extends QueryModule {
         "scale path is the LSH bucketing of q67. Dot products in double " +
         "via codegen'd zip_with+aggregate.",
       (s, dir) => {
+        import graft.catalyst.VecOps.vec_dot
         import s.implicits._
         val e = Tables.t(s, dir, "embeddings")
           .select($"vec_id", $"embedding",
-            sqrt(aggregate($"embedding", lit(0.0d),
-              (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm"))
+            sqrt(vec_dot($"embedding", $"embedding")).as("norm"))
         val a = e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"norm".as("nm1"))
         val b = e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"norm".as("nm2"))
         a.crossJoin(b).filter($"v1" < $"v2")
-          .withColumn("dot", aggregate(zip_with($"e1", $"e2",
-            (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x))
+          .withColumn("dot", vec_dot($"e1", $"e2"))
           .withColumn("cos", $"dot" / ($"nm1" * $"nm2"))
           .filter($"cos" >= 0.45)
           .select($"v1", $"v2", round($"cos", 4).as("cos"))

@@ -39,13 +39,12 @@ object Similarity extends QueryModule {
       when(dotConst(v, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Exact cosine similarity between two ArrayType(Float) columns. */
+  /** Exact cosine similarity between two ArrayType(Float) columns, via the
+    * native FloatVecDot kernel (primitive loop in codegen — no per-row
+    * intermediate arrays, unlike zip_with+aggregate). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
+    import graft.catalyst.VecOps.vec_dot
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
   /** Brute-force top-k: broadcast probes × corpus scan → windowed top-k. */
