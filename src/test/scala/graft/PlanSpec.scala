@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that decide whether a query
+  * survives a 100x scale-up, asserted on the actual optimized plans.
+  * A green corpus with a wrong plan is a latent scale bug — these tests
+  * make plan regressions loud.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE finalizes + codegen spans show
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters and projection are pushed into the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    // pruned read schema — none of the unprojected columns appear in ReadSchema
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"scan should prune unused columns: $readSchema")
+  }
+
+  test("q10: dimension join is broadcast, not shuffled") {
+    val plan = planOf("q10_join_inner_topn")
+    assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")
+  }
+
+  test("q17: six-table join contains no cartesian product and broadcasts dims") {
+    val plan = planOf("q17_multiway_join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q30: global sort+limit compiles to TakeOrderedAndProject") {
+    val plan = planOf("q30_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("q01: aggregation is two-phase (partial then final)") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_"), "map-side partial aggregation expected")
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q01: plan stays inside whole-stage codegen") {
+    // "*(n)" is the whole-stage-codegen marker in plan strings
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("*("), plan.take(400))
+  }
+
+  test("q16: constant-size band table joins via broadcast nested loop") {
+    val plan = planOf("q16_join_range_theta")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q66: probe side of knn is broadcast (corpus scans once, no shuffle)") {
+    val plan = planOf("q66_knn_brute_force")
+    assert(plan.contains("BroadcastNestedLoopJoin"), "probes should broadcast")
+  }
+
+  test("native expressions appear in codegen'd projections") {
+    val plan = planOf("q54_fingerprint")
+    assert(plan.contains("rolling_hash") && plan.contains("sim_hash"))
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("rolling_hash")),
+      "native expressions must sit inside a codegen stage")
+  }
+
+  test("q62: jaccard inverted index shuffles 8-byte keys, sizes broadcast") {
+    val plan = planOf("q62_ngram_jaccard_pairs")
+    assert(plan.contains("shingle_hashes"), "native shingle kernel expected")
+    assert(plan.contains("BroadcastHashJoin"), "doc-size lookup should broadcast")
+  }
+}
