@@ -93,7 +93,7 @@ object OpenSky {
     */
   def parseBatch(spark: SparkSession, raw: Dataset[String]): Dataset[FlightState] = {
     import spark.implicits._
-    val parsed = raw.select(from_json($"value", envelopeSchema).as("r"))
+    val parsed = raw.toDF("value").select(from_json($"value", envelopeSchema).as("r"))
       .select($"r.time".as("snapshot_time"), explode($"r.states").as("state"))
     val cols = col("snapshot_time").as("time") +:
       stateColumns.zipWithIndex.map { case ((name, dt), i) =>
