@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.SetSortOps,
     graft.functions.ScalarFuncs,
     graft.operators.SqlFeatures,
+    graft.operators.AdvancedOps,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

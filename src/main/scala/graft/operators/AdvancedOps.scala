@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-ring capability surface: statistical aggregates, order
+  * statistics, string aggregation, analytic windows beyond rank, null-safe
+  * comparison, by-name set ops, and the salted-aggregation skew pattern.
+  */
+object AdvancedOps extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q43_stats_aggs",
+      "Statistical aggregates: stddev/variance (sample), correlation and " +
+        "covariance between price and discount.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_extendedprice"), 4).as("sd_price"),
+            round(var_samp($"l_quantity"), 4).as("var_qty"),
+            round(corr($"l_extendedprice", $"l_discount"), 6).as("corr_price_disc"),
+            round(covar_samp($"l_extendedprice", $"l_discount"), 4).as("covar_price_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4)        AS sd_price,
+               round(var_samp(l_quantity), 4)                AS var_qty,
+               round(corr(l_extendedprice, l_discount), 6)   AS corr_price_disc,
+               round(covar_samp(l_extendedprice, l_discount), 4) AS covar_price_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    Q(
+      "q44_order_statistics",
+      "Exact order statistics: median + interpolated percentiles (p25/p90) " +
+        "per group (Catalyst's exact percentile, DuckDB quantile_cont).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(
+            round(median($"o_totalprice"), 4).as("med_price"),
+            round(percentile($"o_totalprice", lit(0.25)), 4).as("p25_price"),
+            round(percentile($"o_totalprice", lit(0.9)), 4).as("p90_price"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               round(median(o_totalprice), 4)              AS med_price,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS p25_price,
+               round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    Q(
+      "q45_string_agg",
+      "String aggregation: deterministic (sorted, distinct) concatenation " +
+        "of group members — collect_set→array_sort→array_join, the " +
+        "order-stable form of listagg.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(array_join(array_sort(collect_set($"o_orderstatus")), ",").as("statuses"),
+            countDistinct($"o_orderstatus").as("n_statuses"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+               count(DISTINCT o_orderstatus) AS n_statuses
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    Q(
+      "q46_window_distribution",
+      "Distribution-analytic windows: percent_rank, cume_dist, nth_value " +
+        "over per-nation account-balance ordering.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"s_nationkey").orderBy($"s_acctbal", $"s_suppkey")
+        Tables.t(s, dir, "supplier")
+          .select(
+            $"s_nationkey", $"s_suppkey",
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            nth_value($"s_acctbal", 2).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_lowest"))
+          .orderBy($"s_nationkey", $"s_suppkey")
+      },
+      Some("""
+        SELECT s_nationkey, s_suppkey,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6)    AS cume,
+               nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_lowest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        ORDER BY s_nationkey, s_suppkey""")),
+
+    Q(
+      "q47_nullsafe_equality",
+      "Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = over " +
+        "columns with injected NULLs.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select(
+            nullif($"o_orderstatus", lit("O")).as("a"),
+            nullif($"o_orderstatus", lit("F")).as("b"))
+          .select(
+            sum(when($"a" <=> $"b", 1L).otherwise(0L)).as("n_nullsafe_eq"),
+            sum(when($"a" === $"b", 1L).otherwise(0L)).as("n_plain_eq"),
+            sum(when($"a".isNull, 1L).otherwise(0L)).as("n_a_null"))
+      },
+      Some("""
+        SELECT CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nullsafe_eq,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+               CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a_null
+        FROM (SELECT nullif(o_orderstatus, 'O') AS a, nullif(o_orderstatus, 'F') AS b
+              FROM orders)""")),
+
+    Q(
+      "q48_union_by_name",
+      "unionByName (schema-aligned bag union across differently-ordered " +
+        "projections) + intersectAll (bag intersection), re-aggregated.",
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables.t(s, dir, "customer")
+          .select($"c_nationkey".as("nationkey"), lit("customer").as("side"))
+        val b = Tables.t(s, dir, "supplier")
+          .select(lit("supplier").as("side"), $"s_nationkey".as("nationkey"))
+        a.unionByName(b)
+          .groupBy($"nationkey", $"side").agg(count(lit(1)).as("n"))
+          .orderBy($"nationkey", $"side")
+      },
+      Some("""
+        SELECT nationkey, side, count(*) AS n
+        FROM (SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+              UNION ALL
+              SELECT s_nationkey, 'supplier' FROM supplier)
+        GROUP BY nationkey, side
+        ORDER BY nationkey, side""")),
+
+    Q(
+      "q49_salted_agg",
+      "Salted two-phase aggregation — the hot-key skew pattern: phase 1 " +
+        "groups by (key, salt=hash%16) so one hot key spreads over 16 " +
+        "reducers, phase 2 merges partials by key. Semantically transparent " +
+        "(oracle is the plain GROUP BY), which is exactly the point.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .withColumn("salt", pmod(xxhash64($"l_orderkey"), lit(16)))
+          .groupBy($"l_returnflag", $"salt")
+          .agg(sum($"l_quantity").as("part_qty"), count(lit(1)).as("part_n"))
+          .groupBy($"l_returnflag")
+          .agg(round(sum($"part_qty"), 2).as("total_qty"), sum($"part_n").as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    Q(
+      "q55_edit_distance",
+      "Levenshtein edit distance of each document's head against a fixed " +
+        "probe phrase — the character-level near-dup metric (built-in " +
+        "codegen'd expression).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(
+            $"doc_id",
+            levenshtein(substring($"text", 1, 24), lit("the fast key order sort")).as("edit_dist"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(levenshtein(substr(text, 1, 24), 'the fast key order sort') AS INTEGER)
+                 AS edit_dist
+        FROM documents
+        ORDER BY doc_id"""))
+  )
+}
