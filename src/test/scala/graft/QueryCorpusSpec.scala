@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites (one JVM-wide session, local[4]). */
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("4").getOrCreate()
+    val s = GraftSession.builder("4")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
