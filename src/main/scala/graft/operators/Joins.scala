@@ -253,6 +253,37 @@ object Joins extends QueryModule {
         SELECT e.user_id, e.err_id, p.p_id, round(p.p_value, 2) AS p_value
         FROM e ASOF LEFT JOIN p
           ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
+        ORDER BY e.err_id""")),
+
+    Q(
+      "q19_asof_join_native",
+      "Same as-of semantics as q18, through the NATIVE operator " +
+        "(graft.plans.AsOfJoinExec: custom LogicalPlan + Strategy + " +
+        "physical sort-merge with O(1) per-partition state, vs q18's " +
+        "materialize-all-candidates composition). Checked against the " +
+        "same DuckDB ASOF oracle.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts".as("err_ts"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+            $"ts".as("p_ts"), $"value".as("p_value"))
+        graft.plans.AsOfJoin
+          .asofJoin(errors, purchases, "user_id", "p_user", "err_ts", "p_ts")
+          .select($"user_id", $"err_id", $"p_id", round($"p_value", 2).as("p_value"))
+          .orderBy($"err_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+                   FROM events WHERE event_type = 'error'),
+             p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts,
+                          value AS p_value
+                   FROM events WHERE event_type = 'purchase')
+        SELECT e.user_id, e.err_id, p.p_id, round(p.p_value, 2) AS p_value
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
         ORDER BY e.err_id"""))
   )
 }

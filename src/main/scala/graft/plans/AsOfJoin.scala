@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.{ColumnBridgeImpl => Bridge}
+
+/** Native as-of join (SURVEY §2B "as-of (nearest ts)" — the one join type
+  * Spark lacks): for every left row, attach the single right row with the
+  * same key and the greatest right-time <= left-time (left outer
+  * semantics).
+  *
+  * Implemented the preferred custom-operator way (guide order (c)):
+  * logical node → planner Strategy → physical BinaryExecNode. The
+  * physical operator declares ClusteredDistribution on the key and
+  * (key, time) child orderings, so Catalyst provides the exchanges and
+  * sorts (reusing any existing partitioning/bucketing!) and the execute()
+  * body is a pure streaming merge: O(n) per partition, O(1) state — the
+  * shape that scales to 100 TB of events. Contrast with the composed form
+  * (q18: range join + row_number + filter) which materializes every
+  * (left, candidate-right) pair before discarding all but one.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
+    copy(left = l, right = r)
+}
+
+object AsOfStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // Catalyst inserts the shuffles/sorts (or reuses existing ones — e.g.
+  // bucketed layouts) to satisfy these:
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTimeEval = BindReferences.bindReference(leftTime, left.output)
+      val rTimeEval = BindReferences.bindReference(rightTime, right.output)
+      val keyOrd: Ordering[InternalRow] =
+        RowOrdering.createNaturalAscendingOrdering(lKeyTypes)
+      val nullRight = new GenericInternalRow(right.output.size)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+
+      val rBuf = rIter.buffered
+      // last right row (copied) whose (key, time) has been consumed, per
+      // the current merge position
+      var matchKey: UnsafeRow = null
+      var matchRow: InternalRow = null
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeEval.eval(lRow).asInstanceOf[Long]
+        // advance the right pointer while it is behind (key, time)-wise
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val rRow = rBuf.head
+          val rKey = rKeyProj(rRow)
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) { rBuf.next(); advancing = true }
+          else if (c == 0 && rTimeEval.eval(rRow).asInstanceOf[Long] <= lTime) {
+            matchKey = rKey.copy()
+            matchRow = rRow.copy()
+            rBuf.next()
+          } else advancing = false
+        }
+        val hit = matchRow != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+        resultProj(joined(lRow, if (hit) matchRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+/** User-facing API + extension registration. */
+object AsOfJoin {
+
+  /** left-outer as-of join: one output row per left row. Key/time columns
+    * are resolved against the respective inputs; right time must be <=
+    * left time, latest wins. Time columns must be timestamp/long-backed. */
+  def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
+      onLeft: String, onRight: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    ensureRegistered(spark)
+    val plan = AsOfJoinPlan(
+      Bridge.plan(leftDf), Bridge.plan(rightDf),
+      Seq(Bridge.expression(leftDf(onLeft))), Seq(Bridge.expression(rightDf(onRight))),
+      Bridge.expression(leftDf(leftTimeCol)), Bridge.expression(rightDf(rightTimeCol)))
+    Bridge.ofRows(spark, plan)
+  }
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+}
+
+/** SparkSessionExtensions entry point (spark.sql.extensions=
+  * graft.plans.GraftExtensions) for deployments that want the strategy
+  * injected at session build rather than lazily. */
+final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+}
