@@ -32,24 +32,56 @@ final class ParquetSink(root: String) extends AppendSink {
 /** JDBC append sink (A8): Spark's JDBC writer does batched INSERTs with
   * one connection per partition — the scalable form of the reference's
   * 1-connection-per-table workers. Pool sizes become numPartitions hints.
+  *
+  * Semi-structured columns (the `sensors JSON` column,
+  * opensky_plugin.go:49) stay native ArrayType inside the engine and are
+  * serialized with to_json only here, at the JDBC boundary (FIXTURES.md
+  * §2 note).
+  *
+  * @param ddlFor dialect hook: statements that make `db`.`table` exist.
+  *               Default is the reference's MySQL dialect
+  *               (db_manager.go:141-161); tests swap in Derby.
   */
-final class JdbcSink(url: String, props: java.util.Properties,
-    numPartitions: Int) extends AppendSink {
+class JdbcSink(url: String, props: java.util.Properties,
+    numPartitions: Int,
+    ddlFor: (String, String, String) => Seq[String] = JdbcSink.mysqlDdl)
+    extends AppendSink {
+
   override def append(df: DataFrame, db: String, table: String): Unit = {
-    val sized = if (numPartitions > 0 && df.rdd.getNumPartitions > numPartitions)
-      df.coalesce(numPartitions) else df
+    import org.apache.spark.sql.functions.to_json
+    import org.apache.spark.sql.types.ArrayType
+    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: ArrayType => d.withColumn(f.name, to_json(d(f.name)))
+        case _ => d
+      }
+    }
+    val sized = if (numPartitions > 0 && flat.rdd.getNumPartitions > numPartitions)
+      flat.coalesce(numPartitions) else flat
     sized.write.mode(SaveMode.Append).jdbc(url, s"$db.$table", props)
   }
+
   override def ensure(db: String, table: String, ddl: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.execute(s"CREATE DATABASE IF NOT EXISTS $db")
-      st.execute(s"USE $db")
-      st.execute(ddl)
+      ddlFor(db, table, ddl).foreach { sql =>
+        try st.execute(sql)
+        catch { case e: java.sql.SQLException if JdbcSink.alreadyExists(e) => () }
+      }
       st.close()
     } finally conn.close()
   }
+}
+
+object JdbcSink {
+  /** MySQL bootstrap statements (db_manager.go:141-161 semantics). */
+  def mysqlDdl(db: String, table: String, ddl: String): Seq[String] =
+    Seq(s"CREATE DATABASE IF NOT EXISTS $db", s"USE $db", ddl)
+
+  /** "object already exists" SQLSTATEs (Derby X0Y32/X0Y68 et al.). */
+  def alreadyExists(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(s => s.startsWith("X0Y") || s == "42710")
 }
 
 object Fanout {
