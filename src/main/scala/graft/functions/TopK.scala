@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored item inside the top-k sketch. */
+final case class TopHit(vec_id: Long, cos: Double)
+
+/** Exact bounded top-k aggregator (SURVEY §2B "custom Aggregator for
+  * exact top-k cosine"; §7 hard-part 3): keeps at most k (cos desc,
+  * vec_id asc) hits per group, so aggregation state is O(k) regardless of
+  * group size — the property that lets an exact top-k run as a single
+  * partial+final aggregation over 100 TB instead of a per-group global
+  * sort. Registered through `udaf(...)`, so Catalyst plans it like any
+  * built-in aggregate (map-side partials included).
+  *
+  * Contrast with the window formulation (q66: row_number over cos desc):
+  * that shuffles EVERY candidate row to sort it; this shuffles only k
+  * rows per group per map task.
+  */
+final class TopKCosine(k: Int) extends Aggregator[TopHit, Seq[TopHit], Seq[TopHit]] {
+
+  private def lt(a: TopHit, b: TopHit): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)
+
+  /** Insert keeping the buffer sorted (size <= k, so linear is fine). */
+  private def insert(buf: Seq[TopHit], h: TopHit): Seq[TopHit] = {
+    if (buf.size >= k && !lt(h, buf.last)) buf
+    else ((buf :+ h).sortWith(lt)).take(k)
+  }
+
+  override def zero: Seq[TopHit] = Seq.empty
+  override def reduce(buf: Seq[TopHit], h: TopHit): Seq[TopHit] = insert(buf, h)
+  override def merge(a: Seq[TopHit], b: Seq[TopHit]): Seq[TopHit] =
+    (a ++ b).sortWith(lt).take(k)
+  override def finish(buf: Seq[TopHit]): Seq[TopHit] = buf
+  override def bufferEncoder: Encoder[Seq[TopHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
+  override def outputEncoder: Encoder[Seq[TopHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
+}

@@ -88,6 +88,48 @@ object Similarity extends QueryModule {
         ORDER BY probe_id, rank""")),
 
     Q(
+      "q56_knn_topk_agg",
+      "Exact top-5 neighbors via the custom bounded TopKCosine Aggregator " +
+        "(udaf): O(k) aggregation state per probe with map-side partials, " +
+        "vs q66's window sort that shuffles every candidate. Same DuckDB " +
+        "oracle as q66 — identical results, different (more scalable) " +
+        "physical shape.",
+      (s, dir) => {
+        import graft.functions.{TopHit, TopKCosine}
+        import s.implicits._
+        val topk = udaf(new TopKCosine(5))
+        val e = Tables.t(s, dir, "embeddings")
+        val probes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+        e.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
+          .select($"probe_id",
+            struct($"vec_id", $"cos").as("hit"))
+          .groupBy($"probe_id")
+          .agg(topk($"hit.vec_id", $"hit.cos").as("top"))
+          .select($"probe_id", posexplode($"top").as(Seq("pos", "hit")))
+          .select($"probe_id", $"hit.vec_id".as("vec_id"), $"hit.cos".as("cos"),
+            ($"pos" + 1).cast("int").as("rank"))
+          .orderBy($"probe_id", $"rank")
+      },
+      Some("""
+        WITH probes AS (SELECT vec_id AS probe_id, embedding AS probe_vec
+                        FROM embeddings WHERE vec_id < 8),
+        sims AS (
+          SELECT probe_id, e.vec_id,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(probe_vec AS DOUBLE[])), 6) AS cos
+          FROM embeddings e CROSS JOIN probes WHERE e.vec_id <> probe_id),
+        ranked AS (
+          SELECT probe_id, vec_id, cos,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM sims)
+        SELECT probe_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+        ORDER BY probe_id, rank""")),
+
+    Q(
       "q67_knn_lsh",
       "LSH-bucketed ANN: 8-bit random-hyperplane signatures bucket the " +
         "corpus; each probe scans its bucket plus all <=2-bit flips " +
