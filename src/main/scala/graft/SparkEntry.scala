@@ -23,6 +23,7 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.streaming.StreamingOps,
     graft.sources.IngestOps,
+    graft.sources.SourceFormats,
     graft.operators.Multimodal)
 
   val allQueries: Seq[Q] = {

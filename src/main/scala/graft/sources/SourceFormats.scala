@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch source/sink format coverage (SURVEY §2B "Scans/sources": parquet
+  * is the fixture default; CSV and JSON are exercised as write→read
+  * round-trips so both the writer and the schema-explicit reader run).
+  * Oracles aggregate the same parquet table — equality proves the
+  * round-trip is lossless for the projected columns.
+  */
+object SourceFormats extends QueryModule {
+
+  private val subsetSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def roundTrip(fmt: String)(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString + "/events"
+    Tables.t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.format(fmt).option("header", "true").mode("overwrite").save(path)
+    s.read.format(fmt).option("header", "true").schema(subsetSchema).load(path)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val oracle = """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  override def queries: Seq[Q] = Seq(
+    Q("q85_csv_roundtrip",
+      "CSV sink + schema-explicit CSV source round-trip, aggregated; " +
+        "oracle on the parquet original proves losslessness.",
+      (s, dir) => roundTrip("csv")(s, dir), Some(oracle)),
+    Q("q86_json_roundtrip",
+      "JSON-lines sink + schema-explicit JSON source round-trip (schema " +
+        "given, never inferred — inference at 100 TB is a full extra scan).",
+      (s, dir) => roundTrip("json")(s, dir), Some(oracle))
+  )
+}

@@ -171,6 +171,48 @@ object StreamingOps extends QueryModule {
         SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         FROM events
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    Q(
+      "q74_stateful_agg",
+      "Arbitrary stateful processing via flatMapGroupsWithState (the " +
+        "custom-state escape hatch, SURVEY §2B): per-user state machine " +
+        "accumulating event count + spend, emitting the final state per " +
+        "user. Oracle = the batch aggregate it must converge to.",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val perUser = eventsStream(s, dir)
+          .select($"user_id", $"value")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            (user: Long, rows: Iterator[(Long, Double)],
+             state: GroupState[(Long, Double)]) => {
+              val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+              var n = n0; var v = v0
+              rows.foreach { r => n += 1; v += r._2 }
+              state.update((n, v))
+              Iterator((user, n, v))
+            })
+          .toDF("user_id", "n_events", "total_value")
+        val out = runToMemory(s, perUser, "graft_mem_stateful", "update")
+        // update mode re-emits per batch; the LAST row per user is the
+        // converged state (single-batch here, but written to be correct
+        // for any batching)
+        import org.apache.spark.sql.expressions.Window
+        out.withColumn("rn", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"n_events".desc)))
+          .filter($"rn" === 1)
+          .select($"user_id", $"n_events",
+            round($"total_value", 2).as("total_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""))
   )
 }
