@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -91,6 +91,22 @@ object VecOps {
     new GenericArrayData(out)
   }
 
+  /** |A∩B| / |A∪B| for distinct-element long arrays, one pass. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val ns = small.numElements()
+    val nl = large.numElements()
+    if (ns == 0 && nl == 0) return 0.0
+    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getLong(i)); i += 1 }
+    var common = 0
+    i = 0
+    while (i < nl) { if (set.contains(large.getLong(i))) common += 1; i += 1 }
+    common.toDouble / (ns + nl - common)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -99,6 +115,21 @@ object VecOps {
 
   def shingle_hashes(c: Column, nGram: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
+}
+
+/** jaccard_sim(array<long>, array<long>) → double: |A∩B| / |A∪B| in one
+  * pass — hash-set the smaller side, stream the larger (inputs are
+  * distinct-element arrays, as produced by shingle_hashes). Target of the
+  * JaccardRewrite optimizer rule. */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.VecOps.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(l, r)
+  override def prettyName: String = "jaccard_sim"
 }
 
 /** shingle_hashes(string, n) → array<long>: distinct hashed n-gram token

@@ -131,9 +131,12 @@ object AsOfJoin {
 }
 
 /** SparkSessionExtensions entry point (spark.sql.extensions=
-  * graft.plans.GraftExtensions) for deployments that want the strategy
-  * injected at session build rather than lazily. */
+  * graft.plans.GraftExtensions; GraftSession wires it by default):
+  * planner strategy for the native as-of join + the Jaccard-kernel
+  * optimizer rewrite. */
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectOptimizerRule(_ => JaccardRewrite)
+  }
 }
