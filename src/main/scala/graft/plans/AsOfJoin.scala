@@ -138,5 +138,35 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => JaccardRewrite)
+    GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+  import graft.catalyst._
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.catalyst", name, usage),
+      builder)
+
+  /** The native expressions, exposed to SQL ("Functions, not UDFs" all
+    * the way down: spark.sql("SELECT rolling_hash(text) ...") plans the
+    * same codegen'd expression the Column API uses). */
+  val sqlFunctions: Seq[(FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    fn("rolling_hash", "polynomial fingerprint of a string", es => RollingHash(es.head)),
+    fn("sim_hash", "64-bit simhash of whitespace tokens", es => SimHash(es.head)),
+    fn("float_vec_dot", "double dot product of two float arrays",
+      es => FloatVecDot(es(0), es(1))),
+    fn("jaccard_sim", "jaccard similarity of two distinct-element long arrays",
+      es => JaccardSim(es(0), es(1))),
+    fn("shingle_hashes", "distinct hashed 3-gram token shingles",
+      es => ShingleHashes(es.head, 3)),
+    fn("minhash_sig", "k-minima minhash signature of hashed shingles",
+      es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])))
 }

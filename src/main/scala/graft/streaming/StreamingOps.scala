@@ -213,6 +213,35 @@ object StreamingOps extends QueryModule {
         SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events
         GROUP BY user_id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    Q(
+      "q75_stream_static_join",
+      "Stream-static join: the event stream enriched against a static " +
+        "(broadcastable) weight dimension, then aggregated — the standard " +
+        "streaming-enrichment shape (the static side is re-planned per " +
+        "micro-batch, so dimension updates are picked up).",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(
+          ("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+          ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+        val joined = eventsStream(s, dir)
+          .join(broadcast(weights), Seq("event_type"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value" * $"weight"), 2).as("weighted_value"))
+        runToMemory(s, joined, "graft_mem_enrich", "complete")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               round(sum(value * weight), 2) AS weighted_value
+        FROM events
+        JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                     ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
+          USING (event_type)
+        GROUP BY event_type
+        ORDER BY event_type"""))
   )
 }

@@ -82,6 +82,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.nonEmpty && lsh.size <= brute.size * 2)
   }
 
+  test("native expressions are callable from SQL (injectFunction)") {
+    import spark.implicits._
+    Seq(("hello world", Seq(0.5f, 0.5f))).toDF("t", "v").createOrReplaceTempView("sqlfn_probe")
+    val r = spark.sql("""
+      SELECT rolling_hash(t) AS rh, sim_hash(t) AS sh,
+             float_vec_dot(v, v) AS dot,
+             size(shingle_hashes('a b c d')) AS n_shingles,
+             size(minhash_sig(shingle_hashes('a b c d'), 8)) AS k
+      FROM sqlfn_probe""").collect()(0)
+    assert(r.getLong(0) === rh("hello world"))
+    assert(r.getLong(1) === sh("hello world"))
+    assert(r.getDouble(2) === 0.5)
+    assert(r.getInt(3) === 2)
+    assert(r.getInt(4) === 8)
+  }
+
   test("embedding neardup pairs are symmetric-free and thresholded") {
     val rows = SparkEntry.queries("q65_embedding_neardup")(spark, sfDir).collect()
     rows.foreach { r =>
