@@ -174,6 +174,85 @@ object TextAnalysis extends QueryModule {
         ORDER BY doc_id""")),
 
     Q(
+      "q57_tfidf",
+      "TF-IDF: token frequencies per doc × inverse document frequency " +
+        "(two aggregations over the exploded token index), then the top " +
+        "characteristic token per document. Ranking uses the 6-dp-rounded " +
+        "score + token tiebreak so it is engine-independent.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val nDocs = docs.count().toDouble
+        val tok = docs.select($"doc_id", explode(split(trim($"text"), " ")).as("token"))
+        val tf = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+        val df = tok.select($"doc_id", $"token").distinct()
+          .groupBy($"token").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+        tf.join(df, Seq("token"))
+          .withColumn("tfidf",
+            round($"tf" * log((lit(nDocs) + 1.0) / ($"df" + 1.0)), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"token".as("top_token"), $"tfidf")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, token,
+                 round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+        SELECT doc_id, token AS top_token, tfidf FROM ranked WHERE rn = 1
+        ORDER BY doc_id""")),
+
+    Q(
+      "q58_text_normalize",
+      "Normalization pipeline stage: lowercase → strip non-alphanumerics " +
+        "→ squish whitespace → drop stopwords → re-join; emits before/" +
+        "after token counts — the cleaning pass ahead of dedup/training.",
+      (s, dir) => {
+        import s.implicits._
+        val stop = typedLit(stopwords.head._2)
+        Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            split(trim(regexp_replace(regexp_replace(lower($"text"),
+              "[^a-z0-9 ]", " "), " +", " ")), " ").as("t"))
+          .select($"doc_id",
+            size($"t").as("n_before"),
+            filter($"t", x => !array_contains(stop, x)).as("kept"))
+          .select($"doc_id", $"n_before",
+            size($"kept").as("n_after"),
+            array_join($"kept", " ").as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+          FROM documents),
+        k AS (
+          SELECT doc_id, len(t) AS n_before,
+                 list_filter(t, x -> NOT list_contains(${stopwords.head._2
+                   .map(w => s"'$w'").mkString("[", ", ", "]")}, x)) AS kept
+          FROM t)
+        SELECT doc_id, CAST(n_before AS INTEGER) AS n_before,
+               CAST(len(kept) AS INTEGER) AS n_after,
+               array_to_string(kept, ' ') AS clean_text
+        FROM k
+        ORDER BY doc_id""")),
+
+    Q(
       "q54_fingerprint",
       "Document fingerprinting via two native Catalyst expressions " +
         "(graft.catalyst.RollingHash / SimHash, both with doGenCode): " +
