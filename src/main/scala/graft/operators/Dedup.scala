@@ -191,6 +191,34 @@ object Dedup extends QueryModule {
       None),
 
     Q(
+      "q59_source_similarity",
+      "Group-level near-dup: one 64-component MinHash signature PER SOURCE " +
+        "via the native TypedImperativeAggregate (MinHashSetAgg — O(k) " +
+        "mergeable state per group, order-independent), then pairwise " +
+        "estimated Jaccard between sources = fraction of equal components. " +
+        "Rows-only check (sketch values aren't SQL-expressible); " +
+        "ExtensionSpec asserts the estimate tracks exact source-level " +
+        "Jaccard and is partitioning-invariant.",
+      (s, dir) => {
+        import graft.catalyst.MinHashSetAgg.minhash_set_agg
+        import s.implicits._
+        val k = 64
+        val sigs = Tables.t(s, dir, "documents")
+          .select($"source", shingles(trim($"text")).as("sh"))
+          .groupBy($"source")
+          .agg(minhash_set_agg($"sh", k).as("sig"))
+        val a = sigs.select($"source".as("s1"), $"sig".as("sig1"))
+        val b = sigs.select($"source".as("s2"), $"sig".as("sig2"))
+        a.crossJoin(b).filter($"s1" < $"s2")
+          .withColumn("est_jaccard",
+            round(size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y),
+              b => b)).cast("double") / k, 4))
+          .select($"s1", $"s2", $"est_jaccard")
+          .orderBy($"s1", $"s2")
+      },
+      None),
+
+    Q(
       "q65_embedding_neardup",
       "Embedding-cosine near-dup pairs (cos >= 0.45) — exact pairwise via " +
         "a self cross-join on the (small) embedding table; documented " +

@@ -98,6 +98,30 @@ class ExtensionSpec extends AnyFunSuite {
     assert(r.getInt(4) === 8)
   }
 
+  test("source-level minhash sketch tracks exact jaccard, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val est = SparkEntry.queries("q59_source_similarity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact source-level shingle-set jaccard, computed independently
+    val sets = graft.operators.Dedup.docShingles(spark, sfDir)
+      .join(Tables.t(spark, sfDir, "documents").select($"doc_id", $"source"), "doc_id")
+      .select($"source", explode($"sh").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (src, rows) => src -> rows.map(_.getLong(1)).toSet }
+    est.foreach { case ((s1, s2), e) =>
+      val exact = {
+        val (a, b) = (sets(s1), sets(s2))
+        (a & b).size.toDouble / (a | b).size
+      }
+      assert(math.abs(e - exact) <= 0.25, s"($s1,$s2): est $e vs exact $exact")
+    }
+    // order/partitioning invariance: same result from repartitioned input
+    val again = SparkEntry.queries("q59_source_similarity")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(again === est)
+  }
+
   test("embedding neardup pairs are symmetric-free and thresholded") {
     val rows = SparkEntry.queries("q65_embedding_neardup")(spark, sfDir).collect()
     rows.foreach { r =>
