@@ -9,10 +9,17 @@ object Bench {
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-call classloading.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.allQueries.map { q =>
+    // Two timed runs per query, report the minimum: run 1 pays one-off
+    // driver costs (file listing, codegen compile); the min reflects
+    // steady-state engine throughput.
+    def once(q: Q): Double = {
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val results = SparkEntry.allQueries.map { q =>
+      val (a, b) = (once(q), once(q))
+      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
