@@ -18,6 +18,28 @@ final case class PoolConfig(
     if (connMaxLifetimeSec <= 0) 3600 else connMaxLifetimeSec)
 }
 
+/** tls: section (config.go:34-44 / db_manager.go:60-113): pure
+  * pass-through to JDBC/driver properties — channel config, not engine
+  * logic (SURVEY §2A A13). */
+final case class TlsConfig(
+    enabled: Boolean = false,
+    caCertPath: String = "",
+    clientCertPath: String = "",
+    clientKeyPath: String = "",
+    minVersion: String = "TLSv1.2") {
+
+  /** MySQL Connector/J-style SSL properties for the JDBC sink. */
+  def toJdbcProps: Map[String, String] =
+    if (!enabled) Map("useSSL" -> "false")
+    else Map(
+      "useSSL" -> "true",
+      "requireSSL" -> "true",
+      "tlsVersions" -> minVersion) ++
+      (if (caCertPath.nonEmpty) Map("serverSslCert" -> caCertPath) else Map.empty) ++
+      (if (clientCertPath.nonEmpty) Map("clientSslCert" -> clientCertPath) else Map.empty) ++
+      (if (clientKeyPath.nonEmpty) Map("clientSslKey" -> clientKeyPath) else Map.empty)
+}
+
 /** databases: section (config.go:14-21 / config.yaml:10-16). */
 final case class DatabasesConfig(
     prefix: String = "auto_",
@@ -35,6 +57,7 @@ final case class IngestConfig(
     plugin: PluginSpec = PluginSpec(),
     databases: DatabasesConfig = DatabasesConfig(),
     pool: PoolConfig = PoolConfig(),
+    tls: TlsConfig = TlsConfig(),
     /** Bounded run (main.go:49-52 hard-codes 60s); <=0 means run forever. */
     runForSec: Int = 60,
     /** Fetch-error backoff (main.go:113-115 hard-codes 5s). */
@@ -111,6 +134,12 @@ object IngestConfig {
         maxOpenConns = i("connection_pool.max_open_conns", 25),
         maxIdleConns = i("connection_pool.max_idle_conns", 25),
         connMaxLifetimeSec = i("connection_pool.conn_max_lifetime", 3600)).withDefaults,
+      tls = TlsConfig(
+        enabled = kv.get("tls.enabled").exists(_.toBoolean),
+        caCertPath = s("tls.ca_cert", ""),
+        clientCertPath = s("tls.client_cert", ""),
+        clientKeyPath = s("tls.client_key", ""),
+        minVersion = s("tls.min_version", "TLSv1.2")),
       runForSec = i("run_for", 60),
       backoffSec = i("backoff", 5))
   }
