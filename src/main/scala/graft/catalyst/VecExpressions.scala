@@ -91,20 +91,35 @@ object VecOps {
     new GenericArrayData(out)
   }
 
-  /** |A∩B| / |A∪B| for distinct-element long arrays, one pass. */
+  /** |A∩B| / |A∪B| for long arrays, set semantics identical to the
+    * composed size(array_intersect)/size(array_union) form: duplicates
+    * are deduped and a null element counts as one distinct member on each
+    * side (array_intersect/array_union treat null = null). Both-empty
+    * returns 0.0 (the composed ANSI form would raise DIVIDE_BY_ZERO —
+    * documented deviation, unreachable from shingle pipelines). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
-    val (small, large) =
-      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
-    val ns = small.numElements()
-    val nl = large.numElements()
-    if (ns == 0 && nl == 0) return 0.0
-    val set = new java.util.HashSet[java.lang.Long](ns * 2)
+    val setA = new java.util.HashSet[java.lang.Long](a.numElements() * 2)
+    var aNull = false
     var i = 0
-    while (i < ns) { set.add(small.getLong(i)); i += 1 }
-    var common = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) aNull = true else setA.add(a.getLong(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[java.lang.Long](b.numElements() * 2)
+    var bNull = false
     i = 0
-    while (i < nl) { if (set.contains(large.getLong(i))) common += 1; i += 1 }
-    common.toDouble / (ns + nl - common)
+    while (i < b.numElements()) {
+      if (b.isNullAt(i)) bNull = true else setB.add(b.getLong(i))
+      i += 1
+    }
+    var common = 0
+    val it = setB.iterator()
+    while (it.hasNext) { if (setA.contains(it.next())) common += 1; }
+    if (aNull && bNull) common += 1
+    val na = setA.size + (if (aNull) 1 else 0)
+    val nb = setB.size + (if (bNull) 1 else 0)
+    val union = na + nb - common
+    if (union == 0) 0.0 else common.toDouble / union
   }
 
   def vec_dot(a: Column, b: Column): Column =

@@ -82,22 +82,42 @@ final case class AsOfJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTimeEval.eval(lRow).asInstanceOf[Long]
-        // advance the right pointer while it is behind (key, time)-wise
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rKey = rKeyProj(rRow)
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) { rBuf.next(); advancing = true }
-          else if (c == 0 && rTimeEval.eval(rRow).asInstanceOf[Long] <= lTime) {
-            matchKey = rKey.copy()
-            matchRow = rRow.copy()
-            rBuf.next()
-          } else advancing = false
+        val lTimeRaw = lTimeEval.eval(lRow)
+        // null left time matches nothing (p_ts <= NULL is false in the
+        // composed/SQL forms)
+        if (lTimeRaw == null) {
+          // still drain right rows behind this key so the pointer stays
+          // monotone for subsequent left rows
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            if (keyOrd.compare(rKeyProj(rBuf.head), lKey) < 0) rBuf.next()
+            else advancing = false
+          }
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lTime = lTimeRaw.asInstanceOf[Long]
+          // advance the right pointer while it is behind (key, time)-wise
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rKeyProj(rRow)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) { rBuf.next(); advancing = true }
+            else if (c == 0) {
+              val rTimeRaw = rTimeEval.eval(rRow)
+              // null right times never match (sorted first by the
+              // required ordering) — consume without recording
+              if (rTimeRaw == null) { rBuf.next() }
+              else if (rTimeRaw.asInstanceOf[Long] <= lTime) {
+                matchKey = rKey.copy()
+                matchRow = rRow.copy()
+                rBuf.next()
+              } else advancing = false
+            } else advancing = false
+          }
+          val hit = matchRow != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0
+          resultProj(joined(lRow, if (hit) matchRow else nullRight))
         }
-        val hit = matchRow != null && matchKey != null && keyOrd.compare(matchKey, lKey) == 0
-        resultProj(joined(lRow, if (hit) matchRow else nullRight))
       }
     }
   }
@@ -115,12 +135,37 @@ object AsOfJoin {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       onLeft: String, onRight: String,
       leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = leftDf.sparkSession
     ensureRegistered(spark)
+    val leftPlan = Bridge.plan(leftDf)
+    var rightPlan = Bridge.plan(rightDf)
+    var rightKey = Bridge.expression(rightDf(onRight))
+    var rightTime = Bridge.expression(rightDf(rightTimeCol))
+    // Self-join safety: if any right attribute shares an exprId with the
+    // left side (e.g. both sides derive from one DataFrame), re-alias the
+    // whole right output with fresh exprIds — otherwise the concatenated
+    // output contains duplicate ids and downstream binding silently
+    // resolves right columns to left ordinals (Dataset.join does the same
+    // dedup in its analysis; a custom plan must do it itself).
+    val leftIds = leftPlan.outputSet
+    if (rightPlan.output.exists(leftIds.contains)) {
+      val aliases = rightPlan.output.map(a => Alias(a, a.name)())
+      val remap = rightPlan.output.zip(aliases.map(_.toAttribute))
+        .map { case (old, fresh) => old.exprId -> fresh }.toMap
+      rightPlan = Project(aliases, rightPlan)
+      rightKey = rightKey.transform {
+        case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
+      }
+      rightTime = rightTime.transform {
+        case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
+      }
+    }
     val plan = AsOfJoinPlan(
-      Bridge.plan(leftDf), Bridge.plan(rightDf),
-      Seq(Bridge.expression(leftDf(onLeft))), Seq(Bridge.expression(rightDf(onRight))),
-      Bridge.expression(leftDf(leftTimeCol)), Bridge.expression(rightDf(rightTimeCol)))
+      leftPlan, rightPlan,
+      Seq(Bridge.expression(leftDf(onLeft))), Seq(rightKey),
+      Bridge.expression(leftDf(leftTimeCol)), rightTime)
     Bridge.ofRows(spark, plan)
   }
 

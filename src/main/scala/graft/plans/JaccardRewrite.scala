@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Registered through GraftExtensions.injectOptimizerRule, so user code
   * keeps writing the idiomatic built-in form and still gets the kernel.
   *
-  * Semantics note: for two empty arrays the kernel returns 0.0 where ANSI
-  * Divide would raise DIVIDE_BY_ZERO; inputs here come from shingle_hashes,
-  * which always emits at least one element, so the case is unreachable in
-  * the rewritten pipelines.
+  * The kernel implements the exact set semantics of the composed form
+  * (duplicates deduped, null elements compare equal like
+  * array_intersect/array_union), so the rewrite is safe for arbitrary
+  * user arrays. Sole deviation: two empty arrays yield 0.0 where the
+  * ANSI Divide would raise DIVIDE_BY_ZERO.
   */
 object JaccardRewrite extends Rule[LogicalPlan] {
 

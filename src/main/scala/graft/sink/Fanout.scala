@@ -92,13 +92,14 @@ object Fanout {
     * warn-and-continue per target (the reference's error policy,
     * main.go:198-203).
     *
-    * @return number of targets written successfully */
+    * @return (targets written successfully, rows in the batch) — the row
+    *         count rides along so callers don't re-execute the plan */
   def writeBatch(df: DataFrame, targets: Seq[(String, String)],
-      sink: AppendSink): Int = {
+      sink: AppendSink): (Int, Long) = {
     val cached = df.persist()
     try {
-      cached.count() // materialize once before the per-target writes
-      targets.count { case (db, table) =>
+      val rows = cached.count() // materialize once before the per-target writes
+      val ok = targets.count { case (db, table) =>
         try { sink.append(cached, db, table); true }
         catch {
           case e: Exception =>
@@ -106,6 +107,7 @@ object Fanout {
             false
         }
       }
+      (ok, rows)
     } finally { cached.unpersist(); () }
   }
 }

@@ -74,7 +74,14 @@ final class OpenSkyMicroBatchStream(statesPerTick: Int) extends MicroBatchStream
     available += 1 // a new snapshot is available every trigger
     TickOffset(available)
   }
-  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val tick = json.toLong
+    // Restart recovery: a restored offset means ticks up to `tick` were
+    // already produced — fast-forward the availability counter so the
+    // query resumes immediately instead of idling for `tick` triggers.
+    if (tick > available) available = tick
+    TickOffset(tick)
+  }
   override def commit(end: Offset): Unit =
     committed = end.asInstanceOf[TickOffset].tick
 

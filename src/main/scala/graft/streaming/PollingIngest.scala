@@ -73,9 +73,9 @@ object PollingIngest {
         val raw = source.fetch()
         val batch: Dataset[FlightState] =
           OpenSky.parseJson(spark, Seq(raw))
-        val written = Fanout.writeBatch(batch.toDF(), targets, sink)
+        val (written, rows) = Fanout.writeBatch(batch.toDF(), targets, sink)
         handle.ticks += 1
-        handle.rowsIngested += batch.count()
+        handle.rowsIngested += rows
         log.info(s"tick ${handle.ticks}: fanned out to $written/${targets.size} targets")
         if (!(maxTicks > 0 && handle.ticks >= maxTicks))
           sleepFn(cfg.plugin.intervalSec * 1000L)

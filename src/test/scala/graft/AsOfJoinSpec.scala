@@ -55,6 +55,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native === composed)
   }
 
+  test("null timestamps never match (either side)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00")), "l1"),
+      (1L, None: Option[Timestamp], "l2")
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, None: Option[Timestamp], 99.0), // null right ts: never a match
+      (1L, Some(ts("2024-01-01 09:00:00")), 1.0)
+    ).toDF("k2", "t2", "v")
+    val out = AsOfJoin.asofJoin(left, right, "k", "k2", "t", "t2")
+      .select($"lid", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map("l1" -> Some(1.0), "l2" -> None))
+  }
+
+  test("self as-of-join from one DataFrame resolves sides independently") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "early"),
+      (1L, ts("2024-01-01 11:00:00"), "late")
+    ).toDF("k", "t", "tag")
+    val out = AsOfJoin.asofJoin(base, base, "k", "k", "t", "t")
+    // four output columns from each side, distinct values
+    val rows = out.collect().map(r => (r.getString(2), r.getString(5))).toSet
+    // each left row's as-of match is itself (t <= t, latest)
+    assert(rows === Set(("early", "early"), ("late", "late")))
+  }
+
   test("survives empty right side") {
     import spark.implicits._
     val a = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")

@@ -88,8 +88,9 @@ class IngestSpec extends AnyFunSuite {
       }
     }
     val df = OpenSky.parseJson(spark, Seq(OpenSky.sampleResponse(10))).toDF()
-    val ok = Fanout.writeBatch(df, Seq(("good", "t1"), ("bad", "t1"), ("good", "t2")), flaky)
+    val (ok, rows) = Fanout.writeBatch(df, Seq(("good", "t1"), ("bad", "t1"), ("good", "t2")), flaky)
     assert(ok === 2)
+    assert(rows === 10)
     assert(spark.read.parquet(s"$root/good/t1").count() === 10)
   }
 

@@ -29,6 +29,18 @@ class JaccardRewriteSpec extends AnyFunSuite {
     assert(got(1) === 0.0)
   }
 
+  test("kernel matches composed set semantics on duplicates and nulls") {
+    import graft.catalyst.VecOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Any*) = new GenericArrayData(xs.toArray)
+    // duplicates dedup like array_intersect/array_union
+    assert(VecOps.jaccard(arr(1L, 1L), arr(1L)) === 1.0)
+    assert(VecOps.jaccard(arr(1L, 1L, 2L), arr(1L)) === 0.5)
+    // null elements compare equal (one distinct member per side)
+    assert(VecOps.jaccard(arr(null, 1L), arr(null)) === 0.5)
+    assert(VecOps.jaccard(arr(), arr()) === 0.0)
+  }
+
   test("rule does not fire across different array pairs or non-long arrays") {
     import spark.implicits._
     val strings = Seq((Seq("x"), Seq("x"))).toDF("a", "b")
