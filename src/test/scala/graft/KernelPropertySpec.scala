@@ -1,0 +1,109 @@
+package graft
+
+import graft.catalyst.{TextHash, VecOps}
+import graft.functions.{TopHit, TopKCosine}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks of the native kernels against independent
+  * reference implementations (SURVEY §5: the reference repo has no
+  * property tests — part of the richer test strategy). Uses seeded
+  * ScalaCheck generators directly (no scalatestplus bridge offline), so
+  * every run exercises the same 200 deterministic samples per property.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val token: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] =
+    Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" ")))
+
+  test("rollingHash equals BigInt reference on arbitrary strings") {
+    val M = BigInt((1L << 61) - 1)
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) => (h * 263 + (b & 0xff)) mod M).toLong
+    forAll(Gen.asciiPrintableStr) { s =>
+      assert(TextHash.rollingHash(UTF8String.fromString(s)) === ref(s))
+    }
+  }
+
+  test("jaccard kernel equals Set-based reference (dups, any overlap)") {
+    val arrGen = Gen.listOf(Gen.choose(0L, 30L))
+    forAll(arrGen, arrGen) { (a, b) =>
+      val got = VecOps.jaccard(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else (sa & sb).size.toDouble / (sa | sb).size
+      assert(got === expected)
+    }
+  }
+
+  test("shingleHashes: count equals distinct string-shingle count") {
+    forAll(text) { t =>
+      val toks = t.trim.split(" ").filter(_.nonEmpty).toSeq
+      val expected =
+        if (t.trim.isEmpty) 1 // whole-(empty-)text fallback shingle
+        else if (toks.length < 3) 1
+        else toks.sliding(3).map(_.mkString("_")).toSet.size
+      val got = VecOps.shingleHashes(UTF8String.fromString(t.trim), 3).numElements()
+      assert(got === expected, s"text='$t'")
+    }
+  }
+
+  test("simHash is permutation-invariant over tokens") {
+    forAll(Gen.listOf(token).suchThat(_.nonEmpty)) { toks =>
+      val a = TextHash.simHash(UTF8String.fromString(toks.mkString(" ")))
+      val b = TextHash.simHash(UTF8String.fromString(scala.util.Random.shuffle(toks).mkString(" ")))
+      assert(a === b)
+    }
+  }
+
+  test("minhash signature component-match estimates jaccard within bound") {
+    val setGen = Gen.nonEmptyListOf(Gen.choose(0L, 2000L)).map(_.distinct)
+    forAll(setGen, setGen) { (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val k = 128
+        val sa = VecOps.minhash(new GenericArrayData(a.toArray), k)
+        val sb = VecOps.minhash(new GenericArrayData(b.toArray), k)
+        val matches = (0 until k).count(i => sa.getLong(i) == sb.getLong(i))
+        val est = matches.toDouble / k
+        val exact = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+        // stderr = sqrt(j(1-j)/k) <= 0.0442; allow 5 sigma
+        assert(math.abs(est - exact) <= 0.23, s"est $est exact $exact")
+      }
+    }
+  }
+
+  test("TopKCosine reduce/merge equals sort-take-k under any split") {
+    val hitGen = for {
+      id <- Gen.choose(0L, 50L)
+      c <- Gen.choose(-1000, 1000).map(_ / 1000.0)
+    } yield TopHit(id, c)
+    forAll(Gen.listOf(hitGen), Gen.choose(0, 10)) { (hits: List[TopHit], splitAt: Int) =>
+      val agg = new TopKCosine(5)
+      val ref = hits.sortWith((x, y) =>
+        x.cos > y.cos || (x.cos == y.cos && x.vec_id < y.vec_id)).take(5)
+      val (h1, h2) = hits.splitAt(math.min(splitAt, hits.length))
+      val b1 = h1.foldLeft(agg.zero)(agg.reduce)
+      val b2 = h2.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(b1, b2)) === ref)
+    }
+  }
+}
