@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *  - Exact/hash dedup is one shuffle on the (64-char) content hash, never
   *    on the document body — at 100 TB you shuffle 5000× less data.
   *  - Jaccard candidates come from a shingle inverted index (explode +
-  *    self-equi-join on the shingle), NOT an O(n²) cross join; hot shingles
-  *    are the skew risk → AQE skew-join handles it, and a df-cap filter is
-  *    the documented knob.
+  *    self-equi-join on the shingle), NOT an O(n²) cross join. Its cost is
+  *    sum(df²) over shingles, so a dense shingle distribution degenerates
+  *    quadratically — measured at 10x bench scale (graft.tools.Stress,
+  *    51k docs / 30-word vocab): exact 67s vs MinHash+LSH 2.2s for the
+  *    SAME result. q62 is the exact ground-truth baseline; q63 is the
+  *    production path at scale.
   *  - MinHash+LSH reduces the candidate join to band-signature equality —
   *    the standard sub-quadratic near-dup path. Shingle + signature
   *    kernels are native codegen'd expressions (graft.catalyst.VecOps),

@@ -242,6 +242,40 @@ object StreamingOps extends QueryModule {
                      ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)
           USING (event_type)
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    Q(
+      "q76_stream_stream_join",
+      "Stream-stream inner join with event-time range condition: each " +
+        "purchase joined to the same user's clicks in the preceding hour. " +
+        "Watermarks on BOTH sides + the time-range predicate bound the " +
+        "join state (the requirement that makes stream-stream joins " +
+        "feasible at all); oracle = the equivalent batch range join.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        val out = runToMemory(s, joined.select($"p_id", $"c_id"),
+          "graft_mem_ssjoin", "append")
+        out.groupBy().agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"p_id").as("n_purchases_with_click"))
+      },
+      Some("""
+        SELECT count(*) AS n_pairs,
+               count(DISTINCT p.event_id) AS n_purchases_with_click
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR"""))
   )
 }
