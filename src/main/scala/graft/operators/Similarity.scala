@@ -130,6 +130,41 @@ object Similarity extends QueryModule {
         ORDER BY probe_id, rank""")),
 
     Q(
+      "q68_embedding_neardup_lsh",
+      "LSH-bucketed embedding near-dup pairs — the scale path for q65's " +
+        "exact cross-join: candidates only from pairs sharing one of L=8 " +
+        "independent 4-bit hyperplane signatures (expected candidate rate " +
+        "~L/2^b of the quadratic), exact cosine confirms >= 0.45. " +
+        "Rows-only check (bucketing is hash-defined); ExtensionSpec " +
+        "measures recall vs the exact q65 pairs and candidate reduction.",
+      (s, dir) => {
+        import s.implicits._
+        val bandBits = 4; val nTables = 8
+        val planes = hyperplanes(bandBits * nTables, seed = 7L)
+        val e = Tables.t(s, dir, "embeddings")
+          .withColumn("sig", lshSignature($"embedding", planes))
+          .withColumn("norm", sqrt(graft.catalyst.VecOps.vec_dot($"embedding", $"embedding")))
+        val banded = e.select(
+          $"vec_id", $"embedding", $"norm",
+          posexplode(expr(
+            s"transform(sequence(0, ${nTables - 1}), t -> (sig >> (t * $bandBits)) & ${(1 << bandBits) - 1})"))
+            .as(Seq("table_idx", "band_key")))
+        val a = banded.select($"vec_id".as("v1"), $"embedding".as("e1"),
+          $"norm".as("nm1"), $"table_idx", $"band_key")
+        val b = banded.select($"vec_id".as("v2"), $"embedding".as("e2"),
+          $"norm".as("nm2"), $"table_idx", $"band_key")
+        a.join(b, Seq("table_idx", "band_key"))
+          .filter($"v1" < $"v2")
+          .select($"v1", $"v2", $"e1", $"e2", $"nm1", $"nm2").distinct()
+          .withColumn("cos",
+            graft.catalyst.VecOps.vec_dot($"e1", $"e2") / ($"nm1" * $"nm2"))
+          .filter($"cos" >= 0.45)
+          .select($"v1", $"v2", round($"cos", 4).as("cos"))
+          .orderBy($"v1", $"v2")
+      },
+      None),
+
+    Q(
       "q67_knn_lsh",
       "LSH-bucketed ANN: 8-bit random-hyperplane signatures bucket the " +
         "corpus; each probe scans its bucket plus all <=2-bit flips " +

@@ -122,6 +122,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(again === est)
   }
 
+  test("LSH embedding neardup: recall + reduction vs exact pairs") {
+    val exact = SparkEntry.queries("q65_embedding_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q68_embedding_neardup_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must be a subset (exact confirm)")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect lsh).size.toDouble / exact.size
+      // threshold-0.45 pairs on uniform random vectors are barely above
+      // ambient similarity — LSH's hard case; assert well above chance
+      assert(recall >= 0.3, s"recall $recall")
+    }
+  }
+
   test("embedding neardup pairs are symmetric-free and thresholded") {
     val rows = SparkEntry.queries("q65_embedding_neardup")(spark, sfDir).collect()
     rows.foreach { r =>
