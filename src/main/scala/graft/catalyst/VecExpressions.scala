@@ -119,7 +119,9 @@ object VecOps {
     val na = setA.size + (if (aNull) 1 else 0)
     val nb = setB.size + (if (bNull) 1 else 0)
     val union = na + nb - common
-    if (union == 0) 0.0 else common.toDouble / union
+    // NaN signals 0/0 to JaccardSim, which surfaces it as SQL NULL (the
+    // non-ANSI composed form's result for two empty arrays)
+    if (union == 0) Double.NaN else common.toDouble / union
   }
 
   def vec_dot(a: Column, b: Column): Column =
@@ -138,10 +140,15 @@ object VecOps {
   * JaccardRewrite optimizer rule. */
 case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r.isNaN) null else r // 0/0 (both arrays empty) → NULL
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.VecOps.jaccard($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.catalyst.VecOps.jaccard($a, $b);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
     copy(l, r)
   override def prettyName: String = "jaccard_sim"

@@ -66,16 +66,16 @@ final case class IngestConfig(
   require(plugin.intervalSec > 0, "interval must be positive")
 
   /** Fan-out targets: (database, table) list — exact expansion semantics of
-    * db_manager.go:115-139: `prefix{1..copies}` each with one `<tp>` table,
-    * plus `prefix_<name>` with `<tp>_j{1..n}`... the reference names all
-    * extra tables `<tp>_j` via its loop (db_manager.go:133-137) which would
-    * collide; we implement the evident intent with a numeric suffix.
+    * db_manager.go:115-139: `prefix{i}` (i=1..copies) each with one `<tp>`
+    * table (db_manager.go:120-126), plus `prefix_<name>` holding
+    * `<tp>_{j}` for j=1..tables (db_manager.go:129-137:
+    * `fmt.Sprintf("%s_%d", tablePrefix, j)`).
     */
   def targets(tablePrefix: String): Seq[(String, String)] = {
     val copies = (1 to databases.copies)
       .map(i => (s"${databases.prefix}$i", tablePrefix))
     val extras = databases.extra.toSeq.sortBy(_._1).flatMap { case (name, n) =>
-      (1 to n).map(j => (s"${databases.prefix}_$name", s"${tablePrefix}_j$j"))
+      (1 to n).map(j => (s"${databases.prefix}_$name", s"${tablePrefix}_$j"))
     }
     copies ++ extras
   }
@@ -114,6 +114,13 @@ object IngestConfig {
 
     def i(path: String, dflt: Int): Int = kv.get(path).map(_.toInt).getOrElse(dflt)
     def s(path: String, dflt: String): String = kv.getOrElse(path, dflt)
+    // The reference nests connection_pool/tls_config under `mysql:`
+    // (config.go:23-31); accept that canonical location first, with the
+    // flat form as a convenience fallback.
+    def i2(nested: String, flat: String, dflt: Int): Int =
+      kv.get(nested).orElse(kv.get(flat)).map(_.toInt).getOrElse(dflt)
+    def s2(nested: String, flat: String, dflt: String): String =
+      kv.get(nested).orElse(kv.get(flat)).getOrElse(dflt)
 
     val extra = kv.collect {
       case (p, v) if p.startsWith("databases.extra.") && p.endsWith(".tables") =>
@@ -131,15 +138,19 @@ object IngestConfig {
         extra = extra,
         writeWorkers = i("databases.write_workers", 5)),
       pool = PoolConfig(
-        maxOpenConns = i("connection_pool.max_open_conns", 25),
-        maxIdleConns = i("connection_pool.max_idle_conns", 25),
-        connMaxLifetimeSec = i("connection_pool.conn_max_lifetime", 3600)).withDefaults,
+        maxOpenConns = i2("mysql.connection_pool.max_open_conns",
+          "connection_pool.max_open_conns", 25),
+        maxIdleConns = i2("mysql.connection_pool.max_idle_conns",
+          "connection_pool.max_idle_conns", 25),
+        connMaxLifetimeSec = i2("mysql.connection_pool.conn_max_lifetime",
+          "connection_pool.conn_max_lifetime", 3600)).withDefaults,
       tls = TlsConfig(
-        enabled = kv.get("tls.enabled").exists(_.toBoolean),
-        caCertPath = s("tls.ca_cert", ""),
-        clientCertPath = s("tls.client_cert", ""),
-        clientKeyPath = s("tls.client_key", ""),
-        minVersion = s("tls.min_version", "TLSv1.2")),
+        enabled = kv.get("mysql.tls_config.enabled").orElse(kv.get("tls.enabled"))
+          .exists(_.toBoolean),
+        caCertPath = s2("mysql.tls_config.ca_file", "tls.ca_cert", ""),
+        clientCertPath = s2("mysql.tls_config.cert_file", "tls.client_cert", ""),
+        clientKeyPath = s2("mysql.tls_config.key_file", "tls.client_key", ""),
+        minVersion = s2("mysql.tls_config.min_version", "tls.min_version", "TLSv1.2")),
       runForSec = i("run_for", 60),
       backoffSec = i("backoff", 5))
   }

@@ -271,7 +271,8 @@ object Joins extends QueryModule {
           .select($"user_id".as("p_user"), $"event_id".as("p_id"),
             $"ts".as("p_ts"), $"value".as("p_value"))
         graft.plans.AsOfJoin
-          .asofJoin(errors, purchases, "user_id", "p_user", "err_ts", "p_ts")
+          .asofJoin(errors, purchases, "user_id", "p_user", "err_ts", "p_ts",
+            rightTiebreakCol = Some("p_id"))
           .select($"user_id", $"err_id", $"p_id", round($"p_value", 2).as("p_value"))
           .orderBy($"err_id")
       },

@@ -28,7 +28,8 @@ import org.apache.spark.sql.graft.{ColumnBridgeImpl => Bridge}
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
@@ -37,8 +38,8 @@ final case class AsOfJoinPlan(
 
 object AsOfStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }
@@ -46,18 +47,23 @@ object AsOfStrategy extends Strategy {
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Option[Expression] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   // Catalyst inserts the shuffles/sorts (or reuses existing ones — e.g.
-  // bucketed layouts) to satisfy these:
+  // bucketed layouts) to satisfy these. The optional tiebreak joins the
+  // right ordering so "last consumed wins" is deterministic among
+  // equal-(key, time) right rows (= max tiebreak, matching the composed
+  // q18 form's p_id desc pick).
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +: rightTiebreak.map(SortOrder(_, Ascending)).toSeq))
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
@@ -83,9 +89,12 @@ final case class AsOfJoinExec(
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeRaw = lTimeEval.eval(lRow)
-        // null left time matches nothing (p_ts <= NULL is false in the
-        // composed/SQL forms)
-        if (lTimeRaw == null) {
+        // SQL equi-join semantics: NULL keys never match (NULL = NULL is
+        // not true) — same for a null left time (p_ts <= NULL is false).
+        // Null-keyed rows sort first, so skipping without advancing keeps
+        // the pointer monotone (null-keyed RIGHT rows are consumed later
+        // by the c < 0 branch once left reaches non-null keys).
+        if (lKey.anyNull || lTimeRaw == null) {
           // still drain right rows behind this key so the pointer stays
           // monotone for subsequent left rows
           var advancing = true
@@ -134,7 +143,8 @@ object AsOfJoin {
     * left time, latest wins. Time columns must be timestamp/long-backed. */
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
       onLeft: String, onRight: String,
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      rightTiebreakCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = leftDf.sparkSession
@@ -143,6 +153,7 @@ object AsOfJoin {
     var rightPlan = Bridge.plan(rightDf)
     var rightKey = Bridge.expression(rightDf(onRight))
     var rightTime = Bridge.expression(rightDf(rightTimeCol))
+    var rightTb = rightTiebreakCol.map(c => Bridge.expression(rightDf(c)))
     // Self-join safety: if any right attribute shares an exprId with the
     // left side (e.g. both sides derive from one DataFrame), re-alias the
     // whole right output with fresh exprIds — otherwise the concatenated
@@ -161,11 +172,14 @@ object AsOfJoin {
       rightTime = rightTime.transform {
         case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
       }
+      rightTb = rightTb.map(_.transform {
+        case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
+      })
     }
     val plan = AsOfJoinPlan(
       leftPlan, rightPlan,
       Seq(Bridge.expression(leftDf(onLeft))), Seq(rightKey),
-      Bridge.expression(leftDf(leftTimeCol)), rightTime)
+      Bridge.expression(leftDf(leftTimeCol)), rightTime, rightTb)
     Bridge.ofRows(spark, plan)
   }
 
@@ -213,5 +227,15 @@ object GraftExtensions {
     fn("shingle_hashes", "distinct hashed 3-gram token shingles",
       es => ShingleHashes(es.head, 3)),
     fn("minhash_sig", "k-minima minhash signature of hashed shingles",
-      es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int])))
+      es => {
+        require(es.length == 2 && es(1).foldable,
+          "minhash_sig(arr, k): k must be an integer literal")
+        val k = es(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig(arr, k): k must be an integer literal, got $other")
+        }
+        MinHashSig(es(0), k)
+      }))
 }

@@ -22,9 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   *
   * The kernel implements the exact set semantics of the composed form
   * (duplicates deduped, null elements compare equal like
-  * array_intersect/array_union), so the rewrite is safe for arbitrary
-  * user arrays. Sole deviation: two empty arrays yield 0.0 where the
-  * ANSI Divide would raise DIVIDE_BY_ZERO.
+  * array_intersect/array_union, 0/0 → NULL like non-ANSI Divide). Sole
+  * remaining deviation: under ANSI mode two empty arrays yield NULL where
+  * the composed Divide would raise DIVIDE_BY_ZERO. The rule does not fire
+  * when spark.sql.legacy.sizeOfNull is set (size(NULL) = -1 changes the
+  * composed form's NULL-array behavior in ways the kernel does not model).
   */
 object JaccardRewrite extends Rule[LogicalPlan] {
 
@@ -39,14 +41,18 @@ object JaccardRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case d @ Divide(l, r, _) =>
-      (stripCast(l), stripCast(r)) match {
-        case (Size(ArrayIntersect(a1, b1), _), Size(ArrayUnion(a2, b2), _))
-            if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
-              isLongArray(a1) && isLongArray(b1) =>
-          JaccardSim(a1, b1)
-        case _ => d
-      }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case d @ Divide(l, r, _) =>
+        (stripCast(l), stripCast(r)) match {
+          // legacySizeOfNull = false only: under the legacy flag
+          // size(NULL) = -1 gives the composed form semantics the kernel
+          // does not model, so such plans are left untouched.
+          case (Size(ArrayIntersect(a1, b1), false), Size(ArrayUnion(a2, b2), false))
+              if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
+                isLongArray(a1) && isLongArray(b1) =>
+            JaccardSim(a1, b1)
+          case _ => d
+        }
+    }
 }

@@ -84,6 +84,35 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(rows === Set(("early", "early"), ("late", "late")))
   }
 
+  test("equal-(key,time) right rows break ties by the declared tiebreak (max)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "probe")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 7L),
+      (1L, ts("2024-01-01 09:30:00"), 3L),
+      (1L, ts("2024-01-01 09:30:00"), 9L)
+    ).toDF("k2", "t2", "rid")
+    val out = AsOfJoin.asofJoin(left, right, "k", "k2", "t", "t2",
+      rightTiebreakCol = Some("rid")).select($"rid").collect()
+    assert(out.length === 1 && out(0).getLong(0) === 9L)
+  }
+
+  test("null join keys never match (SQL equi semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), ts("2024-01-01 10:00:00"), "l1"),
+      (None: Option[Long], ts("2024-01-01 10:00:00"), "l2")
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (None: Option[Long], ts("2024-01-01 09:00:00"), 99.0),
+      (Some(1L), ts("2024-01-01 09:00:00"), 1.0)
+    ).toDF("k2", "t2", "v")
+    val out = AsOfJoin.asofJoin(left, right, "k", "k2", "t", "t2")
+      .select($"lid", $"v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out === Map("l1" -> Some(1.0), "l2" -> None))
+  }
+
   test("survives empty right side") {
     import spark.implicits._
     val a = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")

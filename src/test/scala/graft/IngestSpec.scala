@@ -45,7 +45,7 @@ class IngestSpec extends AnyFunSuite {
     val t = cfg.targets("flights")
     assert(t.size === 8) // BASELINE.md: default config = 8-table fan-out
     assert(t.take(3) === Seq(("auto_1", "flights"), ("auto_2", "flights"), ("auto_3", "flights")))
-    assert(t.drop(3).forall { case (db, tbl) => db == "auto__foo" && tbl.startsWith("flights_j") })
+    assert(t.drop(3) === (1 to 5).map(j => ("auto__foo", s"flights_$j")))
     assert(t.map(x => s"${x._1}.${x._2}").distinct.size === 8)
   }
 
