@@ -74,7 +74,13 @@ object VecOps {
     val m = tokenHashes.length
     val out =
       if (m < nGram) {
-        Array(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, n, 7L))
+        // degrade to ONE whole-document shingle over the token sequence
+        // (not the raw bytes — so whitespace runs don't affect identity,
+        // matching the SQL oracle's token-join semantics)
+        var h = 1234567891011L
+        var g = 0
+        while (g < m) { h = XXH64.hashLong(tokenHashes(g), h); g += 1 }
+        Array(h)
       } else {
         val seen = new java.util.HashSet[java.lang.Long](m * 2)
         val buf = new scala.collection.mutable.ArrayBuffer[Long](m)

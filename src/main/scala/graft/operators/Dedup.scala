@@ -36,11 +36,19 @@ object Dedup extends QueryModule {
     * intersection sizes) up to 2^-64 hash collisions. */
   def shingles(text: Column): Column = graft.catalyst.VecOps.shingle_hashes(text)
 
-  /** DuckDB rendering of [[shingles]] (1-based list comprehension). */
+  /** DuckDB rendering of [[shingles]] (1-based list comprehension).
+    * Tokenization matches the kernel: empty tokens (whitespace runs)
+    * dropped; the separator is chr(31) so tokens containing '_' can't
+    * collide with shingle joins; <3 tokens degrade to one whole-doc
+    * shingle over the token sequence. */
   val duckShingles: String =
     """list_distinct(CASE WHEN len(t) >= 3
-      |  THEN [t[i] || '_' || t[i+1] || '_' || t[i+2] for i in range(1, len(t) - 1)]
-      |  ELSE [array_to_string(t, '_')] END)""".stripMargin
+      |  THEN [t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] for i in range(1, len(t) - 1)]
+      |  ELSE [array_to_string(t, chr(31))] END)""".stripMargin
+
+  /** DuckDB tokenizer matching the kernel (drops empty tokens). */
+  val duckTokens: String =
+    "list_filter(string_split(trim(text), ' '), x -> x <> '')"
 
   /** doc_id + distinct hashed-shingle array. */
   def docShingles(s: SparkSession, dir: String): DataFrame = {
@@ -76,7 +84,7 @@ object Dedup extends QueryModule {
   /** Oracle SQL matching [[jaccardPairs]]. */
   def jaccardOracle(threshold: Double): String =
     s"""
-      WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
       sh AS (SELECT doc_id, $duckShingles AS sh FROM toks),
       ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
       pairs AS (

@@ -65,6 +65,21 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes is whitespace-run invariant and token-sequence faithful") {
+    // identity depends only on the filtered token sequence
+    val a = VecOps.shingleHashes(UTF8String.fromString("aa  bb cc dd"), 3)
+    val b = VecOps.shingleHashes(UTF8String.fromString("aa bb  cc dd"), 3)
+    assert(a.toLongArray().toSet === b.toLongArray().toSet)
+    // underscore inside a token cannot collide with a shingle join
+    val two = VecOps.shingleHashes(UTF8String.fromString("a b"), 3)
+    val one = VecOps.shingleHashes(UTF8String.fromString("a_b"), 3)
+    assert(two.toLongArray().toSet !== one.toLongArray().toSet)
+    // <3-token fallback also whitespace-invariant
+    val f1 = VecOps.shingleHashes(UTF8String.fromString("x  y"), 3)
+    val f2 = VecOps.shingleHashes(UTF8String.fromString("x y"), 3)
+    assert(f1.toLongArray().toSet === f2.toLongArray().toSet)
+  }
+
   test("simHash is permutation-invariant over tokens") {
     forAll(Gen.listOf(token).suchThat(_.nonEmpty)) { toks =>
       val a = TextHash.simHash(UTF8String.fromString(toks.mkString(" ")))
