@@ -29,6 +29,20 @@ final class ParquetSink(root: String) extends AppendSink {
     df.write.mode(SaveMode.Append).parquet(s"$root/$db/$table")
 }
 
+/** Idempotent parquet sink: each micro-batch lands in its own
+  * `batch=<id>` partition dir with overwrite, so a REPLAYED batch (worker
+  * retry, post-crash foreachBatch re-delivery) replaces rather than
+  * duplicates itself — upgrading the fan-out's guarantee from the
+  * reference's at-least-once to effectively-once per (batch, target).
+  * Readers just scan `<root>/<db>/<table>` (hive partition discovery).
+  */
+final class IdempotentParquetSink(root: String) extends AppendSink {
+  @volatile var currentBatchId: Long = 0L
+  override def append(df: DataFrame, db: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$db/$table/batch=$currentBatchId")
+}
+
 /** JDBC append sink (A8): Spark's JDBC writer does batched INSERTs with
   * one connection per partition — the scalable form of the reference's
   * 1-connection-per-table workers. Pool sizes become numPartitions hints.

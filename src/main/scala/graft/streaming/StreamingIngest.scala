@@ -40,6 +40,12 @@ object StreamingIngest {
     val writer = raw.writeStream
       .trigger(interval)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // propagate the micro-batch id so idempotent sinks can make
+        // re-delivered batches replace themselves (effectively-once)
+        sink match {
+          case s: graft.sink.IdempotentParquetSink => s.currentBatchId = id
+          case _ => ()
+        }
         val flights = OpenSky.parseBatch(spark, batch.select($"raw_json").as[String]).toDF()
         val (ok, rows) = Fanout.writeBatch(flights, targets, sink)
         log.info(s"micro-batch $id: $rows rows to $ok/${targets.size} targets")
