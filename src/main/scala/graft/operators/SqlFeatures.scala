@@ -66,6 +66,63 @@ object SqlFeatures extends QueryModule {
       ORDER BY yr"""),
 
     sqlQ(
+      "q77_lateral_join",
+      "Correlated LATERAL subquery join: for each region, the top-2 " +
+        "nations by customer count — per-row subquery semantics planned " +
+        "as a join by Catalyst's decorrelation.",
+      """
+      SELECT r_name, t.n_name, t.n_customers
+      FROM region,
+      LATERAL (
+        SELECT n_name, count(*) AS n_customers
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_customers DESC, n_name
+        LIMIT 2
+      ) t
+      ORDER BY r_name, t.n_customers DESC, t.n_name"""),
+
+    sqlQ(
+      "q78_bitwise_agg",
+      "Bitwise aggregates (bit_and / bit_or / bit_xor) over per-group key " +
+        "sets.",
+      """
+      SELECT l_returnflag,
+             bit_and(l_linenumber) AS and_bits,
+             bit_or(l_linenumber)  AS or_bits,
+             bit_xor(l_linenumber) AS xor_bits
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+
+    Q(
+      "q79_try_cast",
+      "Error-tolerant casting: try_cast yields NULL on malformed input " +
+        "instead of failing the job (the ANSI-safe ingestion idiom). " +
+        "JSON extraction spelled per engine (get_json_object vs " +
+        "json_extract_string).",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT event_type,
+                 count(try_cast(event_type AS INTEGER)) AS n_numeric_types,
+                 count(try_cast(get_json_object(props, '$.k') AS INTEGER)) AS n_numeric_k,
+                 count(*) AS n
+          FROM events
+          GROUP BY event_type
+          ORDER BY event_type""")
+      },
+      Some("""
+        SELECT event_type,
+               count(try_cast(event_type AS INTEGER)) AS n_numeric_types,
+               count(try_cast(json_extract_string(props, '$.k') AS INTEGER)) AS n_numeric_k,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    sqlQ(
       "q42_having",
       "GROUP BY … HAVING post-aggregate filter.",
       """
