@@ -138,6 +138,9 @@ object VecOps {
 
   def shingle_hashes(c: Column, nGram: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
+
+  def jaccard_sim_col(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** jaccard_sim(array<long>, array<long>) → double: |A∩B| / |A∪B| in one

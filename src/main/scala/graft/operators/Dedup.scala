@@ -177,6 +177,46 @@ object Dedup extends QueryModule {
       Some(jaccardOracle(0.8))),
 
     Q(
+      "q69_mllib_minhash",
+      "Near-dup via stock MLlib (SURVEY §2B's named primitive): " +
+        "HashingTF over shingles → MinHashLSH(8 tables, fixed seed) → " +
+        "approxSimilarityJoin at Jaccard distance <= 0.2, exact-confirmed " +
+        "with the native jaccard kernel. Rows-only check (MLlib's " +
+        "banding/hashing differs from the SQL oracle's reach); " +
+        "ExtensionSpec asserts equality with the exact q62 pairs on the " +
+        "fixtures.",
+      (s, dir) => {
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+        import s.implicits._
+        // MLlib wants string token arrays → reuse the hashed shingles as
+        // string features (stable + cheap)
+        val docs = docShingles(s, dir)
+          .select($"doc_id", expr("transform(sh, x -> cast(x as string))").as("toks"))
+        val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+          .setNumFeatures(1 << 18).setBinary(true)
+        val feat = tf.transform(docs)
+        val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(8).setSeed(42L)
+        val model = lsh.fit(feat)
+        val joined = model.approxSimilarityJoin(feat, feat, 0.2, "jaccard_dist")
+          .select(
+            col("datasetA.doc_id").as("d1"),
+            col("datasetB.doc_id").as("d2"),
+            round(lit(1.0) - col("jaccard_dist"), 4).as("approx_jac"))
+          .filter($"d1" < $"d2")
+        // exact confirm with the native kernel (same contract as q63)
+        val sh = docShingles(s, dir)
+        joined
+          .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+          .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+          .withColumn("jac", round(graft.catalyst.VecOps.jaccard_sim_col($"sh1", $"sh2"), 4))
+          .filter($"jac" >= 0.8)
+          .select($"d1", $"d2", $"jac")
+          .orderBy($"d1", $"d2")
+      },
+      None),
+
+    Q(
       "q64_simhash_pairs",
       "SimHash near-dup: 64-bit signatures (native SimHash expression), " +
         "blocked on 4×16-bit bands (pigeonhole: Hamming<=3 pairs always " +

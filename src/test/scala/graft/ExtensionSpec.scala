@@ -122,6 +122,14 @@ class ExtensionSpec extends AnyFunSuite {
     assert(again === est)
   }
 
+  test("MLlib MinHashLSH pairs equal exact jaccard pairs on fixtures") {
+    val exact = SparkEntry.queries("q62_ngram_jaccard_pairs")(spark, sfDir)
+      .collect().map(_.toSeq.take(2)).toSet
+    val mllib = SparkEntry.queries("q69_mllib_minhash")(spark, sfDir)
+      .collect().map(_.toSeq.take(2)).toSet
+    assert(mllib === exact)
+  }
+
   test("LSH embedding neardup: recall + reduction vs exact pairs") {
     val exact = SparkEntry.queries("q65_embedding_neardup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
