@@ -253,20 +253,29 @@ object StreamingOps extends QueryModule {
         "feasible at all); oracle = the equivalent batch range join.",
       (s, dir) => {
         import s.implicits._
-        val ev = eventsStream(s, dir)
-        val purchases = ev.filter($"event_type" === "purchase")
-          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
-          .withWatermark("p_ts", "1 hour")
-        val clicks = ev.filter($"event_type" === "click")
-          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
-          .withWatermark("c_ts", "1 hour")
-        val joined = purchases.join(clicks,
-          $"p_user" === $"c_user" &&
-            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
-        val out = runToMemory(s, joined.select($"p_id", $"c_id"),
-          "graft_mem_ssjoin", "append")
-        out.groupBy().agg(count(lit(1)).as("n_pairs"),
-          countDistinct($"p_id").as("n_purchases_with_click"))
+        // Stream-stream join state lives in one store PER shuffle
+        // partition per side; for a keyed-by-150-users stream the default
+        // 32 partitions are pure store overhead — size to the key space.
+        // (On a cluster this is the same knob: partitions ~ state volume,
+        // not CPU count.)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val ev = eventsStream(s, dir)
+          val purchases = ev.filter($"event_type" === "purchase")
+            .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+          val clicks = ev.filter($"event_type" === "click")
+            .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+          val joined = purchases.join(clicks,
+            $"p_user" === $"c_user" &&
+              $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+          val out = runToMemory(s, joined.select($"p_id", $"c_id"),
+            "graft_mem_ssjoin", "append")
+          out.groupBy().agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"p_id").as("n_purchases_with_click"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some("""
         SELECT count(*) AS n_pairs,
