@@ -179,6 +179,84 @@ object ScalarFuncs extends QueryModule {
         ORDER BY doc_id""")),
 
     Q(
+      "q87_date_arithmetic",
+      "Date arithmetic: day/month offsets, truncation-free shifting — the " +
+        "retention/cohort bread and butter.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .select(
+            $"o_orderkey",
+            date_add($"o_orderdate".cast("date"), 30).as("plus_30d"),
+            date_sub($"o_orderdate".cast("date"), 7).as("minus_7d"),
+            add_months($"o_orderdate".cast("date"), 2).as("plus_2m"),
+            trunc($"o_orderdate".cast("date"), "year").as("year_start"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 30                      AS plus_30d,
+               CAST(o_orderdate AS DATE) - 7                       AS minus_7d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+               CAST(date_trunc('year', CAST(o_orderdate AS DATE)) AS DATE) AS year_start
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    Q(
+      "q88_string_advanced",
+      "Positional string surface: strpos/instr, split_part, left/right, " +
+        "repeat, starts/ends predicates.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "part")
+          .select(
+            $"p_partkey",
+            instr($"p_type", "E").as("first_e"),
+            split_part($"p_name", lit(" "), lit(1)).as("first_word"),
+            split_part($"p_name", lit(" "), lit(-1)).as("last_word"),
+            substring($"p_brand", 0, 5).as("brand_head"),
+            repeat(lit("*"), ($"p_size" % 5 + 1).cast("int")).as("stars"),
+            $"p_type".startsWith("STA").as("is_standard"),
+            $"p_name".endsWith("bolt").as("is_bolt"))
+          .orderBy($"p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               CAST(strpos(p_type, 'E') AS INTEGER)   AS first_e,
+               split_part(p_name, ' ', 1)             AS first_word,
+               split_part(p_name, ' ', -1)            AS last_word,
+               substr(p_brand, 1, 5)                  AS brand_head,
+               repeat('*', CAST(p_size % 5 + 1 AS INTEGER)) AS stars,
+               starts_with(p_type, 'STA')             AS is_standard,
+               suffix(p_name, 'bolt')                 AS is_bolt
+        FROM part
+        ORDER BY p_partkey""")),
+
+    Q(
+      "q89_regexp_filters",
+      "Regex predicates and extraction in the RE2/Java-compatible subset: " +
+        "rlike filters + anchored extraction feeding an aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "part")
+          .filter($"p_name".rlike("^(red|blue) "))
+          .select(
+            regexp_extract($"p_name", "^(red|blue) ([a-z]+)$", 2).as("item"),
+            regexp_extract($"p_name", "^(red|blue)", 1).as("color"))
+          .groupBy($"color", $"item")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"color", $"item")
+      },
+      Some("""
+        SELECT regexp_extract(p_name, '^(red|blue) ([a-z]+)$', 2) AS item,
+               regexp_extract(p_name, '^(red|blue)', 1)           AS color,
+               count(*) AS n
+        FROM part
+        WHERE regexp_matches(p_name, '^(red|blue) ')
+        GROUP BY color, item
+        ORDER BY color, item""")),
+
+    Q(
       "q37_higher_order_funcs",
       "Higher-order functions over the 64-dim embedding vectors: aggregate " +
         "(fold) for the squared L2 norm, filter+size for positive-component " +

@@ -10,18 +10,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(rows, cols):
+    # EXACT comparison (repr of every value, floats bit-for-bit): verified
+    # achievable for the whole corpus — every aggregate double is rounded
+    # identically on both sides, so no tolerance is needed or wanted.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(str(v))
-        out.append("\x00".join(vals))
+    out = ["\x00".join(repr(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
 
