@@ -144,6 +144,16 @@ class IngestSpec extends AnyFunSuite {
     assert(cfg.targets("flights").size === 8)
   }
 
+  test("config: loads the repo's reference-shaped example file") {
+    val cfg = IngestConfig.load("conf/ingest.yaml")
+    assert(cfg.plugin.name === "opensky")
+    assert(cfg.plugin.intervalSec === 60)
+    assert(cfg.pool === PoolConfig(30, 30, 3600))       // mysql-nested location
+    assert(!cfg.tls.enabled)
+    assert(cfg.targets("flights").size === 8)           // 3 copies + 5 extra
+    assert(cfg.runForSec === 60 && cfg.backoffSec === 5)
+  }
+
   test("config: defaults when sections are absent") {
     val cfg = IngestConfig.parse("plugin_spec:\n  name: opensky\n")
     assert(cfg.plugin.intervalSec === 60)

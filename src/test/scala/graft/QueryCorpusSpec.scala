@@ -38,6 +38,21 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q04 approx_count_distinct is within HLL++ error of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q04_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("p"), countDistinct("l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      val (ap, ao) = approx(k)
+      assert(math.abs(ap - p).toDouble / p <= 0.1, s"$k parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o <= 0.1, s"$k orders: $ao vs $o")
+    }
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
