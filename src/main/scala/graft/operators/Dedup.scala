@@ -189,8 +189,10 @@ object Dedup extends QueryModule {
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
         import s.implicits._
         // MLlib wants string token arrays → reuse the hashed shingles as
-        // string features (stable + cheap)
-        val docs = docShingles(s, dir)
+        // string features (stable + cheap); one scan serves both the
+        // feature build and the exact-confirm join below
+        val sh = docShingles(s, dir)
+        val docs = sh
           .select($"doc_id", expr("transform(sh, x -> cast(x as string))").as("toks"))
         val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
           .setNumFeatures(1 << 18).setBinary(true)
@@ -204,14 +206,14 @@ object Dedup extends QueryModule {
             col("datasetB.doc_id").as("d2"),
             round(lit(1.0) - col("jaccard_dist"), 4).as("approx_jac"))
           .filter($"d1" < $"d2")
-        // exact confirm with the native kernel (same contract as q63)
-        val sh = docShingles(s, dir)
+        // exact confirm with the native kernel (same contract as q63:
+        // filter the UNROUNDED value, round only for display)
         joined
           .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
           .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
-          .withColumn("jac", round(graft.catalyst.VecOps.jaccard_sim_col($"sh1", $"sh2"), 4))
-          .filter($"jac" >= 0.8)
-          .select($"d1", $"d2", $"jac")
+          .withColumn("jac_exact", graft.catalyst.VecOps.jaccard_sim_col($"sh1", $"sh2"))
+          .filter($"jac_exact" >= 0.8)
+          .select($"d1", $"d2", round($"jac_exact", 4).as("jac"))
           .orderBy($"d1", $"d2")
       },
       None),

@@ -20,6 +20,10 @@ trait AppendSink {
   def append(df: DataFrame, db: String, table: String): Unit
   /** DDL bootstrap (A9/A10): ensure db + table exist. */
   def ensure(db: String, table: String, ddl: String): Unit = ()
+  /** Called once before each batch's fan-out with the batch's unique id
+    * (poll tick / streaming micro-batch id). Idempotent sinks key their
+    * writes on it; plain append sinks ignore it. */
+  def beginBatch(batchId: Long): Unit = ()
 }
 
 /** Local parquet layout `<root>/<db>/<table>/` — the test stand-in wired
@@ -29,15 +33,17 @@ final class ParquetSink(root: String) extends AppendSink {
     df.write.mode(SaveMode.Append).parquet(s"$root/$db/$table")
 }
 
-/** Idempotent parquet sink: each micro-batch lands in its own
-  * `batch=<id>` partition dir with overwrite, so a REPLAYED batch (worker
-  * retry, post-crash foreachBatch re-delivery) replaces rather than
-  * duplicates itself — upgrading the fan-out's guarantee from the
-  * reference's at-least-once to effectively-once per (batch, target).
+/** Idempotent parquet sink: each batch lands in its own `batch=<id>`
+  * partition dir with overwrite, so a REPLAYED batch (worker retry,
+  * post-crash foreachBatch re-delivery) replaces rather than duplicates
+  * itself. Combined with fail-on-partial-fan-out (StreamingIngest) this
+  * yields effectively-once per (batch, target); the id arrives through
+  * the AppendSink.beginBatch contract, so every caller participates.
   * Readers just scan `<root>/<db>/<table>` (hive partition discovery).
   */
 final class IdempotentParquetSink(root: String) extends AppendSink {
-  @volatile var currentBatchId: Long = 0L
+  @volatile private var currentBatchId: Long = 0L
+  override def beginBatch(batchId: Long): Unit = currentBatchId = batchId
   override def append(df: DataFrame, db: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"$root/$db/$table/batch=$currentBatchId")
@@ -106,10 +112,13 @@ object Fanout {
     * warn-and-continue per target (the reference's error policy,
     * main.go:198-203).
     *
+    * @param batchId unique id of this batch (poll tick / micro-batch id),
+    *                forwarded to the sink's beginBatch hook
     * @return (targets written successfully, rows in the batch) — the row
     *         count rides along so callers don't re-execute the plan */
   def writeBatch(df: DataFrame, targets: Seq[(String, String)],
-      sink: AppendSink): (Int, Long) = {
+      sink: AppendSink, batchId: Long = 0L): (Int, Long) = {
+    sink.beginBatch(batchId)
     val cached = df.persist()
     try {
       val rows = cached.count() // materialize once before the per-target writes

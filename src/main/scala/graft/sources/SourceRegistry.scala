@@ -23,6 +23,9 @@ object SourceRegistry {
   def register(name: String, builder: Map[String, String] => IngestSource): Unit =
     builders.put(name, builder)
 
+  /** Remove a registered builder (tests / dynamic reconfiguration). */
+  def deregister(name: String): Unit = builders.remove(name)
+
   /** Resolve by config name; unknown names fail fast (InitPlugin parity:
     * registry.go:16-22 errors on unregistered names). */
   def resolve(name: String, opts: Map[String, String] = Map.empty): IngestSource =

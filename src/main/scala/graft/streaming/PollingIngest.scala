@@ -73,7 +73,8 @@ object PollingIngest {
         val raw = source.fetch()
         val batch: Dataset[FlightState] =
           OpenSky.parseJson(spark, Seq(raw))
-        val (written, rows) = Fanout.writeBatch(batch.toDF(), targets, sink)
+        val (written, rows) = Fanout.writeBatch(batch.toDF(), targets, sink,
+          batchId = handle.ticks + 1) // tick number keys idempotent sinks
         handle.ticks += 1
         handle.rowsIngested += rows
         log.info(s"tick ${handle.ticks}: fanned out to $written/${targets.size} targets")

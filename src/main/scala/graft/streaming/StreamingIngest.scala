@@ -40,15 +40,17 @@ object StreamingIngest {
     val writer = raw.writeStream
       .trigger(interval)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // propagate the micro-batch id so idempotent sinks can make
-        // re-delivered batches replace themselves (effectively-once)
-        sink match {
-          case s: graft.sink.IdempotentParquetSink => s.currentBatchId = id
-          case _ => ()
-        }
         val flights = OpenSky.parseBatch(spark, batch.select($"raw_json").as[String]).toDF()
-        val (ok, rows) = Fanout.writeBatch(flights, targets, sink)
+        val (ok, rows) = Fanout.writeBatch(flights, targets, sink, batchId = id)
         log.info(s"micro-batch $id: $rows rows to $ok/${targets.size} targets")
+        // Fail the micro-batch on partial fan-out so Spark replays it from
+        // the checkpoint: with an idempotent sink this gives
+        // effectively-once per (batch, target); with a plain append sink
+        // the replay is at-least-once (duplicates possible on already-
+        // written targets) — either way no target silently loses a batch.
+        if (ok < targets.size)
+          throw new RuntimeException(
+            s"micro-batch $id reached only $ok/${targets.size} targets; failing for replay")
         ()
       }
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))

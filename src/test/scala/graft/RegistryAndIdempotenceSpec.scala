@@ -24,8 +24,10 @@ class RegistryAndIdempotenceSpec extends AnyFunSuite {
   test("custom sources register and resolve (plugin Register parity)") {
     SourceRegistry.register("fixture-test", opts =>
       new SyntheticOpenSkySource(opts.getOrElse("n", "1").toInt))
-    assert(SourceRegistry.names.contains("fixture-test"))
-    assert(SourceRegistry.resolve("fixture-test", Map("n" -> "3")).name === "opensky")
+    try {
+      assert(SourceRegistry.names.contains("fixture-test"))
+      assert(SourceRegistry.resolve("fixture-test", Map("n" -> "3")).name === "opensky")
+    } finally SourceRegistry.deregister("fixture-test") // keep global state pristine
   }
 
   test("idempotent sink: replayed batch replaces instead of duplicating") {
@@ -33,14 +35,12 @@ class RegistryAndIdempotenceSpec extends AnyFunSuite {
     val sink = new IdempotentParquetSink(root)
     val df = OpenSky.parseJson(spark, Seq(OpenSky.sampleResponse(10))).toDF()
     val targets = Seq(("db1", "flights"))
-    sink.currentBatchId = 0
-    Fanout.writeBatch(df, targets, sink)
+    Fanout.writeBatch(df, targets, sink, batchId = 0)
     // replay the SAME batch id (post-crash foreachBatch re-delivery)
-    Fanout.writeBatch(df, targets, sink)
+    Fanout.writeBatch(df, targets, sink, batchId = 0)
     assert(spark.read.parquet(s"$root/db1/flights").count() === 10) // not 20
     // a new batch id appends
-    sink.currentBatchId = 1
-    Fanout.writeBatch(df, targets, sink)
+    Fanout.writeBatch(df, targets, sink, batchId = 1)
     assert(spark.read.parquet(s"$root/db1/flights").count() === 20)
   }
 }
