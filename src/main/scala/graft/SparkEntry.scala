@@ -18,6 +18,7 @@ object SparkEntry {
     graft.functions.ScalarFuncs,
     graft.operators.SqlFeatures,
     graft.operators.AdvancedOps,
+    graft.operators.AnalyticsPatterns,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

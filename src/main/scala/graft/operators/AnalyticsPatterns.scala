@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic event-analytics patterns over the events table — the composed
+  * workloads a pipeline engine actually serves (each is pure built-ins:
+  * the point is the declarative composition, all shuffles on keyed
+  * columns).
+  */
+object AnalyticsPatterns extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q90_dedup_keep_first",
+      "Keep-first dedup: one row per (user, day) — the earliest event — " +
+        "via row_number over event time with id tiebreak. The " +
+        "deterministic form of dropDuplicates for ordered data.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+        Tables.t(s, dir, "events")
+          .withColumn("day", to_date($"ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"day", $"event_id".as("first_event_id"),
+            $"event_type".as("first_event_type"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""
+        SELECT user_id, day, event_id AS first_event_id, event_type AS first_event_type
+        FROM (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, day""")),
+
+    Q(
+      "q91_cohort_retention",
+      "Cohort retention: users grouped by first-activity day-bucket " +
+        "(weekly cohorts), counted by how many distinct later weeks they " +
+        "returned — first-touch attribution + self-referential aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", weekofyear($"ts").as("wk"))
+        val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        ev.join(first, Seq("user_id"))
+          .groupBy($"cohort_wk")
+          .agg(
+            countDistinct($"user_id").as("cohort_size"),
+            countDistinct(when($"wk" > $"cohort_wk", $"user_id")).as("n_retained"))
+          .orderBy($"cohort_wk")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INTEGER) AS wk
+                    FROM events),
+        first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        SELECT cohort_wk,
+               count(DISTINCT ev.user_id) AS cohort_size,
+               count(DISTINCT CASE WHEN wk > cohort_wk THEN ev.user_id END) AS n_retained
+        FROM ev JOIN first USING (user_id)
+        GROUP BY cohort_wk
+        ORDER BY cohort_wk""")),
+
+    Q(
+      "q92_funnel_click_to_purchase",
+      "Funnel: per user, first click and whether a purchase followed " +
+        "within 24h — conditional aggregation over per-user min times, no " +
+        "self-join (one pass + one small agg).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            min(when($"event_type" === "click", $"ts")).as("first_click"),
+            min(when($"event_type" === "purchase", $"ts")).as("first_purchase"))
+          .filter($"first_click".isNotNull)
+          .select(
+            $"user_id",
+            ($"first_purchase".isNotNull &&
+              $"first_purchase" > $"first_click" &&
+              $"first_purchase" <= $"first_click" + expr("INTERVAL 24 HOURS"))
+              .as("converted_24h"))
+          .groupBy($"converted_24h")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"converted_24h")
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+                 min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+          FROM events
+          GROUP BY user_id)
+        SELECT (first_purchase IS NOT NULL AND first_purchase > first_click
+                AND first_purchase <= first_click + INTERVAL 24 HOUR) AS converted_24h,
+               count(*) AS n_users
+        FROM f
+        WHERE first_click IS NOT NULL
+        GROUP BY 1
+        ORDER BY converted_24h"""))
+  )
+}
