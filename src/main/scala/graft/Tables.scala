@@ -15,13 +15,22 @@ object Tables {
 
   // Memoize per (session, dir, table): schema/footer discovery is pure
   // driver-side overhead that would otherwise be paid on every query.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+  // Keyed WEAKLY by the session itself (not an identity hash, which can
+  // collide and never evicts): a stopped session's DataFrames become
+  // collectable with it, and two live sessions can never share entries.
+  private final class PerSession {
+    val frames = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    val registeredDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  }
+  private val sessions = new java.util.WeakHashMap[SparkSession, PerSession]()
+  private def perSession(spark: SparkSession): PerSession = sessions.synchronized {
+    var m = sessions.get(spark)
+    if (m == null) { m = new PerSession; sessions.put(spark, m) }
+    m
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(spark), dir, name),
-      _ => load(spark, dir, name))
+    perSession(spark).frames.computeIfAbsent((dir, name), _ => load(spark, dir, name))
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -37,13 +46,10 @@ object Tables {
     else raw
   }
 
-  // Re-registering identical views per query is wasted driver work; track
-  // which (session, dir) is already registered.
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
-
-  /** Register every fixture table as a temp view (for spark.sql corpora). */
+  /** Register every fixture table as a temp view (for spark.sql corpora).
+    * Re-registering identical views per query is wasted driver work, so
+    * each session tracks which dirs it has already registered. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.add((System.identityHashCode(spark), dir)))
+    if (perSession(spark).registeredDirs.add(dir))
       all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -101,8 +101,9 @@ object VecOps {
     * composed size(array_intersect)/size(array_union) form: duplicates
     * are deduped and a null element counts as one distinct member on each
     * side (array_intersect/array_union treat null = null). Both-empty
-    * returns 0.0 (the composed ANSI form would raise DIVIDE_BY_ZERO —
-    * documented deviation, unreachable from shingle pipelines). */
+    * yields NaN, which JaccardSim surfaces as SQL NULL (the composed ANSI
+    * form would raise DIVIDE_BY_ZERO — documented deviation, unreachable
+    * from shingle pipelines). */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[java.lang.Long](a.numElements() * 2)
     var aNull = false

@@ -40,13 +40,15 @@ object AnalyticsPatterns extends QueryModule {
 
     Q(
       "q91_cohort_retention",
-      "Cohort retention: users grouped by first-activity day-bucket " +
-        "(weekly cohorts), counted by how many distinct later weeks they " +
-        "returned — first-touch attribution + self-referential aggregate.",
+      "Cohort retention: users grouped by first-activity week (weekly " +
+        "cohorts), counted by how many returned in a later week — " +
+        "first-touch attribution + self-referential aggregate. Weeks are " +
+        "date_trunc('week') DATES (year-qualified and totally ordered), " +
+        "not weekofyear numbers, which alias across year boundaries.",
       (s, dir) => {
         import s.implicits._
         val ev = Tables.t(s, dir, "events")
-          .select($"user_id", weekofyear($"ts").as("wk"))
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
         val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
         ev.join(first, Seq("user_id"))
           .groupBy($"cohort_wk")
@@ -56,7 +58,8 @@ object AnalyticsPatterns extends QueryModule {
           .orderBy($"cohort_wk")
       },
       Some("""
-        WITH ev AS (SELECT user_id, CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS INTEGER) AS wk
+        WITH ev AS (SELECT user_id,
+                           CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
                     FROM events),
         first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
         SELECT cohort_wk,

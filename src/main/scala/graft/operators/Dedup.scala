@@ -102,6 +102,52 @@ object Dedup extends QueryModule {
   def minhashSignature(sh: Column, k: Int): Column =
     graft.catalyst.VecOps.minhash_sig(sh, k)
 
+  /** Group-level MinHash sketches per source (shared by q59 and the
+    * banded scale path below): O(k) mergeable state per group. */
+  def sourceSketches(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.catalyst.MinHashSetAgg.minhash_set_agg
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"source", shingles(trim($"text")).as("sh"))
+      .groupBy($"source")
+      .agg(minhash_set_agg($"sh", k).as("sig"))
+  }
+
+  /** Scale path for source-level similarity when sources number 10^4+:
+    * band the k-component sketches (rows-per-band components hashed to a
+    * band key) and estimate Jaccard ONLY for source pairs sharing a band
+    * — the same sub-quadratic LSH argument as q63, applied to group
+    * sketches, with the same slim candidate shuffle (id pairs only;
+    * sketches rejoin once per candidate). q59's all-pairs crossJoin is
+    * the right plan at dozens of sources (its quadratic term is
+    * |sources|², independent of document count); this replaces it when
+    * the source space itself is large. Band count trades recall for
+    * cost: a pair with true estimate >= minEst shares a band with
+    * probability 1-(1-minEst^(k/bands))^bands (0.97 at defaults). */
+  def bandedSourcePairs(s: SparkSession, dir: String, k: Int = 64,
+      bands: Int = 16, minEst: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val rows = k / bands
+    val sigs = sourceSketches(s, dir, k)
+    val banded = sigs.select($"source",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64((0 until rows).map(r =>
+          element_at($"sig", b * rows + r + 1)): _*))).as(Seq("band_idx", "band_key")))
+    val a = banded.select($"source".as("s1"), $"band_idx", $"band_key")
+    val b = banded.select($"source".as("s2"), $"band_idx", $"band_key")
+    val cand = a.join(b, Seq("band_idx", "band_key")).filter($"s1" < $"s2")
+      .select($"s1", $"s2").distinct()
+    cand
+      .join(sigs.select($"source".as("s1"), $"sig".as("sig1")), Seq("s1"))
+      .join(sigs.select($"source".as("s2"), $"sig".as("sig2")), Seq("s2"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), p => p))
+          .cast("double") / k, 4))
+      .filter($"est_jaccard" >= minEst)
+      .select($"s1", $"s2", $"est_jaccard")
+      .orderBy($"s1", $"s2")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q60_dedup_exact",
@@ -155,18 +201,24 @@ object Dedup extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val k = 64; val bands = 16; val rows = 4
-        val sig = docShingles(s, dir)
-          .select($"doc_id", $"sh", minhashSignature($"sh", k).as("mh"))
+        val sh = docShingles(s, dir)
+        val sig = sh.select($"doc_id", minhashSignature($"sh", k).as("mh"))
         val banded = sig.select(
-          $"doc_id", $"sh",
+          $"doc_id",
           posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
             xxhash64((0 until rows).map(r =>
               element_at($"mh", b * rows + r + 1)): _*))).as(Seq("band_idx", "band_key")))
-        val a = banded.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band_idx", $"band_key")
-        val b = banded.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band_idx", $"band_key")
-        a.join(b, Seq("band_idx", "band_key"))
+        val a = banded.select($"doc_id".as("d1"), $"band_idx", $"band_key")
+        val b = banded.select($"doc_id".as("d2"), $"band_idx", $"band_key")
+        // Candidate stage carries ONLY 16-byte id pairs through the join +
+        // distinct (the widest shuffle of the job at 100 TB); the shingle
+        // arrays rejoin once per surviving pair, not once per band match.
+        val cand = a.join(b, Seq("band_idx", "band_key"))
           .filter($"d1" < $"d2")
-          .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+          .select($"d1", $"d2").distinct()
+        cand
+          .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+          .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
           .withColumn("jac",
             size(array_intersect($"sh1", $"sh2")).cast("double") /
               size(array_union($"sh1", $"sh2")))
@@ -181,10 +233,12 @@ object Dedup extends QueryModule {
       "Near-dup via stock MLlib (SURVEY §2B's named primitive): " +
         "HashingTF over shingles → MinHashLSH(8 tables, fixed seed) → " +
         "approxSimilarityJoin at Jaccard distance <= 0.2, exact-confirmed " +
-        "with the native jaccard kernel. Rows-only check (MLlib's " +
-        "banding/hashing differs from the SQL oracle's reach); " +
-        "ExtensionSpec asserts equality with the exact q62 pairs on the " +
-        "fixtures.",
+        "with the native jaccard kernel at the same >= 0.8 threshold as " +
+        "q62. Oracled against the SAME exact-pairs SQL: the confirm step " +
+        "makes the result equal to the exact baseline whenever MLlib's " +
+        "8-table OR-amplified LSH surfaces every qualifying pair (miss " +
+        "probability (1-jac)^8 <= 0.2^8 ~ 3e-6 at jac >= 0.8; " +
+        "ExtensionSpec asserts the equality explicitly).",
       (s, dir) => {
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
         import s.implicits._
@@ -216,7 +270,7 @@ object Dedup extends QueryModule {
           .select($"d1", $"d2", round($"jac_exact", 4).as("jac"))
           .orderBy($"d1", $"d2")
       },
-      None),
+      Some(jaccardOracle(0.8))),
 
     Q(
       "q64_simhash_pairs",
@@ -251,17 +305,17 @@ object Dedup extends QueryModule {
         "via the native TypedImperativeAggregate (MinHashSetAgg — O(k) " +
         "mergeable state per group, order-independent), then pairwise " +
         "estimated Jaccard between sources = fraction of equal components. " +
-        "Rows-only check (sketch values aren't SQL-expressible); " +
-        "ExtensionSpec asserts the estimate tracks exact source-level " +
-        "Jaccard and is partitioning-invariant.",
+        "The all-pairs crossJoin is the right plan at the fixture's dozens " +
+        "of sources (quadratic in |sources| only, never in documents); at " +
+        "10^4+ sources switch to Dedup.bandedSourcePairs — same sketches, " +
+        "LSH-banded candidate pairs (spec-verified equal above its " +
+        "threshold). Rows-only check (sketch values aren't " +
+        "SQL-expressible); ExtensionSpec asserts the estimate tracks exact " +
+        "source-level Jaccard and is partitioning-invariant.",
       (s, dir) => {
-        import graft.catalyst.MinHashSetAgg.minhash_set_agg
         import s.implicits._
         val k = 64
-        val sigs = Tables.t(s, dir, "documents")
-          .select($"source", shingles(trim($"text")).as("sh"))
-          .groupBy($"source")
-          .agg(minhash_set_agg($"sh", k).as("sig"))
+        val sigs = sourceSketches(s, dir, k)
         val a = sigs.select($"source".as("s1"), $"sig".as("sig1"))
         val b = sigs.select($"source".as("s2"), $"sig".as("sig2"))
         a.crossJoin(b).filter($"s1" < $"s2")

@@ -73,6 +73,31 @@ object Joins extends QueryModule {
         ORDER BY c_custkey""")),
 
     Q(
+      "q93_join_right_outer",
+      "Right outer join preserving all customers (the RIGHT side): q11's " +
+        "mirror with the fact table on the left — exercises Spark's " +
+        "RightOuter path (build/stream sides swap vs left outer; same " +
+        "single shuffle on the join key).",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+        val c = Tables.t(s, dir, "customer")
+        o.join(c, $"o_custkey" === $"c_custkey", "right")
+          .groupBy($"c_custkey", $"c_name")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("total_spent"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               count(o_orderkey)                             AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2)    AS total_spent
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    Q(
       "q12_join_semi",
       "Left-semi join (EXISTS): suppliers with at least one 2001 shipment. " +
         "Semi-join only carries the key — no row multiplication.",

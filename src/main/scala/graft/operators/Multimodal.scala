@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryModule {
 
-  /** One decoded media item: deterministic fake features from the bytes. */
+  /** One decoded media item: deterministic fake features from the bytes.
+    * Carries the integer byte SUM (not a float mean) so downstream math
+    * stays exact — the mean is derived in the query with the same
+    * IEEE-deterministic floor-truncation the oracle uses. */
   final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, mean_byte: Double, max_byte: Int,
+      doc_id: Long, n_bytes: Int, sum_bytes: Long, max_byte: Int,
       hist4: Seq[Long])
 
   /** STUB DECODE (would be a codec call in production): byte statistics
@@ -41,8 +44,7 @@ object Multimodal extends QueryModule {
       if (u > max) max = u
       hist(u >> 6) += 1
     }
-    MediaFeatures(docId, payload.length,
-      if (payload.isEmpty) 0.0 else sum.toDouble / payload.length, max, hist.toSeq)
+    MediaFeatures(docId, payload.length, sum, max, hist.toSeq)
   }
 
   override def queries: Seq[Q] = Seq(
@@ -85,7 +87,12 @@ object Multimodal extends QueryModule {
       "Per-partition batch decode (mapPartitions — the Scala shape of " +
         "mapInPandas): binary payload → fake feature vector (STUB codec: " +
         "byte stats; swap point is Multimodal.fakeDecode). Narrow " +
-        "transform, payloads never shuffled; only features aggregate.",
+        "transform, payloads never shuffled; only features aggregate. " +
+        "The 4-bucket byte histogram flattens to scalar columns h0..h3 so " +
+        "any harness can sort/hash the result; mean_byte is " +
+        "floor-truncated to 4 dp (IEEE-deterministic on both engines). " +
+        "Oracle recomputes the byte stats from codepoints — exact because " +
+        "the fixture text is pure ASCII (byte == codepoint).",
       (s, dir) => {
         import s.implicits._
         val media = Tables.t(s, dir, "documents")
@@ -95,11 +102,28 @@ object Multimodal extends QueryModule {
           // batch-shaped: one iterator per partition, like an Arrow batch
           batch.map { case (id, payload) => fakeDecode(id, payload) }
         }.toDF()
-          .select($"doc_id", $"n_bytes", round($"mean_byte", 4).as("mean_byte"),
-            $"max_byte", $"hist4")
+          .select($"doc_id", $"n_bytes",
+            (floor($"sum_bytes" * 10000.0 / $"n_bytes") / 10000.0).as("mean_byte"),
+            $"max_byte",
+            element_at($"hist4", 1).as("h0"), element_at($"hist4", 2).as("h1"),
+            element_at($"hist4", 3).as("h2"), element_at($"hist4", 4).as("h3"))
           .orderBy($"doc_id")
       },
-      None),
+      Some("""
+        WITH b AS (
+          SELECT doc_id, unnest([ord(c) for c in string_split(text, '')]) AS byte
+          FROM documents)
+        SELECT doc_id,
+               CAST(count(*) AS INTEGER)                      AS n_bytes,
+               floor(sum(byte) * 10000.0 / count(*)) / 10000.0 AS mean_byte,
+               CAST(max(byte) AS INTEGER)                     AS max_byte,
+               count(*) FILTER (byte < 64)                    AS h0,
+               count(*) FILTER (byte >= 64 AND byte < 128)    AS h1,
+               count(*) FILTER (byte >= 128 AND byte < 192)   AS h2,
+               count(*) FILTER (byte >= 192)                  AS h3
+        FROM b
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

@@ -135,8 +135,15 @@ object Similarity extends QueryModule {
         "exact cross-join: candidates only from pairs sharing one of L=8 " +
         "independent 4-bit hyperplane signatures (expected candidate rate " +
         "~L/2^b of the quadratic), exact cosine confirms >= 0.45. " +
-        "Rows-only check (bucketing is hash-defined); ExtensionSpec " +
-        "measures recall vs the exact q65 pairs and candidate reduction.",
+        "Deliberately rows-only, NOT oracled against q65's exact SQL: the " +
+        "fixture embeddings are uniform random (LSH's adversarial case — " +
+        "threshold pairs sit at cos~0.45 where a hyperplane agrees with " +
+        "p~0.65, so 4-bit×8-table recall is ~0.8, measured 11/14 at " +
+        "sf0.01), and driving recall to 1.0 on such data needs 1-2-bit " +
+        "bands whose candidate stage exceeds the exact cross-join — " +
+        "defeating the operator. On clustered real-world embeddings the " +
+        "same settings approach recall 1. ExtensionSpec asserts " +
+        "subset-of-exact + recall floor.",
       (s, dir) => {
         import s.implicits._
         val bandBits = 4; val nTables = 8
@@ -145,17 +152,20 @@ object Similarity extends QueryModule {
           .withColumn("sig", lshSignature($"embedding", planes))
           .withColumn("norm", sqrt(graft.catalyst.VecOps.vec_dot($"embedding", $"embedding")))
         val banded = e.select(
-          $"vec_id", $"embedding", $"norm",
+          $"vec_id",
           posexplode(expr(
             s"transform(sequence(0, ${nTables - 1}), t -> (sig >> (t * $bandBits)) & ${(1 << bandBits) - 1})"))
             .as(Seq("table_idx", "band_key")))
-        val a = banded.select($"vec_id".as("v1"), $"embedding".as("e1"),
-          $"norm".as("nm1"), $"table_idx", $"band_key")
-        val b = banded.select($"vec_id".as("v2"), $"embedding".as("e2"),
-          $"norm".as("nm2"), $"table_idx", $"band_key")
-        a.join(b, Seq("table_idx", "band_key"))
+        val a = banded.select($"vec_id".as("v1"), $"table_idx", $"band_key")
+        val b = banded.select($"vec_id".as("v2"), $"table_idx", $"band_key")
+        // Candidate stage shuffles ONLY id pairs (the dominant shuffle at
+        // scale); embeddings + norms rejoin once per surviving pair.
+        val cand = a.join(b, Seq("table_idx", "band_key"))
           .filter($"v1" < $"v2")
-          .select($"v1", $"v2", $"e1", $"e2", $"nm1", $"nm2").distinct()
+          .select($"v1", $"v2").distinct()
+        cand
+          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"norm".as("nm1")), Seq("v1"))
+          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"norm".as("nm2")), Seq("v2"))
           .withColumn("cos",
             graft.catalyst.VecOps.vec_dot($"e1", $"e2") / ($"nm1" * $"nm2"))
           .filter($"cos" >= 0.45)

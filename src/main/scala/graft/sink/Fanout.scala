@@ -18,12 +18,15 @@ import org.slf4j.LoggerFactory
 trait AppendSink {
   /** Append a batch to `db`.`table`; errors must not kill the stream. */
   def append(df: DataFrame, db: String, table: String): Unit
+  /** Batch-aware append: `batchId` is the batch's unique id (poll tick /
+    * streaming micro-batch id). Idempotent sinks key their writes on it;
+    * plain append sinks inherit this delegation and ignore it. The id is
+    * a per-call parameter — never shared sink state — so one sink
+    * instance can serve concurrent queries without cross-writing. */
+  def append(df: DataFrame, db: String, table: String, batchId: Long): Unit =
+    append(df, db, table)
   /** DDL bootstrap (A9/A10): ensure db + table exist. */
   def ensure(db: String, table: String, ddl: String): Unit = ()
-  /** Called once before each batch's fan-out with the batch's unique id
-    * (poll tick / streaming micro-batch id). Idempotent sinks key their
-    * writes on it; plain append sinks ignore it. */
-  def beginBatch(batchId: Long): Unit = ()
 }
 
 /** Local parquet layout `<root>/<db>/<table>/` — the test stand-in wired
@@ -37,16 +40,17 @@ final class ParquetSink(root: String) extends AppendSink {
   * partition dir with overwrite, so a REPLAYED batch (worker retry,
   * post-crash foreachBatch re-delivery) replaces rather than duplicates
   * itself. Combined with fail-on-partial-fan-out (StreamingIngest) this
-  * yields effectively-once per (batch, target); the id arrives through
-  * the AppendSink.beginBatch contract, so every caller participates.
+  * yields effectively-once per (batch, target); the id arrives as an
+  * append() parameter, so a single sink instance serving two concurrent
+  * queries can never interleave ids across batches.
   * Readers just scan `<root>/<db>/<table>` (hive partition discovery).
   */
 final class IdempotentParquetSink(root: String) extends AppendSink {
-  @volatile private var currentBatchId: Long = 0L
-  override def beginBatch(batchId: Long): Unit = currentBatchId = batchId
   override def append(df: DataFrame, db: String, table: String): Unit =
+    append(df, db, table, 0L)
+  override def append(df: DataFrame, db: String, table: String, batchId: Long): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/$db/$table/batch=$currentBatchId")
+      .parquet(s"$root/$db/$table/batch=$batchId")
 }
 
 /** JDBC append sink (A8): Spark's JDBC writer does batched INSERTs with
@@ -113,17 +117,16 @@ object Fanout {
     * main.go:198-203).
     *
     * @param batchId unique id of this batch (poll tick / micro-batch id),
-    *                forwarded to the sink's beginBatch hook
+    *                forwarded per append call
     * @return (targets written successfully, rows in the batch) — the row
     *         count rides along so callers don't re-execute the plan */
   def writeBatch(df: DataFrame, targets: Seq[(String, String)],
       sink: AppendSink, batchId: Long = 0L): (Int, Long) = {
-    sink.beginBatch(batchId)
     val cached = df.persist()
     try {
       val rows = cached.count() // materialize once before the per-target writes
       val ok = targets.count { case (db, table) =>
-        try { sink.append(cached, db, table); true }
+        try { sink.append(cached, db, table, batchId); true }
         catch {
           case e: Exception =>
             log.warn(s"fanout: append to $db.$table failed: ${e.getMessage}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,25 +65,30 @@ final case class TickOffset(tick: Long) extends Offset {
 /** One tick per trigger; each tick is a single-partition batch holding one
   * snapshot document (a single HTTP endpoint has nothing to partition —
   * parallelism starts at the explode/parse stage downstream). */
-final class OpenSkyMicroBatchStream(statesPerTick: Int) extends MicroBatchStream {
-  @volatile private var committed = 0L
-  @volatile private var available = 0L
+final class OpenSkyMicroBatchStream(statesPerTick: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = TickOffset(0L)
-  override def latestOffset(): Offset = {
-    available += 1 // a new snapshot is available every trigger
-    TickOffset(available)
-  }
-  override def deserializeOffset(json: String): Offset = {
-    val tick = json.toLong
-    // Restart recovery: a restored offset means ticks up to `tick` were
-    // already produced — fast-forward the availability counter so the
-    // query resumes immediately instead of idling for `tick` triggers.
-    if (tick > available) available = tick
-    TickOffset(tick)
-  }
-  override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[TickOffset].tick
+
+  /** STATELESS availability via admission control: the engine passes the
+    * last processed offset, and exactly one new tick is admitted past it.
+    * Repeated calls within a trigger receive the same `start` and return
+    * the same offset — no call pattern (Trigger.AvailableNow's
+    * double-poll, retries) can fabricate ticks, unlike a call-counting
+    * implementation. Restart recovery is free: `start` comes from the
+    * checkpointed offset log, so the stream resumes exactly where it
+    * committed, with no mutable state to fast-forward. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    TickOffset(start.asInstanceOf[TickOffset].tick + 1)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Unreachable: Spark routes SupportsAdmissionControl sources through
+    * latestOffset(start, limit). */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "use latestOffset(start, limit) — this source admits per trigger")
+
+  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TickOffset].tick

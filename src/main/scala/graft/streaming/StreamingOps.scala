@@ -174,6 +174,34 @@ object StreamingOps extends QueryModule {
         ORDER BY event_type""")),
 
     Q(
+      "q94_stream_dedup_within_watermark",
+      "State-BOUNDED streaming dedup via dropDuplicatesWithinWatermark " +
+        "(SURVEY §2B's named API): unlike q73's dropDuplicates — which " +
+        "keys state forever for every distinct key — this variant evicts " +
+        "a key's state once the watermark passes its event time, so state " +
+        "is O(keys per watermark window), the form that survives " +
+        "unbounded key spaces at 100 TB/day. Duplicates here all arrive " +
+        "within the delay, so the result equals full distinct; the " +
+        "eviction/re-emission semantics are asserted multi-batch in " +
+        "StreamingSpec.",
+      (s, dir) => {
+        import s.implicits._
+        val deduped = eventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select($"user_id", $"event_type")
+        val out = runToMemory(s, deduped, "graft_mem_dedup_wm", "append")
+        out.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_distinct_users"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    Q(
       "q74_stateful_agg",
       "Arbitrary stateful processing via flatMapGroupsWithState (the " +
         "custom-state escape hatch, SURVEY §2B): per-user state machine " +

@@ -47,11 +47,33 @@ object Stress {
       element_at(typedLit(Seq("O","F")), ($"id" % 2 + 1).cast("int")).as("l_linestatus"),
       timestamp_seconds(lit(800000000L) + ($"id" % 200000000)).cast("timestamp_ntz").as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // 6M events (ts stored as NANOS longs, matching the fixture layout the
+    // Tables loader normalizes): 10k users, skewed type mix, ~2 years span
+    s.range(6000000).select(
+      $"id".as("event_id"),
+      (lit(1700000000000000000L) + ($"id" % 60000000L) * 1000000000L).as("ts"),
+      ((xxhash64($"id", lit(7)) % 10000 + 10000) % 10000).as("user_id"),
+      element_at(typedLit(Seq("click", "view", "purchase", "signup", "error")),
+        ((xxhash64($"id", lit(8)) % 5 + 5) % 5 + 1).cast("int")).as("event_type"),
+      (abs(xxhash64($"id", lit(9)) % 100000) / 100.0).as("value"),
+      lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     println("generated")
 
+    // Shuffle-write bytes across all tasks — evidence for the candidate-
+    // stage slimming (id-pair-only distinct): reset per timed block.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
     def time(label: String)(f: => Any): Unit = {
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime(); val r = f
-      println(f"STRESS $label%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s  ($r)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let async listener events drain
+      println(f"STRESS $label%-28s $secs%8.2f s  shuffle ${shuffleBytes.get / 1048576.0}%9.1f MiB  ($r)")
     }
     // heavy operators at 10x
     time("q01 agg 6M rows") {
@@ -62,6 +84,27 @@ object Stress {
     }
     time("minhash lsh 51k docs") {
       SparkEntry.queries("q63_minhash_lsh_pairs")(s, out).count()
+    }
+    time("asof native 6M events") {
+      SparkEntry.queries("q19_asof_join_native")(s, out).count()
+    }
+    time("asof composed 6M events") {
+      SparkEntry.queries("q18_asof_join")(s, out).count()
+    }
+    // Streaming throughput at 10x: tumbling-window agg over the 6M-row
+    // events dir as a file-source stream (full query lifecycle included).
+    time("stream tumbling 6M events") {
+      import org.apache.spark.sql.functions.{window => fwindow}
+      val stream = s.readStream
+        .schema(graft.streaming.StreamingOps.eventsRawSchema)
+        .parquet(s"$out/events.parquet")
+        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+      val agg = stream.groupBy(fwindow($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("stress_stream").start()
+      try q.processAllAvailable() finally q.stop()
+      s"${s.table("stress_stream").count()} windows from 6M input rows"
     }
     s.stop()
   }

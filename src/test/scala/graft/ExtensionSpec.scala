@@ -122,6 +122,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert(again === est)
   }
 
+  test("banded source pairs: finds near-identical sources, ests agree with all-pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // controlled corpus: sources A and B share every text (est jaccard 1 →
+    // every band matches, deterministically); C is disjoint
+    val texts = (0 until 50).map(i => s"alpha bravo charlie delta echo token$i golf hotel india")
+    val docs =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "srcA") } ++
+        texts.zipWithIndex.map { case (t, i) => (i + 100L, t, "srcB") } ++
+        (0 until 50).map(i => (i + 200L, s"zulu yankee xray whiskey victor other$i uniform tango sierra", "srcC"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_src").toString
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val banded = graft.operators.Dedup.bandedSourcePairs(spark, dir, minEst = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // near-identical pair surfaces (identical shingle sets → identical
+    // sketches → every band matches); the disjoint source C never pairs
+    assert(banded.keySet === Set(("srcA", "srcB")), s"got ${banded.keySet}")
+    assert(banded(("srcA", "srcB")) === 1.0)
+    // sub-quadratic guarantee on the real fixture: dissimilar sources
+    // (est jaccard ~0.05 across the board per q59) produce NO banded
+    // candidates at all — the candidate stage prunes the |sources|^2 term
+    // entirely rather than estimating every pair like the crossJoin does
+    val bandedFixture = graft.operators.Dedup.bandedSourcePairs(spark, sfDir, minEst = 0.0)
+    assert(bandedFixture.count() === 0L)
+  }
+
   test("MLlib MinHashLSH pairs equal exact jaccard pairs on fixtures") {
     val exact = SparkEntry.queries("q62_ngram_jaccard_pairs")(spark, sfDir)
       .collect().map(_.toSeq.take(2)).toSet

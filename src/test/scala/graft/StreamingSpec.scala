@@ -45,6 +45,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:30:00.0") === 1L)
   }
 
+  test("dropDuplicatesWithinWatermark bounds state: evicts keys once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_test").start()
+    try {
+      // batch 1: first occurrence emitted, in-batch duplicate suppressed
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // batch 2: duplicate while state is alive (expires 10:10 > watermark
+      // 09:50) → suppressed
+      input.addData((ts("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      // batch 3: watermark jumps to 11:50 → k=1 state (expiry 10:10) evicted
+      input.addData((ts("2024-01-01 12:00:00"), 99L))
+      q.processAllAvailable()
+      // batch 4: k=1 reappears AFTER eviction → re-emitted. This is the
+      // state bound: unlike dropDuplicates (q73), which keys state forever
+      // and would suppress this row, memory is O(keys per watermark window).
+      input.addData((ts("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val k1Emissions = spark.table("ddww_test").filter($"k" === 1L).count()
+    assert(k1Emissions === 2L,
+      "k=1 must emit exactly twice: once deduped while stateful, once after eviction")
+    assert(spark.table("ddww_test").count() === 3L) // + the k=99 row
+  }
+
   test("streaming session window merges within gap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
