@@ -30,6 +30,28 @@ object VecOps {
     acc
   }
 
+  /** All-planes random-hyperplane signature in one pass over the vector:
+    * bit i set iff dot(v, plane_i) >= 0. `flat` is the nBits×dim plane
+    * matrix row-major; per-plane dots accumulate sequentially in double,
+    * bit-identical to the composed zip_with+aggregate formulation it
+    * replaces (which allocated an intermediate array per plane per row —
+    * 32 allocations/row at the q67/q68 settings). */
+  def hyperplaneSig(v: ArrayData, flat: Array[Double], dim: Int): Long = {
+    val nBits = flat.length / dim
+    val n = math.min(v.numElements(), dim)
+    var sig = 0L
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      val base = i * dim
+      var j = 0
+      while (j < n) { acc += v.getFloat(j).toDouble * flat(base + j); j += 1 }
+      if (acc >= 0.0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
   /** One-pass MinHash signature over hashed shingles: k minima of
     * xxh64(shingle_hash, seed=i). */
   def minhash(arr: ArrayData, k: Int): ArrayData = {
@@ -137,6 +159,9 @@ object VecOps {
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
 
+  def hyperplane_sig(c: Column, planes: Array[Array[Double]]): Column =
+    ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(c), planes))
+
   def shingle_hashes(c: Column, nGram: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
 
@@ -186,6 +211,25 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDot =
     copy(l, r)
   override def prettyName: String = "float_vec_dot"
+}
+
+/** hyperplane_sig(array<float>) → long: all nBits plane dots in one
+  * codegen'd primitive loop (vs one zip_with+aggregate pipeline per
+  * plane). The plane matrix is a query-constant reference object. */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  private lazy val flat: Array[Double] = planes.flatten
+  private lazy val dim: Int = planes.head.length
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneSig(v.asInstanceOf[ArrayData], flat, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", flat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.VecOps.hyperplaneSig($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
 }
 
 /** minhash_sig(array<string>, k) → array<long>: one pass over the shingle

@@ -28,16 +28,24 @@ object Similarity extends QueryModule {
     Array.fill(nBits, Dim)(rnd.nextGaussian())
   }
 
-  /** Dot product of an ArrayType(Float) column with a constant plane. */
-  private def dotConst(v: Column, plane: Array[Double]): Column =
+  /** Dot product of an ArrayType(Float) column with a constant plane —
+    * the composed HOF formulation, kept as the spec reference for the
+    * native kernel (allocates an intermediate array per plane per row). */
+  def dotConstComposed(v: Column, plane: Array[Double]): Column =
     aggregate(zip_with(v, typedLit(plane.toSeq), (x, w) => x.cast("double") * w),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** LSH bit-signature of an embedding column. */
-  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+  /** Composed HOF signature (spec reference only). */
+  def lshSignatureComposed(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dotConst(v, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      when(dotConstComposed(v, p) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** LSH bit-signature of an embedding column: all plane dots in one
+    * native codegen'd pass (graft.catalyst.HyperplaneSig), bit-identical
+    * to [[lshSignatureComposed]] (sequential double accumulation). */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    graft.catalyst.VecOps.hyperplane_sig(v, planes)
 
   /** Exact cosine similarity between two ArrayType(Float) columns, via the
     * native FloatVecDot kernel (primitive loop in codegen — no per-row

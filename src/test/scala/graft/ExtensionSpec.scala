@@ -122,6 +122,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(again === est)
   }
 
+  test("native hyperplane signature is bit-identical to the composed HOF form") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(32, seed = 7L)
+    val diff = Tables.t(spark, sfDir, "embeddings")
+      .select(
+        Similarity.lshSignature($"embedding", planes).as("native"),
+        Similarity.lshSignatureComposed($"embedding", planes).as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff === 0L)
+  }
+
   test("banded source pairs: finds near-identical sources, ests agree with all-pairs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -53,6 +53,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplaneSig equals per-plane sequential-dot reference") {
+    val vec = Gen.listOfN(16, Gen.choose(-4.0f, 4.0f))
+    val planes = Gen.listOfN(5, Gen.listOfN(16, Gen.choose(-1.0, 1.0)))
+    forAll(vec, planes) { (v, ps) =>
+      val flat = ps.flatten.toArray
+      val got = VecOps.hyperplaneSig(
+        new GenericArrayData(v.toArray), flat, 16)
+      val want = ps.zipWithIndex.foldLeft(0L) { case (sig, (p, i)) =>
+        var acc = 0.0
+        var j = 0
+        while (j < 16) { acc += v(j).toDouble * p(j); j += 1 }
+        if (acc >= 0.0) sig | (1L << i) else sig
+      }
+      assert(got === want)
+    }
+  }
+
   test("shingleHashes: count equals distinct string-shingle count") {
     forAll(text) { t =>
       val toks = t.trim.split(" ").filter(_.nonEmpty).toSeq
