@@ -51,12 +51,25 @@ object StreamingOps extends QueryModule {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
 
-  /** Run a streaming DataFrame to a memory sink, drain, stop, return. */
+  /** Run a streaming DataFrame to a memory sink, drain, stop, return.
+    *
+    * `shufflePartitions` sizes the stateful-operator stores for the query:
+    * each stateful op keeps one state store PER shuffle partition, so a
+    * stream keyed by a few hundred keys gets pure store-init overhead from
+    * the session default of 32 (measured in round 1: 32→8 cut the
+    * stream-stream join 13.5s→3.5s at sf0.1). On a cluster the same knob
+    * scales partitions to state volume, not CPU count — the number is
+    * pinned into the checkpoint at first start, so it is a per-query
+    * decision either way. */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = streamed.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+      mode: String, shufflePartitions: Option[Int] = None): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = streamed.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -72,7 +85,7 @@ object StreamingOps extends QueryModule {
           .groupBy(window($"ts", "1 hour"), $"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
           .select($"window.start".cast("timestamp_ntz").as("w_start"), $"event_type", $"n", $"sum_value")
-        runToMemory(s, agg, "graft_mem_tumbling", "complete")
+        runToMemory(s, agg, "graft_mem_tumbling", "complete", shufflePartitions = Some(8))
           .orderBy($"w_start", $"event_type")
       },
       Some("""
@@ -94,7 +107,7 @@ object StreamingOps extends QueryModule {
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_v"))
           .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n",
             floor($"sum_v" / $"n" * 10000.0).cast("double").divide(10000.0).as("avg_value"))
-        runToMemory(s, agg, "graft_mem_sliding", "complete")
+        runToMemory(s, agg, "graft_mem_sliding", "complete", shufflePartitions = Some(8))
           .orderBy($"w_start")
       },
       Some("""
@@ -162,7 +175,7 @@ object StreamingOps extends QueryModule {
           .withWatermark("ts", "1 hour")
           .dropDuplicates("user_id", "event_type")
           .select($"user_id", $"event_type")
-        val out = runToMemory(s, deduped, "graft_mem_dedup", "append")
+        val out = runToMemory(s, deduped, "graft_mem_dedup", "append", shufflePartitions = Some(8))
         out.groupBy($"event_type")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy($"event_type")
@@ -190,7 +203,7 @@ object StreamingOps extends QueryModule {
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type")
           .select($"user_id", $"event_type")
-        val out = runToMemory(s, deduped, "graft_mem_dedup_wm", "append")
+        val out = runToMemory(s, deduped, "graft_mem_dedup_wm", "append", shufflePartitions = Some(8))
         out.groupBy($"event_type")
           .agg(count(lit(1)).as("n_distinct_users"))
           .orderBy($"event_type")
@@ -225,7 +238,7 @@ object StreamingOps extends QueryModule {
               Iterator((user, n, v))
             })
           .toDF("user_id", "n_events", "total_value")
-        val out = runToMemory(s, perUser, "graft_mem_stateful", "update")
+        val out = runToMemory(s, perUser, "graft_mem_stateful", "update", shufflePartitions = Some(8))
         // update mode re-emits per batch; the LAST row per user is the
         // converged state (single-batch here, but written to be correct
         // for any batching)
@@ -259,7 +272,7 @@ object StreamingOps extends QueryModule {
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
             round(sum($"value" * $"weight"), 2).as("weighted_value"))
-        runToMemory(s, joined, "graft_mem_enrich", "complete")
+        runToMemory(s, joined, "graft_mem_enrich", "complete", shufflePartitions = Some(8))
           .orderBy($"event_type")
       },
       Some("""
@@ -283,27 +296,23 @@ object StreamingOps extends QueryModule {
         import s.implicits._
         // Stream-stream join state lives in one store PER shuffle
         // partition per side; for a keyed-by-150-users stream the default
-        // 32 partitions are pure store overhead — size to the key space.
-        // (On a cluster this is the same knob: partitions ~ state volume,
-        // not CPU count.)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val ev = eventsStream(s, dir)
-          val purchases = ev.filter($"event_type" === "purchase")
-            .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
-            .withWatermark("p_ts", "1 hour")
-          val clicks = ev.filter($"event_type" === "click")
-            .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
-            .withWatermark("c_ts", "1 hour")
-          val joined = purchases.join(clicks,
-            $"p_user" === $"c_user" &&
-              $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
-          val out = runToMemory(s, joined.select($"p_id", $"c_id"),
-            "graft_mem_ssjoin", "append")
-          out.groupBy().agg(count(lit(1)).as("n_pairs"),
-            countDistinct($"p_id").as("n_purchases_with_click"))
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        // 32 partitions are pure store overhead — size to the key space
+        // via runToMemory's shufflePartitions knob (32→8 measured
+        // 13.5s→3.5s at sf0.1 in round 1).
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        val out = runToMemory(s, joined.select($"p_id", $"c_id"),
+          "graft_mem_ssjoin", "append", shufflePartitions = Some(8))
+        out.groupBy().agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"p_id").as("n_purchases_with_click"))
       },
       Some("""
         SELECT count(*) AS n_pairs,

@@ -36,4 +36,23 @@ class DsV2SourceSpec extends AnyFunSuite {
     val ticks = spark.table("dsv2_flights").select($"time").distinct().count()
     assert(ticks === n / 40)
   }
+
+  test("Trigger.AvailableNow admits exactly one tick then terminates") {
+    import spark.implicits._
+    val raw = spark.readStream
+      .format("graft.sources.OpenSkyStreamSource")
+      .option("statesPerTick", "25")
+      .load()
+    val q = raw.writeStream.outputMode("append")
+      .format("memory").queryName("dsv2_available_now")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow polls latestOffset(start, limit) up front and runs to
+    // that bound: the admission-control source offers start+1, so the run
+    // is one tick — and the query STOPS, which a call-counting
+    // latestOffset (fabricating a tick per poll) would never do.
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.table("dsv2_available_now").count() === 1L) // one raw envelope row
+    assert(spark.table("dsv2_available_now").select($"tick").head().getLong(0) === 1L)
+  }
 }
