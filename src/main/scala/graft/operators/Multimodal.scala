@@ -126,6 +126,35 @@ object Multimodal extends QueryModule {
         ORDER BY doc_id""")),
 
     Q(
+      "q95_multimodal_resize",
+      "Resize stub: nearest-neighbor downsample of the payload byte " +
+        "signal onto a fixed 16-sample grid (the 1-D shape of image " +
+        "resize — swap the sampler for a real interpolator with codecs). " +
+        "Pure codegen'd projection + generator, no shuffle of payload " +
+        "bytes; oracle resamples codepoints (fixtures are ASCII, byte == " +
+        "codepoint, same equivalence as q83's oracle).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", $"text".cast("binary").as("payload"))
+          .select($"doc_id",
+            posexplode(expr(
+              """transform(sequence(0, 15), i ->
+                 ascii(substring(cast(payload as string),
+                   int(floor(i * length(payload) / 16.0)) + 1, 1)))"""))
+              .as(Seq("grid_idx", "sample_byte")))
+          .orderBy($"doc_id", $"grid_idx")
+      },
+      Some("""
+        WITH g AS (SELECT doc_id, text, unnest(range(0, 16)) AS grid_idx
+                   FROM documents)
+        SELECT doc_id, CAST(grid_idx AS INTEGER) AS grid_idx,
+               ord(text[CAST(floor(grid_idx * length(text) / 16.0) AS INTEGER) + 1])
+                 AS sample_byte
+        FROM g
+        ORDER BY doc_id, grid_idx""")),
+
+    Q(
       "q84_multimodal_framesample",
       "Frame sampling: treat the payload as fixed-size frames (16 B), " +
         "sample every 4th, explode to one row per sampled frame with a " +

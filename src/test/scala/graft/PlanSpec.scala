@@ -16,6 +16,23 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q63/q68: candidate distinct dedups only id pairs, never arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    // the widest shuffle of an LSH job is the candidate-pair distinct; a
+    // regression that pulls signature/embedding arrays back through it
+    // multiplies shuffle bytes by the array width at 100 TB
+    Seq("q63_minhash_lsh_pairs", "q68_embedding_neardup_lsh").foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val aggs = lp.collect { case a: Aggregate => a }
+      assert(aggs.nonEmpty, s"$name should contain the candidate distinct")
+      aggs.foreach { a =>
+        assert(a.output.forall(o => !o.dataType.isInstanceOf[ArrayType]),
+          s"$name: aggregate output carries arrays: ${a.output.map(_.dataType)}")
+      }
+    }
+  }
+
   test("q02: filters and projection are pushed into the parquet scan") {
     val plan = planOf("q02_filter_project")
     assert(plan.contains("PushedFilters: ["), plan.take(800))
