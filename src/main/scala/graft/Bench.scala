@@ -31,8 +31,14 @@ object Bench {
     println(json)
     println(s"GRAFT_BENCH_JSON $json")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      // the printed lines above are the primary contract; a bad BENCH_OUT
+      // path must not fail a completed benchmark run
+      case e: java.io.IOException =>
+        System.err.println(s"bench: could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -15,18 +15,19 @@ object Tables {
 
   // Memoize per (session, dir, table): schema/footer discovery is pure
   // driver-side overhead that would otherwise be paid on every query.
-  // Keyed WEAKLY by the session itself (not an identity hash, which can
-  // collide and never evicts): a stopped session's DataFrames become
-  // collectable with it, and two live sessions can never share entries.
+  // Keyed by the session OBJECT (reference equality — unlike an identity
+  // hash, two live sessions can never collide). Weak keys would not help
+  // here: the cached DataFrames strongly reference their own session, so
+  // eviction must be explicit — stopped sessions are pruned on access.
   private final class PerSession {
     val frames = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
     val registeredDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   }
-  private val sessions = new java.util.WeakHashMap[SparkSession, PerSession]()
-  private def perSession(spark: SparkSession): PerSession = sessions.synchronized {
-    var m = sessions.get(spark)
-    if (m == null) { m = new PerSession; sessions.put(spark, m) }
-    m
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, PerSession]()
+  private def perSession(spark: SparkSession): PerSession = {
+    sessions.keySet.removeIf(s => (s ne spark) && s.sparkContext.isStopped)
+    sessions.computeIfAbsent(spark, _ => new PerSession)
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =

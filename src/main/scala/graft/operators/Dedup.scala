@@ -102,6 +102,14 @@ object Dedup extends QueryModule {
   def minhashSignature(sh: Column, k: Int): Column =
     graft.catalyst.VecOps.minhash_sig(sh, k)
 
+  /** Per-band keys of a k-component array signature: band b's key is
+    * xxhash64 over its `rows` consecutive components. Shared by every
+    * array-signature LSH site (q63, bandedSourcePairs) so the banding
+    * arithmetic cannot silently diverge between them. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64((0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+
   /** Group-level MinHash sketches per source (shared by q59 and the
     * banded scale path below): O(k) mergeable state per group. */
   def sourceSketches(s: SparkSession, dir: String, k: Int): DataFrame = {
@@ -122,17 +130,18 @@ object Dedup extends QueryModule {
     * the right plan at dozens of sources (its quadratic term is
     * |sources|², independent of document count); this replaces it when
     * the source space itself is large. Band count trades recall for
-    * cost: a pair with true estimate >= minEst shares a band with
-    * probability 1-(1-minEst^(k/bands))^bands (0.97 at defaults). */
+    * cost: a pair with true estimate j shares a band with probability
+    * 1-(1-j^(k/bands))^bands — at the defaults (4 rows × 16 bands) that
+    * is 0.64 for a boundary pair at j=0.5, 0.97 at j=0.67, and ~1 above
+    * 0.8; widen to 2-row bands for near-total recall at j=0.5 at the
+    * price of more candidates from dissimilar pairs. */
   def bandedSourcePairs(s: SparkSession, dir: String, k: Int = 64,
       bands: Int = 16, minEst: Double = 0.5): DataFrame = {
     import s.implicits._
     val rows = k / bands
     val sigs = sourceSketches(s, dir, k)
     val banded = sigs.select($"source",
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64((0 until rows).map(r =>
-          element_at($"sig", b * rows + r + 1)): _*))).as(Seq("band_idx", "band_key")))
+      posexplode(bandKeys($"sig", bands, rows)).as(Seq("band_idx", "band_key")))
     val a = banded.select($"source".as("s1"), $"band_idx", $"band_key")
     val b = banded.select($"source".as("s2"), $"band_idx", $"band_key")
     val cand = a.join(b, Seq("band_idx", "band_key")).filter($"s1" < $"s2")
@@ -205,9 +214,7 @@ object Dedup extends QueryModule {
         val sig = sh.select($"doc_id", minhashSignature($"sh", k).as("mh"))
         val banded = sig.select(
           $"doc_id",
-          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            xxhash64((0 until rows).map(r =>
-              element_at($"mh", b * rows + r + 1)): _*))).as(Seq("band_idx", "band_key")))
+          posexplode(bandKeys($"mh", bands, rows)).as(Seq("band_idx", "band_key")))
         val a = banded.select($"doc_id".as("d1"), $"band_idx", $"band_key")
         val b = banded.select($"doc_id".as("d2"), $"band_idx", $"band_key")
         // Candidate stage carries ONLY 16-byte id pairs through the join +

@@ -97,6 +97,10 @@ object Multimodal extends QueryModule {
         import s.implicits._
         val media = Tables.t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("payload"))
+          // empty payloads carry no signal and would make the mean 0/0;
+          // excluded on both sides (the oracle's per-byte unnest drops
+          // empty documents naturally)
+          .filter(length($"payload") > 0)
           .as[(Long, Array[Byte])]
         media.mapPartitions { batch =>
           // batch-shaped: one iterator per partition, like an Arrow batch

@@ -42,8 +42,12 @@ object Similarity extends QueryModule {
     }.reduce(_ + _)
 
   /** LSH bit-signature of an embedding column: all plane dots in one
-    * native codegen'd pass (graft.catalyst.HyperplaneSig), bit-identical
-    * to [[lshSignatureComposed]] (sequential double accumulation). */
+    * native codegen'd pass (graft.catalyst.HyperplaneSig). Bit-identical
+    * to [[lshSignatureComposed]] for non-null full-dimension vectors
+    * (sequential double accumulation — asserted in ExtensionSpec);
+    * degenerate inputs diverge by design: the kernel treats missing /
+    * null components as 0 contribution, while the composed HOF form
+    * yields a NULL dot (bit 0) for them. */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     graft.catalyst.VecOps.hyperplane_sig(v, planes)
 

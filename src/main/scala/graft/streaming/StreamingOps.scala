@@ -63,13 +63,18 @@ object StreamingOps extends QueryModule {
     * decision either way. */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
       mode: String, shufflePartitions: Option[Int] = None): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    shufflePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
-    try {
-      val q = streamed.writeStream.outputMode(mode)
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // The override touches session-global conf, so confine it to the
+    // start() window (StreamExecution clones the session — and with it the
+    // conf — synchronously at construction) and serialize that window so
+    // two concurrent runToMemory calls cannot read each other's temporary
+    // value as the `prev` they later restore.
+    val q = s.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      shufflePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
+      try streamed.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
 
@@ -193,9 +198,12 @@ object StreamingOps extends QueryModule {
         "keys state forever for every distinct key — this variant evicts " +
         "a key's state once the watermark passes its event time, so state " +
         "is O(keys per watermark window), the form that survives " +
-        "unbounded key spaces at 100 TB/day. Duplicates here all arrive " +
-        "within the delay, so the result equals full distinct; the " +
-        "eviction/re-emission semantics are asserted multi-batch in " +
+        "unbounded key spaces at 100 TB/day. The result equals full " +
+        "distinct here because the fixture arrives as ONE micro-batch " +
+        "(the watermark never advances mid-run, so nothing evicts); with " +
+        "multi-batch arrival, keys recurring beyond the delay re-emit BY " +
+        "DESIGN — that bounded-memory trade is the point of the API, and " +
+        "its eviction/re-emission semantics are asserted multi-batch in " +
         "StreamingSpec.",
       (s, dir) => {
         import s.implicits._
