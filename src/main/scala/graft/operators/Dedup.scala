@@ -157,6 +157,65 @@ object Dedup extends QueryModule {
       .orderBy($"s1", $"s2")
   }
 
+  /** MinHash(64)+LSH(16×4) candidate pairs, exact-Jaccard-confirmed at
+    * `threshold` (the q63 operator, reusable): band-key equi-join with an
+    * id-pair-only candidate shuffle, signatures rejoined once per pair. */
+  def minhashLshPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val k = 64; val bands = 16; val rows = 4
+    val sh = docShingles(s, dir)
+    val sig = sh.select($"doc_id", minhashSignature($"sh", k).as("mh"))
+    val banded = sig.select(
+      $"doc_id",
+      posexplode(bandKeys($"mh", bands, rows)).as(Seq("band_idx", "band_key")))
+    val a = banded.select($"doc_id".as("d1"), $"band_idx", $"band_key")
+    val b = banded.select($"doc_id".as("d2"), $"band_idx", $"band_key")
+    // Candidate stage carries ONLY 16-byte id pairs through the join +
+    // distinct (the widest shuffle of the job at 100 TB); the shingle
+    // arrays rejoin once per surviving pair, not once per band match.
+    val cand = a.join(b, Seq("band_idx", "band_key"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+      .withColumn("jac",
+        size(array_intersect($"sh1", $"sh2")).cast("double") /
+          size(array_union($"sh1", $"sh2")))
+      .filter($"jac" >= threshold)
+      .select($"d1", $"d2", round($"jac", 4).as("jac"))
+  }
+
+  /** Near-dup CLUSTER assignment: connected components over the LSH pair
+    * graph by iterative min-label propagation — each pass every node
+    * adopts the smallest label among itself and its neighbors, converging
+    * in O(component diameter) distributed passes (near-dup components are
+    * short chains in practice, so 2-4 passes). Per pass: one shuffle of
+    * the (slim, id+label) edge join; lineage truncated with an eager
+    * localCheckpoint so the loop's plan does not grow. This is the step
+    * production dedup needs beyond pairs: one SURVIVOR per transitive
+    * duplicate set (pairs alone under-delete A~B~C sets). */
+  def neardupClusters(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshPairs(s, dir, threshold).select($"d1", $"d2")
+    val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("a", "b")
+      .localCheckpoint(true)
+    var labels = edges.select($"a".as("node")).distinct()
+      .withColumn("label", $"node").localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, $"b" === $"node")
+        .groupBy($"a").agg(min($"label").as("nb_min"))
+      val next = labels.join(neighborMin, $"node" === $"a", "left")
+        .select($"node", least($"label", coalesce($"nb_min", $"label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select($"node", $"label".as("old")), "node")
+        .filter($"label" < $"old").count()
+      labels = next
+    }
+    labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q60_dedup_exact",
@@ -207,33 +266,48 @@ object Dedup extends QueryModule {
         "qualifying pair in the fixtures) miss probability is " +
         "(1-0.8^4)^16 ~ 2e-4, at 0.9 ~ 1e-7 — so the result equals the " +
         "exact oracle.",
+      (s, dir) => minhashLshPairs(s, dir, 0.8).orderBy("d1", "d2"),
+      Some(jaccardOracle(0.8))),
+
+    Q(
+      "q96_dedup_clusters",
+      "Near-dup cluster assignment: connected components over the " +
+        "LSH-confirmed pair graph (min-label propagation, O(diameter) " +
+        "distributed passes), one row per clustered doc with its " +
+        "component-min cluster_id and a survivor flag — the transitive " +
+        "step pairwise dedup misses (an A~B~C set keeps only A). Oracle " +
+        "= DuckDB WITH RECURSIVE transitive closure over the same exact " +
+        "pair set.",
       (s, dir) => {
         import s.implicits._
-        val k = 64; val bands = 16; val rows = 4
-        val sh = docShingles(s, dir)
-        val sig = sh.select($"doc_id", minhashSignature($"sh", k).as("mh"))
-        val banded = sig.select(
-          $"doc_id",
-          posexplode(bandKeys($"mh", bands, rows)).as(Seq("band_idx", "band_key")))
-        val a = banded.select($"doc_id".as("d1"), $"band_idx", $"band_key")
-        val b = banded.select($"doc_id".as("d2"), $"band_idx", $"band_key")
-        // Candidate stage carries ONLY 16-byte id pairs through the join +
-        // distinct (the widest shuffle of the job at 100 TB); the shingle
-        // arrays rejoin once per surviving pair, not once per band match.
-        val cand = a.join(b, Seq("band_idx", "band_key"))
-          .filter($"d1" < $"d2")
-          .select($"d1", $"d2").distinct()
-        cand
-          .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
-          .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
-          .withColumn("jac",
-            size(array_intersect($"sh1", $"sh2")).cast("double") /
-              size(array_union($"sh1", $"sh2")))
-          .filter($"jac" >= 0.8)
-          .select($"d1", $"d2", round($"jac", 4).as("jac"))
-          .orderBy($"d1", $"d2")
+        neardupClusters(s, dir, 0.8)
+          .withColumn("is_survivor", $"doc_id" === $"cluster_id")
+          .orderBy($"cluster_id", $"doc_id")
       },
-      Some(jaccardOracle(0.8))),
+      Some(s"""
+        WITH RECURSIVE toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+        shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shng),
+        cand AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT d1, d2 FROM cand
+          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a)
+        SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
+        FROM comp
+        ORDER BY cluster_id, doc_id""")),
 
     Q(
       "q69_mllib_minhash",

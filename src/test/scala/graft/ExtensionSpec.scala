@@ -162,6 +162,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(bandedFixture.count() === 0L)
   }
 
+  test("neardup clusters equal union-find over the pair graph") {
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(pairs.nonEmpty && got.nonEmpty)
+  }
+
   test("MLlib MinHashLSH pairs equal exact jaccard pairs on fixtures") {
     val exact = SparkEntry.queries("q62_ngram_jaccard_pairs")(spark, sfDir)
       .collect().map(_.toSeq.take(2)).toSet
