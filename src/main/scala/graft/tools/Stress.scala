@@ -85,6 +85,9 @@ object Stress {
     time("minhash lsh 51k docs") {
       SparkEntry.queries("q63_minhash_lsh_pairs")(s, out).count()
     }
+    time("neardup clusters 51k docs") {
+      graft.operators.Dedup.neardupClusters(s, out, 0.8).count()
+    }
     time("asof native 6M events") {
       SparkEntry.queries("q19_asof_join_native")(s, out).count()
     }
