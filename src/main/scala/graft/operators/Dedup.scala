@@ -81,19 +81,27 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
-  /** Oracle SQL matching [[jaccardPairs]]. */
-  def jaccardOracle(threshold: Double): String =
-    s"""
-      WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
-      sh AS (SELECT doc_id, $duckShingles AS sh FROM toks),
-      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
-      pairs AS (
+  /** Shared CTE chain producing exact-Jaccard candidate pairs — the ONE
+    * SQL definition of pair semantics, embedded by every oracle that
+    * consumes pairs (q62/q63/q69 via [[jaccardOracle]], q96's recursive
+    * closure) so they cannot silently diverge. Exposes `jpairs(d1, d2,
+    * common, n1, n2)`; callers apply the threshold predicate. */
+  val jaccardPairsCte: String =
+    s"""toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shng),
+      jpairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
                any_value(a.n) AS n1, any_value(b.n) AS n2
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+
+  /** Oracle SQL matching [[jaccardPairs]]. */
+  def jaccardOracle(threshold: Double): String =
+    s"""
+      WITH $jaccardPairsCte
       SELECT d1, d2, round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jac
-      FROM pairs
+      FROM jpairs
       WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= $threshold
       ORDER BY d1, d2"""
 
@@ -197,9 +205,13 @@ object Dedup extends QueryModule {
     * duplicate set (pairs alone under-delete A~B~C sets). */
   def neardupClusters(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     import s.implicits._
+    // Materialize the (expensive) confirm stage ONCE; the reversed-edge
+    // union reads the checkpoint, not a second copy of the LSH pipeline.
     val pairs = minhashLshPairs(s, dir, threshold).select($"d1", $"d2")
+      .localCheckpoint(true)
     val edges = pairs.union(pairs.select($"d2", $"d1")).toDF("a", "b")
       .localCheckpoint(true)
+    pairs.unpersist()
     var labels = edges.select($"a".as("node")).distinct()
       .withColumn("label", $"node").localCheckpoint(true)
     var changed = 1L
@@ -208,11 +220,14 @@ object Dedup extends QueryModule {
         .groupBy($"a").agg(min($"label").as("nb_min"))
       val next = labels.join(neighborMin, $"node" === $"a", "left")
         .select($"node", least($"label", coalesce($"nb_min", $"label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materialized before old labels go away
       changed = next.join(labels.select($"node", $"label".as("old")), "node")
         .filter($"label" < $"old").count()
+      labels.unpersist() // superseded checkpoint blocks don't wait for GC
       labels = next
     }
+    edges.unpersist()
+    // the final labels checkpoint stays persisted — it backs the returned frame
     labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
   }
 
@@ -285,16 +300,9 @@ object Dedup extends QueryModule {
           .orderBy($"cluster_id", $"doc_id")
       },
       Some(s"""
-        WITH RECURSIVE toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
-        shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
-        ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shng),
-        cand AS (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
-                 any_value(a.n) AS n1, any_value(b.n) AS n2
-          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+        WITH RECURSIVE $jaccardPairsCte,
         pairs AS (
-          SELECT d1, d2 FROM cand
+          SELECT d1, d2 FROM jpairs
           WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
                   UNION ALL SELECT d2, d1 FROM pairs),

@@ -98,8 +98,8 @@ object Multimodal extends QueryModule {
         val media = Tables.t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("payload"))
           // empty payloads carry no signal and would make the mean 0/0;
-          // excluded on both sides (the oracle's per-byte unnest drops
-          // empty documents naturally)
+          // excluded on both sides (the oracle filters text <> '' — its
+          // char splitter would otherwise emit a bogus ord('')=-1 row)
           .filter(length($"payload") > 0)
           .as[(Long, Array[Byte])]
         media.mapPartitions { batch =>
@@ -116,7 +116,8 @@ object Multimodal extends QueryModule {
       Some("""
         WITH b AS (
           SELECT doc_id, unnest([ord(c) for c in string_split(text, '')]) AS byte
-          FROM documents)
+          FROM documents
+          WHERE text <> '')
         SELECT doc_id,
                CAST(count(*) AS INTEGER)                      AS n_bytes,
                floor(sum(byte) * 10000.0 / count(*)) / 10000.0 AS mean_byte,
