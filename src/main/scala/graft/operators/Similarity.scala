@@ -75,6 +75,23 @@ object Similarity extends QueryModule {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** IVF-style inverted-list assignment: each vector goes to its
+    * max-cosine coarse centroid. Centroids are the first `nlist` corpus
+    * vectors (deterministic sampled quantizer — the standard cheap
+    * alternative to a trained k-means codebook; swap in trained centroids
+    * without touching the plan). One linear corpus pass against a
+    * broadcast centroid table; `keep` nearest lists per vector (1 to
+    * build the index, nprobe>1 for probe-side multi-list search). */
+  def ivfAssign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"list_id")
+    e.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine($"embedding", $"c_vec"))
+      .withColumn("c_rank", row_number().over(w))
+      .filter($"c_rank" <= keep)
+      .drop("c_vec", "c_sim", "c_rank")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q66_knn_brute_force",
@@ -183,6 +200,39 @@ object Similarity extends QueryModule {
           .filter($"cos" >= 0.45)
           .select($"v1", $"v2", round($"cos", 4).as("cos"))
           .orderBy($"v1", $"v2")
+      },
+      None),
+
+    Q(
+      "q97_knn_ivf",
+      "IVF-bucketed ANN (the brief's other scale path next to q67's " +
+        "LSH): corpus vectors assigned to their nearest of 16 sampled " +
+        "coarse centroids (one linear pass vs a broadcast centroid " +
+        "table); each probe scans its nprobe=2 nearest inverted lists " +
+        "(~1/8 of the corpus), exact cosine re-ranks. At scale the " +
+        "assignment is a persisted column and each probe touches only " +
+        "its lists — classic IVF-Flat. Rows-only check (list assignment " +
+        "is quantizer-defined); ExtensionSpec asserts recall vs exact " +
+        "q66 + candidate reduction.",
+      (s, dir) => {
+        import s.implicits._
+        val nlist = 16; val nprobe = 2
+        val e = Tables.t(s, dir, "embeddings")
+        val centroids = e.filter($"vec_id" < nlist)
+          .select($"vec_id".as("list_id"), $"embedding".as("c_vec"))
+        val indexed = ivfAssign(e.select($"vec_id", $"embedding"), centroids, keep = 1)
+        val probes = ivfAssign(
+          e.filter($"vec_id" < 8).select($"vec_id", $"embedding"),
+          centroids, keep = nprobe)
+          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"), $"list_id")
+        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+        indexed.join(broadcast(probes), Seq("list_id"))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
+          .select($"probe_id", $"vec_id", $"cos").distinct()
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+          .orderBy($"probe_id", $"rank")
       },
       None),
 

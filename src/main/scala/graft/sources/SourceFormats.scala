@@ -46,6 +46,12 @@ object SourceFormats extends QueryModule {
     Q("q86_json_roundtrip",
       "JSON-lines sink + schema-explicit JSON source round-trip (schema " +
         "given, never inferred — inference at 100 TB is a full extra scan).",
-      (s, dir) => roundTrip("json")(s, dir), Some(oracle))
+      (s, dir) => roundTrip("json")(s, dir), Some(oracle)),
+    Q("q98_orc_roundtrip",
+      "ORC sink + source round-trip — the second columnar format Spark " +
+        "ships natively (predicate pushdown + column pruning apply as " +
+        "with parquet); oracle on the parquet original proves " +
+        "losslessness.",
+      (s, dir) => roundTrip("orc")(s, dir), Some(oracle))
   )
 }

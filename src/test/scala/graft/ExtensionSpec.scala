@@ -82,6 +82,20 @@ class ExtensionSpec extends AnyFunSuite {
     assert(lsh.nonEmpty && lsh.size <= brute.size * 2)
   }
 
+  test("knn IVF: recall floor + candidate reduction on fixtures") {
+    val brute = SparkEntry.queries("q66_knn_brute_force")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q97_knn_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // Uniform random embeddings are the quantizer's worst case too (no
+    // real clusters to capture); nprobe=2 of nlist=16 scans ~1/8 of the
+    // corpus, so assert recall well above that chance rate plus the
+    // bounded-candidates property.
+    assert(recall >= 0.15, s"IVF recall $recall below floor")
+    assert(ivf.nonEmpty && ivf.size <= brute.size * 2)
+  }
+
   test("native expressions are callable from SQL (injectFunction)") {
     import spark.implicits._
     Seq(("hello world", Seq(0.5f, 0.5f))).toDF("t", "v").createOrReplaceTempView("sqlfn_probe")
