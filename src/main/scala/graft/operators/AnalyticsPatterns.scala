@@ -70,6 +70,34 @@ object AnalyticsPatterns extends QueryModule {
         ORDER BY cohort_wk""")),
 
     Q(
+      "q99_hash_sample",
+      "Reproducible content-hash sampling (~20% of documents): a row is " +
+        "in the sample iff the first md5 byte of its key is < 0x33 — the " +
+        "deterministic, engine-independent, join-stable form of sampling " +
+        "a 100 TB training pipeline needs (rerunning ANY subset of the " +
+        "data yields the same membership, unlike seeded RNG sampling " +
+        "whose draw depends on partitioning). Verified bit-exact against " +
+        "DuckDB computing the same md5 predicate.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .filter(substring(md5($"doc_id".cast("string")), 1, 2) < "33")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_sampled"),
+            // floor-truncated mean from the integer sum: IEEE-identical on
+            // both engines (round() ties on .00005 boundaries are not)
+            (floor(sum($"n_chars") * 10000.0 / count(lit(1))) / 10000.0).as("avg_chars"))
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source, count(*) AS n_sampled,
+               floor(sum(n_chars) * 10000.0 / count(*)) / 10000.0 AS avg_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+        GROUP BY source
+        ORDER BY source""")),
+
+    Q(
       "q92_funnel_click_to_purchase",
       "Funnel: per user, first click and whether a purchase followed " +
         "within 24h — conditional aggregation over per-user min times, no " +
