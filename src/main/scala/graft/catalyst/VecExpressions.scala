@@ -52,6 +52,47 @@ object VecOps {
     sig
   }
 
+  /** Indices of the `nprobe` max-cosine centroids for a vector, one pass
+    * over the flattened row-major codebook: per-centroid sequential dot +
+    * norm ratio, then bounded selection (sim desc, index asc on ties —
+    * deterministic). A zero-norm vector scores 0 against every centroid.
+    * Centroid norms are precomputed by the expression. */
+  def topCentroids(v: ArrayData, flat: Array[Double], cnorms: Array[Double],
+      dim: Int, nprobe: Int): ArrayData = {
+    val nlist = cnorms.length
+    val n = math.min(v.numElements(), dim)
+    var vsq = 0.0
+    var j = 0
+    while (j < n) { val x = v.getFloat(j).toDouble; vsq += x * x; j += 1 }
+    val vnorm = math.sqrt(vsq)
+    val sims = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var acc = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * flat(base + i); i += 1 }
+      sims(c) = if (vnorm == 0.0 || cnorms(c) == 0.0) 0.0 else acc / (vnorm * cnorms(c))
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var i = 0
+      while (i < nlist) {
+        if (!taken(i) && (best < 0 || sims(i) > sims(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass MinHash signature over hashed shingles: k minima of
     * xxh64(shingle_hash, seed=i). */
   def minhash(arr: ArrayData, k: Int): ArrayData = {
@@ -162,6 +203,9 @@ object VecOps {
   def hyperplane_sig(c: Column, planes: Array[Array[Double]]): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(c), planes))
 
+  def top_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ColumnBridge.column(TopCentroids(ColumnBridge.expression(c), centroids, nprobe))
+
   def shingle_hashes(c: Column, nGram: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
 
@@ -230,6 +274,31 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): HyperplaneSig =
     copy(child = c)
   override def prettyName: String = "hyperplane_sig"
+}
+
+/** top_centroids(array<float>) → array<int>: the nprobe nearest-by-cosine
+  * codebook indices in one codegen'd pass — the IVF coarse-quantizer
+  * assignment as a NARROW projection (no crossJoin against a centroid
+  * table, no window shuffle). The codebook is a query-constant reference
+  * object, the same pattern as HyperplaneSig's plane matrix. */
+case class TopCentroids(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+  private lazy val flat: Array[Double] = centroids.flatten
+  private lazy val dim: Int = centroids.head.length
+  private lazy val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    VecOps.topCentroids(v.asInstanceOf[ArrayData], flat, cnorms, dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refFlat = ctx.addReferenceObj("centroids", flat, "double[]")
+    val refNorms = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.catalyst.VecOps.topCentroids($c, $refFlat, $refNorms, $dim, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): TopCentroids =
+    copy(child = c)
+  override def prettyName: String = "top_centroids"
 }
 
 /** minhash_sig(array<string>, k) → array<long>: one pass over the shingle

@@ -75,21 +75,16 @@ object Similarity extends QueryModule {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** IVF-style inverted-list assignment: each vector goes to its
-    * max-cosine coarse centroid. Centroids are the first `nlist` corpus
-    * vectors (deterministic sampled quantizer — the standard cheap
-    * alternative to a trained k-means codebook; swap in trained centroids
-    * without touching the plan). One linear corpus pass against a
-    * broadcast centroid table; `keep` nearest lists per vector (1 to
-    * build the index, nprobe>1 for probe-side multi-list search). */
-  def ivfAssign(e: DataFrame, centroids: DataFrame, keep: Int): DataFrame = {
+  /** IVF coarse codebook: the first `nlist` corpus vectors, collected as
+    * a driver-side constant matrix (codebooks ARE small driver artifacts
+    * — same class as the LSH plane matrix; a trained k-means codebook
+    * would arrive the same way). The 16×64-double collect is bounded by
+    * nlist, never by corpus size. */
+  def ivfCodebook(e: DataFrame, nlist: Int): Array[Array[Double]] = {
     import e.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"c_sim".desc, $"list_id")
-    e.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine($"embedding", $"c_vec"))
-      .withColumn("c_rank", row_number().over(w))
-      .filter($"c_rank" <= keep)
-      .drop("c_vec", "c_sim", "c_rank")
+    e.filter($"vec_id" < nlist).orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
   override def queries: Seq[Q] = Seq(
@@ -206,30 +201,32 @@ object Similarity extends QueryModule {
     Q(
       "q97_knn_ivf",
       "IVF-bucketed ANN (the brief's other scale path next to q67's " +
-        "LSH): corpus vectors assigned to their nearest of 16 sampled " +
-        "coarse centroids (one linear pass vs a broadcast centroid " +
-        "table); each probe scans its nprobe=2 nearest inverted lists " +
-        "(~1/8 of the corpus), exact cosine re-ranks. At scale the " +
-        "assignment is a persisted column and each probe touches only " +
-        "its lists — classic IVF-Flat. Rows-only check (list assignment " +
-        "is quantizer-defined); ExtensionSpec asserts recall vs exact " +
-        "q66 + candidate reduction.",
+        "LSH): every corpus vector gets its nearest-of-16 coarse " +
+        "centroid as a NARROW codegen'd projection (native TopCentroids " +
+        "— no centroid crossJoin, no window shuffle; at 100 TB the " +
+        "assignment is a persisted column); each probe scans its " +
+        "nprobe=2 nearest inverted lists (~1/8 of the corpus), exact " +
+        "cosine re-ranks — classic IVF-Flat. Rows-only check (list " +
+        "assignment is quantizer-defined); ExtensionSpec asserts recall " +
+        "vs exact q66 + candidate reduction.",
       (s, dir) => {
+        import graft.catalyst.VecOps.top_centroids
         import s.implicits._
         val nlist = 16; val nprobe = 2
         val e = Tables.t(s, dir, "embeddings")
-        val centroids = e.filter($"vec_id" < nlist)
-          .select($"vec_id".as("list_id"), $"embedding".as("c_vec"))
-        val indexed = ivfAssign(e.select($"vec_id", $"embedding"), centroids, keep = 1)
-        val probes = ivfAssign(
-          e.filter($"vec_id" < 8).select($"vec_id", $"embedding"),
-          centroids, keep = nprobe)
-          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"), $"list_id")
+        val cb = ivfCodebook(e, nlist)
+        val indexed = e.select($"vec_id", $"embedding",
+          element_at(top_centroids($"embedding", cb, 1), 1).as("list_id"))
+        val probes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
+            explode(top_centroids($"embedding", cb, nprobe)).as("list_id"))
         val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+        // each corpus vector lives in exactly one list, so a (probe, vec)
+        // candidate appears at most once — no distinct needed
         indexed.join(broadcast(probes), Seq("list_id"))
           .filter($"vec_id" =!= $"probe_id")
           .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
-          .select($"probe_id", $"vec_id", $"cos").distinct()
+          .select($"probe_id", $"vec_id", $"cos")
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 5)
           .orderBy($"probe_id", $"rank")

@@ -70,6 +70,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topCentroids picks the nprobe max-cosine indices, ties to lower index") {
+    val vec = Gen.listOfN(8, Gen.choose(-4.0f, 4.0f))
+    val cents = Gen.listOfN(6, Gen.listOfN(8, Gen.choose(-1.0, 1.0)))
+    forAll(vec, cents) { (v, cs) =>
+      val flat = cs.flatten.toArray
+      val cnorms = cs.map(c => math.sqrt(c.map(x => x * x).sum)).toArray
+      val got = VecOps.topCentroids(
+        new GenericArrayData(v.toArray), flat, cnorms, 8, 2)
+      val vnorm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val sims = cs.map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < 8) { acc += v(j).toDouble * c(j); j += 1 }
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        if (vnorm == 0.0 || cn == 0.0) 0.0 else acc / (vnorm * cn)
+      }
+      val want = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(2).map(_._2)
+      assert((0 until got.numElements()).map(got.getInt) === want)
+    }
+  }
+
   test("shingleHashes: count equals distinct string-shingle count") {
     forAll(text) { t =>
       val toks = t.trim.split(" ").filter(_.nonEmpty).toSeq
