@@ -98,6 +98,39 @@ class JdbcSink(url: String, props: java.util.Properties,
   }
 }
 
+/** Replay-safe JDBC sink — the JDBC analogue of IdempotentParquetSink:
+  * rows land tagged with a `batch_id` column and each append first
+  * deletes that batch's rows, so a REPLAYED batch (post-crash
+  * foreachBatch re-delivery, worker retry) replaces rather than
+  * duplicates itself. The delete+insert pair is NOT one transaction
+  * (Spark's executors write over many connections); the guarantee is
+  * idempotence under replay — a partial write is swept by the delete on
+  * the retry Spark's replay supplies — which combined with
+  * fail-on-partial-fan-out (StreamingIngest) yields effectively-once per
+  * (batch, target). Target tables must carry a BIGINT `batch_id` column
+  * (include it in the DDL passed to ensure()).
+  */
+class IdempotentJdbcSink(url: String, props: java.util.Properties,
+    numPartitions: Int,
+    ddlFor: (String, String, String) => Seq[String] = JdbcSink.mysqlDdl)
+    extends JdbcSink(url, props, numPartitions, ddlFor) {
+
+  override def append(df: DataFrame, db: String, table: String): Unit =
+    append(df, db, table, 0L)
+
+  override def append(df: DataFrame, db: String, table: String, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(s"DELETE FROM $db.$table WHERE batch_id = $batchId")
+      st.close()
+    } finally conn.close()
+    super.append(
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      db, table)
+  }
+}
+
 object JdbcSink {
   /** MySQL bootstrap statements (db_manager.go:141-161 semantics). */
   def mysqlDdl(db: String, table: String, ddl: String): Seq[String] =

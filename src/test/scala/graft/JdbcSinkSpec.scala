@@ -60,6 +60,27 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "ga2.flights", props).count() === 60)
   }
 
+  test("idempotent JDBC sink: replayed batch replaces itself, new batch appends") {
+    import graft.sink.IdempotentJdbcSink
+    import spark.implicits._
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA idem")
+      st.execute("CREATE TABLE idem.t (k BIGINT, v CLOB, batch_id BIGINT)")
+      st.close()
+    } finally conn.close()
+    val sink = new IdempotentJdbcSink(url, props, numPartitions = 1)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    sink.append(df, "idem", "t", batchId = 0)
+    sink.append(df, "idem", "t", batchId = 0) // replay: replaces, no dupes
+    assert(spark.read.jdbc(url, "idem.t", props).count() === 2)
+    sink.append(df, "idem", "t", batchId = 1) // new batch: appends
+    val back = spark.read.jdbc(url, "idem.t", props)
+    assert(back.count() === 4)
+    assert(back.select("batch_id").distinct().count() === 2)
+  }
+
   test("JDBC read pushes filters to the database") {
     val back = spark.read.jdbc(url, "ga1.flights", props)
       .filter("on_ground = true").select("icao24", "on_ground")
