@@ -59,20 +59,30 @@ object Similarity extends QueryModule {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
-  /** Brute-force top-k: broadcast probes × corpus scan → windowed top-k. */
-  def knnBrute(s: SparkSession, dir: String, k: Int, nProbes: Int): DataFrame = {
-    import s.implicits._
-    val e = Tables.t(s, dir, "embeddings")
-    val probes = e.filter($"vec_id" < nProbes)
-      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+  /** The exact re-rank tail every ANN/knn query shares: round(cos, 6)
+    * (6-dp so ranking is engine-independent), per-probe row_number with
+    * vec_id tiebreak, top-k. One definition so a change to the rounding
+    * or tie-break convention cannot diverge across queries. Input needs
+    * (probe_id, vec_id, embedding, probe_vec) columns. */
+  def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    import candidates.sparkSession.implicits._
     val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-    e.crossJoin(broadcast(probes))
+    candidates
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
       .select($"probe_id", $"vec_id", $"cos")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy($"probe_id", $"rank")
+  }
+
+  /** Brute-force top-k: broadcast probes × corpus scan → windowed top-k. */
+  def knnBrute(s: SparkSession, dir: String, k: Int, nProbes: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings")
+    val probes = e.filter($"vec_id" < nProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+    rerankTopK(e.crossJoin(broadcast(probes)), k)
   }
 
   /** IVF coarse codebook: the first `nlist` corpus vectors, collected as
@@ -220,16 +230,9 @@ object Similarity extends QueryModule {
         val probes = e.filter($"vec_id" < 8)
           .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
             explode(top_centroids($"embedding", cb, nprobe)).as("list_id"))
-        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
         // each corpus vector lives in exactly one list, so a (probe, vec)
-        // candidate appears at most once — no distinct needed
-        indexed.join(broadcast(probes), Seq("list_id"))
-          .filter($"vec_id" =!= $"probe_id")
-          .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
-          .select($"probe_id", $"vec_id", $"cos")
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .orderBy($"probe_id", $"rank")
+        // candidate appears at most once — no dedup needed before re-rank
+        rerankTopK(indexed.join(broadcast(probes), Seq("list_id")), 5)
       },
       None),
 
@@ -258,14 +261,10 @@ object Similarity extends QueryModule {
           .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"), $"sig".as("psig"))
           .withColumn("probe_sig",
             explode(transform(typedLit(masks), m => $"psig".bitwiseXOR(m))))
-        val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
-        e.join(broadcast(probes), $"sig" === $"probe_sig")
-          .filter($"vec_id" =!= $"probe_id")
-          .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
-          .select($"probe_id", $"vec_id", $"cos").distinct()
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 5)
-          .orderBy($"probe_id", $"rank")
+        // the 37 probe masks are pairwise-distinct XORs of one signature,
+        // so a corpus vector's single sig matches at most one of them —
+        // (probe, vec) candidates are already unique, no dedup needed
+        rerankTopK(e.join(broadcast(probes), $"sig" === $"probe_sig"), 5)
       },
       None)
   )

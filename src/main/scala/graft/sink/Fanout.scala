@@ -101,19 +101,34 @@ class JdbcSink(url: String, props: java.util.Properties,
 /** Replay-safe JDBC sink — the JDBC analogue of IdempotentParquetSink:
   * rows land tagged with a `batch_id` column and each append first
   * deletes that batch's rows, so a REPLAYED batch (post-crash
-  * foreachBatch re-delivery, worker retry) replaces rather than
-  * duplicates itself. The delete+insert pair is NOT one transaction
-  * (Spark's executors write over many connections); the guarantee is
-  * idempotence under replay — a partial write is swept by the delete on
-  * the retry Spark's replay supplies — which combined with
-  * fail-on-partial-fan-out (StreamingIngest) yields effectively-once per
-  * (batch, target). Target tables must carry a BIGINT `batch_id` column
-  * (include it in the DDL passed to ensure()).
+  * foreachBatch re-delivery) replaces rather than duplicates itself.
+  *
+  * Guarantee, precisely: idempotence under replay PROVIDED the failed
+  * attempt's writers are dead before the retry's sweep — Spark aborts a
+  * failed stage's tasks, but an in-flight JDBC commit from a zombie
+  * connection can land after the sweep and duplicate rows; closing that
+  * window needs write fencing (staging table + rename, or epoch-checked
+  * conditional inserts), which plain INSERT targets don't offer. The
+  * delete+insert pair is likewise not one transaction. Combined with
+  * fail-on-partial-fan-out (StreamingIngest) this yields effectively-
+  * once per (batch, target) under those conditions.
+  *
+  * Batch ids MUST be durable across process restarts (streaming
+  * checkpoint-derived ids, or PollingIngest's run-unique ids): an id
+  * sequence that restarts from scratch would make the sweep DELETE a
+  * previous run's unrelated rows.
+  *
+  * `ensure()` transparently appends the required `batch_id BIGINT`
+  * column to the plugin DDL, so the existing ingest stack needs no
+  * schema changes to adopt this sink.
   */
 class IdempotentJdbcSink(url: String, props: java.util.Properties,
     numPartitions: Int,
     ddlFor: (String, String, String) => Seq[String] = JdbcSink.mysqlDdl)
     extends JdbcSink(url, props, numPartitions, ddlFor) {
+
+  override def ensure(db: String, table: String, ddl: String): Unit =
+    super.ensure(db, table, IdempotentJdbcSink.withBatchColumn(ddl))
 
   override def append(df: DataFrame, db: String, table: String): Unit =
     append(df, db, table, 0L)
@@ -129,6 +144,18 @@ class IdempotentJdbcSink(url: String, props: java.util.Properties,
       df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
       db, table)
   }
+}
+
+object IdempotentJdbcSink {
+  /** Splice `batch_id BIGINT` into a CREATE TABLE statement, before the
+    * closing paren. No-op if the DDL already declares the column. */
+  def withBatchColumn(ddl: String): String =
+    if (ddl.toLowerCase.contains("batch_id")) ddl
+    else {
+      val i = ddl.lastIndexOf(')')
+      require(i >= 0, s"not a CREATE TABLE ddl: $ddl")
+      ddl.substring(0, i) + ", batch_id BIGINT" + ddl.substring(i)
+    }
 }
 
 object JdbcSink {

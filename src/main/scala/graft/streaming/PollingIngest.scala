@@ -46,6 +46,14 @@ object PollingIngest {
     private[PollingIngest] val stopFlag = new AtomicBoolean(false)
     @volatile var ticks: Int = 0
     @volatile var rowsIngested: Long = 0L
+    /** Run-unique base for batch ids (ms epoch at handle creation,
+      * scaled): ticks restart at 0 every run, and an idempotent sink
+      * keyed by bare tick numbers would sweep a PREVIOUS run's rows
+      * (each poll tick carries different live data — deleting them is
+      * data loss, not dedup). Unlike streaming, this loop has no
+      * checkpoint, so ids are unique-per-run rather than replayable:
+      * delivery stays at-least-once, never destructive. */
+    private[PollingIngest] val batchBase: Long = System.currentTimeMillis() * 1000L
     def stop(): Unit = stopFlag.set(true)
   }
 
@@ -74,7 +82,7 @@ object PollingIngest {
         val batch: Dataset[FlightState] =
           OpenSky.parseJson(spark, Seq(raw))
         val (written, rows) = Fanout.writeBatch(batch.toDF(), targets, sink,
-          batchId = handle.ticks + 1) // tick number keys idempotent sinks
+          batchId = handle.batchBase + handle.ticks + 1) // run-unique id
         handle.ticks += 1
         handle.rowsIngested += rows
         log.info(s"tick ${handle.ticks}: fanned out to $written/${targets.size} targets")

@@ -88,11 +88,12 @@ class ExtensionSpec extends AnyFunSuite {
     val ivf = SparkEntry.queries("q97_knn_ivf")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
-    // Uniform random embeddings are the quantizer's worst case too (no
-    // real clusters to capture); nprobe=2 of nlist=16 scans ~1/8 of the
-    // corpus, so assert recall well above that chance rate plus the
-    // bounded-candidates property.
-    assert(recall >= 0.15, s"IVF recall $recall below floor")
+    // nprobe=2 of nlist=16 scans ~1/8 of the corpus, so random list
+    // assignment would score ~0.125; measured recall on the fixtures is
+    // 0.925 (sf0.001/0.01) to 1.0 (sf0.1) — the floor sits far above
+    // chance with margin below the measurement, so a broken quantizer
+    // (wrong codebook offset, bad norm ratio) cannot sneak through.
+    assert(recall >= 0.6, s"IVF recall $recall below floor")
     assert(ivf.nonEmpty && ivf.size <= brute.size * 2)
   }
 
