@@ -310,6 +310,47 @@ object Joins extends QueryModule {
         SELECT e.user_id, e.err_id, p.p_id, round(p.p_value, 2) AS p_value
         FROM e ASOF LEFT JOIN p
           ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
-        ORDER BY e.err_id"""))
+        ORDER BY e.err_id""")),
+
+    Q(
+      "q100_asof_forward",
+      "FORWARD as-of through the same native operator: for each 'error', " +
+        "the EARLIEST 'purchase' by the same user at-or-after it — the " +
+        "direction flip costs nothing new: both time columns negate to " +
+        "epoch-micros longs (max(-t_r) <= -t_l is min(t_r) >= t_l) and " +
+        "the exec's O(1)-state sort-merge runs unchanged. Ties on p_ts " +
+        "resolve to max p_id (the exec's last-consumed-wins + p_id " +
+        "tiebreak ordering), which the window oracle mirrors with " +
+        "ORDER BY p_ts ASC, p_id DESC.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts".as("err_ts"))
+          .withColumn("neg_err_ts", -unix_micros($"err_ts".cast("timestamp")))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+            $"ts".as("p_ts"), $"value".as("p_value"))
+          .withColumn("neg_p_ts", -unix_micros($"p_ts".cast("timestamp")))
+        graft.plans.AsOfJoin
+          .asofJoin(errors, purchases, "user_id", "p_user", "neg_err_ts", "neg_p_ts",
+            rightTiebreakCol = Some("p_id"))
+          .select($"user_id", $"err_id", $"p_id", round($"p_value", 2).as("p_value"))
+          .orderBy($"err_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+                   FROM events WHERE event_type = 'error'),
+             p AS (SELECT user_id AS p_user, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts,
+                          value AS p_value
+                   FROM events WHERE event_type = 'purchase'),
+        cand AS (
+          SELECT e.user_id, e.err_id, p.p_id, p.p_value,
+                 row_number() OVER (PARTITION BY e.err_id
+                   ORDER BY p.p_ts ASC, p.p_id DESC) AS rn
+          FROM e LEFT JOIN p ON e.user_id = p.p_user AND p.p_ts >= e.err_ts)
+        SELECT user_id, err_id, p_id, round(p_value, 2) AS p_value
+        FROM cand WHERE rn = 1
+        ORDER BY err_id"""))
   )
 }
