@@ -59,18 +59,27 @@ object Similarity extends QueryModule {
     vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
   }
 
-  /** The exact re-rank tail every ANN/knn query shares: round(cos, 6)
-    * (6-dp so ranking is engine-independent), per-probe row_number with
-    * vec_id tiebreak, top-k. One definition so a change to the rounding
-    * or tie-break convention cannot diverge across queries. Input needs
-    * (probe_id, vec_id, embedding, probe_vec) columns. */
-  def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
+  /** Exact candidate scoring shared by every ANN/knn query: drop
+    * self-matches, round(cos, 6) (6-dp so ranking is engine-
+    * independent). One definition so the rounding / self-match
+    * convention cannot diverge across queries (q66/q67/q97 take the
+    * window tail below; q56 feeds the same scores to its bounded
+    * Aggregator instead). Input needs (probe_id, vec_id, embedding,
+    * probe_vec) columns. */
+  def scoredCandidates(candidates: DataFrame): DataFrame = {
     import candidates.sparkSession.implicits._
-    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
     candidates
       .filter($"vec_id" =!= $"probe_id")
       .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
       .select($"probe_id", $"vec_id", $"cos")
+  }
+
+  /** [[scoredCandidates]] + the per-probe top-k window tail (row_number
+    * with vec_id tiebreak). */
+  def rerankTopK(candidates: DataFrame, k: Int): DataFrame = {
+    import candidates.sparkSession.implicits._
+    val w = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    scoredCandidates(candidates)
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .orderBy($"probe_id", $"rank")
@@ -135,13 +144,9 @@ object Similarity extends QueryModule {
         val e = Tables.t(s, dir, "embeddings")
         val probes = e.filter($"vec_id" < 8)
           .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
-        e.crossJoin(broadcast(probes))
-          .filter($"vec_id" =!= $"probe_id")
-          .withColumn("cos", round(cosine($"embedding", $"probe_vec"), 6))
-          .select($"probe_id",
-            struct($"vec_id", $"cos").as("hit"))
+        scoredCandidates(e.crossJoin(broadcast(probes)))
           .groupBy($"probe_id")
-          .agg(topk($"hit.vec_id", $"hit.cos").as("top"))
+          .agg(topk($"vec_id", $"cos").as("top"))
           .select($"probe_id", posexplode($"top").as(Seq("pos", "hit")))
           .select($"probe_id", $"hit.vec_id".as("vec_id"), $"hit.cos".as("cos"),
             ($"pos" + 1).cast("int").as("rank"))

@@ -85,11 +85,18 @@ class JdbcSink(url: String, props: java.util.Properties,
     sized.write.mode(SaveMode.Append).jdbc(url, s"$db.$table", props)
   }
 
+  /** Hook between the dialect DDL and execution: subclasses may rewrite
+    * the emitted statements (e.g. append required columns). Applied to
+    * the ddlFor OUTPUT so it survives dialect hooks that regenerate the
+    * DDL rather than pass the input through. */
+  protected def bootstrapStatements(db: String, table: String, ddl: String): Seq[String] =
+    ddlFor(db, table, ddl)
+
   override def ensure(db: String, table: String, ddl: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      ddlFor(db, table, ddl).foreach { sql =>
+      bootstrapStatements(db, table, ddl).foreach { sql =>
         try st.execute(sql)
         catch { case e: java.sql.SQLException if JdbcSink.alreadyExists(e) => () }
       }
@@ -119,16 +126,23 @@ class JdbcSink(url: String, props: java.util.Properties,
   * previous run's unrelated rows.
   *
   * `ensure()` transparently appends the required `batch_id BIGINT`
-  * column to the plugin DDL, so the existing ingest stack needs no
-  * schema changes to adopt this sink.
+  * column to every CREATE TABLE statement the dialect hook emits (the
+  * rewrite runs on the ddlFor OUTPUT, so hooks that regenerate DDL from
+  * scratch — like the Derby test dialect — are covered too), so the
+  * existing ingest stack needs no schema changes to adopt this sink.
   */
 class IdempotentJdbcSink(url: String, props: java.util.Properties,
     numPartitions: Int,
     ddlFor: (String, String, String) => Seq[String] = JdbcSink.mysqlDdl)
     extends JdbcSink(url, props, numPartitions, ddlFor) {
 
-  override def ensure(db: String, table: String, ddl: String): Unit =
-    super.ensure(db, table, IdempotentJdbcSink.withBatchColumn(ddl))
+  override protected def bootstrapStatements(db: String, table: String,
+      ddl: String): Seq[String] =
+    super.bootstrapStatements(db, table, ddl).map { sql =>
+      if (sql.trim.toUpperCase.startsWith("CREATE TABLE"))
+        IdempotentJdbcSink.withBatchColumn(sql)
+      else sql
+    }
 
   override def append(df: DataFrame, db: String, table: String): Unit =
     append(df, db, table, 0L)
@@ -147,14 +161,29 @@ class IdempotentJdbcSink(url: String, props: java.util.Properties,
 }
 
 object IdempotentJdbcSink {
-  /** Splice `batch_id BIGINT` into a CREATE TABLE statement, before the
-    * closing paren. No-op if the DDL already declares the column. */
+  /** Splice `batch_id BIGINT` into a CREATE TABLE statement's column
+    * list — the paren group opened by the FIRST '(' (depth-matched, so
+    * types like VARCHAR(20) and trailing option clauses with their own
+    * parens are handled). No-op only on a word-boundary `batch_id`
+    * match, so a column named e.g. rebatch_id doesn't suppress it. */
   def withBatchColumn(ddl: String): String =
-    if (ddl.toLowerCase.contains("batch_id")) ddl
+    if ("""(?i)\bbatch_id\b""".r.findFirstIn(ddl).isDefined) ddl
     else {
-      val i = ddl.lastIndexOf(')')
-      require(i >= 0, s"not a CREATE TABLE ddl: $ddl")
-      ddl.substring(0, i) + ", batch_id BIGINT" + ddl.substring(i)
+      val open = ddl.indexOf('(')
+      require(open >= 0, s"not a CREATE TABLE ddl: $ddl")
+      var depth = 0
+      var i = open
+      var close = -1
+      while (i < ddl.length && close < 0) {
+        ddl.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(close >= 0, s"unbalanced parens in ddl: $ddl")
+      ddl.substring(0, close) + ", batch_id BIGINT" + ddl.substring(close)
     }
 }
 

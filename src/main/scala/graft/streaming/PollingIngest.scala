@@ -46,15 +46,27 @@ object PollingIngest {
     private[PollingIngest] val stopFlag = new AtomicBoolean(false)
     @volatile var ticks: Int = 0
     @volatile var rowsIngested: Long = 0L
-    /** Run-unique base for batch ids (ms epoch at handle creation,
-      * scaled): ticks restart at 0 every run, and an idempotent sink
-      * keyed by bare tick numbers would sweep a PREVIOUS run's rows
-      * (each poll tick carries different live data — deleting them is
-      * data loss, not dedup). Unlike streaming, this loop has no
-      * checkpoint, so ids are unique-per-run rather than replayable:
-      * delivery stays at-least-once, never destructive. */
-    private[PollingIngest] val batchBase: Long = System.currentTimeMillis() * 1000L
+    /** Run-unique base for batch ids: ticks restart at 0 every run, and
+      * an idempotent sink keyed by bare tick numbers would sweep a
+      * PREVIOUS run's rows (each poll tick carries different live data —
+      * deleting them is data loss, not dedup). Unlike streaming, this
+      * loop has no checkpoint, so ids are unique-per-run rather than
+      * replayable: delivery stays at-least-once, never destructive.
+      * Bases are process-monotone (see nextRunBase), so two handles in
+      * the same millisecond cannot collide; across processes the clock
+      * spacing holds unless wall time steps backwards (NTP/snapshot
+      * restore — documented residual risk of a checkpoint-free loop). */
+    private[PollingIngest] val batchBase: Long = nextRunBase()
     def stop(): Unit = stopFlag.set(true)
+  }
+
+  // Monotone run bases: at least RunBaseStep apart within a process (so a
+  // run may consume up to RunBaseStep ticks), and tracking µs wall time
+  // across processes.
+  private val RunBaseStep = 10000000L
+  private val lastRunBase = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextRunBase(): Long = lastRunBase.updateAndGet { prev =>
+    math.max(prev + RunBaseStep, System.currentTimeMillis() * 1000L)
   }
 
   /** Run the loop synchronously; returns the handle with counters.

@@ -81,6 +81,28 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(back.select("batch_id").distinct().count() === 2)
   }
 
+  test("idempotent JDBC ensure() splices batch_id through a REGENERATING ddl dialect") {
+    import graft.sink.IdempotentJdbcSink
+    // derbyDdl ignores its ddl argument and rebuilds from OpenSky.mysqlTypes
+    // — the splice must run on the dialect OUTPUT to survive that
+    val sink = new IdempotentJdbcSink(url, props, numPartitions = 1, ddlFor = derbyDdl)
+    sink.ensure("idem2", "flights", OpenSky.createTableDdl("flights"))
+    val cols = spark.read.jdbc(url, "idem2.flights", props).columns.map(_.toLowerCase)
+    assert(cols.contains("batch_id"), cols.mkString(","))
+  }
+
+  test("withBatchColumn: word-boundary detection, depth-matched splice point") {
+    import graft.sink.IdempotentJdbcSink.withBatchColumn
+    val declared = "CREATE TABLE t (k BIGINT, batch_id BIGINT)"
+    assert(withBatchColumn(declared) === declared) // already present: no-op
+    // rebatch_id must NOT suppress the splice (word boundary)
+    assert(withBatchColumn("CREATE TABLE t (k BIGINT, rebatch_id BIGINT)")
+      === "CREATE TABLE t (k BIGINT, rebatch_id BIGINT, batch_id BIGINT)")
+    // splice lands in the COLUMN list, not a trailing option clause's parens
+    assert(withBatchColumn("CREATE TABLE t (v VARCHAR(20)) COMMENT 'x (y)'")
+      === "CREATE TABLE t (v VARCHAR(20), batch_id BIGINT) COMMENT 'x (y)'")
+  }
+
   test("JDBC read pushes filters to the database") {
     val back = spark.read.jdbc(url, "ga1.flights", props)
       .filter("on_ground = true").select("icao24", "on_ground")
