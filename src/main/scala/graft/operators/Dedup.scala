@@ -81,6 +81,41 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
+  /** EXACT Jaccard pairs via PPJoin-style prefix filtering (public
+    * AllPairs/PPJoin technique): under ANY global token order, two docs
+    * with jac >= t must share a token among each one's FIRST
+    * n - ceil(t*n) + 1 sorted tokens (pigeonhole: their >= t*n common
+    * tokens cannot all hide in a suffix of ceil(t*n) - 1), so only
+    * prefixes are indexed — candidate cost drops from sum(df^2) over all
+    * shingles to the prefix slice (~(1-t)^2 of the pairs), while the
+    * result stays EXACT (same oracle as the naive q62 index). A length
+    * filter (t*n1 <= n2 and t*n2 <= n1, necessary for jac >= t) prunes
+    * further before the distinct. The global order is ascending hash —
+    * deterministic, no frequency-statistics pass. */
+  def jaccardPrefixPairs(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val pref = sh.select($"doc_id", size($"sh").as("n"),
+      slice(array_sort($"sh"), lit(1),
+        (size($"sh") - ceil(size($"sh") * t) + 1).cast("int")).as("prefix"))
+    val ex = pref.select($"doc_id", $"n", explode($"prefix").as("h"))
+    val a = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"h")
+    val b = ex.select($"doc_id".as("d2"), $"n".as("n2"), $"h")
+    val cand = a.join(b, Seq("h"))
+      .filter($"d1" < $"d2")
+      .filter($"n2" >= ceil($"n1" * t) && $"n1" >= ceil($"n2" * t))
+      .select($"d1", $"d2").distinct()
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+      .withColumn("jac",
+        size(array_intersect($"sh1", $"sh2")).cast("double") /
+          size(array_union($"sh1", $"sh2")))
+      .filter($"jac" >= t)
+      .select($"d1", $"d2", round($"jac", 4).as("jac"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** Shared CTE chain producing exact-Jaccard candidate pairs — the ONE
     * SQL definition of pair semantics, embedded by every oracle that
     * consumes pairs (q62/q63/q69 via [[jaccardOracle]], q96's recursive
@@ -270,6 +305,18 @@ object Dedup extends QueryModule {
         "Jaccard >= 0.8. The exact ground truth the LSH variant is " +
         "measured against.",
       (s, dir) => jaccardPairs(s, dir, 0.8),
+      Some(jaccardOracle(0.8))),
+
+    Q(
+      "q101_jaccard_prefix",
+      "EXACT near-dup pairs via PPJoin-style prefix filtering — the " +
+        "optimized exact path between q62's naive inverted index and " +
+        "q63's approximate LSH: only each doc's first n-ceil(0.8n)+1 " +
+        "sorted shingle hashes are indexed (any global order works; " +
+        "pigeonhole guarantees no missed pair at jac >= 0.8) plus a " +
+        "length filter, then exact-Jaccard confirm. Same oracle as q62 " +
+        "— identical results, ~(1-t)^2 of the candidate cost.",
+      (s, dir) => jaccardPrefixPairs(s, dir, 0.8),
       Some(jaccardOracle(0.8))),
 
     Q(

@@ -82,6 +82,9 @@ object Stress {
     time("jaccard 51k docs") {
       graft.operators.Dedup.jaccardPairs(s, out, 0.8).count()
     }
+    time("jaccard prefix 51k docs") {
+      graft.operators.Dedup.jaccardPrefixPairs(s, out, 0.8).count()
+    }
     time("minhash lsh 51k docs") {
       SparkEntry.queries("q63_minhash_lsh_pairs")(s, out).count()
     }
