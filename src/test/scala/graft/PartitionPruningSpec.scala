@@ -33,4 +33,59 @@ class PartitionPruningSpec extends AnyFunSuite {
     // answered it entirely from the directory layout
     assert(!plan.contains("Filter (isnotnull(event_type"), "expected no row-level filter")
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/events"
+    Tables.t(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(root)
+    val fact = spark.read.parquet(root)
+    // the selective predicate lives on the DIM side only — static pruning
+    // can't see it; DPP must push a runtime subquery into the fact scan.
+    // The dim is parquet-backed: over a local Seq, ConvertToLocalRelation
+    // folds the filter away and DPP sees no selective predicate.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("error", 1), ("click", 0), ("view", 0), ("purchase", 0), ("signup", 0))
+      .toDF("etype", "flag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"flag" === 1)
+    val j = fact.join(dim, $"event_type" === $"etype")
+      .agg(count(lit(1)).as("n"))
+    val n = j.collect()(0).getLong(0)
+    assert(n === Tables.t(spark, sfDir, "events")
+      .filter($"event_type" === "error").count())
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning runtime filter in the fact scan:\n${plan.take(1500)}")
+  }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    import spark.implicits._
+    // thresholds sized for the fixture scale: the feature is gated on
+    // multi-GB scans in production (where it pays off); the PLAN SHAPE —
+    // bloom built on the filtered small side, might_contain applied
+    // before the big side's shuffle — is what this asserts
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.t(spark, sfDir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val l = Tables.t(spark, sfDir, "lineitem")
+      val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"expected a runtime bloom filter:\n${plan.take(1500)}")
+      assert(j.collect()(0).getLong(0) > 0)
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
