@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *    self-equi-join on the shingle), NOT an O(n²) cross join. Its cost is
   *    sum(df²) over shingles, so a dense shingle distribution degenerates
   *    quadratically — measured at 10x bench scale (graft.tools.Stress,
-  *    51k docs / 30-word vocab): exact 67s vs MinHash+LSH 2.2s for the
-  *    SAME result. q62 is the exact ground-truth baseline; q63 is the
+  *    51k docs / 30-word vocab, identical pair sets): naive exact 62s /
+  *    1 GiB shuffle; PPJoin-style prefix filtering (q101, still exact)
+  *    12s / 225 MiB; MinHash+LSH 1.9s / ~0. q62 is the ground-truth
+  *    baseline, q101 the optimized exact path, q63 the approximate
   *    production path at scale.
   *  - MinHash+LSH reduces the candidate join to band-signature equality —
   *    the standard sub-quadratic near-dup path. Shingle + signature
