@@ -83,6 +83,24 @@ object Dedup extends QueryModule {
       .orderBy($"d1", $"d2")
   }
 
+  /** Exact-Jaccard confirm on candidate id pairs — the ONE definition of
+    * the confirm stage shared by every candidate generator (q63 LSH,
+    * q101 prefix filter; q69 applies the same kernel inline on MLlib's
+    * candidates): rejoin shingle sets once per pair, keep pairs with
+    * native-kernel jaccard >= t. JaccardSim's set semantics are identical
+    * to the composed size(array_intersect)/size(array_union) form (and
+    * to jaccardOracle) but run as a one-pass primitive loop. */
+  def exactConfirm(cand: DataFrame, sh: DataFrame, t: Double): DataFrame = {
+    import cand.sparkSession.implicits._
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+      .withColumn("jac", graft.catalyst.VecOps.jaccard_sim_col($"sh1", $"sh2"))
+      .filter($"jac" >= t)
+      .select($"d1", $"d2", round($"jac", 4).as("jac"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** EXACT Jaccard pairs via PPJoin-style prefix filtering (public
     * AllPairs/PPJoin technique): under ANY global token order, two docs
     * with jac >= t must share a token among each one's FIRST
@@ -107,15 +125,7 @@ object Dedup extends QueryModule {
       .filter($"d1" < $"d2")
       .filter($"n2" >= ceil($"n1" * t) && $"n1" >= ceil($"n2" * t))
       .select($"d1", $"d2").distinct()
-    cand
-      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
-      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
-      .withColumn("jac",
-        size(array_intersect($"sh1", $"sh2")).cast("double") /
-          size(array_union($"sh1", $"sh2")))
-      .filter($"jac" >= t)
-      .select($"d1", $"d2", round($"jac", 4).as("jac"))
-      .orderBy($"d1", $"d2")
+    exactConfirm(cand, sh, t)
   }
 
   /** Shared CTE chain producing exact-Jaccard candidate pairs — the ONE
@@ -221,14 +231,7 @@ object Dedup extends QueryModule {
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2").distinct()
-    cand
-      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
-      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
-      .withColumn("jac",
-        size(array_intersect($"sh1", $"sh2")).cast("double") /
-          size(array_union($"sh1", $"sh2")))
-      .filter($"jac" >= threshold)
-      .select($"d1", $"d2", round($"jac", 4).as("jac"))
+    exactConfirm(cand, sh, threshold)
   }
 
   /** Near-dup CLUSTER assignment: connected components over the LSH pair

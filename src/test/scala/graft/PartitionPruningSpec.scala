@@ -64,12 +64,15 @@ class PartitionPruningSpec extends AnyFunSuite {
     // multi-GB scans in production (where it pays off); the PLAN SHAPE —
     // bloom built on the filtered small side, might_contain applied
     // before the big side's shuffle — is what this asserts
-    val restore = Seq(
+    // none of these four confs is set by GraftSession/TestSession, so true
+    // restoration is unconditional UNSET — snapshotting via getOption would
+    // pin registered defaults as explicit values, detaching e.g. the
+    // adaptive threshold from its fallback to autoBroadcastJoinThreshold
+    val toUnset = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k)).toMap
     try {
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -84,8 +87,6 @@ class PartitionPruningSpec extends AnyFunSuite {
       assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
         s"expected a runtime bloom filter:\n${plan.take(1500)}")
       assert(j.collect()(0).getLong(0) > 0)
-    } finally restore.foreach { case (k, v) =>
-      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
-    }
+    } finally toUnset.foreach(spark.conf.unset)
   }
 }
