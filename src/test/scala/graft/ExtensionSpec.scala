@@ -177,6 +177,27 @@ class ExtensionSpec extends AnyFunSuite {
     assert(bandedFixture.count() === 0L)
   }
 
+  test("neardup clusters are transitive: an A~B~C chain with A!~C forms one cluster") {
+    import spark.implicits._
+    // sliding 50-token windows over a 60-token sequence, shifted by 5:
+    // adjacent windows share 43/53 shingles (jac 0.81 >= 0.8), the outer
+    // pair only 38/58 (jac 0.66 < 0.8) — a genuine chain, clustered only
+    // by transitivity
+    def text(from: Int): String = (from until from + 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, text(1), "s"), (1L, text(6), "s"), (2L, text(11), "s"),
+      (3L, (200 to 249).map(i => s"z$i").mkString(" "), "s")) // unrelated loner
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain").toString
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (1L, 2L)), s"chain pairs: $pairs")
+    val clusters = graft.operators.Dedup.neardupClusters(spark, dir, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(0L -> 0L, 1L -> 0L, 2L -> 0L),
+      s"A~B~C must collapse to one cluster (loner excluded): $clusters")
+  }
+
   test("neardup clusters equal union-find over the pair graph") {
     val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
