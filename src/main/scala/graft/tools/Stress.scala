@@ -100,6 +100,23 @@ object Stress {
     time(s"asof native ${6 * mult}M events") {
       SparkEntry.queries("q19_asof_join_native")(s, out).count()
     }
+    // Ingest throughput vs the reference's operational envelope
+    // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real
+    // OpenSky snapshot is ~10-20k states): five poll ticks of 20k state
+    // vectors each through the full fetch -> parse -> explode -> project
+    // -> fan-out-to-2-targets pipeline, no inter-tick sleep.
+    time("ingest 5x20k states x2 sinks") {
+      import graft.config.{DatabasesConfig, IngestConfig, PluginSpec}
+      import graft.streaming.{PollingIngest, SyntheticOpenSkySource}
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stress_ingest").toString
+      val cfg = IngestConfig(
+        plugin = PluginSpec(intervalSec = 1),
+        databases = DatabasesConfig(prefix = "sb", copies = 2, extra = Map.empty),
+        runForSec = 0)
+      val h = PollingIngest.run(s, new SyntheticOpenSkySource(20000), cfg,
+        new graft.sink.ParquetSink(tmp), maxTicks = 5, sleepFn = _ => ())
+      s"${h.rowsIngested} rows x ${cfg.targets("flights").size} targets"
+    }
     // The composed form materializes every (left, candidate-right) pair
     // before the window discards all but one — at 60M events that is
     // O(10^9) intermediate rows, which is precisely why the native
