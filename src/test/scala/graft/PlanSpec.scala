@@ -33,6 +33,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest parse: the explode carries only envelope scalars per state row") {
+    import org.apache.spark.sql.execution.GenerateExec
+    // regression guard for the 60GB-row-copy bug: if the envelope scalar
+    // is projected above the generate, Catalyst pulls the raw multi-MB
+    // response string into requiredChildOutput — duplicated into every
+    // exploded state row
+    val df = graft.sources.OpenSky
+      .parseJson(spark, Seq(graft.sources.OpenSky.sampleResponse(5))).toDF()
+    val gens = df.queryExecution.executedPlan.collect { case g: GenerateExec => g }
+    assert(gens.nonEmpty, "expected a GenerateExec in the parse plan")
+    gens.foreach { g =>
+      assert(!g.requiredChildOutput.exists(_.name == "value"),
+        s"raw JSON string rides every exploded row: ${g.requiredChildOutput}")
+      assert(g.requiredChildOutput.forall { a =>
+        import org.apache.spark.sql.types._
+        !a.dataType.isInstanceOf[ArrayType] &&
+          !a.dataType.isInstanceOf[StructType] && a.dataType != StringType
+      }, s"wide column carried through the explode: ${g.requiredChildOutput}")
+    }
+  }
+
   test("q02: filters and projection are pushed into the parquet scan") {
     val plan = planOf("q02_filter_project")
     assert(plan.contains("PushedFilters: ["), plan.take(800))
