@@ -94,16 +94,20 @@ object OpenSky {
   def parseBatch(spark: SparkSession, raw: Dataset[String]): Dataset[FlightState] = {
     import spark.implicits._
     // Materialize BOTH envelope fields in a projection BELOW the explode.
-    // With the envelope scalar projected above the generate instead
+    // With the envelope scalar extracted only ABOVE the generate
     // (select(r).select(r.time, explode(r.states))), Catalyst rewrites
     // r.time to from_json(value).time and must carry the raw multi-MB
     // response string through requiredChildOutput — copied into EVERY
     // exploded state row (20k rows x 3MB/doc = 60 GB for one real-sized
-    // snapshot; OOM found by the Stress ingest probe). This shape keeps
-    // the generate's child output to an 8-byte long.
-    val env = raw.toDF("value").select(
-      from_json($"value", envelopeSchema).getField("time").as("snapshot_time"),
-      from_json($"value", envelopeSchema).getField("states").as("states"))
+    // snapshot; OOM found by the Stress ingest probe). This 3-step shape
+    // keeps the generate's child output to an 8-byte long (asserted in
+    // PlanSpec) AND parses each document exactly once: CollapseProject
+    // refuses to duplicate the expensive from_json (SPARK-36718), whereas
+    // writing from_json(...).getField twice yields two schema-pruned
+    // JsonToStructs that subexpression elimination can never merge.
+    val env = raw.toDF("value")
+      .select(from_json($"value", envelopeSchema).as("r"))
+      .select($"r.time".as("snapshot_time"), $"r.states".as("states"))
     val parsed = env.select($"snapshot_time", explode($"states").as("state"))
     val cols = col("snapshot_time").as("time") +:
       stateColumns.zipWithIndex.map { case ((name, dt), i) =>

@@ -113,8 +113,17 @@ object Stress {
         plugin = PluginSpec(intervalSec = 1),
         databases = DatabasesConfig(prefix = "sb", copies = 2, extra = Map.empty),
         runForSec = 0)
+      // no-sleep between ticks, but bound total attempts: the loop's
+      // warn-and-continue policy would otherwise busy-spin forever on a
+      // persistent failure (sleepFn is also the backoff hook, so a
+      // throwing sleeper aborts the probe after bounded retries)
+      var backoffs = 0
       val h = PollingIngest.run(s, new SyntheticOpenSkySource(20000), cfg,
-        new graft.sink.ParquetSink(tmp), maxTicks = 5, sleepFn = _ => ())
+        new graft.sink.ParquetSink(tmp), maxTicks = 5,
+        sleepFn = _ => {
+          backoffs += 1
+          if (backoffs > 50) sys.error("ingest probe: persistent tick failure")
+        })
       s"${h.rowsIngested} rows x ${cfg.targets("flights").size} targets"
     }
     // The composed form materializes every (left, candidate-right) pair
