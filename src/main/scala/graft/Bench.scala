@@ -21,24 +21,31 @@ object Bench {
       val (a, b) = (once(q), once(q))
       q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Emit on three channels so sbt log interleaving can't lose the line:
-    // bare JSON (original contract), a grep-able marker, and a file.
-    println(json)
-    println(s"GRAFT_BENCH_JSON $json")
+    def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    val full = toJson(results)
+    // The driver captures only the LAST ~2000 chars of the sbt log; the
+    // full 100+-query map is ~3 KB, so a single fat line gets its head
+    // truncated and never parses (BENCH_r01/r02 both had parsed:null).
+    // Full map goes to a file + an early marker line; the FINAL stdout
+    // line is a compact summary (total + the slowest queries) sized well
+    // under the tail buffer so the driver always sees one complete JSON.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
-      // the printed lines above are the primary contract; a bad BENCH_OUT
-      // path must not fail a completed benchmark run
+      // the printed lines are the primary contract; a bad BENCH_OUT path
+      // must not fail a completed benchmark run
       case e: java.io.IOException =>
         System.err.println(s"bench: could not write $out: ${e.getMessage}")
     }
+    println(s"GRAFT_BENCH_JSON_FULL $full")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    println(toJson(slowest, s""","n_queries":${results.size},"full":"$out""""))
     spark.stop()
   }
 }

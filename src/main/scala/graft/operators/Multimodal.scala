@@ -142,6 +142,10 @@ object Multimodal extends QueryModule {
         import s.implicits._
         Tables.t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("payload"))
+          // same guard as q83: an empty payload has no bytes to resample —
+          // Spark's ascii('') = 0 would fabricate 16 zero samples while the
+          // oracle's ord on a missing char diverges
+          .filter(length($"payload") > 0)
           .select($"doc_id",
             posexplode(expr(
               """transform(sequence(0, 15), i ->
@@ -152,7 +156,8 @@ object Multimodal extends QueryModule {
       },
       Some("""
         WITH g AS (SELECT doc_id, text, unnest(range(0, 16)) AS grid_idx
-                   FROM documents)
+                   FROM documents
+                   WHERE text <> '')
         SELECT doc_id, CAST(grid_idx AS INTEGER) AS grid_idx,
                ord(text[CAST(floor(grid_idx * length(text) / 16.0) AS INTEGER) + 1])
                  AS sample_byte

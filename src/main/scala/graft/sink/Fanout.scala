@@ -71,18 +71,28 @@ class JdbcSink(url: String, props: java.util.Properties,
     ddlFor: (String, String, String) => Seq[String] = JdbcSink.mysqlDdl)
     extends AppendSink {
 
-  override def append(df: DataFrame, db: String, table: String): Unit = {
+  /** Array columns serialized to JSON text at the JDBC boundary. */
+  protected final def flattened(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.to_json
     import org.apache.spark.sql.types.ArrayType
-    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
+    df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case _: ArrayType => d.withColumn(f.name, to_json(d(f.name)))
         case _ => d
       }
     }
+  }
+
+  /** Batched append of an already-flattened frame to a qualified table. */
+  protected final def writeRows(flat: DataFrame, target: String): Unit = {
     val sized = if (numPartitions > 0 && flat.rdd.getNumPartitions > numPartitions)
       flat.coalesce(numPartitions) else flat
-    sized.write.mode(SaveMode.Append).jdbc(url, s"$db.$table", props)
+    sized.write.mode(SaveMode.Append).jdbc(url, target, props)
+  }
+
+  override def append(df: DataFrame, db: String, table: String): Unit = {
+    JdbcSink.requireSafeIdent(db); JdbcSink.requireSafeIdent(table)
+    writeRows(flattened(df), s"$db.$table")
   }
 
   /** Hook between the dialect DDL and execution: subclasses may rewrite
@@ -93,6 +103,7 @@ class JdbcSink(url: String, props: java.util.Properties,
     ddlFor(db, table, ddl)
 
   override def ensure(db: String, table: String, ddl: String): Unit = {
+    JdbcSink.requireSafeIdent(db); JdbcSink.requireSafeIdent(table)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
@@ -106,19 +117,28 @@ class JdbcSink(url: String, props: java.util.Properties,
 }
 
 /** Replay-safe JDBC sink — the JDBC analogue of IdempotentParquetSink:
-  * rows land tagged with a `batch_id` column and each append first
-  * deletes that batch's rows, so a REPLAYED batch (post-crash
-  * foreachBatch re-delivery) replaces rather than duplicates itself.
+  * rows land tagged with a `batch_id` column and a REPLAYED batch
+  * (post-crash foreachBatch re-delivery) replaces rather than duplicates
+  * itself.
   *
-  * Guarantee, precisely: idempotence under replay PROVIDED the failed
-  * attempt's writers are dead before the retry's sweep — Spark aborts a
-  * failed stage's tasks, but an in-flight JDBC commit from a zombie
-  * connection can land after the sweep and duplicate rows; closing that
-  * window needs write fencing (staging table + rename, or epoch-checked
-  * conditional inserts), which plain INSERT targets don't offer. The
-  * delete+insert pair is likewise not one transaction. Combined with
-  * fail-on-partial-fan-out (StreamingIngest) this yields effectively-
-  * once per (batch, target) under those conditions.
+  * Mechanics: the batch is first appended to an ATTEMPT-UNIQUE staging
+  * table (distributed Spark write, no target mutation), then swapped in
+  * on one driver connection inside ONE transaction: DELETE the batch's
+  * old rows + INSERT..SELECT from staging, commit, drop staging. The
+  * target therefore always holds either the previous delivery of the
+  * batch or the new one, never a partial state — a crash between delete
+  * and insert rolls back. Zombie writers from a failed attempt target
+  * that attempt's own staging table, which is never swapped in, so they
+  * can no longer duplicate rows in the target; a process crash can at
+  * worst leak an orphaned staging table (inert, re-created fresh on
+  * replay). Combined with fail-on-partial-fan-out (StreamingIngest) this
+  * yields effectively-once per (batch, target).
+  *
+  * Identifiers: db/table names are validated against a strict
+  * [A-Za-z_][A-Za-z0-9_]* charset rather than dialect-quoted — quoting
+  * would change case-folding semantics per dialect (unquoted names fold
+  * differently in MySQL vs Derby), and a validated charset makes quoting
+  * semantically a no-op while rejecting injection-carrying names loudly.
   *
   * Batch ids MUST be durable across process restarts (streaming
   * checkpoint-derived ids, or PollingIngest's run-unique ids): an id
@@ -148,15 +168,48 @@ class IdempotentJdbcSink(url: String, props: java.util.Properties,
     append(df, db, table, 0L)
 
   override def append(df: DataFrame, db: String, table: String, batchId: Long): Unit = {
+    JdbcSink.requireSafeIdent(db); JdbcSink.requireSafeIdent(table)
+    val stage = table + "_stg_" + java.lang.Long.toHexString(batchId) + "_" +
+      Integer.toHexString(java.util.concurrent.ThreadLocalRandom.current().nextInt())
+    val flat = flattened(
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.createStatement()
-      st.executeUpdate(s"DELETE FROM $db.$table WHERE batch_id = $batchId")
-      st.close()
+      // Target column ORDER from live metadata: the staging frame is
+      // reordered to match, so the swap INSERT is positional and immune
+      // to the case-folding differences between the DDL-created target
+      // (unquoted, dialect-folded) and the Spark-created staging table
+      // (exact-case quoted).
+      val targetCols = {
+        val st = conn.createStatement()
+        try {
+          val md = st.executeQuery(s"SELECT * FROM $db.$table WHERE 1=0").getMetaData
+          (1 to md.getColumnCount).map(md.getColumnName)
+        } finally st.close()
+      }
+      val byLower = flat.columns.map(c => c.toLowerCase -> c).toMap
+      val ordered = flat.select(targetCols.map { tc =>
+        flat(byLower.getOrElse(tc.toLowerCase,
+          throw new IllegalArgumentException(
+            s"target column $tc missing from batch schema ${flat.columns.mkString(",")}")))
+      }: _*)
+      try {
+        writeRows(ordered, s"$db.$stage") // distributed write, target untouched
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(s"DELETE FROM $db.$table WHERE batch_id = ?")
+        try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
+        val ins = conn.createStatement()
+        try ins.executeUpdate(s"INSERT INTO $db.$table SELECT * FROM $db.$stage")
+        finally ins.close()
+        conn.commit() // atomic swap: old batch rows -> new batch rows
+      } finally {
+        try {
+          conn.setAutoCommit(true)
+          val drop = conn.createStatement()
+          try drop.execute(s"DROP TABLE $db.$stage") finally drop.close()
+        } catch { case _: java.sql.SQLException => () } // best-effort cleanup
+      }
     } finally conn.close()
-    super.append(
-      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
-      db, table)
   }
 }
 
@@ -195,6 +248,14 @@ object JdbcSink {
   /** "object already exists" SQLSTATEs (Derby X0Y32/X0Y68 et al.). */
   def alreadyExists(e: java.sql.SQLException): Boolean =
     Option(e.getSQLState).exists(s => s.startsWith("X0Y") || s == "42710")
+
+  private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  /** Loud rejection of identifiers that could splice SQL: db/table names
+    * reach DDL/DML statement text (the reference interpolates them the
+    * same way, db_manager.go:142-156, but silently). */
+  def requireSafeIdent(name: String): Unit =
+    require(SafeIdent.matches(name),
+      s"unsafe SQL identifier '$name' (allowed: [A-Za-z_][A-Za-z0-9_]*)")
 }
 
 object Fanout {

@@ -62,11 +62,19 @@ object PollingIngest {
 
   // Monotone run bases: at least RunBaseStep apart within a process (so a
   // run may consume up to RunBaseStep ticks), and tracking µs wall time
-  // across processes.
+  // across processes. Cross-process collisions (same-millisecond starts, or
+  // a clock step-back) are closed by mixing a per-process entropy offset
+  // into the wall-clock component: two processes must now share BOTH the
+  // millisecond AND a pid/nanoTime-derived value in [0, RunBaseStep) for
+  // their id ranges to overlap (~1e-7, vs certain on same-ms starts before).
   private val RunBaseStep = 10000000L
+  private val procEntropy: Long = {
+    val pid = ProcessHandle.current().pid()
+    math.floorMod(pid * 1000003L ^ System.nanoTime(), RunBaseStep)
+  }
   private val lastRunBase = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextRunBase(): Long = lastRunBase.updateAndGet { prev =>
-    math.max(prev + RunBaseStep, System.currentTimeMillis() * 1000L)
+    math.max(prev + RunBaseStep, System.currentTimeMillis() * 1000L + procEntropy)
   }
 
   /** Run the loop synchronously; returns the handle with counters.

@@ -78,7 +78,11 @@ object Stress {
       shuffleBytes.set(0L)
       val t0 = System.nanoTime(); val r = f
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let async listener events drain
+      // Drain the async listener bus deterministically before reading the
+      // counter — a fixed sleep undercounts when TaskEnd events lag under
+      // load, and these MiB numbers are cited as optimization evidence.
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        s.sparkContext, 30000L)
       println(f"STRESS $label%-28s $secs%8.2f s  shuffle ${shuffleBytes.get / 1048576.0}%9.1f MiB  ($r)")
     }
     // heavy operators at 10x

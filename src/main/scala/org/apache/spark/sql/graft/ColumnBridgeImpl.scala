@@ -22,4 +22,10 @@ object ColumnBridgeImpl {
   def ofRows(spark: SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Block until the async listener bus has delivered all queued events
+    * (private[spark]); instrumentation that reads listener-fed counters
+    * needs this to avoid undercounting. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

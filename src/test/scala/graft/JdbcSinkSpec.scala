@@ -91,6 +91,30 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(cols.contains("batch_id"), cols.mkString(","))
   }
 
+  test("idempotent JDBC sink: staging tables swept, unsafe identifiers rejected") {
+    import graft.sink.IdempotentJdbcSink
+    import spark.implicits._
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA idem3")
+      st.execute("CREATE TABLE idem3.t (k BIGINT, batch_id BIGINT)")
+      st.close()
+    } finally conn.close()
+    val sink = new IdempotentJdbcSink(url, props, numPartitions = 1)
+    sink.append(Seq(1L, 2L, 3L).toDF("k"), "idem3", "t", batchId = 7)
+    assert(spark.read.jdbc(url, "idem3.t", props).count() === 3)
+    // the swap's staging table must not outlive the append
+    val leftovers = spark.read.jdbc(url,
+      "(SELECT tablename FROM sys.systables WHERE tablename LIKE '%_STG_%') s", props)
+    assert(leftovers.count() === 0, leftovers.collect().mkString(","))
+    // injection-carrying names rejected loudly, before any SQL runs
+    intercept[IllegalArgumentException] {
+      sink.append(Seq(1L).toDF("k"), "idem3", "t WHERE 1=1; DROP TABLE idem3.t", 8)
+    }
+    intercept[IllegalArgumentException] { sink.ensure("bad-db", "t", "CREATE TABLE t (k BIGINT)") }
+  }
+
   test("withBatchColumn: word-boundary detection, depth-matched splice point") {
     import graft.sink.IdempotentJdbcSink.withBatchColumn
     val declared = "CREATE TABLE t (k BIGINT, batch_id BIGINT)"
