@@ -282,6 +282,73 @@ object ScalarFuncs extends QueryModule {
                round(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE))), 6)                      AS sum_components
         FROM embeddings
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    Q(
+      "q102_variant_json",
+      "Semi-structured VARIANT path (Spark 4): parse_json once into a " +
+        "binary VARIANT column, then typed variant_get extraction feeding " +
+        "a normal aggregate — the shred-on-read shape for ragged event " +
+        "payloads. At 100 TB this beats string get_json_object per field: " +
+        "one parse, many typed reads, and the aggregate shuffles only " +
+        "(event_type, partial sums), never the payloads.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select($"event_type",
+            variant_get(parse_json($"props"), "$.k", "int").as("k"))
+          .groupBy($"event_type")
+          .agg(
+            count(when($"k" > 50, 1)).as("n_high"),
+            sum($"k").as("sum_k"),
+            max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                   FROM events)
+        SELECT event_type,
+               count(*) FILTER (k > 50)      AS n_high,
+               CAST(sum(k) AS BIGINT)        AS sum_k,
+               CAST(max(k) AS INTEGER)       AS max_k
+        FROM e
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    Q(
+      "q104_map_funcs",
+      "Map-typed columns end to end: per-user event-type counts collected " +
+        "into a MapType via map_from_entries, a computed total merged in " +
+        "with map_concat (total from an aggregate HOF over map_values), " +
+        "then exploded back to rows. One shuffle on (user_id, event_type) " +
+        "partials + one on user_id; maps stay small (bounded by the " +
+        "event-type vocabulary), so state per key is O(|types|) not O(rows).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .filter($"user_id" < 50)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          // array_sort before map_from_entries: collect_list order is
+          // nondeterministic, the sorted entry array is not
+          .groupBy($"user_id")
+          .agg(map_from_entries(array_sort(
+            collect_list(struct($"event_type", $"n")))).as("m"))
+          .select($"user_id",
+            map_concat($"m",
+              map(lit("all"),
+                aggregate(map_values($"m"), lit(0L), (acc, x) => acc + x))).as("m"))
+          .select($"user_id", explode($"m").as(Seq("k", "n")))
+          .orderBy($"user_id", $"k")
+      },
+      Some("""
+        WITH c AS (SELECT user_id, event_type AS k, count(*) AS n
+                   FROM events WHERE user_id < 50 GROUP BY 1, 2)
+        SELECT user_id, k, n FROM c
+        UNION ALL
+        SELECT user_id, 'all' AS k, CAST(sum(n) AS BIGINT) AS n
+        FROM c GROUP BY user_id
+        ORDER BY user_id, k"""))
   )
 }

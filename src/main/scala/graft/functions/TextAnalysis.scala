@@ -269,6 +269,80 @@ object TextAnalysis extends QueryModule {
             TextHash.sim_hash($"text").as("simhash"))
           .orderBy($"doc_id")
       },
-      None)
+      None),
+
+    Q(
+      "q105_ngram_topk",
+      "Corpus n-gram statistics: explode word bigrams per document, count " +
+        "per (lang, bigram), keep each language's top-5 by count (bigram " +
+        "as the deterministic tie-break). The generate is per-document " +
+        "map-side work; the count shuffles (lang, bigram, partial) — " +
+        "map-side combine collapses the Zipf head before the wire — and " +
+        "the top-k window runs per-lang on already-reduced counts. The " +
+        "100 TB form of vocabulary mining.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        Tables.t(s, dir, "documents")
+          .select($"lang", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select($"lang", explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+            .as("bigram"))
+          .groupBy($"lang", $"bigram")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")))
+          .filter($"rk" <= 5)
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        WITH w AS (SELECT lang, string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+             b AS (SELECT lang,
+                          unnest([ws[i] || ' ' || ws[i + 1]
+                                  for i in range(1, len(ws))]) AS bigram
+                   FROM w),
+             c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+             r AS (SELECT lang, bigram, n,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY n DESC, bigram) AS rk
+                   FROM c)
+        SELECT lang, bigram, n, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 5
+        ORDER BY lang, rk""")),
+
+    Q(
+      "q106_pii_redact",
+      "PII redaction: synthesize email/phone columns from customer fields " +
+        "(the fixtures carry no real PII), then mask them — regexp_replace " +
+        "for the email local part (RE2-safe pattern, so the same regex " +
+        "runs on any engine) and length-preserving star-fill keeping the " +
+        "last 4 phone digits. Pure per-row projection: zero shuffle, " +
+        "whole-stage codegen, linear scan at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "customer")
+          .select($"c_custkey",
+            concat(lower(regexp_replace($"c_name", "#", ".")),
+              lit("@example.com")).as("email"),
+            concat(lit("555-"),
+              lpad(($"c_custkey" % 10000000L).cast("string"), 7, "0")).as("phone"))
+          .select($"c_custkey",
+            regexp_replace($"email", "^[a-z0-9.]+@", "redacted@").as("email_redacted"),
+            concat(expr("repeat('*', length(phone) - 4)"),
+              substring($"phone", -4, 4)).as("phone_redacted"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        WITH p AS (SELECT c_custkey,
+                          lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+                          '555-' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') AS phone
+                   FROM customer)
+        SELECT c_custkey,
+               regexp_replace(email, '^[a-z0-9.]+@', 'redacted@') AS email_redacted,
+               repeat('*', length(phone) - 4) || right(phone, 4)  AS phone_redacted
+        FROM p
+        ORDER BY c_custkey"""))
   )
 }

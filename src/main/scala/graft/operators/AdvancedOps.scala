@@ -193,6 +193,40 @@ object AdvancedOps extends QueryModule {
                CAST(levenshtein(substr(text, 1, 24), 'the fast key order sort') AS INTEGER)
                  AS edit_dist
         FROM documents
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q(
+      "q103_unpivot",
+      "Unpivot (melt): a wide per-status aggregate row turned into long " +
+        "(status, metric, value) form via Dataset.unpivot — the inverse of " +
+        "q25's pivot. The unpivot itself is a zero-shuffle generate over " +
+        "an already-tiny aggregate; at scale the cost stays in the " +
+        "upstream agg, which shuffles only partial sums per status.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(sum($"o_totalprice"), 2).as("total_price"),
+            count(lit(1)).cast("double").as("n_orders"),
+            max($"o_totalprice").as("max_price"))
+          .unpivot(
+            Array($"o_orderstatus"),
+            Array($"total_price", $"n_orders", $"max_price"),
+            "metric", "value")
+          .orderBy($"o_orderstatus", $"metric")
+      },
+      Some("""
+        WITH w AS (SELECT o_orderstatus,
+                          round(sum(o_totalprice), 2)   AS total_price,
+                          CAST(count(*) AS DOUBLE)      AS n_orders,
+                          max(o_totalprice)             AS max_price
+                   FROM orders GROUP BY 1)
+        SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM w
+        UNION ALL
+        SELECT o_orderstatus, 'n_orders', n_orders FROM w
+        UNION ALL
+        SELECT o_orderstatus, 'max_price', max_price FROM w
+        ORDER BY o_orderstatus, metric"""))
   )
 }

@@ -133,6 +133,33 @@ object AnalyticsPatterns extends QueryModule {
         FROM f
         WHERE first_click IS NOT NULL
         GROUP BY 1
-        ORDER BY converted_24h"""))
+        ORDER BY converted_24h""")),
+
+    Q(
+      "q107_stratified_sample",
+      "Stratified deterministic sampling: exactly 20 orders per priority " +
+        "stratum, chosen by md5(key) order — reproducible across engines " +
+        "and runs (md5 renders identically here and in DuckDB, see q99). " +
+        "One shuffle on the stratum key; at 100 TB swap row_number for " +
+        "the bounded per-partition top-k Aggregator (q56's pattern) so no " +
+        "stratum ever materializes fully on one task.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "orders")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"o_orderpriority")
+              .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")))
+          .filter($"rk" <= 20)
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rk")
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""
+        WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                          row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+                   FROM orders)
+        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 20
+        ORDER BY o_orderpriority, rk"""))
   )
 }

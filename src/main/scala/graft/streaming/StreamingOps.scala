@@ -62,20 +62,55 @@ object StreamingOps extends QueryModule {
     * pinned into the checkpoint at first start, so it is a per-query
     * decision either way. */
   def runToMemory(s: SparkSession, streamed: DataFrame, name: String,
-      mode: String, shufflePartitions: Option[Int] = None): DataFrame = {
-    // The override touches session-global conf, so confine it to the
+      mode: String, shufflePartitions: Option[Int] = None,
+      extraConfs: Map[String, String] = Map.empty): DataFrame = {
+    // The overrides touch session-global conf, so confine them to the
     // start() window (StreamExecution clones the session — and with it the
     // conf — synchronously at construction) and serialize that window so
     // two concurrent runToMemory calls cannot read each other's temporary
     // value as the `prev` they later restore.
     val q = s.synchronized {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      shufflePartitions.foreach(n => s.conf.set("spark.sql.shuffle.partitions", n.toString))
+      val overrides = extraConfs ++
+        shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
+      val prev = overrides.keys.map(k => k -> s.conf.getOption(k)).toMap
+      overrides.foreach { case (k, v) => s.conf.set(k, v) }
       try streamed.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }
     try q.processAllAvailable() finally q.stop()
     s.table(name)
+  }
+
+  /** Per-user running (count, sum, max) via the transformWithState v2
+    * arbitrary-state API (Spark 4): typed ValueState in RocksDB, explicit
+    * TTL surface. Update-mode re-emission per batch, like q74's
+    * flatMapGroupsWithState — the last row per key is the converged
+    * state. TTLConfig.NONE here because the oracle needs every key; a
+    * production 100 TB/day pipeline sets a TTL so cold keys age out of
+    * the store instead of accumulating forever — state bound becomes
+    * O(active keys), the property flatMapGroupsWithState only gets via
+    * hand-rolled timeouts. */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var agg: ValueState[(Long, Double, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double, Double)](
+        "agg", org.apache.spark.sql.Encoders.product[(Long, Double, Double)],
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double, Double)] = {
+      var (n, total, mx) =
+        if (agg.exists()) agg.get() else (0L, 0.0, Double.NegativeInfinity)
+      rows.foreach { r => n += 1; total += r._2; mx = math.max(mx, r._2) }
+      agg.update((n, total, mx))
+      Iterator((user, n, total, mx))
+    }
   }
 
   override def queries: Seq[Q] = Seq(
@@ -260,6 +295,48 @@ object StreamingOps extends QueryModule {
       },
       Some("""
         SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    Q(
+      "q108_transform_with_state",
+      "Arbitrary stateful processing via transformWithState (the Spark-4 " +
+        "v2 state API, successor to q74's flatMapGroupsWithState): typed " +
+        "ValueState in a RocksDB store, per-user (count, sum, max) state " +
+        "machine. RocksDB is the 100 TB-scale store — state spills to " +
+        "local SST files instead of executor heap, changelog-checkpoints " +
+        "to the checkpoint location. Oracle = the batch aggregate the " +
+        "state must converge to.",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val perUser = eventsStream(s, dir)
+          .select($"user_id", $"value")
+          .as[(Long, Double)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "total_value", "max_value")
+        val out = runToMemory(s, perUser, "graft_mem_tws", "update",
+          shufflePartitions = Some(8),
+          extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        // update mode re-emits per batch; keep the last (converged) row
+        // per user, exactly like q74
+        import org.apache.spark.sql.expressions.Window
+        out.withColumn("rn", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"n_events".desc)))
+          .filter($"rn" === 1)
+          .select($"user_id", $"n_events",
+            round($"total_value", 2).as("total_value"),
+            round($"max_value", 2).as("max_value"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               round(max(value), 2) AS max_value
         FROM events
         GROUP BY user_id
         ORDER BY user_id""")),

@@ -77,6 +77,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ddww_test").count() === 3L) // + the k=99 row
   }
 
+  test("transformWithState accumulates ValueState across micro-batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val tws = input.toDS()
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.StreamingOps.RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n", "total", "mx")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = tws.writeStream.outputMode("update")
+        .format("memory").queryName("tws_test").start()
+      try {
+        input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+        q.processAllAvailable()
+        input.addData((1L, 5.0)) // state must carry: n 2→3, total 5→10
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("tws_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(rows.contains((1L, 2L, 5.0, 3.0)), rows)  // after batch 1
+    assert(rows.contains((1L, 3L, 10.0, 5.0)), rows) // state carried into batch 2
+    assert(rows.contains((2L, 1L, 10.0, 10.0)), rows)
+  }
+
   test("streaming session window merges within gap across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
