@@ -168,21 +168,37 @@ object Multimodal extends QueryModule {
       "q84_multimodal_framesample",
       "Frame sampling: treat the payload as fixed-size frames (16 B), " +
         "sample every 4th, explode to one row per sampled frame with a " +
-        "per-frame checksum — the video keyframe-extraction access " +
-        "pattern (generator/explode over substrings of the payload).",
+        "per-frame md5 checksum — the video keyframe-extraction access " +
+        "pattern (generator/explode over substrings of the payload). md5 " +
+        "renders identically here and in DuckDB, which is what lets this " +
+        "row be oracled at all (swap in xxhash64 for a cheaper 8-byte " +
+        "checksum when cross-engine reproducibility isn't needed).",
       (s, dir) => {
         import s.implicits._
         Tables.t(s, dir, "documents")
           .select($"doc_id", $"text".cast("binary").as("payload"))
+          // sub-frame payloads have no complete frame (none in the
+          // fixtures, but sequence(0, -1) would DESCEND, not stay empty)
+          .filter(length($"payload") >= 16)
           .select($"doc_id",
             posexplode(expr(
               """transform(sequence(0, int(floor(length(payload) / 16.0)) - 1),
                  f -> substring(payload, f * 16 + 1, 16))"""))
               .as(Seq("frame_idx", "frame")))
           .filter($"frame_idx" % 4 === 0)
-          .select($"doc_id", $"frame_idx", xxhash64($"frame").as("frame_hash"))
+          .select($"doc_id", $"frame_idx",
+            md5($"frame".cast("string")).as("frame_hash"))
           .orderBy($"doc_id", $"frame_idx")
       },
-      None)
+      Some("""
+        WITH f AS (SELECT doc_id, text,
+                          unnest(range(0, CAST(floor(length(text) / 16.0) AS INTEGER)))
+                            AS frame_idx
+                   FROM documents
+                   WHERE length(text) >= 16)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               md5(substring(text, CAST(frame_idx AS INTEGER) * 16 + 1, 16)) AS frame_hash
+        FROM f WHERE frame_idx % 4 = 0
+        ORDER BY doc_id, frame_idx"""))
   )
 }

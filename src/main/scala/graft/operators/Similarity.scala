@@ -106,6 +106,27 @@ object Similarity extends QueryModule {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
+  /** IVF-Flat ANN: corpus vectors bucketed by nearest-of-nlist coarse
+    * centroid (narrow codegen'd TopCentroids projection), probes scan
+    * their nprobe nearest inverted lists, exact cosine re-ranks. The
+    * q97 operator at its fixture parameters; Stress drives it at 100×
+    * corpus / 32× probes to measure the sub-linear candidate scan. */
+  def knnIvf(s: SparkSession, dir: String, k: Int, nProbes: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    import graft.catalyst.VecOps.top_centroids
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings")
+    val cb = ivfCodebook(e, nlist)
+    val indexed = e.select($"vec_id", $"embedding",
+      element_at(top_centroids($"embedding", cb, 1), 1).as("list_id"))
+    val probes = e.filter($"vec_id" < nProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
+        explode(top_centroids($"embedding", cb, nprobe)).as("list_id"))
+    // each corpus vector lives in exactly one list, so a (probe, vec)
+    // candidate appears at most once — no dedup needed before re-rank
+    rerankTopK(indexed.join(broadcast(probes), Seq("list_id")), k)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q66_knn_brute_force",
@@ -224,21 +245,7 @@ object Similarity extends QueryModule {
         "cosine re-ranks — classic IVF-Flat. Rows-only check (list " +
         "assignment is quantizer-defined); ExtensionSpec asserts recall " +
         "vs exact q66 + candidate reduction.",
-      (s, dir) => {
-        import graft.catalyst.VecOps.top_centroids
-        import s.implicits._
-        val nlist = 16; val nprobe = 2
-        val e = Tables.t(s, dir, "embeddings")
-        val cb = ivfCodebook(e, nlist)
-        val indexed = e.select($"vec_id", $"embedding",
-          element_at(top_centroids($"embedding", cb, 1), 1).as("list_id"))
-        val probes = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
-            explode(top_centroids($"embedding", cb, nprobe)).as("list_id"))
-        // each corpus vector lives in exactly one list, so a (probe, vec)
-        // candidate appears at most once — no dedup needed before re-rank
-        rerankTopK(indexed.join(broadcast(probes), Seq("list_id")), 5)
-      },
+      (s, dir) => knnIvf(s, dir, k = 5, nProbes = 8, nlist = 16, nprobe = 2),
       None),
 
     Q(

@@ -130,6 +130,27 @@ object SqlFeatures extends QueryModule {
       FROM lineitem
       GROUP BY l_suppkey
       HAVING count(*) > 550
-      ORDER BY l_suppkey""")
+      ORDER BY l_suppkey"""),
+
+    sqlQ(
+      "q109_recursive_cte",
+      "WITH RECURSIVE (Spark 4's UnionLoop execution): a recursively " +
+        "generated year spine LEFT-joined against orders, so empty years " +
+        "survive with zero counts — the calendar-scaffold pattern that " +
+        "needs recursion only for the spine; the fact-side join/agg stays " +
+        "a normal one-shuffle plan the optimizer handles as usual.",
+      """
+      WITH RECURSIVE yrs AS (
+        SELECT 1992 AS yr
+        UNION ALL
+        SELECT yr + 1 FROM yrs WHERE yr < 1998
+      )
+      SELECT yrs.yr,
+             count(o_orderkey)                        AS n_orders,
+             round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+      FROM yrs LEFT JOIN orders
+        ON CAST(year(o_orderdate) AS INTEGER) = yrs.yr
+      GROUP BY yrs.yr
+      ORDER BY yrs.yr""")
   )
 }

@@ -64,6 +64,14 @@ object Stress {
       (abs(xxhash64($"id", lit(9)) % 100000) / 100.0).as("value"),
       lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // 200k embeddings (100x the sf0.1 fixture), 64-dim float, uniform in
+    // [-1, 1] — the ANN ladder's corpus
+    s.range(200000).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (((xxhash64($"id", i) % 2001 + 2001) % 2001 - 1000) / 1000.0)
+          .cast("float")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println("generated")
 
     // Shuffle-write bytes across all tasks — evidence for the candidate-
@@ -103,6 +111,18 @@ object Stress {
     }
     time(s"asof native ${6 * mult}M events") {
       SparkEntry.queries("q19_asof_join_native")(s, out).count()
+    }
+    // ANN ladder at 100x corpus / 32x probes: brute force scores every
+    // (probe, vector) pair — 51.2M cosine evals; IVF (nlist=64, nprobe=4)
+    // scans ~nprobe/nlist of the corpus per probe. Same top-k surface,
+    // sub-linear candidate count — the contrast that justifies q97 as the
+    // production path once probes x corpus outgrows the brute product.
+    time("knn brute 200k x 256 probes") {
+      graft.operators.Similarity.knnBrute(s, out, k = 5, nProbes = 256).count()
+    }
+    time("knn ivf 200k x 256 probes") {
+      graft.operators.Similarity.knnIvf(s, out, k = 5, nProbes = 256,
+        nlist = 64, nprobe = 4).count()
     }
     // Ingest throughput vs the reference's operational envelope
     // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real
