@@ -176,6 +176,13 @@ object Multimodal extends QueryModule {
       (s, dir) => {
         import s.implicits._
         Tables.t(s, dir, "documents")
+          // byte-frames vs the oracle's char-substrings only agree on
+          // pure-ASCII text (bytes == chars): make that explicit rather
+          // than rely on the fixtures — a multi-byte char would shift
+          // Spark's byte framing off the oracle's char framing and md5
+          // a replacement-char-mangled cast. Both sides exclude such
+          // rows identically (no-op on the all-ASCII fixtures).
+          .filter(length($"text") === octet_length($"text"))
           .select($"doc_id", $"text".cast("binary").as("payload"))
           // sub-frame payloads have no complete frame (none in the
           // fixtures, but sequence(0, -1) would DESCEND, not stay empty)
@@ -195,7 +202,8 @@ object Multimodal extends QueryModule {
                           unnest(range(0, CAST(floor(length(text) / 16.0) AS INTEGER)))
                             AS frame_idx
                    FROM documents
-                   WHERE length(text) >= 16)
+                   WHERE length(text) = octet_length(encode(text))
+                     AND length(text) >= 16)
         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
                md5(substring(text, CAST(frame_idx AS INTEGER) * 16 + 1, 16)) AS frame_hash
         FROM f WHERE frame_idx % 4 = 0

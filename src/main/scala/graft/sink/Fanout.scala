@@ -196,12 +196,21 @@ class IdempotentJdbcSink(url: String, props: java.util.Properties,
       try {
         writeRows(ordered, s"$db.$stage") // distributed write, target untouched
         conn.setAutoCommit(false)
-        val del = conn.prepareStatement(s"DELETE FROM $db.$table WHERE batch_id = ?")
-        try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
-        val ins = conn.createStatement()
-        try ins.executeUpdate(s"INSERT INTO $db.$table SELECT * FROM $db.$stage")
-        finally ins.close()
-        conn.commit() // atomic swap: old batch rows -> new batch rows
+        try {
+          val del = conn.prepareStatement(s"DELETE FROM $db.$table WHERE batch_id = ?")
+          try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
+          val ins = conn.createStatement()
+          try ins.executeUpdate(s"INSERT INTO $db.$table SELECT * FROM $db.$stage")
+          finally ins.close()
+          conn.commit() // atomic swap: old batch rows -> new batch rows
+        } catch {
+          // MUST roll back before auto-commit is restored: JDBC specifies
+          // that enabling auto-commit mid-transaction COMMITS it, which
+          // would persist the DELETE of the previous delivery alone
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        }
       } finally {
         try {
           conn.setAutoCommit(true)

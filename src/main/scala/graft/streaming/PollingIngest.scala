@@ -53,24 +53,30 @@ object PollingIngest {
       * loop has no checkpoint, so ids are unique-per-run rather than
       * replayable: delivery stays at-least-once, never destructive.
       * Bases are process-monotone (see nextRunBase), so two handles in
-      * the same millisecond cannot collide; across processes the clock
-      * spacing holds unless wall time steps backwards (NTP/snapshot
-      * restore — documented residual risk of a checkpoint-free loop). */
+      * the same millisecond cannot collide; across processes a large
+      * per-process entropy offset makes id-range overlap improbable
+      * (not impossible — the quantified residual risk of a
+      * checkpoint-free loop is at nextRunBase). */
     private[PollingIngest] val batchBase: Long = nextRunBase()
     def stop(): Unit = stopFlag.set(true)
   }
 
   // Monotone run bases: at least RunBaseStep apart within a process (so a
   // run may consume up to RunBaseStep ticks), and tracking µs wall time
-  // across processes. Cross-process collisions (same-millisecond starts, or
-  // a clock step-back) are closed by mixing a per-process entropy offset
-  // into the wall-clock component: two processes must now share BOTH the
-  // millisecond AND a pid/nanoTime-derived value in [0, RunBaseStep) for
-  // their id ranges to overlap (~1e-7, vs certain on same-ms starts before).
+  // across processes. A per-process entropy offset in [0, EntropySpan) is
+  // mixed into the wall-clock component, so two processes starting in the
+  // same millisecond (or around a clock step-back) get bases separated by
+  // |Δentropy| — their id ranges overlap only if one run consumes more
+  // ticks than that separation: P ≈ 2·N/EntropySpan for an N-tick run
+  // (~2e-8 at N=10⁴), vs certain on same-ms starts without the offset.
+  // This is a probabilistic narrowing, not a proof — checkpoint-free by
+  // design (parity with the reference's loop); runs needing a hard
+  // guarantee use StreamingIngest's checkpoint-derived batch ids.
   private val RunBaseStep = 10000000L
+  private val EntropySpan = 1000000000000L // ~11 days of µs: dwarfs run lengths
   private val procEntropy: Long = {
     val pid = ProcessHandle.current().pid()
-    math.floorMod(pid * 1000003L ^ System.nanoTime(), RunBaseStep)
+    math.floorMod(pid * 1000003L ^ System.nanoTime(), EntropySpan)
   }
   private val lastRunBase = new java.util.concurrent.atomic.AtomicLong(0L)
   private def nextRunBase(): Long = lastRunBase.updateAndGet { prev =>

@@ -89,8 +89,15 @@ object Stress {
       // Drain the async listener bus deterministically before reading the
       // counter — a fixed sleep undercounts when TaskEnd events lag under
       // load, and these MiB numbers are cited as optimization evidence.
-      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+      // A drain timeout must not abort the run: the measurement is already
+      // in hand, only the shuffle counter may be stale.
+      try org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
         s.sparkContext, 30000L)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"STRESS $label: listener bus drain timed out;" +
+            " shuffle MiB may undercount")
+      }
       println(f"STRESS $label%-28s $secs%8.2f s  shuffle ${shuffleBytes.get / 1048576.0}%9.1f MiB  ($r)")
     }
     // heavy operators at 10x

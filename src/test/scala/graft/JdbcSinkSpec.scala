@@ -115,6 +115,29 @@ class JdbcSinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { sink.ensure("bad-db", "t", "CREATE TABLE t (k BIGINT)") }
   }
 
+  test("idempotent JDBC swap rolls back on failure: previous delivery survives") {
+    import graft.sink.IdempotentJdbcSink
+    import spark.implicits._
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA idem4")
+      st.execute("CREATE TABLE idem4.t (k BIGINT NOT NULL, batch_id BIGINT)")
+      st.close()
+    } finally conn.close()
+    val sink = new IdempotentJdbcSink(url, props, numPartitions = 1)
+    sink.append(Seq(1L, 2L).toDF("k"), "idem4", "t", batchId = 3)
+    assert(spark.read.jdbc(url, "idem4.t", props).count() === 2)
+    // replayed batch carries a NULL key: the staging write succeeds (the
+    // Spark-created staging table is nullable) but the swap INSERT
+    // violates the target's NOT NULL — the transaction must roll back,
+    // NOT commit the half-applied DELETE
+    val bad = Seq(Option(5L), Option.empty[Long]).toDF("k")
+    intercept[Exception] { sink.append(bad, "idem4", "t", batchId = 3) }
+    assert(spark.read.jdbc(url, "idem4.t", props).count() === 2,
+      "previous delivery of batch 3 must survive a failed replay swap")
+  }
+
   test("withBatchColumn: word-boundary detection, depth-matched splice point") {
     import graft.sink.IdempotentJdbcSink.withBatchColumn
     val declared = "CREATE TABLE t (k BIGINT, batch_id BIGINT)"
