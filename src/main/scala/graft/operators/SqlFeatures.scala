@@ -151,6 +151,19 @@ object SqlFeatures extends QueryModule {
       FROM yrs LEFT JOIN orders
         ON CAST(year(o_orderdate) AS INTEGER) = yrs.yr
       GROUP BY yrs.yr
-      ORDER BY yrs.yr""")
+      ORDER BY yrs.yr"""),
+
+    sqlQ(
+      "q110_group_by_all",
+      "GROUP BY ALL / ORDER BY ALL (the DuckDB-originated shorthand both " +
+        "engines now parse): grouping keys inferred from the non-aggregate " +
+        "select items — same two-phase hash aggregate plan as an explicit " +
+        "key list.",
+      """
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      GROUP BY ALL
+      ORDER BY ALL""")
   )
 }

@@ -64,6 +64,21 @@ class PlanSpec extends AnyFunSuite {
       s"scan should prune unused columns: $readSchema")
   }
 
+  test("q102: variant extraction prunes the events scan to the two used columns") {
+    val plan = planOf("q102_variant_json")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && readSchema.contains("event_type"),
+      s"scan must read the parsed columns: $readSchema")
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"),
+      s"scan should prune unused event columns: $readSchema")
+  }
+
+  test("q105: bigram counting is two-phase (map-side partial before the shuffle)") {
+    val plan = planOf("q105_ngram_topk")
+    assert(plan.contains("partial_count"), "bigram counts must combine map-side " +
+      "(the Zipf head collapses before the wire): " + plan.take(600))
+  }
+
   test("q10: dimension join is broadcast, not shuffled") {
     val plan = planOf("q10_join_inner_topn")
     assert(plan.contains("BroadcastHashJoin"), "customer dim should broadcast")
