@@ -118,6 +118,26 @@ object CoreRelational extends QueryModule {
       None),
 
     Q(
+      "q113_approx_percentile",
+      "Mergeable quantile sketch (approx_percentile / GK summaries): " +
+        "p50/p95 price per returnflag in ONE pass with bounded state — " +
+        "the 100 TB form of order statistics (exact q44 needs a sort or " +
+        "full value materialization per group; the sketch shuffles O(1/ε) " +
+        "summaries and merges associatively). No SQL oracle: DuckDB's " +
+        "approx_quantile uses t-digest, a different sketch; the error " +
+        "bound vs exact percentile_cont is asserted in QueryCorpusSpec.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+            percentile_approx($"l_extendedprice", lit(0.95), lit(10000)).as("p95"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    Q(
       "q05_rollup",
       "ROLLUP hierarchy totals (returnflag → linestatus → grand total).",
       (s, dir) => {

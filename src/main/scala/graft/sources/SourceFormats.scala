@@ -52,6 +52,53 @@ object SourceFormats extends QueryModule {
         "ships natively (predicate pushdown + column pruning apply as " +
         "with parquet); oracle on the parquet original proves " +
         "losslessness.",
-      (s, dir) => roundTrip("orc")(s, dir), Some(oracle))
+      (s, dir) => roundTrip("orc")(s, dir), Some(oracle)),
+
+    Q("q111_xml_roundtrip",
+      "XML sink + schema-explicit XML source round-trip (the XML data " +
+        "source is core in Spark 4) — row tag per event, same aggregate " +
+        "and oracle as the other format round-trips.",
+      (s, dir) => {
+        import s.implicits._
+        val path =
+          java.nio.file.Files.createTempDirectory("graft_xml").toString + "/events"
+        Tables.t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .write.format("xml").option("rowTag", "event").mode("overwrite").save(path)
+        s.read.format("xml").option("rowTag", "event").schema(subsetSchema).load(path)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"event_type")
+      }, Some(oracle)),
+
+    Q("q112_from_xml",
+      "Scalar XML parsing: from_xml over a per-row XML payload " +
+        "(assembled from customer fields, the fixtures carry no XML) " +
+        "with an explicit schema, fields extracted back out — the " +
+        "shred-on-read path for XML-bearing columns; the oracle computes " +
+        "the same fields relationally, proving parse-extract identity.",
+      (s, dir) => {
+        import s.implicits._
+        val xmlSchema = StructType(Seq(
+          StructField("key", LongType),
+          StructField("seg", StringType),
+          StructField("bal", DoubleType)))
+        Tables.t(s, dir, "customer")
+          .select($"c_custkey",
+            concat(lit("<c><key>"), $"c_custkey",
+              lit("</key><seg>"), $"c_mktsegment",
+              lit("</seg><bal>"), $"c_acctbal",
+              lit("</bal></c>")).as("payload"))
+          .select($"c_custkey", from_xml($"payload", xmlSchema).as("x"))
+          .select($"c_custkey", $"x.key".as("key"), $"x.seg".as("seg"),
+            round($"x.bal", 2).as("bal"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_custkey AS key, c_mktsegment AS seg,
+               round(c_acctbal, 2) AS bal
+        FROM customer
+        ORDER BY c_custkey"""))
   )
 }

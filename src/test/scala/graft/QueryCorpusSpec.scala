@@ -53,6 +53,26 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 approx_percentile is within rank error of exact percentile_cont") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q113_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val li = Tables.t(spark, sfDir, "lineitem")
+    // GK accuracy 10000 ⇒ rank error ≤ n/10000; translate to a value box
+    // by checking the approx value's true rank stays within that band
+    val eps = 1.0 / 10000
+    approx.foreach { case (k, (p50, p95)) =>
+      val vals = li.filter(col("l_returnflag") === k)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double =
+        vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(p50) - 0.5) <= eps + 1.0 / vals.length,
+        s"$k p50=$p50 rank=${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= eps + 1.0 / vals.length,
+        s"$k p95=$p95 rank=${rankOf(p95)}")
+    }
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
