@@ -11,6 +11,54 @@ import org.scalatest.funsuite.AnyFunSuite
 class PartitionPruningSpec extends AnyFunSuite {
   import TestSession._
 
+  test("range-clustered layout: min-max stats skip row groups a random layout scans") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    // sf0.1: 100k events — big enough that the reader's 1000-row metric
+    // checkpointing can't mask the contrast the smaller fixtures would
+    val events = Tables.t(spark, "/root/testdata/sf0.1", "events")
+      .select($"event_id", $"ts", $"value")
+    // clustered: each of the 8 files covers a disjoint event_id range, so
+    // its parquet row-group min/max answers a narrow id predicate without
+    // decoding rows; random: every file spans the full range, stats prune
+    // nothing. Same bytes, same query — layout is the only variable.
+    // (Cluster key is BIGINT deliberately: TIMESTAMP_NTZ predicates are
+    // NOT pushed into parquet stats filtering — measured recordsRead
+    // stays 100k however the data is laid out — so an event-time layout
+    // key must be stored as epoch micros or TIMESTAMP_LTZ to skip.)
+    events.repartitionByRange(8, $"event_id").sortWithinPartitions($"event_id")
+      .write.mode("overwrite").parquet(s"$base/clustered")
+    // genuinely scrambled: repartition alone PRESERVES within-partition
+    // order and the fixture arrives ordered — sort by a hash to interleave
+    events.repartition(8)
+      .sortWithinPartitions(md5($"ts".cast("string")))
+      .write.mode("overwrite").parquet(s"$base/random")
+    // the scan node's numOutputRows is post-pushed-filter on both layouts;
+    // what row-group skipping changes is how many rows the reader DECODES —
+    // task-level input records, observed via a listener
+    val decoded = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          decoded.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    })
+    def scannedRows(path: String): Long = {
+      decoded.set(0L)
+      val matched = spark.read.parquet(path)
+        .filter($"event_id" < 10000L).collect().length
+      assert(matched === 10000)
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        spark.sparkContext, 30000L)
+      decoded.get()
+    }
+    val clustered = scannedRows(s"$base/clustered")
+    val random = scannedRows(s"$base/random")
+    assert(clustered * 4 <= random,
+      s"clustered layout should decode far fewer rows: $clustered vs $random — " +
+        "at 100 TB this is the sort-on-write knob that turns a full scan into " +
+        "a single-file read")
+  }
+
   test("hive-style partitioned write + partition-pruned read") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
