@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout must reach the console VERBATIM: sbt's default
+// LoggedOutput prefixes every line with "[info] ", so no line of a
+// `runMain graft.Bench` run starts with '{' and the driver's JSON-line
+// scan never matches (BENCH_r01–r03 all recorded parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,11 +21,23 @@ object Bench {
       val (a, b) = (once(q), once(q))
       q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    // Interpolated strings (paths from env, query names) must not be able
+    // to break the one JSON line the driver parses.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    // NOTE: `total` is deliberately corpus-wide (computed from `results`,
+    // not the `rs` slice) — the compact summary line reports the full
+    // run's total next to only the slowest queries.
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      val qs = rs.map { case (k, v) => jstr(k) + f""":$v%.3f""" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":${jstr(sfDir)}}"""
     }
     val full = toJson(results)
     // The driver captures only the LAST ~2000 chars of the sbt log; the
@@ -45,7 +57,7 @@ object Bench {
     }
     println(s"GRAFT_BENCH_JSON_FULL $full")
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    println(toJson(slowest, s""","n_queries":${results.size},"full":"$out""""))
+    println(toJson(slowest, s""","n_queries":${results.size},"full":${jstr(out)}"""))
     spark.stop()
   }
 }

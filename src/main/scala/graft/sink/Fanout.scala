@@ -259,12 +259,26 @@ object JdbcSink {
     Option(e.getSQLState).exists(s => s.startsWith("X0Y") || s == "42710")
 
   private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  /** Longest suffix IdempotentJdbcSink appends for its staging table:
+    * "_stg_" + up to 16 hex chars (batch id) + "_" + up to 8 hex chars
+    * (attempt nonce). Bounded up front so a table name that validates
+    * can never overflow a dialect's identifier limit only at
+    * staging-table CREATE time. */
+  private val StagingSuffixMax = "_stg_".length + 16 + 1 + 8
+  /** MySQL's identifier limit is 64 (Derby's is 128 — the tighter bound
+    * wins), minus headroom for the staging suffix. */
+  private val MaxIdentLen = 64 - StagingSuffixMax
   /** Loud rejection of identifiers that could splice SQL: db/table names
     * reach DDL/DML statement text (the reference interpolates them the
     * same way, db_manager.go:142-156, but silently). */
-  def requireSafeIdent(name: String): Unit =
+  def requireSafeIdent(name: String): Unit = {
     require(SafeIdent.matches(name),
       s"unsafe SQL identifier '$name' (allowed: [A-Za-z_][A-Za-z0-9_]*)")
+    require(name.length <= MaxIdentLen,
+      s"identifier '$name' is ${name.length} chars; max $MaxIdentLen so the " +
+        s"idempotent staging suffix (up to $StagingSuffixMax chars) stays " +
+        "within MySQL's 64-char identifier limit")
+  }
 }
 
 object Fanout {

@@ -64,23 +64,58 @@ object PollingIngest {
   // Monotone run bases: at least RunBaseStep apart within a process (so a
   // run may consume up to RunBaseStep ticks), and tracking µs wall time
   // across processes. A per-process entropy offset in [0, EntropySpan) is
-  // mixed into the wall-clock component, so two processes starting in the
-  // same millisecond (or around a clock step-back) get bases separated by
-  // |Δentropy| — their id ranges overlap only if one run consumes more
-  // ticks than that separation: P ≈ 2·N/EntropySpan for an N-tick run
-  // (~2e-8 at N=10⁴), vs certain on same-ms starts without the offset.
-  // This is a probabilistic narrowing, not a proof — checkpoint-free by
-  // design (parity with the reference's loop); runs needing a hard
-  // guarantee use StreamingIngest's checkpoint-derived batch ids.
+  // mixed into the wall-clock component, so two CONCURRENTLY-started
+  // processes (same millisecond, or around a clock step-back) get bases
+  // separated by |Δentropy| — their id ranges overlap only if one run
+  // consumes more ticks than that separation: P ≈ 2·N/EntropySpan for an
+  // N-tick run (~2e-8 at N=10⁴), vs certain on same-ms starts without
+  // the offset. SEQUENTIAL restarts on one host are not left to that
+  // probability: the last issued base is persisted to a sidecar file
+  // (best-effort, atomic-rename) and a new process floors its base at
+  // persisted+RunBaseStep, so a restart can never regress into its
+  // predecessor's id range however small an entropy it draws. Residual
+  // risk is thus confined to (a) genuinely concurrent starts and
+  // (b) restarts where the sidecar is unreadable/deleted — both remain
+  // probabilistic-only, by design (checkpoint-free, parity with the
+  // reference's loop); runs needing a hard guarantee use
+  // StreamingIngest's checkpoint-derived batch ids.
   private val RunBaseStep = 10000000L
   private val EntropySpan = 1000000000000L // ~11 days of µs: dwarfs run lengths
   private val procEntropy: Long = {
     val pid = ProcessHandle.current().pid()
     math.floorMod(pid * 1000003L ^ System.nanoTime(), EntropySpan)
   }
+  /** Sidecar recording the last issued base on this host (overridable for
+    * tests / multi-daemon hosts via -Dgraft.ingest.baseFile=…). */
+  private[streaming] def baseFile: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.props.getOrElse("graft.ingest.baseFile",
+      sys.props("java.io.tmpdir") + "/graft-poll-run-base"))
+  private def persistedBase(): Long =
+    try new String(java.nio.file.Files.readAllBytes(baseFile),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Exception => 0L } // absent/corrupt → no floor
+  private def persistBase(b: Long): Unit =
+    try {
+      val dir = baseFile.toAbsolutePath.getParent
+      val tmp = java.nio.file.Files.createTempFile(dir, ".graft-base", ".tmp")
+      java.nio.file.Files.write(tmp,
+        b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, baseFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Exception => // availability over the stronger guarantee
+        log.warn(s"could not persist run base to $baseFile: ${e.getMessage}; " +
+          "sequential-restart monotonicity degrades to the entropy argument")
+    }
   private val lastRunBase = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextRunBase(): Long = lastRunBase.updateAndGet { prev =>
-    math.max(prev + RunBaseStep, System.currentTimeMillis() * 1000L + procEntropy)
+  private[graft] def nextRunBase(): Long = {
+    val issued = lastRunBase.updateAndGet { prev =>
+      math.max(math.max(prev, persistedBase()) + RunBaseStep,
+        System.currentTimeMillis() * 1000L + procEntropy)
+    }
+    persistBase(issued)
+    issued
   }
 
   /** Run the loop synchronously; returns the handle with counters.

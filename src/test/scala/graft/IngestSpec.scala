@@ -162,4 +162,32 @@ class IngestSpec extends AnyFunSuite {
     assert(cfg.runForSec === 60)
     assert(cfg.backoffSec === 5)
   }
+
+  test("run bases stay monotone across a simulated restart (persisted floor)") {
+    val f = java.nio.file.Files.createTempFile("graft_base", ".txt")
+    val prev = sys.props.get("graft.ingest.baseFile")
+    sys.props("graft.ingest.baseFile") = f.toString
+    try {
+      // a predecessor process on this host issued a base far ABOVE anything
+      // wall-clock + entropy can produce (entropy span is ~1e12 µs); without
+      // the persisted floor a restart drawing smaller entropy would regress
+      // into its range
+      val predecessor = System.currentTimeMillis() * 1000L + 5_000_000_000_000L
+      java.nio.file.Files.write(f, predecessor.toString.getBytes("UTF-8"))
+      val issued = PollingIngest.nextRunBase()
+      assert(issued > predecessor, s"restart base $issued regressed below $predecessor")
+      // and the issued base is persisted back for the NEXT restart
+      val onDisk = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong
+      assert(onDisk === issued)
+      // corrupt sidecar degrades gracefully (entropy argument, no throw)
+      java.nio.file.Files.write(f, "not-a-number".getBytes("UTF-8"))
+      assert(PollingIngest.nextRunBase() > issued) // still process-monotone
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.ingest.baseFile") = v
+        case None => sys.props.remove("graft.ingest.baseFile")
+      }
+      java.nio.file.Files.deleteIfExists(f)
+    }
+  }
 }

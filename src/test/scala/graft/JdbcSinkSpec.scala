@@ -113,6 +113,13 @@ class JdbcSinkSpec extends AnyFunSuite {
       sink.append(Seq(1L).toDF("k"), "idem3", "t WHERE 1=1; DROP TABLE idem3.t", 8)
     }
     intercept[IllegalArgumentException] { sink.ensure("bad-db", "t", "CREATE TABLE t (k BIGINT)") }
+    // a name whose charset is fine but whose length would overflow MySQL's
+    // 64-char identifier limit once the staging suffix lands is rejected
+    // up front, not at staging-CREATE time
+    intercept[IllegalArgumentException] {
+      sink.append(Seq(1L).toDF("k"), "idem3", "t" * 40, 9)
+    }
+    graft.sink.JdbcSink.requireSafeIdent("a" * 34) // at the bound: accepted
   }
 
   test("idempotent JDBC swap rolls back on failure: previous delivery survives") {

@@ -37,11 +37,12 @@ class PartitionPruningSpec extends AnyFunSuite {
     // what row-group skipping changes is how many rows the reader DECODES —
     // task-level input records, observed via a listener
     val decoded = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
           decoded.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     def scannedRows(path: String): Long = {
       decoded.set(0L)
       val matched = spark.read.parquet(path)
@@ -51,8 +52,12 @@ class PartitionPruningSpec extends AnyFunSuite {
         spark.sparkContext, 30000L)
       decoded.get()
     }
-    val clustered = scannedRows(s"$base/clustered")
-    val random = scannedRows(s"$base/random")
+    // unregister before any assertion can throw: the shared session
+    // outlives this suite and a leaked listener would keep accumulating
+    // (and skewing) `decoded` for every later test
+    val (clustered, random) =
+      try (scannedRows(s"$base/clustered"), scannedRows(s"$base/random"))
+      finally spark.sparkContext.removeSparkListener(listener)
     assert(clustered * 4 <= random,
       s"clustered layout should decode far fewer rows: $clustered vs $random — " +
         "at 100 TB this is the sort-on-write knob that turns a full scan into " +
