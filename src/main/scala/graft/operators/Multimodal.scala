@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake (byte-level statistics standing in
-  * for pixel decoding); everything around it — the binary column, the
-  * metadata struct, the mapPartitions batch shape (Scala's analogue of
-  * mapInPandas batches), the explode of sampled frames — is the real
-  * Spark plumbing a production pipeline would keep while swapping the
-  * codec in.
+  * Two decode tiers: q114 is a REAL codec path — PNG encode + decode via
+  * the JDK's dependency-free `javax.imageio`, features extracted from
+  * decoded pixels, bit-exactly oracled through a closed-form pixel
+  * function. q83 keeps the clearly-marked byte-stats stand-in for formats
+  * whose codecs the container lacks (audio/video); its binary column,
+  * metadata struct, mapPartitions batch shape (Scala's analogue of
+  * mapInPandas batches), and frame-sampling explode are the real Spark
+  * plumbing a production pipeline keeps while swapping codecs in.
   *
   * Scale notes (100 TB of media): payload bytes never enter a shuffle —
   * every operator is a narrow per-partition map; only scalar features /
@@ -23,6 +24,71 @@ import org.apache.spark.sql.functions._
   * width dominates.
   */
 object Multimodal extends QueryModule {
+
+  // ImageIO's convenience read/write otherwise spools through an on-disk
+  // cache file per call — pure overhead (and tmp-dir churn) for the small
+  // in-memory payloads media columns carry through an executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** One decoded image: REAL features from ImageIO-decoded pixels (q114).
+    * Integer channel sums (not float means) so the oracle comparison is
+    * exact — same design as [[MediaFeatures]]. */
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic doc_id-seeded RGB test image, PNG-encoded with the
+    * JDK's real codec (javax.imageio — dependency-free). Pixel (x, y) of
+    * doc d is the closed-form ((d*31+x*7+y*13) % 256, (d*17+x*5+y*11) %
+    * 256, (d*23+x*3+y*19) % 256), dims (4 + d%5) × (4 + d%3) — a pixel
+    * function simple enough to restate in oracle SQL, which is what makes
+    * the decode path below bit-exactly checkable. */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = (4 + (id % 5)).toInt
+    val h = (4 + (id % 3)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 5 + y * 11) % 256).toInt
+        val b = ((id * 23 + x * 3 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL decode (the q83 stub's production counterpart): parse the PNG
+    * payload with ImageIO and extract features from the decoded pixels —
+    * dimensions plus per-channel sums. PNG is lossless, so for the seeded
+    * fixtures these equal the closed-form pixel function exactly. */
+  def decodePngFeatures(id: Long, payload: Array[Byte]): ImageFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(id, w, h, sr, sg, sb)
+  }
 
   /** One decoded media item: deterministic fake features from the bytes.
     * Carries the integer byte SUM (not a float mean) so downstream math
@@ -163,6 +229,49 @@ object Multimodal extends QueryModule {
                  AS sample_byte
         FROM g
         ORDER BY doc_id, grid_idx""")),
+
+    Q(
+      "q114_image_codec",
+      "REAL media codec path (no stub): doc_id-seeded deterministic RGB " +
+        "images are PNG-encoded with the JDK's javax.imageio codec in one " +
+        "narrow mapPartitions (a genuine image/png BinaryType payload " +
+        "column — magic bytes and all), then PNG-decoded back with " +
+        "ImageIO.read in a second, and features extracted from the " +
+        "DECODED pixels: dimensions + per-channel sums. PNG is lossless, " +
+        "so the decoded features equal the closed-form pixel function " +
+        "and the query is fully SQL-oracle-able — closing the one " +
+        "'simulated vs implemented' gap the q83 byte-stats stub left. " +
+        "Scale shape is identical to q83: payload bytes are born and die " +
+        "inside one partition (never shuffled); only scalar features " +
+        "leave the map.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        // encode stage: the payload column a production pipeline would
+        // read from object storage; here derived so the content is known
+        val media = ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .toDF("doc_id", "payload")
+        // decode stage: the real codec call the q83 stub stands in for
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, png) => decodePngFeatures(id, png) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px)
+        SELECT doc_id,
+               CAST(any_value(w) AS INTEGER) AS width,
+               CAST(any_value(h) AS INTEGER) AS height,
+               CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

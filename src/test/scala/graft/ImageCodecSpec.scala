@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q114 REAL codec path: the payload is a genuine PNG, the decode is
+  * a genuine ImageIO parse, and decoded features match the closed-form
+  * pixel function — locally here, end-to-end in CORRECTNESS via the
+  * DuckDB oracle. */
+class ImageCodecSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Closed-form reference, independent of the codec round trip. */
+  private def expected(id: Long): Multimodal.ImageFeatures = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (id * 31 + x * 7 + y * 13) % 256
+      sg += (id * 17 + x * 5 + y * 11) % 256
+      sb += (id * 23 + x * 3 + y * 19) % 256
+    }
+    Multimodal.ImageFeatures(id, w, h, sr, sg, sb)
+  }
+
+  test("encodePng emits real PNGs (magic bytes + ImageIO-parsable)") {
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val bytes = Multimodal.encodePng(id)
+      assert(bytes.take(8).sameElements(pngMagic), s"doc $id: not a PNG header")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img !== null)
+      assert(img.getWidth === (4 + id % 5).toInt)
+      assert(img.getHeight === (4 + id % 3).toInt)
+    }
+  }
+
+  test("decode(encode(id)) recovers the closed-form features exactly (lossless)") {
+    (0L to 40L).foreach { id =>
+      val got = Multimodal.decodePngFeatures(id, Multimodal.encodePng(id))
+      assert(got === expected(id), s"doc $id")
+    }
+  }
+
+  test("decodePngFeatures rejects non-image payloads loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodePngFeatures(5L, "not a png".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("q114 corpus query: one feature row per document, all closed-form-exact") {
+    val rows = SparkEntry.queries("q114_image_codec")(spark, sfDir).collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { r =>
+      val exp = expected(r.getLong(0))
+      assert((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((exp.width, exp.height, exp.sum_r, exp.sum_g, exp.sum_b)), s"doc ${r.getLong(0)}")
+    }
+  }
+}
