@@ -192,24 +192,35 @@ object Dedup extends QueryModule {
     * price of more candidates from dissimilar pairs. */
   def bandedSourcePairs(s: SparkSession, dir: String, k: Int = 64,
       bands: Int = 16, minEst: Double = 0.5): DataFrame = {
+    val p = bandedSketchPairs(sourceSketches(s, dir, k), "source", k, bands, minEst)
     import s.implicits._
+    p.select($"g1".as("s1"), $"g2".as("s2"), $"est_jaccard").orderBy($"s1", $"s2")
+  }
+
+  /** The banding+estimate core shared by [[bandedSourcePairs]] and q115:
+    * given (groupCol, sig) sketches, LSH-band the signatures, equi-join on
+    * band keys for candidates (id pairs only through the distinct — the
+    * widest shuffle), rejoin sketches once per candidate, and keep pairs
+    * whose equal-component estimate clears `minEst`. Output: (g1, g2,
+    * est_jaccard), unordered — callers rename/sort. */
+  def bandedSketchPairs(sigs: DataFrame, groupCol: String, k: Int,
+      bands: Int, minEst: Double): DataFrame = {
+    import sigs.sparkSession.implicits._
     val rows = k / bands
-    val sigs = sourceSketches(s, dir, k)
-    val banded = sigs.select($"source",
+    val banded = sigs.select(col(groupCol).as("g"),
       posexplode(bandKeys($"sig", bands, rows)).as(Seq("band_idx", "band_key")))
-    val a = banded.select($"source".as("s1"), $"band_idx", $"band_key")
-    val b = banded.select($"source".as("s2"), $"band_idx", $"band_key")
-    val cand = a.join(b, Seq("band_idx", "band_key")).filter($"s1" < $"s2")
-      .select($"s1", $"s2").distinct()
+    val a = banded.select($"g".as("g1"), $"band_idx", $"band_key")
+    val b = banded.select($"g".as("g2"), $"band_idx", $"band_key")
+    val cand = a.join(b, Seq("band_idx", "band_key")).filter($"g1" < $"g2")
+      .select($"g1", $"g2").distinct()
     cand
-      .join(sigs.select($"source".as("s1"), $"sig".as("sig1")), Seq("s1"))
-      .join(sigs.select($"source".as("s2"), $"sig".as("sig2")), Seq("s2"))
+      .join(sigs.select(col(groupCol).as("g1"), $"sig".as("sig1")), Seq("g1"))
+      .join(sigs.select(col(groupCol).as("g2"), $"sig".as("sig2")), Seq("g2"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), p => p))
           .cast("double") / k, 4))
       .filter($"est_jaccard" >= minEst)
-      .select($"s1", $"s2", $"est_jaccard")
-      .orderBy($"s1", $"s2")
+      .select($"g1", $"g2", $"est_jaccard")
   }
 
   /** MinHash(64)+LSH(16×4) candidate pairs, exact-Jaccard-confirmed at
@@ -465,6 +476,41 @@ object Dedup extends QueryModule {
               b => b)).cast("double") / k, 4))
           .select($"s1", $"s2", $"est_jaccard")
           .orderBy($"s1", $"s2")
+      },
+      None),
+
+    Q(
+      "q115_cohort_similarity_banded",
+      "LSH-banded GROUP-level similarity — the driver gate for the " +
+        "bandedSourcePairs scale path (same bandedSketchPairs core, same " +
+        "bandKeys arithmetic): group MinHash sketches are banded and only " +
+        "groups sharing a band are estimated, replacing q59's all-pairs " +
+        "crossJoin when groups number 10^4+. The fixture's raw sources " +
+        "are mutually dissimilar by construction (ExtensionSpec asserts " +
+        "the banded candidate stage prunes them to ZERO pairs — the " +
+        "sub-quadratic guarantee), so this query builds groups that DO " +
+        "overlap: sliding doc_id cohorts (20-doc windows, stride 10 — " +
+        "each doc in two windows), where adjacent windows share half " +
+        "their docs (union Jaccard ~1/3) and must surface, while " +
+        "non-adjacent windows share none and must be pruned. Rows-only " +
+        "check (MinHash sketch values are not SQL-expressible); " +
+        "ExtensionSpec asserts equality with the exact all-pairs " +
+        "estimates over the same cohorts.",
+      (s, dir) => {
+        import graft.catalyst.MinHashSetAgg.minhash_set_agg
+        import s.implicits._
+        val k = 64
+        val sh = docShingles(s, dir)
+        // window w covers doc_ids [10w, 10w+20): each doc feeds windows
+        // id div 10 and (id div 10) - 1; 2-row bands (32 of them) for
+        // ~0.97 per-band-stage recall at the adjacent-window j ~ 1/3
+        val win = expr("doc_id div 10")
+        val cohorts = sh.select(explode(array(win, win - 1)).as("win"), $"sh")
+          .filter($"win" >= 0)
+        val sigs = cohorts.groupBy($"win").agg(minhash_set_agg($"sh", k).as("sig"))
+        bandedSketchPairs(sigs, "win", k, bands = 32, minEst = 0.2)
+          .select($"g1".as("w1"), $"g2".as("w2"), $"est_jaccard")
+          .orderBy($"w1", $"w2")
       },
       None),
 

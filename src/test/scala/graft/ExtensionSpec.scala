@@ -177,6 +177,39 @@ class ExtensionSpec extends AnyFunSuite {
     assert(bandedFixture.count() === 0L)
   }
 
+  test("q115 banded cohort pairs equal the exact all-pairs estimates above threshold") {
+    import graft.catalyst.MinHashSetAgg.minhash_set_agg
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // recompute the same cohort sketches q115 uses, then compare the
+    // banded path against the exhaustive crossJoin of estimates: banding
+    // must lose nothing above the threshold on the real fixture (LSH can
+    // in principle miss — this pins the fixture outcome so a banding
+    // regression is loud), and every surfaced pair must be adjacent
+    // windows (non-overlapping cohorts pruned by the candidate stage)
+    val k = 64
+    val sh = graft.operators.Dedup.docShingles(spark, sfDir)
+    val win = expr("doc_id div 10")
+    val cohorts = sh.select(explode(array(win, win - 1)).as("win"), $"sh")
+      .filter($"win" >= 0)
+    val sigs = cohorts.groupBy($"win").agg(minhash_set_agg($"sh", k).as("sig"))
+    val a = sigs.select($"win".as("w1"), $"sig".as("sig1"))
+    val b = sigs.select($"win".as("w2"), $"sig".as("sig2"))
+    val exact = a.crossJoin(b).filter($"w1" < $"w2")
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with($"sig1", $"sig2", (x, y) => x === y), p => p))
+          .cast("double") / k, 4))
+      .filter($"est_jaccard" >= 0.2)
+      .select($"w1", $"w2", $"est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = SparkEntry.queries("q115_cohort_similarity_banded")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded === exact, "banded pairs must equal exact all-pairs above threshold")
+    assert(banded.nonEmpty, "adjacent cohorts must surface")
+    assert(banded.keySet.forall { case (w1, w2) => w2 == w1 + 1 },
+      s"only adjacent windows overlap: ${banded.keySet}")
+  }
+
   test("neardup clusters are transitive: an A~B~C chain with A!~C forms one cluster") {
     import spark.implicits._
     // sliding 50-token windows over a 60-token sequence, shifted by 5:
