@@ -45,12 +45,22 @@ final case class DatabasesConfig(
     prefix: String = "auto_",
     copies: Int = 3,
     extra: Map[String, Int] = Map.empty, // extra name -> #tables (tables_j)
+    /** Honored (unlike in the reference, where config.yaml:16 is never
+      * read and the writer goroutine count is #db×#table): applied in
+      * Fanout.writeBatch as the partition cap during per-target appends,
+      * i.e. the bound on concurrent writer tasks / JDBC connections per
+      * append. */
     writeWorkers: Int = 5)
 
 /** plugin_spec: section (config.go:24-27). */
 final case class PluginSpec(
     name: String = "opensky",
     intervalSec: Int = 60,
+    /** Accepted for config parity, intentionally unused: the reference
+      * never reads its own fetch_workers (config.yaml:8 is dead — the
+      * fetch loop in main.go is single-flight per tick), and the poll
+      * source here is single-flight per tick for the same reason. Parsed
+      * rather than rejected so existing reference configs load unchanged. */
     fetchWorkers: Int = 1)
 
 final case class IngestConfig(

@@ -291,11 +291,24 @@ object Fanout {
     *
     * @param batchId unique id of this batch (poll tick / micro-batch id),
     *                forwarded per append call
+    * @param writeWorkers cap on the batch's partition count during the
+    *                per-target appends — the config's `write_workers` knob
+    *                (databases.write_workers), honored here as the bound on
+    *                concurrent writer tasks (= JDBC connections) PER
+    *                append, which is what the reference's per-(db,table)
+    *                writer goroutines amount to (db_manager.go). <=0 or
+    *                None leaves the upstream partitioning alone. Coalesce,
+    *                not repartition: narrows without a shuffle.
     * @return (targets written successfully, rows in the batch) — the row
     *         count rides along so callers don't re-execute the plan */
   def writeBatch(df: DataFrame, targets: Seq[(String, String)],
-      sink: AppendSink, batchId: Long = 0L): (Int, Long) = {
-    val cached = df.persist()
+      sink: AppendSink, batchId: Long = 0L,
+      writeWorkers: Option[Int] = None): (Int, Long) = {
+    val bounded = writeWorkers.filter(_ > 0) match {
+      case Some(w) => df.coalesce(w)
+      case None => df
+    }
+    val cached = bounded.persist()
     try {
       val rows = cached.count() // materialize once before the per-target writes
       val ok = targets.count { case (db, table) =>

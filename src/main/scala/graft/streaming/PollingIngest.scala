@@ -143,7 +143,8 @@ object PollingIngest {
         val batch: Dataset[FlightState] =
           OpenSky.parseJson(spark, Seq(raw))
         val (written, rows) = Fanout.writeBatch(batch.toDF(), targets, sink,
-          batchId = handle.batchBase + handle.ticks + 1) // run-unique id
+          batchId = handle.batchBase + handle.ticks + 1, // run-unique id
+          writeWorkers = Some(cfg.databases.writeWorkers))
         handle.ticks += 1
         handle.rowsIngested += rows
         log.info(s"tick ${handle.ticks}: fanned out to $written/${targets.size} targets")

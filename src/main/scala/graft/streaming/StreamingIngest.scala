@@ -41,7 +41,8 @@ object StreamingIngest {
       .trigger(interval)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val flights = OpenSky.parseBatch(spark, batch.select($"raw_json").as[String]).toDF()
-        val (ok, rows) = Fanout.writeBatch(flights, targets, sink, batchId = id)
+        val (ok, rows) = Fanout.writeBatch(flights, targets, sink, batchId = id,
+          writeWorkers = Some(cfg.databases.writeWorkers))
         log.info(s"micro-batch $id: $rows rows to $ok/${targets.size} targets")
         // Fail the micro-batch on partial fan-out so Spark replays it from
         // the checkpoint: with an idempotent sink this gives

@@ -94,6 +94,25 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/good/t1").count() === 10)
   }
 
+  test("fan-out: write_workers caps writer tasks per append (config honored)") {
+    import spark.implicits._
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val probe = new AppendSink {
+      override def append(df: DataFrame, db: String, table: String): Unit = {
+        seen += df.rdd.getNumPartitions; ()
+      }
+    }
+    val wide = spark.range(0, 1000, 1, numPartitions = 16).toDF("v")
+    Fanout.writeBatch(wide, Seq(("db1", "t"), ("db2", "t")), probe,
+      writeWorkers = Some(2))
+    assert(seen.toSeq === Seq(2, 2), s"got $seen")
+    // cap above the input's partition count is a no-op, never widens
+    seen.clear()
+    Fanout.writeBatch(spark.range(0, 10, 1, numPartitions = 3).toDF("v"),
+      Seq(("db1", "t")), probe, writeWorkers = Some(64))
+    assert(seen.toSeq === Seq(3), s"got $seen")
+  }
+
   test("ingest loop: fetch errors back off and the loop survives") {
     var calls = 0
     val source = new graft.streaming.IngestSource {
