@@ -231,6 +231,28 @@ class ExtensionSpec extends AnyFunSuite {
       s"A~B~C must collapse to one cluster (loner excluded): $clusters")
   }
 
+  test("neardup clusters: reliable checkpoint path equals local, and demands a dir") {
+    // without a checkpoint dir the reliable mode must fail loudly up
+    // front, not midway through the propagation loop
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val local = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel === local)
+    // the reliable pass actually wrote checkpoint data to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable mode must materialize to the checkpoint dir")
+  }
+
   test("neardup clusters equal union-find over the pair graph") {
     val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
