@@ -40,9 +40,26 @@ object StreamingOps extends QueryModule {
     * (what a real deployment's landing directory is anyway). Event time is
     * LTZ TIMESTAMP (session tz = UTC) because watermarks require it.
     */
+  // The symlink farm is bounded (one dir + one link per sf dir ever seen
+  // by this JVM) and torn down on exit so repeated local runs don't
+  // accumulate stale links under /tmp.
+  private val streamSrcRoot = java.nio.file.Paths.get("/tmp/graft_stream_src")
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(streamSrcRoot)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(streamSrcRoot).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount) // children before parents
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case _: Exception => () } // best-effort cleanup only
+    ))
+  }
+
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val streamDir = Paths.get(s"/tmp/graft_stream_src/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val streamDir = streamSrcRoot.resolve(dir.replaceAll("[^A-Za-z0-9]", "_"))
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!Files.exists(link))

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Asserted regression gate for the measured shuffle-byte advantage of
+  * the prefix-filtered exact Jaccard plan (q101) over the naive inverted
+  * index (q62): the Stress probe's 10x numbers (225 MiB vs 1.03 GiB for
+  * the identical pair set) are cited as optimization evidence — this pins
+  * the ratio on a shrunk copy of the same dense-vocab corpus so the
+  * advantage cannot silently erode. */
+class ShuffleGateSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q101 prefix plan shuffles <60% of q62's bytes for the identical exact result") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dense-vocab corpus — the regime where the naive index degenerates
+    // (sum(df^2) over shingles): 4k docs x 30 tokens from a 30-word
+    // vocab, plus 100 planted near-dups (jac ~0.95)
+    val vocab = typedLit(Seq(
+      "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+      "window", "small", "hash", "join", "spark", "group", "query", "row",
+      "data", "slow", "filter", "customer", "line", "batch", "value",
+      "stream", "a", "index", "page", "cache", "disk"))
+    val base = spark.range(4000).select($"id".as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(29)), i =>
+        element_at(vocab, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))), " ")
+        .as("text"))
+    val dups = spark.range(100).select(($"id" + 4000).as("doc_id"),
+      array_join(concat(array(lit("dup")), transform(sequence(lit(1), lit(29)), i =>
+        element_at(vocab, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int")))), " ")
+        .as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shufgate").toString
+    base.union(dups).withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def drain(): Unit = // deterministic counter reads; a timeout here IS a failure
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        spark.sparkContext, 60000L)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(f: => Long): (Long, Long) = {
+        drain(); bytes.set(0L)
+        val n = f
+        drain()
+        (n, bytes.get)
+      }
+      val (nNaive, bNaive) =
+        measure(graft.operators.Dedup.jaccardPairs(spark, dir, 0.8).count())
+      val (nPrefix, bPrefix) =
+        measure(graft.operators.Dedup.jaccardPrefixPairs(spark, dir, 0.8).count())
+      assert(nNaive === nPrefix, "prefix filtering must stay EXACT")
+      assert(nNaive >= 100L, s"planted near-dups must qualify (got $nNaive)")
+      assert(bNaive > 0L, "naive plan must register shuffle writes")
+      val ratio = bPrefix.toDouble / bNaive
+      // measured ~0.22 at 10x Stress scale and well below 0.5 here;
+      // 0.6 leaves noise headroom while still catching a regression to
+      // full-index candidate generation
+      assert(ratio < 0.6,
+        f"prefix/naive shuffle ratio $ratio%.3f (${bPrefix / 1024} KiB vs ${bNaive / 1024} KiB) — prefix advantage eroded")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
