@@ -223,6 +223,22 @@ object Dedup extends QueryModule {
       .select($"g1", $"g2", $"est_jaccard")
   }
 
+  /** Sliding-cohort group sketches (the q115 grouping, shared with its
+    * equality spec so both sides provably sketch the same groups): window
+    * w covers doc_ids [10w, 10w+20), i.e. each doc feeds windows
+    * `id div 10` and `id div 10 - 1` — adjacent windows share half their
+    * docs, non-adjacent ones none. */
+  def cohortSketches(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import graft.catalyst.MinHashSetAgg.minhash_set_agg
+    import s.implicits._
+    val win = expr("doc_id div 10")
+    docShingles(s, dir)
+      .select(explode(array(win, win - 1)).as("win"), $"sh")
+      .filter($"win" >= 0)
+      .groupBy($"win")
+      .agg(minhash_set_agg($"sh", k).as("sig"))
+  }
+
   /** MinHash(64)+LSH(16×4) candidate pairs, exact-Jaccard-confirmed at
     * `threshold` (the q63 operator, reusable): band-key equi-join with an
     * id-pair-only candidate shuffle, signatures rejoined once per pair. */
@@ -263,7 +279,12 @@ object Dedup extends QueryModule {
     *   SparkContext checkpoint dir (required to be set — loud error
     *   otherwise), surviving executor loss — the right switch for the
     *   100 TB cluster run, at the price of writing each pass's (slim,
-    *   id+label) frame to the checkpoint FS. */
+    *   id+label) frame to the checkpoint FS. Superseded per-pass
+    *   checkpoint files are reclaimed only by Spark's context cleaner
+    *   (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) or by
+    *   clearing the checkpoint dir after the job — worst case the dir
+    *   holds O(passes) slim id+label dumps, bounded by component
+    *   diameter. */
   def neardupClusters(s: SparkSession, dir: String, threshold: Double,
       reliable: Boolean = false): DataFrame = {
     import s.implicits._
@@ -272,7 +293,16 @@ object Dedup extends QueryModule {
         "(a fault-tolerant FS path) before the call")
     // eager in both modes: materialized before the previous frame unpersists
     def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) {
+        // persist first: an unpersisted reliable checkpoint computes the
+        // plan twice (once for the eager count, once when the checkpoint
+        // RDD writes its partition files); cache blocks are released as
+        // soon as the checkpoint is durable
+        val p = df.persist()
+        val ck = p.checkpoint(true)
+        p.unpersist()
+        ck
+      } else df.localCheckpoint(true)
     // Materialize the (expensive) confirm stage ONCE; the reversed-edge
     // union reads the checkpoint, not a second copy of the LSH pipeline.
     val pairs = snap(minhashLshPairs(s, dir, threshold).select($"d1", $"d2"))
@@ -517,18 +547,11 @@ object Dedup extends QueryModule {
         "ExtensionSpec asserts equality with the exact all-pairs " +
         "estimates over the same cohorts.",
       (s, dir) => {
-        import graft.catalyst.MinHashSetAgg.minhash_set_agg
         import s.implicits._
-        val k = 64
-        val sh = docShingles(s, dir)
-        // window w covers doc_ids [10w, 10w+20): each doc feeds windows
-        // id div 10 and (id div 10) - 1; 2-row bands (32 of them) for
-        // ~0.97 per-band-stage recall at the adjacent-window j ~ 1/3
-        val win = expr("doc_id div 10")
-        val cohorts = sh.select(explode(array(win, win - 1)).as("win"), $"sh")
-          .filter($"win" >= 0)
-        val sigs = cohorts.groupBy($"win").agg(minhash_set_agg($"sh", k).as("sig"))
-        bandedSketchPairs(sigs, "win", k, bands = 32, minEst = 0.2)
+        // 2-row bands (32 of them) for ~0.97 per-band-stage recall at the
+        // adjacent-window j ~ 1/3
+        bandedSketchPairs(cohortSketches(s, dir, 64), "win", 64,
+          bands = 32, minEst = 0.2)
           .select($"g1".as("w1"), $"g2".as("w2"), $"est_jaccard")
           .orderBy($"w1", $"w2")
       },

@@ -304,15 +304,18 @@ object Fanout {
   def writeBatch(df: DataFrame, targets: Seq[(String, String)],
       sink: AppendSink, batchId: Long = 0L,
       writeWorkers: Option[Int] = None): (Int, Long) = {
-    val bounded = writeWorkers.filter(_ > 0) match {
-      case Some(w) => df.coalesce(w)
-      case None => df
-    }
-    val cached = bounded.persist()
+    val cached = df.persist()
     try {
       val rows = cached.count() // materialize once before the per-target writes
+      // The worker cap applies to the APPENDS only: materialization above
+      // ran at full upstream parallelism; coalescing the cached frame is a
+      // narrow read over cached blocks (no recompute, no shuffle).
+      val bounded = writeWorkers.filter(_ > 0) match {
+        case Some(w) => cached.coalesce(w)
+        case None => cached
+      }
       val ok = targets.count { case (db, table) =>
-        try { sink.append(cached, db, table, batchId); true }
+        try { sink.append(bounded, db, table, batchId); true }
         catch {
           case e: Exception =>
             log.warn(s"fanout: append to $db.$table failed: ${e.getMessage}")

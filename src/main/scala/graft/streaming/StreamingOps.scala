@@ -42,16 +42,23 @@ object StreamingOps extends QueryModule {
     */
   // The symlink farm is bounded (one dir + one link per sf dir ever seen
   // by this JVM) and torn down on exit so repeated local runs don't
-  // accumulate stale links under /tmp.
-  private val streamSrcRoot = java.nio.file.Paths.get("/tmp/graft_stream_src")
+  // accumulate stale links under /tmp. The root is PER-PROCESS (pid
+  // suffix): sbt forks a fresh JVM per test/bench run, and a shared root
+  // would let one JVM's exit hook delete the source directory out from
+  // under another JVM's still-running streaming query.
+  private val streamSrcRoot = java.nio.file.Paths.get(
+    s"/tmp/graft_stream_src_${ProcessHandle.current().pid()}")
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         if (java.nio.file.Files.exists(streamSrcRoot)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(streamSrcRoot).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount) // children before parents
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          val walk = java.nio.file.Files.walk(streamSrcRoot)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toSeq
+              .sortBy(-_.getNameCount) // children before parents
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          } finally walk.close()
         }
       } catch { case _: Exception => () } // best-effort cleanup only
     ))

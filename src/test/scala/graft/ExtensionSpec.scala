@@ -178,21 +178,17 @@ class ExtensionSpec extends AnyFunSuite {
   }
 
   test("q115 banded cohort pairs equal the exact all-pairs estimates above threshold") {
-    import graft.catalyst.MinHashSetAgg.minhash_set_agg
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // recompute the same cohort sketches q115 uses, then compare the
-    // banded path against the exhaustive crossJoin of estimates: banding
-    // must lose nothing above the threshold on the real fixture (LSH can
-    // in principle miss — this pins the fixture outcome so a banding
-    // regression is loud), and every surfaced pair must be adjacent
-    // windows (non-overlapping cohorts pruned by the candidate stage)
+    // the SAME cohort sketches q115 uses (shared cohortSketches helper —
+    // both sides provably sketch the same groups), compared against the
+    // exhaustive crossJoin of estimates: banding must lose nothing above
+    // the threshold on the real fixture (LSH can in principle miss — this
+    // pins the fixture outcome so a banding regression is loud), and
+    // every surfaced pair must be adjacent windows (non-overlapping
+    // cohorts pruned by the candidate stage)
     val k = 64
-    val sh = graft.operators.Dedup.docShingles(spark, sfDir)
-    val win = expr("doc_id div 10")
-    val cohorts = sh.select(explode(array(win, win - 1)).as("win"), $"sh")
-      .filter($"win" >= 0)
-    val sigs = cohorts.groupBy($"win").agg(minhash_set_agg($"sh", k).as("sig"))
+    val sigs = graft.operators.Dedup.cohortSketches(spark, sfDir, k)
     val a = sigs.select($"win".as("w1"), $"sig".as("sig1"))
     val b = sigs.select($"win".as("w2"), $"sig".as("sig2"))
     val exact = a.crossJoin(b).filter($"w1" < $"w2")
@@ -233,13 +229,16 @@ class ExtensionSpec extends AnyFunSuite {
 
   test("neardup clusters: reliable checkpoint path equals local, and demands a dir") {
     // without a checkpoint dir the reliable mode must fail loudly up
-    // front, not midway through the propagation loop
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val e = intercept[IllegalArgumentException] {
-        graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
-      }
-      assert(e.getMessage.contains("setCheckpointDir"))
+    // front, not midway through the propagation loop. Precondition is
+    // asserted (not silently skipped): nothing else in the suite sets a
+    // checkpoint dir — if that changes, this must be restructured, not
+    // quietly lose its guard coverage.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another test set a checkpoint dir; the guard assertion below would be vacuous")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
     }
+    assert(e.getMessage.contains("setCheckpointDir"))
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
     spark.sparkContext.setCheckpointDir(ckDir)
     val local = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8)
@@ -248,8 +247,9 @@ class ExtensionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rel === local)
     // the reliable pass actually wrote checkpoint data to the dir
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+    val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+    finally walk.close()
     assert(wrote > 0, "reliable mode must materialize to the checkpoint dir")
   }
 
