@@ -160,6 +160,99 @@ object AnalyticsPatterns extends QueryModule {
                    FROM orders)
         SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
         FROM r WHERE rk <= 20
-        ORDER BY o_orderpriority, rk"""))
+        ORDER BY o_orderpriority, rk""")),
+
+    Q(
+      "q116_train_split",
+      "Deterministic train/val/test split (~80/10/10): assignment is a " +
+        "pure function of the stable doc key's md5 (first hex byte " +
+        "< 0xcd → train, < 0xe6 → val, else test), so membership is " +
+        "reproducible across engines, runs, partitionings, and " +
+        "INCREMENTAL arrivals — a new document's split never perturbs " +
+        "existing assignments, which seeded-RNG splits cannot guarantee. " +
+        "Narrow projection + one shuffle on (source, split) for the " +
+        "audit counts; the assignment itself is shuffle-free at any " +
+        "scale.",
+      (s, dir) => {
+        import s.implicits._
+        val b = substring(md5($"doc_id".cast("string")), 1, 2)
+        Tables.t(s, dir, "documents")
+          .withColumn("split",
+            when(b < "cd", "train").when(b < "e6", "val").otherwise("test"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("d_min"), max($"doc_id").as("d_max"))
+          .orderBy($"source", $"split")
+      },
+      Some("""
+        SELECT source,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs, min(doc_id) AS d_min, max(doc_id) AS d_max
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY source, split""")),
+
+    Q(
+      "q117_sequence_packing",
+      "GPT-style sequence packing (concat-then-chunk): documents in " +
+        "global doc_id order are laid head-to-tail on one token tape and " +
+        "cut into fixed 512-token training chunks; output maps each " +
+        "chunk to the docs it straddles. The global running token offset " +
+        "is computed SCALABLY — two-phase: per-range-partition prefix " +
+        "sums in parallel, then a partitions-sized offset table (a " +
+        "window over #partitions rows, broadcast back) — never a " +
+        "single-partition window over the corpus, which is the naive " +
+        "formulation's 100 TB bottleneck. Output is partitioning-" +
+        "invariant because the doc_id order is total.",
+      (s, dir) => {
+        import s.implicits._
+        val B = 512
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            size(split(trim($"text"), " ")).cast("long").as("n_tok"))
+          .filter($"n_tok" > 0)
+        val parts = toks
+          .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy($"pid").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = parts.withColumn("local_prev",
+          coalesce(sum($"n_tok").over(wLocal), lit(0L)))
+        // range partitions are key-ordered, so pid order == doc_id order;
+        // this window runs over #partitions rows, not the corpus
+        val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy($"pid").agg(sum($"n_tok").as("part_tok"))
+          .withColumn("offset", coalesce(sum($"part_tok").over(wOff), lit(0L)))
+          .select($"pid", $"offset")
+        local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("start_tok", $"local_prev" + $"offset")
+          .withColumn("chunk_id",
+            explode(sequence(expr(s"start_tok div $B"),
+              expr(s"(start_tok + n_tok - 1) div $B"))))
+          .groupBy($"chunk_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("d_first"), max($"doc_id").as("d_last"))
+          .orderBy($"chunk_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_tok
+          FROM toks WHERE n_tok > 0),
+        spans AS (
+          SELECT doc_id, CAST(start_tok // 512 AS BIGINT) AS c0,
+                 CAST((start_tok + n_tok - 1) // 512 AS BIGINT) AS c1
+          FROM cum),
+        ch AS (SELECT doc_id, unnest(range(c0, c1 + 1)) AS chunk_id FROM spans)
+        SELECT chunk_id, count(*) AS n_docs,
+               min(doc_id) AS d_first, max(doc_id) AS d_last
+        FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
   )
 }

@@ -73,6 +73,41 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 two-phase packing equals the naive single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the naive form (global running sum in ONE window partition — the
+    // formulation q117 deliberately avoids) is the semantic reference
+    val naive = Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", size(split(trim($"text"), " ")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .withColumn("start_tok", coalesce(sum($"n_tok").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", explode(sequence(expr("start_tok div 512"),
+        expr("(start_tok + n_tok - 1) div 512"))))
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("d_first"),
+        max($"doc_id").as("d_last"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val packed = SparkEntry.queries("q117_sequence_packing")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(packed === naive)
+    // tape conservation: chunk ids are contiguous from 0
+    assert(packed.keySet === (0L until packed.size.toLong).toSet)
+  }
+
+  test("q116 split is a partition of the corpus with ~80/10/10 fractions") {
+    val rows = SparkEntry.queries("q116_train_split")(spark, sfDir).collect()
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(total === Tables.t(spark, sfDir, "documents").count())
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    // md5 is uniform; at 50 docs the tolerance must stay loose
+    assert(bySplit("train").toDouble / total > 0.6, s"got $bySplit")
+    assert(bySplit("test").toDouble / total < 0.3, s"got $bySplit")
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
