@@ -17,10 +17,85 @@ object Bench {
       try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = SparkEntry.allQueries.map { q =>
-      val (a, b) = (once(q), once(q))
-      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val runs = SparkEntry.allQueries.map { q =>
+      (q.name, once(q), once(q))
     }
+    val results = runs.map { case (n, a, b) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    // ---- noise self-diagnosis -------------------------------------------
+    // min-of-2 absorbs one-off costs but NOT a contended host: if both runs
+    // land in a busy window every number inflates and a reader sees a fake
+    // regression (BENCH_r05 recorded 50.07 s for code whose quiet-window
+    // rerun measured 39.26 s). Three detectors make a contended run
+    // self-announcing rather than silently trusted:
+    //  1. within-run — the SECOND (warm) run much slower than the first
+    //     cold one (b > 2a, gap > 0.25 s): warm-up asymmetry only ever
+    //     inflates run 1, so a slow run 2 means external interference.
+    //     (A plain max/min spread misfires on normal warm-up and would
+    //     ALSO have missed r05, where both runs sat in the same window.)
+    //  2. cross-round — >= 3 of the previous committed round's slowest
+    //     queries (its parsed map) running > 2x SLOWER here with a
+    //     > 0.25 s gap: the r05 signature exactly (q70/q71/q72/q101/q108
+    //     all inflated 2-5x while the code was byte-identical). The
+    //     opposite direction — this run much FASTER than history — means
+    //     the HISTORY was the contended window; that prints an
+    //     informational PREV_SUSPECT marker without tainting this run.
+    //  3. total drift: > 25% above the previous committed total → this
+    //     run suspect; > 25% below → history suspect (informational).
+    // Previous round = the newest BENCH_r*.json in the working directory
+    // (where the driver runs sbt); all three are best-effort.
+    val noisyQueries = runs.collect {
+      case (n, a, b) if a >= 0 && b > 2 * a && b - a > 0.25 => n
+    }
+    val prev: Option[(Double, Map[String, Double])] =
+      try {
+        val cwd = java.nio.file.Paths.get(".")
+        val ls = java.nio.file.Files.list(cwd)
+        val newest = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(f => f.startsWith("BENCH_r") && f.endsWith(".json"))
+            .toSeq.sorted.lastOption
+        } finally ls.close()
+        newest.flatMap { f =>
+          val txt = new String(java.nio.file.Files.readAllBytes(cwd.resolve(f)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // the driver artifact nests the parsed compact line under
+          // "parsed": {"metric":"total","value":N,"queries":{...},...}
+          val at = txt.indexOf("\"parsed\"")
+          if (at < 0) None
+          else {
+            val sub = txt.substring(at)
+            val t = """"value"\s*:\s*([0-9.]+)""".r
+              .findFirstMatchIn(sub).map(_.group(1).toDouble)
+            val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
+              .findFirstMatchIn(sub).map(_.group(1)) match {
+              case Some(body) =>
+                """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              case None => Map.empty[String, Double]
+            }
+            t.map(_ -> qs)
+          }
+        }
+      } catch { case _: Exception => None }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val mins = results.toMap
+    val prevQs = prev.map(_._2).getOrElse(Map.empty).toSeq
+    def deviates(v: Double, p: Double): Boolean =
+      v >= 0 && p > 0 && v > 2 * p && v - p > 0.25
+    val crossSlow = prevQs.collect {
+      case (n, p) if mins.get(n).exists(v => deviates(v, p)) => n }.sorted
+    val crossFast = prevQs.collect {
+      case (n, p) if mins.get(n).exists(v => deviates(p, v)) => n }.sorted
+    val drifted = prev.map(_._1)
+      .filter(p => p > 0 && total > 1.25 * p)
+    val prevSuspect = prev.map(_._1)
+      .filter(p => p > 0 && total < 0.75 * p).isDefined || crossFast.size >= 3
+    val noisy =
+      noisyQueries.nonEmpty || crossSlow.size >= 3 || drifted.isDefined
+    // ---------------------------------------------------------------------
     // Interpolated strings (paths from env, query names) must not be able
     // to break the one JSON line the driver parses.
     def jstr(s: String): String =
@@ -36,10 +111,13 @@ object Bench {
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
       val qs = rs.map { case (k, v) => jstr(k) + f""":$v%.3f""" }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":${jstr(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"noisy":$noisy,"sf":${jstr(sfDir)}}"""
     }
-    val full = toJson(results)
+    // full JSON carries both raw runs per query so a reader can audit the
+    // spread behind any reported min
+    val spread = runs.map { case (n, a, b) => jstr(n) + f""":[$a%.3f,$b%.3f]""" }
+      .mkString("{", ",", "}")
+    val full = toJson(results, s""","runs":$spread""")
     // The driver captures only the LAST ~2000 chars of the sbt log; the
     // full 100+-query map is ~3 KB, so a single fat line gets its head
     // truncated and never parses (BENCH_r01/r02 both had parsed:null).
@@ -56,6 +134,21 @@ object Bench {
         System.err.println(s"bench: could not write $out: ${e.getMessage}")
     }
     println(s"GRAFT_BENCH_JSON_FULL $full")
+    if (prevSuspect)
+      println("GRAFT_BENCH_PREV_SUSPECT this run is substantially FASTER " +
+        "than the previous committed round on identical code paths — the " +
+        s"previous artifact likely recorded a contended window" +
+        (if (crossFast.nonEmpty) s" (${crossFast.mkString(",")})" else ""))
+    if (noisy) {
+      // loud, greppable, and BEFORE the final compact line — a contended
+      // window must not masquerade as a code regression
+      val why = (noisyQueries.map(n => s"warm_run_slow:$n") ++
+        (if (crossSlow.size >= 3)
+          Seq(s"cross_round_2x:${crossSlow.mkString("+")}") else Nil) ++
+        drifted.map(p => f"total_drift:${total}%.1fs_vs_prev_${p}%.1fs")).mkString(",")
+      println(s"GRAFT_BENCH_NOISY $why — rerun in a quiet window before " +
+        "comparing against previous rounds")
+    }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     println(toJson(slowest, s""","n_queries":${results.size},"full":${jstr(out)}"""))
     spark.stop()

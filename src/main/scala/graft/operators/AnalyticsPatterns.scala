@@ -200,28 +200,41 @@ object AnalyticsPatterns extends QueryModule {
         "global doc_id order are laid head-to-tail on one token tape and " +
         "cut into fixed 512-token training chunks; output maps each " +
         "chunk to the docs it straddles. The global running token offset " +
-        "is computed SCALABLY — two-phase: per-range-partition prefix " +
-        "sums in parallel, then a partitions-sized offset table (a " +
-        "window over #partitions rows, broadcast back) — never a " +
-        "single-partition window over the corpus, which is the naive " +
-        "formulation's 100 TB bottleneck. Output is partitioning-" +
-        "invariant because the doc_id order is total.",
+        "is computed SCALABLY — two-phase: per-bucket prefix sums in " +
+        "parallel, then a buckets-sized offset table (a window over " +
+        "#buckets rows, broadcast back) — never a single-partition " +
+        "window over the corpus, which is the naive formulation's " +
+        "100 TB bottleneck. Buckets are DETERMINISTIC id ranges (width " +
+        "= ceil(span / P) from a one-row min/max aggregate), not " +
+        "spark_partition_id over repartitionByRange: the bucket frame " +
+        "feeds TWO plan branches (the offset table and the final join), " +
+        "and a sampled range exchange recomputed with a different " +
+        "sample could silently misalign them — a pure doc_id function " +
+        "cannot. Output is partitioning-invariant because the doc_id " +
+        "order is total.",
       (s, dir) => {
         import s.implicits._
         val B = 512
+        val P = s.sparkContext.defaultParallelism
         val toks = Tables.t(s, dir, "documents")
           .select($"doc_id",
             size(split(trim($"text"), " ")).cast("long").as("n_tok"))
           .filter($"n_tok" > 0)
-        val parts = toks
-          .repartitionByRange(s.sparkContext.defaultParallelism, $"doc_id")
-          .withColumn("pid", spark_partition_id())
+        // deterministic range buckets: pid is monotone in doc_id, so pid
+        // order == doc_id order (the invariant the offset window needs).
+        // Even id-density is assumed (true of the fixtures); a skewed id
+        // space would precompute quantile bounds ONCE and bake them in as
+        // constants — still a pure function, never spark_partition_id.
+        val bounds = toks.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+        val parts = toks.crossJoin(broadcast(bounds))
+          .withColumn("pid", // integer div: exact at any id magnitude
+            expr(s"cast((doc_id - lo) div ((hi - lo + $P) div $P) as int)"))
+          .drop("lo", "hi")
         val wLocal = Window.partitionBy($"pid").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         val local = parts.withColumn("local_prev",
           coalesce(sum($"n_tok").over(wLocal), lit(0L)))
-        // range partitions are key-ordered, so pid order == doc_id order;
-        // this window runs over #partitions rows, not the corpus
+        // this window runs over #buckets rows, not the corpus
         val wOff = Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)
         val offsets = local.groupBy($"pid").agg(sum($"n_tok").as("part_tok"))
           .withColumn("offset", coalesce(sum($"part_tok").over(wOff), lit(0L)))

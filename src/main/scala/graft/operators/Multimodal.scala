@@ -74,18 +74,18 @@ object Multimodal extends QueryModule {
     require(img != null, s"doc $id: payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk grab instead of w*h per-pixel getRGB calls — per-pixel
+    // access pays ColorModel dispatch per call, which dominates at real
+    // image sizes (the fixtures are tiny, but this is the production form)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xff
-        sg += (rgb >> 8) & 0xff
-        sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff
+      sg += (rgb >> 8) & 0xff
+      sb += rgb & 0xff
+      i += 1
     }
     ImageFeatures(id, w, h, sr, sg, sb)
   }

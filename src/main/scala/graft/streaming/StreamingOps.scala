@@ -49,6 +49,35 @@ object StreamingOps extends QueryModule {
   private val streamSrcRoot = java.nio.file.Paths.get(
     s"/tmp/graft_stream_src_${ProcessHandle.current().pid()}")
   locally {
+    // The shutdown hook can't run for a SIGKILLed/crashed JVM, and the
+    // pid-suffixed names mean no later run reuses (or removes) such a
+    // root — so each startup best-effort sweeps sibling roots whose
+    // owning pid is no longer alive. Live JVMs (including this one) are
+    // never touched; pid reuse at worst defers the sweep to the next run.
+    try {
+      val ls = java.nio.file.Files.list(streamSrcRoot.getParent)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_stream_src_"))
+          .filter { p =>
+            val pid = p.getFileName.toString.stripPrefix("graft_stream_src_")
+            pid.nonEmpty && pid.forall(_.isDigit) &&
+              scala.util.Try(!ProcessHandle.of(pid.toLong).isPresent)
+                .getOrElse(false)
+          }
+          .toSeq.foreach { dead =>
+            val walk = java.nio.file.Files.walk(dead)
+            try {
+              walk.iterator().asScala.toSeq
+                .sortBy(-_.getNameCount) // children before parents
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } finally walk.close()
+          }
+      } finally ls.close()
+    } catch { case _: Exception => () } // sweep is best-effort only
+  }
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
         if (java.nio.file.Files.exists(streamSrcRoot)) {

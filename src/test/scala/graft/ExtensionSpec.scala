@@ -239,18 +239,33 @@ class ExtensionSpec extends AnyFunSuite {
       graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
     }
     assert(e.getMessage.contains("setCheckpointDir"))
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
-    spark.sparkContext.setCheckpointDir(ckDir)
-    val local = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rel = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(rel === local)
-    // the reliable pass actually wrote checkpoint data to the dir
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
-    val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
-    finally walk.close()
-    assert(wrote > 0, "reliable mode must materialize to the checkpoint dir")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      val local = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rel = graft.operators.Dedup.neardupClusters(spark, sfDir, 0.8, reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rel === local)
+      // the reliable pass actually wrote checkpoint data to the dir
+      val walk = java.nio.file.Files.walk(ckDir)
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally walk.close()
+      assert(wrote > 0, "reliable mode must materialize to the checkpoint dir")
+    } finally {
+      // the session is JVM-shared across suites: restore the no-dir state
+      // (setCheckpointDir(null) → Option(null) → None) and remove the temp
+      // dir so suite ordering and same-JVM reruns stay hermetic. The
+      // returned frames were fully collected above — no live RDD still
+      // reads these checkpoint files.
+      spark.sparkContext.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(ckDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
   }
 
   test("neardup clusters equal union-find over the pair graph") {
