@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * per-partition batch transforms.
   *
-  * Two decode tiers: q114 is a REAL codec path — PNG encode + decode via
-  * the JDK's dependency-free `javax.imageio`, features extracted from
-  * decoded pixels, bit-exactly oracled through a closed-form pixel
-  * function. q83 keeps the clearly-marked byte-stats stand-in for formats
-  * whose codecs the container lacks (audio/video); its binary column,
-  * metadata struct, mapPartitions batch shape (Scala's analogue of
-  * mapInPandas batches), and frame-sampling explode are the real Spark
-  * plumbing a production pipeline keeps while swapping codecs in.
+  * Two decode tiers: q114 (images, `javax.imageio` PNG) and q118 (audio,
+  * `javax.sound.sampled` WAV) are REAL codec paths — JDK dependency-free
+  * encode + decode, features extracted from decoded pixels/samples,
+  * bit-exactly oracled through closed-form generator functions. q83 keeps
+  * the clearly-marked byte-stats stand-in for formats whose codecs the
+  * container lacks (now video only); its binary column, metadata struct,
+  * mapPartitions batch shape (Scala's analogue of mapInPandas batches),
+  * and frame-sampling explode are the real Spark plumbing a production
+  * pipeline keeps while swapping codecs in.
   *
   * Scale notes (100 TB of media): payload bytes never enter a shuffle —
   * every operator is a narrow per-partition map; only scalar features /
@@ -90,6 +91,69 @@ object Multimodal extends QueryModule {
     ImageFeatures(id, w, h, sr, sg, sb)
   }
 
+  /** One decoded audio clip: REAL features from AudioSystem-decoded PCM
+    * samples (q118). Integer amplitude sums (not float RMS) so the oracle
+    * comparison is exact — same design as [[ImageFeatures]]. */
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Int, sample_rate: Int,
+      sum_amp: Long, sum_abs: Long, max_abs: Int)
+
+  /** Deterministic doc_id-seeded PCM clip, WAV-encoded with the JDK's
+    * real audio codec (javax.sound.sampled — dependency-free, the audio
+    * analogue of q114's ImageIO). Sample i of doc d is the closed form
+    * ((d*37 + i*13) % 4001) - 2000 (16-bit signed range), length
+    * 64 + d%33 samples at 8 kHz mono — restatable in oracle SQL, which
+    * is what makes the decode path bit-exactly checkable. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = (64 + (id % 33)).toInt
+    val pcm = new Array[Byte](n * 2) // 16-bit signed little-endian mono
+    var i = 0
+    while (i < n) {
+      val amp = (((id * 37 + i * 13) % 4001) - 2000).toInt
+      pcm(i * 2) = (amp & 0xff).toByte
+      pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray // a genuine RIFF/WAVE payload, header and all
+  }
+
+  /** REAL audio decode: parse the WAV payload with AudioSystem (header,
+    * format, frame count all come from the codec, not the generator) and
+    * extract features from the decoded samples. WAV PCM is lossless, so
+    * for the seeded fixtures these equal the closed-form amplitude
+    * function exactly. */
+  def decodeWavFeatures(id: Long, payload: Array[Byte]): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian,
+        s"doc $id: expected 16-bit signed LE mono PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+      var i = 0
+      while (i < n) {
+        val amp = (((pcm(i * 2 + 1) & 0xff) << 8) | (pcm(i * 2) & 0xff)).toShort.toInt
+        sum += amp
+        val a = math.abs(amp)
+        sumAbs += a
+        if (a > maxAbs) maxAbs = a
+        i += 1
+      }
+      AudioFeatures(id, n, fmt.getSampleRate.toInt, sum, sumAbs, maxAbs)
+    } finally ais.close()
+  }
+
   /** One decoded media item: deterministic fake features from the bytes.
     * Carries the integer byte SUM (not a float mean) so downstream math
     * stays exact — the mean is derived in the query with the same
@@ -152,7 +216,9 @@ object Multimodal extends QueryModule {
       "q83_multimodal_decode",
       "Per-partition batch decode (mapPartitions — the Scala shape of " +
         "mapInPandas): binary payload → fake feature vector (STUB codec: " +
-        "byte stats; swap point is Multimodal.fakeDecode). Narrow " +
+        "byte stats, standing in for formats whose codecs the container " +
+        "lacks — video only, now that q114 covers images and q118 audio " +
+        "with real JDK codecs; swap point is Multimodal.fakeDecode). Narrow " +
         "transform, payloads never shuffled; only features aggregate. " +
         "The 4-bucket byte histogram flattens to scalar columns h0..h3 so " +
         "any harness can sort/hash the result; mean_byte is " +
@@ -272,6 +338,45 @@ object Multimodal extends QueryModule {
                CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
         FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q118_audio_codec",
+      "REAL audio codec path (no stub — the q114 pattern applied to " +
+        "sound): doc_id-seeded deterministic PCM clips are WAV-encoded " +
+        "with the JDK's javax.sound.sampled codec in one narrow " +
+        "mapPartitions (a genuine RIFF/WAVE BinaryType payload column), " +
+        "then decoded back with AudioSystem.getAudioInputStream in a " +
+        "second — format, endianness, and frame count come from the " +
+        "parsed header, not the generator — and features extracted from " +
+        "the DECODED samples: count, sample rate, amplitude sums. WAV " +
+        "PCM is lossless, so the decoded features equal the closed-form " +
+        "amplitude function and the query is fully SQL-oracle-able. " +
+        "Scale shape is identical to q114: payload bytes are born and " +
+        "die inside one partition; only scalar features leave the map.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodeWav(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, wav) => decodeWavFeatures(id, wav) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM par),
+        a AS (
+          SELECT doc_id, n, ((doc_id * 37 + i * 13) % 4001) - 2000 AS amp FROM s)
+        SELECT doc_id,
+               CAST(any_value(n) AS INTEGER)       AS n_samples,
+               CAST(8000 AS INTEGER)               AS sample_rate,
+               CAST(sum(amp) AS BIGINT)            AS sum_amp,
+               CAST(sum(abs(amp)) AS BIGINT)       AS sum_abs,
+               CAST(max(abs(amp)) AS INTEGER)      AS max_abs
+        FROM a GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q118 REAL audio codec path: the payload is a genuine RIFF/WAVE
+  * file, the decode is a genuine AudioSystem parse (format and frame
+  * count from the header), and decoded features match the closed-form
+  * amplitude function — locally here, end-to-end in CORRECTNESS via the
+  * DuckDB oracle. Mirrors ImageCodecSpec for q114. */
+class AudioCodecSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Closed-form reference, independent of the codec round trip. */
+  private def expected(id: Long): Multimodal.AudioFeatures = {
+    val n = (64 + id % 33).toInt
+    var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+    for (i <- 0 until n) {
+      val amp = (((id * 37 + i * 13) % 4001) - 2000).toInt
+      sum += amp
+      sumAbs += math.abs(amp)
+      maxAbs = math.max(maxAbs, math.abs(amp))
+    }
+    Multimodal.AudioFeatures(id, n, 8000, sum, sumAbs, maxAbs)
+  }
+
+  test("encodeWav emits real RIFF/WAVE payloads (magic + AudioSystem-parsable)") {
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val bytes = Multimodal.encodeWav(id)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF", s"doc $id: no RIFF magic")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE", s"doc $id: no WAVE tag")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        assert(ais.getFrameLength === (64 + id % 33),
+          s"doc $id: header frame count")
+        assert(ais.getFormat.getSampleRate === 8000f)
+      } finally ais.close()
+    }
+  }
+
+  test("decode(encode(id)) recovers the closed-form features exactly (lossless)") {
+    (0L to 40L).foreach { id =>
+      val got = Multimodal.decodeWavFeatures(id, Multimodal.encodeWav(id))
+      assert(got === expected(id), s"doc $id")
+    }
+  }
+
+  test("decodeWavFeatures rejects non-audio payloads loudly") {
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      Multimodal.decodeWavFeatures(5L, "not a wav".getBytes("UTF-8"))
+    }
+  }
+
+  test("q118 corpus query: one feature row per document, all closed-form-exact") {
+    val rows = SparkEntry.queries("q118_audio_codec")(spark, sfDir).collect()
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { r =>
+      val exp = expected(r.getLong(0))
+      assert((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5)) ===
+        ((exp.n_samples, exp.sample_rate, exp.sum_amp, exp.sum_abs, exp.max_abs)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+}
