@@ -85,6 +85,47 @@ object Similarity extends QueryModule {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Banded-LSH candidate pairs over an embedding frame — the q68
+    * candidate stage, exposed so its sub-quadratic cost can be gated
+    * (ShuffleGateSpec) the way the text ladder's shuffle bytes are:
+    * candidates only from (v1 < v2) pairs sharing one of `nTables`
+    * independent `bandBits`-bit hyperplane signatures; only id pairs
+    * flow through the join + distinct. Input needs (vec_id, embedding). */
+  def embeddingLshCandidates(e: DataFrame, bandBits: Int = 4,
+      nTables: Int = 8, seed: Long = 7L): DataFrame = {
+    import e.sparkSession.implicits._
+    val planes = hyperplanes(bandBits * nTables, seed)
+    val sigs = e.withColumn("sig", lshSignature($"embedding", planes))
+    val banded = sigs.select(
+      $"vec_id",
+      posexplode(expr(
+        s"transform(sequence(0, ${nTables - 1}), t -> (sig >> (t * $bandBits)) & ${(1 << bandBits) - 1})"))
+        .as(Seq("table_idx", "band_key")))
+    val a = banded.select($"vec_id".as("v1"), $"table_idx", $"band_key")
+    val b = banded.select($"vec_id".as("v2"), $"table_idx", $"band_key")
+    // Candidate stage shuffles ONLY id pairs (the dominant shuffle at
+    // scale); embeddings + norms rejoin once per surviving pair.
+    a.join(b, Seq("table_idx", "band_key"))
+      .filter($"v1" < $"v2")
+      .select($"v1", $"v2").distinct()
+  }
+
+  /** Exact-cosine confirm on candidate (v1, v2) pairs — rejoin embeddings
+    * once per pair, keep cos >= threshold. Shared by q68 and the gate
+    * spec so the confirm semantics cannot diverge. */
+  def confirmCosine(cand: DataFrame, e: DataFrame, threshold: Double): DataFrame = {
+    import graft.catalyst.VecOps.vec_dot
+    import e.sparkSession.implicits._
+    val withNorm = e.select($"vec_id", $"embedding",
+      sqrt(vec_dot($"embedding", $"embedding")).as("norm"))
+    cand
+      .join(withNorm.select($"vec_id".as("v1"), $"embedding".as("e1"), $"norm".as("nm1")), Seq("v1"))
+      .join(withNorm.select($"vec_id".as("v2"), $"embedding".as("e2"), $"norm".as("nm2")), Seq("v2"))
+      .withColumn("cos", vec_dot($"e1", $"e2") / ($"nm1" * $"nm2"))
+      .filter($"cos" >= threshold)
+      .select($"v1", $"v2", round($"cos", 4).as("cos"))
+  }
+
   /** Brute-force top-k: broadcast probes × corpus scan → windowed top-k. */
   def knnBrute(s: SparkSession, dir: String, k: Int, nProbes: Int): DataFrame = {
     import s.implicits._
@@ -206,30 +247,8 @@ object Similarity extends QueryModule {
         "subset-of-exact + recall floor.",
       (s, dir) => {
         import s.implicits._
-        val bandBits = 4; val nTables = 8
-        val planes = hyperplanes(bandBits * nTables, seed = 7L)
-        val e = Tables.t(s, dir, "embeddings")
-          .withColumn("sig", lshSignature($"embedding", planes))
-          .withColumn("norm", sqrt(graft.catalyst.VecOps.vec_dot($"embedding", $"embedding")))
-        val banded = e.select(
-          $"vec_id",
-          posexplode(expr(
-            s"transform(sequence(0, ${nTables - 1}), t -> (sig >> (t * $bandBits)) & ${(1 << bandBits) - 1})"))
-            .as(Seq("table_idx", "band_key")))
-        val a = banded.select($"vec_id".as("v1"), $"table_idx", $"band_key")
-        val b = banded.select($"vec_id".as("v2"), $"table_idx", $"band_key")
-        // Candidate stage shuffles ONLY id pairs (the dominant shuffle at
-        // scale); embeddings + norms rejoin once per surviving pair.
-        val cand = a.join(b, Seq("table_idx", "band_key"))
-          .filter($"v1" < $"v2")
-          .select($"v1", $"v2").distinct()
-        cand
-          .join(e.select($"vec_id".as("v1"), $"embedding".as("e1"), $"norm".as("nm1")), Seq("v1"))
-          .join(e.select($"vec_id".as("v2"), $"embedding".as("e2"), $"norm".as("nm2")), Seq("v2"))
-          .withColumn("cos",
-            graft.catalyst.VecOps.vec_dot($"e1", $"e2") / ($"nm1" * $"nm2"))
-          .filter($"cos" >= 0.45)
-          .select($"v1", $"v2", round($"cos", 4).as("cos"))
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        confirmCosine(embeddingLshCandidates(e), e, 0.45)
           .orderBy($"v1", $"v2")
       },
       None),

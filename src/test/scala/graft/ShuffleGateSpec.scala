@@ -66,4 +66,53 @@ class ShuffleGateSpec extends AnyFunSuite {
         f"prefix/naive shuffle ratio $ratio%.3f (${bPrefix / 1024} KiB vs ${bNaive / 1024} KiB) — prefix advantage eroded")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("q68 LSH candidates are <20% of the quadratic pair count at recall >=0.95 on clustered vectors") {
+    // The embedding ladder's gated resource is CANDIDATE ROWS SCORED, not
+    // shuffle bytes: q65's crossJoin lowers to a broadcast nested-loop
+    // join whose task metrics record ~zero shuffle writes while doing the
+    // full n(n-1)/2 cosine evaluations — a bytes gate would perversely
+    // score the quadratic plan as free. The quadratic term IS the
+    // candidate count, so that is what this pins, together with the
+    // recall that makes the reduction meaningful. Corpus: the clustered
+    // regime LSH serves (30 tight clusters x 100 vectors; ExtensionSpec
+    // separately covers the uniform-random adversarial fixtures where
+    // only a recall floor is claimable).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nClusters = 30; val perCluster = 100; val dim = 64
+    val rnd = new scala.util.Random(11L)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val vecs = for {
+      c <- 0 until nClusters; i <- 0 until perCluster
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * perCluster + i).toLong, v.toSeq)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val n = vecs.size.toLong
+    val quadratic = n * (n - 1) / 2
+    // 8-bit bands: the width a user picks for clustered data (cross-
+    // cluster band collision 0.5^8; the fixture query's 4-bit default is
+    // tuned for its uniform-random regime where wider bands lose recall)
+    val cand = graft.operators.Similarity
+      .embeddingLshCandidates(e, bandBits = 8, nTables = 8)
+    val nCand = cand.count()
+    assert(nCand.toDouble / quadratic < 0.20,
+      f"LSH candidates $nCand of $quadratic quadratic pairs (${nCand.toDouble / quadratic}%.3f) — banding advantage eroded")
+    // recall vs the exact confirm over ALL pairs, same confirm kernel
+    val all = e.select($"vec_id".as("v1")).crossJoin(e.select($"vec_id".as("v2")))
+      .filter($"v1" < $"v2")
+    val t = 0.8 // within-cluster cos ~0.99, cross-cluster ~0
+    val exact = graft.operators.Similarity.confirmCosine(all, e, t)
+      .select($"v1", $"v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity.confirmCosine(cand, e, t)
+      .select($"v1", $"v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "confirmed LSH pairs must be a subset of exact")
+    assert(exact.size >= nClusters * perCluster * (perCluster - 1) / 2 / 2,
+      s"clustered corpus must produce dense within-cluster pairs (got ${exact.size})")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95,
+      f"clustered-regime recall $recall%.3f below 0.95 — banding lost pairs it must keep")
+  }
 }

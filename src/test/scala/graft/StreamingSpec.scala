@@ -136,4 +136,49 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
     assert(rows.contains(("a", "2024-01-01 09:00:00.0", 3L)))
   }
+
+  test("runToMemory sizes state stores: shufflePartitions override reaches the query") {
+    // The nine streaming corpus lifecycles cost ~1 s instead of ~1.5 s
+    // BECAUSE runToMemory pins the stateful ops to 8 stores instead of
+    // the session's 32 (one store per shuffle partition; measured r1).
+    // Nothing else asserts the override actually lands in the started
+    // query — a refactor dropping it would silently cost ~0.5 s/query
+    // locally and mis-size state stores on a cluster. The committed
+    // partition count is read back from StateOperatorProgress.
+    import graft.streaming.StreamingOps
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops.nonEmpty && e.progress.name == "sizing_gate")
+          seen.set(ops.head.numShufflePartitions)
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[(Timestamp, Long)]
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 2L))
+      val agg = input.toDF().toDF("ts", "v")
+        .groupBy(window($"ts", "5 minutes")).agg(count(lit(1)).as("n"))
+      val out = StreamingOps.runToMemory(spark, agg, "sizing_gate", "complete",
+        shufflePartitions = Some(8))
+      assert(out.collect().map(_.getLong(1)).sum === 2L)
+      // progress events are posted async; poll briefly for the report
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.get() < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get() === 8L,
+        s"stateful op must run with the 8-partition override (got ${seen.get()})")
+      // and the temporary override must not leak into the shared session
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === prevShuffle)
+    } finally spark.streams.removeListener(listener)
+  }
 }
