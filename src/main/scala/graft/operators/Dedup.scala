@@ -143,13 +143,15 @@ object Dedup extends QueryModule {
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2)"""
 
-  /** Oracle SQL matching [[jaccardPairs]]. */
-  def jaccardOracle(threshold: Double): String =
+  /** Oracle SQL matching [[jaccardPairs]]; `extraWhere` narrows the pair
+    * set (q119 restricts to pairs touching an arriving doc). */
+  def jaccardOracle(threshold: Double, extraWhere: String = ""): String =
     s"""
       WITH $jaccardPairsCte
       SELECT d1, d2, round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jac
       FROM jpairs
       WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= $threshold
+        ${if (extraWhere.isEmpty) "" else s"AND ($extraWhere)"}
       ORDER BY d1, d2"""
 
   /** k deterministic MinHash values via the native one-pass MinHashSig
@@ -258,6 +260,56 @@ object Dedup extends QueryModule {
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2").distinct()
+    exactConfirm(cand, sh, threshold)
+  }
+
+  /** Preprocessed signature rows for a document frame: (doc_id, sh, mh) —
+    * hashed shingle set + k-component MinHash signature, ~8·(1+k+|sh|)
+    * bytes per doc. This is the table a growing 100 TB corpus PERSISTS so
+    * that daily arriving batches never re-tokenize or re-sign history. */
+  def signatureIndex(docs: DataFrame, k: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", shingles(trim($"text")).as("sh"))
+      .withColumn("mh", minhashSignature($"sh", k))
+  }
+
+  /** Write the corpus signature index once (overwrite = rebuild). */
+  def writeSignatureIndex(corpus: DataFrame, path: String, k: Int = 64): Unit =
+    signatureIndex(corpus, k).write.mode("overwrite").parquet(path)
+
+  /** Incremental near-dup: dedup an ARRIVING batch against the persisted
+    * corpus index without recomputing anything historical — the access
+    * pattern production dedup actually runs daily, where a full-corpus
+    * recompute (q63) would redo O(corpus) work for an O(batch) question.
+    * New docs are signed and banded; candidates are (new × (index ∪
+    * new)) band-key collisions only — historical×historical pairs are
+    * structurally excluded, and historical shingles/signatures come FROM
+    * the index (one parquet scan, zero re-tokenization). Exact-Jaccard
+    * confirm uses the same shared kernel as q63/q101, so the result
+    * equals a full recompute restricted to pairs touching a new doc
+    * (asserted in IncrementalDedupSpec; the deterministic MinHash kernel
+    * is what makes index-vs-fresh signatures band-compatible). */
+  def incrementalNeardupPairs(s: SparkSession, indexPath: String,
+      newDocs: DataFrame, threshold: Double, k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import s.implicits._
+    val rows = k / bands
+    val idx = s.read.parquet(indexPath) // (doc_id, sh, mh)
+    val fresh = signatureIndex(newDocs, k)
+    def banded(sigs: DataFrame) = sigs.select($"doc_id",
+      posexplode(bandKeys($"mh", bands, rows)).as(Seq("band_idx", "band_key")))
+    // new-side bands probe BOTH the index bands and the new bands; pairs
+    // are normalized (least, greatest) so a new-new collision found in
+    // either order dedups to one candidate. Id pairs only through the
+    // distinct — the same slim-shuffle shape as q63's candidate stage.
+    val cand = banded(fresh).select($"doc_id".as("dn"), $"band_idx", $"band_key")
+      .join(banded(idx.select($"doc_id", $"mh")).union(banded(fresh))
+        .select($"doc_id".as("do"), $"band_idx", $"band_key"),
+        Seq("band_idx", "band_key"))
+      .filter($"dn" =!= $"do")
+      .select(least($"dn", $"do").as("d1"), greatest($"dn", $"do").as("d2"))
+      .distinct()
+    val sh = idx.select($"doc_id", $"sh").union(fresh.select($"doc_id", $"sh"))
     exactConfirm(cand, sh, threshold)
   }
 
@@ -396,6 +448,32 @@ object Dedup extends QueryModule {
         "exact oracle.",
       (s, dir) => minhashLshPairs(s, dir, 0.8).orderBy("d1", "d2"),
       Some(jaccardOracle(0.8))),
+
+    Q(
+      "q119_incremental_dedup",
+      "INCREMENTAL near-dup — dedup an arriving batch against a " +
+        "PERSISTED corpus signature index, the shape a growing 100 TB " +
+        "training corpus runs daily: the historical 90% of documents " +
+        "(doc_id % 10 != 0) is signed ONCE into a parquet index " +
+        "(doc_id, shingle hashes, MinHash sig — written here so the " +
+        "round-trip is real, reread immediately); the arriving 10% is " +
+        "signed fresh, LSH-banded, and joined against index+batch " +
+        "bands. Historical × historical pairs are structurally " +
+        "excluded and history is never re-tokenized — the work is " +
+        "O(batch + collisions), not O(corpus). Same banding (16×4) and " +
+        "exact-confirm kernel as q63, so the oracle is the exact " +
+        "Jaccard pair set restricted to pairs touching an arriving " +
+        "doc. IncrementalDedupSpec asserts equality with a full " +
+        "recompute and the old-old exclusion on a planted corpus.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val idxPath = graft.TempRoots.forDir("graft_sig_index", dir).toString
+        writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), idxPath)
+        incrementalNeardupPairs(s, idxPath,
+          docs.filter($"doc_id" % 10 === 0), 0.8)
+      },
+      Some(jaccardOracle(0.8, "d1 % 10 = 0 OR d2 % 10 = 0"))),
 
     Q(
       "q96_dedup_clusters",

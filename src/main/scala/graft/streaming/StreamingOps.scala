@@ -42,60 +42,16 @@ object StreamingOps extends QueryModule {
     */
   // The symlink farm is bounded (one dir + one link per sf dir ever seen
   // by this JVM) and torn down on exit so repeated local runs don't
-  // accumulate stale links under /tmp. The root is PER-PROCESS (pid
-  // suffix): sbt forks a fresh JVM per test/bench run, and a shared root
-  // would let one JVM's exit hook delete the source directory out from
-  // under another JVM's still-running streaming query.
-  private val streamSrcRoot = java.nio.file.Paths.get(
-    s"/tmp/graft_stream_src_${ProcessHandle.current().pid()}")
-  locally {
-    // The shutdown hook can't run for a SIGKILLed/crashed JVM, and the
-    // pid-suffixed names mean no later run reuses (or removes) such a
-    // root — so each startup best-effort sweeps sibling roots whose
-    // owning pid is no longer alive. Live JVMs (including this one) are
-    // never touched; pid reuse at worst defers the sweep to the next run.
-    try {
-      val ls = java.nio.file.Files.list(streamSrcRoot.getParent)
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("graft_stream_src_"))
-          .filter { p =>
-            val pid = p.getFileName.toString.stripPrefix("graft_stream_src_")
-            pid.nonEmpty && pid.forall(_.isDigit) &&
-              scala.util.Try(!ProcessHandle.of(pid.toLong).isPresent)
-                .getOrElse(false)
-          }
-          .toSeq.foreach { dead =>
-            val walk = java.nio.file.Files.walk(dead)
-            try {
-              walk.iterator().asScala.toSeq
-                .sortBy(-_.getNameCount) // children before parents
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            } finally walk.close()
-          }
-      } finally ls.close()
-    } catch { case _: Exception => () } // sweep is best-effort only
-  }
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        if (java.nio.file.Files.exists(streamSrcRoot)) {
-          val walk = java.nio.file.Files.walk(streamSrcRoot)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala.toSeq
-              .sortBy(-_.getNameCount) // children before parents
-              .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          } finally walk.close()
-        }
-      } catch { case _: Exception => () } // best-effort cleanup only
-    ))
-  }
+  // accumulate stale links under /tmp. graft.TempRoots provides the
+  // per-process (pid-suffixed) root — sbt forks a fresh JVM per
+  // test/bench run, and a shared root would let one JVM's exit hook
+  // delete the source directory out from under another JVM's
+  // still-running streaming query — plus the dead-pid sweep that
+  // reclaims roots left by crashed JVMs whose hook never ran.
 
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val streamDir = streamSrcRoot.resolve(dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val streamDir = graft.TempRoots.forDir("graft_stream_src", dir)
     Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
     if (!Files.exists(link))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q119's contract: deduping an arriving batch against the persisted
+  * signature index finds EXACTLY the pairs a full-corpus recompute finds
+  * among pairs touching a new doc — with history never re-signed and
+  * old-old pairs structurally excluded. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("incremental == full recompute restricted to pairs touching the batch (fixtures)") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_incr_idx").toString + "/idx"
+    Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), idxPath)
+    val incr = Dedup.incrementalNeardupPairs(spark, idxPath,
+      docs.filter($"doc_id" % 10 === 0), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(spark, sfDir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    assert(incr === full)
+  }
+
+  test("old-old pairs are excluded; new-old and new-new pairs surface once") {
+    // planted corpus: docs 1,2 historical near-dups of each other (must
+    // NOT appear); doc 10 arrives near-duplicating historical doc 3
+    // (must appear once); docs 20,30 arrive near-duplicating each other
+    // (new-new, must appear once); doc 40 arrives unrelated.
+    def text(from: Int) = (from until from + 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text(1)), (2L, text(6)),            // old-old near-dup pair
+      (3L, text(100)),                          // old, matched by new 10
+      (10L, text(105)),                         // new ~ old 3
+      (20L, text(200)), (30L, text(205)),       // new ~ new
+      (40L, (900 to 949).map(i => s"z$i").mkString(" "))) // new loner
+      .map { case (id, t) => (id, t, "s") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val d = Tables.t(spark, dir, "documents")
+    val idxPath = s"$dir/sig_index"
+    Dedup.writeSignatureIndex(d.filter($"doc_id" % 10 =!= 0), idxPath)
+    val pairs = Dedup.incrementalNeardupPairs(spark, idxPath,
+      d.filter($"doc_id" % 10 === 0), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((3L, 10L), (20L, 30L)), s"got ${pairs.toSeq}")
+    assert(pairs.length === 2, "normalized pairs must be distinct (no dup orders)")
+  }
+
+  test("the index round-trip really feeds the join: corrupting it changes the answer") {
+    // if incrementalNeardupPairs silently recomputed history from text,
+    // an index rewritten WITHOUT doc 3 would still find (3, 10) — assert
+    // it does not, proving historical candidates come from the parquet
+    // index alone.
+    def text(from: Int) = (from until from + 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((3L, text(100), "s"), (10L, text(105), "s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
+    docs.toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val d = Tables.t(spark, dir, "documents")
+    val idxPath = s"$dir/sig_index"
+    Dedup.writeSignatureIndex(d.filter($"doc_id" === 3), idxPath)
+    val withIdx = Dedup.incrementalNeardupPairs(spark, idxPath,
+      d.filter($"doc_id" === 10), 0.8).count()
+    assert(withIdx === 1L)
+    Dedup.writeSignatureIndex(d.filter($"doc_id" === -1), idxPath) // empty index
+    val withoutIdx = Dedup.incrementalNeardupPairs(spark, idxPath,
+      d.filter($"doc_id" === 10), 0.8).count()
+    assert(withoutIdx === 0L,
+      "with an empty index no historical pair may surface — history must " +
+        "come from the index, not a recompute")
+  }
+}
