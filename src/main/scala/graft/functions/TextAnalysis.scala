@@ -343,6 +343,52 @@ object TextAnalysis extends QueryModule {
                regexp_replace(email, '^[a-z0-9.]+@', 'redacted@') AS email_redacted,
                repeat('*', length(phone) - 4) || right(phone, 4)  AS phone_redacted
         FROM p
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    Q(
+      "q121_repetition_stats",
+      "Gopher-style within-document repetition filter: the fraction of " +
+        "duplicate token bigrams per doc (1 - distinct/total), the " +
+        "signal used to drop boilerplate/spam before training. Bigrams " +
+        "via zip_with over two slices of the token array — the lambda " +
+        "only touches slice OUTPUTS, so the tokenizer runs a constant " +
+        "~3x per row (each column reference), never per element (the " +
+        "CollapseProject per-element re-evaluation trap hits lambdas " +
+        "that reference the tokens column directly). Ratio is " +
+        "floor-truncated at 4 dp (IEEE-deterministic on both engines). " +
+        "Pure per-row projection: zero shuffle, linear at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        // slice length must be >= 0: an empty or 1-token doc would pass
+        // -1/0 and error; greatest(,0) degrades it to an empty slice
+        val len = greatest(size(t) - 1, lit(0))
+        Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+              (a, b) => concat(a, lit("\u001f"), b)).as("bi"))
+          .filter(size($"bi") > 0)
+          .select($"doc_id",
+            size($"bi").as("n_bigrams"),
+            size(array_distinct($"bi")).as("n_distinct"))
+          .withColumn("dup_frac",
+            floor(($"n_bigrams" - $"n_distinct") * 10000.0 / $"n_bigrams") / 10000.0)
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        bi AS (
+          SELECT doc_id, [t[i] || chr(31) || t[i+1] for i in range(1, len(t))] AS b
+          FROM toks
+          WHERE len(t) >= 2)
+        SELECT doc_id,
+               CAST(len(b) AS INTEGER)                AS n_bigrams,
+               CAST(len(list_distinct(b)) AS INTEGER) AS n_distinct,
+               floor((len(b) - len(list_distinct(b))) * 10000.0 / len(b)) / 10000.0
+                 AS dup_frac
+        FROM bi
+        ORDER BY doc_id"""))
   )
 }

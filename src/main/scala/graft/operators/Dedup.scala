@@ -476,6 +476,50 @@ object Dedup extends QueryModule {
       Some(jaccardOracle(0.8, "d1 % 10 = 0 OR d2 % 10 = 0"))),
 
     Q(
+      "q120_contamination",
+      "Train/eval CONTAMINATION check (decontamination) — for every eval " +
+        "doc (doc_id % 10 == 0), the fraction of its shingles that " +
+        "appear anywhere in the training corpus (the rest): the overlap " +
+        "audit run before trusting a benchmark against a trained model. " +
+        "Plan is shaped for the real regime (tiny eval set vs 100 TB " +
+        "corpus): the corpus side is SCANNED ONCE, never deduplicated " +
+        "and never shuffled — eval shingles broadcast into the join, and " +
+        "only matched (doc_id, shingle) pairs (bounded by the eval " +
+        "shingle count) reach the count-distinct aggregate. Same hashed " +
+        "shingle kernel as q62/q63, so the oracle's string shingles " +
+        "match up to 2^-64 collisions.",
+      (s, dir) => {
+        import s.implicits._
+        val sh = docShingles(s, dir)
+        val evalSh = sh.filter($"doc_id" % 10 === 0)
+        val trainEx = sh.filter($"doc_id" % 10 =!= 0).select(explode($"sh").as("h"))
+        val hits = trainEx
+          .join(broadcast(evalSh.select($"doc_id", explode($"sh").as("h"))), Seq("h"))
+          .groupBy($"doc_id")
+          // per-doc shingles are a set, so distinct matched h == #matched
+          .agg(count_distinct($"h").as("n_hit"))
+        evalSh.select($"doc_id", size($"sh").as("n_shingles"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+          .withColumn("contamination",
+            floor($"n_hit" * 10000.0 / $"n_shingles") / 10000.0)
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+        shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+        tr AS (SELECT DISTINCT unnest(sh) AS h FROM shng WHERE doc_id % 10 <> 0),
+        ev AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM shng
+               WHERE doc_id % 10 = 0),
+        c AS (SELECT e.doc_id, max(e.n) AS n, count(t.h) AS n_hit
+              FROM ev e LEFT JOIN tr t ON e.h = t.h GROUP BY e.doc_id)
+        SELECT doc_id,
+               CAST(n AS INTEGER)      AS n_shingles,
+               CAST(n_hit AS BIGINT)   AS n_hit,
+               floor(n_hit * 10000.0 / n) / 10000.0 AS contamination
+        FROM c ORDER BY doc_id""")),
+
+    Q(
       "q96_dedup_clusters",
       "Near-dup cluster assignment: connected components over the " +
         "LSH-confirmed pair graph (min-label propagation, O(diameter) " +
