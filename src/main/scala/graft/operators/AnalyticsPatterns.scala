@@ -266,6 +266,102 @@ object AnalyticsPatterns extends QueryModule {
         ch AS (SELECT doc_id, unnest(range(c0, c1 + 1)) AS chunk_id FROM spans)
         SELECT chunk_id, count(*) AS n_docs,
                min(doc_id) AS d_first, max(doc_id) AS d_last
-        FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
+        FROM ch GROUP BY chunk_id ORDER BY chunk_id""")),
+
+    Q(
+      "q124_corpus_mixture",
+      "Training-data MIXTURE assembly: per-language sampling weights " +
+        "turn a raw corpus into the mixture a training run consumes — " +
+        "majority language (en) downsampled to ~25% by the md5-threshold " +
+        "rule (deterministic, incremental-stable, see q99), minority " +
+        "languages kept at ~75% and UPSAMPLED 2× (weight > 1 means the " +
+        "kept docs repeat — explode over a sequence of epoch copies, the " +
+        "standard way mixtures express >1 passes over a source). " +
+        "Assignment is shuffle-free (a pure row predicate + generator); " +
+        "the only shuffle is the audit aggregate. At 100 TB the same " +
+        "plan holds: membership is a function of the stable key, so " +
+        "re-runs and late-arriving shards agree without coordination.",
+      (s, dir) => {
+        import s.implicits._
+        val b = substring(md5($"doc_id".cast("string")), 1, 2)
+        Tables.t(s, dir, "documents")
+          .withColumn("keep", when($"lang" === "en", b < "40").otherwise(b < "c0"))
+          .filter($"keep")
+          .withColumn("n_copies", when($"lang" === "en", 1).otherwise(2))
+          .withColumn("epoch", explode(sequence(lit(1), $"n_copies")))
+          .groupBy($"lang")
+          .agg(
+            countDistinct($"doc_id").as("n_unique"),
+            count(lit(1)).as("n_rows_out"),
+            sum($"n_chars").as("chars_out"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH kept AS (
+          SELECT doc_id, lang, n_chars,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS n_copies
+          FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                  < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END),
+        rep AS (SELECT doc_id, lang, n_chars,
+                       unnest(range(1, n_copies + 1)) AS epoch
+                FROM kept)
+        SELECT lang,
+               count(DISTINCT doc_id) AS n_unique,
+               count(*) AS n_rows_out,
+               sum(n_chars) AS chars_out
+        FROM rep
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    Q(
+      "q125_global_shuffle",
+      "Deterministic global shuffle + round-robin SHARDING — the 'shuffle " +
+        "the corpus once, cut into training shards' step every run does " +
+        "before data loading: global order is md5 of a seeded key " +
+        "(reproducible across engines, runs, and partitionings — not " +
+        "seeded RNG, whose draw depends on the physical split), shard = " +
+        "(rank-1) mod 8. The global rank is computed SCALABLY with " +
+        "q117's two-phase shape: 16 DETERMINISTIC buckets (the md5's " +
+        "first hex digit — a prefix of the sort key, so bucket order " +
+        "refines hash order), per-bucket row_number in parallel, then a " +
+        "16-row offset table broadcast back — never a single-partition " +
+        "window over the corpus. Audit: per-shard doc count, language " +
+        "spread, and char mass (a healthy shuffle balances all three).",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars",
+            md5(concat(lit("seed42:"), $"doc_id".cast("string"))).as("h"))
+          .withColumn("b", conv(substring($"h", 1, 1), 16, 10).cast("int"))
+        val wLocal = Window.partitionBy($"b").orderBy($"h", $"doc_id")
+        val local = keyed.withColumn("lrk", row_number().over(wLocal))
+        // offsets window runs over <=16 rows, not the corpus
+        val wOff = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy($"b").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+          .select($"b", $"off")
+        local.join(broadcast(offsets), Seq("b"))
+          .withColumn("shard_id", (($"off" + $"lrk" - 1) % 8).cast("int"))
+          .groupBy($"shard_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct($"lang").as("n_langs"),
+            sum($"n_chars").as("chars"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (
+                   ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard_id,
+               count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               sum(n_chars) AS chars
+        FROM r
+        GROUP BY 1
+        ORDER BY shard_id"""))
   )
 }

@@ -313,6 +313,69 @@ object Dedup extends QueryModule {
     exactConfirm(cand, sh, threshold)
   }
 
+  /** The q123 "re-crawl" batch: every even-id document arrives again
+    * under a fresh id — half byte-identical (doc_id ≡ 0 mod 4, true
+    * duplicates of the corpus), half edited (≡ 2, genuinely new
+    * content). Deterministic derivation from the fixture corpus, same
+    * convention as q119's id-split. */
+  def recrawlBatch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.filter($"doc_id" % 2 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 4 === 0, $"text")
+          .otherwise(concat($"text", lit(" [rev2]"))).as("text"),
+        $"source")
+  }
+
+  /** Bloom-prefiltered incremental EXACT dedup: route an arriving batch
+    * against a Bloom filter of corpus content before the exact anti-join
+    * — the cheap first stage of daily corpus maintenance. The filter is
+    * built in ONE corpus aggregate pass (`stat.bloomFilter` =
+    * treeAggregate: executors fold rows into fixed-size bit arrays, only
+    * the bitmaps reach the driver — no shuffle, no row movement), then
+    * broadcast; batch rows that MISS are definitely new and skip the
+    * join entirely, rows that HIT (true dups + ~fpp false positives) go
+    * through the exact hash anti-join for confirmation. The final answer
+    * is therefore EXACT — the bloom only routes — which is what lets
+    * q123 keep a bit-exact SQL oracle. Returned frames: (definitely-new,
+    * candidates, exact-confirmed-new after the join).
+    *
+    * Sizing honesty for 100 TB: ~9.6 bits/key at fpp=0.01 → ~1.2 GB per
+    * 10^9 distinct texts. The single-broadcast regime tops out around
+    * 10^9-10^10 keys; past that, shard the filter by hash prefix (each
+    * executor holds one shard and the batch routes by the same prefix)
+    * or fall back to the plain q61-shape anti-join, which this stage
+    * wraps, not replaces. The serialized filter round-trips through
+    * `writeTo`/`readFrom`, so a daily pipeline persists it next to
+    * q119's signature index instead of rebuilding (exercised in
+    * IncrementalDedupSpec). */
+  def bloomRoutedNew(corpus: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): (DataFrame, DataFrame, DataFrame) = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    // parquet row-count metadata makes this a cheap bound, and
+    // over-sizing only wastes bits, never correctness
+    val bf = corpus.stat.bloomFilter("text", math.max(corpus.count(), 1L), fpp)
+    // serialize → deserialize ONCE (driver-side) so the broadcast carries
+    // exactly what a persisted daily filter would reload; executors then
+    // get the ready filter object, probed per row with no per-row work
+    // beyond the hash
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val reloaded = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val bfB = s.sparkContext.broadcast(reloaded)
+    val might = udf((t: String) => bfB.value.mightContainString(t))
+    val definiteNew = batch.filter(!might($"text"))
+    val candidates = batch.filter(might($"text"))
+    val confirmedNew =
+      candidates.join(corpus.select($"text"), Seq("text"), "left_anti")
+    (definiteNew, candidates, confirmedNew)
+  }
+
   /** Near-dup CLUSTER assignment: connected components over the LSH pair
     * graph by iterative min-label propagation — each pass every node
     * adopts the smallest label among itself and its neighbors, converging
@@ -474,6 +537,45 @@ object Dedup extends QueryModule {
           docs.filter($"doc_id" % 10 === 0), 0.8)
       },
       Some(jaccardOracle(0.8, "d1 % 10 = 0 OR d2 % 10 = 0"))),
+
+    Q(
+      "q123_bloom_dedup",
+      "Bloom-ROUTED incremental exact dedup — the cheap membership stage " +
+        "in front of q119's near-dup index: a 're-crawl' batch (every " +
+        "even-id doc arrives again under a new id; half byte-identical, " +
+        "half edited) is routed by a Bloom filter built from the corpus " +
+        "in one shuffle-free treeAggregate pass. Bloom MISSES are " +
+        "definitely new and never reach the join; HITS (true dups + " +
+        "~1% false positives) go through the exact content anti-join — " +
+        "so the kept set is EXACT and bit-exactly oracled, while the " +
+        "expensive shuffle only ever sees the candidate sliver. The " +
+        "filter round-trips writeTo/readFrom before broadcast, proving " +
+        "the persist-daily-reuse path; no-false-negative routing and " +
+        "the pruning ratio are asserted in IncrementalDedupSpec.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val (defNew, _, confNew) =
+          bloomRoutedNew(docs, recrawlBatch(docs))
+        defNew.unionByName(confNew)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_new"),
+            min($"doc_id").as("id_min"), max($"doc_id").as("id_max"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH batch AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 CASE WHEN doc_id % 4 = 0 THEN text
+                      ELSE text || ' [rev2]' END AS text,
+                 source
+          FROM documents WHERE doc_id % 2 = 0),
+        kept AS (
+          SELECT b.doc_id, b.source FROM batch b
+          WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text))
+        SELECT source, count(*) AS n_new,
+               min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM kept GROUP BY source ORDER BY source""")),
 
     Q(
       "q120_contamination",

@@ -351,6 +351,70 @@ object Joins extends QueryModule {
           FROM e LEFT JOIN p ON e.user_id = p.p_user AND p.p_ts >= e.err_ts)
         SELECT user_id, err_id, p_id, round(p_value, 2) AS p_value
         FROM cand WHERE rn = 1
-        ORDER BY err_id"""))
+        ORDER BY err_id""")),
+
+    Q(
+      "q122_cdc_merge",
+      "MERGE INTO / upsert semantics as a single full-outer-join pass — " +
+        "the CDC apply step a daily-maintained 100 TB corpus runs: a " +
+        "change-set of inserts (keys ≡3 mod 10, absent from the base " +
+        "snapshot), updates (≡7, price bumped +1000.0 — exact double " +
+        "add, no rounding ambiguity) and deletes (≡9) is applied in ONE " +
+        "shuffle join on the merge key (AQE broadcasts the change side " +
+        "when it is small, the common CDC regime); matched-update takes " +
+        "the change row, matched-delete drops, unmatched-insert appends, " +
+        "unmatched-base passes through. Audited per priority with " +
+        "insert/update provenance counts.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+        val base = o.filter($"o_orderkey" % 10 =!= 3)
+        val changes = o.filter(($"o_orderkey" % 10).isin(3, 7, 9))
+          .select(
+            $"o_orderkey".as("c_key"),
+            when($"o_orderkey" % 10 === 3, "I")
+              .when($"o_orderkey" % 10 === 7, "U").otherwise("D").as("op"),
+            ($"o_totalprice" +
+              when($"o_orderkey" % 10 === 7, 1000.0).otherwise(0.0)).as("c_price"),
+            $"o_orderpriority".as("c_priority"))
+        base.join(changes, $"o_orderkey" === $"c_key", "full_outer")
+          .filter(coalesce($"op", lit("")) =!= "D")
+          .select(
+            coalesce($"c_priority", $"o_orderpriority").as("priority"),
+            when($"op".isNotNull, $"c_price").otherwise($"o_totalprice").as("price"),
+            $"op")
+          .groupBy($"priority")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when($"op" === "I", 1L).otherwise(0L)).as("n_inserted"),
+            sum(when($"op" === "U", 1L).otherwise(0L)).as("n_updated"),
+            round(sum($"price"), 2).as("revenue"))
+          .orderBy($"priority")
+      },
+      Some("""
+        WITH changes AS (
+          SELECT o_orderkey AS c_key,
+                 CASE WHEN o_orderkey % 10 = 3 THEN 'I'
+                      WHEN o_orderkey % 10 = 7 THEN 'U' ELSE 'D' END AS op,
+                 o_totalprice + CASE WHEN o_orderkey % 10 = 7
+                                     THEN 1000.0 ELSE 0.0 END AS c_price,
+                 o_orderpriority AS c_priority
+          FROM orders WHERE o_orderkey % 10 IN (3, 7, 9)),
+        base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 3),
+        merged AS (
+          SELECT coalesce(c_priority, o_orderpriority) AS priority,
+                 CASE WHEN op IS NOT NULL THEN c_price
+                      ELSE o_totalprice END AS price,
+                 op
+          FROM base FULL OUTER JOIN changes ON o_orderkey = c_key
+          WHERE coalesce(op, '') <> 'D')
+        SELECT priority,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+               CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               round(sum(price), 2) AS revenue
+        FROM merged
+        GROUP BY priority
+        ORDER BY priority"""))
   )
 }

@@ -147,6 +147,40 @@ object Similarity extends QueryModule {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
 
+  /** K-means codebook by Lloyd iterations, built from Spark aggregates:
+    * assignment is the narrow codegen'd TopCentroids projection (no
+    * centroid crossJoin); the update step aggregates per-(cluster, dim)
+    * means — k×Dim partial sums with map-side combine, so the shuffle is
+    * bounded by k×Dim regardless of corpus size — and collects only the
+    * k×Dim mean matrix per iteration (the same driver-artifact class as
+    * [[ivfCodebook]]). Means are rounded to 6 dp so the trained codebook
+    * is stable against partial-sum ordering; empty clusters keep their
+    * previous centroid. Seeds = [[ivfCodebook]] (first k vectors) —
+    * deterministic, no RNG. */
+  def kmeansCodebook(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    import graft.catalyst.VecOps.top_centroids
+    import e.sparkSession.implicits._
+    var cb = ivfCodebook(e, k)
+    for (_ <- 1 to iters) {
+      val meanRows = e.select(
+          element_at(top_centroids($"embedding", cb, 1), 1).cast("int").as("cid"),
+          posexplode($"embedding").as(Seq("pos", "x")))
+        .groupBy($"cid", $"pos")
+        .agg(round(avg($"x".cast("double")), 6).as("m"))
+        .groupBy($"cid")
+        .agg(sort_array(collect_list(struct($"pos", $"m"))).as("ms"))
+        .collect()
+      val next = cb.map(_.clone())
+      meanRows.foreach { r =>
+        val cid = r.getInt(0)
+        val ms = r.getSeq[org.apache.spark.sql.Row](1)
+        next(cid) = ms.map(_.getDouble(1)).toArray
+      }
+      cb = next
+    }
+    cb
+  }
+
   /** IVF-Flat ANN: corpus vectors bucketed by nearest-of-nlist coarse
     * centroid (narrow codegen'd TopCentroids projection), probes scan
     * their nprobe nearest inverted lists, exact cosine re-ranks. The
@@ -296,6 +330,47 @@ object Similarity extends QueryModule {
         // so a corpus vector's single sig matches at most one of them —
         // (probe, vec) candidates are already unique, no dedup needed
         rerankTopK(e.join(broadcast(probes), $"sig" === $"probe_sig"), 5)
+      },
+      None),
+
+    Q(
+      "q126_semantic_dedup",
+      "SemDeDup-style SEMANTIC dedup: a k=8 k-means codebook is trained " +
+        "by 3 Lloyd iterations of pure Spark aggregates (narrow native " +
+        "assignment, k×dim-bounded mean shuffle, 6-dp-rounded means for " +
+        "order-independence), every vector is assigned its cluster, and " +
+        "near-dup pairs (cos >= 0.45, same exact-confirm kernel as q68) " +
+        "are searched ONLY within clusters — sum(m_i^2) candidate work " +
+        "instead of q65's n^2, the shape that makes embedding dedup " +
+        "feasible at 100 TB (clusters partition the corpus, so each is " +
+        "a local problem; duplicate vectors always co-cluster because " +
+        "identical points share a nearest centroid). Per-cluster audit: " +
+        "members, confirmed dup pairs, dropped docs (keep-smallest-id " +
+        "survivor rule). Rows-only (cluster geometry is quantizer-" +
+        "defined); SemanticDedupSpec asserts member conservation, " +
+        "subset-of-exact-pairs, and that a planted identical pair is " +
+        "always caught.",
+      (s, dir) => {
+        import graft.catalyst.VecOps.top_centroids
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val cb = kmeansCodebook(e, 8, 3)
+        val assigned = e.withColumn("cid",
+          element_at(top_centroids($"embedding", cb, 1), 1).cast("int"))
+        val ids = assigned.select($"cid", $"vec_id")
+        val cand = ids.select($"cid", $"vec_id".as("v1"))
+          .join(ids.select($"cid", $"vec_id".as("v2")), Seq("cid"))
+          .filter($"v1" < $"v2")
+        val pairs = confirmCosine(cand.select($"v1", $"v2"), e, 0.45)
+          .join(ids.select($"cid", $"vec_id".as("v1")), Seq("v1"))
+        val dropped = pairs.select($"cid", $"v2".as("vec_id")).distinct()
+        assigned.groupBy($"cid").agg(count(lit(1)).as("n_members"))
+          .join(pairs.groupBy($"cid").agg(count(lit(1)).as("n_dup_pairs")),
+            Seq("cid"), "left")
+          .join(dropped.groupBy($"cid").agg(count(lit(1)).as("n_dropped")),
+            Seq("cid"), "left")
+          .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+          .orderBy($"cid")
       },
       None)
   )

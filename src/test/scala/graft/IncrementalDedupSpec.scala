@@ -75,4 +75,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "with an empty index no historical pair may surface — history must " +
         "come from the index, not a recompute")
   }
+
+  test("q123 bloom routing: exact result, no false negatives, real pruning") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val batch = Dedup.recrawlBatch(docs)
+    val (defNew, cand, confNew) = Dedup.bloomRoutedNew(docs, batch)
+
+    // routing is a partition of the batch
+    val nBatch = batch.count()
+    val nCand = cand.count()
+    assert(defNew.count() + nCand === nBatch)
+
+    // exactness: routed union == the plain exact anti-join (q61 shape)
+    val direct = batch.join(docs.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val routed = defNew.unionByName(confNew)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(routed === direct)
+
+    // no false negatives: every true duplicate must be routed to the
+    // candidate side (a bloom can only err toward false POSITIVES)
+    val trueDups = batch.join(docs.select($"text"), Seq("text"), "left_semi")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val candIds = cand.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(trueDups.subsetOf(candIds))
+
+    // pruning: the join side must be meaningfully smaller than the batch
+    // (half the batch is edited ⇒ expected candidates ≈ dups + 1% fp)
+    assert(nCand < nBatch,
+      s"bloom routed all $nBatch rows to the join — no pruning happened")
+    assert(nCand <= trueDups.size + math.max(5L, nBatch / 20),
+      s"false-positive rate way above fpp: $nCand candidates for " +
+        s"${trueDups.size} true dups in a $nBatch-row batch")
+  }
 }
