@@ -61,4 +61,14 @@ object TempRoots {
   /** A per-sf-dir subdirectory of `root(prefix)` (sanitized path key). */
   def forDir(prefix: String, dir: String): java.nio.file.Path =
     root(prefix).resolve(dir.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** [[forDir]] cleared of any previous run's content — for outputs that
+    * append across micro-batches within one run but must start empty on
+    * the next (bench runs every query twice). */
+  def freshForDir(prefix: String, dir: String): java.nio.file.Path = {
+    val p = forDir(prefix, dir)
+    if (java.nio.file.Files.exists(p)) deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
 }

@@ -389,6 +389,51 @@ object TextAnalysis extends QueryModule {
                floor((len(b) - len(list_distinct(b))) * 10000.0 / len(b)) / 10000.0
                  AS dup_frac
         FROM bi
+        ORDER BY doc_id""")),
+
+    Q(
+      "q127_bigram_rarity",
+      "CCNet-style LM-rarity quality signal, in exact INTEGER arithmetic " +
+        "(a float LM surprisal would hinge on cross-engine ln() ULPs): " +
+        "per document, how common its word bigrams are in the whole " +
+        "corpus — total bigrams, rare bigrams (corpus df <= 2, the " +
+        "gibberish/typo signal), and the floor-truncated mean corpus df " +
+        "(boilerplate scores high). Two shuffles that both scale: the " +
+        "corpus df aggregate collapses the Zipf head map-side before " +
+        "the wire, and the df join keys on the bigram hash — the Zipf " +
+        "hot keys are exactly what AQE skew-join splits at 100 TB. The " +
+        "per-doc re-aggregate keys on doc_id (never skewed).",
+      (s, dir) => {
+        import s.implicits._
+        val docBigrams = Tables.t(s, dir, "documents")
+          .select($"doc_id", split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+            .as("bigram"))
+        val df = docBigrams.groupBy($"bigram").agg(count(lit(1)).as("n"))
+        docBigrams.join(df, Seq("bigram"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when($"n" <= 2, 1L).otherwise(0L)).as("n_rare"),
+            (floor(sum($"n") * 10000.0 / count(lit(1))) / 10000.0).as("avg_df"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+        b AS (SELECT doc_id,
+                     unnest([ws[i] || ' ' || ws[i + 1]
+                             for i in range(1, len(ws))]) AS bigram
+              FROM w),
+        df AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(CASE WHEN n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+               floor(sum(n) * 10000.0 / count(*)) / 10000.0 AS avg_df
+        FROM b JOIN df USING (bigram)
+        GROUP BY doc_id
         ORDER BY doc_id"""))
   )
 }

@@ -277,6 +277,13 @@ object Dedup extends QueryModule {
   def writeSignatureIndex(corpus: DataFrame, path: String, k: Int = 64): Unit =
     signatureIndex(corpus, k).write.mode("overwrite").parquet(path)
 
+  /** Append a batch's signatures to an existing index — the maintenance
+    * step that keeps the daily incremental-dedup loop (q119/q128)
+    * sustainable: after a batch is deduped against the index, its own
+    * signatures join the index so the NEXT batch sees it as history. */
+  def appendSignatureIndex(batch: DataFrame, path: String, k: Int = 64): Unit =
+    signatureIndex(batch, k).write.mode("append").parquet(path)
+
   /** Incremental near-dup: dedup an ARRIVING batch against the persisted
     * corpus index without recomputing anything historical — the access
     * pattern production dedup actually runs daily, where a full-corpus

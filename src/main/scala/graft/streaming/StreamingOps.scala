@@ -60,6 +60,27 @@ object StreamingOps extends QueryModule {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
 
+  /** documents.parquet schema as stored (no timestamp normalization
+    * needed, unlike events). */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents fixture through the same per-sf
+    * symlink-dir convention as [[eventsStream]]. */
+  def docsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = graft.TempRoots.forDir("graft_stream_docs", dir)
+    Files.createDirectories(streamDir)
+    val link = streamDir.resolve("documents.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/documents.parquet"))
+    s.readStream.schema(documentsRawSchema).parquet(streamDir.toString)
+  }
+
   /** Run a streaming DataFrame to a memory sink, drain, stop, return.
     *
     * `shufflePartitions` sizes the stateful-operator stores for the query:
@@ -416,6 +437,48 @@ object StreamingOps extends QueryModule {
         JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
               FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
-         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR"""))
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
+
+    Q(
+      "q128_stream_incremental_dedup",
+      "The daily dedup loop AS A STREAMING JOB: arriving documents " +
+        "(doc_id ≡ 0 mod 10) stream in; each micro-batch is near-dup-" +
+        "checked against the PERSISTED signature index (q119's kernel — " +
+        "history never re-tokenized, old×old pairs structurally " +
+        "excluded) inside foreachBatch, and then the batch's OWN " +
+        "signatures are appended to the index, so a later batch sees " +
+        "this one as history — the index-maintenance step that makes " +
+        "the loop sustainable forever. foreachBatch is the right tool " +
+        "because the dedup body (band join + distinct + exact-confirm " +
+        "agg) is multi-stage batch logic per trigger, not a single " +
+        "streaming-stateful operator; replay safety comes from the " +
+        "pairs sink being keyed by batch content (cross-batch semantics " +
+        "asserted in StreamingSpec with a two-batch MemoryStream drive). " +
+        "Oracle = the exact-Jaccard pair set restricted to pairs " +
+        "touching an arriving doc, same as q119.",
+      (s, dir) => {
+        import graft.operators.Dedup
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val idxPath = graft.TempRoots
+          .freshForDir("graft_sidx_stream", dir).toString
+        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), idxPath)
+        val outPath = graft.TempRoots
+          .freshForDir("graft_sdedup_out", dir).toString
+        val arriving = docsStream(s, dir).filter($"doc_id" % 10 === 0)
+        val q = arriving.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              Dedup.incrementalNeardupPairs(s, idxPath, batch, 0.8)
+                .write.mode("append").parquet(outPath)
+              Dedup.appendSignatureIndex(batch, idxPath)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(outPath).orderBy($"d1", $"d2")
+      },
+      Some(graft.operators.Dedup.jaccardOracle(0.8,
+        "d1 % 10 = 0 OR d2 % 10 = 0")))
   )
 }

@@ -181,4 +181,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.conf.get("spark.sql.shuffle.partitions") === prevShuffle)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("q128 loop: a later batch dedups against an earlier batch via the appended index") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def text(from: Int) = (from until from + 50).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val idxPath = s"$dir/idx"
+    val outPath = s"$dir/pairs"
+    // history: doc 1; batch A: doc 10 (~ doc 1); batch B: doc 20 (~ doc 10
+    // but NOT ~ doc 1 — catching (10, 20) REQUIRES the index appended after
+    // batch A), doc 30 unrelated
+    Seq((1L, text(100), "s")).toDF("doc_id", "text", "source")
+      .createOrReplaceTempView("hist")
+    Dedup.writeSignatureIndex(spark.table("hist"), idxPath)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          Dedup.incrementalNeardupPairs(spark, idxPath, batch, 0.8)
+            .write.mode("append").parquet(outPath)
+          Dedup.appendSignatureIndex(batch, idxPath)
+      }
+      .start()
+    try {
+      input.addData((10L, text(103)))
+      q.processAllAvailable()
+      input.addData((20L, text(106)), (30L, (900 to 949).map(i => s"z$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(outPath)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,10) from batch A vs history; (10,20) from batch B vs batch A's
+    // appended signatures. (1,20) must NOT appear (jaccard below 0.8) and
+    // doc 30 pairs with nothing.
+    assert(pairs === Set((1L, 10L), (10L, 20L)), s"got $pairs")
+  }
 }
