@@ -434,6 +434,74 @@ object TextAnalysis extends QueryModule {
                floor(sum(n) * 10000.0 / count(*)) / 10000.0 AS avg_df
         FROM b JOIN df USING (bigram)
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q(
+      "q129_quality_funnel",
+      "The FILTER FUNNEL that ends a quality pipeline: every document " +
+        "gets a keep/drop verdict with first-match reason attribution " +
+        "(too_short n<10 → repetitive bigram-dup>0.2 → low_ttr<0.3 → " +
+        "kept), composed from the same signal kernels as q50/q121, and " +
+        "the audit reports per-(lang, verdict) counts + mean length — " +
+        "the reason breakdown a pipeline owner actually reads before " +
+        "shipping a corpus. All signals are exact integer ratios " +
+        "(IEEE-identical across engines), guarded against empty-token " +
+        "divide-by-zero on both sides. Pure per-row projection + one " +
+        "audit aggregate: zero extra shuffles, linear at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val len = greatest(size(t) - 1, lit(0))
+        val scored = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(t).as("n_tok"),
+            size(array_distinct(t)).as("n_uniq"),
+            zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+              (a, b) => concat(a, lit("\u001f"), b)).as("bi"))
+          .select($"doc_id", $"lang", $"n_tok",
+            when($"n_tok" === 0, 0.0)
+              .otherwise($"n_uniq".cast("double") / $"n_tok").as("ttr"),
+            when(size($"bi") === 0, 0.0)
+              .otherwise((size($"bi") - size(array_distinct($"bi")))
+                .cast("double") / size($"bi")).as("dup_frac"))
+        scored
+          .withColumn("verdict",
+            when($"n_tok" < 10, "too_short")
+              .when($"dup_frac" > 0.2, "repetitive")
+              .when($"ttr" < 0.3, "low_ttr")
+              .otherwise("kept"))
+          .groupBy($"lang", $"verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            (floor(sum($"n_tok") * 10000.0 / count(lit(1))) / 10000.0)
+              .as("avg_tokens"))
+          .orderBy($"lang", $"verdict")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, len(t) AS n_tok,
+                 CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS ttr,
+                 CASE WHEN len(t) < 2 THEN 0.0
+                      ELSE CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)
+                      END AS dup_frac
+          FROM (SELECT doc_id, lang, t,
+                       [t[i] || chr(31) || t[i+1] for i in range(1, len(t))] AS b
+                FROM toks)),
+        v AS (
+          SELECT lang, n_tok,
+                 CASE WHEN n_tok < 10 THEN 'too_short'
+                      WHEN dup_frac > 0.2 THEN 'repetitive'
+                      WHEN ttr < 0.3 THEN 'low_ttr'
+                      ELSE 'kept' END AS verdict
+          FROM sig)
+        SELECT lang, verdict, count(*) AS n_docs,
+               floor(sum(n_tok) * 10000.0 / count(*)) / 10000.0 AS avg_tokens
+        FROM v
+        GROUP BY lang, verdict
+        ORDER BY lang, verdict"""))
   )
 }

@@ -360,11 +360,14 @@ object Joins extends QueryModule {
         "change-set of inserts (keys ≡3 mod 10, absent from the base " +
         "snapshot), updates (≡7, price bumped +1000.0 — exact double " +
         "add, no rounding ambiguity) and deletes (≡9) is applied in ONE " +
-        "shuffle join on the merge key (AQE broadcasts the change side " +
-        "when it is small, the common CDC regime); matched-update takes " +
-        "the change row, matched-delete drops, unmatched-insert appends, " +
-        "unmatched-base passes through. Audited per priority with " +
-        "insert/update provenance counts.",
+        "sort-merge join on the merge key (full-outer joins cannot " +
+        "broadcast, so the shuffle is structural — and it keys on " +
+        "exactly the column a 100 TB table would be bucketed by, which " +
+        "makes the exchange vanish under a bucketed layout, see " +
+        "BucketingSpec); matched-update takes the change row, " +
+        "matched-delete drops, unmatched-insert appends, unmatched-base " +
+        "passes through. Audited per priority with insert/update " +
+        "provenance counts.",
       (s, dir) => {
         import s.implicits._
         val o = Tables.t(s, dir, "orders")

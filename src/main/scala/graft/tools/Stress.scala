@@ -33,10 +33,12 @@ object Stress {
     // 50k docs, ~60 tokens each; 2% near-dup pairs (copy with one token changed)
     val base = s.range(50000).select($"id".as("doc_id"),
       array_join(transform(sequence(lit(0), lit(59)), i =>
-        element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))), " ").as("text"))
+        element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))), " ").as("text"),
+      lit("stress").as("source"))
     val dups = s.range(1000).select(($"id" + 50000).as("doc_id"),
       array_join(concat(array(lit("dup")), transform(sequence(lit(1), lit(59)), i =>
-        element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int")))), " ").as("text"))
+        element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int")))), " ").as("text"),
+      lit("stress").as("source"))
     // dups share tokens 1..59 with base doc id -> jaccard ~0.95
     base.union(dups).write.mode("overwrite").parquet(s"$out/documents.parquet")
     // 6M lineitem-ish rows
@@ -115,6 +117,45 @@ object Stress {
     }
     time("neardup clusters 51k docs") {
       graft.operators.Dedup.neardupClusters(s, out, 0.8).count()
+    }
+    // The daily incremental regime: one index build amortized over many
+    // arriving batches — the per-batch cost is what the pipeline pays
+    // daily, and it must be O(batch + collisions), not O(corpus) (the
+    // full 51k recompute is the `minhash lsh` line above).
+    time("sig index build 50k docs") {
+      graft.operators.Dedup.writeSignatureIndex(
+        Tables.t(s, out, "documents").filter($"doc_id" < 50000), s"$out/sig_index")
+      "written"
+    }
+    time("incremental dedup 1k batch") {
+      graft.operators.Dedup.incrementalNeardupPairs(s, s"$out/sig_index",
+        Tables.t(s, out, "documents").filter($"doc_id" >= 50000), 0.8).count()
+    }
+    // Bloom routing: the exact anti-join only sees batch rows the corpus
+    // filter cannot rule out — the printed "routed" fraction is the join
+    // input reduction a 100 TB corpus multiplies.
+    time("bloom routed dedup 25k batch") {
+      val docs = Tables.t(s, out, "documents")
+      val batch = graft.operators.Dedup.recrawlBatch(docs)
+      val (dn, cand, cn) = graft.operators.Dedup.bloomRoutedNew(docs, batch)
+      val kept = dn.unionByName(cn).count()
+      s"$kept kept; ${cand.count()} of ${batch.count()} routed to the join"
+    }
+    // Semantic-dedup candidate stage at 20k vectors: cluster-local pairs
+    // vs the n^2/2 cross product — the sum(m_i^2) reduction is the whole
+    // point of the SemDeDup shape (q126).
+    time("semantic cluster 20k embeddings") {
+      val e = Tables.t(s, out, "embeddings").filter($"vec_id" < 20000)
+        .select($"vec_id", $"embedding")
+      val cb = graft.operators.Similarity.kmeansCodebook(e, 16, 2)
+      val ids = e.select($"vec_id", element_at(
+        graft.catalyst.VecOps.top_centroids($"embedding", cb, 1), 1)
+        .cast("int").as("cid"))
+      val candPairs = ids.select($"cid", $"vec_id".as("v1"))
+        .join(ids.select($"cid", $"vec_id".as("v2")), Seq("cid"))
+        .filter($"v1" < $"v2").count()
+      val n2 = 20000L * 19999 / 2
+      f"$candPairs cand pairs vs n2/2=$n2 (${n2.toDouble / candPairs}%.1f x fewer)"
     }
     time(s"asof native ${6 * mult}M events") {
       SparkEntry.queries("q19_asof_join_native")(s, out).count()

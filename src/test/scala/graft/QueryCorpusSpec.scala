@@ -97,6 +97,26 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(packed.keySet === (0L until packed.size.toLong).toSet)
   }
 
+  test("q125 two-phase shard rank equals the naive single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // semantic reference: one global row_number window (the single-
+    // partition formulation q125 deliberately avoids)
+    val naive = Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        md5(concat(lit("seed42:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(Window.orderBy($"h", $"doc_id")))
+      .withColumn("shard_id", (($"rk" - 1) % 8).cast("int"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("chars"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sharded = SparkEntry.queries("q125_global_shuffle")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sharded === naive)
+  }
+
   test("q116 split is a partition of the corpus with ~80/10/10 fractions") {
     val rows = SparkEntry.queries("q116_train_split")(spark, sfDir).collect()
     val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
