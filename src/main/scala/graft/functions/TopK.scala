@@ -39,3 +39,34 @@ final class TopKCosine(k: Int) extends Aggregator[TopHit, Seq[TopHit], Seq[TopHi
   override def outputEncoder: Encoder[Seq[TopHit]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopHit]]()
 }
+
+/** One sampled row inside the bounded reservoir: the md5 rank key plus
+  * the carried payload columns. */
+final case class SampleHit(rk: String, key: Long, payload: Double)
+
+/** Exact bounded FIRST-k-by-rank-key aggregator — the scale path q107's
+  * window formulation documents ("swap row_number for the bounded
+  * per-partition top-k Aggregator"): keeps at most k (rk asc, key asc)
+  * rows per group, so a stratum NEVER materializes on one task — state
+  * is O(k) with map-side partials, vs the window form that shuffles and
+  * sorts every stratum row. With rk = md5(key) this is deterministic
+  * reservoir sampling: the same k winners as the q107 window, from a
+  * plan that survives a billion-row stratum. */
+final class FirstKByKey(k: Int)
+    extends Aggregator[SampleHit, Seq[SampleHit], Seq[SampleHit]] {
+
+  private def lt(a: SampleHit, b: SampleHit): Boolean =
+    a.rk < b.rk || (a.rk == b.rk && a.key < b.key)
+
+  override def zero: Seq[SampleHit] = Seq.empty
+  override def reduce(buf: Seq[SampleHit], h: SampleHit): Seq[SampleHit] =
+    if (buf.size >= k && !lt(h, buf.last)) buf
+    else ((buf :+ h).sortWith(lt)).take(k)
+  override def merge(a: Seq[SampleHit], b: Seq[SampleHit]): Seq[SampleHit] =
+    (a ++ b).sortWith(lt).take(k)
+  override def finish(buf: Seq[SampleHit]): Seq[SampleHit] = buf
+  override def bufferEncoder: Encoder[Seq[SampleHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleHit]]()
+  override def outputEncoder: Encoder[Seq[SampleHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleHit]]()
+}

@@ -140,9 +140,10 @@ object AnalyticsPatterns extends QueryModule {
       "Stratified deterministic sampling: exactly 20 orders per priority " +
         "stratum, chosen by md5(key) order — reproducible across engines " +
         "and runs (md5 renders identically here and in DuckDB, see q99). " +
-        "One shuffle on the stratum key; at 100 TB swap row_number for " +
-        "the bounded per-partition top-k Aggregator (q56's pattern) so no " +
-        "stratum ever materializes fully on one task.",
+        "One shuffle on the stratum key; this window form sorts every " +
+        "stratum row, so at 100 TB use q132 — the SAME sample from the " +
+        "bounded FirstKByKey Aggregator with O(k) state (implemented, " +
+        "same oracle).",
       (s, dir) => {
         import s.implicits._
         Tables.t(s, dir, "orders")
@@ -151,6 +152,41 @@ object AnalyticsPatterns extends QueryModule {
               .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")))
           .filter($"rk" <= 20)
           .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rk")
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""
+        WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                          row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+                   FROM orders)
+        SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 20
+        ORDER BY o_orderpriority, rk""")),
+
+    Q(
+      "q132_stratified_sample_agg",
+      "q107's sampling answer from the SCALE-PATH plan its doc promises: " +
+        "the same exact 20-per-stratum md5-ordered sample, but via the " +
+        "bounded FirstKByKey Aggregator (udaf) instead of a row_number " +
+        "window — O(k) aggregation state per stratum with map-side " +
+        "partials, so no stratum ever materializes or sorts on one task. " +
+        "Same DuckDB oracle as q107: identical results, different (and " +
+        "100 TB-safe) physical shape — the q56-vs-q66 contrast, applied " +
+        "to sampling.",
+      (s, dir) => {
+        import graft.functions.{FirstKByKey, SampleHit}
+        import s.implicits._
+        val firstK = udaf(new FirstKByKey(20))
+        Tables.t(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(firstK(
+            md5($"o_orderkey".cast("string")), $"o_orderkey", $"o_totalprice")
+            .as("sample"))
+          .select($"o_orderpriority", posexplode($"sample").as(Seq("pos", "hit")))
+          .select($"o_orderpriority",
+            $"hit.key".as("o_orderkey"),
+            $"hit.payload".as("o_totalprice"),
+            ($"pos" + 1).cast("int").as("rk"))
           .orderBy($"o_orderpriority", $"rk")
       },
       Some("""

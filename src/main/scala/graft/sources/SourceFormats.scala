@@ -99,6 +99,50 @@ object SourceFormats extends QueryModule {
         SELECT c_custkey, c_custkey AS key, c_mktsegment AS seg,
                round(c_acctbal, 2) AS bal
         FROM customer
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    Q("q131_schema_drift",
+      "SCHEMA EVOLUTION read — the daily reality of a long-lived corpus " +
+        "directory: an early batch was written without a column that a " +
+        "later pipeline version added (here: orders pre-1995 without " +
+        "o_orderpriority, 1995+ with it); `mergeSchema` unifies the " +
+        "footers at read time and back-fills NULL for the missing " +
+        "column, so old data never needs rewriting. The aggregate " +
+        "groups by the drifted column with coalesce('unknown') — " +
+        "exactly how a consumer handles pre-evolution rows. Oracle " +
+        "reconstructs the same null-injection relationally. NOTE " +
+        "mergeSchema costs a footer read per file — at 100 TB pin the " +
+        "unified schema in a catalog/read schema instead; the option " +
+        "is the migration tool, not the steady state (and that is why " +
+        "it is opt-in in Spark).",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_drift").toString + "/orders"
+        val o = Tables.t(s, dir, "orders")
+        val old = o.filter(year($"o_orderdate") < 1995)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        val newer = o.filter(year($"o_orderdate") >= 1995)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate",
+            $"o_orderpriority")
+        old.write.mode("overwrite").parquet(s"$path/batch=old")
+        newer.write.mode("overwrite").parquet(s"$path/batch=new")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(coalesce($"o_orderpriority", lit("unknown")).as("priority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice"), 2).as("revenue"))
+          .orderBy($"priority")
+      },
+      Some("""
+        WITH unified AS (
+          SELECT CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) >= 1995
+                      THEN o_orderpriority END AS o_orderpriority,
+                 o_totalprice
+          FROM orders)
+        SELECT coalesce(o_orderpriority, 'unknown') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM unified
+        GROUP BY 1
+        ORDER BY priority"""))
   )
 }

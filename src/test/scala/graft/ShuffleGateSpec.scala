@@ -115,4 +115,40 @@ class ShuffleGateSpec extends AnyFunSuite {
     assert(recall >= 0.95,
       f"clustered-regime recall $recall%.3f below 0.95 — banding lost pairs it must keep")
   }
+
+  test("q132 bounded-aggregator sampling shuffles fewer records than q107's window, same result") {
+    // The window form shuffles EVERY stratum row to sort it; the udaf
+    // form reduces map-side to <= k rows per stratum per task before the
+    // exchange. Records (not bytes) is the gated resource — the row
+    // payloads are identical, the reduction is in how many cross the wire.
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def drain(): Unit =
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        spark.sparkContext, 60000L)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(name: String): (Seq[String], Long) = {
+        drain(); records.set(0L)
+        val rows = SparkEntry.queries(name)(spark, sfDir)
+          .collect().map(_.mkString("|")).toSeq
+        drain()
+        (rows, records.get)
+      }
+      val (winRows, winRecs) = measure("q107_stratified_sample")
+      val (aggRows, aggRecs) = measure("q132_stratified_sample_agg")
+      assert(aggRows === winRows, "both plans must produce the identical sample")
+      assert(winRecs > 0L, "window plan must register shuffle records")
+      val ratio = aggRecs.toDouble / winRecs
+      // window shuffles all ~1500 orders rows; the udaf shuffles bounded
+      // partials (<= strata x tasks x k) — well under half at any scale
+      assert(ratio < 0.8,
+        f"agg/window shuffle-record ratio $ratio%.3f ($aggRecs vs $winRecs) — " +
+          "bounded-aggregator advantage eroded")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
