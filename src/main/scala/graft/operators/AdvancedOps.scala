@@ -227,6 +227,47 @@ object AdvancedOps extends QueryModule {
         SELECT o_orderstatus, 'n_orders', n_orders FROM w
         UNION ALL
         SELECT o_orderstatus, 'max_price', max_price FROM w
-        ORDER BY o_orderstatus, metric"""))
+        ORDER BY o_orderstatus, metric""")),
+
+    Q(
+      "q134_cms_heavy_hitters",
+      "Count-min-sketch HEAVY HITTERS — the bounded-memory alternative " +
+        "to q105's exact top-k when the key space itself (full bigram " +
+        "vocabulary at 100 TB) outgrows executor memory: Spark's " +
+        "built-in `count_min_sketch` aggregate (codegen'd, map-side " +
+        "mergeable, fixed depth x width state regardless of " +
+        "cardinality) folds the corpus into one ~100 KB sketch; the " +
+        "driver deserializes it (a sketch IS a driver artifact, like " +
+        "the IVF codebook) and estimates the known top-10 bigrams — " +
+        "output pairs each exact count with its estimate. CMS can only " +
+        "OVERestimate (est >= exact, within eps*N at the configured " +
+        "confidence) — asserted per row here and gated in " +
+        "KernelPropertySpec. Rows-only: sketch internals are " +
+        "engine-specific.",
+      (s, dir) => {
+        import s.implicits._
+        val bigrams = Tables.t(s, dir, "documents")
+          .select(split($"text", " ").as("w"))
+          .filter(size($"w") >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+            .as("bigram"))
+        val skBytes = bigrams
+          .agg(count_min_sketch($"bigram", lit(0.001), lit(0.99), lit(42)).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val top = bigrams.groupBy($"bigram").agg(count(lit(1)).as("n_exact"))
+          .orderBy($"n_exact".desc, $"bigram").limit(10)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        top.toSeq
+          .map { case (b, n) =>
+            val est = cms.estimateCount(b)
+            (b, n, est, est >= n)
+          }
+          .toDF("bigram", "n_exact", "n_est", "overestimate_ok")
+          .orderBy($"n_exact".desc, $"bigram")
+      },
+      None)
   )
 }

@@ -354,6 +354,47 @@ object Joins extends QueryModule {
         ORDER BY err_id""")),
 
     Q(
+      "q133_bucketed_interval_join",
+      "Time-range theta join EQUI-IZED by bucketing — the 100 TB form of " +
+        "'each purchase joined to the same user's clicks in the " +
+        "preceding hour' (q76's batch semantics): both sides key on " +
+        "(user_id, hour_bucket); each purchase additionally probes the " +
+        "previous bucket (a 1-hour window can only span 2 buckets, and " +
+        "since a click's bucket is unique each qualifying pair matches " +
+        "EXACTLY once — no dedup needed); the exact time predicate then " +
+        "filters bucket-collision survivors. Turns an unboundable " +
+        "theta join into a hash equi-join whose shuffle keys carry the " +
+        "skew-handling AQE already knows; the naive NLJ compares every " +
+        "(purchase, click) pair per user. Same oracle as q76 — the " +
+        "third physical shape (batch-bucketed) for the one semantics, " +
+        "next to the streaming watermarked join.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("epoch", unix_micros($"ts".cast("timestamp")))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("c_id"), $"epoch".as("c_ep"),
+            expr("epoch div 3600000000").as("bk"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("p_id"), $"epoch".as("p_ep"),
+            explode(array(expr("epoch div 3600000000"),
+              expr("epoch div 3600000000 - 1"))).as("bk"))
+        purchases.join(clicks, Seq("user_id", "bk"))
+          .filter($"c_ep" <= $"p_ep" && $"c_ep" >= $"p_ep" - 3600000000L)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"p_id").as("n_purchases_with_click"))
+      },
+      Some("""
+        SELECT count(*) AS n_pairs,
+               count(DISTINCT p.event_id) AS n_purchases_with_click
+        FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
+
+    Q(
       "q122_cdc_merge",
       "MERGE INTO / upsert semantics as a single full-outer-join pass — " +
         "the CDC apply step a daily-maintained 100 TB corpus runs: a " +

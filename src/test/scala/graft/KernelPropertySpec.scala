@@ -157,4 +157,40 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(agg.finish(agg.merge(b1, b2)) === ref)
     }
   }
+
+  test("FirstKByKey reduce/merge equals sort-take-k under any split") {
+    import graft.functions.{FirstKByKey, SampleHit}
+    val hitGen = for {
+      rk <- Gen.choose(0, 30).map(i => f"$i%02d")
+      key <- Gen.choose(0L, 50L)
+    } yield SampleHit(rk, key, key * 1.5)
+    forAll(Gen.listOf(hitGen), Gen.choose(0, 10)) { (hits: List[SampleHit], splitAt: Int) =>
+      val agg = new FirstKByKey(5)
+      val ref = hits.sortWith((a, b) =>
+        a.rk < b.rk || (a.rk == b.rk && a.key < b.key)).take(5)
+      val (h1, h2) = hits.splitAt(math.min(splitAt, hits.length))
+      val b1 = h1.foldLeft(agg.zero)(agg.reduce)
+      val b2 = h2.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(b1, b2)) === ref)
+    }
+  }
+
+  test("q134 CMS estimates dominate exact counts within the eps bound") {
+    import TestSession._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = SparkEntry.queries("q134_cms_heavy_hitters")(spark, sfDir).collect()
+    assert(out.length === 10)
+    val nTotal = Tables.t(spark, sfDir, "documents")
+      .select(split($"text", " ").as("w")).filter(size($"w") >= 2)
+      .select((size($"w") - 1).cast("long").as("n")).agg(sum($"n")).head().getLong(0)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(3) && est >= exact,
+        s"CMS must never underestimate: ${r.getString(0)} est=$est exact=$exact")
+      // eps=0.001 at 0.99 confidence; 3x headroom + small-count floor
+      assert(est - exact <= math.max(5L, (0.003 * nTotal).toLong),
+        s"CMS overestimate beyond bound: ${r.getString(0)} est=$est exact=$exact N=$nTotal")
+    }
+  }
 }
