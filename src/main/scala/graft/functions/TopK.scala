@@ -54,6 +54,7 @@ final case class SampleHit(rk: String, key: Long, payload: Double)
   * plan that survives a billion-row stratum. */
 final class FirstKByKey(k: Int)
     extends Aggregator[SampleHit, Seq[SampleHit], Seq[SampleHit]] {
+  require(k > 0, s"FirstKByKey needs k > 0, got $k") // fail at plan, not in a task
 
   private def lt(a: SampleHit, b: SampleHit): Boolean =
     a.rk < b.rk || (a.rk == b.rk && a.key < b.key)

@@ -277,12 +277,21 @@ object Dedup extends QueryModule {
   def writeSignatureIndex(corpus: DataFrame, path: String, k: Int = 64): Unit =
     signatureIndex(corpus, k).write.mode("overwrite").parquet(path)
 
-  /** Append a batch's signatures to an existing index — the maintenance
-    * step that keeps the daily incremental-dedup loop (q119/q128)
-    * sustainable: after a batch is deduped against the index, its own
-    * signatures join the index so the NEXT batch sees it as history. */
-  def appendSignatureIndex(batch: DataFrame, path: String, k: Int = 64): Unit =
-    signatureIndex(batch, k).write.mode("append").parquet(path)
+  /** Add a batch's signatures to a multi-directory index as its own
+    * OVERWRITTEN subdirectory — the maintenance step that keeps the
+    * daily incremental-dedup loop (q119/q128) sustainable (after a
+    * batch is deduped against the index, its signatures join it so the
+    * NEXT batch sees it as history), shaped for at-least-once callers:
+    * foreachBatch may replay a micro-batch after a failure, and a blind
+    * `append` would then double the batch's signatures (duplicating
+    * every later batch's confirmed pairs) — keying the subdirectory by
+    * the caller's batch id and overwriting makes the replay idempotent.
+    * Readers pass a glob over the root's subdirectories as the index
+    * path. */
+  def addSignatureIndexBatch(batch: DataFrame, indexRoot: String,
+      batchKey: String, k: Int = 64): Unit =
+    signatureIndex(batch, k).write.mode("overwrite")
+      .parquet(s"$indexRoot/$batchKey")
 
   /** Incremental near-dup: dedup an ARRIVING batch against the persisted
     * corpus index without recomputing anything historical — the access
@@ -378,7 +387,10 @@ object Dedup extends QueryModule {
     val reloaded = org.apache.spark.util.sketch.BloomFilter
       .readFrom(new java.io.ByteArrayInputStream(bytes))
     val bfB = s.sparkContext.broadcast(reloaded)
-    val might = udf((t: String) => bfB.value.mightContainString(t))
+    // null text is definitely-new: an equi-anti-join never matches a null
+    // key, so the exact fallback would keep such rows too — and the probe
+    // itself would NPE on null
+    val might = udf((t: String) => t != null && bfB.value.mightContainString(t))
     val definiteNew = batch.filter(!might($"text"))
     val candidates = batch.filter(might($"text"))
     val confirmedNew =

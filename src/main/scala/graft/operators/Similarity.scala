@@ -153,10 +153,15 @@ object Similarity extends QueryModule {
     * means — k×Dim partial sums with map-side combine, so the shuffle is
     * bounded by k×Dim regardless of corpus size — and collects only the
     * k×Dim mean matrix per iteration (the same driver-artifact class as
-    * [[ivfCodebook]]). Means are rounded to 6 dp so the trained codebook
-    * is stable against partial-sum ordering; empty clusters keep their
-    * previous centroid. Seeds = [[ivfCodebook]] (first k vectors) —
-    * deterministic, no RNG. */
+    * [[ivfCodebook]]). Means are computed from SCALED-INTEGER sums
+    * (round(x·10⁶) per component, summed as longs): long addition is
+    * exactly order-independent, so the trained codebook is bit-stable
+    * across partitionings and thread counts — a rounded float avg would
+    * still flake when a mean lands within ULPs of a rounding boundary,
+    * because partial-sum merge order varies run to run. The 10⁻⁶
+    * component granularity is far below any centroid-assignment margin.
+    * Empty clusters keep their previous centroid. Seeds =
+    * [[ivfCodebook]] (first k vectors) — deterministic, no RNG. */
   def kmeansCodebook(e: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
     import graft.catalyst.VecOps.top_centroids
     import e.sparkSession.implicits._
@@ -166,7 +171,8 @@ object Similarity extends QueryModule {
           element_at(top_centroids($"embedding", cb, 1), 1).cast("int").as("cid"),
           posexplode($"embedding").as(Seq("pos", "x")))
         .groupBy($"cid", $"pos")
-        .agg(round(avg($"x".cast("double")), 6).as("m"))
+        .agg((sum(round($"x".cast("double") * 1e6).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6).as("m"))
         .groupBy($"cid")
         .agg(sort_array(collect_list(struct($"pos", $"m"))).as("ms"))
         .collect()
@@ -337,8 +343,9 @@ object Similarity extends QueryModule {
       "q126_semantic_dedup",
       "SemDeDup-style SEMANTIC dedup: a k=8 k-means codebook is trained " +
         "by 3 Lloyd iterations of pure Spark aggregates (narrow native " +
-        "assignment, k×dim-bounded mean shuffle, 6-dp-rounded means for " +
-        "order-independence), every vector is assigned its cluster, and " +
+        "assignment, k×dim-bounded mean shuffle, scaled-integer sums " +
+        "for exact order-independence), every vector is assigned its " +
+        "cluster, and " +
         "near-dup pairs (cos >= 0.45, same exact-confirm kernel as q68) " +
         "are searched ONLY within clusters — sum(m_i^2) candidate work " +
         "instead of q65's n^2, the shape that makes embedding dedup " +

@@ -117,8 +117,9 @@ object SourceFormats extends QueryModule {
         "it is opt-in in Spark).",
       (s, dir) => {
         import s.implicits._
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_drift").toString + "/orders"
+        // pid-scoped stable scratch (exit-hook cleaned, dead-pid swept);
+        // both batches are mode-overwrite, so reruns rewrite in place
+        val path = graft.TempRoots.forDir("graft_drift", dir).toString + "/orders"
         val o = Tables.t(s, dir, "orders")
         val old = o.filter(year($"o_orderdate") < 1995)
           .select($"o_orderkey", $"o_totalprice", $"o_orderdate")

@@ -49,16 +49,25 @@ object StreamingOps extends QueryModule {
   // still-running streaming query — plus the dead-pid sweep that
   // reclaims roots left by crashed JVMs whose hook never ran.
 
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  /** Shared symlink-farm fixture stream: expose `<dir>/<file>` through a
+    * per-(prefix, sf) link directory (the file streaming source requires
+    * a directory) and open it as a schema-explicit parquet stream. One
+    * definition so the link lifecycle (TempRoots pid-scoping, exists
+    * check) cannot diverge between fixture streams. */
+  private def fixtureStream(s: SparkSession, dir: String, prefix: String,
+      file: String, schema: StructType): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val streamDir = graft.TempRoots.forDir("graft_stream_src", dir)
+    val streamDir = graft.TempRoots.forDir(prefix, dir)
     Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(file)
     if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/events.parquet"))
-    s.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+      Files.createSymbolicLink(link, Paths.get(s"$dir/$file"))
+    s.readStream.schema(schema).parquet(streamDir.toString)
   }
+
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    fixtureStream(s, dir, "graft_stream_src", "events.parquet", eventsRawSchema)
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
 
   /** documents.parquet schema as stored (no timestamp normalization
     * needed, unlike events). */
@@ -71,15 +80,9 @@ object StreamingOps extends QueryModule {
 
   /** Streaming read of the documents fixture through the same per-sf
     * symlink-dir convention as [[eventsStream]]. */
-  def docsStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val streamDir = graft.TempRoots.forDir("graft_stream_docs", dir)
-    Files.createDirectories(streamDir)
-    val link = streamDir.resolve("documents.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/documents.parquet"))
-    s.readStream.schema(documentsRawSchema).parquet(streamDir.toString)
-  }
+  def docsStream(s: SparkSession, dir: String): DataFrame =
+    fixtureStream(s, dir, "graft_stream_docs", "documents.parquet",
+      documentsRawSchema)
 
   /** Run a streaming DataFrame to a memory sink, drain, stop, return.
     *
@@ -451,32 +454,36 @@ object StreamingOps extends QueryModule {
         "the loop sustainable forever. foreachBatch is the right tool " +
         "because the dedup body (band join + distinct + exact-confirm " +
         "agg) is multi-stage batch logic per trigger, not a single " +
-        "streaming-stateful operator; replay safety comes from the " +
-        "pairs sink being keyed by batch content (cross-batch semantics " +
-        "asserted in StreamingSpec with a two-batch MemoryStream drive). " +
-        "Oracle = the exact-Jaccard pair set restricted to pairs " +
-        "touching an arriving doc, same as q119.",
+        "streaming-stateful operator — and foreachBatch is AT-LEAST-" +
+        "once, so both sinks are keyed by batchId and OVERWRITTEN " +
+        "(pairs to out/b<id>, signatures to idx/b<id>): a replayed " +
+        "micro-batch rewrites its own subdirectories instead of " +
+        "appending duplicates (cross-batch semantics asserted in " +
+        "StreamingSpec with a two-batch MemoryStream drive). Oracle = " +
+        "the exact-Jaccard pair set restricted to pairs touching an " +
+        "arriving doc, same as q119.",
       (s, dir) => {
         import graft.operators.Dedup
         import s.implicits._
         val docs = Tables.t(s, dir, "documents")
-        val idxPath = graft.TempRoots
+        val idxRoot = graft.TempRoots
           .freshForDir("graft_sidx_stream", dir).toString
-        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), idxPath)
-        val outPath = graft.TempRoots
+        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+          s"$idxRoot/base")
+        val outRoot = graft.TempRoots
           .freshForDir("graft_sdedup_out", dir).toString
         val arriving = docsStream(s, dir).filter($"doc_id" % 10 === 0)
         val q = arriving.writeStream
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
-              Dedup.incrementalNeardupPairs(s, idxPath, batch, 0.8)
-                .write.mode("append").parquet(outPath)
-              Dedup.appendSignatureIndex(batch, idxPath)
+             batchId: Long) =>
+              Dedup.incrementalNeardupPairs(s, s"$idxRoot/*", batch, 0.8)
+                .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+              Dedup.addSignatureIndexBatch(batch, idxRoot, s"b$batchId")
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        s.read.parquet(outPath).orderBy($"d1", $"d2")
+        s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
         "d1 % 10 = 0 OR d2 % 10 = 0")))

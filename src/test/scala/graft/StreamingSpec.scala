@@ -188,37 +188,43 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     def text(from: Int) = (from until from + 50).map(i => s"w$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
-    val idxPath = s"$dir/idx"
-    val outPath = s"$dir/pairs"
+    val idxRoot = s"$dir/idx"
+    val outRoot = s"$dir/pairs"
     // history: doc 1; batch A: doc 10 (~ doc 1); batch B: doc 20 (~ doc 10
-    // but NOT ~ doc 1 — catching (10, 20) REQUIRES the index appended after
-    // batch A), doc 30 unrelated
+    // but NOT ~ doc 1 — catching (10, 20) REQUIRES the index subdir added
+    // after batch A), doc 30 unrelated
     Seq((1L, text(100), "s")).toDF("doc_id", "text", "source")
       .createOrReplaceTempView("hist")
-    Dedup.writeSignatureIndex(spark.table("hist"), idxPath)
+    Dedup.writeSignatureIndex(spark.table("hist"), s"$idxRoot/base")
+    def runBody(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long): Unit = {
+      Dedup.incrementalNeardupPairs(spark, s"$idxRoot/*", batch, 0.8)
+        .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+      Dedup.addSignatureIndexBatch(batch, idxRoot, s"b$batchId")
+    }
     val input = MemoryStream[(Long, String)]
-    val q = input.toDF().toDF("doc_id", "text")
-      .withColumn("source", lit("s"))
-      .writeStream
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          Dedup.incrementalNeardupPairs(spark, idxPath, batch, 0.8)
-            .write.mode("append").parquet(outPath)
-          Dedup.appendSignatureIndex(batch, idxPath)
-      }
-      .start()
+    val staged = input.toDF().toDF("doc_id", "text").withColumn("source", lit("s"))
+    val q = staged.writeStream.foreachBatch(runBody _).start()
     try {
       input.addData((10L, text(103)))
       q.processAllAvailable()
       input.addData((20L, text(106)), (30L, (900 to 949).map(i => s"z$i").mkString(" ")))
       q.processAllAvailable()
     } finally q.stop()
-    val pairs = spark.read.parquet(outPath)
+    def readPairs() = spark.read.parquet(s"$outRoot/*")
       .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // (1,10) from batch A vs history; (10,20) from batch B vs batch A's
-    // appended signatures. (1,20) must NOT appear (jaccard below 0.8) and
+    // index subdirectory. (1,20) must NOT appear (jaccard below 0.8) and
     // doc 30 pairs with nothing.
-    assert(pairs === Set((1L, 10L), (10L, 20L)), s"got $pairs")
+    assert(readPairs() === Set((1L, 10L), (10L, 20L)), s"got ${readPairs()}")
+    // at-least-once REPLAY of batch B (same batchId, its own index subdir
+    // already present): the overwrite-keyed sinks must absorb it — same
+    // pair set, no duplicates
+    runBody(Seq(
+      (20L, text(106), "s"),
+      (30L, (900 to 949).map(i => s"z$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source"), 1L)
+    assert(readPairs() === Set((1L, 10L), (10L, 20L)),
+      s"replayed batch must be idempotent, got ${readPairs()}")
   }
 }
