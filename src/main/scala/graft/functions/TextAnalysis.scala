@@ -502,6 +502,57 @@ object TextAnalysis extends QueryModule {
                floor(sum(n_tok) * 10000.0 / count(*)) / 10000.0 AS avg_tokens
         FROM v
         GROUP BY lang, verdict
-        ORDER BY lang, verdict"""))
+        ORDER BY lang, verdict""")),
+
+    Q(
+      "q136_source_drift",
+      "Distribution DRIFT per source — the data-quality monitor that " +
+        "catches a crawler or feed going off the rails: each source's " +
+        "token distribution is compared to the whole corpus over the " +
+        "global top-20 tokens, using the CROSS-MULTIPLIED integer L1 " +
+        "distance sum(|m_i*N - n_i*M_s|) — algebraically the L1 gap of " +
+        "the frequency ratios scaled by N*M_s, but computed entirely in " +
+        "BIGINT, so the score is exact and engine-identical (a float " +
+        "KL-divergence would hinge on cross-engine ln ULPs — same " +
+        "dodge as q127). Shuffles: one token count (Zipf head collapses " +
+        "map-side), one 20x20-row broadcast-scale compare. At corpora " +
+        "where counts approach 2^31, pre-normalize counts to per-" +
+        "million before the cross-multiply to keep products in range.",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.t(s, dir, "documents")
+          .select($"source", explode(split(trim($"text"), " ")).as("w"))
+          .filter($"w" =!= "")
+        val counts = tok.groupBy($"source", $"w").agg(count(lit(1)).as("m"))
+        val corpus = counts.groupBy($"w").agg(sum($"m").as("n"))
+        val top = corpus.orderBy($"n".desc, $"w").limit(20)
+        val totS = counts.groupBy($"source").agg(sum($"m").as("ms"))
+        val bigN = tok.count()
+        totS.crossJoin(broadcast(top))
+          .join(counts, Seq("source", "w"), "left")
+          .withColumn("m", coalesce($"m", lit(0L)))
+          .groupBy($"source")
+          .agg(max($"ms").as("n_tokens"),
+            sum(abs($"m" * bigN - $"n" * $"ms")).as("drift"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(list_filter(string_split(trim(text), ' '),
+                                            x -> x <> '')) AS w
+          FROM documents),
+        counts AS (SELECT source, w, count(*) AS m FROM tok GROUP BY 1, 2),
+        corpus AS (SELECT w, sum(m) AS n FROM counts GROUP BY w),
+        top AS (SELECT w, n FROM corpus ORDER BY n DESC, w LIMIT 20),
+        tots AS (SELECT source, sum(m) AS ms FROM counts GROUP BY source),
+        big AS (SELECT count(*) AS bn FROM tok)
+        SELECT s.source,
+               CAST(max(s.ms) AS BIGINT) AS n_tokens,
+               CAST(sum(abs(coalesce(c.m, 0) * big.bn - top.n * s.ms)) AS BIGINT)
+                 AS drift
+        FROM tots s CROSS JOIN top CROSS JOIN big
+        LEFT JOIN counts c ON c.source = s.source AND c.w = top.w
+        GROUP BY s.source
+        ORDER BY s.source"""))
   )
 }

@@ -164,6 +164,47 @@ object AnalyticsPatterns extends QueryModule {
         ORDER BY o_orderpriority, rk""")),
 
     Q(
+      "q135_passage_chunking",
+      "RAG-style PASSAGE CHUNKING: each document's token stream is cut " +
+        "into 64-token windows at stride 48 (16-token overlap, so no " +
+        "boundary sentence is lost to retrieval) — the chunker every " +
+        "retrieval corpus build runs. chunk_idx = start/stride is a pure " +
+        "function of the start offset, so the output is partitioning-" +
+        "invariant; emitted spans carry (start, length, first/last " +
+        "token) for audit. Per-row generate + project: zero shuffle " +
+        "until the final sort, linear at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val W = 64; val S = 48
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", split(trim($"text"), " ").as("t"))
+          .filter(size($"t") >= 1)
+          .select($"doc_id", $"t", size($"t").as("n"),
+            explode(sequence(lit(0), size($"t") - 1, lit(S))).as("s"))
+          .select($"doc_id",
+            ($"s" / S).cast("int").as("chunk_idx"),
+            $"s".cast("int").as("tok_start"),
+            least(lit(W), $"n" - $"s").cast("int").as("n_tokens"),
+            element_at($"t", $"s" + 1).as("first_tok"),
+            element_at($"t", $"s" + least(lit(W), $"n" - $"s")).as("last_tok"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        st AS (
+          SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 48)) AS s
+          FROM toks WHERE len(t) >= 1)
+        SELECT doc_id,
+               CAST(s // 48 AS INTEGER) AS chunk_idx,
+               CAST(s AS INTEGER) AS tok_start,
+               CAST(least(64, n - s) AS INTEGER) AS n_tokens,
+               t[s + 1] AS first_tok,
+               t[s + least(64, n - s)] AS last_tok
+        FROM st
+        ORDER BY doc_id, chunk_idx""")),
+
+    Q(
       "q132_stratified_sample_agg",
       "q107's sampling answer from the SCALE-PATH plan its doc promises: " +
         "the same exact 20-per-stratum md5-ordered sample, but via the " +
