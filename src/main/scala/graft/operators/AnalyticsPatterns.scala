@@ -164,6 +164,81 @@ object AnalyticsPatterns extends QueryModule {
         ORDER BY o_orderpriority, rk""")),
 
     Q(
+      "q137_corpus_pipeline",
+      "END-TO-END corpus build — the acceptance test that the kernels " +
+        "COMPOSE: quality filter (q129's keep rule) → exact content " +
+        "dedup with deterministic keep-smallest survivor (q60's rule) → " +
+        "incremental-stable train/val/test split (q116's md5 rule) → " +
+        "per-split audit, all one declarative DAG Catalyst optimizes " +
+        "end to end (the filter prunes before the dedup shuffle; the " +
+        "split adds no shuffle at all). This is the nightly job a " +
+        "training-data team actually ships; oracled by chaining the " +
+        "same stages in SQL.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val len = greatest(size(t) - 1, lit(0))
+        val scored = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text",
+            size(t).as("n_tok"),
+            size(array_distinct(t)).as("n_uniq"),
+            zip_with(slice(t, lit(1), len), slice(t, lit(2), len),
+              (a, b) => concat(a, lit("\u001f"), b)).as("bi"))
+          .select($"doc_id", $"lang", $"text", $"n_tok",
+            when($"n_tok" === 0, 0.0)
+              .otherwise($"n_uniq".cast("double") / $"n_tok").as("ttr"),
+            when(size($"bi") === 0, 0.0)
+              .otherwise((size($"bi") - size(array_distinct($"bi")))
+                .cast("double") / size($"bi")).as("dup_frac"))
+        val kept = scored
+          .filter($"n_tok" >= 10 && $"dup_frac" <= 0.2 && $"ttr" >= 0.3)
+        val keepIds = kept.groupBy($"text")
+          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+        val b = substring(md5($"doc_id".cast("string")), 1, 2)
+        kept.join(keepIds, Seq("doc_id"), "left_semi")
+          .withColumn("split",
+            when(b < "cd", "train").when(b < "e6", "val").otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"lang").as("n_langs"),
+            sum($"n_tok").cast("long").as("total_tokens"),
+            min($"doc_id").as("d_min"), max($"doc_id").as("d_max"))
+          .orderBy($"split")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        sig AS (
+          SELECT doc_id, lang, text, len(t) AS n_tok,
+                 CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS ttr,
+                 CASE WHEN len(t) < 2 THEN 0.0
+                      ELSE CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)
+                      END AS dup_frac
+          FROM (SELECT doc_id, lang, text, t,
+                       [t[i] || chr(31) || t[i+1] for i in range(1, len(t))] AS b
+                FROM toks)),
+        kept AS (
+          SELECT * FROM sig
+          WHERE n_tok >= 10 AND dup_frac <= 0.2 AND ttr >= 0.3),
+        keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+        dd AS (SELECT k.* FROM kept k JOIN keep_ids USING (doc_id)),
+        sp AS (
+          SELECT *,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                        THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM dd)
+        SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               min(doc_id) AS d_min, max(doc_id) AS d_max
+        FROM sp GROUP BY split ORDER BY split""")),
+
+    Q(
       "q135_passage_chunking",
       "RAG-style PASSAGE CHUNKING: each document's token stream is cut " +
         "into 64-token windows at stride 48 (16-token overlap, so no " +
