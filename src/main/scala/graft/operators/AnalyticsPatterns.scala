@@ -192,10 +192,11 @@ object AnalyticsPatterns extends QueryModule {
                 .cast("double") / size($"bi")).as("dup_frac"))
         val kept = scored
           .filter($"n_tok" >= 10 && $"dup_frac" <= 0.2 && $"ttr" >= 0.3)
-        val keepIds = kept.groupBy($"text")
-          .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+        // keep-first via window: ONE shuffle on text (the groupBy-min +
+        // semi-join form costs a second shuffle on doc_id)
+        val wText = Window.partitionBy($"text").orderBy($"doc_id")
         val b = substring(md5($"doc_id".cast("string")), 1, 2)
-        kept.join(keepIds, Seq("doc_id"), "left_semi")
+        kept.withColumn("rn", row_number().over(wText)).filter($"rn" === 1)
           .withColumn("split",
             when(b < "cd", "train").when(b < "e6", "val").otherwise("test"))
           .groupBy($"split")
@@ -223,8 +224,11 @@ object AnalyticsPatterns extends QueryModule {
         kept AS (
           SELECT * FROM sig
           WHERE n_tok >= 10 AND dup_frac <= 0.2 AND ttr >= 0.3),
-        keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
-        dd AS (SELECT k.* FROM kept k JOIN keep_ids USING (doc_id)),
+        dd AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM kept)
+          WHERE rn = 1),
         sp AS (
           SELECT *,
                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'

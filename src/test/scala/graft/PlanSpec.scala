@@ -130,4 +130,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("shingle_hashes"), "native shingle kernel expected")
     assert(plan.contains("BroadcastHashJoin"), "doc-size lookup should broadcast")
   }
+
+  test("q133: the bucketed interval join stays an equi-join, never a nested loop") {
+    // the whole point of the bucket probe is turning the time-range theta
+    // join into a hash-partitionable equi-join; a regression that drops
+    // the bucket keys falls back to BroadcastNestedLoopJoin, which cannot
+    // scale past a broadcastable side
+    val plan = planOf("q133_bucketed_interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "interval join degenerated to a non-equi physical join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      "expected an equi-join on (user_id, bucket)")
+  }
+
+  test("q137: the composed pipeline dedups with ONE exchange before the audit") {
+    // keep-first via window = one shuffle keyed by text; a regression to
+    // the groupBy+semi-join form adds a second exchange on doc_id
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q137_corpus_pipeline")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    def countExchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          return countExchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          return countExchanges(q.plan)
+        case _ => 0
+      }
+      self + p.children.map(countExchanges).sum
+    }
+    val n = countExchanges(plan)
+    // window-on-text (1) + the audit's countDistinct two-phase agg (2)
+    // + output sort (1) = 4; the groupBy+semi-join dedup form adds a 5th
+    assert(n <= 4, s"composed pipeline grew to $n exchanges — dedup stage regressed")
+  }
 }
