@@ -354,6 +354,93 @@ object Joins extends QueryModule {
         ORDER BY err_id""")),
 
     Q(
+      "q138_shipping_priority",
+      "TPC-H Q3-style shipping priority: unshipped BUILDING-segment " +
+        "orders ranked by open revenue — customer dim broadcasts, " +
+        "lineitem⋈orders shuffles once on orderkey, top-10 via " +
+        "TakeOrderedAndProject (no global sort materialization). " +
+        "Deterministic tiebreak (revenue desc, date, orderkey).",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("1997-01-01 00:00:00").cast("timestamp")
+        val c = Tables.t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.t(s, dir, "orders").filter($"o_orderdate" < cut)
+        val l = Tables.t(s, dir, "lineitem").filter($"l_shipdate" > cut)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          // exact integer cents x basis points: the double sum's last-ULP
+          // order dependence would flip round() at .xx5 boundaries across
+          // engines; the integer sum is order-independent and exact
+          .agg((sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) / 10000.0)
+            .as("revenue"))
+          .select($"l_orderkey", $"revenue",
+            $"o_orderdate".cast("date").as("o_orderdate"), $"o_orderpriority")
+          .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+                 / 10000.0 AS revenue,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")),
+
+    Q(
+      "q139_returned_items",
+      "TPC-H Q10-style returned-item report: customers ranked by revenue " +
+        "lost to returns in one quarter — the quarter filter prunes " +
+        "orders before the fact shuffle, the R-flag filter prunes " +
+        "lineitem at the scan (both visible as PushedFilters), nation " +
+        "broadcasts, top-20 via TakeOrderedAndProject.",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-04-01 00:00:00").cast("timestamp"))
+        val l = Tables.t(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+          // same exact cents x basis-points arithmetic as q138
+          .agg((sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) / 10000.0)
+            .as("revenue"))
+          .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+                 / 10000.0 AS revenue,
+               c_acctbal, n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")),
+
+    Q(
       "q133_bucketed_interval_join",
       "Time-range theta join EQUI-IZED by bucketing — the 100 TB form of " +
         "'each purchase joined to the same user's clicks in the " +
