@@ -64,6 +64,67 @@ class PartitionPruningSpec extends AnyFunSuite {
         "a single-file read")
   }
 
+  test("z-order layout: a 2D box predicate decodes fewer rows than a 1D sort") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // two query dimensions: user and event time, both normalized to a
+    // 10-bit grid; z interleaves the bits so files/row-groups cluster in
+    // BOTH dims at once — the multi-dim generalization of the 1D
+    // sort-on-write test above (a 1D sort answers its own dim and leaves
+    // the other scattered through every row group)
+    val ev0 = Tables.t(spark, "/root/testdata/sf0.1", "events")
+      .select($"event_id", $"user_id",
+        org.apache.spark.sql.functions.unix_micros($"ts".cast("timestamp")).as("ep"))
+    val b = ev0.agg(min($"user_id"), max($"user_id"), min($"ep"), max($"ep")).head()
+    val (uLo, uHi, tLo, tHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zExpr = (0 until 10).map(i =>
+      s"(((ux >> $i) & 1) << ${2 * i}) + (((ty >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val prepared = ev0
+      .withColumn("ux", expr(s"cast((user_id - $uLo) * 1024 div ${uHi - uLo + 1} as int)"))
+      .withColumn("ty", expr(s"cast((ep - ${tLo}L) * 1024 div ${tHi - tLo + 1}L as int)"))
+      .withColumn("z", expr(zExpr))
+    // small row groups (default 128 MB would make each file ONE group,
+    // reducing skipping to file granularity and hiding the contrast this
+    // test is about — at real scale files have many groups naturally).
+    // File boundaries are DETERMINISTIC value ranges (partitionBy on a
+    // computed file id), not repartitionByRange's sampled ones, so the
+    // decoded-row counts are stable run to run.
+    val rg = (64 * 1024).toString
+    prepared.withColumn("fid", expr("z div 131072"))
+      .repartition(1).sortWithinPartitions($"fid", $"z")
+      .write.partitionBy("fid").option("parquet.block.size", rg)
+      .mode("overwrite").parquet(s"$base/zorder")
+    prepared.withColumn("fid", expr("ux div 128"))
+      .repartition(1).sortWithinPartitions($"fid", $"ux", $"ty")
+      .write.partitionBy("fid").option("parquet.block.size", rg)
+      .mode("overwrite").parquet(s"$base/linear")
+    val decoded = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          decoded.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def scan(path: String): (Long, Long) = {
+      decoded.set(0L)
+      val matched = spark.read.parquet(path)
+        .filter($"ux" >= 256 && $"ux" < 384 && $"ty" >= 256 && $"ty" < 384)
+        .count()
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        spark.sparkContext, 30000L)
+      (matched, decoded.get())
+    }
+    val ((mz, dz), (ml, dl)) =
+      try (scan(s"$base/zorder"), scan(s"$base/linear"))
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(mz === ml, "layout must never change the answer")
+    assert(mz > 0, "the 2D box must be non-empty for the contrast to mean anything")
+    assert(dz * 2 <= dl,
+      s"z-order should decode <=half the rows of the 1D layout for a 2D box: " +
+        s"$dz vs $dl — at 100 TB this is the layout knob for multi-dim scans")
+  }
+
   test("hive-style partitioned write + partition-pruned read") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
