@@ -553,6 +553,39 @@ object TextAnalysis extends QueryModule {
         FROM tots s CROSS JOIN top CROSS JOIN big
         LEFT JOIN counts c ON c.source = s.source AND c.w = top.w
         GROUP BY s.source
-        ORDER BY s.source"""))
+        ORDER BY s.source""")),
+
+    Q(
+      "q141_bpe_pair_stats",
+      "One BPE merge iteration's COUNTING KERNEL: corpus-wide counts of " +
+        "adjacent symbol pairs (character bigrams inside whitespace " +
+        "words), top-20 by count with lexical tie-break — the aggregate " +
+        "a distributed BPE vocabulary trainer runs once per merge to " +
+        "pick the next pair (the driver applies the merge and re-runs; " +
+        "the per-iteration cost is THIS query). Generate is per-row " +
+        "map-side work; the count shuffles (pair, partial) with map-side " +
+        "combine collapsing the tiny symbol-pair domain before the wire " +
+        "— at 100 TB the shuffle carries at most |alphabet|^2 keys per " +
+        "task, not the corpus. The top-k is a driver-side sort of that " +
+        "same tiny domain.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select(explode(split(trim($"text"), " ")).as("word"))
+          .filter(length($"word") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(word) - 1), j -> substring(word, j, 2))"))
+            .as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(20)
+      },
+      Some("""
+        WITH wd AS (SELECT unnest(string_split(trim(text), ' ')) AS word
+                    FROM documents),
+        p AS (SELECT unnest([substr(word, j, 2) for j in range(1, len(word))]) AS pair
+              FROM wd WHERE len(word) >= 2)
+        SELECT pair, count(*) AS n FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 20"""))
   )
 }

@@ -518,6 +518,167 @@ object AnalyticsPatterns extends QueryModule {
                sum(n_chars) AS chars
         FROM r
         GROUP BY 1
-        ORDER BY shard_id"""))
+        ORDER BY shard_id""")),
+
+    Q(
+      "q142_corpus_snapshot_diff",
+      "CORPUS SNAPSHOT DIFF — what changed between two corpus versions " +
+        "(the audit a training-data team runs before promoting a new " +
+        "crawl): full-outer join of old vs new on the stable doc key, " +
+        "each row classified added / removed / changed / unchanged by " +
+        "comparing CONTENT HASHES, then counted. The two snapshots are " +
+        "derived deterministically from the fixture corpus (old drops " +
+        "doc_id%7==6, new drops %10==9 and rewrites %5==0). The join " +
+        "shuffles (doc_id, 64-hex sha256), never document bodies — at " +
+        "100 TB with both snapshot dirs bucketed by doc_id the diff is " +
+        "exchange-free; unbucketed it is one sort-merge join of slim " +
+        "rows.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents").select($"doc_id", $"text")
+        val old = docs.filter($"doc_id" % 7 =!= 6)
+          .select($"doc_id", sha2($"text", 256).as("h_old"))
+        val neu = docs.filter($"doc_id" % 10 =!= 9)
+          .select($"doc_id", sha2(
+            when($"doc_id" % 5 === 0, upper($"text")).otherwise($"text"), 256)
+            .as("h_new"))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            when($"h_old".isNull, "added")
+              .when($"h_new".isNull, "removed")
+              .when($"h_old" === $"h_new", "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy($"status")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("id_min"), max($"doc_id").as("id_max"))
+          .orderBy($"status")
+      },
+      Some("""
+        WITH old AS (SELECT doc_id, sha256(text) AS h_old
+                     FROM documents WHERE doc_id % 7 <> 6),
+        neu AS (SELECT doc_id,
+                       sha256(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                                   ELSE text END) AS h_new
+                FROM documents WHERE doc_id % 10 <> 9)
+        SELECT CASE WHEN h_old IS NULL THEN 'added'
+                    WHEN h_new IS NULL THEN 'removed'
+                    WHEN h_old = h_new THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               count(*) AS n_docs, min(doc_id) AS id_min, max(doc_id) AS id_max
+        FROM old FULL OUTER JOIN neu USING (doc_id)
+        GROUP BY 1
+        ORDER BY status""")),
+
+    Q(
+      "q143_sessionize_batch",
+      "BATCH SESSIONIZATION (30-min inactivity gap) — the batch " +
+        "complement of q72's streaming session window, for backfills and " +
+        "reprocessing: per user, a new session starts when the gap to " +
+        "the previous event exceeds 30 minutes (lag), session ids are " +
+        "the running sum of those starts, then one aggregate per " +
+        "(user, session). ONE shuffle on user_id; each user's events " +
+        "sort within their partition, never globally — power-user skew " +
+        "at 100 TB is bounded by the busiest single user, and the " +
+        "running sum is a per-user window, not a global one.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_s",
+            when($"prev_ts".isNull ||
+              $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum($"new_s").over(w))
+          .groupBy($"user_id", $"sess_no")
+          .agg(min($"ts").cast("timestamp_ntz").as("sess_start"),
+            max($"ts").cast("timestamp_ntz").as("sess_end"),
+            count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("sum_value"))
+          .select($"user_id", $"sess_no".cast("int").as("sess_no"),
+            $"sess_start", $"sess_end", $"n_events", $"sum_value")
+          .orderBy($"user_id", $"sess_no")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        g AS (SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+              FROM f)
+        SELECT user_id, CAST(sess_no AS INTEGER) AS sess_no,
+               min(ts) AS sess_start, max(ts) AS sess_end,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM g GROUP BY user_id, sess_no
+        ORDER BY user_id, sess_no""")),
+
+    Q(
+      "q144_interval_merge",
+      "OVERLAPPING-INTERVAL COALESCING (validity-period merge): each " +
+        "lineitem is a supplier-busy interval [l_shipdate, l_shipdate + " +
+        "l_quantity days]; overlapping intervals merge into maximal " +
+        "covered periods — the classic gaps-and-islands operator (SCD " +
+        "validity ranges, maintenance windows, coverage audits). An " +
+        "interval opens a new island when its start exceeds the running " +
+        "max end of all earlier intervals (rows-preceding max window); " +
+        "island ids are the running sum of those opens. Same scale " +
+        "shape as q143: one shuffle on the partition key, per-key sorts " +
+        "only. l_quantity is integral (TPC-H 1..50), so the day-count " +
+        "cast is exact on both engines.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"iv_start", $"iv_end", $"l_orderkey", $"l_linenumber")
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        Tables.t(s, dir, "lineitem")
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+            $"l_shipdate".as("iv_start"),
+            expr("l_shipdate + make_interval(0, 0, 0, CAST(l_quantity AS INT), 0, 0, 0)")
+              .as("iv_end"))
+          .withColumn("max_end_prev", max($"iv_end").over(wPrev))
+          .withColumn("opens",
+            when($"max_end_prev".isNull || $"iv_start" > $"max_end_prev", 1L)
+              .otherwise(0L))
+          .withColumn("island", sum($"opens").over(w))
+          .groupBy($"l_suppkey", $"island")
+          .agg(min($"iv_start").cast("timestamp_ntz").as("iv_start"),
+            max($"iv_end").cast("timestamp_ntz").as("iv_end"),
+            count(lit(1)).as("n_shipments"))
+          .select($"l_suppkey", $"island".cast("int").as("island"),
+            $"iv_start", $"iv_end", $"n_shipments")
+          .orderBy($"l_suppkey", $"island")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_shipdate AS TIMESTAMP) AS iv_start,
+                 CAST(l_shipdate AS TIMESTAMP)
+                   + CAST(l_quantity AS INTEGER) * INTERVAL '1 day' AS iv_end
+          FROM lineitem),
+        m AS (SELECT *, max(iv_end) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY iv_start, iv_end, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_end_prev
+              FROM iv),
+        o AS (SELECT *, CASE WHEN max_end_prev IS NULL
+                               OR iv_start > max_end_prev
+                             THEN 1 ELSE 0 END AS opens
+              FROM m),
+        g AS (SELECT *, sum(opens) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY iv_start, iv_end, l_orderkey, l_linenumber) AS island
+              FROM o)
+        SELECT l_suppkey, CAST(island AS INTEGER) AS island,
+               min(iv_start) AS iv_start, max(iv_end) AS iv_end,
+               count(*) AS n_shipments
+        FROM g GROUP BY l_suppkey, island
+        ORDER BY l_suppkey, island"""))
   )
 }

@@ -831,6 +831,64 @@ object Dedup extends QueryModule {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
-        ORDER BY v1, v2"""))
+        ORDER BY v1, v2""")),
+
+    Q(
+      "q140_duplicate_spans",
+      "Cross-document DUPLICATE SPAN coverage — the distributed, " +
+        "token-level analogue of ExactSubstr dedup (the suffix-array " +
+        "pass of 'Deduplicating Training Data Makes Language Models " +
+        "Better'): every 5-token window that occurs in >= 2 DISTINCT " +
+        "documents is a duplicate span, and each document reports how " +
+        "many of its token positions at least one such span covers — " +
+        "the per-doc signal span-removal / doc-drop policies act on. " +
+        "Plan: per-doc gram generate is map-side; ONE shuffle groups " +
+        "grams (map-side combine collapses repeats before the wire) to " +
+        "find cross-doc grams; the coverage join is equi on the gram; " +
+        "the position-distinct + count shuffles only (doc_id, int) " +
+        "pairs. No suffix array, no sort of the corpus: cost is linear " +
+        "in total grams plus the duplicate grams' occurrence lists. At " +
+        "100 TB, shuffle xxhash64(gram) instead of the gram text (8-byte " +
+        "keys; kept as strings here so the DuckDB oracle is bit-exact).",
+      (s, dir) => {
+        import s.implicits._
+        val K = 5
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id", split(trim($"text"), " ").as("w"))
+        val grams = docs
+          .filter(size($"w") >= K)
+          .select($"doc_id", posexplode(expr(
+            s"transform(sequence(0, size(w) - $K), i -> array_join(slice(w, i + 1, $K), ' '))"))
+            .as(Seq("pos", "gram")))
+        val dup = grams.groupBy($"gram")
+          .agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2)
+          .select($"gram")
+        val covered = grams.join(dup, Seq("gram"))
+          .select($"doc_id", explode(sequence($"pos", $"pos" + (K - 1))).as("p"))
+          .distinct()
+          .groupBy($"doc_id").agg(count(lit(1)).as("dup_tokens"))
+        docs.select($"doc_id", size($"w").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tokens",
+            coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+        g0 AS (SELECT doc_id,
+                      unnest([{'pos': i - 1, 'gram': array_to_string(ws[i:i+4], ' ')}
+                              for i in range(1, greatest(len(ws) - 3, 1))]) AS u
+               FROM w),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g0),
+        d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        cov0 AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+                 FROM g JOIN d USING (gram)),
+        cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        c AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM w LEFT JOIN c USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -128,6 +128,51 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(bySplit("test").toDouble / total < 0.3, s"got $bySplit")
   }
 
+  test("q140 duplicate-span coverage is bounded and hits the planted near-dups") {
+    val rows = SparkEntry.queries("q140_duplicate_spans")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // coverage can never exceed the doc's length, and a doc too short to
+    // hold one 5-gram can never be covered
+    rows.foreach { case (id, n, dup) =>
+      assert(dup <= n, s"doc $id: dup_tokens $dup > n_tokens $n")
+      if (n < 5) assert(dup == 0, s"doc $id: $n tokens but dup_tokens $dup")
+    }
+    // the fixture corpus plants near-duplicate pairs (q62 finds them at
+    // jac >= 0.8), which share long runs of shingles — some doc must show
+    // nonzero cross-document span coverage
+    assert(rows.exists(_._3 > 0), "no duplicate spans found in a corpus with planted near-dups")
+  }
+
+  test("q143 sessions partition the events and respect the 30-min gap") {
+    import org.apache.spark.sql.functions._
+    val sess = SparkEntry.queries("q143_sessionize_batch")(spark, sfDir)
+    val total = Tables.t(spark, sfDir, "events").count()
+    assert(sess.agg(sum("n_events")).head.getLong(0) == total,
+      "sessions must partition the event set")
+    // within a user, consecutive sessions are separated by MORE than the
+    // 30-minute inactivity gap (otherwise they would have merged)
+    val s2 = sess.selectExpr("user_id", "sess_no", "sess_start", "sess_end")
+    val viol = s2.as("a").join(s2.as("b"),
+        expr("a.user_id = b.user_id AND b.sess_no = a.sess_no + 1"))
+      .filter(expr("b.sess_start <= a.sess_end + INTERVAL 30 MINUTES"))
+      .count()
+    assert(viol == 0, s"$viol adjacent sessions violate the gap")
+  }
+
+  test("q144 merged intervals are disjoint and conserve shipments") {
+    import org.apache.spark.sql.functions._
+    val iv = SparkEntry.queries("q144_interval_merge")(spark, sfDir)
+    val total = Tables.t(spark, sfDir, "lineitem").count()
+    assert(iv.agg(sum("n_shipments")).head.getLong(0) == total,
+      "islands must partition the shipment set")
+    val i2 = iv.selectExpr("l_suppkey", "island", "iv_start", "iv_end")
+    val viol = i2.as("a").join(i2.as("b"),
+        expr("a.l_suppkey = b.l_suppkey AND b.island = a.island + 1"))
+      .filter(expr("b.iv_start <= a.iv_end"))
+      .count()
+    assert(viol == 0, s"$viol adjacent islands overlap")
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
