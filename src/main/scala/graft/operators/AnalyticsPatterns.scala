@@ -679,6 +679,49 @@ object AnalyticsPatterns extends QueryModule {
                min(iv_start) AS iv_start, max(iv_end) AS iv_end,
                count(*) AS n_shipments
         FROM g GROUP BY l_suppkey, island
-        ORDER BY l_suppkey, island"""))
+        ORDER BY l_suppkey, island""")),
+
+    Q(
+      "q146_scd2_build",
+      "SCD TYPE-2 HISTORY BUILD from a change stream — the warehouse " +
+        "complement of q122's CDC merge: each user's event_type is the " +
+        "tracked attribute; no-op changes (same value as the previous " +
+        "event) are collapsed, surviving changes become validity rows " +
+        "[valid_from, valid_to) via lead() with NULL valid_to marking " +
+        "the current row. Two per-user windows (change detect, then " +
+        "range close) — ONE shuffle on user_id, the second window " +
+        "reuses the same partitioning (no re-exchange), per-user sorts " +
+        "only.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val changes = Tables.t(s, dir, "events")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNull || $"event_type" =!= $"prev_type")
+        changes
+          .withColumn("valid_to", lead($"ts", 1).over(w))
+          .select($"user_id", $"event_type",
+            $"ts".cast("timestamp_ntz").as("valid_from"),
+            $"valid_to".cast("timestamp_ntz").as("valid_to"),
+            $"valid_to".isNull.as("is_current"))
+          .orderBy($"user_id", $"valid_from")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+          FROM events),
+        ch AS (SELECT * FROM e
+               WHERE prev_type IS NULL OR event_type <> prev_type),
+        r AS (SELECT user_id, event_type, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to
+              FROM ch)
+        SELECT user_id, event_type, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM r
+        ORDER BY user_id, valid_from"""))
   )
 }

@@ -154,6 +154,50 @@ object Dedup extends QueryModule {
         ${if (extraWhere.isEmpty) "" else s"AND ($extraWhere)"}
       ORDER BY d1, d2"""
 
+  /** Directional CONTAINMENT pairs: C(d1 -> d2) = |sh(d1) ∩ sh(d2)| /
+    * |sh(d1)| >= t — the asymmetric cousin of Jaccard that catches
+    * PARTIAL copies (a quote, an excerpt, a doc embedded in a larger
+    * one), which symmetric Jaccard misses whenever the container is much
+    * bigger than the contained doc (jac <= |A|/|B| no matter how perfect
+    * the copy). Same inverted-index shape and shuffle-slimming as
+    * [[jaccardPairs]] (8-byte hashed shingles, broadcast size table);
+    * like q62 it is the exact baseline — at 100 TB, prefix-filter on the
+    * contained side's sorted shingles (the q101 pigeonhole argument
+    * works one-sided: d1's >= t*n1 common shingles cannot all hide in a
+    * suffix of ceil(t*n1) - 1) or LSH-band as in q63. */
+  def containmentPairs(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val sizes = sh.select($"doc_id", size($"sh").as("n"))
+    val ex = sh.select($"doc_id", explode($"sh").as("h"))
+    val a = ex.select($"doc_id".as("d1"), $"h")
+    val b = ex.select($"doc_id".as("d2"), $"h")
+    a.join(b, Seq("h")).filter($"d1" =!= $"d2")
+      .groupBy($"d1", $"d2")
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select($"doc_id".as("d1"), $"n".as("n1"))), Seq("d1"))
+      .withColumn("cont", $"common".cast("double") / $"n1")
+      .filter($"cont" >= t)
+      .select($"d1", $"d2", round($"cont", 4).as("cont"))
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Oracle SQL matching [[containmentPairs]] (ordered pairs, <>). */
+  def containmentOracle(threshold: Double): String =
+    s"""
+      WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+      shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+      ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shng),
+      cpairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+               any_value(a.n) AS n1
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2, round(CAST(common AS DOUBLE) / n1, 4) AS cont
+      FROM cpairs
+      WHERE CAST(common AS DOUBLE) / n1 >= $threshold
+      ORDER BY d1, d2"""
+
   /** k deterministic MinHash values via the native one-pass MinHashSig
     * expression (graft.catalyst.VecOps.minhash). */
   def minhashSignature(sh: Column, k: Int): Column =
@@ -889,6 +933,20 @@ object Dedup extends QueryModule {
         SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
                CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
         FROM w LEFT JOIN c USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q(
+      "q145_containment_pairs",
+      "Directional shingle CONTAINMENT (C(d1->d2) = |∩|/|sh(d1)| >= " +
+        "0.9): the asymmetric dedup signal that catches PARTIAL copies " +
+        "— an excerpt or quote embedded in a larger document scores " +
+        "near-1 containment while its symmetric Jaccard stays below any " +
+        "useful threshold (jac <= |A|/|B|). Ordered pairs: d1 is the " +
+        "contained doc, d2 the container. Same inverted-index + " +
+        "broadcast-size-table shape as q62; exact baseline — the scale " +
+        "ladder (one-sided prefix filter, LSH) is documented at " +
+        "containmentPairs.",
+      (s, dir) => containmentPairs(s, dir, 0.9),
+      Some(containmentOracle(0.9)))
   )
 }

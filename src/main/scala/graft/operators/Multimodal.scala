@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * metadata, and run decode / feature-extract / resize / frame-sample as
   * per-partition batch transforms.
   *
-  * Two decode tiers: q114 (images, `javax.imageio` PNG) and q118 (audio,
-  * `javax.sound.sampled` WAV) are REAL codec paths — JDK dependency-free
-  * encode + decode, features extracted from decoded pixels/samples,
-  * bit-exactly oracled through closed-form generator functions. q83 keeps
-  * the clearly-marked byte-stats stand-in for formats whose codecs the
-  * container lacks (now video only); its binary column, metadata struct,
+  * Two decode tiers: q114 (images, `javax.imageio` PNG), q118 (audio,
+  * `javax.sound.sampled` WAV), and q147 (multi-frame video-style clips,
+  * animated GIF via ImageIO's multi-image reader/writer) are REAL codec
+  * paths — JDK dependency-free encode + decode, features extracted from
+  * decoded pixels/samples/frames, bit-exactly oracled through closed-form
+  * generator functions; every media modality now has a real-codec row.
+  * q83 keeps the clearly-marked byte-stats stand-in for codecs the JDK
+  * lacks (mp4/h264-class formats); its binary column, metadata struct,
   * mapPartitions batch shape (Scala's analogue of mapInPandas batches),
   * and frame-sampling explode are the real Spark plumbing a production
   * pipeline keeps while swapping codecs in.
@@ -154,6 +156,107 @@ object Multimodal extends QueryModule {
     } finally ais.close()
   }
 
+  /** One decoded multi-frame clip: REAL features from ImageIO-decoded GIF
+    * frames (q147). Integer gray sums over the SAMPLED frames only, so
+    * the oracle restates both the codec round-trip and the sampling
+    * policy. */
+  final case class VideoFeatures(
+      doc_id: Long, n_frames: Int, n_sampled: Int,
+      width: Int, height: Int, sampled_sum: Long)
+
+  /** Deterministic doc_id-seeded multi-frame clip, encoded as an ANIMATED
+    * GIF with the JDK's real multi-image codec (`ImageWriter
+    * .writeToSequence` — dependency-free, the moving-picture analogue of
+    * q114's PNG). Frame k's pixel (x, y) of doc d is the closed-form gray
+    * (d*29 + k*41 + x*7 + y*13) % 256, dims (4 + d%4) × (3 + d%3),
+    * 2 + d%4 frames. Grayscale keeps the round-trip lossless — but ONLY
+    * through an explicit 256-gray IndexColorModel: the GIF writer copies
+    * an indexed image's own palette verbatim, whereas a TYPE_BYTE_GRAY
+    * source goes through the writer's default palette and quantizes
+    * (measured: sums off on ~2/3 of docs). Pixels are written via the
+    * raster (setSample = palette index = gray value), not setRGB, which
+    * would apply a luminance conversion. */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val v = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, v, v, v)
+  }
+
+  def encodeGif(id: Long): Array[Byte] = {
+    val w = (4 + (id % 4)).toInt
+    val h = (3 + (id % 3)).toInt
+    val nf = (2 + (id % 4)).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // interlaced (progressive) row order is the writer default; some
+      // readers (including tiny-height edge cases here) then hand back
+      // rows in pass order — plain sequential rows are what we mean
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      var k = 0
+      while (k < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id * 29 + k * 41 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray // a genuine GIF89a multi-frame payload
+  }
+
+  /** REAL video-style decode + FRAME SAMPLING: parse the animated-GIF
+    * payload with ImageIO's multi-image reader (frame count and dims come
+    * from the parsed container, not the generator), decode EVERY 2nd
+    * frame, and extract gray sums from the decoded pixels. Decoded GIF
+    * frames are palette-indexed; values are read through getRGB (palette
+    * lookup), where a gray palette returns r = g = b = v. */
+  def decodeGifFrameSample(id: Long, payload: Array[Byte]): VideoFeatures = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val nf = reader.getNumImages(/* allowSearch = */ true)
+      require(nf > 0, s"doc $id: payload is not a decodable multi-frame GIF")
+      var sum = 0L
+      var sampled = 0
+      var w = 0; var h = 0
+      var k = 0
+      while (k < nf) {
+        if (k % 2 == 0) {
+          val img = reader.read(k)
+          w = img.getWidth; h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+          sampled += 1
+        }
+        k += 1
+      }
+      VideoFeatures(id, nf, sampled, w, h, sum)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** One decoded media item: deterministic fake features from the bytes.
     * Carries the integer byte SUM (not a float mean) so downstream math
     * stays exact — the mean is derived in the query with the same
@@ -216,9 +319,10 @@ object Multimodal extends QueryModule {
       "q83_multimodal_decode",
       "Per-partition batch decode (mapPartitions — the Scala shape of " +
         "mapInPandas): binary payload → fake feature vector (STUB codec: " +
-        "byte stats, standing in for formats whose codecs the container " +
-        "lacks — video only, now that q114 covers images and q118 audio " +
-        "with real JDK codecs; swap point is Multimodal.fakeDecode). Narrow " +
+        "byte stats, standing in for codecs the JDK lacks — mp4/h264-class " +
+        "formats, now that q114 covers images, q118 audio, and q147 " +
+        "multi-frame clips with real JDK codecs; swap point is " +
+        "Multimodal.fakeDecode). Narrow " +
         "transform, payloads never shuffled; only features aggregate. " +
         "The 4-bucket byte histogram flattens to scalar columns h0..h3 so " +
         "any harness can sort/hash the result; mean_byte is " +
@@ -377,6 +481,50 @@ object Multimodal extends QueryModule {
                CAST(sum(abs(amp)) AS BIGINT)       AS sum_abs,
                CAST(max(abs(amp)) AS INTEGER)      AS max_abs
         FROM a GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q147_video_codec",
+      "REAL multi-frame (video-style) codec path — the q114/q118 pattern " +
+        "completing the media tier: doc_id-seeded grayscale frame " +
+        "sequences are encoded as ANIMATED GIFs with the JDK's real " +
+        "multi-image codec (ImageWriter.writeToSequence) in one narrow " +
+        "mapPartitions, then the container is parsed back with ImageIO's " +
+        "multi-image reader — frame count and dims come from the decoded " +
+        "GIF, not the generator — and every 2nd frame is DECODED and " +
+        "feature-summed (the keyframe-sampling access pattern q84 " +
+        "exercises on stub bytes, here on a real codec). Grayscale " +
+        "frames make the GIF palette round-trip lossless, so the " +
+        "sampled-frame sums equal the closed-form pixel function and " +
+        "the query is fully SQL-oracle-able. Scale shape unchanged: " +
+        "payloads are born and die inside one partition; only scalar " +
+        "features leave the map.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodeGif(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, gif) => decodeGifFrameSample(id, gif) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+                 2 + doc_id % 4 AS nf
+          FROM documents),
+        k AS (SELECT *, unnest(range(0, nf)) AS f FROM par),
+        ks AS (SELECT * FROM k WHERE f % 2 = 0),
+        px AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS p FROM ks),
+        c AS (SELECT doc_id, w, h, nf, f, p % w AS x, p // w AS y FROM px)
+        SELECT doc_id,
+               CAST(any_value(nf) AS INTEGER) AS n_frames,
+               CAST(count(DISTINCT f) AS INTEGER) AS n_sampled,
+               CAST(any_value(w) AS INTEGER) AS width,
+               CAST(any_value(h) AS INTEGER) AS height,
+               CAST(sum((doc_id * 29 + f * 41 + x * 7 + y * 13) % 256) AS BIGINT)
+                 AS sampled_sum
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

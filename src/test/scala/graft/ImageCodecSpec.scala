@@ -59,4 +59,55 @@ class ImageCodecSpec extends AnyFunSuite {
         ((exp.width, exp.height, exp.sum_r, exp.sum_g, exp.sum_b)), s"doc ${r.getLong(0)}")
     }
   }
+
+  /** Closed-form reference for the q147 animated-GIF path: gray sum over
+    * the SAMPLED (every 2nd) frames. */
+  private def expectedGif(id: Long): Multimodal.VideoFeatures = {
+    val w = (4 + id % 4).toInt
+    val h = (3 + id % 3).toInt
+    val nf = (2 + id % 4).toInt
+    var sum = 0L
+    var sampled = 0
+    for (k <- 0 until nf if k % 2 == 0) {
+      sampled += 1
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (id * 29 + k * 41 + x * 7 + y * 13) % 256
+    }
+    Multimodal.VideoFeatures(id, nf, sampled, w, h, sum)
+  }
+
+  test("encodeGif emits real multi-frame GIFs (magic + frame count from the container)") {
+    Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
+      val bytes = Multimodal.encodeGif(id)
+      assert(new String(bytes.take(6), "US-ASCII") === "GIF89a", s"doc $id: not GIF89a")
+      val got = Multimodal.decodeGifFrameSample(id, bytes)
+      assert(got.n_frames === (2 + id % 4).toInt, s"doc $id frame count")
+    }
+  }
+
+  test("GIF frame pixels round-trip the gray palette losslessly") {
+    val id = 0L
+    val bytes = Multimodal.encodeGif(id)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val img = reader.read(0)
+    val bad = for {
+      y <- 0 until img.getHeight
+      x <- 0 until img.getWidth
+      exp = ((7 * x + 13 * y) % 256)
+      got = img.getRGB(x, y) & 0xff
+      if got != exp
+    } yield s"($x,$y): got $got want $exp"
+    assert(bad.isEmpty, bad.take(10).mkString("; "))
+    reader.dispose(); iis.close()
+  }
+
+  test("decodeGifFrameSample(encodeGif(id)) recovers closed-form features exactly") {
+    (0L to 40L).foreach { id =>
+      val got = Multimodal.decodeGifFrameSample(id, Multimodal.encodeGif(id))
+      assert(got === expectedGif(id), s"doc $id")
+    }
+  }
 }

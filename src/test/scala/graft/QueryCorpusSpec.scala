@@ -173,6 +173,54 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(viol == 0, s"$viol adjacent islands overlap")
   }
 
+  test("q145 containment dominates Jaccard and catches a partial copy Jaccard misses") {
+    import graft.operators.Dedup
+    // containment >= jaccard in both directions (common/n1 >= common/(n1+n2-common)),
+    // so every symmetric near-dup pair must appear in both orientations
+    val jac = Dedup.jaccardPairs(spark, sfDir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Dedup.containmentPairs(spark, sfDir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    jac.foreach { case (a, b) =>
+      assert(cont.contains((a, b)) && cont.contains((b, a)),
+        s"jaccard pair ($a,$b) missing from containment at the same threshold")
+    }
+    // a planted PARTIAL copy: the excerpt's shingles are a strict subset of
+    // the container's, so containment(excerpt -> container) = 1.0 while
+    // jaccard stays under any useful threshold
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val filler = (100 to 400).map(i => s"tok$i").mkString(" ")
+    import spark.implicits._
+    // docShingles reads <dir>/documents.parquet via Tables.t — mirror that layout
+    val d2 = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    Seq((1L, base), (2L, s"$base $filler"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$d2/documents.parquet")
+    val found = Dedup.containmentPairs(spark, d2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(found.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.99 },
+      s"excerpt-in-container not detected: ${found.mkString(",")}")
+    val jacMissed = Dedup.jaccardPairs(spark, d2, 0.8).count()
+    assert(jacMissed == 0, "symmetric jaccard should miss the partial copy at 0.8")
+  }
+
+  test("q146 SCD2 ranges chain per user with exactly one current row") {
+    val rows = SparkEntry.queries("q146_scd2_build")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._3)(Ordering.fromLessThan(_ isBefore _))
+      assert(sorted.count(_._5) == 1, s"user $u: != 1 current row")
+      assert(sorted.last._4.isEmpty && sorted.last._5, s"user $u: last row must be current")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $u: valid_to must equal next valid_from")
+          assert(a._2 != b._2, s"user $u: consecutive equal values not collapsed")
+        case _ =>
+      }
+    }
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
