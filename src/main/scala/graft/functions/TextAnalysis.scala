@@ -586,6 +586,75 @@ object TextAnalysis extends QueryModule {
         p AS (SELECT unnest([substr(word, j, 2) for j in range(1, len(word))]) AS pair
               FROM wd WHERE len(word) >= 2)
         SELECT pair, count(*) AS n FROM p GROUP BY pair
-        ORDER BY n DESC, pair LIMIT 20"""))
+        ORDER BY n DESC, pair LIMIT 20""")),
+
+    Q(
+      "q148_boolean_retrieval",
+      "BOOLEAN RETRIEVAL (conjunctive): documents containing ALL of " +
+        "{query, window, scan} via posting-list intersection — the " +
+        "search-side complement of the dedup inverted index, and the " +
+        "access pattern a RAG corpus serves. The term filter lands " +
+        "BEFORE the explode output shuffles (only candidate postings " +
+        "travel), the AND is a count-distinct-equals-k aggregate on " +
+        "(doc, term) — no self-join per term pair — and the final " +
+        "metadata join is keyed on doc_id. At 100 TB the postings are a " +
+        "PRECOMPUTED term-bucketed table and this same plan starts from " +
+        "its scan instead of the explode.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val terms = Seq("query", "window", "scan")
+        val hits = docs
+          .select($"doc_id", explode(array_distinct(split(trim($"text"), " "))).as("w"))
+          .filter($"w".isin(terms: _*))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_terms"))
+          .filter($"n_terms" === terms.size)
+        hits.join(docs, Seq("doc_id"))
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct(string_split(trim(text), ' '))) AS w
+                     FROM documents),
+        hits AS (SELECT doc_id FROM tok
+                 WHERE w IN ('query', 'window', 'scan')
+                 GROUP BY doc_id HAVING count(*) = 3)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM hits JOIN documents d USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    Q(
+      "q149_phrase_search",
+      "PHRASE SEARCH via positional postings: occurrences of the exact " +
+        "token phrase 'sort merge' found by joining the two terms' " +
+        "(doc_id, position) postings on position adjacency — how a " +
+        "search engine answers phrase queries without re-scanning text. " +
+        "Each posting row is (doc_id, int); the adjacency join is equi " +
+        "on (doc_id, pos) after shifting the second term — slim keys, " +
+        "no LIKE scan, no regex. At 100 TB the positional postings are " +
+        "a precomputed table bucketed by term; the join shape is " +
+        "unchanged.",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id", posexplode(split(trim($"text"), " ")).as(Seq("pos", "w")))
+        val t1 = toks.filter($"w" === "sort").select($"doc_id", $"pos")
+        val t2 = toks.filter($"w" === "merge").select($"doc_id", ($"pos" - 1).as("pos"))
+        t1.join(t2, Seq("doc_id", "pos"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        h AS (SELECT doc_id,
+                     len([1 for i in range(1, len(t))
+                          if t[i] = 'sort' AND t[i+1] = 'merge']) AS n_hits
+              FROM w)
+        SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+        FROM h WHERE n_hits > 0
+        ORDER BY doc_id"""))
   )
 }

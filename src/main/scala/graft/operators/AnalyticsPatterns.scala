@@ -722,6 +722,67 @@ object AnalyticsPatterns extends QueryModule {
         SELECT user_id, event_type, valid_from, valid_to,
                valid_to IS NULL AS is_current
         FROM r
-        ORDER BY user_id, valid_from"""))
+        ORDER BY user_id, valid_from""")),
+
+    Q(
+      "q150_pagerank_int",
+      "ITERATIVE GRAPH CENTRALITY — two PageRank iterations in EXACT " +
+        "integer fixed-point over the supplier↔customer interaction " +
+        "graph (distinct lineitem⋈orders pairs, symmetrized): the " +
+        "centrality kernel crawl-quality pipelines run on page graphs " +
+        "to weight training documents. r' = 150000 + (85 * Σ " +
+        "floor(r/deg)) div 100 on a 1e6 scale — every op is integer, so " +
+        "the result is bit-identical on any engine, partitioning, or " +
+        "summation order (float PageRank is none of those). Per " +
+        "iteration: one slim (node, rank) join against edges + one " +
+        "aggregate — q96's label-propagation shuffle shape; at 100 TB " +
+        "the edge table is bucketed by src and the per-iteration " +
+        "exchange disappears.",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import s.implicits._
+        val e0 = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+          .select(concat(lit("S"), $"l_suppkey").as("src"),
+            concat(lit("C"), $"o_custkey").as("dst"))
+          .distinct()
+        val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+        val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+        val nodes = e.select($"src".as("node")).distinct()
+        val eDeg = e.join(deg, Seq("src"))
+        def step(r: DataFrame): DataFrame = {
+          val s2 = eDeg.join(r.withColumnRenamed("node", "src"), Seq("src"))
+            .select($"dst".as("node"), expr("r DIV d").as("c"))
+            .groupBy($"node").agg(sum($"c").as("s"))
+          nodes.join(s2, Seq("node"), "left")
+            .select($"node",
+              (lit(150000L) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+        }
+        val r0 = nodes.select($"node", lit(1000000L).as("r"))
+        val r2 = step(step(r0))
+        r2.select($"node", $"r".cast("long").as("rank_scaled"))
+          .orderBy($"rank_scaled".desc, $"node")
+          .limit(20)
+      },
+      Some("""
+        WITH e0 AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                                    'C' || CAST(o_custkey AS VARCHAR) AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, deg.d FROM e JOIN deg USING (src)),
+        s1 AS (SELECT ed.dst AS node, sum(1000000 // ed.d) AS s
+               FROM ed GROUP BY ed.dst),
+        r1 AS (SELECT n.node, 150000 + (85 * coalesce(s1.s, 0)) // 100 AS r
+               FROM nodes n LEFT JOIN s1 USING (node)),
+        s2 AS (SELECT ed.dst AS node, sum(r1.r // ed.d) AS s
+               FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+        r2 AS (SELECT n.node, 150000 + (85 * coalesce(s2.s, 0)) // 100 AS r
+               FROM nodes n LEFT JOIN s2 USING (node))
+        SELECT node, CAST(r AS BIGINT) AS rank_scaled
+        FROM r2
+        ORDER BY rank_scaled DESC, node
+        LIMIT 20"""))
   )
 }

@@ -221,6 +221,41 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q148/q149 retrieval answers match direct text scans") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bool = SparkEntry.queries("q148_boolean_retrieval")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val expectBool = docs.collect { case (id, t)
+      if Seq("query", "window", "scan").forall(t.trim.split(" ").contains) => id }.toSet
+    assert(bool == expectBool, "boolean retrieval != direct scan")
+    val phrase = SparkEntry.queries("q149_phrase_search")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectPhrase = docs.map { case (id, t) =>
+      val w = t.trim.split(" ")
+      id -> w.indices.dropRight(1).count(i => w(i) == "sort" && w(i + 1) == "merge").toLong
+    }.filter(_._2 > 0)
+    assert(phrase == expectPhrase, "phrase search != direct scan")
+  }
+
+  test("q150 integer PageRank is partitioning-invariant (bit-identical reruns)") {
+    val a = SparkEntry.queries("q150_pagerank_int")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // different shuffle layout must not change a single scaled rank — the
+    // integer fixed-point claim (float PageRank fails this)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = SparkEntry.queries("q150_pagerank_int")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(a == b, "rank drifted under a different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.forall(_._2 >= 150000L), "rank below the teleport floor")
+    assert(a.map(_._2) == a.map(_._2).sorted(Ordering[Long].reverse), "not rank-sorted")
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
