@@ -268,6 +268,78 @@ object AdvancedOps extends QueryModule {
           .toDF("bigram", "n_exact", "n_est", "overestimate_ok")
           .orderBy($"n_exact".desc, $"bigram")
       },
+      None),
+
+    Q(
+      "q151_incremental_agg",
+      "INCREMENTAL AGGREGATE MAINTENANCE (materialized-view merge): the " +
+        "historical 90% of events (event_id % 10 != 0, q119's id-split " +
+        "convention) is aggregated ONCE into mergeable per-user partials " +
+        "(count, integer-cents sum, max) and PERSISTED to parquet — " +
+        "written and reread here so the round-trip is real; the arriving " +
+        "10% aggregates fresh, and the answer is the MERGE of the two " +
+        "partial states (sum of counts/sums, max of maxes) — history is " +
+        "never rescanned. This is how a 100 TB nightly metric survives " +
+        "daily batches: the delta shuffle is 10% of a recompute, the MV " +
+        "grows with distinct keys, not events. Bit-exact vs a full " +
+        "recompute oracle BECAUSE the state is integer (floor cents): " +
+        "float partials would drift by summation order; mergeable-exact " +
+        "is a design property, not luck.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"event_id", $"user_id",
+            floor($"value" * 100).cast("long").as("cents"))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy($"user_id").agg(
+            count(lit(1)).as("n"),
+            sum($"cents").as("sum_cents"),
+            max($"cents").as("max_cents"))
+        val mvPath = graft.TempRoots.freshForDir("graft_mv", dir).toString
+        partial(ev.filter($"event_id" % 10 =!= 0))
+          .write.mode("overwrite").parquet(mvPath)
+        val history = s.read.parquet(mvPath) // the persisted MV, reread
+        val delta = partial(ev.filter($"event_id" % 10 === 0))
+        history.unionByName(delta)
+          .groupBy($"user_id")
+          .agg(sum($"n").as("n_events"),
+            sum($"sum_cents").as("sum_cents"),
+            max($"max_cents").as("max_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    Q(
+      "q152_hll_sketch_merge",
+      "MERGEABLE DISTINCT SKETCHES (Apache DataSketches HLL, built into " +
+        "Spark 4): per-(lang, source) token sketches are built in one " +
+        "pass, then UNIONED per lang and estimated — the count-distinct " +
+        "analogue of q151's MV maintenance: per-shard sketches persist " +
+        "(kilobytes each), daily deltas merge in without rescanning " +
+        "history, and cross-cuts (per-lang here) come from unioning " +
+        "shard sketches, never re-reading tokens. No SQL oracle (sketch " +
+        "internals are engine-specific); the ScalaTest gate asserts " +
+        "every estimate lands within HLL error of the exact distinct " +
+        "count.",
+      (s, dir) => {
+        import s.implicits._
+        val tok = Tables.t(s, dir, "documents")
+          .select($"lang", $"source",
+            explode(split(trim($"text"), " ")).as("w"))
+          .filter($"w" =!= "")
+        val shard = tok.groupBy($"lang", $"source")
+          .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+        shard.groupBy($"lang")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct_tokens"),
+            count(lit(1)).as("n_shards"))
+          .orderBy($"lang")
+      },
       None)
   )
 }

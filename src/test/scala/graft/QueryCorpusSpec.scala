@@ -256,6 +256,23 @@ class QueryCorpusSpec extends AnyFunSuite {
     assert(a.map(_._2) == a.map(_._2).sorted(Ordering[Long].reverse), "not rank-sorted")
   }
 
+  test("q152 merged HLL sketches estimate within error of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val est = SparkEntry.queries("q152_hll_sketch_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang").agg(countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (lang, n) =>
+      val e = est(lang)
+      // lgK=12 → relative standard error ~1.6%; 5% is > 3 sigma
+      assert(math.abs(e - n).toDouble / n <= 0.05, s"$lang: est $e vs exact $n")
+    }
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
