@@ -746,7 +746,14 @@ object AnalyticsPatterns extends QueryModule {
           .select(concat(lit("S"), $"l_suppkey").as("src"),
             concat(lit("C"), $"o_custkey").as("dst"))
           .distinct()
+        // the edge list feeds degree, node set, AND every iteration's
+        // contribution join — materialize ONCE or the fact⋈dim distinct
+        // recomputes per consumer (measured at 10x: 36 s → 7 s). Same
+        // local-vs-reliable checkpoint tradeoff as neardupClusters: on a
+        // real cluster use persist(DISK) / checkpoint() for executor-loss
+        // tolerance across a long iteration chain.
         val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+          .localCheckpoint()
         val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
         val nodes = e.select($"src".as("node")).distinct()
         val eDeg = e.join(deg, Seq("src"))

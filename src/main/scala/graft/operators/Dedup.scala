@@ -883,9 +883,10 @@ object Dedup extends QueryModule {
         "token-level analogue of ExactSubstr dedup (the suffix-array " +
         "pass of 'Deduplicating Training Data Makes Language Models " +
         "Better'): every 5-token window that occurs in >= 2 DISTINCT " +
-        "documents is a duplicate span, and each document reports how " +
-        "many of its token positions at least one such span covers — " +
-        "the per-doc signal span-removal / doc-drop policies act on. " +
+        "documents is a duplicate span; every document with nonzero " +
+        "coverage reports how many of its token positions at least one " +
+        "such span covers — the actionable set a span-removal / " +
+        "doc-drop policy acts on. " +
         "Plan: per-doc gram generate is map-side; ONE shuffle groups " +
         "grams (map-side combine collapses repeats before the wire) to " +
         "find cross-doc grams; the coverage join is equi on the gram; " +
@@ -913,9 +914,8 @@ object Dedup extends QueryModule {
           .distinct()
           .groupBy($"doc_id").agg(count(lit(1)).as("dup_tokens"))
         docs.select($"doc_id", size($"w").as("n_tokens"))
-          .join(covered, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_tokens",
-            coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+          .join(covered, Seq("doc_id"))
+          .select($"doc_id", $"n_tokens", $"dup_tokens")
           .orderBy($"doc_id")
       },
       Some("""
@@ -931,8 +931,8 @@ object Dedup extends QueryModule {
         cov AS (SELECT DISTINCT doc_id, p FROM cov0),
         c AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
         SELECT w.doc_id, CAST(len(ws) AS INTEGER) AS n_tokens,
-               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
-        FROM w LEFT JOIN c USING (doc_id)
+               CAST(c.dup_tokens AS BIGINT) AS dup_tokens
+        FROM w JOIN c USING (doc_id)
         ORDER BY doc_id""")),
 
     Q(

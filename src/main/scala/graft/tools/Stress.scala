@@ -66,6 +66,15 @@ object Stress {
       (abs(xxhash64($"id", lit(9)) % 100000) / 100.0).as("value"),
       lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // 1.5M orders keyed to the lineitem l_orderkey domain (id/4), 30k
+    // customers — the bipartite graph for the PageRank probe
+    s.range(1500000L * mult).select(
+      $"id".as("o_orderkey"),
+      ((xxhash64($"id", lit(11)) % 30000 + 30000) % 30000).as("o_custkey"),
+      element_at(typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        ($"id" % 5 + 1).cast("int")).as("o_orderpriority"),
+      (abs(xxhash64($"id", lit(12)) % 50000000) / 100.0).as("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     // 200k embeddings (100x the sf0.1 fixture), 64-dim float, uniform in
     // [-1, 1] — the ANN ladder's corpus
     s.range(200000).select(
@@ -159,6 +168,42 @@ object Stress {
     }
     time(s"asof native ${6 * mult}M events") {
       SparkEntry.queries("q19_asof_join_native")(s, out).count()
+    }
+    // Duplicate-span coverage (q140): linear in total grams + the
+    // duplicate grams' occurrence lists — the no-suffix-array ExactSubstr
+    // analogue; the planted 1000 near-dup docs dominate the dup set.
+    // Summing the coverage (not count()) forces the gram pipeline:
+    // count over the left join would let Catalyst ELIMINATE the entire
+    // dup-gram computation (unique join keys + outer join ⇒ row-count
+    // identity) and time an empty plan.
+    time("dup spans 51k docs") {
+      SparkEntry.queries("q140_duplicate_spans")(s, out)
+        .agg(sum($"dup_tokens")).head().getLong(0)
+    }
+    // Containment (q145) shares q62's sum(df^2) inverted-index cost — the
+    // exact-baseline tier of the same ladder (prefix filter / LSH are the
+    // production tiers); expect the q62-class number, not the q63 one.
+    time("containment 51k docs") {
+      graft.operators.Dedup.containmentPairs(s, out, 0.9).count()
+    }
+    // Positional-posting phrase search (q149): linear posting build, slim
+    // (doc, pos) adjacency join.
+    time(s"phrase search 51k docs") {
+      SparkEntry.queries("q149_phrase_search")(s, out).count()
+    }
+    // Gaps-and-islands at row scale: one shuffle on the partition key,
+    // per-key sorts only (q143 user sessions; q144 supplier intervals).
+    time(s"sessionize ${6 * mult}M events") {
+      SparkEntry.queries("q143_sessionize_batch")(s, out).count()
+    }
+    time(s"interval merge ${6 * mult}M rows") {
+      SparkEntry.queries("q144_interval_merge")(s, out).count()
+    }
+    // Two integer PageRank iterations over the 1.5M-order bipartite graph
+    // (~31k nodes, ~1M+ distinct edges after symmetrization): per
+    // iteration one slim rank-vs-edges join + aggregate.
+    time(s"pagerank ${mult}x1.5M-order graph") {
+      SparkEntry.queries("q150_pagerank_int")(s, out).count()
     }
     // ANN ladder at 100x corpus / 32x probes: brute force scores every
     // (probe, vector) pair — 51.2M cosine evals; IVF (nlist=64, nprobe=4)

@@ -167,4 +167,35 @@ class PlanSpec extends AnyFunSuite {
     // + output sort (1) = 4; the groupBy+semi-join dedup form adds a 5th
     assert(n <= 4, s"composed pipeline grew to $n exchanges — dedup stage regressed")
   }
+
+  test("q146: both SCD2 windows share one user_id exchange") {
+    // change-detect and range-close are windows over the SAME
+    // (partition, order); a regression that re-partitions between them
+    // (e.g. reordering the orderBy columns) doubles the shuffle
+    val df = SparkEntry.queries("q146_scd2_build")(spark, sfDir)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    // section — count only the final plan or every exchange doubles
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected ONE hash exchange feeding both windows, got $exchanges:\n${plan.take(800)}")
+  }
+
+  test("q148/q149/q150: retrieval and pagerank never degenerate to cartesian plans") {
+    Seq("q148_boolean_retrieval", "q149_phrase_search", "q150_pagerank_int")
+      .foreach { name =>
+        val plan = planOf(name)
+        assert(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: non-equi join appeared\n${plan.take(600)}")
+      }
+  }
+
+  test("q140: duplicate-gram discovery aggregates map-side before the shuffle") {
+    val plan = planOf("q140_duplicate_spans")
+    assert(plan.contains("partial_"), "gram counting must combine map-side " +
+      "(per-doc repeats collapse before the wire): " + plan.take(600))
+  }
 }

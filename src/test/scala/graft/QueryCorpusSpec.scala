@@ -131,16 +131,16 @@ class QueryCorpusSpec extends AnyFunSuite {
   test("q140 duplicate-span coverage is bounded and hits the planted near-dups") {
     val rows = SparkEntry.queries("q140_duplicate_spans")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-    // coverage can never exceed the doc's length, and a doc too short to
-    // hold one 5-gram can never be covered
+    // only covered docs are reported; coverage is positive, never exceeds
+    // the doc's length, and needs at least one full 5-gram
     rows.foreach { case (id, n, dup) =>
-      assert(dup <= n, s"doc $id: dup_tokens $dup > n_tokens $n")
-      if (n < 5) assert(dup == 0, s"doc $id: $n tokens but dup_tokens $dup")
+      assert(dup >= 1 && dup <= n, s"doc $id: dup_tokens $dup out of (0, $n]")
+      assert(n >= 5, s"doc $id: $n tokens cannot hold a 5-gram")
     }
     // the fixture corpus plants near-duplicate pairs (q62 finds them at
-    // jac >= 0.8), which share long runs of shingles — some doc must show
-    // nonzero cross-document span coverage
-    assert(rows.exists(_._3 > 0), "no duplicate spans found in a corpus with planted near-dups")
+    // jac >= 0.8), which share long runs of shingles — the report must be
+    // non-empty
+    assert(rows.nonEmpty, "no duplicate spans found in a corpus with planted near-dups")
   }
 
   test("q143 sessions partition the events and respect the 30-min gap") {
