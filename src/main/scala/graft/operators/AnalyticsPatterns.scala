@@ -790,6 +790,43 @@ object AnalyticsPatterns extends QueryModule {
         SELECT node, CAST(r AS BIGINT) AS rank_scaled
         FROM r2
         ORDER BY rank_scaled DESC, node
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    Q(
+      "q153_gapfill_timeseries",
+      "TIME-SERIES DENSIFICATION (gap fill): per-user daily event counts " +
+        "with every missing day inside the user's own [first, last] " +
+        "activity span emitted as an explicit zero row — what every " +
+        "downstream window/forecast consumer needs (a 7-day rolling mean " +
+        "over sparse rows silently skips the gaps). The day spine is " +
+        "GENERATED per user from a 2-column (user, min/max) aggregate — " +
+        "map-side sequence+explode, no calendar table join, no cross " +
+        "join; the fill join is keyed (user, day). Shuffles: the count " +
+        "agg and the fill join, both on the user key.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("day"))
+        val counts = ev.groupBy($"user_id", $"day").agg(count(lit(1)).as("n"))
+        val spine = ev.groupBy($"user_id")
+          .agg(min($"day").as("d0"), max($"day").as("d1"))
+          .select($"user_id",
+            explode(sequence($"d0", $"d1", expr("INTERVAL 1 DAY"))).as("day"))
+        spine.join(counts, Seq("user_id", "day"), "left")
+          .select($"user_id", $"day", coalesce($"n", lit(0L)).as("n_events"))
+          .orderBy($"user_id", $"day")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        counts AS (SELECT user_id, day, count(*) AS n FROM ev GROUP BY 1, 2),
+        spine AS (
+          SELECT user_id,
+                 CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+                                             CAST(max(day) AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS day
+          FROM ev GROUP BY user_id)
+        SELECT s.user_id, s.day, coalesce(c.n, 0) AS n_events
+        FROM spine s LEFT JOIN counts c USING (user_id, day)
+        ORDER BY s.user_id, s.day"""))
   )
 }

@@ -230,6 +230,61 @@ object CoreRelational extends QueryModule {
                round(max(o_totalprice), 2)                        AS max_price
         FROM orders
         GROUP BY 1, 2
-        ORDER BY bucket, status_label"""))
+        ORDER BY bucket, status_label""")),
+
+    Q(
+      "q154_table_stats",
+      "TABLE PROFILING (the ANALYZE-equivalent a cost-based optimizer " +
+        "and a data-quality monitor both consume): per-column row count, " +
+        "null count, exact distinct count, and min/max (rendered as " +
+        "strings so heterogeneous column types share one result schema; " +
+        "numeric min/max computed on the TYPED value, cast after). One " +
+        "aggregate pass per column over a pruned single-column scan — at " +
+        "100 TB swap the exact countDistinct for approx_count_distinct " +
+        "(q04's HLL) and the per-column passes collapse into one " +
+        "multi-aggregate scan; exact ndv here is what makes the row " +
+        "SQL-oracle-able.",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+        def stats(col: String): DataFrame =
+          o.agg(
+            lit(col).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            sum(when(o(col).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(o(col)).as("ndv"),
+            min(o(col)).cast("string").as("min_str"),
+            max(o(col)).cast("string").as("max_str"))
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+          .map(stats).reduce(_ unionByName _)
+          .orderBy($"column_name")
+      },
+      Some("""
+        SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT o_orderkey) AS ndv,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+        ORDER BY column_name"""))
   )
 }

@@ -546,6 +546,42 @@ object Joins extends QueryModule {
                round(sum(price), 2) AS revenue
         FROM merged
         GROUP BY priority
-        ORDER BY priority"""))
+        ORDER BY priority""")),
+
+    Q(
+      "q155_fuzzy_join",
+      "FUZZY (approximate-string) JOIN — entity resolution: corrupted " +
+        "nation names (leading character dropped, the deterministic " +
+        "probe set) matched back to the reference table at edit " +
+        "distance <= 1 via TRIGRAM BLOCKING + exact levenshtein " +
+        "confirm. The blocking join is equi on a shared character " +
+        "3-gram (deletion corruption leaves every trigram right of the " +
+        "edit intact, so no true match is missed); only blocked " +
+        "candidates pay the O(len^2) distance. The fixture tables are " +
+        "small, but the SHAPE is the 100 TB one: a quadratic cross join " +
+        "never appears — candidates come from an inverted trigram " +
+        "index, exactly the q62->q101 ladder applied to strings instead " +
+        "of documents. Oracle computes the full cross join + distance " +
+        "filter: identical pairs proves the blocking lossless.",
+      (s, dir) => {
+        import s.implicits._
+        val names = Tables.t(s, dir, "nation").select($"n_name")
+        val probes = names.select(substring($"n_name", 2, 100).as("probe"))
+        def trigrams(name: String) =
+          expr(s"transform(sequence(1, greatest(length($name) - 2, 1)), " +
+            s"i -> substring($name, i, 3))")
+        val pt = probes.select($"probe", explode(array_distinct(trigrams("probe"))).as("g"))
+        val nt = names.select($"n_name", explode(array_distinct(trigrams("n_name"))).as("g"))
+        pt.join(nt, Seq("g"))
+          .select($"probe", $"n_name").distinct()
+          .filter(levenshtein($"probe", $"n_name") <= 1)
+          .orderBy($"probe", $"n_name")
+      },
+      Some("""
+        WITH probes AS (SELECT substr(n_name, 2) AS probe FROM nation)
+        SELECT p.probe, n.n_name
+        FROM probes p CROSS JOIN nation n
+        WHERE levenshtein(p.probe, n.n_name) <= 1
+        ORDER BY p.probe, n.n_name"""))
   )
 }

@@ -273,6 +273,32 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q153 gap-filled series is contiguous per user with conserved totals") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q153_gapfill_timeseries")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    assert(rows.map(_._3).sum == Tables.t(spark, sfDir, "events").count(),
+      "gap rows must be zeros — totals conserved")
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sortBy(_.toEpochDay)
+      days.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.toEpochDay == a.toEpochDay + 1, s"user $u: gap between $a and $b survived")
+        case _ =>
+      }
+    }
+  }
+
+  test("q155 trigram blocking matches every corrupted probe exactly once") {
+    val rows = SparkEntry.queries("q155_fuzzy_join")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nNations = Tables.t(spark, sfDir, "nation").count()
+    assert(rows.length.toLong == nNations, s"expected one match per probe: ${rows.length}")
+    rows.foreach { case (probe, name) =>
+      assert(name.substring(1) == probe, s"'$probe' matched wrong nation '$name'")
+    }
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
