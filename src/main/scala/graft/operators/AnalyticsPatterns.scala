@@ -827,6 +827,54 @@ object AnalyticsPatterns extends QueryModule {
           FROM ev GROUP BY user_id)
         SELECT s.user_id, s.day, coalesce(c.n, 0) AS n_events
         FROM spine s LEFT JOIN counts c USING (user_id, day)
-        ORDER BY s.user_id, s.day"""))
+        ORDER BY s.user_id, s.day""")),
+
+    Q(
+      "q156_event_sequence",
+      "STRICT-ORDER SEQUENCE DETECTION (CEP-style): users whose streams " +
+        "contain click THEN view THEN purchase in that order — each " +
+        "step's timestamp is the earliest qualifying event strictly " +
+        "after the previous step (not the global per-type minimum, " +
+        "which q92's funnel uses and which over-counts out-of-order " +
+        "histories). Three conditional-min aggregates chained by two " +
+        "user-keyed joins — no self-join explosion, no per-user " +
+        "collect_list; every shuffle is on user_id, so the pattern " +
+        "scales with users, not with event-pair combinations.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"ts")
+        val s1 = ev.filter($"event_type" === "click")
+          .groupBy($"user_id").agg(min($"ts").as("t1"))
+        val s2 = ev.join(s1, Seq("user_id"))
+          .filter($"event_type" === "view" && $"ts" > $"t1")
+          .groupBy($"user_id").agg(min($"t1").as("t1"), min($"ts").as("t2"))
+        val s3 = ev.join(s2, Seq("user_id"))
+          .filter($"event_type" === "purchase" && $"ts" > $"t2")
+          .groupBy($"user_id")
+          .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"ts").as("t3"))
+        s3.select($"user_id",
+          $"t1".cast("timestamp_ntz").as("click_at"),
+          $"t2".cast("timestamp_ntz").as("view_at"),
+          $"t3".cast("timestamp_ntz").as("purchase_at"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+        s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+               WHERE event_type = 'click' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, min(s1.t1) AS t1, min(ev.ts) AS t2
+               FROM ev JOIN s1 USING (user_id)
+               WHERE ev.event_type = 'view' AND ev.ts > s1.t1
+               GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, min(s2.t1) AS t1, min(s2.t2) AS t2,
+                      min(ev.ts) AS t3
+               FROM ev JOIN s2 USING (user_id)
+               WHERE ev.event_type = 'purchase' AND ev.ts > s2.t2
+               GROUP BY ev.user_id)
+        SELECT user_id, t1 AS click_at, t2 AS view_at, t3 AS purchase_at
+        FROM s3
+        ORDER BY user_id"""))
   )
 }

@@ -285,6 +285,40 @@ object CoreRelational extends QueryModule {
                count(DISTINCT o_orderpriority),
                CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
         FROM orders
-        ORDER BY column_name"""))
+        ORDER BY column_name""")),
+
+    Q(
+      "q157_histogram",
+      "EQUI-WIDTH HISTOGRAM of event values (8 buckets of 50 over " +
+        "[0, 400), top bucket clamps the tail): bucket index is pure " +
+        "integer-from-floor arithmetic — floor(v/50) is " +
+        "IEEE-deterministic on both engines, unlike percentile-based " +
+        "equi-depth cuts. One map-side projection + one tiny-domain " +
+        "aggregate; the shuffle carries at most 8 keys per task. The " +
+        "distribution profile q154's min/max can't show, and the " +
+        "histogram a CBO's selectivity estimator consumes.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(least(floor($"value" / 50.0), lit(7.0)).cast("int").as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"))
+          .select($"bucket",
+            ($"bucket" * 50).cast("double").as("lo"),
+            when($"bucket" === 7, lit(Double.PositiveInfinity))
+              .otherwise(($"bucket" * 50 + 50).cast("double")).as("hi"),
+            $"n")
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(least(floor(value / 50.0), 7.0) AS INTEGER) AS bucket
+                   FROM events)
+        SELECT bucket,
+               CAST(bucket * 50 AS DOUBLE) AS lo,
+               CASE WHEN bucket = 7 THEN CAST('inf' AS DOUBLE)
+                    ELSE CAST(bucket * 50 + 50 AS DOUBLE) END AS hi,
+               count(*) AS n
+        FROM b GROUP BY bucket
+        ORDER BY bucket"""))
   )
 }

@@ -299,6 +299,38 @@ class QueryCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 sequences are strictly ordered and match a direct event scan") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q156_event_sequence")(spark, sfDir)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1),
+        r.getAs[java.time.LocalDateTime](2),
+        r.getAs[java.time.LocalDateTime](3)))
+    got.foreach { case (u, t1, t2, t3) =>
+      assert(t1.isBefore(t2) && t2.isBefore(t3), s"user $u: sequence not strictly ordered")
+    }
+    // driver-side reference: earliest click, earliest view after it,
+    // earliest purchase after that
+    val ev = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))
+      .groupBy(_._1)
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    val expect = ev.flatMap { case (u, rows) =>
+      val byType = (t: String) => rows.filter(_._2 == t).map(_._3).sorted
+      for {
+        t1 <- byType("click").headOption
+        t2 <- byType("view").find(_.isAfter(t1))
+        t3 <- byType("purchase").find(_.isAfter(t2))
+      } yield u -> ((t1, t2, t3))
+    }
+    assert(got.map(_._1).toSet == expect.keySet, "sequence-complete user sets differ")
+  }
+
   SparkEntry.allQueries.foreach { q =>
     test(s"${q.name} executes on sf0.001") {
       val df = q.run(spark, sfDir)
