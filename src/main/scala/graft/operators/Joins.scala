@@ -555,14 +555,19 @@ object Joins extends QueryModule {
         "probe set) matched back to the reference table at edit " +
         "distance <= 1 via TRIGRAM BLOCKING + exact levenshtein " +
         "confirm. The blocking join is equi on a shared character " +
-        "3-gram (deletion corruption leaves every trigram right of the " +
-        "edit intact, so no true match is missed); only blocked " +
-        "candidates pay the O(len^2) distance. The fixture tables are " +
+        "3-gram; only blocked candidates pay the O(len^2) distance. " +
+        "Losslessness is a PROBE-SET property, not a general edit-" +
+        "distance-1 guarantee: deletion corruption leaves every trigram " +
+        "right of the edit intact, so these probes always share one — " +
+        "a mid-string substitution in a 4-char name would not (general " +
+        "q-gram blocking needs the count bound |shared| >= max(len) - " +
+        "q + 1 - q*d, or padded grams). The fixture tables are " +
         "small, but the SHAPE is the 100 TB one: a quadratic cross join " +
         "never appears — candidates come from an inverted trigram " +
         "index, exactly the q62->q101 ladder applied to strings instead " +
         "of documents. Oracle computes the full cross join + distance " +
-        "filter: identical pairs proves the blocking lossless.",
+        "filter: bit-equality CHECKS the losslessness argument above " +
+        "against this probe set every round.",
       (s, dir) => {
         import s.implicits._
         val names = Tables.t(s, dir, "nation").select($"n_name")

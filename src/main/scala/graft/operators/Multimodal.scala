@@ -181,12 +181,25 @@ object Multimodal extends QueryModule {
     new java.awt.image.IndexColorModel(8, 256, v, v, v)
   }
 
+  // Writer/reader SERVICE PROVIDERS cached once per executor JVM:
+  // getImageWritersByFormatName walks the plugin registry per call, which
+  // is per-row overhead inside mapPartitions. Instances themselves are
+  // NOT thread-safe and stay per-call; only the SPI lookup is hoisted.
+  private lazy val gifWriterSpi = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try w.getOriginatingProvider finally w.dispose()
+  }
+  private lazy val gifReaderSpi = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try r.getOriginatingProvider finally r.dispose()
+  }
+
   def encodeGif(id: Long): Array[Byte] = {
     val w = (4 + (id % 4)).toInt
     val h = (3 + (id % 3)).toInt
     val nf = (2 + (id % 4)).toInt
     val out = new java.io.ByteArrayOutputStream()
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = gifWriterSpi.createWriterInstance()
     val ios = javax.imageio.ImageIO.createImageOutputStream(out)
     try {
       writer.setOutput(ios)
@@ -228,7 +241,7 @@ object Multimodal extends QueryModule {
     * frames are palette-indexed; values are read through getRGB (palette
     * lookup), where a gray palette returns r = g = b = v. */
   def decodeGifFrameSample(id: Long, payload: Array[Byte]): VideoFeatures = {
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val reader = gifReaderSpi.createReaderInstance()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {

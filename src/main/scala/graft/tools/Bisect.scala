@@ -14,7 +14,7 @@ import graft._
   */
 object Bisect {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Bisect <target> [loIdx] [hiIdx] [sfDir]")
+    require(args.nonEmpty, "usage: Bisect <target> [loIdx] [hiIdx] [sfDir] [reps]")
     val name = args(0)
     val all = SparkEntry.allQueries
     val lo = if (args.length > 1) args(1).toInt else 0

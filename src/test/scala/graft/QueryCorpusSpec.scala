@@ -191,8 +191,9 @@ class QueryCorpusSpec extends AnyFunSuite {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val filler = (100 to 400).map(i => s"tok$i").mkString(" ")
     import spark.implicits._
-    // docShingles reads <dir>/documents.parquet via Tables.t — mirror that layout
-    val d2 = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    // docShingles reads <dir>/documents.parquet via Tables.t — mirror that
+    // layout; TempRoots scratch so a dead JVM's leftovers get swept
+    val d2 = graft.TempRoots.freshForDir("graft_cont", sfDir).toString
     Seq((1L, base), (2L, s"$base $filler"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(s"$d2/documents.parquet")
     val found = Dedup.containmentPairs(spark, d2, 0.9)
