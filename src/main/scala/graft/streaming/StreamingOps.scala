@@ -443,6 +443,71 @@ object StreamingOps extends QueryModule {
          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""")),
 
     Q(
+      "q158_stream_stream_left_join",
+      "Stream-stream LEFT OUTER join — the semantic q76's inner join " +
+        "does not cover: purchases with NO click in the preceding hour " +
+        "must still emit (with nulls), and they can only do so once the " +
+        "watermark proves no matching click can arrive — so unmatched " +
+        "rows surface on state EVICTION, not on data. The oracle is made " +
+        "deterministic by comparing only below a safety HORIZON " +
+        "(min(max purchase ts, max click ts) - watermark delay - 1h " +
+        "margin): above it, whether a tail row has been evicted yet is " +
+        "an engine-internal race, so both engines exclude that region " +
+        "identically and the rest is bit-exact. Same bounded-state " +
+        "requirements as q76: watermarks on both sides + the time-range " +
+        "predicate.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        val out = runToMemory(s, joined.select($"p_id", $"c_id", $"p_ts"),
+          "graft_mem_ssleftjoin", "append", shufflePartitions = Some(8))
+        // horizon from the batch table: global watermark at stream end is
+        // min(max p_ts, max c_ts) - 1h delay; the extra hour is the
+        // eviction-race margin the doc describes
+        val batchEv = graft.Tables.t(s, dir, "events")
+        // Tables.t exposes ts as TIMESTAMP_NTZ; the stream side is
+        // TIMESTAMP — identical instants under the session's fixed UTC
+        // zone, so the cast below is value-preserving
+        val hz = batchEv.groupBy()
+          .agg(least(
+            max(when($"event_type" === "purchase", $"ts")),
+            max(when($"event_type" === "click", $"ts"))).as("m"))
+          .select(($"m" - expr("INTERVAL 2 HOURS")).cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter($"p_ts" < lit(hz))
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            count($"c_id").as("n_matched"),
+            sum(when($"c_id".isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'),
+        hz AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                        - INTERVAL 2 HOUR AS h),
+        j AS (SELECT p.event_id AS p_id, c.event_id AS c_id, p.ts AS p_ts
+              FROM p LEFT JOIN c
+                ON p.user_id = c.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT count(*) AS n_rows,
+               count(c_id) AS n_matched,
+               CAST(sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched
+        FROM j, hz WHERE j.p_ts < hz.h""")),
+
+    Q(
       "q128_stream_incremental_dedup",
       "The daily dedup loop AS A STREAMING JOB: arriving documents " +
         "(doc_id ≡ 0 mod 10) stream in; each micro-batch is near-dup-" +
