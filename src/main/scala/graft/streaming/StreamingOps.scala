@@ -508,6 +508,69 @@ object StreamingOps extends QueryModule {
         FROM j, hz WHERE j.p_ts < hz.h""")),
 
     Q(
+      "q159_stream_stream_full_join",
+      "Stream-stream FULL OUTER join — both sides' unmatched rows emit " +
+        "on eviction, completing the streaming join matrix (q76 inner, " +
+        "q158 left). Eviction horizons are ASYMMETRIC, which the oracle " +
+        "restates: an unmatched purchase evicts once the watermark " +
+        "passes p_ts (no older click can arrive), but an unmatched " +
+        "click only once it passes c_ts + 1h (a purchase up to an hour " +
+        "LATER could still match it) — so the deterministic comparison " +
+        "region is p_ts < hz for the purchase side and c_ts < hz - 1h " +
+        "for the click side, with hz the q158 horizon. Everything below " +
+        "those lines is bit-exact vs the batch full outer join.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"),
+          "fullOuter")
+        val out = runToMemory(s, joined.select($"p_id", $"p_ts", $"c_id", $"c_ts"),
+          "graft_mem_ssfulljoin", "append", shufflePartitions = Some(8))
+        val batchEv = graft.Tables.t(s, dir, "events")
+        val hz = batchEv.groupBy()
+          .agg(least(
+            max(when($"event_type" === "purchase", $"ts")),
+            max(when($"event_type" === "click", $"ts"))).as("m"))
+          .select(($"m" - expr("INTERVAL 2 HOURS")).cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter(
+          ($"p_id".isNotNull && $"p_ts" < lit(hz)) ||
+            ($"p_id".isNull && $"c_ts" < lit(hz) - expr("INTERVAL 1 HOUR")))
+          .groupBy()
+          .agg(
+            count(when($"p_id".isNotNull && $"c_id".isNotNull, 1)).as("n_matched"),
+            count(when($"c_id".isNull, 1)).as("n_unmatched_purchases"),
+            count(when($"p_id".isNull, 1)).as("n_unmatched_clicks"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'),
+        hz AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                        - INTERVAL 2 HOUR AS h),
+        j AS (SELECT p.event_id AS p_id, p.ts AS p_ts,
+                     c.event_id AS c_id, c.ts AS c_ts
+              FROM p FULL OUTER JOIN c
+                ON p.user_id = c.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT count(CASE WHEN p_id IS NOT NULL AND c_id IS NOT NULL THEN 1 END)
+                 AS n_matched,
+               count(CASE WHEN c_id IS NULL THEN 1 END) AS n_unmatched_purchases,
+               count(CASE WHEN p_id IS NULL THEN 1 END) AS n_unmatched_clicks
+        FROM j, hz
+        WHERE (p_id IS NOT NULL AND p_ts < hz.h)
+           OR (p_id IS NULL AND c_ts < hz.h - INTERVAL 1 HOUR)""")),
+
+    Q(
       "q128_stream_incremental_dedup",
       "The daily dedup loop AS A STREAMING JOB: arriving documents " +
         "(doc_id ≡ 0 mod 10) stream in; each micro-batch is near-dup-" +
