@@ -571,6 +571,64 @@ object StreamingOps extends QueryModule {
            OR (p_id IS NULL AND c_ts < hz.h - INTERVAL 1 HOUR)""")),
 
     Q(
+      "q160_chained_stateful",
+      "MULTIPLE STATEFUL OPERATORS in one streaming query (Spark 3.4+ " +
+        "unlock, exercised on Spark 4): a watermarked stream-stream " +
+        "inner join (q76's purchase↔click-within-the-hour) feeds a " +
+        "DOWNSTREAM daily tumbling-window count — join state and window " +
+        "state live in the same query, watermark propagating through " +
+        "both. Append-mode windows only emit once the watermark passes " +
+        "their end, so the oracle compares windows strictly below the " +
+        "q158 horizon minus one window length; below that line the " +
+        "per-day joined-pair counts are bit-exact vs the batch join + " +
+        "time_bucket equivalent.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"))
+        val daily = joined
+          .groupBy(window($"p_ts", "1 day"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .select($"window.start".cast("timestamp_ntz").as("w_start"), $"n_pairs")
+        val out = runToMemory(s, daily, "graft_mem_chained", "append",
+          shufflePartitions = Some(8))
+        val batchEv = graft.Tables.t(s, dir, "events")
+        val hz = batchEv.groupBy()
+          .agg(least(
+            max(when($"event_type" === "purchase", $"ts")),
+            max(when($"event_type" === "click", $"ts"))).as("m"))
+          .select(($"m" - expr("INTERVAL 2 HOURS") - expr("INTERVAL 1 DAY"))
+            .cast("timestamp_ntz").as("h"))
+          .head().getAs[java.time.LocalDateTime](0)
+        out.filter($"w_start" < lit(hz)).orderBy($"w_start")
+      },
+      Some("""
+        WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'),
+        hz AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                        - INTERVAL 2 HOUR - INTERVAL 1 DAY AS h),
+        j AS (SELECT p.ts AS p_ts
+              FROM p JOIN c
+                ON p.user_id = c.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT time_bucket(INTERVAL '1 day', p_ts) AS w_start,
+               count(*) AS n_pairs
+        FROM j, hz
+        WHERE time_bucket(INTERVAL '1 day', p_ts) < hz.h
+        GROUP BY 1
+        ORDER BY w_start""")),
+
+    Q(
       "q128_stream_incremental_dedup",
       "The daily dedup loop AS A STREAMING JOB: arriving documents " +
         "(doc_id ≡ 0 mod 10) stream in; each micro-batch is near-dup-" +
