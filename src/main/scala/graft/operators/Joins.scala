@@ -587,6 +587,57 @@ object Joins extends QueryModule {
         SELECT p.probe, n.n_name
         FROM probes p CROSS JOIN nation n
         WHERE levenshtein(p.probe, n.n_name) <= 1
-        ORDER BY p.probe, n.n_name"""))
+        ORDER BY p.probe, n.n_name""")),
+
+    Q(
+      "q161_asof_tolerance",
+      "As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`, " +
+        "kdb wj's window bound — the as-of variant q18/q19/q100 don't " +
+        "cover): each error event takes the latest same-user purchase " +
+        "at-or-before it ONLY if it happened within the last 30 " +
+        "minutes; staler matches are nulled but the left row survives " +
+        "(a stale attribution is worse than none). Same single " +
+        "user-keyed sort-merge shape as q18 — the tolerance is a " +
+        "post-match conditional, NOT a join-condition change, so the " +
+        "candidate space and shuffle are identical to the untoleranced " +
+        "as-of. Oracle: DuckDB ASOF LEFT JOIN with the same null-out.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"event_id".as("err_id"), $"ts".as("err_ts"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+        val w = Window.partitionBy($"err_id").orderBy($"p_ts".desc, $"p_id".desc)
+        val within = $"p_ts" >= $"err_ts" - expr("INTERVAL 30 MINUTES")
+        errors
+          .join(purchases,
+            $"user_id" === $"p_user" && $"p_ts" <= $"err_ts", "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"err_id",
+            when(within, $"p_id").as("p_id"),
+            // NTZ has no direct long cast; the timestamp hop is
+            // value-preserving under the session's fixed UTC zone
+            when(within,
+              ($"err_ts".cast("timestamp").cast("long") -
+                $"p_ts".cast("timestamp").cast("long"))).as("gap_sec"))
+          .orderBy($"err_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+                   FROM events WHERE event_type = 'error'),
+             p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT e.user_id, e.err_id,
+               CASE WHEN p.p_ts >= e.err_ts - INTERVAL 30 MINUTE
+                    THEN p.p_id END AS p_id,
+               CASE WHEN p.p_ts >= e.err_ts - INTERVAL 30 MINUTE
+                    THEN CAST(floor(epoch(e.err_ts)) - floor(epoch(p.p_ts)) AS BIGINT)
+                    END AS gap_sec
+        FROM e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
+        ORDER BY e.err_id"""))
   )
 }
