@@ -465,7 +465,7 @@ object AnalyticsPatterns extends QueryModule {
         SELECT lang,
                count(DISTINCT doc_id) AS n_unique,
                count(*) AS n_rows_out,
-               sum(n_chars) AS chars_out
+               CAST(sum(n_chars) AS BIGINT) AS chars_out
         FROM rep
         GROUP BY lang
         ORDER BY lang""")),
@@ -515,7 +515,7 @@ object AnalyticsPatterns extends QueryModule {
         SELECT CAST((rk - 1) % 8 AS INTEGER) AS shard_id,
                count(*) AS n_docs,
                count(DISTINCT lang) AS n_langs,
-               sum(n_chars) AS chars
+               CAST(sum(n_chars) AS BIGINT) AS chars
         FROM r
         GROUP BY 1
         ORDER BY shard_id""")),
@@ -528,7 +528,10 @@ object AnalyticsPatterns extends QueryModule {
         "each row classified added / removed / changed / unchanged by " +
         "comparing CONTENT HASHES, then counted. The two snapshots are " +
         "derived deterministically from the fixture corpus (old drops " +
-        "doc_id%7==6, new drops %10==9 and rewrites %5==0). The join " +
+        "doc_id%7==6, new drops %10==9 and rewrites %5==0 by appending " +
+        "a byte — a corruption that alters ANY text, so the 'changed' " +
+        "bucket is non-empty by construction, not by fixture luck). The " +
+        "join " +
         "shuffles (doc_id, 64-hex sha256), never document bodies — at " +
         "100 TB with both snapshot dirs bucketed by doc_id the diff is " +
         "exchange-free; unbucketed it is one sort-merge join of slim " +
@@ -540,7 +543,7 @@ object AnalyticsPatterns extends QueryModule {
           .select($"doc_id", sha2($"text", 256).as("h_old"))
         val neu = docs.filter($"doc_id" % 10 =!= 9)
           .select($"doc_id", sha2(
-            when($"doc_id" % 5 === 0, upper($"text")).otherwise($"text"), 256)
+            when($"doc_id" % 5 === 0, concat($"text", lit("!"))).otherwise($"text"), 256)
             .as("h_new"))
         old.join(neu, Seq("doc_id"), "full_outer")
           .select($"doc_id",
@@ -557,7 +560,7 @@ object AnalyticsPatterns extends QueryModule {
         WITH old AS (SELECT doc_id, sha256(text) AS h_old
                      FROM documents WHERE doc_id % 7 <> 6),
         neu AS (SELECT doc_id,
-                       sha256(CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                       sha256(CASE WHEN doc_id % 5 = 0 THEN text || '!'
                                    ELSE text END) AS h_new
                 FROM documents WHERE doc_id % 10 <> 9)
         SELECT CASE WHEN h_old IS NULL THEN 'added'

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Core scan / filter / projection / aggregation capability surface
@@ -238,7 +239,12 @@ object CoreRelational extends QueryModule {
         "and a data-quality monitor both consume): per-column row count, " +
         "null count, exact distinct count, and min/max (rendered as " +
         "strings so heterogeneous column types share one result schema; " +
-        "numeric min/max computed on the TYPED value, cast after). One " +
+        "numeric min/max computed on the TYPED value, cast after — " +
+        "floating columns hop through DECIMAL(30,6) first, because the " +
+        "engines' default double-to-string rules diverge at |v|>=1e7: " +
+        "Java flips to scientific notation, DuckDB never does; the " +
+        "fixed-scale decimal rendering '12345.670000' is identical on " +
+        "both at any magnitude). One " +
         "aggregate pass per column over a pruned single-column scan — at " +
         "100 TB swap the exact countDistinct for approx_count_distinct " +
         "(q04's HLL) and the per-column passes collapse into one " +
@@ -248,14 +254,23 @@ object CoreRelational extends QueryModule {
         import org.apache.spark.sql.DataFrame
         import s.implicits._
         val o = Tables.t(s, dir, "orders")
-        def stats(col: String): DataFrame =
+        def stats(col: String): DataFrame = {
+          val floating = o.schema(col).dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType => true
+            case _ => false
+          }
+          def render(c: Column) =
+            if (floating) c.cast("decimal(30,6)").cast("string")
+            else c.cast("string")
           o.agg(
             lit(col).as("column_name"),
             count(lit(1)).as("n_rows"),
             sum(when(o(col).isNull, 1L).otherwise(0L)).as("n_nulls"),
             countDistinct(o(col)).as("ndv"),
-            min(o(col)).cast("string").as("min_str"),
-            max(o(col)).cast("string").as("max_str"))
+            render(min(o(col))).as("min_str"),
+            render(max(o(col))).as("max_str"))
+        }
         Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
           .map(stats).reduce(_ unionByName _)
           .orderBy($"column_name")
@@ -277,7 +292,8 @@ object CoreRelational extends QueryModule {
         SELECT 'o_totalprice', count(*),
                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_totalprice),
-               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+               CAST(CAST(min(o_totalprice) AS DECIMAL(30,6)) AS VARCHAR),
+               CAST(CAST(max(o_totalprice) AS DECIMAL(30,6)) AS VARCHAR)
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', count(*),

@@ -198,6 +198,47 @@ object Dedup extends QueryModule {
       WHERE CAST(common AS DOUBLE) / n1 >= $threshold
       ORDER BY d1, d2"""
 
+  /** EXACT containment pairs via a ONE-SIDED prefix filter — the scale
+    * path for [[containmentPairs]] (its q101 analogue). The pigeonhole
+    * argument works one-sided: C(d1 -> d2) >= t means d1 and d2 share
+    * >= ceil(t*n1) of d1's n1 shingles, and under any global order those
+    * cannot all hide in the suffix of d1's sorted shingles of length
+    * ceil(t*n1) - 1 — so at least one common shingle sits in d1's FIRST
+    * n1 - ceil(t*n1) + 1 sorted shingles. Only the contained side's
+    * prefixes (~(1-t) of its shingles) are indexed; the container side
+    * must stay FULL, because containment puts no lower bound on the
+    * match's position in d2 (d2 may be arbitrarily larger — exactly the
+    * skew that defeats symmetric Jaccard and its two-sided filter).
+    * Candidate volume drops from sum(df^2) to ~(1-t)*sum(df^2), and the
+    * pre-distinct pair stream — the widest shuffle in the naive plan —
+    * shrinks by the same factor; a length filter (common >= t*n1 needs
+    * n2 >= ceil(t*n1)) prunes the tiny-container direction before the
+    * distinct. Candidates then exact-confirm against the full shingle
+    * arrays (array_intersect on the distinct sets), so the output is
+    * IDENTICAL to [[containmentPairs]] — same oracle. Gated in
+    * ShuffleGateSpec on a container/contained size-skew corpus. */
+  def containmentPrefixPairs(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val pref = sh.select($"doc_id", size($"sh").as("n"),
+      slice(array_sort($"sh"), lit(1),
+        (size($"sh") - ceil(size($"sh") * t) + 1).cast("int")).as("prefix"))
+    val a = pref.select($"doc_id".as("d1"), $"n".as("n1"), explode($"prefix").as("h"))
+    val b = sh.select($"doc_id".as("d2"), size($"sh").as("n2"), explode($"sh").as("h"))
+    val cand = a.join(b, Seq("h"))
+      .filter($"d1" =!= $"d2")
+      .filter($"n2" >= ceil($"n1" * t))
+      .select($"d1", $"d2").distinct()
+    cand
+      .join(sh.select($"doc_id".as("d1"), $"sh".as("sh1")), Seq("d1"))
+      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), Seq("d2"))
+      .withColumn("cont",
+        size(array_intersect($"sh1", $"sh2")).cast("double") / size($"sh1"))
+      .filter($"cont" >= t)
+      .select($"d1", $"d2", round($"cont", 4).as("cont"))
+      .orderBy($"d1", $"d2")
+  }
+
   /** k deterministic MinHash values via the native one-pass MinHashSig
     * expression (graft.catalyst.VecOps.minhash). */
   def minhashSignature(sh: Column, k: Int): Column =
@@ -943,10 +984,23 @@ object Dedup extends QueryModule {
         "near-1 containment while its symmetric Jaccard stays below any " +
         "useful threshold (jac <= |A|/|B|). Ordered pairs: d1 is the " +
         "contained doc, d2 the container. Same inverted-index + " +
-        "broadcast-size-table shape as q62; exact baseline — the scale " +
-        "ladder (one-sided prefix filter, LSH) is documented at " +
-        "containmentPairs.",
+        "broadcast-size-table shape as q62; exact baseline whose scale " +
+        "path is q162 (one-sided prefix filter, same oracle).",
       (s, dir) => containmentPairs(s, dir, 0.9),
+      Some(containmentOracle(0.9))),
+
+    Q(
+      "q162_containment_prefix",
+      "Containment pairs via the ONE-SIDED prefix filter — q145's scale " +
+        "path, as q101 is to q62: only the contained side's sorted-" +
+        "shingle prefix (~(1-t) of its shingles) is indexed, the " +
+        "container side stays full (containment bounds nothing on d2's " +
+        "side — exactly the size skew that defeats symmetric Jaccard's " +
+        "two-sided filter), candidates exact-confirm against the full " +
+        "shingle sets. Bit-identical to q145's naive index (same " +
+        "oracle); ShuffleGateSpec pins the shuffle-byte advantage on a " +
+        "skewed excerpt-in-container corpus.",
+      (s, dir) => containmentPrefixPairs(s, dir, 0.9),
       Some(containmentOracle(0.9)))
   )
 }

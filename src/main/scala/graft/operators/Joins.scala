@@ -600,7 +600,11 @@ object Joins extends QueryModule {
         "user-keyed sort-merge shape as q18 — the tolerance is a " +
         "post-match conditional, NOT a join-condition change, so the " +
         "candidate space and shuffle are identical to the untoleranced " +
-        "as-of. Oracle: DuckDB ASOF LEFT JOIN with the same null-out.",
+        "as-of. Ties on (user_id, p_ts) break by p_id desc on BOTH " +
+        "sides — the oracle is a window (row_number) with the same " +
+        "tie-break, not DuckDB's ASOF JOIN, whose pick among equal " +
+        "timestamps is arbitrary and would make the gate fixture-" +
+        "dependent.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
@@ -629,15 +633,19 @@ object Joins extends QueryModule {
         WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
                    FROM events WHERE event_type = 'error'),
              p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
-                   FROM events WHERE event_type = 'purchase')
-        SELECT e.user_id, e.err_id,
-               CASE WHEN p.p_ts >= e.err_ts - INTERVAL 30 MINUTE
-                    THEN p.p_id END AS p_id,
-               CASE WHEN p.p_ts >= e.err_ts - INTERVAL 30 MINUTE
-                    THEN CAST(floor(epoch(e.err_ts)) - floor(epoch(p.p_ts)) AS BIGINT)
+                   FROM events WHERE event_type = 'purchase'),
+             j AS (SELECT e.user_id, e.err_id, e.err_ts, p.p_id, p.p_ts,
+                          row_number() OVER (PARTITION BY e.err_id
+                                             ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+                   FROM e LEFT JOIN p
+                     ON e.user_id = p.user_id AND p.p_ts <= e.err_ts)
+        SELECT user_id, err_id,
+               CASE WHEN p_ts >= err_ts - INTERVAL 30 MINUTE
+                    THEN p_id END AS p_id,
+               CASE WHEN p_ts >= err_ts - INTERVAL 30 MINUTE
+                    THEN CAST(floor(epoch(err_ts)) - floor(epoch(p_ts)) AS BIGINT)
                     END AS gap_sec
-        FROM e ASOF LEFT JOIN p
-          ON e.user_id = p.user_id AND p.p_ts <= e.err_ts
-        ORDER BY e.err_id"""))
+        FROM j WHERE rn = 1
+        ORDER BY err_id"""))
   )
 }

@@ -17,12 +17,15 @@ object Bisect {
     require(args.nonEmpty, "usage: Bisect <target> [loIdx] [hiIdx] [sfDir] [reps]")
     val name = args(0)
     val all = SparkEntry.allQueries
+    val targetIdx = all.indexWhere(_.name == name)
+    require(targetIdx >= 0,
+      s"unknown query $name; usage: Bisect <target> [loIdx] [hiIdx] [sfDir] [reps]")
     val lo = if (args.length > 1) args(1).toInt else 0
-    val hi = if (args.length > 2) args(2).toInt else all.indexWhere(_.name == name)
+    val hi = if (args.length > 2) args(2).toInt else targetIdx
     val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
     val reps = if (args.length > 4) args(4).toInt else 1
     val s = GraftSession.create()
-    val q = all.find(_.name == name).getOrElse(sys.error(s"unknown query $name"))
+    val q = all(targetIdx)
     all.slice(lo, hi).foreach { p =>
       (1 to reps).foreach { _ =>
         try p.run(s, dir).count()

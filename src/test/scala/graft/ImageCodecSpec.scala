@@ -91,17 +91,18 @@ class ImageCodecSpec extends AnyFunSuite {
     val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    reader.setInput(iis)
-    val img = reader.read(0)
-    val bad = for {
-      y <- 0 until img.getHeight
-      x <- 0 until img.getWidth
-      exp = ((7 * x + 13 * y) % 256)
-      got = img.getRGB(x, y) & 0xff
-      if got != exp
-    } yield s"($x,$y): got $got want $exp"
-    assert(bad.isEmpty, bad.take(10).mkString("; "))
-    reader.dispose(); iis.close()
+    try {
+      reader.setInput(iis)
+      val img = reader.read(0)
+      val bad = for {
+        y <- 0 until img.getHeight
+        x <- 0 until img.getWidth
+        exp = ((7 * x + 13 * y) % 256)
+        got = img.getRGB(x, y) & 0xff
+        if got != exp
+      } yield s"($x,$y): got $got want $exp"
+      assert(bad.isEmpty, bad.take(10).mkString("; "))
+    } finally { reader.dispose(); iis.close() }
   }
 
   test("decodeGifFrameSample(encodeGif(id)) recovers closed-form features exactly") {

@@ -67,6 +67,67 @@ class ShuffleGateSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("q162 one-sided prefix plan shuffles <60% of q145's bytes on the size-skew corpus, same exact pairs") {
+    // The corpus is the regime containment exists for: 2000 big
+    // containers (120 tokens) plus 100 small excerpts, each a CONTIGUOUS
+    // 20-token slice of its container — containment 1.0, symmetric
+    // Jaccard ~18/118, invisible to q62/q101 at any useful threshold
+    // (asserted below). The one-sided filter indexes only contained-side
+    // prefixes; the container side stays full, so the win is ~(1-t) on
+    // the pair stream, not (1-t)^2 — still the dominant shuffle.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = typedLit(Seq(
+      "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+      "window", "small", "hash", "join", "spark", "group", "query", "row",
+      "data", "slow", "filter", "customer", "line", "batch", "value",
+      "stream", "a", "index", "page", "cache", "disk"))
+    val tok = (i: org.apache.spark.sql.Column) =>
+      element_at(vocab, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))
+    val containers = spark.range(2000).select($"id".as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(119)), tok), " ").as("text"))
+    // excerpt 2000+i = tokens 0..19 of container i (same xxhash64($"id", _) draw)
+    val excerpts = spark.range(100).select(($"id" + 2000).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(19)), tok), " ").as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_contgate").toString
+    containers.union(excerpts).withColumn("source", lit("s"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def drain(): Unit =
+      org.apache.spark.sql.graft.ColumnBridgeImpl.drainListenerBus(
+        spark.sparkContext, 60000L)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measure(f: => Long): (Long, Long) = {
+        drain(); bytes.set(0L)
+        val n = f
+        drain()
+        (n, bytes.get)
+      }
+      val (nNaive, bNaive) =
+        measure(graft.operators.Dedup.containmentPairs(spark, dir, 0.9).count())
+      val (nPrefix, bPrefix) =
+        measure(graft.operators.Dedup.containmentPrefixPairs(spark, dir, 0.9).count())
+      assert(nNaive === nPrefix, "one-sided prefix filtering must stay EXACT")
+      assert(nNaive >= 100L, s"planted excerpts must qualify (got $nNaive)")
+      assert(bNaive > 0L, "naive plan must register shuffle writes")
+      // the skew defeats symmetric Jaccard: no excerpt pair clears 0.8
+      val jacHits = graft.operators.Dedup.jaccardPairs(spark, dir, 0.8)
+        .filter($"d2" >= 2000L || $"d1" >= 2000L).count()
+      assert(jacHits === 0L,
+        s"excerpt pairs must be invisible to symmetric Jaccard (got $jacHits)")
+      val ratio = bPrefix.toDouble / bNaive
+      assert(ratio < 0.6,
+        f"prefix/naive shuffle ratio $ratio%.3f (${bPrefix / 1024} KiB vs ${bNaive / 1024} KiB) — one-sided prefix advantage eroded")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q68 LSH candidates are <20% of the quadratic pair count at recall >=0.95 on clustered vectors") {
     // The embedding ladder's gated resource is CANDIDATE ROWS SCORED, not
     // shuffle bytes: q65's crossJoin lowers to a broadcast nested-loop

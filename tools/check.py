@@ -26,6 +26,25 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Oracle TYPE lint: DuckDB SUM(INTEGER) yields HUGEINT (int128), a type
+    # Spark cannot produce — the driver's hash is type-sensitive, so an
+    # uncast integer sum fails hash_match even when every value is equal
+    # (bit us on q124/q125 in round 6). DESCRIBE each oracle and fail loudly
+    # before any value comparison.
+    BANNED = {"HUGEINT", "UHUGEINT"}
+    for name in sorted(oracle):
+        try:
+            desc = con.sql(f"DESCRIBE {oracle[name]}").fetchall()
+        except Exception as e:
+            print(f"  X {name}: oracle DESCRIBE error: {e}")
+            n_fail += 1
+            continue
+        bad = [(c, t) for c, t, *_ in desc
+               if t.split("(")[0].upper() in BANNED]
+        if bad:
+            print(f"  X {name}: LINT oracle column(s) typed un-Spark-able "
+                  f"{bad} — wrap in CAST(... AS BIGINT)")
+            n_fail += 1
     import os
     for name in sorted(os.listdir(out_dir)):
         if not os.path.isdir(f"{out_dir}/{name}"):
