@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -742,35 +743,8 @@ object AnalyticsPatterns extends QueryModule {
         "the edge table is bucketed by src and the per-iteration " +
         "exchange disappears.",
       (s, dir) => {
-        import org.apache.spark.sql.DataFrame
         import s.implicits._
-        val e0 = Tables.t(s, dir, "lineitem")
-          .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
-          .select(concat(lit("S"), $"l_suppkey").as("src"),
-            concat(lit("C"), $"o_custkey").as("dst"))
-          .distinct()
-        // the edge list feeds degree, node set, AND every iteration's
-        // contribution join — materialize ONCE or the fact⋈dim distinct
-        // recomputes per consumer (measured at 10x: 36 s → 7 s). Same
-        // local-vs-reliable checkpoint tradeoff as neardupClusters: on a
-        // real cluster use persist(DISK) / checkpoint() for executor-loss
-        // tolerance across a long iteration chain.
-        val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
-          .localCheckpoint()
-        val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
-        val nodes = e.select($"src".as("node")).distinct()
-        val eDeg = e.join(deg, Seq("src"))
-        def step(r: DataFrame): DataFrame = {
-          val s2 = eDeg.join(r.withColumnRenamed("node", "src"), Seq("src"))
-            .select($"dst".as("node"), expr("r DIV d").as("c"))
-            .groupBy($"node").agg(sum($"c").as("s"))
-          nodes.join(s2, Seq("node"), "left")
-            .select($"node",
-              (lit(150000L) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
-        }
-        val r0 = nodes.select($"node", lit(1000000L).as("r"))
-        val r2 = step(step(r0))
-        r2.select($"node", $"r".cast("long").as("rank_scaled"))
+        pagerankInt(s, dir, iterations = 2)
           .orderBy($"rank_scaled".desc, $"node")
           .limit(20)
       },
@@ -880,4 +854,69 @@ object AnalyticsPatterns extends QueryModule {
         FROM s3
         ORDER BY user_id"""))
   )
+
+  /** Integer fixed-point PageRank over the symmetrized supplier↔customer
+    * interaction graph — q150's iterative kernel, factored out so the
+    * iteration count and lineage-truncation mode are caller knobs.
+    * Per iteration: one slim (node, rank) join against the degree-
+    * annotated edge list + one aggregate; every op is integer on a 1e6
+    * scale, so the result is bit-identical on any engine, partitioning,
+    * or summation order. The edge list feeds degree, node set, AND every
+    * iteration's contribution join — materialized ONCE or the fact⋈dim
+    * distinct recomputes per consumer (measured at 10x: 36 s → 7 s).
+    * Output: (node, rank_scaled), unordered.
+    *
+    * @param reliable lineage truncation for the edge list and each
+    *   iteration's rank frame, mirroring [[Dedup.neardupClusters]]:
+    *   `false` (default) — eager `localCheckpoint`, blocks live on
+    *   executors, fastest, right for local mode; on a real cluster an
+    *   executor loss mid-chain kills the job (truncated lineage cannot
+    *   recompute lost blocks). `true` — eager persist-then-reliable-
+    *   `checkpoint()` to the SparkContext checkpoint dir (required — loud
+    *   error otherwise): the right switch for a 20-iteration chain on a
+    *   1000-executor cluster, where one lost executor must not restart
+    *   the whole crawl-weighting job. The persist-first dance avoids the
+    *   double computation an unpersisted reliable checkpoint pays (eager
+    *   count + checkpoint-RDD write). Superseded per-iteration files are
+    *   reclaimed by the context cleaner
+    *   (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) or by
+    *   clearing the dir after the job — worst case O(iterations) slim
+    *   (node, rank) dumps. */
+  def pagerankInt(s: SparkSession, dir: String, iterations: Int = 2,
+      reliable: Boolean = false): DataFrame = {
+    import s.implicits._
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "pagerankInt(reliable = true) needs spark.sparkContext.setCheckpointDir " +
+        "(a fault-tolerant FS path) before the call")
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) {
+        val p = df.persist()
+        val ck = p.checkpoint(true)
+        p.unpersist()
+        ck
+      } else df.localCheckpoint(true)
+    val e0 = Tables.t(s, dir, "lineitem")
+      .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("S"), $"l_suppkey").as("src"),
+        concat(lit("C"), $"o_custkey").as("dst"))
+      .distinct()
+    val e = snap(e0.union(e0.select($"dst".as("src"), $"src".as("dst"))))
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+    val nodes = e.select($"src".as("node")).distinct()
+    val eDeg = e.join(deg, Seq("src"))
+    def step(r: DataFrame): DataFrame = {
+      val s2 = eDeg.join(r.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst".as("node"), expr("r DIV d").as("c"))
+        .groupBy($"node").agg(sum($"c").as("s"))
+      nodes.join(s2, Seq("node"), "left")
+        .select($"node",
+          (lit(150000L) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
+    }
+    var r = nodes.select($"node", lit(1000000L).as("r"))
+    // snap each pass: the plan stays one-iteration deep no matter how
+    // many iterations run (unsnapped, iteration k replans k joins deep)
+    for (_ <- 1 to iterations) r = snap(step(r))
+    r.select($"node", $"r".cast("long").as("rank_scaled"))
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** README's headline numbers are generate-checked, not hand-trusted:
+  * round 6 shipped "303 ScalaTests" against an actual 307 and a
+  * heavy-hitter narrative missing the third-heaviest query. This pins
+  * every 3-digit "NNN queries" mention and the §2B range endpoint to
+  * the registered corpus, and bans raw ScalaTest totals outright (a
+  * test cannot verify the suite count from inside the suite, so the
+  * README must not state one). */
+class DocsSpec extends AnyFunSuite {
+  private lazy val readme = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+    java.nio.charset.StandardCharsets.UTF_8)
+
+  test("README corpus-size mentions equal the registered query count") {
+    val n = SparkEntry.allQueries.size
+    val mentions =
+      raw"(\d{3}) queries".r.findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(mentions.nonEmpty, "README must state the corpus size somewhere")
+    assert(mentions.forall(_ == n),
+      s"stale corpus count(s) in README: $mentions vs registered $n — " +
+        "update them, or write historical figures hyphenated " +
+        "('144-query corpus') so they don't read as current")
+  }
+
+  test("README §2B range endpoint is the highest registered query number") {
+    val hi = SparkEntry.allQueries.map(_.name)
+      .collect { case q if q.startsWith("q") =>
+        q.drop(1).takeWhile(_.isDigit).toInt }.max
+    val m = raw"`q01`[–-]`q(\d+)`".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README must carry the `q01`–`qNN` coverage range")
+    assert(m.get.group(1).toInt === hi,
+      s"README range ends at q${m.get.group(1)} but the corpus ends at q$hi")
+  }
+
+  test("README states no raw ScalaTest total") {
+    assert(raw"\d+ ScalaTests?\b".r.findFirstIn(readme).isEmpty,
+      "hand-written test totals go stale (round 6: 303 vs 307) — " +
+        "describe the suite without a number")
+  }
+}

@@ -268,6 +268,43 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: reliable checkpoint path equals local at any iteration count, and demands a dir") {
+    // same contract as neardupClusters(reliable): loud failure without a
+    // checkpoint dir, bit-identical ranks with one (integer fixed-point
+    // makes 'identical' exact, not approximate), and real files written.
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another test set a checkpoint dir; the guard assertion below would be vacuous")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnalyticsPatterns.pagerankInt(spark, sfDir, 3, reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_pr")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      // 3 iterations (not q150's 2): exercises the per-iteration snap in
+      // the regime where lineage would otherwise stack
+      val local = graft.operators.AnalyticsPatterns.pagerankInt(spark, sfDir, 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rel = graft.operators.AnalyticsPatterns
+        .pagerankInt(spark, sfDir, 3, reliable = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rel === local)
+      assert(local.nonEmpty)
+      val walk = java.nio.file.Files.walk(ckDir)
+      val wrote = try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally walk.close()
+      assert(wrote > 0, "reliable mode must materialize to the checkpoint dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      val walk = java.nio.file.Files.walk(ckDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
   test("neardup clusters equal union-find over the pair graph") {
     val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
