@@ -561,8 +561,11 @@ object TextAnalysis extends QueryModule {
         "adjacent symbol pairs (character bigrams inside whitespace " +
         "words), top-20 by count with lexical tie-break — the aggregate " +
         "a distributed BPE vocabulary trainer runs once per merge to " +
-        "pick the next pair (the driver applies the merge and re-runs; " +
-        "the per-iteration cost is THIS query). Generate is per-row " +
+        "pick the next pair. The full driver loop is IMPLEMENTED as " +
+        "bpeTrain (apply winning merge via the bpeApplyMerge fold, " +
+        "localCheckpoint, re-run this kernel) and BpeSpec verifies 3 " +
+        "iterations against an independent index-scan reference plus " +
+        "plan flatness across iterations. Generate is per-row " +
         "map-side work; the count shuffles (pair, partial) with map-side " +
         "combine collapsing the tiny symbol-pair domain before the wire " +
         "— at 100 TB the shuffle carries at most |alphabet|^2 keys per " +
@@ -657,4 +660,71 @@ object TextAnalysis extends QueryModule {
         FROM h WHERE n_hits > 0
         ORDER BY doc_id"""))
   )
+
+  /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
+    * left-to-right non-overlapping — the between-iterations step of a
+    * BPE vocabulary trainer (q141 is the counting kernel run once per
+    * merge; this is what the driver 'applies' before re-running it).
+    * A pure built-in fold (functions.aggregate), so the merge pass stays
+    * inside whole-stage codegen like the kernel itself: push each symbol;
+    * when the accumulator's last symbol is `a` and the incoming is `b`,
+    * replace the last with the merged symbol instead. The merged symbol
+    * a||b can never equal `a` (b is non-empty), so a freshly merged
+    * symbol cannot be re-merged as the LEFT half in the same pass —
+    * which is exactly the greedy non-overlapping semantics; it CAN seed
+    * the next pair as a left half once the next iteration's chosen pair
+    * names it, matching reference BPE. */
+  def bpeApplyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent-pair counts over a symbol-array corpus — q141's kernel
+    * generalized past iteration 1 (where symbols are single characters,
+    * this reduces to q141's character-bigram count). Map-side generate;
+    * the shuffle carries the current |vocab|^2-bounded pair domain with
+    * map-side combine, never the corpus. */
+  def bpePairCounts(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus.filter(size($"syms") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), j -> " +
+          "struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))"))
+        .as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The full multi-iteration BPE training loop: run the counting kernel,
+    * collect the single winning pair (count desc, lexical tie-break — a
+    * 2-cell driver artifact, not a corpus collect), apply the merge with
+    * [[bpeApplyMerge]], localCheckpoint the re-symbolized corpus so the
+    * plan stays one merge deep at any iteration count, repeat. Returns
+    * (iteration, a, b, n_merged_pair) — the learned merge table, in
+    * order. On a real cluster the corpus frame would persist to
+    * disk-backed storage between iterations exactly like q150's
+    * pagerankInt (same snap-per-iteration argument). */
+  def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    var corpus = Tables.t(s, dir, "documents")
+      .select(explode(split(trim($"text"), " ")).as("word"))
+      .filter(length($"word") >= 2)
+      .select(expr(
+        "transform(sequence(1, length(word)), j -> substring(word, j, 1))")
+        .as("syms"))
+      .localCheckpoint(true)
+    (1 to nMerges).map { it =>
+      val top = bpePairCounts(corpus)
+        .orderBy($"n".desc, $"a", $"b").limit(1).collect()
+      require(top.nonEmpty, s"BPE iteration $it: corpus has no adjacent pairs")
+      val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      corpus = corpus.select(bpeApplyMerge($"syms", a, b).as("syms"))
+        .localCheckpoint(true)
+      (it, a, b, n)
+    }
+  }
 }

@@ -571,6 +571,63 @@ object StreamingOps extends QueryModule {
            OR (p_id IS NULL AND c_ts < hz.h - INTERVAL 1 HOUR)""")),
 
     Q(
+      "q163_stream_stream_right_join",
+      "Stream-stream RIGHT OUTER join — the last cell of the streaming " +
+        "join matrix (q76 inner, q158 left, q159 full): every click " +
+        "survives, purchases are nullable; an unmatched click emits on " +
+        "state eviction once the watermark passes c_ts + 1h (a purchase " +
+        "up to an hour LATER could still have matched it — the same " +
+        "asymmetric horizon as q159's click side), so the deterministic " +
+        "comparison region is c_ts < hz - 1h with hz the q158 horizon. " +
+        "Below that line every preserved click is final — matched rows' " +
+        "purchases arrived before hz by the range predicate — and the " +
+        "counts are bit-exact vs the batch right join.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id".as("c_user"), $"event_id".as("c_id"), $"ts".as("c_ts"))
+          .withWatermark("c_ts", "1 hour")
+        val joined = purchases.join(clicks,
+          $"p_user" === $"c_user" &&
+            $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR"),
+          "rightOuter")
+        val out = runToMemory(s, joined.select($"p_id", $"c_id", $"c_ts"),
+          "graft_mem_ssrightjoin", "append", shufflePartitions = Some(8))
+        val batchEv = graft.Tables.t(s, dir, "events")
+        val hz = batchEv.groupBy()
+          .agg(least(
+            max(when($"event_type" === "purchase", $"ts")),
+            max(when($"event_type" === "click", $"ts"))).as("m"))
+          .select(($"m" - expr("INTERVAL 2 HOURS")).cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter($"c_ts" < lit(hz) - expr("INTERVAL 1 HOUR"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            count($"p_id").as("n_matched"),
+            sum(when($"p_id".isNull, 1L).otherwise(0L)).as("n_unmatched_clicks"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'click'),
+        hz AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+                        - INTERVAL 2 HOUR AS h),
+        j AS (SELECT p.event_id AS p_id, c.event_id AS c_id, c.ts AS c_ts
+              FROM p RIGHT JOIN c
+                ON p.user_id = c.user_id
+               AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT count(*) AS n_rows,
+               count(p_id) AS n_matched,
+               CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched_clicks
+        FROM j, hz WHERE j.c_ts < hz.h - INTERVAL 1 HOUR""")),
+
+    Q(
       "q160_chained_stateful",
       "MULTIPLE STATEFUL OPERATORS in one streaming query (Spark 3.4+ " +
         "unlock, exercised on Spark 4): a watermarked stream-stream " +
