@@ -628,6 +628,76 @@ object StreamingOps extends QueryModule {
         FROM j, hz WHERE j.c_ts < hz.h - INTERVAL 1 HOUR""")),
 
     Q(
+      "q164_stream_asof_tolerance",
+      "STREAMING AS-OF JOIN WITH TOLERANCE — q161's attribution run " +
+        "continuously: each error event takes the LATEST same-user " +
+        "purchase within the preceding 30 minutes. Composed from the " +
+        "chained-stateful unlock q160 proves: a watermarked stream-" +
+        "stream inner join whose range predicate IS the tolerance " +
+        "window, feeding a per-error argmax — max(struct(p_ts, p_id)) " +
+        "under a 1-hour tumbling window on the error's event time, the " +
+        "same (p_ts desc, p_id desc) tie-break as q161. The inner form " +
+        "is exactly q161's matched set: if ANY within-tolerance " +
+        "purchase exists, the latest at-or-before purchase is also " +
+        "within tolerance, so argmax-over-candidates = as-of-then-" +
+        "null-out minus the null rows. Append-mode groups emit once the " +
+        "watermark passes their window end, so the oracle compares " +
+        "errors below the q158 horizon minus one window length.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id".as("e_user"), $"event_id".as("err_id"), $"ts".as("e_ts"))
+          .withWatermark("e_ts", "1 hour")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = errors.join(purchases,
+          $"e_user" === $"p_user" &&
+            $"p_ts" <= $"e_ts" && $"p_ts" >= $"e_ts" - expr("INTERVAL 30 MINUTES"))
+        // e_ts doubles as the aggregate's window source and a per-row
+        // value; a raw second event-time column in the grouping is
+        // rejected (one event-time per stream), so the value copy rides
+        // as plain epoch seconds
+        val best = joined
+          .withColumn("e_sec", $"e_ts".cast("long"))
+          .groupBy(window($"e_ts", "1 hour"), $"err_id", $"e_sec")
+          .agg(max(struct($"p_ts", $"p_id")).as("best"))
+          .select($"err_id", $"e_sec", $"best.p_id".as("p_id"),
+            ($"e_sec" - $"best.p_ts".cast("long")).as("gap_sec"))
+        val out = runToMemory(s, best, "graft_mem_sasof", "append",
+          shufflePartitions = Some(8))
+        val batchEv = graft.Tables.t(s, dir, "events")
+        val hz = batchEv.groupBy()
+          .agg(least(
+            max(when($"event_type" === "purchase", $"ts")),
+            max(when($"event_type" === "error", $"ts"))).as("m"))
+          .select(($"m" - expr("INTERVAL 3 HOURS")).cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter($"e_sec" < lit(hz.getTime / 1000L))
+          .select($"err_id", $"p_id", $"gap_sec")
+          .orderBy($"err_id")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts
+                   FROM events WHERE event_type = 'error'),
+        p AS (SELECT user_id, event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts
+              FROM events WHERE event_type = 'purchase'),
+        hz AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(err_ts) FROM e))
+                        - INTERVAL 3 HOUR AS h),
+        j AS (SELECT e.err_id, e.err_ts, p.p_id, p.p_ts,
+                     row_number() OVER (PARTITION BY e.err_id
+                                        ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+              FROM e JOIN p
+                ON e.user_id = p.user_id
+               AND p.p_ts <= e.err_ts
+               AND p.p_ts >= e.err_ts - INTERVAL 30 MINUTE)
+        SELECT err_id, p_id,
+               CAST(floor(epoch(err_ts)) - floor(epoch(p_ts)) AS BIGINT) AS gap_sec
+        FROM j, hz WHERE rn = 1 AND err_ts < hz.h
+        ORDER BY err_id""")),
+
+    Q(
       "q160_chained_stateful",
       "MULTIPLE STATEFUL OPERATORS in one streaming query (Spark 3.4+ " +
         "unlock, exercised on Spark 4): a watermarked stream-stream " +
