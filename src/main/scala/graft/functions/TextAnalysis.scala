@@ -658,7 +658,76 @@ object TextAnalysis extends QueryModule {
               FROM w)
         SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
         FROM h WHERE n_hits > 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    Q(
+      "q165_bm25_topk",
+      "RANKED RETRIEVAL — BM25 top-15 for the query {query, window, " +
+        "scan}, completing the retrieval trio (q148 boolean, q149 " +
+        "phrase): tf from the token postings, per-term BM25 with " +
+        "k1=1.2, b=0.75 and the RATIONAL idf (N-df+0.5)/(df+0.5) — the " +
+        "log dropped, a monotone transform that preserves ranking while " +
+        "keeping every operation a correctly-rounded IEEE mul/div on " +
+        "integer-derived doubles (ln is implementation-defined across " +
+        "engines; nothing else here is). Each per-term score lands as " +
+        "floor(s*1e6 + 0.5) micros and the per-doc total is an INTEGER " +
+        "sum — order-independent, so the score is bit-identical on any " +
+        "partitioning and engine. Shuffles: the tf/len aggregates on " +
+        "doc_id and a 3-row idf broadcast; corpus stats are a 1-row " +
+        "broadcast, never a driver count. At 100 TB tf/len come from " +
+        "the same precomputed term-bucketed postings as q148/q149.",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("query", "window", "scan")
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+          .filter($"w" =!= "")
+        val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+        val corpus = lens.groupBy()
+          .agg(count(lit(1)).as("n_docs"), sum($"len").as("sum_len"))
+        val tf = toks.filter($"w".isin(terms: _*))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+        tf.join(lens, Seq("doc_id"))
+          .join(broadcast(idf), Seq("w"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("avgdl", $"sum_len".cast("double") / $"n_docs")
+          .withColumn("idf", ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+          .withColumn("den",
+            $"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"len" / $"avgdl")))
+          .withColumn("sc",
+            floor((($"idf" * ($"tf" * lit(2.2))) / $"den") * lit(1000000.0)
+              + lit(0.5)).cast("long"))
+          .groupBy($"doc_id")
+          .agg(sum($"sc").as("bm25_micros"), count(lit(1)).as("n_terms"))
+          .orderBy($"bm25_micros".desc, $"doc_id")
+          .limit(15)
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len
+                   FROM lens),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('query', 'window', 'scan') GROUP BY 1, 2),
+        idf AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        t AS (SELECT tf.doc_id, tf.tf, lens.len, idf.df, c.n_docs,
+                     CAST(c.sum_len AS DOUBLE) / c.n_docs AS avgdl
+              FROM tf JOIN lens USING (doc_id) JOIN idf USING (w)
+              CROSS JOIN corpus c),
+        s AS (SELECT doc_id,
+                     CAST(floor(((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                            / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl))))
+                          * 1000000.0 + 0.5) AS BIGINT) AS sc
+              FROM t)
+        SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micros,
+               count(*) AS n_terms
+        FROM s GROUP BY doc_id
+        ORDER BY bm25_micros DESC, doc_id
+        LIMIT 15"""))
   )
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy

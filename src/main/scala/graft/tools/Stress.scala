@@ -186,10 +186,30 @@ object Stress {
     time("containment 51k docs") {
       graft.operators.Dedup.containmentPairs(s, out, 0.9).count()
     }
+    // The one-sided prefix tier (q162): identical pair set, candidate
+    // stream cut to ~(1-t) of the naive index's (only contained-side
+    // prefixes are indexed; the container side must stay full).
+    time("containment prefix 51k docs") {
+      graft.operators.Dedup.containmentPrefixPairs(s, out, 0.9).count()
+    }
     // Positional-posting phrase search (q149): linear posting build, slim
     // (doc, pos) adjacency join.
     time(s"phrase search 51k docs") {
       SparkEntry.queries("q149_phrase_search")(s, out).count()
+    }
+    // BM25 ranked retrieval (q165): two doc-keyed aggregates + broadcast
+    // idf/corpus stats — the ranked tier over the same postings.
+    time("bm25 topk 51k docs") {
+      SparkEntry.queries("q165_bm25_topk")(s, out).count()
+    }
+    // BPE trainer cost flatness: 3 merges should cost ~3x one merge
+    // (per-iteration localCheckpoint keeps every kernel run one merge
+    // deep — BpeSpec pins the plan shape; this pins the wall clock).
+    time("bpe 1 merge 51k docs") {
+      graft.functions.TextAnalysis.bpeTrain(s, out, 1).last._4
+    }
+    time("bpe 3 merges 51k docs") {
+      graft.functions.TextAnalysis.bpeTrain(s, out, 3).last._4
     }
     // Gaps-and-islands at row scale: one shuffle on the partition key,
     // per-key sorts only (q143 user sessions; q144 supplier intervals).
