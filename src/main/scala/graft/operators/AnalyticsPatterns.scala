@@ -852,7 +852,69 @@ object AnalyticsPatterns extends QueryModule {
                GROUP BY ev.user_id)
         SELECT user_id, t1 AS click_at, t2 AS view_at, t3 AS purchase_at
         FROM s3
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    Q(
+      "q166_token_budget_selection",
+      "TOKEN-BUDGET CORPUS SELECTION — the 'fill the training budget " +
+        "with the best documents first' step of corpus curation: docs " +
+        "ranked by an integer quality score (stopword-ratio percent, " +
+        "all-integer arithmetic), the greedy prefix under a 100k-token " +
+        "budget selected by CUMULATIVE token count. The global running " +
+        "sum — the classic single-partition-window trap — is computed " +
+        "scalably with q125's two-phase shape, bucketed HERE by the " +
+        "score itself (a <=101-value domain): per-score window cumsum " +
+        "in parallel (ordered by doc_id), plus a <=101-row offset table " +
+        "broadcast back. A score bucket is bounded by its own " +
+        "population, never the corpus; the offset window runs over 101 " +
+        "rows. Output: per-score docs/tokens kept — the mixture report " +
+        "a curation run logs.",
+      (s, dir) => {
+        import s.implicits._
+        val sw = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+          .map(w => s"'$w'").mkString(", ")
+        val m = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            expr("filter(split(trim(text), ' '), x -> x != '')").as("t"))
+          .filter(size($"t") >= 1)
+          .select($"doc_id", size($"t").cast("long").as("ntok"),
+            expr(s"CAST((100 * size(filter(t, x -> x IN ($sw)))) DIV size(t) AS INT)")
+              .as("score"))
+        val wIn = Window.partitionBy($"score").orderBy($"doc_id")
+        val withCum = m.withColumn("cum_in", sum($"ntok").over(wIn))
+        val tots = m.groupBy($"score").agg(sum($"ntok").as("stot"))
+        // offsets window runs over <=101 rows (the score domain), never docs
+        val wOff = Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = tots
+          .withColumn("off", coalesce(sum($"stot").over(wOff), lit(0L)))
+          .select($"score", $"off")
+        withCum.join(broadcast(offs), Seq("score"))
+          .filter($"off" + $"cum_in" <= lit(100000L))
+          .groupBy($"score")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+          .orderBy($"score".desc)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS t
+                   FROM documents),
+        m AS (SELECT doc_id, len(t) AS ntok,
+                     (100 * len(list_filter(t,
+                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))))
+                       // len(t) AS score
+              FROM d WHERE len(t) >= 1),
+        r AS (SELECT score, ntok,
+                     sum(ntok) OVER (ORDER BY score DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+              FROM m)
+        SELECT CAST(score AS INT) AS score,
+               count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM r WHERE cum <= 100000
+        GROUP BY score
+        ORDER BY score DESC"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
