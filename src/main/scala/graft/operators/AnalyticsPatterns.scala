@@ -914,7 +914,77 @@ object AnalyticsPatterns extends QueryModule {
                CAST(sum(ntok) AS BIGINT) AS n_tokens
         FROM r WHERE cum <= 100000
         GROUP BY score
-        ORDER BY score DESC"""))
+        ORDER BY score DESC""")),
+
+    Q(
+      "q167_negative_sampling",
+      "NEGATIVE SAMPLING for contrastive/embedding training — 3 " +
+        "reproducible negatives per anchor doc: negatives are RING " +
+        "OFFSETS (rank + j*7919 mod N) on the deterministic global " +
+        "shuffle rank (q125's md5 two-phase shape — engine- and " +
+        "partitioning-independent, unlike seeded RNG), then pairs that " +
+        "are secretly NEAR-DUPS are excluded by anti-joining the exact " +
+        "Jaccard>=0.8 pair set (a 'negative' that duplicates its anchor " +
+        "poisons the loss). Shuffles: the rank build (q125's), one slim " +
+        "equi-join on rank values, one anti-join on id pairs — no " +
+        "per-anchor corpus scan, no crossJoin; N and the 16-row offset " +
+        "table ride broadcasts.",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            md5(concat(lit("negs:"), $"doc_id".cast("string"))).as("h"))
+          .withColumn("b", conv(substring($"h", 1, 1), 16, 10).cast("int"))
+        val wLocal = Window.partitionBy($"b").orderBy($"h", $"doc_id")
+        val local = keyed.withColumn("lrk", row_number().over(wLocal))
+        val wOff = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy($"b").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+          .select($"b", $"off")
+        val ranked = local.join(broadcast(offsets), Seq("b"))
+          .select($"doc_id", ($"off" + $"lrk" - 1).as("rk"))
+        val nTot = ranked.groupBy().agg(count(lit(1)).as("n_docs"))
+        val cand = ranked.filter($"doc_id" % 50 === 0)
+          .crossJoin(broadcast(nTot))
+          .select($"doc_id".as("anchor_id"), $"rk", $"n_docs",
+            explode(typedLit(Seq(1, 2, 3))).as("j"))
+          .withColumn("neg_rk", ($"rk" + $"j" * lit(7919L)) % $"n_docs")
+        val negs = cand
+          .join(ranked.select($"rk".as("neg_rk"), $"doc_id".as("neg_id")),
+            Seq("neg_rk"))
+          .filter($"neg_id" =!= $"anchor_id")
+        val dups = graft.operators.Dedup.jaccardPairs(s, dir, 0.8)
+          .select($"d1", $"d2")
+        negs.join(dups,
+            least($"anchor_id", $"neg_id") === dups("d1") &&
+              greatest($"anchor_id", $"neg_id") === dups("d2"), "left_anti")
+          .select($"anchor_id", $"j", $"neg_id")
+          .orderBy($"anchor_id", $"j")
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   ORDER BY md5('negs:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   - 1 AS rk
+          FROM documents),
+        nn AS (SELECT count(*) AS n_docs FROM ranked),
+        cand AS (SELECT a.doc_id AS anchor_id, CAST(t.j AS INTEGER) AS j,
+                        (a.rk + t.j * 7919) % nn.n_docs AS neg_rk
+                 FROM ranked a CROSS JOIN nn, unnest([1, 2, 3]) AS t(j)
+                 WHERE a.doc_id % 50 = 0),
+        negs AS (SELECT c.anchor_id, c.j, r.doc_id AS neg_id
+                 FROM cand c JOIN ranked r ON r.rk = c.neg_rk
+                 WHERE r.doc_id <> c.anchor_id),
+        ${graft.operators.Dedup.jaccardPairsCte},
+        dups AS (SELECT d1, d2 FROM jpairs
+                 WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8)
+        SELECT anchor_id, j, neg_id
+        FROM negs
+        WHERE NOT EXISTS (SELECT 1 FROM dups
+                          WHERE d1 = least(anchor_id, neg_id)
+                            AND d2 = greatest(anchor_id, neg_id))
+        ORDER BY anchor_id, j"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core scan / filter / projection / aggregation capability surface
@@ -335,6 +336,50 @@ object CoreRelational extends QueryModule {
                     ELSE CAST(bucket * 50 + 50 AS DOUBLE) END AS hi,
                count(*) AS n
         FROM b GROUP BY bucket
-        ORDER BY bucket"""))
+        ORDER BY bucket""")),
+
+    Q(
+      "q168_exact_percentiles",
+      "EXACT distributional percentiles (p50/p90/p99 of l_quantity per " +
+        "return flag) via COUNTING-SORT inverse CDF — the exact, " +
+        "oracle-able complement to q113's HLL-family approx sketch: " +
+        "per-value counts (the shuffle carries the <=50-value domain " +
+        "with map-side combine, never rows), a per-flag cumulative sum " +
+        "over that bounded domain, then v_p = min v with 100*cum >= " +
+        "pct*n — CROSS-MULTIPLIED INTEGER arithmetic (q136's trick " +
+        "applied to quantiles), because ceil(0.9*n) in doubles is a " +
+        "genuine cross-engine ULP hazard while 10*cum >= 9*n is not. " +
+        "Exactly the shape that scales: percentile-of-bounded-domain is " +
+        "a counting sort, not a global sort.",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.t(s, dir, "lineitem")
+          .select($"l_returnflag".as("flag"), $"l_quantity".cast("int").as("v"))
+          .groupBy($"flag", $"v").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy($"flag").orderBy($"v")
+        val cum = counts.withColumn("cum", sum($"c").over(wCum))
+        val tot = counts.groupBy($"flag").agg(sum($"c").as("n"))
+        val ps = Seq(("p50", 50), ("p90", 90), ("p99", 99)).toDF("lbl", "pct")
+        cum.join(broadcast(tot), Seq("flag"))
+          .crossJoin(broadcast(ps))
+          .filter($"cum" * 100 >= $"pct" * $"n")
+          .groupBy($"flag", $"lbl")
+          .agg(min($"v").as("value"))
+          .orderBy($"flag", $"lbl")
+      },
+      Some("""
+        WITH q AS (SELECT l_returnflag AS flag, CAST(l_quantity AS INTEGER) AS v
+                   FROM lineitem),
+        c AS (SELECT flag, v, count(*) AS c FROM q GROUP BY 1, 2),
+        cum AS (SELECT flag, v, c,
+                       sum(c) OVER (PARTITION BY flag ORDER BY v) AS cum
+                FROM c),
+        t AS (SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY flag),
+        p(lbl, pct) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        SELECT cum.flag, p.lbl, CAST(min(v) AS INTEGER) AS value
+        FROM cum JOIN t USING (flag) CROSS JOIN p
+        WHERE cum * 100 >= p.pct * t.n
+        GROUP BY cum.flag, p.lbl
+        ORDER BY flag, lbl"""))
   )
 }

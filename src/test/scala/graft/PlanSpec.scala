@@ -198,4 +198,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), "gram counting must combine map-side " +
       "(per-doc repeats collapse before the wire): " + plan.take(600))
   }
+
+  test("q165: idf and corpus stats ride broadcasts; the score agg is two-phase") {
+    // the corpus-stat crossJoin is a 1-row broadcast and the 3-row idf a
+    // broadcast hash join — a shuffled exchange on either would put the
+    // whole postings volume through the wire at 100 TB for a 4-row dim
+    val plan = planOf("q165_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      "idf dim must broadcast: " + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "1-row corpus stats must broadcast, not cartesian: " + plan.take(600))
+    assert(plan.contains("partial_"),
+      "tf/len/score aggregates must combine map-side: " + plan.take(600))
+  }
+
+  test("q166: the offset table is broadcast and no window spans the corpus") {
+    val plan = planOf("q166_token_budget_selection")
+    assert(plan.contains("BroadcastHashJoin"),
+      "<=101-row offset table must broadcast: " + plan.take(600))
+    // the only sort-based windows allowed are per-score (partitioned) and
+    // the <=101-row offset cumsum; a global single-partition corpus window
+    // would show as Window over Exchange SinglePartition feeding doc rows.
+    // AQE's toString appends an "== Initial Plan ==" copy — count only the
+    // final section or every operator double-counts.
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val single = finalSection.linesIterator
+      .filter(_.contains("SinglePartition")).toSeq
+    assert(single.size <= 1,
+      s"expected at most the 101-row offset window on a single partition: $single")
+  }
 }
