@@ -1001,6 +1001,34 @@ object Dedup extends QueryModule {
         "oracle); ShuffleGateSpec pins the shuffle-byte advantage on a " +
         "skewed excerpt-in-container corpus.",
       (s, dir) => containmentPrefixPairs(s, dir, 0.9),
-      Some(containmentOracle(0.9)))
+      Some(containmentOracle(0.9))),
+
+    Q(
+      "q170_hard_negative_band",
+      "HARD-NEGATIVE BAND — exact pairs with LOW-BUT-NONZERO similarity " +
+        "(0.02 <= jac < 0.6): q167's ring-offset negatives are easy; " +
+        "contrastive training improves on pairs that share real content " +
+        "without being duplicates, and this band is that population's " +
+        "exact ground truth (the calibration set for any LSH-mined " +
+        "approximation — at mining thresholds this low the prefix " +
+        "filter honestly degenerates to the full index, prefix length " +
+        "~0.98n, so the naive exact index IS the right exact plan and " +
+        "LSH banding tuned to the band, q63/q115's machinery, is the " +
+        "production tier). Upper bound applied on the rounded " +
+        "similarity, same as the oracle.",
+      (s, dir) => {
+        import s.implicits._
+        jaccardPairs(s, dir, 0.02)
+          .filter($"jac" < 0.6)
+          .orderBy($"d1", $"d2")
+      },
+      Some(s"""
+        WITH $jaccardPairsCte
+        SELECT d1, d2,
+               round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) AS jac
+        FROM jpairs
+        WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.02
+          AND round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) < 0.6
+        ORDER BY d1, d2"""))
   )
 }

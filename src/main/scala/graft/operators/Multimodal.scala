@@ -93,6 +93,55 @@ object Multimodal extends QueryModule {
     ImageFeatures(id, w, h, sr, sg, sb)
   }
 
+  /** One augmented image (q169): horizontal flip + 1-pixel center crop,
+    * features from the AUGMENTED pixels. The sums are POSITION-WEIGHTED
+    * (wt = xa + 2*ya + 1 over augmented coords) — a plain channel sum is
+    * flip-invariant and would vacuously pass an unflipped implementation;
+    * the weighted sum pins the geometry. Integer weights × integer
+    * channels keep the oracle exact. */
+  final case class AugmentedFeatures(
+      doc_id: Long, width: Int, height: Int,
+      wsum_r: Long, wsum_g: Long, wsum_b: Long)
+
+  /** REAL augmentation path (q169): decode the PNG payload, flip
+    * horizontally, crop the 1-pixel border (the train-time 'random' crop
+    * made deterministic), then extract position-weighted channel sums
+    * from the augmented pixels. Augmented (xa, ya) reads source
+    * (w-1-(xa+1), ya+1); fixture dims are >= 4x4 so the crop is never
+    * empty. */
+  def augmentPngFeatures(id: Long, payload: Array[Byte]): AugmentedFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 4 && h >= 4, s"doc $id: ${w}x$h too small for the 1-px crop")
+    val aw = w - 2
+    val ah = h - 2
+    val aug = new java.awt.image.BufferedImage(
+      aw, ah, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ya = 0
+    while (ya < ah) {
+      var xa = 0
+      while (xa < aw) {
+        aug.setRGB(xa, ya, img.getRGB(w - 1 - (xa + 1), ya + 1))
+        xa += 1
+      }
+      ya += 1
+    }
+    val px = aug.getRGB(0, 0, aw, ah, null, 0, aw)
+    var wr = 0L; var wg = 0L; var wb = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val wt = (i % aw + 2 * (i / aw) + 1).toLong
+      wr += wt * ((rgb >> 16) & 0xff)
+      wg += wt * ((rgb >> 8) & 0xff)
+      wb += wt * (rgb & 0xff)
+      i += 1
+    }
+    AugmentedFeatures(id, aw, ah, wr, wg, wb)
+  }
+
   /** One decoded audio clip: REAL features from AudioSystem-decoded PCM
     * samples (q118). Integer amplitude sums (not float RMS) so the oracle
     * comparison is exact — same design as [[ImageFeatures]]. */
@@ -455,6 +504,49 @@ object Multimodal extends QueryModule {
                CAST(sum((doc_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
                CAST(sum((doc_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
         FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q169_image_augment",
+      "TRAIN-TIME IMAGE AUGMENTATION on the real codec path: decode the " +
+        "PNG payload (q114's ImageIO tier), HORIZONTAL FLIP + 1-pixel " +
+        "center crop (the deterministic stand-in for random crop), then " +
+        "position-weighted integer channel sums from the AUGMENTED " +
+        "pixels — weighted because a plain sum is flip-invariant and " +
+        "would pass an unflipped implementation vacuously; the weight " +
+        "xa + 2*ya + 1 pins the output geometry to the oracle's " +
+        "coordinate remap (augmented (xa, ya) reads source " +
+        "(w-2-xa, ya+1)). Same 100 TB shape as every codec query: " +
+        "payloads are born, augmented, and die inside one partition; " +
+        "only scalar features leave the map.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, png) => augmentPngFeatures(id, png) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims),
+        c AS (
+          SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+        k AS (
+          SELECT doc_id, w, h, x, y,
+                 (w - 2 - x) + 2 * (y - 1) + 1 AS wt
+          FROM c WHERE x >= 1 AND x <= w - 2 AND y >= 1 AND y <= h - 2)
+        SELECT doc_id,
+               CAST(any_value(w - 2) AS INTEGER) AS width,
+               CAST(any_value(h - 2) AS INTEGER) AS height,
+               CAST(sum(wt * ((doc_id * 31 + x * 7 + y * 13) % 256)) AS BIGINT) AS wsum_r,
+               CAST(sum(wt * ((doc_id * 17 + x * 5 + y * 11) % 256)) AS BIGINT) AS wsum_g,
+               CAST(sum(wt * ((doc_id * 23 + x * 3 + y * 19) % 256)) AS BIGINT) AS wsum_b
+        FROM k GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
       "q118_audio_codec",

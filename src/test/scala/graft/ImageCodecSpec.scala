@@ -23,6 +23,36 @@ class ImageCodecSpec extends AnyFunSuite {
     Multimodal.ImageFeatures(id, w, h, sr, sg, sb)
   }
 
+  test("augment: flip+crop weighted sums match closed form, and the flip is observable") {
+    // independent reference over SOURCE coordinates; flip=false is the
+    // unflipped crop — if the weighted sums never distinguished the two,
+    // the weights would be failing at their one job
+    def closedForm(id: Long, flip: Boolean): (Long, Long, Long) = {
+      val w = (4 + id % 5).toInt
+      val h = (4 + id % 3).toInt
+      var wr = 0L; var wg = 0L; var wb = 0L
+      for (ya <- 0 until h - 2; xa <- 0 until w - 2) {
+        val sx = if (flip) w - 2 - xa else xa + 1
+        val sy = ya + 1
+        val wt = xa + 2 * ya + 1
+        wr += wt * ((id * 31 + sx * 7 + sy * 13) % 256)
+        wg += wt * ((id * 17 + sx * 5 + sy * 11) % 256)
+        wb += wt * ((id * 23 + sx * 3 + sy * 19) % 256)
+      }
+      (wr, wg, wb)
+    }
+    var flipObserved = false
+    (0L to 20L).foreach { id =>
+      val got = Multimodal.augmentPngFeatures(id, Multimodal.encodePng(id))
+      val want = closedForm(id, flip = true)
+      assert((got.wsum_r, got.wsum_g, got.wsum_b) === want, s"doc $id")
+      assert(got.width === (4 + id % 5).toInt - 2, s"doc $id width")
+      assert(got.height === (4 + id % 3).toInt - 2, s"doc $id height")
+      if (closedForm(id, flip = false) != want) flipObserved = true
+    }
+    assert(flipObserved, "weighted sums must distinguish flipped from unflipped")
+  }
+
   test("encodePng emits real PNGs (magic bytes + ImageIO-parsable)") {
     val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
