@@ -144,6 +144,52 @@ object SourceFormats extends QueryModule {
                count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         FROM unified
         GROUP BY 1
-        ORDER BY priority"""))
+        ORDER BY priority""")),
+
+    Q("q171_corrupt_quarantine",
+      "MALFORMED-RECORD QUARANTINE — the ingest pattern that keeps one " +
+        "bad producer from poisoning or aborting a feed: JSON lines " +
+        "(every 7th deterministically truncated mid-record) parsed in " +
+        "PERMISSIVE mode with a _corrupt_record column, good rows " +
+        "aggregated, bad rows COUNTED instead of crashing the job " +
+        "(FAILFAST) or silently vanishing (DROPMALFORMED). The parse is " +
+        "per-row map work (from_json, no shuffle); only the final " +
+        "1-row aggregate exchanges. Oracle reconstructs the same " +
+        "good/bad split relationally from the corruption rule — " +
+        "equality proves the PERMISSIVE routing classified every line " +
+        "correctly.",
+      (s, dir) => {
+        import s.implicits._
+        val lines = Tables.t(s, dir, "documents")
+          .select($"doc_id".as("id"),
+            to_json(struct($"doc_id", $"lang", $"n_chars")).as("line"))
+          .select(when($"id" % 7 === 0,
+            expr("substring(line, 1, length(line) - 3)"))
+            .otherwise($"line").as("line"))
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("n_chars", IntegerType),
+          StructField("_bad", StringType)))
+        lines
+          .select(from_json($"line", schema,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_bad")).as("r"))
+          .select($"r.doc_id", $"r.n_chars", $"r._bad")
+          .groupBy()
+          .agg(
+            count(when($"_bad".isNull, 1)).as("n_good"),
+            count($"_bad").as("n_quarantined"),
+            sum(when($"_bad".isNull, $"n_chars").otherwise(0))
+              .cast("long").as("chars_good"))
+      },
+      Some("""
+        SELECT CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_good,
+               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_quarantined,
+               CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS chars_good
+        FROM documents"""))
   )
 }
