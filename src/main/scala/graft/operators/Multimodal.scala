@@ -205,6 +205,48 @@ object Multimodal extends QueryModule {
     } finally ais.close()
   }
 
+  /** One augmented audio clip (q172): integer 2x gain clamped to ±3500
+    * plus an 8-sample head/tail trim, features from the AUGMENTED
+    * samples. Gain is pure multiplication (integer division semantics
+    * for negatives differ between engines — truncation vs floor — so the
+    * kernel avoids division entirely); the clamp bound sits inside the
+    * doubled ±4000 amplitude range so clipping genuinely occurs and is
+    * COUNTED, pinning the clamp to the oracle. */
+  final case class AugmentedAudio(
+      doc_id: Long, n_samples: Int,
+      sum_amp: Long, sum_abs: Long, n_clipped: Long)
+
+  /** REAL audio augmentation path (q172): decode the WAV payload, trim 8
+    * samples from head and tail (the deterministic stand-in for random
+    * cropping), apply 2x gain with hard clipping at ±3500, extract
+    * integer sums + the clipped-sample count from the result. */
+  def augmentWavFeatures(id: Long, payload: Array[Byte]): AugmentedAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian,
+        s"doc $id: expected 16-bit signed LE mono PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      require(n > 16, s"doc $id: $n samples too short for the 8+8 trim")
+      var sum = 0L; var sumAbs = 0L; var clipped = 0L
+      var i = 8
+      while (i < n - 8) {
+        val amp = (((pcm(i * 2 + 1) & 0xff) << 8) | (pcm(i * 2) & 0xff)).toShort.toInt
+        val g0 = 2 * amp
+        val ga = math.max(-3500, math.min(3500, g0))
+        if (g0 > 3500 || g0 < -3500) clipped += 1
+        sum += ga
+        sumAbs += math.abs(ga)
+        i += 1
+      }
+      AugmentedAudio(id, n - 16, sum, sumAbs, clipped)
+    } finally ais.close()
+  }
+
   /** One decoded multi-frame clip: REAL features from ImageIO-decoded GIF
     * frames (q147). Integer gray sums over the SAMPLED frames only, so
     * the oracle restates both the codec round-trip and the sampling
@@ -586,6 +628,47 @@ object Multimodal extends QueryModule {
                CAST(sum(abs(amp)) AS BIGINT)       AS sum_abs,
                CAST(max(abs(amp)) AS INTEGER)      AS max_abs
         FROM a GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q172_audio_augment",
+      "TRAIN-TIME AUDIO AUGMENTATION on the real codec path (q169's " +
+        "pattern on the q118 tier): decode the WAV payload, trim 8 " +
+        "samples head and tail, apply 2x GAIN with hard CLIPPING at " +
+        "±3500 — inside the doubled ±4000 amplitude range, so clipping " +
+        "genuinely fires and its count is an output column pinning the " +
+        "clamp semantics to the oracle. Gain is pure integer " +
+        "multiplication: integer DIVISION is avoided on purpose, its " +
+        "negative-operand semantics (truncate vs floor) differ between " +
+        "engines. Payloads never leave their partition.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodeWav(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, wav) => augmentWavFeatures(id, wav) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, unnest(range(8, n - 8)) AS i FROM par),
+        a AS (
+          SELECT doc_id, n, ((doc_id * 37 + i * 13) % 4001) - 2000 AS amp FROM s),
+        g AS (
+          SELECT doc_id, n,
+                 least(greatest(2 * amp, -3500), 3500) AS ga,
+                 CASE WHEN 2 * amp > 3500 OR 2 * amp < -3500
+                      THEN 1 ELSE 0 END AS clipped
+          FROM a)
+        SELECT doc_id,
+               CAST(any_value(n - 16) AS INTEGER) AS n_samples,
+               CAST(sum(ga) AS BIGINT)            AS sum_amp,
+               CAST(sum(abs(ga)) AS BIGINT)       AS sum_abs,
+               CAST(sum(clipped) AS BIGINT)       AS n_clipped
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
     Q(
       "q147_video_codec",

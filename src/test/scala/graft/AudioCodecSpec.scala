@@ -24,6 +24,29 @@ class AudioCodecSpec extends AnyFunSuite {
     Multimodal.AudioFeatures(id, n, 8000, sum, sumAbs, maxAbs)
   }
 
+  test("augment: trim+gain+clip matches closed form, and clipping actually fires") {
+    def closedForm(id: Long): Multimodal.AugmentedAudio = {
+      val n = (64 + id % 33).toInt
+      var sum = 0L; var sumAbs = 0L; var clipped = 0L
+      for (i <- 8 until n - 8) {
+        val amp = (((id * 37 + i * 13) % 4001) - 2000).toInt
+        val g0 = 2 * amp
+        val ga = math.max(-3500, math.min(3500, g0))
+        if (g0 > 3500 || g0 < -3500) clipped += 1
+        sum += ga
+        sumAbs += math.abs(ga)
+      }
+      Multimodal.AugmentedAudio(id, n - 16, sum, sumAbs, clipped)
+    }
+    var clipObserved = false
+    (0L to 40L).foreach { id =>
+      val got = Multimodal.augmentWavFeatures(id, Multimodal.encodeWav(id))
+      assert(got === closedForm(id), s"doc $id")
+      if (got.n_clipped > 0) clipObserved = true
+    }
+    assert(clipObserved, "the ±3500 clamp must fire inside the ±4000 gain range")
+  }
+
   test("encodeWav emits real RIFF/WAVE payloads (magic + AudioSystem-parsable)") {
     Seq(0L, 1L, 7L, 123L, 9999L).foreach { id =>
       val bytes = Multimodal.encodeWav(id)
