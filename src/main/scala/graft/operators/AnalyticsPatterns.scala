@@ -984,7 +984,68 @@ object AnalyticsPatterns extends QueryModule {
         WHERE NOT EXISTS (SELECT 1 FROM dups
                           WHERE d1 = least(anchor_id, neg_id)
                             AND d2 = greatest(anchor_id, neg_id))
-        ORDER BY anchor_id, j"""))
+        ORDER BY anchor_id, j""")),
+
+    Q(
+      "q173_curriculum_stages",
+      "CURRICULUM STAGING by EXACT length quartiles — q168's counting-" +
+        "sort inverse CDF composed downstream: token-count quartile " +
+        "thresholds (min v with 100*cum >= pct*n, cross-multiplied " +
+        "integers — no double ceil, no approx sketch), each doc's stage " +
+        "= how many thresholds its length exceeds (0..3, short-to-long " +
+        "— the shortest-first ordering curriculum schedules train on), " +
+        "then stage populations and token mass. The CDF window runs " +
+        "over the DISTINCT length domain (hundreds of values, not " +
+        "docs); the 3-row threshold table broadcasts back — the " +
+        "per-doc work is a map against a 3-row dimension.",
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            expr("size(filter(split(trim(text), ' '), x -> x != ''))")
+              .cast("long").as("v"))
+          .filter($"v" >= 1)
+        val counts = m.groupBy($"v").agg(count(lit(1)).as("c"))
+        // window over distinct length values only — a bounded domain
+        val wCum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = counts.withColumn("cum", sum($"c").over(wCum))
+        val tot = m.groupBy().agg(count(lit(1)).as("n"))
+        val ps = Seq(("p25", 25), ("p50", 50), ("p75", 75)).toDF("lbl", "pct")
+        val th = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ps))
+          .filter($"cum" * 100 >= $"pct" * $"n")
+          .groupBy($"lbl").agg(min($"v").as("tv"))
+        m.crossJoin(broadcast(th))
+          .groupBy($"doc_id", $"v")
+          .agg(sum(when($"v" > $"tv", 1).otherwise(0)).cast("int").as("stage"))
+          .groupBy($"stage")
+          .agg(count(lit(1)).as("n_docs"), sum($"v").as("n_tokens"))
+          .orderBy($"stage")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS t
+                   FROM documents),
+        m AS (SELECT doc_id, len(t) AS v FROM d WHERE len(t) >= 1),
+        c AS (SELECT v, count(*) AS c FROM m GROUP BY v),
+        cum AS (SELECT v, sum(c) OVER (ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+                FROM c),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        p(lbl, pct) AS (VALUES ('p25', 25), ('p50', 50), ('p75', 75)),
+        th AS (SELECT lbl, min(v) AS tv
+               FROM cum CROSS JOIN tt CROSS JOIN p
+               WHERE cum * 100 >= pct * n
+               GROUP BY lbl),
+        st AS (SELECT m.doc_id, m.v,
+                      CAST(sum(CASE WHEN m.v > th.tv THEN 1 ELSE 0 END)
+                           AS INTEGER) AS stage
+               FROM m CROSS JOIN th
+               GROUP BY m.doc_id, m.v)
+        SELECT stage, count(*) AS n_docs, CAST(sum(v) AS BIGINT) AS n_tokens
+        FROM st GROUP BY stage
+        ORDER BY stage"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
