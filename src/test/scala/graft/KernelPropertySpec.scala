@@ -193,4 +193,44 @@ class KernelPropertySpec extends AnyFunSuite {
         s"CMS overestimate beyond bound: ${r.getString(0)} est=$est exact=$exact N=$nTotal")
     }
   }
+
+  test("bpeApplyMerge equals the index-scan reference on adversarial symbol runs") {
+    // the fold-with-last formulation vs the classic two-pointer scan, on
+    // a deliberately tiny alphabet with composite symbols ("ab", "ba") so
+    // overlapping runs (a a a), pair-equals-merged collisions, and
+    // absent-pair identity all occur within 200 samples. Evaluated as ONE
+    // Spark job: every sample is a column over a single row.
+    import org.apache.spark.sql.functions._
+    val spark = TestSession.spark
+    val sym: Gen[String] = Gen.oneOf("a", "b", "c", "ab", "ba")
+    val caseGen = Gen.zip(
+      Gen.choose(0, 12).flatMap(Gen.listOfN(_, sym)), sym, sym)
+    val samples = scala.collection.mutable.ArrayBuffer[(List[String], String, String)]()
+    var seed = Seed(7L)
+    while (samples.length < 200) {
+      caseGen.apply(Gen.Parameters.default, seed).foreach(samples += _)
+      seed = seed.next
+    }
+    def ref(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    val cols = samples.zipWithIndex.map { case ((syms, a, b), i) =>
+      graft.functions.TextAnalysis
+        .bpeApplyMerge(typedLit(syms), a, b).as(s"c$i")
+    }
+    val row = spark.range(1).select(cols.toSeq: _*).head()
+    samples.zipWithIndex.foreach { case ((syms, a, b), i) =>
+      val got = row.getSeq[String](i).toList
+      assert(got === ref(syms, a, b), s"case $i: syms=$syms pair=($a,$b)")
+      assert(got.mkString === syms.mkString,
+        s"case $i: a merge must never create or lose characters")
+    }
+  }
 }
