@@ -954,10 +954,14 @@ object AnalyticsPatterns extends QueryModule {
             Seq("neg_rk"))
           .filter($"neg_id" =!= $"anchor_id")
         val dups = graft.operators.Dedup.jaccardPairs(s, dir, 0.8)
-          .select($"d1", $"d2")
-        negs.join(dups,
-            least($"anchor_id", $"neg_id") === dups("d1") &&
-              greatest($"anchor_id", $"neg_id") === dups("d2"), "left_anti")
+          .select($"d1".as("lo"), $"d2".as("hi"))
+        // precompute the unordered-pair key so the anti-join is EQUI on
+        // (lo, hi) — a non-equi least/greatest condition in the join
+        // itself lowers to a nested loop, which does not survive scale
+        negs
+          .withColumn("lo", least($"anchor_id", $"neg_id"))
+          .withColumn("hi", greatest($"anchor_id", $"neg_id"))
+          .join(dups, Seq("lo", "hi"), "left_anti")
           .select($"anchor_id", $"j", $"neg_id")
           .orderBy($"anchor_id", $"j")
       },

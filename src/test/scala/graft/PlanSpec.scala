@@ -212,6 +212,21 @@ class PlanSpec extends AnyFunSuite {
       "tf/len/score aggregates must combine map-side: " + plan.take(600))
   }
 
+  test("q167: the dup-exclusion anti-join is hash/merge equi, never a nested loop") {
+    // the only nested-loop allowed is the deliberate 1-row n_docs
+    // crossJoin; the anti-join against the (potentially large) near-dup
+    // pair set must join equi on the precomputed (lo, hi) pair key
+    val plan = planOf("q167_negative_sampling")
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val antiLines = finalSection.linesIterator
+      .filter(_.contains("LeftAnti")).toSeq
+    assert(antiLines.nonEmpty, "expected an anti-join in the plan")
+    assert(antiLines.forall(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")),
+      s"anti-join degenerated to a nested loop: $antiLines")
+  }
+
   test("q166: the offset table is broadcast and no window spans the corpus") {
     val plan = planOf("q166_token_budget_selection")
     assert(plan.contains("BroadcastHashJoin"),
