@@ -1,0 +1,65 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The LAST MILE of a corpus build: cut the globally-shuffled corpus into
+  * training shards and WRITE them — the step q125 audits, actually
+  * executed. Shard assignment is the same reproducible kernel (md5 of a
+  * seeded key ranked by the two-phase bucket shape — never a
+  * single-partition window, never seeded RNG whose draw depends on the
+  * physical split), so two runs on any cluster layout produce the same
+  * document→shard mapping and the same within-shard order.
+  *
+  * Write shape for 100 TB: `repartition(nShards, shard_id)` gives one
+  * task per shard (co-locating a shard's rows exactly once);
+  * `sortWithinPartitions` makes row order inside each file the global
+  * shuffle order restricted to the shard (training readers stream files
+  * sequentially — order must live in the FILE, not in a reader-side
+  * sort); `partitionBy(shard_id)` lays out one directory per shard so a
+  * data loader can mount shard k without listing the rest. Shards beyond
+  * executor-count parallelism: raise nShards, not file sizes — the
+  * writer stays one-pass either way.
+  */
+object TrainingShards {
+
+  /** Assign every row a reproducible global rank and shard. Exposed for
+    * the spec; [[write]] composes it. Output: input columns + (rk,
+    * shard_id). */
+  def withShardIds(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val keyed = docs
+      .withColumn("h", md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))))
+      .withColumn("b", conv(substring($"h", 1, 1), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy($"b").orderBy($"h", $"doc_id")
+    val local = keyed.withColumn("lrk", row_number().over(wLocal))
+    val wOff = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy($"b").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+      .select($"b", $"off")
+    local.join(broadcast(offsets), Seq("b"))
+      .withColumn("rk", $"off" + $"lrk" - 1)
+      .withColumn("shard_id", ($"rk" % nShards).cast("int"))
+      .drop("h", "b", "lrk", "off")
+  }
+
+  /** Write `docs` as `nShards` round-robin shards under `path`
+    * (directory per shard, rows in global-shuffle order within each
+    * shard's files). Returns the per-shard (shard_id, n_rows) audit. */
+  def write(docs: DataFrame, path: String, seed: String,
+      nShards: Int): Array[(Int, Long)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sharded = withShardIds(docs, seed, nShards)
+    sharded
+      .repartition(nShards, $"shard_id")
+      .sortWithinPartitions($"shard_id", $"rk")
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+    s.read.parquet(path)
+      .groupBy($"shard_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.sink.TrainingShards
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shard-emit last mile: balanced round-robin shards, file order equal
+  * to the global shuffle order, byte-level determinism across reruns, and
+  * agreement with q125's audited shard assignment (same seed, same
+  * kernel — the write path and the audit query must never drift apart). */
+class TrainingShardsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("shard write: balanced, deterministic, file-order = shuffle order, matches q125's audit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_shards1").toString
+    val audit = TrainingShards.write(docs, dir1, "seed42", 8)
+
+    assert(audit.map(_._1).toSeq === (0 until 8), "every shard dir must exist")
+    val ns = audit.map(_._2)
+    assert(ns.max - ns.min <= 1, s"round-robin shards must balance: ${audit.toSeq}")
+
+    // the write path and q125's audit share one kernel — assert it
+    val q125 = SparkEntry.queries("q125_global_shuffle")(spark, sfDir)
+      .select($"shard_id", $"n_docs").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(audit.toSeq === q125.toSeq,
+      "written shard sizes must equal q125's audited assignment")
+
+    // rows inside each shard's file(s) are in global-shuffle order, and
+    // every rank in shard k is ≡ k (mod 8)
+    (0 until 8).foreach { k =>
+      val rks = spark.read.parquet(s"$dir1/shard_id=$k")
+        .withColumn("ord", monotonically_increasing_id())
+        .select($"ord", $"rk").collect()
+        .sortBy(_.getLong(0)).map(_.getLong(1))
+      assert(rks.nonEmpty, s"shard $k empty")
+      assert(rks.sameElements(rks.sorted), s"shard $k file order != shuffle order")
+      assert(rks.forall(_ % 8 == k), s"shard $k contains foreign ranks")
+    }
+
+    // reruns reproduce the identical document→shard→position mapping
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    TrainingShards.write(docs, dir2, "seed42", 8)
+    def content(d: String) = spark.read.parquet(d)
+      .select($"doc_id", $"rk", $"shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(content(dir1) === content(dir2), "shard emit must be deterministic")
+  }
+}
