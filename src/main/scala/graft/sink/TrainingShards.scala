@@ -31,6 +31,8 @@ object TrainingShards {
     val s = docs.sparkSession
     import s.implicits._
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    require(docs.columns.contains("doc_id"),
+      "withShardIds needs a doc_id column (the stable shuffle key)")
     val keyed = docs
       .withColumn("h", md5(concat(lit(s"$seed:"), $"doc_id".cast("string"))))
       .withColumn("b", conv(substring($"h", 1, 1), 16, 10).cast("int"))
@@ -48,16 +50,23 @@ object TrainingShards {
 
   /** Write `docs` as `nShards` round-robin shards under `path`
     * (directory per shard, rows in global-shuffle order within each
-    * shard's files). Returns the per-shard (shard_id, n_rows) audit. */
+    * shard's files). `maxRecordsPerFile > 0` caps file size — at 100 TB
+    * a shard is MANY files; because the task's rows are pre-sorted, each
+    * split file holds a contiguous rank range, so files stay
+    * individually ordered and range-disjoint (a reader orders a shard's
+    * files by their first rank — no global sort ever needed again).
+    * Returns the per-shard (shard_id, n_rows) audit. */
   def write(docs: DataFrame, path: String, seed: String,
-      nShards: Int): Array[(Int, Long)] = {
+      nShards: Int, maxRecordsPerFile: Long = 0L): Array[(Int, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val sharded = withShardIds(docs, seed, nShards)
     sharded
       .repartition(nShards, $"shard_id")
       .sortWithinPartitions($"shard_id", $"rk")
-      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+      .write.partitionBy("shard_id")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
     s.read.parquet(path)
       .groupBy($"shard_id").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

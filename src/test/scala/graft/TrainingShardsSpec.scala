@@ -49,4 +49,34 @@ class TrainingShardsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(content(dir1) === content(dir2), "shard emit must be deterministic")
   }
+
+  test("maxRecordsPerFile splits shards into ordered, range-disjoint files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents").select($"doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards3").toString
+    TrainingShards.write(docs, dir, "seed42", 4, maxRecordsPerFile = 20L)
+    (0 until 4).foreach { k =>
+      val files = new java.io.File(s"$dir/shard_id=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      assert(files.length > 1, s"shard $k: the 20-row cap must split files")
+      // each file individually: bounded, sorted; across files: rank
+      // ranges must not overlap (a reader orders files by first rank)
+      val ranges = files.map { f =>
+        val rks = spark.read.parquet(f)
+          .withColumn("ord", monotonically_increasing_id())
+          .select($"ord", $"rk").collect()
+          .sortBy(_.getLong(0)).map(_.getLong(1))
+        assert(rks.length <= 20, s"$f exceeds maxRecordsPerFile")
+        assert(rks.sameElements(rks.sorted), s"$f rows out of order")
+        (rks.head, rks.last)
+      }
+      val sortedByLo = ranges.sortBy(_._1)
+      sortedByLo.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 < lo2, s"shard $k: file rank ranges overlap")
+        case _ =>
+      }
+    }
+  }
 }
