@@ -799,6 +799,59 @@ object StreamingOps extends QueryModule {
         s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
-        "d1 % 10 = 0 OR d2 % 10 = 0")))
+        "d1 % 10 = 0 OR d2 % 10 = 0"))),
+
+    Q(
+      "q174_stream_shard_emit",
+      "CONTINUOUS SHARD EMIT — arriving documents streamed straight " +
+        "into training-shard directories (TrainingShards' last mile as " +
+        "a standing job): per micro-batch each doc's shard is the md5 " +
+        "HASH-MOD assignment — streaming-safe because it is stable per " +
+        "document WITHOUT the global rank a batch run can afford " +
+        "(q125's rank-mod round robin needs the whole corpus; hash-mod " +
+        "trades the perfect ±1 balance for per-row independence), the " +
+        "digit drawn as a hex-char position so both engines compute it " +
+        "from the same md5 string — then written partitionBy(shard_id) " +
+        "under a batchId-keyed dir, q128's replay-safe overwrite (a " +
+        "replayed batch rewrites its own subdirectory, never appends " +
+        "duplicates). Audit: per-shard doc count + char mass across " +
+        "everything emitted; oracle recomputes the assignment " +
+        "relationally.",
+      (s, dir) => {
+        import s.implicits._
+        val outRoot = graft.TempRoots
+          .freshForDir("graft_shard_stream", dir).toString
+        val arriving = docsStream(s, dir).filter($"doc_id" % 10 === 0)
+        val q = arriving.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              batch
+                .withColumn("h",
+                  md5(concat(lit("seed42:"), col("doc_id").cast("string"))))
+                .withColumn("shard_id", expr(
+                  "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 8 AS INT)"))
+                .drop("h")
+                .write.partitionBy("shard_id").mode("overwrite")
+                .parquet(s"$outRoot/b$batchId")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$outRoot/*")
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, n_chars,
+                 CAST((strpos('0123456789abcdef',
+                              substr(md5('seed42:' || CAST(doc_id AS VARCHAR)), 1, 1))
+                       - 1) % 8 AS INTEGER) AS shard_id
+          FROM documents WHERE doc_id % 10 = 0)
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM a GROUP BY shard_id
+        ORDER BY shard_id"""))
   )
 }
