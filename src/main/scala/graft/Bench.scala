@@ -89,10 +89,20 @@ object Bench {
       case (n, p) if mins.get(n).exists(v => deviates(v, p)) => n }.sorted
     val crossFast = prevQs.collect {
       case (n, p) if mins.get(n).exists(v => deviates(p, v)) => n }.sorted
-    val drifted = prev.map(_._1)
-      .filter(p => p > 0 && total > 1.25 * p)
-    val prevSuspect = prev.map(_._1)
-      .filter(p => p > 0 && total < 0.75 * p).isDefined || crossFast.size >= 3
+    // Drift totals compare the OVERLAPPING query set only — the corpus
+    // grows every round, and raw totals would trip the guard on growth,
+    // not contention (round 7: +13 queries = +27% raw total, zero
+    // per-query regressions). The prev artifact carries its top-20 map;
+    // those heavy queries are exactly the drift-sensitive subset.
+    val overlap = prevQs.filter { case (n, p) =>
+      p > 0 && mins.get(n).exists(_ >= 0) }
+    val prevOverlapTotal = overlap.map(_._2).sum
+    val curOverlapTotal = overlap.map { case (n, _) => mins(n) }.sum
+    val drifted = prev.map(_ => prevOverlapTotal)
+      .filter(p => p > 0 && curOverlapTotal > 1.25 * p)
+    val prevSuspect = prev.map(_ => prevOverlapTotal)
+      .filter(p => p > 0 && curOverlapTotal < 0.75 * p).isDefined ||
+      crossFast.size >= 3
     val noisy =
       noisyQueries.nonEmpty || crossSlow.size >= 3 || drifted.isDefined
     // ---------------------------------------------------------------------
