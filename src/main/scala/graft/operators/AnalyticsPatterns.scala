@@ -1049,7 +1049,68 @@ object AnalyticsPatterns extends QueryModule {
                GROUP BY m.doc_id, m.v)
         SELECT stage, count(*) AS n_docs, CAST(sum(v) AS BIGINT) AS n_tokens
         FROM st GROUP BY stage
-        ORDER BY stage"""))
+        ORDER BY stage""")),
+
+    Q(
+      "q175_weighted_lang_budget",
+      "WEIGHTED PER-LANGUAGE TOKEN BUDGETS — the mixture-to-budget step " +
+        "between q124's weights and q166's global budget: each language " +
+        "gets wt*12000 tokens (integer weights en:4 de:2 fr:2 es:1 " +
+        "zh:1), filled by a REPRODUCIBLE UNIFORM SAMPLE — greedy prefix " +
+        "of the language's docs in md5 order, so the selection is a " +
+        "seed-stable random draw, not a quality rank (the sampling " +
+        "variant of the budget fill; q166 is the ranked variant). " +
+        "Per-language running sums use the two-phase shape bucketed by " +
+        "(lang, first hex digit): in-bucket window cumsum in parallel, " +
+        "an 80-row offset table (5 langs x 16 buckets) broadcast back — " +
+        "never a per-language single-partition window.",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 4), ("de", 2), ("fr", 2), ("es", 1), ("zh", 1))
+          .toDF("lang", "wt")
+        val m = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            expr("size(filter(split(trim(text), ' '), x -> x != ''))")
+              .cast("long").as("ntok"))
+          .filter($"ntok" >= 1)
+          .withColumn("h",
+            md5(concat(lit("mix:"), $"doc_id".cast("string"))))
+          .withColumn("b", conv(substring($"h", 1, 1), 16, 10).cast("int"))
+        val wLocal = Window.partitionBy($"lang", $"b").orderBy($"h", $"doc_id")
+        val local = m.withColumn("cum_in", sum($"ntok").over(wLocal))
+        val wOff = Window.partitionBy($"lang").orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = m.groupBy($"lang", $"b").agg(sum($"ntok").as("bt"))
+          .withColumn("off", coalesce(sum($"bt").over(wOff), lit(0L)))
+          .select($"lang", $"b", $"off")
+        local.join(broadcast(offs), Seq("lang", "b"))
+          .join(broadcast(weights), Seq("lang"))
+          .withColumn("budget", ($"wt" * 12000).cast("long"))
+          .filter($"off" + $"cum_in" <= $"budget")
+          .groupBy($"lang", $"budget")
+          .agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"))
+          .select($"lang", $"n_docs", $"n_tokens", $"budget")
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS t
+                   FROM documents),
+        m AS (SELECT doc_id, lang, len(t) AS ntok FROM d WHERE len(t) >= 1),
+        w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('fr', 2),
+                               ('es', 1), ('zh', 1)),
+        r AS (SELECT m.lang, ntok, wt,
+                     sum(ntok) OVER (
+                       PARTITION BY m.lang
+                       ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM m JOIN w ON m.lang = w.lang)
+        SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(any_value(wt) * 12000 AS BIGINT) AS budget
+        FROM r WHERE cum <= wt * 12000
+        GROUP BY lang
+        ORDER BY lang"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
