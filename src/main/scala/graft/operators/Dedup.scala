@@ -3,6 +3,7 @@ package graft.operators
 import graft.catalyst.TextHash
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (north-star
@@ -1029,6 +1030,113 @@ object Dedup extends QueryModule {
         FROM jpairs
         WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.02
           AND round(CAST(common AS DOUBLE) / (n1 + n2 - common), 4) < 0.6
-        ORDER BY d1, d2"""))
+        ORDER BY d1, d2""")),
+
+    Q(
+      "q176_canonical_keep_best",
+      "KEEP-BEST CANONICALIZATION — the selection step after q96's " +
+        "clustering: within each near-dup cluster keep the member with " +
+        "the most DISTINCT tokens (the least-truncated / least-boilerplate " +
+        "copy), tie-broken by smallest doc_id. q60/q90 keep-first is the " +
+        "right call for exact copies; for NEAR dups the members differ, " +
+        "and production pipelines keep the best one, not the first one. " +
+        "Ranking is integer-exact (distinct-token count, never a float " +
+        "quality score) so survivor choice is bit-stable across engines " +
+        "and partitionings. The window partitions by cluster_id — " +
+        "clusters are small by construction (near-dup diameter), so no " +
+        "single-partition hazard at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        val clusters = neardupClusters(s, dir, 0.8)
+        val nd = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            expr("size(array_distinct(filter(split(trim(text), ' '), x -> x != '')))")
+              .as("n_distinct"))
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"n_distinct".desc, $"doc_id".asc)
+        clusters.join(nd, Seq("doc_id"))
+          .withColumn("kept", row_number().over(w) === 1)
+          .select($"cluster_id", $"doc_id", $"n_distinct", $"kept")
+          .orderBy($"cluster_id", $"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $jaccardPairsCte,
+        pairs AS (
+          SELECT d1, d2 FROM jpairs
+          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION ALL SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        nd AS (SELECT doc_id,
+                      len(list_distinct($duckTokens)) AS n_distinct
+               FROM documents),
+        rk AS (SELECT c.cluster_id, c.doc_id, nd.n_distinct,
+                      row_number() OVER (
+                        PARTITION BY c.cluster_id
+                        ORDER BY nd.n_distinct DESC, c.doc_id ASC) AS rn
+               FROM comp c JOIN nd USING (doc_id))
+        SELECT cluster_id, doc_id,
+               CAST(n_distinct AS INTEGER) AS n_distinct, rn = 1 AS kept
+        FROM rk ORDER BY cluster_id, doc_id""")),
+
+    Q(
+      "q177_decontaminate",
+      "DECONTAMINATION REMOVAL — the enforcement step after q120's " +
+        "audit: DROP every training doc sharing ANY shingle with the " +
+        "eval split (doc_id % 10 == 0), the GPT-3/Pile-style n-gram " +
+        "decontamination rule, reported as a per-language kept/removed " +
+        "token ledger. Same asymmetric plan shape as q120 for the real " +
+        "regime (tiny eval vs 100 TB corpus): eval shingles are " +
+        "DISTINCT-ed then broadcast; the corpus side is scanned once and " +
+        "only matched doc_ids (bounded by eval hits) reach the distinct " +
+        "+ anti-join. Counts and token sums are integer-exact.",
+      (s, dir) => {
+        import s.implicits._
+        val sh = docShingles(s, dir)
+        val evalH = sh.filter($"doc_id" % 10 === 0)
+          .select(explode($"sh").as("h")).distinct()
+        val contaminated = sh.filter($"doc_id" % 10 =!= 0)
+          .select($"doc_id", explode($"sh").as("h"))
+          .join(broadcast(evalH), Seq("h"))
+          .select($"doc_id").distinct()
+        val train = Tables.t(s, dir, "documents")
+          .filter($"doc_id" % 10 =!= 0)
+          .select($"doc_id", $"lang",
+            expr("size(filter(split(trim(text), ' '), x -> x != ''))")
+              .cast("long").as("ntok"))
+        train
+          .join(contaminated.withColumn("c", lit(1)), Seq("doc_id"), "left")
+          .groupBy($"lang")
+          .agg(
+            count(when($"c".isNull, lit(1))).as("n_kept"),
+            count($"c").as("n_removed"),
+            coalesce(sum(when($"c".isNull, $"ntok")), lit(0L)).as("tokens_kept"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+        shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+        ev AS (SELECT DISTINCT unnest(sh) AS h FROM shng WHERE doc_id % 10 = 0),
+        cont AS (SELECT DISTINCT u.doc_id
+                 FROM (SELECT doc_id, unnest(sh) AS h FROM shng
+                       WHERE doc_id % 10 <> 0) u
+                 JOIN ev ON u.h = ev.h),
+        tr AS (SELECT k.doc_id, d.lang, len(k.t) AS ntok
+               FROM toks k JOIN documents d USING (doc_id)
+               WHERE k.doc_id % 10 <> 0)
+        SELECT lang,
+               CAST(count(CASE WHEN c.doc_id IS NULL THEN 1 END) AS BIGINT)
+                 AS n_kept,
+               CAST(count(c.doc_id) AS BIGINT) AS n_removed,
+               CAST(coalesce(sum(CASE WHEN c.doc_id IS NULL THEN ntok END), 0)
+                 AS BIGINT) AS tokens_kept
+        FROM tr LEFT JOIN cont c USING (doc_id)
+        GROUP BY lang ORDER BY lang"""))
   )
 }
