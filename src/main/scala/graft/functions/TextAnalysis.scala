@@ -727,7 +727,57 @@ object TextAnalysis extends QueryModule {
                count(*) AS n_terms
         FROM s GROUP BY doc_id
         ORDER BY bm25_micros DESC, doc_id
-        LIMIT 15"""))
+        LIMIT 15""")),
+
+    Q(
+      "q179_vocab_oov",
+      "TOKENIZER VOCABULARY COVERAGE AUDIT: take the top-100 corpus " +
+        "tokens by frequency (count desc, token asc — a UNIQUE total " +
+        "order, so the vocabulary is deterministic) as the 'tokenizer " +
+        "vocab', then report per language how many token OCCURRENCES " +
+        "fall outside it — the out-of-vocabulary rate that decides " +
+        "whether a tokenizer (or a frequency-truncated embedding table) " +
+        "fits a corpus before a training run. Scale: the frequency " +
+        "aggregate collapses the Zipf head map-side; top-k is " +
+        "TakeOrderedAndProject (distributed heap, never a global sort " +
+        "or a single-partition window); the vocab is k rows → " +
+        "broadcast, so the coverage pass is one scan with a map-side " +
+        "hash probe and a 5-group aggregate. OOV fraction is " +
+        "floor-truncated at 4 dp (IEEE-deterministic).",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.t(s, dir, "documents")
+          .select($"lang",
+            explode(filter(split(trim($"text"), " "), x => x =!= lit("")))
+              .as("token"))
+        val vocab = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token".asc).limit(100)
+          .select($"token", lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("tokens_total"),
+            sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("oov_total"))
+          .withColumn("oov_frac",
+            floor($"oov_total" * 10000.0 / $"tokens_total") / 10000.0)
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT lang,
+                 unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS token
+          FROM documents),
+        df AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+        vocab AS (SELECT token FROM df ORDER BY n DESC, token LIMIT 100)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS tokens_total,
+               CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT)
+                 AS oov_total,
+               floor(count(*) FILTER (WHERE v.token IS NULL) * 10000.0
+                     / count(*)) / 10000.0 AS oov_frac
+        FROM toks LEFT JOIN vocab v ON toks.token = v.token
+        GROUP BY lang ORDER BY lang"""))
   )
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy

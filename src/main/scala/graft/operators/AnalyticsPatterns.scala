@@ -1110,7 +1110,78 @@ object AnalyticsPatterns extends QueryModule {
                CAST(any_value(wt) * 12000 AS BIGINT) AS budget
         FROM r WHERE cum <= wt * 12000
         GROUP BY lang
-        ORDER BY lang"""))
+        ORDER BY lang""")),
+
+    Q(
+      "q181_anomaly_monitor",
+      "EXACT-PERCENTILE ANOMALY MONITOR — q168's counting-CDF inverse " +
+        "deployed as a data-quality tripwire: per event_type, the exact " +
+        "p99 of value (in integer cents, threshold = min v with " +
+        "100*cum >= 99*n — cross-multiplied, no float ceil), then every " +
+        "event STRICTLY above its type's threshold is flagged and the " +
+        "monitor reports threshold, flagged count, and flagged value " +
+        "sum per type — the 'alert on tail outliers' pattern an ingest " +
+        "pipeline runs per batch. Scale: the CDF shuffle carries the " +
+        "per-(type, cent) count domain (bounded by the price grid, not " +
+        "rows) with map-side combine; the 5-row threshold table " +
+        "broadcasts back onto one full scan — two passes total, no " +
+        "global sort, no quantile sketch approximation.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"event_type",
+            floor($"value" * 100 + 0.5).cast("long").as("cents"))
+        val counts = ev.groupBy($"event_type", $"cents")
+          .agg(count(lit(1)).as("c"))
+        val cum = counts.withColumn("cum",
+          sum($"c").over(Window.partitionBy($"event_type").orderBy($"cents")))
+        val tot = counts.groupBy($"event_type").agg(sum($"c").as("n"))
+        val thr = cum.join(broadcast(tot), Seq("event_type"))
+          .filter($"cum" * 100 >= $"n" * 99)
+          .groupBy($"event_type")
+          .agg(max($"n").as("n_events"), min($"cents").as("p99_cents"))
+        val above = ev
+          .join(broadcast(thr.select($"event_type", $"p99_cents")),
+            Seq("event_type"))
+          .filter($"cents" > $"p99_cents")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_above"), sum($"cents").as("sum_above_cents"))
+        thr.join(above, Seq("event_type"), "left")
+          .select($"event_type", $"n_events", $"p99_cents",
+            coalesce($"n_above", lit(0L)).as("n_above"),
+            coalesce($"sum_above_cents", lit(0L)).as("sum_above_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        c AS (SELECT event_type, cents, count(*) AS c FROM e GROUP BY 1, 2),
+        cum AS (SELECT event_type, cents, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS cum
+                FROM c),
+        t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+              FROM c GROUP BY 1),
+        thr AS (SELECT cum.event_type,
+                       max(t.n) AS n_events,
+                       min(cents) AS p99_cents
+                FROM cum JOIN t USING (event_type)
+                WHERE cum * 100 >= t.n * 99
+                GROUP BY 1),
+        ab AS (SELECT e.event_type, count(*) AS n_above,
+                      CAST(sum(e.cents) AS BIGINT) AS sum_above_cents
+               FROM e JOIN thr ON e.event_type = thr.event_type
+                              AND e.cents > thr.p99_cents
+               GROUP BY 1)
+        SELECT thr.event_type,
+               CAST(thr.n_events AS BIGINT) AS n_events,
+               thr.p99_cents,
+               CAST(coalesce(ab.n_above, 0) AS BIGINT) AS n_above,
+               CAST(coalesce(ab.sum_above_cents, 0) AS BIGINT)
+                 AS sum_above_cents
+        FROM thr LEFT JOIN ab USING (event_type)
+        ORDER BY event_type"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1137,6 +1137,69 @@ object Dedup extends QueryModule {
                CAST(coalesce(sum(CASE WHEN c.doc_id IS NULL THEN ntok END), 0)
                  AS BIGINT) AS tokens_kept
         FROM tr LEFT JOIN cont c USING (doc_id)
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q178_line_dedup",
+      "LINE-LEVEL GLOBAL DEDUP with document reassembly — the C4/CCNet " +
+        "sub-document pass that document-level dedup (q60) cannot do: " +
+        "boilerplate lines (nav bars, cookie banners, license headers) " +
+        "repeat across MILLIONS of otherwise-unique pages. 'Lines' here " +
+        "are 10-token chunks (the fixture text has no newlines); each " +
+        "distinct line keeps its FIRST occurrence corpus-wide (ordered " +
+        "by doc_id, then position), every later copy is dropped, and " +
+        "surviving lines re-concatenate in position order into the " +
+        "cleaned document. Per doc: total lines, kept lines, new text. " +
+        "Scale: the keep-first window partitions by LINE CONTENT — " +
+        "groups are tiny (copies of one line) so no skewed partition, " +
+        "and the shuffle carries each line once (same bytes exact dedup " +
+        "ships); reassembly is one doc_id shuffle. At 100 TB the line " +
+        "text in the window key would be replaced by (xxhash64(line), " +
+        "line-verify-on-collision) — same plan shape.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val lines = Tables.t(s, dir, "documents")
+          .select($"doc_id", t.as("t"))
+          .filter(size($"t") > 0)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, int((size(t) - 1) / 10)), " +
+              "i -> array_join(slice(t, i * 10 + 1, 10), ' '))")))
+          .toDF("doc_id", "line_no", "line")
+        val w = Window.partitionBy($"line").orderBy($"doc_id", $"line_no")
+        lines
+          .withColumn("rn", row_number().over(w))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(expr(
+              "transform(array_sort(collect_list(" +
+                "CASE WHEN rn = 1 THEN struct(line_no, line) END)), " +
+                "p -> p.line)"), " ").as("new_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+          FROM documents),
+        lines AS (
+          SELECT doc_id,
+                 unnest([{'i': i,
+                          'line': array_to_string(
+                            t[(i * 10 + 1):least((i + 1) * 10, len(t))], ' ')}
+                         for i in range(0, (len(t) - 1) // 10 + 1)]) AS u
+          FROM toks WHERE len(t) > 0),
+        l AS (SELECT doc_id, u.i AS line_no, u.line AS line FROM lines),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY line ORDER BY doc_id, line_no) AS rn
+              FROM l)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               coalesce(string_agg(line, ' ' ORDER BY line_no)
+                          FILTER (WHERE rn = 1), '') AS new_text
+        FROM r GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -93,6 +93,44 @@ object Multimodal extends QueryModule {
     ImageFeatures(id, w, h, sr, sg, sb)
   }
 
+  /** One 2x2 image patch (q180): ViT-style patch-grid features. Integer
+    * channel sums per patch keep the oracle exact (same design as
+    * [[ImageFeatures]]). patch_id = py * (w/2) + px, row-major. */
+  final case class PatchFeatures(
+      doc_id: Long, patch_id: Int, px: Int, py: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** ViT-style PATCHIFY on the real codec path (q180): decode the PNG
+    * payload and split the image into non-overlapping 2x2 patches (the
+    * trailing odd row/column is dropped, as ViT crops to a multiple of
+    * the patch size); per patch emit integer channel sums. One bulk
+    * getRGB grab, then pure index arithmetic. */
+  def patchifyPng(id: Long, payload: Array[Byte]): Seq[PatchFeatures] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val pw = w / 2
+    val ph = h / 2
+    val pix = img.getRGB(0, 0, w, h, null, 0, w)
+    for (py <- 0 until ph; px <- 0 until pw) yield {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          val rgb = pix((2 * py + dy) * w + (2 * px + dx))
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          dx += 1
+        }
+        dy += 1
+      }
+      PatchFeatures(id, py * pw + px, px, py, sr, sg, sb)
+    }
+  }
+
   /** One augmented image (q169): horizontal flip + 1-pixel center crop,
     * features from the AUGMENTED pixels. The sums are POSITION-WEIGHTED
     * (wt = xa + 2*ya + 1 over augmented coords) — a plain channel sum is
@@ -757,6 +795,52 @@ object Multimodal extends QueryModule {
         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
                md5(substring(text, CAST(frame_idx AS INTEGER) * 16 + 1, 16)) AS frame_hash
         FROM f WHERE frame_idx % 4 = 0
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    Q(
+      "q180_image_patchify",
+      "ViT-STYLE PATCH EXTRACTION on the real codec path: decode the " +
+        "PNG payload (q114's ImageIO tier) and split each image into " +
+        "non-overlapping 2x2 patches — the patch-embedding front end of " +
+        "a vision transformer, where every patch becomes one input " +
+        "token. Per patch: grid position and integer channel sums " +
+        "(exact vs the closed-form pixel function; the trailing odd " +
+        "row/column is cropped, as ViT does). The row count EXPANDS " +
+        "(~6 patches per fixture image), which is what makes this a " +
+        "distinct shape from q114/q169's per-image scalars: a generator " +
+        "whose output is bounded by pixels/4, still born and dying " +
+        "inside one partition — only patch feature rows leave the map, " +
+        "never payload bytes.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, png) => patchifyPng(id, png) })
+          .toDF()
+          .orderBy($"doc_id", $"patch_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+          FROM documents),
+        g AS (SELECT doc_id, w, h, w // 2 AS pw, h // 2 AS ph FROM dims),
+        p AS (SELECT doc_id, w, pw, unnest(range(0, pw * ph)) AS pid FROM g),
+        c AS (SELECT doc_id, pid, pid % pw AS px, pid // pw AS py FROM p)
+        SELECT doc_id,
+               CAST(pid AS INTEGER) AS patch_id,
+               CAST(px AS INTEGER) AS px,
+               CAST(py AS INTEGER) AS py,
+               CAST(list_sum([(doc_id * 31 + (2 * px + i % 2) * 7
+                               + (2 * py + i // 2) * 13) % 256
+                              for i in range(0, 4)]) AS BIGINT) AS sum_r,
+               CAST(list_sum([(doc_id * 17 + (2 * px + i % 2) * 5
+                               + (2 * py + i // 2) * 11) % 256
+                              for i in range(0, 4)]) AS BIGINT) AS sum_g,
+               CAST(list_sum([(doc_id * 23 + (2 * px + i % 2) * 3
+                               + (2 * py + i // 2) * 19) % 256
+                              for i in range(0, 4)]) AS BIGINT) AS sum_b
+        FROM c ORDER BY doc_id, patch_id"""))
   )
 }
