@@ -1181,7 +1181,63 @@ object AnalyticsPatterns extends QueryModule {
                CAST(coalesce(ab.sum_above_cents, 0) AS BIGINT)
                  AS sum_above_cents
         FROM thr LEFT JOIN ab USING (event_type)
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    Q(
+      "q183_temporal_split_leakage",
+      "TEMPORAL TRAIN/TEST SPLIT + LEAKAGE AUDIT — the time-based " +
+        "complement of q116's hash split, for forecasting/sequence " +
+        "models where random splits leak the future: train = events " +
+        "before max(ts) - 2 days, test = the tail, and the audit counts " +
+        "USER-LEVEL leakage (users present on both sides — a " +
+        "user-generalization eval must drop their test events). One " +
+        "summary row: per-split event and user counts, leaked users, " +
+        "and how many test events a leaked-user filter would remove. " +
+        "Scale: the cutoff is a 1-row broadcast (no driver collect in " +
+        "the plan); the user flags are one user_id shuffle with " +
+        "map-side combine; both final aggregates are single partial-" +
+        "aggregated rows crossJoined — never a wide shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events").select($"user_id", $"ts")
+        val mx = ev.groupBy().agg(max($"ts").as("mx"))
+        val lab = ev.crossJoin(broadcast(mx))
+          .withColumn("is_train",
+            ($"ts" < $"mx" - expr("INTERVAL 2 DAYS")).cast("int"))
+        val users = lab.groupBy($"user_id")
+          .agg(max($"is_train").as("in_train"),
+            max(lit(1) - $"is_train").as("in_test"))
+        val uAgg = users.groupBy()
+          .agg(sum($"in_train").cast("long").as("n_train_users"),
+            sum($"in_test").cast("long").as("n_test_users"),
+            sum($"in_train" * $"in_test").cast("long").as("n_leaked_users"))
+        val eAgg = lab.join(users, Seq("user_id"))
+          .groupBy()
+          .agg(sum($"is_train").cast("long").as("n_train_events"),
+            sum(lit(1) - $"is_train").cast("long").as("n_test_events"),
+            sum((lit(1) - $"is_train") * $"in_train").cast("long")
+              .as("n_test_events_leaked"))
+        eAgg.crossJoin(uAgg)
+      },
+      Some("""
+        WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+        lab AS (SELECT user_id,
+                       CASE WHEN CAST(ts AS TIMESTAMP) < mx - INTERVAL 2 DAY
+                            THEN 1 ELSE 0 END AS is_train
+                FROM events, mx),
+        users AS (SELECT user_id, max(is_train) AS in_train,
+                         max(1 - is_train) AS in_test
+                  FROM lab GROUP BY user_id),
+        ua AS (SELECT CAST(sum(in_train) AS BIGINT) AS n_train_users,
+                      CAST(sum(in_test) AS BIGINT) AS n_test_users,
+                      CAST(sum(in_train * in_test) AS BIGINT) AS n_leaked_users
+               FROM users),
+        ea AS (SELECT CAST(sum(is_train) AS BIGINT) AS n_train_events,
+                      CAST(sum(1 - is_train) AS BIGINT) AS n_test_events,
+                      CAST(sum((1 - is_train) * in_train) AS BIGINT)
+                        AS n_test_events_leaked
+               FROM lab JOIN users USING (user_id))
+        SELECT ea.*, ua.* FROM ea CROSS JOIN ua"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1200,6 +1200,48 @@ object Dedup extends QueryModule {
                CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
                coalesce(string_agg(line, ' ' ORDER BY line_no)
                           FILTER (WHERE rn = 1), '') AS new_text
-        FROM r GROUP BY doc_id ORDER BY doc_id"""))
+        FROM r GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q185_dup_flow_matrix",
+      "CROSS-SOURCE DUPLICATE FLOW MATRIX — the provenance question " +
+        "behind dedup: when a duplicate is dropped, WHICH source was it " +
+        "copied from? Duplicate groups key on a content fingerprint — " +
+        "here md5 of the first 80 chars (the head fingerprint that " +
+        "catches shared-opening copies; the fixtures have no full-text " +
+        "dups, and the key is pluggable: md5(text) for exact, the q96 " +
+        "cluster id for near). The canonical copy is the lowest doc_id " +
+        "(q60's keep-first rule), and every later copy contributes one " +
+        "(canonical_source -> dup_source) edge — the matrix that " +
+        "reveals mirror sites and scraper-of-scraper chains when " +
+        "choosing which sources to keep crawling. Scale: one shuffle " +
+        "on the content hash (16-byte keys, never bodies after the " +
+        "projection), groups are duplicate multiplicity (tiny); the " +
+        "flow aggregate is a source-pair domain with map-side combine.",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"source", md5(substring($"text", 1, 80)).as("h"))
+        val w = Window.partitionBy($"h").orderBy($"doc_id")
+        val r = d.withColumn("rn", row_number().over(w))
+        val canon = r.filter($"rn" === 1)
+          .select($"h", $"source".as("canon_source"))
+        r.filter($"rn" > 1)
+          .join(canon, Seq("h"))
+          .groupBy($"canon_source", $"source".as("dup_source"))
+          .agg(count(lit(1)).as("n_dup_docs"))
+          .orderBy($"canon_source", $"dup_source")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source, md5(substr(text, 1, 80)) AS h
+                   FROM documents),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY h ORDER BY doc_id) AS rn
+              FROM d),
+        c AS (SELECT h, source AS canon_source FROM r WHERE rn = 1)
+        SELECT c.canon_source, r.source AS dup_source,
+               CAST(count(*) AS BIGINT) AS n_dup_docs
+        FROM r JOIN c USING (h) WHERE r.rn > 1
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

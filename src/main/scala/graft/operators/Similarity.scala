@@ -425,6 +425,82 @@ object Similarity extends QueryModule {
         SELECT vec_id, round(scale, 6) AS scale,
                round(list_cosine_similarity(e, dq), 6) AS self_cos
         FROM d
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    Q(
+      "q184_centroid_confusion",
+      "EMBEDDING-SPACE HEALTH AUDIT: per-label centroids (nearest-class-" +
+        "mean classification), reported as the label-vs-assigned " +
+        "CONFUSION MATRIX — the 'are my labels separable in embedding " +
+        "space' check run before training a classifier head or trusting " +
+        "labels for semantic dedup. Everything is EXACT INTEGER " +
+        "arithmetic so assignment is bit-stable across engines and " +
+        "partitionings: embeddings quantize to int micros " +
+        "(floor(x*1e6+0.5) — the deterministic-rounding recipe), " +
+        "centroids are the micro-sums rounded via floor(s/n + 0.5) on " +
+        "exact-integer-valued doubles (s < 2^53, division IEEE-" +
+        "identical), distances are integer squared-L2, argmin " +
+        "tie-breaks on label asc. Scale: the centroid aggregate is one " +
+        "(label, dim) shuffle with map-side combine; the k-row centroid " +
+        "table BROADCASTS onto one scan (k*dim bounded, the q97/q126 " +
+        "codebook argument); the per-vector argmin window partitions by " +
+        "vec_id (k rows each, never skewed).",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding",
+              x => floor(x.cast("double") * 1000000 + 0.5).cast("long"))
+              .as("xq"))
+        val cent = q.select($"label", posexplode($"xq"))
+          .toDF("label", "i", "v")
+          .groupBy($"label", $"i")
+          .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+          .select($"label", $"i",
+            floor($"s".cast("double") / $"n" + 0.5).cast("long").as("c"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)")
+            .as("cvec"))
+          .withColumnRenamed("label", "cand")
+        val dist = q.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            aggregate(zip_with($"xq", $"cvec", (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x))
+        val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cand")
+        dist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .groupBy($"label".as("true_label"), $"cand".as("assigned_label"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .orderBy($"true_label", $"assigned_label")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        pd AS (
+          SELECT label, i,
+                 CAST(floor(CAST(sum(xq[i]) AS DOUBLE) / count(*) + 0.5)
+                   AS BIGINT) AS c
+          FROM q CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+          GROUP BY label, i),
+        cent AS (
+          SELECT label AS cand, list(c ORDER BY i) AS cvec
+          FROM pd GROUP BY label),
+        dist AS (
+          SELECT q.vec_id, q.label, c.cand,
+                 CAST(list_sum([(q.xq[i] - c.cvec[i]) * (q.xq[i] - c.cvec[i])
+                                for i in range(1, 65)]) AS BIGINT) AS dist
+          FROM q CROSS JOIN cent c),
+        a AS (
+          SELECT vec_id, label, cand,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cand) AS rn
+          FROM dist)
+        SELECT label AS true_label, cand AS assigned_label,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM a WHERE rn = 1
+        GROUP BY label, cand
+        ORDER BY true_label, assigned_label"""))
   )
 }

@@ -146,6 +146,99 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** Event-time-TIMER sessionization (q182): buffer each user's events
+    * in ListState and keep ONE armed timer at last_ts + gap; when the
+    * watermark passes it, sort the buffer, split it into 30-min-gap
+    * sessions, emit every session whose close is WATERMARK-PROVEN
+    * (last_ts + gap <= wm — no row that could extend it can still
+    * arrive), and retain the still-open tail with the timer re-armed.
+    * This is the v2-state-API form of what flatMapGroupsWithState
+    * called EventTimeTimeout, but with explicit multi-timer control and
+    * typed state. State is bounded by open sessions per user (closed
+    * ones leave the store on emission) — the property that keeps a
+    * 100 TB/day clickstream sessionizer from accumulating history. */
+  final class TimerSessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Double),
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      OutputMode, TimeMode, TimerValues, TTLConfig}
+    // event time is carried as MICROSECOND longs: Timestamp.getTime is
+    // millis and silently truncates the fixtures' µs precision (bit us —
+    // every emitted bound was 694 µs early); the timer API is ms-based,
+    // so arming rounds the µs horizon UP to the next whole ms
+    private val GapUs = 30L * 60 * 1000 * 1000
+    @transient private var buf: ListState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Double)](
+        "buf", org.apache.spark.sql.Encoders.product[(Long, Double)],
+        TTLConfig.NONE)
+
+    private def toMicros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    private def toTimestamp(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    /** ts-sorted buffer → gap-split sessions, in time order. */
+    private def split(ev: Array[(Long, Double)])
+        : Seq[scala.collection.mutable.ArrayBuffer[(Long, Double)]] = {
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(ev.head))
+      ev.tail.foreach { e =>
+        if (e._1 - sessions.last.last._1 > GapUs)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      sessions.toSeq
+    }
+
+    /** One armed timer per key, at the EARLIEST session's close horizon.
+      * Arming at the newest event's close (the obvious choice) is a
+      * liveness bug: a key active near the head of the stream keeps its
+      * single timer above the watermark forever, so its long-closed
+      * EARLY sessions never emit. The earliest close fires as soon as
+      * ANY session becomes provably closed; the expiry handler emits
+      * every closed session and re-arms for the next open one. */
+    private def rearm(firstCloseUs: Long): Unit = {
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(math.floorDiv(firstCloseUs + 999L, 1000L))
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues)
+        : Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)] = {
+      rows.foreach(r => buf.appendValue((toMicros(r._2), r._3)))
+      val ev = buf.get().toArray.sortBy(e => (e._1, e._2))
+      if (ev.nonEmpty) rearm(split(ev).head.last._1 + GapUs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo)
+        : Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)] = {
+      // ms-floor of the true µs watermark: the close check is (at worst)
+      // 1 ms conservative, absorbed by the query's 90-min horizon margin
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000L
+      val ev = buf.get().toArray.sortBy(e => (e._1, e._2))
+      if (ev.isEmpty) return Iterator.empty
+      val (closed, open) = split(ev).partition(_.last._1 + GapUs <= wmUs)
+      buf.clear()
+      open.flatten.foreach(e => buf.appendValue(e))
+      if (open.nonEmpty) rearm(open.head.last._1 + GapUs)
+      closed.iterator.map { sess =>
+        // sum in ts-sorted order: deterministic association (the 2-dp
+        // round in the query absorbs the vs-oracle summation order)
+        (user, toTimestamp(sess.head._1), toTimestamp(sess.last._1),
+          sess.size.toLong, sess.map(_._2).sum)
+      }
+    }
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q70_stream_tumbling",
@@ -852,6 +945,71 @@ object StreamingOps extends QueryModule {
         SELECT shard_id, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM a GROUP BY shard_id
-        ORDER BY shard_id"""))
+        ORDER BY shard_id""")),
+
+    Q(
+      "q182_stream_timer_sessions",
+      "EVENT-TIME TIMER sessionization via transformWithState — the v2 " +
+        "state API's timer surface (q108 covered its state surface): " +
+        "each user's events buffer in ListState with one armed timer at " +
+        "last_ts + 30 min; when the WATERMARK passes the timer, the " +
+        "buffer splits into 30-min-gap sessions and every " +
+        "watermark-proven-closed session emits (then leaves the store — " +
+        "state is bounded by OPEN sessions). This is the " +
+        "timeout-emission pattern session_window (q72) implements " +
+        "internally, exposed for custom logic. Determinism: like " +
+        "q158's eviction rows, whether a TAIL session has fired yet is " +
+        "an engine race, so both engines compare only sessions ending " +
+        "below max(ts) - 90 min (watermark delay + gap + margin); below " +
+        "that line the timer MUST have fired and the result is " +
+        "bit-exact vs the batch gaps-and-islands oracle (q143's SQL).",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val ev = eventsStream(s, dir)
+          .select($"user_id", $"ts", $"value")
+          .withWatermark("ts", "30 minutes")
+          .as[(Long, java.sql.Timestamp, Double)]
+        val sess = ev.groupByKey(_._1)
+          .transformWithState(new TimerSessionProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+        val out = runToMemory(s, sess, "graft_mem_timer_sessions", "append",
+          shufflePartitions = Some(8),
+          extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        val hz = Tables.t(s, dir, "events").groupBy()
+          .agg((max($"ts") - expr("INTERVAL 90 MINUTES"))
+            .cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter($"sess_end" < lit(hz))
+          .select($"user_id",
+            $"sess_start".cast("timestamp_ntz").as("sess_start"),
+            $"sess_end".cast("timestamp_ntz").as("sess_end"),
+            $"n_events", round($"sum_value", 2).as("sum_value"))
+          .orderBy($"user_id", $"sess_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        g AS (SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+              FROM f),
+        hz AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 90 MINUTE AS h
+               FROM events)
+        SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM g, hz
+        GROUP BY user_id, sess_no, hz.h
+        HAVING max(ts) < hz.h
+        ORDER BY user_id, sess_start"""))
   )
 }
