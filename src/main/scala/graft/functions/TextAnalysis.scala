@@ -777,7 +777,63 @@ object TextAnalysis extends QueryModule {
                floor(count(*) FILTER (WHERE v.token IS NULL) * 10000.0
                      / count(*)) / 10000.0 AS oov_frac
         FROM toks LEFT JOIN vocab v ON toks.token = v.token
-        GROUP BY lang ORDER BY lang"""))
+        GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q187_kneser_ney_counts",
+      "N-GRAM LM COUNT TABLES (Kneser-Ney ingredients) — the corpus " +
+        "statistics a KenLM-style quality-filter model trains from: " +
+        "for the top-20 trigrams (count desc, lexical tie-break — a " +
+        "unique total order), the raw trigram count, the CONTINUATION " +
+        "count (distinct left contexts of the (w2,w3) suffix — KN's " +
+        "novel-continuation numerator), and the HISTORY total (all " +
+        "trigrams opening with (w1,w2) — the backoff denominator). " +
+        "Three aggregations over one exploded trigram stream; the " +
+        "continuation count needs NO distinct-aggregate because the " +
+        "grouped trigram table already has one row per distinct " +
+        "(w1,w2,w3) — counting rows per suffix IS the distinct-context " +
+        "count. Scale: the Zipf head collapses map-side in all three " +
+        "aggregates; the two enrichment joins key on suffix/prefix " +
+        "pairs (AQE splits the hot ones); top-k is a distributed heap.",
+      (s, dir) => {
+        import s.implicits._
+        val tri = Tables.t(s, dir, "documents")
+          .select(filter(split(trim($"text"), " "), x => x =!= lit(""))
+            .as("tk"))
+          .filter(size($"tk") >= 3)
+          .select(explode(expr(
+            "transform(sequence(0, size(tk) - 3), " +
+              "i -> struct(tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3))"))
+            .as("t"))
+          .select($"t.w1", $"t.w2", $"t.w3")
+        val counts = tri.groupBy($"w1", $"w2", $"w3")
+          .agg(count(lit(1)).as("n"))
+        val cont = counts.groupBy($"w2", $"w3")
+          .agg(count(lit(1)).as("cont_n"))
+        val hist = counts.groupBy($"w1", $"w2")
+          .agg(sum($"n").as("hist_n"))
+        counts.join(cont, Seq("w2", "w3")).join(hist, Seq("w1", "w2"))
+          .select($"w1", $"w2", $"w3", $"n", $"cont_n", $"hist_n")
+          .orderBy($"n".desc, $"w1", $"w2", $"w3")
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS tk
+                   FROM documents),
+        tri AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+                               for i in range(1, len(tk) - 1)]) AS g
+                FROM t WHERE len(tk) >= 3),
+        f AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri),
+        c AS (SELECT w1, w2, w3, count(*) AS n FROM f GROUP BY 1, 2, 3),
+        cont AS (SELECT w2, w3, count(*) AS cont_n FROM c GROUP BY 1, 2),
+        hist AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS hist_n
+                 FROM c GROUP BY 1, 2)
+        SELECT c.w1, c.w2, c.w3, c.n,
+               CAST(cont.cont_n AS BIGINT) AS cont_n, hist.hist_n
+        FROM c JOIN cont USING (w2, w3) JOIN hist USING (w1, w2)
+        ORDER BY n DESC, w1, w2, w3
+        LIMIT 20"""))
   )
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy

@@ -1237,7 +1237,179 @@ object AnalyticsPatterns extends QueryModule {
                       CAST(sum((1 - is_train) * in_train) AS BIGINT)
                         AS n_test_events_leaked
                FROM lab JOIN users USING (user_id))
-        SELECT ea.*, ua.* FROM ea CROSS JOIN ua"""))
+        SELECT ea.*, ua.* FROM ea CROSS JOIN ua""")),
+
+    Q(
+      "q186_preference_pairs",
+      "PREFERENCE-PAIR MINING (DPO/RLHF-style): within each language " +
+        "stratum, pair the i-th HIGHEST-quality document with the i-th " +
+        "LOWEST (i <= 3) as (chosen, rejected) — the deterministic " +
+        "skeleton of reward-model data construction, where quality is " +
+        "the integer type-token ratio (micros via BIGINT integer " +
+        "division — both engines truncate positives identically, no " +
+        "float compare) and every rank tie-breaks on doc_id, so the " +
+        "mined pairs are bit-stable. Pairs must be STRICT preferences " +
+        "(chosen score > rejected) and disjoint (chosen != rejected). " +
+        "Scale: one shuffle by stratum; at 100 TB the full per-stratum " +
+        "sort would be replaced by q132's bounded top-k/bottom-k " +
+        "Aggregator (head and tail only), same output.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val sc = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(t).as("n_tok"), size(array_distinct(t)).as("n_uniq"))
+          .filter($"n_tok" >= 10)
+          .withColumn("ttr",
+            expr("(CAST(n_uniq AS BIGINT) * 1000000) DIV n_tok"))
+        val wTop = Window.partitionBy($"lang")
+          .orderBy($"ttr".desc, $"doc_id".asc)
+        val wBot = Window.partitionBy($"lang")
+          .orderBy($"ttr".asc, $"doc_id".asc)
+        val top = sc.withColumn("i", row_number().over(wTop))
+          .filter($"i" <= 3)
+          .select($"lang", $"i",
+            $"doc_id".as("chosen_id"), $"ttr".as("chosen_score"))
+        val bot = sc.withColumn("i", row_number().over(wBot))
+          .filter($"i" <= 3)
+          .select($"lang", $"i",
+            $"doc_id".as("rejected_id"), $"ttr".as("rejected_score"))
+        top.join(bot, Seq("lang", "i"))
+          .filter($"chosen_id" =!= $"rejected_id" &&
+            $"chosen_score" > $"rejected_score")
+          .select($"lang", $"i".as("pair_no"),
+            $"chosen_id", $"rejected_id",
+            $"chosen_score", $"rejected_score")
+          .orderBy($"lang", $"pair_no")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                          list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '') AS tk
+                   FROM documents),
+        s AS (SELECT doc_id, lang, len(tk) AS n_tok,
+                     len(list_distinct(tk)) AS n_uniq
+              FROM t WHERE len(tk) >= 10),
+        sc AS (SELECT doc_id, lang,
+                      (CAST(n_uniq AS BIGINT) * 1000000) // n_tok AS ttr
+               FROM s),
+        tp AS (SELECT lang, doc_id, ttr, row_number() OVER (
+                 PARTITION BY lang ORDER BY ttr DESC, doc_id) AS i
+               FROM sc),
+        bt AS (SELECT lang, doc_id, ttr, row_number() OVER (
+                 PARTITION BY lang ORDER BY ttr ASC, doc_id) AS i
+               FROM sc)
+        SELECT tp.lang, CAST(tp.i AS INTEGER) AS pair_no,
+               tp.doc_id AS chosen_id, bt.doc_id AS rejected_id,
+               CAST(tp.ttr AS BIGINT) AS chosen_score,
+               CAST(bt.ttr AS BIGINT) AS rejected_score
+        FROM tp JOIN bt ON tp.lang = bt.lang AND tp.i = bt.i
+        WHERE tp.i <= 3 AND tp.doc_id <> bt.doc_id AND tp.ttr > bt.ttr
+        ORDER BY tp.lang, pair_no""")),
+
+    Q(
+      "q188_padding_audit",
+      "PADDING vs PACKING EFFICIENCY AUDIT — the measurement behind " +
+        "choosing q117's concat-then-chunk: if each document were one " +
+        "512-token padded sequence (the no-packing baseline), how much " +
+        "compute is wasted? Per language: docs, truncated docs " +
+        "(n_tok > 512, tail lost), kept tokens (min(n_tok, 512)), " +
+        "truncated-away tokens, pad tokens (512 - kept), and the " +
+        "utilization fraction (floor-4dp) — kept / (docs * 512). All " +
+        "integer sums; pure per-row projection + one 5-group aggregate: " +
+        "zero extra shuffles, linear at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val L = 512
+        Tables.t(s, dir, "documents")
+          .select($"lang",
+            size(filter(split(trim($"text"), " "), x => x =!= lit("")))
+              .cast("long").as("n_tok"))
+          .filter($"n_tok" > 0)
+          .withColumn("kept", least($"n_tok", lit(L.toLong)))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when($"n_tok" > L, 1L).otherwise(0L)).as("n_truncated"),
+            sum($"kept").as("tokens_kept"),
+            sum($"n_tok" - $"kept").as("tokens_truncated"),
+            sum(lit(L.toLong) - $"kept").as("pad_tokens"))
+          .withColumn("util_frac",
+            floor($"tokens_kept" * 10000.0 / ($"n_docs" * L)) / 10000.0)
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH d AS (SELECT lang,
+                          CAST(len(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS BIGINT)
+                            AS n_tok
+                   FROM documents),
+        k AS (SELECT lang, n_tok, least(n_tok, 512) AS kept
+              FROM d WHERE n_tok > 0)
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_truncated,
+               CAST(sum(kept) AS BIGINT) AS tokens_kept,
+               CAST(sum(n_tok - kept) AS BIGINT) AS tokens_truncated,
+               CAST(sum(512 - kept) AS BIGINT) AS pad_tokens,
+               floor(sum(kept) * 10000.0 / (count(*) * 512)) / 10000.0
+                 AS util_frac
+        FROM k GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q189_interval_overlap_join",
+      "INTERVAL-OVERLAP JOIN equi-ized by WEEK BUCKETING — two interval " +
+        "sets joined on overlap (q144 merged intervals WITHIN one set; " +
+        "this joins ACROSS sets): supplier-busy intervals [l_shipdate, " +
+        "l_shipdate + l_quantity days) vs a generated weekly " +
+        "maintenance-window spine, counting shipments overlapping each " +
+        "window. A naive theta join is a cross product; instead each " +
+        "interval EXPLODES into the Monday-keyed weeks it covers " +
+        "(bounded by interval span / 7) and the join becomes an " +
+        "EQUI-join on the week key — the bucket trick q133 applies to " +
+        "points, generalized to ranges. Overlap with a full-week " +
+        "window IS covering that week, so no residual predicate " +
+        "remains; a narrower window would re-check overlap post-join " +
+        "(still equi-keyed). Scale: shuffle keys are (suppkey, week), " +
+        "explode factor is span/7 (~8 max here), no cross product at " +
+        "any size.",
+      (s, dir) => {
+        import s.implicits._
+        val iv = Tables.t(s, dir, "lineitem")
+          .select($"l_suppkey",
+            $"l_shipdate".cast("date").as("iv_start"),
+            expr("date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT))")
+              .as("iv_end"))
+        val weeks = iv
+          .select(explode(sequence(
+            expr("date_trunc('WEEK', iv_start)").cast("date"),
+            expr("date_trunc('WEEK', iv_end)").cast("date"),
+            expr("INTERVAL 7 DAYS"))).as("week"),
+            $"l_suppkey")
+        weeks.groupBy($"week".cast("timestamp_ntz").as("week_start"))
+          .agg(count(lit(1)).as("n_overlapping"),
+            countDistinct($"l_suppkey").as("n_suppliers"))
+          .orderBy($"week_start")
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey, CAST(l_shipdate AS DATE) AS iv_start,
+                 CAST(l_shipdate AS DATE)
+                   + CAST(l_quantity AS INTEGER) AS iv_end
+          FROM lineitem),
+        wk AS (
+          SELECT l_suppkey,
+                 unnest([date_trunc('week', iv_start) + CAST(i * 7 AS INTEGER)
+                         for i in range(0,
+                           ((date_trunc('week', iv_end)
+                             - date_trunc('week', iv_start)) // 7) + 1)])
+                   AS week
+          FROM iv)
+        SELECT CAST(week AS TIMESTAMP) AS week_start,
+               count(*) AS n_overlapping,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM wk GROUP BY week ORDER BY week_start"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
