@@ -59,9 +59,23 @@ object StreamingOps extends QueryModule {
     import java.nio.file.{Files, Paths}
     val streamDir = graft.TempRoots.forDir(prefix, dir)
     Files.createDirectories(streamDir)
-    val link = streamDir.resolve(file)
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(s"$dir/$file"))
+    val src = Paths.get(s"$dir/$file")
+    if (Files.isDirectory(src)) {
+      // a Spark-written table is a DIRECTORY of part files; the file
+      // streaming source does not recurse into a linked subdirectory (it
+      // would read 0 rows silently — bit the Stress probe), so flatten:
+      // link each part file directly into the stream dir
+      Files.list(src).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          val link = streamDir.resolve(n)
+          if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+        }
+      }
+    } else {
+      val link = streamDir.resolve(file)
+      if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    }
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 

@@ -31,14 +31,17 @@ object Stress {
       "line","batch","value","stream","a","index","page","cache","disk")
     val vlit = typedLit(vocab)
     // 50k docs, ~60 tokens each; 2% near-dup pairs (copy with one token changed)
+    val langlit = typedLit(Seq("en", "de", "fr", "es", "zh"))
     val base = s.range(50000).select($"id".as("doc_id"),
       array_join(transform(sequence(lit(0), lit(59)), i =>
         element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))), " ").as("text"),
-      lit("stress").as("source"))
+      lit("stress").as("source"),
+      element_at(langlit, ($"id" % 5 + 1).cast("int")).as("lang"))
     val dups = s.range(1000).select(($"id" + 50000).as("doc_id"),
       array_join(concat(array(lit("dup")), transform(sequence(lit(1), lit(59)), i =>
         element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int")))), " ").as("text"),
-      lit("stress").as("source"))
+      lit("stress").as("source"),
+      element_at(langlit, ($"id" % 5 + 1).cast("int")).as("lang"))
     // dups share tokens 1..59 with base doc id -> jaccard ~0.95
     base.union(dups).write.mode("overwrite").parquet(s"$out/documents.parquet")
     // 6M lineitem-ish rows
@@ -81,7 +84,8 @@ object Stress {
       $"id".as("vec_id"),
       transform(sequence(lit(0), lit(63)), i =>
         (((xxhash64($"id", i) % 2001 + 2001) % 2001 - 1000) / 1000.0)
-          .cast("float")).as("embedding"))
+          .cast("float")).as("embedding"),
+      ($"id" % 10).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println("generated")
 
@@ -284,6 +288,75 @@ object Stress {
         .format("memory").queryName("stress_stream").start()
       try q.processAllAvailable() finally q.stop()
       s"${s.table("stress_stream").count()} windows from ${6 * mult}M input rows"
+    }
+    // Line-level dedup (q178): the explode multiplies rows by ~6 lines/doc
+    // and the keep-first window shuffles line content once — the probe
+    // pins that the content-keyed window stays linear (groups are copy
+    // multiplicity, the planted 1000 dups).
+    time("line dedup 51k docs") {
+      SparkEntry.queries("q178_line_dedup")(s, out)
+        .agg(sum($"n_kept")).head().getLong(0)
+    }
+    // KN trigram tables (q187): 51k x 58 trigrams explode map-side into a
+    // 30^3-bounded domain — the Zipf-head collapse is the whole cost story.
+    time("kn trigrams 51k docs") {
+      SparkEntry.queries("q187_kneser_ney_counts")(s, out).count()
+    }
+    // Exact-p99 anomaly monitor (q181) at row scale: the CDF shuffle
+    // carries the cent domain, not rows.
+    time(s"anomaly monitor ${6 * mult}M events") {
+      SparkEntry.queries("q181_anomaly_monitor")(s, out).count()
+    }
+    // Centroid confusion (q184) at 100x embeddings: one (label, dim)
+    // aggregate + a broadcast 10x64 centroid table over one scan.
+    time("centroid confusion 200k embeddings") {
+      SparkEntry.queries("q184_centroid_confusion")(s, out).count()
+    }
+    // Preference-pair mining (q186): per-stratum rank at 51k docs (the
+    // 100 TB form swaps the full sort for q132's bounded head/tail).
+    time("preference pairs 51k docs") {
+      SparkEntry.queries("q186_preference_pairs")(s, out).count()
+    }
+    // Timer sessionization (q182's processor) as a full streaming
+    // lifecycle at 10x: 10k users' ListState buffers + one timer each.
+    // Driven through foreachBatch with a distributed count — the corpus
+    // query's memory sink would funnel all ~5M emitted sessions through
+    // the driver and time THAT, not the operator — and with the state
+    // ops at the session's 32 partitions (the corpus query pins 8,
+    // sized for the fixture key space, q70 scaladoc).
+    time(s"timer sessions ${6 * mult}M events") {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val emitted = new java.util.concurrent.atomic.AtomicLong
+      val ev = s.readStream
+        .schema(graft.streaming.StreamingOps.eventsRawSchema)
+        .parquet(s"$out/events.parquet")
+        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+        .select($"user_id", $"ts", $"value")
+        .withWatermark("ts", "30 minutes")
+        .as[(Long, java.sql.Timestamp, Double)]
+      val sess = ev.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.StreamingOps.TimerSessionProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q =
+        try sess.toDF("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+          .writeStream.outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              emitted.addAndGet(b.count()): Unit
+          }
+          .start()
+        finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      try q.processAllAvailable() finally q.stop()
+      s"${emitted.get()} sessions emitted"
     }
     s.stop()
   }

@@ -242,4 +242,44 @@ class PlanSpec extends AnyFunSuite {
     assert(single.size <= 1,
       s"expected at most the 101-row offset window on a single partition: $single")
   }
+
+  test("q179: the 100-token vocab is broadcast and top-k never globally sorts") {
+    val plan = planOf("q179_vocab_oov")
+    assert(plan.contains("BroadcastHashJoin"),
+      "100-row vocab must broadcast onto the token scan: " + plan.take(600))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "vocab top-k must be a distributed heap, not a global sort: " +
+        plan.take(600))
+  }
+
+  test("q181: the per-type threshold table is broadcast onto the flag scan") {
+    val plan = planOf("q181_anomaly_monitor")
+    assert(plan.contains("BroadcastHashJoin"),
+      "5-row threshold table must broadcast: " + plan.take(600))
+    assert(plan.contains("partial_"),
+      "the cent-domain CDF counts must combine map-side: " + plan.take(600))
+  }
+
+  test("q184: the centroid table is broadcast; no corpus-side cartesian") {
+    // the crossJoin against the k-row centroid table must become a
+    // broadcast nested loop (k*dim driver-bounded), and the per-vector
+    // argmin window partitions by vec_id, never a single partition
+    val plan = planOf("q184_centroid_confusion")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "k-row centroid table must broadcast: " + plan.take(600))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("CartesianProduct"),
+      "centroid join degenerated to a cartesian: " + plan.take(600))
+  }
+
+  test("q178: the keep-first window partitions by line content, never globally") {
+    val plan = planOf("q178_line_dedup")
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    assert(!finalSection.contains("SinglePartition"),
+      "line dedup must not collapse to a single partition: " +
+        finalSection.linesIterator.filter(_.contains("SinglePartition"))
+          .mkString("; "))
+    assert(finalSection.contains("hashpartitioning(line"),
+      "keep-first window must shuffle by line content: " + plan.take(800))
+  }
 }

@@ -227,4 +227,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(readPairs() === Set((1L, 10L), (10L, 20L)),
       s"replayed batch must be idempotent, got ${readPairs()}")
   }
+
+  test("q182 timer sessions emit incrementally and never re-emit (state evicts)") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sess = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.StreamingOps.TimerSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "sess_start", "sess_end", "n_events", "sum_value")
+    // timers/ListState need multi-column-family support: RocksDB only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try sess.writeStream.outputMode("append")
+        .format("memory").queryName("timer_sess_test").start()
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    def rows() = spark.table("timer_sess_test").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSeq
+    try {
+      // batch 1: user 1 has two sessions (10:00-10:05, 11:00) plus user 2
+      // at 11:00; watermark after the batch = 11:00 - 30min = 10:30, so
+      // ONLY user 1's first session (close 10:35 > 10:30) is NOT yet
+      // provable — nothing emits
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 2.0),
+        (1L, ts("2024-01-01 11:00:00"), 4.0),
+        (2L, ts("2024-01-01 11:00:00"), 8.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"nothing is watermark-proven yet: ${rows()}")
+      // batch 2: a 12:00 event pushes the watermark to 11:30 — user 1's
+      // first session (close 10:35) fires; the 11:00 sessions (close
+      // 11:30) are NOT strictly provable at wm=11:30... they are:
+      // close <= wm, so they emit too. user 2's 12:00 event opens a new
+      // still-buffered session
+      input.addData((2L, ts("2024-01-01 12:00:00"), 16.0))
+      q.processAllAvailable()
+      val afterB2 = rows()
+      assert(afterB2.toSet === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L),
+        (1L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L),
+        (2L, "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0", 1L)),
+        s"closed sessions must emit exactly once: $afterB2")
+      // batch 3: advance far — only user 2's 12:00 session is left in
+      // state; the already-emitted ones must NOT re-emit (they left the
+      // store on emission)
+      input.addData((3L, ts("2024-01-01 15:00:00"), 32.0))
+      q.processAllAvailable()
+      val afterB3 = rows()
+      assert(afterB3.size === afterB2.size + 1, s"got $afterB3")
+      assert(afterB3.toSet.contains(
+        (2L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)),
+        s"user 2's second session must fire once provable: $afterB3")
+    } finally q.stop()
+  }
 }
