@@ -1308,6 +1308,77 @@ object AnalyticsPatterns extends QueryModule {
         ORDER BY tp.lang, pair_no""")),
 
     Q(
+      "q191_token_balanced_shards",
+      "TOKEN-BALANCED SHARD BOUNDARIES — the complement of q125's " +
+        "row-balanced shuffle-shard: training shards should equalize " +
+        "TOKENS (compute), not documents, so shard i is the doc range " +
+        "whose global running token offset falls in [i*target, " +
+        "(i+1)*target) with target = ceil(total/8). The running offset " +
+        "uses q117's scalable two-phase form (per-bucket prefix sums + " +
+        "a buckets-sized broadcast offset table over deterministic " +
+        "id-range buckets — never a single-partition corpus window); " +
+        "total tokens ride the same one-row broadcast as the bucket " +
+        "bounds. Integer division on non-negative offsets is identical " +
+        "under truncation and floor, so shard assignment is bit-stable " +
+        "cross-engine. Output: per-shard doc count, token count, and " +
+        "the contiguous [d_first, d_last] doc range (contiguity is the " +
+        "point — a sequential reader streams each shard).",
+      (s, dir) => {
+        import s.implicits._
+        val S = 8
+        val P = s.sparkContext.defaultParallelism
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            size(filter(split(trim($"text"), " "), x => x =!= lit("")))
+              .cast("long").as("n_tok"))
+          .filter($"n_tok" > 0)
+        val bounds = toks.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"),
+          sum($"n_tok").as("total"))
+        val parts = toks.crossJoin(broadcast(bounds))
+          .withColumn("pid",
+            expr(s"cast((doc_id - lo) div ((hi - lo + $P) div $P) as int)"))
+        val wLocal = Window.partitionBy($"pid").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = parts.withColumn("local_prev",
+          coalesce(sum($"n_tok").over(wLocal), lit(0L)))
+        val wOff = Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy($"pid").agg(sum($"n_tok").as("part_tok"))
+          .withColumn("offset", coalesce(sum($"part_tok").over(wOff), lit(0L)))
+          .select($"pid", $"offset")
+        local.join(broadcast(offsets), Seq("pid"))
+          .withColumn("start_tok", $"local_prev" + $"offset")
+          .withColumn("shard_id",
+            expr(s"cast(start_tok div ((total + ${S - 1}) div $S) as int)"))
+          .groupBy($"shard_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("tokens"),
+            min($"doc_id").as("d_first"), max($"doc_id").as("d_last"))
+          .orderBy($"shard_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        t AS (SELECT * FROM toks WHERE n_tok > 0),
+        c AS (SELECT doc_id, n_tok,
+                     CAST(coalesce(sum(n_tok) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tok
+              FROM t),
+        tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM t),
+        a AS (SELECT doc_id, n_tok,
+                     start_tok // ((total + 7) // 8) AS shard_id
+              FROM c, tot)
+        SELECT CAST(shard_id AS INTEGER) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tokens,
+               min(doc_id) AS d_first, max(doc_id) AS d_last
+        FROM a GROUP BY shard_id ORDER BY shard_id""")),
+
+    Q(
       "q188_padding_audit",
       "PADDING vs PACKING EFFICIENCY AUDIT — the measurement behind " +
         "choosing q117's concat-then-chunk: if each document were one " +

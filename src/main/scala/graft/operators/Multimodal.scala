@@ -243,6 +243,47 @@ object Multimodal extends QueryModule {
     } finally ais.close()
   }
 
+  /** One 32-sample audio frame (q190): ASR-style frame features. Integer
+    * amplitude sums per frame keep the oracle exact — the audio analogue
+    * of [[PatchFeatures]]. */
+  final case class FrameFeatures(
+      doc_id: Long, frame_id: Int,
+      sum_amp: Long, sum_abs: Long, max_abs: Int)
+
+  /** ASR-style FRAMING on the real codec path (q190): decode the WAV
+    * payload and split the clip into non-overlapping 32-sample frames
+    * (the trailing partial frame is dropped, as fixed-frame front ends
+    * do); per frame emit integer amplitude sums + peak. The audio
+    * analogue of [[patchifyPng]] — one decoded sample pass, pure index
+    * arithmetic. */
+  def frameWavFeatures(id: Long, payload: Array[Byte]): Seq[FrameFeatures] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian,
+        s"doc $id: expected 16-bit signed LE mono PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val nFrames = pcm.length / 2 / 32
+      for (f <- 0 until nFrames) yield {
+        var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+        var i = f * 32
+        while (i < (f + 1) * 32) {
+          val amp = (((pcm(i * 2 + 1) & 0xff) << 8) | (pcm(i * 2) & 0xff))
+            .toShort.toInt
+          sum += amp
+          val a = math.abs(amp)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        FrameFeatures(id, f, sum, sumAbs, maxAbs)
+      }
+    } finally ais.close()
+  }
+
   /** One augmented audio clip (q172): integer 2x gain clamped to ±3500
     * plus an 8-sample head/tail trim, features from the AUGMENTED
     * samples. Gain is pure multiplication (integer division semantics
@@ -841,6 +882,45 @@ object Multimodal extends QueryModule {
                CAST(list_sum([(doc_id * 23 + (2 * px + i % 2) * 3
                                + (2 * py + i // 2) * 19) % 256
                               for i in range(0, 4)]) AS BIGINT) AS sum_b
-        FROM c ORDER BY doc_id, patch_id"""))
+        FROM c ORDER BY doc_id, patch_id""")),
+
+    Q(
+      "q190_audio_framing",
+      "ASR-STYLE FRAME EXTRACTION on the real audio codec path — q180's " +
+        "patchify applied to sound: decode the WAV payload (q118's " +
+        "javax.sound tier) and split each clip into non-overlapping " +
+        "32-sample frames, the fixed-frame front end every speech " +
+        "pipeline runs before spectral features; per frame, integer " +
+        "amplitude sum, absolute-amplitude sum (the energy proxy), and " +
+        "peak — all exact vs the closed-form sample function (the " +
+        "trailing partial frame is dropped, as fixed-frame windows do). " +
+        "Row count EXPANDS ~2-3 frames per clip; payloads are born and " +
+        "die inside one partition, only scalar frame rows leave the map.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodeWav(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, wav) => frameWavFeatures(id, wav) })
+          .toDF()
+          .orderBy($"doc_id", $"frame_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        f AS (SELECT doc_id, unnest(range(0, n // 32)) AS fid FROM dims)
+        SELECT doc_id,
+               CAST(fid AS INTEGER) AS frame_id,
+               CAST(list_sum([(doc_id * 37 + i * 13) % 4001 - 2000
+                              for i in range(fid * 32, fid * 32 + 32)])
+                 AS BIGINT) AS sum_amp,
+               CAST(list_sum([abs((doc_id * 37 + i * 13) % 4001 - 2000)
+                              for i in range(fid * 32, fid * 32 + 32)])
+                 AS BIGINT) AS sum_abs,
+               CAST(list_max([abs((doc_id * 37 + i * 13) % 4001 - 2000)
+                              for i in range(fid * 32, fid * 32 + 32)])
+                 AS INTEGER) AS max_abs
+        FROM f ORDER BY doc_id, frame_id"""))
   )
 }

@@ -272,6 +272,24 @@ class PlanSpec extends AnyFunSuite {
       "centroid join degenerated to a cartesian: " + plan.take(600))
   }
 
+  test("q191: the offset table is broadcast and no window spans the corpus") {
+    // same contract as q117/q166: the only single-partition window is the
+    // buckets-sized offset cumsum, never the doc corpus
+    val plan = planOf("q191_token_balanced_shards")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the P-row offset table must broadcast: " + plan.take(600))
+    // the allowed single-partition exchanges all carry bounded artifacts:
+    // the one-row (lo, hi, total) bounds aggregate (which feeds two plan
+    // branches) and the P-row bucket-offset window — never doc rows. A
+    // corpus-wide window would add a SinglePartition exchange ABOVE the
+    // doc-scale scan, pushing the count past this bound.
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val single = finalSection.linesIterator
+      .filter(_.contains("SinglePartition")).toSeq
+    assert(single.size <= 3,
+      s"expected only bounded-artifact single-partition exchanges: $single")
+  }
+
   test("q178: the keep-first window partitions by line content, never globally") {
     val plan = planOf("q178_line_dedup")
     val finalSection = plan.split("== Initial Plan ==")(0)
