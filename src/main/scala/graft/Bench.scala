@@ -90,10 +90,10 @@ object Bench {
     val crossFast = prevQs.collect {
       case (n, p) if mins.get(n).exists(v => deviates(p, v)) => n }.sorted
     // Drift totals compare the OVERLAPPING query set only — the corpus
-    // grows every round, and raw totals would trip the guard on growth,
-    // not contention (round 7: +13 queries = +27% raw total, zero
-    // per-query regressions). The prev artifact carries its top-20 map;
-    // those heavy queries are exactly the drift-sensitive subset.
+    // grows every round (round 7 alone added 30 queries), and raw totals
+    // would trip the guard on growth, not contention. The prev artifact
+    // carries its top-20 map; those heavy queries are exactly the
+    // drift-sensitive subset.
     val overlap = prevQs.filter { case (n, p) =>
       p > 0 && mins.get(n).exists(_ >= 0) }
     val prevOverlapTotal = overlap.map(_._2).sum
@@ -155,7 +155,12 @@ object Bench {
       val why = (noisyQueries.map(n => s"warm_run_slow:$n") ++
         (if (crossSlow.size >= 3)
           Seq(s"cross_round_2x:${crossSlow.mkString("+")}") else Nil) ++
-        drifted.map(p => f"total_drift:${total}%.1fs_vs_prev_${p}%.1fs")).mkString(",")
+        // the drift guard compares the overlap-only totals, so the
+        // message must print THOSE — the corpus-wide total overstates
+        // drift whenever the corpus grew since the prev artifact
+        drifted.map(p =>
+          f"overlap_drift:${curOverlapTotal}%.1fs_vs_prev_${p}%.1fs"))
+        .mkString(",")
       println(s"GRAFT_BENCH_NOISY $why — rerun in a quiet window before " +
         "comparing against previous rounds")
     }

@@ -1452,10 +1452,15 @@ object AnalyticsPatterns extends QueryModule {
             $"l_shipdate".cast("date").as("iv_start"),
             expr("date_add(CAST(l_shipdate AS DATE), CAST(l_quantity AS INT))")
               .as("iv_end"))
+        // intervals are half-open [iv_start, iv_end): when iv_end falls
+        // exactly on a Monday the interval covers only through Sunday,
+        // so the last covered week is the week of iv_end - 1 day (the
+        // naive trunc(iv_end) bound would emit a spurious extra week
+        // for ~1 in 7 rows)
         val weeks = iv
           .select(explode(sequence(
             expr("date_trunc('WEEK', iv_start)").cast("date"),
-            expr("date_trunc('WEEK', iv_end)").cast("date"),
+            expr("date_trunc('WEEK', date_sub(iv_end, 1))").cast("date"),
             expr("INTERVAL 7 DAYS"))).as("week"),
             $"l_suppkey")
         weeks.groupBy($"week".cast("timestamp_ntz").as("week_start"))
@@ -1473,7 +1478,7 @@ object AnalyticsPatterns extends QueryModule {
           SELECT l_suppkey,
                  unnest([date_trunc('week', iv_start) + CAST(i * 7 AS INTEGER)
                          for i in range(0,
-                           ((date_trunc('week', iv_end)
+                           ((date_trunc('week', iv_end - 1)
                              - date_trunc('week', iv_start)) // 7) + 1)])
                    AS week
           FROM iv)

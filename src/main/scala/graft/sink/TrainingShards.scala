@@ -62,7 +62,11 @@ object TrainingShards {
     import s.implicits._
     val sharded = withShardIds(docs, seed, nShards)
     sharded
-      .repartition(nShards, $"shard_id")
+      // range partitioning: shard_id values map to distinct partitions
+      // (one write task per shard). Hash repartition collides shard ids
+      // (pmod(hash(id), n) is not a bijection) — output stays correct
+      // but ~1/e of the tasks end up empty and others carry 2-3 shards
+      .repartitionByRange(nShards, $"shard_id")
       .sortWithinPartitions($"shard_id", $"rk")
       .write.partitionBy("shard_id")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -65,13 +65,14 @@ object StreamingOps extends QueryModule {
       // streaming source does not recurse into a linked subdirectory (it
       // would read 0 rows silently — bit the Stress probe), so flatten:
       // link each part file directly into the stream dir
-      Files.list(src).forEach { p =>
+      val listing = Files.list(src)
+      try listing.forEach { p =>
         val n = p.getFileName.toString
         if (n.endsWith(".parquet") && !n.startsWith(".")) {
           val link = streamDir.resolve(n)
           if (!Files.exists(link)) Files.createSymbolicLink(link, p)
         }
-      }
+      } finally listing.close()
     } else {
       val link = streamDir.resolve(file)
       if (!Files.exists(link)) Files.createSymbolicLink(link, src)
@@ -781,6 +782,10 @@ object StreamingOps extends QueryModule {
             max(when($"event_type" === "error", $"ts"))).as("m"))
           .select(($"m" - expr("INTERVAL 3 HOURS")).cast("timestamp").as("h"))
           .head().getTimestamp(0)
+        // both sides compare at SECOND granularity (the output grain):
+        // e_sec is the floor-second of err_ts and the oracle floors
+        // epoch(err_ts)/epoch(h) identically — a full-precision oracle
+        // filter would disagree on errors inside [floor(h), h)
         out.filter($"e_sec" < lit(hz.getTime / 1000L))
           .select($"err_id", $"p_id", $"gap_sec")
           .orderBy($"err_id")
@@ -801,7 +806,9 @@ object StreamingOps extends QueryModule {
                AND p.p_ts >= e.err_ts - INTERVAL 30 MINUTE)
         SELECT err_id, p_id,
                CAST(floor(epoch(err_ts)) - floor(epoch(p_ts)) AS BIGINT) AS gap_sec
-        FROM j, hz WHERE rn = 1 AND err_ts < hz.h
+        FROM j, hz
+        WHERE rn = 1
+          AND floor(epoch(err_ts)) < floor(epoch(hz.h))
         ORDER BY err_id""")),
 
     Q(

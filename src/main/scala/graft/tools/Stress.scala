@@ -327,10 +327,10 @@ object Stress {
     time(s"timer sessions ${6 * mult}M events") {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val emitted = new java.util.concurrent.atomic.AtomicLong
-      val ev = s.readStream
-        .schema(graft.streaming.StreamingOps.eventsRawSchema)
-        .parquet(s"$out/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+      // eventsStream handles the raw-ns→timestamp normalization and the
+      // directory-shaped stress table (flattened symlink farm) — one
+      // recipe shared with the corpus query, not a re-implementation
+      val ev = graft.streaming.StreamingOps.eventsStream(s, out)
         .select($"user_id", $"ts", $"value")
         .withWatermark("ts", "30 minutes")
         .as[(Long, java.sql.Timestamp, Double)]

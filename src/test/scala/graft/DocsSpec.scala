@@ -40,4 +40,34 @@ class DocsSpec extends AnyFunSuite {
       "hand-written test totals go stale (round 6: 303 vs 307) — " +
         "describe the suite without a number")
   }
+
+  test("README oracle/rows-only split matches the registry") {
+    // round 7 shipped '163 oracle-checked' against an actual 177 — the
+    // split drifts exactly like the corpus total did, so pin both parts
+    val nOracle = SparkEntry.oracleSql.size
+    val nRowsOnly = SparkEntry.allQueries.size - nOracle
+    val m = raw"(\d+) oracle-checked".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README must state the oracle-checked count")
+    assert(m.get.group(1).toInt === nOracle,
+      s"README says ${m.get.group(1)} oracle-checked, registry has $nOracle")
+    val r = raw"\+ (\d+) rows-only".r.findFirstMatchIn(readme)
+    assert(r.isDefined, "README must state the rows-only count")
+    assert(r.get.group(1).toInt === nRowsOnly,
+      s"README says ${r.get.group(1)} rows-only, registry has $nRowsOnly")
+  }
+
+  test("SURVEY §8 status line matches the registry") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = raw"\((\d+) queries as of round \d+: (\d+) DuckDB-oracle-checked"
+      .r.findFirstMatchIn(survey)
+    assert(m.isDefined, "SURVEY §8 must carry the status line")
+    assert(m.get.group(1).toInt === SparkEntry.allQueries.size,
+      s"SURVEY says ${m.get.group(1)} queries, registry has " +
+        s"${SparkEntry.allQueries.size}")
+    assert(m.get.group(2).toInt === SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.get.group(2)} oracle-checked, registry has " +
+        s"${SparkEntry.oracleSql.size}")
+  }
 }
