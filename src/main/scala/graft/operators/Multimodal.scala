@@ -921,6 +921,67 @@ object Multimodal extends QueryModule {
                CAST(list_max([abs((doc_id * 37 + i * 13) % 4001 - 2000)
                               for i in range(fid * 32, fid * 32 + 32)])
                  AS INTEGER) AS max_abs
-        FROM f ORDER BY doc_id, frame_id"""))
+        FROM f ORDER BY doc_id, frame_id""")),
+
+    Q(
+      "q192_image_text_pairs",
+      "IMAGE-TEXT PAIR CURATION (CLIP/LAION-style training-set " +
+        "assembly): join each document's DECODED image dimensions " +
+        "(q114's real codec tier — the payload is decoded, not trusted " +
+        "from metadata) with its caption's token stats, apply the " +
+        "standard pair filters (image area >= 24 px, caption 5..60 " +
+        "tokens), and report the per-language curation ledger: " +
+        "candidates, kept pairs, kept caption tokens, kept pixels. The " +
+        "multimodal JOIN is the point — codec features and text " +
+        "features are computed in separate map passes (each payload " +
+        "born and dying in its own partition) and meet on doc_id, the " +
+        "shape a 100 TB pair-curation pipeline has: one equi-join on " +
+        "the pair key, integer filters, one small aggregate. All " +
+        "arithmetic integer-exact.",
+      (s, dir) => {
+        import s.implicits._
+        val dims = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val f = decodePngFeatures(id, encodePng(id))
+            (id, f.width, f.height)
+          })
+          .toDF("doc_id", "w", "h")
+        val caps = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            size(filter(split(trim($"text"), " "), x => x =!= lit("")))
+              .cast("long").as("n_tok"))
+        caps.join(dims, Seq("doc_id"))
+          .withColumn("kept",
+            ($"w" * $"h" >= 24 && $"n_tok" >= 5 && $"n_tok" <= 60)
+              .cast("long"))
+          .groupBy($"lang")
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            sum($"kept").as("n_kept"),
+            sum($"kept" * $"n_tok").as("tokens_kept"),
+            sum($"kept" * $"w" * $"h").as("pixels_kept"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+          FROM documents),
+        caps AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents),
+        j AS (
+          SELECT caps.lang, caps.n_tok, dims.w, dims.h,
+                 CASE WHEN dims.w * dims.h >= 24
+                       AND caps.n_tok BETWEEN 5 AND 60
+                      THEN 1 ELSE 0 END AS kept
+          FROM caps JOIN dims USING (doc_id))
+        SELECT lang,
+               count(*) AS n_candidates,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(kept * n_tok) AS BIGINT) AS tokens_kept,
+               CAST(sum(kept * w * h) AS BIGINT) AS pixels_kept
+        FROM j GROUP BY lang ORDER BY lang"""))
   )
 }
