@@ -171,7 +171,13 @@ object StreamingOps extends QueryModule {
     * called EventTimeTimeout, but with explicit multi-timer control and
     * typed state. State is bounded by open sessions per user (closed
     * ones leave the store on emission) — the property that keeps a
-    * 100 TB/day clickstream sessionizer from accumulating history. */
+    * 100 TB/day clickstream sessionizer from accumulating history.
+    *
+    * Cadence caveat (measured in the Stress probe): RocksDB list MERGE
+    * appends run ~11k rows/s/task, so this raw-event-buffering form fits
+    * LIVE arrival rates; replaying a 60M-row backlog through it hits the
+    * append wall. Backfills belong on the batch gaps-and-islands form
+    * (q143), or pre-aggregate per micro-batch before buffering. */
   final class TimerSessionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Double),

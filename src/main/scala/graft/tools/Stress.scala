@@ -324,7 +324,13 @@ object Stress {
     // the driver and time THAT, not the operator — and with the state
     // ops at the session's 32 partitions (the corpus query pins 8,
     // sized for the fixture key space, q70 scaladoc).
-    time(s"timer sessions ${6 * mult}M events") {
+    // Gated to base scale like the composed as-of: at 60M buffered rows
+    // RocksDB's per-append list MERGE measures ~11k appends/s/task on
+    // this box (jstack'd mid-run) — a >90-min wall, which is the real
+    // 100 TB lesson: an event-buffering sessionizer must BOUND its
+    // buffer (emit-and-evict incrementally, or pre-aggregate per
+    // micro-batch) rather than accumulate every raw row into ListState.
+    if (mult == 1) time(s"timer sessions ${6 * mult}M events") {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val emitted = new java.util.concurrent.atomic.AtomicLong
       // eventsStream handles the raw-ns→timestamp normalization and the
