@@ -1379,6 +1379,90 @@ object AnalyticsPatterns extends QueryModule {
         FROM a GROUP BY shard_id ORDER BY shard_id""")),
 
     Q(
+      "q193_session_cooccurrence",
+      "MARKET-BASKET CO-OCCURRENCE over behavioral sessions — which " +
+        "event types happen TOGETHER within one q143 session, with " +
+        "INTEGER-EXACT LIFT: for each unordered type pair, the sessions " +
+        "containing both, each type's session count, and lift in micros " +
+        "= floor(n_both * n_sessions * 1e6 / (n_a * n_b)) — " +
+        "cross-multiplied instead of a float ratio, so ranking is " +
+        "bit-stable. The association-rule primitive behind 'users who " +
+        "X also Y', run on sessions rather than users so co-occurrence " +
+        "means temporal proximity. Plan: sessionize (one user_id " +
+        "shuffle), DISTINCT (session, type) — the dedup that stops a " +
+        "chatty session from inflating counts, self-join on the session " +
+        "key with a < b (sessions hold <= |type domain| distinct rows, " +
+        "so the join fan-out is bounded by domain², never row count), " +
+        "pair aggregate with map-side combine; the per-type counts and " +
+        "grand total ride broadcasts.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = Tables.t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_s",
+            when($"prev_ts".isNull ||
+              $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum($"new_s").over(w))
+          .select(concat($"user_id", lit(":"), $"sess_no").as("sid"),
+            $"event_type")
+          .distinct()
+        val tot = sess.select($"sid").distinct()
+          .groupBy().agg(count(lit(1)).as("n_tot"))
+        val perType = sess.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_t"))
+        val pairs = sess.toDF("sid", "a")
+          .join(sess.toDF("sid", "b"), Seq("sid"))
+          .filter($"a" < $"b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(perType.toDF("a", "n_a")), Seq("a"))
+          .join(broadcast(perType.toDF("b", "n_b")), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .select($"a", $"b", $"n_both", $"n_a", $"n_b",
+            floor($"n_both" * $"n_tot" * 1000000.0 / ($"n_a" * $"n_b"))
+              .cast("long").as("lift_micros"))
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                 lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        g AS (SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+              FROM f),
+        st AS (SELECT DISTINCT
+                 CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(sess_no AS VARCHAR) AS sid,
+                 event_type
+               FROM g),
+        tot AS (SELECT count(DISTINCT sid) AS n FROM st),
+        pt AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+        pr AS (SELECT a.event_type AS a, b.event_type AS b,
+                      count(*) AS n_both
+               FROM st a JOIN st b
+                 ON a.sid = b.sid AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT pr.a, pr.b, pr.n_both,
+               CAST(pa.n_t AS BIGINT) AS n_a,
+               CAST(pb.n_t AS BIGINT) AS n_b,
+               CAST(floor(pr.n_both * tot.n * 1000000.0
+                          / (pa.n_t * pb.n_t)) AS BIGINT) AS lift_micros
+        FROM pr
+        JOIN pt pa ON pr.a = pa.event_type
+        JOIN pt pb ON pr.b = pb.event_type
+        CROSS JOIN tot
+        ORDER BY a, b""")),
+
+    Q(
       "q188_padding_audit",
       "PADDING vs PACKING EFFICIENCY AUDIT — the measurement behind " +
         "choosing q117's concat-then-chunk: if each document were one " +
