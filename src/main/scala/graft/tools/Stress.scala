@@ -317,6 +317,12 @@ object Stress {
     time("preference pairs 51k docs") {
       SparkEntry.queries("q186_preference_pairs")(s, out).count()
     }
+    // Market-basket co-occurrence (q193) at row scale: sessionize once
+    // (checkpointed), distinct (session, type), self-join bounded by the
+    // 5-type domain per session — pair count stays domain², not rows².
+    time(s"session cooccurrence ${6 * mult}M events") {
+      SparkEntry.queries("q193_session_cooccurrence")(s, out).count()
+    }
     // Timer sessionization (q182's processor) as a full streaming
     // lifecycle at 10x: 10k users' ListState buffers + one timer each.
     // Driven through foreachBatch with a distributed count — the corpus

@@ -290,6 +290,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected only bounded-artifact single-partition exchanges: $single")
   }
 
+  test("q193: session frame is materialized once; count tables broadcast") {
+    val plan = planOf("q193_session_cooccurrence")
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    // the sessionize+distinct subtree is localCheckpoint'ed: every
+    // consumer branch must read the materialized RDD scan, not replay
+    // the user_id shuffle + two windows per branch
+    assert(finalSection.contains("Scan ExistingRDD"),
+      "session frame must come from the checkpoint: " + plan.take(600))
+    assert(!finalSection.contains("WindowExec") &&
+      !finalSection.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("user_id")),
+      "sessionize windows must not replay downstream of the checkpoint: " +
+        plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type count tables must broadcast: " + plan.take(600))
+  }
+
   test("q178: the keep-first window partitions by line content, never globally") {
     val plan = planOf("q178_line_dedup")
     val finalSection = plan.split("== Initial Plan ==")(0)
