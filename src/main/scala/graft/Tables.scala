@@ -35,16 +35,43 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    // nanos LongType (spark.sql.legacy.parquet.nanosAsLong, set in
-    // GraftSession). Truncate to µs and expose as TIMESTAMP_NTZ so it
-    // behaves like every other fixture timestamp (oracle casts to µs too).
-    if (name == "events")
-      raw.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.expr(
-          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    else raw
+    if (name == "events") normalizeEventsTs(raw) else raw
+  }
+
+  /** Normalize the events table's `ts` to µs TIMESTAMP_NTZ regardless of
+    * which encoding the fixture generation happened to write — the fixtures
+    * have shipped both parquet TIMESTAMP(NANOS) (which Spark reads only as
+    * a nanos LongType under spark.sql.legacy.parquet.nanosAsLong, set in
+    * GraftSession) and TIMESTAMP(isAdjustedToUTC=0, unit=MICROS) (read
+    * natively as TIMESTAMP_NTZ). Branching on the type the reader actually
+    * produced makes the loader footer-true: an encoding it does not
+    * recognize fails LOUDLY at analysis instead of silently reinterpreting
+    * the scale (the µs-as-ns corruption class that collapsed 30 days of
+    * events into 43 minutes in round 7). Works on batch and streaming
+    * frames alike — both loaders share this one convention.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS) fixtures / the Stress generator's layout:
+      // raw nanos int64 → truncate to µs, expose as NTZ
+      case LongType =>
+        df.withColumn(
+          "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      // current fixtures: already µs NTZ — use as-is
+      case TimestampNTZType => df
+      // instant-typed µs (isAdjustedToUTC=1): same wall clock under the
+      // pinned UTC session timezone
+      case TimestampType =>
+        df.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other — fixture encoding " +
+            "drifted again; teach Tables.normalizeEventsTs the new encoding " +
+            "rather than letting a schema-on-read reinterpretation corrupt " +
+            "every events query silently")
+    }
   }
 
   /** Register every fixture table as a temp view (for spark.sql corpora).

@@ -9,13 +9,23 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.create()
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Absence must be LOUD: in round 7, 36 queries threw here and the
+    // swallowed exceptions meant the driver never saw a row for them —
+    // "absent" read as "not registered", not "broken". One summary line
+    // plus a registry dump lets check.py (and a human scanning the log)
+    // treat registered-but-missing as a failure, not a gap.
+    System.err.println(
+      s"[verify] SUMMARY: ${failed.size}/${SparkEntry.queries.size} failed" +
+        (if (failed.nonEmpty) failed.mkString(": ", ", ", "") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -31,6 +41,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

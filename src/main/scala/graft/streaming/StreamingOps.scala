@@ -24,9 +24,16 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps extends QueryModule {
 
-  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS) → LongType
-    * under nanosAsLong; converted to µs TIMESTAMP_NTZ after load). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** events schema in the LEGACY nanos layout (ts = raw nanos int64, which
+    * is how Spark reads parquet TIMESTAMP(NANOS) under nanosAsLong). Kept
+    * ONLY for the Stress generator, which deliberately writes this layout
+    * so the Long branch of [[graft.Tables.normalizeEventsTs]] stays
+    * exercised at 10–100× row scale. Fixture streams must NOT use a
+    * hard-coded schema: round 7 proved a declared schema that contradicts
+    * the footer corrupts silently (µs int64s read as "nanos", every
+    * timestamp shrunk 1000×) — [[eventsStream]] now derives its schema
+    * from the footer instead. */
+  val eventsLegacyNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -80,9 +87,19 @@ object StreamingOps extends QueryModule {
     s.readStream.schema(schema).parquet(streamDir.toString)
   }
 
-  def eventsStream(s: SparkSession, dir: String): DataFrame =
-    fixtureStream(s, dir, "graft_stream_src", "events.parquet", eventsRawSchema)
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  /** The file streaming source demands an explicit schema; declaring one
+    * that contradicts the footer is the round-7 silent-corruption bug. So:
+    * read the footer once (driver-side batch read, no data scan), hand the
+    * stream the TRUE stored schema, then normalize `ts` with the same
+    * encoding-adaptive branch as the batch loader. Event time is exposed as
+    * LTZ TIMESTAMP (session tz = UTC, so identical wall clock to the batch
+    * NTZ convention) because watermarks are defined on TimestampType. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val footerSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = fixtureStream(s, dir, "graft_stream_src", "events.parquet", footerSchema)
+    graft.Tables.normalizeEventsTs(raw)
+      .withColumn("ts", expr("cast(ts as timestamp)"))
+  }
 
   /** documents.parquet schema as stored (no timestamp normalization
     * needed, unlike events). */
@@ -141,23 +158,32 @@ object StreamingOps extends QueryModule {
     * the store instead of accumulating forever — state bound becomes
     * O(active keys), the property flatMapGroupsWithState only gets via
     * hand-rolled timeouts. */
+  /** Input rows carry (user, value, ts_us); the state tracks max event
+    * time alongside the running stats so the query OUTPUT is timestamp-
+    * bearing — round 7's lesson: a streaming query whose output is
+    * insensitive to a uniform time-scale slip stays green while the
+    * loader corrupts, so every stateful corpus query now emits at least
+    * one ts-derived column the oracle checks bit-exactly. */
   final class RunningStatsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Double), (Long, Long, Double, Double)] {
+        Long, (Long, Double, Long), (Long, Long, Double, Double, Long)] {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
-    @transient private var agg: ValueState[(Long, Double, Double)] = _
+    @transient private var agg: ValueState[(Long, Double, Double, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      agg = getHandle.getValueState[(Long, Double, Double)](
-        "agg", org.apache.spark.sql.Encoders.product[(Long, Double, Double)],
+      agg = getHandle.getValueState[(Long, Double, Double, Long)](
+        "agg", org.apache.spark.sql.Encoders.product[(Long, Double, Double, Long)],
         TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double, Long)],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[(Long, Long, Double, Double)] = {
-      var (n, total, mx) =
-        if (agg.exists()) agg.get() else (0L, 0.0, Double.NegativeInfinity)
-      rows.foreach { r => n += 1; total += r._2; mx = math.max(mx, r._2) }
-      agg.update((n, total, mx))
-      Iterator((user, n, total, mx))
+        : Iterator[(Long, Long, Double, Double, Long)] = {
+      var (n, total, mx, lastTs) =
+        if (agg.exists()) agg.get() else (0L, 0.0, Double.NegativeInfinity, Long.MinValue)
+      rows.foreach { r =>
+        n += 1; total += r._2; mx = math.max(mx, r._2)
+        lastTs = math.max(lastTs, r._3)
+      }
+      agg.update((n, total, mx, lastTs))
+      Iterator((user, n, total, mx, lastTs))
     }
   }
 
@@ -414,20 +440,20 @@ object StreamingOps extends QueryModule {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         import s.implicits._
         val perUser = eventsStream(s, dir)
-          .select($"user_id", $"value")
-          .as[(Long, Double)]
+          .select($"user_id", $"value", unix_micros($"ts"))
+          .as[(Long, Double, Long)]
           .groupByKey(_._1)
           .flatMapGroupsWithState(
             OutputMode.Update, GroupStateTimeout.NoTimeout)(
-            (user: Long, rows: Iterator[(Long, Double)],
-             state: GroupState[(Long, Double)]) => {
-              val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
-              var n = n0; var v = v0
-              rows.foreach { r => n += 1; v += r._2 }
-              state.update((n, v))
-              Iterator((user, n, v))
+            (user: Long, rows: Iterator[(Long, Double, Long)],
+             state: GroupState[(Long, Double, Long)]) => {
+              val (n0, v0, t0) = state.getOption.getOrElse((0L, 0.0, Long.MinValue))
+              var n = n0; var v = v0; var t = t0
+              rows.foreach { r => n += 1; v += r._2; t = math.max(t, r._3) }
+              state.update((n, v, t))
+              Iterator((user, n, v, t))
             })
-          .toDF("user_id", "n_events", "total_value")
+          .toDF("user_id", "n_events", "total_value", "last_us")
         val out = runToMemory(s, perUser, "graft_mem_stateful", "update", shufflePartitions = Some(8))
         // update mode re-emits per batch; the LAST row per user is the
         // converged state (single-batch here, but written to be correct
@@ -437,11 +463,15 @@ object StreamingOps extends QueryModule {
             Window.partitionBy($"user_id").orderBy($"n_events".desc)))
           .filter($"rn" === 1)
           .select($"user_id", $"n_events",
-            round($"total_value", 2).as("total_value"))
+            round($"total_value", 2).as("total_value"),
+            // ts-bearing output (round-7 lesson): a loader time-scale
+            // slip moves this column → loud driver-hash failure
+            timestamp_micros($"last_us").cast("timestamp_ntz").as("last_ts"))
           .orderBy($"user_id")
       },
       Some("""
-        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value,
+               max(ts) AS last_ts
         FROM events
         GROUP BY user_id
         ORDER BY user_id""")),
@@ -459,12 +489,12 @@ object StreamingOps extends QueryModule {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         import s.implicits._
         val perUser = eventsStream(s, dir)
-          .select($"user_id", $"value")
-          .as[(Long, Double)]
+          .select($"user_id", $"value", unix_micros($"ts"))
+          .as[(Long, Double, Long)]
           .groupByKey(_._1)
           .transformWithState(
             new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_events", "total_value", "max_value")
+          .toDF("user_id", "n_events", "total_value", "max_value", "last_us")
         val out = runToMemory(s, perUser, "graft_mem_tws", "update",
           shufflePartitions = Some(8),
           extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
@@ -477,13 +507,17 @@ object StreamingOps extends QueryModule {
           .filter($"rn" === 1)
           .select($"user_id", $"n_events",
             round($"total_value", 2).as("total_value"),
-            round($"max_value", 2).as("max_value"))
+            round($"max_value", 2).as("max_value"),
+            // ts-bearing output: a time-scale slip in the loader moves
+            // this column and fails the driver hash, loudly
+            timestamp_micros($"last_us").cast("timestamp_ntz").as("last_ts"))
           .orderBy($"user_id")
       },
       Some("""
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value,
-               round(max(value), 2) AS max_value
+               round(max(value), 2) AS max_value,
+               max(ts) AS last_ts
         FROM events
         GROUP BY user_id
         ORDER BY user_id""")),
@@ -503,13 +537,17 @@ object StreamingOps extends QueryModule {
           .join(broadcast(weights), Seq("event_type"))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
-            round(sum($"value" * $"weight"), 2).as("weighted_value"))
+            round(sum($"value" * $"weight"), 2).as("weighted_value"),
+            // ts-bearing output (round-7 lesson): any loader time-scale
+            // slip moves this column → loud driver-hash failure
+            max($"ts").cast("timestamp_ntz").as("last_ts"))
         runToMemory(s, joined, "graft_mem_enrich", "complete", shufflePartitions = Some(8))
           .orderBy($"event_type")
       },
       Some("""
         SELECT event_type, count(*) AS n,
-               round(sum(value * weight), 2) AS weighted_value
+               round(sum(value * weight), 2) AS weighted_value,
+               max(ts) AS last_ts
         FROM events
         JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
                      ('signup', 5.0), ('error', 0.0)) AS w(event_type, weight)

@@ -278,10 +278,14 @@ object Stress {
     // events dir as a file-source stream (full query lifecycle included).
     time(s"stream tumbling ${6 * mult}M events") {
       import org.apache.spark.sql.functions.{window => fwindow}
-      val stream = s.readStream
-        .schema(graft.streaming.StreamingOps.eventsRawSchema)
-        .parquet(s"$out/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+      // this dir is Stress's own output, written in the legacy nanos-long
+      // layout above — declare that schema and normalize through the same
+      // adaptive branch as the fixture loaders (Long → ns→µs here)
+      val stream = graft.Tables.normalizeEventsTs(
+        s.readStream
+          .schema(graft.streaming.StreamingOps.eventsLegacyNanosSchema)
+          .parquet(s"$out/events.parquet"))
+        .withColumn("ts", expr("cast(ts as timestamp)"))
       val agg = stream.groupBy(fwindow($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"))
       val q = agg.writeStream.outputMode("complete")

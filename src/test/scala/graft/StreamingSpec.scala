@@ -81,13 +81,13 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Double)]
+    val input = MemoryStream[(Long, Double, Long)]
     val tws = input.toDS()
       .groupByKey(_._1)
       .transformWithState(
         new graft.streaming.StreamingOps.RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
-      .toDF("user_id", "n", "total", "mx")
+      .toDF("user_id", "n", "total", "mx", "last_us")
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -95,9 +95,9 @@ class StreamingSpec extends AnyFunSuite {
       val q = tws.writeStream.outputMode("update")
         .format("memory").queryName("tws_test").start()
       try {
-        input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+        input.addData((1L, 2.0, 100L), (1L, 3.0, 200L), (2L, 10.0, 50L))
         q.processAllAvailable()
-        input.addData((1L, 5.0)) // state must carry: n 2→3, total 5→10
+        input.addData((1L, 5.0, 150L)) // state must carry: n 2→3, total 5→10
         q.processAllAvailable()
       } finally q.stop()
     } finally prev match {
@@ -105,10 +105,12 @@ class StreamingSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
     val rows = spark.table("tws_test").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
-    assert(rows.contains((1L, 2L, 5.0, 3.0)), rows)  // after batch 1
-    assert(rows.contains((1L, 3L, 10.0, 5.0)), rows) // state carried into batch 2
-    assert(rows.contains((2L, 1L, 10.0, 10.0)), rows)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(rows.contains((1L, 2L, 5.0, 3.0, 200L)), rows)  // after batch 1
+    // state carried into batch 2; max ts stays 200 (the 150 arrival is older)
+    assert(rows.contains((1L, 3L, 10.0, 5.0, 200L)), rows)
+    assert(rows.contains((2L, 1L, 10.0, 10.0, 50L)), rows)
   }
 
   test("streaming session window merges within gap across batches") {

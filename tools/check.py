@@ -46,6 +46,19 @@ def main(sf_dir, out_dir):
                   f"{bad} — wrap in CAST(... AS BIGINT)")
             n_fail += 1
     import os
+    # Registered-but-ABSENT is a failure, not a gap: in round 7 36 queries
+    # threw inside Verify, wrote no parquet, and silently vanished from the
+    # gate. Verify now dumps its registry; any name with no result dir here
+    # is counted as failed.
+    reg_path = f"{out_dir}/registered_queries.json"
+    if os.path.exists(reg_path):
+        registered = set(json.load(open(reg_path)))
+        present = {n for n in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{n}")}
+        for name in sorted(registered - present):
+            print(f"  X {name}: ABSENT — registered in SparkEntry.queries "
+                  "but Verify wrote no result (it threw; see [verify] log)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
