@@ -21,6 +21,8 @@ object Tables {
   // eviction must be explicit — stopped sessions are pruned on access.
   private final class PerSession {
     val frames = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    val rawSchemas = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), org.apache.spark.sql.types.StructType]()
     val registeredDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   }
   private val sessions =
@@ -32,6 +34,16 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     perSession(spark).frames.computeIfAbsent((dir, name), _ => load(spark, dir, name))
+
+  /** The AS-STORED footer schema of a fixture file (pre-normalization) —
+    * what a file streaming source must declare to be footer-true. Memoized
+    * per (session, dir, table): the footer read costs a file listing +
+    * parquet footer parse per call, pure driver overhead that a bench run
+    * with ~40 stream constructions would otherwise pay ~40 times. */
+  def rawSchema(spark: SparkSession, dir: String, name: String)
+      : org.apache.spark.sql.types.StructType =
+    perSession(spark).rawSchemas.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")

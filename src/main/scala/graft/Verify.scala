@@ -6,11 +6,23 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query-name subset — a local
+    // iteration aid (the driver always runs the full registry); the
+    // registry dump below still lists ONLY what ran, so check.py's
+    // absence accounting stays consistent for subset runs too
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = SparkEntry.queries.filter {
+      case (n, _) => only.forall(_.contains(n)) }
     val spark = GraftSession.create()
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -24,7 +36,7 @@ object Verify {
     // plus a registry dump lets check.py (and a human scanning the log)
     // treat registered-but-missing as a failure, not a gap.
     System.err.println(
-      s"[verify] SUMMARY: ${failed.size}/${SparkEntry.queries.size} failed" +
+      s"[verify] SUMMARY: ${failed.size}/${selected.size} failed" +
         (if (failed.nonEmpty) failed.mkString(": ", ", ", "") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -42,7 +54,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/registered_queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

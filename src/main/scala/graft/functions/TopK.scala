@@ -71,3 +71,39 @@ final class FirstKByKey(k: Int)
   override def outputEncoder: Encoder[Seq[SampleHit]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleHit]]()
 }
+
+/** One scored PAIR inside the bounded top-k sketch (q195): an
+  * (id, id) edge plus its integer similarity score. */
+final case class PairHit(v1: Long, v2: Long, score: Long)
+
+/** Exact bounded top-k PAIRS aggregator — [[TopKCosine]]'s shape for
+  * edge-valued groups (q195's cross-label mining): keeps at most k
+  * (score desc, v1 asc, v2 asc) pairs per group. The score is a LONG
+  * (integer-quantized similarity), so ordering is bit-stable across
+  * engines and partitionings — no float rank ties to adjudicate. With
+  * map-side partials the shuffle carries <= k pairs per group per map
+  * task, which is what lets an exact "best cross-corpus matches per
+  * group pair" run over a pair enumeration that is quadratic in rows:
+  * the pairs are enumerated but never materialized past the partial
+  * aggregation buffers. */
+final class TopKPairs(k: Int)
+    extends Aggregator[PairHit, Seq[PairHit], Seq[PairHit]] {
+  require(k > 0, s"TopKPairs needs k > 0, got $k") // fail at plan, not in a task
+
+  private def lt(a: PairHit, b: PairHit): Boolean =
+    a.score > b.score ||
+      (a.score == b.score && (a.v1 < b.v1 ||
+        (a.v1 == b.v1 && a.v2 < b.v2)))
+
+  override def zero: Seq[PairHit] = Seq.empty
+  override def reduce(buf: Seq[PairHit], h: PairHit): Seq[PairHit] =
+    if (buf.size >= k && !lt(h, buf.last)) buf
+    else ((buf :+ h).sortWith(lt)).take(k)
+  override def merge(a: Seq[PairHit], b: Seq[PairHit]): Seq[PairHit] =
+    (a ++ b).sortWith(lt).take(k)
+  override def finish(buf: Seq[PairHit]): Seq[PairHit] = buf
+  override def bufferEncoder: Encoder[Seq[PairHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PairHit]]()
+  override def outputEncoder: Encoder[Seq[PairHit]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PairHit]]()
+}

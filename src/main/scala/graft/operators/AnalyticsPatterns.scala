@@ -1579,7 +1579,139 @@ object AnalyticsPatterns extends QueryModule {
         SELECT CAST(week AS TIMESTAMP) AS week_start,
                count(*) AS n_overlapping,
                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
-        FROM wk GROUP BY week ORDER BY week_start"""))
+        FROM wk GROUP BY week ORDER BY week_start""")),
+
+    Q(
+      "q194_session_transitions",
+      "SESSION TRANSITION MATRIX (first-order Markov counts): within " +
+        "each q143 session, every consecutive event-type pair is a " +
+        "transition; output is the 5x5-bounded (from_type, to_type) " +
+        "count matrix plus the row-conditional probability in BASIS " +
+        "POINTS via cross-multiplied integer division ((n*10000) DIV " +
+        "row_total — q168's no-doubles recipe), the transition model a " +
+        "next-action predictor or funnel-anomaly monitor consumes. " +
+        "Complements q193: co-occurrence asks WHICH types share a " +
+        "session; this asks in WHAT ORDER. Plan: ONE user_id shuffle " +
+        "(sessionize + the in-session lead are the same per-user sort, " +
+        "Spark plans one Exchange for both windows); the transition " +
+        "aggregate collapses map-side into the <=25-key type-pair " +
+        "domain, so the second shuffle carries the DOMAIN, not rows; " +
+        "the row-total window runs over that 25-row frame. Power-user " +
+        "skew bounds at the busiest single user, same as q143.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val sess = Tables.t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_s",
+            when($"prev_ts".isNull ||
+              $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum($"new_s").over(w))
+        val wSess = Window.partitionBy($"user_id", $"sess_no")
+          .orderBy($"ts", $"event_id")
+        val counts = sess
+          .withColumn("to_type", lead($"event_type", 1).over(wSess))
+          .filter($"to_type".isNotNull)
+          .select($"event_type".as("from_type"), $"to_type")
+          .groupBy($"from_type", $"to_type")
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("row_total",
+            sum($"n").over(Window.partitionBy($"from_type")))
+          .select($"from_type", $"to_type", $"n",
+            expr("(n * 10000) DIV row_total").as("pct_bp"))
+          .orderBy($"from_type", $"to_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        g AS (SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+              FROM f),
+        t AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id, sess_no
+                       ORDER BY ts, event_id) AS to_type
+              FROM g),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type)
+                 AS BIGINT) AS pct_bp
+        FROM c
+        ORDER BY from_type, to_type""")),
+
+    Q(
+      "q196_gap_percentiles",
+      "INTER-ARRIVAL GAP PERCENTILES (exact p50/p90/p99 of the seconds " +
+        "between a user's consecutive events of the same type) — the " +
+        "cadence profile behind rate-limit tuning, bot detection, and " +
+        "the watermark/session-gap choices q70-q72 hard-code. q168's " +
+        "counting-sort inverse CDF applied to a DERIVED domain: gaps " +
+        "come from one (user_id, event_type) window (lag), then the " +
+        "percentile machinery touches only the distinct-gap-seconds " +
+        "domain with map-side combine — the CDF shuffle carries gap " +
+        "VALUES, not events — with thresholds in cross-multiplied " +
+        "integer arithmetic (100*cum >= pct*n, no double ceil). Gap " +
+        "seconds are exact on both engines: both compute " +
+        "(micros_a - micros_b) truncated-divided by 1e6 on positive " +
+        "int64s.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"us", $"event_id")
+        val gaps = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("us"))
+          .withColumn("prev_us", lag($"us", 1).over(w))
+          .filter($"prev_us".isNotNull)
+          .select($"event_type",
+            expr("(us - prev_us) DIV 1000000").as("gap_s"))
+        val counts = gaps.groupBy($"event_type", $"gap_s")
+          .agg(count(lit(1)).as("c"))
+        val cum = counts.withColumn("cum",
+          sum($"c").over(Window.partitionBy($"event_type").orderBy($"gap_s")))
+        val tot = counts.groupBy($"event_type").agg(sum($"c").as("n"))
+        val ps = Seq(("p50", 50), ("p90", 90), ("p99", 99)).toDF("lbl", "pct")
+        cum.join(broadcast(tot), Seq("event_type"))
+          .crossJoin(broadcast(ps))
+          .filter($"cum" * 100 >= $"pct" * $"n")
+          .groupBy($"event_type", $"lbl")
+          .agg(min($"gap_s").as("gap_s"))
+          .orderBy($"event_type", $"lbl")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+          FROM events),
+        g AS (SELECT event_type, (us - prev_us) // 1000000 AS gap_s
+              FROM e WHERE prev_us IS NOT NULL),
+        c AS (SELECT event_type, gap_s, count(*) AS c FROM g GROUP BY 1, 2),
+        cum AS (SELECT event_type, gap_s, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY gap_s) AS cum
+                FROM c),
+        t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+              FROM c GROUP BY event_type),
+        p(lbl, pct) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        SELECT cum.event_type, p.lbl, CAST(min(gap_s) AS BIGINT) AS gap_s
+        FROM cum JOIN t USING (event_type) CROSS JOIN p
+        WHERE cum * 100 >= p.pct * t.n
+        GROUP BY cum.event_type, p.lbl
+        ORDER BY event_type, lbl"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

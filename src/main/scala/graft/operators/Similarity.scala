@@ -501,6 +501,76 @@ object Similarity extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_vecs
         FROM a WHERE rn = 1
         GROUP BY label, cand
-        ORDER BY true_label, assigned_label"""))
+        ORDER BY true_label, assigned_label""")),
+
+    Q(
+      "q195_cross_label_nn",
+      "CROSS-CORPUS NEAREST-NEIGHBOR MINING: for every unordered label " +
+        "pair, the top-3 most-similar cross-label embedding pairs — the " +
+        "bitext/alignment-mining primitive (CCMatrix-style margin " +
+        "candidates, cross-domain leakage audit) where each label plays " +
+        "the role of a corpus. Determinism is q184's integer recipe " +
+        "end-to-end: embeddings quantize to int micros (floor(x*1e6+0.5)), " +
+        "the similarity score is the exact INTEGER dot of quantized " +
+        "vectors (unit-norm fixtures make it rank like cosine; |score| " +
+        "<= 64*1e12 << 2^63), ranking ties break on (v1, v2). Plan: the " +
+        "pair space is enumerated by a label-partitioned cross join but " +
+        "NEVER materialized — the bounded TopKPairs Aggregator (udaf, " +
+        "map-side partials) collapses each map task's pairs into a <=3-" +
+        "element buffer per label pair, so the one shuffle carries " +
+        "O(k * |label pairs|) rows regardless of corpus size. That is " +
+        "the q56-vs-q66 argument applied to pair mining: the window " +
+        "formulation would shuffle every scored pair. The enumeration " +
+        "itself is the exact-baseline cost (documents' q62/q101 ladder " +
+        "analogue); at 100 TB route candidate generation through the " +
+        "IVF lists (q97) or LSH bands (q68) per label and keep THIS " +
+        "aggregation shape for the re-rank.",
+      (s, dir) => {
+        import graft.catalyst.VecOps.vec_dot
+        import graft.functions.{PairHit, TopKPairs}
+        import s.implicits._
+        val topk = udaf(new TopKPairs(3))
+        // quantized components stay <= ~1e6, exactly representable as
+        // FLOAT (< 2^24); vec_dot multiplies+accumulates in DOUBLE, and
+        // 64 products of <= 1e12 sum to < 2^53 — so the codegen'd float
+        // loop computes the EXACT integer the oracle's BIGINT sum does,
+        // ~10x faster than the aggregate(zip_with(...)) HOF form, which
+        // allocated a 64-element array per pair (measured: 10.8 s vs
+        // ~1 s at 1.8M pairs)
+        val q = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding",
+              x => floor(x.cast("double") * 1000000 + 0.5).cast("float"))
+              .as("xq"))
+        val a = q.select($"label".as("la"), $"vec_id".as("v1"), $"xq".as("x1"))
+        val b = q.select($"label".as("lb"), $"vec_id".as("v2"), $"xq".as("x2"))
+        a.join(b, $"la" < $"lb")
+          .withColumn("score", vec_dot($"x1", $"x2").cast("long"))
+          .groupBy($"la", $"lb")
+          .agg(topk($"v1", $"v2", $"score").as("top"))
+          .select($"la", $"lb", posexplode($"top").as(Seq("pos", "hit")))
+          .select($"la", $"lb", ($"pos" + 1).cast("int").as("rnk"),
+            $"hit.v1".as("v1"), $"hit.v2".as("v2"), $"hit.score".as("score"))
+          .orderBy($"la", $"lb", $"rnk")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        p AS (
+          SELECT a.label AS la, b.label AS lb, a.vec_id AS v1, b.vec_id AS v2,
+                 CAST(list_sum([a.xq[i] * b.xq[i]
+                                for i in range(1, 65)]) AS BIGINT) AS score
+          FROM q a JOIN q b ON a.label < b.label),
+        r AS (
+          SELECT la, lb, v1, v2, score,
+                 row_number() OVER (PARTITION BY la, lb
+                                    ORDER BY score DESC, v1, v2) AS rnk
+          FROM p)
+        SELECT la, lb, CAST(rnk AS INTEGER) AS rnk, v1, v2, score
+        FROM r WHERE rnk <= 3
+        ORDER BY la, lb, rnk"""))
   )
 }

@@ -95,7 +95,7 @@ object StreamingOps extends QueryModule {
     * LTZ TIMESTAMP (session tz = UTC, so identical wall clock to the batch
     * NTZ convention) because watermarks are defined on TimestampType. */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val footerSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val footerSchema = graft.Tables.rawSchema(s, dir, "events")
     val raw = fixtureStream(s, dir, "graft_stream_src", "events.parquet", footerSchema)
     graft.Tables.normalizeEventsTs(raw)
       .withColumn("ts", expr("cast(ts as timestamp)"))

@@ -317,4 +317,38 @@ class PlanSpec extends AnyFunSuite {
     assert(finalSection.contains("hashpartitioning(line"),
       "keep-first window must shuffle by line content: " + plan.take(800))
   }
+
+  test("q195: pair mining aggregates partial top-k map-side, never a pair window") {
+    // the whole point of the TopKPairs form: the quadratic pair
+    // enumeration must collapse into bounded partial-aggregation buffers
+    // BEFORE the shuffle (q56-vs-q66 argument). A regression to the
+    // window-rank form would show a Window over the pair stream and
+    // shuffle every scored pair.
+    val plan = planOf("q195_cross_label_nn")
+    assert(plan.contains("partial_topkpairs"),
+      "top-k pair mining must run as a partial+final aggregate: " +
+        plan.take(800))
+    assert(!plan.contains("Window ["),
+      "pair ranking regressed to a window sort over materialized pairs: " +
+        plan.take(800))
+  }
+
+  test("q194: sessionize and in-session lead share one user_id exchange") {
+    // both windows order within user partitions; a second exchange means
+    // the lead window re-partitioned (the q146 class of regression)
+    val df = SparkEntry.queries("q194_session_transitions")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected ONE user_id exchange feeding both windows, got $userExchanges:\n" +
+        plan.take(800))
+  }
+
+  test("q196: the percentile CDF aggregates map-side (domain, not rows, on the wire)") {
+    val plan = planOf("q196_gap_percentiles")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "gap counting must combine map-side before the shuffle: " + plan.take(600))
+  }
 }
