@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.SqlFeatures,
     graft.operators.AdvancedOps,
     graft.operators.AnalyticsPatterns,
+    graft.operators.GraphSelection,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

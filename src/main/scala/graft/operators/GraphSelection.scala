@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics and data-selection operators beyond the q150/q96
+  * PageRank/connected-components pair: triangle counting with degree
+  * orientation, exact-rational trend detection, Pareto-frontier (skyline)
+  * selection, weighted sampling without replacement, and class-balance
+  * auditing. Everything stays integer-exact (cross-multiplied rationals,
+  * LCG keys) so the DuckDB oracle is bit-for-bit — the repo-wide recipe
+  * from q168/q194.
+  */
+object GraphSelection extends QueryModule {
+
+  /** q53's whitespace token count — the one formula both engines agree on
+    * (`len(string_split(trim(text), ' '))`).
+    */
+  private def wsTokens(c: org.apache.spark.sql.Column) =
+    size(split(trim(c), " ")).cast("long")
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q197_triangle_count",
+      "TRIANGLE COUNTING on the part co-occurrence graph (parts are " +
+        "linked when they are co-ordered in >= 2 DISTINCT orders — the " +
+        "market-basket graph q193 builds for sessions, with the Apriori " +
+        "SUPPORT threshold that makes frequent-itemset graphs tractable: " +
+        "TPC-H's uniform part assignment makes the support-1 graph " +
+        "dense, avg degree growing linearly with sf, so unpruned wedge " +
+        "work grows QUADRATICALLY — measured 16 s at sf0.1 vs ~1 s " +
+        "pruned; at 100 TB the threshold is what stands between this " +
+        "query and a wedge explosion, same argument as q101's prefix " +
+        "filter), top-20 vertices by triangle participation: the " +
+        "local-clustering signal behind community detection and " +
+        "link-spam audits. Edge candidates come from a per-order " +
+        "self-join (bounded by order size, <=7 items in TPC-H — never a " +
+        "corpus-wide cross), support-counted ONCE into (u<v) canonical " +
+        "pairs. " +
+        "The counting uses DEGREE ORIENTATION: each undirected edge is " +
+        "directed from its lower-(degree, id) endpoint, so every " +
+        "triangle has exactly one wedge at its minimum-rank apex and " +
+        "out-degrees are bounded by O(sqrt(m)) regardless of hub skew — " +
+        "the reason this survives a 100x scale-up where the naive " +
+        "wedge-at-every-vertex join explodes on the hottest part. " +
+        "Wedge enumeration is one equi-join of the oriented edge list " +
+        "with itself on the apex, closure is a LEFT SEMI equi-join " +
+        "against the canonical edge set (id-ordered wedge legs make the " +
+        "closure key canonical with no least/greatest recompute). The " +
+        "oracle counts the same triangles with id-ordering (a<b<c " +
+        "triple join) — orientation changes the plan, never the set.",
+      (s, dir) => {
+        import s.implicits._
+        val items = Tables.t(s, dir, "lineitem")
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        // the canonical edge list feeds THREE consumers (degrees,
+        // orientation, closure) — materialize the per-order self-join +
+        // distinct once (q193's measured recompute argument; a reliable-
+        // checkpoint variant would follow q150's `reliable` flag on a
+        // real cluster)
+        val edges = items
+          .join(items.select($"ok", $"p".as("p2")), Seq("ok"))
+          .filter($"p" < $"p2")
+          .groupBy($"p".as("u"), $"p2".as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter($"support" >= 2)
+          .select($"u", $"v")
+          .localCheckpoint(true)
+        val deg = edges.select($"u".as("x"))
+          .unionAll(edges.select($"v".as("x")))
+          .groupBy($"x").agg(count(lit(1)).as("d"))
+        // the degree joins stay keyed equi-joins (|V| is NOT broadcast-
+        // bounded on a web-scale graph — AQE may still broadcast when it
+        // fits); materialize the oriented list once for the wedge
+        // self-join's two sides
+        val oriented = edges
+          .join(deg.select($"x".as("u"), $"d".as("du")), Seq("u"))
+          .join(deg.select($"x".as("v"), $"d".as("dv")), Seq("v"))
+          .select(
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+              .otherwise($"v").as("s"),
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+              .otherwise($"u").as("t"))
+          .localCheckpoint(true)
+        val wedges = oriented.select($"s", $"t".as("t1"))
+          .join(oriented.select($"s", $"t".as("t2")), Seq("s"))
+          .filter($"t1" < $"t2")
+        val tris = wedges.join(
+          edges.select($"u".as("t1"), $"v".as("t2")),
+          Seq("t1", "t2"), "left_semi")
+        tris.select(explode(array($"s", $"t1", $"t2")).as("vertex"))
+          .groupBy($"vertex").agg(count(lit(1)).as("n_triangles"))
+          .orderBy($"n_triangles".desc, $"vertex")
+          .limit(20)
+      },
+      Some("""
+        WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        e AS (SELECT i1.p AS u, i2.p AS v
+              FROM it i1 JOIN it i2 ON i1.ok = i2.ok AND i1.p < i2.p
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        verts AS (SELECT a AS vertex FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+        SELECT vertex, count(*) AS n_triangles
+        FROM verts GROUP BY vertex
+        ORDER BY n_triangles DESC, vertex
+        LIMIT 20""")),
+
+    Q(
+      "q198_trend_slope",
+      "PER-GROUP OLS TREND SLOPE in exact rational arithmetic — drift " +
+        "DETECTION where q136 is drift MEASUREMENT: for each event " +
+        "type, the least-squares slope of value (in cents) against " +
+        "event day, reported as the exact integer numerator/denominator " +
+        "pair n*Sxy - Sx*Sy over n*Sxx - Sx^2 (sign and magnitude " +
+        "compare exactly; no engine ever divides). x is the day offset " +
+        "from the corpus min day — a 1-row broadcast, and the " +
+        "centering that keeps every sum within int64 at fixture scale " +
+        "(at 100 TB row counts the products need DECIMAL(38) " +
+        "accumulators or per-partition Welford — the shape is the same " +
+        "single groupBy). ONE shuffle on the 5-value event_type domain, " +
+        "all five sums partial-aggregated map-side; floor(value*100) " +
+        "is IEEE-identical on both engines (the q154 double-rendering " +
+        "lesson: never ship an unquantized double to the oracle).",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events").filter($"value".isNotNull)
+        val d0 = ev.agg(min(to_date($"ts")).as("d0"))
+        ev.crossJoin(broadcast(d0))
+          .select($"event_type",
+            datediff(to_date($"ts"), $"d0").cast("long").as("x"),
+            floor($"value" * 100).cast("long").as("y"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+          .select($"event_type", $"n",
+            ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+            ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events WHERE value IS NOT NULL),
+        v AS (SELECT event_type,
+                     CAST(datediff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events, d0 WHERE value IS NOT NULL),
+        g AS (SELECT event_type, count(*) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM v GROUP BY event_type)
+        SELECT event_type, n,
+               n * sxy - sx * sy AS slope_num,
+               n * sxx - sx * sx AS slope_den
+        FROM g ORDER BY event_type""")),
+
+    Q(
+      "q199_pareto_frontier",
+      "PARETO FRONTIER (2-D skyline) over documents — the " +
+        "multi-objective data-selection primitive q166's single-score " +
+        "budget can't express: keep every document no other document " +
+        "dominates (fewer-or-equal chars AND more-or-equal whitespace " +
+        "tokens, strict somewhere) — 'most signal for the bytes'. The " +
+        "oracle is the O(n^2) NOT EXISTS; the engine is the sorted " +
+        "running-max form, SCALABLY: chars are bucketed (DIV 256), " +
+        "per-bucket maxes make a domain-sized frame whose prefix-max " +
+        "runs on the BUCKET DOMAIN (the only unpartitioned window — " +
+        "bounded by the chars domain, not rows, q166's two-phase cumsum " +
+        "recipe), broadcast back; the row-scale windows (strictly-" +
+        "shorter running max via a RANGE frame to -1, and the " +
+        "equal-chars max) partition by bucket and by chars — no " +
+        "row-scale SinglePartition anywhere, dominance resolves in one " +
+        "pass. Ties on both dims survive together (dominance needs one " +
+        "strict inequality) — the same keep-both-twins rule as q176.",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"n_chars", wsTokens($"text").as("n_tokens"))
+          .withColumn("cb", expr("n_chars DIV 256"))
+        val bm = d.groupBy($"cb").agg(max($"n_tokens").as("bmax"))
+        val pref = bm.withColumn("plow",
+          max($"bmax").over(
+            Window.orderBy($"cb").rowsBetween(Window.unboundedPreceding, -1)))
+        val win = Window.partitionBy($"cb").orderBy($"n_chars")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        d.join(broadcast(pref.select($"cb", $"plow")), Seq("cb"))
+          .withColumn("inlow", max($"n_tokens").over(win))
+          .withColumn("meq",
+            max($"n_tokens").over(Window.partitionBy($"n_chars")))
+          .filter(!(coalesce(greatest($"plow", $"inlow") >= $"n_tokens",
+            lit(false)) || $"meq" > $"n_tokens"))
+          .select($"doc_id", $"n_chars", $"n_tokens")
+          .orderBy($"n_chars", $"doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, n_chars,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                   FROM documents)
+        SELECT doc_id, n_chars, n_tokens FROM d a
+        WHERE NOT EXISTS (SELECT 1 FROM d b
+          WHERE (b.n_chars < a.n_chars AND b.n_tokens >= a.n_tokens)
+             OR (b.n_chars = a.n_chars AND b.n_tokens > a.n_tokens))
+        ORDER BY n_chars, doc_id""")),
+
+    Q(
+      "q200_weighted_sample",
+      "TOKEN-WEIGHTED SAMPLING WITHOUT REPLACEMENT, deterministic: " +
+        "draw 25 documents with inclusion odds proportional to token " +
+        "count — the corpus-subsetting step where q107's stratified " +
+        "sample is per-group uniform. Exact bottom-k weighted sampling " +
+        "(Efraimidis-Spirakis) without float pow/ln (which no oracle " +
+        "could bit-match): each doc takes the MIN of w independent " +
+        "integer hash keys — P(min_i < min_j) = w_i/(w_i+w_j), the " +
+        "exact weighted-ordering property — where the keys are a " +
+        "two-round Lehmer LCG (mod 2^31-1, products bounded 1e14, " +
+        "overflow-free in both engines). The explode is " +
+        "sequence(1..w): O(total corpus tokens) rows, the same order " +
+        "of work as tokenizing the corpus once; the min collapses " +
+        "map-side, and the final bottom-25 is a TakeOrdered top-k, " +
+        "never a global sort. At 100 TB the per-replica explode drops " +
+        "to one Gumbel key per doc (floats, approximate) or bucketed " +
+        "w-capping; the exact integer form is what the oracle can " +
+        "check bit-for-bit.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select($"doc_id", wsTokens($"text").as("w"))
+          .select($"doc_id", $"w",
+            explode(sequence(lit(1L), $"w")).as("r"))
+          .withColumn("seed", ($"doc_id" * 1000003L + $"r") % 2147483647L)
+          .withColumn("h2",
+            ($"seed" * 48271L % 2147483647L) * 48271L % 2147483647L)
+          .groupBy($"doc_id", $"w").agg(min($"h2").as("skey"))
+          .orderBy($"skey", $"doc_id")
+          .limit(25)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id,
+                          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+                   FROM documents),
+        e AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS r FROM d),
+        k AS (SELECT doc_id, w,
+                     min((((doc_id * 1000003 + r) % 2147483647)
+                          * 48271 % 2147483647) * 48271 % 2147483647) AS skey
+              FROM e GROUP BY doc_id, w)
+        SELECT doc_id, w, skey FROM k ORDER BY skey, doc_id LIMIT 25""")),
+
+    Q(
+      "q201_gini_balance",
+      "CLASS-BALANCE AUDIT via exact Gini impurity: per source, the " +
+        "impurity of its language distribution as the exact rational " +
+        "(n^2 - sum(c^2)) / n^2 plus basis points — the " +
+        "imbalance monitor a mixture pipeline (q124/q175) gates on, " +
+        "with NO logs (entropy) and NO doubles: Gini is a polynomial " +
+        "in counts, so it oracles bit-exactly where entropy never " +
+        "would. Two-level aggregate: rows collapse into the " +
+        "(source, lang) count domain map-side (the wire carries the " +
+        "domain), then per-source sums of c and c^2. Positive " +
+        "operands make DIV == floor-division on both engines (q194's " +
+        "basis-point recipe); at 100 TB row counts n^2 needs " +
+        "DECIMAL(38) — noted, same plan.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+          .groupBy($"source")
+          .agg(sum($"c").as("n"), sum($"c" * $"c").as("ss"))
+          .select($"source", $"n",
+            ($"n" * $"n" - $"ss").as("gini_num"),
+            ($"n" * $"n").as("gini_den"),
+            expr("((n * n - ss) * 10000) DIV (n * n)").as("gini_bp"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH c AS (SELECT source, lang, count(*) AS c
+                   FROM documents GROUP BY source, lang),
+        g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(sum(c * c) AS BIGINT) AS ss
+              FROM c GROUP BY source)
+        SELECT source, n, n * n - ss AS gini_num, n * n AS gini_den,
+               CAST(((n * n - ss) * 10000) // (n * n) AS BIGINT) AS gini_bp
+        FROM g ORDER BY source"""))
+  )
+}

@@ -141,4 +141,23 @@ class ImageCodecSpec extends AnyFunSuite {
       assert(got === expectedGif(id), s"doc $id")
     }
   }
+
+  test("decodeGifKeyframes diff sums match the 41-or-215 wraparound closed form") {
+    // pixel(k) - pixel(k-1) is +41 mod 256: abs diff is 41 unless the
+    // previous value wraps (>= 215), where it is 215 — the property the
+    // q202 oracle encodes in SQL
+    (0L to 40L).foreach { id =>
+      val w = (4 + id % 4).toInt; val h = (3 + id % 3).toInt
+      val nf = (2 + id % 4).toInt
+      val expected = (1 until nf).map { f =>
+        val diff = (for { y <- 0 until h; x <- 0 until w } yield {
+          val prev = (id * 29 + (f - 1) * 41 + x * 7 + y * 13) % 256
+          if (prev >= 215) 215L else 41L
+        }).sum
+        Multimodal.KeyframeRow(id, f, diff, diff >= 69L * w * h)
+      }
+      val got = Multimodal.decodeGifKeyframes(id, Multimodal.encodeGif(id))
+      assert(got === expected, s"doc $id")
+    }
+  }
 }

@@ -351,4 +351,71 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_"),
       "gap counting must combine map-side before the shuffle: " + plan.take(600))
   }
+
+  test("q197: triangle closure is an equi semi-join; no nested-loop anywhere") {
+    // degree orientation + canonical id-ordered wedge legs exist so the
+    // closure check is a keyed LeftSemi equi-join. A regression to a
+    // theta-shaped closure (or an unkeyed wedge join) shows up as a
+    // nested-loop/cartesian operator — the plan that cannot survive a
+    // web-scale graph.
+    val plan = planOf("q197_triangle_count")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "triangle counting must stay equi-join-only: " + plan.take(800))
+    assert(plan.contains("LeftSemi"),
+      "closure must be a semi-join against the edge set: " + plan.take(800))
+  }
+
+  test("q198: one event_type exchange; the min-day frame is broadcast") {
+    val df = SparkEntry.queries("q198_trend_slope")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      "the 1-row min-day frame must broadcast, never shuffle the fact side: " +
+        plan.take(600))
+    val typeExchanges =
+      "hashpartitioning\\(event_type".r.findAllIn(plan).size
+    assert(typeExchanges == 1,
+      s"expected ONE event_type exchange for the five-sum aggregate, " +
+        s"got $typeExchanges:\n" + plan.take(800))
+  }
+
+  test("q199: only the bucket-domain window is unpartitioned; row windows are keyed") {
+    // the skyline's scalable form: the prefix-max over char buckets runs
+    // on the (chars DIV 256) DOMAIN — the only SinglePartition window
+    // allowed; the row-scale running-max and equal-chars windows must
+    // partition (by bucket / by chars). A regression that sorts the whole
+    // corpus in one partition is the q166 class of scale bug.
+    val plan = planOf("q199_pareto_frontier")
+    val windowLines = plan.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    val unpartitioned = windowLines.count(_.contains("], [], ["))
+    assert(windowLines.size >= 3 && unpartitioned <= 1,
+      s"expected >=3 windows with <=1 unpartitioned (bucket domain), " +
+        s"got ${windowLines.size}/$unpartitioned:\n" +
+        windowLines.mkString("\n"))
+    assert(!plan.contains("CartesianProduct"),
+      "the skyline must never fall back to the oracle's O(n^2) form: " +
+        plan.take(600))
+  }
+
+  test("q200: bottom-k sampling is a TakeOrdered top-k with map-side min") {
+    val plan = planOf("q200_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the bottom-25 must be a top-k, never a global sort: " + plan.take(600))
+    assert(plan.contains("partial_min"),
+      "per-doc key mins must combine map-side before the shuffle: " +
+        plan.take(600))
+  }
+
+  test("q201: two-level count/sum aggregate, no window, no join") {
+    val plan = planOf("q201_gini_balance")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      "both aggregate levels must combine map-side: " + plan.take(600))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "Gini impurity is a pure polynomial in counts — no window or join: " +
+        plan.take(600))
+  }
 }
