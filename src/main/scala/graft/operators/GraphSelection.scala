@@ -284,6 +284,50 @@ object GraphSelection extends QueryModule {
               FROM c GROUP BY source)
         SELECT source, n, n * n - ss AS gini_num, n * n AS gini_den,
                CAST(((n * n - ss) * 10000) // (n * n) AS BIGINT) AS gini_bp
-        FROM g ORDER BY source"""))
+        FROM g ORDER BY source""")),
+
+    Q(
+      "q203_rolling_active_users",
+      "ROLLING ACTIVE USERS (DAU / trailing-7-day WAU / stickiness): " +
+        "per day, the distinct active users that day, the distinct " +
+        "users active in the trailing 7-day window ending that day, and " +
+        "DAU/WAU 'stickiness' in cross-multiplied integer basis points " +
+        "— the engagement dashboard q91's fixed-cohort retention " +
+        "doesn't give. The scalable shape for windowed COUNT DISTINCT " +
+        "(which no running-sum window can compute — distinct doesn't " +
+        "decompose): dedup to (user, day) once, EXPLODE each active " +
+        "day into the <=7 window-end days it contributes to (a " +
+        "constant x7 fan-out of already-deduped slim pairs — never raw " +
+        "events), then one distinct per (window_end, user) keyed by " +
+        "day. Both shuffles are day/user-keyed; nothing is " +
+        "single-partition; raw-event volume touches only the first " +
+        "dedup. Window ends land on observed ACTIVE days via the DAU " +
+        "inner join — identical partial-window semantics on both " +
+        "engines at the corpus edges.",
+      (s, dir) => {
+        import s.implicits._
+        val ud = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d")).distinct()
+        val dau = ud.groupBy($"d").agg(count(lit(1)).as("n_dau"))
+        val wau = ud
+          .select($"user_id",
+            explode(sequence(lit(0), lit(6))).as("x"), $"d")
+          .select($"user_id", date_add($"d", $"x").as("d"))
+          .groupBy($"d").agg(countDistinct($"user_id").as("n_wau"))
+        dau.join(wau, Seq("d"))
+          .select($"d", $"n_dau", $"n_wau",
+            expr("(n_dau * 10000) DIV n_wau").as("stickiness_bp"))
+          .orderBy($"d")
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        dau AS (SELECT d, count(*) AS n_dau FROM ud GROUP BY d),
+        ex AS (SELECT user_id, d + CAST(x AS INTEGER) AS d
+               FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)),
+        wau AS (SELECT d, count(DISTINCT user_id) AS n_wau FROM ex GROUP BY d)
+        SELECT dau.d, n_dau, n_wau,
+               CAST((n_dau * 10000) // n_wau AS BIGINT) AS stickiness_bp
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY dau.d"""))
   )
 }

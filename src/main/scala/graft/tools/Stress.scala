@@ -43,7 +43,8 @@ object Stress {
       lit("stress").as("source"),
       element_at(langlit, ($"id" % 5 + 1).cast("int")).as("lang"))
     // dups share tokens 1..59 with base doc id -> jaccard ~0.95
-    base.union(dups).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    base.union(dups).withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // 6M lineitem-ish rows
     s.range(6000000L * mult).select(
       ($"id" / 4).cast("long").as("l_orderkey"),
@@ -228,6 +229,33 @@ object Stress {
     // iteration one slim rank-vs-edges join + aggregate.
     time(s"pagerank ${mult}x1.5M-order graph") {
       SparkEntry.queries("q150_pagerank_int")(s, out).count()
+    }
+    // Triangle counting (q197): the Apriori support>=2 filter is what
+    // bounds the wedge stage — the raw co-occurrence edge set here is
+    // orders of magnitude larger than the pruned one, and wedge work is
+    // quadratic in degree, so only the pruned graph is enumerable at
+    // probe time. Both edge counts print as the pruning evidence.
+    time(s"triangles ${6 * mult}M items") {
+      val items = Tables.t(s, out, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val pairs = items.join(items.select($"ok", $"p".as("p2")), Seq("ok"))
+        .filter($"p" < $"p2")
+        .groupBy($"p", $"p2").agg(count(lit(1)).as("c"))
+      val raw = pairs.count()
+      val pruned = pairs.filter($"c" >= 2).count()
+      val rows = SparkEntry.queries("q197_triangle_count")(s, out).count()
+      s"$rows vertex rows; edges raw=$raw pruned=$pruned"
+    }
+    // Skyline (q199): windows keyed by chars bucket — the cost is one
+    // doc-scan + keyed sorts, never the oracle's O(n^2) dominance scan.
+    time("pareto frontier 51k docs") {
+      SparkEntry.queries("q199_pareto_frontier")(s, out).count()
+    }
+    // Weighted sampling (q200): the explode is O(total corpus tokens)
+    // (~3M replicas here), the min collapses map-side, the bottom-25 is
+    // a TakeOrdered — the wire carries one key per doc.
+    time("weighted sample ~3M replicas") {
+      SparkEntry.queries("q200_weighted_sample")(s, out).count()
     }
     // ANN ladder at 100x corpus / 32x probes: brute force scores every
     // (probe, vector) pair — 51.2M cosine evals; IVF (nlist=64, nprobe=4)

@@ -410,6 +410,28 @@ class PlanSpec extends AnyFunSuite {
         plan.take(600))
   }
 
+  test("q203: the x7 window fan-out explodes deduped (user, day) pairs, not raw events") {
+    // windowed COUNT DISTINCT doesn't decompose into a running window —
+    // the scalable form dedups first, then fans out slim pairs. A
+    // regression that explodes before the dedup multiplies raw event
+    // volume by 7; one that ranks via a window sorts the corpus.
+    val df = SparkEntry.queries("q203_rolling_active_users")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Generate explode"),
+      "the window fan-out must be a generator: " + plan.take(600))
+    assert(!plan.contains("Window"),
+      "rolling distinct must not regress to a window rank: " + plan.take(600))
+    // plan strings print sink-first: an operator LATER in the string is
+    // UPSTREAM — the (user, day) dedup aggregate must sit below the
+    // generator, i.e. the explode consumes already-deduped pairs
+    val gen = plan.indexOf("Generate explode")
+    assert(plan.indexOf("HashAggregate", gen) > gen,
+      "the explode must consume the deduped (user, day) pairs: " +
+        plan.take(800))
+  }
+
   test("q201: two-level count/sum aggregate, no window, no join") {
     val plan = planOf("q201_gini_balance")
     assert(plan.contains("partial_count") && plan.contains("partial_sum"),
