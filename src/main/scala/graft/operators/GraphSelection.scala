@@ -216,9 +216,16 @@ object GraphSelection extends QueryModule {
         "(Efraimidis-Spirakis) without float pow/ln (which no oracle " +
         "could bit-match): each doc takes the MIN of w independent " +
         "integer hash keys — P(min_i < min_j) = w_i/(w_i+w_j), the " +
-        "exact weighted-ordering property — where the keys are a " +
-        "two-round Lehmer LCG (mod 2^31-1, products bounded 1e14, " +
-        "overflow-free in both engines). The explode is " +
+        "exact weighted-ordering property under uniform keys — where " +
+        "the keys are two QUADRATIC mixing rounds mod the Mersenne " +
+        "prime 2^31-1 (x -> x^2 + 48271x; a LINEAR map like a chained " +
+        "Lehmer LCG collapses to one multiplication mod M, making " +
+        "consecutive seeds' keys an arithmetic progression whose " +
+        "extremes are badly biased — caught empirically by q204's " +
+        "skewed shards; the squared term breaks the progression, and " +
+        "h^2 + 48271h for h < 2^31 stays under 2^63 so both engines " +
+        "compute it overflow-free; measured: a weight-2x doc beats a " +
+        "weight-x doc at the expected 2/3 rate). The explode is " +
         "sequence(1..w): O(total corpus tokens) rows, the same order " +
         "of work as tokenizing the corpus once; the min collapses " +
         "map-side, and the final bottom-25 is a TakeOrdered top-k, " +
@@ -233,8 +240,10 @@ object GraphSelection extends QueryModule {
           .select($"doc_id", $"w",
             explode(sequence(lit(1L), $"w")).as("r"))
           .withColumn("seed", ($"doc_id" * 1000003L + $"r") % 2147483647L)
+          .withColumn("h1",
+            ($"seed" * $"seed" + $"seed" * 48271L) % 2147483647L)
           .withColumn("h2",
-            ($"seed" * 48271L % 2147483647L) * 48271L % 2147483647L)
+            ($"h1" * $"h1" + $"h1" * 48271L) % 2147483647L)
           .groupBy($"doc_id", $"w").agg(min($"h2").as("skey"))
           .orderBy($"skey", $"doc_id")
           .limit(25)
@@ -244,10 +253,15 @@ object GraphSelection extends QueryModule {
                           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
                    FROM documents),
         e AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS r FROM d),
+        s AS (SELECT doc_id, w,
+                     (doc_id * 1000003 + r) % 2147483647 AS seed
+              FROM e),
+        h AS (SELECT doc_id, w,
+                     (seed * seed + seed * 48271) % 2147483647 AS h1
+              FROM s),
         k AS (SELECT doc_id, w,
-                     min((((doc_id * 1000003 + r) % 2147483647)
-                          * 48271 % 2147483647) * 48271 % 2147483647) AS skey
-              FROM e GROUP BY doc_id, w)
+                     min((h1 * h1 + h1 * 48271) % 2147483647) AS skey
+              FROM h GROUP BY doc_id, w)
         SELECT doc_id, w, skey FROM k ORDER BY skey, doc_id LIMIT 25""")),
 
     Q(
@@ -328,6 +342,104 @@ object GraphSelection extends QueryModule {
         SELECT dau.d, n_dau, n_wau,
                CAST((n_dau * 10000) // n_wau AS BIGINT) AS stickiness_bp
         FROM dau JOIN wau ON dau.d = wau.d
-        ORDER BY dau.d"""))
+        ORDER BY dau.d""")),
+
+    Q(
+      "q204_rendezvous_resharding",
+      "ELASTIC RESHARDING via rendezvous (highest-random-weight) " +
+        "hashing: every doc goes to the shard whose (doc, shard) hash " +
+        "key is highest; growing the fleet 8 -> 9 moves ONLY the docs " +
+        "whose new shard's key beats their old maximum — ~1/9 of the " +
+        "corpus, every move INTO the new shard. The output rows carry " +
+        "per-shard (n_before, n_after, n_arrived), so n_arrived = 0 for " +
+        "shards 0-7 IS the HRW minimal-disruption invariant, " +
+        "oracle-checked — vs mod-N sharding where N -> N+1 relocates " +
+        "~8/9 of everything (the full-rewrite q125/q191's static " +
+        "assignments would pay on every scale-out). Keys are q200's " +
+        "two QUADRATIC mixing rounds mod 2^31-1 — this query is what " +
+        "CAUGHT the chained-LCG bias: a linear map makes per-doc keys " +
+        "an arithmetic progression whose argmax piles onto one shard " +
+        "(measured 204/500 on shard 7, 163 moves); the quadratic form " +
+        "rebalances to 48-72 per shard with 57 moves ~ n/9. Rare " +
+        "quadratic key collisions break deterministically by shard id " +
+        "in both engines. Plan: one x9 explode of bare doc ids, then " +
+        "BOTH argmaxes collapse in a single doc_id aggregate — " +
+        "max(struct(key, shard)) is the argmax with the shard-desc " +
+        "tiebreak, computed map-side for the before (s<8 keys masked " +
+        "to -1) and after cases in one pass (PlanSpec pins the single " +
+        "exchange); the per-shard rollup then aggregates the <=72-row " +
+        "(s_before, s_after) combo DOMAIN, so after the one doc-keyed " +
+        "shuffle nothing row-scale moves again. At 100 TB the explode " +
+        "is 9 slim rows per doc — resharding cost is one linear pass, " +
+        "which is the point.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        val perDoc = Tables.t(s, dir, "documents")
+          .select($"doc_id", explode(sequence(lit(0L), lit(8L))).as("shard"))
+          .withColumn("seed", ($"doc_id" * 131L + $"shard") % M)
+          .withColumn("h1", ($"seed" * $"seed" + $"seed" * 48271L) % M)
+          .withColumn("k", ($"h1" * $"h1" + $"h1" * 48271L) % M)
+          .groupBy($"doc_id")
+          .agg(
+            max(struct($"k", $"shard")).as("a"),
+            max(struct(when($"shard" < 8, $"k").otherwise(-1L).as("k"),
+              $"shard")).as("b"))
+          .select($"b.shard".as("s_before"), $"a.shard".as("s_after"))
+        // <=72 rows; materialized once so its three rollup consumers
+        // don't re-run the doc-scale pass (q193's recompute argument)
+        val combos = perDoc.groupBy($"s_before", $"s_after")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val nb = combos.groupBy($"s_before".as("shard"))
+          .agg(sum($"n").as("nb"))
+        val na = combos.groupBy($"s_after".as("shard"))
+          .agg(sum($"n").as("na"))
+        val mv = combos.filter($"s_before" =!= $"s_after")
+          .groupBy($"s_after".as("shard")).agg(sum($"n").as("nm"))
+        s.range(9).select($"id".as("shard"))
+          .join(nb, Seq("shard"), "left")
+          .join(na, Seq("shard"), "left")
+          .join(mv, Seq("shard"), "left")
+          .select($"shard",
+            coalesce($"nb", lit(0L)).as("n_before"),
+            coalesce($"na", lit(0L)).as("n_after"),
+            coalesce($"nm", lit(0L)).as("n_arrived"))
+          .orderBy($"shard")
+      },
+      Some("""
+        WITH sd AS (
+          SELECT doc_id, x AS shard,
+                 (doc_id * 131 + x) % 2147483647 AS seed
+          FROM documents, (SELECT unnest(generate_series(0, 8)) AS x)),
+        h AS (SELECT doc_id, shard,
+                     (seed * seed + seed * 48271) % 2147483647 AS h1
+              FROM sd),
+        ex AS (SELECT doc_id, shard,
+                      (h1 * h1 + h1 * 48271) % 2147483647 AS k
+               FROM h),
+        a AS (SELECT doc_id, shard AS s_after,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY k DESC, shard DESC) AS rn
+              FROM ex),
+        b AS (SELECT doc_id, shard AS s_before,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY k DESC, shard DESC) AS rn
+              FROM ex WHERE shard < 8),
+        j AS (SELECT a.doc_id, b.s_before, a.s_after
+              FROM a JOIN b USING (doc_id) WHERE a.rn = 1 AND b.rn = 1),
+        sp AS (SELECT unnest(generate_series(0, 8)) AS shard),
+        nb AS (SELECT s_before AS shard, count(*) AS nb FROM j GROUP BY 1),
+        na AS (SELECT s_after AS shard, count(*) AS na FROM j GROUP BY 1),
+        mv AS (SELECT s_after AS shard, count(*) AS nm FROM j
+               WHERE s_before <> s_after GROUP BY 1)
+        SELECT sp.shard,
+               CAST(coalesce(nb.nb, 0) AS BIGINT) AS n_before,
+               CAST(coalesce(na.na, 0) AS BIGINT) AS n_after,
+               CAST(coalesce(mv.nm, 0) AS BIGINT) AS n_arrived
+        FROM sp LEFT JOIN nb ON sp.shard = nb.shard
+                LEFT JOIN na ON sp.shard = na.shard
+                LEFT JOIN mv ON sp.shard = mv.shard
+        ORDER BY sp.shard"""))
   )
 }

@@ -432,6 +432,27 @@ class PlanSpec extends AnyFunSuite {
         plan.take(800))
   }
 
+  test("q204: both argmaxes collapse in ONE doc_id aggregate pass") {
+    // before (s<8, masked keys) and after argmaxes are two
+    // max(struct(k, shard)) aggregates in the same groupBy — one doc_id
+    // exchange total; the rollups run off the checkpointed <=72-row
+    // combo frame. A window-rank or per-argmax-join regression
+    // multiplies doc-scale exchanges.
+    val df = SparkEntry.queries("q204_rendezvous_resharding")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // 0 at sf0.001 (single input partition: partial+final fuse), never
+    // more than the one groupBy exchange at any size
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docExchanges <= 1,
+      s"expected at most ONE doc_id exchange for both argmaxes, " +
+        s"got $docExchanges:\n" + plan.take(800))
+    assert(!plan.contains("Window ") && !plan.contains("CartesianProduct"),
+      "argmax must stay an aggregate; spine joins stay keyed/broadcast: " +
+        plan.take(600))
+  }
+
   test("q201: two-level count/sum aggregate, no window, no join") {
     val plan = planOf("q201_gini_balance")
     assert(plan.contains("partial_count") && plan.contains("partial_sum"),
