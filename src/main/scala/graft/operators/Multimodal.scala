@@ -485,6 +485,43 @@ object Multimodal extends QueryModule {
     }
   }
 
+  /** One perceptual-hash row: the row-difference (dHash) fingerprints of
+    * a decoded image and of its brightness-augmented (+8, clamped at
+    * 255) variant, plus whether the augment preserved the hash. */
+  final case class DHashPair(
+      doc_id: Long, dhash_orig: Long, dhash_bright: Long, matched: Boolean)
+
+  /** REAL perceptual hashing: decode the PNG, then compute the classic
+    * dHash — bit i is 1 when the green value increases from pixel x to
+    * x+1 (i = y*(w-1) + x, row-major over the w-1 comparisons per row;
+    * the fixture images are already thumbnail-sized, so the production
+    * resize-to-9x8 step is the identity here). The brightness variant
+    * shifts every decoded value by +8 clamped at 255 BEFORE hashing —
+    * gradient signs survive a uniform shift except where the clamp
+    * flattens them, which is exactly the robustness/sensitivity
+    * trade-off perceptual hashes are chosen for. */
+  def dhashBrightPair(id: Long, payload: Array[Byte]): DHashPair = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    var ho = 0L; var hb = 0L
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        val g1 = (img.getRGB(x, y) >> 8) & 0xff
+        val g2 = (img.getRGB(x + 1, y) >> 8) & 0xff
+        if (g2 > g1) ho |= 1L << i
+        if (math.min(g2 + 8, 255) > math.min(g1 + 8, 255)) hb |= 1L << i
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    DHashPair(id, ho, hb, ho == hb)
+  }
+
   /** One decoded media item: deterministic fake features from the bytes.
     * Carries the integer byte SUM (not a float mean) so downstream math
     * stays exact — the mean is derived in the query with the same
@@ -883,6 +920,56 @@ object Multimodal extends QueryModule {
                CAST(diff_sum AS BIGINT) AS diff_sum,
                diff_sum >= 69 * w * h AS is_key
         FROM d ORDER BY doc_id, frame_idx""")),
+
+    Q(
+      "q205_image_dhash",
+      "PERCEPTUAL-HASH IMAGE NEAR-DUP (dHash) on the real codec path — " +
+        "the pHash/dHash dedup step LAION-class multimodal pipelines " +
+        "run, where q60/q61 hash exact bytes: each PNG is DECODED, " +
+        "dHash'd (bit per horizontal gradient sign, the resize-to-" +
+        "thumbnail step being the identity on these already-tiny " +
+        "fixtures), then a brightness augment (+8 clamped at 255) of " +
+        "the SAME decoded pixels is hashed again — matched rows are " +
+        "docs whose fingerprint survived the augment, i.e. an exact " +
+        "hash-equality dedup (q60's groupBy shape on the perceptual " +
+        "key) would catch that near-duplicate; the unmatched rest sit " +
+        "in the clamp-sensitive gradient band (green 247-250), the " +
+        "measurable robustness/sensitivity frontier of the hash. The " +
+        "generator's linear-mod-256 pixel ramp gives the bits a closed " +
+        "form (orig: g < 251; bright: g < 247), so both 42-bit-max " +
+        "fingerprints oracle bit-exactly. Scale shape: q114's — " +
+        "payloads are born, decoded, augmented, and hashed inside one " +
+        "partition; only two int64 fingerprints per doc ever leave " +
+        "the map (banding those into Hamming buckets is q64's SimHash " +
+        "recipe, unchanged).",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .mapPartitions(_.map { case (id, png) => dhashBrightPair(id, png) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+                     FROM documents),
+        px AS (SELECT doc_id, w, unnest(range(0, (w - 1) * h)) AS i FROM par),
+        g AS (SELECT doc_id, i,
+                     (doc_id * 17 + 5 * (i % (w - 1)) + 11 * (i // (w - 1)))
+                       % 256 AS gv
+              FROM px),
+        b AS (SELECT doc_id,
+                     sum(CASE WHEN gv < 251
+                              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                              ELSE 0 END) AS dhash_orig,
+                     sum(CASE WHEN gv < 247
+                              THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                              ELSE 0 END) AS dhash_bright
+              FROM g GROUP BY doc_id)
+        SELECT doc_id, CAST(dhash_orig AS BIGINT) AS dhash_orig,
+               CAST(dhash_bright AS BIGINT) AS dhash_bright,
+               dhash_orig = dhash_bright AS matched
+        FROM b ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

@@ -142,6 +142,24 @@ class ImageCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("dhashBrightPair bits match the g<251 / g<247 closed forms") {
+    // green ramps by +5 per x step, so the gradient sign is positive
+    // unless the step wraps (orig: g >= 251) or the +8 brightness clamp
+    // flattens it (bright: g >= 247) — the q205 oracle's two CASEs
+    (0L to 40L).foreach { id =>
+      val w = (4 + id % 5).toInt; val h = (4 + id % 3).toInt
+      var ho = 0L; var hb = 0L; var i = 0
+      for (y <- 0 until h; x <- 0 until w - 1) {
+        val g = (id * 17 + 5 * x + 11 * y) % 256
+        if (g < 251) ho |= 1L << i
+        if (g < 247) hb |= 1L << i
+        i += 1
+      }
+      val got = Multimodal.dhashBrightPair(id, Multimodal.encodePng(id))
+      assert(got === Multimodal.DHashPair(id, ho, hb, ho == hb), s"doc $id")
+    }
+  }
+
   test("decodeGifKeyframes diff sums match the 41-or-215 wraparound closed form") {
     // pixel(k) - pixel(k-1) is +41 mod 256: abs diff is 41 unless the
     // previous value wraps (>= 215), where it is 215 — the property the
