@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,29 @@ object GraphSelection extends QueryModule {
     */
   private def wsTokens(c: org.apache.spark.sql.Column) =
     size(split(trim(c), " ")).cast("long")
+
+  /** q204's doc-scale pass: per doc, the rendezvous shard before (8
+    * shards) and after (9) as ONE groupBy with two max(struct(key,
+    * shard)) argmaxes (shard-desc tiebreak via struct comparison; the
+    * before case masks shard 8's key to -1). Exposed separately because
+    * the query checkpoints the downstream combo frame, which truncates
+    * the committed plan — PlanSpec gates THIS frame's plan, where the
+    * doc-scale work actually is. */
+  private[graft] def reshardAssignments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val M = 2147483647L
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(sequence(lit(0L), lit(8L))).as("shard"))
+      .withColumn("seed", ($"doc_id" * 131L + $"shard") % M)
+      .withColumn("h1", ($"seed" * $"seed" + $"seed" * 48271L) % M)
+      .withColumn("k", ($"h1" * $"h1" + $"h1" * 48271L) % M)
+      .groupBy($"doc_id")
+      .agg(
+        max(struct($"k", $"shard")).as("a"),
+        max(struct(when($"shard" < 8, $"k").otherwise(-1L).as("k"),
+          $"shard")).as("b"))
+      .select($"b.shard".as("s_before"), $"a.shard".as("s_after"))
+  }
 
   override def queries: Seq[Q] = Seq(
     Q(
@@ -374,18 +398,7 @@ object GraphSelection extends QueryModule {
         "which is the point.",
       (s, dir) => {
         import s.implicits._
-        val M = 2147483647L
-        val perDoc = Tables.t(s, dir, "documents")
-          .select($"doc_id", explode(sequence(lit(0L), lit(8L))).as("shard"))
-          .withColumn("seed", ($"doc_id" * 131L + $"shard") % M)
-          .withColumn("h1", ($"seed" * $"seed" + $"seed" * 48271L) % M)
-          .withColumn("k", ($"h1" * $"h1" + $"h1" * 48271L) % M)
-          .groupBy($"doc_id")
-          .agg(
-            max(struct($"k", $"shard")).as("a"),
-            max(struct(when($"shard" < 8, $"k").otherwise(-1L).as("k"),
-              $"shard")).as("b"))
-          .select($"b.shard".as("s_before"), $"a.shard".as("s_after"))
+        val perDoc = reshardAssignments(s, dir)
         // <=72 rows; materialized once so its three rollup consumers
         // don't re-run the doc-scale pass (q193's recompute argument)
         val combos = perDoc.groupBy($"s_before", $"s_after")

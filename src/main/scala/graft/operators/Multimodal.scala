@@ -505,13 +505,16 @@ object Multimodal extends QueryModule {
       new java.io.ByteArrayInputStream(payload))
     require(img != null, s"doc $id: payload is not a decodable image")
     val w = img.getWidth; val h = img.getHeight
+    // bulk grab, not per-pixel getRGB — the same one-ColorModel-dispatch
+    // form every decoder in this file uses (see decodePngFeatures)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var ho = 0L; var hb = 0L
     var i = 0; var y = 0
     while (y < h) {
       var x = 0
       while (x < w - 1) {
-        val g1 = (img.getRGB(x, y) >> 8) & 0xff
-        val g2 = (img.getRGB(x + 1, y) >> 8) & 0xff
+        val g1 = (px(y * w + x) >> 8) & 0xff
+        val g2 = (px(y * w + x + 1) >> 8) & 0xff
         if (g2 > g1) ho |= 1L << i
         if (math.min(g2 + 8, 255) > math.min(g1 + 8, 255)) hb |= 1L << i
         i += 1

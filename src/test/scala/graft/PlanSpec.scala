@@ -384,18 +384,28 @@ class PlanSpec extends AnyFunSuite {
 
   test("q199: only the bucket-domain window is unpartitioned; row windows are keyed") {
     // the skyline's scalable form: the prefix-max over char buckets runs
-    // on the (chars DIV 256) DOMAIN — the only SinglePartition window
+    // on the (chars DIV 256) DOMAIN — the only unpartitioned window
     // allowed; the row-scale running-max and equal-chars windows must
     // partition (by bucket / by chars). A regression that sorts the whole
-    // corpus in one partition is the q166 class of scale bug.
+    // corpus in one partition is the q166 class of scale bug. Checked on
+    // the LOGICAL plan's Window nodes (partitionSpec is a typed field
+    // there; the physical string renders an empty spec invisibly).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q199_pareto_frontier")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 3, s"expected 3 windows, got ${wins.size}")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1 &&
+      unpart.head.orderSpec.exists(_.child.toString.contains("cb")),
+      "exactly ONE unpartitioned window is allowed and it must be the " +
+        s"bucket-domain prefix (orders by cb): ${wins.map(w =>
+          (w.partitionSpec.map(_.toString), w.orderSpec.map(_.toString)))}")
+    wins.filterNot(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.partitionSpec.exists(e =>
+        e.toString.contains("cb") || e.toString.contains("n_chars")),
+        s"row-scale window must key by bucket or chars: ${w.partitionSpec}")
+    }
     val plan = planOf("q199_pareto_frontier")
-    val windowLines = plan.linesIterator
-      .filter(_.contains("Window ")).toSeq
-    val unpartitioned = windowLines.count(_.contains("], [], ["))
-    assert(windowLines.size >= 3 && unpartitioned <= 1,
-      s"expected >=3 windows with <=1 unpartitioned (bucket domain), " +
-        s"got ${windowLines.size}/$unpartitioned:\n" +
-        windowLines.mkString("\n"))
     assert(!plan.contains("CartesianProduct"),
       "the skyline must never fall back to the oracle's O(n^2) form: " +
         plan.take(600))
@@ -435,21 +445,23 @@ class PlanSpec extends AnyFunSuite {
   test("q204: both argmaxes collapse in ONE doc_id aggregate pass") {
     // before (s<8, masked keys) and after argmaxes are two
     // max(struct(k, shard)) aggregates in the same groupBy — one doc_id
-    // exchange total; the rollups run off the checkpointed <=72-row
-    // combo frame. A window-rank or per-argmax-join regression
-    // multiplies doc-scale exchanges.
-    val df = SparkEntry.queries("q204_rendezvous_resharding")(spark, sfDir)
+    // exchange total. The committed query checkpoints the downstream
+    // combo frame (truncating ITS plan), so the gate probes the exposed
+    // doc-scale pass directly — the frame where a window-rank or
+    // per-argmax-join regression would multiply doc-scale exchanges.
+    val df = graft.operators.GraphSelection.reshardAssignments(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    // 0 at sf0.001 (single input partition: partial+final fuse), never
-    // more than the one groupBy exchange at any size
     val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(plan).size
     assert(docExchanges <= 1,
       s"expected at most ONE doc_id exchange for both argmaxes, " +
         s"got $docExchanges:\n" + plan.take(800))
+    assert(plan.contains("max(struct"),
+      "both argmaxes must be struct-max aggregates in the groupBy: " +
+        plan.take(800))
     assert(!plan.contains("Window ") && !plan.contains("CartesianProduct"),
-      "argmax must stay an aggregate; spine joins stay keyed/broadcast: " +
+      "argmax must stay an aggregate, never a window rank: " +
         plan.take(600))
   }
 
