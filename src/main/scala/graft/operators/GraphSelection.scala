@@ -453,6 +453,79 @@ object GraphSelection extends QueryModule {
         FROM sp LEFT JOIN nb ON sp.shard = nb.shard
                 LEFT JOIN na ON sp.shard = na.shard
                 LEFT JOIN mv ON sp.shard = mv.shard
-        ORDER BY sp.shard"""))
+        ORDER BY sp.shard""")),
+
+    Q(
+      "q206_mad_outliers",
+      "ROBUST OUTLIER DETECTION via exact MAD (median absolute " +
+        "deviation): per event type, the exact lower median of cents, " +
+        "the exact median of |cents - median|, and the count beyond the " +
+        "3-MAD fence — the data-cleaning tier where q181's p99 monitor " +
+        "is the alerting tier: mean/stddev fences move with the very " +
+        "outliers they hunt (one corrupt 1e9 shifts the mean fence past " +
+        "everything), the MAD fence doesn't budge until half the data " +
+        "is corrupt. Two rounds of q168's counting-sort inverse CDF — " +
+        "the value pass, then the DERIVED |dev| domain pass after a " +
+        "5-row median broadcast — every CDF shuffle carries the cents " +
+        "DOMAIN with map-side combine, never rows; medians are min v " +
+        "with 2*cum >= n, cross-multiplied so no engine computes n/2. " +
+        "Integer absolute deviations make the second domain exactly as " +
+        "bounded as the first.",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.t(s, dir, "events").filter($"value".isNotNull)
+          .select($"event_type", floor($"value" * 100).cast("long").as("c"))
+        val tot = v.groupBy($"event_type").agg(count(lit(1)).as("n"))
+        def lowerMedian(vals: DataFrame, col: String, out: String) = {
+          val counts = vals.groupBy($"event_type", vals(col))
+            .agg(count(lit(1)).as("cnt"))
+          val cum = counts.withColumn("cum", sum($"cnt").over(
+            Window.partitionBy($"event_type").orderBy(counts(col))))
+          cum.join(broadcast(tot), Seq("event_type"))
+            .filter($"cum" * 2 >= $"n")
+            .groupBy($"event_type").agg(min(counts(col)).as(out))
+        }
+        val med = lowerMedian(v, "c", "med_cents")
+        val dev = v.join(broadcast(med), Seq("event_type"))
+          .select($"event_type", abs($"c" - $"med_cents").as("dev"))
+        val mad = lowerMedian(dev, "dev", "mad_cents")
+        val outliers = dev.join(broadcast(mad), Seq("event_type"))
+          .filter($"dev" > $"mad_cents" * 3)
+          .groupBy($"event_type").agg(count(lit(1)).as("n_outliers"))
+        tot.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+          .join(outliers, Seq("event_type"), "left")
+          .select($"event_type", $"n", $"med_cents", $"mad_cents",
+            coalesce($"n_outliers", lit(0L)).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+                   FROM events WHERE value IS NOT NULL),
+        t AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+        cc AS (SELECT event_type, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+        cum AS (SELECT event_type, c,
+                       sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+                FROM cc),
+        med AS (SELECT cum.event_type, min(c) AS med_cents
+                FROM cum JOIN t USING (event_type)
+                WHERE cum * 2 >= n GROUP BY 1),
+        d AS (SELECT v.event_type, abs(v.c - med.med_cents) AS dev
+              FROM v JOIN med USING (event_type)),
+        dc AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+        dcum AS (SELECT event_type, dev,
+                        sum(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY dev) AS cum
+                 FROM dc),
+        mad AS (SELECT dcum.event_type, min(dev) AS mad_cents
+                FROM dcum JOIN t USING (event_type)
+                WHERE cum * 2 >= n GROUP BY 1),
+        o AS (SELECT d.event_type, count(*) AS n_outliers
+              FROM d JOIN mad USING (event_type)
+              WHERE d.dev > mad.mad_cents * 3 GROUP BY 1)
+        SELECT t.event_type, t.n, med.med_cents, mad.mad_cents,
+               CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
+        FROM t JOIN med USING (event_type) JOIN mad USING (event_type)
+               LEFT JOIN o USING (event_type)
+        ORDER BY t.event_type"""))
   )
 }

@@ -465,6 +465,25 @@ class PlanSpec extends AnyFunSuite {
         plan.take(600))
   }
 
+  test("q206: both CDF windows run on the event_type-keyed cents domain") {
+    // two counting-sort passes (values, then |dev|): every window must
+    // partition by event_type and sit above a domain-collapsing
+    // aggregate — an unpartitioned CDF or a row-scale rank would be the
+    // q166 single-partition class of regression
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q206_mad_outliers")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the two CDF windows in the plan")
+    wins.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("event_type")),
+        s"CDF window must partition by event_type: ${w.partitionSpec}")
+    }
+    val plan = planOf("q206_mad_outliers")
+    assert(plan.contains("partial_count"),
+      "domain counts must combine map-side before the CDF shuffle: " +
+        plan.take(600))
+  }
+
   test("q201: two-level count/sum aggregate, no window, no join") {
     val plan = planOf("q201_gini_balance")
     assert(plan.contains("partial_count") && plan.contains("partial_sum"),
