@@ -400,6 +400,43 @@ object StreamingOps extends QueryModule {
         ORDER BY event_type""")),
 
     Q(
+      "q207_stream_distinct_daily",
+      "STREAMING COUNT DISTINCT per event-time day — q203's DAU " +
+        "dashboard run continuously, and a chained-stateful pair q160 " +
+        "doesn't cover: dropDuplicates on (user_id, day-window) feeds a " +
+        "downstream windowed aggregate in ONE streaming query (dedup " +
+        "state + agg state, the Spark 3.4+ multi-stateful unlock on the " +
+        "dedup->agg edge where q160 chains join->agg). q73 dedups " +
+        "in-stream but counts on the DRAINED sink; here the distinct " +
+        "count is itself streaming state, so a dashboard reads it " +
+        "mid-stream. The dedup payload is (user_id, window) ONLY — a " +
+        "kept-vs-dropped duplicate is output-invisible by construction " +
+        "(any row-level column like ts would make the surviving " +
+        "representative arbitrary). Unwatermarked dropDuplicates keys " +
+        "one state row per (user, day) — bounded by active users x " +
+        "days; at production cadence add q94's within-watermark bound. " +
+        "day_start is event-time-derived, so the q70 class of silent " +
+        "time-scale corruption shifts every output row loudly.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = eventsStream(s, dir)
+          .select($"user_id", window($"ts", "1 day").as("w"))
+          .dropDuplicates("user_id", "w")
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n_dau"))
+          .select($"w.start".cast("timestamp_ntz").as("day_start"), $"n_dau")
+        runToMemory(s, daily, "graft_mem_distinct_daily", "complete",
+          shufflePartitions = Some(8))
+          .orderBy($"day_start")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS day_start,
+               count(DISTINCT user_id) AS n_dau
+        FROM events
+        GROUP BY 1
+        ORDER BY day_start""")),
+
+    Q(
       "q94_stream_dedup_within_watermark",
       "State-BOUNDED streaming dedup via dropDuplicatesWithinWatermark " +
         "(SURVEY §2B's named API): unlike q73's dropDuplicates — which " +

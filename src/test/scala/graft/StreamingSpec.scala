@@ -295,4 +295,32 @@ class StreamingSpec extends AnyFunSuite {
         s"user 2's second session must fire once provable: $afterB3")
     } finally q.stop()
   }
+
+  test("q207 chains TWO stateful operators: dedup state feeding agg state") {
+    // the query's whole point vs q73 (dedup, count on the drained sink):
+    // the distinct count is itself streaming state. A refactor that moves
+    // the count batch-side would report one state operator, not two.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "graft_mem_distinct_daily" &&
+          e.progress.stateOperators.nonEmpty)
+          seen.set(e.progress.stateOperators.length.toLong)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val out = SparkEntry.queries("q207_stream_distinct_daily")(spark, sfDir)
+      assert(out.count() > 0)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.get() < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.get() === 2L,
+        s"expected dedup + aggregate state operators (got ${seen.get()})")
+    } finally spark.streams.removeListener(listener)
+  }
 }
