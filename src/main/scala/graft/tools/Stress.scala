@@ -258,6 +258,18 @@ object Stress {
     time("pareto frontier 51k docs") {
       SparkEntry.queries("q199_pareto_frontier")(s, out).count()
     }
+    // Rolling active users (q203): raw events dedup to (user, day) ONCE,
+    // then the x7 window fan-out runs on the deduped pairs — the row
+    // multiplier applies to |users|x|days|, not event volume.
+    time(s"rolling active ${6 * mult}M events") {
+      SparkEntry.queries("q203_rolling_active_users")(s, out).count()
+    }
+    // MAD outliers (q206): two counting-CDF passes — both shuffles carry
+    // the cents DOMAIN (map-side combined), rows only cross the wire for
+    // the per-row |dev| derivation.
+    time(s"mad outliers ${6 * mult}M events") {
+      SparkEntry.queries("q206_mad_outliers")(s, out).count()
+    }
     // Weighted sampling (q200): the explode is O(total corpus tokens)
     // (~3M replicas here), the min collapses map-side, the bottom-25 is
     // a TakeOrdered — the wire carries one key per doc.
