@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.AdvancedOps,
     graft.operators.AnalyticsPatterns,
     graft.operators.GraphSelection,
+    graft.operators.Experimentation,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

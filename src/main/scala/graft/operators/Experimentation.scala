@@ -1,0 +1,484 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experimentation & causal-analytics operators: the A/B two-proportion
+  * test, the chi-square independence drift audit, last-touch conversion
+  * attribution, and matched-control pairing. The product-analytics layer a
+  * data platform grows the moment events flow through it (the reference's
+  * MySQL sink exists to feed exactly this kind of SQL —
+  * mysql_public_data_ingestor README "analyze with plain SQL"), expressed
+  * with the repo-wide exact-arithmetic recipe: every statistic that a
+  * float would smear is carried as a cross-multiplied integer rational
+  * (q168/q194/q198's trick), so the DuckDB oracle is bit-for-bit and the
+  * result is identical on any cluster size or reduction order.
+  */
+object Experimentation extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q208_ab_test",
+      "A/B TWO-PROPORTION TEST with an exact-rational z^2 statistic: arms " +
+        "by user_id parity, unit = (user, event-day), conversion = the " +
+        "unit saw a purchase. z^2 = N*d^2 / (n_a*n_b*C*(N-C)) with " +
+        "d = c_a*n_b - c_b*n_a (the pooled two-proportion z, squared — " +
+        "algebraically cleared of every division), carried as a " +
+        "DECIMAL(38,0) numerator/denominator pair: N*d^2 reaches ~1e22 " +
+        "at sf0.1 so int64 would overflow, and a float z would make " +
+        "significance flip with summation order. The 95% call compares " +
+        "z2_num*1e6 > 3841459*z2_den (chi^2_{1,0.05} = 3.841459 " +
+        "micro-scaled) — pure integer compare, no sqrt, no rounding. " +
+        "Plan: one (arm, user, day) aggregate with map-side partials " +
+        "(the only row-scale shuffle), then a single-row reduction — " +
+        "the same two-level shape at 100 TB; the decimal algebra rides " +
+        "on four scalars.",
+      (s, dir) => {
+        import s.implicits._
+        val units = Tables.t(s, dir, "events")
+          // user_id is non-negative in the fixtures (asserted by
+          // FixtureContractSpec's epoch bounds being satisfiable at all);
+          // % therefore matches DuckDB's % on both arms
+          .groupBy(($"user_id" % 2).as("arm"), $"user_id",
+            date_trunc("DAY", $"ts").as("day"))
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        units
+          .agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c_a"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c_b"))
+          .withColumn("d",
+            expr("cast(c_a as decimal(38,0)) * n_b - cast(c_b as decimal(38,0)) * n_a"))
+          .withColumn("cc", expr("cast(c_a + c_b as decimal(38,0))"))
+          .withColumn("nn", expr("cast(n_a + n_b as decimal(38,0))"))
+          .withColumn("den",
+            expr("cast(cast(n_a as decimal(38,0)) * n_b * cc * (nn - cc) as decimal(38,0))"))
+          .select(
+            $"n_a", $"c_a", $"n_b", $"c_b",
+            expr("(10000 * c_a) div n_a").as("rate_a_bp"),
+            expr("(10000 * c_b) div n_b").as("rate_b_bp"),
+            expr("cast(nn * d * d as decimal(38,0))").as("z2_num"),
+            $"den".as("z2_den"),
+            expr("nn * d * d * 1000000 > 3841459 * den").as("significant_95"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS arm, user_id, date_trunc('day', ts) AS day,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1, 2, 3),
+        a AS (
+          SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+          FROM u),
+        b AS (
+          SELECT n_a, c_a, n_b, c_b,
+                 CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS d,
+                 CAST(c_a + c_b AS HUGEINT) AS cc,
+                 CAST(n_a + n_b AS HUGEINT) AS nn
+          FROM a)
+        SELECT n_a, c_a, n_b, c_b,
+               CAST((10000 * c_a) // n_a AS BIGINT) AS rate_a_bp,
+               CAST((10000 * c_b) // n_b AS BIGINT) AS rate_b_bp,
+               CAST(nn * d * d AS DECIMAL(38,0)) AS z2_num,
+               CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc) AS DECIMAL(38,0)) AS z2_den,
+               (nn * d * d * 1000000 > 3841459 * CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc)) AS significant_95
+        FROM b""")),
+
+    Q(
+      "q209_chi_square_drift",
+      "CHI-SQUARE INDEPENDENCE AUDIT of the source x lang contingency " +
+        "table (is language mix independent of source? — the categorical " +
+        "drift test that complements q136's numeric source drift): per " +
+        "cell, observed count, expected count in milli-units " +
+        "((R*C*1000) div G — exact integer floor on both engines), the " +
+        "chi-square contribution (O*G - R*C)^2 / (G*R*C) in basis points " +
+        "via the TWO-STEP floor split q = d^2 div den; bp = q*10^4 + " +
+        "(d^2 mod den)*10^4 div den — algebraically floor(contrib*10^4) " +
+        "without ever forming d^2*10^4 (which would overflow int64 at " +
+        "sf0.1), and a per-cell outlier flag (contribution > 3.841459, " +
+        "the |standardized residual| > 1.96 heuristic) compared in " +
+        "DECIMAL(38,0) because 3841459*den crosses int64 right at sf0.1. " +
+        "Plan: one row-scale aggregate to the cell domain (map-side " +
+        "partials), then windows OVER the |sources| x |langs| <= 100-row " +
+        "cell frame — the unpartitioned window runs on the bounded " +
+        "domain, never on rows (q199's bucket-domain argument), so the " +
+        "same plan holds at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .groupBy($"source", $"lang").agg(count(lit(1)).as("obs"))
+          .withColumn("r", sum($"obs").over(Window.partitionBy($"source")))
+          .withColumn("cl", sum($"obs").over(Window.partitionBy($"lang")))
+          .withColumn("g", sum($"obs").over(
+            Window.partitionBy())) // cell domain only — bounded
+          .withColumn("dv", expr("obs * g - r * cl"))
+          .withColumn("den", expr("g * r * cl"))
+          .select(
+            $"source", $"lang", $"obs",
+            expr("(r * cl * 1000) div g").as("exp_milli"),
+            expr("(dv * dv div den) * 10000 + ((dv * dv % den) * 10000) div den")
+              .as("contrib_bp"),
+            expr("cast(dv as decimal(38,0)) * dv * 1000000 > 3841459 * cast(den as decimal(38,0))")
+              .as("outlier_cell"))
+          .orderBy($"source", $"lang")
+      },
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2),
+        m AS (
+          SELECT source, lang, obs,
+                 sum(obs) OVER (PARTITION BY source) AS r,
+                 sum(obs) OVER (PARTITION BY lang) AS cl,
+                 sum(obs) OVER () AS g
+          FROM cells),
+        d AS (
+          SELECT source, lang, obs, r, cl, g,
+                 obs * g - r * cl AS dv, g * r * cl AS den
+          FROM m)
+        SELECT source, lang, CAST(obs AS BIGINT) AS obs,
+               CAST((r * cl * 1000) // g AS BIGINT) AS exp_milli,
+               CAST((dv * dv // den) * 10000 + ((dv * dv % den) * 10000) // den AS BIGINT) AS contrib_bp,
+               (dv * dv * 1000000 > 3841459 * den) AS outlier_cell
+        FROM d ORDER BY source, lang""")),
+
+    Q(
+      "q210_last_touch_attribution",
+      "LAST-TOUCH CONVERSION ATTRIBUTION: each purchase credits the most " +
+        "recent preceding click by the same user within a 24 h lookback " +
+        "(channel = the click's props.k div 25, four channels; no click " +
+        "in window -> 'organic'), reporting conversions and exact " +
+        "integer-cents revenue per channel. The carry is " +
+        "last(click, ignoreNulls) OVER (user ORDER BY ts, event_id ROWS " +
+        "UNBOUNDED PRECEDING) — the running-last-observation idiom that " +
+        "generalizes the as-of join (q18) to in-stream self-attribution " +
+        "without any join at all: ONE user_id exchange, a linear " +
+        "per-user scan, map-side-combined channel totals. Both carried " +
+        "columns (click epoch-us and channel) share one WindowSpec so " +
+        "Spark evaluates a single window operator. event_id breaks ts " +
+        "ties identically on both engines; revenue sums " +
+        "round(value*100) cents so the aggregate is order-independent " +
+        "integer arithmetic (the q154 double-rendering lesson).",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+          // both carries in ONE select so they land in one Window operator
+          // (chained withColumn leaves two Window nodes the optimizer's
+          // CollapseWindow can't merge across the intervening Project —
+          // i.e. two per-user sorts; PlanSpec gates this)
+          .select($"*",
+            last(when($"event_type" === "click", $"us"), ignoreNulls = true)
+              .over(w).as("click_us"),
+            last(when($"event_type" === "click",
+              expr("cast(get_json_object(props, '$.k') as bigint) div 25")),
+              ignoreNulls = true).over(w).as("click_ch"))
+          .filter($"event_type" === "purchase")
+          .select(
+            when($"click_us".isNotNull &&
+                 ($"us" - $"click_us") <= 86400000000L,
+              concat(lit("ch"), $"click_ch")).otherwise("organic")
+              .as("channel"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_conversions"),
+            sum($"cents").as("revenue_cents"))
+          .orderBy($"channel")
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type, ts, value,
+                 last_value(CASE WHEN event_type = 'click'
+                                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us,
+                 last_value(CASE WHEN event_type = 'click'
+                                 THEN CAST(json_extract(props, 'k') AS BIGINT) // 25 END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ch
+          FROM events),
+        p AS (
+          SELECT CASE WHEN click_us IS NOT NULL
+                      AND epoch_us(CAST(ts AS TIMESTAMP)) - click_us <= 86400000000
+                      THEN 'ch' || CAST(click_ch AS VARCHAR) ELSE 'organic' END AS channel,
+                 value
+          FROM seq WHERE event_type = 'purchase')
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM p GROUP BY channel ORDER BY channel""")),
+
+    Q(
+      "q212_srm_check",
+      "SAMPLE-RATIO-MISMATCH GUARDRAIL (the first thing a trustworthy " +
+        "experimentation platform checks — a skewed split means the " +
+        "assignment itself is broken and q208's p-value is meaningless): " +
+        "distinct USERS per arm (assignment units, never events — event " +
+        "counts would let one chatty user fake an imbalance), the " +
+        "goodness-of-fit chi-square against the 50/50 design collapsed " +
+        "to (n_a-n_b)^2/N, exact in basis points (values stay ~1e13, " +
+        "int64-safe at any plausible user count), and the alarm as the " +
+        "integer compare (n_a-n_b)^2*1e6 > 3841459*N. Plan: one distinct " +
+        "on (arm, user) with map-side partials, then a two-row " +
+        "reduction — nothing here scales with event volume.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .select(($"user_id" % 2).as("arm"), $"user_id").distinct()
+          .agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+          .select($"n_a", $"n_b",
+            expr("((n_a - n_b) * (n_a - n_b) * 10000) div (n_a + n_b)")
+              .as("chi2_bp"),
+            expr("(n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)")
+              .as("srm_detected"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS n_a,
+                 CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS BIGINT) AS n_b
+          FROM events)
+        SELECT n_a, n_b,
+               CAST(((n_a - n_b) * (n_a - n_b) * 10000) // (n_a + n_b) AS BIGINT) AS chi2_bp,
+               ((n_a - n_b) * (n_a - n_b) * 1000000 > 3841459 * (n_a + n_b)) AS srm_detected
+        FROM a""")),
+
+    Q(
+      "q213_linear_attribution",
+      "LINEAR MULTI-TOUCH ATTRIBUTION with EXACT credit conservation: " +
+        "every click by the same user within 24 h before a purchase " +
+        "shares that purchase's integer cents equally — cents div k to " +
+        "each touch, the division remainder to the MOST RECENT touch — " +
+        "and purchases with no touch credit 'organic' in full, so " +
+        "sum(credit) == total purchase revenue TO THE CENT (the " +
+        "conservation invariant ExperimentationSpec asserts; a float " +
+        "1/k split never conserves). The multi-touch complement of " +
+        "q210's last-touch: same lookback, credit spread instead of " +
+        "winner-take-all. Plan: purchases x clicks is a USER-keyed " +
+        "equi-join with the 24 h range as a residual predicate (bounded " +
+        "per user-day, never a cross product), touch count + recency " +
+        "rank share one purchase-keyed window, organic is a left-anti " +
+        "on the matched purchase set, and channel totals combine " +
+        "map-side.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("pid"), $"us".as("pus"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
+        val j = p.join(c, Seq("user_id"))
+          .filter($"cus" <= $"pus" && $"pus" - $"cus" <= 86400000000L)
+          // one select so k and rn share one pid-keyed window operator
+          .select($"pid", $"cents", $"ch",
+            count(lit(1)).over(wOrd.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
+            row_number().over(wOrd).as("rn"))
+        val touched = j.select(
+          concat(lit("ch"), $"ch").as("channel"),
+          when($"rn" === 1, $"cents" - ($"k" - 1) * expr("cents div k"))
+            .otherwise(expr("cents div k")).as("credit"))
+        val organic = p
+          .join(j.select($"pid"), Seq("pid"), "left_anti")
+          .select(lit("organic").as("channel"), $"cents".as("credit"))
+        touched.unionByName(organic)
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_touches"), sum($"credit").as("credit_cents"))
+          .orderBy($"channel")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS pid, epoch_us(CAST(ts AS TIMESTAMP)) AS pus,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS cid, epoch_us(CAST(ts AS TIMESTAMP)) AS cus,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.pid, p.cents, c.ch,
+                 count(*) OVER (PARTITION BY p.pid) AS k,
+                 row_number() OVER (PARTITION BY p.pid ORDER BY c.cus DESC, c.cid DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND c.cus <= p.pus AND p.pus - c.cus <= 86400000000),
+        touched AS (
+          SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
+                 CASE WHEN rn = 1 THEN cents - (k - 1) * (cents // k)
+                      ELSE cents // k END AS credit
+          FROM j),
+        organic AS (
+          SELECT 'organic' AS channel, cents AS credit
+          FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid))
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM (SELECT * FROM touched UNION ALL SELECT * FROM organic)
+        GROUP BY channel ORDER BY channel""")),
+
+    Q(
+      "q215_cuped_adjustment",
+      "CUPED VARIANCE-REDUCED TREATMENT EFFECT (Deng et al. 2013, the " +
+        "industry-standard experiment sensitivity boost), EXACT: " +
+        "pre-period covariate x = per-user purchases in days 1-15, " +
+        "outcome y = purchases in days 16-30, arms by user parity. " +
+        "theta = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) and the adjusted " +
+        "difference (Ybar_a - Ybar_b) - theta*(Xbar_a - Xbar_b) are both " +
+        "RATIONAL in integer sums, so they're carried as DECIMAL(38,0) " +
+        "num/den pairs — cleared of every division, immune to float " +
+        "accumulation order (adj_diff_num crosses 1e15 at sf0.1 and " +
+        "1e23 at web scale; decimal, never double). Fixed-point views " +
+        "(raw_diff_e4, adj_diff_e4 = value*1e4; rho2_bp = the fraction " +
+        "of outcome variance CUPED removes) come from DECIMAL `div` — " +
+        "Spark's IntegralDivide and DuckDB's // both truncate toward " +
+        "zero, so even negative diffs agree bit-for-bit. Plan: one " +
+        "(arm, user) aggregate with map-side partials (the only " +
+        "row-scale shuffle — same shape as q208), then an 11-sum " +
+        "single-row reduction; the decimal algebra is O(1).",
+      (s, dir) => {
+        import s.implicits._
+        val cut = "timestamp'2024-01-16 00:00:00'"
+        val u = Tables.t(s, dir, "events")
+          .groupBy(($"user_id" % 2).as("arm"), $"user_id")
+          .agg(
+            sum(when(expr(s"ts < $cut") && $"event_type" === "purchase",
+              1L).otherwise(0L)).as("x"),
+            sum(when(expr(s"ts >= $cut") && $"event_type" === "purchase",
+              1L).otherwise(0L)).as("y"))
+        u.agg(
+          count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"),
+          sum($"y" * $"y").as("syy"),
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("na"),
+          sum(when($"arm" === 0, $"x").otherwise(0L)).as("sxa"),
+          sum(when($"arm" === 0, $"y").otherwise(0L)).as("sya"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when($"arm" === 1, $"x").otherwise(0L)).as("sxb"),
+          sum(when($"arm" === 1, $"y").otherwise(0L)).as("syb"))
+          .withColumn("tn",
+            expr("cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+          .withColumn("td",
+            expr("cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+          .withColumn("vy",
+            expr("cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"))
+          .withColumn("dya",
+            expr("cast(sya as decimal(38,0)) * nb - cast(syb as decimal(38,0)) * na"))
+          .withColumn("dxa",
+            expr("cast(sxa as decimal(38,0)) * nb - cast(sxb as decimal(38,0)) * na"))
+          .withColumn("adj_num", expr("dya * td - tn * dxa"))
+          .withColumn("adj_den",
+            expr("cast(na as decimal(38,0)) * nb * td"))
+          .select(
+            $"na".as("n_a"), $"nb".as("n_b"),
+            expr("(10000 * dya) div (cast(na as decimal(38,0)) * nb)")
+              .as("raw_diff_e4"),
+            expr("(10000 * adj_num) div adj_den").as("adj_diff_e4"),
+            expr("cast(tn as decimal(38,0))").as("theta_num"),
+            expr("cast(td as decimal(38,0))").as("theta_den"),
+            expr("cast(adj_num as decimal(38,0))").as("adj_diff_num"),
+            expr("cast(adj_den as decimal(38,0))").as("adj_diff_den"),
+            expr("(10000 * tn * tn) div (td * vy)").as("rho2_bp"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS arm, user_id,
+                 CAST(sum(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00'
+                                AND event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+                 CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                AND event_type = 'purchase' THEN 1 ELSE 0 END) AS HUGEINT) AS y
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+                 sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+                 sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+                 sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+                 sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
+          FROM u),
+        t AS (
+          SELECT *, n*sxy - sx*sy AS tn, n*sxx - sx*sx AS td, n*syy - sy*sy AS vy,
+                 sya*nb - syb*na AS dya, sxa*nb - sxb*na AS dxa
+          FROM s)
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST((10000 * dya) // (na*nb) AS BIGINT) AS raw_diff_e4,
+               CAST((10000 * (dya*td - tn*dxa)) // (na*nb*td) AS BIGINT) AS adj_diff_e4,
+               CAST(tn AS DECIMAL(38,0)) AS theta_num,
+               CAST(td AS DECIMAL(38,0)) AS theta_den,
+               CAST(dya*td - tn*dxa AS DECIMAL(38,0)) AS adj_diff_num,
+               CAST(na*nb*td AS DECIMAL(38,0)) AS adj_diff_den,
+               CAST((10000 * tn * tn) // (td * vy) AS BIGINT) AS rho2_bp
+        FROM t""")),
+
+    Q(
+      "q211_matched_controls",
+      "MATCHED-CONTROL PAIRING (covariate matching for causal reads and " +
+        "eval-set construction — q167's negative sampling picks ANY " +
+        "negative, this picks the COMPARABLE one): treatment docs " +
+        "(length(source)=4, src0-src9) pair 1:1 with control docs " +
+        "(src10-src19) of the SAME lang and 64-char length bucket, " +
+        "matched by deterministic rank inside each stratum. Ranking key " +
+        "is q204's overflow-safe quadratic mix ((doc_id mod M)^2 + " +
+        "s*48271 mod M, M = 2^31-1 — squaring the RAW id would overflow " +
+        "int64 on web-scale ids), doc_id tie-break. Unmatched surplus in " +
+        "a stratum drops out via the inner rank-join — exactly the " +
+        "matched-pairs estimator's discard rule. Plan: one (lang, " +
+        "bucket, treat) keyed window for row_number (no global sort), " +
+        "then an equi-join on (lang, bucket, rank) — both sides " +
+        "pre-partitioned by the same stratum keys, so AQE sees a " +
+        "co-partitioned join at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        val ranked = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars",
+            expr("n_chars div 64").as("bucket"),
+            (length($"source") === 4).cast("int").as("treat"))
+          .withColumn("sd", $"doc_id" % M)
+          .withColumn("h", ($"sd" * $"sd" + $"sd" * 48271L) % M)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"lang", $"bucket", $"treat")
+              .orderBy($"h", $"doc_id")))
+        val t = ranked.filter($"treat" === 1)
+          .select($"lang", $"bucket", $"rk",
+            $"doc_id".as("treat_doc"), $"n_chars".as("t_chars"))
+        val c = ranked.filter($"treat" === 0)
+          .select($"lang", $"bucket", $"rk",
+            $"doc_id".as("control_doc"), $"n_chars".as("c_chars"))
+        t.join(c, Seq("lang", "bucket", "rk"))
+          .select($"lang", $"bucket", $"treat_doc", $"control_doc",
+            abs($"t_chars" - $"c_chars").as("char_gap"))
+          .orderBy($"lang", $"bucket", $"treat_doc")
+      },
+      Some("""
+        WITH pool AS (
+          SELECT doc_id, lang, n_chars, n_chars // 64 AS bucket,
+                 CAST(length(source) = 4 AS INT) AS treat,
+                 doc_id % 2147483647 AS sd
+          FROM documents),
+        r AS (
+          SELECT *, (sd * sd + sd * 48271) % 2147483647 AS h FROM pool),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY lang, bucket, treat
+                                       ORDER BY h, doc_id) AS rk
+          FROM r)
+        SELECT t.lang, CAST(t.bucket AS BIGINT) AS bucket,
+               t.doc_id AS treat_doc, c.doc_id AS control_doc,
+               CAST(abs(t.n_chars - c.n_chars) AS BIGINT) AS char_gap
+        FROM rk t JOIN rk c
+          ON t.lang = c.lang AND t.bucket = c.bucket AND t.rk = c.rk
+         AND t.treat = 1 AND c.treat = 0
+        ORDER BY t.lang, bucket, treat_doc""")))
+}

@@ -68,7 +68,11 @@ object Stress {
       element_at(typedLit(Seq("click", "view", "purchase", "signup", "error")),
         ((xxhash64($"id", lit(8)) % 5 + 5) % 5 + 1).cast("int")).as("event_type"),
       (abs(xxhash64($"id", lit(9)) % 100000) / 100.0).as("value"),
-      lit("{}").as("props"))
+      // real {"k": 0..99} payloads so the attribution probe (q210)
+      // exercises the JSON channel extraction, matching the fixture shape
+      concat(lit("{\"k\": "),
+        ((xxhash64($"id", lit(10)) % 100 + 100) % 100).cast("string"),
+        lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
     // 1.5M orders keyed to the lineitem l_orderkey domain (id/4), 30k
     // customers — the bipartite graph for the PageRank probe
@@ -269,6 +273,25 @@ object Stress {
     // the per-row |dev| derivation.
     time(s"mad outliers ${6 * mult}M events") {
       SparkEntry.queries("q206_mad_outliers")(s, out).count()
+    }
+    // A/B test (q208): one (arm, user, day) aggregate with map-side
+    // partials is the only row-scale shuffle; the decimal z^2 algebra
+    // runs on a single row regardless of event volume.
+    time(s"ab test ${6 * mult}M events") {
+      SparkEntry.queries("q208_ab_test")(s, out).count()
+    }
+    // Attribution (q210): one user_id exchange, both carries in one
+    // window, then map-side-combined channel totals — linear per-user
+    // scan at any event volume.
+    time(s"last-touch attribution ${6 * mult}M events") {
+      SparkEntry.queries("q210_last_touch_attribution")(s, out).count()
+    }
+    // Matched controls (q211): keyed stratum windows + a co-partitioned
+    // rank equi-join — no global sort, no cross product at 51k docs or
+    // 51B. (q209's chi-square shares q201's two-level aggregate shape;
+    // its cell-domain windows are size-bounded by |sources|x|langs|.)
+    time("matched controls 51k docs") {
+      SparkEntry.queries("q211_matched_controls")(s, out).count()
     }
     // Weighted sampling (q200): the explode is O(total corpus tokens)
     // (~3M replicas here), the min collapses map-side, the bottom-25 is

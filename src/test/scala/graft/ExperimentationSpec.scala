@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the experimentation/causal module (q208–q215) that the
+  * value-equality oracle can't see: credit conservation, cross-query
+  * agreement, statistic algebra vs an independent float computation, and
+  * the compression kernel's ordering properties.
+  */
+class ExperimentationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q213 conserves revenue to the cent and agrees with q210 on organic") {
+    val credits = SparkEntry.queries("q213_linear_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totalCents = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")))
+      .head().getLong(0)
+    assert(credits.values.map(_._2).sum == totalCents,
+      s"linear attribution must conserve revenue exactly: " +
+        s"${credits.values.map(_._2).sum} vs $totalCents")
+    val lastTouch = SparkEntry
+      .queries("q210_last_touch_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both definitions of 'no click within 24 h' must agree
+    assert(credits.get("organic").map(_._1) == lastTouch.get("organic"),
+      s"organic purchase sets diverge: ${credits.get("organic")} vs " +
+        s"${lastTouch.get("organic")}")
+    // last-touch total conversions == number of purchases (each purchase
+    // resolves to exactly one channel)
+    val nPurchases = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(lastTouch.values.sum == nPurchases)
+  }
+
+  test("q208 exact z^2 matches an independent float computation") {
+    val r = SparkEntry.queries("q208_ab_test")(spark, sfDir).head()
+    val (na, ca, nb, cb) =
+      (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble)
+    val (p1, p2, p) = (ca / na, cb / nb, (ca + cb) / (na + nb))
+    val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1 / na + 1 / nb))
+    val exact = BigDecimal(r.getDecimal(6)) / BigDecimal(r.getDecimal(7))
+    assert((exact.toDouble - z2).abs < 1e-9 * math.max(z2, 1.0),
+      s"rational z^2 ${exact.toDouble} vs float $z2")
+    assert(r.getBoolean(8) == (z2 > 3.841459))
+  }
+
+  test("q215 CUPED: rho2 bounded, adjusted e4 views consistent with the " +
+    "rationals, and theta matches float OLS") {
+    val r = SparkEntry.queries("q215_cuped_adjustment")(spark, sfDir).head()
+    val (tn, td) = (BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))
+    val (an, ad) = (BigDecimal(r.getDecimal(6)), BigDecimal(r.getDecimal(7)))
+    val rho2bp = r.getLong(8)
+    assert(rho2bp >= 0 && rho2bp <= 10000,
+      s"rho^2 is a squared correlation — must be in [0, 1]: $rho2bp bp")
+    // the e4 fixed-point views must be the truncated rationals
+    def trunc(n: BigDecimal, d: BigDecimal): Long =
+      (n * 10000 / d).setScale(0, BigDecimal.RoundingMode.DOWN).toLong
+    assert(r.getLong(3) == trunc(an, ad),
+      s"adj_diff_e4 ${r.getLong(3)} != trunc(num/den) ${trunc(an, ad)}")
+    // independent float theta over the same (x, y) per-user frame
+    val u = Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(expr("ts < timestamp'2024-01-16 00:00:00'") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+        sum(when(expr("ts >= timestamp'2024-01-16 00:00:00'") &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .select(col("x").cast("double"), col("y").cast("double"))
+      .collect().map(r0 => (r0.getDouble(0), r0.getDouble(1)))
+    val n = u.length.toDouble
+    val (sx, sy) = (u.map(_._1).sum, u.map(_._2).sum)
+    val sxy = u.map(p => p._1 * p._2).sum
+    val sxx = u.map(p => p._1 * p._1).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(((tn / td).toDouble - theta).abs < 1e-9,
+      s"rational theta ${(tn / td).toDouble} vs float $theta")
+  }
+
+  test("q212 SRM arms partition the distinct-user universe") {
+    val r = SparkEntry.queries("q212_srm_check")(spark, sfDir).head()
+    val users = Tables.t(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users)
+    assert(r.getLong(2) >= 0)
+  }
+
+  test("q211 matched pairs: same stratum, disjoint 1:1 use, arms correct") {
+    val rows = SparkEntry.queries("q211_matched_controls")(spark, sfDir)
+      .collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("n_chars div 64").as("bucket"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    val (treats, ctls) = (rows.map(_.getLong(2)), rows.map(_.getLong(3)))
+    assert(treats.distinct.length == treats.length, "a treat doc paired twice")
+    assert(ctls.distinct.length == ctls.length, "a control doc paired twice")
+    rows.foreach { r =>
+      val (t, c) = (docs(r.getLong(2)), docs(r.getLong(3)))
+      assert(t._1.length == 4 && c._1.length == 5,
+        s"arm mixup: treat ${t._1} control ${c._1}")
+      assert(t._2 == c._2 && t._3 == c._3 && t._2 == r.getString(0),
+        s"stratum mismatch: $t vs $c vs ${r.getString(0)}")
+    }
+  }
+
+  test("q214 deflate kernel: deterministic, ordered repetitive < prose < " +
+    "noise, flag consistent") {
+    import spark.implicits._
+    val a = SparkEntry.queries("q214_compression_quality")(spark, sfDir)
+      .collect()
+    val b = SparkEntry.queries("q214_compression_quality")(spark, sfDir)
+      .collect()
+    assert(a.sameElements(b), "deflate length must be deterministic")
+    a.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getBoolean(4) == (r.getLong(3) < 2500))
+    }
+    // ordering property on synthetic extremes, through the same kernel
+    val probe = Seq(
+      ("rep", "ab" * 500),
+      ("prose", ("the quick brown fox jumps over the lazy dog and then " +
+        "discusses distributed query optimization at length ") * 10),
+      ("noise", (1 to 1000).map(i =>
+        ((i * 2654435761L >>> 7) % 94 + 33).toChar).mkString))
+      .toDF("kind", "text")
+      .select(col("kind"),
+        (graft.functions.TextAnalysis.deflateLen(col("text")) * 10000 /
+          length(col("text"))).cast("long").as("bp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probe("rep") < probe("prose") && probe("prose") < probe("noise"),
+      s"compressibility ordering violated: $probe")
+  }
+}

@@ -492,4 +492,71 @@ class PlanSpec extends AnyFunSuite {
       "Gini impurity is a pure polynomial in counts — no window or join: " +
         plan.take(600))
   }
+
+  test("q208: two-level aggregate with map-side partials; the z^2 algebra " +
+    "rides on one row — no window, no join") {
+    val plan = planOf("q208_ab_test")
+    assert(plan.contains("partial_max"),
+      "per-(arm,user,day) conversion flags must combine map-side: " +
+        plan.take(600))
+    assert(plan.contains("partial_sum"),
+      "the four-scalar arm totals must combine map-side: " + plan.take(600))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      "the test statistic is pure aggregate algebra — a window or join " +
+        "here is a regression: " + plan.take(600))
+  }
+
+  test("q209: every chi-square window runs on the collapsed cell domain, " +
+    "never on rows") {
+    // plan strings print sink-first, so UPSTREAM operators appear LATER:
+    // the row-scale (source, lang) count aggregate must sit below (after)
+    // the LAST window — i.e. all three marginal windows consume the
+    // <=|sources|x|langs| cell frame, and only that frame
+    val plan = planOf("q209_chi_square_drift")
+    val lastWin = plan.lastIndexOf("Window")
+    assert(lastWin >= 0, "expected the three marginal windows")
+    assert(plan.indexOf("HashAggregate", lastWin) > lastWin,
+      "the cell-collapsing aggregate must be upstream of every window — " +
+        "an unpartitioned window over RAW rows is the q166 " +
+        "single-partition regression: " + plan.take(800))
+    assert(plan.contains("partial_count"),
+      "cell counts must combine map-side before the only row-scale " +
+        "shuffle: " + plan.take(600))
+  }
+
+  test("q210: both attribution carries share ONE user-keyed window; " +
+    "channel totals combine map-side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q210_last_touch_attribution")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1,
+      s"click_us and click_ch share a WindowSpec and must collapse into " +
+        s"ONE window operator (got ${wins.size}) — two operators means " +
+        "two per-user sorts at 100 TB")
+    assert(wins.head.partitionSpec.exists(_.toString.contains("user_id")),
+      s"the carry must key by user_id: ${wins.head.partitionSpec}")
+    val plan = planOf("q210_last_touch_attribution")
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      "channel conversion/revenue totals must combine map-side: " +
+        plan.take(600))
+  }
+
+  test("q211: stratum ranking is a keyed window and the pair join is " +
+    "equi on the stratum keys") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q211_matched_controls")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "row_number must partition by (lang, bucket, treat) — a global " +
+        s"rank sorts the corpus: ${wins.map(_.partitionSpec)}")
+    wins.foreach { w =>
+      assert(w.partitionSpec.exists(_.toString.contains("lang")),
+        s"stratum window must key by lang: ${w.partitionSpec}")
+    }
+    val plan = planOf("q211_matched_controls")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "rank matching must stay an equi-join on (lang, bucket, rk): " +
+        plan.take(600))
+  }
 }
