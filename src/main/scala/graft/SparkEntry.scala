@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.AnalyticsPatterns,
     graft.operators.GraphSelection,
     graft.operators.Experimentation,
+    graft.operators.SequentialOps,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential / longitudinal analytics: per-user history assembly for
+  * behavioral-model training, CUSUM change-point detection, the
+  * mergeable-sketch scale twin of q203's rolling distinct, and
+  * time-to-convert percentiles. The longitudinal layer over the events
+  * stream the reference's ingest daemon exists to land (its MySQL sink
+  * feeds "analyze with plain SQL" — mysql_public_data_ingestor README);
+  * here each one is shaped so the scan-scale work is ONE keyed pass and
+  * everything after it runs on a bounded domain.
+  */
+object SequentialOps extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q216_user_sequences",
+      "USER-HISTORY SEQUENCE ASSEMBLY (the behavioral-training-example " +
+        "builder: each user's last up-to-8 events as one ordered row — " +
+        "what a sequence-model or recsys pipeline feeds as input " +
+        "context): per user, the trailing-8 event types joined " +
+        "oldest-to-newest with '>', plus span endpoints in epoch-µs. " +
+        "The bounded-state shape: a user-keyed row_number DESC window " +
+        "caps the carry at K=8 rows per user BEFORE any collect — " +
+        "collect_list over raw history is the unbounded-array OOM a " +
+        "power user triggers at 100 TB; rank-then-filter never holds " +
+        "more than K. The aggregate reuses the window's user_id " +
+        "hash partitioning, so ONE row-scale exchange total " +
+        "(PlanSpec-gated). Ordering is bit-stable on both engines: " +
+        "event_id breaks ts ties in the rank AND in the array_sort " +
+        "key (us, event_id), and the '>'-joined string compares " +
+        "engine-neutrally where array equality hashing would not.",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"us".desc, $"event_id".desc)
+        Tables.t(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts".cast("timestamp")).as("us"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 8)
+          .groupBy($"user_id")
+          .agg(
+            count(lit(1)).as("n_recent"),
+            array_join(
+              transform(
+                array_sort(collect_list(struct($"us", $"event_id",
+                  $"event_type"))),
+                x => x.getField("event_type")),
+              ">").as("seq"),
+            min($"us").as("first_us"),
+            max($"us").as("last_us"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS seq,
+               CAST(min(us) AS BIGINT) AS first_us,
+               CAST(max(us) AS BIGINT) AS last_us
+        FROM e WHERE rn <= 8
+        GROUP BY user_id ORDER BY user_id""")),
+
+    Q(
+      "q217_cusum_changepoint",
+      "CUSUM CHANGE-POINT DETECTION over daily purchase revenue — the " +
+        "sequential drift monitor that catches a persistent small shift " +
+        "q206's per-row MAD fence never will (CUSUM accumulates " +
+        "evidence across days). The one-sided recurrence S_t = " +
+        "max(0, S_{t-1} + x_t - k) looks inherently serial, but " +
+        "algebraically S_t = P_t - min(0, min_{j<=t} P_j) where P is " +
+        "the running sum of (x_t - k) — so the engine computes it as " +
+        "TWO stacked windows (cumsum, then running min) over the " +
+        "<=31-row day DOMAIN, after one row-scale (day) aggregate with " +
+        "map-side partials (PlanSpec gates that ordering, q209's " +
+        "argument). Drift k = mean daily cents (total div n_days, " +
+        "exact integer), alarm threshold h = k (one average day's " +
+        "revenue of accumulated excess); everything is integer cents " +
+        "so the alarm day is bit-stable on any cluster or engine — a " +
+        "float CUSUM drifts with summation order precisely when S_t " +
+        "hovers at the threshold.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        val tot = daily.agg(sum($"cents").as("total"),
+          count(lit(1)).as("nd"))
+        val wp = Window.orderBy($"d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(tot))
+          .withColumn("k", expr("total div nd"))
+          .withColumn("p", sum($"cents" - $"k").over(wp))
+          .withColumn("m", min($"p").over(wp))
+          .select($"d", $"cents", $"k",
+            ($"p" - least(lit(0L), $"m")).as("cusum_cents"))
+          .withColumn("alarm", $"cusum_cents" > $"k")
+          .orderBy($"d")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS nd FROM daily),
+        p AS (
+          SELECT d, cents, total // nd AS k,
+                 sum(cents - total // nd) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM daily CROSS JOIN t),
+        m AS (
+          SELECT d, cents, k, p,
+                 min(p) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+          FROM p)
+        SELECT d, cents, k,
+               CAST(p - least(0, m) AS BIGINT) AS cusum_cents,
+               (p - least(0, m) > k) AS alarm
+        FROM m ORDER BY d""")),
+
+    Q(
+      "q218_rolling_wau_hll",
+      "ROLLING 7-DAY DISTINCT USERS via MERGEABLE HLL SKETCHES — the " +
+        "scale path twin of q203's exact dedup-then-x7-fan-out: q203 " +
+        "ships |distinct (user, day)| x 7 slim pairs through the " +
+        "rolling shuffle; this builds ONE DataSketches HLL per day " +
+        "(lgK=12, ~4 KB) in a single raw-event pass with map-side " +
+        "sketch merge, fans out only the 31 day-sketches x7, and " +
+        "unions <=7 sketches per window end — at 100 TB the rolling " +
+        "stage moves kilobytes per day instead of the deduped user " +
+        "universe, and per-day sketches persist so tomorrow's WAU " +
+        "merges in without rescanning history (q152's MV argument " +
+        "applied to a sliding window). Window ends land on observed " +
+        "active days (same inner join as q203), so the two queries are " +
+        "row-aligned and SequentialSpec holds every estimate within " +
+        "HLL error of q203's exact count. No SQL oracle: sketch " +
+        "internals are engine-specific.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"))
+        val daySk = ev.groupBy($"d")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val act = ev.select($"d").distinct()
+        daySk
+          .select($"sk", explode(sequence(lit(0), lit(6))).as("x"), $"d")
+          .select($"sk", date_add($"d", $"x").as("d"))
+          .join(act, Seq("d"))
+          .groupBy($"d")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_wau"),
+            count(lit(1)).as("n_days_merged"))
+          .orderBy($"d")
+      },
+      None),
+
+    Q(
+      "q219_time_to_convert",
+      "TIME-TO-CONVERT PERCENTILES by acquisition channel (exact " +
+        "p50/p90/p99 seconds from a user's FIRST click to their FIRST " +
+        "subsequent purchase, keyed by the first click's channel — " +
+        "q210/q213 say which channel gets credit; this says how LONG " +
+        "conversion takes, the latency profile behind attribution- " +
+        "window and retargeting choices): first touch per user as " +
+        "min(struct(us, event_id, ch)) — the argmin with a bit-stable " +
+        "event_id tie-break, computed map-side in ONE aggregate, never " +
+        "a sort — inner-joined user-to-user with first purchase, " +
+        "strict p_us > c_us, then q168's counting-sort inverse CDF " +
+        "over the derived (channel, ttc-seconds) domain with " +
+        "cross-multiplied integer thresholds (100*cum >= pct*n). Both " +
+        "shuffles are user/channel-keyed; the CDF stage carries " +
+        "distinct gap values per channel, not converting users.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val fc = ev.filter($"event_type" === "click")
+          .groupBy($"user_id")
+          .agg(min(struct($"us", $"event_id", $"ch")).as("f"))
+          .select($"user_id", $"f.us".as("c_us"), $"f.ch".as("ch"))
+        val fp = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(min(struct($"us", $"event_id")).as("g"))
+          .select($"user_id", $"g.us".as("p_us"))
+        val ttc = fc.join(fp, Seq("user_id"))
+          .filter($"p_us" > $"c_us")
+          .select(concat(lit("ch"), $"ch").as("channel"),
+            expr("(p_us - c_us) DIV 1000000").as("ttc_s"))
+        val counts = ttc.groupBy($"channel", $"ttc_s")
+          .agg(count(lit(1)).as("c"))
+        val cum = counts.withColumn("cum",
+          sum($"c").over(Window.partitionBy($"channel").orderBy($"ttc_s")))
+        val tot = counts.groupBy($"channel").agg(sum($"c").as("n"))
+        val ps = Seq(("p50", 50), ("p90", 90), ("p99", 99)).toDF("lbl", "pct")
+        cum.join(broadcast(tot), Seq("channel"))
+          .crossJoin(broadcast(ps))
+          .filter($"cum" * 100 >= $"pct" * $"n")
+          .groupBy($"channel", $"lbl")
+          .agg(min($"ttc_s").as("ttc_s"), first($"n").as("n_converted"))
+          .orderBy($"channel", $"lbl")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events),
+        fc AS (
+          SELECT user_id, us AS c_us, ch FROM (
+            SELECT user_id, us, ch,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS rn
+            FROM e WHERE event_type = 'click') WHERE rn = 1),
+        fp AS (
+          SELECT user_id, us AS p_us FROM (
+            SELECT user_id, us,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS rn
+            FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+        ttc AS (
+          SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
+                 (p_us - c_us) // 1000000 AS ttc_s
+          FROM fc JOIN fp USING (user_id) WHERE p_us > c_us),
+        c AS (SELECT channel, ttc_s, count(*) AS c FROM ttc GROUP BY 1, 2),
+        cum AS (SELECT channel, ttc_s, c,
+                       sum(c) OVER (PARTITION BY channel
+                                    ORDER BY ttc_s) AS cum
+                FROM c),
+        t AS (SELECT channel, CAST(sum(c) AS BIGINT) AS n
+              FROM c GROUP BY channel),
+        p(lbl, pct) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        SELECT cum.channel, p.lbl, CAST(min(ttc_s) AS BIGINT) AS ttc_s,
+               CAST(t.n AS BIGINT) AS n_converted
+        FROM cum JOIN t USING (channel) CROSS JOIN p
+        WHERE cum * 100 >= p.pct * t.n
+        GROUP BY cum.channel, p.lbl, t.n
+        ORDER BY channel, lbl""")))
+}

@@ -35,12 +35,15 @@ object Stress {
     val base = s.range(50000).select($"id".as("doc_id"),
       array_join(transform(sequence(lit(0), lit(59)), i =>
         element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int"))), " ").as("text"),
-      lit("stress").as("source"),
+      // two source arms (4-char vs 5-char name) so the matched-control
+      // probe (q211) has non-empty treatment/control strata, mirroring
+      // the fixtures' src0-9 vs src10-19 split
+      when($"id" % 2 === 0, "src1").otherwise("src15").as("source"),
       element_at(langlit, ($"id" % 5 + 1).cast("int")).as("lang"))
     val dups = s.range(1000).select(($"id" + 50000).as("doc_id"),
       array_join(concat(array(lit("dup")), transform(sequence(lit(1), lit(59)), i =>
         element_at(vlit, ((xxhash64($"id", i) % 30 + 30) % 30 + 1).cast("int")))), " ").as("text"),
-      lit("stress").as("source"),
+      when($"id" % 2 === 0, "src1").otherwise("src15").as("source"),
       element_at(langlit, ($"id" % 5 + 1).cast("int")).as("lang"))
     // dups share tokens 1..59 with base doc id -> jaccard ~0.95
     base.union(dups).withColumn("n_chars", length($"text"))
@@ -292,6 +295,28 @@ object Stress {
     // its cell-domain windows are size-bounded by |sources|x|langs|.)
     time("matched controls 51k docs") {
       SparkEntry.queries("q211_matched_controls")(s, out).count()
+    }
+    // Sequence assembly (q216): the rank window caps the carry at 8 of
+    // each user's ~600 events before the collect — the probe's point is
+    // that the collect stage never sees raw history.
+    time(s"user sequences ${6 * mult}M events") {
+      SparkEntry.queries("q216_user_sequences")(s, out).count()
+    }
+    // CUSUM (q217): one daily aggregate with map-side partials; both
+    // windows then run on the ~694-row day domain regardless of volume.
+    time(s"cusum changepoint ${6 * mult}M events") {
+      SparkEntry.queries("q217_cusum_changepoint")(s, out).count()
+    }
+    // Rolling HLL WAU (q218): the rolling stage fans out ~694 day
+    // sketches x7 (kilobytes), never the 10k-user universe — compare
+    // its wall against the exact q203 probe above at 10x/100x.
+    time(s"rolling wau hll ${6 * mult}M events") {
+      SparkEntry.queries("q218_rolling_wau_hll")(s, out).count()
+    }
+    // Time-to-convert (q219): two map-side min(struct) argmins keyed by
+    // user, then the CDF over the (channel, seconds) domain.
+    time(s"time to convert ${6 * mult}M events") {
+      SparkEntry.queries("q219_time_to_convert")(s, out).count()
     }
     // Weighted sampling (q200): the explode is O(total corpus tokens)
     // (~3M replicas here), the min collapses map-side, the bottom-25 is

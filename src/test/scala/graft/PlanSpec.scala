@@ -559,4 +559,69 @@ class PlanSpec extends AnyFunSuite {
       "rank matching must stay an equi-join on (lang, bucket, rk): " +
         plan.take(600))
   }
+
+  test("q216: rank filter and collect share ONE user_id exchange; the " +
+    "carry is capped before any collect_list") {
+    val df = SparkEntry.queries("q216_user_sequences")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"the window's user_id partitioning must feed the aggregate " +
+        s"directly — got $exchanges hash exchanges:\n${plan.take(800)}")
+    // plan prints sink-first: the rank Filter must sit BETWEEN the
+    // collect aggregate (earlier) and the window (later) — i.e. the
+    // aggregate only ever sees <=K rows per user
+    val agg = plan.indexOf("collect_list")
+    val win = plan.indexOf("row_number")
+    assert(agg >= 0 && win >= 0 && agg < win,
+      "collect_list must consume the rank-filtered frame, not raw " +
+        "history — unbounded per-user arrays OOM at 100 TB: " +
+        plan.take(800))
+  }
+
+  test("q217: both CUSUM windows run on the collapsed day domain after " +
+    "a map-side-combined daily aggregate") {
+    val plan = planOf("q217_cusum_changepoint")
+    val lastWin = plan.lastIndexOf("Window")
+    assert(lastWin >= 0, "expected the cumsum/running-min windows")
+    assert(plan.indexOf("HashAggregate", lastWin) > lastWin,
+      "the day-collapsing aggregate must be upstream of every window — " +
+        "an unpartitioned window over raw purchases is the q166 " +
+        "single-partition regression: " + plan.take(800))
+    assert(plan.contains("partial_sum"),
+      "daily cents must combine map-side: " + plan.take(600))
+  }
+
+  test("q218: the rolling fan-out explodes day SKETCHES, not events — " +
+    "both sketch aggregates combine partially") {
+    val plan = planOf("q218_rolling_wau_hll")
+    assert(plan.contains("hll_sketch_agg") && plan.contains("hll_union_agg"),
+      "expected DataSketches build + union aggregates: " + plan.take(600))
+    // sink-first: the per-day sketch aggregate (upstream) must appear
+    // AFTER the Generate — the x7 fan-out consumes one sketch row per
+    // day, never raw (user, day) rows (that would be q203, the exact
+    // path, not this one)
+    val gen = plan.indexOf("Generate")
+    assert(gen >= 0, "expected the x7 explode")
+    assert(plan.indexOf("hll_sketch_agg", gen) > gen,
+      "the explode must sit ABOVE the day-sketch aggregate — fanning " +
+        "out raw events forfeits the kilobytes-per-day scale story: " +
+        plan.take(800))
+  }
+
+  test("q219: first-touch argmins are map-side min(struct) aggregates — " +
+    "no ranking window before the user join") {
+    val plan = planOf("q219_time_to_convert")
+    assert(plan.contains("partial_min"),
+      "first click/purchase must combine map-side as min(struct): " +
+        plan.take(600))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q219_time_to_convert")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"the only windows are the channel-keyed CDF cumsums: " +
+        s"${wins.map(_.partitionSpec)}")
+  }
 }
