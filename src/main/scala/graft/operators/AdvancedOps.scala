@@ -316,6 +316,80 @@ object AdvancedOps extends QueryModule {
         ORDER BY user_id""")),
 
     Q(
+      "q220_data_contract",
+      "DATA-CONTRACT VALIDATION (Deequ-style constraint suite — the " +
+        "quality gate a pipeline runs BEFORE promoting an ingest batch, " +
+        "where q154 profiles and q171 quarantines parse failures): six " +
+        "declarative constraints over events — user_id completeness, " +
+        "event_id uniqueness, event_type domain containment, value " +
+        "range [0, 1000), ts inside the 2024 fixture epoch, and props " +
+        "JSON carrying k in [0, 100) — each reported as (check_name, " +
+        "n_checked, n_violations, passed). ALL constraints evaluate in " +
+        "ONE pass: conditional sums share a single aggregate (map-side " +
+        "partials; uniqueness rides the same pass as n - " +
+        "count(DISTINCT event_id), Spark's expand keeps it two-phase), " +
+        "and the wide 1-row result unpivots via stack() into the 6-row " +
+        "report — at 100 TB the contract costs one scan regardless of " +
+        "how many constraints it carries, which is the entire point of " +
+        "declaring them together rather than running six audits.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "events")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"user_id".isNull, 1L).otherwise(0L)).as("v_comp"),
+            (count(lit(1)) - countDistinct($"event_id")).as("v_uniq"),
+            sum(when(!$"event_type".isin(
+              "click", "view", "purchase", "signup", "error"), 1L)
+              .otherwise(0L)).as("v_dom"),
+            sum(when($"value" < 0 || $"value" >= 1000, 1L).otherwise(0L))
+              .as("v_rng"),
+            sum(when(year($"ts") =!= 2024, 1L).otherwise(0L)).as("v_ts"),
+            sum(when(expr("cast(get_json_object(props, '$.k') as bigint)")
+              .isNull ||
+              !expr("cast(get_json_object(props, '$.k') as bigint)")
+                .between(0, 99), 1L).otherwise(0L)).as("v_json"))
+          .select($"n", expr(
+            "stack(6, " +
+              "'completeness_user_id', v_comp, " +
+              "'uniqueness_event_id', v_uniq, " +
+              "'domain_event_type', v_dom, " +
+              "'range_value', v_rng, " +
+              "'epoch_ts', v_ts, " +
+              "'json_props_k', v_json) as (check_name, n_violations)"))
+          .select($"check_name", $"n".as("n_checked"), $"n_violations",
+            ($"n_violations" === 0L).as("passed"))
+          .orderBy($"check_name")
+      },
+      Some("""
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_comp,
+                 CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_uniq,
+                 CAST(sum(CASE WHEN event_type NOT IN
+                   ('click','view','purchase','signup','error')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_dom,
+                 CAST(sum(CASE WHEN value < 0 OR value >= 1000
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+                 CAST(sum(CASE WHEN year(ts) <> 2024
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+                 CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, 'k') AS BIGINT)
+                   IS NULL OR TRY_CAST(json_extract_string(props, 'k') AS BIGINT)
+                   NOT BETWEEN 0 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS v_json
+          FROM events),
+        r AS (
+          SELECT 'completeness_user_id' AS check_name, n AS n_checked,
+                 v_comp AS n_violations FROM a
+          UNION ALL SELECT 'uniqueness_event_id', n, v_uniq FROM a
+          UNION ALL SELECT 'domain_event_type', n, v_dom FROM a
+          UNION ALL SELECT 'range_value', n, v_rng FROM a
+          UNION ALL SELECT 'epoch_ts', n, v_ts FROM a
+          UNION ALL SELECT 'json_props_k', n, v_json FROM a)
+        SELECT check_name, n_checked, n_violations,
+               (n_violations = 0) AS passed
+        FROM r ORDER BY check_name""")),
+
+    Q(
       "q152_hll_sketch_merge",
       "MERGEABLE DISTINCT SKETCHES (Apache DataSketches HLL, built into " +
         "Spark 4): per-(lang, source) token sketches are built in one " +

@@ -525,6 +525,36 @@ object Multimodal extends QueryModule {
     DHashPair(id, ho, hb, ho == hb)
   }
 
+  /** Exact integer distortion of the +8-clamp brightness augment on the
+    * REAL decode path: per doc, the sum of squared per-channel pixel
+    * diffs between the decoded PNG and its augmented form. Integer by
+    * construction — each channel diff is min(c+8,255)-c, i.e. 8 below
+    * the clamp knee and 255-c at it — so the measurement (PSNR's core
+    * term, without the float log) oracles bit-exactly against the
+    * generator's closed-form ramp. */
+  final case class AugMse(doc_id: Long, n_px: Long, sse: Long)
+  def augmentSse(id: Long, payload: Array[Byte]): AugMse = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sse = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      var sh = 0
+      while (sh <= 16) {
+        val c = (p >> sh) & 0xff
+        val d = math.min(c + 8, 255) - c
+        sse += d.toLong * d
+        sh += 8
+      }
+      i += 1
+    }
+    AugMse(id, w.toLong * h, sse)
+  }
+
   /** One decoded media item: deterministic fake features from the bytes.
     * Carries the integer byte SUM (not a float mean) so downstream math
     * stays exact — the mean is derived in the query with the same
@@ -973,6 +1003,52 @@ object Multimodal extends QueryModule {
                CAST(dhash_bright AS BIGINT) AS dhash_bright,
                dhash_orig = dhash_bright AS matched
         FROM b ORDER BY doc_id""")),
+
+    Q(
+      "q221_augment_distortion",
+      "AUGMENTATION DISTORTION AUDIT on the real codec path — the " +
+        "quantitative tier above q205's binary matched/unmatched: per " +
+        "doc, the exact integer sum of squared per-channel pixel diffs " +
+        "(SSE, the core of PSNR without its cross-engine float log) " +
+        "between the decoded PNG and its +8-clamp brightness augment, " +
+        "plus MSE in 1e-4 fixed point via truncating div. How a " +
+        "multimodal pipeline verifies an augment stays perceptually " +
+        "bounded BEFORE burning GPU-hours training on it. Every channel " +
+        "diff is 8 below the clamp knee and 255-c at it, so the " +
+        "real-decode measurement oracles bit-exactly against the " +
+        "generator's closed-form ramp (q114's lossless-PNG argument). " +
+        "Scale shape: payloads are born, decoded, diffed, and reduced " +
+        "to three int64s inside one partition; only (doc_id, n_px, " +
+        "sse) ever leaves the map — no shuffle before the bounded " +
+        "ORDER BY.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .mapPartitions(_.map { case (id, png) => augmentSse(id, png) })
+          .toDF()
+          .withColumn("mse_e4", expr("(10000 * sse) div (3 * n_px)"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+                     FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM par),
+        ch AS (SELECT doc_id, w, h,
+                      (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+                      (doc_id * 17 + (i % w) * 5 + (i // w) * 11) % 256 AS g,
+                      (doc_id * 23 + (i % w) * 3 + (i // w) * 19) % 256 AS b
+               FROM px),
+        e AS (SELECT doc_id, w * h AS n_px,
+                     sum(CASE WHEN r < 248 THEN 64 ELSE (255-r)*(255-r) END
+                       + CASE WHEN g < 248 THEN 64 ELSE (255-g)*(255-g) END
+                       + CASE WHEN b < 248 THEN 64 ELSE (255-b)*(255-b) END)
+                       AS sse
+              FROM ch GROUP BY doc_id, w * h)
+        SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+               CAST(sse AS BIGINT) AS sse,
+               CAST((10000 * sse) // (3 * n_px) AS BIGINT) AS mse_e4
+        FROM e ORDER BY doc_id""")),
 
     Q(
       "q84_multimodal_framesample",

@@ -571,6 +571,73 @@ object Similarity extends QueryModule {
           FROM p)
         SELECT la, lb, CAST(rnk AS INTEGER) AS rnk, v1, v2, score
         FROM r WHERE rnk <= 3
-        ORDER BY la, lb, rnk"""))
+        ORDER BY la, lb, rnk""")),
+
+    Q(
+      "q222_pq_codes",
+      "PRODUCT-QUANTIZATION CODES (spherical PQ — the compressed " +
+        "vector-index representation that completes the ANN storage " +
+        "ladder: q130 scalar int8 = 64 B/vec, this = m=4 codebook " +
+        "bytes/vec, a 16x further squeeze for billion-vector IVF-PQ " +
+        "indexes): the 64-dim embedding splits into 4 x 16-dim " +
+        "subspaces, each with its own k=16 codebook trained by TWO " +
+        "integer-micros Lloyd iterations (q126's bit-stable kernel, " +
+        "spherical because the repo's retrieval metric is cosine " +
+        "throughout), and each vector stores only its per-subspace " +
+        "nearest-centroid ids plus the cosine residual it pays, in " +
+        "1e-6 fixed point. Training shuffles k x subdim partial sums " +
+        "per iteration (driver codebooks, the q97/q126 argument); " +
+        "CODING is one narrow codegen'd projection — four broadcast " +
+        "constant matrices, no join, no shuffle before the ORDER BY — " +
+        "so indexing 100 TB of vectors is a single map pass. No SQL " +
+        "oracle (codebooks are trainer-defined); PqSpec pins code " +
+        "bounds, determinism, agreement with an independent " +
+        "SQL-expressed argmax (cross-validating the native " +
+        "TopCentroids kernel), and the Lloyd improvement over seed " +
+        "codebooks.",
+      (s, dir) => pqCode(Tables.t(s, dir, "embeddings"),
+        pqCodebooks(Tables.t(s, dir, "embeddings"), iters = 2)),
+      None)
   )
+
+  /** Per-subspace spherical codebooks for [[pqCode]]: subspace j is the
+    * 16-dim slice [j*16, (j+1)*16) of the embedding, trained by
+    * [[kmeansCodebook]]'s integer-micros Lloyd on that slice (iters = 0
+    * gives the deterministic seed codebooks — the spec's baseline). */
+  def pqCodebooks(e: DataFrame, m: Int = 4, sub: Int = 16, k: Int = 16,
+      iters: Int = 2): Seq[Array[Array[Double]]] = {
+    import e.sparkSession.implicits._
+    (0 until m).map { j =>
+      kmeansCodebook(
+        e.select($"vec_id",
+          slice($"embedding", j * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+  }
+
+  /** Assign PQ codes + cosine residuals against the given per-subspace
+    * codebooks: one narrow projection (native TopCentroids argmax per
+    * subspace + FloatVecDot residual against the chosen centroid), no
+    * shuffle. resid_e6 = sum over subspaces of round((1-cos)*1e6). */
+  def pqCode(e: DataFrame, cbs: Seq[Array[Array[Double]]],
+      sub: Int = 16): DataFrame = {
+    import e.sparkSession.implicits._
+    import graft.catalyst.VecOps.top_centroids
+    val m = cbs.size
+    val coded = (0 until m).foldLeft(e.select($"vec_id", $"embedding")) {
+      case (df, j) =>
+        val sl = slice($"embedding", j * sub + 1, sub)
+        val cblit = typedLit(cbs(j).map(_.toSeq).toSeq)
+        val code = element_at(top_centroids(sl, cbs(j), 1), 1)
+        df.withColumn(s"code$j", code)
+          .withColumn(s"r$j",
+            lit(1.0) - cosine(sl,
+              element_at(cblit, col(s"code$j") + 1).cast("array<float>")))
+    }
+    coded.select(
+      $"vec_id" +: (0 until m).map(j => col(s"code$j")) :+
+        (0 until m).map(j => round(col(s"r$j") * 1e6).cast("long"))
+          .reduce(_ + _).as("resid_e6"): _*)
+      .orderBy($"vec_id")
+  }
 }

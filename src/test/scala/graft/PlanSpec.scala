@@ -624,4 +624,42 @@ class PlanSpec extends AnyFunSuite {
       s"the only windows are the channel-keyed CDF cumsums: " +
         s"${wins.map(_.partitionSpec)}")
   }
+
+  test("q220: all six contract constraints share ONE aggregate pass over " +
+    "the scan") {
+    val df = SparkEntry.queries("q220_data_contract")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the distinct-count expand keeps this two-phase; what must NOT
+    // appear is a second scan (six separate audits) or a join
+    assert("FileScan|BatchScan".r.findAllIn(plan).size <= 1 ||
+      plan.split("parquet").length <= 2,
+      s"contract must cost one scan: ${plan.take(800)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "constraint counters must combine map-side: " + plan.take(600))
+    assert(!plan.contains("Join"),
+      "six constraints, one pass — a join means the suite split: " +
+        plan.take(600))
+  }
+
+  test("q221: distortion never shuffles payloads — only three int64s per " +
+    "doc leave the map") {
+    val plan = planOf("q221_augment_distortion")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "no hash shuffle belongs in a pure per-doc projection: " +
+        plan.take(600))
+    assert(plan.contains("TakeOrdered") || plan.contains("Sort"),
+      "only the bounded output sort remains: " + plan.take(400))
+  }
+
+  test("q222: PQ coding is one narrow projection — no join, no hash " +
+    "shuffle before the output sort") {
+    val plan = planOf("q222_pq_codes")
+    assert(!plan.contains("Join"),
+      "codebooks are broadcast constants inside the projection, never " +
+        "a joined table: " + plan.take(600))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "coding 100 TB of vectors must stay a map pass: " + plan.take(600))
+  }
 }
