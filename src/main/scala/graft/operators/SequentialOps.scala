@@ -29,7 +29,12 @@ object SequentialOps extends QueryModule {
         "power user triggers at 100 TB; rank-then-filter never holds " +
         "more than K. The aggregate reuses the window's user_id " +
         "hash partitioning, so ONE row-scale exchange total " +
-        "(PlanSpec-gated). Ordering is bit-stable on both engines: " +
+        "(PlanSpec-gated) — and Catalyst's WindowGroupLimit pushes the " +
+        "rank<=8 cap MAP-SIDE, so even that exchange carries at most " +
+        "8 rows per (user x input partition): measured shuffle is an " +
+        "identical 34.6 MiB at 6M AND at 60M events (Stress, 1.1 s -> " +
+        "4.5 s wall) — the carry is bounded by users, not history. " +
+        "Ordering is bit-stable on both engines: " +
         "event_id breaks ts ties in the rank AND in the array_sort " +
         "key (us, event_id), and the '>'-joined string compares " +
         "engine-neutrally where array equality hashing would not.",
@@ -138,7 +143,10 @@ object SequentialOps extends QueryModule {
         "sketch merge, fans out only the 31 day-sketches x7, and " +
         "unions <=7 sketches per window end — at 100 TB the rolling " +
         "stage moves kilobytes per day instead of the deduped user " +
-        "universe, and per-day sketches persist so tomorrow's WAU " +
+        "universe (measured at 60M events: 0.1 MiB total shuffle vs " +
+        "the exact q203's 38.8 MiB — ~400x less on the wire — at " +
+        "1.75 s vs 2.85 s wall), and per-day sketches persist so " +
+        "tomorrow's WAU " +
         "merges in without rescanning history (q152's MV argument " +
         "applied to a sliding window). Window ends land on observed " +
         "active days (same inner join as q203), so the two queries are " +

@@ -1112,6 +1112,79 @@ object StreamingOps extends QueryModule {
         FROM g, hz
         GROUP BY user_id, sess_no, hz.h
         HAVING max(ts) < hz.h
-        ORDER BY user_id, sess_start"""))
+        ORDER BY user_id, sess_start""")),
+
+    Q(
+      "q223_stream_contract_gate",
+      "STREAMING DATA-CONTRACT GATE — q220's constraint suite standing " +
+        "guard on the live stream, with enforcement: per micro-batch, " +
+        "every event is classified against the ROW-LEVEL contract " +
+        "(first-match precedence, q129's funnel rule: unknown " +
+        "event_type -> value in the out-of-calibration tail >= 990 -> " +
+        "props k outside [0, 96) -> ts off the 2024 epoch), accepted " +
+        "rows land in the promoted dir and violators in a " +
+        "reason-tagged QUARANTINE dir (q171's parse quarantine " +
+        "generalized to semantic violations) — both under batchId-" +
+        "keyed subdirs, q128's replay-safe overwrite. The ledger reads " +
+        "back what was WRITTEN (never recomputed), so it also proves " +
+        "delivery; the oracle recomputes the classification " +
+        "relationally. The tightened value/props thresholds are the " +
+        "point of a gate demo: a contract that never fires proves " +
+        "nothing about the quarantine path.",
+      (s, dir) => {
+        import s.implicits._
+        val outRoot = graft.TempRoots
+          .freshForDir("graft_contract_stream", dir).toString
+        val reasonCol =
+          when(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), "bad_type")
+            .when(col("value") >= 990, "bad_value_tail")
+            .when(expr("cast(get_json_object(props, '$.k') as bigint)")
+              .isNull ||
+              !expr("cast(get_json_object(props, '$.k') as bigint)")
+                .between(0, 95), "bad_props_band")
+            .when(year(col("ts")) =!= 2024, "bad_epoch")
+            .otherwise("accepted")
+        val q = eventsStream(s, dir).writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              val checked = batch.withColumn("reason", reasonCol)
+              checked.filter($"reason" === "accepted").drop("reason")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/accepted/b$batchId")
+              checked.filter($"reason" =!= "accepted")
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/quarantine/b$batchId")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val accepted = s.read.parquet(s"$outRoot/accepted/*")
+        // an all-clean batch writes only _SUCCESS into its quarantine
+        // subdir; pin the schema so the read can't fail on inference
+        val qSchema = org.apache.spark.sql.types.StructType(
+          accepted.schema.fields :+ org.apache.spark.sql.types
+            .StructField("reason", org.apache.spark.sql.types.StringType))
+        val quarantined = s.read.schema(qSchema)
+          .parquet(s"$outRoot/quarantine/*")
+        accepted.select(lit("accepted").as("reason"))
+          .unionByName(quarantined.select($"reason"))
+          .groupBy($"reason").agg(count(lit(1)).as("n_rows"))
+          .orderBy($"reason")
+      },
+      Some("""
+        WITH r AS (
+          SELECT CASE
+            WHEN event_type NOT IN
+              ('click','view','purchase','signup','error') THEN 'bad_type'
+            WHEN value >= 990 THEN 'bad_value_tail'
+            WHEN TRY_CAST(json_extract_string(props, 'k') AS BIGINT) IS NULL
+              OR TRY_CAST(json_extract_string(props, 'k') AS BIGINT)
+                 NOT BETWEEN 0 AND 95 THEN 'bad_props_band'
+            WHEN year(ts) <> 2024 THEN 'bad_epoch'
+            ELSE 'accepted' END AS reason
+          FROM events)
+        SELECT reason, CAST(count(*) AS BIGINT) AS n_rows
+        FROM r GROUP BY reason ORDER BY reason"""))
   )
 }

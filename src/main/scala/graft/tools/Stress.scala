@@ -419,6 +419,12 @@ object Stress {
     // Market-basket co-occurrence (q193) at row scale: sessionize once
     // (checkpointed), distinct (session, type), self-join bounded by the
     // 5-type domain per session — pair count stays domain², not rows².
+    // Needs SPARK_DRIVER_MEM=24g at x10: the shared session frame's
+    // localCheckpoint unrolls ~50M distinct (sid, type) rows across 32
+    // concurrent tasks, which OOMs the 8g default heap (measured; a
+    // real executor fleet has GBs per task slot — the 8g/32-thread
+    // local box is the artificially starved configuration here).
+    // 29.0 s / 2.4 GB shuffle at 60M events with 24g.
     time(s"session cooccurrence ${6 * mult}M events") {
       SparkEntry.queries("q193_session_cooccurrence")(s, out).count()
     }
