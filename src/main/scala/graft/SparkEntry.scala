@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.GraphSelection,
     graft.operators.Experimentation,
     graft.operators.SequentialOps,
+    graft.operators.FeaturePlatform,
     graft.functions.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,

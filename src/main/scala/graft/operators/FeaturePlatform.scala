@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML-platform loop operators: offline recommender train/eval,
+  * point-in-time feature joins, and compression-aware storage layout —
+  * the pieces that turn the engine's analytics (q193's co-occurrence,
+  * q18's as-of, q63's MinHash) into the feeding/eval/storage loop an ML
+  * platform actually runs. The reference daemon lands events so
+  * downstream SQL can do exactly this (mysql_public_data_ingestor
+  * README "analyze with plain SQL"); here the loop is native.
+  */
+object FeaturePlatform extends QueryModule {
+
+  override def queries: Seq[Q] = Seq(
+    Q(
+      "q224_cooccurrence_recs_eval",
+      "OFFLINE RECOMMENDER TRAIN/EVAL — the complete co-occurrence loop " +
+        "with a temporal holdout (q193 mines the association, this " +
+        "GRADES it): TRAIN on days 1-15, (user, day) baskets of " +
+        "distinct event types, rec(a) = the type most often co-present " +
+        "with a (count desc, type asc tie-break — bit-stable); EVAL on " +
+        "days 16-30, a basket containing a scores a hit if rec(a) is " +
+        "also present; output per type: its rec, eval-basket count, " +
+        "hits, hit rate in cross-multiplied basis points. The temporal " +
+        "split is the q183 leakage rule applied to recsys eval — " +
+        "training pairs never see eval days. Plan: baskets from ONE " +
+        "(user, day, type) distinct; train co-counts bounded by " +
+        "|types|^2 per basket (q193's domain argument); the rec table " +
+        "is a <=5-row broadcast onto the eval join; hits aggregate " +
+        "map-side. Every stage is user/day-keyed or domain-bounded — " +
+        "nothing scales worse than the basket scan at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2024-01-16").cast("date")
+        val ud = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"), $"event_type")
+          .distinct()
+        val train = ud.filter($"d" < cut)
+        val pairs = train.as("a")
+          .join(train.as("b"), Seq("user_id", "d"))
+          .filter($"a.event_type" =!= $"b.event_type")
+          .groupBy($"a.event_type".as("t"), $"b.event_type".as("c"))
+          .agg(count(lit(1)).as("n"))
+        val recs = pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"t").orderBy($"n".desc, $"c")))
+          .filter($"rk" === 1)
+          .select($"t", $"c".as("rec"), $"n".as("train_support"))
+        val evalB = ud.filter($"d" >= cut)
+        val hits = evalB.as("e")
+          .join(broadcast(recs), $"e.event_type" === $"t")
+          .join(evalB.as("r"),
+            $"e.user_id" === $"r.user_id" && $"e.d" === $"r.d" &&
+              $"rec" === $"r.event_type", "left")
+          .groupBy($"t", $"rec", $"train_support")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when($"r.event_type".isNotNull, 1L).otherwise(0L))
+              .as("n_hits"))
+        hits.select($"t".as("event_type"), $"rec", $"train_support",
+          $"n_eval", $"n_hits",
+          expr("(n_hits * 10000) DIV n_eval").as("hit_bp"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+          FROM events),
+        train AS (SELECT * FROM ud WHERE d < DATE '2024-01-16'),
+        pairs AS (
+          SELECT a.event_type AS t, b.event_type AS c, count(*) AS n
+          FROM train a JOIN train b
+            ON a.user_id = b.user_id AND a.d = b.d
+           AND a.event_type <> b.event_type
+          GROUP BY 1, 2),
+        recs AS (
+          SELECT t, c AS rec, n AS train_support FROM (
+            SELECT *, row_number() OVER (PARTITION BY t
+                                         ORDER BY n DESC, c) AS rk
+            FROM pairs) WHERE rk = 1),
+        ev AS (SELECT * FROM ud WHERE d >= DATE '2024-01-16'),
+        h AS (
+          SELECT recs.t, recs.rec, recs.train_support,
+                 count(*) AS n_eval,
+                 sum(CASE WHEN r.event_type IS NOT NULL
+                          THEN 1 ELSE 0 END) AS n_hits
+          FROM ev e JOIN recs ON e.event_type = recs.t
+          LEFT JOIN ev r ON e.user_id = r.user_id AND e.d = r.d
+                        AND recs.rec = r.event_type
+          GROUP BY 1, 2, 3)
+        SELECT t AS event_type, rec, CAST(train_support AS BIGINT)
+                 AS train_support,
+               CAST(n_eval AS BIGINT) AS n_eval,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST((n_hits * 10000) // n_eval AS BIGINT) AS hit_bp
+        FROM h ORDER BY event_type""")),
+
+    Q(
+      "q225_point_in_time_features",
+      "POINT-IN-TIME FEATURE JOIN (the feature-store primitive that " +
+        "makes training sets leakage-safe): each signup label joins the " +
+        "user's LATEST trailing-7-day revenue snapshot dated STRICTLY " +
+        "BEFORE the label day — never same-day or later, the " +
+        "target-leak q183 audits for. Snapshots come from the q203 " +
+        "fan-out (daily purchase cents x7 into the days they remain " +
+        "visible), which also BOUNDS staleness: a snapshot expires " +
+        "after 7 days, so the as-of collapses to a user-keyed equi-join " +
+        "with a [1, 7]-day residual band (the q189 equi-ization of what " +
+        "would otherwise need q19's native as-of operator — use that " +
+        "form when features don't expire), and the latest-before pick " +
+        "is one (label, snapshot) row_number window. Output is the " +
+        "audit a platform actually checks in: label count, cold-start " +
+        "count, matched-feature revenue mass, and the leak counter " +
+        "that MUST be zero by construction of the band.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val daily = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id", to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        val snap = daily
+          .select($"user_id", explode(sequence(lit(0), lit(6))).as("x"),
+            $"d", $"cents")
+          .select($"user_id", date_add($"d", $"x").as("snap_d"), $"cents")
+          .groupBy($"user_id", $"snap_d")
+          .agg(sum($"cents").as("f7_cents"))
+        val labels = ev.filter($"event_type" === "signup")
+          .select($"user_id", $"event_id", to_date($"ts").as("l_d"))
+        val joined = labels
+          .join(snap,
+            labels("user_id") === snap("user_id") &&
+              $"snap_d" < $"l_d" && $"snap_d" >= date_sub($"l_d", 7),
+            "left")
+          .drop(snap("user_id"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"event_id").orderBy($"snap_d".desc_nulls_last)))
+          .filter($"rk" === 1)
+        joined.agg(
+          count(lit(1)).as("n_labels"),
+          sum(when($"snap_d".isNull, 1L).otherwise(0L)).as("n_cold_start"),
+          sum(when($"snap_d".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+          sum(when($"snap_d".isNotNull, $"f7_cents").otherwise(0L))
+            .as("matched_f7_cents"),
+          sum(when($"snap_d" >= $"l_d", 1L).otherwise(0L)).as("n_leaky"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        snap AS (
+          SELECT user_id, d + CAST(x AS INTEGER) AS snap_d,
+                 CAST(sum(cents) AS BIGINT) AS f7_cents
+          FROM daily, (SELECT unnest(generate_series(0, 6)) AS x)
+          GROUP BY 1, 2),
+        labels AS (
+          SELECT user_id, event_id, CAST(ts AS DATE) AS l_d
+          FROM events WHERE event_type = 'signup'),
+        j AS (
+          SELECT l.event_id, s.snap_d, s.f7_cents, l.l_d,
+                 row_number() OVER (PARTITION BY l.event_id
+                                    ORDER BY s.snap_d DESC NULLS LAST) AS rk
+          FROM labels l LEFT JOIN snap s
+            ON l.user_id = s.user_id
+           AND s.snap_d < l.l_d AND s.snap_d >= l.l_d - 7)
+        SELECT CAST(count(*) AS BIGINT) AS n_labels,
+               CAST(sum(CASE WHEN snap_d IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cold_start,
+               CAST(sum(CASE WHEN snap_d IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN snap_d IS NOT NULL THEN f7_cents
+                             ELSE 0 END) AS BIGINT) AS matched_f7_cents,
+               CAST(sum(CASE WHEN snap_d >= l_d THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_leaky
+        FROM j WHERE rk = 1""")),
+
+    Q(
+      "q226_compression_layout",
+      "COMPRESSION-AWARE STORAGE LAYOUT — similar docs adjacent before " +
+        "the write: the same corpus lands in parquet twice, once in " +
+        "q125's reproducible-shuffle order (the training-shard default) " +
+        "and once clustered by MinHash signature prefix then doc_id " +
+        "(near-dups and same-template docs become NEIGHBORS, so " +
+        "parquet's per-page compression sees their redundancy). At " +
+        "100 TB this is repartitionByRange(cluster_key) + " +
+        "sortWithinPartitions before the write — zero query-side " +
+        "change, the bytes just shrink; the measured REAL file sizes " +
+        "of both layouts are the output (engine/codec-specific -> no " +
+        "SQL oracle; FeaturePlatformSpec asserts the clustered layout " +
+        "never loses and the fixture's planted dup families make it " +
+        "win outright). The cluster key reuses q63's MinHashSig " +
+        "expression — the dedup signature doing double duty as a " +
+        "storage key.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.catalyst.VecOps.{minhash_sig, shingle_hashes}
+        val out = graft.TempRoots.freshForDir("graft_layout", dir).toString
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        val shuffled = docs.withColumn("k",
+          md5(concat(lit("shuf42:"), $"doc_id".cast("string"))))
+        shuffled.repartitionByRange(8, $"k").sortWithinPartitions($"k")
+          .drop("k").write.mode("overwrite").parquet(s"$out/shuffled")
+        val clustered = docs.withColumn("k",
+          element_at(minhash_sig(shingle_hashes($"text", 3), 4), 1))
+        clustered.repartitionByRange(8, $"k", $"doc_id")
+          .sortWithinPartitions($"k", $"doc_id")
+          .drop("k").write.mode("overwrite").parquet(s"$out/clustered")
+        def bytes(p: String): Long = {
+          val dir0 = new java.io.File(p)
+          dir0.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(_.length()).sum
+        }
+        Seq(("clustered", bytes(s"$out/clustered")),
+          ("shuffled", bytes(s"$out/shuffled")))
+          .toDF("layout", "total_bytes")
+          .withColumn("n_docs", lit(docs.count()))
+          .orderBy($"layout")
+      },
+      None)
+  )
+}

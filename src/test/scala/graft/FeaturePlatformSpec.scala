@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the ML-platform loop (q224–q226) beyond the value
+  * oracle: leakage-freedom by construction, audit-partition identity,
+  * and the storage-layout win the rows-only gate can't grade.
+  */
+class FeaturePlatformSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q225 point-in-time join: zero leaks, audit partitions the label " +
+    "set, matched mass is positive") {
+    val r = SparkEntry.queries("q225_point_in_time_features")(spark, sfDir)
+      .head()
+    val (labels, cold, matched) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getLong(4) == 0, "a same-day-or-later feature row is target " +
+      s"leakage — must be structurally impossible: ${r.getLong(4)}")
+    assert(cold + matched == labels,
+      s"cold-start + matched must partition the labels: $cold + $matched " +
+        s"!= $labels")
+    assert(matched > 0 && r.getLong(3) > 0,
+      "the fixture has purchase history before signups — matches expected")
+  }
+
+  test("q224 recs eval: temporal split respected and rates bounded") {
+    val recs = SparkEntry.queries("q224_cooccurrence_recs_eval")(spark, sfDir)
+      .collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      assert(r.getLong(2) > 0, "a rec must have train support")
+      assert(r.getLong(4) <= r.getLong(3), "hits bounded by eval baskets")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+    }
+    // eval-basket count per type must equal an independent holdout count
+    val cut = lit("2024-01-16").cast("date")
+    val expectEval = Tables.t(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct().filter(col("d") >= cut)
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    recs.foreach { r =>
+      assert(r.getLong(3) == expectEval(r.getString(0)),
+        s"${r.getString(0)}: eval baskets ${r.getLong(3)} != holdout " +
+          s"${expectEval(r.getString(0))}")
+    }
+  }
+
+  test("q226 layout: clustering by MinHash prefix never compresses worse " +
+    "than the reproducible shuffle, same corpus both sides") {
+    val rows = SparkEntry.queries("q226_compression_layout")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (cb, cn) = rows("clustered")
+    val (sb, sn) = rows("shuffled")
+    assert(cn == sn, "both layouts must hold the whole corpus")
+    assert(cb <= sb,
+      s"similar-docs-adjacent must not lose: clustered $cb vs shuffled $sb")
+    info(f"clustered saves ${(sb - cb) * 10000 / sb} bp of ${sb} bytes")
+  }
+}

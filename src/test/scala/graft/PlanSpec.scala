@@ -662,4 +662,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       "coding 100 TB of vectors must stay a map pass: " + plan.take(600))
   }
+
+  test("q224: the rec table broadcasts onto the eval scan; no cartesian " +
+    "anywhere in the train/eval loop") {
+    val plan = planOf("q224_cooccurrence_recs_eval")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=|types|-row rec table must broadcast: " + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "basket self-join and eval hit-join are equi-joins: " +
+        plan.take(600))
+  }
+
+  test("q225: the snapshot fan-out explodes DAILY AGGREGATES, never raw " +
+    "purchases; latest-before pick is a label-keyed window") {
+    val plan = planOf("q225_point_in_time_features")
+    // sink-first: the daily (user, day) aggregate sits upstream of
+    // (later in the string than) the x7 Generate
+    val gen = plan.indexOf("Generate")
+    assert(gen >= 0, "expected the x7 snapshot explode")
+    assert(plan.indexOf("HashAggregate", gen) > gen,
+      "fanning out raw purchase events multiplies the row-scale x7 — " +
+        "the explode must consume the daily aggregate: " + plan.take(800))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q225_point_in_time_features")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(
+      _.partitionSpec.exists(_.toString.contains("event_id"))),
+      s"latest-before must rank per label, never globally: " +
+        s"${wins.map(_.partitionSpec)}")
+  }
 }
