@@ -178,6 +178,121 @@ object FeaturePlatform extends QueryModule {
         FROM j WHERE rk = 1""")),
 
     Q(
+      "q228_conversion_calibration",
+      "CONVERSION CALIBRATION TABLE (the reliability diagram's exact " +
+        "backbone): click events banded by value (cents div 10000 — " +
+        "ten equal-width bands over the fixture's [0, 1000) value " +
+        "domain; quantile banding is the same table composed over " +
+        "q168's CDF thresholds), each click scored CONVERTED if the " +
+        "same user purchases within the FORWARD 24 h window — the " +
+        "mirror of q210's backward attribution — and per band: click " +
+        "count, conversions, rate in cross-multiplied basis points. " +
+        "How a propensity model's score bands get their ground truth. " +
+        "The forward-exists probe is a user-keyed LEFT SEMI join with " +
+        "the 24 h residual band (never a window over raw purchases, " +
+        "never a cross product); the band rollup collapses the 10-row " +
+        "domain map-side.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"us", $"cents")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"us".as("pus"))
+        val converted = clicks.join(purch,
+          clicks("user_id") === purch("user_id") &&
+            $"pus" > $"us" && $"pus" - $"us" <= 86400000000L,
+          "left_semi")
+        val flagged = clicks
+          .join(converted.select($"event_id".as("cid")),
+            $"event_id" === $"cid", "left")
+          .select(expr("cents div 10000").as("band"),
+            when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
+        flagged.groupBy($"band")
+          .agg(count(lit(1)).as("n_clicks"), sum($"conv").as("n_converted"))
+          .withColumn("conv_bp", expr("(n_converted * 10000) DIV n_clicks"))
+          .orderBy($"band")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        c AS (SELECT user_id, event_id, us, cents
+              FROM e WHERE event_type = 'click'),
+        conv AS (
+          SELECT DISTINCT c.event_id FROM c
+          JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+                  AND p.us > c.us AND p.us - c.us <= 86400000000),
+        f AS (
+          SELECT cents // 10000 AS band,
+                 CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS cv
+          FROM c LEFT JOIN conv ON c.event_id = conv.event_id)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(sum(cv) AS BIGINT) AS n_converted,
+               CAST((sum(cv) * 10000) // count(*) AS BIGINT) AS conv_bp
+        FROM f GROUP BY band ORDER BY band""")),
+
+    Q(
+      "q229_partition_overwrite",
+      "INCREMENTAL PARTITION MAINTENANCE via DYNAMIC partition " +
+        "overwrite — the warehouse pattern that makes late data cheap: " +
+        "day-partitioned daily aggregates are built once; when " +
+        "corrections arrive for ONE day (here 2024-01-10's rows " +
+        "restated at +1 cent each), the job rewrites ONLY that day's " +
+        "partition (partitionOverwriteMode=dynamic: mode-overwrite " +
+        "replaces exactly the partitions present in the incoming " +
+        "frame, not the table) and every other partition's files are " +
+        "untouched — FeaturePlatformSpec asserts file-level identity. " +
+        "The read-back of the maintained table must equal a full " +
+        "recompute with the correction applied, which is exactly what " +
+        "the oracle computes. At 100 TB this is the difference between " +
+        "rewriting 30 TB of history and rewriting one day.",
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempRoots.freshForDir("graft_partover", dir).toString
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(to_date($"ts").as("d"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        daily.write.partitionBy("d").mode("overwrite")
+          .parquet(s"$out/table")
+        val fixDay = lit("2024-01-10").cast("date")
+        val corrected = Tables.t(s, dir, "events")
+          .filter(to_date($"ts") === fixDay)
+          .groupBy(to_date($"ts").as("d"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100) as bigint) + 1")).as("cents"))
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try corrected.select($"event_type", $"n", $"cents", $"d")
+          .write.partitionBy("d").mode("overwrite").parquet(s"$out/table")
+        finally prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        s.read.parquet(s"$out/table")
+          .select($"d", $"event_type", $"n", $"cents")
+          .orderBy($"d", $"event_type")
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                 + CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cents
+        FROM events
+        GROUP BY 1, 2 ORDER BY d, event_type""")),
+
+    Q(
       "q226_compression_layout",
       "COMPRESSION-AWARE STORAGE LAYOUT — similar docs adjacent before " +
         "the write: the same corpus lands in parquet twice, once in " +

@@ -574,6 +574,69 @@ object Similarity extends QueryModule {
         ORDER BY la, lb, rnk""")),
 
     Q(
+      "q227_embedding_drift",
+      "EMBEDDING DISTRIBUTION DRIFT MONITOR — did the embedding space " +
+        "move between two corpus snapshots? The vector-space analogue " +
+        "of q136's scalar source drift: snapshots split by vec_id " +
+        "parity (stand-ins for last week's vs this week's index), " +
+        "per-label per-dimension INTEGER-MICROS centroids (q184's " +
+        "quantization: round(x*1e6) summed as longs, mean by " +
+        "truncating div — exact on both engines even for negative " +
+        "components since Spark div and DuckDB // both truncate toward " +
+        "zero), then the L1 shift between centroids summed over all 64 " +
+        "dims plus the single worst dimension. ONE pass: both " +
+        "snapshots' sums ride the same (label, dim) aggregate as " +
+        "conditional sums — never two scans, never a join; the " +
+        "(label x 64)-row domain then collapses map-side. At 100 TB " +
+        "the wire carries |labels| x 64 x four longs.",
+      (s, dir) => {
+        import s.implicits._
+        val byDim = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            posexplode($"embedding").as(Seq("pos", "x")))
+          .withColumn("m", round($"x".cast("double") * 1e6).cast("long"))
+          .groupBy($"label", $"pos")
+          .agg(
+            sum(when($"vec_id" % 2 === 0, $"m").otherwise(0L)).as("sa"),
+            sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("na"),
+            sum(when($"vec_id" % 2 === 1, $"m").otherwise(0L)).as("sb"),
+            sum(when($"vec_id" % 2 === 1, 1L).otherwise(0L)).as("nb"))
+          .withColumn("shift",
+            abs(expr("sa div na") - expr("sb div nb")))
+        byDim.groupBy($"label")
+          .agg(first($"na").as("n_a"), first($"nb").as("n_b"),
+            sum($"shift").as("l1_shift_micros"),
+            max($"shift").as("max_dim_shift_micros"))
+          .orderBy($"label")
+      },
+      Some("""
+        WITH p AS (SELECT unnest(range(64)) AS pos),
+        d AS (
+          SELECT label, vec_id, pos,
+                 CAST(floor(CAST(embedding[CAST(pos AS INTEGER) + 1]
+                   AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m
+          FROM embeddings, p),
+        c AS (
+          SELECT label, pos,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN m ELSE 0 END)
+                   AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN m ELSE 0 END)
+                   AS BIGINT) AS sb,
+                 CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+          FROM d GROUP BY 1, 2),
+        sh AS (
+          SELECT label, na, nb, abs(sa // na - sb // nb) AS shift
+          FROM c)
+        SELECT label, CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               CAST(sum(shift) AS BIGINT) AS l1_shift_micros,
+               CAST(max(shift) AS BIGINT) AS max_dim_shift_micros
+        FROM sh GROUP BY label ORDER BY label""")),
+
+    Q(
       "q222_pq_codes",
       "PRODUCT-QUANTIZATION CODES (spherical PQ — the compressed " +
         "vector-index representation that completes the ANN storage " +

@@ -47,6 +47,48 @@ class FeaturePlatformSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 dynamic overwrite touches ONLY the corrected day's partition") {
+    // run once so the maintained table exists, then fingerprint every
+    // partition file and replay the one-day maintenance pass directly
+    SparkEntry.queries("q229_partition_overwrite")(spark, sfDir).collect()
+    val root = graft.TempRoots.forDir("graft_partover", sfDir)
+      .resolve("table").toFile
+    def snap(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    import org.apache.spark.sql.functions._
+    val base = snap()
+    assert(base.keys.exists(_.contains("d=2024-01-10")),
+      "expected the corrected day's partition dir")
+    val oneDay = Tables.t(spark, sfDir, "events")
+      .filter(to_date(col("ts")) === lit("2024-01-10").cast("date"))
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint) + 1")).as("cents"))
+      .select(col("event_type"), col("n"), col("cents"), col("d"))
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try oneDay.write.partitionBy("d").mode("overwrite")
+      .parquet(root.getAbsolutePath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val maintained = snap()
+    val untouchedBefore = base.filterNot(_._1.contains("d=2024-01-10"))
+    val untouchedAfter = maintained.filterNot(_._1.contains("d=2024-01-10"))
+    assert(untouchedAfter == untouchedBefore,
+      "dynamic overwrite of one day must leave every other partition's " +
+        "files (paths AND mtimes) untouched")
+    assert(maintained.keys.exists(_.contains("d=2024-01-10")))
+  }
+
   test("q226 layout: clustering by MinHash prefix never compresses worse " +
     "than the reproducible shuffle, same corpus both sides") {
     val rows = SparkEntry.queries("q226_compression_layout")(spark, sfDir)

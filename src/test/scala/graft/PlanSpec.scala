@@ -691,4 +691,25 @@ class PlanSpec extends AnyFunSuite {
       s"latest-before must rank per label, never globally: " +
         s"${wins.map(_.partitionSpec)}")
   }
+
+  test("q227: both snapshots' centroids ride ONE (label, dim) aggregate " +
+    "— no join, no second scan") {
+    val plan = planOf("q227_embedding_drift")
+    assert(!plan.contains("Join"),
+      "snapshot comparison is conditional sums in one pass — a join " +
+        "means two scans of the embedding table: " + plan.take(600))
+    assert(plan.contains("partial_sum"),
+      "the (label, dim) sums must combine map-side: " + plan.take(600))
+  }
+
+  test("q228: the forward-conversion probe is a user-keyed semi/hash " +
+    "join, never a cartesian or a raw-purchase window") {
+    val plan = planOf("q228_conversion_calibration")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "click x purchase must stay user-keyed: " + plan.take(600))
+    assert(!plan.contains("Window"),
+      "exists-within-24h is a semi join, not a ranking window: " +
+        plan.take(400))
+  }
 }
