@@ -17,6 +17,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VecOps {
 
+  /** One Deflater per thread for [[graft.catalyst.DeflateLen]]: reset per
+    * row, never reallocated. Level 6, default strategy — deterministic
+    * for a given JDK zlib; the spec pins invariances (ordering,
+    * determinism), never golden byte counts, so a zlib upgrade cannot
+    * silently break callers. */
+  private val deflaterTL =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6))
+  def deflateLen(text: UTF8String): Long = {
+    val d = deflaterTL.get()
+    d.reset()
+    d.setInput(text.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** Sequential-order double dot product of two float arrays (sequential
     * so results are bit-identical to any other sequential evaluator). */
   def dot(a: ArrayData, b: ArrayData): Double = {
@@ -206,6 +225,9 @@ object VecOps {
   def top_centroids(c: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     ColumnBridge.column(TopCentroids(ColumnBridge.expression(c), centroids, nprobe))
 
+  def deflate_len(c: Column): Column =
+    ColumnBridge.column(DeflateLen(ColumnBridge.expression(c)))
+
   def shingle_hashes(c: Column, nGram: Int = 3): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), nGram))
 
@@ -243,6 +265,23 @@ case class ShingleHashes(child: Expression, nGram: Int) extends UnaryExpression 
     defineCodeGen(ctx, ev, c => s"graft.catalyst.VecOps.shingleHashes($c, $nGram)")
   override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** deflate_len(string) → long: DEFLATE(level 6) output size of the
+  * UTF-8 bytes, over a thread-local reused Deflater (reset per row,
+  * allocation-free in steady state). The compression-ratio quality
+  * kernel (q214) as a codegen'd expression instead of a Scala UDF —
+  * the codec object is the one thing Catalyst can't express, but the
+  * EXPRESSION wrapper around it can still live inside whole-stage
+  * codegen with no encoder round-trip. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    VecOps.deflateLen(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.VecOps.deflateLen($c)")
+  override protected def withNewChildInternal(c: Expression): DeflateLen = copy(child = c)
+  override def prettyName: String = "deflate_len"
 }
 
 /** dot(array<float>, array<float>) → double, codegen'd primitive loop. */

@@ -842,11 +842,12 @@ object TextAnalysis extends QueryModule {
         "gibberish/boilerplate detector (highly repetitive spam " +
         "compresses far below prose; random noise barely compresses at " +
         "all), used as a pre-filter tier alongside q52's heuristics and " +
-        "q121's bigram repetition. The kernel is a scalar UDF over a " +
-        "THREAD-LOCAL reused java.util.zip.Deflater (reset per row, " +
-        "never reallocated — codec objects are the one thing " +
-        "Catalyst can't express, same justification as q123's bloom " +
-        "UDF and the Multimodal mapPartitions codecs). No SQL oracle " +
+        "q121's bigram repetition. The kernel is the native codegen'd " +
+        "DeflateLen expression over a THREAD-LOCAL reused " +
+        "java.util.zip.Deflater (reset per row, never reallocated — " +
+        "the codec CALL is the one thing Catalyst can't express, but " +
+        "the expression wrapper stays inside whole-stage codegen with " +
+        "no UDF encoder round-trip). No SQL oracle " +
         "(DuckDB has no deflate); ExperimentationSpec pins determinism, " +
         "the repetitive<prose<incompressible ordering, and exact " +
         "conservation of flag counts. Pure per-row projection + one " +
@@ -858,7 +859,7 @@ object TextAnalysis extends QueryModule {
         Tables.t(s, dir, "documents")
           .select($"doc_id",
             length($"text").cast("long").as("n_bytes"),
-            deflateLen($"text").as("deflate_bytes"))
+            graft.catalyst.VecOps.deflate_len($"text").as("deflate_bytes"))
           .withColumn("ratio_bp",
             expr("(10000 * deflate_bytes) div n_bytes"))
           .withColumn("too_compressible", $"ratio_bp" < 2500)
@@ -866,29 +867,6 @@ object TextAnalysis extends QueryModule {
       },
       None)
   )
-
-  /** DEFLATE(level 6, default strategy) output length of the UTF-8 bytes.
-    * One Deflater per thread, reset per row: allocation-free in steady
-    * state, deterministic for a given JDK zlib (the spec pins invariances,
-    * not golden byte counts, so a zlib upgrade can't silently break it).
-    */
-  private val deflaterTL =
-    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-      new java.util.zip.Deflater(6))
-  val deflateLen: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (text: String) =>
-      if (text == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val d = deflaterTL.get()
-        d.reset()
-        d.setInput(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        d.finish()
-        val buf = new Array[Byte](8192)
-        var total = 0L
-        while (!d.finished()) total += d.deflate(buf)
-        java.lang.Long.valueOf(total)
-      }
-    }
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

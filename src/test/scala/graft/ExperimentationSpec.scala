@@ -130,7 +130,7 @@ class ExperimentationSpec extends AnyFunSuite {
         ((i * 2654435761L >>> 7) % 94 + 33).toChar).mkString))
       .toDF("kind", "text")
       .select(col("kind"),
-        (graft.functions.TextAnalysis.deflateLen(col("text")) * 10000 /
+        (graft.catalyst.VecOps.deflate_len(col("text")) * 10000 /
           length(col("text"))).cast("long").as("bp"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(probe("rep") < probe("prose") && probe("prose") < probe("noise"),
