@@ -858,7 +858,10 @@ object TextAnalysis extends QueryModule {
         import s.implicits._
         Tables.t(s, dir, "documents")
           .select($"doc_id",
-            length($"text").cast("long").as("n_bytes"),
+            // octet_length, not length: the kernel compresses UTF-8
+            // BYTES, so a char count would inflate ratio_bp up to 2x
+            // on multibyte-language docs
+            octet_length($"text").cast("long").as("n_bytes"),
             graft.catalyst.VecOps.deflate_len($"text").as("deflate_bytes"))
           .withColumn("ratio_bp",
             expr("(10000 * deflate_bytes) div n_bytes"))

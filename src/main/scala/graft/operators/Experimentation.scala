@@ -121,7 +121,12 @@ object Experimentation extends QueryModule {
           .select(
             $"source", $"lang", $"obs",
             expr("(r * cl * 1000) div g").as("exp_milli"),
-            expr("(dv * dv div den) * 10000 + ((dv * dv % den) * 10000) div den")
+            // dv^2 in DECIMAL(38,0): int64 has only ~1.5x headroom at
+            // sf0.1 worst case (|dv| can approach 2.5e9 on a strongly
+            // dependent table), and Spark would wrap silently where
+            // DuckDB errors — same DECIMAL move outlier_cell made
+            expr("(cast(dv as decimal(38,0)) * dv div den) * 10000 + " +
+              "((cast(dv as decimal(38,0)) * dv % den) * 10000) div den")
               .as("contrib_bp"),
             expr("cast(dv as decimal(38,0)) * dv * 1000000 > 3841459 * cast(den as decimal(38,0))")
               .as("outlier_cell"))
@@ -142,7 +147,9 @@ object Experimentation extends QueryModule {
           FROM m)
         SELECT source, lang, CAST(obs AS BIGINT) AS obs,
                CAST((r * cl * 1000) // g AS BIGINT) AS exp_milli,
-               CAST((dv * dv // den) * 10000 + ((dv * dv % den) * 10000) // den AS BIGINT) AS contrib_bp,
+               CAST((CAST(dv AS HUGEINT) * dv // den) * 10000
+                    + ((CAST(dv AS HUGEINT) * dv % den) * 10000) // den
+                 AS BIGINT) AS contrib_bp,
                (dv * dv * 1000000 > 3841459 * den) AS outlier_cell
         FROM d ORDER BY source, lang""")),
 
@@ -279,7 +286,14 @@ object Experimentation extends QueryModule {
               .as("ch"))
         val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
         val j = p.join(c, Seq("user_id"))
-          .filter($"cus" <= $"pus" && $"pus" - $"cus" <= 86400000000L)
+          // same-µs ties break by event_id exactly as q210's
+          // (ts, event_id)-ordered window does — a click that sorts
+          // AFTER the purchase in that sequence is not a touch, so the
+          // two queries' organic sets agree at timestamp ties
+          // (ExperimentationSpec asserts it)
+          .filter(($"cus" < $"pus" ||
+            ($"cus" === $"pus" && $"cid" < $"pid")) &&
+            $"pus" - $"cus" <= 86400000000L)
           // one select so k and rn share one pid-keyed window operator
           .select($"pid", $"cents", $"ch",
             count(lit(1)).over(wOrd.rowsBetween(
@@ -311,7 +325,9 @@ object Experimentation extends QueryModule {
                  count(*) OVER (PARTITION BY p.pid) AS k,
                  row_number() OVER (PARTITION BY p.pid ORDER BY c.cus DESC, c.cid DESC) AS rn
           FROM p JOIN c ON p.user_id = c.user_id
-                       AND c.cus <= p.pus AND p.pus - c.cus <= 86400000000),
+                       AND (c.cus < p.pus
+                            OR (c.cus = p.pus AND c.cid < p.pid))
+                       AND p.pus - c.cus <= 86400000000),
         touched AS (
           SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
                  CASE WHEN rn = 1 THEN cents - (k - 1) * (cents // k)

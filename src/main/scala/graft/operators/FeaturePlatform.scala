@@ -35,9 +35,15 @@ object FeaturePlatform extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val cut = lit("2024-01-16").cast("date")
+        // materialized ONCE: the deduped basket frame feeds FOUR
+        // consumers (both sides of the train self-join, both sides of
+        // the eval hit-join) — unchecked, each re-scans and re-dedups
+        // the raw events table (q193/q197's measured recompute
+        // argument)
         val ud = Tables.t(s, dir, "events")
           .select($"user_id", to_date($"ts").as("d"), $"event_type")
           .distinct()
+          .localCheckpoint(true)
         val train = ud.filter($"d" < cut)
         val pairs = train.as("a")
           .join(train.as("b"), Seq("user_id", "d"))

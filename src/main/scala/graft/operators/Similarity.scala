@@ -594,7 +594,11 @@ object Similarity extends QueryModule {
         val byDim = Tables.t(s, dir, "embeddings")
           .select($"vec_id", $"label",
             posexplode($"embedding").as(Seq("pos", "x")))
-          .withColumn("m", round($"x".cast("double") * 1e6).cast("long"))
+          // floor(x*1e6 + 0.5) on BOTH engines (q184/q195's recipe):
+          // Spark round() is HALF_UP away from zero, which diverges
+          // from the oracle's floor(+0.5) on negative exact halves
+          .withColumn("m",
+            floor($"x".cast("double") * 1e6 + 0.5).cast("long"))
           .groupBy($"label", $"pos")
           .agg(
             sum(when($"vec_id" % 2 === 0, $"m").otherwise(0L)).as("sa"),
