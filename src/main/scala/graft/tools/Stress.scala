@@ -318,6 +318,33 @@ object Stress {
     time(s"time to convert ${6 * mult}M events") {
       SparkEntry.queries("q219_time_to_convert")(s, out).count()
     }
+    // Data contract (q220): six constraints in ONE aggregate pass —
+    // the wall should track the scan, not the constraint count.
+    time(s"data contract ${6 * mult}M events") {
+      SparkEntry.queries("q220_data_contract")(s, out).count()
+    }
+    // Recs train/eval (q224): one basket distinct (localCheckpointed
+    // for its four join consumers), |types|^2-bounded pair domain,
+    // broadcast rec table.
+    time(s"recs train/eval ${6 * mult}M events") {
+      SparkEntry.queries("q224_cooccurrence_recs_eval")(s, out).count()
+    }
+    // Point-in-time features (q225): daily aggregate -> x7 snapshot
+    // fan-out -> banded user-keyed equi-join; the fan-out carries
+    // (user, day) aggregates, never raw purchases.
+    time(s"point-in-time features ${6 * mult}M events") {
+      SparkEntry.queries("q225_point_in_time_features")(s, out).count()
+    }
+    // Embedding drift (q227): one (label, dim) conditional-sum pass
+    // over 200k x 64 components; the wire carries labels x 64 rows.
+    time("embedding drift 200k embeddings") {
+      SparkEntry.queries("q227_embedding_drift")(s, out).count()
+    }
+    // Calibration (q228): user-keyed click x purchase semi join with
+    // the 24 h residual band, then a 10-row band rollup.
+    time(s"conversion calibration ${6 * mult}M events") {
+      SparkEntry.queries("q228_conversion_calibration")(s, out).count()
+    }
     // Weighted sampling (q200): the explode is O(total corpus tokens)
     // (~3M replicas here), the min collapses map-side, the bottom-25 is
     // a TakeOrdered — the wire carries one key per doc.

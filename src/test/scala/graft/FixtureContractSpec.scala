@@ -112,4 +112,42 @@ class FixtureContractSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("unsupported type"))
   }
+
+  test("documents/embeddings contract: the shapes hard-coded across the " +
+    "corpus hold in every sf dir") {
+    // The events drift burned round 7; these are the OTHER regen-able
+    // assumptions the corpus bakes in. Each line that fails here would
+    // otherwise fail as dozens of opaque query errors (or, worse, as
+    // silently-wrong PQ/centroid math on a dim change):
+    sfDirs.foreach { dir =>
+      val docs = Tables.t(spark, dir, "documents")
+      assert(docs.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType, s"$dir: doc_id type")
+      val d = docs.agg(
+        count(lit(1)).as("n"),
+        countDistinct($"doc_id").as("nd"),
+        sum($"text".isNull.cast("long")).as("null_text"),
+        max(length($"text") =!= octet_length($"text") ||
+          $"n_chars" =!= length($"text")).as("badlen")).head()
+      assert(d.getLong(0) == d.getLong(1), s"$dir: doc_id must be unique")
+      assert(d.getLong(2) == 0, s"$dir: null text")
+      // n_chars == length(text) and pure-ASCII are load-bearing: q84's
+      // byte-framing, q178's chunking, and every token-count oracle
+      // assume char==byte; a multibyte regen must fail HERE, not there
+      assert(!d.getBoolean(3),
+        s"$dir: text must stay pure-ASCII with n_chars == length(text)")
+      val emb = Tables.t(spark, dir, "embeddings")
+      val e = emb.agg(
+        min(size($"embedding")).as("dmin"),
+        max(size($"embedding")).as("dmax"),
+        countDistinct($"vec_id").as("nv"),
+        count(lit(1)).as("n")).head()
+      // q184/q195/q222/q227 hard-code 64 dims (PQ subspaces, centroid
+      // tables, the drift oracle's range(64)); a dim regen must be loud
+      assert(e.getInt(0) == 64 && e.getInt(1) == 64,
+        s"$dir: embedding dim must be exactly 64, got " +
+          s"[${e.getInt(0)}, ${e.getInt(1)}]")
+      assert(e.getLong(2) == e.getLong(3), s"$dir: vec_id must be unique")
+    }
+  }
 }
