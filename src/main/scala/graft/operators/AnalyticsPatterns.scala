@@ -574,6 +574,78 @@ object AnalyticsPatterns extends QueryModule {
         ORDER BY status""")),
 
     Q(
+      "q231_capped_sessions",
+      "GAP + MAX-DURATION sessionization (split on a 2 h inactivity " +
+        "gap OR when a session would exceed 4 h start-to-event — the " +
+        "C4/analytics guard against the never-idle bot whose q143 " +
+        "session spans the whole corpus): the duration cap makes this " +
+        "GENUINELY SEQUENTIAL — each split decision depends on the " +
+        "running session START, which itself depends on every earlier " +
+        "decision, so no lag/running-sum window form exists (q143's " +
+        "gaps-and-islands only works because its predicate is " +
+        "pairwise). Engine: the one legitimate " +
+        "KeyValueGroupedDataset.flatMapGroups use — per-user sorted " +
+        "replay in a single linear pass; per-user history must fit a " +
+        "task (fixture max ~10k events; an unbounded-history corpus " +
+        "routes to the streaming form q182, whose ListState pays the " +
+        "same bound). Oracle: a WITH RECURSIVE step-per-event replay " +
+        "of the identical recurrence — iteration k resolves every " +
+        "user's k-th event at once. The user_id shuffle is the only " +
+        "row-scale exchange.",
+      (s, dir) => {
+        import s.implicits._
+        val GAP = 7200000000L
+        val CAP = 14400000000L
+        Tables.t(s, dir, "events")
+          .select($"user_id",
+            unix_micros($"ts".cast("timestamp")).as("us"), $"event_id")
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (uid, it) =>
+            val arr = it.toArray.sortBy(e => (e._2, e._3))
+            val out = scala.collection.mutable
+              .ArrayBuffer[(Long, Int, Long, Long, Long)]()
+            var sessNo = 0
+            var start = 0L; var prev = 0L; var n = 0L
+            arr.foreach { case (_, us, _) =>
+              if (n == 0L || us - prev > GAP || us - start > CAP) {
+                if (n > 0L) out += ((uid, sessNo, start, prev, n))
+                sessNo += 1; start = us; n = 0L
+              }
+              prev = us; n += 1L
+            }
+            if (n > 0L) out += ((uid, sessNo, start, prev, n))
+            out.iterator
+          }
+          .toDF("user_id", "sess_no", "start_us", "end_us", "n_events")
+          .orderBy($"user_id", $"sess_no")
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        r AS (
+          SELECT user_id, rn, us, 1 AS sess_no, us AS sess_start
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.rn, e.us,
+                 CASE WHEN e.us - r.us > 7200000000
+                        OR e.us - r.sess_start > 14400000000
+                      THEN r.sess_no + 1 ELSE r.sess_no END,
+                 CASE WHEN e.us - r.us > 7200000000
+                        OR e.us - r.sess_start > 14400000000
+                      THEN e.us ELSE r.sess_start END
+          FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        SELECT user_id, CAST(sess_no AS INT) AS sess_no,
+               CAST(sess_start AS BIGINT) AS start_us,
+               CAST(max(us) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, sess_no, sess_start
+        ORDER BY user_id, sess_no""")),
+
+    Q(
       "q143_sessionize_batch",
       "BATCH SESSIONIZATION (30-min inactivity gap) — the batch " +
         "complement of q72's streaming session window, for backfills and " +

@@ -378,6 +378,63 @@ object StreamingOps extends QueryModule {
         ORDER BY user_id, session_start""")),
 
     Q(
+      "q230_dynamic_gap_sessions",
+      "DYNAMIC-GAP session windows — session_window's per-ROW gap " +
+        "column (q72's fixed 30 min generalized): a purchase extends " +
+        "its session by 60 min, everything else by 30 min, the " +
+        "'engaged users linger' rule every product-analytics team " +
+        "eventually writes. Each event spans [ts, ts + its own gap); " +
+        "overlapping spans merge, so the oracle is q144's " +
+        "variable-interval gaps-and-islands: new session exactly when " +
+        "ts >= running max of preceding span ends (half-open — an " +
+        "event STARTING at the previous end does not merge), session " +
+        "end = max span end. Same one-user_id-shuffle shape as q72; " +
+        "the gap expression rides the scan.",
+      (s, dir) => {
+        import s.implicits._
+        val gap = when($"event_type" === "purchase", lit("60 minutes"))
+          .otherwise(lit("30 minutes"))
+        Tables.t(s, dir, "events")
+          .groupBy(session_window($"ts", gap), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("session_value"))
+          .select(
+            $"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CAST(ts AS TIMESTAMP)
+                   + CASE WHEN event_type = 'purchase'
+                          THEN INTERVAL '60 minutes'
+                          ELSE INTERVAL '30 minutes' END AS ev_end
+          FROM events),
+        m AS (
+          SELECT *, max(ev_end) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+          FROM e),
+        f AS (
+          SELECT *, CASE WHEN prev_max IS NULL OR ts >= prev_max
+                         THEN 1 ELSE 0 END AS new_s
+          FROM m),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+          FROM f)
+        SELECT user_id, min(ts) AS session_start,
+               max(ev_end) AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
+    Q(
       "q73_stream_dedup",
       "Watermarked streaming dedup: dropDuplicates on (user_id, " +
         "event_type) with a 1h watermark, re-aggregated to distinct-user " +

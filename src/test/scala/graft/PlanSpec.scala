@@ -692,6 +692,19 @@ class PlanSpec extends AnyFunSuite {
         s"${wins.map(_.partitionSpec)}")
   }
 
+  test("q230/q231: each sessionizer costs ONE user-keyed hash exchange") {
+    Seq("q230_dynamic_gap_sessions", "q231_capped_sessions").foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$n: expected one user_id exchange, got $exchanges:\n" +
+          plan.take(800))
+    }
+  }
+
   test("q227: both snapshots' centroids ride ONE (label, dim) aggregate " +
     "— no join, no second scan") {
     val plan = planOf("q227_embedding_drift")

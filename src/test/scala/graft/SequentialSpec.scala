@@ -50,6 +50,55 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("q231 capped sessions: every session respects the 4 h cap, " +
+    "splits are justified, counts conserve") {
+    val GAP = 7200000000L; val CAP = 14400000000L
+    val rows = SparkEntry.queries("q231_capped_sessions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.foreach { case (u, _, s0, e0, _) =>
+      assert(e0 - s0 <= CAP, s"user $u: session spans ${e0 - s0} > cap")
+    }
+    rows.groupBy(_._1).foreach { case (u, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, s1, e1, _), (_, _, s2, _, _)) =>
+          // a split is caused by the gap OR by the cap — never spurious
+          assert(s2 - e1 > GAP || s2 - s1 > CAP,
+            s"user $u: unjustified split (gap ${s2 - e1}, span ${s2 - s1})")
+        case _ =>
+      }
+    }
+    val totals = Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUser = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    assert(perUser.toMap == totals,
+      "session event counts must conserve per user")
+    // the cap branch, proven to FIRE on a planted fixture (sf0.001's
+    // sparse traffic never triggers it there — sf0.01/0.1, where it
+    // splits sessions, are covered bit-exactly by the driver oracle):
+    // 10 events 1 h apart → the 2 h gap never splits, the 4 h cap must
+    // split into exactly [0..4h] and [5h..9h]
+    import spark.implicits._
+    val dir = graft.TempRoots.freshForDir("graft_capfire", "synth").toString
+    (0 until 10).map { h =>
+      (h.toLong, java.time.LocalDateTime.of(2024, 1, 5, h, 0, 0),
+        7L, "view", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = SparkEntry.queries("q231_capped_sessions")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    val h = 3600000000L
+    val t0 = java.time.LocalDateTime.of(2024, 1, 5, 0, 0, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(planted.toSeq ==
+      Seq((t0, t0 + 4 * h, 5L), (t0 + 5 * h, t0 + 9 * h, 5L)),
+      s"cap must split the 10-hour run at the 4 h boundary: " +
+        planted.mkString(", "))
+  }
+
   test("q216 bounds the carry at K=8 and matches per-user event counts") {
     val rows = SparkEntry.queries("q216_user_sequences")(spark, sfDir)
       .collect()
