@@ -22,17 +22,20 @@ object VecOps {
     * for a given JDK zlib; the spec pins invariances (ordering,
     * determinism), never golden byte counts, so a zlib upgrade cannot
     * silently break callers. */
+  private final class DeflateScratch {
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](8192)
+  }
   private val deflaterTL =
-    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-      new java.util.zip.Deflater(6))
+    ThreadLocal.withInitial[DeflateScratch](() => new DeflateScratch)
   def deflateLen(text: UTF8String): Long = {
-    val d = deflaterTL.get()
+    val s = deflaterTL.get()
+    val d = s.deflater
     d.reset()
     d.setInput(text.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
+    while (!d.finished()) total += d.deflate(s.buf)
     total
   }
 

@@ -275,15 +275,10 @@ object FeaturePlatform extends QueryModule {
           .groupBy(to_date($"ts").as("d"), $"event_type")
           .agg(count(lit(1)).as("n"),
             sum(expr("cast(round(value * 100) as bigint) + 1")).as("cents"))
-        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try corrected.select($"event_type", $"n", $"cents", $"d")
-          .write.partitionBy("d").mode("overwrite").parquet(s"$out/table")
-        finally prev match {
-          case Some(v) =>
-            s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None =>
-            s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        graft.Confs.withConf(s,
+          "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+          corrected.select($"event_type", $"n", $"cents", $"d")
+            .write.partitionBy("d").mode("overwrite").parquet(s"$out/table")
         }
         s.read.parquet(s"$out/table")
           .select($"d", $"event_type", $"n", $"cents")
@@ -335,10 +330,15 @@ object FeaturePlatform extends QueryModule {
           dir0.listFiles().filter(_.getName.endsWith(".parquet"))
             .map(_.length()).sum
         }
-        Seq(("clustered", bytes(s"$out/clustered")),
-          ("shuffled", bytes(s"$out/shuffled")))
-          .toDF("layout", "total_bytes")
-          .withColumn("n_docs", lit(docs.count()))
+        // n_docs READ BACK per layout (not the source count — the
+        // row must witness what each write actually delivered, so a
+        // dropped/duplicated row makes the spec's equality fail)
+        Seq(
+          ("clustered", bytes(s"$out/clustered"),
+            s.read.parquet(s"$out/clustered").count()),
+          ("shuffled", bytes(s"$out/shuffled"),
+            s.read.parquet(s"$out/shuffled").count()))
+          .toDF("layout", "total_bytes", "n_docs")
           .orderBy($"layout")
       },
       None)

@@ -69,16 +69,10 @@ class FeaturePlatformSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint) + 1")).as("cents"))
       .select(col("event_type"), col("n"), col("cents"), col("d"))
-    val prev = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try oneDay.write.partitionBy("d").mode("overwrite")
-      .parquet(root.getAbsolutePath)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    graft.Confs.withConf(spark,
+      "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      oneDay.write.partitionBy("d").mode("overwrite")
+        .parquet(root.getAbsolutePath)
     }
     val maintained = snap()
     val untouchedBefore = base.filterNot(_._1.contains("d=2024-01-10"))

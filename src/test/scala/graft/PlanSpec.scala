@@ -13,7 +13,11 @@ class PlanSpec extends AnyFunSuite {
   private def planOf(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes + codegen spans show
-    df.queryExecution.executedPlan.toString
+    // FINAL plan only: AdaptiveSparkPlan.toString appends the pre-AQE
+    // "== Initial Plan ==" section, whose repeated operator text lets
+    // position-based gates (indexOf-after-Generate etc.) pass against
+    // the stale copy — the q199/q204 gate-doesn't-detect class
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   test("q63/q68: candidate distinct dedups only id pairs, never arrays") {
