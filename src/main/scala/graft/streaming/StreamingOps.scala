@@ -378,6 +378,75 @@ object StreamingOps extends QueryModule {
         ORDER BY user_id, session_start""")),
 
     Q(
+      "q232_stream_session_window",
+      "STREAMING session windows — session_window under a real " +
+        "watermark in append mode (q72 verifies the gap semantics in " +
+        "batch; this runs the STATEFUL form: open sessions live in the " +
+        "state store, merge as events arrive, and emit only when the " +
+        "watermark proves them closed — the mechanism q182 rebuilds " +
+        "manually with timers, here as the built-in operator). " +
+        "Determinism: whether a TAIL session has emitted is an engine " +
+        "race (q182's rule), so both engines compare only sessions " +
+        "ending below max(ts) - 90 min (watermark delay + gap + " +
+        "margin); below that line emission is watermark-forced and the " +
+        "result is bit-exact vs the batch gaps-and-islands oracle. " +
+        "State is bounded by OPEN sessions per user; 8 shuffle " +
+        "partitions size the stores to the fixture key space (q70 " +
+        "scaladoc).",
+      (s, dir) => {
+        import s.implicits._
+        val sess = eventsStream(s, dir)
+          .withWatermark("ts", "30 minutes")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum($"value"), 2).as("session_value"))
+          .select($"user_id",
+            $"session_window.start".as("session_start"),
+            $"session_window.end".as("session_end"),
+            $"n_events", $"session_value")
+        val out = runToMemory(s, sess, "graft_mem_stream_sessions",
+          "append", shufflePartitions = Some(8))
+        val hz = Tables.t(s, dir, "events").groupBy()
+          .agg((max($"ts") - expr("INTERVAL 90 MINUTES"))
+            .cast("timestamp").as("h"))
+          .head().getTimestamp(0)
+        out.filter($"session_end" < lit(hz))
+          .select($"user_id",
+            $"session_start".cast("timestamp_ntz").as("session_start"),
+            $"session_end".cast("timestamp_ntz").as("session_end"),
+            $"n_events", $"session_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                 CASE WHEN CAST(ts AS TIMESTAMP)
+                        - lag(CAST(ts AS TIMESTAMP)) OVER (
+                            PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP))
+                        > INTERVAL '30 minutes'
+                      OR lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM e),
+        hz AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 90 MINUTE AS h
+               FROM events)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM sessions, hz
+        GROUP BY user_id, session_id, hz.h
+        HAVING max(ts) + INTERVAL '30 minutes' < hz.h
+        ORDER BY user_id, session_start""")),
+
+    Q(
       "q230_dynamic_gap_sessions",
       "DYNAMIC-GAP session windows — session_window's per-ROW gap " +
         "column (q72's fixed 30 min generalized): a purchase extends " +
