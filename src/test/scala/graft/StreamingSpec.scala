@@ -323,4 +323,65 @@ class StreamingSpec extends AnyFunSuite {
         s"expected dedup + aggregate state operators (got ${seen.get()})")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("stateful session-window query resumes EXACTLY-ONCE from its " +
+    "checkpoint across a stop/restart") {
+    // The fault-tolerance story a long-running deployment leans on:
+    // kill the query mid-stream, restart against the SAME checkpoint,
+    // and the state store must (a) not re-emit sessions already
+    // delivered and (b) deliver everything else — the sink after the
+    // restart holds exactly the batch answer with no duplicates. The
+    // sink is the fault-tolerant FILE sink (memory sink refuses
+    // recovery by design); its _spark_metadata commit log is the
+    // exactly-once mechanism under test.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.TempRoots.freshForDir("graft_restart", "synth")
+    val src = root.resolve("src"); val ckpt = root.resolve("ckpt")
+    val sink = root.resolve("sink")
+    java.nio.file.Files.createDirectories(src)
+    def writeHours(part: String, hours: Seq[Int]): Unit =
+      hours.flatMap(h => Seq(h * 60, h * 60 + 10)) // 2 events, 10 min apart
+        .map(m => (7L, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 3, 1, 0, 0, 0).plusMinutes(m))))
+        .toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Array[(java.sql.Timestamp, Long)] = {
+      val q = spark.readStream.schema(sch).parquet(src.toString)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"session_window.start".as("s"), $"n")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sink.toString).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+    }
+    // sessions at hours 0/2/4/6; watermark after part 1 = 6:10-0:30 →
+    // sessions 0/2/4 proven closed and emitted, 6 still open in state
+    writeHours("p1", Seq(0, 2, 4, 6))
+    val t1 = runOnce()
+    assert(t1.length == 3, s"pre-stop emissions: ${t1.mkString(", ")}")
+    // restart from the checkpoint; new sessions 8/10/12 plus a
+    // watermark flusher at hour 48 that closes everything before it
+    writeHours("p2", Seq(8, 10, 12, 48))
+    val all = runOnce()
+    val expected = Seq(0, 2, 4, 6, 8, 10, 12).map { h =>
+      (java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1, h, 0, 0)), 2L)
+    }.toSet
+    assert(all.length == all.toSet.size,
+      s"restart duplicated emissions: ${all.sortBy(_._1.getTime)
+        .mkString(", ")}")
+    assert(all.toSet == expected,
+      s"sink after restart must equal the batch answer exactly once: " +
+        s"got ${all.sortBy(_._1.getTime).mkString(", ")}")
+  }
 }
