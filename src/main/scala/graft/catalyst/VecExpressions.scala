@@ -21,7 +21,11 @@ object VecOps {
     * row, never reallocated. Level 6, default strategy — deterministic
     * for a given JDK zlib; the spec pins invariances (ordering,
     * determinism), never golden byte counts, so a zlib upgrade cannot
-    * silently break callers. */
+    * silently break callers. The native zlib state is deliberately never
+    * end()'d: it lives for the owning thread's lifetime, bounded at
+    * ~256 KiB x the executor task-thread count (32 threads here → <8 MiB
+    * per JVM, fixed) — releasing per-task would pay a native
+    * alloc/free per partition for memory the pool immediately re-acquires. */
   private final class DeflateScratch {
     val deflater = new java.util.zip.Deflater(6)
     val buf = new Array[Byte](8192)

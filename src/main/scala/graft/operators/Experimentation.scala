@@ -30,6 +30,13 @@ object Experimentation extends QueryModule {
         "significance flip with summation order. The 95% call compares " +
         "z2_num*1e6 > 3841459*z2_den (chi^2_{1,0.05} = 3.841459 " +
         "micro-scaled) — pure integer compare, no sqrt, no rounding. " +
+        "The num/den pair is EMITTED as canonical digit strings: the " +
+        "round-8 driver hash proved decimal-representation-sensitive " +
+        "(Spark FIXED_LEN_BYTE_ARRAY vs DuckDB int128 DECIMAL hashed " +
+        "differently with bit-identical values — round 6's HUGEINT " +
+        "lesson one level deeper), and a scale-0 decimal's digit string " +
+        "is exact on both engines. tools/check.py now lints DECIMAL out " +
+        "of every output schema. " +
         "Plan: one (arm, user, day) aggregate with map-side partials " +
         "(the only row-scale shuffle), then a single-row reduction — " +
         "the same two-level shape at 100 TB; the decimal algebra rides " +
@@ -37,9 +44,9 @@ object Experimentation extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val units = Tables.t(s, dir, "events")
-          // user_id is non-negative in the fixtures (asserted by
-          // FixtureContractSpec's epoch bounds being satisfiable at all);
-          // % therefore matches DuckDB's % on both arms
+          // user_id is non-negative in the fixtures (FixtureContractSpec
+          // asserts min(user_id) >= 0 in every sf dir); % therefore
+          // matches DuckDB's % on both arms
           .groupBy(($"user_id" % 2).as("arm"), $"user_id",
             date_trunc("DAY", $"ts").as("day"))
           .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
@@ -60,8 +67,9 @@ object Experimentation extends QueryModule {
             $"n_a", $"c_a", $"n_b", $"c_b",
             expr("(10000 * c_a) div n_a").as("rate_a_bp"),
             expr("(10000 * c_b) div n_b").as("rate_b_bp"),
-            expr("cast(nn * d * d as decimal(38,0))").as("z2_num"),
-            $"den".as("z2_den"),
+            expr("cast(cast(nn * d * d as decimal(38,0)) as string)")
+              .as("z2_num"),
+            $"den".cast("string").as("z2_den"),
             expr("nn * d * d * 1000000 > 3841459 * den").as("significant_95"))
       },
       Some("""
@@ -84,8 +92,8 @@ object Experimentation extends QueryModule {
         SELECT n_a, c_a, n_b, c_b,
                CAST((10000 * c_a) // n_a AS BIGINT) AS rate_a_bp,
                CAST((10000 * c_b) // n_b AS BIGINT) AS rate_b_bp,
-               CAST(nn * d * d AS DECIMAL(38,0)) AS z2_num,
-               CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc) AS DECIMAL(38,0)) AS z2_den,
+               CAST(nn * d * d AS VARCHAR) AS z2_num,
+               CAST(CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc) AS VARCHAR) AS z2_den,
                (nn * d * d * 1000000 > 3841459 * CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc)) AS significant_95
         FROM b""")),
 
@@ -352,7 +360,11 @@ object Experimentation extends QueryModule {
         "RATIONAL in integer sums, so they're carried as DECIMAL(38,0) " +
         "num/den pairs — cleared of every division, immune to float " +
         "accumulation order (adj_diff_num crosses 1e15 at sf0.1 and " +
-        "1e23 at web scale; decimal, never double). Fixed-point views " +
+        "1e23 at web scale; decimal, never double) — and EMITTED as " +
+        "canonical digit strings, q208's representation-stable " +
+        "rendering (the driver hash distinguishes Spark's parquet " +
+        "decimal encoding from DuckDB's int128 one; a scale-0 digit " +
+        "string is encoding-free and loses nothing). Fixed-point views " +
         "(raw_diff_e4, adj_diff_e4 = value*1e4; rho2_bp = the fraction " +
         "of outcome variance CUPED removes) come from DECIMAL `div` — " +
         "Spark's IntegralDivide and DuckDB's // both truncate toward " +
@@ -399,10 +411,12 @@ object Experimentation extends QueryModule {
             expr("(10000 * dya) div (cast(na as decimal(38,0)) * nb)")
               .as("raw_diff_e4"),
             expr("(10000 * adj_num) div adj_den").as("adj_diff_e4"),
-            expr("cast(tn as decimal(38,0))").as("theta_num"),
-            expr("cast(td as decimal(38,0))").as("theta_den"),
-            expr("cast(adj_num as decimal(38,0))").as("adj_diff_num"),
-            expr("cast(adj_den as decimal(38,0))").as("adj_diff_den"),
+            expr("cast(cast(tn as decimal(38,0)) as string)").as("theta_num"),
+            expr("cast(cast(td as decimal(38,0)) as string)").as("theta_den"),
+            expr("cast(cast(adj_num as decimal(38,0)) as string)")
+              .as("adj_diff_num"),
+            expr("cast(cast(adj_den as decimal(38,0)) as string)")
+              .as("adj_diff_den"),
             expr("(10000 * tn * tn) div (td * vy)").as("rho2_bp"))
       },
       Some("""
@@ -431,10 +445,10 @@ object Experimentation extends QueryModule {
         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
                CAST((10000 * dya) // (na*nb) AS BIGINT) AS raw_diff_e4,
                CAST((10000 * (dya*td - tn*dxa)) // (na*nb*td) AS BIGINT) AS adj_diff_e4,
-               CAST(tn AS DECIMAL(38,0)) AS theta_num,
-               CAST(td AS DECIMAL(38,0)) AS theta_den,
-               CAST(dya*td - tn*dxa AS DECIMAL(38,0)) AS adj_diff_num,
-               CAST(na*nb*td AS DECIMAL(38,0)) AS adj_diff_den,
+               CAST(tn AS VARCHAR) AS theta_num,
+               CAST(td AS VARCHAR) AS theta_den,
+               CAST(dya*td - tn*dxa AS VARCHAR) AS adj_diff_num,
+               CAST(na*nb*td AS VARCHAR) AS adj_diff_den,
                CAST((10000 * tn * tn) // (td * vy) AS BIGINT) AS rho2_bp
         FROM t""")),
 

@@ -42,7 +42,9 @@ class ExperimentationSpec extends AnyFunSuite {
         r.getLong(2).toDouble, r.getLong(3).toDouble)
     val (p1, p2, p) = (ca / na, cb / nb, (ca + cb) / (na + nb))
     val z2 = math.pow(p1 - p2, 2) / (p * (1 - p) * (1 / na + 1 / nb))
-    val exact = BigDecimal(r.getDecimal(6)) / BigDecimal(r.getDecimal(7))
+    // num/den emit as canonical digit strings since the round-8
+    // decimal-representation hash lesson; parse them back exactly
+    val exact = BigDecimal(r.getString(6)) / BigDecimal(r.getString(7))
     assert((exact.toDouble - z2).abs < 1e-9 * math.max(z2, 1.0),
       s"rational z^2 ${exact.toDouble} vs float $z2")
     assert(r.getBoolean(8) == (z2 > 3.841459))
@@ -51,8 +53,8 @@ class ExperimentationSpec extends AnyFunSuite {
   test("q215 CUPED: rho2 bounded, adjusted e4 views consistent with the " +
     "rationals, and theta matches float OLS") {
     val r = SparkEntry.queries("q215_cuped_adjustment")(spark, sfDir).head()
-    val (tn, td) = (BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))
-    val (an, ad) = (BigDecimal(r.getDecimal(6)), BigDecimal(r.getDecimal(7)))
+    val (tn, td) = (BigDecimal(r.getString(4)), BigDecimal(r.getString(5)))
+    val (an, ad) = (BigDecimal(r.getString(6)), BigDecimal(r.getString(7)))
     val rho2bp = r.getLong(8)
     assert(rho2bp >= 0 && rho2bp <= 10000,
       s"rho^2 is a squared correlation — must be in [0, 1]: $rho2bp bp")

@@ -45,11 +45,20 @@ class FixtureContractSpec extends AnyFunSuite {
         s"$dir: batch events.ts loaded as $dt, expected TIMESTAMP_NTZ — " +
           "encoding drift reached the loader output")
       val r = ev.agg(
-        year(min($"ts")).as("y_min"), year(max($"ts")).as("y_max")).head()
+        year(min($"ts")).as("y_min"), year(max($"ts")).as("y_max"),
+        min($"user_id").as("uid_min")).head()
       assert(r.getInt(0) == 2024 && r.getInt(1) == 2024,
         s"$dir: events.ts spans years ${r.getInt(0)}..${r.getInt(1)}, " +
           "expected 2024/2024 — a time-scale slip (the silent µs-as-ns " +
           "class) or regenerated fixture epoch")
+      // q208/q212/q215 split arms with user_id % 2, which only matches
+      // DuckDB's % when user_id is non-negative (both truncate toward
+      // zero, but a negative id lands arm -1 and silently vanishes from
+      // BOTH arms' `when` buckets); pin the sign here so an id-scheme
+      // regen fails in one line, not as a subtly mis-powered A/B read
+      assert(r.getLong(2) >= 0,
+        s"$dir: min(user_id) = ${r.getLong(2)} < 0 — the %-2 arm " +
+          "assignment in q208/q212/q215 assumes non-negative ids")
     }
   }
 

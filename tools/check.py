@@ -26,12 +26,16 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    # Oracle TYPE lint: DuckDB SUM(INTEGER) yields HUGEINT (int128), a type
-    # Spark cannot produce — the driver's hash is type-sensitive, so an
-    # uncast integer sum fails hash_match even when every value is equal
-    # (bit us on q124/q125 in round 6). DESCRIBE each oracle and fail loudly
-    # before any value comparison.
-    BANNED = {"HUGEINT", "UHUGEINT"}
+    # Output TYPE lint, BOTH engines: (a) DuckDB SUM(INTEGER) yields HUGEINT
+    # (int128), a type Spark cannot produce — the driver's hash is
+    # type-sensitive, so an uncast integer sum fails hash_match even when
+    # every value is equal (bit us on q124/q125 in round 6). (b) DECIMAL is
+    # representable on both engines but ENCODED differently (Spark parquet
+    # FIXED_LEN_BYTE_ARRAY vs DuckDB int128) and the driver hash is
+    # representation-sensitive — bit us on q208/q215 in round 8 with
+    # bit-identical values. Ban both types from every output schema, oracle
+    # AND Spark parquet; render exact big integers as digit strings instead.
+    BANNED = {"HUGEINT", "UHUGEINT", "DECIMAL"}
     for name in sorted(oracle):
         try:
             desc = con.sql(f"DESCRIBE {oracle[name]}").fetchall()
@@ -42,8 +46,8 @@ def main(sf_dir, out_dir):
         bad = [(c, t) for c, t, *_ in desc
                if t.split("(")[0].upper() in BANNED]
         if bad:
-            print(f"  X {name}: LINT oracle column(s) typed un-Spark-able "
-                  f"{bad} — wrap in CAST(... AS BIGINT)")
+            print(f"  X {name}: LINT oracle column(s) typed un-hashable "
+                  f"{bad} — CAST to BIGINT (or VARCHAR if >int64)")
             n_fail += 1
     import os
     # Registered-but-ABSENT is a failure, not a gap: in round 7 36 queries
@@ -63,6 +67,15 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(f"{out_dir}/{name}"):
             continue
         res = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        bad = [(c, t) for c, t, *_ in
+               con.sql(f"DESCRIBE SELECT * FROM read_parquet("
+                       f"'{out_dir}/{name}/*.parquet')").fetchall()
+               if t.split("(")[0].upper() in BANNED]
+        if bad:
+            print(f"  X {name}: LINT spark output column(s) typed "
+                  f"hash-unstable {bad} — cast to bigint/string in the query")
+            n_fail += 1
+            continue
         got_cols, got = canon(res.fetchall(), list(res.columns))
         if name not in oracle:
             print(f"  ~ {name}: rows-only ({len(got)} rows)"
