@@ -142,7 +142,11 @@ object Similarity extends QueryModule {
     * nlist, never by corpus size. */
   def ivfCodebook(e: DataFrame, nlist: Int): Array[Array[Double]] = {
     import e.sparkSession.implicits._
-    e.filter($"vec_id" < nlist).orderBy($"vec_id")
+    // first nlist by id ORDER, not `vec_id < nlist`: on the full fixture
+    // corpus (dense ids from 0) the two agree, but a filtered sub-corpus
+    // (q233 trains on history only) has id gaps and would silently seed
+    // a SMALLER codebook
+    e.orderBy($"vec_id").limit(nlist)
       .select($"embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
   }
@@ -664,6 +668,38 @@ object Similarity extends QueryModule {
         "codebooks.",
       (s, dir) => pqCode(Tables.t(s, dir, "embeddings"),
         pqCodebooks(Tables.t(s, dir, "embeddings"), iters = 2)),
+      None),
+
+    Q(
+      "q233_ivf_persisted_knn",
+      "PERSISTED IVF INDEX with INCREMENTAL ADD — the piece that turns " +
+        "q97's per-query IVF into an index a continuous-ingest corpus " +
+        "can actually maintain (the ANN twin of q119's persisted " +
+        "signature index): the historical 90% of vectors trains a " +
+        "k=16 integer-micros Lloyd codebook ONCE and persists it next " +
+        "to partitionBy(list_id) inverted lists; the arriving 10% is " +
+        "then assigned against the RELOADED codebook — one narrow " +
+        "codegen'd projection over the batch, no retrain, no history " +
+        "scan (IvfIndexSpec asserts the add plan's file scans exclude " +
+        "the base lists) — and dynamic-partition-overwritten into its " +
+        "own batch=<key> partitions (replay-idempotent, q128's " +
+        "convention enforced by table layout). The standard " +
+        "8 probes then search base ∪ batch at nprobe=2: list_id is a " +
+        "PARTITION column, so the probed lists prune at scan time. " +
+        "Rows-only (list geometry is quantizer-defined); IvfIndexSpec " +
+        "asserts merged-index recall >= the q97 gate vs brute force " +
+        "over the SAME corpus, incremental assignment == full-rebuild " +
+        "assignment, and replay idempotence.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots.freshForDir("graft_ivf_index", dir).toString
+        writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        addIvfBatch(e.filter($"vec_id" % 10 === 0), root, "b0")
+        knnIvfPersisted(s, root, e.filter($"vec_id" < 8), k = 5, nprobe = 2)
+      },
       None)
   )
 
@@ -706,5 +742,103 @@ object Similarity extends QueryModule {
         (0 until m).map(j => round(col(s"r$j") * 1e6).cast("long"))
           .reduce(_ + _).as("resid_e6"): _*)
       .orderBy($"vec_id")
+  }
+
+  // ——— Persisted IVF index with incremental add (q233/q234) ———
+  //
+  // The embedding-side twin of the dedup stack's persisted signature
+  // index (Dedup.writeSignatureIndex / addSignatureIndexBatch): q97's
+  // IVF re-trains its codebook per query, which a continuous-ingest
+  // corpus (the reference's whole premise — a poll loop appending
+  // forever) cannot afford. Here the codebook is trained ONCE, persisted
+  // next to the inverted lists, and arriving batches are assigned
+  // against the PERSISTED codebook — one narrow codegen'd projection
+  // over the batch, zero history reads, zero retraining.
+
+  /** Assign each vector its nearest-centroid inverted list — the narrow
+    * TopCentroids projection (no join, no shuffle); the whole cost of
+    * indexing a batch at 100 TB is this one map pass. */
+  def ivfAssign(e: DataFrame, cb: Array[Array[Double]]): DataFrame = {
+    import e.sparkSession.implicits._
+    import graft.catalyst.VecOps.top_centroids
+    e.select($"vec_id", $"embedding",
+      element_at(top_centroids($"embedding", cb, 1), 1).cast("int")
+        .as("list_id"))
+  }
+
+  /** Train (integer-micros Lloyd — bit-stable, [[kmeansCodebook]]) and
+    * persist an IVF index artifact:
+    * `path/codebook` = the k×Dim centroid table (one tiny parquet — the
+    * driver-artifact that incremental adds RELOAD instead of retrain);
+    * `path/lists` = ONE partitioned table `batch=<key>/list_id=<n>` —
+    * the inverted lists (the parquet analogue of an IVF file's posting
+    * lists, one physical directory per list so probed lists prune at
+    * scan time), sub-partitioned by the ingest batch that wrote them so
+    * an add (or a replay of one) only ever touches its own
+    * subdirectories. The initial build statically overwrites the whole
+    * table as batch=base. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      iters: Int = 2): Unit = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val cb = kmeansCodebook(corpus, nlist, iters)
+    cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    ivfAssign(corpus, cb).withColumn("batch", lit("base"))
+      .write.partitionBy("batch", "list_id")
+      .mode("overwrite").parquet(s"$path/lists")
+  }
+
+  /** Reload the persisted coarse codebook (k rows — a driver artifact,
+    * same class as the LSH plane matrix). */
+  def readIvfCodebook(s: SparkSession, path: String): Array[Array[Double]] = {
+    import s.implicits._
+    s.read.parquet(s"$path/codebook").orderBy($"cid")
+      .select($"centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Add an arriving batch to the persisted index WITHOUT retraining and
+    * WITHOUT touching history: reload the codebook (k rows), assign the
+    * batch in one narrow projection, and DYNAMIC-partition-overwrite the
+    * batch's own `batch=<key>` partitions — an at-least-once replay
+    * rewrites exactly the same partitions (same batch + same persisted
+    * codebook → deterministically the same lists), so it is idempotent
+    * where a blind append would double a replayed batch's vectors in
+    * every later search (the q128 signature-index convention, enforced
+    * here by the table layout instead of by a subdirectory glob).
+    * IvfIndexSpec asserts the plan scans ONLY the batch + codebook —
+    * history embeddings never re-read. */
+  def addIvfBatch(batch: DataFrame, path: String, batchKey: String): Unit = {
+    val s = batch.sparkSession
+    val cb = readIvfCodebook(s, path)
+    graft.Confs.withConf(s, "spark.sql.sources.partitionOverwriteMode",
+      "dynamic") {
+      ivfAssign(batch, cb).withColumn("batch", lit(batchKey))
+        .write.partitionBy("batch", "list_id")
+        .mode("overwrite").parquet(s"$path/lists")
+    }
+  }
+
+  /** ANN top-k against the PERSISTED index (base lists ∪ every added
+    * batch): probes compute their nprobe nearest centroids from the
+    * reloaded codebook and join the lists on list_id — the list_id is a
+    * PARTITION column, so the broadcast probe side dynamically prunes
+    * the scan to the probed lists (nprobe/nlist of the corpus touched,
+    * the IVF contract, enforced in-plan rather than by bookkeeping).
+    * Exact cosine re-ranks — identical scoring/tie conventions to
+    * q66/q97 ([[rerankTopK]]). */
+  def knnIvfPersisted(s: SparkSession, path: String, probes: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    import graft.catalyst.VecOps.top_centroids
+    import s.implicits._
+    val cb = readIvfCodebook(s, path)
+    val lists = s.read.parquet(s"$path/lists")
+    val p = probes
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
+        explode(top_centroids($"embedding", cb, nprobe)).as("lid"))
+      .select($"probe_id", $"probe_vec", $"lid".cast("int").as("list_id"))
+    rerankTopK(lists.join(broadcast(p), Seq("list_id")), k)
   }
 }

@@ -116,6 +116,13 @@ object StreamingOps extends QueryModule {
     fixtureStream(s, dir, "graft_stream_docs", "documents.parquet",
       documentsRawSchema)
 
+  /** Streaming read of the embeddings fixture — footer-derived schema
+    * (the round-7 lesson: never hand a file stream a schema the footer
+    * doesn't confirm), same symlink-dir convention as the others. */
+  def embeddingsStream(s: SparkSession, dir: String): DataFrame =
+    fixtureStream(s, dir, "graft_stream_emb", "embeddings.parquet",
+      graft.Tables.rawSchema(s, dir, "embeddings"))
+
   /** Run a streaming DataFrame to a memory sink, drain, stop, return.
     *
     * `shufflePartitions` sizes the stateful-operator stores for the query:
@@ -1121,6 +1128,49 @@ object StreamingOps extends QueryModule {
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
         "d1 % 10 = 0 OR d2 % 10 = 0"))),
+
+    Q(
+      "q234_stream_ivf_add",
+      "CONTINUOUS ANN-INDEX MAINTENANCE — q233's incremental IVF add " +
+        "AS A STANDING STREAM (the embedding twin of q128's streaming " +
+        "signature-index append, closing the ingest loop the reference " +
+        "runs forever): the codebook is trained and persisted once " +
+        "from history (vec_id % 10 != 0); arriving vectors stream in " +
+        "and each micro-batch is assigned against the RELOADED " +
+        "codebook inside foreachBatch — a narrow batch-only " +
+        "projection, no retrain, no history scan — and dynamic-" +
+        "partition-overwritten into its own batch=<id> partitions of " +
+        "the lists table (at-least-once replay rewrites, never " +
+        "appends). The final answer queries the " +
+        "merged index with the standard 8 probes: every arriving " +
+        "vector's list is split-invariant (assignment depends only on " +
+        "the persisted codebook), so the result is DETERMINISTIC " +
+        "regardless of how the stream micro-batched — and identical " +
+        "to q233's one-shot add (asserted in IvfIndexSpec).",
+      (s, dir) => {
+        import graft.operators.Similarity
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots
+          .freshForDir("graft_ivf_stream", dir).toString
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        val arriving = embeddingsStream(s, dir)
+          .filter($"vec_id" % 10 === 0)
+          .select($"vec_id", $"embedding")
+        val q = arriving.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              Similarity.addIvfBatch(batch, root, s"b$batchId")
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        Similarity.knnIvfPersisted(s, root,
+          e.filter($"vec_id" < 8), k = 5, nprobe = 2)
+      },
+      None),
 
     Q(
       "q174_stream_shard_emit",
