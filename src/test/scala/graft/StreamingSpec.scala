@@ -384,4 +384,127 @@ class StreamingSpec extends AnyFunSuite {
       s"sink after restart must equal the batch answer exactly once: " +
         s"got ${all.sortBy(_._1.getTime).mkString(", ")}")
   }
+
+  test("CHAINED dedup->windowed-agg (the q207 shape) resumes exactly-once " +
+    "from its checkpoint: BOTH state stores recover consistently") {
+    // Extends the session-window recovery test to two chained stores:
+    // a restart must recover (a) the dedup store — a duplicate of a
+    // PRE-restart event arriving after the restart is still dropped —
+    // and (b) the aggregate store — closed windows emit exactly once
+    // with the counts the dedup front-end admitted.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.TempRoots.freshForDir("graft_restart_chain", "synth")
+    val src = root.resolve("src"); val ckpt = root.resolve("ckpt")
+    val sink = root.resolve("sink")
+    java.nio.file.Files.createDirectories(src)
+    def day1(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+    def write(rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Array[(java.sql.Timestamp, Long)] = {
+      val q = spark.readStream.schema(sch).parquet(src.toString)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("user_id", "ts") // store 1: dedup
+        .groupBy(window($"ts", "1 day")) // store 2: windowed count
+        .agg(count(lit(1)).as("n"))
+        .select($"window.start".as("d"), $"n")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sink.toString).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+    }
+    // part 1: an in-batch duplicate (10:00 twice) plus 20:00; watermark
+    // after part 1 = 18:00, day-1 window still open -> nothing emitted
+    write(Seq((1L, day1("10:00")), (1L, day1("10:00")), (1L, day1("20:00"))))
+    assert(runOnce().isEmpty, "day-1 window must still be open")
+    // part 2 AFTER restart: a cross-restart duplicate of 20:00 (>= the
+    // 18:00 watermark, so only the RECOVERED dedup store can drop it),
+    // one genuinely new day-1 event, one day-2 event, and a day-3
+    // flusher that closes day 1 and day 2
+    write(Seq((1L, day1("20:00")), (1L, day1("23:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-03-02 12:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-03-03 12:00:00"))))
+    val all = runOnce()
+    val expected = Set(
+      (java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 3L), // 10,20,23
+      (java.sql.Timestamp.valueOf("2024-03-02 00:00:00"), 1L))
+    assert(all.length == all.toSet.size,
+      s"restart duplicated emissions: ${all.mkString(", ")}")
+    assert(all.toSet == expected,
+      s"counts after restart must show the duplicate dropped by the " +
+        s"recovered dedup store (4 would mean it leaked): " +
+        s"${all.mkString(", ")}")
+  }
+
+  test("CHAINED stream-stream-join->windowed-agg (the q160 shape) resumes " +
+    "exactly-once: the join's buffered side survives the restart") {
+    // The two-store recovery case the q160 chain depends on: a click
+    // buffered in the join state BEFORE the stop must still pair with
+    // its purchase arriving AFTER the restart, and the downstream
+    // windowed aggregate must emit each closed window exactly once.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.TempRoots.freshForDir("graft_restart_join", "synth")
+    val clickSrc = root.resolve("clicks"); val purchSrc = root.resolve("purchases")
+    val ckpt = root.resolve("ckpt"); val sink = root.resolve("sink")
+    java.nio.file.Files.createDirectories(clickSrc)
+    java.nio.file.Files.createDirectories(purchSrc)
+    def ts(v: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(v)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def write(dir: java.nio.file.Path,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    def runOnce(): Array[(java.sql.Timestamp, Long)] = {
+      val clicks = spark.readStream.schema(sch).parquet(clickSrc.toString)
+        .select($"user_id", $"ts".as("cts")).withWatermark("cts", "2 hours")
+      val purchases = spark.readStream.schema(sch).parquet(purchSrc.toString)
+        .select($"user_id".as("p_user"), $"ts".as("pts"))
+        .withWatermark("pts", "2 hours")
+      val q = clicks.join(purchases,
+          $"user_id" === $"p_user" &&
+            $"pts" >= $"cts" && $"pts" <= $"cts" + expr("interval 1 hour"))
+        .groupBy(window($"pts", "1 day"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select($"window.start".as("d"), $"n_pairs")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(sink.toString).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+    }
+    // part 1: one matched pair (u1) and one so-far-unmatched click (u2)
+    // that must be BUFFERED in the join state across the restart
+    write(clickSrc, Seq((1L, ts("2024-03-01 10:00:00")),
+      (2L, ts("2024-03-01 12:00:00"))))
+    write(purchSrc, Seq((1L, ts("2024-03-01 10:30:00"))))
+    assert(runOnce().isEmpty, "day-1 window must still be open")
+    // part 2 AFTER restart: u2's purchase pairs with the pre-restart
+    // buffered click; flushers (non-matching: purchase before any new
+    // click's window) advance both watermarks past day 2 to close day 1
+    write(purchSrc, Seq((2L, ts("2024-03-01 12:30:00")),
+      (9L, ts("2024-03-03 12:00:00"))))
+    write(clickSrc, Seq((9L, ts("2024-03-03 20:00:00"))))
+    val all = runOnce()
+    val expected = Set((ts("2024-03-01 00:00:00"), 2L))
+    assert(all.length == all.toSet.size,
+      s"restart duplicated emissions: ${all.mkString(", ")}")
+    assert(all.toSet == expected,
+      s"day-1 must hold BOTH pairs — 1 means the buffered click was " +
+        s"lost in the restart: ${all.mkString(", ")}")
+  }
 }
