@@ -254,22 +254,34 @@ object TextAnalysis extends QueryModule {
 
     Q(
       "q54_fingerprint",
-      "Document fingerprinting via two native Catalyst expressions " +
-        "(graft.catalyst.RollingHash / SimHash, both with doGenCode): " +
-        "rolling polynomial hash of the bytes + 64-bit SimHash of the " +
-        "token set. No SQL oracle (byte-level hashes aren't expressible in " +
-        "DuckDB); golden values + invariances are unit-tested in " +
-        "TextHashSpec.",
+      "Document fingerprinting via the native RollingHash Catalyst " +
+        "expression (doGenCode — a one-pass byte loop inside whole-stage " +
+        "codegen): polynomial hash of the UTF-8 bytes, base 263 modulo " +
+        "the Mersenne prime 2^61-1. PROMOTED to a bit-exact oracle in " +
+        "round 9: the recurrence h = (h*263 + byte) mod (2^61-1) is pure " +
+        "integer arithmetic, so DuckDB replays it exactly with a HUGEINT " +
+        "list_reduce over the character codes (texts are pure ASCII — " +
+        "FixtureContractSpec pins char==byte, making ascii(c) the byte). " +
+        "The companion SimHash expression stays exercised by q64's " +
+        "banding and TextHashSpec's golden values (XXH64 token hashing " +
+        "is not DuckDB-expressible).",
       (s, dir) => {
         import s.implicits._
         Tables.t(s, dir, "documents")
           .select(
             $"doc_id",
-            TextHash.rolling_hash($"text").as("fingerprint"),
-            TextHash.sim_hash($"text").as("simhash"))
+            TextHash.rolling_hash($"text").as("fingerprint"))
           .orderBy($"doc_id")
       },
-      None),
+      Some("""
+        SELECT doc_id,
+               CAST(list_reduce(
+                 list_prepend(CAST(0 AS HUGEINT),
+                   [CAST(ascii(c) AS HUGEINT) for c in string_split(text, '')]),
+                 (h, b) -> (h * 263 + b) % 2305843009213693951) AS BIGINT)
+                 AS fingerprint
+        FROM documents
+        ORDER BY doc_id""")),
 
     Q(
       "q105_ngram_topk",

@@ -811,8 +811,15 @@ object Dedup extends QueryModule {
       "SimHash near-dup: 64-bit signatures (native SimHash expression), " +
         "blocked on 4×16-bit bands (pigeonhole: Hamming<=3 pairs always " +
         "share a band), confirmed with bit_count(xor)<=3. Rows-only check " +
-        "(bit-level hashing isn't DuckDB-expressible); SimHashSpec covers " +
-        "the expression.",
+        "(bit-level hashing isn't DuckDB-expressible) — and PROVABLY so " +
+        "at the semantic level too: a round-9 probe measured hamming<=3 " +
+        "against the exact jac>=0.8 pair set and it covers only 15/25 " +
+        "at sf0.01 (189/256 at sf0.1), i.e. SimHash proximity and " +
+        "set-Jaccard are DIFFERENT similarity criteria (SimHash weights " +
+        "token multiplicity and is blind to token order within the set), " +
+        "so no exact-confirm rewrite maps this query onto the q62 " +
+        "oracle without deleting the operator. ExtensionSpec covers the " +
+        "expression + band soundness instead.",
       (s, dir) => {
         import s.implicits._
         val sigs = Tables.t(s, dir, "documents")
@@ -877,7 +884,14 @@ object Dedup extends QueryModule {
         "non-adjacent windows share none and must be pruned. Rows-only " +
         "check (MinHash sketch values are not SQL-expressible); " +
         "ExtensionSpec asserts equality with the exact all-pairs " +
-        "estimates over the same cohorts.",
+        "estimates over the same cohorts. An exact-confirm oracle " +
+        "rewrite was measured and REFUTED in round 9: the banded " +
+        "candidate stage deterministically misses 2/49 exact-" +
+        "jaccard>=0.25 cohort pairs at sf0.01 (14/487 at sf0.1) — the " +
+        "irreducible LSH miss probability at j~1/3 — and driving " +
+        "recall to 1 needs 1-row bands whose candidate set approaches " +
+        "all-pairs, defeating the operator. The estimate-vs-exact " +
+        "tracking spec is the honest gate.",
       (s, dir) => {
         import s.implicits._
         // 2-row bands (32 of them) for ~0.97 per-band-stage recall at the

@@ -124,9 +124,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("native expressions appear in codegen'd projections") {
     val plan = planOf("q54_fingerprint")
-    assert(plan.contains("rolling_hash") && plan.contains("sim_hash"))
+    assert(plan.contains("rolling_hash"))
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("rolling_hash")),
       "native expressions must sit inside a codegen stage")
+    // sim_hash moved out of q54 when it gained its bit-exact oracle;
+    // the kernel stays on the hot path through q64's banding
+    assert(planOf("q64_simhash_pairs").contains("sim_hash"))
   }
 
   test("q62: jaccard inverted index shuffles 8-byte keys, sizes broadcast") {
