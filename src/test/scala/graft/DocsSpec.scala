@@ -56,6 +56,25 @@ class DocsSpec extends AnyFunSuite {
       s"README says ${r.get.group(1)} rows-only, registry has $nRowsOnly")
   }
 
+  test("README scale ledger covers the registry EXHAUSTIVELY — every " +
+    "query number appears, no phantom numbers") {
+    // the consolidated 100 TB story: an operator cannot join the corpus
+    // without declaring its partitioning/skew/state row here
+    val section = readme.split("## Scale ledger")(1).split("\n## ")(0)
+    val mentioned = raw"q(\d{2,3})".r.findAllMatchIn(section)
+      .map(_.group(1).toInt).toSet
+    val registered = SparkEntry.allQueries.map(_.name)
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).toSet
+    val missing = registered -- mentioned
+    val phantom = mentioned -- registered
+    assert(missing.isEmpty,
+      s"registered queries missing a scale-ledger row: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    assert(phantom.isEmpty,
+      s"scale ledger names unregistered queries: " +
+        s"${phantom.toSeq.sorted.mkString(", ")}")
+  }
+
   test("SURVEY §8 status line matches the registry") {
     val survey = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
