@@ -510,5 +510,86 @@ object Experimentation extends QueryModule {
         FROM rk t JOIN rk c
           ON t.lang = c.lang AND t.bucket = c.bucket AND t.rk = c.rk
          AND t.treat = 1 AND c.treat = 0
-        ORDER BY t.lang, bucket, treat_doc""")))
+        ORDER BY t.lang, bucket, treat_doc""")),
+
+    Q(
+      "q240_ks_drift",
+      "TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST — the distributional " +
+        "complement of the drift family (q136 integer L1 on summary " +
+        "stats, q209 chi-square on categories; KS catches a SHAPE " +
+        "change those two miss, e.g. variance doubling at equal mean): " +
+        "purchase amounts by arm (user parity), D = max |F1 - F2| over " +
+        "the merged dollar-bucket domain, carried EXACTLY as D_num = " +
+        "max |c1*n2 - c2*n1| (ECDF difference cross-multiplied clear of " +
+        "both divisions). d_ppm = D_num*1e6 div (n1*n2); the alpha=0.05 " +
+        "call compares D_num^2 * 1e6 > c^2_e6 * n1*n2*(n1+n2) with " +
+        "c = 1.358 (c^2 micro-scaled = 1844164) — computed in " +
+        "DECIMAL(38,0)/HUGEINT INTERNALLY (the square crosses int64 at " +
+        "sf0.1) with only bigint/boolean EMITTED (the q208 rendering " +
+        "rule). d_at_bucket = the smallest bucket achieving D (where " +
+        "the distributions diverge most — the actionable bit). Plan: " +
+        "one row-scale (bucket) aggregate with both arms as conditional " +
+        "sums (one scan, q227's trick); running sums + max run on the " +
+        "bounded bucket domain; output is one row.",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select(($"user_id" % 2).as("arm"),
+            expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+          .groupBy($"bucket")
+          .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("c2"))
+        val w = Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.select($"bucket",
+            sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"),
+            sum($"c1").over(Window.partitionBy()).as("n1"),
+            sum($"c2").over(Window.partitionBy()).as("n2"))
+          .withColumn("diff", abs($"f1" * $"n2" - $"f2" * $"n1"))
+          .withColumn("dmax", max($"diff").over(Window.partitionBy()))
+        cum.agg(
+            min($"n1").as("n1"), min($"n2").as("n2"),
+            min($"dmax").as("d_num"),
+            min(when($"diff" === $"dmax", $"bucket")).as("d_at_bucket"))
+          .select($"n1", $"n2",
+            expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"),
+            $"d_at_bucket",
+            expr("cast(d_num as decimal(38,0)) * d_num * 1000000 > " +
+              "1844164 * cast(n1 as decimal(38,0)) * n2 * (n1 + n2)")
+              .as("ks_reject_95"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id % 2 AS arm,
+                 CAST(round(value * 100) AS BIGINT) // 100 AS bucket
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM p GROUP BY 1),
+        cum AS (
+          SELECT bucket,
+                 sum(c1) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS f1,
+                 sum(c2) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS f2,
+                 sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+          FROM g),
+        d AS (
+          SELECT bucket, n1, n2, abs(f1 * n2 - f2 * n1) AS diff,
+                 max(abs(f1 * n2 - f2 * n1)) OVER () AS dmax
+          FROM cum)
+        SELECT CAST(min(n1) AS BIGINT) AS n1, CAST(min(n2) AS BIGINT) AS n2,
+               CAST((min(dmax) * 1000000) // (min(n1) * min(n2)) AS BIGINT)
+                 AS d_ppm,
+               CAST(min(CASE WHEN diff = dmax THEN bucket END) AS BIGINT)
+                 AS d_at_bucket,
+               (CAST(min(dmax) AS HUGEINT) * min(dmax) * 1000000 >
+                1844164 * CAST(min(n1) AS HUGEINT) * min(n2)
+                        * (min(n1) + min(n2))) AS ks_reject_95
+        FROM d""")))
 }

@@ -341,6 +341,183 @@ object FeaturePlatform extends QueryModule {
           .toDF("layout", "total_bytes", "n_docs")
           .orderBy($"layout")
       },
-      None)
+      None),
+
+    Q(
+      "q235_mrr_eval",
+      "RANKED-LIST RECOMMENDER EVAL (MRR + hit@k) — q224 grades a top-1 " +
+        "rec with a hit rate; this grades a RANKED top-3 list with mean " +
+        "reciprocal rank, the metric that distinguishes 'right item " +
+        "first' from 'right item buried': items are the 100 props.k " +
+        "click values, train = days 1-15 (user, item) distinct baskets, " +
+        "rec list per item = top-3 co-clicked items (count desc, item " +
+        "asc — bit-stable), eval = days 16-30; each (user, test-item) " +
+        "case contributes 1e6 div r for the best rank r whose rec is in " +
+        "the user's test basket, else 0 — reciprocal rank in EXACT ppm " +
+        "(integer div), so MRR never depends on float summation order. " +
+        "Plan: baskets from one (user, phase, item) distinct, reused by " +
+        "all four consumers via localCheckpoint; per-user train pair " +
+        "fan-out bounded by the item domain squared (q193's argument); " +
+        "the <=300-row rec list BROADCASTS onto the eval join; the case " +
+        "aggregate combines map-side to a single row.",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2024-01-16").cast("date")
+        val ui = Tables.t(s, dir, "events")
+          .filter($"event_type" === "click")
+          .select($"user_id",
+            when(to_date($"ts") < cut, 0).otherwise(1).as("phase"),
+            expr("cast(get_json_object(props, '$.k') as bigint)").as("item"))
+          .distinct()
+          .localCheckpoint(true)
+        val train = ui.filter($"phase" === 0)
+        val recs = train.as("a").join(train.as("b"), Seq("user_id"))
+          .filter($"a.item" =!= $"b.item")
+          .groupBy($"a.item".as("i"), $"b.item".as("j"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"i").orderBy($"n".desc, $"j")))
+          .filter($"rk" <= 3)
+          .select($"i", $"j", $"rk")
+        val test = ui.filter($"phase" === 1)
+        val cases = test.select($"user_id", $"item".as("i"))
+        val best = cases.join(broadcast(recs), Seq("i"))
+          .join(test.select($"user_id", $"item".as("j")), Seq("user_id", "j"))
+          .groupBy($"user_id", $"i").agg(min($"rk").as("r"))
+        cases.join(best, Seq("user_id", "i"), "left")
+          .agg(count(lit(1)).as("n_cases"),
+            sum(when($"r" === 1, 1L).otherwise(0L)).as("hits_at_1"),
+            sum(when($"r".isNotNull, 1L).otherwise(0L)).as("hits_at_3"),
+            sum(coalesce(expr("1000000 div r"), lit(0L))).as("rr_sum_ppm"))
+          .select($"n_cases", $"hits_at_1", $"hits_at_3",
+            expr("rr_sum_ppm div n_cases").as("mrr_ppm"))
+      },
+      Some("""
+        WITH ui AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 0 ELSE 1 END AS phase,
+                 CAST(json_extract(props, 'k') AS BIGINT) AS item
+          FROM events WHERE event_type = 'click'),
+        train AS (SELECT * FROM ui WHERE phase = 0),
+        pairs AS (
+          SELECT a.item AS i, b.item AS j, count(*) AS n
+          FROM train a JOIN train b
+            ON a.user_id = b.user_id AND a.item <> b.item
+          GROUP BY 1, 2),
+        recs AS (
+          SELECT i, j, rk FROM (
+            SELECT i, j, row_number() OVER (PARTITION BY i
+                                            ORDER BY n DESC, j) AS rk
+            FROM pairs) WHERE rk <= 3),
+        test AS (SELECT * FROM ui WHERE phase = 1),
+        cases AS (SELECT user_id, item AS i FROM test),
+        best AS (
+          SELECT c.user_id, c.i, min(r.rk) AS r
+          FROM cases c
+          JOIN recs r ON r.i = c.i
+          JOIN test t ON t.user_id = c.user_id AND t.item = r.j
+          GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_cases,
+               CAST(sum(CASE WHEN b.r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_1,
+               CAST(sum(CASE WHEN b.r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_3,
+               CAST(sum(COALESCE(1000000 // b.r, 0)) // count(*) AS BIGINT) AS mrr_ppm
+        FROM cases c LEFT JOIN best b
+          ON b.user_id = c.user_id AND b.i = c.i""")),
+
+    Q(
+      "q236_feature_binning",
+      "EQUAL-FREQUENCY FEATURE BINNING (decile bucketizer) — the " +
+        "fit+transform a feature pipeline runs before any tree/monotonic " +
+        "model: order totals bin into 10 equal-mass bins at $100-bucket " +
+        "granularity. NOT an ntile window over rows (that is a " +
+        "single-partition sort of the corpus — the one shape this repo " +
+        "bans): q168's counting-CDF recipe instead — one map-side-" +
+        "combined aggregate to the bounded $100-bucket DOMAIN, a running " +
+        "sum over that domain, then bin = (10 * cum_before) div total " +
+        "per bucket, which every row inherits map-side. Bin boundaries " +
+        "land on bucket edges (the documented granularity contract — at " +
+        "100 TB you tighten buckets, never sort rows). Output per bin: " +
+        "order count, bucket range — all exact integers.",
+      (s, dir) => {
+        import s.implicits._
+        val b = Tables.t(s, dir, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+            .as("bucket"))
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("cum", sum($"n").over(w))
+          .withColumn("total", sum($"n").over(
+            Window.partitionBy())) // bucket DOMAIN only — bounded
+          .withColumn("bin", expr("((cum - n) * 10) div total"))
+          .groupBy($"bin")
+          .agg(sum($"n").as("n_orders"),
+            min($"bucket").as("lo_bucket"), max($"bucket").as("hi_bucket"))
+          .orderBy($"bin")
+      },
+      Some("""
+        WITH b AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+                 count(*) AS n
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT bucket, n,
+                 sum(n) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(n) OVER () AS total
+          FROM b)
+        SELECT CAST(((cum - n) * 10) // total AS BIGINT) AS bin,
+               CAST(sum(n) AS BIGINT) AS n_orders,
+               min(bucket) AS lo_bucket, max(bucket) AS hi_bucket
+        FROM c GROUP BY 1 ORDER BY bin""")),
+
+    Q(
+      "q237_target_encoding",
+      "SMOOTHED TARGET ENCODING — the categorical-feature workhorse " +
+        "(CatBoost-style mean encoding with additive smoothing): " +
+        "category = props.k div 10 (10 slots), target = the event is a " +
+        "purchase, enc(c) = (S_c + m*prior)/(n_c + m) with m = 100 " +
+        "pseudo-observations at the global prior S/N. Carried EXACTLY " +
+        "via cross-multiplication: enc_bp = (S_c*N + m*S)*10^4 div " +
+        "((n_c + m)*N) — no float division anywhere, so the encoding is " +
+        "bit-stable under any partitioning (int64-safe through sf0.1 " +
+        "with ~100x headroom; at web scale carry the two products as " +
+        "decimals INTERNALLY and emit the bp int, q208's recipe). Plan: " +
+        "one row-scale (cat) aggregate with map-side partials; the " +
+        "global prior is a 1-row broadcast crossJoin (q198's min-day " +
+        "pattern); everything after is O(|cats|).",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.t(s, dir, "events")
+          .select(
+            expr("cast(get_json_object(props, '$.k') as bigint) div 10")
+              .as("cat"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy($"cat")
+          .agg(count(lit(1)).as("n_c"), sum($"y").as("s_c"))
+        g.crossJoin(broadcast(
+            g.agg(sum($"n_c").as("n"), sum($"s_c").as("s"))))
+          .select($"cat", $"n_c", $"s_c",
+            expr("(s_c * 10000) div n_c").as("raw_bp"),
+            expr("((s_c * n + 100 * s) * 10000) div ((n_c + 100) * n)")
+              .as("enc_bp"))
+          .orderBy($"cat")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(json_extract(props, 'k') AS BIGINT) // 10 AS cat,
+                 CAST(count(*) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_c
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                     CAST(sum(s_c) AS BIGINT) AS s FROM g)
+        SELECT cat, n_c, s_c,
+               CAST((s_c * 10000) // n_c AS BIGINT) AS raw_bp,
+               CAST(((s_c * n + 100 * s) * 10000) // ((n_c + 100) * n)
+                 AS BIGINT) AS enc_bp
+        FROM g, t ORDER BY cat"""))
   )
 }

@@ -526,6 +526,70 @@ object GraphSelection extends QueryModule {
                CAST(coalesce(o.n_outliers, 0) AS BIGINT) AS n_outliers
         FROM t JOIN med USING (event_type) JOIN mad USING (event_type)
                LEFT JOIN o USING (event_type)
-        ORDER BY t.event_type"""))
+        ORDER BY t.event_type""")),
+
+    Q(
+      "q238_benford_audit",
+      "BENFORD FIRST-DIGIT AUDIT — the classic fabricated-or-truncated-" +
+        "data screen for financial columns (line-item prices here): the " +
+        "distribution of first significant digits vs Benford's law " +
+        "P(d) = log10(1 + 1/d). The irrational log10 constants enter as " +
+        "FIXED integer ppm literals (301030, 176091, ... — they sum to " +
+        "exactly 1e6), identical on both engines, so observed ppm, " +
+        "expected ppm, and deviation are all exact integer arithmetic — " +
+        "no engine log() in the plan (the q127 no-ln rule). First digit " +
+        "comes from the CENTS integer's decimal string (round(x*100) — " +
+        "the q154 double-rendering lesson; never from formatting a " +
+        "double). Plan: one map-side-combined aggregate onto the 9-digit " +
+        "domain; the Benford table is a 9-row literal joined broadcast; " +
+        "windows run on the digit domain only. A left join from the " +
+        "literal digits keeps absent digits visible as 0-count rows " +
+        "(an audit that silently drops the anomalous digit is broken).",
+      (s, dir) => {
+        import s.implicits._
+        val obs = Tables.t(s, dir, "lineitem")
+          .select(expr("cast(round(l_extendedprice * 100) as bigint)")
+            .as("cents"))
+          .filter($"cents" > 0)
+          .select(substring($"cents".cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        val benford = Seq(
+          (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L),
+          (5, 79181L), (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L))
+          .toDF("digit", "benford_ppm")
+        benford.join(obs, Seq("digit"), "left")
+          .withColumn("n_obs", coalesce($"n_obs", lit(0L)))
+          .withColumn("total", sum($"n_obs").over(
+            Window.partitionBy())) // 9-row domain
+          .select($"digit", $"n_obs",
+            expr("(n_obs * 1000000) div total").as("obs_ppm"),
+            $"benford_ppm",
+            abs(expr("(n_obs * 1000000) div total") - $"benford_ppm")
+              .as("dev_ppm"))
+          .orderBy($"digit")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                 count(*) AS n_obs
+          FROM lineitem
+          WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+          GROUP BY 1),
+        b(digit, benford_ppm) AS (VALUES
+          (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+          (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        j AS (
+          SELECT b.digit, COALESCE(obs.n_obs, 0) AS n_obs,
+                 CAST(b.benford_ppm AS BIGINT) AS benford_ppm
+          FROM b LEFT JOIN obs ON obs.digit = b.digit),
+        t AS (SELECT j.*, sum(n_obs) OVER () AS total FROM j)
+        SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+               CAST((n_obs * 1000000) // total AS BIGINT) AS obs_ppm,
+               benford_ppm,
+               CAST(abs((n_obs * 1000000) // total - benford_ppm) AS BIGINT)
+                 AS dev_ppm
+        FROM t ORDER BY digit"""))
   )
 }

@@ -254,5 +254,53 @@ object SequentialOps extends QueryModule {
         FROM cum JOIN t USING (channel) CROSS JOIN p
         WHERE cum * 100 >= p.pct * t.n
         GROUP BY cum.channel, p.lbl, t.n
-        ORDER BY channel, lbl""")))
+        ORDER BY channel, lbl""")),
+
+    Q(
+      "q239_seasonal_baseline",
+      "SEASONAL-NAIVE FORECAST BASELINE — the sanity floor every " +
+        "forecasting effort is graded against (M-competition rule: beat " +
+        "seasonal-naive or ship nothing): predict each day's purchase " +
+        "revenue by the SAME WEEKDAY last week, report per-weekday MAE " +
+        "in exact integer cents. The lag is a CALENDAR self-join " +
+        "(t.day = p.day + 7) rather than lag(7) over row order — a " +
+        "missing day would silently shift a row-offset lag onto the " +
+        "wrong weekday, while the calendar join degrades to fewer " +
+        "scored days (loud in n_days). Weekday is ISO (Mon=1..Sun=7) " +
+        "on both engines: Spark weekday()+1 == DuckDB isodow(). Plan: " +
+        "one row-scale (day) aggregate with map-side partials collapses " +
+        "events to the <=31-row day domain; the self-join and MAE " +
+        "aggregate run on that domain — at 100 TB the wire carries two " +
+        "longs per day.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        daily.as("t")
+          .join(daily.select($"d".as("pd"), $"cents".as("pred")),
+            $"d" === date_add($"pd", 7))
+          .select((weekday($"d") + 1).as("dow"),
+            abs($"cents" - $"pred").as("abs_err"))
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_days"), sum($"abs_err").as("sum_abs_err"))
+          .select($"dow", $"n_days", $"sum_abs_err",
+            expr("sum_abs_err div n_days").as("mae_cents"))
+          .orderBy($"dow")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        e AS (
+          SELECT CAST(isodow(t.d) AS INTEGER) AS dow,
+                 abs(t.cents - p.cents) AS abs_err
+          FROM daily t JOIN daily p ON t.d = p.d + INTERVAL 7 DAY)
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+               CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
+        FROM e GROUP BY dow ORDER BY dow""")))
 }

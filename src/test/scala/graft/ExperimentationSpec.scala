@@ -138,4 +138,50 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(probe("rep") < probe("prose") && probe("prose") < probe("noise"),
       s"compressibility ordering violated: $probe")
   }
+
+  test("q240 KS: D matches an independent float ECDF sweep and the " +
+    "rejection bit replays in BigInt") {
+    val r = SparkEntry.queries("q240_ks_drift")(spark, sfDir).head()
+    val (n1, n2, dPpm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // independent recomputation from the same bucketed samples
+    val buckets = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("arm"),
+        expr("cast(round(value * 100) as bigint) div 100").as("b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val s1 = buckets.filter(_._1 == 0L).map(_._2).sorted
+    val s2 = buckets.filter(_._1 == 1L).map(_._2).sorted
+    assert(s1.length == n1 && s2.length == n2)
+    val dom = (s1 ++ s2).distinct.sorted
+    val dFloat = dom.map { x =>
+      math.abs(s1.count(_ <= x).toDouble / n1 - s2.count(_ <= x).toDouble / n2)
+    }.max
+    assert(math.abs(dPpm / 1e6 - dFloat) <= 1e-6,
+      s"integer D ${dPpm / 1e6} vs float sweep $dFloat")
+    val dNum = dom.map(x =>
+      (BigInt(s1.count(_ <= x)) * n2 - BigInt(s2.count(_ <= x)) * n1).abs).max
+    val reject = dNum * dNum * 1000000 >
+      BigInt(1844164) * n1 * n2 * (n1 + n2)
+    assert(r.getBoolean(4) == reject,
+      s"significance bit diverged from the BigInt replay")
+  }
+
+  test("q238 Benford audit: digits partition the sample and observed " +
+    "ppm telescopes to 1e6") {
+    val rows = SparkEntry.queries("q238_benford_audit")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9),
+      "all nine digits must be present (absent = 0-count rows)")
+    val totalObs = rows.map(_.getLong(1)).sum
+    val positives = Tables.t(spark, sfDir, "lineitem")
+      .filter(expr("cast(round(l_extendedprice * 100) as bigint) > 0"))
+      .count()
+    assert(totalObs == positives, "every positive price gets one digit")
+    val ppmSum = rows.map(_.getLong(2)).sum
+    // 9 independent integer floors lose at most 8 ppm
+    assert(ppmSum >= 1000000L - 8 && ppmSum <= 1000000L,
+      s"observed ppm must telescope to ~1e6, got $ppmSum")
+    assert(rows.map(_.getLong(3)).sum == 1000000L,
+      "the Benford constants must sum to exactly 1e6")
+  }
 }

@@ -95,4 +95,70 @@ class FeaturePlatformSpec extends AnyFunSuite {
       s"similar-docs-adjacent must not lose: clustered $cb vs shuffled $sb")
     info(f"clustered saves ${(sb - cb) * 10000 / sb} bp of ${sb} bytes")
   }
+
+  test("q235 MRR: metric algebra bounded by its own hit counts") {
+    val r = SparkEntry.queries("q235_mrr_eval")(spark, sfDir).head()
+    val (n, h1, h3, mrr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && h1 <= h3 && h3 <= n,
+      s"hit counts must nest: $h1 <= $h3 <= $n")
+    // every @1 hit contributes exactly 1e6, every other hit in (0, 1e6),
+    // misses 0 — so MRR sits strictly inside these integer envelopes
+    assert(mrr >= h1 * 1000000L / n - 1,
+      s"mrr $mrr below the hits@1 floor")
+    assert(mrr <= h3 * 1000000L / n,
+      s"mrr $mrr above the hits@3 ceiling")
+  }
+
+  test("q236 bins partition the orders exactly, in order, near-equal " +
+    "mass up to bucket granularity") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q236_feature_binning")(spark, sfDir)
+      .collect()
+    val total = Tables.t(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "bins must partition the corpus — no dropped or doubled orders")
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq,
+      "bin ids must be dense from 0")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2),
+        s"bucket ranges must be disjoint and ordered: bin ${a.getLong(0)} " +
+          s"hi ${a.getLong(3)} vs bin ${b.getLong(0)} lo ${b.getLong(2)}")
+    case _ => ()
+    }
+    // equal-frequency up to the mass of one $100 bucket (the documented
+    // granularity contract)
+    val maxBucket = Tables.t(spark, sfDir, "orders")
+      .select(expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+        .as("b"))
+      .groupBy("b").count().agg(max("count")).head().getLong(0)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(1) - total / 10) <= maxBucket,
+        s"bin ${r.getLong(0)} mass ${r.getLong(1)} strays more than one " +
+          s"bucket ($maxBucket) from ${total / 10}")
+    }
+  }
+
+  test("q237 target encoding: smoothing pulls every category toward the " +
+    "global prior, never past it") {
+    val rows = SparkEntry.queries("q237_target_encoding")(spark, sfDir)
+      .collect()
+    val n = rows.map(_.getLong(1)).sum
+    val s = rows.map(_.getLong(2)).sum
+    val priorBp = s * 10000 / n
+    rows.foreach { r =>
+      val (raw, enc) = (r.getLong(3), r.getLong(4))
+      val (lo, hi) = (math.min(raw, priorBp), math.max(raw, priorBp))
+      // ±1 absorbs the two independent integer floors
+      assert(enc >= lo - 1 && enc <= hi + 1,
+        s"cat ${r.getLong(0)}: enc $enc outside [$lo, $hi] " +
+          s"(raw $raw, prior $priorBp)")
+      // and with m=100 pseudo-counts the pull is real: a category far
+      // from the prior must move strictly toward it
+      if (math.abs(raw - priorBp) > 200)
+        assert(math.abs(enc - priorBp) < math.abs(raw - priorBp),
+          s"cat ${r.getLong(0)}: smoothing failed to shrink $raw -> $enc " +
+            s"toward $priorBp")
+    }
+  }
 }

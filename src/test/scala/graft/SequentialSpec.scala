@@ -115,4 +115,24 @@ class SequentialSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(4), "span endpoints ordered")
     }
   }
+
+  test("q239 seasonal baseline scores exactly the days with a same-" +
+    "weekday predecessor, MAE consistent with its own sums") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q239_seasonal_baseline")(spark, sfDir)
+      .collect()
+    val days = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts"))).distinct()
+      .collect().map(_.getDate(0).toLocalDate).toSet
+    val scored = days.count(d => days.contains(d.minusDays(7)))
+    assert(rows.map(_.getLong(1)).sum == scored,
+      s"n_days must count exactly the days whose d-7 exists " +
+        s"(${rows.map(_.getLong(1)).sum} vs $scored)")
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 7, "ISO weekday range")
+      assert(r.getLong(3) == r.getLong(2) / r.getLong(1),
+        "mae must be the integer mean of its own sum")
+    }
+  }
 }
