@@ -1783,7 +1783,101 @@ object AnalyticsPatterns extends QueryModule {
         FROM cum JOIN t USING (event_type) CROSS JOIN p
         WHERE cum * 100 >= p.pct * t.n
         GROUP BY cum.event_type, p.lbl
-        ORDER BY event_type, lbl"""))
+        ORDER BY event_type, lbl""")),
+
+    Q(
+      "q243_window_funnel",
+      "ORDERED WINDOW FUNNEL (the ClickHouse windowFunnel primitive — " +
+        "q92 counts two unordered stages, this requires the full " +
+        "signup > click > purchase ORDER inside a 24 h window anchored " +
+        "at the signup): per user, funnel depth = the deepest strictly " +
+        "ordered chain any of their signups starts — level 2 needs a " +
+        "click after a signup within its window, level 3 a purchase " +
+        "after THAT FIRST qualifying click, still inside the signup's " +
+        "window (first-click anchoring is the determinism rule: 'any " +
+        "click' would make level 3 depend on which click a plan " +
+        "happened to keep; ties break on event_id, q210's rule). " +
+        "Output: users per funnel level 0-3 — the drop-off histogram. " +
+        "Plan: three filtered projections of ONE scan join on user_id " +
+        "with the 24 h residual bound (bounded per user-day, q213's " +
+        "argument); the earliest qualifying click per signup is a " +
+        "map-side min(struct) argmin, never a ranking window; level " +
+        "flags collapse per user before the bounded histogram.",
+      (s, dir) => {
+        import s.implicits._
+        val W = 86400000000L
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        val su = ev.filter($"event_type" === "signup")
+          .select($"user_id", $"us".as("s_us"), $"event_id".as("sid"))
+        val cl = ev.filter($"event_type" === "click")
+          .select($"user_id", $"us".as("c_us"), $"event_id".as("cid"))
+        val pu = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"us".as("p_us"), $"event_id".as("pid"))
+        val step2 = su.join(cl, Seq("user_id"))
+          .filter(($"c_us" > $"s_us" ||
+            ($"c_us" === $"s_us" && $"cid" > $"sid")) &&
+            $"c_us" <= $"s_us" + W)
+          .groupBy($"user_id", $"sid", $"s_us")
+          .agg(min(struct($"c_us", $"cid")).as("fc"))
+        val l3 = step2.join(pu, Seq("user_id"))
+          .filter(($"p_us" > $"fc.c_us" ||
+            ($"p_us" === $"fc.c_us" && $"pid" > $"fc.cid")) &&
+            $"p_us" <= $"s_us" + W)
+          .select($"user_id").distinct()
+        val l2 = step2.select($"user_id").distinct()
+        val l1 = su.select($"user_id").distinct()
+        ev.select($"user_id").distinct()
+          .join(l1.withColumn("d1", lit(1)), Seq("user_id"), "left")
+          .join(l2.withColumn("d2", lit(2)), Seq("user_id"), "left")
+          .join(l3.withColumn("d3", lit(3)), Seq("user_id"), "left")
+          .select(greatest(coalesce($"d3", lit(0)),
+            coalesce($"d2", lit(0)), coalesce($"d1", lit(0)))
+            .as("funnel_level"))
+          .groupBy($"funnel_level")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"funnel_level")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        su AS (SELECT user_id, event_id AS sid, us AS s_us
+               FROM e WHERE event_type = 'signup'),
+        cl AS (SELECT user_id, event_id AS cid, us AS c_us
+               FROM e WHERE event_type = 'click'),
+        pu AS (SELECT user_id, event_id AS pid, us AS p_us
+               FROM e WHERE event_type = 'purchase'),
+        s2 AS (
+          SELECT user_id, sid, s_us, c_us, cid FROM (
+            SELECT su.user_id, su.sid, su.s_us, cl.c_us, cl.cid,
+                   row_number() OVER (PARTITION BY su.sid
+                                      ORDER BY cl.c_us, cl.cid) AS rn
+            FROM su JOIN cl ON su.user_id = cl.user_id
+             AND (cl.c_us > su.s_us
+                  OR (cl.c_us = su.s_us AND cl.cid > su.sid))
+             AND cl.c_us <= su.s_us + 86400000000)
+          WHERE rn = 1),
+        l3 AS (
+          SELECT DISTINCT s2.user_id
+          FROM s2 JOIN pu ON s2.user_id = pu.user_id
+           AND (pu.p_us > s2.c_us
+                OR (pu.p_us = s2.c_us AND pu.pid > s2.cid))
+           AND pu.p_us <= s2.s_us + 86400000000),
+        lv AS (
+          SELECT u.user_id,
+                 CASE WHEN l3.user_id IS NOT NULL THEN 3
+                      WHEN l2.user_id IS NOT NULL THEN 2
+                      WHEN l1.user_id IS NOT NULL THEN 1
+                      ELSE 0 END AS funnel_level
+          FROM (SELECT DISTINCT user_id FROM e) u
+          LEFT JOIN (SELECT DISTINCT user_id FROM su) l1 USING (user_id)
+          LEFT JOIN (SELECT DISTINCT user_id FROM s2) l2 USING (user_id)
+          LEFT JOIN l3 USING (user_id))
+        SELECT CAST(funnel_level AS INTEGER) AS funnel_level,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM lv GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -17,6 +17,44 @@ import org.apache.spark.sql.functions._
   */
 object Experimentation extends QueryModule {
 
+  /** The cross-multiplied KS sweep shared by q240 (global) and q242's
+    * streaming per-day monitor — ONE definition so the ECDF arithmetic,
+    * tie rule (smallest bucket at the max), and the decimal-internal
+    * significance compare cannot diverge between the batch test and
+    * the monitor. Input: (groupCols..., bucket, c1, c2) counts over the
+    * bounded bucket domain. Output per group: n1, n2, d_ppm,
+    * d_at_bucket, ks_reject_95 (alpha = 0.05, c^2 micro-scaled =
+    * 1844164). All windows run on the bucket DOMAIN, never rows. */
+  def ksStats(counts: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import counts.sparkSession.implicits._
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(g: _*)
+    counts.select((g ++ Seq($"bucket",
+        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"),
+        sum($"c1").over(wg).as("n1"), sum($"c2").over(wg).as("n2"))): _*)
+      .withColumn("diff", abs($"f1" * $"n2" - $"f2" * $"n1"))
+      .withColumn("dmax", max($"diff").over(wg))
+      .groupBy(g: _*)
+      .agg(min($"n1").as("n1"), min($"n2").as("n2"),
+        min($"dmax").as("d_num"),
+        min(when($"diff" === $"dmax", $"bucket")).as("d_at_bucket"))
+      .select((g ++ Seq($"n1", $"n2",
+        // one-armed groups (a tiny day with every purchase on one
+        // parity) have no two-sample statistic: NULL, and never the
+        // div-by-zero the raw expression would raise under ANSI
+        expr("case when n1 = 0 or n2 = 0 then null " +
+          "else (d_num * 1000000) div (n1 * n2) end").as("d_ppm"),
+        when($"n1" === 0 || $"n2" === 0, lit(null))
+          .otherwise($"d_at_bucket").as("d_at_bucket"),
+        expr("n1 > 0 and n2 > 0 and " +
+          "cast(d_num as decimal(38,0)) * d_num * 1000000 > " +
+          "1844164 * cast(n1 as decimal(38,0)) * n2 * (n1 + n2)")
+          .as("ks_reject_95"))): _*)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q208_ab_test",
@@ -540,24 +578,7 @@ object Experimentation extends QueryModule {
           .groupBy($"bucket")
           .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("c1"),
             sum(when($"arm" === 1, 1L).otherwise(0L)).as("c2"))
-        val w = Window.orderBy($"bucket")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = g.select($"bucket",
-            sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"),
-            sum($"c1").over(Window.partitionBy()).as("n1"),
-            sum($"c2").over(Window.partitionBy()).as("n2"))
-          .withColumn("diff", abs($"f1" * $"n2" - $"f2" * $"n1"))
-          .withColumn("dmax", max($"diff").over(Window.partitionBy()))
-        cum.agg(
-            min($"n1").as("n1"), min($"n2").as("n2"),
-            min($"dmax").as("d_num"),
-            min(when($"diff" === $"dmax", $"bucket")).as("d_at_bucket"))
-          .select($"n1", $"n2",
-            expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"),
-            $"d_at_bucket",
-            expr("cast(d_num as decimal(38,0)) * d_num * 1000000 > " +
-              "1844164 * cast(n1 as decimal(38,0)) * n2 * (n1 + n2)")
-              .as("ks_reject_95"))
+        ksStats(g, Nil)
       },
       Some("""
         WITH p AS (

@@ -302,5 +302,85 @@ object SequentialOps extends QueryModule {
         SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
                CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
                CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
-        FROM e GROUP BY dow ORDER BY dow""")))
+        FROM e GROUP BY dow ORDER BY dow""")),
+
+    Q(
+      "q241_survival_curve",
+      "KAPLAN-MEIER CHURN SURVIVAL CURVE with right-censoring — the " +
+        "product-limit estimator retention analysis actually needs " +
+        "(q91's cohort rate is one point; this is the whole curve, " +
+        "censoring-corrected so users still active at the horizon " +
+        "don't count as churned): entry = first signup day, duration " +
+        "t = days to last activity, censored = last activity within " +
+        "3 days of the horizon, S(t) = prod over i<=t of " +
+        "(n_i - d_i)/n_i. The sequential product is carried in EXACT " +
+        "integer ppm with a per-step floor — S_ppm(t) = " +
+        "(S_ppm(t-1) * (n_i - d_i)) div n_i — replayed identically by " +
+        "Spark's aggregate() HOF over the collected day-domain array " +
+        "and DuckDB's recursive CTE, so the curve is bit-stable where " +
+        "a float product would drift with evaluation order. Plan: two " +
+        "row-scale (user) aggregates (entry, last) merged in one " +
+        "shuffle, the horizon as a 1-row broadcast, then EVERYTHING " +
+        "runs on the <=31-row duration domain (reverse-cumsum risk " +
+        "set, quadratic-in-31 fold) — at 100 TB the wire carries one " +
+        "row per user, the curve costs nothing.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"), $"event_type")
+        val entry = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"d").as("e"))
+        val lastd = ev.groupBy($"user_id").agg(max($"d").as("l"))
+        val byT = entry.join(lastd, Seq("user_id"))
+          .crossJoin(broadcast(ev.agg(max($"d").as("h"))))
+          .select(datediff($"l", $"e").cast("long").as("t"),
+            (datediff($"h", $"l") < 3).as("censored"))
+          .groupBy($"t")
+          .agg(count(lit(1)).as("m"),
+            sum(when(!$"censored", 1L).otherwise(0L)).as("dd"))
+        val wRev = Window.orderBy($"t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        byT.withColumn("n", sum($"m").over(wRev)) // at-risk: duration >= t
+          .select(struct($"t", $"n", $"dd").as("r"))
+          .agg(sort_array(collect_list($"r")).as("a"))
+          .select(expr("""
+            inline(transform(sequence(1, size(a)), k -> struct(
+              a[k-1].t AS t,
+              a[k-1].n AS n_at_risk,
+              a[k-1].dd AS n_deaths,
+              aggregate(slice(a, 1, k), 1000000L,
+                (acc, x) -> (acc * (x.n - x.dd)) div x.n) AS surv_ppm)))"""))
+          .orderBy($"t")
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        entry AS (SELECT user_id, min(d) AS e FROM ev
+                  WHERE event_type = 'signup' GROUP BY 1),
+        lastd AS (SELECT user_id, max(d) AS l FROM ev GROUP BY 1),
+        hz AS (SELECT max(d) AS h FROM ev),
+        u AS (
+          SELECT CAST(lastd.l - entry.e AS BIGINT) AS t,
+                 (hz.h - lastd.l < 3) AS censored
+          FROM entry JOIN lastd USING (user_id) CROSS JOIN hz),
+        byt AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS dd
+          FROM u GROUP BY 1),
+        km AS (
+          SELECT t, m, dd,
+                 CAST(sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS BIGINT) AS n,
+                 CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rk
+          FROM byt),
+        s(rk, t, n, dd, surv) AS (
+          SELECT rk, t, n, dd, (1000000 * (n - dd)) // n
+          FROM km WHERE rk = 1
+          UNION ALL
+          SELECT k.rk, k.t, k.n, k.dd, (s.surv * (k.n - k.dd)) // k.n
+          FROM s JOIN km k ON k.rk = s.rk + 1)
+        SELECT t, n AS n_at_risk, dd AS n_deaths,
+               CAST(surv AS BIGINT) AS surv_ppm
+        FROM s ORDER BY t""")))
 }

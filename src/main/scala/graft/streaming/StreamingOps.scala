@@ -1173,6 +1173,73 @@ object StreamingOps extends QueryModule {
       None),
 
     Q(
+      "q242_stream_ks_monitor",
+      "STREAMING DISTRIBUTION-DRIFT MONITOR — q240's two-sample KS test " +
+        "run as a standing per-day gate over arriving purchases (the " +
+        "online complement of q223's schema contract: that gate checks " +
+        "STRUCTURE, this one checks SHAPE): a streaming aggregation " +
+        "maintains (day, bucket) arm counts as its state — kilobytes " +
+        "per day, bounded by the dollar-bucket domain, NOT by events — " +
+        "and the drained counts feed the shared Experimentation." +
+        "ksStats kernel per day (one definition with the batch test, so " +
+        "monitor and test can never disagree on the statistic). Counts " +
+        "are split-invariant sums, so the per-day verdicts are " +
+        "bit-identical however the stream micro-batched — which is what " +
+        "lets a STREAMING query keep a bit-exact DuckDB oracle.",
+      (s, dir) => {
+        import graft.operators.Experimentation
+        import s.implicits._
+        val counts = eventsStream(s, dir)
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("day"),
+            expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+          .agg(
+            sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("c1"),
+            sum(when($"user_id" % 2 === 1, 1L).otherwise(0L)).as("c2"))
+        val drained = runToMemory(s, counts, "graft_mem_ks_monitor",
+          "complete", shufflePartitions = Some(8))
+        Experimentation.ksStats(drained, Seq("day")).orderBy($"day")
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+                 CAST(round(value * 100) AS BIGINT) // 100 AS bucket
+          FROM events WHERE event_type = 'purchase'),
+        g AS (
+          SELECT day, bucket,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM p GROUP BY 1, 2),
+        cum AS (
+          SELECT day, bucket,
+                 sum(c1) OVER (PARTITION BY day ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS f1,
+                 sum(c2) OVER (PARTITION BY day ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS f2,
+                 sum(c1) OVER (PARTITION BY day) AS n1,
+                 sum(c2) OVER (PARTITION BY day) AS n2
+          FROM g),
+        d AS (
+          SELECT day, bucket, n1, n2, abs(f1 * n2 - f2 * n1) AS diff,
+                 max(abs(f1 * n2 - f2 * n1)) OVER (PARTITION BY day) AS dmax
+          FROM cum)
+        SELECT day, CAST(min(n1) AS BIGINT) AS n1,
+               CAST(min(n2) AS BIGINT) AS n2,
+               CAST(CASE WHEN min(n1) = 0 OR min(n2) = 0 THEN NULL
+                    ELSE (min(dmax) * 1000000) // (min(n1) * min(n2)) END
+                 AS BIGINT) AS d_ppm,
+               CAST(CASE WHEN min(n1) = 0 OR min(n2) = 0 THEN NULL
+                    ELSE min(CASE WHEN diff = dmax THEN bucket END) END
+                 AS BIGINT) AS d_at_bucket,
+               (min(n1) > 0 AND min(n2) > 0 AND
+                CAST(min(dmax) AS HUGEINT) * min(dmax) * 1000000 >
+                1844164 * CAST(min(n1) AS HUGEINT) * min(n2)
+                        * (min(n1) + min(n2))) AS ks_reject_95
+        FROM d GROUP BY day ORDER BY day""")),
+
+    Q(
       "q174_stream_shard_emit",
       "CONTINUOUS SHARD EMIT — arriving documents streamed straight " +
         "into training-shard directories (TrainingShards' last mile as " +

@@ -455,6 +455,47 @@ object Stress {
     time(s"session cooccurrence ${6 * mult}M events") {
       SparkEntry.queries("q193_session_cooccurrence")(s, out).count()
     }
+    // Persisted IVF index (q233's kernel) at 100x embeddings: the build
+    // trains + assigns 180k history vectors; the incremental add then
+    // indexes a 20k arriving batch against the RELOADED codebook — the
+    // number that matters is the add being a small fraction of the
+    // build (it reads zero history), which is the whole point of
+    // persisting the index for a continuous-ingest corpus.
+    locally {
+      import graft.operators.Similarity
+      val root = graft.TempRoots.freshForDir("graft_ivf_stress", out).toString
+      val e = Tables.t(s, out, "embeddings").select($"vec_id", $"embedding")
+      time("IVF index build 180k history vectors") {
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+      }
+      time("IVF incremental add 20k batch (no history reads)") {
+        Similarity.addIvfBatch(e.filter($"vec_id" % 10 === 0), root, "b0")
+      }
+      time("IVF persisted search 8 probes over 200k") {
+        Similarity.knnIvfPersisted(s, root,
+          e.filter($"vec_id" < 8), k = 5, nprobe = 2).count()
+      }
+    }
+    // Ranked recs eval (q235) at row scale: the pair mining is bounded
+    // by the 100-item domain per user; the rec list broadcasts.
+    time(s"MRR recs eval ${6 * mult}M events") {
+      SparkEntry.queries("q235_mrr_eval")(s, out).count()
+    }
+    // KS drift (q240) at row scale: one (bucket) aggregate, then the
+    // ECDF sweep on the ~1000-row dollar-bucket domain.
+    time(s"KS drift ${6 * mult}M events") {
+      SparkEntry.queries("q240_ks_drift")(s, out).count()
+    }
+    // Benford audit (q238) at row scale: one aggregate onto 9 digits.
+    time(s"benford audit ${6 * mult}M lineitem") {
+      SparkEntry.queries("q238_benford_audit")(s, out).count()
+    }
+    // Equal-frequency binning (q236) over the order domain: counting-CDF
+    // on $100 buckets, never an ntile sort of the rows.
+    time(s"feature binning ${1.5 * mult}M orders") {
+      SparkEntry.queries("q236_feature_binning")(s, out).count()
+    }
     // Timer sessionization (q182's processor) as a full streaming
     // lifecycle at 10x: 10k users' ListState buffers + one timer each.
     // Driven through foreachBatch with a distributed count — the corpus

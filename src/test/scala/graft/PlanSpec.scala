@@ -687,6 +687,59 @@ class PlanSpec extends AnyFunSuite {
       "coding 100 TB of vectors must stay a map pass: " + plan.take(600))
   }
 
+  test("q235: rec list broadcasts onto the eval join; the final metric " +
+    "aggregate combines map-side to one row") {
+    val plan = planOf("q235_mrr_eval")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=300-row rec list must broadcast: " + plan.take(600))
+    assert(!plan.contains("CartesianProduct"),
+      "pair mining and eval are equi-joins: " + plan.take(600))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "case metrics must combine map-side: " + plan.take(400))
+  }
+
+  test("q236/q240: the domain windows sit ABOVE a row-scale aggregate — " +
+    "rows never enter an unpartitioned sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("q236_feature_binning", "q240_ks_drift").foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name: expected the domain cumsum windows")
+      wins.foreach { w =>
+        // every window input must be the bucket-domain aggregate, i.e.
+        // an Aggregate appears strictly BELOW it in the tree — an
+        // unpartitioned window directly over the scan is the 100 TB
+        // sort this corpus bans
+        assert(w.collect { case a: Aggregate => a }.nonEmpty,
+          s"$name: window consumes raw rows, not the bucket domain")
+      }
+    }
+  }
+
+  test("q237: the global prior is a 1-row broadcast, never a shuffle") {
+    val plan = planOf("q237_target_encoding")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the prior crossJoin must broadcast its single row: " + plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
+  test("q239: the calendar lag is a self-join of the DAY aggregate — " +
+    "two day-domain sides, zero row-scale joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = SparkEntry.queries("q239_seasonal_baseline")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the d = pd + 7 self-join")
+    joins.foreach { j =>
+      assert(j.left.collect { case a: Aggregate => a }.nonEmpty &&
+        j.right.collect { case a: Aggregate => a }.nonEmpty,
+        "both join sides must already be daily aggregates — joining raw " +
+          "events on date would shuffle row-scale data twice")
+    }
+  }
+
   test("q224: the rec table broadcasts onto the eval scan; no cartesian " +
     "anywhere in the train/eval loop") {
     val plan = planOf("q224_cooccurrence_recs_eval")

@@ -135,4 +135,68 @@ class SequentialSpec extends AnyFunSuite {
         "mae must be the integer mean of its own sum")
     }
   }
+
+  test("q241 Kaplan-Meier: curve monotone, risk sets telescope, deaths " +
+    "exclude exactly the censored users, fold replays in BigInt") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q241_survival_curve")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // survival is non-increasing and starts at most at 1e6
+    rows.map(_._4).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a, s"survival must not rise: $a -> $b")
+      case _ => ()
+    }
+    assert(rows.head._4 <= 1000000L)
+    // risk sets shrink strictly between observed durations (each row's
+    // mass leaves the risk set after its t)
+    rows.toSeq.sliding(2).foreach {
+      case Seq((t1, n1, _, _), (t2, n2, _, _)) =>
+        assert(n2 < n1,
+          s"risk set must shrink strictly between observed t=$t1,$t2")
+      case _ => ()
+    }
+    // deaths across the curve = uncensored users; total mass = cohort
+    val ev = Tables.t(spark, sfDir, "events")
+    val horizon = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      .toLocalDate
+    val lastDays = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", to_date(col("ts"))))
+        .as("e"), max(to_date(col("ts"))).as("l"))
+      .filter(col("e").isNotNull)
+      .collect()
+      .map(_.getDate(2).toLocalDate)
+    val cohort = lastDays.length.toLong
+    assert(rows.head._2 == cohort, "t=0 risk set must be the whole cohort")
+    val uncensored = lastDays.count { l =>
+      java.time.temporal.ChronoUnit.DAYS.between(l, horizon) >= 3
+    }
+    assert(rows.map(_._3).sum == uncensored,
+      s"deaths ${rows.map(_._3).sum} must equal uncensored $uncensored")
+    // BigInt replay of the per-step floored product
+    var acc = BigInt(1000000)
+    rows.foreach { case (_, n, d, surv) =>
+      acc = acc * (n - d) / n
+      assert(acc == surv, s"fold diverged at n=$n d=$d: $acc vs $surv")
+    }
+  }
+
+  test("q243 window funnel: histogram partitions users and level sets " +
+    "nest") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q243_window_funnel")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val users = Tables.t(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(rows.values.sum == users,
+      "every user lands in exactly one funnel level")
+    val signupUsers = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    // levels >= 1 are exactly the users with a signup
+    assert(rows.filter(_._1 >= 1).values.sum == signupUsers,
+      "level >= 1 must equal the signup-user set")
+    rows.keys.foreach(k => assert(k >= 0 && k <= 3))
+  }
 }
