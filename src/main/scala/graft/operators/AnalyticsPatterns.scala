@@ -1877,7 +1877,69 @@ object AnalyticsPatterns extends QueryModule {
           LEFT JOIN l3 USING (user_id))
         SELECT CAST(funnel_level AS INTEGER) AS funnel_level,
                CAST(count(*) AS BIGINT) AS n_users
-        FROM lv GROUP BY 1 ORDER BY 1"""))
+        FROM lv GROUP BY 1 ORDER BY 1""")),
+
+    Q(
+      "q248_session_paths",
+      "TOP SESSION PATHS — the most common 3-step event-type sequences " +
+        "WITHIN a session (q143's 30-min gap rule), the second-order " +
+        "journey mining that q194's first-order transition matrix " +
+        "cannot see (it factorizes a>b>c into independent a>b, b>c): " +
+        "consecutive event triples inside one session via two leads " +
+        "over the SAME (user, ts, event_id) window the sessionizer " +
+        "already sorted by — sessionize, lead(1), lead(2) all share " +
+        "one user_id exchange (CollapseWindow merges same-spec " +
+        "windows; the session boundary check keeps cross-session " +
+        "phantom paths out), then one map-side-combined count over " +
+        "the <=125-path domain and a TakeOrdered top-10 (count desc, " +
+        "path asc — bit-stable).",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.t(s, dir, "events")
+          .withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("new_s",
+            when($"prev_ts".isNull ||
+              $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
+              .otherwise(0L))
+          .withColumn("sess_no", sum($"new_s").over(w))
+          .select($"user_id", $"sess_no", $"event_type",
+            lead($"event_type", 1).over(w).as("t2"),
+            lead($"event_type", 2).over(w).as("t3"),
+            lead($"sess_no", 2).over(w).as("s3"))
+          .filter($"s3" === $"sess_no") // all three inside one session
+          .select(concat($"event_type", lit(">"), $"t2", lit(">"), $"t3")
+            .as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path").limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+          FROM events),
+        f AS (SELECT *, CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL '30 minutes'
+                             THEN 1 ELSE 0 END AS new_s
+              FROM e),
+        g AS (SELECT *, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+              FROM f),
+        tri AS (
+          SELECT user_id, sess_no, event_type,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS t3,
+                 lead(sess_no, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS s3
+          FROM g)
+        SELECT event_type || '>' || t2 || '>' || t3 AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tri WHERE s3 = sess_no
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -612,5 +612,100 @@ object Experimentation extends QueryModule {
                (CAST(min(dmax) AS HUGEINT) * min(dmax) * 1000000 >
                 1844164 * CAST(min(n1) AS HUGEINT) * min(n2)
                         * (min(n1) + min(n2))) AS ks_reject_95
-        FROM d""")))
+        FROM d""")),
+
+    Q(
+      "q244_bootstrap_ci",
+      "DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase " +
+        "amount — nonparametric uncertainty without ANY engine RNG: " +
+        "B = 200 resamples of n draws-with-replacement, where draw " +
+        "(b, j) picks sample index mix(b*1000003 + j) mod n with the " +
+        "q204/q211 overflow-safe quadratic mix mod 2^31-1 — a fixed " +
+        "integer recurrence both engines replay bit-for-bit, so the CI " +
+        "is reproducible across engines, partitionings, and reruns " +
+        "(rand()-based bootstrap is none of those). Sample ranks come " +
+        "from the TWO-PHASE (cents-domain CDF + per-cents event_id " +
+        "window) rank — q125's recipe, no single-partition row sort. " +
+        "The 95% interval takes the 2.5/97.5 percentile resample means " +
+        "by q168's counting rule over the 200-row mean domain. Plan: " +
+        "the B x n grid is the one row-scale shuffle (grid joins ranks " +
+        "on the drawn index); means combine map-side; at 100 TB swap " +
+        "the explicit grid for a per-row deterministic-Poisson weight " +
+        "column (Poisson bootstrap) and keep everything else.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        val B = 200
+        val p = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+            $"event_id")
+        val cdf = p.groupBy($"cents").agg(count(lit(1)).as("cn"))
+          .withColumn("cumBefore", coalesce(sum($"cn").over(
+            Window.orderBy($"cents")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val ranked = p.join(cdf, Seq("cents"))
+          .select($"cents",
+            ($"cumBefore" + row_number().over(
+              Window.partitionBy($"cents").orderBy($"event_id")) - 1)
+              .as("rk"))
+        val nRow = broadcast(p.agg(count(lit(1)).as("n")))
+        val grid = ranked.select($"rk".as("j")).crossJoin(nRow)
+          .crossJoin(broadcast(
+            s.range(B).select($"id".as("b"))))
+          .withColumn("s0", ($"b" * 1000003L + $"j") % M)
+          .withColumn("idx", (($"s0" * $"s0" + $"s0" * 48271L) % M) % $"n")
+        val means = grid.join(ranked.select($"rk".as("idx"), $"cents"),
+            Seq("idx"))
+          .groupBy($"b").agg(sum($"cents").as("tot"))
+          .crossJoin(nRow)
+          .select($"b", expr("tot div n").as("mean_cents"))
+        val rankedMeans = means
+          .withColumn("rn", row_number().over(
+            Window.orderBy($"mean_cents", $"b"))) // 200-row domain
+        rankedMeans
+          .agg(
+            min(when($"rn" * 1000 >= 25 * B, $"mean_cents")).as("ci_lo_cents"),
+            min(when($"rn" * 1000 >= 975 * B, $"mean_cents")).as("ci_hi_cents"))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n"),
+            sum($"cents").as("tot"))))
+          .select($"n", lit(B.toLong).as("b_resamples"),
+            expr("tot div n").as("mean_cents"),
+            $"ci_lo_cents", $"ci_hi_cents")
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+          FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS tot FROM p),
+        ranked AS (
+          SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents, event_id) - 1
+                   AS BIGINT) AS rk
+          FROM p),
+        grid AS (
+          SELECT b.b, r.rk AS j,
+                 ((b.b * 1000003 + r.rk) % 2147483647) AS s0
+          FROM ranked r CROSS JOIN
+               (SELECT unnest(range(200)) AS b) b),
+        drawn AS (
+          SELECT g.b,
+                 ((g.s0 * g.s0 + g.s0 * 48271) % 2147483647) % t.n AS idx
+          FROM grid g, t),
+        means AS (
+          SELECT d.b, CAST(sum(r.cents) // t.n AS BIGINT) AS mean_cents
+          FROM drawn d JOIN ranked r ON r.rk = d.idx, t
+          GROUP BY d.b, t.n),
+        rm AS (
+          SELECT b, mean_cents,
+                 row_number() OVER (ORDER BY mean_cents, b) AS rn
+          FROM means)
+        SELECT t.n, CAST(200 AS BIGINT) AS b_resamples,
+               CAST(t.tot // t.n AS BIGINT) AS mean_cents,
+               CAST(min(CASE WHEN rn * 1000 >= 25 * 200
+                             THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+               CAST(min(CASE WHEN rn * 1000 >= 975 * 200
+                             THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+        FROM rm, t GROUP BY t.n, t.tot""")))
 }

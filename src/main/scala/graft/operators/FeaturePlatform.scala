@@ -518,6 +518,197 @@ object FeaturePlatform extends QueryModule {
                CAST((s_c * 10000) // n_c AS BIGINT) AS raw_bp,
                CAST(((s_c * n + 100 * s) * 10000) // ((n_c + 100) * n)
                  AS BIGINT) AS enc_bp
-        FROM g, t ORDER BY cat"""))
+        FROM g, t ORDER BY cat""")),
+
+    Q(
+      "q245_quantile_normalization",
+      "QUANTILE NORMALIZATION transform — map every order total to its " +
+        "exact percentile rank in ppm (the rank-gaussianization first " +
+        "step, and the scale-free feature a heterogeneous-source model " +
+        "wants): pct_ppm = (rows strictly below my $100 bucket) * 1e6 " +
+        "div total. This is q46's percent_rank AS A 100 TB PLAN — " +
+        "percent_rank is an unpartitioned row-scale window sort, while " +
+        "here one map-side-combined aggregate builds the bounded " +
+        "bucket-domain CDF, which BROADCASTS back onto the scan: the " +
+        "transform itself is a map-side hash lookup, zero row shuffles. " +
+        "Bucket granularity is the documented contract (q236's rule).",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey",
+            expr("cast(round(o_totalprice * 100) as bigint) div 10000")
+              .as("bucket"))
+        val cdf = o.groupBy($"bucket").agg(count(lit(1)).as("cn"))
+          .withColumn("cb", coalesce(sum($"cn").over(
+            Window.orderBy($"bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("tt", sum($"cn").over(Window.partitionBy()))
+        o.join(broadcast(cdf.select($"bucket",
+            expr("(cb * 1000000) div tt").as("pct_ppm"))), Seq("bucket"))
+          .select($"o_orderkey", $"bucket", $"pct_ppm")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket
+          FROM orders),
+        cdf AS (
+          SELECT bucket, count(*) AS cn FROM o GROUP BY 1),
+        c2 AS (
+          SELECT bucket,
+                 COALESCE(sum(cn) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cb,
+                 sum(cn) OVER () AS tt
+          FROM cdf)
+        SELECT o.o_orderkey, o.bucket,
+               CAST((c2.cb * 1000000) // c2.tt AS BIGINT) AS pct_ppm
+        FROM o JOIN c2 USING (bucket)
+        ORDER BY o_orderkey""")),
+
+    Q(
+      "q246_winsorize",
+      "WINSORIZATION at exact global p01/p99 — the outlier-clipping " +
+        "preprocessing step, with thresholds from q168's counting-CDF " +
+        "inverse (min value whose cumulative count clears the " +
+        "percentile — exact, never a sketch) broadcast as two scalars " +
+        "onto one scan. Output per return flag: rows clipped at each " +
+        "tail, the winsorized sum in exact cents, and the thresholds — " +
+        "the audit a feature pipeline stores next to the transform so " +
+        "training/serving skew is detectable. Plan: one (cents) " +
+        "domain aggregate for the CDF, one broadcast, one map pass + " +
+        "map-side-combined flag aggregate; no row ever shuffles.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+          .select($"l_returnflag",
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        val cdf = li.groupBy($"cents").agg(count(lit(1)).as("cn"))
+          .withColumn("cum", sum($"cn").over(
+            Window.orderBy($"cents")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tt", sum($"cn").over(Window.partitionBy()))
+        val thr = broadcast(cdf.agg(
+          min(when($"cum" * 100 >= $"tt", $"cents")).as("p01"),
+          min(when($"cum" * 100 >= $"tt" * 99, $"cents")).as("p99")))
+        li.crossJoin(thr)
+          .select($"l_returnflag",
+            when($"cents" < $"p01", $"p01")
+              .when($"cents" > $"p99", $"p99")
+              .otherwise($"cents").as("w"),
+            ($"cents" < $"p01").cast("long").as("lo"),
+            ($"cents" > $"p99").cast("long").as("hi"),
+            $"p01", $"p99")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"lo").as("n_clipped_lo"), sum($"hi").as("n_clipped_hi"),
+            sum($"w").as("winsorized_sum_cents"),
+            min($"p01").as("p01_cents"), min($"p99").as("p99_cents"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        cdf AS (SELECT cents, count(*) AS cn FROM li GROUP BY 1),
+        c2 AS (
+          SELECT cents,
+                 sum(cn) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(cn) OVER () AS tt
+          FROM cdf),
+        thr AS (
+          SELECT min(CASE WHEN cum * 100 >= tt THEN cents END) AS p01,
+                 min(CASE WHEN cum * 100 >= tt * 99 THEN cents END) AS p99
+          FROM c2)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cents < p01 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_lo,
+               CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clipped_hi,
+               CAST(sum(CASE WHEN cents < p01 THEN p01
+                             WHEN cents > p99 THEN p99
+                             ELSE cents END) AS BIGINT)
+                 AS winsorized_sum_cents,
+               min(p01) AS p01_cents, min(p99) AS p99_cents
+        FROM li, thr GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    Q(
+      "q247_rfm_segmentation",
+      "RFM SEGMENTATION — the classic customer-value cube (Recency / " +
+        "Frequency / Monetary), each dimension cut into equal-frequency " +
+        "tertiles by q236's bucket-domain CDF rule (R on the <=31-day " +
+        "domain, F on the purchase-count domain, M on $10 buckets — " +
+        "never a row-scale ntile sort), segment = 'R<r>F<f>M<m>'. " +
+        "Output per segment: users and exact total cents — the table a " +
+        "CRM targets campaigns from. Bin convention: bin index rises " +
+        "with the RAW value (R0 = most recent... R2 = dormant is " +
+        "reversed in consumer naming — documented, not hidden). Plan: " +
+        "one (user) row-scale aggregate; three bounded-domain CDFs " +
+        "broadcast back; the segment histogram is <=27 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val u = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(max(to_date($"ts")).as("lastp"),
+            count(lit(1)).as("f"),
+            sum(expr("cast(round(value * 100) as bigint)")).as("m"))
+          .crossJoin(broadcast(ev.agg(max(to_date($"ts")).as("h"))))
+          .select($"user_id", datediff($"h", $"lastp").cast("long").as("r"),
+            $"f", $"m", expr("m div 1000").as("mb"))
+        def terts(c: String, out: String) = {
+          val cdf = u.groupBy(col(c)).agg(count(lit(1)).as("cn"))
+            .withColumn("cb", coalesce(sum($"cn").over(
+              Window.orderBy(col(c))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .withColumn("tt", sum($"cn").over(Window.partitionBy()))
+          broadcast(cdf.select(col(c), expr("(cb * 3) div tt").as(out)))
+        }
+        u.join(terts("r", "r_bin"), Seq("r"))
+          .join(terts("f", "f_bin"), Seq("f"))
+          .join(terts("mb", "m_bin"), Seq("mb"))
+          .select(concat(lit("R"), $"r_bin", lit("F"), $"f_bin",
+            lit("M"), $"m_bin").as("segment"), $"m")
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n_users"), sum($"m").as("total_cents"))
+          .orderBy($"segment")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        hz AS (SELECT max(d) AS h FROM ev),
+        u AS (
+          SELECT user_id,
+                 CAST(hz.h - max(d) AS BIGINT) AS r,
+                 CAST(count(*) AS BIGINT) AS f,
+                 CAST(sum(cents) AS BIGINT) AS m,
+                 CAST(sum(cents) AS BIGINT) // 1000 AS mb
+          FROM ev, hz WHERE event_type = 'purchase'
+          GROUP BY user_id, hz.h),
+        rc AS (SELECT r, count(*) AS cn FROM u GROUP BY 1),
+        rb AS (SELECT r, (COALESCE(sum(cn) OVER (ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+                 // (sum(cn) OVER ()) AS r_bin FROM rc),
+        fc AS (SELECT f, count(*) AS cn FROM u GROUP BY 1),
+        fb AS (SELECT f, (COALESCE(sum(cn) OVER (ORDER BY f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+                 // (sum(cn) OVER ()) AS f_bin FROM fc),
+        mc AS (SELECT mb, count(*) AS cn FROM u GROUP BY 1),
+        mbb AS (SELECT mb, (COALESCE(sum(cn) OVER (ORDER BY mb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 3)
+                 // (sum(cn) OVER ()) AS m_bin FROM mc)
+        SELECT 'R' || CAST(rb.r_bin AS VARCHAR) ||
+               'F' || CAST(fb.f_bin AS VARCHAR) ||
+               'M' || CAST(mbb.m_bin AS VARCHAR) AS segment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(u.m) AS BIGINT) AS total_cents
+        FROM u JOIN rb USING (r) JOIN fb USING (f) JOIN mbb USING (mb)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -184,4 +184,41 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == 1000000L,
       "the Benford constants must sum to exactly 1e6")
   }
+
+  test("q244 bootstrap: interval brackets the point estimate and the " +
+    "whole resample schedule replays exactly in plain Scala") {
+    val r = SparkEntry.queries("q244_bootstrap_ci")(spark, sfDir).head()
+    val (n, b, mean, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(b == 200)
+    assert(lo <= mean && mean <= hi,
+      s"CI [$lo, $hi] must bracket the point mean $mean")
+    assert(lo < hi, "a 200-resample CI on continuous amounts can't be flat")
+    // independent replay: same deterministic mix, plain Scala arithmetic
+    val cents = Tables.t(spark, sfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("cast(round(value * 100) as bigint) as c", "event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sortBy(identity).map(_._1)
+    assert(cents.length == n)
+    val M = 2147483647L
+    val means = (0 until 200).map { bb =>
+      var tot = 0L
+      var j = 0
+      while (j < cents.length) {
+        val s0 = (bb * 1000003L + j) % M
+        val idx = ((s0 * s0 + s0 * 48271L) % M) % cents.length
+        tot += cents(idx.toInt)
+        j += 1
+      }
+      tot / cents.length
+    }.sorted
+    // q168 counting rule: smallest mean with rank*1000 >= pct*B
+    def pick(pct: Int): Long =
+      means.zipWithIndex.collectFirst {
+        case (m, i) if (i + 1) * 1000 >= pct * 200 => m
+      }.get
+    assert(pick(25) == lo && pick(975) == hi,
+      s"replayed CI (${pick(25)}, ${pick(975)}) != query ($lo, $hi)")
+  }
 }

@@ -161,4 +161,68 @@ class FeaturePlatformSpec extends AnyFunSuite {
             s"toward $priorBp")
     }
   }
+
+  test("q245 quantile transform: covers every order, monotone in the " +
+    "bucket, strictly below 1e6") {
+    val rows = SparkEntry.queries("q245_quantile_normalization")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Tables.t(spark, sfDir, "orders").count())
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per order")
+    val byBucket = rows.groupBy(_._2).map { case (b, rs) =>
+      assert(rs.map(_._3).distinct.length == 1,
+        s"bucket $b must map to ONE percentile")
+      b -> rs.head._3
+    }.toSeq.sortBy(_._1)
+    byBucket.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "pct must be monotone in the bucket")
+      case _ => ()
+    }
+    assert(byBucket.head._2 == 0L && byBucket.last._2 < 1000000L)
+  }
+
+  test("q246 winsorize: thresholds are exact counting percentiles and " +
+    "the clip ledger reconciles with a raw recount") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q246_winsorize")(spark, sfDir).collect()
+    val (p01, p99) = (rows.head.getLong(5), rows.head.getLong(6))
+    assert(rows.forall(r => r.getLong(5) == p01 && r.getLong(6) == p99),
+      "thresholds are global, identical on every flag row")
+    assert(p01 < p99)
+    val cents = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("cast(round(l_extendedprice * 100) as bigint) as c")
+      .collect().map(_.getLong(0))
+    val n = cents.length.toLong
+    // counting-percentile definition: at least 1% of mass at or below
+    // p01, strictly less than 1% strictly below it (q168's inverse CDF)
+    assert(cents.count(_ <= p01) * 100L >= n)
+    assert(cents.count(_ < p01) * 100L < n)
+    assert(cents.count(_ <= p99) * 100L >= 99L * n)
+    assert(cents.count(_ < p99) * 100L < 99L * n)
+    assert(rows.map(_.getLong(2)).sum == cents.count(_ < p01),
+      "clipped-low ledger must equal the raw recount")
+    assert(rows.map(_.getLong(3)).sum == cents.count(_ > p99))
+    assert(rows.map(_.getLong(4)).sum ==
+      cents.map(c => math.max(p01, math.min(p99, c))).sum,
+      "winsorized sum must equal clamping every raw value")
+  }
+
+  test("q247 RFM: segments partition purchasing users; tertile labels " +
+    "stay in range; monetary ledger conserves") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q247_rfm_segmentation")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val buyers = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_._2).sum == buyers,
+      "every purchasing user lands in exactly one segment")
+    assert(rows.forall(_._1.matches("R[0-2]F[0-2]M[0-2]")),
+      s"segment labels malformed: ${rows.map(_._1).mkString(",")}")
+    val totalCents = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum == totalCents,
+      "segment monetary totals must conserve the corpus revenue")
+  }
 }

@@ -199,4 +199,32 @@ class SequentialSpec extends AnyFunSuite {
       "level >= 1 must equal the signup-user set")
     rows.keys.foreach(k => assert(k >= 0 && k <= 3))
   }
+
+  test("q248 session paths: well-formed triples, sorted by support, " +
+    "counts bounded by q194's pair supports") {
+    val rows = SparkEntry.queries("q248_session_paths")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { case (p, n) =>
+      val steps = p.split(">")
+      assert(steps.length == 3 && steps.forall(types), s"malformed path $p")
+      assert(n > 0)
+    }
+    rows.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, "top-10 must be support-sorted")
+      case _ => ()
+    }
+    // a>b>c occurrences can never exceed the a>b transition count q194
+    // reports over the same sessionization
+    val pairs = SparkEntry.queries("q194_session_transitions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (p, n) =>
+      val s0 = p.split(">")
+      val bound = pairs.getOrElse((s0(0), s0(1)), 0L)
+      assert(n <= bound,
+        s"path $p support $n exceeds its first-transition support $bound")
+    }
+  }
 }
