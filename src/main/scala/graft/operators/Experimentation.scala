@@ -707,5 +707,108 @@ object Experimentation extends QueryModule {
                              THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
                CAST(min(CASE WHEN rn * 1000 >= 975 * 200
                              THEN mean_cents END) AS BIGINT) AS ci_hi_cents
-        FROM rm, t GROUP BY t.n, t.tot""")))
+        FROM rm, t GROUP BY t.n, t.tot""")),
+
+    Q(
+      "q251_position_attribution",
+      "POSITION-BASED (U-SHAPED 40/20/40) ATTRIBUTION with EXACT credit " +
+        "conservation — completes the attribution family (q210 " +
+        "last-touch, q213 linear): the first and last click in a " +
+        "purchase's 24 h lookback each take cents*40 div 100, the " +
+        "middle touches share the remaining pool equally, and every " +
+        "integer remainder lands deterministically (k=1 takes all; " +
+        "k=2's pool goes to the last touch; the most recent middle " +
+        "absorbs the middle remainder) — so sum(credit) == purchase " +
+        "revenue TO THE CENT, the same invariant q213 proves for the " +
+        "linear rule. Touch set, tie rule ((ts, event_id)), and organic " +
+        "fallback are IDENTICAL to q213's — one recency-ranked window " +
+        "over the same user-keyed join — so the three models are " +
+        "comparable row for row. Plan: user-keyed equi-join with the " +
+        "24 h residual, one purchase-keyed window for (k, rn), " +
+        "map-side-combined channel totals.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("pid"), $"us".as("pus"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
+        val j = p.join(c, Seq("user_id"))
+          .filter(($"cus" < $"pus" ||
+            ($"cus" === $"pus" && $"cid" < $"pid")) &&
+            $"pus" - $"cus" <= 86400000000L)
+          .select($"pid", $"cents", $"ch",
+            count(lit(1)).over(wOrd.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
+            row_number().over(wOrd).as("rn")) // rn=1 most recent, rn=k first
+        val credited = j
+          .withColumn("c40", expr("(cents * 40) div 100"))
+          .withColumn("pool", $"cents" - lit(2) * $"c40")
+          .withColumn("mid", when($"k" > 2, expr("pool div (k - 2)")))
+          .withColumn("credit",
+            when($"k" === 1, $"cents")
+              .when($"rn" === $"k", $"c40") // first touch
+              .when($"k" === 2, $"c40" + $"pool") // last of two
+              .when($"rn" === 1, $"c40") // last of >= 3
+              .when($"rn" === 2,
+                $"mid" + ($"pool" - ($"k" - 2) * $"mid")) // newest middle
+              .otherwise($"mid"))
+        val organic = p
+          .join(j.select($"pid"), Seq("pid"), "left_anti")
+          .select(lit("organic").as("channel"), $"cents".as("credit"))
+        credited
+          .select(concat(lit("ch"), $"ch").as("channel"), $"credit")
+          .unionByName(organic)
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_touches"), sum($"credit").as("credit_cents"))
+          .orderBy($"channel")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS pid, epoch_us(CAST(ts AS TIMESTAMP)) AS pus,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS cid, epoch_us(CAST(ts AS TIMESTAMP)) AS cus,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.pid, p.cents, c.ch,
+                 count(*) OVER (PARTITION BY p.pid) AS k,
+                 row_number() OVER (PARTITION BY p.pid
+                                    ORDER BY c.cus DESC, c.cid DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND (c.cus < p.pus
+                            OR (c.cus = p.pus AND c.cid < p.pid))
+                       AND p.pus - c.cus <= 86400000000),
+        cr AS (
+          SELECT pid, ch,
+                 (cents * 40) // 100 AS c40,
+                 cents - 2 * ((cents * 40) // 100) AS pool,
+                 CASE WHEN k > 2
+                      THEN (cents - 2 * ((cents * 40) // 100)) // (k - 2)
+                 END AS mid,
+                 k, rn, cents
+          FROM j),
+        credited AS (
+          SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
+                 CASE WHEN k = 1 THEN cents
+                      WHEN rn = k THEN c40
+                      WHEN k = 2 THEN c40 + pool
+                      WHEN rn = 1 THEN c40
+                      WHEN rn = 2 THEN mid + (pool - (k - 2) * mid)
+                      ELSE mid END AS credit
+          FROM cr),
+        organic AS (
+          SELECT 'organic' AS channel, cents AS credit
+          FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid))
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+        GROUP BY channel ORDER BY channel""")))
 }

@@ -382,5 +382,64 @@ object SequentialOps extends QueryModule {
           FROM s JOIN km k ON k.rk = s.rk + 1)
         SELECT t, n AS n_at_risk, dd AS n_deaths,
                CAST(surv AS BIGINT) AS surv_ppm
-        FROM s ORDER BY t""")))
+        FROM s ORDER BY t""")),
+
+    Q(
+      "q249_autocorrelation",
+      "EXACT AUTOCORRELATION of daily revenue at lags 1 and 7 — the " +
+        "seasonality detector that justifies (or refutes) q239's weekly " +
+        "baseline: acf_k = sum(u_t * u_{t+k}) / sum(u_t^2) with " +
+        "mean-clearing done WITHOUT division — u_t = n*c_t - S (every " +
+        "u is an exact integer; the float 'subtract the mean' version " +
+        "smears with accumulation order). Lag pairing is the q239 " +
+        "CALENDAR join (t+k must exist as a date), never a row offset. " +
+        "The e6 view divides through DECIMAL internally (num*1e6 " +
+        "crosses int64 at sf0.1) and emits only bigints, q208's " +
+        "rendering rule; negative correlations truncate toward zero " +
+        "identically on both engines (IntegralDivide == //). Plan: one " +
+        "row-scale (day) aggregate; the lag join, variance, and both " +
+        "numerators live on the <=31-row day domain crossed with the " +
+        "2-row lag table.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+        val tot = broadcast(daily.agg(count(lit(1)).as("n"),
+          sum($"c").as("ss")))
+        val u = daily.crossJoin(tot)
+          .select($"d", ($"n" * $"c" - $"ss").as("u"))
+        val den = broadcast(u.agg(sum($"u" * $"u").as("den")))
+        val lags = Seq(1, 7).toDF("lag")
+        u.crossJoin(broadcast(lags))
+          .join(u.select($"d".as("pd"), $"u".as("pu")),
+            expr("d = date_add(pd, lag)"))
+          .groupBy($"lag")
+          .agg(count(lit(1)).as("n_pairs"), sum($"pu" * $"u").as("num"))
+          .crossJoin(den)
+          .select($"lag", $"n_pairs",
+            expr("cast((cast(num as decimal(38,0)) * 1000000) div den as bigint)")
+              .as("acf_e6"))
+          .orderBy($"lag")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS ss FROM daily),
+        u AS (SELECT d, n * c - ss AS u FROM daily, t),
+        den AS (SELECT CAST(sum(u * u) AS BIGINT) AS den FROM u),
+        l(lag) AS (VALUES (1), (7)),
+        p AS (
+          SELECT l.lag, a.u AS pu, b.u AS u
+          FROM u a JOIN l ON TRUE
+          JOIN u b ON b.d = a.d + CAST(l.lag AS INTEGER))
+        SELECT CAST(lag AS INTEGER) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST((CAST(sum(pu * u) AS HUGEINT) * 1000000) // den.den
+                 AS BIGINT) AS acf_e6
+        FROM p, den GROUP BY lag, den.den ORDER BY lag""")))
 }

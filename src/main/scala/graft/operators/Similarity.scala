@@ -703,6 +703,53 @@ object Similarity extends QueryModule {
         addIvfBatch(e.filter($"vec_id" % 10 === 0), root, "b0")
         knnIvfPersisted(s, root, e.filter($"vec_id" < 8), k = 5, nprobe = 2)
       },
+      None),
+
+    Q(
+      "q250_ivf_pq_adc",
+      "IVF-PQ SEARCH WITH ASYMMETRIC DISTANCE (ADC) — the billion-" +
+        "vector index shape, assembled from parts the corpus already " +
+        "proves (q97's coarse lists + q222's PQ codes): candidates come " +
+        "from the probe's nprobe=4 inverted lists, are scored WITHOUT " +
+        "touching their raw vectors — ADC approximates dot(probe, v) " +
+        "as sum_j dot(probe_j, centroid[code_j]), the probe side exact " +
+        "and the candidate side its 4 PQ bytes — then the ADC top-50 " +
+        "re-rank EXACTLY (the standard two-stage IVF-PQ recipe: codes " +
+        "cut the scored set, exact scoring only on the shortlist). At " +
+        "100 TB the candidate scan reads 4 bytes + an id per vector " +
+        "instead of 256 — the difference between an index that fits " +
+        "in memory and one that doesn't. Rows-only (quantizer-" +
+        "defined); IvfIndexSpec gates recall vs exact q66 and asserts " +
+        "the shortlist never exceeds 50 per probe.",
+      (s, dir) => {
+        import graft.catalyst.VecOps.{top_centroids, vec_dot}
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val cb = kmeansCodebook(e, 16, 2)
+        val pqs = pqCodebooks(e, iters = 2)
+        val sub = 16
+        val codes = pqCode(e, pqs)
+          .join(ivfAssign(e, cb).select($"vec_id", $"list_id"), Seq("vec_id"))
+        val probes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
+            explode(top_centroids($"embedding", cb, 4)).as("lid"))
+          .select($"probe_id", $"probe_vec",
+            $"lid".cast("int").as("list_id"))
+        val adc = (0 until pqs.size).map { j =>
+          val cblit = typedLit(pqs(j).map(_.toSeq).toSeq)
+          vec_dot(slice($"probe_vec", j * sub + 1, sub),
+            element_at(cblit, col(s"code$j") + 1).cast("array<float>"))
+        }.reduce(_ + _)
+        val shortlist = codes.join(broadcast(probes), Seq("list_id"))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("adc", adc)
+          .withColumn("srank", row_number().over(
+            Window.partitionBy($"probe_id")
+              .orderBy($"adc".desc, $"vec_id")))
+          .filter($"srank" <= 50)
+          .select($"probe_id", $"probe_vec", $"vec_id")
+        rerankTopK(shortlist.join(e, Seq("vec_id")), 5)
+      },
       None)
   )
 

@@ -185,6 +185,26 @@ class ExperimentationSpec extends AnyFunSuite {
       "the Benford constants must sum to exactly 1e6")
   }
 
+  test("q251 position attribution: conserves revenue to the cent and " +
+    "shares the touch universe with q213 exactly") {
+    val pos = SparkEntry.queries("q251_position_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val totalCents = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")))
+      .head().getLong(0)
+    assert(pos.values.map(_._2).sum == totalCents,
+      s"U-shaped credit must conserve revenue exactly: " +
+        s"${pos.values.map(_._2).sum} vs $totalCents")
+    // identical touch set and organic fallback as the linear model —
+    // only the split rule differs, so per-channel touch COUNTS match
+    val lin = SparkEntry.queries("q213_linear_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pos.map { case (ch, (n, _)) => ch -> n } == lin,
+      s"touch universes diverged: ${pos.view.mapValues(_._1).toMap} vs $lin")
+  }
+
   test("q244 bootstrap: interval brackets the point estimate and the " +
     "whole resample schedule replays exactly in plain Scala") {
     val r = SparkEntry.queries("q244_bootstrap_ci")(spark, sfDir).head()

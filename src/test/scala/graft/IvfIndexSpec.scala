@@ -105,6 +105,25 @@ class IvfIndexSpec extends AnyFunSuite {
       "micro-batch split must not change the merged index's answer")
   }
 
+  test("q250 IVF-PQ ADC: exact output shape, recall floor vs brute " +
+    "force, deterministic across reruns") {
+    val brute = SparkEntry.queries("q66_knn_brute_force")(spark, sfDir)
+      .select($"probe_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = SparkEntry.queries("q250_ivf_pq_adc")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q250_ivf_pq_adc")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "integer-micros training + ADC must be " +
+      "bit-deterministic across reruns")
+    assert(a.length == 40, "8 probes x top-5 exactly")
+    val adcSet = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect adcSet).size.toDouble / brute.size
+    // two approximations stack (nprobe=4 coarse routing, 4-byte PQ
+    // scoring of the shortlist) on uniform-random fixtures — LSH/IVF's
+    // adversarial case; the exact top-50 re-rank recovers most of it
+    assert(recall >= 0.5, s"IVF-PQ ADC recall $recall below floor") // measured 0.80
+    info(f"IVF-PQ ADC recall vs exact: $recall%.2f")
+  }
+
   test("the lists layout partition-prunes: a probed-list filter scans " +
     "only its directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
