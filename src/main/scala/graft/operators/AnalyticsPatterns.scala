@@ -1939,7 +1939,127 @@ object AnalyticsPatterns extends QueryModule {
         SELECT event_type || '>' || t2 || '>' || t3 AS path,
                CAST(count(*) AS BIGINT) AS n
         FROM tri WHERE s3 = sess_no
-        GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")),
+
+    Q(
+      "q253_cohort_matrix",
+      "FULL COHORT RETENTION MATRIX — q91's single retention point " +
+        "expanded to the weekly triangle every growth dashboard is " +
+        "built on: users cohort by the ISO week of their FIRST signup " +
+        "(date_trunc('week') is Monday-anchored on both engines), and " +
+        "cell (c, k) counts distinct cohort members active in week " +
+        "c+k, with retention in cross-multiplied basis points of the " +
+        "cohort size. Offsets are calendar weeks (datediff div 7 on " +
+        "the truncated Mondays — exact), week 0 is 10000 bp by " +
+        "construction (the spec's sanity row). Plan: one (user) " +
+        "aggregate for cohorts, one (user, week) distinct for " +
+        "activity, an equi-join on user_id, then everything lives on " +
+        "the <=|weeks|^2/2 triangle domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val cohort = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id")
+          .agg(date_trunc("week", min($"ts")).cast("date").as("cw"))
+        val sizes = cohort.groupBy($"cw").agg(count(lit(1)).as("n_cohort"))
+        val active = ev.select($"user_id",
+            date_trunc("week", $"ts").cast("date").as("aw"))
+          .distinct()
+        cohort.join(active, Seq("user_id"))
+          .filter($"aw" >= $"cw")
+          .select($"cw", (datediff($"aw", $"cw") / 7).cast("long").as("k"))
+          .groupBy($"cw", $"k").agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cw"))
+          .select($"cw".as("cohort_week"), $"k".as("week_offset"),
+            $"n_active", $"n_cohort",
+            expr("(n_active * 10000) div n_cohort").as("retention_bp"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""
+        WITH cohort AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+                  FROM cohort GROUP BY 1),
+        active AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS aw
+          FROM events),
+        cells AS (
+          SELECT c.cw, CAST((a.aw - c.cw) // 7 AS BIGINT) AS k,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM cohort c JOIN active a USING (user_id)
+          WHERE a.aw >= c.cw
+          GROUP BY 1, 2)
+        SELECT cells.cw AS cohort_week, cells.k AS week_offset,
+               cells.n_active, sizes.n_cohort,
+               CAST((cells.n_active * 10000) // sizes.n_cohort AS BIGINT)
+                 AS retention_bp
+        FROM cells JOIN sizes USING (cw)
+        ORDER BY cohort_week, week_offset""")),
+
+    Q(
+      "q254_composition_tree",
+      "CORPUS COMPOSITION TREE with share-of-parent — the hierarchical " +
+        "contribution ledger a training-data report leads with (total " +
+        "chars -> per source -> per source x lang, each node carrying " +
+        "its share of its PARENT in basis points): one ROLLUP computes " +
+        "all three levels in a single pass (grouping_id distinguishes " +
+        "them), then each level joins its parent level's mass — " +
+        "broadcast joins on the bounded node domain — for the exact " +
+        "integer share. The drill-down invariant (children sum to " +
+        "their parent, shares telescope) is what makes a metrics tree " +
+        "trustworthy, and it holds EXACTLY here because every mass is " +
+        "an integer char count (spec-asserted). Root share is 10000 " +
+        "by definition.",
+      (s, dir) => {
+        import s.implicits._
+        val r = Tables.t(s, dir, "documents")
+          .rollup($"source", $"lang")
+          .agg(sum($"n_chars").as("chars"), grouping_id().as("gid"))
+        val root = broadcast(r.filter($"gid" === 3)
+          .select($"chars".as("p_total")))
+        val bySrc = r.filter($"gid" === 1)
+          .select($"source", $"chars".as("src_chars"))
+        r.filter($"gid" =!= 2) // (source, lang) grid has no lang-only nodes
+          .crossJoin(root)
+          .join(broadcast(bySrc.select($"source".as("psrc"),
+            $"src_chars")), $"source" === $"psrc", "left")
+          .select(
+            when($"gid" === 3, "total").when($"gid" === 1, "source")
+              .otherwise("source_lang").as("level"),
+            coalesce($"source", lit("ALL")).as("source"),
+            coalesce($"lang", lit("ALL")).as("lang"),
+            $"chars",
+            when($"gid" === 3, lit(10000L))
+              .when($"gid" === 1, expr("(chars * 10000) div p_total"))
+              .otherwise(expr("(chars * 10000) div src_chars"))
+              .as("share_of_parent_bp"))
+          .orderBy($"level", $"source", $"lang")
+      },
+      Some("""
+        WITH leaf AS (
+          SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY 1, 2),
+        bysrc AS (
+          SELECT source, CAST(sum(chars) AS BIGINT) AS chars
+          FROM leaf GROUP BY 1),
+        root AS (SELECT CAST(sum(chars) AS BIGINT) AS chars FROM bysrc),
+        u AS (
+          SELECT 'total' AS level, 'ALL' AS source, 'ALL' AS lang,
+                 root.chars, CAST(10000 AS BIGINT) AS share_of_parent_bp
+          FROM root
+          UNION ALL
+          SELECT 'source', b.source, 'ALL', b.chars,
+                 CAST((b.chars * 10000) // root.chars AS BIGINT)
+          FROM bysrc b, root
+          UNION ALL
+          SELECT 'source_lang', l.source, l.lang, l.chars,
+                 CAST((l.chars * 10000) // b.chars AS BIGINT)
+          FROM leaf l JOIN bysrc b USING (source))
+        SELECT level, source, lang, chars, share_of_parent_bp
+        FROM u ORDER BY level, source, lang"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -709,6 +709,86 @@ object FeaturePlatform extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_users,
                CAST(sum(u.m) AS BIGINT) AS total_cents
         FROM u JOIN rb USING (r) JOIN fb USING (f) JOIN mbb USING (mb)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    Q(
+      "q252_conformal_interval",
+      "SPLIT-CONFORMAL PREDICTION INTERVALS with a coverage audit — " +
+        "distribution-free uncertainty for any point model, here the " +
+        "per-channel mean purchase amount: TRAIN days 1-10 fits " +
+        "pred(ch) = exact integer mean cents; CALIBRATION days 11-20 " +
+        "yields |y - pred| residuals whose p90 comes from q168's " +
+        "counting-CDF inverse (exact, never a sketch); TEST days 21-30 " +
+        "reports per-channel empirical coverage of pred +/- q90 in " +
+        "cross-multiplied basis points — the number that certifies (or " +
+        "indicts) the interval, and by conformal theory should sit " +
+        "near 9000 bp regardless of the amount distribution. Every " +
+        "stage is exact integer arithmetic on bounded domains: the " +
+        "model is |channels| rows, the residual CDF lives on the cents " +
+        "domain, coverage flags combine map-side.",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select(to_date($"ts").as("d"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"),
+            expr("cast(round(value * 100) as bigint)").as("y"))
+        val c1 = lit("2024-01-11").cast("date")
+        val c2 = lit("2024-01-21").cast("date")
+        val model = broadcast(p.filter($"d" < c1)
+          .groupBy($"ch").agg(expr("sum(y) div count(1)").as("pred")))
+        val resid = p.filter($"d" >= c1 && $"d" < c2)
+          .join(model, Seq("ch"))
+          .select(abs($"y" - $"pred").as("r"))
+        val cdf = resid.groupBy($"r").agg(count(lit(1)).as("cn"))
+          .withColumn("cum", sum($"cn").over(
+            Window.orderBy($"r")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tt", sum($"cn").over(Window.partitionBy()))
+        val q90 = broadcast(cdf.agg(
+          min(when($"cum" * 10 >= $"tt" * 9, $"r")).as("q90")))
+        p.filter($"d" >= c2)
+          .join(model, Seq("ch")).crossJoin(q90)
+          .select($"ch", $"q90",
+            (abs($"y" - $"pred") <= $"q90").cast("long").as("cov"))
+          .groupBy($"ch", $"q90")
+          .agg(count(lit(1)).as("n_test"), sum($"cov").as("n_covered"))
+          .select($"ch", $"n_test", $"n_covered",
+            expr("(n_covered * 10000) div n_test").as("coverage_bp"),
+            $"q90".as("q90_cents"))
+          .orderBy($"ch")
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase'),
+        model AS (
+          SELECT ch, CAST(sum(y) // count(*) AS BIGINT) AS pred
+          FROM p WHERE d < DATE '2024-01-11' GROUP BY 1),
+        resid AS (
+          SELECT abs(p.y - m.pred) AS r
+          FROM p JOIN model m USING (ch)
+          WHERE p.d >= DATE '2024-01-11' AND p.d < DATE '2024-01-21'),
+        cdf AS (
+          SELECT r, sum(count(*)) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(count(*)) OVER () AS tt
+          FROM resid GROUP BY r),
+        q90 AS (
+          SELECT CAST(min(CASE WHEN cum * 10 >= tt * 9 THEN r END)
+            AS BIGINT) AS q90 FROM cdf)
+        SELECT p.ch, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(p.y - m.pred) <= q90.q90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST((sum(CASE WHEN abs(p.y - m.pred) <= q90.q90
+                              THEN 1 ELSE 0 END) * 10000) // count(*)
+                 AS BIGINT) AS coverage_bp,
+               q90.q90 AS q90_cents
+        FROM p JOIN model m USING (ch), q90
+        WHERE p.d >= DATE '2024-01-21'
+        GROUP BY p.ch, q90.q90 ORDER BY p.ch"""))
   )
 }

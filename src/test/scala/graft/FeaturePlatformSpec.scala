@@ -225,4 +225,53 @@ class FeaturePlatformSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == totalCents,
       "segment monetary totals must conserve the corpus revenue")
   }
+
+  test("q252 conformal: internal bp consistency and weighted coverage " +
+    "in the conformal envelope") {
+    val rows = SparkEntry.queries("q252_conformal_interval")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val q90 = rows.head._5
+    assert(rows.forall(_._5 == q90), "the conformal radius is global")
+    assert(q90 > 0)
+    rows.foreach { case (ch, n, cov, bp, _) =>
+      assert(cov <= n && bp == cov * 10000 / n,
+        s"ch $ch: coverage ledger inconsistent ($cov/$n vs $bp bp)")
+    }
+    val (nAll, covAll) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val overall = covAll * 10000 / nAll
+    // split-conformal at alpha=0.1 targets 9000 bp; finite-sample noise
+    // at the fixture's test size stays well inside this envelope
+    assert(overall >= 7500 && overall <= 10000,
+      s"overall coverage $overall bp outside the conformal envelope")
+    info(s"conformal coverage: $overall bp (target 9000)")
+  }
+
+  test("q254 composition tree: children sum EXACTLY to their parent at " +
+    "every level") {
+    val rows = SparkEntry.queries("q254_composition_tree")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val total = rows.filter(_._1 == "total")
+    assert(total.length == 1 && total.head._5 == 10000L)
+    val srcRows = rows.filter(_._1 == "source")
+    val leafRows = rows.filter(_._1 == "source_lang")
+    assert(srcRows.map(_._4).sum == total.head._4,
+      "source masses must sum to the root")
+    srcRows.foreach { case (_, src, _, chars, _) =>
+      val kids = leafRows.filter(_._2 == src).map(_._4).sum
+      assert(kids == chars, s"$src: leaves sum $kids != parent $chars")
+    }
+    // shares telescope up to integer floors: each source's leaf shares
+    // sum within |langs| of 10000
+    srcRows.foreach { case (_, src, _, _, _) =>
+      val shareSum = leafRows.filter(_._2 == src).map(_._5).sum
+      val k = leafRows.count(_._2 == src)
+      assert(shareSum <= 10000 && shareSum >= 10000 - k,
+        s"$src: leaf shares sum $shareSum with $k children")
+    }
+  }
 }

@@ -227,4 +227,27 @@ class SequentialSpec extends AnyFunSuite {
         s"path $p support $n exceeds its first-transition support $bound")
     }
   }
+
+  test("q253 cohort matrix: week-0 is definitionally full, cells bounded " +
+    "by their cohort, cohorts partition the signup universe") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q253_cohort_matrix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cw, k, act, coh, bp) =>
+      assert(k >= 0 && act <= coh,
+        s"cohort $cw offset $k: active $act exceeds cohort $coh")
+      assert(bp == act * 10000 / coh)
+      if (k == 0) assert(bp == 10000L,
+        s"cohort $cw: signup week must be fully retained, got $bp bp")
+    }
+    val signups = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    val cohortSizes = rows.filter(_._2 == 0L).map(r => r._1 -> r._4).toMap
+    assert(cohortSizes.values.sum == signups,
+      "cohorts must partition the signing-up users")
+  }
 }
