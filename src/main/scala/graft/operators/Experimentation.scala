@@ -55,6 +55,46 @@ object Experimentation extends QueryModule {
           .as("ks_reject_95"))): _*)
   }
 
+  /** The attribution family's shared TOUCH UNIVERSE (q213 linear, q251
+    * position-based; q210's window form is the join-free equivalent,
+    * spec-asserted to agree on organic sets): purchases p = (user_id,
+    * pid, pus, cents) and the touch join j = (pid, cents, ch, k, rn)
+    * where a click touches a purchase iff it precedes it in (ts,
+    * event_id) order within 24 h, k = touches per purchase, rn = 1 is
+    * the MOST RECENT touch. One definition so the tie rule and lookback
+    * can never diverge between credit models — their comparability
+    * (identical touch sets, only the split rule differs) is a declared
+    * contract, enforced structurally here and cross-checked in
+    * ExperimentationSpec. */
+  def touchUniverse(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .withColumn("us", unix_micros($"ts".cast("timestamp")))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("pid"), $"us".as("pus"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("ch"))
+    val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
+    val j = p.join(c, Seq("user_id"))
+      // same-µs ties break by event_id exactly as q210's
+      // (ts, event_id)-ordered window does — a click that sorts AFTER
+      // the purchase in that sequence is not a touch, so the models'
+      // organic sets agree at timestamp ties
+      .filter(($"cus" < $"pus" ||
+        ($"cus" === $"pus" && $"cid" < $"pid")) &&
+        $"pus" - $"cus" <= 86400000000L)
+      // one select so k and rn share one pid-keyed window operator
+      .select($"pid", $"cents", $"ch",
+        count(lit(1)).over(wOrd.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
+        row_number().over(wOrd).as("rn"))
+    (p, j)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q208_ab_test",
@@ -321,30 +361,7 @@ object Experimentation extends QueryModule {
         "map-side.",
       (s, dir) => {
         import s.implicits._
-        val ev = Tables.t(s, dir, "events")
-          .withColumn("us", unix_micros($"ts".cast("timestamp")))
-        val p = ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"event_id".as("pid"), $"us".as("pus"),
-            expr("cast(round(value * 100) as bigint)").as("cents"))
-        val c = ev.filter($"event_type" === "click")
-          .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
-            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
-              .as("ch"))
-        val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
-        val j = p.join(c, Seq("user_id"))
-          // same-µs ties break by event_id exactly as q210's
-          // (ts, event_id)-ordered window does — a click that sorts
-          // AFTER the purchase in that sequence is not a touch, so the
-          // two queries' organic sets agree at timestamp ties
-          // (ExperimentationSpec asserts it)
-          .filter(($"cus" < $"pus" ||
-            ($"cus" === $"pus" && $"cid" < $"pid")) &&
-            $"pus" - $"cus" <= 86400000000L)
-          // one select so k and rn share one pid-keyed window operator
-          .select($"pid", $"cents", $"ch",
-            count(lit(1)).over(wOrd.rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
-            row_number().over(wOrd).as("rn"))
+        val (p, j) = touchUniverse(s, dir)
         val touched = j.select(
           concat(lit("ch"), $"ch").as("channel"),
           when($"rn" === 1, $"cents" - ($"k" - 1) * expr("cents div k"))
@@ -728,24 +745,8 @@ object Experimentation extends QueryModule {
         "map-side-combined channel totals.",
       (s, dir) => {
         import s.implicits._
-        val ev = Tables.t(s, dir, "events")
-          .withColumn("us", unix_micros($"ts".cast("timestamp")))
-        val p = ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"event_id".as("pid"), $"us".as("pus"),
-            expr("cast(round(value * 100) as bigint)").as("cents"))
-        val c = ev.filter($"event_type" === "click")
-          .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
-            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
-              .as("ch"))
-        val wOrd = Window.partitionBy($"pid").orderBy($"cus".desc, $"cid".desc)
-        val j = p.join(c, Seq("user_id"))
-          .filter(($"cus" < $"pus" ||
-            ($"cus" === $"pus" && $"cid" < $"pid")) &&
-            $"pus" - $"cus" <= 86400000000L)
-          .select($"pid", $"cents", $"ch",
-            count(lit(1)).over(wOrd.rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
-            row_number().over(wOrd).as("rn")) // rn=1 most recent, rn=k first
+        // rn=1 most recent, rn=k first — the shared touchUniverse rule
+        val (p, j) = touchUniverse(s, dir)
         val credited = j
           .withColumn("c40", expr("(cents * 40) div 100"))
           .withColumn("pool", $"cents" - lit(2) * $"c40")

@@ -652,6 +652,9 @@ object FeaturePlatform extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val ev = Tables.t(s, dir, "events")
+        // materialized ONCE: four consumers (the join base + three CDF
+        // builders) would otherwise each re-scan events and re-run the
+        // user aggregate (q235's multi-consumer checkpoint rule)
         val u = ev.filter($"event_type" === "purchase")
           .groupBy($"user_id")
           .agg(max(to_date($"ts")).as("lastp"),
@@ -660,6 +663,7 @@ object FeaturePlatform extends QueryModule {
           .crossJoin(broadcast(ev.agg(max(to_date($"ts")).as("h"))))
           .select($"user_id", datediff($"h", $"lastp").cast("long").as("r"),
             $"f", $"m", expr("m div 1000").as("mb"))
+          .localCheckpoint(true)
         def terts(c: String, out: String) = {
           val cdf = u.groupBy(col(c)).agg(count(lit(1)).as("cn"))
             .withColumn("cb", coalesce(sum($"cn").over(

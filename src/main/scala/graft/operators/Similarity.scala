@@ -727,7 +727,9 @@ object Similarity extends QueryModule {
         val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
         val cb = kmeansCodebook(e, 16, 2)
         val pqs = pqCodebooks(e, iters = 2)
-        val sub = 16
+        // subspace width comes FROM the trained artifact — a pqCodebooks
+        // retune cannot silently desync the probe-side slicing
+        val sub = pqs.head.head.length
         val codes = pqCode(e, pqs)
           .join(ivfAssign(e, cb).select($"vec_id", $"list_id"), Seq("vec_id"))
         val probes = e.filter($"vec_id" < 8)
