@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object FeaturePlatform extends QueryModule {
 
+  /** q252's fitted artifacts, shared with the streaming coverage monitor
+    * (q257) so batch test and standing monitor can never disagree on the
+    * model or the radius: per-channel exact integer mean purchase cents
+    * from TRAIN days 1-10, and the exact counting-CDF p90 of the
+    * CALIBRATION days' (11-20) absolute residuals — both bounded-domain
+    * frames a caller broadcasts. */
+  def conformalParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val p = Tables.t(s, dir, "events")
+      .filter($"event_type" === "purchase")
+      .select(to_date($"ts").as("d"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("ch"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+    val c1 = lit("2024-01-11").cast("date")
+    val c2 = lit("2024-01-21").cast("date")
+    val model = p.filter($"d" < c1)
+      .groupBy($"ch").agg(expr("sum(y) div count(1)").as("pred"))
+    val cdf = p.filter($"d" >= c1 && $"d" < c2)
+      .join(broadcast(model), Seq("ch"))
+      .select(abs($"y" - $"pred").as("r"))
+      .groupBy($"r").agg(count(lit(1)).as("cn"))
+      .withColumn("cum", sum($"cn").over(
+        Window.orderBy($"r")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tt", sum($"cn").over(Window.partitionBy()))
+    val q90 = cdf.agg(min(when($"cum" * 10 >= $"tt" * 9, $"r")).as("q90"))
+    (model, q90)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q224_cooccurrence_recs_eval",
@@ -738,21 +770,10 @@ object FeaturePlatform extends QueryModule {
             expr("cast(get_json_object(props, '$.k') as bigint) div 25")
               .as("ch"),
             expr("cast(round(value * 100) as bigint)").as("y"))
-        val c1 = lit("2024-01-11").cast("date")
-        val c2 = lit("2024-01-21").cast("date")
-        val model = broadcast(p.filter($"d" < c1)
-          .groupBy($"ch").agg(expr("sum(y) div count(1)").as("pred")))
-        val resid = p.filter($"d" >= c1 && $"d" < c2)
-          .join(model, Seq("ch"))
-          .select(abs($"y" - $"pred").as("r"))
-        val cdf = resid.groupBy($"r").agg(count(lit(1)).as("cn"))
-          .withColumn("cum", sum($"cn").over(
-            Window.orderBy($"r")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("tt", sum($"cn").over(Window.partitionBy()))
-        val q90 = broadcast(cdf.agg(
-          min(when($"cum" * 10 >= $"tt" * 9, $"r")).as("q90")))
-        p.filter($"d" >= c2)
+        val (modelDf, q90Df) = conformalParts(s, dir)
+        val model = broadcast(modelDf)
+        val q90 = broadcast(q90Df)
+        p.filter($"d" >= lit("2024-01-21").cast("date"))
           .join(model, Seq("ch")).crossJoin(q90)
           .select($"ch", $"q90",
             (abs($"y" - $"pred") <= $"q90").cast("long").as("cov"))

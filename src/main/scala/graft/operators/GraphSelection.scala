@@ -590,6 +590,85 @@ object GraphSelection extends QueryModule {
                benford_ppm,
                CAST(abs((n_obs * 1000000) // total - benford_ppm) AS BIGINT)
                  AS dev_ppm
-        FROM t ORDER BY digit"""))
+        FROM t ORDER BY digit""")),
+
+    Q(
+      "q256_gini_split",
+      "EXACT DECISION-TREE SPLIT SEARCH — the CART inner loop as one " +
+        "relational pass: over all 99 candidate thresholds on the " +
+        "props.k feature, find the split minimizing Gini-weighted " +
+        "impurity for the is-it-a-purchase label. Impurity of a side " +
+        "is 2*pos*neg/n_side; the weighted score drops the constant " +
+        "2/n, so score(t) = pos_l*neg_l*1e6 div n_l + pos_r*neg_r*1e6 " +
+        "div n_r — two independent integer floors, deterministic on " +
+        "both engines, argmin tie-broken on the threshold. Candidate " +
+        "stats come FREE from two cumulative sums over the 100-value " +
+        "feature DOMAIN (one row-scale aggregate feeds them) — the " +
+        "histogram-based split finder every distributed GBDT " +
+        "(XGBoost/LightGBM-style) uses, here with zero approximation. " +
+        "Output: the best split with both sides' ledgers and the " +
+        "parent impurity it improves on.",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.t(s, dir, "events")
+          .select(expr("cast(get_json_object(props, '$.k') as bigint)")
+            .as("x"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy($"x")
+          .agg(count(lit(1)).as("cn"), sum($"y").as("pos"))
+        val w = Window.orderBy($"x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.select($"x",
+            sum($"cn").over(w).as("nl"), sum($"pos").over(w).as("pl"),
+            sum($"cn").over(Window.partitionBy()).as("n"),
+            sum($"pos").over(Window.partitionBy()).as("p"))
+          .filter($"nl" < $"n") // a split must leave the right side non-empty
+          .select($"x".as("split"), $"nl", $"pl",
+            ($"n" - $"nl").as("nr"), ($"p" - $"pl").as("pr"), $"n", $"p")
+          .withColumn("score_e6",
+            expr("(pl * (nl - pl) * 1000000) div nl + " +
+              "(pr * (nr - pr) * 1000000) div nr"))
+        val best = cum.withColumn("m", min($"score_e6").over(
+            Window.partitionBy()))
+          .filter($"score_e6" === $"m")
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"split"))) // deterministic tie-break
+          .filter($"rk" === 1)
+        best.select($"split", $"nl".as("n_left"), $"pl".as("pos_left"),
+          $"nr".as("n_right"), $"pr".as("pos_right"), $"score_e6",
+          expr("(2 * p * (n - p) * 1000000) div (n * n)")
+            .as("parent_gini_e6"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(json_extract(props, 'k') AS BIGINT) AS x,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        g AS (SELECT x, CAST(count(*) AS BIGINT) AS cn,
+                     CAST(sum(y) AS BIGINT) AS pos
+              FROM e GROUP BY 1),
+        cum AS (
+          SELECT x AS split,
+                 sum(cn) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS nl,
+                 sum(pos) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS pl,
+                 sum(cn) OVER () AS n, sum(pos) OVER () AS p
+          FROM g),
+        scored AS (
+          SELECT split, nl, pl, n - nl AS nr, p - pl AS pr, n, p,
+                 (pl * (nl - pl) * 1000000) // nl
+                   + ((p - pl) * ((n - nl) - (p - pl)) * 1000000) // (n - nl)
+                   AS score_e6
+          FROM cum WHERE nl < n)
+        SELECT split, CAST(nl AS BIGINT) AS n_left,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(pr AS BIGINT) AS pos_right,
+               CAST(score_e6 AS BIGINT) AS score_e6,
+               CAST((2 * p * (n - p) * 1000000) // (n * n) AS BIGINT)
+                 AS parent_gini_e6
+        FROM scored
+        ORDER BY score_e6, split LIMIT 1"""))
   )
 }

@@ -441,5 +441,49 @@ object SequentialOps extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST((CAST(sum(pu * u) AS HUGEINT) * 1000000) // den.den
                  AS BIGINT) AS acf_e6
-        FROM p, den GROUP BY lag, den.den ORDER BY lag""")))
+        FROM p, den GROUP BY lag, den.den ORDER BY lag""")),
+
+    Q(
+      "q255_seasonal_indices",
+      "MULTIPLICATIVE SEASONAL INDICES by ISO weekday — the classical " +
+        "decomposition step between q249 (detects weekly structure) and " +
+        "q239 (exploits it): index(w) = mean daily revenue on weekday w " +
+        "over the overall daily mean, in cross-multiplied basis points " +
+        "— (S_w * n * 10^4) div (n_w * S), every term an exact integer " +
+        "so the indices are order-independent (a float mean-of-means " +
+        "drifts) and they average to ~10000 by construction (the spec's " +
+        "telescoping check). Plan: one row-scale (day) aggregate; the " +
+        "weekday collapse and the cross-multiplication run on the " +
+        "7-row domain against a 1-row broadcast total.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+        daily.select((weekday($"d") + 1).as("dow"), $"c")
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_days"), sum($"c").as("cents"))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"),
+            sum($"c").as("tot"))))
+          .select($"dow", $"n_days", $"cents",
+            expr("(cents * n * 10000) div (n_days * tot)").as("index_bp"))
+          .orderBy($"dow")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS tot FROM daily),
+        w AS (
+          SELECT CAST(isodow(d) AS INTEGER) AS dow,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(c) AS BIGINT) AS cents
+          FROM daily GROUP BY 1)
+        SELECT dow, n_days, cents,
+               CAST((cents * n * 10000) // (n_days * tot) AS BIGINT)
+                 AS index_bp
+        FROM w, t ORDER BY dow""")))
 }

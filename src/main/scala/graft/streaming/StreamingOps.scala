@@ -1240,6 +1240,77 @@ object StreamingOps extends QueryModule {
         FROM d GROUP BY day ORDER BY day""")),
 
     Q(
+      "q257_stream_conformal_monitor",
+      "STREAMING CONFORMAL-COVERAGE MONITOR — q252's prediction " +
+        "interval deployed as a standing per-day guardrail (the model-" +
+        "quality twin of q242's distribution gate): the per-channel " +
+        "mean model and the exact p90 residual radius are FITTED BY " +
+        "THE SHARED FeaturePlatform.conformalParts (one definition " +
+        "with the batch test — monitor and test cannot disagree), " +
+        "broadcast onto the arriving purchase stream as a " +
+        "stream-static join, and a streaming aggregation keeps per-day " +
+        "covered/total counters — state bounded by the day domain. " +
+        "Coverage collapsing below the 9000 bp target is the " +
+        "drift-has-broken-the-model alarm. Counts are split-invariant, " +
+        "so the drained per-day ledger is bit-exact against the batch " +
+        "oracle however the stream micro-batched.",
+      (s, dir) => {
+        import graft.operators.FeaturePlatform
+        import s.implicits._
+        val (model, q90) = FeaturePlatform.conformalParts(s, dir)
+        val radius = q90.head().getLong(0)
+        val test = eventsStream(s, dir)
+          .filter($"event_type" === "purchase" &&
+            to_date($"ts") >= lit("2024-01-21").cast("date"))
+          .select(to_date($"ts").as("day"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"),
+            expr("cast(round(value * 100) as bigint)").as("y"))
+          .join(broadcast(model), Seq("ch")) // stream-static
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_test"),
+            sum((abs($"y" - $"pred") <= radius).cast("long"))
+              .as("n_covered"))
+        val drained = runToMemory(s, test, "graft_mem_conformal",
+          "complete", shufflePartitions = Some(8))
+        drained.select($"day", $"n_test", $"n_covered",
+          expr("(n_covered * 10000) div n_test").as("coverage_bp"),
+          lit(radius).as("q90_cents"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase'),
+        model AS (
+          SELECT ch, CAST(sum(y) // count(*) AS BIGINT) AS pred
+          FROM p WHERE d < DATE '2024-01-11' GROUP BY 1),
+        resid AS (
+          SELECT abs(p.y - m.pred) AS r
+          FROM p JOIN model m USING (ch)
+          WHERE p.d >= DATE '2024-01-11' AND p.d < DATE '2024-01-21'),
+        cdf AS (
+          SELECT r, sum(count(*)) OVER (ORDER BY r
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(count(*)) OVER () AS tt
+          FROM resid GROUP BY r),
+        q90 AS (
+          SELECT CAST(min(CASE WHEN cum * 10 >= tt * 9 THEN r END)
+            AS BIGINT) AS q90 FROM cdf)
+        SELECT p.d AS day, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(p.y - m.pred) <= q90.q90
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               CAST((sum(CASE WHEN abs(p.y - m.pred) <= q90.q90
+                              THEN 1 ELSE 0 END) * 10000) // count(*)
+                 AS BIGINT) AS coverage_bp,
+               q90.q90 AS q90_cents
+        FROM p JOIN model m USING (ch), q90
+        WHERE p.d >= DATE '2024-01-21'
+        GROUP BY p.d, q90.q90 ORDER BY day""")),
+
+    Q(
       "q174_stream_shard_emit",
       "CONTINUOUS SHARD EMIT — arriving documents streamed straight " +
         "into training-shard directories (TrainingShards' last mile as " +

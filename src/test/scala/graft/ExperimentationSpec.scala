@@ -205,6 +205,33 @@ class ExperimentationSpec extends AnyFunSuite {
       s"touch universes diverged: ${pos.view.mapValues(_._1).toMap} vs $lin")
   }
 
+  test("q256 Gini split: the whole 99-candidate search replays in " +
+    "BigInt and the winner really is the argmin") {
+    val r = SparkEntry.queries("q256_gini_split")(spark, sfDir).head()
+    val hist = Tables.t(spark, sfDir, "events")
+      .selectExpr("cast(get_json_object(props, '$.k') as bigint) as x",
+        "case when event_type = 'purchase' then 1 else 0 end as y")
+      .groupBy("x")
+      .agg(count(lit(1)).as("cn"), sum(col("y")).as("pos"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val p = hist.map(_._3).sum
+    var (nl, pl) = (0L, 0L)
+    val scores = hist.dropRight(1).map { case (x, cn, pos) =>
+      nl += cn; pl += pos
+      val (nr, pr) = (n - nl, p - pl)
+      val s0 = BigInt(pl) * (nl - pl) * 1000000 / nl +
+        BigInt(pr) * (nr - pr) * 1000000 / nr
+      (x, nl, pl, nr, pr, s0.toLong)
+    }
+    val best = scores.minBy(s => (s._6, s._1))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == best,
+      s"split search replay mismatch: query $r vs replay $best")
+    assert(scores.forall(_._6 >= best._6))
+  }
+
   test("q244 bootstrap: interval brackets the point estimate and the " +
     "whole resample schedule replays exactly in plain Scala") {
     val r = SparkEntry.queries("q244_bootstrap_ci")(spark, sfDir).head()

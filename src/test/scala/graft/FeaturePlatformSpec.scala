@@ -249,6 +249,24 @@ class FeaturePlatformSpec extends AnyFunSuite {
     info(s"conformal coverage: $overall bp (target 9000)")
   }
 
+  test("q257 streaming coverage monitor reconciles exactly with q252's " +
+    "batch audit — same model, same radius, same totals") {
+    val stream = SparkEntry
+      .queries("q257_stream_conformal_monitor")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    val batch = SparkEntry.queries("q252_conformal_interval")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(stream.map(_._3).distinct.toSeq == batch.map(_._3).distinct.toSeq,
+      "monitor and test must share ONE conformal radius")
+    assert(stream.map(_._1).sum == batch.map(_._1).sum &&
+      stream.map(_._2).sum == batch.map(_._2).sum,
+      "per-day and per-channel ledgers must cover the same test set: " +
+        s"${stream.map(_._1).sum}/${stream.map(_._2).sum} vs " +
+        s"${batch.map(_._1).sum}/${batch.map(_._2).sum}")
+  }
+
   test("q254 composition tree: children sum EXACTLY to their parent at " +
     "every level") {
     val rows = SparkEntry.queries("q254_composition_tree")(spark, sfDir)

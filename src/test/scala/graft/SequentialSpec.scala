@@ -228,6 +228,26 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("q255 seasonal indices: ledgers conserve the daily revenue and " +
+    "every index replays in BigInt") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q255_seasonal_indices")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val daily = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+      .collect().map(_.getLong(1))
+    val (n, tot) = (daily.length.toLong, daily.sum)
+    assert(rows.map(_._2).sum == n && rows.map(_._3).sum == tot,
+      "weekday ledgers must partition the day domain and its revenue")
+    rows.foreach { case (dow, nd, c, bp) =>
+      assert(bp == (BigInt(c) * n * 10000 / (BigInt(nd) * tot)).toLong,
+        s"dow $dow index replay mismatch")
+    }
+  }
+
   test("q253 cohort matrix: week-0 is definitionally full, cells bounded " +
     "by their cohort, cohorts partition the signup universe") {
     import org.apache.spark.sql.functions._
