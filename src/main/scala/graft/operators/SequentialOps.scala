@@ -485,5 +485,49 @@ object SequentialOps extends QueryModule {
         SELECT dow, n_days, cents,
                CAST((cents * n * 10000) // (n_days * tot) AS BIGINT)
                  AS index_bp
-        FROM w, t ORDER BY dow""")))
+        FROM w, t ORDER BY dow""")),
+
+    Q(
+      "q258_bitmap_rolling_wau",
+      "EXACT ROLLING WAU via native MERGEABLE BITMAPS — the third " +
+        "physical strategy for windowed COUNT DISTINCT, completing the " +
+        "ladder: q203 explodes deduped pairs and re-distincts (exact, " +
+        "shuffles user rows), q218 unions HLL sketches (kilobytes, " +
+        "~2% error), THIS unions per-day BITMAPS (one bit per user — " +
+        "exact AND constant-size: merging 7 days costs O(maxId/8) " +
+        "bytes, not a row shuffle). Per-day sets build in ONE " +
+        "BitmapSetAgg pass straight off raw events (set semantics — " +
+        "no pre-distinct needed, duplicates are idempotent bit-sets " +
+        "with map-side combine); the x7 fan-out then carries ~190-byte " +
+        "day bitmaps, and the window union is a bitwise-OR aggregate. " +
+        "SAME ORACLE AS q203 — a brand-new native aggregate proven " +
+        "bit-exact against the relational strategy. Dense-id contract " +
+        "stated in BitmapAgg (O(maxId) bits/group; Roaring or q218 for " +
+        "sparse domains; loud guard on out-of-range ids).",
+      (s, dir) => {
+        import graft.catalyst.BitmapAgg.{bitmap_agg, bitmap_card, bitmap_or_card_agg}
+        import s.implicits._
+        val dayBm = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"))
+          .groupBy($"d").agg(bitmap_agg($"user_id").as("bm"))
+        val dau = dayBm.select($"d", bitmap_card($"bm").as("n_dau"))
+        val wau = dayBm
+          .select(explode(sequence(lit(0), lit(6))).as("x"), $"d", $"bm")
+          .select(date_add($"d", $"x").as("d"), $"bm")
+          .groupBy($"d").agg(bitmap_or_card_agg($"bm").as("n_wau"))
+        dau.join(wau, Seq("d"))
+          .select($"d", $"n_dau", $"n_wau",
+            expr("(n_dau * 10000) DIV n_wau").as("stickiness_bp"))
+          .orderBy($"d")
+      },
+      Some("""
+        WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        dau AS (SELECT d, count(*) AS n_dau FROM ud GROUP BY d),
+        ex AS (SELECT user_id, d + CAST(x AS INTEGER) AS d
+               FROM ud, (SELECT unnest(generate_series(0, 6)) AS x)),
+        wau AS (SELECT d, count(DISTINCT user_id) AS n_wau FROM ex GROUP BY d)
+        SELECT dau.d, n_dau, n_wau,
+               CAST((n_dau * 10000) // n_wau AS BIGINT) AS stickiness_bp
+        FROM dau JOIN wau ON dau.d = wau.d
+        ORDER BY dau.d""")))
 }

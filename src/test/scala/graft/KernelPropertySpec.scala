@@ -233,4 +233,31 @@ class KernelPropertySpec extends AnyFunSuite {
         s"case $i: a merge must never create or lose characters")
     }
   }
+
+  test("bitmap aggregates: set semantics, union merge, partition " +
+    "invariance, loud dense-domain guard") {
+    import TestSession.spark
+    import graft.catalyst.BitmapAgg._
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // duplicates are idempotent, cardinality is the distinct count,
+    // and the answer is identical at 1 and 32 partitions (merge = OR
+    // is commutative/associative)
+    val ids = Seq(3L, 3L, 7L, 0L, 1024L, 7L, 65L)
+    def card(parts: Int): Long = ids.toDF("id").repartition(parts)
+      .agg(bitmap_agg($"id").as("bm"))
+      .select(bitmap_card($"bm")).head().getLong(0)
+    assert(card(1) == 5L && card(32) == 5L)
+    // OR-union of group bitmaps equals the distinct of the union
+    val two = Seq((0, 3L), (0, 7L), (1, 7L), (1, 9L)).toDF("g", "id")
+      .groupBy($"g").agg(bitmap_agg($"id").as("bm"))
+      .agg(bitmap_or_card_agg($"bm")).head().getLong(0)
+    assert(two == 3L, s"union of {3,7} and {7,9} must be 3, got $two")
+    // a hash-like id must fail loudly, never allocate gigabytes
+    val ex = intercept[Exception] {
+      Seq(Long.MaxValue).toDF("id")
+        .agg(bitmap_agg($"id")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
