@@ -123,6 +123,33 @@ object StreamingOps extends QueryModule {
     fixtureStream(s, dir, "graft_stream_emb", "embeddings.parquet",
       graft.Tables.rawSchema(s, dir, "embeddings"))
 
+  /** q257's pre-drain streaming plan: fitted conformal model broadcast
+    * onto the arriving purchase stream, per-day coverage counters. Exposed
+    * (rather than inlined in the query closure) so PlanSpec can gate the
+    * broadcast hint on THIS plan — the drained memory-sink result the
+    * query returns is a LocalTableScan that no longer shows the
+    * stream-static join. Returns (streaming DF, fitted p90 radius). */
+  def conformalMonitorStream(s: SparkSession, dir: String)
+      : (DataFrame, Long) = {
+    import graft.operators.FeaturePlatform
+    import s.implicits._
+    val (model, q90) = FeaturePlatform.conformalParts(s, dir)
+    val radius = q90.head().getLong(0)
+    val test = eventsStream(s, dir)
+      .filter($"event_type" === "purchase" &&
+        to_date($"ts") >= lit("2024-01-21").cast("date"))
+      .select(to_date($"ts").as("day"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("ch"),
+        expr("cast(round(value * 100) as bigint)").as("y"))
+      .join(broadcast(model), Seq("ch")) // stream-static
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs($"y" - $"pred") <= radius).cast("long"))
+          .as("n_covered"))
+    (test, radius)
+  }
+
   /** Run a streaming DataFrame to a memory sink, drain, stop, return.
     *
     * `shufflePartitions` sizes the stateful-operator stores for the query:
@@ -1255,22 +1282,8 @@ object StreamingOps extends QueryModule {
         "so the drained per-day ledger is bit-exact against the batch " +
         "oracle however the stream micro-batched.",
       (s, dir) => {
-        import graft.operators.FeaturePlatform
+        val (test, radius) = conformalMonitorStream(s, dir)
         import s.implicits._
-        val (model, q90) = FeaturePlatform.conformalParts(s, dir)
-        val radius = q90.head().getLong(0)
-        val test = eventsStream(s, dir)
-          .filter($"event_type" === "purchase" &&
-            to_date($"ts") >= lit("2024-01-21").cast("date"))
-          .select(to_date($"ts").as("day"),
-            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
-              .as("ch"),
-            expr("cast(round(value * 100) as bigint)").as("y"))
-          .join(broadcast(model), Seq("ch")) // stream-static
-          .groupBy($"day")
-          .agg(count(lit(1)).as("n_test"),
-            sum((abs($"y" - $"pred") <= radius).cast("long"))
-              .as("n_covered"))
         val drained = runToMemory(s, test, "graft_mem_conformal",
           "complete", shufflePartitions = Some(8))
         drained.select($"day", $"n_test", $"n_covered",

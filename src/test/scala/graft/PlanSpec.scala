@@ -698,10 +698,45 @@ class PlanSpec extends AnyFunSuite {
       "case metrics must combine map-side: " + plan.take(400))
   }
 
-  test("q236/q240: the domain windows sit ABOVE a row-scale aggregate — " +
-    "rows never enter an unpartitioned sort") {
+  test("q258: the WAU fan-out explodes day BITMAPS, not user rows — " +
+    "both bitmap aggregates combine partially") {
+    val plan = planOf("q258_bitmap_rolling_wau")
+    assert(plan.contains("bitmap_set_agg") &&
+      plan.contains("bitmap_or_card_agg"),
+      "expected the native bitmap build + union aggregates: " +
+        plan.take(600))
+    // same sink-first shape as q218's sketch gate: the x7 explode must
+    // sit ABOVE the per-day bitmap aggregate — fanning out raw (user,
+    // day) rows forfeits the bytes-per-day scale story
+    val gen = plan.indexOf("Generate")
+    assert(gen >= 0, "expected the x7 explode")
+    assert(plan.indexOf("bitmap_set_agg", gen) > gen,
+      "the explode must consume one bitmap row per day, never raw rows: " +
+        plan.take(800))
+  }
+
+  test("q257: the fitted model broadcasts onto the stream side — the " +
+    "monitor never shuffles the model") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    // the query itself returns the DRAINED memory-sink result (a
+    // LocalTableScan) — the stream-static join only exists in the
+    // pre-drain streaming plan, so gate the shared builder's plan
+    val (streamDf, _) =
+      graft.streaming.StreamingOps.conformalMonitorStream(spark, sfDir)
+    val hints = streamDf.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    assert(hints.nonEmpty,
+      "the <=4-row channel model must carry the broadcast hint into the " +
+        "stream-static join: " +
+        streamDf.queryExecution.analyzed.toString.take(800))
+  }
+
+  test("q236/q240/q256: the domain windows sit ABOVE a row-scale " +
+    "aggregate — rows never enter an unpartitioned sort") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    Seq("q236_feature_binning", "q240_ks_drift").foreach { name =>
+    Seq("q236_feature_binning", "q240_ks_drift",
+      "q256_gini_split").foreach { name =>
       val lp = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.optimizedPlan
       val wins = lp.collect { case w: LWindow => w }
