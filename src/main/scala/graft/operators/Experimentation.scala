@@ -811,5 +811,201 @@ object Experimentation extends QueryModule {
         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
                CAST(sum(credit) AS BIGINT) AS credit_cents
         FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
-        GROUP BY channel ORDER BY channel""")))
+        GROUP BY channel ORDER BY channel""")),
+
+    Q(
+      "q259_diff_in_diff",
+      "DIFFERENCE-IN-DIFFERENCES estimator over the events table: " +
+        "treated = user_id parity (q208's arm rule), period = event " +
+        "day before/after the fixture's midpoint day ((min+max) div 2 " +
+        "over epoch days — a closed-form split both engines compute " +
+        "identically, no calendar constant baked in so every sf dir " +
+        "works), outcome = mean purchase cents per (arm, period) cell. " +
+        "DiD = (t_post - t_pre) - (c_post - c_pre) where each term is " +
+        "the cell mean in MICRO-CENTS via exact integer floor " +
+        "(sum*1e6 div n, HUGEINT/DECIMAL internally since sum*1e6 " +
+        "crosses int64 beyond sf1; emitted BIGINT because the VALUE is " +
+        "bounded by the price scale, not the data scale — unlike " +
+        "q208's z2 the estimate itself does not grow with N, which is " +
+        "why this query needs no string rendering). The four floors " +
+        "compose deterministically on both engines, so the oracle is " +
+        "bit-exact without carrying a 4-way common denominator that " +
+        "would overflow DECIMAL(38) at cluster scale. Plan: one " +
+        "row-scale aggregate to the 4-cell (arm, period) domain with " +
+        "map-side partials + a broadcast 1-row min/max day frame — two " +
+        "scalars of driver state, the same two-level shape at 100 TB.",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select(($"user_id" % 2).as("treat"),
+            expr("datediff(cast(ts as date), date '1970-01-01')").as("d"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val mid = broadcast(
+          p.agg(expr("(min(d) + max(d)) div 2").as("mid")))
+        p.crossJoin(mid)
+          .select($"treat", ($"d" > $"mid").cast("int").as("post"), $"cents")
+          .agg(
+            sum(when($"treat" === 1 && $"post" === 1, $"cents")).as("s11"),
+            count(when($"treat" === 1 && $"post" === 1, 1)).as("n11"),
+            sum(when($"treat" === 1 && $"post" === 0, $"cents")).as("s10"),
+            count(when($"treat" === 1 && $"post" === 0, 1)).as("n10"),
+            sum(when($"treat" === 0 && $"post" === 1, $"cents")).as("s01"),
+            count(when($"treat" === 0 && $"post" === 1, 1)).as("n01"),
+            sum(when($"treat" === 0 && $"post" === 0, $"cents")).as("s00"),
+            count(when($"treat" === 0 && $"post" === 0, 1)).as("n00"))
+          .select(
+            $"n11", $"n10", $"n01", $"n00",
+            expr("cast(cast(s11 as decimal(38,0)) * 1000000 div n11 as bigint)")
+              .as("t_post_micros"),
+            expr("cast(cast(s10 as decimal(38,0)) * 1000000 div n10 as bigint)")
+              .as("t_pre_micros"),
+            expr("cast(cast(s01 as decimal(38,0)) * 1000000 div n01 as bigint)")
+              .as("c_post_micros"),
+            expr("cast(cast(s00 as decimal(38,0)) * 1000000 div n00 as bigint)")
+              .as("c_pre_micros"))
+          .withColumn("did_micros",
+            ($"t_post_micros" - $"t_pre_micros") -
+              ($"c_post_micros" - $"c_pre_micros"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id % 2 AS treat,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM p),
+        cells AS (
+          SELECT treat, CASE WHEN d > m.mid THEN 1 ELSE 0 END AS post, cents
+          FROM p, m),
+        a AS (
+          SELECT
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents END) AS HUGEINT) AS s11,
+            CAST(count(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents END) AS HUGEINT) AS s10,
+            CAST(count(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents END) AS HUGEINT) AS s01,
+            CAST(count(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents END) AS HUGEINT) AS s00,
+            CAST(count(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS BIGINT) AS n00
+          FROM cells),
+        b AS (
+          SELECT n11, n10, n01, n00,
+                 CAST(s11 * 1000000 // n11 AS BIGINT) AS t_post_micros,
+                 CAST(s10 * 1000000 // n10 AS BIGINT) AS t_pre_micros,
+                 CAST(s01 * 1000000 // n01 AS BIGINT) AS c_post_micros,
+                 CAST(s00 * 1000000 // n00 AS BIGINT) AS c_pre_micros
+          FROM a)
+        SELECT n11, n10, n01, n00,
+               t_post_micros, t_pre_micros, c_post_micros, c_pre_micros,
+               (t_post_micros - t_pre_micros)
+                 - (c_post_micros - c_pre_micros) AS did_micros
+        FROM b""")),
+
+    Q(
+      "q260_sequential_ab_monitor",
+      "GROUP-SEQUENTIAL A/B MONITORING — q208's two-proportion z^2 run " +
+        "as a BY-DAY interim-analysis schedule with a Pocock-style " +
+        "constant boundary: per event day (ordered), the CUMULATIVE " +
+        "(user, day)-unit counts per arm, the exact-rational z^2 at " +
+        "that look (q208's cleared algebra: nn*d^2 vs n_a*n_b*C*(N-C) " +
+        "carried in DECIMAL(38,0)), and cross_95 = z^2 > 2.89^2 (the " +
+        "published Pocock critical value for ~20 equally-spaced looks " +
+        "at overall alpha 0.05, micro-scaled 8352100) — the stricter " +
+        "per-look bar that keeps the FAMILY-wise false-positive rate " +
+        "at 5% where q208's single-look 3.841459 would inflate it ~25% " +
+        "under daily peeking. first_cross marks the earliest day the " +
+        "boundary is crossed: the ship/stop decision row. Plan: one " +
+        "row-scale aggregate to (day, arm-conditional unit counts) " +
+        "with map-side partials; cumulative sums + the decimal compare " +
+        "run as windows over the bounded ~30-row day domain (q199's " +
+        "bucket-domain argument) — the same plan at 100 TB, and the " +
+        "monitor is incrementally maintainable because each look only " +
+        "ADDS a day to the cumsum (q151's argument).",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .groupBy(($"user_id" % 2).as("arm"), $"user_id",
+            date_trunc("DAY", $"ts").as("day"))
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+          .groupBy($"day")
+          .agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("da"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("dca"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("db"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("dcb"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val looks = daily
+          .select($"day",
+            sum($"da").over(w).as("n_a"), sum($"dca").over(w).as("c_a"),
+            sum($"db").over(w).as("n_b"), sum($"dcb").over(w).as("c_b"))
+          .withColumn("d",
+            expr("cast(c_a as decimal(38,0)) * n_b - cast(c_b as decimal(38,0)) * n_a"))
+          .withColumn("cc", expr("cast(c_a + c_b as decimal(38,0))"))
+          .withColumn("nn", expr("cast(n_a + n_b as decimal(38,0))"))
+          .withColumn("den",
+            expr("cast(cast(n_a as decimal(38,0)) * n_b * cc * (nn - cc) as decimal(38,0))"))
+          .withColumn("cross_95",
+            expr("n_a > 0 and n_b > 0 and cc > 0 and nn - cc > 0 and " +
+              "nn * d * d * 1000000 > 8352100 * den"))
+        looks
+          .withColumn("first_cross",
+            $"cross_95" &&
+              coalesce(max($"cross_95".cast("int")).over(
+                Window.orderBy($"day")
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+                === 0)
+          .select($"day".cast("date").as("day"),
+            $"n_a", $"c_a", $"n_b", $"c_b",
+            expr("case when den > 0 then cast(nn * d * d * 1000000 div den as bigint) end")
+              .as("z2_micro"),
+            $"cross_95", $"first_cross")
+          .orderBy($"day")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS arm, user_id, date_trunc('day', ts) AS day,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1, 2, 3),
+        daily AS (
+          SELECT day,
+                 sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS da,
+                 sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS dca,
+                 sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS db,
+                 sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS dcb
+          FROM u GROUP BY 1),
+        looks AS (
+          SELECT day,
+                 CAST(sum(da) OVER w AS BIGINT) AS n_a,
+                 CAST(sum(dca) OVER w AS BIGINT) AS c_a,
+                 CAST(sum(db) OVER w AS BIGINT) AS n_b,
+                 CAST(sum(dcb) OVER w AS BIGINT) AS c_b
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        z AS (
+          SELECT day, n_a, c_a, n_b, c_b,
+                 CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a AS d,
+                 CAST(c_a + c_b AS HUGEINT) AS cc,
+                 CAST(n_a + n_b AS HUGEINT) AS nn,
+                 CAST(n_a AS HUGEINT) * n_b * (c_a + c_b)
+                   * (n_a + n_b - c_a - c_b) AS den
+          FROM looks),
+        c AS (
+          SELECT day, n_a, c_a, n_b, c_b,
+                 CASE WHEN den > 0
+                      THEN CAST(nn * d * d * 1000000 // den AS BIGINT) END
+                   AS z2_micro,
+                 (n_a > 0 AND n_b > 0 AND cc > 0 AND nn - cc > 0
+                  AND nn * d * d * 1000000 > 8352100 * den) AS cross_95
+          FROM z)
+        SELECT CAST(day AS DATE) AS day, n_a, c_a, n_b, c_b, z2_micro,
+               cross_95,
+               (cross_95 AND coalesce(max(CASE WHEN cross_95 THEN 1 ELSE 0 END)
+                  OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) = 0) AS first_cross
+        FROM c ORDER BY day""")))
 }

@@ -268,4 +268,54 @@ class ExperimentationSpec extends AnyFunSuite {
     assert(pick(25) == lo && pick(975) == hi,
       s"replayed CI (${pick(25)}, ${pick(975)}) != query ($lo, $hi)")
   }
+
+  test("q259 DiD: cells partition the purchases and the estimate matches " +
+    "an independent float computation to floor tolerance") {
+    val r = SparkEntry.queries("q259_diff_in_diff")(spark, sfDir).head()
+    val ns = (0 to 3).map(r.getLong)
+    val nPurchases = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(ns.sum == nPurchases,
+      s"(arm, period) cells must partition purchases: ${ns.sum} vs $nPurchases")
+    // independent float DiD over the same split rule
+    val p = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id % 2 as treat",
+        "datediff(cast(ts as date), date '1970-01-01') as d",
+        "cast(round(value * 100) as bigint) as cents")
+      .collect().map(x => (x.getLong(0), x.getInt(1).toLong, x.getLong(2)))
+    val mid = (p.map(_._2).min + p.map(_._2).max) / 2
+    def mean(t: Long, post: Boolean): Double = {
+      val c = p.filter(x => x._1 == t && (x._2 > mid) == post).map(_._3)
+      c.sum.toDouble / c.length
+    }
+    val did = (mean(1, post = true) - mean(1, post = false)) -
+      (mean(0, post = true) - mean(0, post = false))
+    // four independent micro-floors → at most 4 micro-cents of drift
+    assert((r.getLong(8) - did * 1e6).abs <= 4.0,
+      s"did_micros ${r.getLong(8)} vs float ${did * 1e6}")
+  }
+
+  test("q260 sequential monitor: final look equals q208's totals and " +
+    "first_cross marks exactly the earliest crossing") {
+    val looks = SparkEntry.queries("q260_sequential_ab_monitor")(spark, sfDir)
+      .collect()
+    val last = looks.last
+    val q208 = SparkEntry.queries("q208_ab_test")(spark, sfDir).head()
+    // cumulative counts at the final day == the single-look totals
+    assert((1 to 4).map(last.getLong) == (0 to 3).map(q208.getLong),
+      "final-look cumulative counts must equal q208's totals")
+    val crosses = looks.map(_.getBoolean(7))
+    assert(crosses.count(identity) <= 1, "at most one first_cross")
+    val firstTrue = looks.indexWhere(_.getBoolean(6))
+    if (firstTrue >= 0)
+      assert(crosses(firstTrue) && crosses.take(firstTrue).forall(!_),
+        "first_cross must be the earliest cross_95 day")
+    else assert(!crosses.exists(identity))
+    // the Pocock bar is strictly stricter than the single-look bar
+    looks.filter(_.getBoolean(6)).foreach { l =>
+      assert(l.getLong(5) > 8352100L,
+        s"crossed look must have z2_micro above the Pocock boundary: $l")
+    }
+  }
 }
