@@ -3,6 +3,7 @@ package graft.functions
 import graft.catalyst.TextHash
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -880,8 +881,171 @@ object TextAnalysis extends QueryModule {
           .withColumn("too_compressible", $"ratio_bp" < 2500)
           .orderBy($"doc_id")
       },
-      None)
-  )
+      None),
+
+    Q(
+      "q262_vocab_growth",
+      "HEAPS'-LAW VOCABULARY GROWTH CURVE: cumulative distinct " +
+        "whitespace-token types vs cumulative token volume across ten " +
+        "equi-width doc_id ranges (doc_id is the ingest sequence, so " +
+        "the buckets read as 'corpus so far at 10%, 20%, ...') — the " +
+        "curve a tokenizer-training run reads to decide when vocab " +
+        "collection has saturated (types grow ~K*tokens^beta, " +
+        "beta<1; a FLATTENING cum_types column is the stop signal, and " +
+        "a bucket where new_types jumps flags a domain shift, q136's " +
+        "signal at the vocabulary level). The distinct-types-so-far " +
+        "problem is made one-pass by the FIRST-OCCURRENCE trick: a " +
+        "type is new in the bucket of its min(doc_id), so cum distinct " +
+        "over N docs collapses to one token-keyed min-aggregate (the " +
+        "only row-scale shuffle, map-side combined) + a 10-row cumsum. " +
+        "Bucket bounds come from a broadcast 1-row min/max frame — " +
+        "closed-form, no global sort, no per-doc window: the " +
+        "ntile/row_number formulation every SQL cookbook reaches for " +
+        "would single-partition-sort ALL docs at 100 TB; this plan " +
+        "never orders anything wider than 10 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val bounds = broadcast(docs.agg(
+          min($"doc_id").as("mn"), max($"doc_id").as("mx")))
+        def bucketOf(c: String): Column =
+          expr(s"least(9, ($c - mn) * 10 div (mx - mn + 1))")
+        val tok = docs
+          .select($"doc_id", explode(split(trim($"text"), " ")).as("token"))
+        val perDoc = tok.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"))
+          .crossJoin(bounds)
+          .groupBy(bucketOf("doc_id").as("bucket"))
+          .agg(count(lit(1)).as("docs"), sum($"n_toks").as("tokens"))
+        val firstSeen = tok.groupBy($"token")
+          .agg(min($"doc_id").as("first_doc"))
+          .crossJoin(bounds)
+          .groupBy(bucketOf("first_doc").as("bucket"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perDoc.join(firstSeen, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .select($"bucket", $"docs", $"tokens", $"new_types",
+            sum($"docs").over(w).as("cum_docs"),
+            sum($"tokens").over(w).as("cum_tokens"),
+            sum($"new_types").over(w).as("cum_types"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents),
+        per_doc AS (
+          SELECT least(9, (d.doc_id - b.mn) * 10 // (b.mx - b.mn + 1))
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS docs,
+                 CAST(sum(n_toks) AS BIGINT) AS tokens
+          FROM (SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY 1) d, b
+          GROUP BY 1),
+        first_seen AS (
+          SELECT least(9, (f.first_doc - b.mn) * 10 // (b.mx - b.mn + 1))
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS new_types
+          FROM (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1) f,
+               b
+          GROUP BY 1)
+        SELECT p.bucket, p.docs, p.tokens,
+               CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(p.docs) OVER w AS BIGINT) AS cum_docs,
+               CAST(sum(p.tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(f.new_types, 0)) OVER w AS BIGINT)
+                 AS cum_types
+        FROM per_doc p LEFT JOIN first_seen f ON p.bucket = f.bucket
+        WINDOW w AS (ORDER BY p.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY p.bucket""")),
+
+    Q(
+      "q263_zipf_fit",
+      "ZIPF RANK-FREQUENCY FIT over the top-1000 token types, kept " +
+        "INTEGER-EXACT end to end: both log axes use floor(log2) " +
+        "computed as length(bin(x)) - 1 — a bit-length, identical on " +
+        "both engines, where ln()-based least squares would hang the " +
+        "fit on last-ulp libm agreement — and the OLS slope/intercept " +
+        "come out as sign(num) * (|num| * 1e6 div den) micro-units " +
+        "(sign pulled out BEFORE the floor division because Spark's " +
+        "div truncates toward zero while DuckDB's // floors: on the " +
+        "always-negative Zipf slope the raw idiom would differ by one " +
+        "micro whenever den does not divide num). slope_micro near " +
+        "-1e6 is the classic Zipf exponent ~1; r2_bp gates fit " +
+        "quality. The corpus-scale work is ONE token-keyed count " +
+        "(map-side combined) followed by TakeOrderedAndProject's " +
+        "per-partition top-1000 merge — no global sort; every window " +
+        "after that runs on the 1000-row rank domain.",
+      (s, dir) => {
+        import s.implicits._
+        val freqs = Tables.t(s, dir, "documents")
+          .select(explode(split(trim($"text"), " ")).as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"token").limit(1000)
+        val ranked = freqs
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"freq".desc, $"token"))) // 1000-row domain
+          .select(
+            (length(bin($"rk")) - 1).cast("long").as("x"),
+            (length(bin($"freq")) - 1).cast("long").as("y"))
+        ranked
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"))
+          .select(
+            $"n",
+            ($"n" * $"sxy" - $"sx" * $"sy").as("cov_num"),
+            ($"n" * $"sxx" - $"sx" * $"sx").as("var_x_num"),
+            expr("(case when n * sxy - sx * sy < 0 then -1 else 1 end) * " +
+              "((abs(n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx))")
+              .as("slope_micro"),
+            expr("(case when sy * sxx - sx * sxy < 0 then -1 else 1 end) * " +
+              "((abs(sy * sxx - sx * sxy) * 1000000) div (n * sxx - sx * sx))")
+              .as("intercept_micro"),
+            // cov^2 * 1e4 crosses int64 (~2.5e19 worst case on this
+            // domain): widen to DECIMAL internally, emit BIGINT <= 10000
+            expr("cast((cast(n * sxy - sx * sy as decimal(38,0)) * " +
+              "(n * sxy - sx * sy) * 10000) div " +
+              "(cast(n * sxx - sx * sx as decimal(38,0)) * " +
+              "(n * syy - sy * sy)) as bigint)").as("r2_bp"))
+      },
+      Some("""
+        WITH freqs AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+                FROM documents)
+          GROUP BY 1 ORDER BY freq DESC, token LIMIT 1000),
+        ranked AS (
+          SELECT CAST(length(bin(CAST(row_number() OVER
+                   (ORDER BY freq DESC, token) AS BIGINT))) - 1 AS BIGINT)
+                   AS x,
+                 CAST(length(bin(freq)) - 1 AS BIGINT) AS y
+          FROM freqs),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM ranked)
+        SELECT n,
+               n * sxy - sx * sy AS cov_num,
+               n * sxx - sx * sx AS var_x_num,
+               (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                 * ((abs(n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx))
+                 AS slope_micro,
+               (CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END)
+                 * ((abs(sy * sxx - sx * sxy) * 1000000) // (n * sxx - sx * sx))
+                 AS intercept_micro,
+               CAST((CAST(n * sxy - sx * sy AS HUGEINT) * (n * sxy - sx * sy)
+                     * 10000)
+                 // (CAST(n * sxx - sx * sx AS HUGEINT)
+                    * (n * syy - sy * sy)) AS BIGINT) AS r2_bp
+        FROM a""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -260,4 +260,56 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("q262 vocab growth: curves monotone, totals close over the corpus") {
+    import TestSession._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q262_vocab_growth")(spark, sfDir)
+      .collect()
+    // cumulative columns strictly reconstruct the per-bucket columns
+    assert(rows.map(_.getLong(1)).sum == rows.last.getLong(4)) // docs
+    assert(rows.map(_.getLong(2)).sum == rows.last.getLong(5)) // tokens
+    assert(rows.map(_.getLong(3)).sum == rows.last.getLong(6)) // types
+    Seq(4, 5, 6).foreach { i =>
+      val c = rows.map(_.getLong(i))
+      assert(c.zip(c.tail).forall { case (a, b) => a <= b },
+        s"cumulative column $i must be non-decreasing")
+    }
+    // final totals equal independent corpus-wide counts
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(rows.last.getLong(4) == docs.count())
+    val tok = docs.select(explode(split(trim(col("text")), " ")).as("t"))
+    assert(rows.last.getLong(5) == tok.count())
+    assert(rows.last.getLong(6) == tok.distinct().count(),
+      "cum_types at the last bucket must equal corpus distinct types")
+    // Heaps: type growth decelerates — later-half new types < first bucket
+    assert(rows.last.getLong(3) < rows.head.getLong(3),
+      "a natural corpus must mint fewer new types in its last decile")
+  }
+
+  test("q263 zipf fit: slope negative near -1e6, floats agree with the " +
+    "integer rationals") {
+    import TestSession._
+    val r = SparkEntry.queries("q263_zipf_fit")(spark, sfDir).head()
+    val (n, cov, varx) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // n = min(1000, distinct types) — sf0.001's corpus has few types
+    val types = Tables.t(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text")), " ")))
+      .distinct().count()
+    assert(n == math.min(1000L, types), s"n $n vs min(1000, $types)")
+    assert(cov < 0 && varx > 0,
+      s"rank-frequency covariance must be negative: cov=$cov varx=$varx")
+    val slope = r.getLong(3)
+    assert(slope < 0 && slope > -3000000L,
+      s"floor-log2 Zipf slope expected in (-3, 0): $slope micro")
+    val r2 = r.getLong(5)
+    assert(r2 >= 0 && r2 <= 10000, s"r2_bp out of range: $r2")
+    // the micro-floored slope matches the exact rational within 1 micro
+    val exact = BigDecimal(cov) * 1000000 / BigDecimal(varx)
+    assert((BigDecimal(slope) - exact).abs <= 1,
+      s"slope_micro $slope vs rational $exact")
+  }
 }
