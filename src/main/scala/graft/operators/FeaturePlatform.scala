@@ -814,6 +814,91 @@ object FeaturePlatform extends QueryModule {
                q90.q90 AS q90_cents
         FROM p JOIN model m USING (ch), q90
         WHERE p.d >= DATE '2024-01-21'
-        GROUP BY p.ch, q90.q90 ORDER BY p.ch"""))
+        GROUP BY p.ch, q90.q90 ORDER BY p.ch""")),
+
+    Q(
+      "q261_zorder_layout",
+      "Z-ORDER (MORTON) LAYOUT PRUNING AUDIT — completes the storage-" +
+        "layout family (q226 compresses better, q229 overwrites " +
+        "surgically, q204 reshards minimally; THIS one is why a 100 TB " +
+        "table is scannable on two filter columns at once): lineitem " +
+        "rows get 16-bit z = interleave(l_partkey mod 256, l_suppkey " +
+        "mod 256) via the native codegen'd ZInterleave16 expression " +
+        "(four branchless shift/mask pairs per coordinate, inlined in " +
+        "whole-stage codegen), files are the 64 EQUAL-WIDTH z ranges " +
+        "(z div 1024) — the closed-form stand-in for a writer's " +
+        "range-partitioned z sort: NO global sort anywhere in this " +
+        "plan, and at 100 TB the same bucketing is " +
+        "repartitionByRange(z) at write time. For each probe (a " +
+        "quarter-width range on partkey alone, then on suppkey alone) " +
+        "the query counts files touched under the z layout vs a " +
+        "partkey-linear layout (file = px div 4): linear serves its " +
+        "own sort dimension (16/64 files) but the suppkey probe " +
+        "touches ALL 64; z serves BOTH probes partially (a quarter " +
+        "range fixes two of each coordinate's file-index bits, <= " +
+        "16/64 files per dimension — at sf0.01 even fewer on the " +
+        "partkey probe because only 100 suppliers exist, so sy's high " +
+        "bit never sets) — the multi-dimension pruning trade a " +
+        "lakehouse OPTIMIZE ZORDER buys. Plan: one projection + two " +
+        "bounded aggregates over the (file, probe) domain; row-scale " +
+        "work is the z expression itself.",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.t(s, dir, "lineitem")
+          .select(($"l_partkey" % 256).as("px"), ($"l_suppkey" % 256).as("sy"))
+          .withColumn("z",
+            graft.catalyst.ZOrder.z_interleave16($"px", $"sy"))
+          .withColumn("file_z", expr("z div 1024"))
+          .withColumn("file_lin", expr("px div 4"))
+        val probes = Seq(
+          ("partkey_quarter", $"px" < 64),
+          ("suppkey_quarter", $"sy" < 64))
+        probes.map { case (nameP, pred) =>
+          rows.filter(pred)
+            .groupBy(lit(nameP).as("probe"))
+            .agg(
+              countDistinct($"file_z").as("files_z"),
+              countDistinct($"file_lin").as("files_linear"),
+              count(lit(1)).as("rows_selected"))
+            .select($"probe", $"files_z", $"files_linear",
+              lit(64L).as("n_files"), $"rows_selected")
+        }.reduce(_ unionAll _).orderBy($"probe")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy
+          FROM lineitem),
+        s1 AS (SELECT px, sy,
+                      (px | (px << 8)) & 16711935 AS ax,
+                      (sy | (sy << 8)) & 16711935 AS bx
+               FROM base),
+        s2 AS (SELECT px, sy,
+                      (ax | (ax << 4)) & 252645135 AS ax,
+                      (bx | (bx << 4)) & 252645135 AS bx
+               FROM s1),
+        s3 AS (SELECT px, sy,
+                      (ax | (ax << 2)) & 858993459 AS ax,
+                      (bx | (bx << 2)) & 858993459 AS bx
+               FROM s2),
+        s4 AS (SELECT px, sy,
+                      (ax | (ax << 1)) & 1431655765 AS ax,
+                      (bx | (bx << 1)) & 1431655765 AS bx
+               FROM s3),
+        z AS (SELECT px, sy,
+                     (ax | (bx << 1)) // 1024 AS file_z,
+                     px // 4 AS file_lin
+              FROM s4),
+        probes AS (
+          SELECT 'partkey_quarter' AS probe, file_z, file_lin
+          FROM z WHERE px < 64
+          UNION ALL
+          SELECT 'suppkey_quarter' AS probe, file_z, file_lin
+          FROM z WHERE sy < 64)
+        SELECT probe,
+               CAST(count(DISTINCT file_z) AS BIGINT) AS files_z,
+               CAST(count(DISTINCT file_lin) AS BIGINT) AS files_linear,
+               CAST(64 AS BIGINT) AS n_files,
+               CAST(count(*) AS BIGINT) AS rows_selected
+        FROM probes GROUP BY probe ORDER BY probe"""))
   )
 }

@@ -261,6 +261,30 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("z_interleave16 equals the per-bit reference and round-trips " +
+    "through codegen") {
+    import graft.catalyst.ZOrder
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    forAll(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))) {
+      case (a, b) =>
+        assert(ZOrder.interleave16(a, b) == ref(a, b),
+          s"spread16 magic-number kernel diverges at ($a, $b)")
+    }
+    // monotone locality sanity: fixing b, z is monotone in a
+    assert(ZOrder.interleave16(5, 9) < ZOrder.interleave16(6, 9))
+    // the Catalyst expression (whole-stage codegen path) agrees
+    import TestSession._
+    import spark.implicits._
+    val rows = Seq((3L, 5L), (65535L, 0L), (0L, 65535L), (12345L, 54321L))
+      .toDF("a", "b")
+      .select($"a", $"b", ZOrder.z_interleave16($"a", $"b").as("z"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+  }
+
   test("q262 vocab growth: curves monotone, totals close over the corpus") {
     import TestSession._
     import org.apache.spark.sql.functions._
