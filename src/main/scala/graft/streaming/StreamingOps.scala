@@ -238,6 +238,58 @@ object StreamingOps extends QueryModule {
     * LIVE arrival rates; replaying a 60M-row backlog through it hits the
     * append wall. Backfills belong on the batch gaps-and-islands form
     * (q143), or pre-aggregate per micro-batch before buffering. */
+  /** Streaming SPACE-SAVING heavy-hitter summary (q264): per shard key, a
+    * capacity-m top-items sketch maintained in typed ValueState. The
+    * SpaceSaving algorithm (Metwally/Agrawal/El Abbadi 2005, public):
+    * counted item → increment; new item with room → insert at (1, 0);
+    * full → overwrite the min-estimate entry, inheriting its count as
+    * the new item's error bound. Guarantees per shard: true <= est <=
+    * true + err, err <= N_shard/m, and every item with true count >
+    * N_shard/m is IN the summary — so with items sharded by id (each
+    * item's whole count lives in exactly one shard) the union of shard
+    * summaries needs no cross-shard error accounting at merge time.
+    * Eviction picks the (est, item)-smallest entry and each micro-batch
+    * is replayed in (ts, item) order, so the summary is deterministic
+    * for a deterministic batch split — what lets the spec bracket-check
+    * against exact batch counts. State is EXACTLY m entries per shard
+    * forever: the O(1)-memory answer to "top users this month" that a
+    * naive streaming groupBy(user) would grow unboundedly. */
+  final class SpaceSavingProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Seq[(Long, Long, Long)], Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Seq[(Long, Long, Long)], Long, Long)](
+        "summary",
+        org.apache.spark.sql.Encoders.product[(Seq[(Long, Long, Long)], Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(shard: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      val (entries0, seq0, maxTs0) =
+        if (st.exists()) st.get() else (Seq.empty[(Long, Long, Long)], 0L, Long.MinValue)
+      val m = scala.collection.mutable.HashMap[Long, (Long, Long)]()
+      entries0.foreach { case (i, e, r) => m(i) = (e, r) }
+      var maxTs = maxTs0
+      rows.toArray.map(r => (r._2, r._3)).sortBy(r => (r._2, r._1))
+        .foreach { case (item, ts) =>
+        maxTs = math.max(maxTs, ts)
+        m.get(item) match {
+          case Some((e, r)) => m(item) = (e + 1, r)
+          case None if m.size < capacity => m(item) = (1L, 0L)
+          case None =>
+            val (vi, (ve, _)) = m.minBy { case (i, (e, _)) => (e, i) }
+            m.remove(vi)
+            m(item) = (ve + 1, ve)
+        }
+      }
+      val entries = m.toSeq.map { case (i, (e, r)) => (i, e, r) }.sortBy(_._1)
+      st.update((entries, seq0 + 1, maxTs))
+      entries.iterator.map { case (i, e, r) => (shard, seq0 + 1, i, e, r, maxTs) }
+    }
+  }
+
   final class TimerSessionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Double),
@@ -1512,6 +1564,51 @@ object StreamingOps extends QueryModule {
             ELSE 'accepted' END AS reason
           FROM events)
         SELECT reason, CAST(count(*) AS BIGINT) AS n_rows
-        FROM r GROUP BY reason ORDER BY reason"""))
+        FROM r GROUP BY reason ORDER BY reason""")),
+
+    Q(
+      "q264_stream_heavy_hitters",
+      "STREAMING HEAVY HITTERS via a sharded SPACE-SAVING sketch in " +
+        "transformWithState: events shard by user_id % 8, each shard " +
+        "maintains a capacity-64 SpaceSaving summary in RocksDB-backed " +
+        "ValueState (constant state per shard FOREVER — the O(1)-memory " +
+        "alternative to q74's per-key aggregate when the key domain is " +
+        "unbounded), and because an item's entire count lives in its " +
+        "one shard, the post-drain merge is a plain union + top-10 with " +
+        "NO cross-shard error arithmetic. Output rows carry est and " +
+        "err, so est-err is a certified lower bound on the true count " +
+        "and StreamingSpec brackets every row against the exact batch " +
+        "count (plus the summary-membership guarantee for any user " +
+        "above its shard's N/64 threshold). No SQL oracle: the summary " +
+        "content depends on the sketch's eviction path, which DuckDB " +
+        "cannot replay; the spec pins the guarantees instead. At " +
+        "100 TB: shards scale with shuffle partitions, state stays " +
+        "64 entries each, and the same drain+merge runs per trigger " +
+        "for a live 'top accounts now' dashboard.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val perShard = eventsStream(s, dir)
+          .select(($"user_id" % 8).as("shard"), $"user_id", unix_micros($"ts"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new SpaceSavingProcessor(64), TimeMode.None(), OutputMode.Update())
+          .toDF("shard", "upd_seq", "user_id", "est", "err", "shard_last_us")
+        val out = runToMemory(s, perShard, "graft_mem_heavy", "update",
+          shufflePartitions = Some(8),
+          extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        // update mode re-emits the summary per batch; keep each shard's
+        // final (highest-seq) emission, then union-merge and take top-10
+        out.withColumn("mx",
+            max($"upd_seq").over(Window.partitionBy($"shard")))
+          .filter($"upd_seq" === $"mx")
+          .select($"user_id", $"est", $"err",
+            ($"est" - $"err").as("count_min"), $"shard", $"shard_last_us")
+          .orderBy($"est".desc, $"user_id").limit(10)
+      },
+      None)
   )
 }

@@ -507,4 +507,35 @@ class StreamingSpec extends AnyFunSuite {
       s"day-1 must hold BOTH pairs — 1 means the buffered click was " +
         s"lost in the restart: ${all.mkString(", ")}")
   }
+
+  test("q264 space-saving: every row brackets its exact count and " +
+    "over-threshold users survive the sketch") {
+    val rows = SparkEntry.queries("q264_stream_heavy_hitters")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val exact = Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // est ordering is what the query claims
+    val ests = rows.map(_.getLong(1))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (u, est, err) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val t = exact.getOrElse(u, 0L)
+      assert(t <= est && est - err <= t,
+        s"user $u: true $t outside [${est - err}, $est]")
+      assert(r.getLong(3) == est - err)
+    }
+    // membership guarantee: any user whose exact count exceeds its
+    // shard's N/64 must be in SOME final summary — check via the top-10:
+    // the globally heaviest such user must appear
+    val shardN = exact.groupBy { case (u, _) => u % 8 }
+      .map { case (s0, m) => s0 -> m.values.sum }
+    val guaranteed = exact.filter { case (u, n) => n > shardN(u % 8) / 64 }
+    if (guaranteed.nonEmpty) {
+      val top = guaranteed.maxBy { case (u, n) => (n, -u) }._1
+      assert(rows.exists(_.getLong(0) == top),
+        s"heaviest guaranteed user $top missing from the merged top-10")
+    }
+  }
 }
