@@ -1256,6 +1256,94 @@ object Dedup extends QueryModule {
         SELECT c.canon_source, r.source AS dup_source,
                CAST(count(*) AS BIGINT) AS n_dup_docs
         FROM r JOIN c USING (h) WHERE r.rn > 1
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    Q(
+      "q266_record_linkage",
+      "BLOCKED RECORD LINKAGE with Fellegi-Sunter-style additive " +
+        "agreement weights — entity resolution ACROSS representations, " +
+        "where the dedup family (q60-q63) matches within one: a 'dirty' " +
+        "re-keyed customer feed (name case-folded, phone truncated one " +
+        "digit, balance rounded to whole dollars — the deterministic " +
+        "perturbations a second source system realistically applies) is " +
+        "linked back to the master by comparing WITHIN " +
+        "(nation, mktsegment) blocks only — the classic blocking move " +
+        "that turns an O(n^2) comparison space into " +
+        "sum-of-block-sizes^2 (~n^2/125 here; production adds a second " +
+        "complementary blocking pass, q63's LSH bands being exactly " +
+        "that for text). Field agreements: balance within 51 cents " +
+        "(+40, survives dollar rounding), account-number tail — the " +
+        "name's last 3 digits, case-insensitive (+35), dollar " +
+        "magnitude (+10) and leading dollar digit (+15, both can " +
+        "genuinely flip when rounding crosses a power of ten — true " +
+        "pairs land at 75-100, not a single spike, which is what makes " +
+        "the histogram a threshold-picking curve rather than a " +
+        "membership test). Truth per score is known because the dirty " +
+        "feed derives from the master (m_id = d_id). Plan: block-keyed " +
+        "equi-join (one shuffle on the block key), integer scoring " +
+        "inline, aggregate to the bounded score domain.",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+        val master = cust.select(
+          $"c_custkey".as("m_id"), $"c_nationkey".as("nk"),
+          $"c_mktsegment".as("seg"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("m_cents"),
+          expr("substring(c_name, -3, 3)").as("m_tail3"),
+          expr("cast(floor(abs(c_acctbal)) as bigint)").as("m_dollars"))
+        val dirty = cust.select(
+          $"c_custkey".as("d_id"), $"c_nationkey".as("nk"),
+          $"c_mktsegment".as("seg"),
+          // the feed's perturbations: case fold, balance rounded to
+          // whole dollars
+          expr("cast(round(c_acctbal) as bigint) * 100").as("d_cents"),
+          expr("substring(lower(c_name), -3, 3)").as("d_tail3"),
+          expr("abs(cast(round(c_acctbal) as bigint))").as("d_dollars"))
+        master.join(dirty, Seq("nk", "seg"))
+          .select($"m_id", $"d_id",
+            (when(abs($"m_cents" - $"d_cents") <= 51, 40).otherwise(0) +
+              when(lower($"m_tail3") === $"d_tail3", 35).otherwise(0) +
+              when(length($"m_dollars".cast("string")) ===
+                length($"d_dollars".cast("string")), 10).otherwise(0) +
+              when(substring($"m_dollars".cast("string"), 1, 1) ===
+                substring($"d_dollars".cast("string"), 1, 1), 15)
+                .otherwise(0))
+              .cast("long").as("score"))
+          .groupBy($"score")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(($"m_id" === $"d_id").cast("long")).as("n_true"))
+          .orderBy($"score")
+      },
+      Some("""
+        WITH master AS (
+          SELECT c_custkey AS m_id, c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS m_cents,
+                 substr(c_name, -3, 3) AS m_tail3,
+                 CAST(floor(abs(c_acctbal)) AS BIGINT) AS m_dollars
+          FROM customer),
+        dirty AS (
+          SELECT c_custkey AS d_id, c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(round(c_acctbal) AS BIGINT) * 100 AS d_cents,
+                 substr(lower(c_name), -3, 3) AS d_tail3,
+                 abs(CAST(round(c_acctbal) AS BIGINT)) AS d_dollars
+          FROM customer),
+        pairs AS (
+          SELECT m.m_id, d.d_id,
+                 (CASE WHEN abs(m.m_cents - d.d_cents) <= 51
+                       THEN 40 ELSE 0 END
+                  + CASE WHEN lower(m.m_tail3) = d.d_tail3
+                         THEN 35 ELSE 0 END
+                  + CASE WHEN length(CAST(m.m_dollars AS VARCHAR))
+                             = length(CAST(d.d_dollars AS VARCHAR))
+                         THEN 10 ELSE 0 END
+                  + CASE WHEN substr(CAST(m.m_dollars AS VARCHAR), 1, 1)
+                             = substr(CAST(d.d_dollars AS VARCHAR), 1, 1)
+                         THEN 15 ELSE 0 END) AS score
+          FROM master m JOIN dirty d ON m.nk = d.nk AND m.seg = d.seg)
+        SELECT CAST(score AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN m_id = d_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_true
+        FROM pairs GROUP BY score ORDER BY score"""))
   )
 }

@@ -1007,5 +1007,97 @@ object Experimentation extends QueryModule {
                   OVER (ORDER BY day
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                   0) = 0) AS first_cross
-        FROM c ORDER BY day""")))
+        FROM c ORDER BY day""")),
+
+    Q(
+      "q265_ips_policy_eval",
+      "OFF-POLICY EVALUATION by inverse-propensity scoring: estimate the " +
+        "conversion rate a TARGET recommendation policy (pi(user) = " +
+        "user_id % 4, a personalized channel assignment) WOULD achieve, " +
+        "from clicks logged under the production mix — the " +
+        "counterfactual question every recommender change answers " +
+        "offline before an A/B slot opens. Propensities are the " +
+        "EMPIRICAL channel frequencies (props.k div 25 is NOT uniform — " +
+        "k stops at 95, so channel 3 has 21/96 of the mass; assuming " +
+        "1/4 would bias the estimate upward on ch3), and the empirical-" +
+        "propensity IPS sum collapses algebraically to an exact " +
+        "rational: sum_i 1[ch_i = pi(u_i)] r_i / (n_ch/n) / n = " +
+        "sum_ch conv_matched_ch / n_ch — no floats anywhere. Reward = " +
+        "the click converts (a purchase by the same user within 24 h, " +
+        "strictly after). Emitted per channel: logged/matched/converted " +
+        "counts, the IPS term in ppm, plus the policy-value total and " +
+        "the observed baseline for lift reading. Plan: one user-keyed " +
+        "LEFT SEMI join decides conversion (the only row-scale " +
+        "shuffle — at 100 TB it becomes the q225 banded as-of form), " +
+        "then aggregates to the 4-channel domain; windows run on 4 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id", $"us", $"ch",
+            ($"ch" === $"user_id" % 4).as("matched"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"us".as("p_us"))
+        val converted = clicks.join(purch,
+            $"user_id" === $"p_user" && $"p_us" > $"us" &&
+              $"p_us" - $"us" <= 86400000000L, "left_semi")
+          .groupBy($"ch")
+          .agg(count(lit(1)).as("conv_all"),
+            sum($"matched".cast("long")).as("conv_matched"))
+        val logged = clicks.groupBy($"ch")
+          .agg(count(lit(1)).as("n_logged"),
+            sum($"matched".cast("long")).as("n_matched"))
+        val w = Window.partitionBy() // 4-channel domain
+        logged.join(converted, Seq("ch"))
+          .select($"ch", $"n_logged", $"n_matched", $"conv_all",
+            $"conv_matched",
+            expr("(conv_matched * 1000000) div n_logged").as("ips_term_ppm"))
+          .withColumn("ips_value_ppm", sum($"ips_term_ppm").over(w))
+          .withColumn("tot_conv", sum($"conv_all").over(w))
+          .withColumn("tot_logged", sum($"n_logged").over(w))
+          .withColumn("obs_conv_ppm",
+            expr("(tot_conv * 1000000) div tot_logged"))
+          .drop("tot_conv", "tot_logged")
+          .orderBy($"ch")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events),
+        clicks AS (
+          SELECT user_id, event_id, us, ch,
+                 (ch = user_id % 4) AS matched
+          FROM e WHERE event_type = 'click'),
+        conv AS (
+          SELECT ch,
+                 CAST(count(*) AS BIGINT) AS conv_all,
+                 CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+                   AS conv_matched
+          FROM clicks c
+          WHERE EXISTS (SELECT 1 FROM e p
+                        WHERE p.event_type = 'purchase'
+                          AND p.user_id = c.user_id
+                          AND p.us > c.us
+                          AND p.us - c.us <= 86400000000)
+          GROUP BY ch),
+        logged AS (
+          SELECT ch, CAST(count(*) AS BIGINT) AS n_logged,
+                 CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched
+          FROM clicks GROUP BY ch),
+        terms AS (
+          SELECT l.ch, l.n_logged, l.n_matched, c.conv_all, c.conv_matched,
+                 (c.conv_matched * 1000000) // l.n_logged AS ips_term_ppm
+          FROM logged l JOIN conv c USING (ch))
+        SELECT ch, n_logged, n_matched, conv_all, conv_matched, ips_term_ppm,
+               CAST(sum(ips_term_ppm) OVER () AS BIGINT) AS ips_value_ppm,
+               CAST((sum(conv_all) OVER () * 1000000)
+                    // sum(n_logged) OVER () AS BIGINT) AS obs_conv_ppm
+        FROM terms ORDER BY ch""")))
 }

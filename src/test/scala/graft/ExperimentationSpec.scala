@@ -296,6 +296,51 @@ class ExperimentationSpec extends AnyFunSuite {
       s"did_micros ${r.getLong(8)} vs float ${did * 1e6}")
   }
 
+  test("q265 IPS: the per-channel terms sum to the policy value and the " +
+    "empirical propensities explain the matched fractions") {
+    val rows = SparkEntry.queries("q265_ips_policy_eval")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    // ips_value_ppm is the sum of the per-channel terms, on every row
+    val terms = rows.map(_.getLong(5)).sum
+    rows.foreach(r => assert(r.getLong(6) == terms))
+    rows.foreach { r =>
+      val (nLogged, nMatched, convAll, convMatched) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(convMatched <= nMatched && nMatched <= nLogged)
+      assert(convAll <= nLogged)
+      // the term is exactly conv_matched/n_logged in ppm (floored)
+      assert(r.getLong(5) == convMatched * 1000000L / nLogged)
+    }
+    // pi(user) = user_id % 4 matches ~1/4 of clicks overall — user id
+    // and channel are independent in the fixtures (per-channel fractions
+    // are too noisy at sf0.001's ~50-click channels to pin)
+    val frac = rows.map(_.getLong(2)).sum.toDouble / rows.map(_.getLong(1)).sum
+    assert(frac > 0.15 && frac < 0.35,
+      s"aggregate matched fraction should sit near 1/4: $frac")
+  }
+
+  test("q266 record linkage: true pairs separate cleanly from in-block " +
+    "noise and every master id links") {
+    val rows = SparkEntry.queries("q266_record_linkage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nCust = Tables.t(spark, sfDir, "customer").count()
+    assert(rows.map(_._3).sum == nCust,
+      "every customer's dirty twin must land in its own block (same " +
+        "nation+segment), so true pairs total the customer count")
+    // separation: the balance+tail fields (75 points) only co-occur on
+    // true pairs; false pairs stay at or below 65
+    rows.filter(_._1 >= 75).foreach { case (s0, n, t) =>
+      assert(n == t, s"score $s0 must be pure true pairs: $n vs $t")
+    }
+    rows.filter(_._1 < 75).foreach { case (s0, _, t) =>
+      assert(t == 0, s"no true pair may fall below 75: score $s0 has $t")
+    }
+    // the noise floor exists (blocking produces candidate pairs at all)
+    assert(rows.filter(_._1 < 75).map(_._2).sum > 0,
+      "blocks must generate non-trivial candidate comparisons")
+  }
+
   test("q260 sequential monitor: final look equals q208's totals and " +
     "first_cross marks exactly the earliest crossing") {
     val looks = SparkEntry.queries("q260_sequential_ab_monitor")(spark, sfDir)
