@@ -899,6 +899,173 @@ object FeaturePlatform extends QueryModule {
                CAST(count(DISTINCT file_lin) AS BIGINT) AS files_linear,
                CAST(64 AS BIGINT) AS n_files,
                CAST(count(*) AS BIGINT) AS rows_selected
-        FROM probes GROUP BY probe ORDER BY probe"""))
+        FROM probes GROUP BY probe ORDER BY probe""")),
+
+    Q(
+      "q267_group_auc",
+      "EXACT ROC-AUC of the channel-rate conversion model by the " +
+        "tie-corrected Mann-Whitney rank-sum — the ranking complement " +
+        "of q228's calibration table (calibration says the scores are " +
+        "honest; AUC says they ORDER the population): fit per-channel " +
+        "conversion rates on TRAIN clicks (before 2024-01-16, q215's " +
+        "split), score EVAL clicks by their channel's train rate, " +
+        "label = converts within forward 24 h (q228's rule). With only " +
+        "4 distinct scores the data is almost all ties, where the " +
+        "naive concordant-pair count silently loses the half-credit " +
+        "mass — midranks carried as DOUBLED integers fix that " +
+        "exactly: a tie group occupying ranks a+1..a+c has 2*midrank " +
+        "= 2a + c + 1, so sum_pos R2 = sum_g pos_g*(2*cum_before_g + " +
+        "cnt_g + 1) and AUC = (sum R2 - n_pos*(n_pos+1)) / " +
+        "(2*n_pos*n_neg) — an exact integer rational, emitted with " +
+        "auc_bp = num*10^4 div den. Plan: two user-keyed semi-joins " +
+        "decide train/eval labels (the row-scale shuffles), score " +
+        "join is a broadcast of 4 rows, and the rank algebra runs " +
+        "entirely on the <=4-row score-group domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id", $"ts",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val clicks = ev.filter($"event_type" === "click")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"us".as("p_us"))
+        def labeled(cl: org.apache.spark.sql.DataFrame) = {
+          val conv = cl.join(purch,
+            $"user_id" === $"p_user" && $"p_us" > $"us" &&
+              $"p_us" - $"us" <= 86400000000L, "left_semi")
+          cl.join(conv.select($"event_id".as("cid")),
+              $"event_id" === $"cid", "left")
+            .select($"ch", when($"cid".isNotNull, 1L).otherwise(0L).as("y"))
+        }
+        val split = "timestamp'2024-01-16 00:00:00'"
+        val rates = labeled(clicks.filter(expr(s"ts < $split")))
+          .groupBy($"ch")
+          .agg(expr("(sum(y) * 1000000) div count(1)").as("score_ppm"))
+        val eval0 = labeled(clicks.filter(expr(s"ts >= $split")))
+          .join(broadcast(rates), Seq("ch"))
+          .groupBy($"score_ppm")
+          .agg(sum($"y").as("pos"), sum(lit(1L) - $"y").as("neg"),
+            count(lit(1)).as("cnt"))
+        val w = Window.orderBy($"score_ppm") // <=4-row score domain
+        eval0
+          .withColumn("cum_before",
+            coalesce(sum($"cnt").over(w.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .agg(
+            sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
+            sum($"pos" * (lit(2) * $"cum_before" + $"cnt" + 1)).as("sum_r2"))
+          .select($"n_pos", $"n_neg",
+            ($"sum_r2" - $"n_pos" * ($"n_pos" + 1)).as("auc_num"),
+            (lit(2L) * $"n_pos" * $"n_neg").as("auc_den"))
+          .withColumn("auc_bp", expr("(auc_num * 10000) div auc_den"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, ts,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events),
+        p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        lab AS (
+          SELECT c.ts, c.ch,
+                 CASE WHEN EXISTS (SELECT 1 FROM p
+                                   WHERE p.user_id = c.user_id
+                                     AND p.us > c.us
+                                     AND p.us - c.us <= 86400000000)
+                      THEN 1 ELSE 0 END AS y
+          FROM e c WHERE c.event_type = 'click'),
+        rates AS (
+          SELECT ch, (sum(y) * 1000000) // count(*) AS score_ppm
+          FROM lab WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY ch),
+        ev AS (
+          SELECT r.score_ppm,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM lab l JOIN rates r USING (ch)
+          WHERE l.ts >= TIMESTAMP '2024-01-16 00:00:00'
+          GROUP BY r.score_ppm),
+        ranked AS (
+          SELECT pos, neg, cnt,
+                 coalesce(sum(cnt) OVER (ORDER BY score_ppm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM ev),
+        a AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg,
+                 CAST(sum(pos * (2 * cum_before + cnt + 1)) AS BIGINT)
+                   AS sum_r2
+          FROM ranked)
+        SELECT n_pos, n_neg,
+               sum_r2 - n_pos * (n_pos + 1) AS auc_num,
+               2 * n_pos * n_neg AS auc_den,
+               ((sum_r2 - n_pos * (n_pos + 1)) * 10000)
+                 // (2 * n_pos * n_neg) AS auc_bp
+        FROM a""")),
+
+    Q(
+      "q268_compaction_planner",
+      "SMALL-FILE COMPACTION PLANNER — the maintenance pass that keeps " +
+        "a 100 TB table's file count sane (the q261 z-layout decides " +
+        "WHERE rows go; this decides which too-small files to REWRITE " +
+        "together): per-(source, doc_id-century) 'file' sizes roll up " +
+        "from document metadata, files sort size-DESC, and the " +
+        "cumulative-sum rule bin = floor(preceding_total / target) " +
+        "packs them into compaction groups — the deterministic " +
+        "one-window equivalent of first-fit-decreasing (FFD needs a " +
+        "serial replay; the cumsum rule gives the same near-target " +
+        "fills because size-desc order puts every bin's big rocks " +
+        "first, and overshoot is bounded by one file). Target adapts " +
+        "to the fixture (total div 8), standing in for the fixed 128 MB " +
+        "a production run pins. Per bin: file count, bytes, largest " +
+        "member, fill_bp vs target. The window runs over FILE METADATA " +
+        "(one row per file — millions at 100 TB, not data rows), the " +
+        "one place a single-partition window is the honest plan; the " +
+        "row-scale work is only the metadata rollup.",
+      (s, dir) => {
+        import s.implicits._
+        val files = Tables.t(s, dir, "documents")
+          .groupBy($"source", expr("doc_id div 100").as("century"))
+          .agg(sum($"n_chars").as("bytes"))
+          .select(concat($"source", lit("_"), $"century").as("file_id"),
+            $"bytes")
+        val target = broadcast(files.agg(
+          greatest(lit(1L), expr("sum(bytes) div 8")).as("target")))
+        val w = Window.orderBy($"bytes".desc, $"file_id")
+        files.crossJoin(target)
+          .withColumn("cum_before",
+            coalesce(sum($"bytes").over(w.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("bin", expr("cum_before div target"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_files"), sum($"bytes").as("bytes"),
+            max($"bytes").as("largest_file"),
+            min($"target").as("target"))
+          .withColumn("fill_bp", expr("(bytes * 10000) div target"))
+          .orderBy($"bin")
+      },
+      Some("""
+        WITH files AS (
+          SELECT source || '_' || CAST(doc_id // 100 AS VARCHAR) AS file_id,
+                 CAST(sum(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY source, doc_id // 100),
+        t AS (SELECT greatest(1, CAST(sum(bytes) AS BIGINT) // 8) AS target
+              FROM files),
+        packed AS (
+          SELECT f.file_id, f.bytes, t.target,
+                 coalesce(sum(f.bytes) OVER (ORDER BY f.bytes DESC, f.file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM files f, t)
+        SELECT CAST(cum_before // target AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS bytes,
+               CAST(max(bytes) AS BIGINT) AS largest_file,
+               CAST(min(target) AS BIGINT) AS target,
+               CAST((sum(bytes) * 10000) // min(target) AS BIGINT) AS fill_bp
+        FROM packed GROUP BY cum_before // target ORDER BY bin"""))
   )
 }

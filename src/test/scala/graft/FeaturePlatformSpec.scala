@@ -292,4 +292,44 @@ class FeaturePlatformSpec extends AnyFunSuite {
         s"$src: leaf shares sum $shareSum with $k children")
     }
   }
+
+  test("q267 AUC: rational identities hold and the channel model has no " +
+    "ranking power on the independence fixture") {
+    val r = SparkEntry.queries("q267_group_auc")(spark, sfDir).head()
+    val (nPos, nNeg, num, den, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(den == 2 * nPos * nNeg)
+    assert(num >= 0 && num <= den, s"AUC rational $num/$den out of [0,1]")
+    assert(bp == num * 10000 / den)
+    // events are synthetic with channel independent of conversion, so
+    // the channel-rate model must score near chance — the honest
+    // negative control for the metric itself (a buggy tie handling
+    // typically lands far from 0.5 because half-credit mass vanishes)
+    assert(bp > 4000 && bp < 6000, s"expected ~chance AUC, got $bp bp")
+  }
+
+  test("q268 compaction: bins conserve bytes, respect the one-file " +
+    "overshoot bound, and fill near target") {
+    val rows = SparkEntry.queries("q268_compaction_planner")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val total = Tables.t(spark, sfDir, "documents")
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(rows.map(_._3).sum == total, "plan must conserve bytes")
+    val target = rows.head._5
+    rows.foreach { case (bin, n, bytes, largest, t, fillBp) =>
+      assert(t == target)
+      assert(largest <= bytes)
+      assert(fillBp == bytes * 10000 / t)
+      // cumsum packing: a bin ends because the NEXT file crossed the
+      // boundary, so overshoot is bounded by its largest member
+      assert(bytes <= t + largest,
+        s"bin $bin bytes $bytes exceeds target $t + largest $largest")
+    }
+    // all but the tail bin must reach at least half fill on this corpus
+    rows.init.foreach { case (bin, _, _, _, _, fillBp) =>
+      assert(fillBp >= 5000, s"bin $bin underfilled: $fillBp bp")
+    }
+  }
 }
