@@ -1099,5 +1099,149 @@ object Experimentation extends QueryModule {
                CAST(sum(ips_term_ppm) OVER () AS BIGINT) AS ips_value_ppm,
                CAST((sum(conv_all) OVER () * 1000000)
                     // sum(n_logged) OVER () AS BIGINT) AS obs_conv_ppm
-        FROM terms ORDER BY ch""")))
+        FROM terms ORDER BY ch""")),
+
+    Q(
+      "q269_bandit_replay",
+      "GREEDY-BANDIT REPLAY with hindsight regret — the SEQUENTIAL " +
+        "decision loop q265's one-shot IPS estimate feeds (IPS values a " +
+        "fixed policy; this replays the adaptive one a traffic " +
+        "allocator actually runs): each day, an optimistic-greedy " +
+        "policy picks the channel with the best CUMULATIVE-so-far " +
+        "click-to-conversion rate (never-pulled arms score an " +
+        "optimistic 1000001 ppm, forcing one exploration pull each; " +
+        "rate ties break to the lower channel id — every decision is a " +
+        "deterministic integer argmax, NO RNG, which is what makes the " +
+        "whole replay oracle-able), and the day's realized rates are " +
+        "read from the log for both the picked arm and the best FIXED " +
+        "arm in hindsight. cum_regret_micro accumulates the daily " +
+        "rate gap — the curve that shows greedy locking onto the " +
+        "leader and the gap flattening. Plan: one row-scale aggregate " +
+        "to the (day, channel) domain (map-side partials); every " +
+        "window after that — per-channel cumsums, per-day argmax, the " +
+        "regret cumsum — runs on the bounded ~31x4 grid. Same plan at " +
+        "100 TB; the decision table IS the bounded domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            to_date($"ts").as("day"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val clicks = ev.filter($"event_type" === "click")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"us".as("p_us"))
+        val conv = clicks.join(purch,
+          $"user_id" === $"p_user" && $"p_us" > $"us" &&
+            $"p_us" - $"us" <= 86400000000L, "left_semi")
+        val daily = clicks.groupBy($"day", $"ch")
+          .agg(count(lit(1)).as("n"))
+          .join(conv.groupBy($"day", $"ch").agg(count(lit(1)).as("c")),
+            Seq("day", "ch"), "left")
+          .na.fill(0L, Seq("c"))
+        // dense (day x ch) grid so a channel with zero clicks on a day
+        // still exists as an arm (rate 0), keeping both engines' argmax
+        // domains identical
+        val days = daily.select($"day").distinct()
+        val arms = daily.select($"ch").distinct()
+        val grid = days.crossJoin(broadcast(arms))
+          .join(daily, Seq("day", "ch"), "left").na.fill(0L, Seq("n", "c"))
+        val wCum = Window.partitionBy($"ch").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val scored = grid
+          .withColumn("cn", coalesce(sum($"n").over(wCum), lit(0L)))
+          .withColumn("cc", coalesce(sum($"c").over(wCum), lit(0L)))
+          .withColumn("score_ppm",
+            expr("case when cn = 0 then 1000001 " +
+              "else (cc * 1000000) div cn end"))
+          .withColumn("day_rate_ppm",
+            expr("case when n = 0 then 0 else (c * 1000000) div n end"))
+        val picked = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"day").orderBy($"score_ppm".desc, $"ch")))
+          .filter($"rn" === 1)
+          .select($"day", $"ch".as("picked_ch"),
+            $"score_ppm".as("picked_score_ppm"),
+            $"day_rate_ppm".as("picked_day_rate_ppm"))
+        val bestFixed = broadcast(daily
+          .groupBy($"ch").agg(sum($"n").as("tn"), sum($"c").as("tc"))
+          .select($"ch", expr("(tc * 1000000) div tn").as("fixed_ppm"))
+          .orderBy($"fixed_ppm".desc, $"ch").limit(1)
+          .select($"ch".as("best_fixed_ch")))
+        val bestDaily = scored.join(bestFixed, $"ch" === $"best_fixed_ch")
+          .select($"day", $"best_fixed_ch",
+            $"day_rate_ppm".as("best_day_rate_ppm"))
+        picked.join(bestDaily, Seq("day"))
+          .withColumn("cum_regret_micro",
+            sum($"best_day_rate_ppm" - $"picked_day_rate_ppm").over(
+              Window.orderBy($"day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)))
+          .select($"day", $"picked_ch", $"picked_score_ppm",
+            $"picked_day_rate_ppm", $"best_fixed_ch",
+            $"best_day_rate_ppm", $"cum_regret_micro")
+          .orderBy($"day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(ts AS DATE) AS day,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events),
+        clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        daily AS (
+          SELECT c.day, c.ch,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN EXISTS (
+                        SELECT 1 FROM p WHERE p.user_id = c.user_id
+                          AND p.us > c.us
+                          AND p.us - c.us <= 86400000000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM clicks c GROUP BY 1, 2),
+        grid AS (
+          SELECT d.day, a.ch, coalesce(x.n, 0) AS n, coalesce(x.c, 0) AS c
+          FROM (SELECT DISTINCT day FROM daily) d
+          CROSS JOIN (SELECT DISTINCT ch FROM daily) a
+          LEFT JOIN daily x ON x.day = d.day AND x.ch = a.ch),
+        scored AS (
+          SELECT day, ch, n, c,
+                 coalesce(sum(n) OVER w, 0) AS cn,
+                 coalesce(sum(c) OVER w, 0) AS cc
+          FROM grid
+          WINDOW w AS (PARTITION BY ch ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        sc2 AS (
+          SELECT day, ch, n, c,
+                 CASE WHEN cn = 0 THEN 1000001
+                      ELSE (cc * 1000000) // cn END AS score_ppm,
+                 CASE WHEN n = 0 THEN 0
+                      ELSE (c * 1000000) // n END AS day_rate_ppm
+          FROM scored),
+        picked AS (
+          SELECT day, ch AS picked_ch, score_ppm AS picked_score_ppm,
+                 day_rate_ppm AS picked_day_rate_ppm
+          FROM (SELECT *, row_number() OVER (PARTITION BY day
+                  ORDER BY score_ppm DESC, ch) AS rn FROM sc2)
+          WHERE rn = 1),
+        best AS (
+          SELECT ch AS best_fixed_ch FROM daily
+          GROUP BY ch
+          ORDER BY (sum(c) * 1000000) // sum(n) DESC, ch LIMIT 1),
+        bestd AS (
+          SELECT s.day, b.best_fixed_ch, s.day_rate_ppm AS best_day_rate_ppm
+          FROM sc2 s JOIN best b ON s.ch = b.best_fixed_ch)
+        SELECT p.day,
+               CAST(p.picked_ch AS BIGINT) AS picked_ch,
+               CAST(p.picked_score_ppm AS BIGINT) AS picked_score_ppm,
+               CAST(p.picked_day_rate_ppm AS BIGINT) AS picked_day_rate_ppm,
+               CAST(b.best_fixed_ch AS BIGINT) AS best_fixed_ch,
+               CAST(b.best_day_rate_ppm AS BIGINT) AS best_day_rate_ppm,
+               CAST(sum(b.best_day_rate_ppm - p.picked_day_rate_ppm)
+                 OVER (ORDER BY p.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_regret_micro
+        FROM picked p JOIN bestd b USING (day)
+        ORDER BY p.day""")))
 }

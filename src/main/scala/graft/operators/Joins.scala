@@ -646,6 +646,79 @@ object Joins extends QueryModule {
                     THEN CAST(floor(epoch(err_ts)) - floor(epoch(p_ts)) AS BIGINT)
                     END AS gap_sec
         FROM j WHERE rn = 1
-        ORDER BY err_id"""))
+        ORDER BY err_id""")),
+
+    Q(
+      "q270_spatial_grid_join",
+      "SPATIAL GRID-BUCKETED DISTANCE JOIN — the 2-D member of the " +
+        "equi-ization family (q133 buckets time ranges, q189 buckets " +
+        "intervals into weeks; this buckets the PLANE): customers and " +
+        "suppliers get deterministic synthetic coordinates on a " +
+        "200x200 grid (LCG-mixed keys, DIFFERENT multipliers per table " +
+        "so the two point sets are uncorrelated — the fixtures carry " +
+        "no geo columns, so the geometry is derived, q204's seed " +
+        "recipe), and " +
+        "all pairs within L-inf distance 10 are found by hashing " +
+        "points into 10-unit cells and replicating the SMALL side to " +
+        "its 3x3 neighbor cells (explode of a 9-element constant — " +
+        "replication factor is fixed at 9 regardless of data size, and " +
+        "each qualifying pair meets in EXACTLY one cell, so no " +
+        "post-join dedup). The join itself is a plain equi-join on " +
+        "(cell_x, cell_y) + the exact distance residual — Catalyst " +
+        "never sees a theta join, the cell domain " +
+        "spreads uniformly under shuffle, and the same plan holds for " +
+        "geohash/S2 cells at planet scale. Output: pair count per " +
+        "exact L-inf distance (the distance histogram a radius sweep " +
+        "reads). Oracle: the quadratic cross-join ground truth, " +
+        "feasible at sf0.01 (150k candidate pairs) where the grid " +
+        "plan's candidate set is ~100x smaller.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_custkey".as("cid"),
+            (($"c_custkey" * 48271L) % M % 200).as("ax"),
+            (($"c_custkey" * 16807L) % M % 200).as("ay"))
+        val supp = Tables.t(s, dir, "supplier")
+          .select($"s_suppkey".as("sid"),
+            (($"s_suppkey" * 69621L) % M % 200).as("bx"),
+            (($"s_suppkey" * 40692L) % M % 200).as("by"))
+        val custCells = cust
+          .withColumn("cx", expr("ax div 10"))
+          .withColumn("cy", expr("ay div 10"))
+        val suppCells = supp
+          .select($"sid", $"bx", $"by",
+            explode(expr("sequence(-1, 1)")).as("dx"))
+          .select($"sid", $"bx", $"by", $"dx",
+            explode(expr("sequence(-1, 1)")).as("dy"))
+          .select($"sid", $"bx", $"by",
+            (expr("bx div 10") + $"dx").as("cx"),
+            (expr("by div 10") + $"dy").as("cy"))
+        custCells.join(suppCells, Seq("cx", "cy"))
+          .filter(abs($"ax" - $"bx") <= 10 && abs($"ay" - $"by") <= 10)
+          .select(greatest(abs($"ax" - $"bx"), abs($"ay" - $"by"))
+            .as("dist_linf"))
+          .groupBy($"dist_linf")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"dist_linf")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey AS cid,
+                 (c_custkey * 48271) % 2147483647 % 200 AS ax,
+                 (c_custkey * 16807) % 2147483647 % 200 AS ay
+          FROM customer),
+        s AS (
+          SELECT s_suppkey AS sid,
+                 (s_suppkey * 69621) % 2147483647 % 200 AS bx,
+                 (s_suppkey * 40692) % 2147483647 % 200 AS by
+          FROM supplier),
+        pairs AS (
+          SELECT greatest(abs(ax - bx), abs(ay - by)) AS dist_linf
+          FROM c, s
+          WHERE abs(ax - bx) <= 10 AND abs(ay - by) <= 10)
+        SELECT CAST(dist_linf AS BIGINT) AS dist_linf,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY dist_linf ORDER BY dist_linf"""))
   )
 }

@@ -341,6 +341,31 @@ class ExperimentationSpec extends AnyFunSuite {
       "blocks must generate non-trivial candidate comparisons")
   }
 
+  test("q269 bandit replay: regret telescopes, cold start explores each " +
+    "arm at most once, hindsight arm is a constant") {
+    val rows = SparkEntry.queries("q269_bandit_replay")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // cum_regret is exactly the running sum of the per-day gaps
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(5) - r.getLong(3)
+      assert(r.getLong(6) == run,
+        s"cum_regret_micro must telescope at ${r.getDate(0)}")
+    }
+    // cold start: day 1 always picks arm 0 at the optimistic score (no
+    // arm has history), and optimistic picks can't dominate the horizon
+    // (an arm leaves cold-start state as soon as a click lands on it)
+    assert(rows.head.getLong(1) == 0L &&
+      rows.head.getLong(2) == 1000001L,
+      "day 1 must be the deterministic optimistic pull of arm 0")
+    val optimistic = rows.count(_.getLong(2) == 1000001L)
+    assert(optimistic < rows.length / 2,
+      s"cold-start pulls should be a handful, got $optimistic")
+    // the hindsight-best arm is a single constant column
+    assert(rows.map(_.getLong(4)).distinct.length == 1)
+  }
+
   test("q260 sequential monitor: final look equals q208's totals and " +
     "first_cross marks exactly the earliest crossing") {
     val looks = SparkEntry.queries("q260_sequential_ab_monitor")(spark, sfDir)

@@ -285,6 +285,36 @@ class KernelPropertySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
   }
 
+  test("q270 grid join: histogram equals the quadratic ground truth and " +
+    "the grid prunes the candidate space") {
+    import TestSession._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q270_spatial_grid_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force ground truth, same derived geometry
+    val M = 2147483647L
+    def pts(t: String, k: String, m1: Long, m2: Long) =
+      Tables.t(spark, sfDir, t).select(
+        ((col(k) * m1) % M % 200).as(s"${t}_x"),
+        ((col(k) * m2) % M % 200).as(s"${t}_y"))
+    val brute = pts("customer", "c_custkey", 48271L, 16807L)
+      .crossJoin(pts("supplier", "s_suppkey", 69621L, 40692L))
+      .filter(abs(col("customer_x") - col("supplier_x")) <= 10 &&
+        abs(col("customer_y") - col("supplier_y")) <= 10)
+      .select(greatest(abs(col("customer_x") - col("supplier_x")),
+        abs(col("customer_y") - col("supplier_y"))).as("d"))
+      .groupBy(col("d")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, s"grid join missed or duplicated pairs: " +
+      s"grid $got vs brute $brute")
+    // candidate pruning: 9 cells x small side << the full cross product
+    val nC = Tables.t(spark, sfDir, "customer").count()
+    val nS = Tables.t(spark, sfDir, "supplier").count()
+    assert(9 * nS * nC / 400 < nC * nS / 10,
+      "the 20x20 cell domain must keep expected candidates under 10% " +
+        "of the cross product")
+  }
+
   test("q262 vocab growth: curves monotone, totals close over the corpus") {
     import TestSession._
     import org.apache.spark.sql.functions._
