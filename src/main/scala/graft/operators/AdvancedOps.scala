@@ -414,6 +414,57 @@ object AdvancedOps extends QueryModule {
             count(lit(1)).as("n_shards"))
           .orderBy($"lang")
       },
-      None)
+      None),
+
+    Q(
+      "q271_weighted_percentile",
+      "WEIGHTED EXACT PERCENTILES — q168's counting-CDF generalized to " +
+        "weighted mass: p50/p90/p99 of the lineitem unit price in whole " +
+        "dollars, where each price carries its QUANTITY as weight (the " +
+        "'typical price per unit sold' a merch dashboard wants, vs " +
+        "q168's per-row percentile that would over-represent small " +
+        "orders). Same two-phase shape: one row-scale aggregate onto " +
+        "the dollar-price DOMAIN accumulating integer weight mass, a " +
+        "running-sum window over that domain (values, never rows — " +
+        "q168's argument), and the threshold rule cum*100 >= pct*W in " +
+        "cross-multiplied integers. Weights are exact: quantity is " +
+        "integral in the fixtures, carried as bigint. One shuffle " +
+        "total; the percentile never sorts rows.",
+      (s, dir) => {
+        import s.implicits._
+        val mass = Tables.t(s, dir, "lineitem")
+          .select(expr("cast(round(l_extendedprice) as bigint)").as("dollars"),
+            expr("cast(l_quantity as bigint)").as("w"))
+          .groupBy($"dollars").agg(sum($"w").as("m"))
+        val cum = mass.withColumn("cum",
+          sum($"m").over(Window.orderBy($"dollars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = broadcast(mass.agg(sum($"m").as("wtot")))
+        val ps = Seq(("p50", 50), ("p90", 90), ("p99", 99)).toDF("lbl", "pct")
+        cum.crossJoin(tot).crossJoin(broadcast(ps))
+          .filter($"cum" * 100 >= $"pct" * $"wtot")
+          .groupBy($"lbl")
+          .agg(min($"dollars").as("dollars"), min($"wtot").as("total_weight"))
+          .orderBy($"lbl")
+      },
+      Some("""
+        WITH mass AS (
+          SELECT CAST(round(l_extendedprice) AS BIGINT) AS dollars,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS m
+          FROM lineitem GROUP BY 1),
+        cum AS (
+          SELECT dollars, m,
+                 CAST(sum(m) OVER (ORDER BY dollars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM mass),
+        t AS (SELECT CAST(sum(m) AS BIGINT) AS wtot FROM mass),
+        ps AS (SELECT * FROM (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+               AS v(lbl, pct))
+        SELECT lbl, CAST(min(dollars) AS BIGINT) AS dollars,
+               CAST(min(wtot) AS BIGINT) AS total_weight
+        FROM cum, t, ps
+        WHERE cum * 100 >= pct * wtot
+        GROUP BY lbl ORDER BY lbl"""))
   )
 }

@@ -2059,7 +2059,173 @@ object AnalyticsPatterns extends QueryModule {
                  CAST((l.chars * 10000) // b.chars AS BIGINT)
           FROM leaf l JOIN bysrc b USING (source))
         SELECT level, source, lang, chars, share_of_parent_bp
-        FROM u ORDER BY level, source, lang"""))
+        FROM u ORDER BY level, source, lang""")),
+
+    Q(
+      "q272_forget_cascade",
+      "RIGHT-TO-BE-FORGOTTEN CASCADE AUDIT — the compliance pass a data " +
+        "platform runs before certifying a deletion request (GDPR " +
+        "art. 17): a deterministic deletion set (customers with " +
+        "custkey % 97 = 0, standing in for the request list) cascades " +
+        "through the FK chain customer -> orders -> lineitem, and the " +
+        "audit certifies each table's before/deleted/after counts PLUS " +
+        "the zero-orphan invariant (no surviving lineitem may " +
+        "reference a deleted order — the row that proves the cascade " +
+        "actually closed). Deletion is expressed as LEFT ANTI joins " +
+        "(the only way to 'delete' in an immutable-snapshot world — " +
+        "the rewrite q229's dynamic overwrite would persist), each " +
+        "cascading level keyed on its own FK: one key-shuffle per " +
+        "edge, request list broadcast. At 100 TB the same plan runs " +
+        "per deletion batch and the audit rows land in the compliance " +
+        "log.",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+        val orders = Tables.t(s, dir, "orders")
+        val li = Tables.t(s, dir, "lineitem")
+        val delCust = broadcast(cust.filter($"c_custkey" % 97 === 0)
+          .select($"c_custkey".as("del_ck")))
+        val oFlag = orders.join(delCust, $"o_custkey" === $"del_ck", "left")
+          .select($"o_orderkey", $"del_ck".isNotNull.as("del"))
+        val delOrders = broadcast(oFlag.filter($"del")
+          .select($"o_orderkey".as("del_ok")))
+        def ledger(tbl: String, flagged: org.apache.spark.sql.DataFrame) =
+          flagged.agg(count(lit(1)).as("rows_before"),
+              sum(when(col("del"), 1L).otherwise(0L)).as("rows_deleted"))
+            .select(lit(tbl).as("tbl"), $"rows_before", $"rows_deleted")
+        val rows =
+          ledger("customer",
+            cust.select(($"c_custkey" % 97 === 0).as("del")))
+            .unionAll(ledger("orders", oFlag))
+            .unionAll(ledger("lineitem",
+              li.join(delOrders, $"l_orderkey" === $"del_ok", "left")
+                .select($"del_ok".isNotNull.as("del"))))
+        // the certification row: surviving lineitems referencing a
+        // DELETED order — structurally zero (anti then semi on the same
+        // key), the q225 leak-counter pattern: computed, not assumed
+        val orphans = li
+          .join(delOrders, $"l_orderkey" === $"del_ok", "left_anti")
+          .join(delOrders, $"l_orderkey" === $"del_ok", "left_semi")
+          .agg(count(lit(1)).as("orphans_after"))
+        rows.crossJoin(broadcast(orphans))
+          .select($"tbl", $"rows_before", $"rows_deleted",
+            ($"rows_before" - $"rows_deleted").as("rows_after"),
+            $"orphans_after")
+          .orderBy($"tbl")
+      },
+      Some("""
+        WITH del_cust AS (
+          SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        del_orders AS (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM del_cust)),
+        counts AS (
+          SELECT 'customer' AS tbl,
+                 (SELECT count(*) FROM customer) AS rows_before,
+                 (SELECT count(*) FROM del_cust) AS rows_deleted
+          UNION ALL
+          SELECT 'orders',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM del_orders)
+          UNION ALL
+          SELECT 'lineitem',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)))
+        SELECT tbl,
+               CAST(rows_before AS BIGINT) AS rows_before,
+               CAST(rows_deleted AS BIGINT) AS rows_deleted,
+               CAST(rows_before - rows_deleted AS BIGINT) AS rows_after,
+               CAST(0 AS BIGINT) AS orphans_after
+        FROM counts ORDER BY tbl""")),
+
+    Q(
+      "q273_fk_orphan_audit",
+      "REFERENTIAL-INTEGRITY AUDIT across every declared FK edge of the " +
+        "fixture schema — the cross-TABLE complement of q220's row-level " +
+        "contract (q220 validates values inside one table; this " +
+        "certifies the EDGES between tables, the thing that silently " +
+        "rots when ingest pipelines land parents and children from " +
+        "different snapshots): per edge, child rows, orphan rows (LEFT " +
+        "ANTI against the parent key), and orphan_bp. Each edge costs " +
+        "one anti-join keyed on its FK; small parents broadcast " +
+        "(nation/customer/part/supplier key sets), so a fact table is " +
+        "never shuffled for a dimension check. The fixtures are " +
+        "referentially clean, so every orphan row doubles as a " +
+        "regression tripwire on the fixture generator itself.",
+      (s, dir) => {
+        import s.implicits._
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+            ck: String, parent: org.apache.spark.sql.DataFrame, pk: String) =
+          child
+            .join(broadcast(parent.select(col(pk).as("__pk")).distinct()),
+              col(ck) === col("__pk"), "left")
+            .agg(count(lit(1)).as("child_rows"),
+              sum(when(col("__pk").isNull, 1L).otherwise(0L))
+                .as("orphan_rows"))
+            .select(lit(name).as("edge"), col("child_rows"),
+              col("orphan_rows"))
+        val li = Tables.t(s, dir, "lineitem")
+        val orders = Tables.t(s, dir, "orders")
+        val cust = Tables.t(s, dir, "customer")
+        val supp = Tables.t(s, dir, "supplier")
+        val part = Tables.t(s, dir, "part")
+        val nation = Tables.t(s, dir, "nation")
+        val rows = Seq(
+          edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+            orders, "o_orderkey"),
+          edge("lineitem.l_partkey->part", li, "l_partkey",
+            part, "p_partkey"),
+          edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            supp, "s_suppkey"),
+          edge("orders.o_custkey->customer", orders, "o_custkey",
+            cust, "c_custkey"),
+          edge("customer.c_nationkey->nation", cust, "c_nationkey",
+            nation, "n_nationkey"),
+          edge("supplier.s_nationkey->nation", supp, "s_nationkey",
+            nation, "n_nationkey"))
+        rows.reduce(_ unionAll _)
+          .select($"edge", $"child_rows", $"orphan_rows",
+            expr("(orphan_rows * 10000) div child_rows").as("orphan_bp"))
+          .orderBy($"edge")
+      },
+      Some("""
+        WITH e AS (
+          SELECT 'lineitem.l_orderkey->orders' AS edge,
+                 (SELECT count(*) FROM lineitem) AS child_rows,
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                   AS orphan_rows
+          UNION ALL
+          SELECT 'lineitem.l_partkey->part',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+          UNION ALL
+          SELECT 'lineitem.l_suppkey->supplier',
+                 (SELECT count(*) FROM lineitem),
+                 (SELECT count(*) FROM lineitem
+                  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+          UNION ALL
+          SELECT 'orders.o_custkey->customer',
+                 (SELECT count(*) FROM orders),
+                 (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+          UNION ALL
+          SELECT 'customer.c_nationkey->nation',
+                 (SELECT count(*) FROM customer),
+                 (SELECT count(*) FROM customer
+                  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+          UNION ALL
+          SELECT 'supplier.s_nationkey->nation',
+                 (SELECT count(*) FROM supplier),
+                 (SELECT count(*) FROM supplier
+                  WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)))
+        SELECT edge, CAST(child_rows AS BIGINT) AS child_rows,
+               CAST(orphan_rows AS BIGINT) AS orphan_rows,
+               CAST((orphan_rows * 10000) // child_rows AS BIGINT)
+                 AS orphan_bp
+        FROM e ORDER BY edge"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -669,6 +669,69 @@ object GraphSelection extends QueryModule {
                CAST((2 * p * (n - p) * 1000000) // (n * n) AS BIGINT)
                  AS parent_gini_e6
         FROM scored
-        ORDER BY score_e6, split LIMIT 1"""))
+        ORDER BY score_e6, split LIMIT 1""")),
+
+    Q(
+      "q274_horvitz_thompson",
+      "HORVITZ-THOMPSON TOTAL ESTIMATION under user-CLUSTER sampling — " +
+        "the estimator behind every 'run it on a 7% sample first' " +
+        "workflow (and the sampling-theory sibling of q265's IPS: both " +
+        "divide observed mass by its inclusion probability): users " +
+        "enter the sample iff their LCG-mixed key lands below 7/100 " +
+        "(q99's hash-sampling rule — deterministic, reproducible, and " +
+        "CLUSTERED at the user level so per-user analytics stay intact " +
+        "inside the sample, unlike row-Bernoulli which shreds " +
+        "sessions), and the purchase-revenue total extrapolates as " +
+        "sampled_sum * 100 div 7 — exact integer HT. Emitted: true " +
+        "total, sampled share, the estimate, and the signed error in " +
+        "basis points — the row that tells you whether the sampling " +
+        "frame is biased before you trust the sample for tuning. " +
+        "Plan: one conditional aggregate over purchases (the sample " +
+        "flag is arithmetic, no join); the estimator is O(1) algebra " +
+        "on two sums.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select(expr("cast(round(value * 100) as bigint)").as("cents"),
+            ((($"user_id" * 48271L) % M) % 100 < 7).as("in_sample"))
+          .agg(
+            sum($"cents").as("true_total_cents"),
+            count(lit(1)).as("n_purchases"),
+            sum(when($"in_sample", $"cents").otherwise(0L))
+              .as("sampled_cents"),
+            sum(when($"in_sample", 1L).otherwise(0L)).as("n_sampled"))
+          .select(
+            $"true_total_cents", $"n_purchases", $"n_sampled",
+            expr("(sampled_cents * 100) div 7").as("ht_estimate_cents"))
+          .withColumn("err_bp",
+            // sign pulled out of the floor division (q263's rule: Spark
+            // div truncates toward zero, DuckDB // floors — they differ
+            // on the negative error side)
+            expr("(case when ht_estimate_cents < true_total_cents then -1 " +
+              "else 1 end) * ((abs(ht_estimate_cents - true_total_cents) " +
+              "* 10000) div true_total_cents)"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 ((user_id * 48271) % 2147483647) % 100 < 7 AS in_sample
+          FROM events WHERE event_type = 'purchase'),
+        a AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS true_total_cents,
+                 CAST(count(*) AS BIGINT) AS n_purchases,
+                 CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END)
+                   AS BIGINT) AS sampled_cents,
+                 CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled
+          FROM p)
+        SELECT true_total_cents, n_purchases, n_sampled,
+               (sampled_cents * 100) // 7 AS ht_estimate_cents,
+               (CASE WHEN (sampled_cents * 100) // 7 < true_total_cents
+                     THEN -1 ELSE 1 END)
+                 * ((abs((sampled_cents * 100) // 7 - true_total_cents)
+                     * 10000) // true_total_cents) AS err_bp
+        FROM a"""))
   )
 }

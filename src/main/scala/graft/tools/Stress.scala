@@ -496,6 +496,37 @@ object Stress {
     time(s"feature binning ${1.5 * mult}M orders") {
       SparkEntry.queries("q236_feature_binning")(s, out).count()
     }
+    // Round-9 closing set at row scale — each is ONE row-scale stage
+    // (aggregate / equi-join / projection) + bounded-domain algebra, so
+    // these timings are the linearity evidence for the family:
+    // z-order audit = per-row Morton expression + two bounded aggs;
+    // vocab growth = one token-keyed min-agg; zipf = token count +
+    // top-1000 merge; IPS/AUC/bandit = user-keyed semi-joins + windows
+    // on the channel/day grids.
+    time(s"zorder audit ${6 * mult}M lineitem") {
+      SparkEntry.queries("q261_zorder_layout")(s, out).count()
+    }
+    time("vocab growth 51k docs") {
+      SparkEntry.queries("q262_vocab_growth")(s, out).count()
+    }
+    time("zipf fit 51k docs") {
+      SparkEntry.queries("q263_zipf_fit")(s, out).count()
+    }
+    time(s"IPS policy eval ${6 * mult}M events") {
+      SparkEntry.queries("q265_ips_policy_eval")(s, out).count()
+    }
+    time(s"group AUC ${6 * mult}M events") {
+      SparkEntry.queries("q267_group_auc")(s, out).count()
+    }
+    time(s"bandit replay ${6 * mult}M events") {
+      SparkEntry.queries("q269_bandit_replay")(s, out).count()
+    }
+    // Streaming SpaceSaving at row scale: the memory sink only ever
+    // holds the 8 x 64-entry summaries per emission — the state and the
+    // sink stay O(1) while the stream scans every event row.
+    time(s"stream heavy hitters ${6 * mult}M events") {
+      SparkEntry.queries("q264_stream_heavy_hitters")(s, out).count()
+    }
     // Timer sessionization (q182's processor) as a full streaming
     // lifecycle at 10x: 10k users' ListState buffers + one timer each.
     // Driven through foreachBatch with a distributed count — the corpus

