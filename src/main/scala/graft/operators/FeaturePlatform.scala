@@ -1066,6 +1066,110 @@ object FeaturePlatform extends QueryModule {
                CAST(max(bytes) AS BIGINT) AS largest_file,
                CAST(min(target) AS BIGINT) AS target,
                CAST((sum(bytes) * 10000) // min(target) AS BIGINT) AS fill_bp
-        FROM packed GROUP BY cum_before // target ORDER BY bin"""))
+        FROM packed GROUP BY cum_before // target ORDER BY bin""")),
+
+    Q(
+      "q276_ndcg_eval",
+      "EXACT nDCG@10 for the revenue-rank part recommender, per nation — " +
+        "the GRADED-relevance ranking metric completing the eval " +
+        "family (q235 MRR = first-hit position, q267 AUC = pairwise " +
+        "order, THIS = position-discounted graded gain, the metric " +
+        "search/reco teams actually report): the model ranks each " +
+        "nation's parts by 1995-97 revenue; relevance is the 1998+ " +
+        "order count capped at grade 3. The log2 discounts enter as " +
+        "ten FIXED micro-scaled integer LITERALS (1/log2(i+1) — " +
+        "q238's Benford rule: constants computed once by a human, " +
+        "never by two engines' libm), gains are the CASE-mapped " +
+        "2^rel - 1 in {0,1,3,7}, so DCG, ideal DCG, and ndcg_bp = " +
+        "dcg*10^4 div idcg are all exact integers. Plan: the " +
+        "train/test rollups are the row-scale work (fact-fact join on " +
+        "orderkey, dims broadcast); rankings are nation-PARTITIONED " +
+        "windows over the per-nation part domain; the discount table " +
+        "is a 10-row broadcast.",
+      (s, dir) => {
+        import s.implicits._
+        val facts = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(Tables.t(s, dir, "customer")
+            .select($"c_custkey", $"c_nationkey".as("nk"))),
+            $"o_custkey" === $"c_custkey")
+          .select($"nk", $"l_partkey".as("pk"), year($"o_orderdate").as("yr"),
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        val train = facts.filter($"yr" < 1998)
+          .groupBy($"nk", $"pk").agg(sum($"cents").as("rev"))
+        val rel = facts.filter($"yr" >= 1998)
+          .groupBy($"nk", $"pk")
+          .agg(least(count(lit(1)), lit(3L)).as("rel"))
+        val disc = broadcast(Seq(
+          (1, 1000000L), (2, 630930L), (3, 500000L), (4, 430677L),
+          (5, 386853L), (6, 356207L), (7, 333333L), (8, 315465L),
+          (9, 301030L), (10, 289065L)).toDF("pos", "disc"))
+        def gain = expr("case rel when 0 then 0 when 1 then 1 " +
+          "when 2 then 3 else 7 end")
+        val ranked = train
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"nk").orderBy($"rev".desc, $"pk")))
+          .filter($"pos" <= 10)
+          .join(rel, Seq("nk", "pk"), "left").na.fill(0L, Seq("rel"))
+          .join(disc, Seq("pos"))
+          .groupBy($"nk").agg(sum(gain * $"disc").as("dcg_micro"))
+        val ideal = rel
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"nk").orderBy($"rel".desc, $"pk")))
+          .filter($"pos" <= 10)
+          .join(disc, Seq("pos"))
+          .groupBy($"nk").agg(sum(gain * $"disc").as("idcg_micro"))
+        ranked.join(ideal, Seq("nk"), "left")
+          .na.fill(0L, Seq("idcg_micro"))
+          .select($"nk".cast("long").as("nationkey"),
+            $"dcg_micro", $"idcg_micro",
+            expr("case when idcg_micro > 0 " +
+              "then (dcg_micro * 10000) div idcg_micro end").as("ndcg_bp"))
+          .orderBy($"nationkey")
+      },
+      Some("""
+        WITH facts AS (
+          SELECT c.c_nationkey AS nk, l.l_partkey AS pk,
+                 year(o.o_orderdate) AS yr,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey),
+        train AS (
+          SELECT nk, pk, sum(cents) AS rev FROM facts
+          WHERE yr < 1998 GROUP BY 1, 2),
+        rel AS (
+          SELECT nk, pk, least(count(*), 3) AS rel FROM facts
+          WHERE yr >= 1998 GROUP BY 1, 2),
+        disc AS (
+          SELECT * FROM (VALUES (1, 1000000), (2, 630930), (3, 500000),
+            (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+            (8, 315465), (9, 301030), (10, 289065)) AS v(pos, disc)),
+        ranked AS (
+          SELECT t.nk,
+                 sum((CASE coalesce(r.rel, 0) WHEN 0 THEN 0 WHEN 1 THEN 1
+                      WHEN 2 THEN 3 ELSE 7 END) * d.disc) AS dcg_micro
+          FROM (SELECT nk, pk, row_number() OVER (PARTITION BY nk
+                  ORDER BY rev DESC, pk) AS pos FROM train) t
+          LEFT JOIN rel r ON r.nk = t.nk AND r.pk = t.pk
+          JOIN disc d ON d.pos = t.pos
+          WHERE t.pos <= 10 GROUP BY t.nk),
+        ideal AS (
+          SELECT i.nk,
+                 sum((CASE i.rel WHEN 0 THEN 0 WHEN 1 THEN 1
+                      WHEN 2 THEN 3 ELSE 7 END) * d.disc) AS idcg_micro
+          FROM (SELECT nk, rel, row_number() OVER (PARTITION BY nk
+                  ORDER BY rel DESC, pk) AS pos FROM rel) i
+          JOIN disc d ON d.pos = i.pos
+          WHERE i.pos <= 10 GROUP BY i.nk)
+        SELECT CAST(rk.nk AS BIGINT) AS nationkey,
+               CAST(rk.dcg_micro AS BIGINT) AS dcg_micro,
+               CAST(coalesce(id.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+               CASE WHEN coalesce(id.idcg_micro, 0) > 0
+                    THEN CAST((rk.dcg_micro * 10000)
+                              // id.idcg_micro AS BIGINT) END AS ndcg_bp
+        FROM ranked rk LEFT JOIN ideal id ON rk.nk = id.nk
+        ORDER BY nationkey"""))
   )
 }

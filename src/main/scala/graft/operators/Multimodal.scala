@@ -243,6 +243,45 @@ object Multimodal extends QueryModule {
     } finally ais.close()
   }
 
+  /** q275's exact spectral row: DFT energies at the three bins whose
+    * 64-point twiddle factors are EXACTLY {0, +/-1} — DC (k=0), quarter
+    * band (k=16, coefficients cycle 1,-i,-1,i), Nyquist (k=32,
+    * alternating +/-1) — so the whole spectral feature is integer
+    * arithmetic on decoded samples: no cos(), no cross-engine libm ULP
+    * surface (the q127/q238 rule applied to signal processing). */
+  final case class SpectralFeatures(
+      doc_id: Long, e_dc: Long, e_quarter: Long, e_nyquist: Long,
+      sum_sq64: Long)
+
+  /** Decode the WAV payload (real codec, q118's path) and compute the
+    * three exactly-representable 64-point DFT bin energies over the
+    * first 64 samples (every fixture clip has >= 64). */
+  def spectralWavFeatures(id: Long, payload: Array[Byte]): SpectralFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val pcm = ais.readAllBytes()
+      require(pcm.length / 2 >= 64, s"doc $id: clip shorter than 64 samples")
+      var sum = 0L; var alt = 0L; var re = 0L; var im = 0L; var sq = 0L
+      var i = 0
+      while (i < 64) {
+        val amp = (((pcm(i * 2 + 1) & 0xff) << 8) | (pcm(i * 2) & 0xff))
+          .toShort.toInt
+        sum += amp
+        alt += (if (i % 2 == 0) amp else -amp)
+        (i % 4: @annotation.switch) match {
+          case 0 => re += amp
+          case 1 => im -= amp
+          case 2 => re -= amp
+          case 3 => im += amp
+        }
+        sq += amp.toLong * amp
+        i += 1
+      }
+      SpectralFeatures(id, sum * sum, re * re + im * im, alt * alt, sq)
+    } finally ais.close()
+  }
+
   /** One 32-sample audio frame (q190): ASR-style frame features. Integer
     * amplitude sums per frame keep the oracle exact — the audio analogue
     * of [[PatchFeatures]]. */
@@ -1239,6 +1278,56 @@ object Multimodal extends QueryModule {
                CAST(sum(kept) AS BIGINT) AS n_kept,
                CAST(sum(kept * n_tok) AS BIGINT) AS tokens_kept,
                CAST(sum(kept * w * h) AS BIGINT) AS pixels_kept
-        FROM j GROUP BY lang ORDER BY lang"""))
+        FROM j GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q275_audio_spectral",
+      "EXACT SPECTRAL FEATURES on the real audio codec path — DFT bin " +
+        "energies over each clip's first 64 decoded samples at the " +
+        "three bins whose 64-point twiddle factors are exactly " +
+        "{0, +/-1}: DC (k=0, loudness offset), the quarter band (k=16, " +
+        "coefficients cycling 1,-i,-1,i — energy near 2 kHz at the " +
+        "8 kHz fixture rate), and Nyquist (k=32, alternating signs — " +
+        "the aliasing/noise indicator), plus the 64-sample energy " +
+        "(the Parseval reference: each bin energy is bounded by " +
+        "64*sum_sq, spec-checked). Choosing the exactly-representable " +
+        "bins keeps the WHOLE feature integer — no cos(), no " +
+        "cross-engine libm ULP surface (q238's log10-literal rule " +
+        "applied to signal processing); a production mel filterbank " +
+        "would precompute micro-scaled twiddle literals the same way. " +
+        "Payloads are born and die in one partition (q118's shape); " +
+        "WAV PCM is lossless, so the decoded-sample energies equal the " +
+        "closed-form amplitude function and the oracle is bit-exact.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        ids.mapPartitions(_.map(id => (id, encodeWav(id))))
+          .mapPartitions(_.map { case (id, wav) => spectralWavFeatures(id, wav) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+        a AS (
+          SELECT doc_id, i,
+                 ((doc_id * 37 + i * 13) % 4001) - 2000 AS amp
+          FROM s),
+        g AS (
+          SELECT doc_id,
+                 sum(amp) AS su,
+                 sum(CASE WHEN i % 2 = 0 THEN amp ELSE -amp END) AS alt,
+                 sum(CASE WHEN i % 4 = 0 THEN amp
+                          WHEN i % 4 = 2 THEN -amp ELSE 0 END) AS re,
+                 sum(CASE WHEN i % 4 = 1 THEN -amp
+                          WHEN i % 4 = 3 THEN amp ELSE 0 END) AS im,
+                 sum(amp * amp) AS sq
+          FROM a GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(su * su AS BIGINT) AS e_dc,
+               CAST(re * re + im * im AS BIGINT) AS e_quarter,
+               CAST(alt * alt AS BIGINT) AS e_nyquist,
+               CAST(sq AS BIGINT) AS sum_sq64
+        FROM g ORDER BY doc_id"""))
   )
 }

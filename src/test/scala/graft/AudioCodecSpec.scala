@@ -86,4 +86,46 @@ class AudioCodecSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}")
     }
   }
+
+  test("q275 spectral: Parseval bounds hold and a pure quarter-band tone " +
+    "concentrates its energy in the quarter bin") {
+    import TestSession._
+    val rows = SparkEntry.queries("q275_audio_spectral")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (eDc, eQ, eNy, sq) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sq > 0)
+      // Cauchy-Schwarz / Parseval: every bin energy <= N * total energy
+      Seq(eDc, eQ, eNy).foreach(e =>
+        assert(e <= 64L * sq, s"bin energy $e above the Parseval bound"))
+    }
+    // synthetic pure tone at k=16 (period 4: 0, a, 0, -a): the quarter
+    // bin takes ALL the energy (|X_16|^2 = (N/2 * a)^2 on the imag
+    // axis), DC and Nyquist exactly zero — the kernel's selectivity
+    val a = 1000
+    val pcm = new Array[Byte](64 * 2)
+    (0 until 64).foreach { i =>
+      val amp = (i % 4) match {
+        case 1 => a
+        case 3 => -a
+        case _ => 0
+      }
+      pcm(i * 2) = (amp & 0xff).toByte
+      pcm(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 64L)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = graft.operators.Multimodal.spectralWavFeatures(7L, out.toByteArray)
+    assert(f.e_dc == 0L && f.e_nyquist == 0L,
+      s"pure k=16 tone must vanish at DC/Nyquist: $f")
+    assert(f.e_quarter == 32L * a * 32L * a,
+      s"quarter bin must hold (N/2*a)^2: $f")
+    assert(f.sum_sq64 == 32L * a * a)
+  }
 }

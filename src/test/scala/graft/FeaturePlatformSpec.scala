@@ -332,4 +332,20 @@ class FeaturePlatformSpec extends AnyFunSuite {
       assert(fillBp >= 5000, s"bin $bin underfilled: $fillBp bp")
     }
   }
+
+  test("q276 nDCG: model DCG never exceeds the ideal and the metric " +
+    "stays in [0, 10000] bp") {
+    val rows = SparkEntry.queries("q276_ndcg_eval")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dcg, idcg) = (r.getLong(1), r.getLong(2))
+      assert(dcg >= 0 && idcg >= dcg,
+        s"ideal ranking must dominate the model ranking: $r")
+      if (idcg > 0) {
+        val bp = r.getLong(3)
+        assert(bp >= 0 && bp <= 10000, s"ndcg_bp out of range: $r")
+        assert(bp == dcg * 10000 / idcg)
+      } else assert(r.isNullAt(3))
+    }
+  }
 }
