@@ -691,28 +691,7 @@ object TextAnalysis extends QueryModule {
         "the same precomputed term-bucketed postings as q148/q149.",
       (s, dir) => {
         import s.implicits._
-        val terms = Seq("query", "window", "scan")
-        val toks = Tables.t(s, dir, "documents")
-          .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
-          .filter($"w" =!= "")
-        val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
-        val corpus = lens.groupBy()
-          .agg(count(lit(1)).as("n_docs"), sum($"len").as("sum_len"))
-        val tf = toks.filter($"w".isin(terms: _*))
-          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy($"w").agg(count(lit(1)).as("df"))
-        tf.join(lens, Seq("doc_id"))
-          .join(broadcast(idf), Seq("w"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("avgdl", $"sum_len".cast("double") / $"n_docs")
-          .withColumn("idf", ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-          .withColumn("den",
-            $"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"len" / $"avgdl")))
-          .withColumn("sc",
-            floor((($"idf" * ($"tf" * lit(2.2))) / $"den") * lit(1000000.0)
-              + lit(0.5)).cast("long"))
-          .groupBy($"doc_id")
-          .agg(sum($"sc").as("bm25_micros"), count(lit(1)).as("n_terms"))
+        bm25Scores(s, dir, Seq("query", "window", "scan"))
           .orderBy($"bm25_micros".desc, $"doc_id")
           .limit(15)
       },
@@ -1045,7 +1024,173 @@ object TextAnalysis extends QueryModule {
                      * 10000)
                  // (CAST(n * sxx - sx * sx AS HUGEINT)
                     * (n * syy - sy * sy)) AS BIGINT) AS r2_bp
-        FROM a""")))
+        FROM a""")),
+
+    Q(
+      "q277_rake_keywords",
+      "RAKE KEYWORD EXTRACTION (Rapid Automatic Keyword Extraction, " +
+        "Rose et al. 2010 — public): candidate phrases are maximal " +
+        "token runs between stopwords, each word scores " +
+        "degree/frequency where degree sums the LENGTHS of every " +
+        "phrase the word occurrence sits in (words that live in long " +
+        "multi-word phrases outrank equally-frequent words that " +
+        "appear alone — the co-occurrence signal TF-IDF (q57) has no " +
+        "view of). Phrase segmentation is the prefix-sum trick: " +
+        "stopword flags cumsum into phrase ids inside ONE " +
+        "doc-partitioned position window (gaps-and-islands, q143's " +
+        "recipe on tokens), phrase lengths aggregate on (doc, phrase), " +
+        "and the score is the exact rational degree*1e6 div freq. " +
+        "Top-15 on the bounded vocabulary domain. One token explode, " +
+        "doc-keyed windows, map-side-combined word rollups — linear " +
+        "at corpus scale.",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("a", "the")
+        val tok = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            posexplode(split(trim($"text"), " ")).as(Seq("pos", "token")))
+          .withColumn("is_stop", $"token".isInCollection(stop))
+        val wPos = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val phrased = tok
+          .withColumn("phrase_id", sum($"is_stop".cast("long")).over(wPos))
+          .filter(!$"is_stop")
+        val plen = phrased.groupBy($"doc_id", $"phrase_id")
+          .agg(count(lit(1)).as("plen"))
+        phrased.join(plen, Seq("doc_id", "phrase_id"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("freq"), sum($"plen").as("degree"))
+          .withColumn("score_micro", expr("(degree * 1000000) div freq"))
+          .orderBy($"score_micro".desc, $"token")
+          .limit(15)
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i AS pos, toks[i] AS token,
+                 toks[i] IN ('a', 'the') AS is_stop
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                FROM l)),
+        phrased AS (
+          SELECT doc_id, token,
+                 sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS phrase_id,
+                 is_stop
+          FROM tok),
+        np AS (SELECT doc_id, phrase_id, token FROM phrased
+               WHERE NOT is_stop),
+        plen AS (
+          SELECT doc_id, phrase_id, count(*) AS plen
+          FROM np GROUP BY 1, 2),
+        scored AS (
+          SELECT n.token, count(*) AS freq, sum(p.plen) AS degree
+          FROM np n JOIN plen p USING (doc_id, phrase_id)
+          GROUP BY n.token)
+        SELECT token, CAST(freq AS BIGINT) AS freq,
+               CAST(degree AS BIGINT) AS degree,
+               CAST((degree * 1000000) // freq AS BIGINT) AS score_micro
+        FROM scored
+        ORDER BY score_micro DESC, token LIMIT 15""")),
+
+    Q(
+      "q279_rrf_hybrid",
+      "HYBRID RETRIEVAL VIA RECIPROCAL RANK FUSION (Cormack et al. " +
+        "2009 — public): fuse the LEXICAL list (q165's BM25 kernel via " +
+        "the shared bm25Scores, top-30 for {query, window, scan}) with " +
+        "the SEMANTIC list (cosine to the fixture query embedding " +
+        "vec_id=0, q66's rounding/tiebreak convention, top-30 over the " +
+        "aligned doc_id=vec_id key) by rrf = sum over lists of " +
+        "1/(60+rank) — carried as EXACT integer nanos " +
+        "(1e9 div (60+r)), so fusion is pure rank arithmetic: no score " +
+        "normalization across incommensurable scales, the whole reason " +
+        "RRF beat score fusion in the TREC runs. Docs on one list only " +
+        "contribute that list's term (full-outer fuse). The two legs " +
+        "are independent scans — lexical shuffles 8-byte postings, " +
+        "semantic broadcasts one probe onto the corpus scan — and the " +
+        "fuse itself is a join of two 30-row lists: at 100 TB the cost " +
+        "IS the legs, and each leg is its already-gated retrieval " +
+        "plan (q165 postings, q66/q97 ANN).",
+      (s, dir) => {
+        import s.implicits._
+        val lexTop = bm25Scores(s, dir, Seq("query", "window", "scan"))
+          .orderBy($"bm25_micros".desc, $"doc_id").limit(30)
+        // rank windows below run over <=30-row lists (post-limit) — the
+        // empty partitionBy is bounded by construction, never corpus-wide
+        val lex = lexTop
+          .withColumn("r_lex", row_number()
+            .over(Window.orderBy($"bm25_micros".desc, $"doc_id"))
+            .cast("long"))
+          .select($"doc_id", $"r_lex")
+        val e = Tables.t(s, dir, "embeddings")
+        val probe = e.filter($"vec_id" === 0)
+          .select($"embedding".as("probe_vec"))
+        val semTop = e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos",
+            round(graft.operators.Similarity.cosine($"embedding", $"probe_vec"), 6))
+          .orderBy($"cos".desc, $"vec_id").limit(30)
+        val sem = semTop
+          .withColumn("r_sem", row_number()
+            .over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+          .select($"vec_id".as("doc_id"), $"r_sem")
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_nano",
+            coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+              coalesce(expr("1000000000 div (60 + r_sem)"), lit(0L)))
+          .orderBy($"rrf_nano".desc, $"doc_id").limit(10)
+          .select($"doc_id", $"r_lex", $"r_sem", $"rrf_nano")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len
+                   FROM lens),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('query', 'window', 'scan') GROUP BY 1, 2),
+        idf AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        t AS (SELECT tf.doc_id, tf.tf, lens.len, idf.df, c.n_docs,
+                     CAST(c.sum_len AS DOUBLE) / c.n_docs AS avgdl
+              FROM tf JOIN lens USING (doc_id) JOIN idf USING (w)
+              CROSS JOIN corpus c),
+        sc AS (SELECT doc_id,
+                      CAST(floor(((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                             / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl))))
+                           * 1000000.0 + 0.5) AS BIGINT) AS sc
+               FROM t),
+        bm AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micros
+               FROM sc GROUP BY doc_id
+               ORDER BY bm25_micros DESC, doc_id LIMIT 30),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25_micros DESC, doc_id)
+                         AS r_lex
+                FROM bm),
+        probe AS (SELECT embedding AS probe_vec FROM embeddings
+                  WHERE vec_id = 0),
+        scored AS (SELECT vec_id,
+                          round(list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(probe_vec AS DOUBLE[])), 6) AS cos
+                   FROM embeddings CROSS JOIN probe
+                   WHERE vec_id <> 0
+                   ORDER BY cos DESC, vec_id LIMIT 30),
+        sem AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+                FROM scored),
+        fused AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+                         l.r_lex, m.r_sem
+                  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+        SELECT doc_id, r_lex, r_sem,
+               CAST(coalesce(1000000000 // (60 + r_lex), 0)
+                    + coalesce(1000000000 // (60 + r_sem), 0) AS BIGINT)
+                 AS rrf_nano
+        FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a
@@ -1060,6 +1205,39 @@ object TextAnalysis extends QueryModule {
     * which is exactly the greedy non-overlapping semantics; it CAN seed
     * the next pair as a left half once the next iteration's chosen pair
     * names it, matching reference BPE. */
+  /** Per-doc BM25 scores (k1=1.2, b=0.75, rational idf — the log dropped,
+    * a monotone transform; see q165's doc) for the given query terms, as
+    * order-independent integer micros: (doc_id, bm25_micros, n_terms).
+    * ONE definition shared by q165 (ranked retrieval) and q279 (hybrid
+    * RRF fusion) so the scoring convention cannot diverge between the
+    * lexical leg's two consumers. Unordered and unlimited — callers
+    * apply their own top-k tail. */
+  def bm25Scores(s: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), " ")).as("w"))
+      .filter($"w" =!= "")
+    val lens = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val corpus = lens.groupBy()
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("sum_len"))
+    val tf = toks.filter($"w".isin(terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    tf.join(lens, Seq("doc_id"))
+      .join(broadcast(idf), Seq("w"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", $"sum_len".cast("double") / $"n_docs")
+      .withColumn("idf", ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+      .withColumn("den",
+        $"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * ($"len" / $"avgdl")))
+      .withColumn("sc",
+        floor((($"idf" * ($"tf" * lit(2.2))) / $"den") * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"sc").as("bm25_micros"), count(lit(1)).as("n_terms"))
+  }
+
   def bpeApplyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>

@@ -752,7 +752,214 @@ object Similarity extends QueryModule {
           .select($"probe_id", $"probe_vec", $"vec_id")
         rerankTopK(shortlist.join(e, Seq("vec_id")), 5)
       },
-      None)
+      None),
+
+    Q(
+      "q278_matryoshka_recall",
+      "DIMENSION-TRUNCATION RECALL SWEEP (the Matryoshka/MRL question: " +
+        "how much of the 64-dim neighborhood survives if queries use " +
+        "only the first 8/16/32 dims? — the knob that cuts ANN memory " +
+        "and ADC cost 2-8x, q250's speed lever applied to the " +
+        "embedding itself): per prefix width, rank the corpus for 8 " +
+        "probes by prefix-cosine (q66's rounding/tiebreak convention " +
+        "via the shared cosine kernel over slice()) and count how many " +
+        "of the full-width top-10 survive; emit mean/min/max recall " +
+        "per width, with the 64-dim row a structural 10000 bp control. " +
+        "The candidates frame (corpus x 8 broadcast probes) is " +
+        "materialized ONCE and the four widths rank slices of it — " +
+        "not four cross-join replays. Fixture embeddings are uniform " +
+        "random, the WORST case for truncation (no MRL training " +
+        "concentrates mass in the prefix), so the measured recall " +
+        "floor is the honest lower bound a trained embedding improves " +
+        "on. Oracle: DuckDB replays the sweep with list slicing + " +
+        "list_cosine_similarity at the same 6-dp rounding.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+        val probes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"))
+        val cand = e.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .localCheckpoint(true)
+        def top10(d: Int) = cand
+          .withColumn("cos", round(cosine(
+            slice($"embedding", 1, d), slice($"probe_vec", 1, d)), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")))
+          .filter($"rank" <= 10)
+          .select($"probe_id", $"vec_id")
+        val truth = top10(64)
+        Seq(8, 16, 32, 64).map { d =>
+          val overlap = top10(d)
+            .join(truth, Seq("probe_id", "vec_id"), "left_semi")
+            .groupBy($"probe_id").agg(count(lit(1)).as("hits"))
+          // left-join from the probe list: a probe with ZERO surviving
+          // neighbors must count as 0, not vanish from the mean
+          probes.select($"probe_id")
+            .join(overlap, Seq("probe_id"), "left")
+            .na.fill(0L, Seq("hits"))
+            .agg(
+              expr("(sum(hits) * 10000) div (count(1) * 10)")
+                .as("mean_recall_bp"),
+              min($"hits").as("min_recall"), max($"hits").as("max_recall"))
+            .select(lit(d.toLong).as("dims"), $"mean_recall_bp",
+              $"min_recall", $"max_recall")
+        }.reduce(_ unionAll _).orderBy($"dims")
+      },
+      Some("""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, embedding AS probe_vec
+          FROM embeddings WHERE vec_id < 8),
+        cand AS (
+          SELECT probe_id, e.vec_id, e.embedding, probe_vec
+          FROM embeddings e CROSS JOIN probes
+          WHERE e.vec_id <> probe_id),
+        widths AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        ranked AS (
+          SELECT w.dims, c.probe_id, c.vec_id,
+                 row_number() OVER (
+                   PARTITION BY w.dims, c.probe_id
+                   ORDER BY round(list_cosine_similarity(
+                     CAST(c.embedding[1:w.dims] AS DOUBLE[]),
+                     CAST(c.probe_vec[1:w.dims] AS DOUBLE[])), 6) DESC,
+                   c.vec_id) AS rank
+          FROM cand c CROSS JOIN widths w),
+        top10 AS (
+          SELECT dims, probe_id, vec_id FROM ranked WHERE rank <= 10),
+        truth AS (
+          SELECT probe_id, vec_id FROM top10 WHERE dims = 64),
+        overlap AS (
+          SELECT t.dims, t.probe_id, count(*) AS o
+          FROM top10 t JOIN truth u
+            ON t.probe_id = u.probe_id AND t.vec_id = u.vec_id
+          GROUP BY 1, 2),
+        hits AS (
+          SELECT w.dims, p.probe_id, coalesce(o.o, 0) AS hits
+          FROM widths w CROSS JOIN probes p
+          LEFT JOIN overlap o
+            ON o.dims = w.dims AND o.probe_id = p.probe_id)
+        SELECT CAST(dims AS BIGINT) AS dims,
+               CAST((sum(hits) * 10000) // (count(*) * 10) AS BIGINT)
+                 AS mean_recall_bp,
+               CAST(min(hits) AS BIGINT) AS min_recall,
+               CAST(max(hits) AS BIGINT) AS max_recall
+        FROM hits GROUP BY dims ORDER BY dims""")),
+
+    Q(
+      "q280_mmr_diversify",
+      "MAXIMAL MARGINAL RELEVANCE diversified top-5 (Carbonell & " +
+        "Goldstein 1998 — public; the standard redundancy filter on a " +
+        "retrieval shortlist before it becomes RAG context or training " +
+        "examples): shortlist = top-20 by cosine to the fixture query " +
+        "embedding (vec_id=0, the shared rounding/tiebreak convention), " +
+        "then 5 greedy rounds of argmax over " +
+        "mmr = 0.7*rel - 0.3*max_sim_to_selected (each factor a " +
+        "6-dp-rounded double, products/difference single IEEE ops — " +
+        "engine-stable, re-rounded to 6 dp). The greedy recurrence is " +
+        "inherently serial in k, but k=5 and each round's argmax is a " +
+        "bounded limit(1) head over the PRECOMPUTED 20x19 pair-sim " +
+        "frame (one localCheckpoint, scored once) — the same " +
+        "driver-argmax shape as the BPE loop (q141's ledger entry). At " +
+        "100 TB the corpus-scale work is the shortlist scan, which is " +
+        "exactly q66/q97's gated retrieval plan; MMR itself never " +
+        "touches more than k*|shortlist| precomputed rows. Oracle: the " +
+        "5 rounds unrolled as chained CTEs, same argmax tiebreak.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+        val probe = e.filter($"vec_id" === 0)
+          .select($"embedding".as("probe_vec"))
+        val cands = e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("rel", round(cosine($"embedding", $"probe_vec"), 6))
+          .orderBy($"rel".desc, $"vec_id").limit(20)
+          .select($"vec_id", $"embedding", $"rel")
+          .localCheckpoint(true)
+        val pairs = cands
+          .crossJoin(cands.select($"vec_id".as("other_id"),
+            $"embedding".as("other_vec")))
+          .filter($"vec_id" =!= $"other_id")
+          .withColumn("sim", round(cosine($"embedding", $"other_vec"), 6))
+          .select($"vec_id", $"rel", $"other_id", $"sim")
+          .localCheckpoint(true)
+        var selected = Vector.empty[(Long, Long, Double)] // (step, id, mmr)
+        for (step <- 1L to 5L) {
+          val sel = selected.map(_._2)
+          // bounded argmax: limit(1) over a <=20-row candidate frame
+          val next =
+            if (sel.isEmpty)
+              cands.withColumn("mmr", round($"rel" * lit(0.7), 6))
+                .orderBy($"mmr".desc, $"vec_id").limit(1)
+                .select($"vec_id", $"mmr").head()
+            else
+              pairs.filter(!$"vec_id".isin(sel: _*) &&
+                  $"other_id".isin(sel: _*))
+                .groupBy($"vec_id", $"rel").agg(max($"sim").as("maxsim"))
+                .withColumn("mmr",
+                  round($"rel" * lit(0.7) - $"maxsim" * lit(0.3), 6))
+                .orderBy($"mmr".desc, $"vec_id").limit(1)
+                .select($"vec_id", $"mmr").head()
+          selected :+= ((step, next.getLong(0), next.getDouble(1)))
+        }
+        selected.toDF("step", "vec_id", "mmr").orderBy($"step")
+      },
+      Some("""
+        WITH probe AS (SELECT embedding AS probe_vec FROM embeddings
+                       WHERE vec_id = 0),
+        cand AS (SELECT vec_id, embedding,
+                        round(list_cosine_similarity(
+                          CAST(embedding AS DOUBLE[]),
+                          CAST(probe_vec AS DOUBLE[])), 6) AS rel
+                 FROM embeddings CROSS JOIN probe
+                 WHERE vec_id <> 0
+                 ORDER BY rel DESC, vec_id LIMIT 20),
+        pairs AS (SELECT a.vec_id, a.rel, b.vec_id AS other_id,
+                         round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS sim
+                  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, round(rel * 0.7, 6) AS mmr
+               FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1),
+        s2 AS (SELECT p.vec_id,
+                      round(p.rel * 0.7 - max(p.sim) * 0.3, 6) AS mmr
+               FROM pairs p
+               WHERE p.other_id IN (SELECT vec_id FROM sel1)
+                 AND p.vec_id NOT IN (SELECT vec_id FROM sel1)
+               GROUP BY p.vec_id, p.rel
+               ORDER BY mmr DESC, p.vec_id LIMIT 1),
+        sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+        s3 AS (SELECT p.vec_id,
+                      round(p.rel * 0.7 - max(p.sim) * 0.3, 6) AS mmr
+               FROM pairs p
+               WHERE p.other_id IN (SELECT vec_id FROM sel2)
+                 AND p.vec_id NOT IN (SELECT vec_id FROM sel2)
+               GROUP BY p.vec_id, p.rel
+               ORDER BY mmr DESC, p.vec_id LIMIT 1),
+        sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        s4 AS (SELECT p.vec_id,
+                      round(p.rel * 0.7 - max(p.sim) * 0.3, 6) AS mmr
+               FROM pairs p
+               WHERE p.other_id IN (SELECT vec_id FROM sel3)
+                 AND p.vec_id NOT IN (SELECT vec_id FROM sel3)
+               GROUP BY p.vec_id, p.rel
+               ORDER BY mmr DESC, p.vec_id LIMIT 1),
+        sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        s5 AS (SELECT p.vec_id,
+                      round(p.rel * 0.7 - max(p.sim) * 0.3, 6) AS mmr
+               FROM pairs p
+               WHERE p.other_id IN (SELECT vec_id FROM sel4)
+                 AND p.vec_id NOT IN (SELECT vec_id FROM sel4)
+               GROUP BY p.vec_id, p.rel
+               ORDER BY mmr DESC, p.vec_id LIMIT 1),
+        steps AS (
+          SELECT 1 AS step, vec_id, mmr FROM s1
+          UNION ALL SELECT 2, vec_id, mmr FROM s2
+          UNION ALL SELECT 3, vec_id, mmr FROM s3
+          UNION ALL SELECT 4, vec_id, mmr FROM s4
+          UNION ALL SELECT 5, vec_id, mmr FROM s5)
+        SELECT CAST(step AS BIGINT) AS step, vec_id, mmr
+        FROM steps ORDER BY step"""))
   )
 
   /** Per-subspace spherical codebooks for [[pqCode]]: subspace j is the
