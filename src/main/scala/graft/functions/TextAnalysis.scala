@@ -1190,7 +1190,67 @@ object TextAnalysis extends QueryModule {
                CAST(coalesce(1000000000 // (60 + r_lex), 0)
                     + coalesce(1000000000 // (60 + r_sem), 0) AS BIGINT)
                  AS rrf_nano
-        FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10""")))
+        FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10""")),
+
+    Q(
+      "q282_vocab_richness",
+      "VOCABULARY RICHNESS ESTIMATORS per language — the asymptote " +
+        "question q262's Heaps curve only extrapolates: how many types " +
+        "does the language's vocabulary HOLD, and how much probability " +
+        "mass is still unseen? Bias-corrected Chao1 richness " +
+        "D + f1(f1-1)/(2(f2+1)) (Chao 1984 — the f2=0 guard built into " +
+        "the estimator, no NULL branch), Good-Turing unseen mass " +
+        "f1/N (the missing-mass estimate LM smoothing allocates, " +
+        "q149's KN context), and Simpson concentration " +
+        "sum c(c-1)/(N(N-1)) (repeat-draw collision probability — high " +
+        "= boilerplate-heavy corpus). All three are exact integer " +
+        "rationals in micros/ppm from ONE (lang, token) count table: " +
+        "the token-keyed groupBy map-side-combines the Zipf head " +
+        "before the wire (q50's argument), then the frequency-of-" +
+        "frequencies rollup runs on the 5-value lang domain. Every " +
+        "divisor is structurally positive, so integer division " +
+        "truncation never meets a negative numerator.",
+      (s, dir) => {
+        import s.implicits._
+        val tc = Tables.t(s, dir, "documents")
+          .select($"lang", explode(split(trim($"text"), " ")).as("w"))
+          .filter($"w" =!= "")
+          .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+        tc.groupBy($"lang").agg(
+            count(lit(1)).as("d_types"),
+            sum($"c").as("n_tokens"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when($"c" === 2, 1L).otherwise(0L)).as("f2"),
+            sum($"c" * ($"c" - 1)).as("coll2"))
+          .select($"lang", $"d_types", $"n_tokens", $"f1", $"f2",
+            expr("d_types * 1000000 " +
+              "+ (f1 * (f1 - 1) * 1000000) div (2 * (f2 + 1))")
+              .as("chao1_micro"),
+            expr("(f1 * 1000000) div n_tokens").as("gt_unseen_ppm"),
+            expr("(coll2 * 1000000) div (n_tokens * (n_tokens - 1))")
+              .as("simpson_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH tok AS (SELECT lang,
+                            unnest(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        tc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        g AS (SELECT lang, count(*) AS d_types,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                     CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS coll2
+              FROM tc GROUP BY 1)
+        SELECT lang, d_types, n_tokens, f1, f2,
+               d_types * 1000000
+                 + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1)) AS chao1_micro,
+               (f1 * 1000000) // n_tokens AS gt_unseen_ppm,
+               (coll2 * 1000000) // (n_tokens * (n_tokens - 1)) AS simpson_ppm
+        FROM g ORDER BY lang""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -732,6 +732,80 @@ object GraphSelection extends QueryModule {
                      THEN -1 ELSE 1 END)
                  * ((abs((sampled_cents * 100) // 7 - true_total_cents)
                      * 10000) // true_total_cents) AS err_bp
-        FROM a"""))
+        FROM a""")),
+
+    Q(
+      "q281_theil_sen_slope",
+      "THEIL-SEN ROBUST TREND SLOPE — the median-of-pairwise-slopes " +
+        "twin of q198's OLS (29.3% breakdown point vs OLS's zero: one " +
+        "corrupt day drags the least-squares line, the pairwise median " +
+        "doesn't budge): per event type, daily cents totals (q198's " +
+        "floor(value*100) convention, same day-offset x axis), then " +
+        "every x1<x2 day pair's slope as exact integer micros with the " +
+        "sign pulled OUT of the floor division (q263's rule: Spark div " +
+        "truncates toward zero, DuckDB // floors — they differ on " +
+        "negative numerators), and the lower median selected by q206's " +
+        "counting-CDF (min slope with 2*cum >= n — no engine computes " +
+        "n/2, no global row sort). The pair join is QUADRATIC ON THE " +
+        "DAY DOMAIN only (C(31,2) per type after the row-scale daily " +
+        "rollup, which is the single row-scale shuffle) — at 100 TB " +
+        "the pair count is unchanged because the calendar is.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events").filter($"value".isNotNull)
+        val d0 = ev.agg(min(to_date($"ts")).as("d0"))
+        val daily = ev.crossJoin(broadcast(d0))
+          .select($"event_type",
+            datediff(to_date($"ts"), $"d0").cast("long").as("x"),
+            floor($"value" * 100).cast("long").as("c"))
+          .groupBy($"event_type", $"x").agg(sum($"c").as("y"))
+        val pairs = daily.as("a")
+          .join(daily.as("b"),
+            $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
+          .select($"a.event_type".as("event_type"),
+            ($"b.y" - $"a.y").as("dy"), ($"b.x" - $"a.x").as("dx"))
+          .withColumn("slope_micro",
+            expr("(case when dy < 0 then -1 else 1 end) " +
+              "* ((abs(dy) * 1000000) div dx)"))
+        val t = pairs.groupBy($"event_type").agg(count(lit(1)).as("n_pairs"))
+        val sc = pairs.groupBy($"event_type", $"slope_micro")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = sc.withColumn("cum", sum($"cnt").over(
+          Window.partitionBy($"event_type").orderBy($"slope_micro")))
+        val med = cum.join(broadcast(t), Seq("event_type"))
+          .filter($"cum" * 2 >= $"n_pairs")
+          .groupBy($"event_type").agg(min($"slope_micro").as("ts_slope_micro"))
+        t.join(med, Seq("event_type"))
+          .select($"event_type", $"n_pairs", $"ts_slope_micro")
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+                    WHERE value IS NOT NULL),
+        v AS (SELECT event_type,
+                     CAST(datediff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT)
+                       AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events, d0 WHERE value IS NOT NULL),
+        daily AS (SELECT event_type, x, CAST(sum(c) AS BIGINT) AS y
+                  FROM v GROUP BY 1, 2),
+        pairs AS (SELECT a.event_type,
+                         (CASE WHEN b.y - a.y < 0 THEN -1 ELSE 1 END)
+                           * ((abs(b.y - a.y) * 1000000) // (b.x - a.x))
+                           AS slope_micro
+                  FROM daily a JOIN daily b
+                    ON a.event_type = b.event_type AND a.x < b.x),
+        t AS (SELECT event_type, count(*) AS n_pairs FROM pairs GROUP BY 1),
+        sc AS (SELECT event_type, slope_micro, count(*) AS cnt
+               FROM pairs GROUP BY 1, 2),
+        cum AS (SELECT event_type, slope_micro,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY slope_micro) AS cum
+                FROM sc),
+        med AS (SELECT cum.event_type, min(slope_micro) AS ts_slope_micro
+                FROM cum JOIN t USING (event_type)
+                WHERE cum * 2 >= n_pairs GROUP BY 1)
+        SELECT t.event_type, t.n_pairs, med.ts_slope_micro
+        FROM t JOIN med USING (event_type) ORDER BY event_type"""))
   )
 }
