@@ -2225,7 +2225,77 @@ object AnalyticsPatterns extends QueryModule {
                CAST(orphan_rows AS BIGINT) AS orphan_rows,
                CAST((orphan_rows * 10000) // child_rows AS BIGINT)
                  AS orphan_bp
-        FROM e ORDER BY edge"""))
+        FROM e ORDER BY edge""")),
+
+    Q(
+      "q283_k_anonymity",
+      "K-ANONYMITY / L-DIVERSITY AUDIT (Sweeney 2002 / Machanavajjhala " +
+        "2007 — the re-identification risk gate a training-data release " +
+        "runs beside q272's forget cascade): quasi-identifier (nation, " +
+        "mktsegment), sensitive attribute = $1000 acctbal band, at TWO " +
+        "generalization levels — level 0 as-is, level 1 with nation " +
+        "generalized to region (one rung up the lattice, the standard " +
+        "fix when level 0 fails). Per level: group count, worst-case k " +
+        "(min group size — a group of 1 is a re-identification), " +
+        "worst-case l (min distinct sensitive bands — l=1 means the QI " +
+        "alone DISCLOSES the sensitive value even at k>1, the " +
+        "homogeneity attack k-anonymity misses), and the ROW counts " +
+        "exposed under k<5 / l<3. Plan: one row-scale groupBy on the " +
+        "(level, QI) key (the union doubles rows but both legs " +
+        "map-side-combine; nation->region is a 25-row broadcast), then " +
+        "a 2-row level rollup. The distinct-l aggregate expands " +
+        "per-group, bounded by the sband domain.",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+            // floor of one IEEE double division — engine-identical
+            expr("cast(floor(c_acctbal / 1000) as bigint)").as("sband"))
+        val nat = Tables.t(s, dir, "nation")
+          .select($"n_nationkey", $"n_regionkey")
+        val lvl0 = cust.select(lit(0L).as("level"),
+          $"c_nationkey".cast("long").as("qi1"), $"c_mktsegment".as("qi2"),
+          $"sband")
+        val lvl1 = cust.join(broadcast(nat),
+            $"c_nationkey" === $"n_nationkey")
+          .select(lit(1L).as("level"),
+            $"n_regionkey".cast("long").as("qi1"), $"c_mktsegment".as("qi2"),
+            $"sband")
+        lvl0.unionByName(lvl1)
+          .groupBy($"level", $"qi1", $"qi2")
+          .agg(count(lit(1)).as("k"), countDistinct($"sband").as("l"))
+          .groupBy($"level")
+          .agg(count(lit(1)).as("n_groups"),
+            min($"k").as("k_min"), min($"l").as("l_min"),
+            sum(when($"k" < 5, $"k").otherwise(0L)).as("rows_k_lt5"),
+            sum(when($"l" < 3, $"k").otherwise(0L)).as("rows_l_lt3"))
+          .orderBy($"level")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS sband
+          FROM customer),
+        u AS (
+          SELECT 0 AS level, CAST(c_nationkey AS BIGINT) AS qi1,
+                 c_mktsegment AS qi2, sband
+          FROM cust
+          UNION ALL
+          SELECT 1, CAST(n.n_regionkey AS BIGINT), c.c_mktsegment, c.sband
+          FROM cust c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        g AS (
+          SELECT level, qi1, qi2, count(*) AS k,
+                 count(DISTINCT sband) AS l
+          FROM u GROUP BY 1, 2, 3)
+        SELECT CAST(level AS BIGINT) AS level,
+               count(*) AS n_groups,
+               CAST(min(k) AS BIGINT) AS k_min,
+               CAST(min(l) AS BIGINT) AS l_min,
+               CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+                 AS rows_k_lt5,
+               CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+                 AS rows_l_lt3
+        FROM g GROUP BY level ORDER BY level"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

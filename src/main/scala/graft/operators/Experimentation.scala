@@ -87,8 +87,10 @@ object Experimentation extends QueryModule {
       .filter(($"cus" < $"pus" ||
         ($"cus" === $"pus" && $"cid" < $"pid")) &&
         $"pus" - $"cus" <= 86400000000L)
-      // one select so k and rn share one pid-keyed window operator
-      .select($"pid", $"cents", $"ch",
+      // one select so k and rn share one pid-keyed window operator;
+      // age_us rides along for the time-decay model (q284) — additive,
+      // ignored by the flat-split models
+      .select($"pid", $"cents", $"ch", ($"pus" - $"cus").as("age_us"),
         count(lit(1)).over(wOrd.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)).as("k"),
         row_number().over(wOrd).as("rn"))
@@ -1247,5 +1249,88 @@ object Experimentation extends QueryModule {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_regret_micro
         FROM picked p JOIN bestd b USING (day)
-        ORDER BY p.day""")))
+        ORDER BY p.day""")),
+
+    Q(
+      "q284_time_decay_attribution",
+      "TIME-DECAY ATTRIBUTION with EXACT credit conservation — the " +
+        "fourth member of the attribution family (q210 last-touch, " +
+        "q213 linear, q251 position): each touch's weight HALVES per " +
+        "6 h of age (w = 8,4,2,1 for the four 6 h buckets of the 24 h " +
+        "lookback — a power-of-two half-life, so every weight is an " +
+        "exact integer and no engine computes exp()), credit = " +
+        "cents*w div sum(w) with the remainder to the most recent " +
+        "touch, organic purchases credit in full — sum(credit) == " +
+        "revenue TO THE CENT, the family invariant. Touch set and tie " +
+        "rule come from the SAME shared touchUniverse as the other " +
+        "models (age_us is the one added column), so all four credit " +
+        "rules are comparable row for row. Plan: identical to q213's — " +
+        "user-keyed join, one pid-keyed window pass (the weight sums " +
+        "share q213's exchange), map-side-combined channel totals.",
+      (s, dir) => {
+        import s.implicits._
+        val (p, j) = touchUniverse(s, dir)
+        val wp = Window.partitionBy($"pid")
+        val credited = j
+          // least(...,3) folds the age == 24 h boundary into the last
+          // bucket instead of shifting the weight to zero
+          .withColumn("w", expr("case least(age_us div 21600000000, 3) " +
+            "when 0 then 8 when 1 then 4 when 2 then 2 else 1 end"))
+          .withColumn("sw", sum($"w").over(wp))
+          .withColumn("base", expr("(cents * w) div sw"))
+          .withColumn("rem", $"cents" - sum($"base").over(wp))
+          .select(concat(lit("ch"), $"ch").as("channel"),
+            ($"base" + when($"rn" === 1, $"rem").otherwise(0L)).as("credit"))
+        val organic = p
+          .join(j.select($"pid"), Seq("pid"), "left_anti")
+          .select(lit("organic").as("channel"), $"cents".as("credit"))
+        credited.unionByName(organic)
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_touches"), sum($"credit").as("credit_cents"))
+          .orderBy($"channel")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS pid, epoch_us(CAST(ts AS TIMESTAMP)) AS pus,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS cid, epoch_us(CAST(ts AS TIMESTAMP)) AS cus,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.pid, p.cents, c.ch, p.pus - c.cus AS age_us,
+                 row_number() OVER (PARTITION BY p.pid
+                                    ORDER BY c.cus DESC, c.cid DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+                       AND (c.cus < p.pus
+                            OR (c.cus = p.pus AND c.cid < p.pid))
+                       AND p.pus - c.cus <= 86400000000),
+        wt AS (
+          SELECT pid, cents, ch, rn,
+                 CASE least(age_us // 21600000000, 3)
+                      WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+                      ELSE 1 END AS w
+          FROM j),
+        base AS (
+          SELECT pid, ch, rn, cents,
+                 (cents * w) // sum(w) OVER (PARTITION BY pid) AS base
+          FROM wt),
+        alloc AS (
+          SELECT pid, ch, rn, cents, base,
+                 sum(base) OVER (PARTITION BY pid) AS allocated
+          FROM base),
+        credited AS (
+          SELECT 'ch' || CAST(ch AS VARCHAR) AS channel,
+                 base + CASE WHEN rn = 1 THEN cents - allocated
+                             ELSE 0 END AS credit
+          FROM alloc),
+        organic AS (
+          SELECT 'organic' AS channel, cents AS credit
+          FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.pid = p.pid))
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_cents
+        FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+        GROUP BY channel ORDER BY channel"""))
+  )
 }

@@ -205,6 +205,24 @@ class ExperimentationSpec extends AnyFunSuite {
       s"touch universes diverged: ${pos.view.mapValues(_._1).toMap} vs $lin")
   }
 
+  test("q284 time-decay attribution: conserves revenue to the cent and " +
+    "shares the touch universe with q213 exactly") {
+    val dec = SparkEntry.queries("q284_time_decay_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val totalCents = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)")))
+      .head().getLong(0)
+    assert(dec.values.map(_._2).sum == totalCents,
+      s"time-decay credit must conserve revenue exactly: " +
+        s"${dec.values.map(_._2).sum} vs $totalCents")
+    val lin = SparkEntry.queries("q213_linear_attribution")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dec.map { case (ch, (n, _)) => ch -> n } == lin,
+      s"touch universes diverged: ${dec.view.mapValues(_._1).toMap} vs $lin")
+  }
+
   test("q256 Gini split: the whole 99-candidate search replays in " +
     "BigInt and the winner really is the argmin") {
     val r = SparkEntry.queries("q256_gini_split")(spark, sfDir).head()
