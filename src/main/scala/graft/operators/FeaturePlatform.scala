@@ -232,25 +232,7 @@ object FeaturePlatform extends QueryModule {
         "domain map-side.",
       (s, dir) => {
         import s.implicits._
-        val ev = Tables.t(s, dir, "events")
-          .select($"user_id", $"event_type", $"event_id",
-            unix_micros($"ts".cast("timestamp")).as("us"),
-            expr("cast(round(value * 100) as bigint)").as("cents"))
-        val clicks = ev.filter($"event_type" === "click")
-          .select($"user_id", $"event_id", $"us", $"cents")
-        val purch = ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"us".as("pus"))
-        val converted = clicks.join(purch,
-          clicks("user_id") === purch("user_id") &&
-            $"pus" > $"us" && $"pus" - $"us" <= 86400000000L,
-          "left_semi")
-        val flagged = clicks
-          .join(converted.select($"event_id".as("cid")),
-            $"event_id" === $"cid", "left")
-          .select(expr("cents div 10000").as("band"),
-            when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
-        flagged.groupBy($"band")
-          .agg(count(lit(1)).as("n_clicks"), sum($"conv").as("n_converted"))
+        bandedConversions(s, dir)
           .withColumn("conv_bp", expr("(n_converted * 10000) DIV n_clicks"))
           .orderBy($"band")
       },
@@ -1170,6 +1152,116 @@ object FeaturePlatform extends QueryModule {
                     THEN CAST((rk.dcg_micro * 10000)
                               // id.idcg_micro AS BIGINT) END AS ndcg_bp
         FROM ranked rk LEFT JOIN ideal id ON rk.nk = id.nk
-        ORDER BY nationkey"""))
+        ORDER BY nationkey""")),
+
+    Q(
+      "q285_isotonic_calibration",
+      "ISOTONIC (PAV) CALIBRATION of the q228 reliability table — the " +
+        "principled upgrade of the raw band rates: the best " +
+        "MONOTONE-NONDECREASING fit to the per-band conversion rates, " +
+        "computed NOT by the serial pool-adjacent-violators sweep but " +
+        "by its minimax CLOSED FORM iso_i = max_{j<=i} min_{k>=i} " +
+        "mean(j..k) (Ayer et al. 1955 — public), which is pure joins " +
+        "on the BOUNDED band domain: interval means m(j,k) for all 55 " +
+        "intervals of the 10-band domain as cross-multiplied basis " +
+        "points (the same integer-div on both engines makes the " +
+        "min/max selections identical even where true rationals tie), " +
+        "then a (band, j) min over k and a band max over j. Every join " +
+        "is domain x domain (10x55 rows) AFTER the one row-scale " +
+        "aggregate (the shared bandedConversions — q228's exact " +
+        "ground-truth table, one definition so calibration and its " +
+        "isotonic fit can never band differently). The output is " +
+        "provably monotone in band — the property q228's raw rates " +
+        "lack and a downstream bidder/ranker needs.",
+      (s, dir) => {
+        import s.implicits._
+        val bands = bandedConversions(s, dir)
+          .localCheckpoint(true) // 10-row domain, reused by three joins
+        val iv = bands.select($"band".as("j"))
+          .join(bands.select($"band".as("k")), $"j" <= $"k")
+          .join(bands, $"band".between($"j", $"k"))
+          .groupBy($"j", $"k")
+          .agg(sum($"n_clicks").as("n"), sum($"n_converted").as("c"))
+          .withColumn("m_bp", expr("(c * 10000) div n"))
+        val iso = bands.select($"band")
+          .join(iv, $"j" <= $"band" && $"band" <= $"k")
+          .groupBy($"band", $"j").agg(min($"m_bp").as("minm"))
+          .groupBy($"band").agg(max($"minm").as("iso_bp"))
+        bands.join(iso, Seq("band"))
+          .withColumn("raw_bp", expr("(n_converted * 10000) div n_clicks"))
+          .select($"band", $"n_clicks", $"n_converted", $"raw_bp", $"iso_bp")
+          .orderBy($"band")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        c AS (SELECT user_id, event_id, us, cents
+              FROM e WHERE event_type = 'click'),
+        conv AS (
+          SELECT DISTINCT c.event_id FROM c
+          JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+                  AND p.us > c.us AND p.us - c.us <= 86400000000),
+        f AS (
+          SELECT cents // 10000 AS band,
+                 CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END AS cv
+          FROM c LEFT JOIN conv ON c.event_id = conv.event_id),
+        bands AS (
+          SELECT CAST(band AS BIGINT) AS band,
+                 CAST(count(*) AS BIGINT) AS n_clicks,
+                 CAST(sum(cv) AS BIGINT) AS n_converted
+          FROM f GROUP BY band),
+        iv AS (
+          SELECT a.band AS j, b.band AS k,
+                 CAST(sum(t.n_clicks) AS BIGINT) AS n,
+                 CAST(sum(t.n_converted) AS BIGINT) AS c
+          FROM bands a JOIN bands b ON a.band <= b.band
+          JOIN bands t ON t.band BETWEEN a.band AND b.band
+          GROUP BY 1, 2),
+        m AS (SELECT j, k, (c * 10000) // n AS m_bp FROM iv),
+        mn AS (SELECT i.band, m.j, min(m.m_bp) AS minm
+               FROM bands i JOIN m ON m.j <= i.band AND i.band <= m.k
+               GROUP BY 1, 2),
+        iso AS (SELECT band, CAST(max(minm) AS BIGINT) AS iso_bp
+                FROM mn GROUP BY band)
+        SELECT b.band, b.n_clicks, b.n_converted,
+               (b.n_converted * 10000) // b.n_clicks AS raw_bp,
+               iso.iso_bp
+        FROM bands b JOIN iso USING (band)
+        ORDER BY b.band"""))
   )
+
+  /** The calibration ground-truth table shared by q228 (reliability
+    * diagram) and q285 (isotonic fit): clicks banded by value
+    * (cents div 10000), converted iff the same user purchases within
+    * the FORWARD 24 h window — (band, n_clicks, n_converted). One
+    * definition so the fit can never band differently from the raw
+    * table it smooths. The forward-exists probe is a user-keyed LEFT
+    * SEMI join with the 24 h residual band; the band rollup collapses
+    * the 10-row domain map-side. */
+  def bandedConversions(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"us", $"cents")
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("pus"))
+    val converted = clicks.join(purch,
+      clicks("user_id") === purch("user_id") &&
+        $"pus" > $"us" && $"pus" - $"us" <= 86400000000L,
+      "left_semi")
+    clicks
+      .join(converted.select($"event_id".as("cid")),
+        $"event_id" === $"cid", "left")
+      .select(expr("cents div 10000").as("band"),
+        when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_clicks"), sum($"conv").as("n_converted"))
+  }
 }

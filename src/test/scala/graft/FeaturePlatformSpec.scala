@@ -348,4 +348,32 @@ class FeaturePlatformSpec extends AnyFunSuite {
       } else assert(r.isNullAt(3))
     }
   }
+
+  test("q285 isotonic fit is monotone nondecreasing, bands match q228, " +
+    "and pooling only moves rates toward violating neighbors") {
+    val iso = SparkEntry.queries("q285_isotonic_calibration")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(iso.nonEmpty)
+    // the property the raw reliability table lacks by construction
+    iso.sliding(2).foreach {
+      case Array((b1, _, _, i1), (b2, _, _, i2)) =>
+        assert(i1 <= i2, s"iso_bp not monotone: band $b1=$i1 > band $b2=$i2")
+      case _ =>
+    }
+    val rawBands = SparkEntry.queries("q228_conversion_calibration")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(iso.map(_._1).toSet == rawBands,
+      "the fit must cover exactly the reliability table's bands")
+    // where the raw rates are already increasing, PAV is the identity
+    val rawRates = iso.map(t => t._1 -> t._3).toMap
+    iso.foreach { case (b, _, rawBp, isoBp) =>
+      val prevViol = rawRates.filter(_._1 < b).exists(_._2 > rawBp)
+      val nextViol = rawRates.filter(_._1 > b).exists(_._2 < rawBp)
+      if (!prevViol && !nextViol)
+        assert(isoBp == rawBp,
+          s"band $b is not in any violating block but iso moved it: " +
+            s"$rawBp -> $isoBp")
+    }
+  }
 }
