@@ -2295,7 +2295,85 @@ object AnalyticsPatterns extends QueryModule {
                  AS rows_k_lt5,
                CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
                  AS rows_l_lt3
-        FROM g GROUP BY level ORDER BY level"""))
+        FROM g GROUP BY level ORDER BY level""")),
+
+    Q(
+      "q288_join_size_estimate",
+      "JOIN CARDINALITY ESTIMATION AUDIT — System R's textbook " +
+        "|A|*|B|/max(ndv_a, ndv_b) uniform-key estimate (Selinger " +
+        "1979, the formula every CBO starts from; CboStatsSpec shows " +
+        "Spark USING such stats, this measures how WRONG they can be) " +
+        "vs the EXACT join size sum_k n_a(k)*n_b(k), computed from two " +
+        "per-key count aggregates WITHOUT materializing the join — the " +
+        "estimator's-eye view of the catalog for the two biggest FK " +
+        "edges (orders->customer, lineitem->orders). Signed error in " +
+        "bp with the sign pulled out of the floor division (q263's " +
+        "rule). The per-key count tables are map-side-combined and the " +
+        "key-matched product is a join of COUNT tables (|keys| rows, " +
+        "not |rows|) — at 100 TB this audit costs two aggregates, " +
+        "never the join it sizes.",
+      (s, dir) => {
+        import s.implicits._
+        def edge(name: String, a: org.apache.spark.sql.DataFrame,
+            ka: String, b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
+          val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb"))
+          val actual = ca.join(cb, Seq("k"))
+            .agg(sum($"na" * $"nb").as("actual_rows"))
+          val stats = ca.agg(sum($"na").as("ra"), count(lit(1)).as("da"))
+            .crossJoin(cb.agg(sum($"nb").as("rb"), count(lit(1)).as("db")))
+          actual.crossJoin(stats)
+            .select(lit(name).as("edge"),
+              $"actual_rows",
+              expr("(ra * rb) div greatest(da, db)").as("est_rows"))
+            .withColumn("err_bp",
+              expr("(case when est_rows < actual_rows then -1 else 1 end)" +
+                " * ((abs(est_rows - actual_rows) * 10000)" +
+                " div actual_rows)"))
+        }
+        edge("orders->customer",
+            Tables.t(s, dir, "orders"), "o_custkey",
+            Tables.t(s, dir, "customer"), "c_custkey")
+          .unionByName(edge("lineitem->orders",
+            Tables.t(s, dir, "lineitem"), "l_orderkey",
+            Tables.t(s, dir, "orders"), "o_orderkey"))
+          .orderBy($"edge")
+      },
+      Some("""
+        WITH e AS (
+          SELECT 'orders->customer' AS edge, o_custkey AS ka
+          FROM orders),
+        f AS (SELECT c_custkey AS kb FROM customer),
+        ca1 AS (SELECT ka AS k, count(*) AS na FROM e GROUP BY 1),
+        cb1 AS (SELECT kb AS k, count(*) AS nb FROM f GROUP BY 1),
+        a1 AS (SELECT CAST(sum(na * nb) AS BIGINT) AS actual_rows
+               FROM ca1 JOIN cb1 USING (k)),
+        s1 AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ca1) AS ra,
+                      (SELECT count(*) FROM ca1) AS da,
+                      (SELECT CAST(sum(nb) AS BIGINT) FROM cb1) AS rb,
+                      (SELECT count(*) FROM cb1) AS db),
+        e1 AS (SELECT 'orders->customer' AS edge, a1.actual_rows,
+                      (s1.ra * s1.rb) // greatest(s1.da, s1.db) AS est_rows
+               FROM a1, s1),
+        g AS (SELECT l_orderkey AS ka FROM lineitem),
+        h AS (SELECT o_orderkey AS kb FROM orders),
+        ca2 AS (SELECT ka AS k, count(*) AS na FROM g GROUP BY 1),
+        cb2 AS (SELECT kb AS k, count(*) AS nb FROM h GROUP BY 1),
+        a2 AS (SELECT CAST(sum(na * nb) AS BIGINT) AS actual_rows
+               FROM ca2 JOIN cb2 USING (k)),
+        s2 AS (SELECT (SELECT CAST(sum(na) AS BIGINT) FROM ca2) AS ra,
+                      (SELECT count(*) FROM ca2) AS da,
+                      (SELECT CAST(sum(nb) AS BIGINT) FROM cb2) AS rb,
+                      (SELECT count(*) FROM cb2) AS db),
+        e2 AS (SELECT 'lineitem->orders' AS edge, a2.actual_rows,
+                      (s2.ra * s2.rb) // greatest(s2.da, s2.db) AS est_rows
+               FROM a2, s2),
+        u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        SELECT edge, actual_rows, est_rows,
+               (CASE WHEN est_rows < actual_rows THEN -1 ELSE 1 END)
+                 * ((abs(est_rows - actual_rows) * 10000) // actual_rows)
+                 AS err_bp
+        FROM u ORDER BY edge"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1344,6 +1344,93 @@ object Dedup extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(CASE WHEN m_id = d_id THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_true
-        FROM pairs GROUP BY score ORDER BY score"""))
+        FROM pairs GROUP BY score ORDER BY score""")),
+
+    Q(
+      "q286_max_coverage_selection",
+      "GREEDY MAX-COVERAGE DOCUMENT SELECTION (the (1-1/e)-approximate " +
+        "budgeted set cover — Nemhauser et al. 1978, public): pick 5 " +
+        "documents maximizing cumulative DISTINCT shingle coverage — " +
+        "the 'most information for the budget' curation rule, the " +
+        "coverage-side complement of q280's MMR (which minimizes " +
+        "redundancy against a query; this maximizes novelty against " +
+        "the already-picked set). Each of the 5 rounds is one " +
+        "DISTRIBUTED anti-join of the exploded (doc, shingle) index " +
+        "against the covered-shingle set (rebuilt from the <=5 picked " +
+        "docs — never an accumulating state table) + a count-desc " +
+        "argmax taken as a bounded limit(1) head (q141's BPE-loop " +
+        "shape). Shingles are the SHARED hashed-3-gram kernel " +
+        "(injective at corpus scale; counts are representation-" +
+        "independent, so the string-shingle oracle agrees). At 100 TB " +
+        "the per-round cost is one shuffle of 8-byte hashes keyed by " +
+        "shingle — k rounds of the q120-class plan, with k fixed.",
+      (s, dir) => {
+        import s.implicits._
+        val ex = docShingles(s, dir)
+          .select($"doc_id", explode($"sh").as("g"))
+          .localCheckpoint(true)
+        var picked = Vector.empty[(Long, Long, Long, Long)]
+        // (step, doc_id, new_shingles, cum_shingles)
+        for (step <- 1L to 5L if picked.size == step - 1) {
+          val ids = picked.map(_._2)
+          val covered = ex.filter($"doc_id".isin(ids: _*))
+            .select($"g").distinct()
+          val cand = ex.filter(!$"doc_id".isin(ids: _*))
+            .join(covered, Seq("g"), "left_anti")
+            .groupBy($"doc_id").agg(count(lit(1)).as("new_g"))
+            .orderBy($"new_g".desc, $"doc_id").limit(1)
+            .head()
+          val cum = picked.lastOption.map(_._4).getOrElse(0L) +
+            cand.getLong(1)
+          picked :+= ((step, cand.getLong(0), cand.getLong(1), cum))
+        }
+        picked.toDF("step", "doc_id", "new_shingles", "cum_shingles")
+          .orderBy($"step")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $duckTokens AS t FROM documents),
+        shng AS (SELECT doc_id, $duckShingles AS sh FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM shng),
+        s1 AS (SELECT doc_id, count(*) AS new_g FROM ex
+               GROUP BY 1 ORDER BY new_g DESC, doc_id LIMIT 1),
+        cov1 AS (SELECT DISTINCT g FROM ex
+                 WHERE doc_id IN (SELECT doc_id FROM s1)),
+        s2 AS (SELECT doc_id, count(*) AS new_g FROM ex
+               WHERE doc_id NOT IN (SELECT doc_id FROM s1)
+                 AND g NOT IN (SELECT g FROM cov1)
+               GROUP BY 1 ORDER BY new_g DESC, doc_id LIMIT 1),
+        p2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+        cov2 AS (SELECT DISTINCT g FROM ex
+                 WHERE doc_id IN (SELECT doc_id FROM p2)),
+        s3 AS (SELECT doc_id, count(*) AS new_g FROM ex
+               WHERE doc_id NOT IN (SELECT doc_id FROM p2)
+                 AND g NOT IN (SELECT g FROM cov2)
+               GROUP BY 1 ORDER BY new_g DESC, doc_id LIMIT 1),
+        p3 AS (SELECT doc_id FROM p2 UNION ALL SELECT doc_id FROM s3),
+        cov3 AS (SELECT DISTINCT g FROM ex
+                 WHERE doc_id IN (SELECT doc_id FROM p3)),
+        s4 AS (SELECT doc_id, count(*) AS new_g FROM ex
+               WHERE doc_id NOT IN (SELECT doc_id FROM p3)
+                 AND g NOT IN (SELECT g FROM cov3)
+               GROUP BY 1 ORDER BY new_g DESC, doc_id LIMIT 1),
+        p4 AS (SELECT doc_id FROM p3 UNION ALL SELECT doc_id FROM s4),
+        cov4 AS (SELECT DISTINCT g FROM ex
+                 WHERE doc_id IN (SELECT doc_id FROM p4)),
+        s5 AS (SELECT doc_id, count(*) AS new_g FROM ex
+               WHERE doc_id NOT IN (SELECT doc_id FROM p4)
+                 AND g NOT IN (SELECT g FROM cov4)
+               GROUP BY 1 ORDER BY new_g DESC, doc_id LIMIT 1),
+        steps AS (
+          SELECT 1 AS step, doc_id, new_g FROM s1
+          UNION ALL SELECT 2, doc_id, new_g FROM s2
+          UNION ALL SELECT 3, doc_id, new_g FROM s3
+          UNION ALL SELECT 4, doc_id, new_g FROM s4
+          UNION ALL SELECT 5, doc_id, new_g FROM s5)
+        SELECT CAST(step AS BIGINT) AS step, doc_id,
+               CAST(new_g AS BIGINT) AS new_shingles,
+               CAST(sum(new_g) OVER (ORDER BY step
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_shingles
+        FROM steps ORDER BY step"""))
   )
 }

@@ -1230,7 +1230,81 @@ object FeaturePlatform extends QueryModule {
                (b.n_converted * 10000) // b.n_clicks AS raw_bp,
                iso.iso_bp
         FROM bands b JOIN iso USING (band)
-        ORDER BY b.band"""))
+        ORDER BY b.band""")),
+
+    Q(
+      "q287_group_kfold_audit",
+      "GROUPED K-FOLD LEAKAGE AUDIT — the cross-validation integrity " +
+        "check q225's point-in-time leak counter makes for time, made " +
+        "for GROUPS: assign events to 5 folds two ways — BY USER " +
+        "(fold = multiplicative-hash(user_id) % 5, q274's 48271 mixer; " +
+        "every event of a user lands in one fold by construction) and " +
+        "BY ROW (fold = event_id % 5, the naive split) — and per " +
+        "scheme count users whose events SPAN >1 fold. The user " +
+        "scheme's count is structurally zero (fold is a function of " +
+        "the group key); the row scheme's count is the leak: a user in " +
+        "train AND validation lets the model memorize the user, not " +
+        "learn the pattern. Also per scheme: min/max fold share in bp " +
+        "of events (the balance cost group-hashing pays). One " +
+        "(scheme, user) aggregate — map-side combined — then a " +
+        "10-cell fold rollup; nothing row-scale survives the first " +
+        "shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        def audit(scheme: String, fold: org.apache.spark.sql.Column) = {
+          val f = ev.select(lit(scheme).as("scheme"), $"user_id",
+            fold.as("fold"))
+          val byUser = f.groupBy($"scheme", $"user_id")
+            .agg(countDistinct($"fold").as("nf"), count(lit(1)).as("ne"))
+          val split = byUser.groupBy($"scheme").agg(
+            count(lit(1)).as("n_users"),
+            sum(when($"nf" > 1, 1L).otherwise(0L)).as("n_split_users"),
+            sum($"ne").as("n_events"))
+          val shares = f.groupBy($"scheme", $"fold")
+            .agg(count(lit(1)).as("fe"))
+            .groupBy($"scheme")
+            .agg(min($"fe").as("min_fe"), max($"fe").as("max_fe"))
+          split.join(shares, Seq("scheme"))
+            .select($"scheme", $"n_users", $"n_split_users",
+              expr("(n_split_users * 10000) div n_users").as("split_bp"),
+              expr("(min_fe * 10000) div n_events").as("min_share_bp"),
+              expr("(max_fe * 10000) div n_events").as("max_share_bp"))
+        }
+        audit("by_user",
+            expr("((user_id * 48271) % 2147483647) % 5"))
+          .unionByName(audit("by_row", $"event_id" % 5))
+          .orderBy($"scheme")
+      },
+      Some("""
+        WITH f AS (
+          SELECT 'by_user' AS scheme, user_id,
+                 ((user_id * 48271) % 2147483647) % 5 AS fold
+          FROM events
+          UNION ALL
+          SELECT 'by_row', user_id, event_id % 5 FROM events),
+        bu AS (
+          SELECT scheme, user_id, count(DISTINCT fold) AS nf,
+                 count(*) AS ne
+          FROM f GROUP BY 1, 2),
+        sp AS (
+          SELECT scheme, count(*) AS n_users,
+                 CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_split_users,
+                 CAST(sum(ne) AS BIGINT) AS n_events
+          FROM bu GROUP BY 1),
+        fs AS (
+          SELECT scheme, fold, count(*) AS fe FROM f GROUP BY 1, 2),
+        sh AS (
+          SELECT scheme, CAST(min(fe) AS BIGINT) AS min_fe,
+                 CAST(max(fe) AS BIGINT) AS max_fe
+          FROM fs GROUP BY 1)
+        SELECT sp.scheme, sp.n_users, sp.n_split_users,
+               (sp.n_split_users * 10000) // sp.n_users AS split_bp,
+               (sh.min_fe * 10000) // sp.n_events AS min_share_bp,
+               (sh.max_fe * 10000) // sp.n_events AS max_share_bp
+        FROM sp JOIN sh USING (scheme)
+        ORDER BY sp.scheme"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
