@@ -2318,11 +2318,18 @@ object AnalyticsPatterns extends QueryModule {
             ka: String, b: org.apache.spark.sql.DataFrame, kb: String) = {
           val ca = a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
           val cb = b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb"))
-          val actual = ca.join(cb, Seq("k"))
-            .agg(sum($"na" * $"nb").as("actual_rows"))
-          val stats = ca.agg(sum($"na").as("ra"), count(lit(1)).as("da"))
-            .crossJoin(cb.agg(sum($"nb").as("rb"), count(lit(1)).as("db")))
-          actual.crossJoin(stats)
+          // ONE full-outer pass over the two count tables yields the
+          // actual size AND every catalog statistic — splitting them
+          // into separate consumers would scan each base table twice
+          // (PlanSpec counts the scan leaves)
+          ca.join(cb, Seq("k"), "full_outer")
+            .agg(
+              sum(when($"na".isNotNull && $"nb".isNotNull, $"na" * $"nb")
+                .otherwise(0L)).as("actual_rows"),
+              sum(coalesce($"na", lit(0L))).as("ra"),
+              sum(when($"na".isNotNull, 1L).otherwise(0L)).as("da"),
+              sum(coalesce($"nb", lit(0L))).as("rb"),
+              sum(when($"nb".isNotNull, 1L).otherwise(0L)).as("db"))
             .select(lit(name).as("edge"),
               $"actual_rows",
               expr("(ra * rb) div greatest(da, db)").as("est_rows"))

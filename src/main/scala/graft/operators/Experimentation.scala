@@ -1331,6 +1331,122 @@ object Experimentation extends QueryModule {
         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
                CAST(sum(credit) AS BIGINT) AS credit_cents
         FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
-        GROUP BY channel ORDER BY channel"""))
+        GROUP BY channel ORDER BY channel""")),
+
+    Q(
+      "q289_fdr_bh",
+      "BENJAMINI-HOCHBERG FDR CONTROL over the per-channel A/B grid — " +
+        "the multiple-testing closure of the family (q208 one test, " +
+        "q260 one test over time, this: m=4 simultaneous tests): " +
+        "q208's cleared z^2 algebra per exposure channel (unit = " +
+        "(user, day) that CLICKED the channel; conversion = that unit " +
+        "purchased), the rational z^2 projected to integer micros by " +
+        "one DECIMAL division (identical truncation both engines, so " +
+        "ordering and threshold compares agree bit-for-bit), then the " +
+        "BH step-up on the 4-row test domain: rank by z^2 descending " +
+        "(= p ascending), compare rank k against the chi2_1 quantile " +
+        "at alpha*k/m (0.05*k/4 — the four critical values enter as " +
+        "fixed micro literals, 6-dp-rounded public constants; no " +
+        "engine inverts a CDF), reject every rank <= the LARGEST " +
+        "passing rank — the step-up rule that dominates Bonferroni " +
+        "(also emitted for contrast). Plan: one row-scale " +
+        "(ch, arm, user, day) aggregate; ranks, thresholds and the " +
+        "k* fold are windows over the 4-row domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+        val exp = ev.filter($"event_type" === "click")
+          .select(
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"),
+            ($"user_id" % 2).as("arm"), $"user_id",
+            date_trunc("DAY", $"ts").as("day"))
+          .distinct()
+        val conv = ev.filter($"event_type" === "purchase")
+          .select($"user_id", date_trunc("DAY", $"ts").as("day"))
+          .distinct().withColumn("conv", lit(1L))
+        val perCh = exp.join(conv, Seq("user_id", "day"), "left")
+          .na.fill(0L, Seq("conv"))
+          .groupBy($"ch").agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c_a"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c_b"))
+        val ranked = perCh
+          .withColumn("d", expr("cast(c_a as decimal(38,0)) * n_b " +
+            "- cast(c_b as decimal(38,0)) * n_a"))
+          .withColumn("cc", expr("cast(c_a + c_b as decimal(38,0))"))
+          .withColumn("nn", expr("cast(n_a + n_b as decimal(38,0))"))
+          .withColumn("den", expr("cast(cast(n_a as decimal(38,0)) " +
+            "* n_b * cc * (nn - cc) as decimal(38,0))"))
+          .withColumn("z2_micro",
+            expr("cast((nn * d * d * 1000000) div den as bigint)"))
+          // 4-row test domain: the unpartitioned rank is bounded by the
+          // channel domain, never by rows
+          .withColumn("rank", row_number()
+            .over(Window.orderBy($"z2_micro".desc, $"ch")).cast("long"))
+          .withColumn("crit_micro",
+            expr("cast(element_at(array(6238533, 5023886, 4326700, " +
+              "3841459), cast(rank as int)) as bigint)"))
+          .withColumn("pass", $"z2_micro" >= $"crit_micro")
+        val kstar = ranked.agg(max(when($"pass", $"rank")).as("kstar"))
+        ranked.crossJoin(broadcast(kstar))
+          .select($"ch", $"n_a", $"c_a", $"n_b", $"c_b", $"z2_micro",
+            $"rank", $"crit_micro",
+            ($"rank" <= coalesce($"kstar", lit(0L))).as("reject_bh"),
+            ($"z2_micro" >= 6238533L).as("reject_bonferroni"))
+          .orderBy($"ch")
+      },
+      Some("""
+        WITH exp AS (
+          SELECT DISTINCT CAST(json_extract(props, 'k') AS BIGINT) // 25
+                   AS ch,
+                 user_id % 2 AS arm, user_id, date_trunc('day', ts) AS day
+          FROM events WHERE event_type = 'click'),
+        cv AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day, 1 AS conv
+          FROM events WHERE event_type = 'purchase'),
+        u AS (
+          SELECT e.ch, e.arm, coalesce(c.conv, 0) AS conv
+          FROM exp e LEFT JOIN cv c
+            ON e.user_id = c.user_id AND e.day = c.day),
+        a AS (
+          SELECT ch,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c_b
+          FROM u GROUP BY ch),
+        b AS (
+          SELECT ch, n_a, c_a, n_b, c_b,
+                 CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a
+                   AS d,
+                 CAST(c_a + c_b AS HUGEINT) AS cc,
+                 CAST(n_a + n_b AS HUGEINT) AS nn
+          FROM a),
+        z AS (
+          SELECT ch, n_a, c_a, n_b, c_b,
+                 CAST((nn * d * d * 1000000)
+                      // (CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc))
+                   AS BIGINT) AS z2_micro
+          FROM b),
+        r AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY z2_micro DESC, ch)
+                      AS BIGINT) AS rank
+          FROM z),
+        c AS (
+          SELECT *, CAST(([6238533, 5023886, 4326700, 3841459])[rank]
+                      AS BIGINT) AS crit_micro
+          FROM r),
+        k AS (SELECT max(CASE WHEN z2_micro >= crit_micro THEN rank END)
+                AS kstar FROM c)
+        SELECT ch, n_a, c_a, n_b, c_b, z2_micro, rank, crit_micro,
+               rank <= coalesce(k.kstar, 0) AS reject_bh,
+               z2_micro >= 6238533 AS reject_bonferroni
+        FROM c, k ORDER BY ch"""))
   )
 }

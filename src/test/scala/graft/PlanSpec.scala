@@ -877,4 +877,71 @@ class PlanSpec extends AnyFunSuite {
       "expected a hash/sort-merge equi-join on the cell keys: " +
         plan.take(600))
   }
+
+  test("q279: the semantic leg broadcasts the 1-row probe onto the " +
+    "corpus scan; every rank window runs below a 30-row limit") {
+    val plan = planOf("q279_rrf_hybrid")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "the probe must broadcast, never shuffle the corpus against it: " +
+        plan.take(600))
+    // the empty-partition rank windows are legal ONLY because each
+    // consumes a LIMIT 30 list — a corpus-wide global window here would
+    // be the classic single-partition scale killer
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val df = SparkEntry.queries("q279_rrf_hybrid")(spark, sfDir)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(w =>
+      w.collect { case l: GlobalLimit => l }.nonEmpty),
+      "every unpartitioned rank window must sit above a limit")
+  }
+
+  test("q284: time-decay credit reuses ONE pid exchange for rank, " +
+    "weight sum and remainder") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q284_time_decay_attribution")(spark, sfDir)
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: (p.children ++
+      (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      })).flatMap(all)
+    val pidEx = all(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("pid") => e
+    }
+    // budget: 1 for the credited chain (rank + weight-sum + remainder
+    // windows all share it) + 2 for the organic anti-join's two sides
+    // (the q213-family shape). A per-window exchange regression would
+    // show 5+.
+    assert(pidEx.size <= 3,
+      s"the credited windows must share one exchange (3 = shared + " +
+        s"anti-join pair), found ${pidEx.size}: " +
+        s"${pidEx.map(_.outputPartitioning)}")
+  }
+
+  test("q288: the audit never materializes the joins it sizes — " +
+    "4 scan leaves, joins only on count tables") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q288_join_size_estimate")(spark, sfDir)
+    df.collect()
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other if other.children.isEmpty => Seq(other)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val scans = leaves(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[FileSourceScanExec])
+    assert(scans <= 4,
+      s"two edges need at most 4 base-table scans, found $scans — " +
+        "a materialized row-table join would add more")
+  }
 }
