@@ -1447,6 +1447,80 @@ object Experimentation extends QueryModule {
         SELECT ch, n_a, c_a, n_b, c_b, z2_micro, rank, crit_micro,
                rank <= coalesce(k.kstar, 0) AS reject_bh,
                z2_micro >= 6238533 AS reject_bonferroni
-        FROM c, k ORDER BY ch"""))
+        FROM c, k ORDER BY ch""")),
+
+    Q(
+      "q291_power_analysis",
+      "EXPERIMENT POWER ANALYSIS — the question asked BEFORE q208 runs: " +
+        "at the observed baseline conversion rate, how many units per " +
+        "arm does detecting a 5/10/20% relative lift take at 80% power " +
+        "and alpha=0.05? Classic two-proportion approximation " +
+        "n = (z_{a/2}+z_b)^2 * 2p(1-p) / (p*r)^2, ALGEBRAICALLY " +
+        "SIMPLIFIED so p's denominator cancels: with p = c/n the whole " +
+        "expression collapses to 2*K*(n-c)*10^12 / (c*r_ppm^2) — " +
+        "integer arithmetic end to end ((2.801585)^2 enters as the " +
+        "single micro literal 7848879; no engine touches a normal CDF) " +
+        "— carried in DECIMAL(38,0) internally (the numerator crosses " +
+        "int64 at stress scale) and emitted as BIGINT via ceil " +
+        "division. Per lift row: required n per arm, available n " +
+        "(min of the two arms), and the powered verdict. Plan: q208's " +
+        "(arm, user, day) unit aggregate — the only row-scale shuffle " +
+        "— then a 3-row lift-grid cross join on one summary row.",
+      (s, dir) => {
+        import s.implicits._
+        val units = Tables.t(s, dir, "events")
+          .groupBy(($"user_id" % 2).as("arm"), $"user_id",
+            date_trunc("DAY", $"ts").as("day"))
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val summary = units.agg(
+          sum(lit(1L)).as("n"), sum($"conv").as("c"),
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+        // grid: 50000, 100000, 200000 ppm = 5% / 10% / 20% relative
+        val lifts = Seq(50000L, 100000L, 200000L).toDF("r_ppm")
+        summary.crossJoin(broadcast(lifts))
+          .select($"r_ppm",
+            expr("(c * 10000) div n").as("base_rate_bp"),
+            expr("cast(least(n_a, n_b) as bigint)").as("n_avail"),
+            // ceil division in decimal: (num + den - 1) div den
+            expr("cast((cast(2 as decimal(38,0)) * 7848879 * (n - c) " +
+              "* 1000000000000 + cast(c as decimal(38,0)) * r_ppm * r_ppm " +
+              "- 1) div (cast(c as decimal(38,0)) * r_ppm * r_ppm) " +
+              "as bigint)").as("n_req"))
+          .withColumn("powered", $"n_avail" >= $"n_req")
+          .orderBy($"r_ppm")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS arm, user_id, date_trunc('day', ts) AS day,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY 1, 2, 3),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(conv) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+          FROM u),
+        g AS (SELECT unnest([50000, 100000, 200000]) AS r_ppm)
+        SELECT CAST(g.r_ppm AS BIGINT) AS r_ppm,
+               (a.c * 10000) // a.n AS base_rate_bp,
+               least(a.n_a, a.n_b) AS n_avail,
+               CAST((CAST(2 AS HUGEINT) * 7848879 * (a.n - a.c)
+                     * 1000000000000
+                     + CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm - 1)
+                    // (CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm)
+                 AS BIGINT) AS n_req,
+               least(a.n_a, a.n_b) >=
+                 CAST((CAST(2 AS HUGEINT) * 7848879 * (a.n - a.c)
+                       * 1000000000000
+                       + CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm - 1)
+                      // (CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm)
+                   AS BIGINT) AS powered
+        FROM a, g ORDER BY r_ppm"""))
   )
 }
+

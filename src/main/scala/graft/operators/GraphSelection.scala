@@ -806,6 +806,85 @@ object GraphSelection extends QueryModule {
                 FROM cum JOIN t USING (event_type)
                 WHERE cum * 2 >= n_pairs GROUP BY 1)
         SELECT t.event_type, t.n_pairs, med.ts_slope_micro
-        FROM t JOIN med USING (event_type) ORDER BY event_type"""))
+        FROM t JOIN med USING (event_type) ORDER BY event_type""")),
+
+    Q(
+      "q290_mann_kendall",
+      "MANN-KENDALL TREND TEST — the significance companion to q281's " +
+        "Theil-Sen magnitude (the pair every monitoring textbook " +
+        "ships together: MK says WHETHER the trend is real, Theil-Sen " +
+        "says HOW STEEP): per event type over the same daily-cents " +
+        "series, S = #(concordant) - #(discordant) day pairs — a " +
+        "distribution-free statistic that is EXACTLY integer — and the " +
+        "tie-corrected variance as the integer " +
+        "V = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) (= 18*Var(S)); the 95% " +
+        "call compares 18*S^2*10^6 >= 3841459*V — cross-multiplied, no " +
+        "sqrt, no continuity correction (documented variant). Same " +
+        "day-domain-quadratic pair join as q281 (C(31,2) per type at " +
+        "any row scale); the tie table is one extra rollup on the " +
+        "bounded (type, cents) value domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events").filter($"value".isNotNull)
+        val d0 = ev.agg(min(to_date($"ts")).as("d0"))
+        val daily = ev.crossJoin(broadcast(d0))
+          .select($"event_type",
+            datediff(to_date($"ts"), $"d0").cast("long").as("x"),
+            floor($"value" * 100).cast("long").as("c"))
+          .groupBy($"event_type", $"x").agg(sum($"c").as("y"))
+          .localCheckpoint(true) // day-domain frame, reused by 3 consumers
+        val sStat = daily.as("a")
+          .join(daily.as("b"),
+            $"a.event_type" === $"b.event_type" && $"a.x" < $"b.x")
+          .select($"a.event_type".as("event_type"),
+            signum($"b.y" - $"a.y").cast("long").as("sg"))
+          .groupBy($"event_type").agg(sum($"sg").as("s_stat"))
+        val n = daily.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+        val ties = daily.groupBy($"event_type", $"y")
+          .agg(count(lit(1)).as("t"))
+          .groupBy($"event_type")
+          .agg(sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tie_sum"))
+        n.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
+          .select($"event_type", $"n_days", $"s_stat",
+            ($"n_days" * ($"n_days" - 1) * (lit(2) * $"n_days" + 5)
+              - $"tie_sum").as("var18"))
+          .withColumn("trending_95",
+            lit(18L) * $"s_stat" * $"s_stat" * 1000000L >=
+              lit(3841459L) * $"var18")
+          .withColumn("direction", signum($"s_stat").cast("long"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+                    WHERE value IS NOT NULL),
+        v AS (SELECT event_type,
+                     CAST(datediff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT)
+                       AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events, d0 WHERE value IS NOT NULL),
+        daily AS (SELECT event_type, x, CAST(sum(c) AS BIGINT) AS y
+                  FROM v GROUP BY 1, 2),
+        s AS (SELECT a.event_type,
+                     CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.x < b.x
+              GROUP BY 1),
+        n AS (SELECT event_type, count(*) AS n_days
+              FROM daily GROUP BY 1),
+        ties AS (SELECT event_type,
+                        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                          AS tie_sum
+                 FROM (SELECT event_type, y, count(*) AS t
+                       FROM daily GROUP BY 1, 2)
+                 GROUP BY 1)
+        SELECT n.event_type, n.n_days, s.s_stat,
+               n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                 - ties.tie_sum AS var18,
+               18 * s.s_stat * s.s_stat * 1000000 >= 3841459
+                 * (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                    - ties.tie_sum) AS trending_95,
+               CAST(sign(s.s_stat) AS BIGINT) AS direction
+        FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
+        ORDER BY n.event_type"""))
   )
 }

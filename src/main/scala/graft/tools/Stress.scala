@@ -363,6 +363,41 @@ object Stress {
       graft.operators.Similarity.knnIvf(s, out, k = 5, nProbes = 256,
         nlist = 64, nprobe = 4).count()
     }
+    // Hybrid RRF (q279): two independent retrieval legs — the BM25
+    // postings aggregate over 51k docs and the broadcast-probe cosine
+    // scan over 200k embeddings — fused on two 30-row lists; the wall
+    // is the legs, the fusion is free.
+    time("rrf hybrid 51k docs + 200k embeddings") {
+      SparkEntry.queries("q279_rrf_hybrid")(s, out).count()
+    }
+    // Theil-Sen (q281): row-scale daily rollup with map-side partials,
+    // then the pair join runs on the ~694-row day domain (~240k pairs
+    // per type) — domain-quadratic, row-linear.
+    time(s"theil-sen slope ${6 * mult}M events") {
+      SparkEntry.queries("q281_theil_sen_slope")(s, out).count()
+    }
+    // Time-decay attribution (q284): q213's exact plan shape — one
+    // user-keyed join, one pid window exchange shared by rank/weights/
+    // remainder — with the weight CASE riding the same projection.
+    time(s"time-decay attribution ${6 * mult}M events") {
+      SparkEntry.queries("q284_time_decay_attribution")(s, out).count()
+    }
+    // Isotonic calibration (q285): the row-scale work is q228's banded
+    // conversions; the PAV minimax adds only band-domain joins.
+    time(s"isotonic calibration ${6 * mult}M events") {
+      SparkEntry.queries("q285_isotonic_calibration")(s, out).count()
+    }
+    // Max-coverage selection (q286): 5 rounds x (anti-join + count) over
+    // the ~3M-row (doc, shingle-hash) index — each round shuffles 8-byte
+    // hashes, k is fixed, so the wall is 5 bounded passes.
+    time("max-coverage selection 51k docs") {
+      SparkEntry.queries("q286_max_coverage_selection")(s, out).count()
+    }
+    // FDR grid (q289): one (ch, arm, user, day) distinct + aggregate;
+    // the BH step-up is a 4-row window.
+    time(s"fdr bh grid ${6 * mult}M events") {
+      SparkEntry.queries("q289_fdr_bh")(s, out).count()
+    }
     // Ingest throughput vs the reference's operational envelope
     // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real
     // OpenSky snapshot is ~10-20k states): five poll ticks of 20k state
