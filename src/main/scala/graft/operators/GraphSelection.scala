@@ -885,6 +885,96 @@ object GraphSelection extends QueryModule {
                     - ties.tie_sum) AS trending_95,
                CAST(sign(s.s_stat) AS BIGINT) AS direction
         FROM n JOIN s USING (event_type) JOIN ties USING (event_type)
-        ORDER BY n.event_type"""))
+        ORDER BY n.event_type""")),
+
+    Q(
+      "q292_grid_density_clusters",
+      "GRID-DENSITY CLUSTERING (the cell-level DBSCAN: dense cells + " +
+        "8-neighbor connected components — how planet-scale point sets " +
+        "actually get density-clustered, since point-level DBSCAN's " +
+        "eps-graph is quadratic): q270's synthetic 200x200 plane and " +
+        "10-unit cells, a cell is DENSE at >= 6 points, clusters are " +
+        "min-label connected components over dense-cell adjacency " +
+        "(q96's propagation recipe on the BOUNDED <= 400-cell domain — " +
+        "each iteration is one explode-9 + equi-join + min, iterations " +
+        "bounded by component diameter <= 40, every frame " +
+        "localCheckpointed at domain size), sparse-cell points " +
+        "reported as the noise row (cluster_id = -1). The row-scale " +
+        "work is ONE (cell) count aggregate; everything after runs on " +
+        "the cell domain, so the same plan holds when the points are " +
+        "10^12 and the grid is S2 level-12. Oracle: WITH RECURSIVE " +
+        "min-label closure over the same adjacency.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 2147483647L
+        val cells = Tables.t(s, dir, "customer")
+          .select((($"c_custkey" * 48271L) % M % 200).as("ax"),
+            (($"c_custkey" * 16807L) % M % 200).as("ay"))
+          .groupBy(expr("ax div 10").as("cx"), expr("ay div 10").as("cy"))
+          .agg(count(lit(1)).as("n_pts"))
+          .localCheckpoint(true)
+        val dense = cells.filter($"n_pts" >= 6)
+          .withColumn("label", $"cx" * 20 + $"cy")
+          .localCheckpoint(true)
+        var cur = dense.select($"cx", $"cy", $"label")
+        var changed = 1L
+        while (changed > 0) {
+          val prop = cur
+            .withColumn("dx", explode(expr("sequence(-1, 1)")))
+            .withColumn("dy", explode(expr("sequence(-1, 1)")))
+            .select(($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"),
+              $"label".as("nl"))
+          // inner join discards propagations into sparse/empty cells
+          val next = cur.select($"cx", $"cy")
+            .join(prop, Seq("cx", "cy"))
+            .groupBy($"cx", $"cy").agg(min($"nl").as("label"))
+            .localCheckpoint(true)
+          changed = next
+            .join(cur.withColumnRenamed("label", "old"), Seq("cx", "cy"))
+            .filter($"label" =!= $"old").count()
+          cur = next
+        }
+        val clusters = dense.select($"cx", $"cy", $"n_pts")
+          .join(cur, Seq("cx", "cy"))
+          .groupBy($"label".as("cluster_id"))
+          .agg(count(lit(1)).as("n_cells"), sum($"n_pts").as("n_points"))
+        val noise = cells.filter($"n_pts" < 6)
+          .agg(count(lit(1)).as("n_cells"),
+            coalesce(sum($"n_pts"), lit(0L)).as("n_points"))
+          .select(lit(-1L).as("cluster_id"), $"n_cells", $"n_points")
+        clusters.unionByName(noise).orderBy($"cluster_id")
+      },
+      Some("""
+        WITH RECURSIVE pts AS (
+          SELECT (c_custkey * 48271) % 2147483647 % 200 AS ax,
+                 (c_custkey * 16807) % 2147483647 % 200 AS ay
+          FROM customer),
+        cells AS (
+          SELECT ax // 10 AS cx, ay // 10 AS cy, count(*) AS n_pts
+          FROM pts GROUP BY 1, 2),
+        dense AS (
+          SELECT cx, cy, cx * 20 + cy AS id, n_pts
+          FROM cells WHERE n_pts >= 6),
+        adj AS (
+          SELECT a.id AS ida, b.id AS idb
+          FROM dense a JOIN dense b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        reach(id, lbl) AS (
+          SELECT id, id FROM dense
+          UNION
+          SELECT a.idb, r.lbl FROM reach r JOIN adj a ON a.ida = r.id),
+        lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+        cl AS (
+          SELECT l.cluster_id, count(*) AS n_cells,
+                 CAST(sum(d.n_pts) AS BIGINT) AS n_points
+          FROM dense d JOIN lab l ON d.id = l.id GROUP BY 1),
+        noise AS (
+          SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                 count(*) AS n_cells,
+                 CAST(coalesce(sum(n_pts), 0) AS BIGINT) AS n_points
+          FROM cells WHERE n_pts < 6)
+        SELECT cluster_id, n_cells, n_points
+        FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
+        ORDER BY cluster_id"""))
   )
 }
