@@ -1304,7 +1304,77 @@ object FeaturePlatform extends QueryModule {
                (sh.min_fe * 10000) // sp.n_events AS min_share_bp,
                (sh.max_fe * 10000) // sp.n_events AS max_share_bp
         FROM sp JOIN sh USING (scheme)
-        ORDER BY sp.scheme"""))
+        ORDER BY sp.scheme""")),
+
+    Q(
+      "q294_association_rules",
+      "ASSOCIATION RULE MINING (Agrawal-Srikant support/confidence/" +
+        "lift — the explainable complement of q224's co-occurrence " +
+        "recs: a RULE 'brand A -> brand B' ships with its evidence): " +
+        "baskets are orders, items the 25-value brand domain, and " +
+        "every directed pair co-occurring in >= 50 baskets scores " +
+        "support = n_ab/N, confidence = n_ab/n_a, lift = " +
+        "n_ab*N/(n_a*n_b) — all exact cross-multiplied ppm/milli " +
+        "integers, so a lift_milli > 1000 test IS the independence " +
+        "test. Top-15 by (lift desc, pair). Plan: one distinct to " +
+        "(order, brand) — the only row-scale shuffle; the pair join " +
+        "is order-keyed with per-basket fan-out bounded by " +
+        "(brands-per-order)^2, pair counts combine map-side onto the " +
+        "<= 600-row directed-pair domain; item counts and N broadcast " +
+        "back. The same plan mines billions of baskets because " +
+        "everything after the distinct lives on the item-pair domain.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "part"),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("oid"), $"p_brand".as("item"))
+          .distinct()
+        val n = li.agg(countDistinct($"oid").as("n_baskets"))
+        val ia = li.groupBy($"item").agg(count(lit(1)).as("n_item"))
+        val pairs = li.as("a")
+          .join(li.as("b"), $"a.oid" === $"b.oid" &&
+            $"a.item" =!= $"b.item")
+          .groupBy($"a.item".as("ant"), $"b.item".as("cons"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 50)
+        pairs
+          .join(broadcast(ia.select($"item".as("ant"),
+            $"n_item".as("n_a"))), Seq("ant"))
+          .join(broadcast(ia.select($"item".as("cons"),
+            $"n_item".as("n_b"))), Seq("cons"))
+          .crossJoin(broadcast(n))
+          .select($"ant", $"cons", $"n_a", $"n_b", $"n_ab",
+            expr("(n_ab * 1000000) div n_baskets").as("support_ppm"),
+            expr("(n_ab * 1000000) div n_a").as("conf_ppm"),
+            expr("(n_ab * n_baskets * 1000) div (n_a * n_b)")
+              .as("lift_milli"))
+          .orderBy($"lift_milli".desc, $"ant", $"cons")
+          .limit(15)
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        n AS (SELECT count(DISTINCT oid) AS n_baskets FROM li),
+        ia AS (SELECT item, count(*) AS n_item FROM li GROUP BY 1),
+        pr AS (
+          SELECT a.item AS ant, b.item AS cons, count(*) AS n_ab
+          FROM li a JOIN li b ON a.oid = b.oid AND a.item <> b.item
+          GROUP BY 1, 2 HAVING count(*) >= 50)
+        SELECT pr.ant, pr.cons,
+               CAST(x.n_item AS BIGINT) AS n_a,
+               CAST(y.n_item AS BIGINT) AS n_b,
+               CAST(pr.n_ab AS BIGINT) AS n_ab,
+               (pr.n_ab * 1000000) // n.n_baskets AS support_ppm,
+               (pr.n_ab * 1000000) // x.n_item AS conf_ppm,
+               (pr.n_ab * n.n_baskets * 1000) // (x.n_item * y.n_item)
+                 AS lift_milli
+        FROM pr JOIN ia x ON pr.ant = x.item
+                JOIN ia y ON pr.cons = y.item
+        CROSS JOIN n
+        ORDER BY lift_milli DESC, pr.ant, pr.cons
+        LIMIT 15"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
