@@ -2380,7 +2380,69 @@ object AnalyticsPatterns extends QueryModule {
                (CASE WHEN est_rows < actual_rows THEN -1 ELSE 1 END)
                  * ((abs(est_rows - actual_rows) * 10000) // actual_rows)
                  AS err_bp
-        FROM u ORDER BY edge"""))
+        FROM u ORDER BY edge""")),
+
+    Q(
+      "q295_peak_concurrency",
+      "PEAK CONCURRENCY via the sweep-line identity on the BOUNDED " +
+        "minute domain — capacity planning's first question (how many " +
+        "sessions at once?), which q189's interval ops don't answer: " +
+        "every event opens a 10-minute activity lease; +1 at the start " +
+        "minute and -1 at the end minute aggregate to a per-minute NET " +
+        "table (the row-scale shuffle, map-side combined onto the " +
+        "<= 43200-minute fixture span), one cumulative sum over the " +
+        "minute domain turns nets into live concurrency (the " +
+        "unpartitioned window is domain-bounded, q199's argument — " +
+        "NEVER a running sum over raw events, which is the classic " +
+        "sweep-line scale trap), and a day rollup reports each day's " +
+        "peak and its first minute. Leases crossing midnight are " +
+        "counted correctly because the cumsum runs over the GLOBAL " +
+        "minute line, not per day. Exact integers end to end.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select(expr("unix_micros(cast(ts as timestamp)) div 60000000")
+            .as("m"))
+        val net = ev.groupBy($"m").agg(count(lit(1)).as("d"))
+          .unionByName(
+            ev.select(($"m" + 10).as("m"))
+              .groupBy($"m").agg((-count(lit(1))).as("d")))
+          .groupBy($"m").agg(sum($"d").as("net"))
+        val live = net.withColumn("cum",
+          sum($"net").over(Window.orderBy($"m")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        live
+          .withColumn("day_idx", expr("m div 1440"))
+          .withColumn("day_peak",
+            max($"cum").over(Window.partitionBy($"day_idx")))
+          .groupBy($"day_idx")
+          .agg(max($"cum").as("peak"),
+            (min(when($"cum" === $"day_peak", $"m")) % 1440)
+              .as("peak_minute"))
+          .orderBy($"day_idx")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS m
+          FROM events),
+        net AS (
+          SELECT m, CAST(sum(d) AS BIGINT) AS net FROM (
+            SELECT m, count(*) AS d FROM ev GROUP BY m
+            UNION ALL
+            SELECT m + 10, -count(*) FROM ev GROUP BY m + 10) u
+          GROUP BY m),
+        live AS (
+          SELECT m, sum(net) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM net),
+        d AS (
+          SELECT m // 1440 AS day_idx, m, cum,
+                 max(cum) OVER (PARTITION BY m // 1440) AS day_peak
+          FROM live)
+        SELECT day_idx, CAST(max(cum) AS BIGINT) AS peak,
+               CAST(min(CASE WHEN cum = day_peak THEN m END) % 1440
+                 AS BIGINT) AS peak_minute
+        FROM d GROUP BY day_idx ORDER BY day_idx"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
