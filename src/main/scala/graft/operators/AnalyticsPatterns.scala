@@ -2442,7 +2442,105 @@ object AnalyticsPatterns extends QueryModule {
         SELECT day_idx, CAST(max(cum) AS BIGINT) AS peak,
                CAST(min(CASE WHEN cum = day_peak THEN m END) % 1440
                  AS BIGINT) AS peak_minute
-        FROM d GROUP BY day_idx ORDER BY day_idx"""))
+        FROM d GROUP BY day_idx ORDER BY day_idx""")),
+
+    Q(
+      "q296_subject_access_export",
+      "DATA-SUBJECT ACCESS EXPORT (GDPR art. 15 — the READ side of " +
+        "q272's art. 17 cascade, walking the SAME FK chain so the two " +
+        "requests can never disagree about what 'the subject's data' " +
+        "means): for one request batch (custkey % 499 = 0, the " +
+        "deterministic stand-in for the request list), per subject and " +
+        "table the row footprint, revenue-in-cents carried, and " +
+        "first/last activity timestamps — customer row, orders by " +
+        "custkey, lineitems through those orders, events by user id. " +
+        "Every leg is a broadcast semi-join of the request list down " +
+        "its own FK edge (the q272 key-per-edge plan read-only); the " +
+        "per-(subject, table) rollup combines map-side. An empty leg " +
+        "still yields the subject's row via the left join from the " +
+        "request list — an export that silently OMITS a table is a " +
+        "compliance bug, so absence must be an explicit zero.",
+      (s, dir) => {
+        import s.implicits._
+        val subj = broadcast(Tables.t(s, dir, "customer")
+          .filter($"c_custkey" % 499 === 0)
+          .select($"c_custkey".as("subject")))
+        val orders = Tables.t(s, dir, "orders")
+          .join(subj, $"o_custkey" === $"subject")
+        val li = Tables.t(s, dir, "lineitem")
+          .join(broadcast(orders.select($"o_orderkey".as("lok"),
+            $"subject".as("ls"))), $"l_orderkey" === $"lok")
+        val ev = Tables.t(s, dir, "events")
+          .join(subj, $"user_id" === $"subject")
+        def leg(tbl: String, d: org.apache.spark.sql.DataFrame,
+            sub: org.apache.spark.sql.Column, cents: org.apache.spark.sql.Column,
+            ts: org.apache.spark.sql.Column) =
+          d.groupBy(sub.as("subject"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(cents).as("cents"),
+              min(ts).as("first_ts"), max(ts).as("last_ts"))
+            .withColumn("tbl", lit(tbl))
+        val legs =
+          leg("orders", orders, $"subject",
+            expr("cast(round(o_totalprice * 100) as bigint)"),
+            $"o_orderdate".cast("timestamp_ntz"))
+          .unionByName(leg("lineitem", li, $"ls",
+            expr("cast(round(l_extendedprice * 100) as bigint)"),
+            $"l_shipdate".cast("timestamp_ntz")))
+          .unionByName(leg("events", ev, $"subject",
+            expr("cast(round(value * 100) as bigint)"),
+            $"ts".cast("timestamp_ntz")))
+        subj.crossJoin(Seq("orders", "lineitem", "events").toDF("tbl"))
+          .join(legs, Seq("subject", "tbl"), "left")
+          .select($"subject", $"tbl",
+            coalesce($"n_rows", lit(0L)).as("n_rows"),
+            coalesce($"cents", lit(0L)).as("cents"),
+            $"first_ts", $"last_ts")
+          .orderBy($"subject", $"tbl")
+      },
+      Some("""
+        WITH subj AS (
+          SELECT c_custkey AS subject FROM customer
+          WHERE c_custkey % 499 = 0),
+        o AS (
+          SELECT s.subject, o.*
+          FROM orders o JOIN subj s ON o.o_custkey = s.subject),
+        li AS (
+          SELECT o.subject, l.*
+          FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+        ev AS (
+          SELECT s.subject, e.*
+          FROM events e JOIN subj s ON e.user_id = s.subject),
+        legs AS (
+          SELECT subject, 'orders' AS tbl, count(*) AS n_rows,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents,
+                 min(CAST(o_orderdate AS TIMESTAMP)) AS first_ts,
+                 max(CAST(o_orderdate AS TIMESTAMP)) AS last_ts
+          FROM o GROUP BY 1
+          UNION ALL
+          SELECT subject, 'lineitem', count(*),
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT),
+                 min(CAST(l_shipdate AS TIMESTAMP)),
+                 max(CAST(l_shipdate AS TIMESTAMP))
+          FROM li GROUP BY 1
+          UNION ALL
+          SELECT subject, 'events', count(*),
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+                 min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP))
+          FROM ev GROUP BY 1),
+        grid AS (
+          SELECT s.subject, t.tbl
+          FROM subj s CROSS JOIN
+            (SELECT unnest(['orders', 'lineitem', 'events']) AS tbl) t)
+        SELECT g.subject, g.tbl,
+               coalesce(l.n_rows, 0) AS n_rows,
+               coalesce(l.cents, 0) AS cents,
+               l.first_ts, l.last_ts
+        FROM grid g LEFT JOIN legs l
+          ON g.subject = l.subject AND g.tbl = l.tbl
+        ORDER BY g.subject, g.tbl"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -529,5 +529,76 @@ object SequentialOps extends QueryModule {
         SELECT dau.d, n_dau, n_wau,
                CAST((n_dau * 10000) // n_wau AS BIGINT) AS stickiness_bp
         FROM dau JOIN wau ON dau.d = wau.d
-        ORDER BY dau.d""")))
+        ORDER BY dau.d""")),
+
+    Q(
+      "q297_ewma_forecast",
+      "EWMA FORECAST with a DYADIC decay — the smoothing tier between " +
+        "q239's seasonal-naive floor and a real model, made EXACT by " +
+        "picking alpha = 1/2: the one-step forecast " +
+        "f(d) = sum_{k=1..10} y(d-k) * 2^(10-k) / 1023 is a windowed " +
+        "weighted sum whose weights are powers of two, so the whole " +
+        "recurrence collapses to integer arithmetic (no serial state, " +
+        "no float accumulation — the EWMA identity S_t = aY + (1-a)S " +
+        "unrolled to a 10-day horizon; the 2^-10 tail is the " +
+        "documented truncation). Forecasts join actuals on the " +
+        "calendar (q239's missing-day-proof join) and per-weekday MAE " +
+        "in cents lands beside the seasonal-naive's for a direct " +
+        "which-baseline-wins read. Plan: one row-scale day aggregate, " +
+        "then a 10-way calendar self-join ON THE DAY DOMAIN (<= 310 " +
+        "joined rows at any data scale) — the wire carries two longs " +
+        "per day.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+          .localCheckpoint(true) // <=31-row day domain, three consumers
+        val lags = daily.as("t")
+          .crossJoin(Seq.range(1, 11).toDF("k"))
+          .select(date_add($"d", $"k").as("d"),
+            // weight 2^(10-k): most recent day (k=1) weighs 512
+            expr("cast(shiftleft(1, 10 - k) as bigint) * cents")
+              .as("w_cents"),
+            expr("cast(shiftleft(1, 10 - k) as bigint)").as("w"))
+        val fc = lags.groupBy($"d")
+          .agg(sum($"w_cents").as("num"), sum($"w").as("den"))
+          // a full 10-day history sums den to 1023; partial histories
+          // (the first days) renormalize by their own den — loud in den
+          .filter($"den" === 1023)
+          .select($"d", expr("num div den").as("forecast_cents"))
+        daily.join(fc, Seq("d"))
+          .select((weekday($"d") + 1).as("dow"),
+            abs($"cents" - $"forecast_cents").as("abs_err"))
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_days"), sum($"abs_err").as("sum_abs_err"),
+            expr("sum(abs_err) div count(1)").as("mae_cents"))
+          .orderBy($"dow")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        lags AS (
+          SELECT d + CAST(k.k AS INTEGER) AS d,
+                 (1 << (10 - k.k)) * cents AS w_cents,
+                 (1 << (10 - k.k)) AS w
+          FROM daily, (SELECT unnest(range(1, 11)) AS k) k),
+        fc AS (
+          SELECT d, CAST(sum(w_cents) AS BIGINT) AS num,
+                 CAST(sum(w) AS BIGINT) AS den
+          FROM lags GROUP BY d HAVING CAST(sum(w) AS BIGINT) = 1023),
+        j AS (
+          SELECT isodow(daily.d) AS dow,
+                 abs(daily.cents - (fc.num // fc.den)) AS abs_err
+          FROM daily JOIN fc ON daily.d = fc.d)
+        SELECT CAST(dow AS INTEGER) AS dow,
+               count(*) AS n_days,
+               CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+               CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
+        FROM j GROUP BY dow ORDER BY dow"""))
+  )
 }
