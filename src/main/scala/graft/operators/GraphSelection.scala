@@ -895,10 +895,14 @@ object GraphSelection extends QueryModule {
         "eps-graph is quadratic): q270's synthetic 200x200 plane and " +
         "10-unit cells, a cell is DENSE at >= 6 points, clusters are " +
         "min-label connected components over dense-cell adjacency " +
-        "(q96's propagation recipe on the BOUNDED <= 400-cell domain — " +
-        "each iteration is one explode-9 + equi-join + min, iterations " +
-        "bounded by component diameter <= 40, every frame " +
-        "localCheckpointed at domain size), sparse-cell points " +
+        "(min-label propagation PLUS a pointer-doubling shortcut each " +
+        "round — label := min(neighbor labels, label OF the label " +
+        "cell) — so rounds are O(log diameter), not O(diameter): at " +
+        "sf0.1 every cell is dense and one 40-cell-wide component " +
+        "forms, where plain propagation measured 39.6 s of " +
+        "40-iteration job overhead and the doubled form converges in " +
+        "~6; every frame localCheckpointed at domain size), " +
+        "sparse-cell points " +
         "reported as the noise row (cluster_id = -1). The row-scale " +
         "work is ONE (cell) count aggregate; everything after runs on " +
         "the cell domain, so the same plan holds when the points are " +
@@ -925,9 +929,17 @@ object GraphSelection extends QueryModule {
             .select(($"cx" + $"dx").as("cx"), ($"cy" + $"dy").as("cy"),
               $"label".as("nl"))
           // inner join discards propagations into sparse/empty cells
-          val next = cur.select($"cx", $"cy")
+          val viaNbr = cur.select($"cx", $"cy")
             .join(prop, Seq("cx", "cy"))
             .groupBy($"cx", $"cy").agg(min($"nl").as("label"))
+          // pointer doubling: also adopt the label OF the label cell
+          // (labels are cell ids, so (div 20, % 20) addresses them) —
+          // turns O(diameter) rounds into O(log diameter)
+          val next = viaNbr
+            .join(viaNbr.select(($"cx" * 20 + $"cy").as("label"),
+              $"label".as("ll")), Seq("label"), "left")
+            .select($"cx", $"cy",
+              least($"label", coalesce($"ll", $"label")).as("label"))
             .localCheckpoint(true)
           changed = next
             .join(cur.withColumnRenamed("label", "old"), Seq("cx", "cy"))
