@@ -1619,7 +1619,128 @@ object Experimentation extends QueryModule {
                CAST(max(z2_micro) AS BIGINT) AS max_z2_micro,
                (CAST(sum(CASE WHEN z2_micro >= 3841459 THEN 1 ELSE 0 END)
                  AS BIGINT) * 10000) // count(*) AS reject_rate_bp
-        FROM z"""))
+        FROM z""")),
+
+    Q(
+      "q298_cmh_stratified",
+      "COCHRAN-MANTEL-HAENSZEL STRATIFIED TEST — the Simpson's-paradox " +
+        "defense the pooled q208 lacks: if traffic mix shifts by day, " +
+        "a pooled 2x2 can show an effect that no day exhibits (or hide " +
+        "one every day shows); CMH tests the arm effect WITHIN each " +
+        "day stratum and combines evidence across the K=30 strata. " +
+        "chi2_CMH = (sum_k a_k - sum_k E_k)^2 / sum_k V_k with " +
+        "E_k = n1k*m1k/N_k and V_k = n1k*n0k*m1k*m0k/(N_k^2 (N_k-1)), " +
+        "carried as DECIMAL-internal fixed-point micros (per-stratum " +
+        "integer division, identical truncation both engines — q289's " +
+        "projection convention; V_k's numerator crosses int64 at " +
+        "sf0.1, hence decimal). The pooled q208 z^2 lands in the same " +
+        "row, so the stratified-vs-pooled divergence — the paradox " +
+        "detector — is one subtraction at readout. Plan: one " +
+        "(day, arm, user) row-scale aggregate, a 30-row stratum frame, " +
+        "O(1) reductions.",
+      (s, dir) => {
+        import s.implicits._
+        val units = Tables.t(s, dir, "events")
+          .groupBy(($"user_id" % 2).as("arm"), $"user_id",
+            date_trunc("DAY", $"ts").as("day"))
+          .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val strata = units.groupBy($"day").agg(
+          sum(when($"arm" === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when($"arm" === 1, 1L).otherwise(0L)).as("n0"),
+          sum(when($"arm" === 0, $"conv").otherwise(0L)).as("a"),
+          sum($"conv").as("m1"))
+          .withColumn("nk", $"n1" + $"n0")
+          .withColumn("m0", $"nk" - $"m1")
+          .withColumn("e_micro", expr("cast((cast(n1 as decimal(38,0)) " +
+            "* m1 * 1000000) div nk as bigint)"))
+          .withColumn("v_micro", expr("cast((cast(n1 as decimal(38,0)) " +
+            "* n0 * m1 * m0 * 1000000) div (cast(nk as decimal(38,0)) " +
+            "* nk * (nk - 1)) as bigint)"))
+        strata.agg(
+            count(lit(1)).as("n_strata"),
+            sum($"a").as("sum_a"),
+            sum($"e_micro").as("e_micro_sum"),
+            sum($"v_micro").as("v_micro_sum"),
+            sum($"n1").as("n_a_total"), sum($"n0").as("n_b_total"),
+            sum($"m1").as("conv_total"))
+          .withColumn("conv_a", $"sum_a")
+          .withColumn("d_micro", $"sum_a" * 1000000L - $"e_micro_sum")
+          .withColumn("chi2_cmh_micro",
+            expr("cast((cast(d_micro as decimal(38,0)) * d_micro) " +
+              "div v_micro_sum as bigint)"))
+          .withColumn("pooled_z2_micro", expr("cast(" +
+            "((cast(n_a_total as decimal(38,0)) + n_b_total) " +
+            "* (cast(conv_a as decimal(38,0)) * n_b_total " +
+            "  - cast(conv_total - conv_a as decimal(38,0)) * n_a_total) " +
+            "* (cast(conv_a as decimal(38,0)) * n_b_total " +
+            "  - cast(conv_total - conv_a as decimal(38,0)) * n_a_total) " +
+            "* 1000000) div (cast(n_a_total as decimal(38,0)) * n_b_total " +
+            "* cast(conv_total as decimal(38,0)) " +
+            "* (cast(n_a_total as decimal(38,0)) + n_b_total " +
+            "   - conv_total)) as bigint)"))
+          .select($"n_strata", $"sum_a", $"e_micro_sum", $"v_micro_sum",
+            $"chi2_cmh_micro",
+            ($"chi2_cmh_micro" >= 3841459L).as("significant_95"),
+            $"pooled_z2_micro")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS arm, user_id, date_trunc('day', ts) AS day,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events GROUP BY 1, 2, 3),
+        st AS (
+          SELECT day,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(sum(conv) AS BIGINT) AS m1
+          FROM u GROUP BY day),
+        k AS (
+          SELECT day, n1, n0, a, m1, n1 + n0 AS nk, n1 + n0 - m1 AS m0
+          FROM st),
+        m AS (
+          SELECT day, a,
+                 CAST((CAST(n1 AS HUGEINT) * m1 * 1000000) // nk AS BIGINT)
+                   AS e_micro,
+                 CAST((CAST(n1 AS HUGEINT) * n0 * m1 * m0 * 1000000)
+                      // (CAST(nk AS HUGEINT) * nk * (nk - 1)) AS BIGINT)
+                   AS v_micro,
+                 n1, n0, m1
+          FROM k),
+        agg AS (
+          SELECT count(*) AS n_strata,
+                 CAST(sum(a) AS BIGINT) AS sum_a,
+                 CAST(sum(e_micro) AS BIGINT) AS e_micro_sum,
+                 CAST(sum(v_micro) AS BIGINT) AS v_micro_sum,
+                 CAST(sum(n1) AS BIGINT) AS n_a_total,
+                 CAST(sum(n0) AS BIGINT) AS n_b_total,
+                 CAST(sum(m1) AS BIGINT) AS conv_total
+          FROM m),
+        f AS (
+          SELECT *, sum_a * 1000000 - e_micro_sum AS d_micro,
+                 conv_total - sum_a AS conv_b
+          FROM agg)
+        SELECT n_strata, sum_a, e_micro_sum, v_micro_sum,
+               CAST((CAST(d_micro AS HUGEINT) * d_micro) // v_micro_sum
+                 AS BIGINT) AS chi2_cmh_micro,
+               CAST((CAST(d_micro AS HUGEINT) * d_micro) // v_micro_sum
+                 AS BIGINT) >= 3841459 AS significant_95,
+               CAST((CAST(n_a_total + n_b_total AS HUGEINT)
+                     * (CAST(sum_a AS HUGEINT) * n_b_total
+                        - CAST(conv_b AS HUGEINT) * n_a_total)
+                     * (CAST(sum_a AS HUGEINT) * n_b_total
+                        - CAST(conv_b AS HUGEINT) * n_a_total) * 1000000)
+                    // (CAST(n_a_total AS HUGEINT) * n_b_total
+                        * CAST(conv_total AS HUGEINT)
+                        * (CAST(n_a_total + n_b_total AS HUGEINT)
+                           - conv_total))
+                 AS BIGINT) AS pooled_z2_micro
+        FROM f"""))
   )
 }
 

@@ -1374,7 +1374,101 @@ object FeaturePlatform extends QueryModule {
                 JOIN ia y ON pr.cons = y.item
         CROSS JOIN n
         ORDER BY lift_milli DESC, pr.ant, pr.cons
-        LIMIT 15"""))
+        LIMIT 15""")),
+
+    Q(
+      "q299_rec_exposure_audit",
+      "RECOMMENDER EXPOSURE AUDIT — popularity-bias measurement for " +
+        "the q294/q224 rec family (the fairness question an accuracy " +
+        "metric like q235's MRR never asks: WHO gets recommended?): " +
+        "serve each basket item's top-3 co-occurrence recs (n_ab " +
+        "desc, item tiebreak — q294's pair table re-ranked), count " +
+        "each catalog item's IMPRESSIONS (sum over antecedents of " +
+        "antecedent basket count), and report catalog coverage " +
+        "(items ever recommended / 25), the top item's impression " +
+        "share, and the exact exposure GINI over the FULL catalog — " +
+        "zeros included, because concentration hidden by dropping " +
+        "never-recommended items is exactly the bias being measured. " +
+        "Gini is q201's sorted-index identity sum((2i-n-1)x_i) / " +
+        "(n*sum x) on the 25-item domain (the only sort is 25 rows). " +
+        "Plan: q294's one row-scale distinct, then pure item-domain " +
+        "arithmetic.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "part"),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("oid"), $"p_brand".as("item"))
+          .distinct()
+        val ia = li.groupBy($"item").agg(count(lit(1)).as("n_item"))
+        val recs = li.as("a")
+          .join(li.as("b"), $"a.oid" === $"b.oid" &&
+            $"a.item" =!= $"b.item")
+          .groupBy($"a.item".as("ant"), $"b.item".as("cons"))
+          .agg(count(lit(1)).as("n_ab"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"ant").orderBy($"n_ab".desc, $"cons")))
+          .filter($"rk" <= 3)
+        val exposure = recs
+          .join(broadcast(ia.select($"item".as("ant"),
+            $"n_item".as("n_a"))), Seq("ant"))
+          .groupBy($"cons").agg(sum($"n_a").as("x"))
+        val full = Tables.t(s, dir, "part")
+          .select($"p_brand").distinct()
+          .join(exposure, $"p_brand" === $"cons", "left")
+          .select($"p_brand", coalesce($"x", lit(0L)).as("x"))
+          // 25-row catalog domain: the rank below sorts 25 rows, never data
+          .withColumn("i", row_number().over(
+            Window.orderBy($"x", $"p_brand")).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        full.agg(
+            count(lit(1)).as("catalog_n"),
+            sum(when($"x" > 0, 1L).otherwise(0L)).as("n_exposed"),
+            sum($"x").as("total_x"), max($"x").as("max_x"),
+            sum((lit(2L) * $"i" - $"n" - 1) * $"x").as("g_num"))
+          .select($"catalog_n", $"n_exposed",
+            expr("(n_exposed * 10000) div catalog_n").as("coverage_bp"),
+            expr("(max_x * 10000) div total_x").as("top_share_bp"),
+            expr("(g_num * 10000) div (catalog_n * total_x)").as("gini_bp"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        ia AS (SELECT item, count(*) AS n_item FROM li GROUP BY 1),
+        pr AS (
+          SELECT a.item AS ant, b.item AS cons, count(*) AS n_ab
+          FROM li a JOIN li b ON a.oid = b.oid AND a.item <> b.item
+          GROUP BY 1, 2),
+        recs AS (
+          SELECT ant, cons FROM (
+            SELECT ant, cons,
+                   row_number() OVER (PARTITION BY ant
+                                      ORDER BY n_ab DESC, cons) AS rk
+            FROM pr) r WHERE rk <= 3),
+        expo AS (
+          SELECT r.cons, CAST(sum(ia.n_item) AS BIGINT) AS x
+          FROM recs r JOIN ia ON r.ant = ia.item GROUP BY 1),
+        cat AS (SELECT DISTINCT p_brand FROM part),
+        fl AS (
+          SELECT c.p_brand, coalesce(e.x, 0) AS x,
+                 row_number() OVER (ORDER BY coalesce(e.x, 0), c.p_brand)
+                   AS i,
+                 count(*) OVER () AS n
+          FROM cat c LEFT JOIN expo e ON c.p_brand = e.cons),
+        a AS (
+          SELECT count(*) AS catalog_n,
+                 CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exposed,
+                 CAST(sum(x) AS BIGINT) AS total_x,
+                 CAST(max(x) AS BIGINT) AS max_x,
+                 CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS g_num
+          FROM fl)
+        SELECT catalog_n, n_exposed,
+               (n_exposed * 10000) // catalog_n AS coverage_bp,
+               (max_x * 10000) // total_x AS top_share_bp,
+               (g_num * 10000) // (catalog_n * total_x) AS gini_bp
+        FROM a"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
