@@ -1114,36 +1114,7 @@ object TextAnalysis extends QueryModule {
         "fuse itself is a join of two 30-row lists: at 100 TB the cost " +
         "IS the legs, and each leg is its already-gated retrieval " +
         "plan (q165 postings, q66/q97 ANN).",
-      (s, dir) => {
-        import s.implicits._
-        val lexTop = bm25Scores(s, dir, Seq("query", "window", "scan"))
-          .orderBy($"bm25_micros".desc, $"doc_id").limit(30)
-        // rank windows below run over <=30-row lists (post-limit) — the
-        // empty partitionBy is bounded by construction, never corpus-wide
-        val lex = lexTop
-          .withColumn("r_lex", row_number()
-            .over(Window.orderBy($"bm25_micros".desc, $"doc_id"))
-            .cast("long"))
-          .select($"doc_id", $"r_lex")
-        val e = Tables.t(s, dir, "embeddings")
-        val probe = e.filter($"vec_id" === 0)
-          .select($"embedding".as("probe_vec"))
-        val semTop = e.filter($"vec_id" =!= 0)
-          .crossJoin(broadcast(probe))
-          .withColumn("cos",
-            round(graft.operators.Similarity.cosine($"embedding", $"probe_vec"), 6))
-          .orderBy($"cos".desc, $"vec_id").limit(30)
-        val sem = semTop
-          .withColumn("r_sem", row_number()
-            .over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
-          .select($"vec_id".as("doc_id"), $"r_sem")
-        lex.join(sem, Seq("doc_id"), "full_outer")
-          .withColumn("rrf_nano",
-            coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
-              coalesce(expr("1000000000 div (60 + r_sem)"), lit(0L)))
-          .orderBy($"rrf_nano".desc, $"doc_id").limit(10)
-          .select($"doc_id", $"r_lex", $"r_sem", $"rrf_nano")
-      },
+      (s, dir) => rrfTop10(s, dir),
       Some("""
         WITH tok AS (SELECT doc_id,
                             unnest(list_filter(string_split(trim(text), ' '),
@@ -1250,7 +1221,104 @@ object TextAnalysis extends QueryModule {
                  + (f1 * (f1 - 1) * 1000000) // (2 * (f2 + 1)) AS chao1_micro,
                (f1 * 1000000) // n_tokens AS gt_unseen_ppm,
                (coll2 * 1000000) // (n_tokens * (n_tokens - 1)) AS simpson_ppm
-        FROM g ORDER BY lang""")))
+        FROM g ORDER BY lang""")),
+
+    Q(
+      "q300_rag_context_assembly",
+      "RAG CONTEXT ASSEMBLY — the retrieval stack composed end to end " +
+        "(the q137-style pipeline query for the IR family): q279's " +
+        "fused hybrid top-10 (the SHARED rrfTop10, so retrieval here " +
+        "can never drift from the standalone query), each doc costed " +
+        "in whitespace tokens, greedily PREFIX-PACKED into a 400-token " +
+        "context budget in fusion-rank order (prefix rule, not " +
+        "skip-and-fill: rank order is the relevance contract, so the " +
+        "first doc that overflows ends the context — the kept flag " +
+        "makes the cut auditable). Output is the assembled context " +
+        "manifest: rank, doc, both leg ranks, token cost, running " +
+        "total, kept. The budget arithmetic is one cumulative sum over " +
+        "a 10-row frame; the corpus-scale cost IS q279's two retrieval " +
+        "legs.",
+      (s, dir) => {
+        import s.implicits._
+        val top = rrfTop10(s, dir)
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"rrf_nano".desc, $"doc_id")).cast("long"))
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            expr("cast(size(filter(split(trim(text), ' '), " +
+              "x -> x != '')) as bigint)").as("n_tokens"))
+        top.join(toks, Seq("doc_id"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(
+            Window.orderBy($"rank")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("kept", $"cum_tokens" <= 400)
+          .select($"rank", $"doc_id", $"r_lex", $"r_sem", $"rrf_nano",
+            $"n_tokens", $"cum_tokens", $"kept")
+          .orderBy($"rank")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len
+                   FROM lens),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('query', 'window', 'scan') GROUP BY 1, 2),
+        idf AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        t AS (SELECT tf.doc_id, tf.tf, lens.len, idf.df, c.n_docs,
+                     CAST(c.sum_len AS DOUBLE) / c.n_docs AS avgdl
+              FROM tf JOIN lens USING (doc_id) JOIN idf USING (w)
+              CROSS JOIN corpus c),
+        sc AS (SELECT doc_id,
+                      CAST(floor(((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                             / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl))))
+                           * 1000000.0 + 0.5) AS BIGINT) AS sc
+               FROM t),
+        bm AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micros
+               FROM sc GROUP BY doc_id
+               ORDER BY bm25_micros DESC, doc_id LIMIT 30),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25_micros DESC, doc_id)
+                         AS r_lex
+                FROM bm),
+        probe AS (SELECT embedding AS probe_vec FROM embeddings
+                  WHERE vec_id = 0),
+        scored AS (SELECT vec_id,
+                          round(list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(probe_vec AS DOUBLE[])), 6) AS cos
+                   FROM embeddings CROSS JOIN probe
+                   WHERE vec_id <> 0
+                   ORDER BY cos DESC, vec_id LIMIT 30),
+        sem AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS r_sem
+                FROM scored),
+        fused AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+                         l.r_lex, m.r_sem
+                  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id),
+        top AS (
+          SELECT doc_id, r_lex, r_sem,
+                 CAST(coalesce(1000000000 // (60 + r_lex), 0)
+                      + coalesce(1000000000 // (60 + r_sem), 0) AS BIGINT)
+                   AS rrf_nano
+          FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 10),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+                      AS rank
+          FROM top),
+        packed AS (
+          SELECT r.rank, r.doc_id, r.r_lex, r.r_sem, r.rrf_nano,
+                 lens.len AS n_tokens,
+                 CAST(sum(lens.len) OVER (ORDER BY r.rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM ranked r JOIN lens ON r.doc_id = lens.doc_id)
+        SELECT rank, doc_id, r_lex, r_sem, rrf_nano,
+               CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
+               cum_tokens <= 400 AS kept
+        FROM packed ORDER BY rank""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a
@@ -1265,6 +1333,44 @@ object TextAnalysis extends QueryModule {
     * which is exactly the greedy non-overlapping semantics; it CAN seed
     * the next pair as a left half once the next iteration's chosen pair
     * names it, matching reference BPE. */
+  /** q279's fused retrieval, shared with q300's context assembly so the
+    * retrieval convention cannot diverge from the packer that consumes
+    * it: BM25 top-30 for {query, window, scan} fused with the cosine
+    * top-30 to fixture probe vec_id=0 by exact integer RRF nanos
+    * (1e9 div (60+rank)); returns the fused top-10 as
+    * (doc_id, r_lex, r_sem, rrf_nano). The rank windows run over
+    * <=30-row post-limit lists — the empty partitionBy is bounded by
+    * construction, never corpus-wide. */
+  def rrfTop10(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val lexTop = bm25Scores(s, dir, Seq("query", "window", "scan"))
+      .orderBy($"bm25_micros".desc, $"doc_id").limit(30)
+    val lex = lexTop
+      .withColumn("r_lex", row_number()
+        .over(Window.orderBy($"bm25_micros".desc, $"doc_id"))
+        .cast("long"))
+      .select($"doc_id", $"r_lex")
+    val e = Tables.t(s, dir, "embeddings")
+    val probe = e.filter($"vec_id" === 0)
+      .select($"embedding".as("probe_vec"))
+    val semTop = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("cos",
+        round(graft.operators.Similarity.cosine($"embedding", $"probe_vec"), 6))
+      .orderBy($"cos".desc, $"vec_id").limit(30)
+    val sem = semTop
+      .withColumn("r_sem", row_number()
+        .over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+      .select($"vec_id".as("doc_id"), $"r_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + r_sem)"), lit(0L)))
+      .orderBy($"rrf_nano".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"r_lex", $"r_sem", $"rrf_nano")
+  }
+
   /** Per-doc BM25 scores (k1=1.2, b=0.75, rational idf — the log dropped,
     * a monotone transform; see q165's doc) for the given query terms, as
     * order-independent integer micros: (doc_id, bm25_micros, n_terms).
