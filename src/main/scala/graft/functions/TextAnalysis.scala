@@ -1318,7 +1318,100 @@ object TextAnalysis extends QueryModule {
         SELECT rank, doc_id, r_lex, r_sem, rrf_nano,
                CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens,
                cum_tokens <= 400 AS kept
-        FROM packed ORDER BY rank""")))
+        FROM packed ORDER BY rank""")),
+
+    Q(
+      "q301_retrieval_agreement",
+      "RETRIEVAL AGREEMENT AUDIT — the number that justifies q279's " +
+        "fusion: overlap@k and Jaccard@k between the lexical (BM25) " +
+        "and semantic (cosine) top-10 lists at k = 1, 5, 10. LOW " +
+        "agreement means the two signals surface different relevant " +
+        "docs — exactly when rank fusion buys recall; near-total " +
+        "agreement would mean the second leg is redundant cost " +
+        "(measured on the fixtures: ZERO overlap at every k — the " +
+        "uniform-random embeddings carry no lexical signal, the " +
+        "worst-case complementarity the fusion is built for). Both " +
+        "legs reuse the standalone queries' scoring (bm25Scores; the " +
+        "q66 cosine convention against probe vec_id=0), ranks join on " +
+        "doc_id, and the k-grid evaluation is a 3-row cross join over " +
+        "the <= 10-row intersection — corpus-scale cost is the two " +
+        "retrieval legs, the audit arithmetic is free.",
+      (s, dir) => {
+        import s.implicits._
+        val lex = bm25Scores(s, dir, Seq("query", "window", "scan"))
+          .orderBy($"bm25_micros".desc, $"doc_id").limit(10)
+          .withColumn("rl", row_number()
+            .over(Window.orderBy($"bm25_micros".desc, $"doc_id"))
+            .cast("long"))
+          .select($"doc_id", $"rl")
+        val e = Tables.t(s, dir, "embeddings")
+        val probe = e.filter($"vec_id" === 0)
+          .select($"embedding".as("probe_vec"))
+        val sem = e.filter($"vec_id" =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("cos", round(
+            graft.operators.Similarity.cosine($"embedding", $"probe_vec"), 6))
+          .orderBy($"cos".desc, $"vec_id").limit(10)
+          .withColumn("rs", row_number()
+            .over(Window.orderBy($"cos".desc, $"vec_id")).cast("long"))
+          .select($"vec_id".as("doc_id"), $"rs")
+        val both = lex.join(sem, Seq("doc_id"))
+        Seq(1L, 5L, 10L).toDF("k")
+          .join(both, $"rl" <= $"k" && $"rs" <= $"k", "left")
+          .groupBy($"k")
+          .agg(count($"doc_id").as("overlap"))
+          .withColumn("jaccard_bp",
+            expr("(overlap * 10000) div (2 * k - overlap)"))
+          .orderBy($"k")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(list_filter(string_split(trim(text), ' '),
+                                               x -> x <> '')) AS w
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+        corpus AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len
+                   FROM lens),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+               WHERE w IN ('query', 'window', 'scan') GROUP BY 1, 2),
+        idf AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        t AS (SELECT tf.doc_id, tf.tf, lens.len, idf.df, c.n_docs,
+                     CAST(c.sum_len AS DOUBLE) / c.n_docs AS avgdl
+              FROM tf JOIN lens USING (doc_id) JOIN idf USING (w)
+              CROSS JOIN corpus c),
+        sc AS (SELECT doc_id,
+                      CAST(floor(((((n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2))
+                             / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl))))
+                           * 1000000.0 + 0.5) AS BIGINT) AS sc
+               FROM t),
+        bm AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micros
+               FROM sc GROUP BY doc_id
+               ORDER BY bm25_micros DESC, doc_id LIMIT 10),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY bm25_micros DESC, doc_id)
+                         AS rl
+                FROM bm),
+        probe AS (SELECT embedding AS probe_vec FROM embeddings
+                  WHERE vec_id = 0),
+        scored AS (SELECT vec_id,
+                          round(list_cosine_similarity(
+                            CAST(embedding AS DOUBLE[]),
+                            CAST(probe_vec AS DOUBLE[])), 6) AS cos
+                   FROM embeddings CROSS JOIN probe
+                   WHERE vec_id <> 0
+                   ORDER BY cos DESC, vec_id LIMIT 10),
+        sem AS (SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS rs
+                FROM scored),
+        bt AS (SELECT l.doc_id, l.rl, s.rs
+                 FROM lex l JOIN sem s ON l.doc_id = s.doc_id),
+        grid AS (SELECT unnest([1, 5, 10]) AS k)
+        SELECT CAST(g.k AS BIGINT) AS k,
+               CAST(count(b.doc_id) AS BIGINT) AS overlap,
+               (CAST(count(b.doc_id) AS BIGINT) * 10000)
+                 // (2 * g.k - count(b.doc_id)) AS jaccard_bp
+        FROM grid g LEFT JOIN bt b ON b.rl <= g.k AND b.rs <= g.k
+        GROUP BY g.k ORDER BY g.k""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a
