@@ -2540,7 +2540,117 @@ object AnalyticsPatterns extends QueryModule {
                l.first_ts, l.last_ts
         FROM grid g LEFT JOIN legs l
           ON g.subject = l.subject AND g.tbl = l.tbl
-        ORDER BY g.subject, g.tbl"""))
+        ORDER BY g.subject, g.tbl""")),
+
+    Q(
+      "q302_cross_table_dq_rules",
+      "CROSS-TABLE DATA-QUALITY RULE SUITE — the reconciliation tier " +
+        "between q220's single-scan contract and q273's FK audit: " +
+        "rules that need a JOIN to evaluate. (1) header/detail " +
+        "reconciliation — orders whose o_totalprice disagrees with " +
+        "their lineitems' extendedprice sum by more than $1 (cents " +
+        "compare, no float equality); (2) temporal causality — " +
+        "lineitems shipped BEFORE their order date; (3) domain rules " +
+        "on the detail scan (non-positive price, discount outside " +
+        "[0, 0.10], quantity outside [1, 50]) — evaluated in the SAME " +
+        "aggregate pass as the reconciliation so the detail table " +
+        "scans once. Output one row per rule: population, violations, " +
+        "rate bp. On the synthetic fixtures the suite BITES: header " +
+        "totals reconcile for zero orders and ~49% of lines ship " +
+        "before their order date (fixture facts the audit exists to " +
+        "surface, not engine defects — the domain rules all pass). " +
+        "Plan: one orderkey-shuffled join + two aggregates; " +
+        "the rule fan-out is column arithmetic, not extra passes — at " +
+        "100 TB this is the nightly reconciliation job shape.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey",
+            expr("cast(round(o_totalprice * 100) as bigint)").as("hdr_cents"),
+            $"o_orderdate")
+        val l = Tables.t(s, dir, "lineitem")
+          .select($"l_orderkey",
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+            $"l_shipdate", $"l_discount", $"l_quantity")
+        val j = l.join(o, $"l_orderkey" === $"o_orderkey")
+        val perOrder = j.groupBy($"o_orderkey")
+          .agg(min($"hdr_cents").as("hdr_cents"),
+            sum($"cents").as("dtl_cents"),
+            sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L))
+              .as("early_ships"),
+            count(lit(1)).as("n_lines"),
+            sum(when($"cents" <= 0, 1L).otherwise(0L)).as("bad_price"),
+            sum(when($"l_discount" < 0 || $"l_discount" > 0.10001, 1L)
+              .otherwise(0L)).as("bad_disc"),
+            sum(when($"l_quantity" < 1 || $"l_quantity" > 50, 1L)
+              .otherwise(0L)).as("bad_qty"))
+        val tot = perOrder.agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(abs($"hdr_cents" - $"dtl_cents") > 100, 1L)
+            .otherwise(0L)).as("recon_viol"),
+          sum($"n_lines").as("n_lines"),
+          sum($"early_ships").as("early_viol"),
+          sum($"bad_price").as("price_viol"),
+          sum($"bad_disc").as("disc_viol"),
+          sum($"bad_qty").as("qty_viol"))
+        tot.select(
+            expr("stack(5, " +
+              "'total_reconciliation', n_orders, recon_viol, " +
+              "'ship_before_order', n_lines, early_viol, " +
+              "'nonpositive_price', n_lines, price_viol, " +
+              "'discount_range', n_lines, disc_viol, " +
+              "'quantity_range', n_lines, qty_viol) " +
+              "as (rule, n_checked, n_violations)"))
+          .withColumn("viol_bp",
+            expr("(n_violations * 10000) div n_checked"))
+          .orderBy($"rule")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents,
+                 o_orderdate
+          FROM orders),
+        l AS (
+          SELECT l_orderkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 l_shipdate, l_discount, l_quantity
+          FROM lineitem),
+        p AS (
+          SELECT o.o_orderkey, min(o.hdr_cents) AS hdr_cents,
+                 CAST(sum(l.cents) AS BIGINT) AS dtl_cents,
+                 CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                               THEN 1 ELSE 0 END) AS BIGINT) AS early_ships,
+                 count(*) AS n_lines,
+                 CAST(sum(CASE WHEN l.cents <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS bad_price,
+                 CAST(sum(CASE WHEN l.l_discount < 0
+                                 OR l.l_discount > 0.10001
+                               THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+                 CAST(sum(CASE WHEN l.l_quantity < 1 OR l.l_quantity > 50
+                               THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty
+          FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1),
+        t AS (
+          SELECT count(*) AS n_orders,
+                 CAST(sum(CASE WHEN abs(hdr_cents - dtl_cents) > 100
+                               THEN 1 ELSE 0 END) AS BIGINT) AS recon_viol,
+                 CAST(sum(n_lines) AS BIGINT) AS n_lines,
+                 CAST(sum(early_ships) AS BIGINT) AS early_viol,
+                 CAST(sum(bad_price) AS BIGINT) AS price_viol,
+                 CAST(sum(bad_disc) AS BIGINT) AS disc_viol,
+                 CAST(sum(bad_qty) AS BIGINT) AS qty_viol
+          FROM p),
+        rules AS (
+          SELECT 'total_reconciliation' AS rule, n_orders AS n_checked,
+                 recon_viol AS n_violations FROM t
+          UNION ALL SELECT 'ship_before_order', n_lines, early_viol FROM t
+          UNION ALL SELECT 'nonpositive_price', n_lines, price_viol FROM t
+          UNION ALL SELECT 'discount_range', n_lines, disc_viol FROM t
+          UNION ALL SELECT 'quantity_range', n_lines, qty_viol FROM t)
+        SELECT rule, n_checked, n_violations,
+               (n_violations * 10000) // n_checked AS viol_bp
+        FROM rules ORDER BY rule"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
