@@ -987,6 +987,91 @@ object GraphSelection extends QueryModule {
           FROM cells WHERE n_pts < 6)
         SELECT cluster_id, n_cells, n_points
         FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
-        ORDER BY cluster_id"""))
+        ORDER BY cluster_id""")),
+
+    Q(
+      "q303_slo_nested_percentiles",
+      "SLO REPORT via NESTED EXACT PERCENTILES — the latency-ops " +
+        "reporting shape q168's flat percentiles can't express: the " +
+        "per-DAY p95 of event value (the daily SLO reading), then the " +
+        "DISTRIBUTION of those 30 daily readings (median day, worst-" +
+        "5%-of-days, extremes) — 'p95 of p95s', which is NOT the " +
+        "global p95 (a fact this query makes auditable: averaging or " +
+        "globally pooling tail latencies hides bad days, the classic " +
+        "SLO reporting mistake). Both levels are q168's counting-CDF " +
+        "inverse (smallest v with cum*100 >= q*n — cross-multiplied, " +
+        "never a row sort): level 1 runs per-day on the cents domain " +
+        "with map-side combine, level 2 on the 30-row daily frame. " +
+        "The global p95 lands in the same row for the pooled-vs-daily " +
+        "contrast.",
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.t(s, dir, "events").filter($"value".isNotNull)
+          .select(to_date($"ts").as("d"),
+            expr("cast(round(value * 100) as bigint)").as("c"))
+        val dayCounts = v.groupBy($"d", $"c").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // (day, cents) domain, reused twice
+        val dayN = dayCounts.groupBy($"d").agg(sum($"cnt").as("n"))
+        val dayP95 = dayCounts
+          .withColumn("cum", sum($"cnt").over(
+            Window.partitionBy($"d").orderBy($"c")))
+          .join(broadcast(dayN), Seq("d"))
+          .filter($"cum" * 100 >= $"n" * 95)
+          .groupBy($"d").agg(min($"c").as("p95"))
+        val lvl2 = dayP95.groupBy($"p95").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(Window.orderBy($"p95")))
+        val nDays = dayP95.agg(count(lit(1)).as("nd"))
+        val p50of = lvl2.crossJoin(broadcast(nDays))
+          .filter($"cum" * 100 >= $"nd" * 50)
+          .agg(min($"p95").as("p95_p50"))
+        val p95of = lvl2.crossJoin(broadcast(nDays))
+          .filter($"cum" * 100 >= $"nd" * 95)
+          .agg(min($"p95").as("p95_p95"))
+        val ext = dayP95.agg(count(lit(1)).as("n_days"),
+          min($"p95").as("p95_min"), max($"p95").as("p95_max"))
+        val globalN = dayCounts.agg(sum($"cnt").as("gn"))
+        val globalP95 = dayCounts.groupBy($"c").agg(sum($"cnt").as("cnt"))
+          .withColumn("cum", sum($"cnt").over(Window.orderBy($"c")))
+          .crossJoin(broadcast(globalN))
+          .filter($"cum" * 100 >= $"gn" * 95)
+          .agg(min($"c").as("global_p95"))
+        ext.crossJoin(p50of).crossJoin(p95of).crossJoin(globalP95)
+          .select($"n_days", $"p95_min", $"p95_p50", $"p95_p95",
+            $"p95_max", $"global_p95")
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+        dc AS (SELECT d, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+        dn AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS n FROM dc GROUP BY 1),
+        cum AS (SELECT dc.d, dc.c,
+                       sum(dc.cnt) OVER (PARTITION BY dc.d ORDER BY dc.c)
+                         AS cum,
+                       dn.n
+                FROM dc JOIN dn ON dc.d = dn.d),
+        dp AS (SELECT d, min(c) AS p95 FROM cum
+               WHERE cum * 100 >= n * 95 GROUP BY 1),
+        nd AS (SELECT count(*) AS nd FROM dp),
+        l2 AS (SELECT p95, count(*) AS cnt FROM dp GROUP BY 1),
+        l2c AS (SELECT p95, sum(cnt) OVER (ORDER BY p95) AS cum FROM l2),
+        p50 AS (SELECT min(p95) AS p95_p50 FROM l2c, nd
+                WHERE cum * 100 >= nd.nd * 50),
+        p95o AS (SELECT min(p95) AS p95_p95 FROM l2c, nd
+                 WHERE cum * 100 >= nd.nd * 95),
+        ext AS (SELECT count(*) AS n_days, CAST(min(p95) AS BIGINT)
+                  AS p95_min, CAST(max(p95) AS BIGINT) AS p95_max
+                FROM dp),
+        gn AS (SELECT CAST(sum(cnt) AS BIGINT) AS gn FROM dc),
+        gc AS (SELECT c, sum(cnt) AS cnt FROM dc GROUP BY 1),
+        gcc AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM gc),
+        gp AS (SELECT CAST(min(c) AS BIGINT) AS global_p95 FROM gcc, gn
+               WHERE cum * 100 >= gn.gn * 95)
+        SELECT ext.n_days, ext.p95_min,
+               CAST(p50.p95_p50 AS BIGINT) AS p95_p50,
+               CAST(p95o.p95_p95 AS BIGINT) AS p95_p95,
+               ext.p95_max, gp.global_p95
+        FROM ext, p50, p95o, gp"""))
   )
 }
