@@ -1468,7 +1468,81 @@ object FeaturePlatform extends QueryModule {
                (n_exposed * 10000) // catalog_n AS coverage_bp,
                (max_x * 10000) // total_x AS top_share_bp,
                (g_num * 10000) // (catalog_n * total_x) AS gini_bp
-        FROM a"""))
+        FROM a""")),
+
+    Q(
+      "q304_sequential_rules",
+      "SEQUENTIAL ASSOCIATION RULES (next-basket: brand A in one order " +
+        "-> brand B in the SAME customer's NEXT order) — the temporal " +
+        "complement of q294's same-basket rules and the statistical " +
+        "core of next-purchase prediction: q294 asks what sells " +
+        "together, this asks what sells AFTER. Orders rank per " +
+        "customer by (date, orderkey); the pair join matches rank k " +
+        "items to rank k+1 items customer-locally (fan-out bounded by " +
+        "brands-per-order squared, never cross-customer); confidence " +
+        "= n_ab / occurrences of A in NON-LAST baskets (the honest " +
+        "denominator — an A in a customer's final order has no next " +
+        "basket to predict). Top-10 by confidence among rules with " +
+        ">= 20 observations, exact cross-multiplied ppm. Plan: one " +
+        "custkey window for ranks, one custkey-keyed adjacent-rank " +
+        "join, map-side-combined pair counts on the <= 625-pair " +
+        "domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ranked = Tables.t(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey",
+            row_number().over(Window.partitionBy($"o_custkey")
+              .orderBy($"o_orderdate", $"o_orderkey")).as("rk"))
+        val maxRk = ranked.groupBy($"o_custkey")
+          .agg(max($"rk").as("max_rk"))
+        val items = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"p_brand").distinct()
+          .join(ranked, $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"rk", $"p_brand".as("item"))
+        val nA = items.join(maxRk, $"cust" === $"o_custkey")
+          .filter($"rk" < $"max_rk")
+          .groupBy($"item".as("ant")).agg(count(lit(1)).as("n_a"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            $"a.cust" === $"b.cust" && $"b.rk" === $"a.rk" + 1)
+          .groupBy($"a.item".as("ant"), $"b.item".as("cons"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 20)
+        pairs.join(broadcast(nA), Seq("ant"))
+          .select($"ant", $"cons", $"n_a", $"n_ab",
+            expr("(n_ab * 1000000) div n_a").as("conf_ppm"))
+          .orderBy($"conf_ppm".desc, $"ant", $"cons")
+          .limit(10)
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT o_orderkey, o_custkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rk
+          FROM orders),
+        mr AS (SELECT o_custkey, max(rk) AS max_rk
+               FROM ranked GROUP BY 1),
+        it AS (
+          SELECT r.o_custkey AS cust, r.rk, x.p_brand AS item
+          FROM (SELECT DISTINCT l.l_orderkey, p.p_brand
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey) x
+          JOIN ranked r ON x.l_orderkey = r.o_orderkey),
+        na AS (
+          SELECT i.item AS ant, count(*) AS n_a
+          FROM it i JOIN mr ON i.cust = mr.o_custkey
+          WHERE i.rk < mr.max_rk GROUP BY 1),
+        pr AS (
+          SELECT a.item AS ant, b.item AS cons, count(*) AS n_ab
+          FROM it a JOIN it b ON a.cust = b.cust AND b.rk = a.rk + 1
+          GROUP BY 1, 2 HAVING count(*) >= 20)
+        SELECT pr.ant, pr.cons,
+               CAST(na.n_a AS BIGINT) AS n_a,
+               CAST(pr.n_ab AS BIGINT) AS n_ab,
+               (pr.n_ab * 1000000) // na.n_a AS conf_ppm
+        FROM pr JOIN na ON pr.ant = na.ant
+        ORDER BY conf_ppm DESC, pr.ant, pr.cons
+        LIMIT 10"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
