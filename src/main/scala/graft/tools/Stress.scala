@@ -84,8 +84,29 @@ object Stress {
       ((xxhash64($"id", lit(11)) % 30000 + 30000) % 30000).as("o_custkey"),
       element_at(typedLit(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
         ($"id" % 5 + 1).cast("int")).as("o_orderpriority"),
-      (abs(xxhash64($"id", lit(12)) % 50000000) / 100.0).as("o_totalprice"))
+      (abs(xxhash64($"id", lit(12)) % 50000000) / 100.0).as("o_totalprice"),
+      // order dates over the same ~2-year span as lineitem shipdates —
+      // the q302/q304 probes need the calendar axis
+      timestamp_seconds(lit(800000000L) + (xxhash64($"id", lit(13))
+        % 60000000 + 60000000) % 60000000).cast("timestamp_ntz")
+        .as("o_orderdate"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // 30k customers / 20k parts — the dimension tables the governance,
+    // clustering and basket probes read (q283/q292/q294/q302/q304)
+    s.range(30000).select(
+      $"id".as("c_custkey"),
+      ($"id" % 25).cast("int").as("c_nationkey"),
+      (abs(xxhash64($"id", lit(14)) % 1000000) / 100.0).as("c_acctbal"),
+      element_at(typedLit(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")), ($"id" % 5 + 1).cast("int"))
+        .as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    s.range(20000).select(
+      $"id".as("p_partkey"),
+      concat(lit("Brand#"), (($"id" % 5) + 1).cast("string"),
+        ((xxhash64($"id", lit(15)) % 5 + 5) % 5 + 1).cast("string"))
+        .as("p_brand"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
     // 200k embeddings (100x the sf0.1 fixture), 64-dim float, uniform in
     // [-1, 1] — the ANN ladder's corpus
     s.range(200000).select(
@@ -397,6 +418,27 @@ object Stress {
     // the BH step-up is a 4-row window.
     time(s"fdr bh grid ${6 * mult}M events") {
       SparkEntry.queries("q289_fdr_bh")(s, out).count()
+    }
+    // Grid clustering (q292): the pointer-doubled component rounds are
+    // O(log diameter) — the probe pins that the 30k-customer grid pays
+    // the same handful of rounds the fixture does.
+    time("grid density clusters 30k customers") {
+      SparkEntry.queries("q292_grid_density_clusters")(s, out).count()
+    }
+    // Association rules (q294): one (order, brand) distinct, then
+    // order-keyed pair fan-out bounded by brands-per-basket squared.
+    time(s"association rules ${15 * mult / 10}M orders") {
+      SparkEntry.queries("q294_association_rules")(s, out).count()
+    }
+    // CMH stratified test (q298): q208's unit aggregate + a 700-row
+    // stratum frame; the statistics are O(1).
+    time(s"cmh stratified ${6 * mult}M events") {
+      SparkEntry.queries("q298_cmh_stratified")(s, out).count()
+    }
+    // Cross-table DQ rules (q302): one orderkey join + two aggregates
+    // for five rules — the wall tracks the join, not the rule count.
+    time(s"cross-table dq rules ${6 * mult}M lineitem") {
+      SparkEntry.queries("q302_cross_table_dq_rules")(s, out).count()
     }
     // Ingest throughput vs the reference's operational envelope
     // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real
