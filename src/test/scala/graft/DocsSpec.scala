@@ -56,6 +56,27 @@ class DocsSpec extends AnyFunSuite {
       s"README says ${r.get.group(1)} rows-only, registry has $nRowsOnly")
   }
 
+  test("README rows-only rationale table lists EXACTLY the registry's " +
+    "rows-only queries") {
+    // round 9 shipped this table one row short (q264 missing) under a
+    // stale '20' header: a rows-only query must not join the corpus
+    // without stating WHY no oracle exists and WHAT spec checks it
+    val section = readme.split(
+      "### Why the rows-only queries have no SQL oracle")(1).split("\n## ")(0)
+    val listed = raw"(?m)^\| (q\w+) \|".r.findAllMatchIn(section)
+      .map(_.group(1)).toSet
+    val rowsOnly = SparkEntry.allQueries
+      .filter(_.oracle.isEmpty).map(_.name).toSet
+    val missing = rowsOnly -- listed
+    val phantom = listed -- rowsOnly
+    assert(missing.isEmpty,
+      s"rows-only queries missing a rationale row: " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+    assert(phantom.isEmpty,
+      s"rationale rows for queries that are not rows-only (promoted or " +
+        s"renamed?): ${phantom.toSeq.sorted.mkString(", ")}")
+  }
+
   test("README scale ledger covers the registry EXHAUSTIVELY — every " +
     "query number appears, no phantom numbers") {
     // the consolidated 100 TB story: an operator cannot join the corpus
