@@ -46,6 +46,44 @@ object FeaturePlatform extends QueryModule {
     (model, q90)
   }
 
+  /** q226's write-twice-and-measure body: the corpus lands in parquet in
+    * q125's reproducible-shuffle order AND clustered by MinHash-prefix,
+    * and the REAL file sizes + read-back doc counts come back as one
+    * 2-row frame (layout, total_bytes, n_docs). The sizes are
+    * codec-specific, so q226's oracle row only carries the comparison
+    * verdict; FeaturePlatformSpec reads this frame directly for the
+    * bp-margin evidence. n_docs is READ BACK per layout (not the source
+    * count) so a dropped/duplicated row is visible. */
+  def compressionLayoutSizes(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.catalyst.VecOps.{minhash_sig, shingle_hashes}
+    val out = graft.TempRoots.freshForDir("graft_layout", dir).toString
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val shuffled = docs.withColumn("k",
+      md5(concat(lit("shuf42:"), $"doc_id".cast("string"))))
+    shuffled.repartitionByRange(8, $"k").sortWithinPartitions($"k")
+      .drop("k").write.mode("overwrite").parquet(s"$out/shuffled")
+    val clustered = docs.withColumn("k",
+      element_at(minhash_sig(shingle_hashes($"text", 3), 4), 1))
+    clustered.repartitionByRange(8, $"k", $"doc_id")
+      .sortWithinPartitions($"k", $"doc_id")
+      .drop("k").write.mode("overwrite").parquet(s"$out/clustered")
+    def bytes(p: String): Long = {
+      val dir0 = new java.io.File(p)
+      dir0.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    Seq(
+      ("clustered", bytes(s"$out/clustered"),
+        s.read.parquet(s"$out/clustered").count()),
+      ("shuffled", bytes(s"$out/shuffled"),
+        s.read.parquet(s"$out/shuffled").count()))
+      .toDF("layout", "total_bytes", "n_docs")
+      .orderBy($"layout")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q(
       "q224_cooccurrence_recs_eval",
@@ -317,45 +355,33 @@ object FeaturePlatform extends QueryModule {
         "parquet's per-page compression sees their redundancy). At " +
         "100 TB this is repartitionByRange(cluster_key) + " +
         "sortWithinPartitions before the write — zero query-side " +
-        "change, the bytes just shrink; the measured REAL file sizes " +
-        "of both layouts are the output (engine/codec-specific -> no " +
-        "SQL oracle; FeaturePlatformSpec asserts the clustered layout " +
-        "never loses and the fixture's planted dup families make it " +
-        "win outright). The cluster key reuses q63's MinHashSig " +
-        "expression — the dedup signature doing double duty as a " +
-        "storage key.",
+        "change, the bytes just shrink. The raw byte sizes are " +
+        "codec/engine-specific, so the ORACLE-CHECKED row carries the " +
+        "codec-independent audit: both layouts' read-back doc counts " +
+        "(each must equal the source corpus — a dropped or doubled row " +
+        "fails the count columns) and the MEASURED comparison verdict " +
+        "clustered_not_larger, which DuckDB pins to TRUE — a layout " +
+        "regression that makes clustering lose flips the bit and the " +
+        "driver goes red (the round-9 verdict's restricted-oracle " +
+        "promotion; FeaturePlatformSpec still reads the real sizes via " +
+        "compressionLayoutSizes and reports the bp margin). The " +
+        "cluster key reuses q63's MinHashSig expression — the dedup " +
+        "signature doing double duty as a storage key.",
       (s, dir) => {
         import s.implicits._
-        import graft.catalyst.VecOps.{minhash_sig, shingle_hashes}
-        val out = graft.TempRoots.freshForDir("graft_layout", dir).toString
-        val docs = Tables.t(s, dir, "documents")
-          .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-        val shuffled = docs.withColumn("k",
-          md5(concat(lit("shuf42:"), $"doc_id".cast("string"))))
-        shuffled.repartitionByRange(8, $"k").sortWithinPartitions($"k")
-          .drop("k").write.mode("overwrite").parquet(s"$out/shuffled")
-        val clustered = docs.withColumn("k",
-          element_at(minhash_sig(shingle_hashes($"text", 3), 4), 1))
-        clustered.repartitionByRange(8, $"k", $"doc_id")
-          .sortWithinPartitions($"k", $"doc_id")
-          .drop("k").write.mode("overwrite").parquet(s"$out/clustered")
-        def bytes(p: String): Long = {
-          val dir0 = new java.io.File(p)
-          dir0.listFiles().filter(_.getName.endsWith(".parquet"))
-            .map(_.length()).sum
-        }
-        // n_docs READ BACK per layout (not the source count — the
-        // row must witness what each write actually delivered, so a
-        // dropped/duplicated row makes the spec's equality fail)
-        Seq(
-          ("clustered", bytes(s"$out/clustered"),
-            s.read.parquet(s"$out/clustered").count()),
-          ("shuffled", bytes(s"$out/shuffled"),
-            s.read.parquet(s"$out/shuffled").count()))
-          .toDF("layout", "total_bytes", "n_docs")
-          .orderBy($"layout")
+        val sz = compressionLayoutSizes(s, dir)
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val (cb, cn) = sz("clustered")
+        val (sb, sn) = sz("shuffled")
+        Seq((cn, sn, cb <= sb))
+          .toDF("clustered_docs", "shuffled_docs", "clustered_not_larger")
       },
-      None),
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS clustered_docs,
+               CAST(count(*) AS BIGINT) AS shuffled_docs,
+               TRUE AS clustered_not_larger
+        FROM documents""")),
 
     Q(
       "q235_mrr_eval",

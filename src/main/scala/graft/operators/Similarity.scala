@@ -707,50 +707,90 @@ object Similarity extends QueryModule {
 
     Q(
       "q250_ivf_pq_adc",
-      "IVF-PQ SEARCH WITH ASYMMETRIC DISTANCE (ADC) — the billion-" +
-        "vector index shape, assembled from parts the corpus already " +
-        "proves (q97's coarse lists + q222's PQ codes): candidates come " +
-        "from the probe's nprobe=4 inverted lists, are scored WITHOUT " +
-        "touching their raw vectors — ADC approximates dot(probe, v) " +
-        "as sum_j dot(probe_j, centroid[code_j]), the probe side exact " +
-        "and the candidate side its 4 PQ bytes — then the ADC top-50 " +
-        "re-rank EXACTLY (the standard two-stage IVF-PQ recipe: codes " +
-        "cut the scored set, exact scoring only on the shortlist). At " +
-        "100 TB the candidate scan reads 4 bytes + an id per vector " +
-        "instead of 256 — the difference between an index that fits " +
-        "in memory and one that doesn't. Rows-only (quantizer-" +
-        "defined); IvfIndexSpec gates recall vs exact q66 and asserts " +
-        "the shortlist never exceeds 50 per probe.",
+      "IVF-PQ SEARCH WITH ASYMMETRIC DISTANCE (ADC) AGAINST THE " +
+        "PERSISTED INDEX — the billion-vector shape end to end: q233's " +
+        "artifact now persists the PQ codebooks beside the coarse one " +
+        "and every list row carries its m=4 code bytes, so search " +
+        "TRAINS NOTHING — both codebooks reload as driver artifacts " +
+        "(k + m*k rows), history (90%) built the index once, the " +
+        "arriving 10% was added incrementally (codes assigned in the " +
+        "same narrow batch-only projection as the list ids), and the " +
+        "8 probes hit the merged index at nprobe=4. Candidates are " +
+        "scored WITHOUT touching raw vectors — the ADC scan is " +
+        "column-pruned to ids + codes (IvfIndexSpec asserts the " +
+        "embedding column never reaches that scan's read schema), " +
+        "approximating dot(probe, v) as sum_j dot(probe_j, " +
+        "centroid[code_j]) — then the ADC top-50 re-join their raw " +
+        "vectors (broadcast id set, partition-pruned to the probed " +
+        "lists) and re-rank EXACTLY. At 100 TB the scored scan reads " +
+        "4 bytes + an id per candidate instead of 256 — the " +
+        "difference between an index that fits in memory and one " +
+        "that doesn't. Rows-only (quantizer-defined); IvfIndexSpec " +
+        "gates recall vs exact q66 on the merged index and asserts " +
+        "determinism and the zero-training search path.",
       (s, dir) => {
-        import graft.catalyst.VecOps.{top_centroids, vec_dot}
         import s.implicits._
         val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
-        val cb = kmeansCodebook(e, 16, 2)
-        val pqs = pqCodebooks(e, iters = 2)
-        // subspace width comes FROM the trained artifact — a pqCodebooks
-        // retune cannot silently desync the probe-side slicing
-        val sub = pqs.head.head.length
-        val codes = pqCode(e, pqs)
-          .join(ivfAssign(e, cb).select($"vec_id", $"list_id"), Seq("vec_id"))
-        val probes = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
-            explode(top_centroids($"embedding", cb, 4)).as("lid"))
-          .select($"probe_id", $"probe_vec",
-            $"lid".cast("int").as("list_id"))
-        val adc = (0 until pqs.size).map { j =>
-          val cblit = typedLit(pqs(j).map(_.toSeq).toSeq)
-          vec_dot(slice($"probe_vec", j * sub + 1, sub),
-            element_at(cblit, col(s"code$j") + 1).cast("array<float>"))
-        }.reduce(_ + _)
-        val shortlist = codes.join(broadcast(probes), Seq("list_id"))
-          .filter($"vec_id" =!= $"probe_id")
-          .withColumn("adc", adc)
-          .withColumn("srank", row_number().over(
-            Window.partitionBy($"probe_id")
-              .orderBy($"adc".desc, $"vec_id")))
-          .filter($"srank" <= 50)
-          .select($"probe_id", $"probe_vec", $"vec_id")
-        rerankTopK(shortlist.join(e, Seq("vec_id")), 5)
+        val root = graft.TempRoots.freshForDir("graft_ivfpq", dir).toString
+        writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        addIvfBatch(e.filter($"vec_id" % 10 === 0), root, "b0")
+        adcSearchPersisted(s, root, e.filter($"vec_id" < 8),
+          k = 5, nprobe = 4)
+      },
+      None),
+
+    Q(
+      "q305_ivf_compaction",
+      "IVF INDEX COMPACTION — the maintenance op that keeps q233's " +
+        "continuous-ingest story viable: every incremental add leaves " +
+        "one batch=<key> directory per touched list, so a year of " +
+        "daily adds is 365*nlist directories of tiny files (the exact " +
+        "small-file pathology q268's planner diagnoses for data " +
+        "tables, here on the index's own layout). compactIvfLists " +
+        "folds every batch partition back into base at one file per " +
+        "inverted list (repartition(nlist, list_id) before the write), " +
+        "swaps the rewrite in by directory rename so the old lists " +
+        "survive a crash mid-compaction, and records the folded keys " +
+        "in a manifest that turns a late REPLAY of a folded batch " +
+        "into a no-op (a blind rewrite would re-materialize vectors " +
+        "that now live in base — the duplication the batch layout " +
+        "exists to prevent). This query builds history + two daily " +
+        "adds, compacts, and emits the audit: file counts (strictly " +
+        "drops), row counts (conserved exactly), and whether the " +
+        "standard 8-probe search is bit-identical across the fold " +
+        "(it must be — compaction moves bytes, never rows). " +
+        "Rows-only (file counts are codec/engine-specific); " +
+        "IvfIndexSpec additionally proves replay-after-compaction " +
+        "idempotence on a fresh index.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings").select($"vec_id", $"embedding")
+        val root = graft.TempRoots.freshForDir("graft_ivfcmp", dir).toString
+        writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        addIvfBatch(e.filter($"vec_id" % 20 === 0), root, "day1")
+        addIvfBatch(e.filter($"vec_id" % 20 === 10), root, "day2")
+        def files(): Long = {
+          val walk = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(root, "lists"))
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala
+              .count(_.getFileName.toString.endsWith(".parquet")).toLong
+          } finally walk.close()
+        }
+        def search(): Seq[org.apache.spark.sql.Row] =
+          knnIvfPersisted(s, root, e.filter($"vec_id" < 8),
+            k = 5, nprobe = 2).collect().toSeq
+        val before = search(); val fb = files()
+        val rb = s.read.parquet(s"$root/lists").count()
+        val folded = compactIvfLists(s, root)
+        val after = search(); val fa = files()
+        val ra = s.read.parquet(s"$root/lists").count()
+        Seq((fb, fa, folded.size.toLong, before == after, rb, ra))
+          .toDF("files_before", "files_after", "batches_folded",
+            "search_unchanged", "rows_before", "rows_after")
       },
       None),
 
@@ -1025,16 +1065,45 @@ object Similarity extends QueryModule {
         .as("list_id"))
   }
 
+  /** [[ivfAssign]] + PQ codes in the SAME narrow projection: each row
+    * gains its inverted-list id and, per subspace j, the nearest-centroid
+    * code against pqs(j) (the [[pqCode]] convention, minus the residual
+    * column the index doesn't store). Still no join, no shuffle — coding
+    * a batch at 100 TB remains one map pass whatever m is. */
+  def ivfPqAssign(e: DataFrame, cb: Array[Array[Double]],
+      pqs: Seq[Array[Array[Double]]]): DataFrame = {
+    import e.sparkSession.implicits._
+    import graft.catalyst.VecOps.top_centroids
+    val sub = pqs.head.head.length
+    pqs.indices.foldLeft(ivfAssign(e, cb)) { (df, j) =>
+      df.withColumn(s"code$j",
+        element_at(
+          top_centroids(slice($"embedding", j * sub + 1, sub), pqs(j), 1), 1)
+          .cast("int"))
+    }
+  }
+
   /** Train (integer-micros Lloyd — bit-stable, [[kmeansCodebook]]) and
-    * persist an IVF index artifact:
-    * `path/codebook` = the k×Dim centroid table (one tiny parquet — the
-    * driver-artifact that incremental adds RELOAD instead of retrain);
+    * persist an IVF-PQ index artifact — the billion-vector layout:
+    * `path/codebook` = the k×Dim coarse centroid table (one tiny parquet
+    * — the driver-artifact that incremental adds RELOAD instead of
+    * retrain);
+    * `path/pq_codebooks` = the m×k per-subspace product-quantization
+    * centroids ([[pqCodebooks]]), persisted for the same reason — ADC
+    * search must train NOTHING;
     * `path/lists` = ONE partitioned table `batch=<key>/list_id=<n>` —
     * the inverted lists (the parquet analogue of an IVF file's posting
     * lists, one physical directory per list so probed lists prune at
     * scan time), sub-partitioned by the ingest batch that wrote them so
     * an add (or a replay of one) only ever touches its own
-    * subdirectories. The initial build statically overwrites the whole
+    * subdirectories. Each list row carries the vector's m PQ code bytes
+    * (`code0..code{m-1}`), so [[adcSearchPersisted]] can score
+    * candidates column-pruned to codes + id — never reading embeddings
+    * until the exact re-rank of the ≤shortlist survivors.
+    * `path/compacted_batches` = the (initially empty) manifest of batch
+    * keys [[compactIvfLists]] has folded into base — the record that
+    * keeps a replayed add of a folded batch a no-op instead of a
+    * duplication. The initial build statically overwrites the whole
     * table as batch=base. */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       iters: Int = 2): Unit = {
@@ -1044,7 +1113,15 @@ object Similarity extends QueryModule {
     cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    ivfAssign(corpus, cb).withColumn("batch", lit("base"))
+    val pqs = pqCodebooks(corpus, iters = iters)
+    pqs.zipWithIndex.flatMap { case (pk, j) =>
+      pk.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toDF("subspace", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    Seq.empty[String].toDF("batch_key")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/compacted_batches")
+    ivfPqAssign(corpus, cb, pqs).withColumn("batch", lit("base"))
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(s"$path/lists")
   }
@@ -1058,6 +1135,24 @@ object Similarity extends QueryModule {
       .map(_.getSeq[Double](0).toArray)
   }
 
+  /** Reload the persisted per-subspace PQ codebooks (m×k rows — the same
+    * driver-artifact class as the coarse codebook). */
+  def readPqCodebooks(s: SparkSession, path: String): Seq[Array[Array[Double]]] = {
+    import s.implicits._
+    s.read.parquet(s"$path/pq_codebooks").orderBy($"subspace", $"cid")
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray))
+  }
+
+  /** Batch keys [[compactIvfLists]] has folded into base — empty until
+    * the first compaction. */
+  def compactedBatchKeys(s: SparkSession, path: String): Set[String] = {
+    import s.implicits._
+    s.read.parquet(s"$path/compacted_batches")
+      .as[String].collect().toSet
+  }
+
   /** Add an arriving batch to the persisted index WITHOUT retraining and
     * WITHOUT touching history: reload the codebook (k rows), assign the
     * batch in one narrow projection, and DYNAMIC-partition-overwrite the
@@ -1066,18 +1161,60 @@ object Similarity extends QueryModule {
     * codebook → deterministically the same lists), so it is idempotent
     * where a blind append would double a replayed batch's vectors in
     * every later search (the q128 signature-index convention, enforced
-    * here by the table layout instead of by a subdirectory glob).
-    * IvfIndexSpec asserts the plan scans ONLY the batch + codebook —
-    * history embeddings never re-read. */
+    * here by the table layout instead of by a subdirectory glob). A key
+    * already folded into base by [[compactIvfLists]] is a NO-OP — the
+    * replay-of-a-compacted-batch case, where rewriting `batch=<key>`
+    * would duplicate every vector compaction just moved. IvfIndexSpec
+    * asserts the plan scans ONLY the batch + codebooks — history
+    * embeddings never re-read. */
   def addIvfBatch(batch: DataFrame, path: String, batchKey: String): Unit = {
     val s = batch.sparkSession
+    if (compactedBatchKeys(s, path).contains(batchKey)) return
     val cb = readIvfCodebook(s, path)
+    val pqs = readPqCodebooks(s, path)
     graft.Confs.withConf(s, "spark.sql.sources.partitionOverwriteMode",
       "dynamic") {
-      ivfAssign(batch, cb).withColumn("batch", lit(batchKey))
+      ivfPqAssign(batch, cb, pqs).withColumn("batch", lit(batchKey))
         .write.partitionBy("batch", "list_id")
         .mode("overwrite").parquet(s"$path/lists")
     }
+  }
+
+  /** MAINTENANCE: fold every `batch=<key>` partition back into
+    * `batch=base`, one file per inverted list — the small-file problem
+    * q268 plans for, applied to the index's own layout: a year of daily
+    * adds is 365×nlist directories of tiny files, and every search pays
+    * their open/footer costs forever. Row multiset is preserved exactly
+    * (search results are bit-identical before/after); the folded keys
+    * are appended to `path/compacted_batches` so a late replay of a
+    * folded batch stays a no-op ([[addIvfBatch]]) instead of
+    * re-materializing vectors that now live in base. The rewrite lands
+    * in a temp dir first and swaps in by directory rename — the old
+    * lists stay intact until the compacted table is fully written, so a
+    * crash mid-compaction loses no data (at worst it leaves a stale
+    * temp dir the next compaction overwrites). Returns the folded keys. */
+  def compactIvfLists(s: SparkSession, path: String): Seq[String] = {
+    import s.implicits._
+    val lists = s.read.parquet(s"$path/lists")
+    val folded = lists.select($"batch").distinct()
+      .as[String].collect().filter(_ != "base").sorted.toSeq
+    if (folded.isEmpty) return Nil
+    val nlist = s.read.parquet(s"$path/codebook").count().toInt
+    val tmp = s"$path/lists_compacting"
+    // one shuffle bounded by the index size; repartition(nlist, list_id)
+    // → at most one writer task per list → one file per list directory
+    lists.withColumn("batch", lit("base"))
+      .repartition(nlist, $"list_id")
+      .write.partitionBy("batch", "list_id")
+      .mode("overwrite").parquet(tmp)
+    val p = java.nio.file.Paths.get(path)
+    val old = p.resolve("lists_precompact")
+    java.nio.file.Files.move(p.resolve("lists"), old)
+    java.nio.file.Files.move(p.resolve("lists_compacting"), p.resolve("lists"))
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    folded.toDF("batch_key").coalesce(1)
+      .write.mode("append").parquet(s"$path/compacted_batches")
+    folded
   }
 
   /** ANN top-k against the PERSISTED index (base lists ∪ every added
@@ -1099,5 +1236,49 @@ object Similarity extends QueryModule {
         explode(top_centroids($"embedding", cb, nprobe)).as("lid"))
       .select($"probe_id", $"probe_vec", $"lid".cast("int").as("list_id"))
     rerankTopK(lists.join(broadcast(p), Seq("list_id")), k)
+  }
+
+  /** IVF-PQ ADC search against the PERSISTED artifact — search trains
+    * NOTHING: both codebooks are reloaded driver artifacts (k + m×k
+    * rows) and the candidate stage reads ONLY (ids + m code columns)
+    * from the probed lists — Catalyst column-prunes the embedding out
+    * of the ADC scan because nothing references it, so at 100 TB the
+    * scored scan touches m + 8 bytes per candidate instead of the
+    * 256-byte vector. ADC approximates dot(probe, v) as
+    * Σ_j dot(probe_j, pq_centroid_j[code_j]) (probe side exact,
+    * candidate side its codes); the per-probe ADC top-`shortlist`
+    * survivors then re-join their RAW vectors — a broadcast of the
+    * ≤ probes×shortlist id set against the lists, partition-pruned to
+    * the probed `list_id` directories — and re-rank exactly with
+    * q66/q97's scoring/tie conventions ([[rerankTopK]]). */
+  def adcSearchPersisted(s: SparkSession, path: String, probes: DataFrame,
+      k: Int, nprobe: Int, shortlist: Int = 50): DataFrame = {
+    import graft.catalyst.VecOps.{top_centroids, vec_dot}
+    import s.implicits._
+    val cb = readIvfCodebook(s, path)
+    val pqs = readPqCodebooks(s, path)
+    // subspace width comes FROM the persisted artifact — a pqCodebooks
+    // retune cannot silently desync the probe-side slicing
+    val sub = pqs.head.head.length
+    val lists = s.read.parquet(s"$path/lists")
+    val p = probes
+      .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
+        explode(top_centroids($"embedding", cb, nprobe)).as("lid"))
+      .select($"probe_id", $"probe_vec", $"lid".cast("int").as("list_id"))
+    val adc = pqs.indices.map { j =>
+      val cblit = typedLit(pqs(j).map(_.toSeq).toSeq)
+      vec_dot(slice($"probe_vec", j * sub + 1, sub),
+        element_at(cblit, col(s"code$j") + 1).cast("array<float>"))
+    }.reduce(_ + _)
+    val short = lists.join(broadcast(p), Seq("list_id"))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("adc", adc)
+      .withColumn("srank", row_number().over(
+        Window.partitionBy($"probe_id").orderBy($"adc".desc, $"vec_id")))
+      .filter($"srank" <= shortlist)
+      .select($"probe_id", $"probe_vec", $"list_id", $"vec_id")
+    rerankTopK(
+      lists.select($"list_id", $"vec_id", $"embedding")
+        .join(broadcast(short), Seq("list_id", "vec_id")), k)
   }
 }

@@ -85,7 +85,10 @@ class FeaturePlatformSpec extends AnyFunSuite {
 
   test("q226 layout: clustering by MinHash prefix never compresses worse " +
     "than the reproducible shuffle, same corpus both sides") {
-    val rows = SparkEntry.queries("q226_compression_layout")(spark, sfDir)
+    // the REAL sizes (codec-specific, so not in q226's oracle row) come
+    // from the shared measurement helper the query itself projects from
+    val rows = graft.operators.FeaturePlatform
+      .compressionLayoutSizes(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     val (cb, cn) = rows("clustered")
@@ -94,6 +97,9 @@ class FeaturePlatformSpec extends AnyFunSuite {
     assert(cb <= sb,
       s"similar-docs-adjacent must not lose: clustered $cb vs shuffled $sb")
     info(f"clustered saves ${(sb - cb) * 10000 / sb} bp of ${sb} bytes")
+    // and the promoted oracle row reports exactly that verdict
+    val r = SparkEntry.queries("q226_compression_layout")(spark, sfDir).head()
+    assert(r.getLong(0) == cn && r.getLong(1) == sn && r.getBoolean(2))
   }
 
   test("q235 MRR: metric algebra bounded by its own hit counts") {

@@ -26,25 +26,38 @@ class IvfIndexSpec extends AnyFunSuite {
     r
   }
 
-  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    df.queryExecution.executedPlan.collect {
-      case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toString)
-    }.flatten
+  // AQE hides scans inside stage wrappers until the query materializes —
+  // recurse through them (the PlanSpec q220 convention)
+  private def fileScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
   }
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    fileScans(df).flatMap(_.relation.location.rootPaths.map(_.toString))
 
   test("incremental add scans ONLY the batch — history lists and corpus " +
     "history are never re-read") {
     val cb = Similarity.readIvfCodebook(spark, root)
+    val pqs = Similarity.readPqCodebooks(spark, root)
     // the exact frame addIvfBatch writes
-    val paths = scanPaths(Similarity.ivfAssign(batch, cb))
+    val paths = scanPaths(Similarity.ivfPqAssign(batch, cb, pqs))
     assert(paths.nonEmpty, "expected a file scan of the batch input")
     assert(paths.forall(p => !p.contains(root)),
       s"the add path must not touch the persisted index data: $paths")
-    // and the codebook reload is k rows, a driver artifact — not a scan
-    // that grows with the corpus
+    // and the codebook reloads are k / m×k rows, driver artifacts — not
+    // scans that grow with the corpus
     assert(spark.read.parquet(s"$root/codebook").count() == 16)
+    assert(spark.read.parquet(s"$root/pq_codebooks").count() == 4 * 16)
   }
 
   test("persisted codebook round-trips the trained one bit-exactly") {
@@ -54,6 +67,46 @@ class IvfIndexSpec extends AnyFunSuite {
     trained.zip(reloaded).zipWithIndex.foreach { case ((t, r), i) =>
       assert(t.sameElements(r), s"centroid $i drifted through parquet")
     }
+  }
+
+  test("persisted PQ codebooks round-trip the trained ones bit-exactly") {
+    val trained = Similarity.pqCodebooks(history, iters = 2)
+    val reloaded = Similarity.readPqCodebooks(spark, root)
+    assert(reloaded.size == trained.size)
+    trained.zip(reloaded).zipWithIndex.foreach { case ((tk, rk), j) =>
+      assert(tk.length == rk.length, s"subspace $j lost centroids")
+      tk.zip(rk).zipWithIndex.foreach { case ((t, r), i) =>
+        assert(t.sameElements(r),
+          s"PQ centroid ($j, $i) drifted through parquet")
+      }
+    }
+  }
+
+  test("ADC search path trains nothing and never reads embeddings in " +
+    "the candidate scan — codes only") {
+    // the zero-training property is structural (adcSearchPersisted takes
+    // only the artifact path + probes); what the plan must additionally
+    // prove is (a) every file scan is either the index or the probe
+    // input, and (b) the ADC-scoring scan of the lists is column-pruned
+    // to ids + codes — the 4-bytes-per-candidate claim, visible in the
+    // scan's requiredSchema
+    val probes = e.filter($"vec_id" < 8)
+    val df = Similarity.adcSearchPersisted(spark, root, probes,
+      k = 5, nprobe = 4)
+    df.collect() // materialize so AQE exposes the final stages
+    val paths = scanPaths(df)
+    assert(paths.nonEmpty)
+    assert(paths.forall(p => p.contains(root) || p.contains(sfDir)),
+      s"search must scan only the artifact and the probe input: $paths")
+    val listScans = fileScans(df)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(root)))
+      .map(_.requiredSchema.fieldNames.toSet)
+    assert(listScans.size >= 2,
+      s"expected the codes scan + the re-rank scan, got $listScans")
+    val adcScan = listScans.filter(_.contains("code0"))
+    assert(adcScan.nonEmpty, s"no scan reads the PQ codes: $listScans")
+    assert(adcScan.forall(!_.contains("embedding")),
+      s"the ADC candidate scan must never read raw vectors: $adcScan")
   }
 
   test("merged index holds exactly the corpus, each vector assigned as a " +
@@ -122,6 +175,111 @@ class IvfIndexSpec extends AnyFunSuite {
     // adversarial case; the exact top-50 re-rank recovers most of it
     assert(recall >= 0.5, s"IVF-PQ ADC recall $recall below floor") // measured 0.80
     info(f"IVF-PQ ADC recall vs exact: $recall%.2f")
+  }
+
+  test("compaction folds batches into base: search bit-identical, file " +
+    "count strictly drops, rows conserved, and a REPLAYED add of a " +
+    "folded batch is a no-op") {
+    // fresh index so this test owns its batch keys end to end
+    val r = TempRoots.freshForDir("graft_ivf_cmp_spec", sfDir).toString
+    Similarity.writeIvfIndex(history, r, nlist = 16, iters = 2)
+    val day1 = e.filter($"vec_id" % 20 === 0)
+    val day2 = e.filter($"vec_id" % 20 === 10)
+    Similarity.addIvfBatch(day1, r, "day1")
+    Similarity.addIvfBatch(day2, r, "day2")
+    def files(): Long = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(r, "lists"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")).toLong
+      } finally walk.close()
+    }
+    def search(): Seq[org.apache.spark.sql.Row] =
+      Similarity.knnIvfPersisted(spark, r, e.filter($"vec_id" < 8),
+        k = 5, nprobe = 2).collect().toSeq
+    def rows(): Long = spark.read.parquet(s"$r/lists").count()
+    val (s0, f0, n0) = (search(), files(), rows())
+    assert(n0 == e.count(), "merged pre-compaction index holds the corpus")
+    val folded = Similarity.compactIvfLists(spark, r)
+    assert(folded == Seq("day1", "day2"),
+      s"compaction must report the folded keys, got $folded")
+    assert(search() == s0,
+      "compaction moves bytes, never rows — search must be bit-identical")
+    assert(files() < f0,
+      s"compaction must strictly reduce file count: ${files()} vs $f0")
+    assert(rows() == n0, "compaction must conserve the row multiset")
+    assert(spark.read.parquet(s"$r/lists")
+      .filter($"batch" =!= "base").count() == 0,
+      "every batch partition must be folded into base")
+    // the replay-of-a-folded-batch case: without the manifest this
+    // rewrite would re-materialize day1's vectors beside their copies
+    // in base — every later search double-counting them
+    Similarity.addIvfBatch(day1, r, "day1")
+    assert(rows() == n0 && search() == s0,
+      "a replayed add of a compacted batch must be a no-op")
+    // and a second compaction with nothing to fold is a safe no-op
+    assert(Similarity.compactIvfLists(spark, r).isEmpty)
+    assert(rows() == n0 && search() == s0)
+  }
+
+  test("q234's standing stream resumes from its checkpoint across a " +
+    "stop/restart: no duplicated batch partitions, merged index equals " +
+    "the one-shot assignment") {
+    // The StreamingSpec session-window recipe applied to the index add:
+    // part 1 streams in and lands; the query stops; part 2 arrives; a
+    // restart against the SAME checkpoint must process only part 2 —
+    // replayed micro-batches rewrite their own batch=<id> partitions
+    // (dynamic overwrite), so even an uncommitted-batch replay cannot
+    // duplicate vectors.
+    val base = TempRoots.freshForDir("graft_ivf_restart", sfDir)
+    val r = base.resolve("index").toString
+    val src = base.resolve("src"); val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(src)
+    Similarity.writeIvfIndex(history, r, nlist = 16, iters = 2)
+    val part1 = e.filter($"vec_id" % 20 === 0)
+    val part2 = e.filter($"vec_id" % 20 === 10)
+    def arrive(part: org.apache.spark.sql.DataFrame): Unit =
+      part.coalesce(1).write.mode("append").parquet(src.toString)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            Similarity.addIvfBatch(batch, r, s"b$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(part1)
+    runOnce()
+    val afterPart1 = spark.read.parquet(s"$r/lists").count()
+    assert(afterPart1 == history.count() + part1.count(),
+      "part 1 must land exactly once before the stop")
+    arrive(part2)
+    runOnce() // the restart
+    val lists = spark.read.parquet(s"$r/lists")
+    assert(lists.count() == e.count(),
+      "restart must add ONLY part 2 — a re-processed part 1 would " +
+        "duplicate its vectors")
+    val cb = Similarity.readIvfCodebook(spark, r)
+    val merged = lists.select($"vec_id", $"list_id".cast("int"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val oneShot = Similarity.ivfAssign(e, cb)
+      .select($"vec_id", $"list_id")
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(merged == oneShot,
+      "the restarted stream's merged index must equal the one-shot " +
+        "assignment exactly")
   }
 
   test("the lists layout partition-prunes: a probed-list filter scans " +
