@@ -1411,7 +1411,144 @@ object TextAnalysis extends QueryModule {
                (CAST(count(b.doc_id) AS BIGINT) * 10000)
                  // (2 * g.k - count(b.doc_id)) AS jaccard_bp
         FROM grid g LEFT JOIN bt b ON b.rl <= g.k AND b.rs <= g.k
-        GROUP BY g.k ORDER BY g.k""")))
+        GROUP BY g.k ORDER BY g.k""")),
+
+    Q(
+      "q309_repetition_runs",
+      "DEGENERATE-REPETITION DETECTOR — q121 measures the duplicate-" +
+        "bigram FRACTION (boilerplate); this finds CONSECUTIVE " +
+        "identical-token runs ('the the the'), the signature of " +
+        "degenerate generation loops and copy-paste stutter that a " +
+        "set-level fraction can miss entirely (a doc can be 99% " +
+        "unique bigrams and still contain one pathological 50-token " +
+        "run). Classic gaps-and-islands: explode tokens with " +
+        "position, mark run breaks via lag, running-sum the breaks " +
+        "into island ids — both windows PARTITIONED by doc_id " +
+        "(PlanSpec's no-row-scale-unpartitioned-window rule), so at " +
+        "100 TB this is one doc-keyed exchange feeding two chained " +
+        "windows and a per-doc aggregate. Emits every doc whose " +
+        "longest run >= 2 with the run token (ties: longest run " +
+        "first, then lexicographically smallest token — engine-" +
+        "independent).",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            posexplode(filter(split(trim($"text"), " "),
+              x => x =!= lit(""))).as(Seq("i", "tok")))
+        val w = Window.partitionBy($"doc_id").orderBy($"i")
+        val runs = toks
+          .withColumn("brk",
+            when(lag($"tok", 1).over(w) === $"tok", 0).otherwise(1))
+          .withColumn("island",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"doc_id", $"island", $"tok")
+          .agg(count(lit(1)).as("run_len"))
+        val mx = runs.groupBy($"doc_id")
+          .agg(max($"run_len").as("max_run"))
+          .filter($"max_run" >= 2)
+          .withColumnRenamed("doc_id", "mdoc")
+        runs.join(mx, $"doc_id" === $"mdoc" && $"run_len" === $"max_run")
+          .groupBy($"doc_id", $"max_run")
+          .agg(min($"tok").as("run_token"))
+          .select($"doc_id", $"max_run".cast("long").as("max_run"),
+            $"run_token")
+          .orderBy($"max_run".desc, $"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, t.tok, t.i
+          FROM (SELECT doc_id,
+                  list_filter(string_split(trim(text), ' '),
+                              x -> x <> '') AS ts
+                FROM documents),
+          LATERAL (SELECT unnest(ts) AS tok,
+                          generate_subscripts(ts, 1) AS i) t),
+        marked AS (
+          SELECT doc_id, tok, i,
+                 CASE WHEN tok = lag(tok) OVER
+                   (PARTITION BY doc_id ORDER BY i) THEN 0 ELSE 1 END AS brk
+          FROM toks),
+        isl AS (
+          SELECT doc_id, tok,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM marked),
+        runs AS (
+          SELECT doc_id, island, tok, count(*) AS run_len
+          FROM isl GROUP BY 1, 2, 3),
+        mx AS (
+          SELECT doc_id, max(run_len) AS max_run
+          FROM runs GROUP BY doc_id HAVING max(run_len) >= 2)
+        SELECT r.doc_id AS doc_id, CAST(m.max_run AS BIGINT) AS max_run,
+               min(r.tok) AS run_token
+        FROM runs r JOIN mx m ON r.doc_id = m.doc_id
+          AND r.run_len = m.max_run
+        GROUP BY r.doc_id, m.max_run
+        ORDER BY 2 DESC, 1""")),
+
+    Q(
+      "q310_tokenizer_fertility",
+      "TOKENIZER FERTILITY BY LANGUAGE — the metric that drives " +
+        "tokenizer and budget decisions for multilingual corpora: " +
+        "per language, how many characters and UTF-8 BYTES one " +
+        "hundred tokens cover, under BOTH token conventions the " +
+        "corpus uses (q53's whitespace tokens and its BPE-ish regex " +
+        "segments). Byte fertility diverges hard from char fertility " +
+        "exactly where it matters (zh: ~3 bytes/char in UTF-8, so a " +
+        "byte-level BPE pays ~3x the sequence length its char count " +
+        "suggests — the compression-parity question every " +
+        "multilingual tokenizer paper measures). All ratios are " +
+        "cross-multiplied integer per-100-token figures (q127's " +
+        "no-float discipline). One row-scale aggregate on lang with " +
+        "map-side partials; the per-doc measures are codegen'd " +
+        "projections (length/octet_length/regexp_extract_all) — at " +
+        "100 TB this is a single scan-shaped pass.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "documents")
+          .select($"lang",
+            length($"text").cast("long").as("chars"),
+            octet_length($"text").cast("long").as("bytes"),
+            size(split(trim($"text"), " ")).cast("long").as("ws"),
+            size(regexp_extract_all($"text",
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+              .cast("long").as("bpeish"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum($"chars").as("chars"), sum($"bytes").as("bytes"),
+            sum($"ws").as("ws_tokens"), sum($"bpeish").as("bpeish_tokens"))
+          .select($"lang", $"n_docs", $"chars", $"bytes",
+            $"ws_tokens", $"bpeish_tokens",
+            expr("chars * 100 DIV ws_tokens").as("chars_per_100ws"),
+            expr("bytes * 100 DIV ws_tokens").as("bytes_per_100ws"),
+            expr("chars * 100 DIV bpeish_tokens").as("chars_per_100bpeish"),
+            expr("bytes * 100 DIV bpeish_tokens").as("bytes_per_100bpeish"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang,
+                 CAST(length(text) AS BIGINT) AS chars,
+                 CAST(strlen(text) AS BIGINT) AS bytes,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpeish
+          FROM documents),
+        g AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(chars) AS BIGINT) AS chars,
+                 CAST(sum(bytes) AS BIGINT) AS bytes,
+                 CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                 CAST(sum(bpeish) AS BIGINT) AS bpeish_tokens
+          FROM d GROUP BY lang)
+        SELECT lang, n_docs, chars, bytes, ws_tokens, bpeish_tokens,
+               chars * 100 // ws_tokens AS chars_per_100ws,
+               bytes * 100 // ws_tokens AS bytes_per_100ws,
+               chars * 100 // bpeish_tokens AS chars_per_100bpeish,
+               bytes * 100 // bpeish_tokens AS bytes_per_100bpeish
+        FROM g ORDER BY lang""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -2651,6 +2651,134 @@ object AnalyticsPatterns extends QueryModule {
         SELECT rule, n_checked, n_violations,
                (n_violations * 10000) // n_checked AS viol_bp
         FROM rules ORDER BY rule"""))
+  ,
+
+    Q(
+      "q308_temperature_mixture",
+      "TEMPERATURE-SCALED MIXTURE PLANNER — q124 APPLIES given " +
+        "per-language weights; this derives them: the standard " +
+        "alpha-temperature family p_l proportional to T_l^alpha over " +
+        "per-language token mass, emitted at alpha=1 (natural — " +
+        "majority languages dominate), alpha=0.5 (the multilingual-" +
+        "training default — minority languages boosted toward parity) " +
+        "and alpha=0 (uniform), plus the effective epochs-per-language " +
+        "the alpha=0.5 mixture implies at a one-corpus-pass token " +
+        "budget (minority langs > 1e6 ppm = upsampled repeats, the " +
+        "q124 explode; majority < 1e6 = subsampled). EXACT INTEGER " +
+        "arithmetic throughout the cross-engine surface: T_l^0.5 " +
+        "enters as floor(sqrt(T_l * 1e6)) — IEEE-754 sqrt is " +
+        "correctly rounded, so floor of it on a <2^53 integer is " +
+        "bit-deterministic on both engines (no engine-libm risk, the " +
+        "q127/q238 micro-literal discipline) — and every share is a " +
+        "cross-multiplied ppm div. One row-scale aggregate on lang; " +
+        "everything after lives on the 5-row language domain with a " +
+        "1-row broadcast total.",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.t(s, dir, "documents")
+          .groupBy($"lang")
+          .agg(sum(size(split(trim($"text"), " ")).cast("long"))
+            .as("tokens"))
+          .withColumn("w",
+            floor(sqrt($"tokens".cast("double") * 1e6)).cast("long"))
+        val tots = t.agg(sum($"tokens").as("tot"), sum($"w").as("wtot"),
+          count(lit(1)).as("nl"))
+        t.crossJoin(broadcast(tots))
+          .select($"lang", $"tokens",
+            expr("tokens * 1000000 DIV tot").as("share_natural_ppm"),
+            expr("w * 1000000 DIV wtot").as("share_temp_ppm"),
+            expr("1000000 DIV nl").as("share_uniform_ppm"),
+            expr("(w * 1000000 DIV wtot) * tot DIV tokens")
+              .as("epochs_temp_ppm"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang,
+                 CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS tokens
+          FROM documents GROUP BY lang),
+        w AS (SELECT lang, tokens,
+                     CAST(floor(sqrt(CAST(tokens AS DOUBLE) * 1e6))
+                       AS BIGINT) AS w
+              FROM t),
+        tots AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot,
+                        CAST(sum(w) AS BIGINT) AS wtot,
+                        CAST(count(*) AS BIGINT) AS nl
+                 FROM w)
+        SELECT lang, tokens,
+               tokens * 1000000 // tot AS share_natural_ppm,
+               w * 1000000 // wtot AS share_temp_ppm,
+               1000000 // nl AS share_uniform_ppm,
+               (w * 1000000 // wtot) * tot // tokens AS epochs_temp_ppm
+        FROM w CROSS JOIN tots
+        ORDER BY lang""")),
+
+    Q(
+      "q311_packing_sweep",
+      "CONTEXT-WINDOW PACKING SWEEP — q188 audits the pad/truncation " +
+        "ledger at ONE window (512); this sweeps {128, 256, 512, 1024} " +
+        "and puts both strategies side by side per window: concat-" +
+        "then-chunk packing (q117 — sequences = ceil(total_tokens/w), " +
+        "utilization ~100%) vs one-doc-per-sequence with truncation " +
+        "at w (pad tokens burn compute, truncated tokens burn DATA), " +
+        "each with exact integer utilization bp. The sweep is how the " +
+        "window size is actually chosen: pad waste FALLS and " +
+        "truncation loss RISES with w, and this table is the " +
+        "crossover evidence. Plan: ONE row-scale pass reduces docs to " +
+        "(doc, token_len) slim pairs, the 4-row window domain " +
+        "cross-joins onto them (explode of a literal array — a 4x " +
+        "fan-out of 16-byte rows, not of documents), and one (window)-" +
+        "keyed aggregate with map-side partials finishes; at 100 TB " +
+        "the dominant cost stays the single documents scan.",
+      (s, dir) => {
+        import s.implicits._
+        val lens = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            size(split(trim($"text"), " ")).cast("long").as("len"))
+        lens.withColumn("w",
+            explode(typedLit(Seq(128L, 256L, 512L, 1024L))))
+          .groupBy($"w")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"len").as("total_tokens"),
+            sum(least($"len", $"w")).as("kept_tokens"),
+            sum(greatest($"len" - $"w", lit(0L))).as("truncated_tokens"),
+            sum($"w" - least($"len", $"w")).as("pad_tokens"))
+          .select($"w".as("ctx_window"), $"n_docs", $"total_tokens",
+            expr("(total_tokens + ctx_window - 1) DIV ctx_window")
+              .as("packed_seqs"),
+            expr("total_tokens * 10000 DIV " +
+              "(((total_tokens + ctx_window - 1) DIV ctx_window) * ctx_window)")
+              .as("packed_util_bp"),
+            $"pad_tokens", $"truncated_tokens",
+            expr("kept_tokens * 10000 DIV (n_docs * ctx_window)")
+              .as("nopack_util_bp"),
+            expr("truncated_tokens * 10000 DIV total_tokens")
+              .as("truncated_bp"))
+          .orderBy($"ctx_window")
+      },
+      Some("""
+        WITH lens AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS len
+          FROM documents),
+        grid AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS w),
+        g AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len) AS BIGINT) AS total_tokens,
+                 CAST(sum(least(len, w)) AS BIGINT) AS kept_tokens,
+                 CAST(sum(greatest(len - w, 0)) AS BIGINT)
+                   AS truncated_tokens,
+                 CAST(sum(w - least(len, w)) AS BIGINT) AS pad_tokens
+          FROM lens CROSS JOIN grid GROUP BY w)
+        SELECT w AS ctx_window, n_docs, total_tokens,
+               (total_tokens + w - 1) // w AS packed_seqs,
+               total_tokens * 10000
+                 // (((total_tokens + w - 1) // w) * w) AS packed_util_bp,
+               pad_tokens, truncated_tokens,
+               kept_tokens * 10000 // (n_docs * w) AS nopack_util_bp,
+               truncated_tokens * 10000 // total_tokens AS truncated_bp
+        FROM g ORDER BY ctx_window"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1431,6 +1431,197 @@ object Dedup extends QueryModule {
                CAST(sum(new_g) OVER (ORDER BY step
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_shingles
-        FROM steps ORDER BY step"""))
+        FROM steps ORDER BY step""")),
+
+    Q(
+      "q307_dedup_tier_audit",
+      "DEDUP-TIER AUDIT — the canonicalization ladder measured in one " +
+        "table: WHERE in the raw-hash -> normalized-hash (lowercase, " +
+        "strip ASCII punctuation, collapse whitespace) -> bag-of-words " +
+        "(sorted token multiset) -> shingle-Jaccard>=0.8 ladder does " +
+        "this corpus's redundancy first become visible? Every dedup " +
+        "pipeline implicitly picks a tier; this audit is the evidence " +
+        "for the choice — here the three hash tiers find ZERO pairs " +
+        "while the near-dup tier finds the planted families (most " +
+        "CROSS-LANGUAGE, which per-language sharded dedup would " +
+        "miss — the cross_lang_pairs column is the warning that " +
+        "dedup must shuffle on content keys, never language " +
+        "partitions). Hash tiers cost one row-scale aggregate each " +
+        "over (hash, lang) with map-side partials (equal raw implies " +
+        "equal normalized implies equal bag, so the tiers nest); the " +
+        "near-dup tier reuses jaccardPairs — the shared q62 inverted-" +
+        "index kernel — with two broadcast lang joins. Oracle replays " +
+        "all four tiers, the last via the shared jaccardPairsCte.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val toks = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val norm = trim(regexp_replace(
+          regexp_replace(lower($"text"), "[.,;:!?'\"()-]", ""),
+          "\\s+", " "))
+        val keyed = docs.select($"doc_id", $"lang",
+          md5($"text").as("raw"),
+          md5(norm).as("normalized"),
+          md5(array_join(array_sort(toks), "\u001f")).as("bag_of_words"))
+        def tier(id: Int, name: String) =
+          keyed.groupBy(col(name).as("h"), $"lang")
+            .agg(count(lit(1)).as("nl"))
+            .groupBy($"h").agg(sum($"nl").as("n"),
+              expr("sum(nl * (nl - 1) DIV 2)").as("wl"))
+            .agg(
+              coalesce(expr("cast(sum(n * (n - 1) DIV 2) as bigint)"),
+                lit(0L)).as("dup_pairs"),
+              coalesce(sum(when($"n" > 1, $"n").otherwise(0L)), lit(0L))
+                .cast("long").as("docs_involved"),
+              coalesce(expr("cast(sum(n * (n - 1) DIV 2 - wl) as bigint)"),
+                lit(0L)).as("cross_lang_pairs"))
+            .select(lit(id).as("tier_id"), lit(name).as("tier"),
+              $"dup_pairs", $"docs_involved", $"cross_lang_pairs")
+        val langs = docs.select($"doc_id", $"lang")
+        val jl = jaccardPairs(s, dir, 0.8)
+          .join(broadcast(langs.select($"doc_id".as("d1"), $"lang".as("l1"))),
+            Seq("d1"))
+          .join(broadcast(langs.select($"doc_id".as("d2"), $"lang".as("l2"))),
+            Seq("d2"))
+        val t4 = jl.agg(
+            count(lit(1)).cast("long").as("dup_pairs"),
+            coalesce(sum(when($"l1" =!= $"l2", 1L).otherwise(0L)), lit(0L))
+              .cast("long").as("cross_lang_pairs"))
+          .crossJoin(broadcast(
+            jl.select(explode(array($"d1", $"d2")).as("d"))
+              .agg(countDistinct($"d").cast("long").as("docs_involved"))))
+          .select(lit(4).as("tier_id"), lit("neardup_jaccard08").as("tier"),
+            $"dup_pairs", $"docs_involved", $"cross_lang_pairs")
+        tier(1, "raw").unionAll(tier(2, "normalized"))
+          .unionAll(tier(3, "bag_of_words")).unionAll(t4)
+          .orderBy($"tier_id")
+      },
+      Some(s"""
+        WITH $jaccardPairsCte,
+        keyed AS (
+          SELECT d.doc_id, d.lang, md5(d.text) AS raw,
+                 md5(trim(regexp_replace(regexp_replace(lower(d.text),
+                   '[.,;:!?''"()-]', '', 'g'), '\\s+', ' ', 'g'))) AS normalized,
+                 md5(array_to_string(list_sort(tk.t), chr(31))) AS bag_of_words
+          FROM documents d JOIN toks tk ON d.doc_id = tk.doc_id),
+        hs AS (
+          SELECT 1 AS tier_id, 'raw' AS tier, raw AS h, lang FROM keyed
+          UNION ALL
+          SELECT 2, 'normalized', normalized, lang FROM keyed
+          UNION ALL
+          SELECT 3, 'bag_of_words', bag_of_words, lang FROM keyed),
+        g AS (SELECT tier_id, tier, h, lang, count(*) AS nl
+              FROM hs GROUP BY 1, 2, 3, 4),
+        gh AS (SELECT tier_id, tier, h, sum(nl) AS n,
+                      sum(nl * (nl - 1) // 2) AS wl
+               FROM g GROUP BY 1, 2, 3),
+        tiers123 AS (
+          SELECT CAST(tier_id AS INTEGER) AS tier_id, tier,
+                 CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+                   AS dup_pairs,
+                 CAST(coalesce(sum(CASE WHEN n > 1 THEN n ELSE 0 END), 0)
+                   AS BIGINT) AS docs_involved,
+                 CAST(coalesce(sum(n * (n - 1) // 2 - wl), 0) AS BIGINT)
+                   AS cross_lang_pairs
+          FROM gh GROUP BY 1, 2),
+        pairs AS (SELECT d1, d2 FROM jpairs
+                  WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
+        pl AS (SELECT p.d1, p.d2, a.lang AS l1, b.lang AS l2
+               FROM pairs p
+               JOIN documents a ON p.d1 = a.doc_id
+               JOIN documents b ON p.d2 = b.doc_id),
+        t4 AS (
+          SELECT CAST(4 AS INTEGER) AS tier_id,
+                 'neardup_jaccard08' AS tier,
+                 CAST(count(*) AS BIGINT) AS dup_pairs,
+                 CAST((SELECT count(DISTINCT dd) FROM
+                        (SELECT d1 AS dd FROM pairs
+                         UNION SELECT d2 FROM pairs)) AS BIGINT)
+                   AS docs_involved,
+                 CAST(coalesce(sum(CASE WHEN l1 <> l2 THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS cross_lang_pairs
+          FROM pl)
+        SELECT * FROM tiers123 UNION ALL SELECT * FROM t4
+        ORDER BY tier_id"""))
+  ,
+
+    Q(
+      "q312_lsh_s_curve",
+      "LSH PARAMETER PLANNER — the S-curve 1-(1-s^r)^b evaluated for " +
+        "BOTH banding configs this repo actually runs (q63's default " +
+        "4 rows x 16 bands and q115's 2 x 32) over the Jaccard " +
+        "domain s = 0.1..0.9: the collision probability a pair of " +
+        "docs at similarity s has of sharing at least one band " +
+        "bucket — i.e., of becoming a candidate. This table is the " +
+        "evidence behind the config choice (2x32 is near-total " +
+        "recall at s=0.5 where 4x16 has already collapsed, at 2x the " +
+        "bucket-join fan-in) and the planner a new threshold starts " +
+        "from. Numerically it is the repo's no-libm discipline " +
+        "applied to pow: every power is an EXPLICIT chain of IEEE " +
+        "multiplications in the same order on both engines (s^4 = " +
+        "(s^2)^2, (1-s^r)^b by repeated squaring), so the doubles " +
+        "are bit-identical and the ppm rounding cannot flake — no " +
+        "engine pow()/exp()/ln() ever runs. Pure 18-row domain " +
+        "arithmetic: zero data scanned, constant at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val dom = s.range(1, 10)
+          .select($"id".cast("int").as("s_tenths"),
+            ($"id".cast("double") / 10.0).as("sj"))
+        val ss = dom.withColumn("s2", $"sj" * $"sj")
+        // 2 rows x 32 bands: (1 - s^2)^32 via five squarings
+        val c32 = ss
+          .withColumn("t", lit(1.0) - $"s2")
+          .withColumn("t2", $"t" * $"t").withColumn("t4", $"t2" * $"t2")
+          .withColumn("t8", $"t4" * $"t4")
+          .withColumn("t16", $"t8" * $"t8")
+          .withColumn("t32", $"t16" * $"t16")
+          .select(lit("r2_b32").as("config"), $"s_tenths",
+            round((lit(1.0) - $"t32") * 1e6).cast("long")
+              .as("collide_ppm"))
+        // 4 rows x 16 bands: (1 - (s^2)^2)^16 via four squarings
+        val c16 = ss
+          .withColumn("s4", $"s2" * $"s2")
+          .withColumn("t", lit(1.0) - $"s4")
+          .withColumn("t2", $"t" * $"t").withColumn("t4", $"t2" * $"t2")
+          .withColumn("t8", $"t4" * $"t4")
+          .withColumn("t16", $"t8" * $"t8")
+          .select(lit("r4_b16").as("config"), $"s_tenths",
+            round((lit(1.0) - $"t16") * 1e6).cast("long")
+              .as("collide_ppm"))
+        c16.unionAll(c32)
+          .withColumn("candidate_at_half",
+            $"collide_ppm" >= 500000L)
+          .orderBy($"config", $"s_tenths")
+      },
+      Some("""
+        WITH dom AS (
+          SELECT CAST(r AS INTEGER) AS s_tenths,
+                 CAST(r AS DOUBLE) / 10.0 AS sj
+          FROM range(1, 10) t(r)),
+        ss AS (SELECT s_tenths, sj, sj * sj AS s2 FROM dom),
+        a32 AS (SELECT s_tenths, 1.0 - s2 AS t FROM ss),
+        b32 AS (SELECT s_tenths, t * t AS t2 FROM a32),
+        c32a AS (SELECT s_tenths, t2 * t2 AS t4 FROM b32),
+        d32 AS (SELECT s_tenths, t4 * t4 AS t8 FROM c32a),
+        e32 AS (SELECT s_tenths, t8 * t8 AS t16 FROM d32),
+        f32 AS (SELECT s_tenths, t16 * t16 AS t32 FROM e32),
+        r2b32 AS (
+          SELECT 'r2_b32' AS config, s_tenths,
+                 CAST(round((1.0 - t32) * 1e6) AS BIGINT) AS collide_ppm
+          FROM f32),
+        a16 AS (SELECT s_tenths, 1.0 - (s2 * s2) AS t FROM ss),
+        b16 AS (SELECT s_tenths, t * t AS t2 FROM a16),
+        c16a AS (SELECT s_tenths, t2 * t2 AS t4 FROM b16),
+        d16 AS (SELECT s_tenths, t4 * t4 AS t8 FROM c16a),
+        e16 AS (SELECT s_tenths, t8 * t8 AS t16 FROM d16),
+        r4b16 AS (
+          SELECT 'r4_b16' AS config, s_tenths,
+                 CAST(round((1.0 - t16) * 1e6) AS BIGINT) AS collide_ppm
+          FROM e16),
+        u AS (SELECT * FROM r4b16 UNION ALL SELECT * FROM r2b32)
+        SELECT config, s_tenths, collide_ppm,
+               collide_ppm >= 500000 AS candidate_at_half
+        FROM u ORDER BY config, s_tenths"""))
   )
 }

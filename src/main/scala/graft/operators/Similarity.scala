@@ -795,6 +795,76 @@ object Similarity extends QueryModule {
       None),
 
     Q(
+      "q306_binary_hamming_knn",
+      "1-BIT BINARIZED EMBEDDINGS + HAMMING TOP-10 — the missing rung " +
+        "of the ANN storage ladder (float32 256 B -> int8 64 B q130 -> " +
+        "binary 8 B here -> PQ 4 B q222): sign-binarize each 64-dim " +
+        "vector into two 32-bit words packed as longs (bit i = dim i " +
+        "> 0 — a DETERMINISTIC quantizer, which is why this rung gets " +
+        "a bit-exact SQL oracle while the trained PQ/IVF rungs are " +
+        "rows-only), then rank the corpus per probe by " +
+        "bit_count(xor(words)) — XOR+popcount, the cheapest similarity " +
+        "kernel that exists. At 100 TB the binarized corpus is 1/32 " +
+        "the bytes of the floats; a brute scan over codes is " +
+        "SIMD-speed and often beats maintaining an index, and the " +
+        "top-M hamming survivors feed the exact re-rank exactly like " +
+        "q250's ADC shortlist. Packing is one codegen'd aggregate-HOF " +
+        "projection (zero shuffle); the probe side broadcasts; the " +
+        "only wide op is the per-probe top-10 window. Ties break by " +
+        "vec_id on the integer distance — engine-independent. " +
+        "ExtensionSpec measures recall vs exact q66 on these " +
+        "worst-case uniform-random fixtures.",
+      (s, dir) => {
+        import s.implicits._
+        def word(base: Int) = expr(
+          s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+            s"CASE WHEN element_at(embedding, i + $base) > 0.0 " +
+            s"THEN shiftleft(1L, i) ELSE 0L END)")
+        val codes = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", word(1).as("w0"), word(33).as("w1"))
+        val probes = codes.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"w0".as("p0"), $"w1".as("p1"))
+        codes.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("hamming",
+            (bit_count($"w0".bitwiseXOR($"p0")) +
+              bit_count($"w1".bitwiseXOR($"p1"))).cast("int"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"probe_id")
+              .orderBy($"hamming".asc, $"vec_id")))
+          .filter($"rank" <= 10)
+          .select($"probe_id", $"vec_id", $"hamming",
+            $"rank".cast("int").as("rank"))
+          .orderBy($"probe_id", $"rank")
+      },
+      Some("""
+        WITH codes AS (
+          SELECT vec_id,
+            CAST(list_sum([CASE WHEN embedding[i + 1] > 0.0
+                           THEN (1::BIGINT << i) ELSE 0 END
+                           for i in range(0, 32)]) AS BIGINT) AS w0,
+            CAST(list_sum([CASE WHEN embedding[i + 33] > 0.0
+                           THEN (1::BIGINT << i) ELSE 0 END
+                           for i in range(0, 32)]) AS BIGINT) AS w1
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id AS probe_id, w0 AS p0, w1 AS p1
+          FROM codes WHERE vec_id < 8),
+        scored AS (
+          SELECT probe_id, c.vec_id,
+                 CAST(bit_count(xor(c.w0, p0)) + bit_count(xor(c.w1, p1))
+                      AS INTEGER) AS hamming
+          FROM codes c CROSS JOIN probes WHERE c.vec_id <> probe_id),
+        ranked AS (
+          SELECT probe_id, vec_id, hamming,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                   ORDER BY hamming, vec_id) AS INTEGER) AS rank
+          FROM scored)
+        SELECT probe_id, vec_id, hamming, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank""")),
+
+    Q(
       "q278_matryoshka_recall",
       "DIMENSION-TRUNCATION RECALL SWEEP (the Matryoshka/MRL question: " +
         "how much of the 64-dim neighborhood survives if queries use " +
