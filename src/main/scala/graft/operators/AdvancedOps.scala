@@ -465,6 +465,74 @@ object AdvancedOps extends QueryModule {
                CAST(min(wtot) AS BIGINT) AS total_weight
         FROM cum, t, ps
         WHERE cum * 100 >= pct * wtot
-        GROUP BY lbl ORDER BY lbl"""))
+        GROUP BY lbl ORDER BY lbl""")),
+
+    Q(
+      "q316_skew_salt_planner",
+      "JOIN-SKEW / SALT-FACTOR PLANNER — the measurement behind every " +
+        "skew mitigation this repo applies (q49's salting recipe, the " +
+        "AqeSkewSpec split): for each join key the schema actually " +
+        "joins on, ONE count-by-key aggregate yields the skew " +
+        "diagnosis — total rows, distinct keys, the hottest key's " +
+        "row count and ppm share, the max/mean ratio in ppm (the " +
+        "number AQE's skew threshold reasons about), and the " +
+        "recommended salt factor ceil(max_key_rows / (rows / 32)) — " +
+        "the smallest split of the hottest key that fits a 32-" +
+        "partition shuffle's average partition (at 1000 executors, " +
+        "substitute the real partition count; the formula is the " +
+        "plan). salt = 1 means 'don't salt' — visible directly in " +
+        "the audit, since salting un-skewed keys only doubles the " +
+        "small side for nothing. Each audit is one aggregate with " +
+        "map-side partials over the key domain; the hot key's count " +
+        "itself cannot skew the audit because the first-level " +
+        "groupBy collapses it map-side. All four audits union into " +
+        "one 4-row table.",
+      (s, dir) => {
+        import s.implicits._
+        def audit(rel: String, key: String): org.apache.spark.sql.DataFrame =
+          Tables.t(s, dir, rel)
+            .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+            .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+              max($"c").as("max_key_rows"))
+            .select(lit(rel).as("rel"), lit(key).as("join_key"),
+              $"n_rows", $"n_keys", $"max_key_rows",
+              expr("max_key_rows * 1000000 DIV n_rows")
+                .as("top_share_ppm"),
+              expr("max_key_rows * n_keys * 1000000 DIV n_rows")
+                .as("max_over_mean_ppm"),
+              greatest(lit(1L),
+                expr("(max_key_rows * 32 + n_rows - 1) DIV n_rows"))
+                .as("rec_salt"))
+        audit("lineitem", "l_orderkey")
+          .unionAll(audit("lineitem", "l_partkey"))
+          .unionAll(audit("lineitem", "l_suppkey"))
+          .unionAll(audit("orders", "o_custkey"))
+          .orderBy($"rel", $"join_key")
+      },
+      Some("""
+        WITH a1 AS (SELECT l_orderkey AS k FROM lineitem),
+        a2 AS (SELECT l_partkey AS k FROM lineitem),
+        a3 AS (SELECT l_suppkey AS k FROM lineitem),
+        a4 AS (SELECT o_custkey AS k FROM orders),
+        u AS (
+          SELECT 'lineitem' AS rel, 'l_orderkey' AS join_key, k FROM a1
+          UNION ALL SELECT 'lineitem', 'l_partkey', k FROM a2
+          UNION ALL SELECT 'lineitem', 'l_suppkey', k FROM a3
+          UNION ALL SELECT 'orders', 'o_custkey', k FROM a4),
+        g AS (SELECT rel, join_key, k, CAST(count(*) AS BIGINT) AS c
+              FROM u GROUP BY 1, 2, 3),
+        st AS (
+          SELECT rel, join_key,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(c) AS BIGINT) AS max_key_rows
+          FROM g GROUP BY 1, 2)
+        SELECT rel, join_key, n_rows, n_keys, max_key_rows,
+               max_key_rows * 1000000 // n_rows AS top_share_ppm,
+               max_key_rows * n_keys * 1000000 // n_rows
+                 AS max_over_mean_ppm,
+               greatest(1, (max_key_rows * 32 + n_rows - 1) // n_rows)
+                 AS rec_salt
+        FROM st ORDER BY rel, join_key"""))
   )
 }

@@ -1741,6 +1741,166 @@ object Experimentation extends QueryModule {
                            - conv_total))
                  AS BIGINT) AS pooled_z2_micro
         FROM f"""))
+  ,
+
+    Q(
+      "q314_chi2_independence",
+      "CHI-SQUARE INDEPENDENCE TEST (lang x source contingency) — the " +
+        "feature-selection / stratification-sanity primitive q298's " +
+        "CMH presupposes: is document language independent of source? " +
+        "The FULL 5x20 grid including structurally-zero cells (a " +
+        "missing (lang, source) cell still contributes R*C/N expected " +
+        "mass — dropping empty cells is the classic chi-square bug, " +
+        "here made impossible by a distinct-langs x distinct-sources " +
+        "cross join over bounded domains, left-joined to the observed " +
+        "counts). Per-cell statistic cleared to integers: " +
+        "(O*N - R*C)^2 * 1e6 div (N*R*C) micros, floor error <= 1 " +
+        "micro per cell, order-independent because each cell floors " +
+        "independently. The 95% critical value for the data-derived " +
+        "df comes from the Wilson-Hilferty cube approximation — " +
+        "df*(1 - 2/(9 df) + 1.645*sqrt(2/(9 df)))^3 — evaluated as " +
+        "an explicit IEEE chain (division, correctly-rounded sqrt, " +
+        "two multiplications; z_0.95 = 1.645 enters as a literal), " +
+        "bit-identical on both engines, no chi-square table lookup " +
+        "and no libm quantile. One row-scale aggregate; everything " +
+        "after lives on the 100-cell grid. Fixtures assign sources " +
+        "uniformly at random, so the expected verdict is the " +
+        "negative control: fail to reject.",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.t(s, dir, "documents")
+        val cells = d.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
+        val colsT = cells.groupBy($"source").agg(sum($"o").as("c"))
+        val n = cells.agg(sum($"o").as("n"),
+          countDistinct($"lang").as("nl"),
+          countDistinct($"source").as("ns"))
+        val grid = rows.crossJoin(colsT)
+          .join(cells, Seq("lang", "source"), "left")
+          .withColumn("o", coalesce($"o", lit(0L)))
+          .crossJoin(broadcast(n))
+        grid
+          .withColumn("cell_micros",
+            expr("((o * n - r * c) * (o * n - r * c) * 1000000) " +
+              "DIV (n * r * c)"))
+          .agg(
+            first($"n").as("n_docs"),
+            ((first($"nl") - 1) * (first($"ns") - 1)).as("df"),
+            sum($"cell_micros").as("chi2_micros"))
+          .withColumn("wh",
+            lit(1.0) - lit(2.0) / (lit(9.0) * $"df".cast("double"))
+              + lit(1.645) * sqrt(lit(2.0) / (lit(9.0) * $"df".cast("double"))))
+          .withColumn("crit_micros",
+            round($"df".cast("double") * $"wh" * $"wh" * $"wh" * 1e6)
+              .cast("long"))
+          .select($"n_docs", $"df".cast("long").as("df"),
+            $"chi2_micros".cast("long").as("chi2_micros"),
+            $"crit_micros",
+            ($"chi2_micros" >= $"crit_micros").as("reject_independence"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+          FROM documents GROUP BY 1, 2),
+        rows_t AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r
+                   FROM cells GROUP BY lang),
+        cols_t AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+                   FROM cells GROUP BY source),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+                       CAST(count(DISTINCT source) AS BIGINT) AS ns
+                FROM cells),
+        grid AS (
+          SELECT rt.lang, ct.source, rt.r, ct.c, coalesce(cl.o, 0) AS o
+          FROM rows_t rt CROSS JOIN cols_t ct
+          LEFT JOIN cells cl ON cl.lang = rt.lang AND cl.source = ct.source),
+        st AS (
+          SELECT CAST(min(t.n) AS BIGINT) AS n_docs,
+                 CAST(min((t.nl - 1) * (t.ns - 1)) AS BIGINT) AS df,
+                 CAST(sum(((o * t.n - r * c) * (o * t.n - r * c) * 1000000)
+                   // (t.n * r * c)) AS BIGINT) AS chi2_micros
+          FROM grid, tot t),
+        wh AS (
+          SELECT n_docs, df, chi2_micros,
+                 1.0 - 2.0 / (9.0 * CAST(df AS DOUBLE))
+                   + 1.645 * sqrt(2.0 / (9.0 * CAST(df AS DOUBLE))) AS w
+          FROM st)
+        SELECT n_docs, df, chi2_micros,
+               CAST(round(CAST(df AS DOUBLE) * w * w * w * 1e6) AS BIGINT)
+                 AS crit_micros,
+               chi2_micros >= CAST(round(CAST(df AS DOUBLE) * w * w * w
+                 * 1e6) AS BIGINT) AS reject_independence
+        FROM wh""")),
+
+    Q(
+      "q315_spearman_rank_corr",
+      "SPEARMAN RANK CORRELATION (monthly revenue vs monthly order " +
+        "count) — the monotone-association companion to q198's " +
+        "Pearson-OLS slope and q281's Theil-Sen: rank both series " +
+        "and apply rho = 1 - 6*sum(d^2) / (n*(n^2-1)), EXACT in " +
+        "integers because ranks are row_numbers with a deterministic " +
+        "(value, month) tie-break — a full permutation on both " +
+        "sides, no midrank floats — and the final ratio is one " +
+        "sign-extracted cross-multiplied ppm div (Spark div " +
+        "truncates toward zero, DuckDB // floors: they differ on " +
+        "negatives, so the sign is pulled out first — the q208 " +
+        "lesson). One row-scale aggregate to the ~80-month domain; " +
+        "both ranking windows are bounded-domain ORDER BYs, never " +
+        "row-scale sorts. Revenue and order count share an obvious " +
+        "common cause (more orders, more revenue), so the expected " +
+        "verdict is strong positive association — the positive " +
+        "control beside q267/q314's negative ones.",
+      (s, dir) => {
+        import s.implicits._
+        val m = Tables.t(s, dir, "orders")
+          .groupBy(date_trunc("month", $"o_orderdate").as("mon"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long"))
+            .as("rev_cents"),
+            count(lit(1)).as("n_orders"))
+        val ranked = m
+          .withColumn("rr", row_number().over(
+            Window.orderBy($"rev_cents", $"mon")))
+          .withColumn("rn", row_number().over(
+            Window.orderBy($"n_orders", $"mon")))
+          .withColumn("d", ($"rr" - $"rn").cast("long"))
+        ranked.agg(
+            count(lit(1)).cast("long").as("n_months"),
+            sum($"d" * $"d").as("sum_d2"))
+          .withColumn("den",
+            $"n_months" * ($"n_months" * $"n_months" - 1L))
+          .withColumn("num", $"den" - lit(6L) * $"sum_d2")
+          .select($"n_months", $"sum_d2",
+            (when($"num" < 0, -1L).otherwise(1L) *
+              expr("(abs(num) * 1000000) DIV den")).as("rho_ppm"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS mon,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS rev_cents,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT mon,
+                 CAST(row_number() OVER (ORDER BY rev_cents, mon)
+                   AS BIGINT) AS rr,
+                 CAST(row_number() OVER (ORDER BY n_orders, mon)
+                   AS BIGINT) AS rn
+          FROM m),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_months,
+                 CAST(sum((rr - rn) * (rr - rn)) AS BIGINT) AS sum_d2
+          FROM ranked),
+        f AS (
+          SELECT n_months, sum_d2,
+                 n_months * (n_months * n_months - 1) AS den,
+                 n_months * (n_months * n_months - 1) - 6 * sum_d2 AS num
+          FROM agg)
+        SELECT n_months, sum_d2,
+               (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((abs(num) * 1000000) // den) AS rho_ppm
+        FROM f"""))
   )
 }
 

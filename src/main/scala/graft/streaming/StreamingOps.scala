@@ -1609,6 +1609,60 @@ object StreamingOps extends QueryModule {
             ($"est" - $"err").as("count_min"), $"shard", $"shard_last_us")
           .orderBy($"est".desc, $"user_id").limit(10)
       },
+      None),
+
+    Q(
+      "q313_stream_index_maintenance",
+      "SELF-MAINTAINING STREAMING ANN INDEX — q234's standing add loop " +
+        "with q305's compaction wired in as an AUTOMATIC maintenance " +
+        "policy: each micro-batch lands via the idempotent " +
+        "addIvfBatch, and when the accumulated batch=<key> partition " +
+        "count passes the threshold (2 here; hundreds in production) " +
+        "the foreachBatch hook folds them into base with " +
+        "compactIvfLists — the complete lifecycle a forever-running " +
+        "ingest daemon (the reference's exact shape) needs: add, " +
+        "accumulate, compact, repeat, with no operator intervention " +
+        "and no growth in file count over time. Replay safety " +
+        "composes from the parts: an uncommitted batch replays into " +
+        "its own partitions (dynamic overwrite), a batch compacted " +
+        "before its replay is a manifest no-op, and compaction " +
+        "preserves the row multiset — so the final index equals the " +
+        "one-shot assignment REGARDLESS of where the micro-batch " +
+        "boundaries or compactions fell (IvfIndexSpec asserts " +
+        "bit-equality with q233's answer and that the post-stream " +
+        "batch-partition count respects the policy). Output is the " +
+        "standard 8-probe search over the merged, compacted index.",
+      (s, dir) => {
+        import graft.operators.Similarity
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots
+          .freshForDir("graft_ivf_autocmp", dir).toString
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        def batchDirs(): Int = {
+          val lists = new java.io.File(s"$root/lists")
+          lists.listFiles().count { f =>
+            f.isDirectory && f.getName.startsWith("batch=") &&
+              f.getName != "batch=base"
+          }
+        }
+        val arriving = embeddingsStream(s, dir)
+          .filter($"vec_id" % 10 === 0)
+          .select($"vec_id", $"embedding")
+        val q = arriving.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              Similarity.addIvfBatch(batch, root, s"b$batchId")
+              if (batchDirs() > 2) { Similarity.compactIvfLists(s, root); () }
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        Similarity.knnIvfPersisted(s, root,
+          e.filter($"vec_id" < 8), k = 5, nprobe = 2)
+      },
       None)
   )
 }

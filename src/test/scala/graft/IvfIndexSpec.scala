@@ -282,6 +282,28 @@ class IvfIndexSpec extends AnyFunSuite {
         "assignment exactly")
   }
 
+  test("q313 self-maintaining stream: answer bit-equal to q233's " +
+    "one-shot index, batch-partition count respects the compaction " +
+    "policy") {
+    val a = SparkEntry.queries("q233_ivf_persisted_knn")(spark, sfDir)
+      .collect().toSeq
+    val b = SparkEntry.queries("q313_stream_index_maintenance")(spark, sfDir)
+      .collect().toSeq
+    assert(a == b,
+      "auto-compaction mid-stream must not change the merged index's " +
+        "answer — compaction preserves rows, adds are split-invariant")
+    // the policy: foreachBatch folds whenever >2 batch dirs accumulate,
+    // so the post-stream count can be at most threshold + however many
+    // batches the final fold left behind (== 0 if the last batch
+    // triggered it; <= 2 + 1 otherwise)
+    val root = TempRoots.forDir("graft_ivf_autocmp", sfDir).toString
+    val dirs = new java.io.File(s"$root/lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName != "batch=base")
+    assert(dirs <= 3,
+      s"compaction policy must bound batch partitions, found $dirs")
+  }
+
   test("the lists layout partition-prunes: a probed-list filter scans " +
     "only its directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
