@@ -1444,11 +1444,15 @@ object TextAnalysis extends QueryModule {
             sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy($"doc_id", $"island", $"tok")
           .agg(count(lit(1)).as("run_len"))
-        val mx = runs.groupBy($"doc_id")
-          .agg(max($"run_len").as("max_run"))
-          .filter($"max_run" >= 2)
-          .withColumnRenamed("doc_id", "mdoc")
-        runs.join(mx, $"doc_id" === $"mdoc" && $"run_len" === $"max_run")
+        // per-doc max via a doc-partitioned window, NOT a join against a
+        // re-derived aggregate: the window rides the SAME doc_id
+        // partitioning the islands pass created, so the whole query is
+        // one row-scale exchange — a join form would re-run the
+        // explode+windows pipeline a second time (two full scans)
+        runs
+          .withColumn("max_run",
+            max($"run_len").over(Window.partitionBy($"doc_id")))
+          .filter($"max_run" >= 2 && $"run_len" === $"max_run")
           .groupBy($"doc_id", $"max_run")
           .agg(min($"tok").as("run_token"))
           .select($"doc_id", $"max_run".cast("long").as("max_run"),

@@ -489,24 +489,37 @@ object AdvancedOps extends QueryModule {
         "one 4-row table.",
       (s, dir) => {
         import s.implicits._
-        def audit(rel: String, key: String): org.apache.spark.sql.DataFrame =
-          Tables.t(s, dir, rel)
-            .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-            .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
-              max($"c").as("max_key_rows"))
-            .select(lit(rel).as("rel"), lit(key).as("join_key"),
-              $"n_rows", $"n_keys", $"max_key_rows",
-              expr("max_key_rows * 1000000 DIV n_rows")
-                .as("top_share_ppm"),
-              expr("max_key_rows * n_keys * 1000000 DIV n_rows")
-                .as("max_over_mean_ppm"),
-              greatest(lit(1L),
-                expr("(max_key_rows * 32 + n_rows - 1) DIV n_rows"))
-                .as("rec_salt"))
-        audit("lineitem", "l_orderkey")
-          .unionAll(audit("lineitem", "l_partkey"))
-          .unionAll(audit("lineitem", "l_suppkey"))
-          .unionAll(audit("orders", "o_custkey"))
+        // ONE lineitem scan audits all three of its keys: each row
+        // explodes to (key_name, key_value) pairs — a 3x fan-out of
+        // 16-byte rows collapsed map-side by the count-by-key right
+        // behind it — instead of three full scans of the fact table
+        val li = Tables.t(s, dir, "lineitem").select(explode(array(
+            struct(lit("l_orderkey").as("join_key"),
+              $"l_orderkey".cast("long").as("k")),
+            struct(lit("l_partkey").as("join_key"),
+              $"l_partkey".cast("long").as("k")),
+            struct(lit("l_suppkey").as("join_key"),
+              $"l_suppkey".cast("long").as("k")))).as("x"))
+          .select(lit("lineitem").as("rel"),
+            $"x.join_key".as("join_key"), $"x.k".as("k"))
+        val od = Tables.t(s, dir, "orders")
+          .select(lit("orders").as("rel"),
+            lit("o_custkey").as("join_key"),
+            $"o_custkey".cast("long").as("k"))
+        li.unionAll(od)
+          .groupBy($"rel", $"join_key", $"k").agg(count(lit(1)).as("c"))
+          .groupBy($"rel", $"join_key")
+          .agg(sum($"c").as("n_rows"), count(lit(1)).as("n_keys"),
+            max($"c").as("max_key_rows"))
+          .select($"rel", $"join_key",
+            $"n_rows", $"n_keys", $"max_key_rows",
+            expr("max_key_rows * 1000000 DIV n_rows")
+              .as("top_share_ppm"),
+            expr("max_key_rows * n_keys * 1000000 DIV n_rows")
+              .as("max_over_mean_ppm"),
+            greatest(lit(1L),
+              expr("(max_key_rows * 32 + n_rows - 1) DIV n_rows"))
+              .as("rec_salt"))
           .orderBy($"rel", $"join_key")
       },
       Some("""

@@ -2675,12 +2675,16 @@ object AnalyticsPatterns extends QueryModule {
         "1-row broadcast total.",
       (s, dir) => {
         import s.implicits._
+        // snap the 5-row lang aggregate: it feeds both the output rows
+        // and the totals, and without the snap Spark would re-run the
+        // document scan once per consumer
         val t = Tables.t(s, dir, "documents")
           .groupBy($"lang")
           .agg(sum(size(split(trim($"text"), " ")).cast("long"))
             .as("tokens"))
           .withColumn("w",
             floor(sqrt($"tokens".cast("double") * 1e6)).cast("long"))
+          .localCheckpoint(true)
         val tots = t.agg(sum($"tokens").as("tot"), sum($"w").as("wtot"),
           count(lit(1)).as("nl"))
         t.crossJoin(broadcast(tots))

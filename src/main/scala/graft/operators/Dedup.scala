@@ -1463,26 +1463,42 @@ object Dedup extends QueryModule {
           md5($"text").as("raw"),
           md5(norm).as("normalized"),
           md5(array_join(array_sort(toks), "\u001f")).as("bag_of_words"))
-        def tier(id: Int, name: String) =
-          keyed.groupBy(col(name).as("h"), $"lang")
-            .agg(count(lit(1)).as("nl"))
-            .groupBy($"h").agg(sum($"nl").as("n"),
-              expr("sum(nl * (nl - 1) DIV 2)").as("wl"))
-            .agg(
-              coalesce(expr("cast(sum(n * (n - 1) DIV 2) as bigint)"),
-                lit(0L)).as("dup_pairs"),
-              coalesce(sum(when($"n" > 1, $"n").otherwise(0L)), lit(0L))
-                .cast("long").as("docs_involved"),
-              coalesce(expr("cast(sum(n * (n - 1) DIV 2 - wl) as bigint)"),
-                lit(0L)).as("cross_lang_pairs"))
-            .select(lit(id).as("tier_id"), lit(name).as("tier"),
-              $"dup_pairs", $"docs_involved", $"cross_lang_pairs")
+        // ONE scan feeds all three hash tiers: each doc explodes to its
+        // three (tier, hash) rows — a 3x fan-out of 40-byte rows with
+        // map-side combine right behind it, not three document scans
+        val hs = keyed.select($"lang", explode(array(
+            struct(lit(1).as("tier_id"), lit("raw").as("tier"),
+              $"raw".as("h")),
+            struct(lit(2).as("tier_id"), lit("normalized").as("tier"),
+              $"normalized".as("h")),
+            struct(lit(3).as("tier_id"), lit("bag_of_words").as("tier"),
+              $"bag_of_words".as("h")))).as("x"))
+          .select($"x.tier_id".as("tier_id"), $"x.tier".as("tier"),
+            $"x.h".as("h"), $"lang")
+        val tiers123 = hs
+          .groupBy($"tier_id", $"tier", $"h", $"lang")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy($"tier_id", $"tier", $"h")
+          .agg(sum($"nl").as("n"), expr("sum(nl * (nl - 1) DIV 2)").as("wl"))
+          .groupBy($"tier_id", $"tier")
+          .agg(
+            coalesce(expr("cast(sum(n * (n - 1) DIV 2) as bigint)"),
+              lit(0L)).as("dup_pairs"),
+            coalesce(sum(when($"n" > 1, $"n").otherwise(0L)), lit(0L))
+              .cast("long").as("docs_involved"),
+            coalesce(expr("cast(sum(n * (n - 1) DIV 2 - wl) as bigint)"),
+              lit(0L)).as("cross_lang_pairs"))
+          .select($"tier_id", $"tier", $"dup_pairs", $"docs_involved",
+            $"cross_lang_pairs")
         val langs = docs.select($"doc_id", $"lang")
+        // the pair set feeds two aggregates below — snap the ~25-row
+        // frame so the inverted-index self-join runs ONCE, not twice
         val jl = jaccardPairs(s, dir, 0.8)
           .join(broadcast(langs.select($"doc_id".as("d1"), $"lang".as("l1"))),
             Seq("d1"))
           .join(broadcast(langs.select($"doc_id".as("d2"), $"lang".as("l2"))),
             Seq("d2"))
+          .localCheckpoint(true)
         val t4 = jl.agg(
             count(lit(1)).cast("long").as("dup_pairs"),
             coalesce(sum(when($"l1" =!= $"l2", 1L).otherwise(0L)), lit(0L))
@@ -1492,9 +1508,7 @@ object Dedup extends QueryModule {
               .agg(countDistinct($"d").cast("long").as("docs_involved"))))
           .select(lit(4).as("tier_id"), lit("neardup_jaccard08").as("tier"),
             $"dup_pairs", $"docs_involved", $"cross_lang_pairs")
-        tier(1, "raw").unionAll(tier(2, "normalized"))
-          .unionAll(tier(3, "bag_of_words")).unionAll(t4)
-          .orderBy($"tier_id")
+        tiers123.unionAll(t4).orderBy($"tier_id")
       },
       Some(s"""
         WITH $jaccardPairsCte,

@@ -1769,8 +1769,12 @@ object Experimentation extends QueryModule {
       (s, dir) => {
         import s.implicits._
         val d = Tables.t(s, dir, "documents")
+        // snap the <=100-row contingency cells: four consumers (row
+        // totals, column totals, grand total, grid join) would otherwise
+        // each re-run the document scan
         val cells = d.groupBy($"lang", $"source")
           .agg(count(lit(1)).as("o"))
+          .localCheckpoint(true)
         val rows = cells.groupBy($"lang").agg(sum($"o").as("r"))
         val colsT = cells.groupBy($"source").agg(sum($"o").as("c"))
         val n = cells.agg(sum($"o").as("n"),
