@@ -651,6 +651,77 @@ object Stress {
       try q.processAllAvailable() finally q.stop()
       s"${emitted.get()} sessions emitted"
     }
+    // ——— Round-10 probes ———
+    // IVF-PQ persisted artifact at 100x embeddings: the build now also
+    // trains + persists PQ codebooks and codes every list row; the ADC
+    // search must stay cheap because its candidate scan reads codes,
+    // never vectors; compaction folds the accumulated batch partitions
+    // at one file per list and must not change search output.
+    locally {
+      import graft.operators.Similarity
+      val root = graft.TempRoots.freshForDir("graft_ivfpq_stress", out).toString
+      val e = Tables.t(s, out, "embeddings").select($"vec_id", $"embedding")
+      time("IVF-PQ index build 180k history (coarse + PQ artifacts)") {
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+      }
+      time("IVF-PQ incremental adds 2 x 10k batches (codes included)") {
+        Similarity.addIvfBatch(e.filter($"vec_id" % 20 === 0), root, "d1")
+        Similarity.addIvfBatch(e.filter($"vec_id" % 20 === 10), root, "d2")
+      }
+      time("ADC persisted search 8 probes over 200k (zero training)") {
+        Similarity.adcSearchPersisted(s, root,
+          e.filter($"vec_id" < 8), k = 5, nprobe = 4).count()
+      }
+      def files(): Long = {
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(root, "lists"))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet")).toLong
+        } finally walk.close()
+      }
+      val before = files()
+      time(s"IVF compaction fold 2 batches ($before files pre)") {
+        Similarity.compactIvfLists(s, root)
+      }
+      println(s"STRESS_NOTE compaction files $before -> ${files()}")
+    }
+    // Binary Hamming kNN (q306) at 200k embeddings: packing is a
+    // projection; the scored scan is 16 bytes/vector of codes.
+    time("binary hamming top-10, 8 probes x 200k") {
+      SparkEntry.queries("q306_binary_hamming_knn")(s, out).count()
+    }
+    // Dedup-tier audit (q307) on the dense 51k corpus: three hash tiers
+    // ride one scan; the wall is the near-dup pair leg (the q63-class
+    // inverted index on the adversarially dense vocabulary).
+    time("dedup tier audit 51k docs") {
+      SparkEntry.queries("q307_dedup_tier_audit")(s, out).count()
+    }
+    // Repetition runs (q309): one doc-keyed exchange, two windows, one
+    // aggregate — linearity evidence for the gaps-and-islands family.
+    time("repetition runs 51k docs") {
+      SparkEntry.queries("q309_repetition_runs")(s, out).count()
+    }
+    // Packing sweep (q311) + fertility (q310) + mixture planner (q308):
+    // each ONE scan-shaped pass over documents with bounded-domain math.
+    time("packing sweep + fertility + mixture planner 51k docs") {
+      SparkEntry.queries("q311_packing_sweep")(s, out).count()
+      SparkEntry.queries("q310_tokenizer_fertility")(s, out).count()
+      SparkEntry.queries("q308_temperature_mixture")(s, out).count()
+    }
+    // Skew/salt planner (q316) over the 6M-row fact table: one
+    // count-by-key with map-side combine per relation.
+    time(s"skew salt planner ${6 * mult}M lineitem") {
+      SparkEntry.queries("q316_skew_salt_planner")(s, out).count()
+    }
+    // Chi-square grid (q314) + Spearman (q315): row-scale aggregates
+    // onto bounded domains; statistics are O(1).
+    time("chi2 independence + spearman 51k docs / 1.5M orders") {
+      SparkEntry.queries("q314_chi2_independence")(s, out).count()
+      SparkEntry.queries("q315_spearman_rank_corr")(s, out).count()
+    }
     s.stop()
   }
 }

@@ -354,4 +354,26 @@ class ExtensionSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("q306 binary-hamming top-10 recalls the exact top-5 far above " +
+    "chance — the shortlist-generator contract") {
+    // 1-bit quantization on UNIFORM-random embeddings is the quantizer's
+    // worst case (cosines concentrate near 0, where sign bits carry the
+    // least signal) — measured recall ~0.33 vs a chance baseline of
+    // 10/499 ~ 0.02 for a random 10-of-corpus shortlist. The operator's
+    // contract is q250's: a cheap shortlist the exact re-rank refines,
+    // not a final ranking — so the gate is strictly-above-chance by an
+    // order of magnitude, with the measured figure logged.
+    val exact = SparkEntry.queries("q66_knn_brute_force")(spark, sfDir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ham = SparkEntry.queries("q306_binary_hamming_knn")(spark, sfDir)
+      .select("probe_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ham).size.toDouble / exact.size
+    assert(recall >= 0.15,
+      s"hamming shortlist recall $recall below the above-chance gate")
+    info(f"binary-hamming recall of exact top-5 in top-10: $recall%.2f " +
+      "(chance ~ 0.02)")
+  }
 }
