@@ -944,4 +944,57 @@ class PlanSpec extends AnyFunSuite {
       s"two edges need at most 4 base-table scans, found $scans — " +
         "a materialized row-table join would add more")
   }
+
+  // shared AQE-aware plan walker for the round-10 single-scan gates:
+  // descends into adaptive roots and materialized query stages, skips
+  // reused exchanges (a reuse is NOT a second scan)
+  private def aqeNodes(name: String)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other => other +: (other.children.flatMap(walk) ++
+        other.subqueries.flatMap(walk))
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def scanLeafCount(name: String): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    aqeNodes(name).count(_.isInstanceOf[FileSourceScanExec])
+  }
+
+  test("q309: the runs pipeline is ONE document scan (window-derived " +
+    "per-doc max, not a join against a re-derived aggregate) and every " +
+    "window is doc-partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(scanLeafCount("q309_repetition_runs") == 1,
+      "the join form re-runs the explode+window pipeline — two scans")
+    val wins = aqeNodes("q309_repetition_runs").collect {
+      case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "row-scale windows must be partitioned by doc_id")
+  }
+
+  test("q311: the packing sweep costs ONE document scan — the window " +
+    "grid fans out slim (doc, len) pairs, not documents") {
+    assert(scanLeafCount("q311_packing_sweep") == 1,
+      "per-window branches must not re-scan the corpus")
+  }
+
+  test("q316: all four key audits ride TWO fact scans (lineitem once " +
+    "via key explode, orders once)") {
+    assert(scanLeafCount("q316_skew_salt_planner") == 2,
+      "one scan per relation — a per-key audit form scans lineitem 3x")
+  }
+
+  test("q310: fertility is one scan-shaped pass") {
+    assert(scanLeafCount("q310_tokenizer_fertility") == 1)
+  }
 }
