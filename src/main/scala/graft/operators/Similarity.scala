@@ -1153,6 +1153,69 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Train the coarse codebook AND all m PQ subspace codebooks in ONE
+    * Lloyd loop — one corpus scan per iteration instead of 1 + m
+    * separate loops (the naive form costs (1+m)×(iters+1) corpus
+    * passes; an index build over 100 TB of vectors pays that
+    * multiplier on its dominant job). Bit-identical to running
+    * [[kmeansCodebook]] then [[pqCodebooks]] sequentially: seeds are
+    * the same first-max(nlist,k) vectors (collected once, sliced per
+    * subspace), and each iteration aggregates the same
+    * round(x·10⁶)-scaled long sums per (codebook, centroid, dim)
+    * group — long addition is order-independent, so fusing the
+    * aggregations cannot move a mean by even an ULP (PqSpec asserts
+    * the equality outright). Per exploded component the row
+    * contributes to exactly two groups — the coarse book (spec −1,
+    * dim = pos) and its subspace's book (spec = pos/sub,
+    * dim = pos%sub) — so the shuffle stays bounded by
+    * (1+m)·k·Dim whatever the corpus size. */
+  def trainIvfPqCodebooks(e: DataFrame, nlist: Int = 16, m: Int = 4,
+      sub: Int = 16, k: Int = 16, iters: Int = 2)
+      : (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
+    import graft.catalyst.VecOps.top_centroids
+    import e.sparkSession.implicits._
+    val seeds = e.orderBy($"vec_id").limit(math.max(nlist, k))
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var coarse = seeds.take(nlist)
+    var pqs = (0 until m).map(j =>
+      seeds.take(k).map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val assigned = e.select(
+        $"embedding" +:
+          element_at(top_centroids($"embedding", coarse, 1), 1)
+            .cast("int").as("cid_c") +:
+          (0 until m).map(j => element_at(
+            top_centroids(slice($"embedding", j * sub + 1, sub), pqs(j), 1),
+            1).cast("int").as(s"cid$j")): _*)
+      val meanRows = assigned
+        .select(posexplode($"embedding").as(Seq("pos", "x")),
+          $"cid_c", array((0 until m).map(j => col(s"cid$j")): _*).as("scids"))
+        .select(explode(array(
+          struct(lit(-1).as("spec"), $"cid_c".as("cid"),
+            $"pos".as("dim"), $"x"),
+          struct(($"pos" / sub).cast("int").as("spec"),
+            element_at($"scids", ($"pos" / sub).cast("int") + 1).as("cid"),
+            ($"pos" % sub).as("dim"), $"x"))).as("c"))
+        .groupBy($"c.spec", $"c.cid", $"c.dim")
+        .agg((sum(round($"c.x".cast("double") * 1e6).cast("long"))
+          .cast("double") / count(lit(1)) / 1e6).as("mval"))
+        .groupBy($"spec", $"cid")
+        .agg(sort_array(collect_list(struct($"dim", $"mval"))).as("ms"))
+        .collect()
+      val nextCoarse = coarse.map(_.clone())
+      val nextPqs = pqs.map(_.map(_.clone()))
+      meanRows.foreach { r =>
+        val spec = r.getInt(0); val cid = r.getInt(1)
+        val ms = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(_.getDouble(1)).toArray
+        if (spec == -1) nextCoarse(cid) = ms else nextPqs(spec)(cid) = ms
+      }
+      coarse = nextCoarse; pqs = nextPqs
+    }
+    (coarse, pqs)
+  }
+
   /** Train (integer-micros Lloyd — bit-stable, [[kmeansCodebook]]) and
     * persist an IVF-PQ index artifact — the billion-vector layout:
     * `path/codebook` = the k×Dim coarse centroid table (one tiny parquet
@@ -1179,11 +1242,13 @@ object Similarity extends QueryModule {
       iters: Int = 2): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
-    val cb = kmeansCodebook(corpus, nlist, iters)
+    // fused trainer: one corpus scan per Lloyd iteration trains the
+    // coarse book and all m PQ books (bit-identical to the sequential
+    // kmeansCodebook + pqCodebooks — PqSpec asserts it)
+    val (cb, pqs) = trainIvfPqCodebooks(corpus, nlist = nlist, iters = iters)
     cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    val pqs = pqCodebooks(corpus, iters = iters)
     pqs.zipWithIndex.flatMap { case (pk, j) =>
       pk.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toDF("subspace", "cid", "centroid")

@@ -56,6 +56,23 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("fused coarse+PQ trainer is BIT-IDENTICAL to the sequential " +
+    "kmeansCodebook + pqCodebooks pair (one scan per iteration may not " +
+    "move any mean by an ULP)") {
+    import graft.operators.Similarity._
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val (coarse, pqs) = trainIvfPqCodebooks(hist, nlist = 16, iters = 2)
+    val seqCoarse = kmeansCodebook(hist, 16, 2)
+    val seqPqs = pqCodebooks(hist, iters = 2)
+    assert(coarse.length == seqCoarse.length)
+    coarse.zip(seqCoarse).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"coarse centroid $i differs") }
+    pqs.zip(seqPqs).zipWithIndex.foreach { case ((pa, pb), j) =>
+      pa.zip(pb).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.sameElements(b), s"pq subspace $j centroid $i differs") }
+    }
+  }
+
   test("two Lloyd iterations do not worsen the total cosine residual vs " +
     "the seed codebooks") {
     def total(iters: Int): Long =
