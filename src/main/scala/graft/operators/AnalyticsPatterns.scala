@@ -2782,7 +2782,92 @@ object AnalyticsPatterns extends QueryModule {
                pad_tokens, truncated_tokens,
                kept_tokens * 10000 // (n_docs * w) AS nopack_util_bp,
                truncated_tokens * 10000 // total_tokens AS truncated_bp
-        FROM g ORDER BY ctx_window"""))
+        FROM g ORDER BY ctx_window""")),
+
+    Q(
+      "q320_length_match_resample",
+      "DISTRIBUTION-MATCHING REJECTION RESAMPLER — downsample a corpus " +
+        "so its length histogram matches a TARGET shape (here the " +
+        "triangular weights 1..10 over ten literal 60-char bands — the " +
+        "long-docs-overweighted mix an SFT run asks for), the " +
+        "complement of q124's source mixture (which reweights SOURCES; " +
+        "this reshapes a marginal DISTRIBUTION): the largest total T " +
+        "preserving exact proportions is min over bands of " +
+        "floor(n_k*55/w_k) (one band is always the binding constraint " +
+        "— emitted as `binding`), each band keeps kept_k = w_k*T div 55 " +
+        "docs, and MEMBERSHIP is deterministic — rank by md5(doc_id) " +
+        "within band (q99's engine-independent hash convention: any " +
+        "subset rerun reproduces the same sample, which seeded RNG " +
+        "cannot) and keep the first kept_k. Per band: population, " +
+        "target weight, kept count, achieved share vs target share in " +
+        "ppm. Plan: one row-scale pass to the 10-band histogram, the " +
+        "T/kept_k arithmetic on the 10-row domain, then the membership " +
+        "pass — a band-partitioned rank window (bands are balanced by " +
+        "construction, no skewed partition) against broadcast kept_k. " +
+        "At 100 TB the rank window would swap for a per-band md5 " +
+        "threshold learned from q168's CDF — same two-pass shape.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id",
+            least(expr("n_chars div 60"), lit(9)).as("band"),
+            md5($"doc_id".cast("string")).as("h"))
+        val hist = docs.groupBy($"band")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", $"band" + 1)
+        val t = hist.agg(min(expr("n_docs * 55 div w")).as("t"))
+        val plan = hist.crossJoin(broadcast(t))
+          .select($"band", $"n_docs", $"w",
+            expr("(w * t) div 55").as("kept"), $"t")
+        val kept = docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"band").orderBy($"h", $"doc_id")))
+          .join(broadcast(plan.select($"band", $"kept")), Seq("band"))
+          .filter($"rk" <= $"kept")
+          .groupBy($"band").agg(count(lit(1)).as("n_kept"))
+        plan.join(kept, Seq("band"), "left")
+          .select($"band", $"n_docs", $"w".as("target_w"),
+            coalesce($"n_kept", lit(0L)).as("kept"),
+            expr("CASE WHEN t = 0 THEN 0 ELSE " +
+              "(coalesce(n_kept, 0) * 1000000) div t END")
+              .as("achieved_ppm"),
+            expr("(w * 1000000) div 55").as("target_ppm"),
+            (expr("n_docs * 55 div w") === $"t").as("binding"))
+          .orderBy($"band")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, least(n_chars // 60, 9) AS band,
+                 md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        hist AS (
+          SELECT band, count(*) AS n_docs, band + 1 AS w
+          FROM docs GROUP BY band),
+        t AS (SELECT min(n_docs * 55 // w) AS t FROM hist),
+        plan AS (
+          SELECT band, n_docs, w, (w * t.t) // 55 AS kept, t.t AS t
+          FROM hist CROSS JOIN t),
+        ranked AS (
+          SELECT d.band,
+                 row_number() OVER (PARTITION BY d.band
+                                    ORDER BY d.h, d.doc_id) AS rk,
+                 d.h
+          FROM docs d),
+        kept AS (
+          SELECT r.band, count(*) AS n_kept
+          FROM ranked r JOIN plan p ON r.band = p.band
+          WHERE r.rk <= p.kept GROUP BY r.band)
+        SELECT CAST(p.band AS BIGINT) AS band,
+               CAST(p.n_docs AS BIGINT) AS n_docs,
+               CAST(p.w AS BIGINT) AS target_w,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS kept,
+               CAST(CASE WHEN p.t = 0 THEN 0 ELSE
+                 (coalesce(k.n_kept, 0) * 1000000) // p.t END AS BIGINT)
+                 AS achieved_ppm,
+               CAST((p.w * 1000000) // 55 AS BIGINT) AS target_ppm,
+               p.n_docs * 55 // p.w = p.t AS binding
+        FROM plan p LEFT JOIN kept k ON p.band = k.band
+        ORDER BY p.band"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1904,7 +1904,109 @@ object Experimentation extends QueryModule {
         SELECT n_months, sum_d2,
                (CASE WHEN num < 0 THEN -1 ELSE 1 END)
                  * ((abs(num) * 1000000) // den) AS rho_ppm
-        FROM f"""))
+        FROM f""")),
+
+    Q(
+      "q321_synthetic_control",
+      "SYNTHETIC-CONTROL counterfactual for nation 0 — the causal " +
+        "estimator for ONE treated unit where q259's diff-in-diff has " +
+        "millions (Abadie's design, public-textbook): split order " +
+        "months at the fixture midpoint ((min+max) div 2 over " +
+        "year*12+month — q259's closed-form split on the month " +
+        "domain), compute each nation's PRE and POST mean order value " +
+        "in exact micro-cents (sum*1e6 div n, floors composed " +
+        "deterministically — the q259 convention), weight every DONOR " +
+        "nation by inverse pre-period distance to the treated nation " +
+        "(w_d = 1e12 div (1e6 + |pre_d - pre_t|) — closer pre-trends " +
+        "dominate the synthetic twin), and the counterfactual is the " +
+        "weighted donor post mean Σ(w_d·post_d) div Σ(w_d) (the " +
+        "product sum crosses int64, carried as DECIMAL(38) internally " +
+        "and emitted BIGINT — bounded by the price scale, the q259 " +
+        "rendering rule). effect = post_t − counterfactual. Plan: one " +
+        "orders→customer equi-join (the only row-scale shuffle; " +
+        "co-partitionable on custkey at 100 TB), one aggregate to the " +
+        "50-cell (nation, period) domain with map-side partials, every " +
+        "weight/counterfactual step on the 25-row nation domain with " +
+        "broadcast treated scalars.",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.t(s, dir, "orders")
+          .select($"o_custkey",
+            (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey")
+        val mid = broadcast(p.agg(expr("(min(m) + max(m)) div 2").as("mid")))
+        val cells = p.join(cust, $"o_custkey" === $"c_custkey")
+          .crossJoin(mid)
+          .groupBy($"c_nationkey".as("nation"),
+            ($"m" > $"mid").cast("int").as("post"))
+          .agg(sum($"cents").as("s"), count(lit(1)).as("cnt"))
+        val means = cells
+          .groupBy($"nation")
+          .agg(
+            expr("cast(cast(sum(CASE WHEN post = 0 THEN s END) as " +
+              "decimal(38,0)) * 1000000 div " +
+              "sum(CASE WHEN post = 0 THEN cnt END) as bigint)")
+              .as("pre_micros"),
+            expr("cast(cast(sum(CASE WHEN post = 1 THEN s END) as " +
+              "decimal(38,0)) * 1000000 div " +
+              "sum(CASE WHEN post = 1 THEN cnt END) as bigint)")
+              .as("post_micros"))
+        val treated = broadcast(means.filter($"nation" === 0)
+          .select($"pre_micros".as("t_pre"), $"post_micros".as("t_post")))
+        means.filter($"nation" =!= 0).crossJoin(treated)
+          .select($"nation", $"pre_micros", $"post_micros",
+            $"t_pre", $"t_post",
+            expr("1000000000000 div (1000000 + abs(pre_micros - t_pre))")
+              .as("w"))
+          .agg(
+            count(lit(1)).as("n_donors"),
+            first($"t_pre").as("t_pre_micros"),
+            first($"t_post").as("t_post_micros"),
+            expr("cast(sum(cast(w as decimal(38,0)) * post_micros) div " +
+              "sum(cast(w as decimal(38,0))) as bigint)").as("cf_micros"))
+          .select($"n_donors", $"t_pre_micros", $"t_post_micros",
+            $"cf_micros",
+            ($"t_post_micros" - $"cf_micros").as("effect_micros"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT o_custkey,
+                 year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        mid AS (SELECT (min(m) + max(m)) // 2 AS mid FROM p),
+        cells AS (
+          SELECT c.c_nationkey AS nation,
+                 CASE WHEN p.m > mid.mid THEN 1 ELSE 0 END AS post,
+                 sum(p.cents) AS s, count(*) AS cnt
+          FROM p JOIN customer c ON p.o_custkey = c.c_custkey
+          CROSS JOIN mid
+          GROUP BY 1, 2),
+        means AS (
+          SELECT nation,
+                 CAST(sum(CASE WHEN post = 0 THEN s END) * 1000000 //
+                   sum(CASE WHEN post = 0 THEN cnt END) AS BIGINT)
+                   AS pre_micros,
+                 CAST(sum(CASE WHEN post = 1 THEN s END) * 1000000 //
+                   sum(CASE WHEN post = 1 THEN cnt END) AS BIGINT)
+                   AS post_micros
+          FROM cells GROUP BY nation),
+        t AS (SELECT pre_micros AS t_pre, post_micros AS t_post
+              FROM means WHERE nation = 0),
+        d AS (
+          SELECT m.nation, m.pre_micros, m.post_micros, t.t_pre, t.t_post,
+                 1000000000000 // (1000000 + abs(m.pre_micros - t.t_pre))
+                   AS w
+          FROM means m CROSS JOIN t WHERE m.nation <> 0)
+        SELECT CAST(count(*) AS BIGINT) AS n_donors,
+               CAST(any_value(t_pre) AS BIGINT) AS t_pre_micros,
+               CAST(any_value(t_post) AS BIGINT) AS t_post_micros,
+               CAST(sum(w * post_micros) // sum(w) AS BIGINT) AS cf_micros,
+               CAST(any_value(t_post) - sum(w * post_micros) // sum(w)
+                 AS BIGINT) AS effect_micros
+        FROM d"""))
   )
 }
 

@@ -1568,7 +1568,192 @@ object FeaturePlatform extends QueryModule {
                (pr.n_ab * 1000000) // na.n_a AS conf_ppm
         FROM pr JOIN na ON pr.ant = na.ant
         ORDER BY conf_ppm DESC, pr.ant, pr.cons
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    Q(
+      "q318_cohen_kappa",
+      "INTER-ANNOTATOR AGREEMENT (Cohen's kappa) — the labeled-data QA " +
+        "gate every supervised pipeline needs before it trusts its " +
+        "labels: two deterministic 'raters' label each document good/bad " +
+        "(rater A: n_chars >= 306, the fixture median length; rater B: " +
+        "distinct-token richness >= 40% — integer cross-multiplied, no " +
+        "division), and kappa corrects their raw agreement for chance: " +
+        "kappa = (po - pe)/(1 - pe) computed EXACTLY as the integer " +
+        "rational (N*agree - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0)) " +
+        "— numerator and denominator are plain products of the four " +
+        "confusion cells, so the ppm rendering needs only the one " +
+        "sign-extracted floor div (the fixture raters ANTI-correlate: " +
+        "kappa ~ -0.68, so the negative-division path is exercised, not " +
+        "just compiled). Plan: one row-scale projection computes both " +
+        "labels in the same pass (richness via array_distinct size — " +
+        "codegen'd, no explode), one aggregate to the 4-cell confusion " +
+        "domain with map-side partials, O(1) arithmetic after. At " +
+        "100 TB: a billion labeled docs reduce to four counters.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        Tables.t(s, dir, "documents")
+          .select(
+            when($"n_chars" >= 306, 1L).otherwise(0L).as("a"),
+            when(size(array_distinct(t)) * 10 >= size(t) * 4, 1L)
+              .otherwise(0L).as("b"))
+          .agg(
+            count(when($"a" === 0 && $"b" === 0, 1)).as("n00"),
+            count(when($"a" === 0 && $"b" === 1, 1)).as("n01"),
+            count(when($"a" === 1 && $"b" === 0, 1)).as("n10"),
+            count(when($"a" === 1 && $"b" === 1, 1)).as("n11"))
+          .select($"n00", $"n01", $"n10", $"n11",
+            expr("(n00 + n01 + n10 + n11)").as("n"),
+            expr("((n00 + n11) * 1000000) div (n00 + n01 + n10 + n11)")
+              .as("po_ppm"),
+            expr("(((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))" +
+              " * 1000000) div ((n00 + n01 + n10 + n11) * " +
+              "(n00 + n01 + n10 + n11))").as("pe_ppm"),
+            expr("CASE WHEN (n00+n01+n10+n11)*(n00+n11) - " +
+              "((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10)) >= 0 THEN 1 " +
+              "ELSE -1 END * (abs((n00+n01+n10+n11)*(n00+n11) - " +
+              "((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10))) * 1000000 " +
+              "div ((n00+n01+n10+n11)*(n00+n01+n10+n11) - " +
+              "((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10))))")
+              .as("kappa_ppm"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END AS a,
+                 CASE WHEN len(list_distinct(list_filter(
+                        string_split(trim(text), ' '), x -> x <> ''))) * 10
+                      >= len(list_filter(string_split(trim(text), ' '),
+                        x -> x <> '')) * 4
+                      THEN 1 ELSE 0 END AS b
+          FROM documents),
+        c AS (
+          SELECT count(*) FILTER (a = 0 AND b = 0) AS n00,
+                 count(*) FILTER (a = 0 AND b = 1) AS n01,
+                 count(*) FILTER (a = 1 AND b = 0) AS n10,
+                 count(*) FILTER (a = 1 AND b = 1) AS n11
+          FROM r)
+        SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+               CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+               CAST(n00 + n01 + n10 + n11 AS BIGINT) AS n,
+               CAST(((n00 + n11) * 1000000) // (n00 + n01 + n10 + n11)
+                 AS BIGINT) AS po_ppm,
+               CAST((((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))
+                 * 1000000) // ((n00 + n01 + n10 + n11) *
+                 (n00 + n01 + n10 + n11)) AS BIGINT) AS pe_ppm,
+               CAST((CASE WHEN (n00+n01+n10+n11)*(n00+n11) -
+                 ((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10)) >= 0 THEN 1
+                 ELSE -1 END) * (abs((n00+n01+n10+n11)*(n00+n11) -
+                 ((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10))) * 1000000
+                 // ((n00+n01+n10+n11)*(n00+n01+n10+n11) -
+                 ((n10+n11)*(n01+n11) + (n00+n01)*(n00+n10))))
+                 AS BIGINT) AS kappa_ppm
+        FROM c""")),
+
+    Q(
+      "q319_brier_decomposition",
+      "BRIER SCORE with MURPHY DECOMPOSITION (reliability - resolution " +
+        "+ uncertainty) — the single-number probabilistic-forecast audit " +
+        "q228's reliability diagram feeds: each click carries a " +
+        "deterministic forecast p = (cents mod 10000) basis points, its " +
+        "outcome is q228's forward-24h conversion flag (the shared " +
+        "clickConversions leg — one definition of 'converted' across " +
+        "the calibration family), forecasts bin by decile. Brier " +
+        "expands to (Σp² - 2Σpo + Σo)/N over INTEGER basis-point sums; " +
+        "REL and RES expand to per-bin integer numerators " +
+        "((Σp_k - 10^4·conv_k)² / n_k and (conv_k·N - n_k·conv)² / n_k " +
+        "— exact bigint differences squared as IEEE doubles, correctly " +
+        "rounded identically on both engines), UNC = conv(N-conv)/N². " +
+        "The murphy_check column re-derives Brier from the three " +
+        "components (round-6 of the double gap): a drifting " +
+        "implementation flips it nonzero and goes driver-red. Plan: one " +
+        "row-scale pass to 10 bins with map-side partials, O(1) after; " +
+        "the conversion flag rides the same user-keyed semi join as " +
+        "q228 — no new shuffle shape. 100 TB: ten counters per " +
+        "executor, a 10-row reduce.",
+      (s, dir) => {
+        import s.implicits._
+        val scored = clickConversions(s, dir)
+          .select((($"cents" % 10000L + 10000L) % 10000L).as("p_bp"),
+            $"conv")
+        val bins = scored
+          .groupBy(expr("p_bp div 1000").as("bin"))
+          .agg(count(lit(1)).as("n_k"), sum($"p_bp").as("sp_k"),
+            sum($"p_bp" * $"p_bp").as("spp_k"),
+            sum($"p_bp" * $"conv").as("spo_k"), sum($"conv").as("c_k"))
+          .localCheckpoint(true) // 10-row frame feeds two consumers
+        // squares written as products, never pow(x, 2): IEEE multiply is
+        // correctly rounded and identical on both engines; pow may not be
+        val relTerm = ($"sp_k" / 10000.0 - $"c_k") *
+          ($"sp_k" / 10000.0 - $"c_k") / $"n_k"
+        val resAgg = "aggregate(cells, cast(0.0 as double), (acc, x) -> " +
+          "acc + cast(x.c_k * n - x.n_k * c as double) * " +
+          "cast(x.c_k * n - x.n_k * c as double) / x.n_k) / " +
+          "(cast(n as double) * n * n)"
+        bins
+          .agg(sum($"n_k").as("n"), sum($"sp_k").as("sp"),
+            sum($"spp_k").as("spp"), sum($"spo_k").as("spo"),
+            sum($"c_k").as("c"), sum(relTerm).as("rel_n"))
+          .crossJoin(broadcast(bins
+            .agg(collect_list(struct($"n_k", $"c_k")).as("cells"))))
+          .select($"n", $"c",
+            round(($"spp" / 1e8 - lit(2) * $"spo" / 1e4 + $"c") / $"n", 6)
+              .as("brier"),
+            round($"rel_n" / $"n", 6).as("reliability"),
+            round(expr(resAgg), 6).as("resolution"),
+            round($"c" * ($"n" - $"c") / ($"n" * $"n".cast("double")), 6)
+              .as("uncertainty"),
+            round(abs(
+              ($"rel_n" / $"n" - expr(resAgg)
+                + $"c" * ($"n" - $"c") / ($"n" * $"n".cast("double")))
+                - ($"spp" / 1e8 - lit(2) * $"spo" / 1e4 + $"c") / $"n"), 6)
+              .as("murphy_check"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        c AS (SELECT user_id, event_id, us, cents
+              FROM e WHERE event_type = 'click'),
+        conv AS (
+          SELECT DISTINCT c.event_id FROM c
+          JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+                  AND p.us > c.us AND p.us - c.us <= 86400000000),
+        s AS (
+          SELECT ((cents % 10000) + 10000) % 10000 AS p_bp,
+                 CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END AS o
+          FROM c LEFT JOIN conv ON c.event_id = conv.event_id),
+        bins AS (
+          SELECT p_bp // 1000 AS bin, count(*) AS n_k,
+                 sum(p_bp) AS sp_k, sum(p_bp * p_bp) AS spp_k,
+                 sum(p_bp * o) AS spo_k, sum(o) AS c_k
+          FROM s GROUP BY 1),
+        tot AS (
+          SELECT sum(n_k) AS n, sum(spp_k) AS spp, sum(spo_k) AS spo,
+                 sum(c_k) AS c,
+                 sum((sp_k / 10000.0 - c_k) * (sp_k / 10000.0 - c_k)
+                   / n_k) AS rel_n
+          FROM bins),
+        res AS (
+          SELECT sum(CAST(b.c_k * t.n - b.n_k * t.c AS DOUBLE) *
+                     CAST(b.c_k * t.n - b.n_k * t.c AS DOUBLE)
+                     / b.n_k) AS res_n
+          FROM bins b CROSS JOIN tot t)
+        SELECT CAST(t.n AS BIGINT) AS n, CAST(t.c AS BIGINT) AS c,
+               round((t.spp / 1e8 - 2 * t.spo / 1e4 + t.c) / t.n, 6)
+                 AS brier,
+               round(t.rel_n / t.n, 6) AS reliability,
+               round(r.res_n / (CAST(t.n AS DOUBLE) * t.n * t.n), 6)
+                 AS resolution,
+               round(t.c * (t.n - t.c) / (CAST(t.n AS DOUBLE) * t.n), 6)
+                 AS uncertainty,
+               round(abs((t.rel_n / t.n
+                 - r.res_n / (CAST(t.n AS DOUBLE) * t.n * t.n)
+                 + t.c * (t.n - t.c) / (CAST(t.n AS DOUBLE) * t.n))
+                 - (t.spp / 1e8 - 2 * t.spo / 1e4 + t.c) / t.n), 6)
+                 AS murphy_check
+        FROM tot t CROSS JOIN res r"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
@@ -1580,6 +1765,22 @@ object FeaturePlatform extends QueryModule {
     * SEMI join with the 24 h residual band; the band rollup collapses
     * the 10-row domain map-side. */
   def bandedConversions(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    clickConversions(s, dir)
+      .select(expr("cents div 10000").as("band"), $"conv")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_clicks"), sum($"conv").as("n_converted"))
+  }
+
+  /** The per-click conversion ground truth under the banded rollup:
+    * every click with its value cents and a 0/1 `conv` flag — converted
+    * iff the same user purchases within the FORWARD 24 h window (a
+    * user-keyed LEFT SEMI join with the 24 h residual band). Shared by
+    * [[bandedConversions]] (q228/q285's band rollup) and q319's Brier
+    * decomposition so 'converted' has exactly one definition across the
+    * calibration family. */
+  def clickConversions(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val ev = Tables.t(s, dir, "events")
@@ -1597,9 +1798,7 @@ object FeaturePlatform extends QueryModule {
     clicks
       .join(converted.select($"event_id".as("cid")),
         $"event_id" === $"cid", "left")
-      .select(expr("cents div 10000").as("band"),
+      .select($"event_id", $"cents",
         when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
-      .groupBy($"band")
-      .agg(count(lit(1)).as("n_clicks"), sum($"conv").as("n_converted"))
   }
 }
