@@ -375,9 +375,68 @@ object Dedup extends QueryModule {
     * Readers pass a glob over the root's subdirectories as the index
     * path. */
   def addSignatureIndexBatch(batch: DataFrame, indexRoot: String,
-      batchKey: String, k: Int = 64): Unit =
+      batchKey: String, k: Int = 64): Unit = {
+    // a key already folded into base by [[compactSignatureIndex]] is a
+    // NO-OP: rewriting its subdirectory would duplicate every signature
+    // compaction just moved (the replay-of-a-compacted-batch case the
+    // IVF index handles identically)
+    if (foldedSignatureKeys(batch.sparkSession, indexRoot)
+      .contains(batchKey)) return
     signatureIndex(batch, k).write.mode("overwrite")
       .parquet(s"$indexRoot/$batchKey")
+  }
+
+  /** Batch keys already folded into `base` — kept in a SIBLING directory
+    * (`<root>_folded_batches`) so the data glob `<root>/ * ` can never
+    * pick the manifest up as a malformed signature file. Empty until the
+    * first compaction. */
+  def foldedSignatureKeys(s: SparkSession, indexRoot: String): Set[String] = {
+    import s.implicits._
+    val p = java.nio.file.Paths.get(s"${indexRoot}_folded_batches")
+    if (!java.nio.file.Files.exists(p)) Set.empty
+    else s.read.parquet(p.toString).as[String].collect().toSet
+  }
+
+  /** MAINTENANCE: fold every batch subdirectory of the signature index
+    * back into ONE `base` — the q305 compaction applied to the dedup
+    * stack's own layout (a year of daily adds is 365 subdirectories of
+    * small files, and every `<root>/ * ` glob read pays their listing +
+    * footer costs forever). The signature multiset is preserved exactly
+    * (incremental-dedup output is bit-identical across the fold); the
+    * rewrite lands in a sibling temp dir and swaps in by directory
+    * rename, so a crash mid-compaction loses nothing; folded keys are
+    * then appended to the manifest so a late REPLAY of a folded batch
+    * stays a no-op ([[addSignatureIndexBatch]]) instead of
+    * re-duplicating vectors that now live in base. Returns folded keys. */
+  def compactSignatureIndex(s: SparkSession, indexRoot: String,
+      targetFiles: Int = 1): Seq[String] = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val rootP = java.nio.file.Paths.get(indexRoot)
+    val keys = {
+      val st = java.nio.file.Files.list(rootP)
+      try st.iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(n => n != "base" && !n.startsWith("_") && !n.startsWith("."))
+        .toSeq.sorted
+      finally st.close()
+    }
+    if (keys.isEmpty) return Nil
+    val tmp = java.nio.file.Paths.get(s"${indexRoot}_compacting")
+    // targetFiles sizes the rewrite: 1 at fixture scale, index_bytes /
+    // maxPartitionBytes for a real deployment (the q268 sizing rule)
+    s.read.parquet(s"$indexRoot/*")
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(s"$tmp/base")
+    val old = java.nio.file.Paths.get(s"${indexRoot}_precompact")
+    java.nio.file.Files.move(rootP, old)
+    java.nio.file.Files.move(tmp, rootP)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    keys.toDF("batch_key").coalesce(1)
+      .write.mode("append").parquet(s"${indexRoot}_folded_batches")
+    keys
+  }
 
   /** Incremental near-dup: dedup an ARRIVING batch against the persisted
     * corpus index without recomputing anything historical — the access
@@ -1642,6 +1701,60 @@ object Dedup extends QueryModule {
         u AS (SELECT * FROM r4b16 UNION ALL SELECT * FROM r2b32)
         SELECT config, s_tenths, collide_ppm,
                collide_ppm >= 500000 AS candidate_at_half
-        FROM u ORDER BY config, s_tenths"""))
+        FROM u ORDER BY config, s_tenths""")),
+
+    Q(
+      "q323_signature_index_compaction",
+      "SIGNATURE-INDEX COMPACTION — q305's maintenance op applied to " +
+        "the dedup stack's own persisted layout, completing the " +
+        "build/add/compact lifecycle on BOTH index families: the daily " +
+        "loop (q119/q128) leaves one subdirectory per added batch, so " +
+        "a year of adds is 365 directories of small files every " +
+        "glob-read search pays for; compactSignatureIndex folds them " +
+        "into one base (rename-swapped — the old index survives a " +
+        "crash mid-fold), records the folded keys in a SIBLING " +
+        "manifest the data glob can't mistake for signatures, and " +
+        "addSignatureIndexBatch turns a late replay of a folded key " +
+        "into a NO-OP (a blind rewrite would re-duplicate every " +
+        "signature the fold just moved). This query builds history + " +
+        "two daily adds, runs the q119 incremental dedup against the " +
+        "index BEFORE the fold, compacts, reruns it, replays a folded " +
+        "add, and emits the codec-independent audit: folds counted, " +
+        "dedup output bit-identical, signature rows conserved, replay " +
+        "a no-op — each pinned by a constant-expectation oracle " +
+        "(q317's restricted-oracle pattern), so any regression flips " +
+        "a boolean and goes driver-red. File-count strict drop (codec-" +
+        "specific) is asserted in IncrementalDedupSpec instead.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val root = graft.TempRoots.freshForDir("graft_sigcmp", dir).toString
+        writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), s"$root/base")
+        addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
+          root, "day1")
+        addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 10),
+          root, "day2")
+        val probe = docs.filter($"doc_id" % 20 === 10)
+        def dedup() = incrementalNeardupPairs(s, s"$root/*", probe, 0.8)
+          .collect().toSeq
+        def rows() = s.read.parquet(s"$root/*").count()
+        val (pairsBefore, rowsBefore) = (dedup(), rows())
+        val folded = compactSignatureIndex(s, root)
+        val (pairsAfter, rowsAfter) = (dedup(), rows())
+        addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
+          root, "day1") // replay of a folded key — must be a no-op
+        val rowsReplay = rows()
+        Seq((folded.size.toLong,
+          pairsBefore.toSet == pairsAfter.toSet &&
+            pairsBefore.size == pairsAfter.size,
+          rowsBefore == rowsAfter, rowsReplay == rowsAfter))
+          .toDF("batches_folded", "pairs_unchanged", "rows_conserved",
+            "replay_noop")
+      },
+      Some("""
+        SELECT CAST(2 AS BIGINT) AS batches_folded,
+               true AS pairs_unchanged,
+               true AS rows_conserved,
+               true AS replay_noop"""))
   )
 }

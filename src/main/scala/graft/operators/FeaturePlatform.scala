@@ -1753,7 +1753,76 @@ object FeaturePlatform extends QueryModule {
                  + t.c * (t.n - t.c) / (CAST(t.n AS DOUBLE) * t.n))
                  - (t.spp / 1e8 - 2 * t.spo / 1e4 + t.c) / t.n), 6)
                  AS murphy_check
-        FROM tot t CROSS JOIN res r"""))
+        FROM tot t CROSS JOIN res r""")),
+
+    Q(
+      "q322_loo_target_encoding",
+      "LEAVE-ONE-OUT TARGET ENCODING — the leakage-free variant of " +
+        "q237: a row's own label must not leak into its own feature " +
+        "(q237's enc(c) includes row i in S_c, so the feature 'knows' " +
+        "y_i — the classic target-leak that inflates offline metrics " +
+        "and dies in production; q183's temporal-split argument applied " +
+        "to a FEATURE). LOO drops self: enc_i(c) = (S_c - y_i + " +
+        "m*prior)/(n_c - 1 + m). The key plan insight: within a " +
+        "category the LOO encoding takes exactly TWO values (one per " +
+        "label), so the full row-scale feature reduces without loss to " +
+        "the (cat, y) domain — emitted per cell: row count, the exact " +
+        "cross-multiplied loo_bp (the q237 rendering), q237's leaky " +
+        "enc_bp beside it, and leak_gap_bp = enc - loo per label (the " +
+        "gap's SIGN flips between y=0 and y=1 rows — the signature of " +
+        "self-leak). Plan: identical shape to q237 (one cat aggregate, " +
+        "1-row broadcast prior), then the 2x|cats| cell expansion — " +
+        "O(1) arithmetic after; a billion rows reduce to 20 cells.",
+      (s, dir) => {
+        import s.implicits._
+        val g = Tables.t(s, dir, "events")
+          .select(
+            expr("cast(get_json_object(props, '$.k') as bigint) div 10")
+              .as("cat"),
+            when($"event_type" === "purchase", 1L).otherwise(0L).as("y"))
+          .groupBy($"cat")
+          .agg(count(lit(1)).as("n_c"), sum($"y").as("s_c"))
+        g.crossJoin(broadcast(
+            g.agg(sum($"n_c").as("n"), sum($"s_c").as("s"))))
+          .select($"cat", explode(array(lit(0L), lit(1L))).as("y"),
+            $"n_c", $"s_c", $"n", $"s")
+          .filter(when($"y" === 1, $"s_c" > 0)
+            .otherwise($"n_c" - $"s_c" > 0))
+          .select($"cat", $"y",
+            when($"y" === 1, $"s_c").otherwise($"n_c" - $"s_c")
+              .as("n_rows"),
+            expr("((s_c * n + 100 * s) * 10000) div ((n_c + 100) * n)")
+              .as("enc_bp"),
+            expr("(((s_c - y) * n + 100 * s) * 10000) div " +
+              "((n_c - 1 + 100) * n)").as("loo_bp"))
+          .withColumn("leak_gap_bp", $"enc_bp" - $"loo_bp")
+          .orderBy($"cat", $"y")
+      },
+      Some("""
+        WITH g AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+                   AS cat,
+                 CAST(count(*) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_c
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                     CAST(sum(s_c) AS BIGINT) AS s FROM g),
+        cells AS (
+          SELECT cat, y, n_c, s_c, n, s
+          FROM g, t, (SELECT unnest([0, 1]) AS y)
+          WHERE CASE WHEN y = 1 THEN s_c > 0 ELSE n_c - s_c > 0 END)
+        SELECT cat, CAST(y AS BIGINT) AS y,
+               CAST(CASE WHEN y = 1 THEN s_c ELSE n_c - s_c END AS BIGINT)
+                 AS n_rows,
+               CAST(((s_c * n + 100 * s) * 10000) // ((n_c + 100) * n)
+                 AS BIGINT) AS enc_bp,
+               CAST((((s_c - y) * n + 100 * s) * 10000) //
+                 ((n_c - 1 + 100) * n) AS BIGINT) AS loo_bp,
+               CAST(((s_c * n + 100 * s) * 10000) // ((n_c + 100) * n)
+                 - (((s_c - y) * n + 100 * s) * 10000) //
+                   ((n_c - 1 + 100) * n) AS BIGINT) AS leak_gap_bp
+        FROM cells ORDER BY cat, y"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

@@ -599,6 +599,91 @@ object SequentialOps extends QueryModule {
                count(*) AS n_days,
                CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
                CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
+        FROM j GROUP BY dow ORDER BY dow""")),
+
+    Q(
+      "q324_brown_trend_forecast",
+      "BROWN'S DOUBLE-EXPONENTIAL TREND FORECAST — the trend-aware " +
+        "rung above q297's flat EWMA (which lags every ramp by " +
+        "construction): smooth the daily series twice with q297's " +
+        "dyadic alpha=1/2 kernel (S1 over actuals, S2 over S1 — both " +
+        "the SAME 10-day power-of-two unroll, truncation documented " +
+        "there) and forecast f = 2*S1 - S2 + (S1 - S2) = 3*S1 - 2*S2 " +
+        "(the level-plus-trend identity at alpha=1/2). Carried EXACTLY " +
+        "as integer rationals over the fixed denominators 1023 and " +
+        "1023^2 — f's numerator 3*1023*num1 - 2*num2 is the ONE signed " +
+        "quantity (a sharp decline makes the trend extrapolate below " +
+        "zero), so its div pulls the sign out (the cross-engine " +
+        "truncate-vs-floor rule). Per-weekday MAE in cents lands " +
+        "beside q297's and q239's for the three-way which-baseline-" +
+        "wins read. Plan: one row-scale day aggregate, then TWO chained " +
+        "10-way calendar self-joins on the <=31-row day domain — " +
+        "bounded work at any data scale.",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+          .localCheckpoint(true) // <=31-row day domain, three consumers
+        val ks = Seq.range(1, 11).toDF("k")
+        def smooth(src: org.apache.spark.sql.DataFrame, in: String,
+            out: String) = src
+          .crossJoin(ks)
+          .select(date_add($"d", $"k").as("d"),
+            (expr("cast(shiftleft(1, 10 - k) as bigint)") * col(in))
+              .as("w_num"),
+            expr("cast(shiftleft(1, 10 - k) as bigint)").as("w"))
+          .groupBy($"d")
+          .agg(sum($"w_num").as(out), sum($"w").as("den"))
+          .filter($"den" === 1023).drop("den")
+        val s1 = smooth(daily, "cents", "num1").localCheckpoint(true)
+        val s2 = smooth(s1, "num1", "num2")
+        val fc = s1.join(s2, Seq("d"))
+          .select($"d",
+            expr("CASE WHEN 3 * 1023 * num1 - 2 * num2 >= 0 THEN 1 " +
+              "ELSE -1 END * (abs(3 * 1023 * num1 - 2 * num2) div " +
+              "1046529)").as("forecast_cents"))
+        daily.join(fc, Seq("d"))
+          .select((weekday($"d") + 1).as("dow"),
+            abs($"cents" - $"forecast_cents").as("abs_err"))
+          .groupBy($"dow")
+          .agg(count(lit(1)).as("n_days"), sum($"abs_err").as("sum_abs_err"),
+            expr("sum(abs_err) div count(1)").as("mae_cents"))
+          .orderBy($"dow")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        ks AS (SELECT unnest(range(1, 11)) AS k),
+        s1 AS (
+          SELECT d + CAST(k AS INTEGER) AS d,
+                 CAST(sum((1 << (10 - k)) * cents) AS BIGINT) AS num1
+          FROM daily, ks GROUP BY 1
+          HAVING CAST(sum(1 << (10 - k)) AS BIGINT) = 1023),
+        s2 AS (
+          SELECT d + CAST(k AS INTEGER) AS d,
+                 CAST(sum((1 << (10 - k)) * num1) AS BIGINT) AS num2
+          FROM s1, ks GROUP BY 1
+          HAVING CAST(sum(1 << (10 - k)) AS BIGINT) = 1023),
+        fc AS (
+          SELECT s1.d,
+                 (CASE WHEN 3 * 1023 * num1 - 2 * num2 >= 0 THEN 1
+                   ELSE -1 END)
+                 * (abs(3 * 1023 * num1 - 2 * num2) // 1046529)
+                   AS forecast_cents
+          FROM s1 JOIN s2 ON s1.d = s2.d),
+        j AS (
+          SELECT isodow(daily.d) AS dow,
+                 abs(daily.cents - fc.forecast_cents) AS abs_err
+          FROM daily JOIN fc ON daily.d = fc.d)
+        SELECT CAST(dow AS INTEGER) AS dow,
+               count(*) AS n_days,
+               CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+               CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
         FROM j GROUP BY dow ORDER BY dow"""))
   )
 }

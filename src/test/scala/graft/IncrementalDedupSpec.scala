@@ -108,4 +108,45 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"false-positive rate way above fpp: $nCand candidates for " +
         s"${trueDups.size} true dups in a $nBatch-row batch")
   }
+
+  test("q323 compaction: file count strictly drops, dedup bit-identical " +
+    "across the fold, folded replay is a no-op, and a NEW batch key " +
+    "still adds") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sfDir, "documents")
+    val root = TempRoots.freshForDir("graft_sigcmp_spec", sfDir).toString
+    Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+      s"$root/base")
+    Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
+      root, "day1")
+    Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 10),
+      root, "day2")
+    def files(): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")).toLong
+      } finally walk.close()
+    }
+    val probe = docs.filter($"doc_id" % 20 === 10)
+    def dedup() = Dedup.incrementalNeardupPairs(spark, s"$root/*", probe, 0.8)
+      .orderBy($"d1", $"d2").collect().toSeq
+    val (before, fb) = (dedup(), files())
+    val folded = Dedup.compactSignatureIndex(spark, root)
+    assert(folded == Seq("day1", "day2"))
+    val fa = files()
+    assert(fa < fb, s"compaction must strictly drop files: $fb -> $fa")
+    assert(dedup() == before, "dedup output changed across the fold")
+    // folded replay: no-op (manifest-gated)
+    Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
+      root, "day1")
+    assert(files() == fa, "replay of a folded key must write nothing")
+    // a NEW key after compaction still adds normally
+    val rowsBefore = spark.read.parquet(s"$root/*").count()
+    Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 5),
+      root, "day3")
+    assert(spark.read.parquet(s"$root/*").count() > rowsBefore,
+      "a new batch key must still extend the index after compaction")
+  }
 }
