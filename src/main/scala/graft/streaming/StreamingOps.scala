@@ -1663,6 +1663,68 @@ object StreamingOps extends QueryModule {
         Similarity.knnIvfPersisted(s, root,
           e.filter($"vec_id" < 8), k = 5, nprobe = 2)
       },
-      None)
+      None),
+
+    Q(
+      "q325_stream_signature_maintenance",
+      "SELF-MAINTAINING STREAMING SIGNATURE INDEX — q313's lifecycle " +
+        "closure applied to the DEDUP index family: q128's daily loop " +
+        "(dedup each arriving micro-batch against the persisted " +
+        "signature index, then append the batch's own signatures) with " +
+        "q323's compaction wired in as the automatic maintenance " +
+        "policy (subdirectory count > 1 → fold into base mid-stream, so " +
+        "the THIRD batch's dedup genuinely reads the folded index). " +
+        "Unlike q128's single-trigger drive, the arriving docs are " +
+        "range-split into THREE files consumed one per micro-batch " +
+        "(maxFilesPerTrigger=1), so the policy genuinely fires between " +
+        "batches and later batches dedup against the COMPACTED index. " +
+        "The output is split-invariant by construction — a pair " +
+        "surfaces exactly once whenever its later doc's batch runs, " +
+        "compaction preserves the signature multiset, and a folded " +
+        "key's replay is a manifest no-op — so the full q119 Jaccard " +
+        "oracle applies UNCHANGED (the compaction is invisible in the " +
+        "answer, which is exactly the property worth pinning " +
+        "bit-exactly). IncrementalDedupSpec asserts the policy bounded " +
+        "the subdirectory count after the stream.",
+      (s, dir) => {
+        import graft.operators.Dedup
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val root = graft.TempRoots
+          .freshForDir("graft_sidx_auto", dir).toString
+        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+          s"$root/base")
+        val outRoot = graft.TempRoots
+          .freshForDir("graft_sdedup_auto_out", dir).toString
+        // three deterministic arrival files -> three micro-batches
+        val feed = graft.TempRoots
+          .freshForDir("graft_sidx_auto_feed", dir).toString
+        docs.filter($"doc_id" % 10 === 0)
+          .repartitionByRange(3, $"doc_id")
+          .write.mode("overwrite").parquet(feed)
+        def subdirs(): Int = new java.io.File(root).listFiles()
+          .count(f => f.isDirectory && f.getName != "base" &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        // schema from the feed's own footer (the round-7 rule: never
+        // hand a file stream a schema the footer doesn't confirm)
+        val arriving = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = arriving.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) =>
+              Dedup.incrementalNeardupPairs(s, s"$root/*", batch, 0.8)
+                .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
+              Dedup.addSignatureIndexBatch(batch, root, s"b$batchId")
+              if (subdirs() > 1) { Dedup.compactSignatureIndex(s, root); () }
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
+      },
+      Some(graft.operators.Dedup.jaccardOracle(0.8,
+        "d1 % 10 = 0 OR d2 % 10 = 0")))
   )
 }

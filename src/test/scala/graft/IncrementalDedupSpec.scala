@@ -149,4 +149,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/*").count() > rowsBefore,
       "a new batch key must still extend the index after compaction")
   }
+
+  test("q325 auto-maintenance: compaction really fired mid-stream and " +
+    "bounded the subdirectory count") {
+    SparkEntry.queries("q325_stream_signature_maintenance")(spark, sfDir)
+      .collect()
+    val root = TempRoots.forDir("graft_sidx_auto", sfDir).toString
+    val subdirs = new java.io.File(root).listFiles()
+      .count(f => f.isDirectory && f.getName != "base" &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    // three micro-batches at policy >1: fold after batch 2, batch 3's
+    // add stays — at most threshold subdirs survive the stream
+    assert(subdirs <= 1,
+      s"policy must bound batch subdirectories, found $subdirs")
+    assert(Dedup.foldedSignatureKeys(spark, root).nonEmpty,
+      "the folded-key manifest must record a mid-stream compaction")
+  }
 }
