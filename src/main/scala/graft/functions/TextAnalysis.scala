@@ -1552,7 +1552,89 @@ object TextAnalysis extends QueryModule {
                bytes * 100 // ws_tokens AS bytes_per_100ws,
                chars * 100 // bpeish_tokens AS chars_per_100bpeish,
                bytes * 100 // bpeish_tokens AS bytes_per_100bpeish
-        FROM g ORDER BY lang""")))
+        FROM g ORDER BY lang""")),
+
+    Q(
+      "q328_dataset_card",
+      "DATASET CARD — the per-source summary table a corpus ships " +
+        "with (the 'datasheet' every training-data release publishes), " +
+        "composed from the repo's own conventions in one result: doc " +
+        "count, whitespace-token mass (q53's convention), distinct " +
+        "languages, EXACT-duplICATE doc count (text appearing >= 2 " +
+        "times corpus-WIDE — q60's global key, deliberately not " +
+        "per-source: cross-source dups are the ones that matter), " +
+        "floor-truncated mean chars (q99's IEEE-identical rendering), " +
+        "and the majority language with deterministic ties (max count, " +
+        "then lang asc — max_by would tie-break engine-specifically). " +
+        "Plan: ONE row-scale source aggregate for the count/token/lang " +
+        "columns; the dup flag is a text-keyed self-aggregate (at " +
+        "100 TB the key becomes xxhash64(text) + verify-on-collision, " +
+        "q178's note) joined back as a LEFT SEMI per doc; top-lang " +
+        "ranks on the bounded (source x lang) domain. Three shuffles " +
+        "total, each on the natural key.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val base = docs.select($"doc_id", $"source", $"lang", $"n_chars",
+          size(filter(split(trim($"text"), " "), x => x =!= lit("")))
+            .cast("long").as("tk"), $"text")
+        val perSrc = base.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"tk").as("total_tokens"),
+            countDistinct($"lang").as("n_langs"),
+            (floor(sum($"n_chars") * 10000.0 / count(lit(1))) / 10000.0)
+              .as("avg_chars"))
+        val dupTexts = base.groupBy($"text")
+          .agg(count(lit(1)).as("n")).filter($"n" > 1).select($"text")
+        val dups = base.join(dupTexts, Seq("text"), "left_semi")
+          .groupBy($"source").agg(count(lit(1)).as("dup_docs"))
+        val topLang = base.groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"source").orderBy($"n".desc, $"lang")))
+          .filter($"rk" === 1)
+          .select($"source", $"lang".as("top_lang"))
+        perSrc
+          .join(dups, Seq("source"), "left")
+          .join(topLang, Seq("source"))
+          .select($"source", $"n_docs", $"total_tokens", $"n_langs",
+            coalesce($"dup_docs", lit(0L)).as("dup_docs"),
+            $"avg_chars", $"top_lang")
+          .orderBy($"source")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source, lang, n_chars,
+                 CAST(len(list_filter(string_split(trim(text), ' '),
+                   x -> x <> '')) AS BIGINT) AS tk,
+                 text
+          FROM documents),
+        per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(tk) AS BIGINT) AS total_tokens,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 floor(sum(n_chars) * 10000.0 / count(*)) / 10000.0
+                   AS avg_chars
+          FROM base GROUP BY source),
+        dup_texts AS (
+          SELECT text FROM base GROUP BY text HAVING count(*) > 1),
+        dups AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+          FROM base WHERE text IN (SELECT text FROM dup_texts)
+          GROUP BY source),
+        top_lang AS (
+          SELECT source, lang AS top_lang FROM (
+            SELECT source, lang, count(*) AS n,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY count(*) DESC, lang) AS rk
+            FROM base GROUP BY source, lang) WHERE rk = 1)
+        SELECT p.source, p.n_docs, p.total_tokens, p.n_langs,
+               CAST(coalesce(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+               p.avg_chars, t.top_lang
+        FROM per_src p
+        LEFT JOIN dups d ON p.source = d.source
+        JOIN top_lang t ON p.source = t.source
+        ORDER BY p.source""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

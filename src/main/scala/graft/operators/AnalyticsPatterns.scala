@@ -2867,7 +2867,147 @@ object AnalyticsPatterns extends QueryModule {
                CAST((p.w * 1000000) // 55 AS BIGINT) AS target_ppm,
                p.n_docs * 55 // p.w = p.t AS binding
         FROM plan p LEFT JOIN kept k ON p.band = k.band
-        ORDER BY p.band"""))
+        ORDER BY p.band""")),
+
+    Q(
+      "q326_largest_remainder_quota",
+      "LARGEST-REMAINDER (Hamilton) SHARD APPORTIONMENT — allocate " +
+        "EXACTLY 1000 training shards across sources proportional to " +
+        "token mass: q308's floor shares never sum to the total (the " +
+        "rounding gap q191's balanced shards paper over per shard); " +
+        "Hamilton closes it exactly — base_i = (tokens_i*1000) div T, " +
+        "and the L = 1000 - Σbase_i leftover shards go to the L " +
+        "largest remainders (tokens_i*1000 mod T, ties by source asc — " +
+        "deterministic on both engines). The allocation provably sums " +
+        "to 1000 (emitted as the total_check column — drift goes " +
+        "driver-red) with every source within 1 shard of its exact " +
+        "quota, which per-source flooring cannot guarantee. Plan: one " +
+        "row-scale (source) token aggregate with map-side partials, a " +
+        "1-row broadcast total, rank-the-remainders on the 20-row " +
+        "source domain — a billion docs reduce to one counter per " +
+        "source.",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.t(s, dir, "documents")
+          .select($"source",
+            size(filter(split(trim($"text"), " "), x => x =!= lit("")))
+              .cast("long").as("tk"))
+          .groupBy($"source").agg(sum($"tk").as("tokens"))
+        val t = broadcast(toks.agg(sum($"tokens").as("t")))
+        val w = Window.orderBy(
+          expr("(tokens * 1000) % t").desc, $"source".asc)
+        val alloc = toks.crossJoin(t)
+          .select($"source", $"tokens", $"t",
+            expr("(tokens * 1000) div t").as("base"),
+            expr("(tokens * 1000) % t").as("rem"))
+          .withColumn("rk", row_number().over(w))
+        alloc
+          .crossJoin(broadcast(alloc.agg(
+            (lit(1000L) - sum($"base")).as("leftover"))))
+          .select($"source", $"tokens", $"base",
+            when($"rk" <= $"leftover", 1L).otherwise(0L).as("extra"))
+          .withColumn("shards", $"base" + $"extra")
+          // unpartitioned window is fine HERE: it runs on the bounded
+          // 20-row source domain, never on rows
+          .withColumn("total_check",
+            sum($"shards").over(Window.partitionBy(lit(1))))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source,
+                 CAST(sum(len(list_filter(string_split(trim(text), ' '),
+                   x -> x <> ''))) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM toks),
+        a AS (
+          SELECT source, tokens,
+                 CAST((tokens * 1000) // t.t AS BIGINT) AS base,
+                 CAST((tokens * 1000) % t.t AS BIGINT) AS rem
+          FROM toks, t),
+        r AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source)
+                   AS BIGINT) AS rk,
+                 (SELECT 1000 - sum(base) FROM a) AS leftover
+          FROM a),
+        f AS (
+          SELECT source, tokens, base,
+                 CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS extra
+          FROM r)
+        SELECT source, tokens, base, CAST(extra AS BIGINT) AS extra,
+               CAST(base + extra AS BIGINT) AS shards,
+               CAST((SELECT sum(base + extra) FROM f) AS BIGINT)
+                 AS total_check
+        FROM f ORDER BY source""")),
+
+    Q(
+      "q327_cohort_ltv",
+      "COHORT LTV CURVE — the revenue continuation of q91's retention " +
+        "matrix: users cohorted by FIRST-purchase week (q91's " +
+        "year-qualified date_trunc('week') convention), each later " +
+        "purchase lands in its weekly age bucket (datediff div 7 — " +
+        "non-negative by construction, so floor == truncate and the " +
+        "div is engine-safe), and the curve is the RUNNING cumulative " +
+        "revenue per cohort with per-user LTV in exact floor cents " +
+        "(cum_cents div cohort_size). This is the table a " +
+        "payback-period decision reads row by row. Plan: one user_id " +
+        "aggregate for first-purchase (the only row-scale shuffle " +
+        "beyond the purchase scan), one (cohort, age) cell aggregate " +
+        "with map-side partials, then the cumulative window runs " +
+        "PARTITIONED BY COHORT on the bounded (weeks x ages) domain — " +
+        "never on rows. A billion users reduce to one row per " +
+        "(cohort week, age week).",
+      (s, dir) => {
+        import s.implicits._
+        val pur = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select($"user_id",
+            date_trunc("week", $"ts").cast("date").as("wk"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val first = pur.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+          .localCheckpoint(true) // feeds the cell grain AND cohort sizes
+        val cells = pur.join(first, Seq("user_id"))
+          .groupBy($"cohort_wk",
+            expr("cast(datediff(wk, cohort_wk) div 7 as bigint)")
+              .as("age_wk"))
+          .agg(sum($"cents").as("wk_cents"))
+        val sizes = first.groupBy($"cohort_wk")
+          .agg(count(lit(1)).as("cohort_size"))
+        cells.join(sizes, Seq("cohort_wk"))
+          .withColumn("cum_cents", sum($"wk_cents").over(
+            Window.partitionBy($"cohort_wk").orderBy($"age_wk")))
+          .select($"cohort_wk", $"age_wk", $"cohort_size",
+            $"wk_cents", $"cum_cents",
+            expr("cum_cents div cohort_size").as("ltv_cents"))
+          .orderBy($"cohort_wk", $"age_wk")
+      },
+      Some("""
+        WITH pur AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS wk,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        first AS (SELECT user_id, min(wk) AS cohort_wk
+                  FROM pur GROUP BY user_id),
+        cells AS (
+          SELECT f.cohort_wk,
+                 CAST(date_diff('day', f.cohort_wk, p.wk) // 7 AS BIGINT)
+                   AS age_wk,
+                 CAST(sum(p.cents) AS BIGINT) AS wk_cents
+          FROM pur p JOIN first f USING (user_id)
+          GROUP BY 1, 2),
+        sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT)
+                    AS cohort_size
+                  FROM first GROUP BY cohort_wk),
+        cum AS (
+          SELECT c.cohort_wk, c.age_wk, s.cohort_size, c.wk_cents,
+                 CAST(sum(c.wk_cents) OVER (PARTITION BY c.cohort_wk
+                   ORDER BY c.age_wk) AS BIGINT) AS cum_cents
+          FROM cells c JOIN sizes s USING (cohort_wk))
+        SELECT cohort_wk, age_wk, cohort_size, wk_cents, cum_cents,
+               CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents
+        FROM cum ORDER BY cohort_wk, age_wk"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
