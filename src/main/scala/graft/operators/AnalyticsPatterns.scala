@@ -2298,6 +2298,111 @@ object AnalyticsPatterns extends QueryModule {
         FROM g GROUP BY level ORDER BY level""")),
 
     Q(
+      "q329_t_closeness",
+      "T-CLOSENESS AUDIT (Li 2007 — the third rung of the privacy " +
+        "ladder after q283's k-anonymity and l-diversity, which both " +
+        "miss the SKEW attack: a group can be k-anonymous and l-diverse " +
+        "while its sensitive distribution still screams 'rich'): for " +
+        "every (nation, mktsegment) QI group, the Earth-Mover's " +
+        "Distance between the group's acctbal-band distribution and " +
+        "the GLOBAL one, computed EXACTLY on the ordered band domain — " +
+        "EMD = Σ|cumsum(P - Q)| / (m-1) becomes the integer " +
+        "Σ|cum(n_gb·N - n_g·N_b)| over denominator n_g·N·(m-1) " +
+        "(numerator carried as DECIMAL(38) for the ppm rendering — " +
+        "products cross int64 at web scale, the q208 rule; emitted " +
+        "BIGINT ppm). Summary: groups over the t = 0.3 bar, the rows " +
+        "they expose, and the worst group's distance. Plan: ONE " +
+        "row-scale (QI, band) aggregate with map-side partials; the " +
+        "dense group x band grid, the cumulative window (PARTITIONED " +
+        "by group, ordered by band), and the rollup all live on the " +
+        "<= 125 x 11 bounded domain — a billion customers reduce to " +
+        "one counter per cell.",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_nationkey".cast("long").as("qi1"),
+            $"c_mktsegment".as("qi2"),
+            expr("cast(floor(c_acctbal / 1000) as bigint)").as("sband"))
+        val cells = cust.groupBy($"qi1", $"qi2", $"sband")
+          .agg(count(lit(1)).as("n_gb"))
+          .localCheckpoint(true) // bounded cell frame, three consumers
+        val glob = cells.groupBy($"sband").agg(sum($"n_gb").as("n_b"))
+        val groups = cells.groupBy($"qi1", $"qi2")
+          .agg(sum($"n_gb").as("n_g"))
+        val tot = glob.agg(sum($"n_b").as("nn"),
+          count(lit(1)).as("m"))
+        val dense = groups
+          .crossJoin(broadcast(glob))
+          .join(cells, Seq("qi1", "qi2", "sband"), "left")
+          .na.fill(0L, Seq("n_gb"))
+          .crossJoin(broadcast(tot))
+        val w = Window.partitionBy($"qi1", $"qi2").orderBy($"sband")
+        val emd = dense
+          .withColumn("cum",
+            sum($"n_gb" * $"nn" - $"n_g" * $"n_b").over(w))
+          .groupBy($"qi1", $"qi2")
+          .agg(first($"n_g").as("n_g"), first($"nn").as("nn"),
+            first($"m").as("m"), sum(abs($"cum")).as("emd_num"))
+          .select($"qi1", $"qi2", $"n_g",
+            expr("cast(cast(emd_num as decimal(38,0)) * 1000000 div " +
+              "(n_g * nn * (m - 1)) as bigint)").as("emd_ppm"))
+        emd.agg(
+          count(lit(1)).as("n_groups"),
+          max($"emd_ppm").as("max_emd_ppm"),
+          sum(when($"emd_ppm" > 300000, 1L).otherwise(0L))
+            .as("groups_over_t"),
+          sum(when($"emd_ppm" > 300000, $"n_g").otherwise(0L))
+            .as("rows_over_t"))
+      },
+      Some("""
+        WITH cust AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS qi1,
+                 c_mktsegment AS qi2,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS sband
+          FROM customer),
+        cells AS (
+          SELECT qi1, qi2, sband, CAST(count(*) AS BIGINT) AS n_gb
+          FROM cust GROUP BY 1, 2, 3),
+        gband AS (
+          SELECT sband, CAST(sum(n_gb) AS BIGINT) AS n_b
+          FROM cells GROUP BY 1),
+        groups AS (
+          SELECT qi1, qi2, CAST(sum(n_gb) AS BIGINT) AS n_g
+          FROM cells GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n_b) AS BIGINT) AS nn,
+                       CAST(count(*) AS BIGINT) AS m FROM gband),
+        dense AS (
+          SELECT g.qi1, g.qi2, g.n_g, b.sband, b.n_b,
+                 CAST(coalesce(c.n_gb, 0) AS BIGINT) AS n_gb,
+                 t.nn, t.m
+          FROM groups g CROSS JOIN gband b
+          LEFT JOIN cells c
+            ON c.qi1 = g.qi1 AND c.qi2 = g.qi2 AND c.sband = b.sband
+          CROSS JOIN tot t),
+        emd AS (
+          SELECT qi1, qi2, any_value(n_g) AS n_g, any_value(nn) AS nn,
+                 any_value(m) AS m,
+                 CAST(sum(abs(cum)) AS BIGINT) AS emd_num
+          FROM (
+            SELECT qi1, qi2, n_g, nn, m,
+                   sum(n_gb * nn - n_g * n_b) OVER (
+                     PARTITION BY qi1, qi2 ORDER BY sband) AS cum
+            FROM dense)
+          GROUP BY qi1, qi2),
+        scored AS (
+          SELECT qi1, qi2, n_g,
+                 CAST((emd_num * 1000000) // (n_g * nn * (m - 1))
+                   AS BIGINT) AS emd_ppm
+          FROM emd)
+        SELECT count(*) AS n_groups,
+               CAST(max(emd_ppm) AS BIGINT) AS max_emd_ppm,
+               CAST(sum(CASE WHEN emd_ppm > 300000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS groups_over_t,
+               CAST(sum(CASE WHEN emd_ppm > 300000 THEN n_g ELSE 0 END)
+                 AS BIGINT) AS rows_over_t
+        FROM scored""")),
+
+    Q(
       "q288_join_size_estimate",
       "JOIN CARDINALITY ESTIMATION AUDIT — System R's textbook " +
         "|A|*|B|/max(ndv_a, ndv_b) uniform-key estimate (Selinger " +

@@ -1822,7 +1822,116 @@ object FeaturePlatform extends QueryModule {
                CAST(((s_c * n + 100 * s) * 10000) // ((n_c + 100) * n)
                  - (((s_c - y) * n + 100 * s) * 10000) //
                    ((n_c - 1 + 100) * n) AS BIGINT) AS leak_gap_bp
-        FROM cells ORDER BY cat, y"""))
+        FROM cells ORDER BY cat, y""")),
+
+    Q(
+      "q330_precision_recall_at_k",
+      "PRECISION@5 / RECALL@5 — completing the ranking-eval quartet " +
+        "(q224 hit rate, q235 MRR, q276 nDCG measure one rec list per " +
+        "ITEM; this grades one ranked list per USER, the form an " +
+        "online serving system actually emits): each user's top-5 " +
+        "recommendations score candidate items by SUMMED co-click " +
+        "counts over the user's train basket (q235's day-1-15 train / " +
+        "16-30 eval split and count-desc-item-asc determinism), train " +
+        "items excluded from their own recs; relevant = the user's " +
+        "test basket. Per-user P@5 = hits*1e6 div 5 and R@5 = " +
+        "hits*1e6 div |test| in exact ppm, averaged over the eval " +
+        "population (users with BOTH baskets) by a second exact div — " +
+        "the two-level floor composes deterministically on both " +
+        "engines. Plan: baskets from one (user, phase, item) distinct; " +
+        "candidate scoring is a user-keyed join bounded by the 100-" +
+        "item domain; the top-5 window partitions BY USER; the eval " +
+        "semi-join and rollup combine map-side. No step exceeds " +
+        "O(users x items-per-user x 3).",
+      (s, dir) => {
+        import s.implicits._
+        val cut = lit("2024-01-16").cast("date")
+        val ui = Tables.t(s, dir, "events")
+          .filter($"event_type" === "click")
+          .select($"user_id",
+            when(to_date($"ts") < cut, 0).otherwise(1).as("phase"),
+            expr("cast(get_json_object(props, '$.k') as bigint)").as("item"))
+          .distinct()
+          .localCheckpoint(true)
+        val train = ui.filter($"phase" === 0).drop("phase")
+        val test = ui.filter($"phase" === 1).drop("phase")
+        val co = train.as("a").join(train.as("b"), Seq("user_id"))
+          .filter($"a.item" =!= $"b.item")
+          .groupBy($"a.item".as("i"), $"b.item".as("j"))
+          .agg(count(lit(1)).as("n"))
+        val scored = train.join(broadcast(co), $"item" === $"i")
+          .groupBy($"user_id", $"j").agg(sum($"n").as("score"))
+          .join(train.select($"user_id", $"item".as("j")),
+            Seq("user_id", "j"), "left_anti")
+        val rec5 = scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"score".desc, $"j")))
+          .filter($"rk" <= 5)
+        val hits = rec5
+          .join(test.select($"user_id", $"item".as("j")),
+            Seq("user_id", "j"), "left_semi")
+          .groupBy($"user_id").agg(count(lit(1)).as("h"))
+        val testSz = test.groupBy($"user_id").agg(count(lit(1)).as("nt"))
+        // eval population: users with a train basket (rec5 nonempty)
+        // AND a test basket
+        rec5.select($"user_id").distinct()
+          .join(testSz, Seq("user_id"))
+          .join(hits, Seq("user_id"), "left")
+          .na.fill(0L, Seq("h"))
+          .select($"user_id", $"h", $"nt",
+            expr("h * 1000000 div 5").as("p_ppm"),
+            expr("h * 1000000 div nt").as("r_ppm"))
+          .agg(count(lit(1)).as("n_users"), sum($"h").as("total_hits"),
+            expr("sum(p_ppm) div count(1)").as("mean_p5_ppm"),
+            expr("sum(r_ppm) div count(1)").as("mean_r5_ppm"))
+      },
+      Some("""
+        WITH ui AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN 0 ELSE 1 END AS phase,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM events WHERE event_type = 'click'),
+        train AS (SELECT user_id, item FROM ui WHERE phase = 0),
+        test AS (SELECT user_id, item FROM ui WHERE phase = 1),
+        co AS (
+          SELECT a.item AS i, b.item AS j, CAST(count(*) AS BIGINT) AS n
+          FROM train a JOIN train b USING (user_id)
+          WHERE a.item <> b.item GROUP BY 1, 2),
+        scored AS (
+          SELECT t.user_id, c.j, CAST(sum(c.n) AS BIGINT) AS score
+          FROM train t JOIN co c ON t.item = c.i
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT s.* FROM scored s
+          WHERE NOT EXISTS (SELECT 1 FROM train t
+            WHERE t.user_id = s.user_id AND t.item = s.j)),
+        rec5 AS (
+          SELECT * FROM (
+            SELECT user_id, j,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY score DESC, j) AS rk
+            FROM cand) WHERE rk <= 5),
+        hits AS (
+          SELECT r.user_id, CAST(count(*) AS BIGINT) AS h
+          FROM rec5 r
+          WHERE EXISTS (SELECT 1 FROM test t
+            WHERE t.user_id = r.user_id AND t.item = r.j)
+          GROUP BY 1),
+        test_sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nt
+                    FROM test GROUP BY 1),
+        pop AS (
+          SELECT u.user_id, coalesce(h.h, 0) AS h, s.nt
+          FROM (SELECT DISTINCT user_id FROM rec5) u
+          JOIN test_sz s USING (user_id)
+          LEFT JOIN hits h ON h.user_id = u.user_id)
+        SELECT count(*) AS n_users,
+               CAST(sum(h) AS BIGINT) AS total_hits,
+               CAST(sum(h * 1000000 // 5) // count(*) AS BIGINT)
+                 AS mean_p5_ppm,
+               CAST(sum(h * 1000000 // nt) // count(*) AS BIGINT)
+                 AS mean_r5_ppm
+        FROM pop"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

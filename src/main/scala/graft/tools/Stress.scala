@@ -440,6 +440,32 @@ object Stress {
     time(s"cross-table dq rules ${6 * mult}M lineitem") {
       SparkEntry.queries("q302_cross_table_dq_rules")(s, out).count()
     }
+    // Round-10 second wave: the new row-scale shapes. q319 is the
+    // representative calibration-family probe (one click-conversion
+    // semi-join + a 10-bin reduce); q321 rides one orders-customer
+    // equi-join to a 50-cell domain; q327 one user_id aggregate + the
+    // cohort-partitioned bounded window; q328's widest shuffle is the
+    // text-keyed dup self-aggregate; q320's rank window partitions by
+    // the 10 balanced length bands.
+    time(s"brier decomposition ${6 * mult}M events") {
+      SparkEntry.queries("q319_brier_decomposition")(s, out).count()
+    }
+    time(s"synthetic control ${15 * mult / 10}M orders") {
+      SparkEntry.queries("q321_synthetic_control")(s, out).count()
+    }
+    time(s"cohort ltv ${6 * mult}M events") {
+      SparkEntry.queries("q327_cohort_ltv")(s, out).count()
+    }
+    time("dataset card + length resample 51k docs") {
+      SparkEntry.queries("q328_dataset_card")(s, out).count()
+      SparkEntry.queries("q320_length_match_resample")(s, out).count()
+    }
+    // Index-lifecycle maintenance at 100x: build + 2 adds + fold + the
+    // manifest-gated replay — the wall is the rewrite, bounded by index
+    // bytes, never by history reads.
+    time("signature index compaction 51k docs") {
+      SparkEntry.queries("q323_signature_index_compaction")(s, out).count()
+    }
     // Ingest throughput vs the reference's operational envelope
     // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real
     // OpenSky snapshot is ~10-20k states): five poll ticks of 20k state
