@@ -684,6 +684,181 @@ object SequentialOps extends QueryModule {
                count(*) AS n_days,
                CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
                CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
-        FROM j GROUP BY dow ORDER BY dow"""))
+        FROM j GROUP BY dow ORDER BY dow""")),
+
+    Q(
+      "q331_pinball_loss",
+      "PINBALL (QUANTILE) LOSS LEADERBOARD — MAE (q297/q324's metric) " +
+        "prices over- and under-forecast equally, which no capacity " +
+        "planner believes; pinball loss at tau grades a forecast as " +
+        "the tau-quantile estimate it implicitly is: L = max(tau*(y-f)," +
+        " (tau-1)*(y-f)), carried exactly in DECI-CENTS (tau in tenths " +
+        "{1, 5, 9}, both branches integer products, max of two " +
+        "bigints). Two forecasters from this module's own family — " +
+        "naive-yesterday (the floor every forecast must beat) and " +
+        "q297's 10-day dyadic EWMA — against the same actuals, a " +
+        "(forecaster x tau) 6-row leaderboard with exact mean loss " +
+        "(sum div n). The read: tau=1 punishes over-forecast 9:1, so " +
+        "a smoother that lags ramps (EWMA) wins there and loses at " +
+        "tau=9 — visible in one table. Plan: one row-scale day " +
+        "aggregate; both forecasts are calendar self-joins on the " +
+        "<=31-row day domain; the loss rollup is O(1).",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .groupBy(to_date($"ts").as("d"))
+          .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+          .localCheckpoint(true)
+        val naive = daily.select(date_add($"d", 1).as("d"),
+          $"cents".as("f"), lit("naive_yesterday").as("forecaster"))
+        val ewma = daily
+          .crossJoin(Seq.range(1, 11).toDF("k"))
+          .select(date_add($"d", $"k").as("d"),
+            (expr("cast(shiftleft(1, 10 - k) as bigint)") * $"cents")
+              .as("w_cents"),
+            expr("cast(shiftleft(1, 10 - k) as bigint)").as("w"))
+          .groupBy($"d")
+          .agg(sum($"w_cents").as("num"), sum($"w").as("den"))
+          .filter($"den" === 1023)
+          .select($"d", expr("num div den").as("f"),
+            lit("ewma_dyadic").as("forecaster"))
+        daily.join(naive.unionByName(ewma), Seq("d"))
+          .crossJoin(Seq(1L, 5L, 9L).toDF("tau_tenths"))
+          .select($"forecaster", $"tau_tenths",
+            greatest($"tau_tenths" * ($"cents" - $"f"),
+              ($"tau_tenths" - 10) * ($"cents" - $"f"))
+              .as("loss_deci"))
+          .groupBy($"forecaster", $"tau_tenths")
+          .agg(count(lit(1)).as("n_days"),
+            sum($"loss_deci").as("total_loss_deci"),
+            expr("sum(loss_deci) div count(1)").as("mean_loss_deci"))
+          .orderBy($"forecaster", $"tau_tenths")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        naive AS (
+          SELECT d + 1 AS d, cents AS f, 'naive_yesterday' AS forecaster
+          FROM daily),
+        ewma AS (
+          SELECT d + CAST(k AS INTEGER) AS d,
+                 CAST(sum((1 << (10 - k)) * cents) AS BIGINT) AS num,
+                 CAST(sum(1 << (10 - k)) AS BIGINT) AS den
+          FROM daily, (SELECT unnest(range(1, 11)) AS k) ks
+          GROUP BY 1 HAVING CAST(sum(1 << (10 - k)) AS BIGINT) = 1023),
+        fc AS (
+          SELECT d, f, forecaster FROM naive
+          UNION ALL
+          SELECT d, num // den AS f, 'ewma_dyadic' FROM ewma),
+        l AS (
+          SELECT fc.forecaster, t.tau_tenths,
+                 greatest(t.tau_tenths * (daily.cents - fc.f),
+                          (t.tau_tenths - 10) * (daily.cents - fc.f))
+                   AS loss_deci
+          FROM daily JOIN fc USING (d)
+          CROSS JOIN (SELECT unnest([1, 5, 9]) AS tau_tenths) t)
+        SELECT forecaster, CAST(tau_tenths AS BIGINT) AS tau_tenths,
+               count(*) AS n_days,
+               CAST(sum(loss_deci) AS BIGINT) AS total_loss_deci,
+               CAST(sum(loss_deci) // count(*) AS BIGINT)
+                 AS mean_loss_deci
+        FROM l GROUP BY 1, 2 ORDER BY forecaster, tau_tenths""")),
+
+    Q(
+      "q332_watermark_lateness_audit",
+      "WATERMARK-LATENESS AUDIT FOR A BACKFILL REPLAY — the batch " +
+        "measurement that says what a withWatermark() threshold WOULD " +
+        "drop (q73 silently drops; this counts first) in the replay " +
+        "scenario where watermarks actually bite: live ingest is " +
+        "nearly event-time-ordered (measured here: the fixture's " +
+        "event_id sequence has ZERO cross-bucket lateness), but a " +
+        "BACKFILL replays per-user-compacted storage user by user, so " +
+        "event time interleaves across the whole retention window and " +
+        "a streaming job's watermark sees almost everything as late — " +
+        "the classic reason backfills must re-sort or disable " +
+        "watermarking. Arrival unit = user (the replay's file grain); " +
+        "the watermark before user u = max event time over users " +
+        "< u, computed as a per-user max (map-side) + prefix-max over " +
+        "the user domain — the two-phase shape, never a row-scale " +
+        "unpartitioned window — broadcast back onto the scan. Output: " +
+        "capped lateness-DAYS histogram with per-bin drop verdicts at " +
+        "a 1-day watermark, plus the zero-lateness live-order control " +
+        "row (late_days = -1) proving the ingest sequence itself is " +
+        "watermark-safe. Plan: one scan + one user-domain aggregate + " +
+        "a broadcast join — no row-scale shuffle beyond user_id.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"event_id", $"user_id",
+            unix_micros($"ts".cast("timestamp")).as("us"))
+          .localCheckpoint(true) // feeds the replay audit + the control
+        val userMax = ev.groupBy($"user_id").agg(max($"us").as("mx"))
+          .withColumn("wm_prev", max($"mx").over(
+            // prefix max over the USER domain, exclusive — the
+            // watermark when user u's replay file starts
+            Window.orderBy($"user_id")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select($"user_id", $"wm_prev")
+        val replay = ev.join(broadcast(userMax), Seq("user_id"))
+          .select(least(
+            expr("greatest(coalesce(wm_prev - us, 0), 0) div 86400000000"),
+            lit(31L)).as("late_days"))
+          .groupBy($"late_days")
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("dropped_at_1day", $"late_days" > 1)
+        // control: live arrival order (event_id, 1000-event buckets)
+        // measures zero lateness — emitted as the late_days = -1 row
+        val bkts = ev.select($"us", expr("event_id div 1000").as("bkt"))
+        val bktMax = bkts.groupBy($"bkt").agg(max($"us").as("mx"))
+          .withColumn("wm_prev", max($"mx").over(
+            Window.orderBy($"bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select($"bkt", $"wm_prev")
+        val control = bkts.join(broadcast(bktMax), Seq("bkt"))
+          .agg(sum(when(coalesce($"wm_prev" - $"us", lit(0L)) > 0, 1L)
+            .otherwise(0L)).as("n_events"))
+          .select(lit(-1L).as("late_days"), $"n_events",
+            lit(false).as("dropped_at_1day"))
+        control.unionByName(replay).orderBy($"late_days")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        user_max AS (
+          SELECT user_id, max(us) AS mx FROM ev GROUP BY user_id),
+        wm AS (
+          SELECT user_id, max(mx) OVER (ORDER BY user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS wm_prev
+          FROM user_max),
+        replay AS (
+          SELECT CAST(least(greatest(coalesce(wm.wm_prev - ev.us, 0), 0)
+                   // 86400000000, 31) AS BIGINT) AS late_days,
+                 count(*) AS n_events
+          FROM ev JOIN wm USING (user_id)
+          GROUP BY 1),
+        bkts AS (SELECT us, event_id // 1000 AS bkt FROM ev),
+        bkt_max AS (SELECT bkt, max(us) AS mx FROM bkts GROUP BY bkt),
+        bwm AS (
+          SELECT bkt, max(mx) OVER (ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS wm_prev
+          FROM bkt_max),
+        control AS (
+          SELECT CAST(-1 AS BIGINT) AS late_days,
+                 sum(CASE WHEN coalesce(bwm.wm_prev - b.us, 0) > 0
+                     THEN 1 ELSE 0 END) AS n_events
+          FROM bkts b JOIN bwm USING (bkt))
+        SELECT late_days, CAST(n_events AS BIGINT) AS n_events,
+               late_days > 1 AS dropped_at_1day
+        FROM (SELECT * FROM control UNION ALL
+              SELECT late_days, n_events FROM replay)
+        ORDER BY late_days"""))
   )
 }
