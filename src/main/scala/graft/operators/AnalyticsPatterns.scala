@@ -2403,6 +2403,84 @@ object AnalyticsPatterns extends QueryModule {
         FROM scored""")),
 
     Q(
+      "q333_join_order_audit",
+      "3-WAY JOIN-ORDER CARDINALITY AUDIT — q288 measures how wrong " +
+        "the uniform estimate is per EDGE; this measures the DECISION " +
+        "the estimate exists to make: for lineitem ⋈ orders ⋈ " +
+        "customer, the exact intermediate each order would " +
+        "materialize — |L⋈O| = Σ_k nl(k)·no(k) on orderkey vs |O⋈C| = " +
+        "Σ_k no(k)·nc(k) on custkey — and the exact FINAL size " +
+        "Σ_o nl(o.orderkey)·nc(o.custkey) (identical either way, " +
+        "emitted once per plan as the invariant a broken audit would " +
+        "break), all from per-key COUNT tables: the base facts are " +
+        "each scanned once into slim (8-byte key, count) frames, the " +
+        "final-size pass joins orders to both count frames and " +
+        "aggregates the product — the wire carries counts, never fact " +
+        "rows. Output: one row per plan with intermediate, final, " +
+        "total pairwork, and the best-plan verdict (fixture: orders⋈" +
+        "customer first — |O⋈C| = |O| since custkey is an FK — " +
+        "beating the 4x-fan-out lineitem leg, the exact call a CBO " +
+        "must make). At 100 TB the count frames are the same plan a " +
+        "stats collector runs; everything after is bounded.",
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.t(s, dir, "lineitem")
+          .groupBy($"l_orderkey".as("ok")).agg(count(lit(1)).as("nl"))
+        val c = Tables.t(s, dir, "customer")
+          .groupBy($"c_custkey".as("ck")).agg(count(lit(1)).as("nc"))
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("ok"), $"o_custkey".as("ck"))
+        val joined = o
+          .join(l, Seq("ok"), "left")
+          .join(c, Seq("ck"), "left")
+          .select(coalesce($"nl", lit(0L)).as("nl"),
+            coalesce($"nc", lit(0L)).as("nc"))
+          .agg(sum($"nl").as("lo_rows"), sum($"nc").as("oc_rows"),
+            sum($"nl" * $"nc").as("final_rows"))
+          .localCheckpoint(true) // 1-row frame, two plan rows read it
+        val plans = joined.select(
+          explode(array(
+            struct(lit("LO_then_C").as("plan"),
+              $"lo_rows".as("intermediate_rows")),
+            struct(lit("OC_then_L").as("plan"),
+              $"oc_rows".as("intermediate_rows")))).as("p"),
+          $"final_rows")
+          .select($"p.plan".as("plan"), $"p.intermediate_rows",
+            $"final_rows",
+            ($"p.intermediate_rows" + $"final_rows").as("total_pairwork"))
+        plans.crossJoin(broadcast(
+            plans.agg(min($"total_pairwork").as("best"))))
+          .select($"plan", $"intermediate_rows", $"final_rows",
+            $"total_pairwork", ($"total_pairwork" === $"best").as("is_best"))
+          .orderBy($"plan")
+      },
+      Some("""
+        WITH l AS (SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT)
+                     AS nl
+                   FROM lineitem GROUP BY 1),
+        c AS (SELECT c_custkey AS ck, CAST(count(*) AS BIGINT) AS nc
+              FROM customer GROUP BY 1),
+        o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+        j AS (
+          SELECT CAST(sum(coalesce(l.nl, 0)) AS BIGINT) AS lo_rows,
+                 CAST(sum(coalesce(c.nc, 0)) AS BIGINT) AS oc_rows,
+                 CAST(sum(coalesce(l.nl, 0) * coalesce(c.nc, 0))
+                   AS BIGINT) AS final_rows
+          FROM o LEFT JOIN l USING (ok) LEFT JOIN c USING (ck)),
+        plans AS (
+          SELECT 'LO_then_C' AS plan, lo_rows AS intermediate_rows,
+                 final_rows FROM j
+          UNION ALL
+          SELECT 'OC_then_L', oc_rows, final_rows FROM j)
+        SELECT plan, intermediate_rows, final_rows,
+               CAST(intermediate_rows + final_rows AS BIGINT)
+                 AS total_pairwork,
+               intermediate_rows + final_rows =
+                 (SELECT min(intermediate_rows + final_rows) FROM plans)
+                 AS is_best
+        FROM plans ORDER BY plan""")),
+
+    Q(
       "q288_join_size_estimate",
       "JOIN CARDINALITY ESTIMATION AUDIT — System R's textbook " +
         "|A|*|B|/max(ndv_a, ndv_b) uniform-key estimate (Selinger " +
@@ -2449,6 +2527,7 @@ object AnalyticsPatterns extends QueryModule {
           .unionByName(edge("lineitem->orders",
             Tables.t(s, dir, "lineitem"), "l_orderkey",
             Tables.t(s, dir, "orders"), "o_orderkey"))
+          // (q333 extends this audit to the 3-way ORDER decision)
           .orderBy($"edge")
       },
       Some("""

@@ -1755,6 +1755,112 @@ object Dedup extends QueryModule {
         SELECT CAST(2 AS BIGINT) AS batches_folded,
                true AS pairs_unchanged,
                true AS rows_conserved,
-               true AS replay_noop"""))
+               true AS replay_noop""")),
+
+    Q(
+      "q334_prefix_filter_eval",
+      "CANDIDATE-STAGE DETECTION EVAL for the prefix filter — q101 " +
+        "uses the PPJoin prefix index and proves its END result equals " +
+        "q62; this measures the CANDIDATE stage itself, the part the " +
+        "end-to-end oracle can't see: candidates = q101's prefix+" +
+        "length-filter collisions BEFORE exact confirm, truth = the " +
+        "exact Jaccard >= 0.8 pair set. Emits TP / FP / FN with " +
+        "precision in ppm and the pruning ratio vs the naive n(n-1)/2 " +
+        "— and the FN row is the PIGEONHOLE GUARANTEE measured, not " +
+        "assumed: a doc pair at jac >= t shares more shingles than " +
+        "can hide outside both prefixes, so fn MUST be 0, and a " +
+        "future prefix-length off-by-one flips that cell and goes " +
+        "driver-red (the property that separates this exact filter " +
+        "from q63's probabilistic LSH, whose misses are a tuned " +
+        "rate, not a theorem). Plan: the same inverted-index shapes " +
+        "as q101/q62 — id pairs only through the distinct — joined " +
+        "full-outer as FLAG tables, then one O(1) rollup beside a " +
+        "1-row doc count.",
+      (s, dir) => {
+        import s.implicits._
+        val t = 0.8
+        val sh = docShingles(s, dir)
+        // The candidate set IS the measurement here, so its definition
+        // must be engine-exact where q101's can be engine-loose (exact
+        // confirm erases candidate differences there): (1) ceil(n*0.8)
+        // becomes the INTEGER (4n+4) div 5; (2) the prefix sorts
+        // shingle STRINGS (the one order both engines share — the
+        // production path q101 sorts 8-byte hashes, a different but
+        // equally valid global order; pigeonhole holds under ANY order,
+        // which is exactly what fn = 0 then certifies for this one).
+        val toks = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        val prefSrc = Tables.t(s, dir, "documents")
+          .withColumn("t", toks)
+          .select($"doc_id",
+            array_distinct(when(size($"t") >= 3,
+              expr("transform(sequence(1, size(t) - 2), i -> " +
+                "concat(element_at(t, i), char(31), element_at(t, i + 1)," +
+                " char(31), element_at(t, i + 2)))"))
+              .otherwise(array(array_join($"t", "\u001f")))).as("sh"))
+        val pref = prefSrc.select($"doc_id",
+          size($"sh").cast("long").as("n"),
+          slice(array_sort($"sh"), lit(1),
+            (size($"sh") - expr("(size(sh) * 4 + 4) div 5") + 1)
+              .cast("int")).as("prefix"))
+        val ex = pref.select($"doc_id", $"n", explode($"prefix").as("h"))
+        val cand = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"h")
+          .join(ex.select($"doc_id".as("d2"), $"n".as("n2"), $"h"),
+            Seq("h"))
+          .filter($"d1" < $"d2")
+          .filter($"n2" >= expr("(n1 * 4 + 4) div 5") &&
+            $"n1" >= expr("(n2 * 4 + 4) div 5"))
+          .select($"d1", $"d2").distinct()
+        val truth = jaccardPairs(s, dir, t).select($"d1", $"d2")
+        val flags = truth.withColumn("tr", lit(1L))
+          .join(cand.withColumn("cd", lit(1L)), Seq("d1", "d2"),
+            "full_outer")
+        val nDocs = broadcast(sh.agg(count(lit(1)).as("nd")))
+        flags.agg(
+            sum(coalesce($"tr", lit(0L))).as("n_true"),
+            sum(coalesce($"cd", lit(0L))).as("n_cand"),
+            sum(coalesce($"tr", lit(0L)) * coalesce($"cd", lit(0L)))
+              .as("tp"))
+          .crossJoin(nDocs)
+          .select($"n_true", $"n_cand", $"tp",
+            ($"n_cand" - $"tp").as("fp"),
+            ($"n_true" - $"tp").as("fn"),
+            expr("tp * 1000000 div n_cand").as("precision_ppm"),
+            expr("(nd * (nd - 1) div 2 - n_cand) * 1000000 div " +
+              "(nd * (nd - 1) div 2)").as("pruned_ppm"))
+      },
+      Some(s"""
+        WITH $jaccardPairsCte,
+        truth AS (
+          SELECT d1, d2 FROM jpairs
+          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
+        pref AS (
+          SELECT doc_id, CAST(len(sh) AS BIGINT) AS n,
+                 list_sort(sh)[1 : CAST(len(sh) - (len(sh) * 4 + 4) // 5
+                   + 1 AS BIGINT)] AS prefix
+          FROM shng),
+        pex AS (SELECT doc_id, n, unnest(prefix) AS h FROM pref),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM pex a JOIN pex b ON a.h = b.h AND a.doc_id < b.doc_id
+          WHERE b.n >= (a.n * 4 + 4) // 5 AND a.n >= (b.n * 4 + 4) // 5),
+        flags AS (
+          SELECT coalesce(t.d1, c.d1) AS d1, coalesce(t.d2, c.d2) AS d2,
+                 CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END AS tr,
+                 CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS cd
+          FROM truth t FULL OUTER JOIN cand c
+            ON t.d1 = c.d1 AND t.d2 = c.d2),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM shng),
+        agg AS (
+          SELECT CAST(sum(tr) AS BIGINT) AS n_true,
+                 CAST(sum(cd) AS BIGINT) AS n_cand,
+                 CAST(sum(tr * cd) AS BIGINT) AS tp
+          FROM flags)
+        SELECT n_true, n_cand, tp,
+               CAST(n_cand - tp AS BIGINT) AS fp,
+               CAST(n_true - tp AS BIGINT) AS fn,
+               CAST(tp * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+               CAST((nd * (nd - 1) // 2 - n_cand) * 1000000 //
+                 (nd * (nd - 1) // 2) AS BIGINT) AS pruned_ppm
+        FROM agg, nd"""))
   )
 }
