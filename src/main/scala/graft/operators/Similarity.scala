@@ -1256,7 +1256,11 @@ object Similarity extends QueryModule {
     Seq.empty[String].toDF("batch_key")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/compacted_batches")
+    // one writer task per list -> ONE file per inverted list (the
+    // posting-list ideal; 32 shuffle partitions x nlist dirs would
+    // otherwise scatter ~500 small files every search pays to open)
     ivfPqAssign(corpus, cb, pqs).withColumn("batch", lit("base"))
+      .repartition(nlist, col("list_id"))
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(s"$path/lists")
   }
