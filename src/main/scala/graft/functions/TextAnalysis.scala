@@ -1634,7 +1634,74 @@ object TextAnalysis extends QueryModule {
         FROM per_src p
         LEFT JOIN dups d ON p.source = d.source
         JOIN top_lang t ON p.source = t.source
-        ORDER BY p.source""")))
+        ORDER BY p.source""")),
+
+    Q(
+      "q336_perplexity_filter",
+      "QUANTIZED-PERPLEXITY OUTLIER FILTER — the CCNet-style 'drop what " +
+        "the unigram LM finds surprising' pass with ZERO libm risk: " +
+        "per-token surprisal floor(2*log2(N/freq)) computed as " +
+        "length(bin(q*q)) - 1 (a binary string's length IS " +
+        "floor(log2)+1, and squaring first buys half-bit resolution; " +
+        "q^2 stays inside BIGINT for corpora to ~3e9 tokens — past " +
+        "that, drop the squaring and take whole bits), per-doc mean in " +
+        "exact centibits, then the top-3 most-surprising docs PER " +
+        "LANGUAGE (rank window over the per-lang doc frame, doc_id " +
+        "tie-break) — the rare-token-heavy docs a perplexity filter " +
+        "drops first, reported per language so one high-resource " +
+        "language cannot monopolize the drop list. Plan: one doc scan " +
+        "-> token explode -> vocab count (map-side combine collapses " +
+        "the Zipf head); N is a 1-row sum OF THE VOCAB frame (no " +
+        "second corpus pass), broadcast; surprisal rejoins on token; " +
+        "per-doc sum; the rank window runs per-lang on the doc-grain " +
+        "frame. The vocab frame feeds two consumers (N + the join) -> " +
+        "localCheckpoint.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode(split(trim($"text"), " ")).as("token"))
+        val freq = tok.groupBy($"token")
+          .agg(count(lit(1)).as("freq")).localCheckpoint(true)
+        val n = broadcast(freq.agg(sum($"freq").as("nt")))
+        val doc = tok.join(freq, "token").crossJoin(n)
+          .select($"doc_id", $"lang",
+            (length(expr("bin((nt div freq) * (nt div freq))")) - 1)
+              .cast("long").as("hbits"))
+          .groupBy($"doc_id", $"lang")
+          .agg(count(lit(1)).as("n_tokens"), sum($"hbits").as("sb"))
+          .select($"doc_id", $"lang", $"n_tokens",
+            expr("sb * 100 div (2 * n_tokens)").as("centibits"))
+        doc.withColumn("rk", row_number().over(
+            Window.partitionBy($"lang")
+              .orderBy($"centibits".desc, $"doc_id")).cast("long"))
+          .filter($"rk" <= 3)
+          .select($"lang", $"rk", $"doc_id", $"n_tokens", $"centibits")
+          .orderBy($"lang", $"rk")
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, lang,
+               unnest(string_split(trim(text), ' ')) AS token
+             FROM documents),
+        freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+                 FROM tok GROUP BY 1),
+        n AS (SELECT CAST(sum(freq) AS BIGINT) AS nt FROM freq),
+        doc AS (
+          SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(bin((nt // freq) * (nt // freq))) - 1)
+                   AS BIGINT) AS sb
+          FROM tok JOIN freq USING (token) CROSS JOIN n
+          GROUP BY 1, 2),
+        cb AS (SELECT doc_id, lang, n_tokens,
+                 sb * 100 // (2 * n_tokens) AS centibits FROM doc),
+        r AS (SELECT lang, doc_id, n_tokens, centibits,
+                CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY centibits DESC, doc_id) AS BIGINT) AS rk
+              FROM cb)
+        SELECT lang, rk, doc_id, n_tokens, centibits
+        FROM r WHERE rk <= 3
+        ORDER BY lang, rk""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

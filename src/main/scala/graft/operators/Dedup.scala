@@ -1861,6 +1861,108 @@ object Dedup extends QueryModule {
                CAST(tp * 1000000 // n_cand AS BIGINT) AS precision_ppm,
                CAST((nd * (nd - 1) // 2 - n_cand) * 1000000 //
                  (nd * (nd - 1) // 2) AS BIGINT) AS pruned_ppm
-        FROM agg, nd"""))
+        FROM agg, nd""")),
+
+    Q(
+      "q335_cdc_chunk_dedup",
+      "CONTENT-DEFINED CHUNK DEDUP — the storage-side dedup rung below " +
+        "q60's whole-doc and q140's span dedup: token-anchored content-" +
+        "defined chunking (a boundary closes after any token whose " +
+        "polynomial hash % 8 == 0, expected chunk ~8 tokens), so " +
+        "boundaries move WITH the content — an insertion re-chunks one " +
+        "neighborhood instead of shifting every fixed-width block " +
+        "downstream of it (the rsync/LBFS anchoring argument applied " +
+        "to corpus text). Then chunk-level exact dedup corpus-wide and " +
+        "a per-source ledger of chars residing in duplicated chunks. " +
+        "The chunker is ONE functions.aggregate fold per doc (O(len), " +
+        "narrow, inside codegen — no explode+window round-trip just to " +
+        "assign chunk ids), so chunking 100 TB is a map pass; chunk " +
+        "frequency is a WINDOW count on the chunk-hash partition (one " +
+        "row-scale shuffle, no frequency-frame rejoin and no second " +
+        "scan), and the per-source rollup reuses those rows. Hash = " +
+        "q54's recurrence at mod 1e9+7 so plain BIGINT arithmetic " +
+        "replays it in the oracle — which builds the SAME chunks via " +
+        "the explode+window construction; two independent derivations " +
+        "agreeing per source is the check.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def ph(c: String) =
+          s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
+            s"(h, b) -> (h * 263 + b) % 1000000007)"
+        val chunks = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"source", split(trim($"text"), " ").as("t"))
+          .select($"doc_id", $"source", expr(
+            "filter(aggregate(t, array(cast(array() as array<string>)), " +
+              "(acc, tk) -> case when " + ph("tk") + " % 8 = 0 " +
+              "then concat(slice(acc, 1, size(acc) - 1), " +
+              "array(concat(element_at(acc, -1), array(tk))), " +
+              "array(cast(array() as array<string>))) " +
+              "else concat(slice(acc, 1, size(acc) - 1), " +
+              "array(concat(element_at(acc, -1), array(tk)))) end), " +
+              "c -> size(c) > 0)").as("chunks"))
+          .select($"source",
+            explode(expr("transform(chunks, c -> array_join(c, ' '))"))
+              .as("chunk"))
+          .select($"source", expr(ph("chunk")).as("chunk_hash"),
+            length($"chunk").cast("long").as("chars"))
+        chunks
+          .withColumn("cfreq",
+            count(lit(1)).over(Window.partitionBy($"chunk_hash")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct($"chunk_hash").as("n_distinct"),
+            sum(when($"cfreq" > 1, 1L).otherwise(0L)).as("dup_chunks"),
+            sum($"chars").as("total_chars"),
+            sum(when($"cfreq" > 1, $"chars").otherwise(0L)).as("dup_chars"))
+          .withColumn("dup_ppm",
+            expr("dup_chars * 1000000 div total_chars"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+               string_split(trim(text), ' ') AS ws FROM documents),
+        tok AS (SELECT doc_id, source,
+                  unnest([{'pos': i, 'token': ws[i]}
+                          for i in range(1, len(ws) + 1)]) AS tp
+                FROM d),
+        hs AS (SELECT doc_id, source, tp.pos AS pos, tp.token AS token,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT)
+                    for c in string_split(tp.token, '')]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS th
+               FROM tok),
+        cid AS (SELECT doc_id, source, pos, token,
+                  coalesce(sum(CASE WHEN th % 8 = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS chunk_id
+                FROM hs),
+        ch AS (SELECT doc_id, source, chunk_id,
+                 string_agg(token, ' ' ORDER BY pos) AS chunk
+               FROM cid GROUP BY 1, 2, 3),
+        ci AS (SELECT source,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT)
+                    for c in string_split(chunk, '')]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS chunk_hash,
+                 CAST(length(chunk) AS BIGINT) AS chars
+               FROM ch),
+        cw AS (SELECT source, chars,
+                 count(*) OVER (PARTITION BY chunk_hash) AS cfreq,
+                 chunk_hash
+               FROM ci)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN cfreq > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS dup_chunks,
+               CAST(sum(chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN cfreq > 1 THEN chars ELSE 0 END)
+                 AS BIGINT) AS dup_chars,
+               CAST(sum(CASE WHEN cfreq > 1 THEN chars ELSE 0 END)
+                 * 1000000 // sum(chars) AS BIGINT) AS dup_ppm
+        FROM cw
+        GROUP BY source ORDER BY source"""))
   )
 }
