@@ -3191,7 +3191,177 @@ object AnalyticsPatterns extends QueryModule {
           FROM cells c JOIN sizes s USING (cohort_wk))
         SELECT cohort_wk, age_wk, cohort_size, wk_cents, cum_cents,
                CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents
-        FROM cum ORDER BY cohort_wk, age_wk"""))
+        FROM cum ORDER BY cohort_wk, age_wk""")),
+
+    Q(
+      "q337_dsir_selection",
+      "IMPORTANCE-RESAMPLING DATA SELECTION (the DSIR recipe, Xie et " +
+        "al. 2023): score every RAW-pool doc by how much more likely " +
+        "its unigrams are under the TARGET domain (sources src0+src1) " +
+        "than under the raw pool, log w = sum log p_tgt(tok) - " +
+        "log p_raw(tok) with add-1 smoothing — quantized to exact " +
+        "half-bits via length(bin(x^2))-1 so both engines agree to " +
+        "the bit (the same no-libm isqrt/bin-length family as " +
+        "q308/q336; BIGINT-safe to ~3e9-token corpora). The top-20 " +
+        "raw docs are what a target-seeking pretraining mix admits " +
+        "first. Plan: ONE token-grain groupBy builds BOTH frequency " +
+        "columns as conditional partial aggs (no second corpus pass, " +
+        "no per-domain vocab join); the corpus totals (N_t, N_r, V) " +
+        "are a 1-row sum of that vocab frame, broadcast; raw tokens " +
+        "rejoin the vocab on token; the per-doc sum collapses on " +
+        "doc_id; the rank window runs AFTER orderBy+limit(20) on the " +
+        "bounded list (never a corpus-wide empty-partition window).",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tgt = Seq("src0", "src1")
+        val tok = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang", $"source",
+            $"source".isin(tgt: _*).as("is_tgt"),
+            explode(split(trim($"text"), " ")).as("token"))
+        val vocab = tok.groupBy($"token")
+          .agg(sum(when($"is_tgt", 1L).otherwise(0L)).as("ct"),
+            sum(when(!$"is_tgt", 1L).otherwise(0L)).as("cr"))
+          .localCheckpoint(true)
+        val tot = broadcast(vocab.agg(
+          sum($"ct").as("nt"), sum($"cr").as("nr"),
+          count(lit(1)).as("v")))
+        def hb2(x: String) = s"(length(bin(($x) * ($x))) - 1)"
+        val scored = tok.filter(!$"is_tgt")
+          .join(vocab, "token").crossJoin(tot)
+          .select($"doc_id", $"lang", $"source",
+            expr(s"cast(${hb2("ct + 1")} - ${hb2("cr + 1")} as bigint)")
+              .as("term"),
+            expr(s"cast(${hb2("nr + v")} - ${hb2("nt + v")} as bigint)")
+              .as("norm"))
+          .groupBy($"doc_id", $"lang", $"source")
+          .agg(count(lit(1)).as("n_tokens"),
+            (sum($"term") + max($"norm") * count(lit(1))).as("dsir_hb"))
+        scored.orderBy($"dsir_hb".desc, $"doc_id").limit(20)
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"dsir_hb".desc, $"doc_id")).cast("long"))
+          .select($"rk", $"doc_id", $"lang", $"source", $"n_tokens",
+            $"dsir_hb")
+          .orderBy($"rk")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, source,
+                 source IN ('src0', 'src1') AS is_tgt,
+                 unnest(string_split(trim(text), ' ')) AS token
+          FROM documents),
+        vocab AS (
+          SELECT token,
+                 CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ct,
+                 CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cr
+          FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                       CAST(sum(cr) AS BIGINT) AS nr,
+                       CAST(count(*) AS BIGINT) AS v FROM vocab),
+        scored AS (
+          SELECT doc_id, lang, source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum((length(bin((ct + 1) * (ct + 1))) - 1)
+                        - (length(bin((cr + 1) * (cr + 1))) - 1))
+                   + max((length(bin((nr + v) * (nr + v))) - 1)
+                        - (length(bin((nt + v) * (nt + v))) - 1))
+                     * count(*) AS BIGINT) AS dsir_hb
+          FROM tok JOIN vocab USING (token) CROSS JOIN tot
+          WHERE NOT is_tgt
+          GROUP BY 1, 2, 3),
+        r AS (
+          SELECT CAST(row_number() OVER (ORDER BY dsir_hb DESC, doc_id)
+                   AS BIGINT) AS rk,
+                 doc_id, lang, source, n_tokens, dsir_hb
+          FROM scored)
+        SELECT rk, doc_id, lang, source, n_tokens, dsir_hb
+        FROM r WHERE rk <= 20 ORDER BY rk""")),
+
+    Q(
+      "q338_dp_histogram",
+      "DIFFERENTIAL-PRIVACY HISTOGRAM RELEASE — the governance rung " +
+        "ABOVE q283/q329's k-anonymity/t-closeness (those audit a " +
+        "release; this MAKES one): per-(lang, source) doc counts over " +
+        "the full public domain grid (structural zeros included — " +
+        "absent cells leak exactly the membership DP protects) plus " +
+        "two-sided geometric noise at alpha = 1/2, i.e. epsilon = ln 2 " +
+        "exactly. alpha = 1/2 is what makes the mechanism an INTEGER " +
+        "program: P(k) = (1/3)(1/2)^|k| has cell masses 2^(20-|k|) " +
+        "over denominator 3*2^20, so the inverse-CDF table is 41 " +
+        "BIGINT literals (tail mass folded into the +-20 buckets) and " +
+        "sampling = counting thresholds <= a uniform draw — no exp(), " +
+        "no rejection loop, bit-identical on both engines. The draw " +
+        "is the repo LCG on a poly-hashed cell key (q293's " +
+        "scramble-then-multiply recipe). Released = max(true + " +
+        "noise, 0) — the standard non-negativity post-process, which " +
+        "costs no privacy. Plan: ONE (lang, source) aggregate " +
+        "(localCheckpoint — the 100-cell frame feeds the lang domain, " +
+        "the source domain, and the join), dense grid by crossJoin of " +
+        "the two broadcast domains, everything after on the bounded " +
+        "cell domain.",
+      (s, dir) => {
+        import s.implicits._
+        val cum = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L,
+          1024L, 2048L, 4096L, 8192L, 16384L, 32768L, 65536L, 131072L,
+          262144L, 524288L, 1048576L, 2097152L, 2621440L, 2883584L,
+          3014656L, 3080192L, 3112960L, 3129344L, 3137536L, 3141632L,
+          3143680L, 3144704L, 3145216L, 3145472L, 3145600L, 3145664L,
+          3145696L, 3145712L, 3145720L, 3145724L, 3145726L, 3145728L)
+        val cnt = Tables.t(s, dir, "documents")
+          .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val grid = broadcast(cnt.select($"lang").distinct())
+          .crossJoin(broadcast(cnt.select($"source").distinct()))
+        grid.join(cnt, Seq("lang", "source"), "left")
+          .withColumn("n", coalesce($"n", lit(0L)))
+          .withColumn("key", expr(
+            "aggregate(transform(split(concat(lang, '|', source), ''), " +
+              "ch -> ascii(ch)), 0L, " +
+              "(h, b) -> (h * 263 + b) % 1000000007)"))
+          .withColumn("u", expr(
+            "((key * 1103515245 + 12345) % 2147483647) * 48271 " +
+              "% 2147483647 % 3145728"))
+          .withColumn("noise",
+            (size(filter(typedLit(cum), t => t <= $"u")) - 20)
+              .cast("long"))
+          .select($"lang", $"source",
+            greatest($"n" + $"noise", lit(0L)).as("released"))
+          .orderBy($"lang", $"source")
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2),
+        grid AS (
+          SELECT l.lang, s.source
+          FROM (SELECT DISTINCT lang FROM cnt) l
+          CROSS JOIN (SELECT DISTINCT source FROM cnt) s),
+        cell AS (
+          SELECT g.lang, g.source, coalesce(c.n, 0) AS n,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(ch) AS BIGINT) for ch in
+                    string_split(g.lang || '|' || g.source, '')]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS key
+          FROM grid g LEFT JOIN cnt c
+            ON g.lang = c.lang AND g.source = c.source),
+        drawn AS (
+          SELECT lang, source, n,
+                 ((key * 1103515245 + 12345) % 2147483647) * 48271
+                   % 2147483647 % 3145728 AS u
+          FROM cell)
+        SELECT lang, source,
+               CAST(greatest(n + len(list_filter([2, 4, 8, 16, 32, 64,
+                 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+                 65536, 131072, 262144, 524288, 1048576, 2097152,
+                 2621440, 2883584, 3014656, 3080192, 3112960, 3129344,
+                 3137536, 3141632, 3143680, 3144704, 3145216, 3145472,
+                 3145600, 3145664, 3145696, 3145712, 3145720, 3145724,
+                 3145726, 3145728], t -> t <= u)) - 20, 0) AS BIGINT)
+                 AS released
+        FROM drawn
+        ORDER BY lang, source"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer
