@@ -1701,7 +1701,195 @@ object TextAnalysis extends QueryModule {
               FROM cb)
         SELECT lang, rk, doc_id, n_tokens, centibits
         FROM r WHERE rk <= 3
-        ORDER BY lang, rk""")))
+        ORDER BY lang, rk""")),
+
+    Q(
+      "q340_rag_chunker",
+      "FIXED-STRIDE RAG CHUNKER + OVERLAP LEDGER — the standard " +
+        "retrieval-corpus prep step (window W=32 tokens, stride S=24, " +
+        "25% overlap) that q335's content-defined chunker is the " +
+        "storage-side alternative to: chunk starts are sequence(1, " +
+        "greatest(len-W+S, 1), S), which PROVABLY yields full coverage " +
+        "with zero fully-redundant tail chunks (the last start L " +
+        "satisfies L > len-W, so its chunk reaches len; a start past " +
+        "len-W+S would add no new token). Ledger per source: docs, " +
+        "chunks, chunk-token sum vs doc-token sum (overlap cost in " +
+        "ppm — the index-size tax RAG pays for windowing), and " +
+        "corpus-wide duplicated chunks (identical chunk text emitted " +
+        "from different positions/docs — pre-dedup before embedding " +
+        "those chunks saves embedding compute). Plan: chunking is a " +
+        "narrow per-row transform+explode inside codegen (chunks " +
+        "leave the scan as mod-1e9+7 poly-hashes + token counts, " +
+        "never strings); duplicate detection is ONE window count on " +
+        "the chunk-hash partition; per-doc then per-source rollups " +
+        "ride the same rows. 100 TB: a map pass plus one hash-keyed " +
+        "row-scale shuffle — same envelope as q335/q339.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def ph(c: String) =
+          s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
+            s"(h, b) -> (h * 263 + b) % 1000000007)"
+        val rows = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"source", split(trim($"text"), " ").as("t"))
+          .select($"doc_id", $"source", size($"t").cast("long").as("len"),
+            explode(expr(
+              "transform(sequence(1, greatest(size(t) - 8, 1), 24), " +
+                "st -> array_join(slice(t, st, 32), ' '))")).as("chunk"))
+          .select($"doc_id", $"source", $"len",
+            expr(ph("chunk")).as("chunk_hash"),
+            (size(split($"chunk", " "))).cast("long").as("ctoks"))
+        val perDoc = rows
+          .withColumn("f",
+            count(lit(1)).over(Window.partitionBy($"chunk_hash")))
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum($"ctoks").as("chunk_tokens"),
+            min($"len").as("doc_tokens"),
+            sum(when($"f" > 1, 1L).otherwise(0L)).as("dup_chunks"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chunks").as("n_chunks"),
+            sum($"chunk_tokens").as("chunk_tokens"),
+            sum($"doc_tokens").as("doc_tokens"),
+            sum($"dup_chunks").as("dup_chunks"))
+          .withColumn("overlap_ppm", expr(
+            "(chunk_tokens - doc_tokens) * 1000000 div doc_tokens"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+               string_split(trim(text), ' ') AS ws FROM documents),
+        st AS (SELECT doc_id, source, ws,
+                 CAST(len(ws) AS BIGINT) AS len,
+                 unnest(range(1, greatest(len(ws) - 8, 1) + 1, 24)) AS s
+               FROM d),
+        ch AS (SELECT doc_id, source, len,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT) for c in
+                    string_split(array_to_string(ws[s:s+31], ' '), '')]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS chunk_hash,
+                 CAST(len(ws[s:s+31]) AS BIGINT) AS ctoks
+               FROM st),
+        fr AS (SELECT doc_id, source, len, ctoks,
+                 count(*) OVER (PARTITION BY chunk_hash) AS f FROM ch),
+        pd AS (SELECT doc_id, source,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(ctoks) AS BIGINT) AS chunk_tokens,
+                 CAST(min(len) AS BIGINT) AS doc_tokens,
+                 CAST(sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_chunks
+               FROM fr GROUP BY 1, 2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens,
+               CAST(sum(doc_tokens) AS BIGINT) AS doc_tokens,
+               CAST(sum(dup_chunks) AS BIGINT) AS dup_chunks,
+               CAST((sum(chunk_tokens) - sum(doc_tokens)) * 1000000
+                 // sum(doc_tokens) AS BIGINT) AS overlap_ppm
+        FROM pd GROUP BY source ORDER BY source""")),
+
+    Q(
+      "q341_lang_kl_matrix",
+      "PAIRWISE LANGUAGE KL-DIVERGENCE MATRIX — the domain-similarity " +
+        "map mixture design reads before setting q124's weights and " +
+        "the pairwise generalization of q337's two-domain DSIR score: " +
+        "for every ORDERED language pair (a, b), the quantized " +
+        "KL(p_a || q_b) where p_a is lang a's unsmoothed unigram MLE " +
+        "(zero-count tokens contribute exactly 0) and q_b is lang b's " +
+        "add-1-smoothed LM over the GLOBAL vocab (no zero division by " +
+        "construction). Same no-libm half-bit family as q336/q337: " +
+        "each log2 enters as length(bin(x*x)) - 1, so kl_hb = " +
+        "sum_t ca*(hb(ca) - hb(cb+1)) + Na*(hb(Nb+V) - hb(Na)) is " +
+        "plain BIGINT arithmetic both engines replay bit-for-bit " +
+        "(quantization can dip a near-zero diagonal negative — it is " +
+        "a SCORE, monotone-faithful at matrix scale, not a certified " +
+        "lower bound). Plan: ONE token-grain groupBy(lang, token) " +
+        "builds every LM (localCheckpoint — it feeds the totals, the " +
+        "a-side, and the b-side); Na/V live on a 5-row broadcast " +
+        "frame; the b-side attaches by token equi-join after a " +
+        "crossJoin with the BROADCAST 5-row lang domain (vocab x 5 " +
+        "rows, bounded); the matrix rollup lands on the 25-pair " +
+        "domain. 100 TB: the corpus is touched once, everything " +
+        "after is vocab-scale.",
+      (s, dir) => {
+        import s.implicits._
+        val cnt = Tables.t(s, dir, "documents")
+          .select($"lang", explode(split(trim($"text"), " ")).as("token"))
+          .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val tots = cnt.groupBy($"lang").agg(sum($"c").as("n"))
+          .localCheckpoint(true)
+        val v = broadcast(cnt.agg(
+          countDistinct($"token").as("v_size")))
+        def hb(x: String) = s"(length(bin(($x) * ($x))) - 1)"
+        val aSide = cnt.select($"lang".as("lang_a"), $"token", $"c")
+        val bSide = cnt.select($"lang".as("lang_b"), $"token",
+          $"c".as("cb"))
+        aSide.crossJoin(broadcast(tots.select($"lang".as("lang_b"))))
+          .join(bSide, Seq("lang_b", "token"), "left")
+          .withColumn("cb", coalesce($"cb", lit(0L)))
+          .groupBy($"lang_a", $"lang_b")
+          .agg(expr(s"cast(sum(c * (${hb("c")} - ${hb("cb + 1")})) " +
+            "as bigint)").as("term_hb"))
+          .join(broadcast(tots.select($"lang".as("la2"),
+            $"n".as("na"))), $"lang_a" === $"la2")
+          .join(broadcast(tots.select($"lang".as("lang_b"),
+            $"n".as("nb"))), Seq("lang_b"))
+          .crossJoin(v)
+          .select($"lang_a", $"lang_b", $"na".as("n_tokens_a"),
+            expr(s"cast(term_hb + na * (${hb("nb + v_size")} - " +
+              s"${hb("na")}) as bigint)").as("kl_hb"))
+          .withColumn("kl_millibits_per_token", expr(
+            "cast(case when kl_hb < 0 " +
+              "then -((-kl_hb) * 500 div n_tokens_a) " +
+              "else kl_hb * 500 div n_tokens_a end as bigint)"))
+          .orderBy($"lang_a", $"lang_b")
+      },
+      Some("""
+        WITH tok AS (SELECT lang,
+               unnest(string_split(trim(text), ' ')) AS token
+             FROM documents),
+        cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2),
+        tots AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+                 FROM cnt GROUP BY 1),
+        v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v_size
+              FROM cnt),
+        pair AS (
+          SELECT a.lang AS lang_a, lb.lang AS lang_b, a.token,
+                 a.c, coalesce(b.c, 0) AS cb
+          FROM cnt a
+          CROSS JOIN (SELECT lang FROM tots) lb
+          LEFT JOIN cnt b ON b.lang = lb.lang AND b.token = a.token),
+        term AS (
+          SELECT lang_a, lang_b,
+                 CAST(sum(c * ((length(bin(c * c)) - 1)
+                   - (length(bin((cb + 1) * (cb + 1))) - 1)))
+                   AS BIGINT) AS term_hb
+          FROM pair GROUP BY 1, 2)
+        SELECT t.lang_a, t.lang_b, ta.n AS n_tokens_a,
+               CAST(t.term_hb + ta.n *
+                 ((length(bin((tb.n + v.v_size) * (tb.n + v.v_size)))
+                   - 1) - (length(bin(ta.n * ta.n)) - 1)) AS BIGINT)
+                 AS kl_hb,
+               CAST(CASE WHEN t.term_hb + ta.n *
+                 ((length(bin((tb.n + v.v_size) * (tb.n + v.v_size)))
+                   - 1) - (length(bin(ta.n * ta.n)) - 1)) < 0
+                 THEN -((-(t.term_hb + ta.n *
+                   ((length(bin((tb.n + v.v_size) * (tb.n + v.v_size)))
+                     - 1) - (length(bin(ta.n * ta.n)) - 1)))) * 500
+                   // ta.n)
+                 ELSE (t.term_hb + ta.n *
+                   ((length(bin((tb.n + v.v_size) * (tb.n + v.v_size)))
+                     - 1) - (length(bin(ta.n * ta.n)) - 1))) * 500
+                   // ta.n END AS BIGINT) AS kl_millibits_per_token
+        FROM term t
+        JOIN tots ta ON t.lang_a = ta.lang
+        JOIN tots tb ON t.lang_b = tb.lang
+        CROSS JOIN v
+        ORDER BY t.lang_a, t.lang_b""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

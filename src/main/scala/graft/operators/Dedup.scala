@@ -1963,6 +1963,86 @@ object Dedup extends QueryModule {
                CAST(sum(CASE WHEN cfreq > 1 THEN chars ELSE 0 END)
                  * 1000000 // sum(chars) AS BIGINT) AS dup_ppm
         FROM cw
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    Q(
+      "q339_dup_ngram_coverage",
+      "DUPLICATED-SUBSTRING COVERAGE — the exact-substring dedup " +
+        "MEASUREMENT from 'Deduplicating Training Data Makes Language " +
+        "Models Better' (Lee et al. 2021, public): for every 8-token " +
+        "window position in every doc, is that exact 8-gram repeated " +
+        "ANYWHERE else in the corpus (cross-doc or within-doc — both " +
+        "are memorization fuel)? Per-source ledger: positions, " +
+        "duplicated positions, coverage ppm, and the count of docs " +
+        "over 50% duplicated coverage (the ExactSubstr drop list). " +
+        "Differs from q335 (content-defined chunks dedupe STORAGE; " +
+        "overlapping windows measure every repeated span regardless " +
+        "of chunk alignment) and from q121 (within-doc repetition " +
+        "only). Plan: gram extraction is a narrow transform over " +
+        "sequence(1, len-7) inside codegen — grams leave the scan as " +
+        "8-byte poly-hashes, never strings (at 100 TB the wire " +
+        "carries ids+hashes); frequency is ONE window count on the " +
+        "gram-hash partition (no frequency-frame rejoin, no second " +
+        "scan); the per-doc and per-source rollups ride the same " +
+        "rows. Zipf-head grams skew the window partition — the " +
+        "documented salt (q49-family) applies: count per (hash, " +
+        "doc_id % K) then re-merge, identical totals. Hash = q54's " +
+        "mod-1e9+7 recurrence so the oracle replays it bit-for-bit " +
+        "(collisions — ~1e-3 at fixture scale — affect both engines " +
+        "identically; a production run widens to 128-bit).",
+      (s, dir) => {
+        import s.implicits._
+        def ph(c: String) =
+          s"aggregate(transform(split($c, ''), ch -> ascii(ch)), 0L, " +
+            s"(h, b) -> (h * 263 + b) % 1000000007)"
+        val grams = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"source", split(trim($"text"), " ").as("t"))
+          .select($"doc_id", $"source", explode(expr(
+            "case when size(t) >= 8 then transform(sequence(1, " +
+              "size(t) - 7), i -> array_join(slice(t, i, 8), ' ')) " +
+              "else array() end")).as("g"))
+          .select($"doc_id", $"source", expr(ph("g")).as("gh"))
+        val perDoc = grams
+          .withColumn("f", count(lit(1)).over(Window.partitionBy($"gh")))
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_pos"),
+            sum(when($"f" > 1, 1L).otherwise(0L)).as("dup_pos"))
+        perDoc.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_pos").as("n_pos"),
+            sum($"dup_pos").as("dup_pos"),
+            sum(when($"dup_pos" * 2 > $"n_pos", 1L).otherwise(0L))
+              .as("docs_over_half"))
+          .withColumn("dup_ppm", expr("dup_pos * 1000000 div n_pos"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+               string_split(trim(text), ' ') AS ws FROM documents),
+        pos AS (SELECT doc_id, source, ws,
+                  unnest(range(1, len(ws) - 6)) AS i
+                FROM d WHERE len(ws) >= 8),
+        ng AS (SELECT doc_id, source,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT) for c in
+                    string_split(array_to_string(ws[i:i+7], ' '), '')]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS gh
+               FROM pos),
+        fr AS (SELECT doc_id, source,
+                 count(*) OVER (PARTITION BY gh) AS f FROM ng),
+        pd AS (SELECT doc_id, source,
+                 CAST(count(*) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN f > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_pos
+               FROM fr GROUP BY 1, 2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(dup_pos) AS BIGINT) AS dup_pos,
+               CAST(sum(CASE WHEN dup_pos * 2 > n_pos THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_over_half,
+               CAST(sum(dup_pos) * 1000000 // sum(n_pos) AS BIGINT)
+                 AS dup_ppm
+        FROM pd GROUP BY source ORDER BY source"""))
   )
 }
