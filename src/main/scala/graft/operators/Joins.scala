@@ -719,6 +719,184 @@ object Joins extends QueryModule {
           WHERE abs(ax - bx) <= 10 AND abs(ay - by) <= 10)
         SELECT CAST(dist_linf AS BIGINT) AS dist_linf,
                CAST(count(*) AS BIGINT) AS n_pairs
-        FROM pairs GROUP BY dist_linf ORDER BY dist_linf"""))
+        FROM pairs GROUP BY dist_linf ORDER BY dist_linf""")),
+
+    Q(
+      "q342_small_qty_revenue",
+      "CORRELATED SCALAR SUBQUERY, DECORRELATED (the TPC-H Q17 shape): " +
+        "revenue from Brand#1 lineitems whose quantity is below 20% of " +
+        "that part's average quantity — the classic 'per-row scalar " +
+        "subquery' a naive engine re-executes per lineitem. Spark-" +
+        "first: the subquery becomes WINDOW aggregates over the " +
+        "brand slice's partkey partition — lineitem is scanned ONCE " +
+        "(brand filter via broadcast part semi-join prunes it to the " +
+        "brand's ~2% slice first), one exchange on partkey, zero " +
+        "rejoin (the agg-then-broadcast-back formulation scans " +
+        "twice). The 0.2*avg comparison is cross-multiplied to exact " +
+        "integers — 5*qty*cnt < sum(qty) — so no double rounding can " +
+        "flip a boundary row on either engine; revenue is exact " +
+        "cents, avg_yearly = cents div 7 (non-negative, div == //). " +
+        "Per-part groups are small (a part has bounded lineitems), " +
+        "so the window partition cannot skew at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val brandParts = broadcast(Tables.t(s, dir, "part")
+          .filter($"p_brand" === "Brand#1").select($"p_partkey"))
+        val li = Tables.t(s, dir, "lineitem")
+          .join(brandParts, $"l_partkey" === $"p_partkey")
+          .select($"l_partkey", $"l_quantity".cast("long").as("qty"),
+            round($"l_extendedprice" * 100).cast("long").as("cents"))
+        val w = Window.partitionBy($"l_partkey")
+        li.withColumn("s", sum($"qty").over(w))
+          .withColumn("c", count(lit(1)).over(w))
+          .filter($"qty" * 5L * $"c" < $"s")
+          .agg(count(lit(1)).as("n_lineitems"),
+            sum($"cents").as("total_cents"))
+          .withColumn("avg_yearly_cents",
+            expr("total_cents div 7"))
+      },
+      Some("""
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        li AS (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem JOIN pk ON l_partkey = p_partkey),
+        ag AS (SELECT l_partkey AS apk, CAST(sum(qty) AS BIGINT) AS s,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM li GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_cents
+        FROM li JOIN ag ON l_partkey = apk
+        WHERE qty * 5 * c < s""")),
+
+    Q(
+      "q343_waiting_supplier",
+      "MULTI-EXISTS / NOT-EXISTS DECORRELATION (the TPC-H Q21 shape, " +
+        "'suppliers who kept orders waiting'): suppliers whose line in " +
+        "a MULTI-supplier order shipped late (> 60 days after the " +
+        "order date) while EVERY other supplier in that order shipped " +
+        "on time. The textbook form is EXISTS(another supplier) AND " +
+        "NOT EXISTS(another late supplier) — two correlated probes per " +
+        "row. Spark-first both collapse into ONE orderkey-grain " +
+        "aggregate over the distinct (order, supplier, late) frame: " +
+        "n_supp > 1 replaces EXISTS, n_late = 1 replaces NOT EXISTS " +
+        "(the candidate itself is late, so 'no OTHER late supplier' " +
+        "is exactly n_late = 1). The per-order stats are WINDOW " +
+        "aggregates over the (order, supplier) frame's orderkey " +
+        "partition — not a self-join, so lineitem and orders are " +
+        "each scanned ONCE (the self-join formulation re-ran the " +
+        "whole join per consumer; PlanSpec pins the 3-scan shape); " +
+        "supplier names attach by broadcast, top-10 by waits with " +
+        "deterministic name tie-break. Lateness compares raw " +
+        "timestamps — no epoch arithmetic to drift cross-engine.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val f = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max(when($"l_shipdate" >
+            $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L)).as("late"))
+        val w = Window.partitionBy($"l_orderkey")
+        val waits = f
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late", sum($"late").over(w))
+          .filter($"late" === 1L && $"n_supp" > 1L && $"n_late" === 1L)
+          .groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+        waits.join(broadcast(Tables.t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .orderBy($"numwait".desc, $"s_name").limit(10)
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"numwait".desc, $"s_name")).cast("long"))
+          .select($"rk", $"s_name", $"numwait")
+          .orderBy($"rk")
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        os AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+               FROM f GROUP BY 1),
+        waits AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+          FROM f JOIN os USING (l_orderkey)
+          WHERE late = 1 AND n_supp > 1 AND n_late = 1
+          GROUP BY 1),
+        r AS (SELECT CAST(row_number() OVER
+                (ORDER BY numwait DESC, s_name) AS BIGINT) AS rk,
+                s_name, numwait
+              FROM waits JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT rk, s_name, numwait FROM r WHERE rk <= 10 ORDER BY rk""")),
+
+    Q(
+      "q344_idle_rich_customers",
+      "GLOBAL-AGGREGATE FILTER + ANTI JOIN (the TPC-H Q22 shape, " +
+        "'positive-balance customers above the global positive " +
+        "average with no recent orders'): per nation, how many " +
+        "above-average-balance customers placed NO order in the " +
+        "trailing 60 days of the order history, and their total " +
+        "balance — the lapsed-high-value segment a win-back campaign " +
+        "targets. Spark-first: the scalar subquery (global positive " +
+        "avg) is a 1-row broadcast crossJoin; above-average is " +
+        "cross-multiplied exact — bal_cents * n_pos > sum_pos_cents " +
+        "(no division, no boundary flips); 'no recent order' is a " +
+        "LEFT ANTI join on custkey against the cutoff-filtered " +
+        "orders (the cutoff itself = max(o_orderdate) - 60 days, a " +
+        "second 1-row broadcast — data-derived, so the query needs " +
+        "no wall clock); nation names attach by broadcast. 100 TB: " +
+        "customer and orders are each scanned once; the anti join is " +
+        "one shuffle on custkey, and everything else is 1-row or " +
+        "25-row broadcast.",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_custkey", $"c_nationkey",
+            round($"c_acctbal" * 100).cast("long").as("bal_cents"))
+        val g = broadcast(cust.filter($"bal_cents" > 0)
+          .agg(sum($"bal_cents").as("sum_pos"),
+            count(lit(1)).as("n_pos")))
+        val cutoff = broadcast(Tables.t(s, dir, "orders")
+          .agg((max($"o_orderdate") - expr("INTERVAL 60 DAYS"))
+            .as("cut")))
+        val recent = Tables.t(s, dir, "orders").crossJoin(cutoff)
+          .filter($"o_orderdate" >= $"cut")
+          .select($"o_custkey").distinct()
+        cust.crossJoin(g)
+          .filter($"bal_cents" * $"n_pos" > $"sum_pos")
+          .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("numcust"),
+            sum($"bal_cents").as("totacctbal_cents"))
+          .orderBy($"n_name")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+          FROM customer),
+        g AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+                     CAST(count(*) AS BIGINT) AS n_pos
+              FROM cust WHERE bal_cents > 0),
+        cutoff AS (SELECT max(o_orderdate) - INTERVAL 60 DAY AS cut
+                   FROM orders),
+        recent AS (SELECT DISTINCT o_custkey
+                   FROM orders, cutoff WHERE o_orderdate >= cut)
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        FROM cust CROSS JOIN g
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE bal_cents * n_pos > sum_pos
+          AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        GROUP BY n_name ORDER BY n_name"""))
   )
 }

@@ -997,4 +997,19 @@ class PlanSpec extends AnyFunSuite {
   test("q310: fertility is one scan-shaped pass") {
     assert(scanLeafCount("q310_tokenizer_fertility") == 1)
   }
+
+  test("q342/q343: the decorrelated TPC-H shapes stay at their minimal " +
+    "scan counts — the window form, not the agg-and-rejoin form") {
+    assert(scanLeafCount("q342_small_qty_revenue") == 2,
+      "part + lineitem exactly once each; a third scan means the " +
+        "per-part average went back to the broadcast-rejoin form")
+    assert(scanLeafCount("q343_waiting_supplier") == 3,
+      "lineitem + orders + supplier exactly once each; 5 scans means " +
+        "the per-order stats went back to the self-join form")
+  }
+
+  test("q339/q340: gram and chunk pipelines are one document scan") {
+    assert(scanLeafCount("q339_dup_ngram_coverage") == 1)
+    assert(scanLeafCount("q340_rag_chunker") == 1)
+  }
 }
