@@ -897,6 +897,69 @@ object Joins extends QueryModule {
         JOIN nation ON c_nationkey = n_nationkey
         WHERE bal_cents * n_pos > sum_pos
           AND c_custkey NOT IN (SELECT o_custkey FROM recent)
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    Q(
+      "q345_null_safe_join",
+      "NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM) vs plain " +
+        "`=` — the reconciliation-join semantics gap every warehouse " +
+        "hits when an 'unknown' dimension member is encoded as NULL: " +
+        "plain equality silently DROPS every NULL-keyed fact (NULL = " +
+        "NULL is not true), while the null-safe operator matches " +
+        "NULL to NULL exactly once. Here the BUILDING segment plays " +
+        "the unknown (nullif), the dim is the 5-key distinct " +
+        "(4 names + NULL), and the output is the side-by-side ledger " +
+        "per join kind: matched rows, matched distinct customers, " +
+        "and the NULL-keyed row count each semantics kept. Catalyst " +
+        "plans `<=>` as an EqualNullSafe BroadcastHashJoin key — " +
+        "same hash-join machinery, no fallback to a nested loop (a " +
+        "naive engine degrades null-safe joins to theta joins). " +
+        "Both joins broadcast the 5-row dim; one customer scan per " +
+        "branch of the union (2 total, both column-pruned).",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.t(s, dir, "customer")
+          .select($"c_custkey",
+            nullif($"c_mktsegment", lit("BUILDING")).as("seg"))
+        val dim = broadcast(cust.select($"seg").distinct()
+          .select($"seg".as("dseg")))
+        def ledger(joined: org.apache.spark.sql.DataFrame, kind: String) =
+          joined.agg(
+            count(lit(1)).as("matched_rows"),
+            countDistinct($"c_custkey").as("matched_custs"),
+            sum(when($"seg".isNull, 1L).otherwise(0L))
+              .as("null_key_rows"))
+            .withColumn("join_kind", lit(kind))
+        ledger(cust.join(dim, $"seg" === $"dseg"), "equal")
+          .unionAll(ledger(cust.join(dim, $"seg" <=> $"dseg"),
+            "null_safe"))
+          .select($"join_kind", $"matched_rows", $"matched_custs",
+            $"null_key_rows")
+          .orderBy($"join_kind")
+      },
+      Some("""
+        WITH cust AS (
+          SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+          FROM customer),
+        dim AS (SELECT DISTINCT seg AS dseg FROM cust),
+        eq AS (
+          SELECT 'equal' AS join_kind,
+                 CAST(count(*) AS BIGINT) AS matched_rows,
+                 CAST(count(DISTINCT c_custkey) AS BIGINT)
+                   AS matched_custs,
+                 CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_key_rows
+          FROM cust JOIN dim ON seg = dseg),
+        ns AS (
+          SELECT 'null_safe' AS join_kind,
+                 CAST(count(*) AS BIGINT) AS matched_rows,
+                 CAST(count(DISTINCT c_custkey) AS BIGINT)
+                   AS matched_custs,
+                 CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_key_rows
+          FROM cust JOIN dim ON seg IS NOT DISTINCT FROM dseg)
+        SELECT join_kind, matched_rows, matched_custs, null_key_rows
+        FROM (SELECT * FROM eq UNION ALL SELECT * FROM ns)
+        ORDER BY join_kind"""))
   )
 }

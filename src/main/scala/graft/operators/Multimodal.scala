@@ -1328,6 +1328,121 @@ object Multimodal extends QueryModule {
                CAST(re * re + im * im AS BIGINT) AS e_quarter,
                CAST(alt * alt AS BIGINT) AS e_nyquist,
                CAST(sq AS BIGINT) AS sum_sq64
-        FROM g ORDER BY doc_id"""))
+        FROM g ORDER BY doc_id""")),
+
+    Q(
+      "q346_audio_vad_segments",
+      "ENERGY-BASED VOICE-ACTIVITY SEGMENTATION on the real audio " +
+        "codec path — the first pass every speech-data pipeline runs " +
+        "to cut raw recordings into utterances before ASR/training: " +
+        "decode the WAV (q118's javax.sound tier), frame at 16 " +
+        "samples (2 ms at 8 kHz; the trailing partial frame drops as " +
+        "fixed-frame windows do), mark a frame ACTIVE when its " +
+        "absolute-amplitude energy strictly exceeds the clip's mean " +
+        "frame energy (cross-multiplied exact: sum_abs * n_frames > " +
+        "total_abs — no division), and merge adjacent active frames " +
+        "into segments by the island trick (frame_id minus the " +
+        "active-frame row_number is constant within a run). Per-clip " +
+        "ledger: frames, active frames, segment count, longest " +
+        "segment. Payloads are born and die in one partition (q118's " +
+        "shape) — only (doc_id, frame_id, energy) scalars leave the " +
+        "map; the windows are all doc-partitioned, so 10^9 clips " +
+        "scale by partition count alone. WAV PCM is lossless, so " +
+        "decoded energies equal the closed-form amplitude function " +
+        "and the oracle replays the whole pipeline bit-exactly in " +
+        "SQL.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val frames = ids
+          .mapPartitions(_.map(id => (id, encodeWav(id))))
+          .mapPartitions(_.flatMap { case (id, wav) =>
+            vadFrameEnergies(id, wav) })
+          .toDF("doc_id", "frame_id", "sum_abs")
+        val byDoc = Window.partitionBy($"doc_id")
+        val act = frames
+          .withColumn("nf", count(lit(1)).over(byDoc))
+          .withColumn("tot", sum($"sum_abs").over(byDoc))
+          .withColumn("active", $"sum_abs" * $"nf" > $"tot")
+        val segs = act.filter($"active")
+          .withColumn("grp", $"frame_id" - row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"frame_id")))
+          .groupBy($"doc_id", $"grp").agg(count(lit(1)).as("seg_len"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum($"seg_len").as("active_frames"),
+            max($"seg_len").as("max_seg_len"))
+        act.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+          .join(segs, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_frames",
+            coalesce($"active_frames", lit(0L)).as("active_frames"),
+            coalesce($"n_segments", lit(0L)).as("n_segments"),
+            coalesce($"max_seg_len", lit(0L)).as("max_seg_len"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        f AS (SELECT doc_id, unnest(range(0, n // 16)) AS fid FROM dims),
+        e AS (SELECT doc_id, fid,
+                CAST(list_sum([abs((doc_id * 37 + i * 13) % 4001 - 2000)
+                               for i in range(fid * 16, fid * 16 + 16)])
+                  AS BIGINT) AS sa
+              FROM f),
+        d AS (SELECT doc_id, fid, sa,
+                count(*) OVER (PARTITION BY doc_id) AS nf,
+                sum(sa) OVER (PARTITION BY doc_id) AS tot FROM e),
+        seg AS (SELECT doc_id,
+                  fid - row_number() OVER (PARTITION BY doc_id
+                    ORDER BY fid) AS grp
+                FROM d WHERE sa * nf > tot),
+        sl AS (SELECT doc_id, grp, count(*) AS seg_len
+               FROM seg GROUP BY 1, 2),
+        ds AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_segments,
+                 CAST(sum(seg_len) AS BIGINT) AS active_frames,
+                 CAST(max(seg_len) AS BIGINT) AS max_seg_len
+               FROM sl GROUP BY 1),
+        nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+               FROM d GROUP BY 1)
+        SELECT nf.doc_id, nf.n_frames,
+               coalesce(ds.active_frames, 0) AS active_frames,
+               coalesce(ds.n_segments, 0) AS n_segments,
+               coalesce(ds.max_seg_len, 0) AS max_seg_len
+        FROM nf LEFT JOIN ds ON nf.doc_id = ds.doc_id
+        ORDER BY nf.doc_id"""))
   )
+
+  /** 16-sample frame energies for q346's VAD pass: (frame_id, sum of
+    * absolute 16-bit LE mono amplitudes). Same decode tier and framing
+    * discipline as frameWavFeatures (trailing partial frame dropped);
+    * kept separate because VAD frames (2 ms) are finer than the ASR
+    * feature frames (4 ms) — the two front ends really do differ. */
+  def vadFrameEnergies(id: Long, payload: Array[Byte])
+      : Seq[(Long, Int, Long)] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+          && !fmt.isBigEndian,
+        s"doc $id: expected 16-bit signed LE mono PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val nFrames = pcm.length / 2 / 16
+      for (f <- 0 until nFrames) yield {
+        var sumAbs = 0L
+        var i = f * 16
+        while (i < (f + 1) * 16) {
+          val amp = (((pcm(i * 2 + 1) & 0xff) << 8) |
+            (pcm(i * 2) & 0xff)).toShort.toInt
+          sumAbs += math.abs(amp)
+          i += 1
+        }
+        (id, f, sumAbs)
+      }
+    } finally ais.close()
+  }
 }
