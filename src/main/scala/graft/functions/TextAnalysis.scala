@@ -1889,7 +1889,93 @@ object TextAnalysis extends QueryModule {
         JOIN tots ta ON t.lang_a = ta.lang
         JOIN tots tb ON t.lang_b = tb.lang
         CROSS JOIN v
-        ORDER BY t.lang_a, t.lang_b""")))
+        ORDER BY t.lang_a, t.lang_b""")),
+
+    Q(
+      "q347_pmi_collocations",
+      "PMI COLLOCATION MINING — the corpus-linguistics classic " +
+        "(Church & Hanks 1990) that surfaces multiword units before " +
+        "tokenizer training decides what deserves a merge: top-20 " +
+        "adjacent bigrams by pointwise mutual information " +
+        "log2(P(ab) / (P(a)P(b))) with the standard min-count floor " +
+        "(c_ab >= 5, killing the rare-pair PMI explosion). Quantized " +
+        "to the q336/q341 half-bit family TERM BY TERM — pmi_hb = " +
+        "hb(c_ab) + 2*hb(N) - hb(B) - hb(c_a) - hb(c_b), each factor " +
+        "squared separately so nothing overflows BIGINT at any " +
+        "corpus size (the fused product c_ab*N^2 squared would " +
+        "overflow past ~55k tokens). Differs from q127 (per-doc " +
+        "bigram-rarity quality score) — this ranks the GLOBAL pair " +
+        "inventory. Plan: unigram and bigram counts are two " +
+        "token-grain aggregates (map-side combine eats the Zipf " +
+        "head); N and B are 1-row broadcasts of those frames " +
+        "(localCheckpoint — each feeds its total and a join); the " +
+        "unigram frame joins back twice (token_a, token_b); the " +
+        "rank window runs AFTER orderBy+limit(20).",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def hb(x: String) = s"(length(bin(($x) * ($x))) - 1)"
+        val arr = Tables.t(s, dir, "documents")
+          .select(split(trim($"text"), " ").as("t"))
+        val uni = arr.select(explode($"t").as("token"))
+          .groupBy($"token").agg(count(lit(1)).as("ca"))
+          .localCheckpoint(true)
+        val nTok = broadcast(uni.agg(sum($"ca").as("n_tok")))
+        val big = arr.select(explode(expr(
+            "case when size(t) >= 2 then transform(sequence(1, " +
+              "size(t) - 1), i -> struct(element_at(t, i) as ta, " +
+              "element_at(t, i + 1) as tb)) " +
+              "else array() end")).as("p"))
+          .select($"p.ta", $"p.tb")
+          .groupBy($"ta", $"tb").agg(count(lit(1)).as("cab"))
+          .localCheckpoint(true)
+        val nBig = broadcast(big.agg(sum($"cab").as("n_big")))
+        big.filter($"cab" >= 5)
+          .join(uni.select($"token".as("ta"), $"ca"), Seq("ta"))
+          .join(uni.select($"token".as("tb"), $"ca".as("cb")),
+            Seq("tb"))
+          .crossJoin(nTok).crossJoin(nBig)
+          .select($"ta", $"tb", $"cab",
+            expr(s"cast(${hb("cab")} + 2 * ${hb("n_tok")} - " +
+              s"${hb("n_big")} - ${hb("ca")} - ${hb("cb")} " +
+              "as bigint)").as("pmi_hb"))
+          .orderBy($"pmi_hb".desc, $"ta", $"tb").limit(20)
+          .withColumn("rk", row_number().over(
+            Window.orderBy($"pmi_hb".desc, $"ta", $"tb")).cast("long"))
+          .select($"rk", $"ta", $"tb", $"cab", $"pmi_hb")
+          .orderBy($"rk")
+      },
+      Some("""
+        WITH a AS (SELECT string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        uni AS (SELECT token, CAST(count(*) AS BIGINT) AS ca
+                FROM (SELECT unnest(ws) AS token FROM a) GROUP BY 1),
+        nt AS (SELECT CAST(sum(ca) AS BIGINT) AS n_tok FROM uni),
+        bigr AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS cab
+                 FROM (SELECT ws[i] AS ta, ws[i + 1] AS tb
+                       FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                             FROM a WHERE len(ws) >= 2))
+                 GROUP BY 1, 2),
+        nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n_big FROM bigr),
+        sc AS (
+          SELECT b.ta, b.tb, b.cab,
+                 CAST((length(bin(b.cab * b.cab)) - 1)
+                   + 2 * (length(bin(nt.n_tok * nt.n_tok)) - 1)
+                   - (length(bin(nb.n_big * nb.n_big)) - 1)
+                   - (length(bin(ua.ca * ua.ca)) - 1)
+                   - (length(bin(ub.ca * ub.ca)) - 1) AS BIGINT)
+                   AS pmi_hb
+          FROM bigr b
+          JOIN uni ua ON b.ta = ua.token
+          JOIN uni ub ON b.tb = ub.token
+          CROSS JOIN nt CROSS JOIN nb
+          WHERE b.cab >= 5),
+        r AS (SELECT CAST(row_number() OVER
+                (ORDER BY pmi_hb DESC, ta, tb) AS BIGINT) AS rk,
+                ta, tb, cab, pmi_hb
+              FROM sc)
+        SELECT rk, ta, tb, cab, pmi_hb FROM r WHERE rk <= 20
+        ORDER BY rk""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -546,6 +546,70 @@ object AdvancedOps extends QueryModule {
                  AS max_over_mean_ppm,
                greatest(1, (max_key_rows * 32 + n_rows - 1) // n_rows)
                  AS rec_salt
-        FROM st ORDER BY rel, join_key"""))
+        FROM st ORDER BY rel, join_key""")),
+
+    Q(
+      "q349_benford_audit",
+      "BENFORD'S-LAW FIRST-DIGIT AUDIT on order totals — the " +
+        "forensic-accounting screen (Nigrini's fraud test; also a " +
+        "data-quality smell test for synthetic or truncated feeds): " +
+        "observed leading-digit distribution of o_totalprice vs the " +
+        "Benford expectation P(d) = log10(1 + 1/d), with per-digit " +
+        "absolute deviation. The expectations enter as ppm LITERALS " +
+        "(301030, 176091, ... — q238's no-libm constant rule: never " +
+        "engine log10), the leading digit is a string head of the " +
+        "exact cents BIGINT (x100 preserves it), observed shares are " +
+        "integer ppm, and the digit grid is DENSE (a digit with zero " +
+        "orders still reports — its deviation IS the finding). The " +
+        "fixture's bounded uniform prices genuinely fail Benford; " +
+        "the audit exists to QUANTIFY that per digit. Plan: one " +
+        "orders scan -> 9-row digit aggregate, expectations attach " +
+        "by broadcast right join on the 9-row literal frame, total " +
+        "is a 1-row broadcast. 100 TB: one map-side-combined " +
+        "aggregate; everything after lives on 9 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+          4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+          8 -> 51153L, 9 -> 45757L)
+        val exp = broadcast(benford.toDF("digit", "expected_ppm")
+          .select($"digit".cast("long").as("digit"), $"expected_ppm"))
+        val obs = Tables.t(s, dir, "orders")
+          .select(substring(round($"o_totalprice" * 100).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n_orders"))
+        val tot = broadcast(Tables.t(s, dir, "orders")
+          .agg(count(lit(1)).as("n_total")))
+        exp.join(obs, Seq("digit"), "left")
+          .withColumn("n_orders", coalesce($"n_orders", lit(0L)))
+          .crossJoin(tot)
+          .select($"digit", $"n_orders",
+            expr("n_orders * 1000000 div n_total").as("observed_ppm"),
+            $"expected_ppm")
+          .withColumn("abs_dev_ppm",
+            abs($"observed_ppm" - $"expected_ppm"))
+          .orderBy($"digit")
+      },
+      Some("""
+        WITH exp AS (
+          SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+            (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+            (8, 51153), (9, 45757)) AS t(digit, expected_ppm)),
+        obs AS (
+          SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders)
+        SELECT CAST(exp.digit AS BIGINT) AS digit,
+               CAST(coalesce(obs.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(obs.n_orders, 0) * 1000000 // n_total
+                 AS BIGINT) AS observed_ppm,
+               CAST(exp.expected_ppm AS BIGINT) AS expected_ppm,
+               CAST(abs(coalesce(obs.n_orders, 0) * 1000000 // n_total
+                 - exp.expected_ppm) AS BIGINT) AS abs_dev_ppm
+        FROM exp LEFT JOIN obs ON exp.digit = obs.digit
+        CROSS JOIN tot
+        ORDER BY digit"""))
   )
 }

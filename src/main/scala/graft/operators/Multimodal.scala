@@ -1411,7 +1411,70 @@ object Multimodal extends QueryModule {
                coalesce(ds.n_segments, 0) AS n_segments,
                coalesce(ds.max_seg_len, 0) AS max_seg_len
         FROM nf LEFT JOIN ds ON nf.doc_id = ds.doc_id
-        ORDER BY nf.doc_id"""))
+        ORDER BY nf.doc_id""")),
+
+    Q(
+      "q350_binaryfile_ingest",
+      "BINARY-FILE LANDING-ZONE INGEST — the spark.read.format" +
+        "('binaryFile') source every multimodal pipeline starts from " +
+        "(a directory of media files in an object store, one file " +
+        "per asset, no parquet yet): WAV clips are WRITTEN one file " +
+        "per doc in a distributed foreachPartition (the landing-zone " +
+        "simulation), read back through the binaryFile DataSource " +
+        "(path/length/content schema — the content column is the " +
+        "real file bytes, the asset id is parsed from the PATH, the " +
+        "ingest pattern's defining move), decoded with the real " +
+        "javax.sound codec, and the per-clip feature row emitted. " +
+        "file_bytes pins the WHOLE byte path: the canonical RIFF " +
+        "header is 44 bytes, so length must equal 44 + 2n exactly — " +
+        "a writer or source regression that pads, truncates, or " +
+        "re-encodes goes driver-red. Differs from q118 (in-memory " +
+        "payload column): here the bytes cross a filesystem and " +
+        "return through a DataSource scan with its own partitioning " +
+        "(maxPartitionBytes applies to media files too). Payloads " +
+        "still die in the partition that read them.",
+      (s, dir) => {
+        import s.implicits._
+        val root = graft.TempRoots.freshForDir("graft_binwav", dir)
+          .toString
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        ids.foreachPartition { it: Iterator[Long] =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"$id%06d.wav"),
+              encodeWav(id))
+          }
+        }
+        s.read.format("binaryFile").load(root)
+          .select($"path", $"length", $"content")
+          .as[(String, Long, Array[Byte])]
+          .map { case (path, len, bytes) =>
+            val id = path.split("/").last.stripSuffix(".wav").toLong
+            val f = decodeWavFeatures(id, bytes)
+            (f.doc_id, f.n_samples, f.sample_rate, len,
+              f.sum_amp, f.sum_abs, f.max_abs)
+          }
+          .toDF("doc_id", "n_samples", "sample_rate", "file_bytes",
+            "sum_amp", "sum_abs", "max_abs")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, n)) AS i FROM par),
+        a AS (
+          SELECT doc_id, n,
+                 ((doc_id * 37 + i * 13) % 4001) - 2000 AS amp
+          FROM s)
+        SELECT doc_id,
+               CAST(min(n) AS INTEGER) AS n_samples,
+               CAST(8000 AS INTEGER) AS sample_rate,
+               CAST(44 + 2 * min(n) AS BIGINT) AS file_bytes,
+               CAST(sum(amp) AS BIGINT) AS sum_amp,
+               CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
+               CAST(max(abs(amp)) AS INTEGER) AS max_abs
+        FROM a GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** 16-sample frame energies for q346's VAD pass: (frame_id, sum of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
 
 /** SQL-surface features exercised through `spark.sql` over temp views:
   * scalar / IN / correlated-EXISTS subqueries, CTEs, HAVING (SURVEY.md §3.3:
@@ -164,6 +165,66 @@ object SqlFeatures extends QueryModule {
              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
       FROM orders
       GROUP BY ALL
-      ORDER BY ALL""")
+      ORDER BY ALL"""),
+
+    Q(
+      "q348_explode_outer_semantics",
+      "GENERATOR OUTER SEMANTICS — explode vs explode_outer on " +
+        "empty-array rows, the LATERAL VIEW OUTER gap that silently " +
+        "drops entities from per-item pipelines: filtering each doc's " +
+        "tokens to the long ones (> 6 chars) leaves ~20% of docs with " +
+        "an EMPTY array; plain explode drops those docs entirely " +
+        "(inner-join semantics against the generated rows), while " +
+        "explode_outer keeps them as a single NULL row (left-join " +
+        "semantics) — the difference between 'docs with no long " +
+        "tokens vanish from the audit' and 'they report zero'. " +
+        "Side-by-side ledger per variant: generated rows, docs " +
+        "retained, NULL rows. The oracle derives both ledgers from " +
+        "the array LENGTHS (sum(len) vs sum(greatest(len, 1))) — an " +
+        "independent closed-form of the same semantics, so a Spark " +
+        "regression in outer-generate NULL handling goes driver-red. " +
+        "Both branches are one column-pruned scan + generate + " +
+        "1-row aggregate; at 100 TB the generate is map-side only.",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.t(s, dir, "documents")
+          .select($"doc_id", expr(
+            "filter(split(trim(text), ' '), t -> length(t) > 6)")
+            .as("arr"))
+        def ledger(df: org.apache.spark.sql.DataFrame, kind: String) =
+          df.agg(count(lit(1)).as("rows_out"),
+            countDistinct($"doc_id").as("docs_retained"),
+            sum(when($"tok".isNull, 1L).otherwise(0L)).as("null_rows"))
+            .withColumn("variant", lit(kind))
+        ledger(d.select($"doc_id", explode($"arr").as("tok")), "inner")
+          .unionAll(ledger(
+            d.select($"doc_id", explode_outer($"arr").as("tok")),
+            "outer"))
+          .select($"variant", $"rows_out", $"docs_retained",
+            $"null_rows")
+          .orderBy($"variant")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(trim(text), ' '),
+                     t -> length(t) > 6)) AS n
+          FROM documents)
+        SELECT variant, rows_out, docs_retained, null_rows
+        FROM (
+          SELECT 'inner' AS variant,
+                 CAST(sum(n) AS BIGINT) AS rows_out,
+                 CAST(count(*) FILTER (WHERE n > 0) AS BIGINT)
+                   AS docs_retained,
+                 CAST(0 AS BIGINT) AS null_rows
+          FROM d
+          UNION ALL
+          SELECT 'outer' AS variant,
+                 CAST(sum(greatest(n, 1)) AS BIGINT) AS rows_out,
+                 CAST(count(*) AS BIGINT) AS docs_retained,
+                 CAST(count(*) FILTER (WHERE n = 0) AS BIGINT)
+                   AS null_rows
+          FROM d)
+        ORDER BY variant"""))
   )
 }

@@ -748,6 +748,27 @@ object Stress {
       SparkEntry.queries("q314_chi2_independence")(s, out).count()
       SparkEntry.queries("q315_spearman_rank_corr")(s, out).count()
     }
+    // Duplicated 8-gram coverage (q339): ~2.7M gram rows from 51k docs,
+    // one window count on the gram-hash partition. The 2% planted
+    // near-dups shift whole docs over the 50% coverage line — the
+    // ExactSubstr drop list the measurement exists to produce.
+    time("dup 8-gram coverage 51k docs (~2.7M gram rows)") {
+      SparkEntry.queries("q339_dup_ngram_coverage")(s, out).count()
+    }
+    // RAG chunker (q340) + DSIR selection (q337) + KL matrix (q341):
+    // each one corpus scan; q337/q341 collapse to vocab-scale frames
+    // (30-word stress vocabulary — the Zipf-head worst case for the
+    // map-side combine) before any join.
+    time("rag chunker + dsir + kl matrix 51k docs") {
+      SparkEntry.queries("q340_rag_chunker")(s, out).count()
+      SparkEntry.queries("q337_dsir_selection")(s, out).count()
+      SparkEntry.queries("q341_lang_kl_matrix")(s, out).count()
+    }
+    // Small-quantity revenue (q342) over the 6M-row lineitem: the
+    // brand filter prunes via broadcast, then ONE partkey window.
+    time(s"tpch q17 shape ${6 * mult}M lineitem") {
+      SparkEntry.queries("q342_small_qty_revenue")(s, out).count()
+    }
     s.stop()
   }
 }
