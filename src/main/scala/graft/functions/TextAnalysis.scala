@@ -1975,7 +1975,111 @@ object TextAnalysis extends QueryModule {
                 ta, tb, cab, pmi_hb
               FROM sc)
         SELECT rk, ta, tb, cab, pmi_hb FROM r WHERE rk <= 20
-        ORDER BY rk""")))
+        ORDER BY rk""")),
+
+    Q(
+      "q354_gopher_quality_rules",
+      "GOPHER-STYLE RULE-BASED QUALITY FILTER AUDIT (Rae et al. 2021 " +
+        "appendix A1.1, the rule battery every LLM corpus pass starts " +
+        "with, re-bounded to the fixture's 10-99-word documents): five " +
+        "per-doc rules — word count in [20,80], mean word length in " +
+        "[3,10] (cross-multiplied 3n <= sumlen <= 10n, no division), " +
+        ">= 2 English stopword hits (the shared q51/q52 list), " +
+        "type-token ratio >= 0.3 (10*distinct >= 3*n), and " +
+        "top-token share <= 10% (10*maxcnt <= n). Output is the AUDIT, " +
+        "not the filtered corpus (q129's funnel discipline): one row " +
+        "per rule with failing-doc counts + the pass_all row, shares " +
+        "in ppm — the numbers a data curator reads before committing " +
+        "a filter threshold. All five rules are computed in ONE " +
+        "codegen'd projection over array HOFs (the per-doc top-token " +
+        "count is array_max over transform(distinct, count-in-doc) — " +
+        "bounded by the 99-token doc length, no explode, no shuffle); " +
+        "the aggregate is a 1-row reduce unpivoted by stack onto the " +
+        "6-row rule domain. 100 TB: a map-only pass + one tiny reduce.",
+      (s, dir) => {
+        import s.implicits._
+        val en = stopwords.head._2
+        val d = Tables.t(s, dir, "documents").select(
+          size(toks).as("n"),
+          expr("aggregate(transform(split(trim(text), ' '), " +
+            "x -> length(x)), 0, (a, b) -> a + b)").as("sumlen"),
+          size(filter(toks, x => array_contains(typedLit(en), x)))
+            .as("stophits"),
+          size(array_distinct(toks)).as("dist"),
+          expr("array_max(transform(array_distinct(split(trim(text), " +
+            "' ')), t -> size(filter(split(trim(text), ' '), " +
+            "x -> x = t))))").as("maxcnt"))
+          .select(
+            ($"n" >= 20 && $"n" <= 80).as("p1"),
+            ($"sumlen" >= $"n" * 3 && $"sumlen" <= $"n" * 10).as("p2"),
+            ($"stophits" >= 2).as("p3"),
+            ($"dist" * 10 >= $"n" * 3).as("p4"),
+            ($"maxcnt" * 10 <= $"n").as("p5"))
+        d.agg(
+            sum((!$"p1").cast("long")).as("f1"),
+            sum((!$"p2").cast("long")).as("f2"),
+            sum((!$"p3").cast("long")).as("f3"),
+            sum((!$"p4").cast("long")).as("f4"),
+            sum((!$"p5").cast("long")).as("f5"),
+            sum(($"p1" && $"p2" && $"p3" && $"p4" && $"p5")
+              .cast("long")).as("pall"),
+            count(lit(1)).as("total"))
+          .selectExpr("stack(6, " +
+            "'fail_word_count', f1, 'fail_mean_word_len', f2, " +
+            "'fail_stopword_hits', f3, 'fail_type_token_ratio', f4, " +
+            "'fail_top_token_share', f5, 'pass_all', pall) " +
+            "as (rule, n_docs)", "total")
+          .select($"rule", $"n_docs",
+            expr("n_docs * 1000000 div total").as("share_ppm"))
+          .orderBy($"rule")
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT len(string_split(trim(text), ' ')) AS n,
+                 CAST(list_sum(list_transform(string_split(trim(text),
+                   ' '), x -> length(x))) AS BIGINT) AS sumlen,
+                 len(list_filter(string_split(trim(text), ' '),
+                   x -> list_contains(['the', 'a', 'and', 'of', 'to'],
+                     x))) AS stophits,
+                 len(list_distinct(string_split(trim(text), ' ')))
+                   AS dist,
+                 list_max(list_transform(list_distinct(
+                   string_split(trim(text), ' ')),
+                   t -> len(list_filter(string_split(trim(text), ' '),
+                     x -> x = t)))) AS maxcnt
+          FROM documents),
+        p AS (
+          SELECT (n >= 20 AND n <= 80) AS p1,
+                 (sumlen >= n * 3 AND sumlen <= n * 10) AS p2,
+                 (stophits >= 2) AS p3,
+                 (dist * 10 >= n * 3) AS p4,
+                 (maxcnt * 10 <= n) AS p5
+          FROM f),
+        a AS (
+          SELECT CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+                 CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2,
+                 CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f3,
+                 CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f4,
+                 CAST(sum(CASE WHEN NOT p5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f5,
+                 CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5
+                   THEN 1 ELSE 0 END) AS BIGINT) AS pall,
+                 CAST(count(*) AS BIGINT) AS total
+          FROM p),
+        u AS (
+          SELECT 'fail_word_count' AS rule, f1 AS n_docs, total FROM a
+          UNION ALL SELECT 'fail_mean_word_len', f2, total FROM a
+          UNION ALL SELECT 'fail_stopword_hits', f3, total FROM a
+          UNION ALL SELECT 'fail_type_token_ratio', f4, total FROM a
+          UNION ALL SELECT 'fail_top_token_share', f5, total FROM a
+          UNION ALL SELECT 'pass_all', pall, total FROM a)
+        SELECT rule, n_docs,
+               CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+        FROM u ORDER BY rule""")))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -2006,7 +2006,323 @@ object Experimentation extends QueryModule {
                CAST(sum(w * post_micros) // sum(w) AS BIGINT) AS cf_micros,
                CAST(any_value(t_post) - sum(w * post_micros) // sum(w)
                  AS BIGINT) AS effect_micros
-        FROM d"""))
+        FROM d""")),
+
+    Q(
+      "q351_shapley_attribution",
+      "EXACT SHAPLEY-VALUE ATTRIBUTION over the 4-channel touch universe " +
+        "(Shapley 1953 applied to marketing journeys, Zhao et al. 2018): " +
+        "each purchase's credit is divided among the distinct channels it " +
+        "touched by the full coalition sum phi_c = sum_{S not containing " +
+        "c} |S|!(3-|S|)!/4! * [v(S+c) - v(S)], with the characteristic " +
+        "function v(M) = cents of journeys whose touched-channel set is a " +
+        "SUBSET of M. Everything is integer-exact: weights are scaled by " +
+        "4! = 24 (w24 in {6,2,2,6} by |S|), popcounts are div/mod " +
+        "arithmetic portable to both engines, and the unanimity-game " +
+        "identity (v additive over exact-set masses => phi_c = " +
+        "sum_{T contains c} m(T)/|T|, each 24/|T| an integer) is emitted " +
+        "as a SECOND independently-computed column that must equal the " +
+        "coalition sum — the query self-verifies the classic collapse of " +
+        "set-based Shapley to equal-split-within-journey. Plan: the only " +
+        "row-scale work is q210's shared touch universe aggregated to " +
+        "per-journey channel bitmasks then to <=16 exact-set masses; the " +
+        "entire Shapley algebra (v on 16 masks, 4x8 (c,S) pairs) lives " +
+        "on broadcast literal domains. 100 TB: one shuffle to journeys, " +
+        "one 16-row aggregate — the coalition machinery costs nothing " +
+        "at any scale.",
+      (s, dir) => {
+        import s.implicits._
+        val (_, j) = touchUniverse(s, dir)
+        // per-journey touched-set bitmask + its (constant-per-pid) cents
+        val m = j.groupBy($"pid")
+          .agg(expr("bit_or(shiftleft(1, cast(ch as int)))").as("tmask"),
+            max($"cents").as("cents"))
+          .groupBy($"tmask")
+          .agg(sum($"cents").as("set_cents"),
+            count(lit(1)).as("n_journeys"))
+        val masks = broadcast((0 until 16).toDF("vmask"))
+        // v(M) = sum of exact-set masses m(T) with T subset of M
+        val v = masks.join(m, expr("(tmask & vmask) = tmask"), "left")
+          .groupBy($"vmask")
+          .agg(coalesce(sum($"set_cents"), lit(0L)).as("v_cents"))
+        val chans = broadcast((0 until 4).toDF("channel"))
+        // (c, S) pairs with c not in S; w24 by |S| via div/mod popcount
+        val pairs = chans.join(masks.withColumnRenamed("vmask", "smask"),
+            expr("((smask div shiftleft(1, channel)) % 2) = 0"))
+          .withColumn("pc", expr("(smask % 2) + ((smask div 2) % 2) + " +
+            "((smask div 4) % 2) + ((smask div 8) % 2)"))
+          .withColumn("w24", expr("CASE pc WHEN 0 THEN 6 WHEN 1 THEN 2 " +
+            "WHEN 2 THEN 2 ELSE 6 END"))
+          .withColumn("with_c", expr("smask + shiftleft(1, channel)"))
+        val phi = pairs
+          .join(v.select($"vmask".as("with_c"), $"v_cents".as("v_with")),
+            Seq("with_c"))
+          .join(v.select($"vmask".as("smask"), $"v_cents".as("v_without")),
+            Seq("smask"))
+          .groupBy($"channel")
+          .agg(sum(expr("w24 * (v_with - v_without)"))
+            .as("shapley_cents_x24"))
+        // independent unanimity-identity column + touched totals
+        val una = chans.join(m,
+            expr("((tmask div shiftleft(1, channel)) % 2) = 1"), "left")
+          .withColumn("tc", expr("(tmask % 2) + ((tmask div 2) % 2) + " +
+            "((tmask div 4) % 2) + ((tmask div 8) % 2)"))
+          .groupBy($"channel")
+          .agg(coalesce(sum($"n_journeys"), lit(0L))
+              .as("touched_journeys"),
+            coalesce(sum($"set_cents"), lit(0L)).as("touched_cents"),
+            coalesce(sum(expr("set_cents * (24 div tc)")), lit(0L))
+              .as("unanimity_cents_x24"))
+        val tot = broadcast(m.agg(
+          (sum($"set_cents") * 24).as("total_x24")))
+        phi.join(una, Seq("channel")).crossJoin(tot)
+          .select($"channel".cast("long").as("channel"),
+            $"touched_journeys", $"touched_cents",
+            $"shapley_cents_x24", $"unanimity_cents_x24",
+            expr("shapley_cents_x24 * 1000000 div total_x24")
+              .as("share_ppm"))
+          .orderBy($"channel")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+                   AS ch
+          FROM events),
+        p AS (SELECT user_id, event_id AS pid, us AS pus, cents
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_id AS cid, us AS cus, ch
+              FROM ev WHERE event_type = 'click'),
+        tu AS (
+          SELECT p.pid, p.cents, c.ch
+          FROM p JOIN c ON p.user_id = c.user_id
+          WHERE (c.cus < p.pus OR (c.cus = p.pus AND c.cid < p.pid))
+            AND p.pus - c.cus <= 86400000000),
+        jm AS (
+          SELECT pid, bit_or(CAST(1 << ch AS BIGINT)) AS tmask,
+                 max(cents) AS cents
+          FROM tu GROUP BY pid),
+        m AS (
+          SELECT tmask, sum(cents) AS set_cents,
+                 CAST(count(*) AS BIGINT) AS n_journeys
+          FROM jm GROUP BY tmask),
+        masks AS (SELECT range AS vmask FROM range(16)),
+        v AS (
+          SELECT vmask,
+                 coalesce(sum(m.set_cents), 0) AS v_cents
+          FROM masks LEFT JOIN m ON (m.tmask & masks.vmask) = m.tmask
+          GROUP BY vmask),
+        chans AS (SELECT range AS channel FROM range(4)),
+        pairs AS (
+          SELECT channel, vmask AS smask,
+                 (vmask % 2) + ((vmask // 2) % 2) + ((vmask // 4) % 2)
+                   + ((vmask // 8) % 2) AS pc,
+                 vmask + (1 << channel) AS with_c
+          FROM chans JOIN masks
+            ON ((vmask // (1 << channel)) % 2) = 0),
+        phi AS (
+          SELECT channel,
+                 sum((CASE pc WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+                      ELSE 6 END) * (vw.v_cents - vo.v_cents))
+                   AS shapley_cents_x24
+          FROM pairs
+          JOIN v vw ON vw.vmask = pairs.with_c
+          JOIN v vo ON vo.vmask = pairs.smask
+          GROUP BY channel),
+        una AS (
+          SELECT channel,
+                 coalesce(sum(m.n_journeys), 0) AS touched_journeys,
+                 coalesce(sum(m.set_cents), 0) AS touched_cents,
+                 coalesce(sum(m.set_cents * (24 // ((m.tmask % 2)
+                   + ((m.tmask // 2) % 2) + ((m.tmask // 4) % 2)
+                   + ((m.tmask // 8) % 2)))), 0) AS unanimity_cents_x24
+          FROM chans LEFT JOIN m
+            ON ((m.tmask // (1 << channel)) % 2) = 1
+          GROUP BY channel),
+        tot AS (SELECT sum(set_cents) * 24 AS total_x24 FROM m)
+        SELECT CAST(phi.channel AS BIGINT) AS channel,
+               CAST(touched_journeys AS BIGINT) AS touched_journeys,
+               CAST(touched_cents AS BIGINT) AS touched_cents,
+               CAST(shapley_cents_x24 AS BIGINT) AS shapley_cents_x24,
+               CAST(unanimity_cents_x24 AS BIGINT) AS unanimity_cents_x24,
+               CAST(shapley_cents_x24 * 1000000 // total_x24 AS BIGINT)
+                 AS share_ppm
+        FROM phi JOIN una ON phi.channel = una.channel
+        CROSS JOIN tot
+        ORDER BY channel""")),
+
+    Q(
+      "q352_regression_discontinuity",
+      "SHARP REGRESSION-DISCONTINUITY estimate at a $250k order-total " +
+        "cutoff (Thistlethwaite-Campbell 1960; the standard local-linear " +
+        "RD of Imbens-Lemieux 2008): outcome = lineitems per order, " +
+        "running variable x = cents - 25_000_000, bandwidth $50k each " +
+        "side, SEPARATE exact OLS fits left and right, effect = " +
+        "right-intercept minus left-intercept at the cutoff. All five " +
+        "OLS sufficient statistics (n, Sx, Sy, Sxy, Sxx) are exact " +
+        "BIGINTs from ONE conditional aggregate; the closed-form " +
+        "intercept (SxxSy - SxSxy)/(nSxx - SxSx) and slope " +
+        "(nSxy - SxSy)/(nSxx - SxSx) are cleared in DECIMAL(38,0) and " +
+        "emitted as micro-lineitems / pico-lineitems-per-cent BIGINTs. " +
+        "The synthetic fixture has no true discontinuity — the query is " +
+        "its own negative control (q293's A/A discipline; the near-zero " +
+        "effect IS the finding). Plan: orders->lineitem-count is one " +
+        "orderkey aggregate + broadcast-joinable band filter; the OLS " +
+        "algebra is a 1-row reduce. 100 TB: the band filter pushes to " +
+        "the scan, everything else is map-side-combined sums.",
+      (s, dir) => {
+        import s.implicits._
+        val cut = 25000000L; val h = 5000000L
+        val cnt = Tables.t(s, dir, "lineitem")
+          .groupBy($"l_orderkey".as("okey"))
+          .agg(count(lit(1)).as("y"))
+        Tables.t(s, dir, "orders")
+          .select($"o_orderkey",
+            (expr("cast(round(o_totalprice * 100) as bigint)") - cut)
+              .as("x"))
+          .filter($"x" >= -h && $"x" < h)
+          .join(cnt, $"o_orderkey" === $"okey", "left")
+          .select($"x", coalesce($"y", lit(0L)).as("y"),
+            ($"x" >= 0).cast("int").as("side"))
+          .groupBy($"side")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sxx"))
+          .withColumn("den", expr(
+            "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+          .select($"side".cast("long").as("side"), $"n",
+            expr("cast((cast(sxx as decimal(38,0)) * sy - " +
+              "cast(sx as decimal(38,0)) * sxy) * 1000000 div den " +
+              "as bigint)").as("intercept_micro"),
+            expr("cast((cast(n as decimal(38,0)) * sxy - " +
+              "cast(sx as decimal(38,0)) * sy) * 1000000000000 div den " +
+              "as bigint)").as("slope_pico"))
+          .withColumn("rd_effect_micro",
+            expr("max(CASE WHEN side = 1 THEN intercept_micro END) " +
+              "over () - max(CASE WHEN side = 0 THEN intercept_micro " +
+              "END) over ()"))
+          .orderBy($"side")
+      },
+      Some("""
+        WITH cnt AS (
+          SELECT l_orderkey AS okey, CAST(count(*) AS BIGINT) AS y
+          FROM lineitem GROUP BY 1),
+        band AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) - 25000000
+                   AS x,
+                 coalesce(cnt.y, 0) AS y
+          FROM orders LEFT JOIN cnt ON orders.o_orderkey = cnt.okey
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) - 25000000
+                  >= -5000000
+            AND CAST(round(o_totalprice * 100) AS BIGINT) - 25000000
+                  < 5000000),
+        st AS (
+          SELECT CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side,
+                 CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM band GROUP BY 1),
+        fit AS (
+          SELECT side, n,
+                 CAST((CAST(sxx AS HUGEINT) * sy
+                     - CAST(sx AS HUGEINT) * sxy) * 1000000
+                   // (CAST(n AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                   AS intercept_micro,
+                 CAST((CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy) * 1000000000000
+                   // (CAST(n AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                   AS slope_pico
+          FROM st)
+        SELECT CAST(side AS BIGINT) AS side, n, intercept_micro,
+               slope_pico,
+               max(CASE WHEN side = 1 THEN intercept_micro END) OVER ()
+                 - max(CASE WHEN side = 0 THEN intercept_micro END)
+                   OVER () AS rd_effect_micro
+        FROM fit ORDER BY side""")),
+
+    Q(
+      "q353_wald_iv_estimator",
+      "INSTRUMENTAL-VARIABLE WALD ESTIMATOR (Wald 1940; the " +
+        "encouragement-design LATE of Angrist-Imbens-Rubin 1996): " +
+        "instrument Z = user_id parity (as-good-as-random), treatment " +
+        "uptake T = user clicked >= 13 times (13 = the fixture's median " +
+        "click count, picked so the first stage is non-degenerate at " +
+        "every sf), outcome Y = user purchase " +
+        "cents. Wald = ITT(Y)/ITT(T); cross-multiplying both intent-to-" +
+        "treat differences by n1*n0 makes the n1*n0 factors CANCEL " +
+        "exactly, so the estimator is the pure integer rational " +
+        "(Sy1*n0 - Sy0*n1)/(St1*n0 - St0*n1) — cleared in " +
+        "DECIMAL(38,0), micro-scaled, NULLIF-guarded against a zero " +
+        "first stage (a weak-instrument fixture must yield NULL, not a " +
+        "crash). First-stage uptake ppm per arm is emitted beside it — " +
+        "the weak-instrument diagnostic every IV report needs. Plan: " +
+        "ONE events scan to per-user (clicks, cents), one 2-row " +
+        "conditional aggregate; 100 TB is one user-keyed shuffle.",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            sum(($"event_type" === "click").cast("long")).as("clicks"),
+            sum(when($"event_type" === "purchase",
+              expr("cast(round(value * 100) as bigint)"))
+              .otherwise(0L)).as("cents"))
+          .select(($"user_id" % 2).as("z"),
+            ($"clicks" >= 13).cast("long").as("t"), $"cents")
+        u.agg(
+            sum(when($"z" === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when($"z" === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when($"z" === 0, $"t").otherwise(0L)).as("st0"),
+            sum(when($"z" === 1, $"t").otherwise(0L)).as("st1"),
+            sum(when($"z" === 0, $"cents").otherwise(0L)).as("sy0"),
+            sum(when($"z" === 1, $"cents").otherwise(0L)).as("sy1"))
+          .select($"n0", $"n1",
+            expr("st0 * 1000000 div n0").as("uptake0_ppm"),
+            expr("st1 * 1000000 div n1").as("uptake1_ppm"),
+            expr("cast(cast(sy1 as decimal(38,0)) * n0 - " +
+              "cast(sy0 as decimal(38,0)) * n1 as decimal(38,0))")
+              .as("itt_y_num"),
+            expr("cast(st1 as decimal(38,0)) * n0 - " +
+              "cast(st0 as decimal(38,0)) * n1").as("itt_t_num"))
+          .select($"n0", $"n1", $"uptake0_ppm", $"uptake1_ppm",
+            expr("cast(itt_y_num as bigint)").as("itt_y_num"),
+            expr("cast(itt_t_num as bigint)").as("itt_t_num"),
+            expr("cast(itt_y_num * 1000000 div nullif(itt_t_num, 0) " +
+              "as bigint)").as("wald_cents_micro"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id % 2 AS z,
+                 CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1
+                   ELSE 0 END) >= 13 THEN 1 ELSE 0 END AS t,
+                 sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT)
+                   ELSE 0 END) AS cents
+          FROM events GROUP BY user_id),
+        st AS (
+          SELECT CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS st0,
+                 sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS st1,
+                 sum(CASE WHEN z = 0 THEN cents ELSE 0 END) AS sy0,
+                 sum(CASE WHEN z = 1 THEN cents ELSE 0 END) AS sy1
+          FROM u)
+        SELECT n0, n1,
+               CAST(st0 * 1000000 // n0 AS BIGINT) AS uptake0_ppm,
+               CAST(st1 * 1000000 // n1 AS BIGINT) AS uptake1_ppm,
+               CAST(CAST(sy1 AS HUGEINT) * n0
+                 - CAST(sy0 AS HUGEINT) * n1 AS BIGINT) AS itt_y_num,
+               CAST(st1 * n0 - st0 * n1 AS BIGINT) AS itt_t_num,
+               CAST((CAST(sy1 AS HUGEINT) * n0
+                   - CAST(sy0 AS HUGEINT) * n1) * 1000000
+                 // nullif(st1 * n0 - st0 * n1, 0) AS BIGINT)
+                 AS wald_cents_micro
+        FROM st"""))
   )
 }
 

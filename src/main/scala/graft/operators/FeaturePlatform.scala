@@ -1931,7 +1931,103 @@ object FeaturePlatform extends QueryModule {
                  AS mean_p5_ppm,
                CAST(sum(h * 1000000 // nt) // count(*) AS BIGINT)
                  AS mean_r5_ppm
-        FROM pop"""))
+        FROM pop""")),
+
+    Q(
+      "q356_cumulative_gains",
+      "CUMULATIVE GAINS / LIFT TABLE (the model-targeting report behind " +
+        "every uplift campaign; Berry-Linoff's decile analysis): users " +
+        "scored by a click-count propensity proxy, bucketed into DECILES " +
+        "WITH TIES KEPT TOGETHER via the counting-CDF — decile(s) = " +
+        "(#users strictly above score s) * 10 div N + 1, computed on " +
+        "the bounded SCORE DOMAIN (a window over distinct click counts, " +
+        "never a row sort — q303's counting-CDF discipline), label = " +
+        "user purchased. Per decile: users, positives, and the " +
+        "cumulative capture curve — cum_gain_ppm (share of all " +
+        "positives captured down to this decile) and cum_lift_ppm " +
+        "(capture rate vs the random-targeting baseline, exact " +
+        "cross-multiplied integers). Ties can make deciles uneven or " +
+        "absent; the emitted n_users IS the audit of that. 100 TB: one " +
+        "user-keyed aggregate, then every window runs on the <=23-value " +
+        "score domain.",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(sum(($"event_type" === "click").cast("long"))
+              .as("score"),
+            max(($"event_type" === "purchase").cast("long")).as("pos"))
+        val sd = u.groupBy($"score")
+          .agg(count(lit(1)).as("cnt"), sum($"pos").as("npos"))
+        val wAbove = Window.orderBy($"score".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wTot = Window.partitionBy(lit(1))
+        val wCum = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sd
+          .withColumn("above",
+            coalesce(sum($"cnt").over(wAbove), lit(0L)))
+          .withColumn("n_total", sum($"cnt").over(wTot))
+          .withColumn("pos_total", sum($"npos").over(wTot))
+          .withColumn("decile",
+            expr("above * 10 div n_total + 1"))
+          .groupBy($"decile")
+          .agg(sum($"cnt").as("n_users"), sum($"npos").as("n_pos"),
+            max($"n_total").as("n_total"),
+            max($"pos_total").as("pos_total"))
+          .withColumn("cum_users", sum($"n_users").over(wCum))
+          .withColumn("cum_pos", sum($"n_pos").over(wCum))
+          .select($"decile", $"n_users", $"n_pos", $"cum_users",
+            $"cum_pos",
+            expr("cum_pos * 1000000 div pos_total").as("cum_gain_ppm"),
+            expr("cum_pos * n_total * 1000000 div " +
+              "(cum_users * pos_total)").as("cum_lift_ppm"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS score,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS pos
+          FROM events GROUP BY user_id),
+        sd AS (
+          SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(pos) AS BIGINT) AS npos
+          FROM u GROUP BY score),
+        d AS (
+          SELECT score, cnt, npos,
+                 coalesce(sum(cnt) OVER (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS above,
+                 sum(cnt) OVER () AS n_total,
+                 sum(npos) OVER () AS pos_total
+          FROM sd),
+        dec AS (
+          SELECT above * 10 // n_total + 1 AS decile,
+                 cnt, npos, n_total, pos_total
+          FROM d),
+        g AS (
+          SELECT decile, sum(cnt) AS n_users, sum(npos) AS n_pos,
+                 max(n_total) AS n_total, max(pos_total) AS pos_total
+          FROM dec GROUP BY decile),
+        c AS (
+          SELECT decile, n_users, n_pos,
+                 sum(n_users) OVER (ORDER BY decile) AS cum_users,
+                 sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+                 n_total, pos_total
+          FROM g)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(cum_users AS BIGINT) AS cum_users,
+               CAST(cum_pos AS BIGINT) AS cum_pos,
+               CAST(cum_pos * 1000000 // pos_total AS BIGINT)
+                 AS cum_gain_ppm,
+               CAST(cum_pos * n_total * 1000000
+                 // (cum_users * pos_total) AS BIGINT) AS cum_lift_ppm
+        FROM c ORDER BY decile"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

@@ -1069,8 +1069,128 @@ object Similarity extends QueryModule {
           UNION ALL SELECT 4, vec_id, mmr FROM s4
           UNION ALL SELECT 5, vec_id, mmr FROM s5)
         SELECT CAST(step AS BIGINT) AS step, vec_id, mmr
-        FROM steps ORDER BY step"""))
-  )
+        FROM steps ORDER BY step""")),
+
+    Q(
+      "q355_cluster_validity",
+      "CLUSTER-VALIDITY METRICS over the embedding corpus grouped by its " +
+        "label column (10 clusters of ~50): per-cluster SIMPLIFIED " +
+        "SILHOUETTE (Hruschka et al. 2004 — a(i)/b(i) measured to " +
+        "CENTROIDS, the O(n*k) form that scales where Rousseeuw's exact " +
+        "O(n^2) silhouette cannot) and the per-cluster DAVIES-BOULDIN " +
+        "component max_j (S_k+S_j)/d(c_k,c_j) (Davies-Bouldin 1979), " +
+        "plus each cluster's nearest other cluster. Centroids are " +
+        "(label, dim)-aggregated means ROUNDED TO 6DP before any " +
+        "distance touches them, every distance is rounded to 6dp, and " +
+        "per-cluster means are rounded at output — the corpus-wide " +
+        "recipe that makes IEEE summation-order drift unobservable, so " +
+        "the DuckDB oracle is exact. Plan: ONE row-scale pass computes " +
+        "all n*k centroid distances against the 10-row broadcast " +
+        "centroid frame (zip_with + aggregate, codegen'd, no explode at " +
+        "row scale); everything after (DB ratios, nearest-cluster " +
+        "argmin) lives on the 10x10 centroid-pair domain. 100 TB: the " +
+        "(label, dim) centroid aggregate is the only shuffle; the " +
+        "validity report costs one broadcast join more than reading " +
+        "the data.",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("v"))
+        val cent = e
+          .select($"label", posexplode($"v").as(Seq("pos", "x")))
+          .groupBy($"label", $"pos").agg(avg($"x").as("cx"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, " +
+            "cx))), s -> round(s.cx, 6))").as("cvec"))
+        val dd = e.crossJoin(broadcast(
+            cent.select($"label".as("clabel"), $"cvec")))
+          .select($"vec_id", $"label", $"clabel",
+            round(sqrt(expr("aggregate(zip_with(v, cvec, " +
+              "(x, c) -> (x - c) * (x - c)), 0D, " +
+              "(acc, z) -> acc + z)")), 6).as("d"))
+        val sil = dd.groupBy($"vec_id", $"label")
+          .agg(max(when($"label" === $"clabel", $"d")).as("a"),
+            min(when($"label" =!= $"clabel", $"d")).as("b"))
+          .withColumn("sc", when(greatest($"a", $"b") === 0.0, 0.0)
+            .otherwise(($"b" - $"a") / greatest($"a", $"b")))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(avg($"sc"), 6).as("silhouette"),
+            round(avg($"a"), 6).as("scatter"))
+        val cd = cent.select($"label".as("la"), $"cvec".as("va"))
+          .crossJoin(cent.select($"label".as("lb"), $"cvec".as("vb")))
+          .filter($"la" =!= $"lb")
+          .select($"la", $"lb",
+            round(sqrt(expr("aggregate(zip_with(va, vb, " +
+              "(x, c) -> (x - c) * (x - c)), 0D, " +
+              "(acc, z) -> acc + z)")), 6).as("cdist"))
+        val db = cd
+          .join(sil.select($"label".as("la"), $"scatter".as("sa")),
+            Seq("la"))
+          .join(sil.select($"label".as("lb"), $"scatter".as("sb")),
+            Seq("lb"))
+          .groupBy($"la")
+          .agg(round(max(($"sa" + $"sb") / $"cdist"), 6)
+              .as("db_component"),
+            min(struct($"cdist", $"lb")).as("nr"))
+          .select($"la".as("label"), $"db_component",
+            $"nr.lb".as("nearest_label"))
+        sil.join(db, Seq("label"))
+          .select($"label".cast("long").as("label"), $"n_vecs",
+            $"silhouette", $"scatter", $"db_component",
+            $"nearest_label".cast("long").as("nearest_label"))
+          .orderBy($"label")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        dims AS (
+          SELECT label, r.range AS pos, v[r.range] AS x
+          FROM ev CROSS JOIN range(1, 65) r),
+        cent AS (
+          SELECT label, list(round(cx, 6) ORDER BY pos) AS cvec
+          FROM (SELECT label, pos, avg(x) AS cx FROM dims GROUP BY 1, 2)
+          GROUP BY label),
+        dd AS (
+          SELECT e.vec_id, e.label, c.label AS clabel,
+                 round(sqrt(list_sum(list_transform(e.v,
+                   (x, i) -> (x - c.cvec[i]) * (x - c.cvec[i])))), 6)
+                   AS d
+          FROM ev e CROSS JOIN cent c),
+        ab AS (
+          SELECT vec_id, label,
+                 max(CASE WHEN label = clabel THEN d END) AS a,
+                 min(CASE WHEN label <> clabel THEN d END) AS b
+          FROM dd GROUP BY 1, 2),
+        sil AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 round(avg(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                   ELSE (b - a) / greatest(a, b) END), 6) AS silhouette,
+                 round(avg(a), 6) AS scatter
+          FROM ab GROUP BY label),
+        cd AS (
+          SELECT a.label AS la, b.label AS lb,
+                 round(sqrt(list_sum(list_transform(a.cvec,
+                   (x, i) -> (x - b.cvec[i]) * (x - b.cvec[i])))), 6)
+                   AS cdist
+          FROM cent a JOIN cent b ON a.label <> b.label),
+        db AS (
+          SELECT la AS label,
+                 round(max((sa.scatter + sb.scatter) / cd.cdist), 6)
+                   AS db_component,
+                 min(struct_pack(cdist := cd.cdist, lb := cd.lb)).lb
+                   AS nearest_label
+          FROM cd
+          JOIN sil sa ON sa.label = cd.la
+          JOIN sil sb ON sb.label = cd.lb
+          GROUP BY la)
+        SELECT CAST(sil.label AS BIGINT) AS label, n_vecs, silhouette,
+               scatter, db_component,
+               CAST(nearest_label AS BIGINT) AS nearest_label
+        FROM sil JOIN db ON sil.label = db.label
+        ORDER BY label""")))
 
   /** Per-subspace spherical codebooks for [[pqCode]]: subspace j is the
     * 16-dim slice [j*16, (j+1)*16) of the embedding, trained by

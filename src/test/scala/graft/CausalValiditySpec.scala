@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-10 causal/quality/validity set (q351–q356)
+  * that value-equality against DuckDB can't see: Shapley efficiency and
+  * the unanimity-identity collapse, RD's windowed effect algebra, the
+  * Wald estimator's exact rational, the Gopher rule battery's count
+  * conservation, silhouette range bounds, and gains-curve monotonicity.
+  */
+class CausalValiditySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("q351 Shapley: efficiency (credits sum to 24x total cents), " +
+    "coalition sum equals the unanimity identity, shares sum to ~1e6") {
+    val rows = SparkEntry.queries("q351_shapley_attribution")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4, "one row per channel")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"coalition-sum Shapley != unanimity identity on channel " +
+          s"${r.getLong(0)}: ${r.getLong(3)} vs ${r.getLong(4)}")
+    }
+    // efficiency: sum of phi_c*24 over channels == 24 * total attributed
+    // cents (the grand-coalition value). Total attributed cents = the
+    // touched-journey cents counted ONCE per journey — recompute from
+    // the touch universe.
+    val (_, j) = operators.Experimentation.touchUniverse(spark, sfDir)
+    val totalCents = j.groupBy(col("pid")).agg(max(col("cents")).as("c"))
+      .agg(sum(col("c"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == 24L * totalCents,
+      s"Shapley efficiency violated: ${rows.map(_.getLong(3)).sum} vs " +
+        s"${24L * totalCents}")
+    val shareSum = rows.map(_.getLong(5)).sum
+    assert(shareSum >= 999996L && shareSum <= 1000000L,
+      s"shares must sum to 1e6 ppm minus div-floor dust: $shareSum")
+  }
+
+  test("q352 RD: both sides fitted, effect column is exactly the " +
+    "intercept gap, and slopes/intercepts are in plausible ranges") {
+    val rows = SparkEntry.queries("q352_regression_discontinuity")(
+      spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val (l, r) = (rows(0), rows(1))
+    assert(l.getLong(4) == r.getLong(4), "effect must repeat per row")
+    assert(r.getLong(2) - l.getLong(2) == r.getLong(4),
+      "rd_effect_micro must equal intercept_right - intercept_left")
+    // intercepts are micro-lineitems-per-order: positive, under 100
+    Seq(l, r).foreach { row =>
+      assert(row.getLong(2) > 0 && row.getLong(2) < 100000000L)
+      assert(row.getLong(1) > 0, "both sides must have orders in band")
+    }
+  }
+
+  test("q353 Wald IV: estimator equals the exact cross-multiplied " +
+    "rational of its own emitted numerators") {
+    val r = SparkEntry.queries("q353_wald_iv_estimator")(spark, sfDir)
+      .head()
+    val (yNum, tNum) = (r.getLong(4), r.getLong(5))
+    if (tNum != 0) {
+      val expect = BigInt(yNum) * 1000000 / BigInt(tNum)
+      assert(BigInt(r.getLong(6)) == expect,
+        s"wald_cents_micro ${r.getLong(6)} != $expect")
+    } else assert(r.isNullAt(6), "zero first stage must yield NULL")
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("q354 Gopher rules: pass_all + per-rule fails are consistent " +
+    "with the doc count (union bound both directions)") {
+    val rows = SparkEntry.queries("q354_gopher_quality_rules")(
+      spark, sfDir).collect()
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.t(spark, sfDir, "documents").count()
+    val fails = m.filter(_._1.startsWith("fail_")).values
+    val passAll = m("pass_all")
+    // union bound: docs failing >=1 rule <= sum of per-rule fails
+    assert(total - passAll <= fails.sum,
+      s"pass_all $passAll inconsistent with fails $fails of $total")
+    // every single rule's fail count also lower-bounds the rejects
+    fails.foreach(f => assert(total - passAll >= f))
+    assert(m.values.forall(_ >= 0) && passAll <= total)
+  }
+
+  test("q355 cluster validity: silhouette in [-1,1], positive scatter " +
+    "and DB components, nearest label is a different cluster") {
+    val rows = SparkEntry.queries("q355_cluster_validity")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10, "10 label clusters")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0,
+        s"silhouette out of range: ${r.getDouble(2)}")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+      assert(r.getLong(5) != r.getLong(0),
+        "nearest_label must be a different cluster")
+      assert(r.getLong(1) > 0)
+    }
+    // uniform random embeddings: clusters are NOT separable, so the
+    // simplified silhouette must sit near zero (the metric's honest
+    // reading of unclusterable data) — a large value would mean the
+    // distance algebra is broken
+    val meanSil = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(meanSil) < 0.2,
+      s"uniform fixture should have near-zero silhouette: $meanSil")
+  }
+
+  test("q356 gains: deciles ascend, cumulatives are monotone, the " +
+    "final row captures all users and all positives") {
+    val rows = SparkEntry.queries("q356_cumulative_gains")(spark, sfDir)
+      .collect()
+    val deciles = rows.map(_.getLong(0)).toSeq
+    assert(deciles == deciles.sorted && deciles.distinct == deciles)
+    assert(deciles.forall(d => d >= 1 && d <= 10))
+    val cumU = rows.map(_.getLong(3)).toSeq
+    val cumP = rows.map(_.getLong(4)).toSeq
+    assert(cumU == cumU.sorted && cumP == cumP.sorted)
+    val users = Tables.t(spark, sfDir, "events")
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(cumU.last == users, s"last cum_users ${cumU.last} != $users")
+    assert(rows.last.getLong(5) == 1000000L,
+      "final cum_gain_ppm must be exactly 1e6")
+    // lift decreases (weakly) as deciles accumulate toward the base rate
+    val lifts = rows.map(_.getLong(6)).toSeq
+    assert(lifts.last <= lifts.head,
+      s"head lift ${lifts.head} must be >= tail lift ${lifts.last}")
+  }
+}
