@@ -2322,7 +2322,116 @@ object Experimentation extends QueryModule {
                    - CAST(sy0 AS HUGEINT) * n1) * 1000000
                  // nullif(st1 * n0 - st0 * n1, 0) AS BIGINT)
                  AS wald_cents_micro
-        FROM st"""))
+        FROM st""")),
+
+    Q(
+      "q358_kruskal_wallis",
+      "KRUSKAL-WALLIS RANK TEST across the 5 regions on order totals " +
+        "(Kruskal-Wallis 1952 — the nonparametric ANOVA; q267's " +
+        "Mann-Whitney generalized to k groups): H = 12/(N(N+1)) * " +
+        "sum_g R_g^2/n_g - 3(N+1) with tie correction 1 - sum(t^3-t)/" +
+        "(N^3-N). Ranks are exact DOUBLED MIDRANKS from the counting-" +
+        "CDF on the distinct cents domain (2*(#below) + cnt + 1 — " +
+        "q267's integer-exact trick, never a row sort), group rank " +
+        "sums divide by 4 implicitly via R2^2/(4n). Division floors " +
+        "are DECIMAL(38,0)-internal and part of the spec'd arithmetic " +
+        "— both engines floor identically, so the statistic is " +
+        "bit-exact. The chi-square df=4 95% critical enters as the " +
+        "micro literal 9487729 (q238/q289's no-libm constant rule). " +
+        "The fixture's uniform prices are region-independent — " +
+        "accept IS the expected verdict (q293's negative-control " +
+        "discipline). Plan: one orders scan joined to two broadcast " +
+        "dims, one cents-domain count frame; every window runs on " +
+        "the value DOMAIN. 100 TB: one shuffle to the cents domain.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .join(broadcast(Tables.t(s, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_regionkey".as("g"),
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("cents"))
+        val dom = o.groupBy($"cents")
+          .agg(count(lit(1)).as("cnt"))
+        val wBelow = Window.orderBy($"cents")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = dom.withColumn("below",
+            coalesce(sum($"cnt").over(wBelow), lit(0L)))
+          // doubled midrank shared by every row of this cents value
+          .withColumn("r2", $"below" * 2 + $"cnt" + 1)
+        val gsum = o.join(ranked, Seq("cents"))
+          .groupBy($"g")
+          .agg(count(lit(1)).as("n_g"), sum($"r2").as("r2_g"))
+        val ties = dom.agg(
+          sum($"cnt" * $"cnt" * $"cnt" - $"cnt").as("t_sum"),
+          sum($"cnt").as("n_total"))
+        gsum.agg(
+            // floor the per-group R2^2/n FIRST (fits a long), scale
+            // after — the floor placement is part of the spec'd
+            // arithmetic and identical on both engines
+            sum(expr("cast(r2_g as decimal(38,0)) * r2_g div n_g"))
+              .as("s_quarter"),
+            count(lit(1)).as("k_groups"))
+          .crossJoin(broadcast(ties))
+          .select($"k_groups", $"n_total",
+            expr("cast(cast(s_quarter as decimal(38,0)) * 3000000 div " +
+              "(cast(n_total as decimal(38,0)) * (n_total + 1)) " +
+              "- 3 * (n_total + 1) * 1000000 as bigint)")
+              .as("h_micro"),
+            expr("cast(1000000 - cast(t_sum as decimal(38,0)) * " +
+              "1000000 div (cast(n_total as decimal(38,0)) * n_total " +
+              "* n_total - n_total) as bigint)").as("tie_corr_ppm"))
+          .select($"k_groups", $"n_total", $"h_micro", $"tie_corr_ppm",
+            expr("cast(cast(h_micro as decimal(38,0)) * 1000000 div " +
+              "tie_corr_ppm as bigint)").as("h_corrected_micro"),
+            expr("cast(cast(h_micro as decimal(38,0)) * 1000000 div " +
+              "tie_corr_ppm >= 9487729 as boolean)").as("reject_95"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT n.n_regionkey AS g,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          JOIN customer c ON o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        dom AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS cnt
+          FROM o GROUP BY 1),
+        ranked AS (
+          SELECT cents,
+                 coalesce(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) * 2 + cnt + 1 AS r2
+          FROM dom),
+        gsum AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(r2) AS BIGINT) AS r2_g
+          FROM o JOIN ranked USING (cents) GROUP BY g),
+        ties AS (
+          SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t_sum,
+                 CAST(sum(cnt) AS BIGINT) AS n_total
+          FROM dom),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 sum(CAST(r2_g AS HUGEINT) * r2_g // n_g) AS s_quarter
+          FROM gsum),
+        h AS (
+          SELECT k_groups, n_total,
+                 CAST(CAST(s_quarter AS HUGEINT) * 3000000
+                     // (CAST(n_total AS HUGEINT) * (n_total + 1))
+                   - 3 * (n_total + 1) * 1000000 AS BIGINT) AS h_micro,
+                 CAST(1000000 - CAST(t_sum AS HUGEINT) * 1000000
+                   // (CAST(n_total AS HUGEINT) * n_total * n_total
+                     - n_total) AS BIGINT) AS tie_corr_ppm
+          FROM agg CROSS JOIN ties)
+        SELECT k_groups, n_total, h_micro, tie_corr_ppm,
+               CAST(CAST(h_micro AS HUGEINT) * 1000000 // tie_corr_ppm
+                 AS BIGINT) AS h_corrected_micro,
+               CAST(h_micro AS HUGEINT) * 1000000 // tie_corr_ppm
+                 >= 9487729 AS reject_95
+        FROM h"""))
   )
 }
 

@@ -960,6 +960,141 @@ object Joins extends QueryModule {
           FROM cust JOIN dim ON seg IS NOT DISTINCT FROM dseg)
         SELECT join_kind, matched_rows, matched_custs, null_key_rows
         FROM (SELECT * FROM eq UNION ALL SELECT * FROM ns)
-        ORDER BY join_kind"""))
+        ORDER BY join_kind""")),
+
+    Q(
+      "q357_top_supplier",
+      "SCALAR-SUBQUERY-EQUALS-GLOBAL-MAX decorrelation (the TPC-H Q15 " +
+        "shape, completing the Q17/Q21/Q22 trio q342-q344): suppliers " +
+        "whose Q1-1996 shipped revenue equals the maximum over ALL " +
+        "suppliers. The textbook form computes the revenue view twice " +
+        "(once in the scalar subquery); Spark-first the view is " +
+        "aggregated ONCE and the global max attaches as an " +
+        "unpartitioned WINDOW MAX over the <=100-row supplier-revenue " +
+        "frame — bounded by the supplier domain, never by lineitem " +
+        "rows, so the empty-partition window is safe at any fact " +
+        "scale. Revenue is exact integer cents (round(price*(1-disc)" +
+        "*100) per row — identical IEEE expression on both engines). " +
+        "Ties all surface (that IS Q15's semantics), name attaches by " +
+        "broadcast. 100 TB: one date-pruned lineitem scan -> one " +
+        "suppkey aggregate; the max costs nothing.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+          .groupBy($"l_suppkey")
+          .agg(sum(expr("cast(round(l_extendedprice * " +
+            "(1 - l_discount) * 100) as bigint)")).as("revenue_cents"))
+        rev
+          .withColumn("max_rev",
+            max($"revenue_cents").over(
+              Window.partitionBy(lit(1))))
+          .filter($"revenue_cents" === $"max_rev")
+          .join(broadcast(Tables.t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+            $"revenue_cents")
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT)) AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(revenue_cents AS BIGINT) AS revenue_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    Q(
+      "q361_bloom_semi_reduction",
+      "BLOOM-FILTER SEMI-JOIN REDUCTION AUDIT (Bloom 1970 applied as " +
+        "the distributed semi-join reducer of Bernstein-Chiu 1981 — " +
+        "what Spark's runtime rowgroup bloom filters do implicitly, " +
+        "made EXPLICIT and measured): a k=2, m=4093-bit bloom built " +
+        "over the BUILDING-segment customer keys pre-filters orders " +
+        "before any shuffle would happen. The hash is a deliberately " +
+        "ENGINE-PORTABLE integer mixer ((key*2654435761 + 1) % 4093 " +
+        "and (key*40503 + 7) % 4093 — Knuth multiplicative hashing, " +
+        "no 64-bit overflow at any fixture scale), so unlike " +
+        "xxhash64-based sketches the ENTIRE filter — build, probe, " +
+        "false-positive census — is bit-reproducible in the DuckDB " +
+        "oracle. The filter is materialized as its SET-BIT TABLE " +
+        "(<= 4093 rows) and probed by two broadcast semi-joins; no " +
+        "false negative is POSSIBLE by construction (a real match " +
+        "sets both its bits), and the audit row measures what the " +
+        "bloom buys: facts, exact matches, bloom passes, false " +
+        "positives, fp ppm among true negatives, and bits set. " +
+        "100 TB: the bit table broadcasts (kilobytes); orders is " +
+        "scanned once and reduced BEFORE the expensive join — the " +
+        "exact semi-join here exists only to grade the filter.",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.t(s, dir, "customer")
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey".as("k"))
+        val bits = dim.select(explode(array(
+            ($"k" * 2654435761L + 1) % 4093,
+            ($"k" * 40503L + 7) % 4093)).as("b"))
+          .distinct()
+        val facts = Tables.t(s, dir, "orders")
+          .select($"o_custkey".as("fk"))
+        val pass = facts
+          .join(broadcast(bits),
+            ($"fk" * 2654435761L + 1) % 4093 === $"b", "left_semi")
+          .join(broadcast(bits.withColumnRenamed("b", "b2")),
+            ($"fk" * 40503L + 7) % 4093 === $"b2", "left_semi")
+        val cN = broadcast(facts.agg(count(lit(1)).as("n_facts")))
+        val cD = broadcast(dim.agg(count(lit(1)).as("n_dim_keys")))
+        val cB = broadcast(bits.agg(count(lit(1)).as("n_bits_set")))
+        val cE = broadcast(facts.join(broadcast(dim), $"fk" === $"k",
+          "left_semi").agg(count(lit(1)).as("n_exact")))
+        val cP = broadcast(pass.agg(count(lit(1)).as("n_bloom_pass")))
+        cN.crossJoin(cD).crossJoin(cB).crossJoin(cE).crossJoin(cP)
+          .select($"n_facts", $"n_dim_keys", $"n_bits_set", $"n_exact",
+            $"n_bloom_pass",
+            ($"n_bloom_pass" - $"n_exact").as("false_pos"),
+            expr("(n_bloom_pass - n_exact) * 1000000 div " +
+              "(n_facts - n_exact)").as("fp_ppm"))
+      },
+      Some("""
+        WITH dim AS (
+          SELECT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'),
+        bits AS (
+          SELECT DISTINCT b FROM (
+            SELECT (k * 2654435761 + 1) % 4093 AS b FROM dim
+            UNION ALL
+            SELECT (k * 40503 + 7) % 4093 AS b FROM dim)),
+        facts AS (SELECT o_custkey AS fk FROM orders),
+        pass AS (
+          SELECT fk FROM facts
+          WHERE (fk * 2654435761 + 1) % 4093 IN (SELECT b FROM bits)
+            AND (fk * 40503 + 7) % 4093 IN (SELECT b FROM bits)),
+        ex AS (
+          SELECT fk FROM facts
+          WHERE fk IN (SELECT k FROM dim)),
+        c AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM facts)
+                   AS n_facts,
+                 (SELECT CAST(count(*) AS BIGINT) FROM dim)
+                   AS n_dim_keys,
+                 (SELECT CAST(count(*) AS BIGINT) FROM bits)
+                   AS n_bits_set,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+                 (SELECT CAST(count(*) AS BIGINT) FROM pass)
+                   AS n_bloom_pass)
+        SELECT n_facts, n_dim_keys, n_bits_set, n_exact, n_bloom_pass,
+               n_bloom_pass - n_exact AS false_pos,
+               CAST((n_bloom_pass - n_exact) * 1000000
+                 // (n_facts - n_exact) AS BIGINT) AS fp_ppm
+        FROM c"""))
   )
 }

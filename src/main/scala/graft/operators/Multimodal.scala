@@ -1474,7 +1474,119 @@ object Multimodal extends QueryModule {
                CAST(sum(amp) AS BIGINT) AS sum_amp,
                CAST(sum(abs(amp)) AS BIGINT) AS sum_abs,
                CAST(max(abs(amp)) AS INTEGER) AS max_abs
-        FROM a GROUP BY doc_id ORDER BY doc_id"""))
+        FROM a GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q359_audio_resample",
+      "2x AUDIO UPSAMPLING on the real codec path (the sample-rate " +
+        "conversion every speech pipeline runs before a fixed-rate " +
+        "model; q118's tier): decode the WAV payload, LINEAR-" +
+        "INTERPOLATE to 2n-1 samples (even j keeps x[j/2], odd j is " +
+        "the truncating integer midpoint (x[k]+x[k+1])/2 — truncation " +
+        "chosen because it is what BOTH engines' integer division " +
+        "does, so the oracle recomputes the resampled signal " +
+        "closed-form), then RE-ENCODE through the codec at 16 kHz and " +
+        "decode back — the features come from the roundtripped bytes, " +
+        "so header, rate, and sample count are codec-attested. " +
+        "Payloads are born and die inside one partition; only scalar " +
+        "features leave the map. 100 TB: a pure map pass, zero " +
+        "shuffle beyond the final tiny sort.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodeWav(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, wav) =>
+            resampleWavFeatures(id, wav) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, 64 + doc_id % 33 AS n FROM documents),
+        s AS (
+          SELECT doc_id, n, unnest(range(0, 2 * n - 1)) AS j FROM par),
+        o AS (
+          SELECT doc_id, n,
+                 CASE WHEN j % 2 = 0
+                   THEN ((doc_id * 37 + (j // 2) * 13) % 4001) - 2000
+                   ELSE ((((doc_id * 37 + ((j - 1) // 2) * 13) % 4001)
+                       - 2000)
+                     + (((doc_id * 37 + ((j + 1) // 2) * 13) % 4001)
+                       - 2000)) // 2
+                 END AS amp
+          FROM s)
+        SELECT doc_id,
+               CAST(any_value(n) AS INTEGER)         AS n_in,
+               CAST(any_value(2 * n - 1) AS INTEGER) AS n_out,
+               CAST(16000 AS INTEGER)                AS out_rate,
+               CAST(sum(amp) AS BIGINT)              AS sum_amp_out,
+               CAST(sum(abs(amp)) AS BIGINT)         AS sum_abs_out,
+               CAST(max(abs(amp)) AS INTEGER)        AS max_abs_out
+        FROM o GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q(
+      "q360_image_equalize",
+      "HISTOGRAM EQUALIZATION on the real image codec path (the " +
+        "classic contrast normalization — Gonzalez-Woods eq. 3.3-8 in " +
+        "integer form — applied to the red channel): decode the PNG, " +
+        "build the 256-bin histogram, map each level through the " +
+        "integer CDF transfer (cdf(v)-cdfmin)*255 div (n-cdfmin), and " +
+        "emit the before/after channel sums plus the mapped range — " +
+        "max_eq = 255 by construction (the brightest occupied bin " +
+        "always maps to full scale), which pins the transfer's " +
+        "endpoint to the oracle. All arithmetic is non-negative " +
+        "integer division, so truncate-vs-floor cannot diverge " +
+        "between engines. The histogram is a per-image 256-int array " +
+        "inside the map — never a shuffle. 100 TB: map-only.",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.t(s, dir, "documents").select($"doc_id").as[Long]
+        val media = ids.mapPartitions(_.map(id => (id, encodePng(id))))
+          .toDF("doc_id", "payload")
+        media.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, png) =>
+            equalizePngFeatures(id, png) })
+          .toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH par AS (
+          SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                 CAST(4 + doc_id % 3 AS INTEGER) AS h
+          FROM documents),
+        px AS (
+          SELECT doc_id, w, h,
+                 (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r
+          FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i
+                FROM par)),
+        hist AS (
+          SELECT doc_id, w, h, r, CAST(count(*) AS BIGINT) AS c
+          FROM px GROUP BY doc_id, w, h, r),
+        cdf AS (
+          SELECT doc_id, w, h, r, c,
+                 sum(c) OVER (PARTITION BY doc_id ORDER BY r) AS cf,
+                 min(c) OVER (PARTITION BY doc_id) AS dummy
+          FROM hist),
+        eq AS (
+          SELECT doc_id, w, h, r, c, cf,
+                 min(cf) OVER (PARTITION BY doc_id) AS cfmin,
+                 CAST(w * h AS BIGINT) AS n
+          FROM cdf),
+        m AS (
+          SELECT doc_id, w, h, r, c,
+                 CASE WHEN n = cfmin THEN 255
+                      ELSE (cf - cfmin) * 255 // (n - cfmin) END AS v
+          FROM eq)
+        SELECT doc_id, CAST(any_value(w) AS INTEGER) AS w,
+               CAST(any_value(h) AS INTEGER) AS h,
+               CAST(sum(c * r) AS BIGINT) AS sum_r_in,
+               CAST(sum(c * v) AS BIGINT) AS sum_r_eq,
+               CAST(count(*) AS INTEGER) AS distinct_r,
+               CAST(min(v) AS INTEGER) AS min_eq,
+               CAST(max(v) AS INTEGER) AS max_eq
+        FROM m GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** 16-sample frame energies for q346's VAD pass: (frame_id, sum of
@@ -1507,5 +1619,99 @@ object Multimodal extends QueryModule {
         (id, f, sumAbs)
       }
     } finally ais.close()
+  }
+
+  /** q359's resampled-clip features. Field order = output schema. */
+  final case class ResampledAudio(
+      doc_id: Long, n_in: Int, n_out: Int, out_rate: Int,
+      sum_amp_out: Long, sum_abs_out: Long, max_abs_out: Int)
+
+  /** Decode the WAV payload, 2x linear-interp upsample (truncating
+    * integer midpoints — the division BOTH engines truncate), re-encode
+    * at 16 kHz through the real codec, decode the roundtripped bytes,
+    * and extract features from THOSE samples (q359). */
+  def resampleWavFeatures(id: Long, payload: Array[Byte]): ResampledAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val pcm =
+      try ais.readAllBytes()
+      finally ais.close()
+    val n = pcm.length / 2
+    def sample(arr: Array[Byte], i: Int): Int =
+      (((arr(i * 2 + 1) & 0xff) << 8) | (arr(i * 2) & 0xff)).toShort.toInt
+    val out = new Array[Byte]((2 * n - 1) * 2)
+    var j = 0
+    while (j < 2 * n - 1) {
+      val amp =
+        if (j % 2 == 0) sample(pcm, j / 2)
+        else (sample(pcm, (j - 1) / 2) + sample(pcm, (j + 1) / 2)) / 2
+      out(j * 2) = (amp & 0xff).toByte
+      out(j * 2 + 1) = ((amp >> 8) & 0xff).toByte
+      j += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      16000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val rt = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(out), fmt, (2 * n - 1).toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, rt)
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(rt.toByteArray))
+    try {
+      val rate = back.getFormat.getSampleRate.toInt
+      val rpcm = back.readAllBytes()
+      val m = rpcm.length / 2
+      var sum = 0L; var sumAbs = 0L; var maxAbs = 0
+      var i = 0
+      while (i < m) {
+        val a = sample(rpcm, i)
+        sum += a; sumAbs += math.abs(a)
+        if (math.abs(a) > maxAbs) maxAbs = math.abs(a)
+        i += 1
+      }
+      ResampledAudio(id, n, m, rate, sum, sumAbs, maxAbs)
+    } finally back.close()
+  }
+
+  /** q360's equalized-image features. Field order = output schema. */
+  final case class EqualizedImage(
+      doc_id: Long, w: Int, h: Int, sum_r_in: Long, sum_r_eq: Long,
+      distinct_r: Int, min_eq: Int, max_eq: Int)
+
+  /** Decode the PNG payload, equalize the red channel through the
+    * integer CDF transfer (cdf(v)-cdfmin)*255 div (n-cdfmin), emit
+    * before/after sums + mapped range (q360). The 256-bin histogram
+    * is a local array — the whole op is one map. */
+  def equalizePngFeatures(id: Long, payload: Array[Byte]): EqualizedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight; val n = w.toLong * h
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val hist = new Array[Long](256)
+    var sumIn = 0L
+    px.foreach { rgb =>
+      val r = (rgb >> 16) & 0xff
+      hist(r) += 1; sumIn += r
+    }
+    val cfmin = hist.find(_ > 0).getOrElse(0L)
+    var cf = 0L; var sumEq = 0L; var distinct = 0
+    var minEq = 255; var maxEq = 0
+    var v = 0
+    while (v < 256) {
+      if (hist(v) > 0) {
+        cf += hist(v)
+        val mapped =
+          if (n == cfmin) 255
+          else ((cf - cfmin) * 255 / (n - cfmin)).toInt
+        sumEq += hist(v) * mapped
+        distinct += 1
+        if (mapped < minEq) minEq = mapped
+        if (mapped > maxEq) maxEq = mapped
+      }
+      v += 1
+    }
+    EqualizedImage(id, w, h, sumIn, sumEq, distinct, minEq, maxEq)
   }
 }

@@ -124,4 +124,67 @@ class CausalValiditySpec extends AnyFunSuite {
     assert(lifts.last <= lifts.head,
       s"head lift ${lifts.head} must be >= tail lift ${lifts.last}")
   }
+
+  test("q357 top supplier: every surfaced row carries the one global " +
+    "max revenue") {
+    val rows = SparkEntry.queries("q357_top_supplier")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).distinct.length == 1,
+      "all surfaced suppliers must share the max revenue")
+  }
+
+  test("q358 Kruskal-Wallis: accepts on the region-independent fixture, " +
+    "tie correction only inflates H, N equals the orders count") {
+    val r = SparkEntry.queries("q358_kruskal_wallis")(spark, sfDir).head()
+    assert(r.getLong(0) == 5, "five region groups")
+    assert(r.getLong(1) == Tables.t(spark, sfDir, "orders").count())
+    assert(r.getLong(3) <= 1000000L, "tie_corr_ppm is a shrink factor")
+    assert(r.getLong(4) >= r.getLong(2),
+      "tie-corrected H must be >= raw H")
+    assert(!r.getBoolean(5),
+      "uniform region-independent prices must NOT reject at 95%")
+  }
+
+  test("q359 resample: n_out = 2*n_in - 1, 16 kHz attested by the " +
+    "codec, interpolation cannot exceed the input amplitude range") {
+    val rows = SparkEntry.queries("q359_audio_resample")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == 2 * r.getInt(1) - 1,
+        s"doc ${r.getLong(0)}: n_out ${r.getInt(2)} != 2*n_in-1")
+      assert(r.getInt(3) == 16000)
+      assert(r.getInt(6) <= 2000,
+        "a linear midpoint can never exceed the +/-2000 input range")
+    }
+  }
+
+  test("q360 equalize: brightest occupied bin maps to 255, mapped " +
+    "values stay in [0,255], channel mass bounded by 255*n") {
+    val rows = SparkEntry.queries("q360_image_equalize")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(1).toLong * r.getInt(2)
+      assert(r.getInt(7) == 255,
+        s"doc ${r.getLong(0)}: max_eq must be 255")
+      assert(r.getInt(6) >= 0 && r.getLong(4) <= 255L * n)
+      assert(r.getInt(5) >= 1 && r.getInt(5) <= 256)
+    }
+  }
+
+  test("q361 bloom: NO false negatives (passes >= exact matches), " +
+    "false positives exactly reconcile, fp rate sane for m/n") {
+    val r = SparkEntry.queries("q361_bloom_semi_reduction")(spark, sfDir)
+      .head()
+    val (nFacts, nExact, nPass, fp) =
+      (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nPass >= nExact, "bloom must never drop a true match")
+    assert(fp == nPass - nExact)
+    assert(fp <= nFacts - nExact)
+    // k=2, m=4093, n<=~600 set bits -> fp well under 5%
+    assert(r.getLong(6) < 50000L,
+      s"fp_ppm ${r.getLong(6)} implausibly high for this m/n")
+  }
 }
