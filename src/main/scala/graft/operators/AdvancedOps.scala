@@ -610,6 +610,119 @@ object AdvancedOps extends QueryModule {
                  - exp.expected_ppm) AS BIGINT) AS abs_dev_ppm
         FROM exp LEFT JOIN obs ON exp.digit = obs.digit
         CROSS JOIN tot
-        ORDER BY digit"""))
+        ORDER BY digit""")),
+
+    Q(
+      "q362_merkle_reconcile",
+      "MERKLE-STYLE TABLE RECONCILIATION (the anti-entropy audit of " +
+        "Dynamo/Cassandra repair, DataFrame-native): two replicas of " +
+        "orders — the original and a drifted twin missing every " +
+        "orderkey % 997 == 0 row and carrying one corrupted total — " +
+        "are compared WITHOUT a full-table diff: each row folds to a " +
+        "portable integer row-hash (Knuth multiplicative mix of key " +
+        "and cents, q361's engine-portable convention), rows bucket " +
+        "by key % 64, and each bucket reduces to an order-independent " +
+        "SUM digest. Only buckets whose digests differ are drilled " +
+        "into with the expensive row-level anti-join — the audit " +
+        "emits the economics: 64 bucket digests moved vs rows " +
+        "re-scanned in diverging buckets vs actual divergent rows. " +
+        "100 TB: phase 1 is one map-side-combined 64-row aggregate " +
+        "per replica (digests are KILOBYTES on the wire — this is " +
+        "how you reconcile replicas across datacenters); phase 2 " +
+        "touches only the diverging buckets' partitions.",
+      (s, dir) => {
+        import s.implicits._
+        def hashed(df: org.apache.spark.sql.DataFrame) = df
+          .select($"o_orderkey".as("k"),
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("cents"))
+          .select($"k", ($"k" % 64).as("bucket"),
+            (($"k" * 2654435761L + $"cents" * 40503L) % 1000000007L)
+              .as("rh"))
+        val a = hashed(Tables.t(s, dir, "orders"))
+        // drifted replica: drop every 997th key, corrupt one row
+        val b = hashed(Tables.t(s, dir, "orders")
+            .filter($"o_orderkey" % 997 =!= 0)
+            .withColumn("o_totalprice",
+              when($"o_orderkey" === 7L, $"o_totalprice" + 1.0)
+                .otherwise($"o_totalprice")))
+        val da = a.groupBy($"bucket")
+          .agg(sum($"rh").as("dig_a"), count(lit(1)).as("rows_a"))
+        val db = b.groupBy($"bucket")
+          .agg(sum($"rh").as("dig_b"), count(lit(1)).as("rows_b"))
+        val cmp = da.join(db, Seq("bucket"), "full")
+          .select($"bucket",
+            (coalesce($"dig_a", lit(0L)) =!=
+              coalesce($"dig_b", lit(0L))).as("diverged"),
+            coalesce($"rows_a", lit(0L)).as("rows_a"),
+            coalesce($"rows_b", lit(0L)).as("rows_b"))
+        val divb = cmp.filter($"diverged")
+          .select($"bucket".as("dbucket"), $"rows_a")
+        // drill down ONLY into diverging buckets
+        val aDrill = a.join(broadcast(divb),
+          $"bucket" === $"dbucket", "left_semi")
+        val bDrill = b.join(broadcast(divb),
+          $"bucket" === $"dbucket", "left_semi")
+        val divergent = aDrill.select($"k", $"rh")
+          .exceptAll(bDrill.select($"k", $"rh"))
+        val s1 = broadcast(cmp.agg(
+          count(lit(1)).as("n_buckets"),
+          sum($"diverged".cast("long")).as("diverged_buckets"),
+          sum($"rows_a").as("rows_total")))
+        val s2 = broadcast(divb.agg(
+          coalesce(sum($"rows_a"), lit(0L)).as("rows_rescanned")))
+        val s3 = broadcast(divergent.agg(
+          count(lit(1)).as("divergent_rows")))
+        s1.crossJoin(s2).crossJoin(s3)
+          .select($"n_buckets", $"diverged_buckets", $"rows_total",
+            $"rows_rescanned", $"divergent_rows",
+            expr("rows_rescanned * 1000000 div rows_total")
+              .as("rescan_ppm"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS k, o_orderkey % 64 AS bucket,
+                 (o_orderkey * 2654435761
+                  + CAST(round(o_totalprice * 100) AS BIGINT) * 40503)
+                   % 1000000007 AS rh
+          FROM orders),
+        b AS (
+          SELECT o_orderkey AS k, o_orderkey % 64 AS bucket,
+                 (o_orderkey * 2654435761
+                  + CAST(round(CASE WHEN o_orderkey = 7
+                      THEN o_totalprice + 1.0 ELSE o_totalprice END
+                      * 100) AS BIGINT) * 40503)
+                   % 1000000007 AS rh
+          FROM orders WHERE o_orderkey % 997 <> 0),
+        da AS (SELECT bucket, sum(rh) AS dig_a,
+                      CAST(count(*) AS BIGINT) AS rows_a
+               FROM a GROUP BY 1),
+        db AS (SELECT bucket, sum(rh) AS dig_b,
+                      CAST(count(*) AS BIGINT) AS rows_b
+               FROM b GROUP BY 1),
+        cmp AS (
+          SELECT coalesce(da.bucket, db.bucket) AS bucket,
+                 coalesce(dig_a, 0) <> coalesce(dig_b, 0) AS diverged,
+                 coalesce(rows_a, 0) AS rows_a
+          FROM da FULL JOIN db ON da.bucket = db.bucket),
+        divb AS (SELECT bucket, rows_a FROM cmp WHERE diverged),
+        divr AS (
+          SELECT k, rh FROM a WHERE bucket IN (SELECT bucket FROM divb)
+          EXCEPT ALL
+          SELECT k, rh FROM b
+          WHERE bucket IN (SELECT bucket FROM divb))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cmp) AS n_buckets,
+               (SELECT CAST(sum(CASE WHEN diverged THEN 1 ELSE 0 END)
+                  AS BIGINT) FROM cmp) AS diverged_buckets,
+               (SELECT CAST(sum(rows_a) AS BIGINT) FROM cmp)
+                 AS rows_total,
+               (SELECT CAST(coalesce(sum(rows_a), 0) AS BIGINT)
+                  FROM divb) AS rows_rescanned,
+               (SELECT CAST(count(*) AS BIGINT) FROM divr)
+                 AS divergent_rows,
+               CAST((SELECT CAST(coalesce(sum(rows_a), 0) AS BIGINT)
+                  FROM divb) * 1000000
+                 // (SELECT sum(rows_a) FROM cmp) AS BIGINT)
+                 AS rescan_ppm"""))
   )
 }

@@ -2431,7 +2431,194 @@ object Experimentation extends QueryModule {
                  AS BIGINT) AS h_corrected_micro,
                CAST(h_micro AS HUGEINT) * 1000000 // tie_corr_ppm
                  >= 9487729 AS reject_95
-        FROM h"""))
+        FROM h""")),
+
+    Q(
+      "q363_markov_attribution",
+      "FIRST-ORDER MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. " +
+        "2016 — the data-driven attribution model beside the Shapley " +
+        "family, completing q210/q213/q251/q284/q351): journeys are " +
+        "states S -> channel* -> {C, N} — converting paths from the " +
+        "q351 touch universe (per-purchase touches in time order), " +
+        "null paths from UNATTACHED clicks grouped per (user, day). " +
+        "Transition probabilities are integer ppm floors; conversion " +
+        "probability from S is a 30-step fixed-point iteration a'(f) " +
+        "= p(f,C) + floor(sum_t p(f,t)*a(t) / 1e6) — monotone " +
+        "nondecreasing from 0 and integer-valued, so 30 steps reach " +
+        "the exact fixed point at fixture path lengths; the floors " +
+        "are part of the spec'd arithmetic, replayed IDENTICALLY by " +
+        "the oracle's 30 chained CTEs (generated, not hand-unrolled). " +
+        "Channel x's removal effect drops every edge INTO x (paths " +
+        "through x die, the standard removal semantics) and re-runs " +
+        "the same iteration; shares normalize the four deltas. The " +
+        "row-scale work is TWO window passes (per-pid, per-user-day) " +
+        "to transition pairs and one <=30-row count aggregate; the " +
+        "Markov algebra runs on the collected <=30-row count table " +
+        "on the driver (a bounded artifact, q126's codebook " +
+        "discipline) in exact Long arithmetic. 100 TB: one shuffle " +
+        "to journeys; the chain solve costs microseconds at any " +
+        "corpus size.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .withColumn("us", unix_micros($"ts".cast("timestamp")))
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"event_id".as("cid"), $"us".as("cus"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .cast("string").as("st"))
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("pid"), $"us".as("pus"))
+        val touches = clicks.join(purch, Seq("user_id"))
+          .filter(($"cus" < $"pus" ||
+            ($"cus" === $"pus" && $"cid" < $"pid")) &&
+            $"pus" - $"cus" <= 86400000000L)
+          .select($"pid", $"cid", $"cus", $"st")
+        val wConv = Window.partitionBy($"pid").orderBy($"cus", $"cid")
+        val conv = touches
+          .withColumn("rn", row_number().over(wConv))
+          .withColumn("nxt", lead($"st", 1).over(wConv))
+        val unattached = clicks.join(
+          touches.select($"cid").distinct(), Seq("cid"), "left_anti")
+        val wNull = Window
+          .partitionBy($"user_id", expr("cus div 86400000000"))
+          .orderBy($"cus", $"cid")
+        val nul = unattached
+          .withColumn("rn", row_number().over(wNull))
+          .withColumn("nxt", lead($"st", 1).over(wNull))
+        val trans = conv.filter($"rn" === 1)
+          .select(lit("S").as("f"), $"st".as("t"))
+          .unionAll(conv.select($"st".as("f"),
+            coalesce($"nxt", lit("C")).as("t")))
+          .unionAll(nul.filter($"rn" === 1)
+            .select(lit("S").as("f"), $"st".as("t")))
+          .unionAll(nul.select($"st".as("f"),
+            coalesce($"nxt", lit("N")).as("t")))
+        val cnt = trans.groupBy($"f", $"t").count()
+          .collect().map(r =>
+            (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val fromTot = cnt.groupBy(_._1._1)
+          .map { case (f, m) => f -> m.values.sum }
+        def p(f: String, t: String): Long = {
+          val c = cnt.getOrElse((f, t), 0L)
+          if (c == 0L) 0L else c * 1000000L / fromTot(f)
+        }
+        val states = "S" +: Seq("0", "1", "2", "3")
+          .filter(fromTot.contains)
+        val chans = states.tail
+        def absorb(removed: Option[String]): Long = {
+          var a = states.map(_ -> 0L).toMap
+          for (_ <- 1 to 30) {
+            val prev = a
+            a = states.map { f =>
+              val flow = chans.filter(t => !removed.contains(t))
+                .map(t => p(f, t) * prev(t)).sum / 1000000L
+              f -> (p(f, "C") + flow)
+            }.toMap
+          }
+          a("S")
+        }
+        val base = absorb(None)
+        val rows = (0 to 3).map { x =>
+          val rem = absorb(Some(x.toString))
+          (x.toLong, base, rem, base - rem)
+        }
+        val sumDelta = rows.map(_._4).sum
+        val out = rows.map { case (x, b, r, d) =>
+          (x, b, r,
+            if (b == 0) None else Some(d * 1000000L / b),
+            if (sumDelta == 0) None else Some(d * 1000000L / sumDelta))
+        }
+        out.toDF("channel", "conv_base_ppm", "conv_removed_ppm",
+          "removal_effect_ppm", "share_ppm")
+          .orderBy($"channel")
+      },
+      Some(markovOracleSql))
   )
+
+  /** q363's oracle: the SAME 30-step integer-ppm fixed point, the
+    * iteration unrolled as generated chained CTEs (a0..a30). */
+  private def markovOracleSql: String = {
+    val steps = (1 to 30).map { k =>
+      s"""a$k AS MATERIALIZED (
+        SELECT fs.x, fs.f AS state, fs.pc + coalesce(y.s2, 0) AS a
+        FROM fs LEFT JOIN (
+          SELECT prev.x, ch.f,
+                 CAST(sum(ch.p * prev.a) // 1000000 AS BIGINT) AS s2
+          FROM ch JOIN a${k - 1} prev
+            ON prev.state = ch.t AND ch.t <> CAST(prev.x AS VARCHAR)
+          GROUP BY 1, 2) y ON y.x = fs.x AND y.f = fs.f)"""
+    }.mkString(",\n")
+    s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT)
+                 // 25 AS VARCHAR) AS st
+        FROM events),
+      c AS (SELECT user_id, event_id AS cid, us AS cus, st
+            FROM ev WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS pid, us AS pus
+            FROM ev WHERE event_type = 'purchase'),
+      tch AS (
+        SELECT p.pid, c.cid, c.cus, c.st
+        FROM c JOIN p ON c.user_id = p.user_id
+        WHERE (c.cus < p.pus OR (c.cus = p.pus AND c.cid < p.pid))
+          AND p.pus - c.cus <= 86400000000),
+      conv AS (
+        SELECT pid, st, cus, cid,
+               row_number() OVER (PARTITION BY pid
+                 ORDER BY cus, cid) AS rn,
+               lead(st) OVER (PARTITION BY pid
+                 ORDER BY cus, cid) AS nxt
+        FROM tch),
+      un AS (
+        SELECT c.user_id, c.cid, c.cus, c.st FROM c
+        WHERE c.cid NOT IN (SELECT DISTINCT cid FROM tch)),
+      nl AS (
+        SELECT st, cus, cid,
+               row_number() OVER (PARTITION BY user_id,
+                 cus // 86400000000 ORDER BY cus, cid) AS rn,
+               lead(st) OVER (PARTITION BY user_id,
+                 cus // 86400000000 ORDER BY cus, cid) AS nxt
+        FROM un),
+      tr AS (
+        SELECT 'S' AS f, st AS t FROM conv WHERE rn = 1
+        UNION ALL SELECT st, coalesce(nxt, 'C') FROM conv
+        UNION ALL SELECT 'S', st FROM nl WHERE rn = 1
+        UNION ALL SELECT st, coalesce(nxt, 'N') FROM nl),
+      cnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c
+              FROM tr GROUP BY 1, 2),
+      tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS tc
+              FROM cnt GROUP BY 1),
+      pr AS (SELECT cnt.f, cnt.t,
+                    CAST(cnt.c * 1000000 // tot.tc AS BIGINT) AS p
+             FROM cnt JOIN tot ON cnt.f = tot.f),
+      pct AS (SELECT f,
+                     coalesce(sum(CASE WHEN t = 'C' THEN p END), 0)
+                       AS pc
+              FROM pr GROUP BY f),
+      ch AS MATERIALIZED (SELECT f, t, p FROM pr
+             WHERE t IN ('0', '1', '2', '3')),
+      scen AS (SELECT * FROM (VALUES (-1), (0), (1), (2), (3))
+               AS s(x)),
+      fs AS MATERIALIZED (
+        SELECT scen.x, pct.f, pct.pc FROM scen CROSS JOIN pct),
+      a0 AS (SELECT x, f AS state, CAST(0 AS BIGINT) AS a FROM fs),
+      $steps,
+      base AS (SELECT a AS cb FROM a30 WHERE x = -1 AND state = 'S'),
+      rem AS (SELECT x AS channel, a AS cr FROM a30
+              WHERE x >= 0 AND state = 'S'),
+      eff AS (SELECT channel, cb, cr, cb - cr AS delta
+              FROM rem CROSS JOIN base),
+      t2 AS (SELECT CAST(sum(delta) AS BIGINT) AS sd FROM eff)
+      SELECT CAST(channel AS BIGINT) AS channel,
+             CAST(cb AS BIGINT) AS conv_base_ppm,
+             CAST(cr AS BIGINT) AS conv_removed_ppm,
+             CAST(delta * 1000000 // nullif(cb, 0) AS BIGINT)
+               AS removal_effect_ppm,
+             CAST(delta * 1000000 // nullif(sd, 0) AS BIGINT)
+               AS share_ppm
+      FROM eff CROSS JOIN t2 ORDER BY channel"""
+  }
 }
 

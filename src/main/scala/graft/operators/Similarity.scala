@@ -1190,7 +1190,72 @@ object Similarity extends QueryModule {
                scatter, db_component,
                CAST(nearest_label AS BIGINT) AS nearest_label
         FROM sil JOIN db ON sil.label = db.label
-        ORDER BY label""")))
+        ORDER BY label""")),
+
+    Q(
+      "q364_ivf_nprobe_sweep",
+      "IVF NPROBE RECALL/COST SWEEP — the tuning curve every vector-" +
+        "index deployment reads before fixing its latency budget " +
+        "(q278's Matryoshka sweep applied to q97's probe knob): " +
+        "recall@10 vs exact brute-force truth and candidate-scan cost " +
+        "for nprobe in {1,2,4,8} against the 16-list IVF, measured " +
+        "from ONE materialized frame. Each corpus vector lives in " +
+        "exactly one list; each probe ranks its 8 nearest lists ONCE " +
+        "(posexplode of one TopCentroids projection), every candidate " +
+        "is cosine-scored ONCE (the shared round-6 convention), and " +
+        "the four sweep points materialize by a broadcast theta-join " +
+        "on list rank <= nprobe — scoring work does NOT multiply by " +
+        "sweep size, only the bounded top-k windows do. Rows-only: " +
+        "IVF assignment depends on the trained codebook, outside " +
+        "SQL's reach (q97's rationale); the spec pins recall " +
+        "monotonicity in nprobe, the candidate-count staircase, and " +
+        "the full-sweep recall floor. 100 TB: the sweep reads the " +
+        "index once — this is the audit you run BEFORE buying the " +
+        "cluster, not after.",
+      (s, dir) => {
+        import graft.catalyst.VecOps.top_centroids
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+        val cb = ivfCodebook(e, 16)
+        val indexed = e.select($"vec_id", $"embedding",
+          element_at(top_centroids($"embedding", cb, 1), 1)
+            .as("list_id"))
+        val probes = e.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"),
+            $"embedding".as("probe_vec"),
+            posexplode(top_centroids($"embedding", cb, 8))
+              .as(Seq("p0", "list_id")))
+          .select($"probe_id", $"probe_vec", $"list_id",
+            ($"p0" + 1).as("prank"))
+        val scored = indexed.join(broadcast(probes), Seq("list_id"))
+          .filter($"vec_id" =!= $"probe_id")
+          .withColumn("cos",
+            round(cosine($"embedding", $"probe_vec"), 6))
+          .select($"probe_id", $"vec_id", $"cos", $"prank")
+        val sweep = broadcast(Seq(1, 2, 4, 8).toDF("nprobe"))
+        val byNp = scored.join(sweep, $"prank" <= $"nprobe")
+        val wTop = Window.partitionBy($"nprobe", $"probe_id")
+          .orderBy($"cos".desc, $"vec_id")
+        val top10 = byNp
+          .withColumn("rk", row_number().over(wTop))
+          .filter($"rk" <= 10)
+        val truth = knnBrute(s, dir, k = 10, nProbes = 8)
+          .select($"probe_id", $"vec_id")
+        val hits = top10.join(truth, Seq("probe_id", "vec_id"),
+            "left_semi")
+          .groupBy($"nprobe").agg(count(lit(1)).as("hits10"))
+        val cost = byNp.groupBy($"nprobe")
+          .agg(count(lit(1)).as("n_candidates"))
+        cost.join(hits, Seq("nprobe"), "left")
+          .select($"nprobe".cast("long").as("nprobe"),
+            $"n_candidates",
+            coalesce($"hits10", lit(0L)).as("hits10"),
+            expr("coalesce(hits10, 0) * 1000000 div 80")
+              .as("recall_ppm"))
+          .orderBy($"nprobe")
+      },
+      None)
+  )
 
   /** Per-subspace spherical codebooks for [[pqCode]]: subspace j is the
     * 16-dim slice [j*16, (j+1)*16) of the embedding, trained by

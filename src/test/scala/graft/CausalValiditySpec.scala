@@ -187,4 +187,51 @@ class CausalValiditySpec extends AnyFunSuite {
     assert(r.getLong(6) < 50000L,
       s"fp_ppm ${r.getLong(6)} implausibly high for this m/n")
   }
+
+  test("q362 Merkle reconcile: the planted drift is found, rescan " +
+    "touches a strict subset of rows, buckets reconcile") {
+    val r = SparkEntry.queries("q362_merkle_reconcile")(spark, sfDir)
+      .head()
+    assert(r.getLong(0) == 64)
+    assert(r.getLong(1) >= 1 && r.getLong(1) <= 64)
+    assert(r.getLong(4) >= 1, "the planted drift must be detected")
+    assert(r.getLong(3) < r.getLong(2),
+      "digest comparison must beat a full-table rescan")
+    assert(r.getLong(3) >= r.getLong(4),
+      "rescanned rows bound the divergent rows found in them")
+  }
+
+  test("q363 Markov attribution: removal can only reduce conversion, " +
+    "shares normalize, effects and base are consistent") {
+    val rows = SparkEntry.queries("q363_markov_attribution")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val base = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == base), "one base per corpus")
+    assert(base > 0 && base <= 1000000L)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= base,
+        s"removing channel ${r.getLong(0)} must not raise conversion")
+      assert(r.getLong(2) >= 0)
+    }
+    val shareSum = rows.map(_.getLong(4)).sum
+    assert(shareSum >= 999996L && shareSum <= 1000000L,
+      s"shares must sum to 1e6 minus floor dust: $shareSum")
+  }
+
+  test("q364 nprobe sweep: recall monotone nondecreasing, candidate " +
+    "staircase strictly increasing, full sweep beats the first probe") {
+    val rows = SparkEntry.queries("q364_ivf_nprobe_sweep")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_.getLong(3)).toSeq
+    val cands = rows.map(_.getLong(1)).toSeq
+    assert(recalls == recalls.sorted,
+      s"recall must be monotone in nprobe: $recalls")
+    assert(cands == cands.sorted && cands.distinct == cands,
+      s"candidate counts must strictly increase: $cands")
+    assert(recalls.forall(r => r >= 0 && r <= 1000000L))
+    assert(recalls.last >= 500000L,
+      s"probing half the lists must recover >= 50%: ${recalls.last}")
+  }
 }
