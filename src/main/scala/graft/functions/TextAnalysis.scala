@@ -2079,7 +2079,36 @@ object TextAnalysis extends QueryModule {
           UNION ALL SELECT 'pass_all', pall, total FROM a)
         SELECT rule, n_docs,
                CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
-        FROM u ORDER BY rule""")))
+        FROM u ORDER BY rule""")),
+
+    Q(
+      "q365_bpe_train_merges",
+      "FULL BPE TOKENIZER TRAINING LOOP (Sennrich et al. 2016) as a " +
+        "first-class query — the 8-merge table learned from the " +
+        "fixture corpus, in order: q141 is the pair-counting kernel " +
+        "for ONE iteration; this runs the whole train loop via the " +
+        "shared bpeTrain driver (count pairs -> collect the single " +
+        "argmax winner [2-cell driver artifact, count desc + lexical " +
+        "tie-break] -> re-symbolize with the codegen'd bpeApplyMerge " +
+        "fold -> localCheckpoint so the plan stays one merge deep -> " +
+        "repeat). Output: (iteration, a, b, n_merged_pair) — exactly " +
+        "what ships to the tokenizer artifact store. Rows-only: the " +
+        "merge table is the product of an iterative distributed " +
+        "argmax-train loop outside SQL's reach; BpeSpec replays the " +
+        "learned merges against an independent in-memory reference " +
+        "scanner and pins them. 100 TB: each iteration is one " +
+        "map-side-combined pair count over the CURRENT symbol corpus " +
+        "(shuffle bounded by the vocab-pair domain, never corpus " +
+        "bytes) — the q150 snap-per-iteration discipline.",
+      (s, dir) => {
+        import s.implicits._
+        bpeTrain(s, dir, nMerges = 8)
+          .toDF("iteration", "a", "b", "n_merged_pair")
+          .select($"iteration".cast("long").as("iteration"),
+            $"a", $"b", $"n_merged_pair")
+          .orderBy($"iteration")
+      },
+      None))
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -859,6 +859,76 @@ object SequentialOps extends QueryModule {
                late_days > 1 AS dropped_at_1day
         FROM (SELECT * FROM control UNION ALL
               SELECT late_days, n_events FROM replay)
-        ORDER BY late_days"""))
+        ORDER BY late_days""")),
+
+    Q(
+      "q366_trending_decay",
+      "TRENDING ITEMS BY EXPONENTIAL TIME DECAY (the Hacker-News/" +
+        "Reddit-style recency score, exact): per-brand shipment counts " +
+        "over the corpus's last 10 ship days, each day's count scaled " +
+        "by the DYADIC half-life weight 1024 div 2^gap (q297's " +
+        "power-of-two decay discipline — integer-exact, no float pow), " +
+        "ranked beside the same window's RAW counts; rank_shift is " +
+        "the finding — the brands recency surfaces that volume hides. " +
+        "Plan: one date-pruned lineitem scan joined to the broadcast " +
+        "part dim, one (brand, day) aggregate (<= 250 cells), and " +
+        "every window runs on the 25-brand domain. The anchor day is " +
+        "a 1-row broadcast max. 100 TB: the 10-day predicate prunes " +
+        "at the scan; everything downstream is domain-bounded.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_shipdate".cast("date").as("d"))
+        val anchor = broadcast(li.agg(max($"d").as("dmax")))
+        val counts = li.crossJoin(anchor)
+          .withColumn("gap", datediff($"dmax", $"d"))
+          .filter($"gap" >= 0 && $"gap" <= 9)
+          .join(broadcast(Tables.t(s, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"gap")
+          .agg(count(lit(1)).as("cnt"))
+        val scored = counts.groupBy($"p_brand")
+          .agg(sum($"cnt").as("raw_cnt"),
+            sum(expr("cnt * (1024 div shiftleft(1, gap))"))
+              .as("score_x1024"))
+        val wT = Window.orderBy($"score_x1024".desc, $"p_brand")
+        val wR = Window.orderBy($"raw_cnt".desc, $"p_brand")
+        scored
+          .withColumn("rank_trend", row_number().over(wT).cast("long"))
+          .withColumn("rank_raw", row_number().over(wR).cast("long"))
+          .filter($"rank_trend" <= 10)
+          .select($"rank_trend", $"p_brand", $"raw_cnt",
+            $"score_x1024", $"rank_raw",
+            ($"rank_raw" - $"rank_trend").as("rank_shift"))
+          .orderBy($"rank_trend")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_partkey, CAST(l_shipdate AS DATE) AS d
+          FROM lineitem),
+        anchor AS (SELECT max(d) AS dmax FROM li),
+        counts AS (
+          SELECT p.p_brand, datediff('day', d, dmax) AS gap,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM li CROSS JOIN anchor
+          JOIN part p ON li.l_partkey = p.p_partkey
+          WHERE datediff('day', d, dmax) BETWEEN 0 AND 9
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT p_brand, CAST(sum(cnt) AS BIGINT) AS raw_cnt,
+                 CAST(sum(cnt * (1024 // (1 << gap))) AS BIGINT)
+                   AS score_x1024
+          FROM counts GROUP BY 1),
+        ranked AS (
+          SELECT p_brand, raw_cnt, score_x1024,
+                 CAST(row_number() OVER (ORDER BY score_x1024 DESC,
+                   p_brand) AS BIGINT) AS rank_trend,
+                 CAST(row_number() OVER (ORDER BY raw_cnt DESC,
+                   p_brand) AS BIGINT) AS rank_raw
+          FROM scored)
+        SELECT rank_trend, p_brand, raw_cnt, score_x1024, rank_raw,
+               rank_raw - rank_trend AS rank_shift
+        FROM ranked WHERE rank_trend <= 10
+        ORDER BY rank_trend"""))
   )
 }

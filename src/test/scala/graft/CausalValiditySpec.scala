@@ -234,4 +234,30 @@ class CausalValiditySpec extends AnyFunSuite {
     assert(recalls.last >= 500000L,
       s"probing half the lists must recover >= 50%: ${recalls.last}")
   }
+
+  test("q365 BPE train: 8 ordered iterations, positive merge counts, " +
+    "all learned pairs distinct") {
+    val rows = SparkEntry.queries("q365_bpe_train_merges")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    assert(rows.forall(_.getLong(3) > 0))
+    val pairs = rows.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length == pairs.length,
+      "BPE can never learn the same pair twice (it was merged away)")
+    rows.foreach(r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
+  test("q366 trending: ranks are 1..10, the dyadic score is bracketed " +
+    "by [2*raw, 1024*raw], rank_shift reconciles") {
+    val rows = SparkEntry.queries("q366_trending_decay")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    rows.foreach { r =>
+      val (raw, score) = (r.getLong(2), r.getLong(3))
+      assert(score >= 2 * raw && score <= 1024 * raw,
+        s"${r.getString(1)}: score $score outside [2*$raw, 1024*$raw]")
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(0))
+    }
+  }
 }
