@@ -723,6 +723,123 @@ object AdvancedOps extends QueryModule {
                CAST((SELECT CAST(coalesce(sum(rows_a), 0) AS BIGINT)
                   FROM divb) * 1000000
                  // (SELECT sum(rows_a) FROM cmp) AS BIGINT)
-                 AS rescan_ppm"""))
+                 AS rescan_ppm""")),
+
+    Q(
+      "q368_column_profile",
+      "TABLE PROFILING REPORT (the Deequ/dbt-docs column summary every " +
+        "data platform materializes before trusting a feed; q154's " +
+        "table stats widened to the per-column grain): for each orders " +
+        "column — row count, null count, EXACT distinct count, and " +
+        "canonical min/max renderings (numerics as exact cents/key " +
+        "integers, dates as ISO strings — never raw float-to-string, " +
+        "whose formatting is engine-specific). All six columns profile " +
+        "in ONE scan: the distinct counts ride Spark's multi-distinct " +
+        "expand (6x row multiplication bounded by the column count, " +
+        "map-side partial-agg'd), min/max/null are plain partials, and " +
+        "the one-row result unpivots by stack onto the 6-row column " +
+        "domain. 100 TB: one pass, no joins — profiling cost tracks " +
+        "the scan, not the column count.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .withColumn("cents",
+            expr("cast(round(o_totalprice * 100) as bigint)"))
+          .withColumn("od", $"o_orderdate".cast("date"))
+        val a = o.agg(
+          count(lit(1)).as("n_rows"),
+          sum($"o_orderkey".isNull.cast("long")).as("nn1"),
+          countDistinct($"o_orderkey").as("nd1"),
+          min($"o_orderkey").cast("string").as("mn1"),
+          max($"o_orderkey").cast("string").as("mx1"),
+          sum($"o_custkey".isNull.cast("long")).as("nn2"),
+          countDistinct($"o_custkey").as("nd2"),
+          min($"o_custkey").cast("string").as("mn2"),
+          max($"o_custkey").cast("string").as("mx2"),
+          sum($"o_orderstatus".isNull.cast("long")).as("nn3"),
+          countDistinct($"o_orderstatus").as("nd3"),
+          min($"o_orderstatus").as("mn3"),
+          max($"o_orderstatus").as("mx3"),
+          sum($"cents".isNull.cast("long")).as("nn4"),
+          countDistinct($"cents").as("nd4"),
+          min($"cents").cast("string").as("mn4"),
+          max($"cents").cast("string").as("mx4"),
+          sum($"od".isNull.cast("long")).as("nn5"),
+          countDistinct($"od").as("nd5"),
+          min($"od").cast("string").as("mn5"),
+          max($"od").cast("string").as("mx5"),
+          sum($"o_orderpriority".isNull.cast("long")).as("nn6"),
+          countDistinct($"o_orderpriority").as("nd6"),
+          min($"o_orderpriority").as("mn6"),
+          max($"o_orderpriority").as("mx6"))
+        a.selectExpr("stack(6, " +
+            "'o_orderkey', nn1, nd1, mn1, mx1, " +
+            "'o_custkey', nn2, nd2, mn2, mx2, " +
+            "'o_orderstatus', nn3, nd3, mn3, mx3, " +
+            "'o_totalprice_cents', nn4, nd4, mn4, mx4, " +
+            "'o_orderdate', nn5, nd5, mn5, mx5, " +
+            "'o_orderpriority', nn6, nd6, mn6, mx6) " +
+            "as (col_name, n_nulls, n_distinct, min_repr, max_repr)",
+            "n_rows")
+          .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+            $"min_repr", $"max_repr")
+          .orderBy($"col_name")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 CAST(o_orderdate AS DATE) AS od, o_orderpriority
+          FROM orders),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+                   END) AS BIGINT) AS nn1,
+                 CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+                 CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+                 CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                 CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                   END) AS BIGINT) AS nn2,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd2,
+                 CAST(min(o_custkey) AS VARCHAR) AS mn2,
+                 CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                 CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                   END) AS BIGINT) AS nn3,
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+                 min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+                 CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn4,
+                 CAST(count(DISTINCT cents) AS BIGINT) AS nd4,
+                 CAST(min(cents) AS VARCHAR) AS mn4,
+                 CAST(max(cents) AS VARCHAR) AS mx4,
+                 CAST(sum(CASE WHEN od IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nn5,
+                 CAST(count(DISTINCT od) AS BIGINT) AS nd5,
+                 CAST(min(od) AS VARCHAR) AS mn5,
+                 CAST(max(od) AS VARCHAR) AS mx5,
+                 CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1
+                   ELSE 0 END) AS BIGINT) AS nn6,
+                 CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                   AS nd6,
+                 min(o_orderpriority) AS mn6,
+                 max(o_orderpriority) AS mx6
+          FROM o),
+        u AS (
+          SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+                 nd1 AS n_distinct, mn1 AS min_repr, mx1 AS max_repr
+          FROM a
+          UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, mn2, mx2
+          FROM a
+          UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, mn3, mx3
+          FROM a
+          UNION ALL SELECT 'o_totalprice_cents', n_rows, nn4, nd4,
+            mn4, mx4 FROM a
+          UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, mn5, mx5
+          FROM a
+          UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, mn6,
+            mx6 FROM a)
+        SELECT col_name, n_rows, n_nulls, n_distinct, min_repr,
+               max_repr
+        FROM u ORDER BY col_name"""))
   )
 }

@@ -1095,6 +1095,70 @@ object Joins extends QueryModule {
                n_bloom_pass - n_exact AS false_pos,
                CAST((n_bloom_pass - n_exact) * 1000000
                  // (n_facts - n_exact) AS BIGINT) AS fp_ppm
-        FROM c"""))
+        FROM c""")),
+
+    Q(
+      "q367_volume_shipping",
+      "INTERNATIONAL VOLUME SHIPPING (the TPC-H Q7 shape — the " +
+        "canonical star-join stress: lineitem fans to supplier-nation " +
+        "on one side and orders-customer-nation on the other, " +
+        "bidirectional REGION-pair filter, revenue by (supp_region, " +
+        "cust_region, ship_year); regions rather than Q7's nations so " +
+        "every sf fixture populates both directions): the PLAN is the " +
+        "point — the region-filtered supplier side (1 of 5 regions) " +
+        "BROADCASTS and prunes lineitem ~5x BEFORE the one " +
+        "unavoidable fact-fact exchange (lineitem-orders on " +
+        "orderkey), and the orders side is itself region-pruned ~5x " +
+        "by its broadcast customer join before that same exchange — " +
+        "both shuffle inputs shrink ahead of the wire, which at " +
+        "100 TB is the whole game. Revenue in exact integer cents " +
+        "(the q357 per-row rounding convention). The region pair " +
+        "(0,1)<->(1,0) keeps both directions, TPC-H's semantics.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+        val nat01 = Tables.t(s, dir, "nation")
+          .filter($"n_regionkey" === 0 || $"n_regionkey" === 1)
+        val sup = Tables.t(s, dir, "supplier")
+          .join(broadcast(nat01), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_regionkey".as("supp_region"))
+        val cust = Tables.t(s, dir, "orders")
+          .join(broadcast(Tables.t(s, dir, "customer")
+              .join(broadcast(nat01
+                .select($"n_nationkey".as("cn_key"),
+                  $"n_regionkey".as("cust_region"))),
+                $"c_nationkey" === $"cn_key")
+              .select($"c_custkey", $"cust_region")),
+            $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"cust_region")
+        li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(cust, $"l_orderkey" === $"o_orderkey")
+          .filter(($"supp_region" === 0 && $"cust_region" === 1) ||
+            ($"supp_region" === 1 && $"cust_region" === 0))
+          .groupBy($"supp_region".cast("long").as("supp_region"),
+            $"cust_region".cast("long").as("cust_region"),
+            year($"l_shipdate").cast("long").as("ship_year"))
+          .agg(sum(expr("cast(round(l_extendedprice * " +
+            "(1 - l_discount) * 100) as bigint)")).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"supp_region", $"cust_region", $"ship_year")
+      },
+      Some("""
+        SELECT CAST(sn.n_regionkey AS BIGINT) AS supp_region,
+               CAST(cn.n_regionkey AS BIGINT) AS cust_region,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier s ON l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE (sn.n_regionkey = 0 AND cn.n_regionkey = 1)
+           OR (sn.n_regionkey = 1 AND cn.n_regionkey = 0)
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3"""))
   )
 }

@@ -1254,6 +1254,83 @@ object Similarity extends QueryModule {
               .as("recall_ppm"))
           .orderBy($"nprobe")
       },
+      None),
+
+    Q(
+      "q369_power_iteration_pc1",
+      "TOP PRINCIPAL COMPONENT BY MATRIX-FREE POWER ITERATION (the " +
+        "von Mises iteration — how you do PCA when X is 100 TB and " +
+        "the covariance matrix must NEVER materialize): 8 iterations " +
+        "of v <- normalize(X'(Xv)) over the centered embedding corpus, " +
+        "each iteration TWO row-scale passes — a codegen'd per-row dot " +
+        "s = (x-mu).v against the broadcast literal v, then one " +
+        "(dim)-grouped aggregate of s*(x_d-mu_d) (64 groups, map-side " +
+        "combine — the shuffle carries 64 cells regardless of corpus " +
+        "size). Every aggregate is SCALED-INTEGER (micros summed as " +
+        "longs/decimals — kmeansCodebook's bit-stability trick, " +
+        "order-independent under any partitioning); normalization is " +
+        "a 64-value driver artifact in BigInt. Output: per-iteration " +
+        "Rayleigh quotient (micro) and its share of total variance " +
+        "(ppm) — the convergence curve a platform monitors to stop " +
+        "early. Rows-only: the iterate depends on the evolving " +
+        "driver-side vector, outside SQL's reach; the spec pins the " +
+        "Rayleigh quotient's monotone convergence, the EVR bracket " +
+        "[1/64, 1], and thread-count invariance (implied by the " +
+        "integer sums).",
+      (s, dir) => {
+        import s.implicits._
+        val xm = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", expr("transform(embedding, " +
+            "x -> cast(round(cast(x as double) * 1000000) as bigint))")
+            .as("xm"))
+          .localCheckpoint(true)
+        val n = xm.count()
+        // integer-micro mean per dim: floor(sum/n) — a 64-long artifact
+        val mu = xm.select(posexplode($"xm").as(Seq("pos", "x")))
+          .groupBy($"pos").agg((sum($"x") / n).cast("long").as("m"))
+          .orderBy($"pos").collect().map(_.getLong(1))
+        val centered = xm
+          .select($"vec_id", expr("zip_with(xm, " +
+            s"${mu.mkString("array(", "L, ", "L)")}, " +
+            "(x, m) -> x - m)").as("c"))
+          .localCheckpoint(true)
+        // trace*n in micro^2: sum over rows/dims of (x-mu)^2
+        val traceN = centered
+          .select(expr("aggregate(transform(c, x -> cast(x as " +
+            "decimal(38,0)) * x), cast(0 as decimal(38,0)), " +
+            "(a, b) -> a + b)").as("sq"))
+          .agg(sum($"sq")).head().getDecimal(0).toBigInteger
+        var v: Array[Long] = Array.fill(64)(125000L) // 64*0.125^2 = 1
+        val iters = (1 to 8).map { it =>
+          // ONE pass: per-dim X'(Xv) sums; the Rayleigh numerator
+          // (sum sv^2) rides the pos=0 group so no second scan runs
+          val rows = centered.select(
+              // s scaled down to micro-ish units so the per-dim
+              // products below stay in range at any corpus size
+              expr(s"aggregate(zip_with(c, " +
+                s"${v.mkString("array(", "L, ", "L)")}, " +
+                "(x, w) -> x * w), 0L, (a, b) -> a + b) div 10000000")
+                .as("sv"), $"c")
+            .select($"sv", posexplode($"c").as(Seq("pos", "x")))
+            .groupBy($"pos")
+            .agg(sum(expr("cast(sv as decimal(38,0)) * x")).as("w"),
+              sum(when($"pos" === 0,
+                expr("cast(sv as decimal(38,0)) * sv"))).as("r2"))
+            .orderBy($"pos").collect()
+          val w = rows.map(r => BigInt(r.getDecimal(1).toBigInteger))
+          val rnum = BigInt(rows.head.getDecimal(2).toBigInteger)
+          val rayleighMicro = (rnum * 100 / (BigInt(n) * 1000000L))
+            .toLong
+          val evrPpm = (rnum * 100000000L / BigInt(traceN)).toLong
+          // normalize w to micro norm 1e6 in exact BigInt
+          val norm = BigInt(
+            w.map(x => x * x).sum.bigInteger.sqrt()) max BigInt(1)
+          v = w.map(x => (x * 1000000L / norm).toLong).toArray
+          (it.toLong, rayleighMicro, evrPpm)
+        }
+        iters.toDF("iteration", "rayleigh_micro", "evr_ppm")
+          .orderBy($"iteration")
+      },
       None)
   )
 

@@ -107,6 +107,20 @@ object Stress {
         ((xxhash64($"id", lit(15)) % 5 + 5) % 5 + 1).cast("string"))
         .as("p_brand"))
       .write.mode("overwrite").parquet(s"$out/part.parquet")
+    // nation/supplier dims for the round-10 probes (q358 region ranks,
+    // q357-family supplier joins): 25 nations over 5 regions, 1000
+    // suppliers matching the lineitem l_suppkey domain
+    s.range(25).select(
+      $"id".as("n_nationkey"),
+      concat(lit("NATION"), $"id".cast("string")).as("n_name"),
+      ($"id" % 5).as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    s.range(1000).select(
+      $"id".as("s_suppkey"),
+      concat(lit("Supplier#"), $"id".cast("string")).as("s_name"),
+      ($"id" % 25).as("s_nationkey"),
+      lit(0.0).as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
     // 200k embeddings (100x the sf0.1 fixture), 64-dim float, uniform in
     // [-1, 1] — the ANN ladder's corpus
     s.range(200000).select(
@@ -465,6 +479,29 @@ object Stress {
     // bytes, never by history reads.
     time("signature index compaction 51k docs") {
       SparkEntry.queries("q323_signature_index_compaction")(s, out).count()
+    }
+    // Round-10 third wave. q355: the n*k centroid-distance pass over
+    // 200k x 10 broadcast centroids — one (label, dim) shuffle, then
+    // 10x10 domain algebra. q358: the counting-CDF midrank frame over
+    // the distinct-cents domain (the KW statistic's only row-scale
+    // cost). q362: two 64-row digest aggregates + a drill bounded by
+    // diverging buckets. q363: two journey window passes to a <=30-row
+    // count table, the chain solve is driver-side O(1). q364: ONE
+    // scored candidate frame reused by all four sweep points.
+    time("cluster validity 200k embeddings") {
+      SparkEntry.queries("q355_cluster_validity")(s, out).count()
+    }
+    time(s"kruskal-wallis ${15 * mult / 10}M orders") {
+      SparkEntry.queries("q358_kruskal_wallis")(s, out).count()
+    }
+    time(s"merkle reconcile ${15 * mult / 10}M orders") {
+      SparkEntry.queries("q362_merkle_reconcile")(s, out).count()
+    }
+    time(s"markov attribution ${6 * mult}M events") {
+      SparkEntry.queries("q363_markov_attribution")(s, out).count()
+    }
+    time("ivf nprobe sweep 200k embeddings") {
+      SparkEntry.queries("q364_ivf_nprobe_sweep")(s, out).count()
     }
     // Ingest throughput vs the reference's operational envelope
     // (BASELINE.md: 60s poll interval, O(10^5) rows/min implied; a real

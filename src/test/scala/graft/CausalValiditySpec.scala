@@ -260,4 +260,52 @@ class CausalValiditySpec extends AnyFunSuite {
       assert(r.getLong(5) == r.getLong(4) - r.getLong(0))
     }
   }
+
+  test("q367 Q7 volume shipping: both directions present, revenue " +
+    "positive, years within the fixture span") {
+    val rows = SparkEntry.queries("q367_volume_shipping")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val dirs = rows.map(r => (r.getLong(0), r.getLong(1))).distinct
+    assert(dirs.forall(d => d == (0L, 1L) || d == (1L, 0L)))
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+      assert(r.getLong(2) >= 1995L && r.getLong(2) <= 2001L)
+    }
+  }
+
+  test("q368 column profile: six columns, no nulls in the fixture, " +
+    "distinct bounded by rows, orderkey is a unique key") {
+    val rows = SparkEntry.queries("q368_column_profile")(spark, sfDir)
+      .collect()
+    assert(rows.length == 6)
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "one row count for the table")
+      assert(r.getLong(2) == 0, s"${r.getString(0)}: fixture has no nulls")
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0) == "o_orderkey" ||
+        r.getString(0) == "o_custkey" ||
+        r.getString(0) == "o_totalprice_cents",
+        s"${r.getString(0)}: min_repr must not exceed max_repr " +
+          "(numeric reprs compare numerically, not lexically)")
+    }
+    val ok = rows.find(_.getString(0) == "o_orderkey").get
+    assert(ok.getLong(3) == n, "o_orderkey must be unique")
+  }
+
+  test("q369 power iteration: Rayleigh quotient monotone " +
+    "nondecreasing, EVR in [1/64, 1], 8 iterations") {
+    val rows = SparkEntry.queries("q369_power_iteration_pc1")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    val ray = rows.map(_.getLong(1)).toSeq
+    assert(ray == ray.sorted,
+      s"power iteration must not lose Rayleigh mass: $ray")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1000000L / 64 && r.getLong(2) <= 1000000L,
+        s"EVR ${r.getLong(2)} outside [1/64, 1]")
+    }
+  }
 }
