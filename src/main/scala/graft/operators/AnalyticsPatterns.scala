@@ -3361,7 +3361,76 @@ object AnalyticsPatterns extends QueryModule {
                  3145726, 3145728], t -> t <= u)) - 20, 0) AS BIGINT)
                  AS released
         FROM drawn
-        ORDER BY lang, source"""))
+        ORDER BY lang, source""")),
+
+    Q(
+      "q370_randomized_response",
+      "LOCAL DIFFERENTIAL PRIVACY VIA RANDOMIZED RESPONSE (Warner " +
+        "1965 — the client-side mechanism under q338's central-DP " +
+        "release, completing the privacy ladder audit->k-anon->" +
+        "t-closeness->central-DP->local-DP): each user's sensitive " +
+        "bit (purchased?) is reported TRUTHFULLY with p = 3/4 and " +
+        "FLIPPED with 1/4 (epsilon = ln 3), the flip coin a " +
+        "deterministic Knuth-mix parity so both engines replay the " +
+        "identical randomization (q244's no-engine-RNG rule); the " +
+        "aggregator then DEBIASES: pi_hat = (obs/n - 1/4)/(1/2) = " +
+        "(4*obs - n)/(2n), an exact integer rational. The output row " +
+        "carries the ground truth beside the estimate — the " +
+        "calibration error a privacy platform monitors to size its " +
+        "cohorts. 100 TB: one user-grain aggregate; the mechanism is " +
+        "a per-row projection.",
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(max(($"event_type" === "purchase").cast("long"))
+            .as("truth"))
+          .select($"user_id", $"truth",
+            (($"user_id" * 2654435761L + 11L) % 4 === 0)
+              .cast("long").as("flip"))
+          .withColumn("reported",
+            when($"flip" === 1, lit(1L) - $"truth").otherwise($"truth"))
+        u.agg(
+            count(lit(1)).as("n_users"),
+            sum($"truth").as("true_pos"),
+            sum($"flip").as("n_flipped"),
+            sum($"reported").as("reported_pos"))
+          .select($"n_users", $"true_pos", $"n_flipped",
+            $"reported_pos",
+            expr("(4 * reported_pos - n_users) * 1000000 div " +
+              "(2 * n_users)").as("est_pos_ppm"),
+            expr("true_pos * 1000000 div n_users").as("true_pos_ppm"))
+          .withColumn("abs_err_ppm",
+            abs($"est_pos_ppm" - $"true_pos_ppm"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) AS truth,
+                 CASE WHEN (user_id * 2654435761 + 11) % 4 = 0
+                   THEN 1 ELSE 0 END AS flip
+          FROM events GROUP BY user_id),
+        r AS (
+          SELECT truth, flip,
+                 CASE WHEN flip = 1 THEN 1 - truth ELSE truth END
+                   AS reported
+          FROM u),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(truth) AS BIGINT) AS true_pos,
+                 CAST(sum(flip) AS BIGINT) AS n_flipped,
+                 CAST(sum(reported) AS BIGINT) AS reported_pos
+          FROM r)
+        SELECT n_users, true_pos, n_flipped, reported_pos,
+               CAST((4 * reported_pos - n_users) * 1000000
+                 // (2 * n_users) AS BIGINT) AS est_pos_ppm,
+               CAST(true_pos * 1000000 // n_users AS BIGINT)
+                 AS true_pos_ppm,
+               CAST(abs((4 * reported_pos - n_users) * 1000000
+                 // (2 * n_users) - true_pos * 1000000 // n_users)
+                 AS BIGINT) AS abs_err_ppm
+        FROM a"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -380,6 +380,45 @@ object CoreRelational extends QueryModule {
         FROM cum JOIN t USING (flag) CROSS JOIN p
         WHERE cum * 100 >= p.pct * t.n
         GROUP BY cum.flag, p.lbl
-        ORDER BY flag, lbl"""))
+        ORDER BY flag, lbl""")),
+
+    Q(
+      "q372_hll_error_audit",
+      "HLL ACCURACY AUDIT — q04 uses approx_count_distinct and trusts " +
+        "the rsd contract; this MEASURES it (the q334/q371 " +
+        "measured-not-assumed discipline applied to sketches): three " +
+        "cardinality probes (order custkeys, lineitem partkeys, " +
+        "lineitem orderkeys) each estimated at rsd 0.05 and 0.01 " +
+        "beside the exact distinct, absolute error in ppm of truth. " +
+        "Rows-only: the estimate is the engine's HLL++ register " +
+        "state, definitionally engine-specific; the spec pins each " +
+        "error within 5x its configured rsd (a ~5-sigma bound). " +
+        "100 TB: the whole point of the sketch — per-probe memory is " +
+        "O(registers) while exact distinct shuffles the key domain; " +
+        "the audit quantifies what that saving costs in accuracy.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+        val li = Tables.t(s, dir, "lineitem")
+        def probe(name: String, df: org.apache.spark.sql.DataFrame,
+            c: String) = {
+          val r = df.agg(
+            countDistinct(col(c)).as("exact"),
+            approx_count_distinct(col(c), 0.05).as("a5"),
+            approx_count_distinct(col(c), 0.01).as("a1"))
+          r.select(lit(name).as("probe"), lit(50000L).as("rsd_ppm"),
+              $"exact", $"a5".as("approx"))
+            .unionAll(r.select(lit(name), lit(10000L), $"exact",
+              $"a1"))
+        }
+        probe("orders.o_custkey", o, "o_custkey")
+          .unionAll(probe("lineitem.l_partkey", li, "l_partkey"))
+          .unionAll(probe("lineitem.l_orderkey", li, "l_orderkey"))
+          .select($"probe", $"rsd_ppm", $"exact", $"approx",
+            expr("abs(approx - exact) * 1000000 div exact")
+              .as("abs_err_ppm"))
+          .orderBy($"probe", $"rsd_ppm")
+      },
+      None)
   )
 }

@@ -2043,6 +2043,60 @@ object Dedup extends QueryModule {
                  AS BIGINT) AS docs_over_half,
                CAST(sum(dup_pos) * 1000000 // sum(n_pos) AS BIGINT)
                  AS dup_ppm
-        FROM pd GROUP BY source ORDER BY source"""))
+        FROM pd GROUP BY source ORDER BY source""")),
+
+    Q(
+      "q371_lsh_candidate_eval",
+      "CANDIDATE-STAGE DETECTION EVAL for the MinHash-LSH bands — " +
+        "q334's measured-eval row for the PROBABILISTIC leg of the " +
+        "dedup ladder (q334 grades the prefix filter, whose fn = 0 is " +
+        "a theorem; LSH misses are a TUNED RATE, so this row is where " +
+        "that rate gets measured instead of assumed): candidates = " +
+        "q63's 16x4 band collisions BEFORE exact confirm, truth = the " +
+        "exact Jaccard >= 0.8 pair set. Emits TP/FP/FN, precision and " +
+        "recall in ppm, and the pruning ratio vs naive n(n-1)/2 — at " +
+        "the fixture's banding the S-curve (q312) puts miss " +
+        "probability at (1-0.8^4)^16 ~ 2e-4, so fn is EXPECTED zero " +
+        "but, unlike q334, a nonzero cell is a rate excursion to " +
+        "read, not a broken theorem. Rows-only: band keys come from " +
+        "the engine's xxhash64 MinHash. Plan: both stages carry only " +
+        "id pairs through their distincts; the rollup is O(1).",
+      (s, dir) => {
+        import s.implicits._
+        val k = 64; val bands = 16; val rows = 4
+        val sh = docShingles(s, dir)
+        val sig = sh.select($"doc_id",
+          minhashSignature($"sh", k).as("mh"))
+        val banded = sig.select($"doc_id",
+          posexplode(bandKeys($"mh", bands, rows))
+            .as(Seq("band_idx", "band_key")))
+        val cand = banded.select($"doc_id".as("d1"), $"band_idx",
+            $"band_key")
+          .join(banded.select($"doc_id".as("d2"), $"band_idx",
+            $"band_key"), Seq("band_idx", "band_key"))
+          .filter($"d1" < $"d2")
+          .select($"d1", $"d2").distinct()
+          .withColumn("cand", lit(1L))
+        val truth = jaccardPairs(s, dir, 0.8)
+          .select($"d1", $"d2").withColumn("tru", lit(1L))
+        val flags = cand.join(truth, Seq("d1", "d2"), "full")
+          .select(coalesce($"cand", lit(0L)).as("c"),
+            coalesce($"tru", lit(0L)).as("t"))
+        val nDocs = broadcast(Tables.t(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs")))
+        flags.agg(
+            sum(($"c" === 1 && $"t" === 1).cast("long")).as("tp"),
+            sum(($"c" === 1 && $"t" === 0).cast("long")).as("fp"),
+            sum(($"c" === 0 && $"t" === 1).cast("long")).as("fn"))
+          .crossJoin(nDocs)
+          .select($"tp", $"fp", $"fn",
+            expr("tp * 1000000 div nullif(tp + fp, 0)")
+              .as("precision_ppm"),
+            expr("tp * 1000000 div nullif(tp + fn, 0)")
+              .as("recall_ppm"),
+            expr("(tp + fp) * 2000000 div (n_docs * (n_docs - 1))")
+              .as("candidate_share_ppm"))
+      },
+      None)
   )
 }

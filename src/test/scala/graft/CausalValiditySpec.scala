@@ -308,4 +308,52 @@ class CausalValiditySpec extends AnyFunSuite {
         s"EVR ${r.getLong(2)} outside [1/64, 1]")
     }
   }
+
+  test("q370 randomized response: reported flips reconcile exactly, " +
+    "debiased estimate lands within the mechanism's noise envelope") {
+    val r = SparkEntry.queries("q370_randomized_response")(spark, sfDir)
+      .head()
+    val (n, truePos, flipped, reported) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // with truth t and f flips among the positives/negatives, reported
+    // = truePos - flippedPos + flippedNeg — bounded by truePos +/- flips
+    assert(reported >= truePos - flipped && reported <= truePos + flipped)
+    assert(r.getLong(6) == math.abs(r.getLong(4) - r.getLong(5)))
+    // 2x debias amplification: |err| <= 2 * flips/n (worst case all
+    // flips land one way)
+    assert(r.getLong(6) <= 2L * flipped * 1000000L / n + 2)
+  }
+
+  test("q371 LSH candidate eval: cells reconcile with q63's confirmed " +
+    "pairs, recall high at the fixture's banding, candidates sparse") {
+    val r = SparkEntry.queries("q371_lsh_candidate_eval")(spark, sfDir)
+      .head()
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val confirmed = SparkEntry.queries("q63_minhash_lsh_pairs")(
+      spark, sfDir).count()
+    // q63 = exact-confirm(candidates): its output is exactly the TP set
+    assert(tp == confirmed,
+      s"tp $tp must equal q63's confirmed pair count $confirmed")
+    assert(fn * 1000000 <= (tp + fn) * 100000 || fn == 0,
+      s"miss rate implausibly high for 16x4 bands at jac>=0.8: $fn")
+    assert(r.getLong(5) < 100000L,
+      "candidate stage must stay far under the quadratic")
+    assert(fp >= 0)
+  }
+
+  test("q372 HLL audit: every probe's error inside 5x its rsd, exact " +
+    "column equals a direct countDistinct") {
+    val rows = SparkEntry.queries("q372_hll_error_audit")(spark, sfDir)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= 5 * r.getLong(1),
+        s"${r.getString(0)} rsd=${r.getLong(1)}: error ${r.getLong(4)} " +
+          "outside the 5-sigma envelope")
+    }
+    val exactCust = Tables.t(spark, sfDir, "orders")
+      .select(countDistinct(col("o_custkey"))).head().getLong(0)
+    rows.filter(_.getString(0) == "orders.o_custkey")
+      .foreach(r => assert(r.getLong(2) == exactCust))
+  }
 }
