@@ -910,6 +910,61 @@ object FeaturePlatform extends QueryModule {
         FROM probes GROUP BY probe ORDER BY probe""")),
 
     Q(
+      "q373_hilbert_layout",
+      "HILBERT vs MORTON LAYOUT SHOOTOUT — q261's pruning audit run " +
+        "over BOTH space-filling curves on the same 64-file budget: " +
+        "rows get a 16-bit Hilbert index from the native codegen'd " +
+        "HilbertIndex expression (the xy2d walk as a fixed 8-step " +
+        "loop inlined in whole-stage codegen — no call, no branch " +
+        "mispredict surface beyond the walk itself) beside q261's " +
+        "Morton z, files are the equal-width index ranges (div 1024), " +
+        "and each quarter-range probe counts files touched under " +
+        "hilbert / morton / partkey-linear. Hilbert's defining " +
+        "adjacency (consecutive indexes are grid neighbors — " +
+        "KernelPropertySpec proves it exhaustively at bits=4) buys " +
+        "contiguous index regions where Morton takes diagonal jumps, " +
+        "so its files-touched is <= Morton's on at least one probe — " +
+        "measured, not asserted (the q334 discipline applied to " +
+        "layout planning). The ORACLE replays the same 8-step walk " +
+        "as generated chained CTEs, so the curve itself is " +
+        "bit-verified cross-engine. 100 TB: the index is a per-row " +
+        "projection; the layout decision this audit informs is " +
+        "repartitionByRange(hilbert_d) at write time.",
+      (s, dir) => {
+        import s.implicits._
+        val rows = Tables.t(s, dir, "lineitem")
+          .select(($"l_partkey" % 256).as("px"),
+            ($"l_suppkey" % 256).as("sy"))
+          .withColumn("hd",
+            graft.catalyst.Hilbert.hilbert_index(8, $"px", $"sy"))
+          .withColumn("z",
+            graft.catalyst.ZOrder.z_interleave16($"px", $"sy"))
+          .withColumn("file_h", expr("hd div 1024"))
+          .withColumn("file_z", expr("z div 1024"))
+          .withColumn("file_lin", expr("px div 4"))
+        val probes = Seq(
+          ("partkey_quarter", $"px" < 64),
+          // unaligned band: crosses the top-level quadrant split,
+          // where Morton's diagonal jumps fragment the index range
+          // and Hilbert's adjacency does not
+          ("partkey_mid_band", $"px" >= 32 && $"px" < 96),
+          ("suppkey_quarter", $"sy" < 64))
+        probes.map { case (nameP, pred) =>
+          rows.filter(pred)
+            .groupBy(lit(nameP).as("probe"))
+            .agg(
+              countDistinct($"file_h").as("files_hilbert"),
+              countDistinct($"file_z").as("files_z"),
+              countDistinct($"file_lin").as("files_linear"),
+              count(lit(1)).as("rows_selected"))
+            .select($"probe", $"files_hilbert", $"files_z",
+              $"files_linear", lit(64L).as("n_files"),
+              $"rows_selected")
+        }.reduce(_ unionAll _).orderBy($"probe")
+      },
+      Some(hilbertOracleSql)),
+
+    Q(
       "q267_group_auc",
       "EXACT ROC-AUC of the channel-rate conversion model by the " +
         "tie-corrected Mann-Whitney rank-sum — the ranking complement " +
@@ -2074,5 +2129,69 @@ object FeaturePlatform extends QueryModule {
         $"event_id" === $"cid", "left")
       .select($"event_id", $"cents",
         when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
+  }
+
+
+  /** q373's oracle: the Morton spread (q261's CTE shapes) plus the SAME
+    * 8-step Hilbert xy2d walk the native expression runs, unrolled as
+    * generated chained CTEs — the curve is bit-verified cross-engine. */
+  private def hilbertOracleSql: String = {
+    val steps = (0 until 8).map { i =>
+      val s = 128 >> i
+      s"""h${i + 1} AS (
+        SELECT px, sy, file_z, file_lin,
+               d + $s * $s * (rx * (3 - ry) + (1 - rx) * ry) AS d,
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                 THEN 255 - y ELSE y END) ELSE x END AS x,
+               CASE WHEN ry = 0 THEN (CASE WHEN rx = 1
+                 THEN 255 - x ELSE x END) ELSE y END AS y
+        FROM (SELECT px, sy, file_z, file_lin, x, y, d,
+                     (x // $s) % 2 AS rx, (y // $s) % 2 AS ry
+              FROM h$i))"""
+    }.mkString(",\n")
+    s"""
+      WITH base AS (
+        SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy
+        FROM lineitem),
+      s1 AS (SELECT px, sy,
+                    (px | (px << 8)) & 16711935 AS ax,
+                    (sy | (sy << 8)) & 16711935 AS bx
+             FROM base),
+      s2 AS (SELECT px, sy,
+                    (ax | (ax << 4)) & 252645135 AS ax,
+                    (bx | (bx << 4)) & 252645135 AS bx
+             FROM s1),
+      s3 AS (SELECT px, sy,
+                    (ax | (ax << 2)) & 858993459 AS ax,
+                    (bx | (bx << 2)) & 858993459 AS bx
+             FROM s2),
+      s4 AS (SELECT px, sy,
+                    (ax | (ax << 1)) & 1431655765 AS ax,
+                    (bx | (bx << 1)) & 1431655765 AS bx
+             FROM s3),
+      h0 AS (SELECT px, sy,
+                    (ax | (bx << 1)) // 1024 AS file_z,
+                    px // 4 AS file_lin,
+                    px AS x, sy AS y, CAST(0 AS BIGINT) AS d
+             FROM s4),
+      $steps,
+      hz AS (SELECT px, sy, d // 1024 AS file_h, file_z, file_lin
+             FROM h8),
+      probes AS (
+        SELECT 'partkey_quarter' AS probe, file_h, file_z, file_lin
+        FROM hz WHERE px < 64
+        UNION ALL
+        SELECT 'partkey_mid_band', file_h, file_z, file_lin
+        FROM hz WHERE px >= 32 AND px < 96
+        UNION ALL
+        SELECT 'suppkey_quarter' AS probe, file_h, file_z, file_lin
+        FROM hz WHERE sy < 64)
+      SELECT probe,
+             CAST(count(DISTINCT file_h) AS BIGINT) AS files_hilbert,
+             CAST(count(DISTINCT file_z) AS BIGINT) AS files_z,
+             CAST(count(DISTINCT file_lin) AS BIGINT) AS files_linear,
+             CAST(64 AS BIGINT) AS n_files,
+             CAST(count(*) AS BIGINT) AS rows_selected
+      FROM probes GROUP BY probe ORDER BY probe"""
   }
 }

@@ -438,4 +438,44 @@ class KernelPropertySpec extends AnyFunSuite {
     assert((BigDecimal(slope) - exact).abs <= 1,
       s"slope_micro $slope vs rational $exact")
   }
+
+  test("Hilbert.xy2d is a space-filling curve: a bijection onto " +
+    "[0, n^2) whose CONSECUTIVE indexes are grid-adjacent — proven " +
+    "exhaustively over the full 16x16 grid (bits=4)") {
+    val bits = 4; val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (graft.catalyst.Hilbert.xy2d(bits, x, y), (x, y))
+    val ds = cells.map(_._1)
+    assert(ds.sorted == (0L until (n.toLong * n)),
+      "indexes must be a permutation of [0, n^2)")
+    val byD = cells.sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d-consecutive cells ($x1,$y1)->($x2,$y2) must be grid " +
+          "neighbors — the Hilbert property Morton does NOT have")
+    }
+    // Morton genuinely lacks this — the property test proves the two
+    // expressions are different curves, not two spellings of one
+    val zByD = (for (x <- 0 until n; y <- 0 until n)
+      yield (graft.catalyst.ZOrder.interleave16(x, y), (x, y)))
+      .sortBy(_._1).map(_._2)
+    val zJumps = zByD.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) > 1 }
+    assert(zJumps > 0, "Morton must show diagonal jumps on this grid")
+  }
+
+  test("HilbertIndex expression eval agrees with the Scala walk and " +
+    "masks out-of-range coordinates") {
+    forAll(Gen.zip(Gen.chooseNum(0L, 1L << 20), Gen.chooseNum(0L, 1L << 20))) {
+      case (x, y) =>
+        val e = graft.catalyst.HilbertIndex(
+          org.apache.spark.sql.catalyst.expressions.Literal(x),
+          org.apache.spark.sql.catalyst.expressions.Literal(y), 8)
+        assert(e.eval(null) == graft.catalyst.Hilbert.xy2d(8, x, y))
+        assert(graft.catalyst.Hilbert.xy2d(8, x, y) ==
+          graft.catalyst.Hilbert.xy2d(8, x & 255, y & 255),
+          "coordinates above 2^bits must mask, not corrupt the walk")
+    }
+  }
 }
