@@ -290,6 +290,42 @@ object StreamingOps extends QueryModule {
     }
   }
 
+  /** q374's bounded decayed-count window: per key, state is the last
+    * `windowDays` (day -> count) entries — aged days are EVICTED on
+    * every key-max advance, so state is O(windowDays) per key FOREVER
+    * (the event-time-TTL discipline applied inside transformWithState;
+    * q264's constant-state argument for the trending use case). Counts
+    * stay EXACT per retained day — the dyadic decay weights attach at
+    * read time against the global anchor, which is what makes the
+    * streamed result bit-equal to the batch 10-day formula instead of
+    * an approximation (a running decayed SUM would truncate low bits
+    * differently than the per-term batch shift). */
+  final class DecayedWindowProcessor(windowDays: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Seq[(Long, Long)], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Seq[(Long, Long)], Long)](
+        "window",
+        org.apache.spark.sql.Encoders.product[(Seq[(Long, Long)], Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(ch: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long)] = {
+      val (entries0, seq0) =
+        if (st.exists()) st.get() else (Seq.empty[(Long, Long)], 0L)
+      val m = scala.collection.mutable.HashMap[Long, Long]()
+      entries0.foreach { case (d, c) => m(d) = c }
+      rows.foreach { case (_, d) => m(d) = m.getOrElse(d, 0L) + 1 }
+      val dmax = m.keys.max
+      val kept = m.toSeq.filter { case (d, _) => dmax - d < windowDays }
+        .sortBy(_._1)
+      st.update((kept, seq0 + 1))
+      kept.iterator.map { case (d, c) => (ch, seq0 + 1, d, c) }
+    }
+  }
+
   final class TimerSessionProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, java.sql.Timestamp, Double),
@@ -1608,6 +1644,67 @@ object StreamingOps extends QueryModule {
           .select($"user_id", $"est", $"err",
             ($"est" - $"err").as("count_min"), $"shard", $"shard_last_us")
           .orderBy($"est".desc, $"user_id").limit(10)
+      },
+      None),
+
+    Q(
+      "q374_stream_trending_topk",
+      "STREAMING TRENDING TOP-K — q366's dyadic-decay trending as a " +
+        "standing query: clicks stream through transformWithState " +
+        "keyed by channel, each key's DecayedWindowProcessor state " +
+        "holds ONLY the last 10 (day, exact count) entries (aged days " +
+        "evicted on every advance — O(window) state per key forever, " +
+        "q264's constant-state discipline via event-time eviction " +
+        "instead of sketch capacity), and the decay weights attach at " +
+        "READ time against the drain's global anchor day. Keeping " +
+        "counts exact in state and decaying at read is what makes the " +
+        "streamed score BIT-EQUAL to the batch 10-day formula " +
+        "(StreamingSpec asserts it) — a running decayed sum would " +
+        "truncate shifted low bits differently than the per-term " +
+        "batch expression and drift by ulps of the integer scale. " +
+        "No SQL oracle: the emission sequence is the stream's; the " +
+        "spec pins stream-equals-batch and the state bound instead. " +
+        "At 100 TB: keys scale with shuffle partitions, state is 10 " +
+        "rows per key, and the same drain powers a live 'trending " +
+        "now' board per trigger.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        import s.implicits._
+        val perCh = eventsStream(s, dir)
+          .filter($"event_type" === "click")
+          .select(
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new DecayedWindowProcessor(10),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("channel", "upd_seq", "day", "cnt")
+        val out = runToMemory(s, perCh, "graft_mem_trend", "update",
+          shufflePartitions = Some(4),
+          extraConfs = Map(
+            "spark.sql.streaming.stateStore.providerClass" ->
+              ("org.apache.spark.sql.execution.streaming.state." +
+                "RocksDBStateStoreProvider")))
+        val fin = out.withColumn("mx",
+            max($"upd_seq").over(Window.partitionBy($"channel")))
+          .filter($"upd_seq" === $"mx")
+        val anchor = broadcast(fin.agg(max($"day").as("dmax")))
+        fin.crossJoin(anchor)
+          .filter($"dmax" - $"day" <= 9)
+          .groupBy($"channel")
+          .agg(sum($"cnt").as("raw_cnt"),
+            sum(expr("cnt * (1024 div shiftleft(1, " +
+              "cast(dmax - day as int)))")).as("score_x1024"),
+            max($"day").as("last_day"))
+          .withColumn("rank_trend", row_number().over(
+            Window.orderBy($"score_x1024".desc, $"channel"))
+            .cast("long"))
+          .select($"rank_trend", $"channel", $"raw_cnt",
+            $"score_x1024", $"last_day")
+          .orderBy($"rank_trend")
       },
       None),
 

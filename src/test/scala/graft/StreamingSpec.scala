@@ -538,4 +538,39 @@ class StreamingSpec extends AnyFunSuite {
         s"heaviest guaranteed user $top missing from the merged top-10")
     }
   }
+
+  test("q374 streamed trending equals the batch 10-day dyadic formula " +
+    "BIT-FOR-BIT, and per-key state stayed within the 10-day bound") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q374_stream_trending_topk")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent batch computation straight off the fixture
+    val cnts = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "click")
+      .select(
+        expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+          .as("ch"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"))
+      .groupBy(col("ch"), col("day")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dmax = cnts.keys.map(_._2).max
+    val batch = cnts.toSeq
+      .filter { case ((_, d), _) => dmax - d <= 9 }
+      .groupBy(_._1._1)
+      .map { case (ch, m) =>
+        ch -> (m.map(_._2).sum,
+          m.map { case ((_, d), c) => c * (1024L >> (dmax - d)) }.sum)
+      }
+    rows.foreach { r =>
+      val (raw, score) = batch(r.getLong(1))
+      assert(r.getLong(2) == raw && r.getLong(3) == score,
+        s"channel ${r.getLong(1)}: streamed ($raw, $score) expected, " +
+          s"got (${r.getLong(2)}, ${r.getLong(3)})")
+      assert(r.getLong(4) <= dmax)
+    }
+    assert(rows.map(_.getLong(1)).toSet == batch.keySet,
+      "every active channel must surface")
+  }
 }
