@@ -2209,13 +2209,16 @@ object TextAnalysis extends QueryModule {
   def bpePairCounts(corpus: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import corpus.sparkSession.implicits._
-    corpus.filter(size($"syms") >= 2)
-      .select(explode(expr(
+    val weighted =
+      if (corpus.columns.contains("wcount")) corpus
+      else corpus.withColumn("wcount", lit(1L))
+    weighted.filter(size($"syms") >= 2)
+      .select($"wcount", explode(expr(
         "transform(sequence(1, size(syms) - 1), j -> " +
           "struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))"))
         .as("p"))
       .groupBy($"p.a".as("a"), $"p.b".as("b"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum($"wcount").as("n"))
   }
 
   /** The full multi-iteration BPE training loop: run the counting kernel,
@@ -2230,19 +2233,27 @@ object TextAnalysis extends QueryModule {
   def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     import s.implicits._
+    // Train on word TYPES weighted by frequency — the textbook BPE
+    // trainer shape (Sennrich's own implementation trains on the word-
+    // frequency dict): pair totals are identical to the per-occurrence
+    // fold by linearity, but each iteration now touches |vocab| rows
+    // instead of |corpus| words. Measured at sf0.1: 22.2 s -> well
+    // under 2 s for the same 8-merge table.
     var corpus = Tables.t(s, dir, "documents")
       .select(explode(split(trim($"text"), " ")).as("word"))
       .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wcount"))
       .select(expr(
         "transform(sequence(1, length(word)), j -> substring(word, j, 1))")
-        .as("syms"))
+        .as("syms"), $"wcount")
       .localCheckpoint(true)
     (1 to nMerges).map { it =>
       val top = bpePairCounts(corpus)
         .orderBy($"n".desc, $"a", $"b").limit(1).collect()
       require(top.nonEmpty, s"BPE iteration $it: corpus has no adjacent pairs")
       val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-      corpus = corpus.select(bpeApplyMerge($"syms", a, b).as("syms"))
+      corpus = corpus.select(bpeApplyMerge($"syms", a, b).as("syms"),
+          $"wcount")
         .localCheckpoint(true)
       (it, a, b, n)
     }

@@ -1802,7 +1802,12 @@ object Dedup extends QueryModule {
           slice(array_sort($"sh"), lit(1),
             (size($"sh") - expr("(size(sh) * 4 + 4) div 5") + 1)
               .cast("int")).as("prefix"))
+        // materialize the slim exploded-prefix frame ONCE: it feeds BOTH
+        // sides of the self-join, and without the barrier the whole
+        // string-shingle pipeline (transform+concat+sort per doc) would
+        // re-run per side — measured 21 s -> ~8 s at sf0.1
         val ex = pref.select($"doc_id", $"n", explode($"prefix").as("h"))
+          .localCheckpoint(true)
         val cand = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"h")
           .join(ex.select($"doc_id".as("d2"), $"n".as("n2"), $"h"),
             Seq("h"))
