@@ -419,6 +419,75 @@ object CoreRelational extends QueryModule {
               .as("abs_err_ppm"))
           .orderBy($"probe", $"rsd_ppm")
       },
-      None)
+      None),
+
+    Q(
+      "q377_percentile_interpolated",
+      "LINEARLY-INTERPOLATED PERCENTILES, EXACT (percentile_cont / " +
+        "numpy type-7 semantics — q168 takes the nearest-rank value; " +
+        "this completes the percentile surface with the interpolating " +
+        "definition analysts actually get from pandas): at 0-indexed " +
+        "position p*(N-1)/100, result = lo*(100-rem) + hi*rem in " +
+        "deci-milli-cents, where ipos/rem are the exact integer " +
+        "quotient/remainder of p*(N-1) by 100 — NO floating " +
+        "interpolation anywhere, so the oracle is bit-exact where " +
+        "engine quantile_cont floats would drift. Rank lookups are " +
+        "counting-CDF mins over the cents DOMAIN (never a row sort): " +
+        "value_at(k) = min(v: cum(v) >= k+1), one bounded >= join " +
+        "per rank. 100 TB: one domain aggregate + two broadcast " +
+        "theta-joins of a 4-row percentile frame.",
+      (s, dir) => {
+        import s.implicits._
+        val dom = Tables.t(s, dir, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("v"))
+          .groupBy($"v").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dom.withColumn("cum", sum($"cnt").over(wCum))
+        val n = broadcast(dom.agg(sum($"cnt").as("n")))
+        val pcts = broadcast(Seq(25L, 50L, 75L, 90L).toDF("pct")
+          .crossJoin(n)
+          .withColumn("ipos", expr("pct * (n - 1) div 100"))
+          .withColumn("rem", expr("pct * (n - 1) % 100")))
+        val lo = cum.join(pcts, $"cum" >= $"ipos" + 1)
+          .groupBy($"pct").agg(min($"v").as("lo"))
+        val hi = cum.join(pcts, $"cum" >= $"ipos" + 2)
+          .groupBy($"pct").agg(min($"v").as("hi"))
+        pcts.join(lo, Seq("pct")).join(hi, Seq("pct"), "left")
+          .select($"pct", $"n", $"lo", coalesce($"hi", $"lo").as("hi"),
+            $"rem",
+            (($"lo" * (lit(100L) - $"rem") +
+              coalesce($"hi", $"lo") * $"rem"))
+              .as("interp_decimilli_cents"))
+          .orderBy($"pct")
+      },
+      Some("""
+        WITH dom AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM orders GROUP BY 1),
+        cum AS (
+          SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM dom),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dom),
+        pcts AS (
+          SELECT pct, n, pct * (n - 1) // 100 AS ipos,
+                 pct * (n - 1) % 100 AS rem
+          FROM (VALUES (25), (50), (75), (90)) p(pct) CROSS JOIN nt),
+        lo AS (
+          SELECT pct, min(v) AS lo FROM cum JOIN pcts
+            ON cum.cum >= pcts.ipos + 1 GROUP BY pct),
+        hi AS (
+          SELECT pct, min(v) AS hi FROM cum JOIN pcts
+            ON cum.cum >= pcts.ipos + 2 GROUP BY pct)
+        SELECT CAST(pcts.pct AS BIGINT) AS pct, n,
+               CAST(lo.lo AS BIGINT) AS lo,
+               CAST(coalesce(hi.hi, lo.lo) AS BIGINT) AS hi,
+               CAST(rem AS BIGINT) AS rem,
+               CAST(lo.lo * (100 - rem) + coalesce(hi.hi, lo.lo) * rem
+                 AS BIGINT) AS interp_decimilli_cents
+        FROM pcts JOIN lo ON pcts.pct = lo.pct
+        LEFT JOIN hi ON pcts.pct = hi.pct
+        ORDER BY pct"""))
   )
 }

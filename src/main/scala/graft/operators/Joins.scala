@@ -1159,6 +1159,96 @@ object Joins extends QueryModule {
         WHERE (sn.n_regionkey = 0 AND cn.n_regionkey = 1)
            OR (sn.n_regionkey = 1 AND cn.n_regionkey = 0)
         GROUP BY 1, 2, 3
-        ORDER BY 1, 2, 3"""))
+        ORDER BY 1, 2, 3""")),
+
+    Q(
+      "q375_shipmode_priority",
+      "SHIPPING MODES AND ORDER PRIORITY (the TPC-H Q12 shape): for " +
+        "each late-shipment year, how many HIGH-priority vs other " +
+        "orders shipped late — the conditional-aggregate-over-join " +
+        "pattern (no second scan, no CASE-filtered self-join: both " +
+        "priority classes are branches of ONE aggregate). 'Late' = " +
+        "shipped more than 60 days after the order date, raw " +
+        "timestamp comparison (q343's no-epoch-drift rule). Plan: " +
+        "lineitem joins orders on the one unavoidable orderkey " +
+        "exchange, then a bounded (year) aggregate with map-side " +
+        "partials. 100 TB: one exchange; the CASE branches are free.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" >
+            $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+          .groupBy(year($"l_shipdate").cast("long").as("ship_year"))
+          .agg(
+            sum(($"o_orderpriority" === "1-URGENT" ||
+              $"o_orderpriority" === "2-HIGH").cast("long"))
+              .as("high_line_count"),
+            sum((!($"o_orderpriority" === "1-URGENT" ||
+              $"o_orderpriority" === "2-HIGH")).cast("long"))
+              .as("low_line_count"))
+          .orderBy($"ship_year")
+      },
+      Some("""
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                 ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1 ORDER BY 1""")),
+
+    Q(
+      "q376_promo_revenue_share",
+      "PROMOTION REVENUE SHARE (the TPC-H Q14 shape): what fraction " +
+        "of one month's revenue came from promoted parts — the " +
+        "conditional-sum-over-ratio pattern, exact: both the promo " +
+        "numerator and the total denominator are integer-cents " +
+        "branches of ONE aggregate over the date-pruned " +
+        "lineitem-part join (part BROADCASTS — never a fact " +
+        "shuffle), and the share is one cross-multiplied ppm " +
+        "division at the end. 'Promoted' = p_type starting with " +
+        "'PROMO' (TPC-H's own predicate, evaluated on the broadcast " +
+        "dim). 100 TB: the month predicate prunes at the scan; one " +
+        "map-side-combined 1-row reduce.",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1996-02-01").cast("timestamp"))
+          .join(broadcast(Tables.t(s, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .agg(
+            sum(when($"p_type".startsWith("PROMO"),
+              expr("cast(round(l_extendedprice * (1 - l_discount) " +
+                "* 100) as bigint)")).otherwise(0L))
+              .as("promo_cents"),
+            sum(expr("cast(round(l_extendedprice * (1 - l_discount) " +
+              "* 100) as bigint)")).as("total_cents"),
+            count(lit(1)).as("n_items"))
+          .select($"promo_cents", $"total_cents", $"n_items",
+            expr("promo_cents * 1000000 div total_cents")
+              .as("promo_share_ppm"))
+      },
+      Some("""
+        SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS promo_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT) ELSE 0 END) * 1000000
+                 // sum(CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT)) AS BIGINT) AS promo_share_ppm
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'"""))
   )
 }

@@ -1331,6 +1331,51 @@ object Similarity extends QueryModule {
         iters.toDF("iteration", "rayleigh_micro", "evr_ppm")
           .orderBy($"iteration")
       },
+      None),
+
+    Q(
+      "q378_kmeans_elbow",
+      "K-MEANS ELBOW SWEEP — the cluster-count selection curve " +
+        "(Thorndike 1953) over the shared integer-micros Lloyd " +
+        "trainer: inertia (mean squared distance to the assigned " +
+        "centroid, micro^2 units) for k in {2,4,8,16} after 2 Lloyd " +
+        "iterations each, every leg exact — centroids come from " +
+        "kmeansCodebook's order-independent scaled-integer means, " +
+        "assignment is the codegen'd TopCentroids projection, and " +
+        "the distance sum is LONG/DECIMAL arithmetic on micro " +
+        "coordinates, so the curve is bit-stable at any thread " +
+        "count. Rows-only: the codebooks are trained driver " +
+        "artifacts (q97's rationale); the spec pins the defining " +
+        "property — inertia is NON-INCREASING in k — and the " +
+        "uniform fixture's shallow elbow. 100 TB: each k costs 2 " +
+        "(cluster, dim)-bounded aggregate shuffles + one narrow " +
+        "assignment pass; the sweep is embarrassingly sequential " +
+        "but each leg is linear.",
+      (s, dir) => {
+        import graft.catalyst.VecOps.top_centroids
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+        val n = e.count()
+        val rows = Seq(2, 4, 8, 16).map { k =>
+          val cb = kmeansCodebook(e, k, iters = 2)
+          val cbm = cb.map(_.map(x => math.round(x * 1e6)))
+          val cblit = typedLit(cbm.map(_.toSeq).toSeq)
+          val inertiaN = e.select(
+              element_at(cblit,
+                element_at(top_centroids($"embedding", cb, 1), 1)
+                  .cast("int") + 1).as("cm"),
+              expr("transform(embedding, x -> cast(round(cast(x as " +
+                "double) * 1000000) as bigint))").as("xm"))
+            .select(expr("aggregate(zip_with(xm, cm, (x, c) -> " +
+              "cast((x - c) as decimal(38,0)) * (x - c)), " +
+              "cast(0 as decimal(38,0)), (a, b) -> a + b)").as("d2"))
+            .agg(sum($"d2")).head().getDecimal(0).toBigInteger
+          (k.toLong, n,
+            (BigInt(inertiaN) / BigInt(n)).toLong)
+        }
+        rows.toDF("k", "n_vecs", "avg_inertia_micro2")
+          .orderBy($"k")
+      },
       None)
   )
 

@@ -356,4 +356,51 @@ class CausalValiditySpec extends AnyFunSuite {
     rows.filter(_.getString(0) == "orders.o_custkey")
       .foreach(r => assert(r.getLong(2) == exactCust))
   }
+
+  test("q375 Q12: line counts partition the late set exactly") {
+    val rows = SparkEntry.queries("q375_shipmode_priority")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val late = Tables.t(spark, sfDir, "lineitem")
+      .join(Tables.t(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).count()
+    assert(total == late, s"priority branches must partition: $total vs $late")
+  }
+
+  test("q376 Q14: promo share bracketed by [0, 1e6], cents reconcile") {
+    val r = SparkEntry.queries("q376_promo_revenue_share")(spark, sfDir)
+      .head()
+    assert(r.getLong(0) >= 0 && r.getLong(0) <= r.getLong(1))
+    assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    assert(r.getLong(2) > 0)
+  }
+
+  test("q377 interpolated percentiles: monotone in pct, interpolant " +
+    "bracketed by [lo, hi], rem consistent with the type-7 position") {
+    val rows = SparkEntry.queries("q377_percentile_interpolated")(
+      spark, sfDir).collect().sortBy(_.getLong(0))
+    val vals = rows.map(_.getLong(5)).toSeq
+    assert(vals == vals.sorted, "percentiles must be monotone in pct")
+    rows.foreach { r =>
+      val (n, lo, hi, rem, v) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(lo <= hi)
+      assert(v >= lo * 100 && v <= hi * 100,
+        "interpolant must sit inside [lo, hi] scaled")
+      assert(rem == r.getLong(0) * (n - 1) % 100)
+    }
+  }
+
+  test("q378 elbow: inertia non-increasing in k, four sweep points") {
+    val rows = SparkEntry.queries("q378_kmeans_elbow")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L, 16L))
+    val inertia = rows.map(_.getLong(2)).toSeq
+    assert(inertia == inertia.sorted.reverse,
+      s"more clusters can never fit worse: $inertia")
+    assert(inertia.forall(_ > 0))
+  }
 }
