@@ -2108,7 +2108,83 @@ object TextAnalysis extends QueryModule {
             $"a", $"b", $"n_merged_pair")
           .orderBy($"iteration")
       },
-      None))
+      None),
+
+    Q(
+      "q379_langid_confusion",
+      "LANGUAGE-ID CONFUSION MATRIX — q51's classifier GRADED against " +
+        "the labeled lang column (the eval q51's auditable scores " +
+        "exist to feed; q318's agreement-matrix discipline applied to " +
+        "the langid family): per (labeled, predicted) cell the doc " +
+        "count and within-class share in ppm — the diagonal is " +
+        "per-class recall, off-diagonal cells name WHICH languages " +
+        "leak into which (the word-salad fixtures make en absorb " +
+        "most of the mass; that asymmetry is the finding). The " +
+        "decision rule is REPLAYED from q51 verbatim on integer hit " +
+        "counts (same argmax — the shared per-doc denominator makes " +
+        "ratio-argmax and count-argmax identical, and integers " +
+        "cannot ULP-flip a tie). Plan: one codegen'd scoring " +
+        "projection, one (5x6)-bounded cell aggregate, one " +
+        "class-domain window. 100 TB: map-only + a 30-cell reduce.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        def h(i: Int) =
+          size(filter(toks, x =>
+            array_contains(typedLit(stopwords(i)._2), x)))
+        val pred = Tables.t(s, dir, "documents")
+          .select($"lang".as("labeled_lang"),
+            h(0).as("h_en"), h(1).as("h_de"), h(2).as("h_es"),
+            h(3).as("h_fr"), h(4).as("h_zh"))
+          .select($"labeled_lang",
+            when(greatest($"h_en", $"h_de", $"h_es", $"h_fr",
+              $"h_zh") === 0, "und")
+              .when($"h_en" >= greatest($"h_de", $"h_es", $"h_fr",
+                $"h_zh"), "en")
+              .when($"h_de" >= greatest($"h_es", $"h_fr", $"h_zh"),
+                "de")
+              .when($"h_es" >= greatest($"h_fr", $"h_zh"), "es")
+              .when($"h_fr" >= $"h_zh", "fr")
+              .otherwise("zh").as("predicted_lang"))
+        val wClass = Window.partitionBy($"labeled_lang")
+        pred.groupBy($"labeled_lang", $"predicted_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("class_total", sum($"n_docs").over(wClass))
+          .select($"labeled_lang", $"predicted_lang", $"n_docs",
+            expr("n_docs * 1000000 div class_total")
+              .as("class_share_ppm"))
+          .orderBy($"labeled_lang", $"predicted_lang")
+      },
+      Some(s"""
+        WITH pred AS (
+          SELECT lang AS labeled_lang,
+                 ${duckHits(stopwords(0)._2)} AS h_en,
+                 ${duckHits(stopwords(1)._2)} AS h_de,
+                 ${duckHits(stopwords(2)._2)} AS h_es,
+                 ${duckHits(stopwords(3)._2)} AS h_fr,
+                 ${duckHits(stopwords(4)._2)} AS h_zh
+          FROM documents),
+        cls AS (
+          SELECT labeled_lang,
+                 CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0
+                      THEN 'und'
+                      WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh)
+                      THEN 'en'
+                      WHEN h_de >= greatest(h_es, h_fr, h_zh) THEN 'de'
+                      WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+                      WHEN h_fr >= h_zh THEN 'fr'
+                      ELSE 'zh' END AS predicted_lang
+          FROM pred),
+        cells AS (
+          SELECT labeled_lang, predicted_lang,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM cls GROUP BY 1, 2)
+        SELECT labeled_lang, predicted_lang, n_docs,
+               CAST(n_docs * 1000000 // sum(n_docs) OVER
+                 (PARTITION BY labeled_lang) AS BIGINT)
+                 AS class_share_ppm
+        FROM cells ORDER BY labeled_lang, predicted_lang"""))
+  )
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

