@@ -1012,4 +1012,29 @@ class PlanSpec extends AnyFunSuite {
     assert(scanLeafCount("q339_dup_ngram_coverage") == 1)
     assert(scanLeafCount("q340_rag_chunker") == 1)
   }
+
+  test("q361: the bloom probe is ALL broadcast — the fact side must " +
+    "never shuffle-join against the bit table") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val nodes = aqeNodes("q361_bloom_semi_reduction")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bit-table probes must be broadcast semi-joins")
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      "a shuffled join defeats the bloom's purpose — the filter " +
+        "exists so orders is reduced WITHOUT a shuffle")
+  }
+
+  test("q367: the Q7 star keeps every dim broadcast; at most the one " +
+    "lineitem-orders exchange pairs as a non-broadcast join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val nodes = aqeNodes("q367_volume_shipping")
+    val bc = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val shuffled = nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec])
+    assert(bc >= 3,
+      s"supplier/nation/customer sides must broadcast, saw $bc")
+    assert(shuffled <= 1,
+      s"only lineitem-orders may pair as a shuffle join, saw $shuffled")
+  }
 }

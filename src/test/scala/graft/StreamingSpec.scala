@@ -573,4 +573,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSet == batch.keySet,
       "every active channel must surface")
   }
+
+  test("q374's DecayedWindowProcessor resumes from its checkpoint " +
+    "across a stop/restart: state continues (no reset), the final " +
+    "window equals the one-shot computation, aged days evicted") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val root = graft.TempRoots.freshForDir("graft_trend_restart", "synth")
+    val src = root.resolve("src"); val ckpt = root.resolve("ckpt")
+    val sink = root.resolve("sink")
+    java.nio.file.Files.createDirectories(src)
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("ch", "day").coalesce(1)
+        .write.mode("append").parquet(src.toString)
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ch",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.LongType)))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(sch).parquet(src.toString)
+          .as[(Long, Long)].groupByKey(_._1)
+          .transformWithState(
+            new graft.streaming.StreamingOps.DecayedWindowProcessor(10),
+            TimeMode.None(), OutputMode.Update())
+          .toDF("channel", "upd_seq", "day", "cnt")
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame,
+              id: Long) =>
+            df.withColumn("bid", lit(id)).write.mode("append")
+              .parquet(sink.toString): Unit
+          }
+          .option("checkpointLocation", ckpt.toString).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // part 1: channel 0 active on days 100..103, channel 1 on 100
+      write(Seq((0L, 100L), (0L, 100L), (0L, 101L), (0L, 103L),
+        (1L, 100L)))
+      runOnce()
+      val seq1 = spark.read.parquet(sink.toString)
+        .agg(max(col("upd_seq"))).head().getLong(0)
+      assert(seq1 >= 1L)
+      // part 2 (after restart): day 112 must EVICT channel 0's days
+      // 100/101 (gap >= 10) but keep 103; channel 1 untouched this part
+      write(Seq((0L, 112L), (0L, 112L)))
+      runOnce() // the restart, same checkpoint
+      val fin = spark.read.parquet(sink.toString)
+      val ch0 = fin.filter(col("channel") === 0)
+      val mx = ch0.agg(max(col("upd_seq"))).head().getLong(0)
+      assert(mx > seq1,
+        "upd_seq must CONTINUE from the checkpointed state, not reset")
+      val state0 = ch0.filter(col("upd_seq") === mx)
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      assert(state0 == Map(103L -> 1L, 112L -> 2L),
+        s"restart state must merge parts and evict aged days: $state0")
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
 }
