@@ -1072,6 +1072,89 @@ object GraphSelection extends QueryModule {
                CAST(p50.p95_p50 AS BIGINT) AS p95_p50,
                CAST(p95o.p95_p95 AS BIGINT) AS p95_p95,
                ext.p95_max, gp.global_p95
-        FROM ext, p50, p95o, gp"""))
+        FROM ext, p50, p95o, gp""")),
+
+    Q(
+      "q381_degree_assortativity",
+      "DEGREE ASSORTATIVITY of the supplier-customer interaction graph " +
+        "(Newman 2002 — do high-degree suppliers trade with high-degree " +
+        "customers? The mixing statistic beside q150's PageRank and " +
+        "q197's triangles): Pearson correlation of endpoint degrees " +
+        "over the distinct edge set, EXACT — r's square and sign are " +
+        "emitted as cross-multiplied integer rationals (r itself needs " +
+        "a sqrt; r^2 = num^2/(varx*vary) does not — q315's " +
+        "avoid-the-sqrt discipline), from five BIGINT/DECIMAL moment " +
+        "sums over the edge frame. Degrees are computed ONCE per side " +
+        "on the distinct (suppkey, custkey) edges (one orderkey join " +
+        "to build edges, two bounded degree aggregates joined back by " +
+        "broadcast at fixture dims / shuffle at scale). The fixture's " +
+        "hash-uniform pairing should mix neutrally — near-zero r is " +
+        "the negative control (q293's discipline). 100 TB: edges " +
+        "shuffle once on each endpoint for degrees; the correlation " +
+        "is a 1-row reduce.",
+      (s, dir) => {
+        import s.implicits._
+        val edges = Tables.t(s, dir, "lineitem")
+          .join(Tables.t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_suppkey".as("sk"), $"o_custkey".as("ck"))
+          .distinct()
+        val ds = edges.groupBy($"sk").agg(count(lit(1)).as("dx"))
+        val dc = edges.groupBy($"ck").agg(count(lit(1)).as("dy"))
+        edges.join(ds, Seq("sk")).join(dc, Seq("ck"))
+          .agg(count(lit(1)).as("m"), sum($"dx").as("sx"),
+            sum($"dy").as("sy"),
+            sum(expr("cast(dx as decimal(38,0)) * dy")).as("sxy"),
+            sum(expr("cast(dx as decimal(38,0)) * dx")).as("sxx"),
+            sum(expr("cast(dy as decimal(38,0)) * dy")).as("syy"))
+          .select($"m",
+            expr("cast(cast(m as decimal(38,0)) * sxy - " +
+              "cast(sx as decimal(38,0)) * sy as decimal(38,0))")
+              .as("num"),
+            expr("cast(m as decimal(38,0)) * sxx - " +
+              "cast(sx as decimal(38,0)) * sx").as("varx"),
+            expr("cast(m as decimal(38,0)) * syy - " +
+              "cast(sy as decimal(38,0)) * sy").as("vary"))
+          .select($"m", expr("cast(num as bigint)").as("num"),
+            expr("cast(varx as bigint)").as("varx"),
+            expr("cast(vary as bigint)").as("vary"),
+            expr("cast(case when num >= 0 then 1 else -1 end " +
+              "as bigint)").as("r_sign"),
+            expr("cast(num * num * 1000000 div (varx * vary) " +
+              "as bigint)").as("r2_ppm"))
+      },
+      Some("""
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ds AS (SELECT sk, CAST(count(*) AS BIGINT) AS dx
+               FROM edges GROUP BY 1),
+        dc AS (SELECT ck, CAST(count(*) AS BIGINT) AS dy
+               FROM edges GROUP BY 1),
+        mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(dx) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+                 sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+                 sum(CAST(dy AS HUGEINT) * dy) AS syy
+          FROM edges JOIN ds USING (sk) JOIN dc USING (ck)),
+        r AS (
+          SELECT m,
+                 CAST(m AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy AS num,
+                 CAST(m AS HUGEINT) * sxx
+                   - CAST(sx AS HUGEINT) * sx AS varx,
+                 CAST(m AS HUGEINT) * syy
+                   - CAST(sy AS HUGEINT) * sy AS vary
+          FROM mom)
+        SELECT m, CAST(num AS BIGINT) AS num,
+               CAST(varx AS BIGINT) AS varx,
+               CAST(vary AS BIGINT) AS vary,
+               CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT)
+                 AS r_sign,
+               CAST(num * num * 1000000 // (varx * vary) AS BIGINT)
+                 AS r2_ppm
+        FROM r"""))
   )
 }

@@ -1249,6 +1249,66 @@ object Joins extends QueryModule {
                    * 100) AS BIGINT)) AS BIGINT) AS promo_share_ppm
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-02-01'"""))
+          AND l_shipdate < TIMESTAMP '1996-02-01'""")),
+
+    Q(
+      "q382_disjunctive_predicates",
+      "DISCOUNTED REVENUE UNDER OR-OF-ANDS PREDICATES (the TPC-H Q19 " +
+        "shape — the classic disjunction that defeats naive predicate " +
+        "pushdown: each branch constrains BOTH sides of the join, so " +
+        "no single-table residual prunes the scan): three (brand, " +
+        "size-band, quantity-band) branches evaluated as ONE filter " +
+        "over the broadcast part join, each row tagged with its " +
+        "matching branch so the output is the per-branch revenue " +
+        "breakdown Q19's single scalar hides. Branch predicates are " +
+        "mutually exclusive by brand, so the tag is well-defined and " +
+        "the branch totals sum to Q19's answer. Revenue in exact " +
+        "integer cents. 100 TB: part broadcasts; Catalyst pushes the " +
+        "derived quantity-range superset (1 <= qty <= 30) to the " +
+        "lineitem scan even though the full disjunction cannot go " +
+        "below the join — the constraint-propagation win this query " +
+        "exists to pin.",
+      (s, dir) => {
+        import s.implicits._
+        val branch = when($"p_brand" === "Brand#11" &&
+            $"p_size".between(1, 5) && $"l_quantity".between(1, 11),
+            "brand11_small")
+          .when($"p_brand" === "Brand#22" &&
+            $"p_size".between(1, 10) && $"l_quantity".between(10, 20),
+            "brand22_mid")
+          .when($"p_brand" === "Brand#33" &&
+            $"p_size".between(1, 15) && $"l_quantity".between(20, 30),
+            "brand33_large")
+        Tables.t(s, dir, "lineitem")
+          .join(broadcast(Tables.t(s, dir, "part")),
+            $"l_partkey" === $"p_partkey")
+          .withColumn("branch", branch)
+          .filter($"branch".isNotNull)
+          .groupBy($"branch")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("cast(round(l_extendedprice * (1 - l_discount) " +
+              "* 100) as bigint)")).as("revenue_cents"))
+          .orderBy($"branch")
+      },
+      Some("""
+        WITH tagged AS (
+          SELECT CASE
+                   WHEN p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                        AND l_quantity BETWEEN 1 AND 11
+                   THEN 'brand11_small'
+                   WHEN p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+                        AND l_quantity BETWEEN 10 AND 20
+                   THEN 'brand22_mid'
+                   WHEN p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+                        AND l_quantity BETWEEN 20 AND 30
+                   THEN 'brand33_large'
+                 END AS branch,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM tagged WHERE branch IS NOT NULL
+        GROUP BY branch ORDER BY branch"""))
   )
 }

@@ -420,6 +420,28 @@ class CausalValiditySpec extends AnyFunSuite {
     assert(prop >= 995 && prop <= 1000)
   }
 
+  test("q381 assortativity: moments are internally consistent and the " +
+    "hash-uniform fixture mixes near-neutrally") {
+    val r = SparkEntry.queries("q381_degree_assortativity")(spark, sfDir)
+      .head()
+    assert(r.getLong(0) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+    assert(r.getLong(4) == (if (r.getLong(1) >= 0) 1L else -1L))
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    assert(r.getLong(5) < 100000L,
+      s"uniform pairing must be near-neutral: r2_ppm=${r.getLong(5)}")
+  }
+
+  test("q382 Q19: branches are mutually exclusive (counts partition " +
+    "the tagged set) and revenue is positive per branch") {
+    val rows = SparkEntry.queries("q382_disjunctive_predicates")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("q378 elbow: inertia non-increasing in k, four sweep points") {
     val rows = SparkEntry.queries("q378_kmeans_elbow")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
