@@ -929,6 +929,84 @@ object SequentialOps extends QueryModule {
         SELECT rank_trend, p_brand, raw_cnt, score_x1024, rank_raw,
                rank_raw - rank_trend AS rank_shift
         FROM ranked WHERE rank_trend <= 10
-        ORDER BY rank_trend"""))
+        ORDER BY rank_trend""")),
+
+    Q(
+      "q383_growth_accounting",
+      "GROWTH ACCOUNTING — the new/retained/resurrected/churned user " +
+        "waterfall (the Reforge/a16z MAU decomposition; the ledger " +
+        "behind every 'active users' chart, completing q91's " +
+        "retention triangle and q203's rolling actives with the " +
+        "IDENTITY that makes actives auditable: actives_t = new_t + " +
+        "retained_t + resurrected_t, and actives_t - actives_{t-1} = " +
+        "new_t + resurrected_t - churned_t): per user-week, classify " +
+        "by first-ever week (new), active-previous-week (retained), " +
+        "else resurrected; churned_t = actives_{t-1} - retained_t. " +
+        "Weeks are epoch-day div 7 (integer, engine-portable — no " +
+        "locale week-of-year). Plan: ONE distinct to (user, week) " +
+        "grain, first weeks + previous-week flags ride one user " +
+        "window exchange, then everything lives on the week domain " +
+        "(lag for churn is a domain window). 100 TB: one user-keyed " +
+        "shuffle, map-side-combined distinct.",
+      (s, dir) => {
+        import s.implicits._
+        val uw = Tables.t(s, dir, "events")
+          .select($"user_id",
+            expr("unix_micros(cast(ts as timestamp)) div " +
+              "604800000000").as("wk"))
+          .distinct()
+        val wU = Window.partitionBy($"user_id").orderBy($"wk")
+        val flags = uw
+          .withColumn("first_wk", min($"wk").over(
+            wU.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("prev_wk", lag($"wk", 1).over(wU))
+          .select($"wk",
+            ($"wk" === $"first_wk").cast("long").as("is_new"),
+            (coalesce($"prev_wk", lit(Long.MinValue)) === $"wk" - 1)
+              .cast("long").as("is_retained"))
+          .withColumn("is_resurrected",
+            (lit(1L) - greatest($"is_new", $"is_retained")))
+        val byWk = flags.groupBy($"wk")
+          .agg(count(lit(1)).as("actives"),
+            sum($"is_new").as("new_users"),
+            sum($"is_retained").as("retained"),
+            sum($"is_resurrected").as("resurrected"))
+        val wD = Window.orderBy($"wk")
+        byWk
+          .withColumn("prev_actives",
+            coalesce(lag($"actives", 1).over(wD), lit(0L)))
+          .select($"wk", $"actives", $"new_users", $"retained",
+            $"resurrected",
+            ($"prev_actives" - $"retained").as("churned"))
+          .orderBy($"wk")
+      },
+      Some("""
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+          FROM events),
+        flags AS (
+          SELECT wk,
+                 CASE WHEN wk = min(wk) OVER (PARTITION BY user_id)
+                   THEN 1 ELSE 0 END AS is_new,
+                 CASE WHEN coalesce(lag(wk) OVER (PARTITION BY user_id
+                   ORDER BY wk), -9223372036854775808) = wk - 1
+                   THEN 1 ELSE 0 END AS is_retained
+          FROM uw),
+        f2 AS (
+          SELECT wk, is_new, is_retained,
+                 1 - greatest(is_new, is_retained) AS is_resurrected
+          FROM flags),
+        bywk AS (
+          SELECT wk, CAST(count(*) AS BIGINT) AS actives,
+                 CAST(sum(is_new) AS BIGINT) AS new_users,
+                 CAST(sum(is_retained) AS BIGINT) AS retained,
+                 CAST(sum(is_resurrected) AS BIGINT) AS resurrected
+          FROM f2 GROUP BY wk)
+        SELECT wk, actives, new_users, retained, resurrected,
+               CAST(coalesce(lag(actives) OVER (ORDER BY wk), 0)
+                 - retained AS BIGINT) AS churned
+        FROM bywk ORDER BY wk"""))
   )
 }

@@ -442,6 +442,27 @@ class CausalValiditySpec extends AnyFunSuite {
     }
   }
 
+  test("q383 growth accounting: both waterfall identities hold on " +
+    "every week — actives = new + retained + resurrected, and " +
+    "delta-actives = new + resurrected - churned") {
+    val rows = SparkEntry.queries("q383_growth_accounting")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    var prevActives = 0L
+    rows.foreach { r =>
+      val (act, nw, ret, res, ch) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(act == nw + ret + res,
+        s"week ${r.getLong(0)}: actives $act != $nw + $ret + $res")
+      assert(act - prevActives == nw + res - ch,
+        s"week ${r.getLong(0)}: delta identity broken")
+      assert(ch >= 0 && ret <= prevActives || prevActives == 0)
+      prevActives = act
+    }
+    assert(rows.head.getLong(1) == rows.head.getLong(2),
+      "the first week is all-new by definition")
+  }
+
   test("q378 elbow: inertia non-increasing in k, four sweep points") {
     val rows = SparkEntry.queries("q378_kmeans_elbow")(spark, sfDir)
       .collect().sortBy(_.getLong(0))
