@@ -9,6 +9,42 @@ object Bench {
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // engine, not first-call classloading.
     SparkEntry.entry(spark).count()
+    // ---- fixed calibration probe ----------------------------------------
+    // A NEVER-CHANGING constant workload measured in every artifact, so
+    // cross-round host drift (round 10 measured a uniform 1.27-1.45x
+    // slowdown on byte-identical code) becomes arithmetic instead of
+    // forensics: readers — and the detectors below — normalize a previous
+    // round's seconds by (cal_now / cal_prev) before calling anything a
+    // regression. Two components, min-of-2 each like the queries:
+    //   (a) pure engine CPU: 32-way codegen'd hash+agg over a fixed range
+    //       (no IO, no shuffle) — tracks core speed + scheduler overhead;
+    //   (b) fixed parquet scan: a 2M-row 3-column file written UNTIMED to
+    //       scratch, then scan+filter+agg timed — tracks the IO/codec path.
+    // DO NOT change these constants between rounds; the probe's value is
+    // its byte-stability.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def calibrationOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(xxhash64($"id").as("h"))
+        .agg(max($"h"), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calDir = TempRoots.root("bench_cal").resolve("t").toString
+    spark.range(0L, 2000000L, 1L, 32)
+      .select($"id", xxhash64($"id").as("h"),
+        ($"id" % 997).cast("int").as("m"))
+      .write.mode("overwrite").parquet(calDir)
+    def calScanOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(calDir).filter($"m" < 500)
+        .agg(sum($"h" % 1000000L), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibrationSec =
+      math.min(calibrationOnce(), calibrationOnce()) +
+        math.min(calScanOnce(), calScanOnce())
     // Two timed runs per query, report the minimum: run 1 pays one-off
     // driver costs (file listing, codegen compile); the min reflects
     // steady-state engine throughput.
@@ -17,7 +53,16 @@ object Bench {
       try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val byName = SparkEntry.allQueries.map(q => q.name -> q).toMap
+    // local smoke-test aid (the driver never sets it): run only a comma-
+    // separated subset — the artifact's n_queries shrinks accordingly, so
+    // a subset artifact is visibly not a full-corpus record
+    val benchQueries: Seq[Q] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val sel = list.split(",").map(_.trim).toSet
+        SparkEntry.allQueries.filter(q => sel.contains(q.name))
+      case None => SparkEntry.allQueries
+    }
+    val byName = benchQueries.map(q => q.name -> q).toMap
     def pairOf(q: Q): (Double, Double) = (once(q), once(q))
     def pairMin(p: (Double, Double)): Double =
       if (p._1 < 0 || p._2 < 0) -1.0 else math.min(p._1, p._2)
@@ -26,7 +71,7 @@ object Bench {
     // measured so far (a noise retry can only improve a query's number,
     // never inflate it).
     var latest: Map[String, (Double, Double)] =
-      SparkEntry.allQueries.map(q => q.name -> pairOf(q)).toMap
+      benchQueries.map(q => q.name -> pairOf(q)).toMap
     var best: Map[String, Double] = latest.view.mapValues(pairMin).toMap
     def merge(flagged: Set[String]): Unit = flagged.foreach { n =>
       val p = pairOf(byName(n))
@@ -36,9 +81,9 @@ object Bench {
                     else if (m < 0) best(n)
                     else math.min(best(n), m))
     }
-    var runs = SparkEntry.allQueries.map { q =>
+    var runs = benchQueries.map { q =>
       (q.name, latest(q.name)._1, latest(q.name)._2) }
-    var results = SparkEntry.allQueries.map(q => q.name -> best(q.name))
+    var results = benchQueries.map(q => q.name -> best(q.name))
     // ---- noise self-diagnosis -------------------------------------------
     // min-of-2 absorbs one-off costs but NOT a contended host: if both runs
     // land in a busy window every number inflates and a reader sees a fake
@@ -70,38 +115,61 @@ object Bench {
     //     run suspect; > 25% below → history suspect (informational).
     // Previous round = the newest BENCH_r*.json in the working directory
     // (where the driver runs sbt); all three are best-effort.
-    val prev: Option[(Double, Map[String, Double])] =
+    def newestArtifact(prefix: String): Option[java.nio.file.Path] =
       try {
         val cwd = java.nio.file.Paths.get(".")
         val ls = java.nio.file.Files.list(cwd)
-        val newest = try {
+        try {
           import scala.jdk.CollectionConverters._
           ls.iterator().asScala.map(_.getFileName.toString)
-            .filter(f => f.startsWith("BENCH_r") && f.endsWith(".json"))
-            .toSeq.sorted.lastOption
+            .filter(f => f.startsWith(prefix) && f.endsWith(".json"))
+            .toSeq.sorted.lastOption.map(cwd.resolve)
         } finally ls.close()
-        newest.flatMap { f =>
-          val txt = new String(java.nio.file.Files.readAllBytes(cwd.resolve(f)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          // the driver artifact nests the parsed compact line under
-          // "parsed": {"metric":"total","value":N,"queries":{...},...}
-          val at = txt.indexOf("\"parsed\"")
-          if (at < 0) None
-          else {
-            val sub = txt.substring(at)
-            val t = """"value"\s*:\s*([0-9.]+)""".r
-              .findFirstMatchIn(sub).map(_.group(1).toDouble)
-            val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
-              .findFirstMatchIn(sub).map(_.group(1)) match {
-              case Some(body) =>
-                """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
-                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
-              case None => Map.empty[String, Double]
-            }
-            t.map(_ -> qs)
+      } catch { case _: Exception => None }
+    // Parse (total, per-query map, calibration_sec) out of an artifact's
+    // compact-line region. `from` anchors past the driver's wrapper for
+    // BENCH_r* files ("parsed": {...}); quiet artifacts are the raw line.
+    def parseArtifact(p: java.nio.file.Path, anchor: String)
+        : Option[(Double, Map[String, Double], Option[Double])] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val at = if (anchor.isEmpty) 0 else txt.indexOf(anchor)
+        if (at < 0) None
+        else {
+          val sub = txt.substring(at)
+          val t = """"value"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(sub).map(_.group(1).toDouble)
+          val qs = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(sub).map(_.group(1)) match {
+            case Some(body) =>
+              """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(body)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            case None => Map.empty[String, Double]
           }
+          val cal = """"calibration_sec"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(sub).map(_.group(1).toDouble)
+          t.map(v => (v, qs, cal))
         }
       } catch { case _: Exception => None }
+    // Host-drift normalization: when BOTH this run and the artifact being
+    // compared against carry the fixed calibration probe, scale the
+    // artifact's seconds by (cal_now / cal_then) before any comparison —
+    // a uniformly slower host then stops reading as a fleet of 1.3x "re-
+    // gressions". Clamped to [0.4, 4]: a ratio outside that band means the
+    // probe itself hit a transient and normalizing by it would lie harder
+    // than not normalizing.
+    def calRatio(thenCal: Option[Double]): Double = thenCal match {
+      case Some(c) if c > 0 =>
+        math.max(0.4, math.min(4.0, calibrationSec / c))
+      case _ => 1.0
+    }
+    val prevParsed = newestArtifact("BENCH_r")
+      .flatMap(parseArtifact(_, "\"parsed\""))
+    val prevRatio = calRatio(prevParsed.flatMap(_._3))
+    val prev: Option[(Double, Map[String, Double])] =
+      prevParsed.map { case (t, qs, _) =>
+        (t * prevRatio, qs.view.mapValues(_ * prevRatio).toMap) }
     val prevQs = prev.map(_._2).getOrElse(Map.empty).toSeq
     def deviates(v: Double, p: Double): Boolean =
       v >= 0 && p > 0 && v > 2 * p && v - p > 0.25
@@ -156,12 +224,46 @@ object Bench {
           d.drifted.map(_ => prevQs.map(_._1).toSet).getOrElse(Set.empty))
           .filter(byName.contains)
         merge(flagged)
-        runs = SparkEntry.allQueries.map { q =>
+        runs = benchQueries.map { q =>
           (q.name, latest(q.name)._1, latest(q.name)._2) }
-        results = SparkEntry.allQueries.map(q => q.name -> best(q.name))
+        results = benchQueries.map(q => q.name -> best(q.name))
         d = diagnose()
         flagged
       }
+    // ---- quiet-artifact cross-check --------------------------------------
+    // BENCH_r10's top-20 carried 29-51x contended numbers under a
+    // noisy:false flag (q175: 19.2 s driver vs 0.67 s quiet) — symmetric
+    // contention defeats the warm-slow detector because BOTH runs of the
+    // pair inflate together. The committed quiet-window artifact
+    // (BENCH_QUIET_r*.json, measured from an idle window each round) is
+    // the per-query record of truth, so: every would-be top-20 entry
+    // measuring > 3x its calibration-normalized quiet twin gets ONE fresh
+    // re-measure; anything still divergent after that is named in the
+    // artifact under "quiet_divergent" — a top-20 number is now either
+    // within ~3x of its quiet twin or explicitly flagged, never silently
+    // trusted.
+    val quietParsed = newestArtifact("BENCH_QUIET_r")
+      .flatMap(parseArtifact(_, ""))
+    val quietRatio = calRatio(quietParsed.flatMap(_._3))
+    val quietQs: Map[String, Double] = quietParsed
+      .map(_._2.view.mapValues(_ * quietRatio).toMap).getOrElse(Map.empty)
+    def quietDivergentNow(): Seq[String] =
+      results.filter(_._2 >= 0).sortBy(-_._2).take(20).collect {
+        case (n, v) if quietQs.get(n).exists(qv =>
+          qv > 0 && v > 3 * qv && v - qv > 0.3) => n
+      }
+    val quietRetried: Seq[String] = {
+      val flagged = quietDivergentNow().filter(byName.contains)
+      if (flagged.nonEmpty) {
+        merge(flagged.toSet)
+        runs = benchQueries.map { q =>
+          (q.name, latest(q.name)._1, latest(q.name)._2) }
+        results = benchQueries.map(q => q.name -> best(q.name))
+        d = diagnose()
+      }
+      flagged
+    }
+    val quietDivergent = quietDivergentNow()
     val noisyQueries = d.noisyQueries
     val crossSlow = d.crossSlow
     val crossFast = d.crossFast
@@ -187,16 +289,20 @@ object Bench {
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
       val qs = rs.map { case (k, v) => jstr(k) + f""":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"noisy":$noisy,"sf":${jstr(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibrationSec%.3f,"queries":$qs$extra,"noisy":$noisy,"sf":${jstr(sfDir)}}"""
     }
     // full JSON carries both raw runs per query so a reader can audit the
     // spread behind any reported min
     val spread = runs.map { case (n, a, b) => jstr(n) + f""":[$a%.3f,$b%.3f]""" }
       .mkString("{", ",", "}")
+    val retriedAll = retried ++ quietRetried
     val retriedJson =
-      if (retried.isEmpty) ""
-      else s""","retried":${retried.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
-    val full = toJson(results, s""","runs":$spread$retriedJson""")
+      if (retriedAll.isEmpty) ""
+      else s""","retried":${retriedAll.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+    val quietJson =
+      if (quietDivergent.isEmpty) ""
+      else s""","quiet_divergent":${quietDivergent.sorted.map(jstr).mkString("[", ",", "]")}"""
+    val full = toJson(results, s""","runs":$spread$retriedJson$quietJson""")
     // The driver captures only the LAST ~2000 chars of the sbt log; the
     // full 100+-query map is ~3 KB, so a single fat line gets its head
     // truncated and never parses (BENCH_r01/r02 both had parsed:null).
@@ -213,6 +319,14 @@ object Bench {
         System.err.println(s"bench: could not write $out: ${e.getMessage}")
     }
     println(s"GRAFT_BENCH_JSON_FULL $full")
+    if (quietRetried.nonEmpty)
+      println(s"GRAFT_BENCH_QUIET_CHECK ${quietRetried.size} top-20 " +
+        "entries measured >3x their quiet-artifact twin and were " +
+        "re-measured" +
+        (if (quietDivergent.nonEmpty)
+          s" — STILL divergent: ${quietDivergent.mkString(",")} (contended " +
+            "window numbers; trust the quiet artifact for these)"
+         else " — re-measure brought all within band"))
     if (retried.nonEmpty)
       println(s"GRAFT_BENCH_RETRIED ${retried.size} flagged queries " +
         s"re-measured after a tripped noise detector" +
@@ -243,7 +357,8 @@ object Bench {
         "comparing against previous rounds")
     }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    println(toJson(slowest, s""","n_queries":${results.size},"full":${jstr(out)}"""))
+    println(toJson(slowest,
+      s""","n_queries":${results.size},"full":${jstr(out)}$quietJson"""))
     spark.stop()
   }
 }

@@ -2188,12 +2188,17 @@ object Experimentation extends QueryModule {
             ($"x" >= 0).cast("int").as("side"))
           .groupBy($"side")
           .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-            sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
-            sum($"x" * $"x").as("sxx"))
+            sum($"y").as("sy"),
+            // second moments accumulate in DECIMAL(38,0): per-row x*y /
+            // x*x peak ~2.5e13, so a plain LONG sum wraps silently past
+            // ~3.7e5 band rows while DuckDB's sum(BIGINT) promotes to
+            // HUGEINT — the q380/q381 convention keeps both engines exact
+            sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+            sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
           .withColumn("den", expr(
             "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
           .select($"side".cast("long").as("side"), $"n",
-            expr("cast((cast(sxx as decimal(38,0)) * sy - " +
+            expr("cast((sxx * sy - " +
               "cast(sx as decimal(38,0)) * sxy) * 1000000 div den " +
               "as bigint)").as("intercept_micro"),
             expr("cast((cast(n as decimal(38,0)) * sxy - " +

@@ -1120,8 +1120,15 @@ object GraphSelection extends QueryModule {
             expr("cast(vary as bigint)").as("vary"),
             expr("cast(case when num >= 0 then 1 else -1 end " +
               "as bigint)").as("r_sign"),
-            expr("cast(num * num * 1000000 div (varx * vary) " +
-              "as bigint)").as("r2_ppm"))
+            // nullif: a degenerate all-equal-degree graph has zero
+            // variance on a side — emit NULL, not a divide error.
+            // Precision envelope: num^2 * 1e6 must fit DECIMAL(38,0),
+            // i.e. |num| <= ~5.6e15 — Cauchy-Schwarz bounds |num| by
+            // sqrt(varx*vary), so this holds while the centered degree
+            // second moments stay below ~3e31; past that Spark yields
+            // NULL (loud) rather than a wrapped integer.
+            expr("cast(num * num * 1000000 div " +
+              "nullif(varx * vary, 0) as bigint)").as("r2_ppm"))
       },
       Some("""
         WITH edges AS (
@@ -1153,8 +1160,8 @@ object GraphSelection extends QueryModule {
                CAST(vary AS BIGINT) AS vary,
                CAST(CASE WHEN num >= 0 THEN 1 ELSE -1 END AS BIGINT)
                  AS r_sign,
-               CAST(num * num * 1000000 // (varx * vary) AS BIGINT)
-                 AS r2_ppm
+               CAST(num * num * 1000000 // nullif(varx * vary, 0)
+                 AS BIGINT) AS r2_ppm
         FROM r"""))
   )
 }

@@ -1061,8 +1061,10 @@ object Joins extends QueryModule {
           .select($"n_facts", $"n_dim_keys", $"n_bits_set", $"n_exact",
             $"n_bloom_pass",
             ($"n_bloom_pass" - $"n_exact").as("false_pos"),
+            // nullif: if every fact key matches the dim segment there
+            // are no true negatives to grade — NULL, not a zero-divide
             expr("(n_bloom_pass - n_exact) * 1000000 div " +
-              "(n_facts - n_exact)").as("fp_ppm"))
+              "nullif(n_facts - n_exact, 0)").as("fp_ppm"))
       },
       Some("""
         WITH dim AS (
@@ -1094,7 +1096,7 @@ object Joins extends QueryModule {
         SELECT n_facts, n_dim_keys, n_bits_set, n_exact, n_bloom_pass,
                n_bloom_pass - n_exact AS false_pos,
                CAST((n_bloom_pass - n_exact) * 1000000
-                 // (n_facts - n_exact) AS BIGINT) AS fp_ppm
+                 // nullif(n_facts - n_exact, 0) AS BIGINT) AS fp_ppm
         FROM c""")),
 
     Q(
@@ -1309,6 +1311,150 @@ object Joins extends QueryModule {
         SELECT branch, CAST(count(*) AS BIGINT) AS n_items,
                CAST(sum(cents) AS BIGINT) AS revenue_cents
         FROM tagged WHERE branch IS NOT NULL
-        GROUP BY branch ORDER BY branch"""))
+        GROUP BY branch ORDER BY branch""")),
+
+    Q(
+      "q384_min_cost_supplier",
+      "MIN-COST SUPPLIER PER PART (the TPC-H Q2 shape — the correlated " +
+        "MIN-equality subquery over a dimension star: 'the supplier " +
+        "whose cost IS the minimum cost for that part, among AFRICA " +
+        "suppliers'; completes the decorrelation family beside q342's " +
+        "Q17 scalar-avg and q343's Q21 multi-EXISTS). The fixture has " +
+        "no partsupp, so the offer book derives from lineitem itself: " +
+        "a supplier's offer for a part = its cheapest observed unit " +
+        "price, integer MICROS per unit via one truncating division " +
+        "(cents*10000 div qty — DuckDB // truncates identically, so " +
+        "the non-divisible 5%% of rows cannot drift cross-engine). " +
+        "Spark-first decorrelation: the correlated 'WHERE cost = " +
+        "(SELECT min(cost) ... same part)' becomes ONE window min " +
+        "over the partkey partition of the region-filtered offer " +
+        "frame + an equality filter — offers are scanned once, zero " +
+        "rejoin (the agg-then-join-back form scans twice). Supplier x " +
+        "nation x region collapses to a broadcast before the fact " +
+        "scan, so lineitem is pruned to the region's ~1/5 BEFORE its " +
+        "one partkey exchange. Ties (two suppliers at the same min " +
+        "micros) are ALL kept, Q2's semantics; output is Q2's: top " +
+        "100 by supplier balance with name tie-breaks.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sup = broadcast(Tables.t(s, dir, "supplier")
+          .join(Tables.t(s, dir, "nation"),
+            $"s_nationkey" === $"n_nationkey")
+          .join(Tables.t(s, dir, "region"),
+            $"n_regionkey" === $"r_regionkey")
+          .filter($"r_name" === "AFRICA")
+          .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name"))
+        val offers = Tables.t(s, dir, "lineitem")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .select($"l_partkey", $"s_suppkey",
+            expr("cast(round(l_extendedprice * 100) as bigint) " +
+              "* 10000 div cast(l_quantity as bigint)")
+              .as("unit_micros"))
+          .groupBy($"l_partkey", $"s_suppkey")
+          .agg(min($"unit_micros").as("offer_micros"))
+        val best = offers
+          .withColumn("min_micros", min($"offer_micros").over(
+            Window.partitionBy($"l_partkey")))
+          .filter($"offer_micros" === $"min_micros")
+        best
+          .join(sup, Seq("s_suppkey"))
+          .join(broadcast(Tables.t(s, dir, "part")
+              .filter($"p_size" <= 25)
+              .select($"p_partkey", $"p_type")),
+            $"l_partkey" === $"p_partkey")
+          .select(
+            expr("cast(round(s_acctbal * 100) as bigint)")
+              .as("s_bal_cents"),
+            $"s_name", $"n_name",
+            $"p_partkey".cast("long").as("p_partkey"),
+            $"p_type", $"offer_micros")
+          .orderBy($"s_bal_cents".desc, $"n_name", $"s_name",
+            $"p_partkey")
+          .limit(100)
+      },
+      Some("""
+        WITH sup AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'AFRICA'),
+        offers AS (
+          SELECT l_partkey, s_suppkey,
+                 min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * 10000 // CAST(l_quantity AS BIGINT))
+                   AS offer_micros
+          FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        best AS (
+          SELECT l_partkey, s_suppkey, offer_micros FROM (
+            SELECT l_partkey, s_suppkey, offer_micros,
+                   min(offer_micros) OVER (PARTITION BY l_partkey) AS mn
+            FROM offers)
+          WHERE offer_micros = mn)
+        SELECT CAST(round(s_acctbal * 100, 0) AS BIGINT)
+                 AS s_bal_cents,
+               s_name, n_name,
+               CAST(p_partkey AS BIGINT) AS p_partkey,
+               p_type, offer_micros
+        FROM best
+        JOIN sup USING (s_suppkey)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        ORDER BY s_bal_cents DESC, n_name, s_name, p_partkey
+        LIMIT 100""")),
+
+    Q(
+      "q385_large_volume_customers",
+      "LARGE-VOLUME CUSTOMERS (the TPC-H Q18 shape — IN over a grouped " +
+        "HAVING: 'orders whose total quantity across all their " +
+        "lineitems exceeds 200', then the customer behind each; the " +
+        "last missing classic decorrelation pattern beside q342/q343/" +
+        "q344/q384). Spark-first: the IN-subquery is a SEMI-JOIN " +
+        "against the HAVING-filtered orderkey aggregate — but because " +
+        "Q18 also SELECTS the subquery's sum, the semi-join collapses " +
+        "into a plain inner join on the aggregated frame (one " +
+        "lineitem scan, one orderkey exchange shared by the aggregate " +
+        "and the join — Catalyst reuses the partitioning, no second " +
+        "shuffle). Customer attaches by broadcast at fixture dims / " +
+        "shuffle at scale. Quantities are exact BIGINTs, order value " +
+        "exact cents; output is Q18's top-100 by (totalprice desc, " +
+        "orderdate) with orderkey as the deterministic final " +
+        "tie-break.",
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+          .filter($"total_qty" > 200L)
+        Tables.t(s, dir, "orders")
+          .join(big, $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables.t(s, dir, "customer")),
+            $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey".cast("long").as("c_custkey"),
+            $"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_orderdate",
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("o_total_cents"),
+            $"total_qty")
+          .orderBy($"o_total_cents".desc, $"o_orderdate", $"o_orderkey")
+          .limit(100)
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT))
+                   AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+        SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                 AS o_total_cents,
+               total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_total_cents DESC, o_orderdate, o_orderkey
+        LIMIT 100"""))
   )
 }

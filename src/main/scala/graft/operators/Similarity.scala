@@ -1246,11 +1246,16 @@ object Similarity extends QueryModule {
           .groupBy($"nprobe").agg(count(lit(1)).as("hits10"))
         val cost = byNp.groupBy($"nprobe")
           .agg(count(lit(1)).as("n_candidates"))
-        cost.join(hits, Seq("nprobe"), "left")
+        // recall denominator DERIVED from the truth frame (1-row
+        // broadcast), not hardcoded to nProbes*k — a changed probe
+        // count or a fixture too small to yield k neighbors per probe
+        // shows up as a different denominator, not a silently wrong ppm
+        val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+        cost.join(hits, Seq("nprobe"), "left").crossJoin(nTruth)
           .select($"nprobe".cast("long").as("nprobe"),
             $"n_candidates",
             coalesce($"hits10", lit(0L)).as("hits10"),
-            expr("coalesce(hits10, 0) * 1000000 div 80")
+            expr("coalesce(hits10, 0) * 1000000 div nullif(n_truth, 0)")
               .as("recall_ppm"))
           .orderBy($"nprobe")
       },
