@@ -1381,8 +1381,98 @@ object Similarity extends QueryModule {
         rows.toDF("k", "n_vecs", "avg_inertia_micro2")
           .orderBy($"k")
       },
-      None)
+      Some(elbowOracleSql))
   )
+
+  /** GENERATED DuckDB oracle for q378 — the FULL k-means pipeline (seed →
+    * 2 Lloyd iterations → assignment → inertia) replayed in SQL, per
+    * sweep point (q363/q373's generated-oracle discipline). Why this is
+    * bit-safe where "trained state isn't SQL-expressible" usually holds:
+    *  - assignments only need the same ARGMAX, not the same cosine bits —
+    *    the measured min top-2 cosine margin on the fixture is 3.4e-4
+    *    (k=4 after 2 Lloyd iterations; tools/ElbowMargin), ~10 orders
+    *    above any double-summation reorder error, so both engines pick
+    *    identical centroids for every vector;
+    *  - every other step IS exact: seed = first-k float vectors, mean =
+    *    (exact long micro-sum as double)/count/1e6 — the identical IEEE
+    *    division sequence on both engines — and inertia is pure integer
+    *    (micro diffs squared in HUGEINT vs DECIMAL(38,0));
+    *  - empty clusters keep their previous centroid (COALESCE over a
+    *    LEFT JOIN = kmeansCodebook's clone-then-overwrite);
+    *  - cm uses floor(c*1e6 + 0.5), Scala math.round's exact semantics
+    *    (DuckDB round() differs on negative halves);
+    *  - tie-break = row_number over (cos DESC, cid ASC), TopCentroids'
+    *    strict-> scan order.
+    * vp/vn and every centroid table are AS MATERIALIZED — vp is
+    * referenced 13 times and an inlined chain blows up DuckDB planning
+    * (the q363 lesson). */
+  private def elbowOracleSql: String = {
+    def sweep(k: Int): String = {
+      def assign(it: Int, cents: String): String = s"""
+        dot${k}_$it AS MATERIALIZED (
+          SELECT vp.vec_id, c.cid, sum(vp.x * c.c) AS dot
+          FROM vp JOIN $cents c ON vp.pos = c.pos GROUP BY 1, 2),
+        cn${k}_$it AS (SELECT cid, sqrt(sum(c * c)) AS cnorm
+                       FROM $cents GROUP BY 1),
+        a${k}_$it AS MATERIALIZED (
+          SELECT vec_id, cid FROM (
+            SELECT d.vec_id, d.cid,
+                   row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                     (CASE WHEN vn.vnorm = 0 OR cn.cnorm = 0 THEN 0
+                           ELSE d.dot / (vn.vnorm * cn.cnorm) END) DESC,
+                     d.cid) AS rk
+            FROM dot${k}_$it d
+            JOIN vn ON d.vec_id = vn.vec_id
+            JOIN cn${k}_$it cn ON d.cid = cn.cid)
+          WHERE rk = 1)"""
+      def mean(it: Int, prev: String): String = s"""
+        m${k}_$it AS (
+          SELECT a.cid, vp.pos,
+                 CAST(sum(CAST(round(vp.x * 1000000) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1000000.0 AS c
+          FROM vp JOIN a${k}_$it a ON vp.vec_id = a.vec_id GROUP BY 1, 2),
+        c${k}_$it AS MATERIALIZED (
+          SELECT p.cid, p.pos, COALESCE(m.c, p.c) AS c
+          FROM $prev p
+          LEFT JOIN m${k}_$it m ON p.cid = m.cid AND p.pos = m.pos)"""
+      s"""
+        seed$k AS MATERIALIZED (
+          SELECT vec_id AS cid, pos, CAST(embedding[pos] AS DOUBLE) AS c
+          FROM embeddings, generate_series(1, 64) g(pos)
+          WHERE vec_id < $k),
+        ${assign(1, s"seed$k")},
+        ${mean(1, s"seed$k")},
+        ${assign(2, s"c${k}_1")},
+        ${mean(2, s"c${k}_1")},
+        ${assign(3, s"c${k}_2")},
+        cm$k AS (SELECT cid, pos,
+                        CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS cm
+                 FROM c${k}_2),
+        ine$k AS (
+          SELECT CAST($k AS BIGINT) AS k,
+                 (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+                   AS n_vecs,
+                 CAST(sum(CAST(CAST(round(vp.x * 1000000) AS BIGINT)
+                            - cm.cm AS HUGEINT)
+                        * (CAST(round(vp.x * 1000000) AS BIGINT) - cm.cm))
+                      // (SELECT count(*) FROM embeddings) AS BIGINT)
+                   AS avg_inertia_micro2
+          FROM vp
+          JOIN a${k}_3 a ON vp.vec_id = a.vec_id
+          JOIN cm$k cm ON a.cid = cm.cid AND vp.pos = cm.pos)"""
+    }
+    val ks = Seq(2, 4, 8, 16)
+    s"""
+      WITH vp AS MATERIALIZED (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) g(pos)),
+      vn AS MATERIALIZED (
+        SELECT vec_id, sqrt(sum(x * x)) AS vnorm FROM vp GROUP BY 1),
+      ${ks.map(sweep).mkString(",")}
+      SELECT * FROM (${ks.map(k => s"SELECT * FROM ine$k")
+        .mkString(" UNION ALL ")})
+      ORDER BY k"""
+  }
 
   /** Per-subspace spherical codebooks for [[pqCode]]: subspace j is the
     * 16-dim slice [j*16, (j+1)*16) of the embedding, trained by
