@@ -1345,20 +1345,27 @@ object Joins extends QueryModule {
             $"n_regionkey" === $"r_regionkey")
           .filter($"r_name" === "AFRICA")
           .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name"))
+        // supplier attributes ride THROUGH the offer aggregate (they are
+        // functionally dependent on s_suppkey, so the group grain is
+        // unchanged) — re-joining sup for names after the window would
+        // scan the dim star twice: broadcast-exchange reuse cannot fire
+        // because the two uses prune different columns (PlanSpec pins
+        // the 5-scan shape)
         val offers = Tables.t(s, dir, "lineitem")
           .join(sup, $"l_suppkey" === $"s_suppkey")
-          .select($"l_partkey", $"s_suppkey",
+          .select($"l_partkey", $"s_suppkey", $"s_name", $"s_acctbal",
+            $"n_name",
             expr("cast(round(l_extendedprice * 100) as bigint) " +
               "* 10000 div cast(l_quantity as bigint)")
               .as("unit_micros"))
-          .groupBy($"l_partkey", $"s_suppkey")
+          .groupBy($"l_partkey", $"s_suppkey", $"s_name", $"s_acctbal",
+            $"n_name")
           .agg(min($"unit_micros").as("offer_micros"))
         val best = offers
           .withColumn("min_micros", min($"offer_micros").over(
             Window.partitionBy($"l_partkey")))
           .filter($"offer_micros" === $"min_micros")
         best
-          .join(sup, Seq("s_suppkey"))
           .join(broadcast(Tables.t(s, dir, "part")
               .filter($"p_size" <= 25)
               .select($"p_partkey", $"p_type")),
@@ -1455,6 +1462,304 @@ object Joins extends QueryModule {
         JOIN big ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_total_cents DESC, o_orderdate, o_orderkey
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    Q(
+      "q386_priority_late_orders",
+      "ORDER PRIORITY CHECKING (the TPC-H Q4 shape — EXISTS with a " +
+        "correlated NON-equi conjunct: orders in 1995Q1 having at " +
+        "least one lineitem shipped more than 90 days after the " +
+        "order date, counted per priority class; the fixture has no " +
+        "commit/receipt dates, so lateness is ship-vs-order + 90d). " +
+        "Spark-first: the EXISTS is a LEFT SEMI join whose condition " +
+        "mixes the orderkey equi-key with the correlated date " +
+        "comparison — Catalyst hashes on the equi part and evaluates " +
+        "the date predicate as the join residual, so no row explodes " +
+        "into a theta join and each order emits at most once no " +
+        "matter how many late lineitems it has (the COUNT would " +
+        "silently multiply under the naive inner-join rewrite). The " +
+        "quarter filter pushes to the orders scan. 100 TB: one " +
+        "orderkey exchange; the 5-row result is a bounded-domain " +
+        "aggregate.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderdate" >=
+            lit("1995-01-01 00:00:00").cast("timestamp") &&
+            $"o_orderdate" < lit("1995-04-01 00:00:00").cast("timestamp"))
+        val l = Tables.t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_shipdate")
+        o.join(l, $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q(
+      "q387_market_share",
+      "NATIONAL MARKET SHARE (the TPC-H Q8 shape — a two-branch " +
+        "conditional aggregate over a 6-table star: of all revenue " +
+        "sold to REGION-1 customers, what share came from NATION_1 " +
+        "suppliers, per order year). Spark-first: customer x nation " +
+        "(region filter) and supplier x nation both collapse to " +
+        "broadcasts BEFORE the one lineitem-orders exchange — the " +
+        "customer-side broadcast prunes orders ~1/5 ahead of the " +
+        "wire, the supplier side just tags rows; numerator and " +
+        "denominator are branches of ONE aggregate (no second scan, " +
+        "no self-join), share in exact cross-multiplied ppm. The " +
+        "year domain is bounded, so the final frame is O(years).",
+      (s, dir) => {
+        import s.implicits._
+        val cust = broadcast(Tables.t(s, dir, "customer")
+          .join(Tables.t(s, dir, "nation"),
+            $"c_nationkey" === $"n_nationkey")
+          .filter($"n_regionkey" === 1)
+          .select($"c_custkey"))
+        val sup = broadcast(Tables.t(s, dir, "supplier")
+          .join(Tables.t(s, dir, "nation"),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation")))
+        Tables.t(s, dir, "orders")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(Tables.t(s, dir, "lineitem"),
+            $"o_orderkey" === $"l_orderkey")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .select(year($"o_orderdate").cast("long").as("o_year"),
+            expr("cast(round(l_extendedprice * (1 - l_discount) * 100) " +
+              "as bigint)").as("cents"),
+            ($"supp_nation" === "NATION_1").as("is_target"))
+          .groupBy($"o_year")
+          .agg(sum($"cents").as("total_cents"),
+            sum(when($"is_target", $"cents").otherwise(0L))
+              .as("nation1_cents"))
+          .withColumn("share_ppm",
+            expr("nation1_cents * 1000000 div nullif(total_cents, 0)"))
+          .orderBy($"o_year")
+      },
+      Some("""
+        WITH f AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT) AS cents,
+                 sn.n_name = 'NATION_1' AS is_target
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE cn.n_regionkey = 1)
+        SELECT o_year, CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END)
+                 AS BIGINT) AS nation1_cents,
+               CAST(sum(CASE WHEN is_target THEN cents ELSE 0 END)
+                 * 1000000 // nullif(sum(cents), 0) AS BIGINT)
+                 AS share_ppm
+        FROM f GROUP BY o_year ORDER BY o_year""")),
+
+    Q(
+      "q388_customer_distribution",
+      "CUSTOMER ORDER-COUNT DISTRIBUTION (the TPC-H Q13 shape — the " +
+        "counts-of-counts histogram over a LEFT join, the one classic " +
+        "where customers with ZERO orders must survive into the " +
+        "distribution): per customer, the count of non-URGENT orders " +
+        "(LEFT join + count of the non-null key keeps the zeros), " +
+        "then the histogram of those counts. Spark-first: one " +
+        "custkey exchange for the per-customer count, then the " +
+        "second aggregate is over the bounded count domain (tens of " +
+        "values at any scale — a customer places boundedly many " +
+        "orders) so it collapses map-side. Ordering custdist DESC " +
+        "then c_count DESC is the classic output, a total order.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .filter($"o_orderpriority" =!= "1-URGENT")
+          .select($"o_custkey", $"o_orderkey")
+        Tables.t(s, dir, "customer")
+          .join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""
+        WITH cc AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM cc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")),
+
+    Q(
+      "q389_parts_supplier_counts",
+      "PARTS/SUPPLIER RELATIONSHIP COUNTS (the TPC-H Q16 shape — " +
+        "COUNT DISTINCT over an exclusion NOT-IN subquery: how many " +
+        "distinct suppliers serve each (brand, size) part group, " +
+        "excluding 'complaint' suppliers — negative account balance " +
+        "here): the supplier-part universe is the distinct lineitem " +
+        "pair set (no partsupp in the fixture). Spark-first: NOT IN " +
+        "on a provably non-null key plans as a LEFT ANTI broadcast " +
+        "join (the null-aware-anti trap never fires because the " +
+        "exclusion side is filtered non-null by construction); the " +
+        "distinct-pair frame shuffles once on partkey via the join " +
+        "with part, and countDistinct over (brand, size) groups " +
+        "runs on the deduped pairs. Top-40 by count with full " +
+        "key tie-break keeps the limit deterministic.",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Tables.t(s, dir, "lineitem")
+          .select($"l_partkey", $"l_suppkey").distinct()
+        val bad = Tables.t(s, dir, "supplier")
+          .filter($"s_acctbal" < 0).select($"s_suppkey")
+        pairs
+          .join(broadcast(bad), $"l_suppkey" === $"s_suppkey",
+            "left_anti")
+          .join(broadcast(Tables.t(s, dir, "part")
+            .select($"p_partkey", $"p_brand", $"p_size")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"p_size".cast("long").as("p_size"))
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_size")
+          .limit(40)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        kept AS (
+          SELECT l_partkey, l_suppkey FROM pairs
+          WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM kept JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+        LIMIT 40""")),
+
+    Q(
+      "q390_dominant_supplier",
+      "DOMINANT-SUPPLIER DETECTION (the TPC-H Q20 shape — the " +
+        "correlated FRACTION-OF-SUM inequality: suppliers shipping " +
+        "more than 1/8 of a part's total shipped quantity, among " +
+        "parts with more than one supplier; Q20's 'half the stock' " +
+        "threshold is 1/8 here so the uniform fixture populates the " +
+        "answer at every sf). Spark-first: the correlated scalar " +
+        "('total qty for THIS part') is a window sum over the " +
+        "partkey partition of the (part, supplier) aggregate — one " +
+        "exchange, zero rejoin, the q342/q384 discipline; the " +
+        "comparison q*8 > total is cross-multiplied exact. Output: " +
+        "per surviving supplier, how many parts they dominate and " +
+        "the dominated quantity, top-25 by dominance.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sq = Tables.t(s, dir, "lineitem")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity".cast("long")).as("q"))
+        val w = Window.partitionBy($"l_partkey")
+        sq.withColumn("t", sum($"q").over(w))
+          .withColumn("ns", count(lit(1)).over(w))
+          .filter($"q" * 8L > $"t" && $"ns" > 1L)
+          .groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("n_dominated_parts"),
+            sum($"q").as("dominated_qty"))
+          .join(broadcast(Tables.t(s, dir, "supplier")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey".cast("long").as("s_suppkey"), $"s_name",
+            $"n_dominated_parts", $"dominated_qty")
+          .orderBy($"n_dominated_parts".desc, $"s_suppkey")
+          .limit(25)
+      },
+      Some("""
+        WITH sq AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY 1, 2),
+        tot AS (
+          SELECT l_partkey, sum(q) AS t, count(*) AS ns
+          FROM sq GROUP BY 1),
+        dom AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT)
+                   AS n_dominated_parts,
+                 CAST(sum(q) AS BIGINT) AS dominated_qty
+          FROM sq JOIN tot USING (l_partkey)
+          WHERE q * 8 > t AND ns > 1
+          GROUP BY 1)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               n_dominated_parts, dominated_qty
+        FROM dom JOIN supplier ON l_suppkey = s_suppkey
+        ORDER BY n_dominated_parts DESC, s_suppkey
+        LIMIT 25""")),
+
+    Q(
+      "q391_important_parts",
+      "IMPORTANT PART VALUES (the TPC-H Q11 shape — a grouped " +
+        "aggregate filtered against a FRACTION OF THE GLOBAL " +
+        "aggregate: parts whose REGION-0-supplied revenue exceeds " +
+        "2x the average part's, i.e. value * n_parts > 2 * total — " +
+        "scale-FREE where Q11's 0.0001/SF literal is famously " +
+        "scale-dependent). Spark-first: the global scalar subquery " +
+        "is a 1-row broadcast crossJoin onto the per-part frame " +
+        "(computed from the SAME aggregate, one lineitem scan " +
+        "total); the comparison is cross-multiplied exact integers, " +
+        "so no floating threshold can flip a boundary part. " +
+        "Supplier x nation collapses to a broadcast that prunes " +
+        "lineitem to the region's ~1/5 before its one partkey " +
+        "exchange.",
+      (s, dir) => {
+        import s.implicits._
+        val sup = broadcast(Tables.t(s, dir, "supplier")
+          .join(Tables.t(s, dir, "nation"),
+            $"s_nationkey" === $"n_nationkey")
+          .filter($"n_regionkey" === 0)
+          .select($"s_suppkey"))
+        val v = Tables.t(s, dir, "lineitem")
+          .join(sup, $"l_suppkey" === $"s_suppkey")
+          .groupBy($"l_partkey")
+          .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+            " * 100) as bigint)")).as("val_cents"))
+        val g = broadcast(v.agg(sum($"val_cents").as("tot"),
+          count(lit(1)).as("np")))
+        v.crossJoin(g)
+          .filter($"val_cents" * $"np" > $"tot" * 2L)
+          .select($"l_partkey".cast("long").as("l_partkey"),
+            $"val_cents",
+            expr("val_cents * np div tot").as("x_mean"))
+          .orderBy($"val_cents".desc, $"l_partkey")
+      },
+      Some("""
+        WITH v AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT)) AS BIGINT) AS val_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_regionkey = 0
+          GROUP BY 1),
+        g AS (SELECT CAST(sum(val_cents) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS np FROM v)
+        SELECT CAST(l_partkey AS BIGINT) AS l_partkey, val_cents,
+               CAST(val_cents * np // tot AS BIGINT) AS x_mean
+        FROM v, g
+        WHERE val_cents * np > tot * 2
+        ORDER BY val_cents DESC, l_partkey"""))
   )
 }

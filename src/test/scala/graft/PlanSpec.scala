@@ -1025,6 +1025,48 @@ class PlanSpec extends AnyFunSuite {
         "exists so orders is reduced WITHOUT a shuffle")
   }
 
+  test("q384/q385/q390: the round-11 decorrelated TPC-H shapes stay at " +
+    "their minimal scan counts — window/one-aggregate forms, not " +
+    "agg-and-rejoin") {
+    assert(scanLeafCount("q384_min_cost_supplier") == 5,
+      "lineitem + supplier + nation + region + part once each; a 6th " +
+        "scan means the per-part min went back to the rejoin form")
+    assert(scanLeafCount("q385_large_volume_customers") == 3,
+      "lineitem + orders + customer exactly once each; the IN-subquery " +
+        "form would scan lineitem twice")
+    assert(scanLeafCount("q390_dominant_supplier") == 2,
+      "lineitem + supplier once each; the correlated half-sum must be " +
+        "a window over the partkey partition, not a re-aggregated join")
+  }
+
+  test("q386: the EXISTS plans as ONE semi join keyed on orderkey with " +
+    "the date comparison as residual — never a theta join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = aqeNodes("q386_priority_late_orders")
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "the correlated date conjunct must ride the equi-join as a " +
+        "residual, not degrade the plan to a nested loop")
+    val semis = nodes.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      case j: ShuffledHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semis.size == 1, s"expected exactly one semi join, " +
+      s"found ${semis.size}")
+  }
+
+  test("q387: the Q8 star broadcasts both dim sides ahead of the one " +
+    "fact-fact exchange") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val nodes = aqeNodes("q387_market_share")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "customer-region and supplier-nation sides must broadcast")
+    assert(nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]) <= 1,
+      "only lineitem-orders may pair as a shuffle join")
+  }
+
   test("q367: the Q7 star keeps every dim broadcast; at most the one " +
     "lineitem-orders exchange pairs as a non-broadcast join") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
