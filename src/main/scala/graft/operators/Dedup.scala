@@ -2102,6 +2102,214 @@ object Dedup extends QueryModule {
             expr("(tp + fp) * 2000000 div (n_docs * (n_docs - 1))")
               .as("candidate_share_ppm"))
       },
-      None)
+      None),
+
+    Q(
+      "q392_winnowing_fingerprints",
+      "WINNOWING FINGERPRINT SELECTION (Schleimer-Wilkerson-Aiken 2003 " +
+        "— the MOSS algorithm: from every window of w consecutive " +
+        "k-gram hashes, keep the minimum, rightmost on ties; the " +
+        "selected set is a deterministic ~2/(w+1)-density sketch with " +
+        "the GUARANTEE that any match of length >= w+k-1 shares a " +
+        "selected fingerprint — the local-selection upgrade of q54's " +
+        "whole-doc hash). Engine-portable arithmetic throughout: " +
+        "k=8-char-gram hashes by the (h*263 + byte) mod 1e9+7 " +
+        "polynomial (a LONG-safe modulus, q54's recurrence), the " +
+        "(min-hash, rightmost) argmin packed into ONE integer key " +
+        "h*2^21 + (2^21-1-pos) so a plain windowed min() does the " +
+        "tie-broken selection on both engines. Output per lang: " +
+        "grams, selected count, density ppm (expect ~333333 at w=4), " +
+        "worst inter-selection gap, and the theorem's self-audit — " +
+        "docs violating gap <= w (provably zero). 100 TB: per-doc " +
+        "map-side work + one lang-bounded aggregate; the windows are " +
+        "doc-partitioned (PlanSpec's discipline), never global.",
+      (s, dir) => {
+        import s.implicits._
+        val k = 8; val w = 4
+        val grams = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            expr("transform(split(text, ''), ch -> " +
+              "cast(ascii(ch) as bigint))").as("cd"))
+          .filter(size($"cd") >= k + w - 1)
+          .select($"doc_id", $"lang", (size($"cd") - (k - 1)).as("m"),
+            posexplode(expr(s"transform(sequence(1, size(cd) - ${k - 1})," +
+              s" i -> aggregate(slice(cd, i, $k), 0L, " +
+              "(h, b) -> (h * 263 + b) % 1000000007))"))
+              .as(Seq("p0", "h")))
+          .select($"doc_id", $"lang", $"m", ($"p0" + 1).as("pos"),
+            ($"h" * 2097152L + (lit(2097151L) - ($"p0" + 1))).as("key"))
+        val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.currentRow, w - 1)
+        val sel = grams
+          .withColumn("win_min", min($"key").over(wWin))
+          .filter($"pos" <= $"m" - (w - 1))
+          .select($"doc_id", $"lang", $"m",
+            (lit(2097151L) - ($"win_min" % 2097152L)).as("sel_pos"))
+          .distinct()
+        val perDoc = sel
+          .withColumn("gap", $"sel_pos" -
+            lag($"sel_pos", 1).over(
+              Window.partitionBy($"doc_id").orderBy($"sel_pos")))
+          .groupBy($"doc_id", $"lang", $"m")
+          .agg(count(lit(1)).as("n_sel"),
+            coalesce(max($"gap"), lit(0L)).as("max_gap"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_grams"),
+            sum($"n_sel").as("n_selected"),
+            max($"max_gap").as("worst_gap"),
+            sum(($"max_gap" > w).cast("long")).as("guarantee_violations"))
+          .withColumn("density_ppm",
+            expr("n_selected * 1000000 div n_grams"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH cd AS (
+          SELECT doc_id, lang,
+                 [ascii(c) for c in string_split(text, '')] AS cd
+          FROM documents),
+        gp AS (
+          SELECT doc_id, lang, len(cd) - 7 AS m, cd,
+                 unnest(generate_series(1, len(cd) - 7)) AS pos
+          FROM cd WHERE len(cd) >= 11),
+        g AS (
+          SELECT doc_id, lang, m, pos,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     cd[pos:pos + 7]),
+                   (h, b) -> (h * 263 + b) % 1000000007) AS h
+          FROM gp),
+        keyed AS (
+          SELECT doc_id, lang, m, pos,
+                 h * 2097152 + (2097151 - pos) AS key
+          FROM g),
+        sel AS (
+          SELECT DISTINCT doc_id, lang, m,
+                 2097151 - (win_min % 2097152) AS sel_pos
+          FROM (
+            SELECT doc_id, lang, m, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+            FROM keyed)
+          WHERE pos <= m - 3),
+        perdoc AS (
+          SELECT doc_id, lang, m,
+                 CAST(count(*) AS BIGINT) AS n_sel,
+                 coalesce(max(gap), 0) AS max_gap
+          FROM (
+            SELECT doc_id, lang, m, sel_pos,
+                   sel_pos - lag(sel_pos) OVER (PARTITION BY doc_id
+                     ORDER BY sel_pos) AS gap
+            FROM sel)
+          GROUP BY 1, 2, 3)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(m) AS BIGINT) AS n_grams,
+               CAST(sum(n_sel) AS BIGINT) AS n_selected,
+               CAST(max(max_gap) AS BIGINT) AS worst_gap,
+               CAST(sum(CASE WHEN max_gap > 4 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS guarantee_violations,
+               CAST(sum(n_sel) * 1000000 // sum(m) AS BIGINT)
+                 AS density_ppm
+        FROM perdoc GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q393_suffix_array_dedup",
+      "SORTED-SUFFIX EXACT-SUBSTRING DEDUP (the Lee et al. 2022 " +
+        "'Deduplicating Training Data Makes Language Models Better' " +
+        "construction: build the suffix array of the corpus, then " +
+        "repeated substrings >= L surface as RANK-ADJACENT suffixes " +
+        "with LCP >= L — q140 measured duplicate spans WITHOUT a " +
+        "suffix array; this is the real thing). The key insight that " +
+        "makes it ONE distributed sort: dedup only needs LCPs up to " +
+        "the threshold, so each suffix is represented by its first " +
+        "64 chars — the sort key is O(64) bytes regardless of " +
+        "document length, suffixes never materialize beyond it, and " +
+        "LCPs cap at 64 ('>= 64' is already far past the L=20 " +
+        "threshold). Pipeline: explode every (doc, pos) suffix key, " +
+        "ONE global range-partitioned sort, window lead() for " +
+        "rank-adjacent pairs, LCP as the monotone indicator sum " +
+        "sum_g [prefix_g(a) = prefix_g(b)] (exact, no loops). " +
+        "Output per lang: suffixes, adjacent pairs at LCP >= 20, " +
+        "how many are CROSS-document (the poisonous kind), distinct " +
+        "docs implicated, and the max LCP seen. 100 TB: Spark's " +
+        "sort is the one exchange; Kasai/induced-sorting builds " +
+        "nothing the threshold does not need.",
+      (s, dir) => {
+        import s.implicits._
+        val L = 20; val cap = 64
+        val suf = Tables.t(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            posexplode(expr(s"transform(sequence(1, length(text)), " +
+              s"i -> substring(text, i, $cap))")).as(Seq("p0", "sfx")))
+          // bucket = 2-char prefix: sorting by sfx keeps buckets
+          // contiguous, so GLOBAL rank-adjacency = within-bucket
+          // adjacency + one boundary pair per bucket — the windows
+          // below partition by bucket (no global single-partition
+          // window; a skewed prefix would salt on a 3rd char)
+          .select($"doc_id", $"lang", ($"p0" + 1).as("pos"), $"sfx",
+            substring($"sfx", 1, 2).as("bkt"))
+        val wB = Window.partitionBy($"bkt")
+          .orderBy($"sfx", $"doc_id", $"pos")
+        val within = suf
+          .withColumn("nxt", lead($"sfx", 1).over(wB))
+          .withColumn("nxt_doc", lead($"doc_id", 1).over(wB))
+          .filter($"nxt".isNotNull)
+          .select($"lang", $"doc_id", $"sfx", $"nxt", $"nxt_doc")
+        // boundary pairs: each bucket's lexicographically LAST suffix
+        // meets the NEXT bucket's FIRST — computed on the bounded
+        // bucket domain (<= alphabet^2 rows), where an unpartitioned
+        // window is fine
+        val edges = suf.groupBy($"bkt")
+          .agg(max(struct($"sfx", $"doc_id", $"pos", $"lang")).as("lastr"),
+            min(struct($"sfx", $"doc_id", $"pos")).as("firstr"))
+        val wE = Window.orderBy($"bkt")
+        val boundary = edges
+          .withColumn("nf", lead($"firstr", 1).over(wE))
+          .filter($"nf".isNotNull)
+          .select($"lastr.lang".as("lang"),
+            $"lastr.doc_id".as("doc_id"), $"lastr.sfx".as("sfx"),
+            $"nf.sfx".as("nxt"), $"nf.doc_id".as("nxt_doc"))
+        val pairs = within.unionByName(boundary)
+          .withColumn("lcp", expr(s"aggregate(sequence(1, $cap), 0L, " +
+            "(acc, g) -> acc + if(substring(sfx, 1, g) = " +
+            "substring(nxt, 1, g) and length(sfx) >= g, 1L, 0L))"))
+        pairs.groupBy($"lang")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(($"lcp" >= L).cast("long")).as("n_dup_pairs"),
+            sum(($"lcp" >= L && $"doc_id" =!= $"nxt_doc").cast("long"))
+              .as("n_cross_doc"),
+            countDistinct(when($"lcp" >= L, $"doc_id"))
+              .as("docs_implicated"),
+            max($"lcp").as("max_lcp"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH sp AS (
+          SELECT doc_id, lang, text,
+                 unnest(generate_series(1, len(text))) AS pos
+          FROM documents),
+        suf AS (
+          SELECT doc_id, lang, pos, text[pos:pos + 63] AS sfx
+          FROM sp),
+        ranked AS (
+          SELECT doc_id, lang, sfx,
+                 lead(sfx) OVER (ORDER BY sfx, doc_id, pos) AS nxt,
+                 lead(doc_id) OVER (ORDER BY sfx, doc_id, pos)
+                   AS nxt_doc
+          FROM suf),
+        pairs AS (
+          SELECT doc_id, lang, nxt_doc,
+                 list_sum([CASE WHEN sfx[1:g] = nxt[1:g]
+                                 AND len(sfx) >= g
+                            THEN 1 ELSE 0 END
+                           for g in generate_series(1, 64)]) AS lcp
+          FROM ranked WHERE nxt IS NOT NULL)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_dup_pairs,
+               CAST(sum(CASE WHEN lcp >= 20 AND doc_id <> nxt_doc
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc,
+               CAST(count(DISTINCT CASE WHEN lcp >= 20 THEN doc_id END)
+                 AS BIGINT) AS docs_implicated,
+               CAST(max(lcp) AS BIGINT) AS max_lcp
+        FROM pairs GROUP BY lang ORDER BY lang"""))
   )
 }

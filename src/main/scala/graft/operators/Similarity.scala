@@ -1381,7 +1381,93 @@ object Similarity extends QueryModule {
         rows.toDF("k", "n_vecs", "avg_inertia_micro2")
           .orderBy($"k")
       },
-      Some(elbowOracleSql))
+      Some(elbowOracleSql)),
+
+    Q(
+      "q394_jl_projection_audit",
+      "JOHNSON-LINDENSTRAUSS PROJECTION DISTANCE-PRESERVATION AUDIT " +
+        "(Achlioptas 2003's database-friendly RADEMACHER projection — " +
+        "the +-1 matrix that replaces Gaussian JL at zero multiply " +
+        "cost): project the 64-dim embeddings to 16 dims through a " +
+        "DETERMINISTIC +-1 matrix (sign = parity of the q361 Knuth " +
+        "mixer on the cell index, so BOTH engines build the identical " +
+        "matrix from arithmetic alone), then grade E[d_proj^2] = " +
+        "m * d_orig^2 on the probe x candidate pair grid: per probe, " +
+        "min/max/mean squared-distance ratio in exact cross-multiplied " +
+        "ppm — the audit a platform runs before swapping an index to " +
+        "projected vectors. Everything is integer: micro coordinates, " +
+        "exact long projections (|y| <= 64e6), DECIMAL(38,0)/HUGEINT " +
+        "cross-multiplication for the ratio. 100 TB: the projection " +
+        "is a narrow map pass (the matrix is 1 KB of arithmetic); the " +
+        "audit grid is bounded probes x sample.",
+      (s, dir) => {
+        import s.implicits._
+        val sgn = "((((dd * 16 + j) * 2654435761 + 12345) % 4093) " +
+          "% 2 * 2 - 1)"
+        val base = Tables.t(s, dir, "embeddings")
+          .filter($"vec_id" < 208)
+          .select($"vec_id",
+            expr("transform(embedding, x -> cast(round(cast(x as " +
+              "double) * 1000000) as bigint))").as("xm"))
+          .select($"vec_id", $"xm",
+            expr(s"transform(sequence(0, 15), j -> " +
+              s"aggregate(sequence(0, 63), 0L, (acc, dd) -> " +
+              s"acc + element_at(xm, dd + 1) * $sgn))").as("ym"))
+        val probes = broadcast(base.filter($"vec_id" < 8)
+          .select($"vec_id".as("probe_id"), $"xm".as("pxm"),
+            $"ym".as("pym")))
+        base.join(probes, $"vec_id" =!= $"probe_id")
+          .select($"probe_id", $"vec_id",
+            expr("aggregate(zip_with(xm, pxm, (a, b) -> (a - b) * " +
+              "(a - b)), 0L, (s, v) -> s + v)").as("d_orig2"),
+            expr("aggregate(zip_with(ym, pym, (a, b) -> (a - b) * " +
+              "(a - b)), 0L, (s, v) -> s + v)").as("d_proj2"))
+          .withColumn("ratio_ppm",
+            expr("cast(cast(d_proj2 as decimal(38,0)) * 1000000 div " +
+              "nullif(cast(d_orig2 as decimal(38,0)) * 16, 0) " +
+              "as bigint)"))
+          .groupBy($"probe_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min($"ratio_ppm").as("min_ratio_ppm"),
+            max($"ratio_ppm").as("max_ratio_ppm"),
+            expr("sum(ratio_ppm) div count(1)").as("mean_ratio_ppm"))
+          .orderBy($"probe_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id,
+                 [CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  for x in embedding] AS xm
+          FROM embeddings WHERE vec_id < 208),
+        proj AS (
+          SELECT vec_id, xm,
+                 [list_sum([xm[dd + 1] *
+                    ((((dd * 16 + j) * 2654435761 + 12345) % 4093)
+                      % 2 * 2 - 1)
+                    for dd in range(0, 64)])
+                  for j in range(0, 16)] AS ym
+          FROM base),
+        pairs AS (
+          SELECT p.vec_id AS probe_id, c.vec_id,
+                 list_sum([(c.xm[i] - p.xm[i]) * (c.xm[i] - p.xm[i])
+                           for i in range(1, 65)]) AS d_orig2,
+                 list_sum([(c.ym[i] - p.ym[i]) * (c.ym[i] - p.ym[i])
+                           for i in range(1, 17)]) AS d_proj2
+          FROM proj c JOIN proj p ON p.vec_id < 8
+            AND c.vec_id <> p.vec_id),
+        r AS (
+          SELECT probe_id, vec_id,
+                 CAST(CAST(d_proj2 AS HUGEINT) * 1000000
+                   // nullif(CAST(d_orig2 AS HUGEINT) * 16, 0)
+                   AS BIGINT) AS ratio_ppm
+          FROM pairs)
+        SELECT probe_id, CAST(count(*) AS BIGINT) AS n_pairs,
+               min(ratio_ppm) AS min_ratio_ppm,
+               max(ratio_ppm) AS max_ratio_ppm,
+               CAST(sum(ratio_ppm) // count(*) AS BIGINT)
+                 AS mean_ratio_ppm
+        FROM r GROUP BY probe_id ORDER BY probe_id""")
+    )
   )
 
   /** GENERATED DuckDB oracle for q378 — the FULL k-means pipeline (seed →

@@ -472,4 +472,53 @@ class CausalValiditySpec extends AnyFunSuite {
       s"more clusters can never fit worse: $inertia")
     assert(inertia.forall(_ > 0))
   }
+
+  test("q392 winnowing: the gap <= w theorem holds (zero violations), " +
+    "density sits in the 2/(w+1) band, worst gap is bounded by w") {
+    val rows = SparkEntry.queries("q392_winnowing_fingerprints")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("guarantee_violations") == 0L,
+        s"winnowing's gap guarantee is a THEOREM — lang ${r.getString(0)}")
+      assert(r.getAs[Long]("worst_gap") <= 4L,
+        s"max inter-selection gap must be <= w=4 on lang ${r.getString(0)}")
+      val d = r.getAs[Long]("density_ppm")
+      // theory: expected density 2/(w+1) = 400000 ppm on random hashes;
+      // real text repeats grams, so allow a generous band
+      assert(d > 200000L && d < 600000L, s"density_ppm out of band: $d")
+    }
+  }
+
+  test("q393 suffix-array dedup: pair count conservation (suffixes - 1 " +
+    "across the corpus), LCPs within [0, 64], flagged docs <= docs") {
+    val out = SparkEntry.queries("q393_suffix_array_dedup")(spark, sfDir)
+      .collect()
+    val nSuffix = Tables.t(spark, sfDir, "documents")
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == nSuffix - 1,
+      "every rank-adjacent pair must be graded exactly once")
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_lcp") >= 0L &&
+        r.getAs[Long]("max_lcp") <= 64L)
+      assert(r.getAs[Long]("n_cross_doc") <=
+        r.getAs[Long]("n_dup_pairs"))
+    }
+  }
+
+  test("q394 JL audit: per-probe mean distance ratio concentrates " +
+    "around 1e6 ppm and min <= mean <= max") {
+    val rows = SparkEntry.queries("q394_jl_projection_audit")(
+      spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (mn, mx, mean) = (r.getAs[Long]("min_ratio_ppm"),
+        r.getAs[Long]("max_ratio_ppm"), r.getAs[Long]("mean_ratio_ppm"))
+      assert(mn <= mean && mean <= mx)
+      // E[ratio] = 1e6; a 16-dim Rademacher projection concentrates
+      // the MEAN over ~200 pairs well within 2x
+      assert(mean > 500000L && mean < 2000000L,
+        s"mean ratio out of JL band: $mean")
+    }
+  }
 }
