@@ -2183,7 +2183,92 @@ object TextAnalysis extends QueryModule {
                CAST(n_docs * 1000000 // sum(n_docs) OVER
                  (PARTITION BY labeled_lang) AS BIGINT)
                  AS class_share_ppm
-        FROM cells ORDER BY labeled_lang, predicted_lang"""))
+        FROM cells ORDER BY labeled_lang, predicted_lang""")),
+
+    Q(
+      "q398_mcnemar_test",
+      "McNEMAR'S PAIRED TEST (McNemar 1947 — THE test for 'is model A " +
+        "actually better than model B on the same examples': only the " +
+        "DISCORDANT pairs b = A-right-B-wrong and c = A-wrong-B-right " +
+        "carry signal; accuracy deltas without it are the classic " +
+        "eval mistake): model A = q51's stopword-hit language " +
+        "classifier (replayed verbatim, q379's discipline), model B " +
+        "= the majority-class baseline (predict 'en' always), truth " +
+        "= the labeled lang column. The statistic (b-c)^2/(b+c) is " +
+        "carried as the exact integer milli-rational and the 5% " +
+        "decision vs chi-square(1) = 3.841 is ONE integer compare " +
+        "((b-c)^2 * 1000 > 3841 * (b+c)) — no sqrt, no float, q208's " +
+        "discipline. Plan: one scoring projection, one 4-cell " +
+        "reduce, O(1) after. 100 TB: a billion graded examples " +
+        "reduce to four counters.",
+      (s, dir) => {
+        import s.implicits._
+        def h(i: Int) =
+          size(filter(toks, x =>
+            array_contains(typedLit(stopwords(i)._2), x)))
+        Tables.t(s, dir, "documents")
+          .select($"lang",
+            h(0).as("h_en"), h(1).as("h_de"), h(2).as("h_es"),
+            h(3).as("h_fr"), h(4).as("h_zh"))
+          .select($"lang",
+            when(greatest($"h_en", $"h_de", $"h_es", $"h_fr",
+              $"h_zh") === 0, "und")
+              .when($"h_en" >= greatest($"h_de", $"h_es", $"h_fr",
+                $"h_zh"), "en")
+              .when($"h_de" >= greatest($"h_es", $"h_fr", $"h_zh"),
+                "de")
+              .when($"h_es" >= greatest($"h_fr", $"h_zh"), "es")
+              .when($"h_fr" >= $"h_zh", "fr")
+              .otherwise("zh").as("pred"))
+          .select(($"pred" === $"lang").as("a_ok"),
+            ($"lang" === "en").as("b_ok"))
+          .agg(count(lit(1)).as("n"),
+            sum(($"a_ok" && $"b_ok").cast("long")).as("n_both"),
+            sum(($"a_ok" && !$"b_ok").cast("long")).as("b"),
+            sum((!$"a_ok" && $"b_ok").cast("long")).as("c"))
+          .select($"n", $"n_both", $"b", $"c",
+            expr("(b - c) * (b - c) * 1000 div nullif(b + c, 0)")
+              .as("chi2_milli"),
+            expr("cast((b - c) * (b - c) * 1000 > 3841 * (b + c) " +
+              "as long)").as("significant_5pct"))
+      },
+      Some(s"""
+        WITH pred AS (
+          SELECT lang,
+                 ${duckHits(stopwords(0)._2)} AS h_en,
+                 ${duckHits(stopwords(1)._2)} AS h_de,
+                 ${duckHits(stopwords(2)._2)} AS h_es,
+                 ${duckHits(stopwords(3)._2)} AS h_fr,
+                 ${duckHits(stopwords(4)._2)} AS h_zh
+          FROM documents),
+        cls AS (
+          SELECT lang,
+                 CASE WHEN greatest(h_en, h_de, h_es, h_fr, h_zh) = 0
+                      THEN 'und'
+                      WHEN h_en >= greatest(h_de, h_es, h_fr, h_zh)
+                      THEN 'en'
+                      WHEN h_de >= greatest(h_es, h_fr, h_zh) THEN 'de'
+                      WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+                      WHEN h_fr >= h_zh THEN 'fr'
+                      ELSE 'zh' END AS pred
+          FROM pred),
+        g AS (
+          SELECT pred = lang AS a_ok, lang = 'en' AS b_ok FROM cls),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (a_ok AND b_ok) AS BIGINT)
+                   AS n_both,
+                 CAST(count(*) FILTER (a_ok AND NOT b_ok) AS BIGINT)
+                   AS b,
+                 CAST(count(*) FILTER (NOT a_ok AND b_ok) AS BIGINT)
+                   AS c
+          FROM g)
+        SELECT n, n_both, b, c,
+               CAST((b - c) * (b - c) * 1000 // nullif(b + c, 0)
+                 AS BIGINT) AS chi2_milli,
+               CAST((b - c) * (b - c) * 1000 > 3841 * (b + c)
+                 AS BIGINT) AS significant_5pct
+        FROM agg"""))
   )
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy

@@ -2082,7 +2082,167 @@ object FeaturePlatform extends QueryModule {
                  AS cum_gain_ppm,
                CAST(cum_pos * n_total * 1000000
                  // (cum_users * pos_total) AS BIGINT) AS cum_lift_ppm
-        FROM c ORDER BY decile"""))
+        FROM c ORDER BY decile""")),
+
+    Q(
+      "q396_expected_calibration_error",
+      "EXPECTED CALIBRATION ERROR (Naeini et al. 2015's ECE — the one " +
+        "number the reliability diagram q228 fans out; q319's Brier " +
+        "decomposes error, ECE grades the CALIBRATION component " +
+        "alone, on held-out data): the 'model' is the classic " +
+        "holdout-banded predictor — each value band's conversion " +
+        "rate fitted on TRAIN users (even user_id) becomes the " +
+        "band's predicted confidence, graded against TEST users " +
+        "(odd): ECE = sum_b n_b * |acc_b - conf_b| / N, all in " +
+        "exact integer ppm (each rate is one floor div; the " +
+        "weighted sum is a second). Shares q228's clickConversions " +
+        "ground truth so 'converted' cannot drift across the " +
+        "calibration family. Plan: ONE click-grain pass, one " +
+        "10-band aggregate per split joined on the band domain, " +
+        "O(1) arithmetic after; the ECE total rides every row as a " +
+        "bounded-domain window. 100 TB: a billion clicks reduce to " +
+        "20 band counters.",
+      (s, dir) => {
+        import s.implicits._
+        val base = clickConversions(s, dir)
+          .select(expr("cents div 10000").as("band"), $"conv",
+            ($"user_id" % 2 === 1).as("is_test"))
+        val train = base.filter(!$"is_test")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_train"), sum($"conv").as("cv_train"))
+          .withColumn("conf_ppm",
+            expr("cv_train * 1000000 div n_train"))
+        val test = base.filter($"is_test")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n_test"), sum($"conv").as("cv_test"))
+          .withColumn("acc_ppm", expr("cv_test * 1000000 div n_test"))
+        test.join(train, Seq("band"))
+          .withColumn("abs_gap_ppm", abs($"acc_ppm" - $"conf_ppm"))
+          .withColumn("ece_ppm",
+            expr("sum(n_test * abs_gap_ppm) over () div " +
+              "sum(n_test) over ()"))
+          .select($"band".cast("long").as("band"), $"n_train",
+            $"conf_ppm", $"n_test", $"acc_ppm", $"abs_gap_ppm",
+            $"ece_ppm")
+          .orderBy($"band")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        c AS (SELECT user_id, event_id, us, cents
+              FROM e WHERE event_type = 'click'),
+        conv AS (
+          SELECT DISTINCT c.event_id FROM c
+          JOIN e p ON p.user_id = c.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.us > c.us AND p.us - c.us <= 86400000000),
+        base AS (
+          SELECT cents // 10000 AS band,
+                 CASE WHEN conv.event_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS cv,
+                 c.user_id % 2 = 1 AS is_test
+          FROM c LEFT JOIN conv ON c.event_id = conv.event_id),
+        tr AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n_train,
+                 CAST(sum(cv) * 1000000 // count(*) AS BIGINT)
+                   AS conf_ppm
+          FROM base WHERE NOT is_test GROUP BY band),
+        te AS (
+          SELECT band, CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(cv) * 1000000 // count(*) AS BIGINT)
+                   AS acc_ppm
+          FROM base WHERE is_test GROUP BY band)
+        SELECT CAST(band AS BIGINT) AS band, n_train, conf_ppm,
+               n_test, acc_ppm,
+               abs(acc_ppm - conf_ppm) AS abs_gap_ppm,
+               CAST(sum(n_test * abs(acc_ppm - conf_ppm)) OVER ()
+                 // sum(n_test) OVER () AS BIGINT) AS ece_ppm
+        FROM te JOIN tr USING (band)
+        ORDER BY band""")),
+
+    Q(
+      "q397_krippendorff_alpha",
+      "KRIPPENDORFF'S ALPHA, nominal, THREE raters (Krippendorff 1970 " +
+        "— the agreement coefficient that generalizes q318's two-" +
+        "rater kappa to any rater count via coincidence counting): " +
+        "raters are three deterministic binary rules on each " +
+        "document (length >= 306 chars; distinct-token richness >= " +
+        "40% — q318's pair — plus token count >= 56), and alpha = " +
+        "1 - Do/De where Do counts disagreeing ordered pairs WITHIN " +
+        "units (a unit with k ones among 3 ratings contributes " +
+        "2*k*(3-k)) and De the chance rate from the pooled margins " +
+        "(2*n1*n0/(n*(n-1)), n = 3N). The whole statistic is one " +
+        "integer rational — alpha_ppm = (Do_den*De_num - " +
+        "Do_num*De_den)*1e6 / (Do_den*De_num) with q318's sign-" +
+        "extracted floor div, DECIMAL(38,0)-cleared so no product " +
+        "can wrap. Plan: one row-scale projection computes all " +
+        "three labels in the same pass, one global 3-counter " +
+        "reduce, O(1) after. 100 TB: any rater count reduces to " +
+        "per-unit ones-histograms.",
+      (s, dir) => {
+        import s.implicits._
+        val t = filter(split(trim($"text"), " "), x => x =!= lit(""))
+        Tables.t(s, dir, "documents")
+          .select(
+            (when($"n_chars" >= 306, 1L).otherwise(0L) +
+              when(size(array_distinct(t)) * 10 >= size(t) * 4, 1L)
+                .otherwise(0L) +
+              when(size(t) >= 56, 1L).otherwise(0L)).as("ones"))
+          .agg(count(lit(1)).as("n_units"),
+            sum($"ones").as("n1"),
+            sum($"ones" * (lit(3L) - $"ones") * 2L).as("do_num"))
+          .select($"n_units", $"n1",
+            ($"n_units" * 6L).as("do_den"),
+            $"do_num",
+            ($"n1" * ($"n_units" * 3L - $"n1") * 2L).as("de_num"),
+            ($"n_units" * 3L * ($"n_units" * 3L - 1L)).as("de_den"))
+          .select($"n_units", $"n1", $"do_num", $"do_den", $"de_num",
+            $"de_den",
+            expr("do_num * 1000000 div do_den").as("do_ppm"),
+            expr("de_num * 1000000 div de_den").as("de_ppm"),
+            expr("cast(CASE WHEN cast(do_den as decimal(38,0)) * de_num" +
+              " - cast(do_num as decimal(38,0)) * de_den >= 0 THEN 1 " +
+              "ELSE -1 END * (abs(cast(do_den as decimal(38,0)) * " +
+              "de_num - cast(do_num as decimal(38,0)) * de_den) * " +
+              "1000000 div (cast(do_den as decimal(38,0)) * de_num)) " +
+              "as bigint)").as("alpha_ppm"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT (CASE WHEN n_chars >= 306 THEN 1 ELSE 0 END)
+               + (CASE WHEN len(list_distinct(list_filter(
+                     string_split(trim(text), ' '), x -> x <> ''))) * 10
+                   >= len(list_filter(string_split(trim(text), ' '),
+                     x -> x <> '')) * 4 THEN 1 ELSE 0 END)
+               + (CASE WHEN len(list_filter(string_split(trim(text),
+                     ' '), x -> x <> '')) >= 56 THEN 1 ELSE 0 END)
+                 AS ones
+          FROM documents),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(sum(ones) AS BIGINT) AS n1,
+                 CAST(sum(ones * (3 - ones) * 2) AS BIGINT) AS do_num
+          FROM r),
+        t AS (
+          SELECT n_units, n1, do_num,
+                 n_units * 6 AS do_den,
+                 n1 * (n_units * 3 - n1) * 2 AS de_num,
+                 n_units * 3 * (n_units * 3 - 1) AS de_den
+          FROM agg)
+        SELECT n_units, n1, do_num, do_den, de_num, de_den,
+               CAST(do_num * 1000000 // do_den AS BIGINT) AS do_ppm,
+               CAST(de_num * 1000000 // de_den AS BIGINT) AS de_ppm,
+               CAST((CASE WHEN CAST(do_den AS HUGEINT) * de_num
+                   - CAST(do_num AS HUGEINT) * de_den >= 0
+                 THEN 1 ELSE -1 END)
+                 * (abs(CAST(do_den AS HUGEINT) * de_num
+                     - CAST(do_num AS HUGEINT) * de_den) * 1000000
+                   // (CAST(do_den AS HUGEINT) * de_num)) AS BIGINT)
+                 AS alpha_ppm
+        FROM t"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
@@ -2127,7 +2287,7 @@ object FeaturePlatform extends QueryModule {
     clicks
       .join(converted.select($"event_id".as("cid")),
         $"event_id" === $"cid", "left")
-      .select($"event_id", $"cents",
+      .select($"event_id", $"user_id", $"cents",
         when($"cid".isNotNull, 1L).otherwise(0L).as("conv"))
   }
 

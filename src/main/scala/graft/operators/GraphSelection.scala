@@ -1162,6 +1162,114 @@ object GraphSelection extends QueryModule {
                  AS r_sign,
                CAST(num * num * 1000000 // nullif(varx * vary, 0)
                  AS BIGINT) AS r2_ppm
-        FROM r"""))
+        FROM r""")),
+
+    Q(
+      "q395_kcore_decomposition",
+      "K-CORE DECOMPOSITION of the co-purchase graph (Seidman 1983 — " +
+        "the standard dense-subgraph peel beside q150's PageRank and " +
+        "q197's triangles: repeatedly drop nodes with degree < k " +
+        "until none remain; the fixpoint is UNIQUE regardless of " +
+        "peel order, which is what makes a distributed bulk peel and " +
+        "a sequential textbook peel agree bit-for-bit). Graph: parts " +
+        "co-purchased in >= 2 distinct orders (q197's support " +
+        "pruning). Spark-first: each round is ONE degree aggregate " +
+        "over the survivor-filtered edge list (two broadcast-able " +
+        "semi joins + a partkey-grain count), localCheckpoint " +
+        "holding plan depth flat; the loop runs a FIXED 16 rounds — " +
+        "peeling is idempotent at the fixpoint, so fixed-unroll " +
+        "equals run-to-convergence and the DuckDB oracle replays " +
+        "the same 16 rounds as generated CTEs. Output per k in " +
+        "{2,3,4}: core size, edge count, min in-core degree (>= k " +
+        "when non-empty — the definitional self-audit). 100 TB: " +
+        "rounds are degree aggregates with map-side combine; the " +
+        "edge list shuffles once per round on node id.",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.t(s, dir, "lineitem")
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        val pairs = li.as("a").join(li.as("b"),
+            $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+          .groupBy($"a.pk".as("pa"), $"b.pk".as("pb"))
+          .agg(countDistinct($"a.ok").as("sup"))
+          .filter($"sup" >= 2)
+          .select($"pa", $"pb")
+        val edges = pairs
+          .unionByName(pairs.select($"pb".as("pa"), $"pa".as("pb")))
+          .localCheckpoint(true)
+        val rows = Seq(2, 3, 4).map { k =>
+          var kept = edges.select($"pa".as("n")).distinct()
+            .localCheckpoint(true)
+          (1 to 16).foreach { _ =>
+            kept = edges
+              .join(kept, $"pa" === $"n", "left_semi")
+              .join(kept.select($"n".as("n2")), $"pb" === $"n2",
+                "left_semi")
+              .groupBy($"pa").agg(count(lit(1)).as("d"))
+              .filter($"d" >= k)
+              .select($"pa".as("n")).localCheckpoint(true)
+          }
+          val st = edges
+            .join(kept, $"pa" === $"n", "left_semi")
+            .join(kept.select($"n".as("n2")), $"pb" === $"n2",
+              "left_semi")
+            .groupBy($"pa").agg(count(lit(1)).as("d"))
+            .agg(count(lit(1)).as("nn"),
+              coalesce(sum($"d"), lit(0L)).as("dd"),
+              coalesce(min($"d"), lit(0L)).as("md"))
+            .head()
+          (k.toLong, st.getLong(0), st.getLong(1) / 2, st.getLong(2))
+        }
+        rows.toDF("k", "n_core_nodes", "n_core_edges",
+          "min_core_degree").orderBy($"k")
+      },
+      Some(kcoreOracleSql))
   )
+
+  /** GENERATED DuckDB oracle for q395 — 16 unrolled peel rounds per k " +
+    * (the q378/q363 generated-oracle discipline). Fixed-unroll is safe
+    * because peeling is idempotent at the fixpoint: if round j reaches
+    * it, rounds j+1..16 are no-ops in BOTH engines, and if 16 rounds do
+    * not converge both engines stop at the identical 16-round state —
+    * bit-equality holds either way. */
+  private def kcoreOracleSql: String = {
+    def sweep(k: Int): String = {
+      val rounds = (1 to 16).map { i =>
+        s"""r${k}_$i AS MATERIALIZED (
+          SELECT pa AS n FROM edges
+          WHERE pa IN (SELECT n FROM r${k}_${i - 1})
+            AND pb IN (SELECT n FROM r${k}_${i - 1})
+          GROUP BY pa HAVING count(*) >= $k)"""
+      }.mkString(",\n")
+      s"""r${k}_0 AS MATERIALIZED (SELECT DISTINCT pa AS n FROM edges),
+        $rounds,
+        core$k AS (
+          SELECT CAST($k AS BIGINT) AS k,
+                 CAST(count(*) AS BIGINT) AS n_core_nodes,
+                 CAST(coalesce(sum(d), 0) // 2 AS BIGINT)
+                   AS n_core_edges,
+                 CAST(coalesce(min(d), 0) AS BIGINT)
+                   AS min_core_degree
+          FROM (
+            SELECT pa, count(*) AS d FROM edges
+            WHERE pa IN (SELECT n FROM r${k}_16)
+              AND pb IN (SELECT n FROM r${k}_16)
+            GROUP BY pa))"""
+    }
+    s"""
+      WITH pp AS (
+        SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      half AS (
+        SELECT pa, pb FROM pp GROUP BY pa, pb
+        HAVING count(DISTINCT ok) >= 2),
+      edges AS MATERIALIZED (
+        SELECT pa, pb FROM half
+        UNION ALL SELECT pb AS pa, pa AS pb FROM half),
+      ${Seq(2, 3, 4).map(sweep).mkString(",\n")}
+      SELECT * FROM (SELECT * FROM core2 UNION ALL
+        SELECT * FROM core3 UNION ALL SELECT * FROM core4)
+      ORDER BY k"""
+  }
 }

