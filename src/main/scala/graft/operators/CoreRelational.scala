@@ -488,6 +488,133 @@ object CoreRelational extends QueryModule {
                  AS BIGINT) AS interp_decimilli_cents
         FROM pcts JOIN lo ON pcts.pct = lo.pct
         LEFT JOIN hi ON pcts.pct = hi.pct
-        ORDER BY pct"""))
+        ORDER BY pct""")),
+
+    Q(
+      "q399_kmv_sketch_algebra",
+      "KMV (K-MINIMUM-VALUES) DISTINCT SKETCH WITH SET ALGEBRA " +
+        "(Bar-Yossef et al. 2002; the theta-sketch family's exact-" +
+        "arithmetic core): keep the k=64 smallest DISTINCT hash " +
+        "values of a set; estimate |S| = (k-1)*M div h_(k) (exact " +
+        "count when fewer than k hashes exist). Unlike the HLL " +
+        "rows (q04/q152/q372), KMV signatures support UNION by " +
+        "merging signatures (k smallest of the concatenation) and " +
+        "INTERSECTION by inclusion-exclusion — the sketch algebra a " +
+        "multi-tenant platform uses to answer 'how many users did " +
+        "BOTH' from per-set kilobyte sketches without rescanning. " +
+        "The hash is the engine-portable Knuth mixer (q361's " +
+        "discipline, modulus 2^31-1), so every estimate — not just " +
+        "the exact legs — is bit-reproducible in DuckDB: clicker " +
+        "users, purchaser users, their union and their intersection, " +
+        "each with the exact truth and signed bias ppm beside it. " +
+        "Plan: one (type, user) distinct, per-set bounded top-k " +
+        "windows (k rows per set, partitioned by set), O(k) algebra " +
+        "after. 100 TB: the signatures are 64 longs per set forever.",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val tu = Tables.t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type".as("t"), $"user_id").distinct()
+        val hs = tu.select($"t",
+            (($"user_id" * 2654435761L + 987654321L) % 2147483647L)
+              .as("h"))
+          .distinct()
+        val sigs = hs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"t").orderBy($"h")))
+          .filter($"rk" <= k)
+        val uSig = sigs.select($"h").distinct()
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(lit(1)).orderBy($"h")))
+          .filter($"rk" <= k)
+          .select(lit("union").as("t"), $"h", $"rk")
+        def est(sig: org.apache.spark.sql.DataFrame) = sig
+          .groupBy($"t")
+          .agg(count(lit(1)).as("n_sig"), max($"h").as("kth"))
+          .select($"t", $"n_sig",
+            when($"n_sig" < k, $"n_sig")
+              .otherwise(expr(s"${k - 1}L * 2147483647L div kth"))
+              .as("est"))
+        val ests = est(sigs).unionByName(est(uSig))
+        val exA = tu.filter($"t" === "click")
+          .agg(count(lit(1)).as("x")).head().getLong(0)
+        val exB = tu.filter($"t" === "purchase")
+          .agg(count(lit(1)).as("x")).head().getLong(0)
+        val exU = tu.select($"user_id").distinct().count()
+        val e = ests.collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val inter = e("click")._2 + e("purchase")._2 - e("union")._2
+        val rows = Seq(
+          ("click", e("click")._1, e("click")._2, exA),
+          ("intersection", 0L, inter, exA + exB - exU),
+          ("purchase", e("purchase")._1, e("purchase")._2, exB),
+          ("union", e("union")._1, e("union")._2, exU))
+        rows.toDF("set_name", "n_sig", "est", "exact")
+          .withColumn("bias_ppm",
+            expr("(est - exact) * 1000000 div nullif(exact, 0)"))
+          .orderBy($"set_name")
+      },
+      Some("""
+        WITH tu AS (
+          SELECT DISTINCT event_type AS t, user_id
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        hs AS (
+          SELECT DISTINCT t,
+                 (user_id * 2654435761 + 987654321) % 2147483647 AS h
+          FROM tu),
+        sigs AS (
+          SELECT t, h FROM (
+            SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h)
+              AS rk FROM hs)
+          WHERE rk <= 64),
+        usig AS (
+          SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM sigs))
+          WHERE rk <= 64),
+        e AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n_sig,
+                 CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+                      ELSE CAST(CAST(63 AS BIGINT) * 2147483647 // max(h) AS BIGINT)
+                 END AS est
+          FROM sigs GROUP BY t
+          UNION ALL
+          SELECT 'union', CAST(count(*) AS BIGINT),
+                 CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+                      ELSE CAST(CAST(63 AS BIGINT) * 2147483647 // max(h) AS BIGINT)
+                 END
+          FROM usig),
+        ex AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM tu
+                  WHERE t = 'click') AS ex_a,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tu
+                  WHERE t = 'purchase') AS ex_b,
+                 (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                  FROM tu) AS ex_u),
+        rows_ AS (
+          SELECT 'click' AS set_name,
+                 (SELECT n_sig FROM e WHERE t = 'click') AS n_sig,
+                 (SELECT est FROM e WHERE t = 'click') AS est,
+                 ex_a AS exact FROM ex
+          UNION ALL
+          SELECT 'intersection', 0,
+                 (SELECT est FROM e WHERE t = 'click')
+                   + (SELECT est FROM e WHERE t = 'purchase')
+                   - (SELECT est FROM e WHERE t = 'union'),
+                 ex_a + ex_b - ex_u FROM ex
+          UNION ALL
+          SELECT 'purchase',
+                 (SELECT n_sig FROM e WHERE t = 'purchase'),
+                 (SELECT est FROM e WHERE t = 'purchase'), ex_b FROM ex
+          UNION ALL
+          SELECT 'union', (SELECT n_sig FROM e WHERE t = 'union'),
+                 (SELECT est FROM e WHERE t = 'union'), ex_u FROM ex)
+        SELECT set_name, CAST(n_sig AS BIGINT) AS n_sig,
+               CAST(est AS BIGINT) AS est, exact,
+               CAST((est - exact) * 1000000 // nullif(exact, 0)
+                 AS BIGINT) AS bias_ppm
+        FROM rows_ ORDER BY set_name"""))
   )
 }

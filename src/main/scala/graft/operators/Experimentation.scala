@@ -2537,7 +2537,139 @@ object Experimentation extends QueryModule {
           "removal_effect_ppm", "share_ppm")
           .orderBy($"channel")
       },
-      Some(markovOracleSql))
+      Some(markovOracleSql)),
+
+    Q(
+      "q400_did_permutation_test",
+      "PERMUTATION PLACEBO TEST FOR THE DiD ESTIMATE (Fisher 1935 " +
+        "randomization inference, the placebo discipline " +
+        "Bertrand-Duflo-Mullainathan 2004 demands of any DiD: " +
+        "re-estimate q259's effect under 99 FAKE treatment " +
+        "assignments; if the real |effect| is unremarkable among " +
+        "placebos, the 'effect' is noise): placebo arm p = the " +
+        "engine-portable Knuth mix of (user, p) — deterministic, so " +
+        "the permutation schedule itself is part of the oracle (the " +
+        "q244 bootstrap discipline) — and perm 0 is the REAL parity " +
+        "assignment. All 100 DiD estimates come from ONE pass: " +
+        "explode each purchase across the bounded perm domain, one " +
+        "(perm, arm, period) aggregate (400 cells), per-perm effect " +
+        "via q259's exact 4-floor algebra, then the rank statistic " +
+        "p = #(|placebo| >= |real|)/100 — including the real one, " +
+        "Fisher's convention, so p >= 1/100 by construction. 100 TB: " +
+        "the explode multiplies rows by a CONSTANT 100 into a " +
+        "map-side-combined 400-cell aggregate — no extra shuffle " +
+        "grain, no resampling of raw data.",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.t(s, dir, "events")
+          .filter($"event_type" === "purchase")
+          .select($"user_id",
+            expr("datediff(cast(ts as date), date '1970-01-01')")
+              .as("d"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        val mid = broadcast(
+          p.agg(expr("(min(d) + max(d)) div 2").as("mid")))
+        val cells = p.crossJoin(mid)
+          .select($"user_id", ($"d" > $"mid").cast("int").as("post"),
+            $"cents",
+            explode(expr("sequence(0, 99)")).as("perm"))
+          .select($"perm", $"post", $"cents",
+            when($"perm" === 0, $"user_id" % 2)
+              .otherwise(($"user_id" * 2654435761L +
+                $"perm" * 40503L + 11L) % 4093L % 2L)
+              .cast("int").as("treat"))
+          .groupBy($"perm")
+          .agg(
+            sum(when($"treat" === 1 && $"post" === 1, $"cents"))
+              .as("s11"),
+            count(when($"treat" === 1 && $"post" === 1, 1)).as("n11"),
+            sum(when($"treat" === 1 && $"post" === 0, $"cents"))
+              .as("s10"),
+            count(when($"treat" === 1 && $"post" === 0, 1)).as("n10"),
+            sum(when($"treat" === 0 && $"post" === 1, $"cents"))
+              .as("s01"),
+            count(when($"treat" === 0 && $"post" === 1, 1)).as("n01"),
+            sum(when($"treat" === 0 && $"post" === 0, $"cents"))
+              .as("s00"),
+            count(when($"treat" === 0 && $"post" === 0, 1)).as("n00"))
+          .select($"perm",
+            (expr("cast(cast(s11 as decimal(38,0)) * 1000000 div " +
+              "nullif(n11, 0) as bigint)") -
+              expr("cast(cast(s10 as decimal(38,0)) * 1000000 div " +
+                "nullif(n10, 0) as bigint)") -
+              (expr("cast(cast(s01 as decimal(38,0)) * 1000000 div " +
+                "nullif(n01, 0) as bigint)") -
+                expr("cast(cast(s00 as decimal(38,0)) * 1000000 div " +
+                  "nullif(n00, 0) as bigint)"))).as("did_micros"))
+        val real = broadcast(cells.filter($"perm" === 0)
+          .select($"did_micros".as("real_micros")))
+        cells.crossJoin(real)
+          .agg(count(lit(1)).as("n_perms"),
+            max($"real_micros").as("did_real_micros"),
+            sum((abs($"did_micros") >= abs($"real_micros"))
+              .cast("long")).as("n_as_extreme"),
+            max(abs($"did_micros")).as("max_abs_placebo_micros"))
+          .withColumn("p_milli",
+            expr("n_as_extreme * 1000 div n_perms"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS d,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        m AS (SELECT (min(d) + max(d)) // 2 AS mid FROM p),
+        x AS (
+          SELECT perm,
+                 CASE WHEN d > mid THEN 1 ELSE 0 END AS post, cents,
+                 CASE WHEN perm = 0 THEN user_id % 2
+                      ELSE (user_id * 2654435761 + perm * 40503 + 11)
+                        % 4093 % 2 END AS treat
+          FROM p CROSS JOIN m
+          CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS perm)),
+        cells AS (
+          SELECT perm,
+                 sum(CASE WHEN treat = 1 AND post = 1 THEN cents END)
+                   AS s11,
+                 count(CASE WHEN treat = 1 AND post = 1 THEN 1 END)
+                   AS n11,
+                 sum(CASE WHEN treat = 1 AND post = 0 THEN cents END)
+                   AS s10,
+                 count(CASE WHEN treat = 1 AND post = 0 THEN 1 END)
+                   AS n10,
+                 sum(CASE WHEN treat = 0 AND post = 1 THEN cents END)
+                   AS s01,
+                 count(CASE WHEN treat = 0 AND post = 1 THEN 1 END)
+                   AS n01,
+                 sum(CASE WHEN treat = 0 AND post = 0 THEN cents END)
+                   AS s00,
+                 count(CASE WHEN treat = 0 AND post = 0 THEN 1 END)
+                   AS n00
+          FROM x GROUP BY perm),
+        dids AS (
+          SELECT perm,
+                 CAST(CAST(s11 AS HUGEINT) * 1000000
+                     // nullif(n11, 0) AS BIGINT)
+                 - CAST(CAST(s10 AS HUGEINT) * 1000000
+                     // nullif(n10, 0) AS BIGINT)
+                 - (CAST(CAST(s01 AS HUGEINT) * 1000000
+                     // nullif(n01, 0) AS BIGINT)
+                   - CAST(CAST(s00 AS HUGEINT) * 1000000
+                     // nullif(n00, 0) AS BIGINT)) AS did_micros
+          FROM cells),
+        r AS (SELECT did_micros AS real_micros FROM dids
+              WHERE perm = 0)
+        SELECT CAST(count(*) AS BIGINT) AS n_perms,
+               CAST(max(real_micros) AS BIGINT) AS did_real_micros,
+               CAST(sum(CASE WHEN abs(did_micros) >= abs(real_micros)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
+               CAST(max(abs(did_micros)) AS BIGINT)
+                 AS max_abs_placebo_micros,
+               CAST(sum(CASE WHEN abs(did_micros) >= abs(real_micros)
+                 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+                 AS p_milli
+        FROM dids CROSS JOIN r"""))
   )
 
   /** q363's oracle: the SAME 30-step integer-ppm fixed point, the

@@ -1007,6 +1007,137 @@ object SequentialOps extends QueryModule {
         SELECT wk, actives, new_users, retained, resurrected,
                CAST(coalesce(lag(actives) OVER (ORDER BY wk), 0)
                  - retained AS BIGINT) AS churned
-        FROM bywk ORDER BY wk"""))
+        FROM bywk ORDER BY wk""")),
+
+    Q(
+      "q401_logrank_test",
+      "LOG-RANK TEST (Mantel 1966 — the two-group survival " +
+        "comparison that belongs beside q241's Kaplan-Meier curve): " +
+        "time-to-first-purchase from signup, administratively " +
+        "CENSORED at tau = 5 days (the fixture's users all purchase " +
+        "eventually and stay active to the horizon, so q241's " +
+        "churn-style endpoint has zero deaths — conversion latency " +
+        "under a fixed observation window is where this fixture has " +
+        "real survival structure; pre-signup purchases clamp to " +
+        "instant conversion, documented). Do even- and odd-id users " +
+        "convert at the same rate? At each distinct duration t, " +
+        "the hypergeometric expectation E1_t = d_t*n1_t/n_t and " +
+        "variance V_t = d_t*(n1_t/n_t)*(n0_t/n_t)*(n_t-d_t)/(n_t-1) " +
+        "accumulate against the observed group-1 deaths; chi2 = " +
+        "(O1-E1)^2/V vs chi2(1)=3.841. Every division is ONE " +
+        "truncating floor at micro scale with DECIMAL(38,0)/HUGEINT " +
+        "numerators (the q241 fixed-point discipline — both engines " +
+        "replay the identical integer chain, where float " +
+        "hypergeometrics would drift). Risk sets are reverse " +
+        "cumsums per group over the <=31-row duration domain; the " +
+        "row-scale work is the same two user-grain aggregates as " +
+        "q241. 100 TB: the wire carries one row per user, the test " +
+        "costs nothing after.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"), $"event_type")
+        val entry = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"d").as("e"))
+        val firstp = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"d").as("p"))
+        val tau = 5L
+        val byT = entry.join(firstp, Seq("user_id"), "left")
+          .select(($"user_id" % 2).as("g"),
+            coalesce(greatest(datediff($"p", $"e").cast("long"),
+              lit(0L)), lit(Long.MaxValue)).as("gap"))
+          .select($"g", least($"gap", lit(tau)).as("t"),
+            ($"gap" > tau).as("censored"))
+          .groupBy($"t")
+          .agg(count(lit(1)).as("m"),
+            sum(when($"g" === 1, 1L).otherwise(0L)).as("m1"),
+            sum(when(!$"censored", 1L).otherwise(0L)).as("dd"),
+            sum(when(!$"censored" && $"g" === 1, 1L).otherwise(0L))
+              .as("d1"))
+        val wRev = Window.orderBy($"t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val terms = byT
+          .withColumn("n", sum($"m").over(wRev))
+          .withColumn("n1", sum($"m1").over(wRev))
+          .filter($"dd" > 0)
+          .select($"d1",
+            expr("cast(cast(dd as decimal(38,0)) * n1 * 1000000 " +
+              "div n as bigint)").as("e1_micros"),
+            expr("cast(cast(dd as decimal(38,0)) * n1 * (n - n1) * " +
+              "(n - dd) * 1000000 div (cast(n as decimal(38,0)) * n " +
+              "* nullif(n - 1, 0)) as bigint)").as("v_micros"))
+        terms.agg(sum($"d1").as("o1"),
+            sum($"e1_micros").as("e1_micros"),
+            sum($"v_micros").as("v_micros"),
+            count(lit(1)).as("n_death_times"))
+          .select($"n_death_times", $"o1", $"e1_micros", $"v_micros",
+            ($"o1" * 1000000L - $"e1_micros").as("diff_micros"))
+          .withColumn("chi2_milli",
+            expr("cast(cast(diff_micros as decimal(38,0)) * " +
+              "diff_micros * 1000 div (cast(v_micros as decimal(38,0))" +
+              " * 1000000) as bigint)"))
+          .withColumn("significant_5pct",
+            expr("cast(cast(diff_micros as decimal(38,0)) * " +
+              "diff_micros * 1000 > 3841 * " +
+              "cast(v_micros as decimal(38,0)) * 1000000 as long)"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type
+          FROM events),
+        entry AS (SELECT user_id, min(d) AS e FROM ev
+                  WHERE event_type = 'signup' GROUP BY 1),
+        fp AS (SELECT user_id, min(d) AS p FROM ev
+               WHERE event_type = 'purchase' GROUP BY 1),
+        u0 AS (
+          SELECT entry.user_id % 2 AS g,
+                 coalesce(greatest(datediff('day', e, p), 0),
+                   9223372036854775807) AS gap
+          FROM entry LEFT JOIN fp ON entry.user_id = fp.user_id),
+        u AS (
+          SELECT g, least(gap, 5) AS t, gap > 5 AS censored
+          FROM u0),
+        byt AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS m1,
+                 CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dd,
+                 CAST(sum(CASE WHEN NOT censored AND g = 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS d1
+          FROM u GROUP BY t),
+        risk AS (
+          SELECT t, dd, d1,
+                 sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS n,
+                 sum(m1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS n1
+          FROM byt),
+        terms AS (
+          SELECT d1,
+                 CAST(CAST(dd AS HUGEINT) * n1 * 1000000 // n
+                   AS BIGINT) AS e1_micros,
+                 CAST(CAST(dd AS HUGEINT) * n1 * (n - n1) * (n - dd)
+                     * 1000000
+                   // (CAST(n AS HUGEINT) * n * nullif(n - 1, 0))
+                   AS BIGINT) AS v_micros
+          FROM risk WHERE dd > 0),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_death_times,
+                 CAST(sum(d1) AS BIGINT) AS o1,
+                 CAST(sum(e1_micros) AS BIGINT) AS e1_micros,
+                 CAST(sum(v_micros) AS BIGINT) AS v_micros
+          FROM terms)
+        SELECT n_death_times, o1, e1_micros, v_micros,
+               o1 * 1000000 - e1_micros AS diff_micros,
+               CAST(CAST(o1 * 1000000 - e1_micros AS HUGEINT)
+                   * (o1 * 1000000 - e1_micros) * 1000
+                 // (CAST(v_micros AS HUGEINT) * 1000000) AS BIGINT)
+                 AS chi2_milli,
+               CAST(CAST(o1 * 1000000 - e1_micros AS HUGEINT)
+                   * (o1 * 1000000 - e1_micros) * 1000
+                 > 3841 * CAST(v_micros AS HUGEINT) * 1000000
+                 AS BIGINT) AS significant_5pct
+        FROM agg"""))
   )
 }

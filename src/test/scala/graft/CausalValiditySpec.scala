@@ -577,4 +577,43 @@ class CausalValiditySpec extends AnyFunSuite {
     assert(r.getAs[Long]("significant_5pct") ==
       (if ((b - c) * (b - c) * 1000 > 3841 * (b + c)) 1L else 0L))
   }
+
+  test("q399 KMV: estimates within 30% of exact at k=64, union bounds " +
+    "(max singleton <= union <= sum), intersection = incl-excl identity") {
+    val rows = SparkEntry.queries("q399_kmv_sketch_algebra")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("est"), r.getAs[Long]("exact"))).toMap
+    Seq("click", "purchase", "union").foreach { s0 =>
+      val (est, exact) = rows(s0)
+      assert(math.abs(est - exact) * 10 <= exact * 3,
+        s"KMV k=64 should land within 30% on $s0: est $est vs $exact")
+    }
+    assert(rows("union")._1 >= math.max(rows("click")._1,
+      rows("purchase")._1))
+    assert(rows("union")._1 <= rows("click")._1 + rows("purchase")._1)
+    assert(rows("intersection")._1 ==
+      rows("click")._1 + rows("purchase")._1 - rows("union")._1)
+  }
+
+  test("q400 permutation test: p >= 10 milli by construction (the real " +
+    "assignment counts itself), 100 perms, placebo max >= |real|") {
+    val r = SparkEntry.queries("q400_did_permutation_test")(spark, sfDir)
+      .head()
+    assert(r.getAs[Long]("n_perms") == 100L)
+    assert(r.getAs[Long]("n_as_extreme") >= 1L)
+    assert(r.getAs[Long]("p_milli") >= 10L)
+    assert(r.getAs[Long]("max_abs_placebo_micros") >=
+      math.abs(r.getAs[Long]("did_real_micros")))
+  }
+
+  test("q401 log-rank: O1 bounded by total deaths, E1/V positive, " +
+    "significance bit matches the exact integer inequality") {
+    val r = SparkEntry.queries("q401_logrank_test")(spark, sfDir).head()
+    val (o1, e1, v) = (r.getAs[Long]("o1"), r.getAs[Long]("e1_micros"),
+      r.getAs[Long]("v_micros"))
+    assert(o1 >= 0 && e1 > 0 && v > 0)
+    val diff = BigInt(o1) * 1000000 - BigInt(e1)
+    assert(r.getAs[Long]("significant_5pct") ==
+      (if (diff * diff * 1000 > BigInt(3841) * v * 1000000) 1L else 0L))
+  }
 }
