@@ -1200,7 +1200,14 @@ object GraphSelection extends QueryModule {
         val rows = Seq(2, 3, 4).map { k =>
           var kept = edges.select($"pa".as("n")).distinct()
             .localCheckpoint(true)
-          (1 to 16).foreach { _ =>
+          // early-exit at the fixpoint: identical to the oracle's fixed
+          // 16 rounds (peeling is idempotent there), but the 10x Stress
+          // probe measured the convergence tail as most of the wall —
+          // the count() per round is against a checkpointed frame
+          var prev = kept.count()
+          var round = 0
+          var converged = false
+          while (round < 16 && !converged) {
             kept = edges
               .join(kept, $"pa" === $"n", "left_semi")
               .join(kept.select($"n".as("n2")), $"pb" === $"n2",
@@ -1208,6 +1215,10 @@ object GraphSelection extends QueryModule {
               .groupBy($"pa").agg(count(lit(1)).as("d"))
               .filter($"d" >= k)
               .select($"pa".as("n")).localCheckpoint(true)
+            val cur = kept.count()
+            converged = cur == prev
+            prev = cur
+            round += 1
           }
           val st = edges
             .join(kept, $"pa" === $"n", "left_semi")

@@ -812,6 +812,36 @@ object Stress {
     time(s"tpch q17 shape ${6 * mult}M lineitem") {
       SparkEntry.queries("q342_small_qty_revenue")(s, out).count()
     }
+    // Round-11 wave. q393: ~18M bounded-key suffixes (51k docs x ~350
+    // chars) through ONE range sort + bucket-partitioned adjacency +
+    // the O(64) char-chain LCP — the Lee-et-al dedup construction's
+    // scale shape (everything linear in suffixes; no global window).
+    // q392: winnowing is map-side gram hashing + doc-partitioned
+    // windows. q395: the co-purchase graph peel over the 6M-row
+    // lineitem (20k parts; bulk rounds, each one degree aggregate).
+    // q400: the 100-permutation explode into a 400-cell aggregate —
+    // the probe pins that map-side combine absorbs the constant 100x
+    // row fan-out before the wire.
+    // Measured at this scale (local[32], quiet window): q393 9.7 s /
+    // 569 MiB shuffle (the one suffix-key sort — linear in corpus
+    // bytes x 64), q392 6.8 s / 0 MiB (pure map + doc-partitioned
+    // windows, nothing reaches the wire), q400 1.1 s / 0.1 MiB (the
+    // 100x explode collapses map-side; the wire carries 400 cells),
+    // q395 27.7 s / 355 MiB under FIXED-16 rounds — most of that wall
+    // was post-convergence no-op rounds, since replaced by the
+    // fixpoint early-exit below (identical result by idempotence).
+    time("suffix-array dedup 51k docs (~18M suffixes)") {
+      SparkEntry.queries("q393_suffix_array_dedup")(s, out).count()
+    }
+    time("winnowing fingerprints 51k docs") {
+      SparkEntry.queries("q392_winnowing_fingerprints")(s, out).count()
+    }
+    time(s"k-core peel ${6 * mult}M lineitem co-purchase") {
+      SparkEntry.queries("q395_kcore_decomposition")(s, out).count()
+    }
+    time(s"did permutation x100 ${6 * mult}M events") {
+      SparkEntry.queries("q400_did_permutation_test")(s, out).count()
+    }
     s.stop()
   }
 }
