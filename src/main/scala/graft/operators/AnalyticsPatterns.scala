@@ -3518,7 +3518,83 @@ object AnalyticsPatterns extends QueryModule {
         SELECT region, n_h, w, prop_alloc,
                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
                  AS BIGINT) AS neyman_alloc
-        FROM r CROSS JOIN lo ORDER BY region"""))
+        FROM r CROSS JOIN lo ORDER BY region""")),
+
+    Q(
+      "q403_bitemporal_asof",
+      "BITEMPORAL AS-OF REPORTING (Snodgrass 1992's two time axes — " +
+        "VALID time = when the order happened, TRANSACTION time = " +
+        "when the warehouse learned its value; the restatement " +
+        "machinery q146's SCD2 tracks on one axis, completed with " +
+        "the second): a deterministic correction stream restates " +
+        "every 7th order's total 30 days after its order date, and " +
+        "the report answers the auditor's question — per valid-time " +
+        "year, revenue AS KNOWN AT T1 = 1998-07-01 vs AS KNOWN NOW " +
+        "for the SAME orders, the restated-order count, and the " +
+        "restatement delta isolated from new-order growth (the two " +
+        "silently conflated by any single-axis ledger). Orders " +
+        "whose correction lands after T1 show their ORIGINAL value " +
+        "in the T1 column — the boundary subtlety bitemporality " +
+        "exists for. With two versions the as-of pick is a CASE on " +
+        "tx-visibility; the general N-version form is q18's as-of " +
+        "join run on the tx axis. Exact integer cents; the " +
+        "correction amount (orderkey % 1000 - 500) is arithmetic " +
+        "both engines replay. 100 TB: one orders scan, one bounded " +
+        "year-domain aggregate — versions add a constant factor, " +
+        "never a join.",
+      (s, dir) => {
+        import s.implicits._
+        val t1 = lit("1998-07-01 00:00:00").cast("timestamp")
+        Tables.t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderdate",
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("cents"))
+          .withColumn("has_corr", $"o_orderkey" % 7 === 0)
+          .withColumn("corr_cents",
+            $"cents" + ($"o_orderkey" % 1000) - 500L)
+          .withColumn("corr_tx",
+            $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+          .filter($"o_orderdate" <= t1) // known at T1 (v0 tx = orderdate)
+          .select(year($"o_orderdate").cast("long").as("valid_year"),
+            when($"has_corr" && $"corr_tx" <= t1, $"corr_cents")
+              .otherwise($"cents").as("v_t1"),
+            when($"has_corr", $"corr_cents").otherwise($"cents")
+              .as("v_now"))
+          .groupBy($"valid_year")
+          .agg(count(lit(1)).as("n_known_t1"),
+            sum($"v_t1").as("rev_asof_t1_cents"),
+            sum($"v_now").as("rev_asof_now_cents"),
+            sum(($"v_t1" =!= $"v_now").cast("long")).as("n_restated"))
+          .withColumn("restatement_cents",
+            $"rev_asof_now_cents" - $"rev_asof_t1_cents")
+          .orderBy($"valid_year")
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS valid_year,
+                 CASE WHEN o_orderkey % 7 = 0
+                       AND o_orderdate + INTERVAL 30 DAY
+                         <= TIMESTAMP '1998-07-01'
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        + (o_orderkey % 1000) - 500
+                      ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                 END AS v_t1,
+                 CASE WHEN o_orderkey % 7 = 0
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        + (o_orderkey % 1000) - 500
+                      ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                 END AS v_now
+          FROM orders
+          WHERE o_orderdate <= TIMESTAMP '1998-07-01')
+        SELECT valid_year,
+               CAST(count(*) AS BIGINT) AS n_known_t1,
+               CAST(sum(v_t1) AS BIGINT) AS rev_asof_t1_cents,
+               CAST(sum(v_now) AS BIGINT) AS rev_asof_now_cents,
+               CAST(sum(CASE WHEN v_t1 <> v_now THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_restated,
+               CAST(sum(v_now) - sum(v_t1) AS BIGINT)
+                 AS restatement_cents
+        FROM v GROUP BY valid_year ORDER BY valid_year"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -1832,6 +1832,81 @@ object StreamingOps extends QueryModule {
         s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
-        "d1 % 10 = 0 OR d2 % 10 = 0")))
+        "d1 % 10 = 0 OR d2 % 10 = 0"))),
+
+    Q(
+      "q402_stream_kmv_distinct",
+      "STREAMING KMV DISTINCT SKETCH — q399's k-minimum-values " +
+        "signature maintained as PER-KEY STREAMING STATE (the " +
+        "property that makes KMV streaming-native: merging the k " +
+        "smallest distinct hashes is order- and batching-insensitive, " +
+        "so the drained state is BIT-EQUAL to the batch signature — " +
+        "the q374 batch-equality discipline applied to the sketch " +
+        "family): per event type, flatMapGroupsWithState keeps the " +
+        "64 smallest distinct portable hashes (O(k) state per key " +
+        "FOREVER — the standing 'distinct users so far' monitor a " +
+        "naive streaming countDistinct grows without bound to " +
+        "answer), update-mode re-emission per batch, last emission " +
+        "per key = converged signature. Oracle: the batch KMV " +
+        "formula on the same hashes — signature size, k-th minimum " +
+        "and the (k-1)*M div h_k estimate all bit-exact. 100 TB: " +
+        "state is 64 longs per key regardless of stream length.",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        val k = 64
+        val perType = eventsStream(s, dir)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type",
+            (($"user_id" * 2654435761L + 987654321L) % 2147483647L)
+              .as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            (t: String, rows: Iterator[(String, Long)],
+             state: GroupState[(Seq[Long], Long)]) => {
+              val (sig0, seen0) =
+                state.getOption.getOrElse((Seq.empty[Long], 0L))
+              var seen = seen0
+              val buf = scala.collection.mutable.TreeSet[Long](sig0: _*)
+              rows.foreach { r =>
+                seen += 1
+                buf += r._2
+                if (buf.size > k) buf -= buf.last
+              }
+              val sig = buf.toSeq
+              state.update((sig, seen))
+              val est =
+                if (sig.size < k) sig.size.toLong
+                else (k - 1).toLong * 2147483647L / sig.last
+              Iterator((t, seen, sig.size.toLong, sig.last, est))
+            })
+          .toDF("t", "rows_seen", "n_sig", "kth", "est")
+        val out = runToMemory(s, perType, "graft_mem_kmv", "update",
+          shufflePartitions = Some(2))
+        import org.apache.spark.sql.expressions.Window
+        out.withColumn("rn", row_number().over(
+            Window.partitionBy($"t").orderBy($"rows_seen".desc)))
+          .filter($"rn" === 1)
+          .select($"t", $"n_sig", $"kth", $"est")
+          .orderBy($"t")
+      },
+      Some("""
+        WITH hs AS (
+          SELECT DISTINCT event_type AS t,
+                 (user_id * 2654435761 + 987654321) % 2147483647 AS h
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        top AS (
+          SELECT t, h FROM (
+            SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h)
+              AS rk FROM hs)
+          WHERE rk <= 64)
+        SELECT t, CAST(count(*) AS BIGINT) AS n_sig,
+               CAST(max(h) AS BIGINT) AS kth,
+               CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
+                    ELSE CAST(CAST(63 AS BIGINT) * 2147483647
+                      // max(h) AS BIGINT) END AS est
+        FROM top GROUP BY t ORDER BY t"""))
   )
 }
