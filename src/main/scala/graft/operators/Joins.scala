@@ -1760,6 +1760,105 @@ object Joins extends QueryModule {
                CAST(val_cents * np // tot AS BIGINT) AS x_mean
         FROM v, g
         WHERE val_cents * np > tot * 2
-        ORDER BY val_cents DESC, l_partkey"""))
+        ORDER BY val_cents DESC, l_partkey""")),
+
+    Q(
+      "q404_forecast_revenue_change",
+      "FORECASTING REVENUE CHANGE (the TPC-H Q6 shape — the pure " +
+        "scan-side query: no join at all, every predicate single-" +
+        "column and scan-pushable; with q405 this completes ALL 22 " +
+        "classic TPC-H shapes in the corpus): revenue that WOULD have " +
+        "been gained by eliminating small discounts — sum of " +
+        "l_extendedprice * l_discount over one ship-year, a discount " +
+        "band, and a quantity cap, in exact integer cents (per-row " +
+        "round like q357). The PLAN is the point at 100 TB: " +
+        "`.explain` shows all three predicates in PushedFilters on " +
+        "the parquet scan and a 2-column ReadSchema beside the " +
+        "filter columns — the scan reads a fraction of the table and " +
+        "the aggregate is one map-side-combined 1-row reduce; no " +
+        "exchange carries more than 32 partial rows. Discount bounds " +
+        "compare the same parquet doubles both engines read, so the " +
+        "band is bit-identical cross-engine (fixture discounts are " +
+        "exact hundredths).",
+      (s, dir) => {
+        import s.implicits._
+        Tables.t(s, dir, "lineitem")
+          .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+            && $"l_shipdate" < lit("1998-01-01").cast("timestamp")
+            && $"l_discount".between(0.05, 0.07)
+            && $"l_quantity" < 24.0)
+          .agg(sum(expr("cast(round(l_extendedprice * l_discount " +
+            "* 100) as bigint)")).as("lost_revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                 AS BIGINT)) AS BIGINT) AS lost_revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    Q(
+      "q405_product_type_profit",
+      "PRODUCT-TYPE PROFIT BY NATION AND YEAR (the TPC-H Q9 shape — " +
+        "the widest classic join tree: a name-filtered part dim fans " +
+        "lineitem to supplier→nation on one side and orders on the " +
+        "other, profit aggregated by (nation, order-year); the last " +
+        "of the 22 TPC-H shapes). The fixture has no partsupp, so " +
+        "supply cost derives from the part dim itself (q384's " +
+        "precedent): cost-per-unit = 60% of retail price in integer " +
+        "cents via one truncating division (round(p_retailprice*100) " +
+        "* 3 div 5 — DuckDB // truncates identically), and profit = " +
+        "revenue_cents - cost_per_unit * quantity, all BIGINT so " +
+        "nothing can drift. Plan: part (name-filtered, ~1/6 of the " +
+        "dim) and supplier⋈nation BROADCAST — lineitem is pruned by " +
+        "the part semi-side BEFORE the one unavoidable fact-fact " +
+        "exchange with orders on orderkey; the final aggregate is " +
+        "bounded by nations x years. 100 TB: one fact shuffle, " +
+        "everything else map-side.",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.t(s, dir, "part")
+          .filter($"p_name".contains("widget"))
+          .select($"p_partkey",
+            expr("cast(round(p_retailprice * 100) as bigint) * 3 div 5")
+              .as("cost_per_unit_cents"))
+        val sn = Tables.t(s, dir, "supplier")
+          .join(broadcast(Tables.t(s, dir, "nation")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("nation"))
+        Tables.t(s, dir, "lineitem")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+          .join(Tables.t(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"nation",
+            year($"o_orderdate").cast("long").as("o_year"))
+          .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+              " * 100) as bigint) - cost_per_unit_cents * " +
+              "cast(l_quantity as bigint)")).as("profit_cents"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      Some("""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                 * 100) AS BIGINT)
+                 - (CAST(round(p_retailprice * 100) AS BIGINT) * 3 // 5)
+                   * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                 AS profit_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC"""))
   )
 }

@@ -842,6 +842,25 @@ object Stress {
     time(s"did permutation x100 ${6 * mult}M events") {
       SparkEntry.queries("q400_did_permutation_test")(s, out).count()
     }
+    // Round-11 second wave. q409: the join-size sketch is two per-key
+    // count aggregates (lineitem partkey, events user) — pure map-side
+    // combine, the synopsis filter on the count table; the probe pins
+    // linearity in fact rows. q407: one (user, half) aggregate over the
+    // 6M events then rank algebra on the bounded |d| domain. q406: the
+    // deliberate non-scale path is the global ntile window (the audit
+    // SIMULATES a writer's file assignment; a real writer gets file
+    // stats from metadata) — the probe measures that window's cost at
+    // 1.5M orders so the docstring's "audit-scale only" claim is a
+    // number, not a vibe.
+    time(s"join-size sketch ${6 * mult}M lineitem + ${6 * mult}M events") {
+      SparkEntry.queries("q409_correlated_sample_join_size")(s, out).count()
+    }
+    time(s"wilcoxon signed-rank ${6 * mult}M events") {
+      SparkEntry.queries("q407_wilcoxon_signed_rank")(s, out).count()
+    }
+    time(s"zone-map audit ${(1.5 * mult).toInt max 1}M orders (global ntile)") {
+      SparkEntry.queries("q406_zonemap_scan_audit")(s, out).count()
+    }
     s.stop()
   }
 }

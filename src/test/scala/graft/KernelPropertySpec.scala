@@ -478,4 +478,92 @@ class KernelPropertySpec extends AnyFunSuite {
           "coordinates above 2^bits must mask, not corrupt the walk")
     }
   }
+
+  // ---- Damerau-Levenshtein kernel (q408) --------------------------------
+
+  private def dl(a: String, b: String): Int =
+    graft.catalyst.DamerauLev.dist(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  /** Plain Levenshtein reference (independent of the kernel's DP). */
+  private def levRef(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to s.length; j <- 1 to t.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+    d(s.length)(t.length)
+  }
+
+  /** Restricted OSA reference — an UPPER bound on unrestricted DL. */
+  private def osaRef(s: String, t: String): Int = {
+    val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to s.length; j <- 1 to t.length) {
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      if (i > 1 && j > 1 && s(i - 1) == t(j - 2) && s(i - 2) == t(j - 1))
+        d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+    }
+    d(s.length)(t.length)
+  }
+
+  private val smallStr: Gen[String] = Gen.choose(0, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+
+  test("DamerauLev pins the textbook values that separate unrestricted " +
+    "DL from OSA and from plain Levenshtein") {
+    // The defining case: OSA says 3 (may not edit a transposed pair
+    // again), unrestricted DL says 2 (DuckDB's damerau_levenshtein
+    // agrees — the oracle contract of q408).
+    assert(dl("ca", "abc") === 2)
+    assert(osaRef("ca", "abc") === 3)
+    assert(dl("ab", "ba") === 1)      // one adjacent transposition
+    assert(levRef("ab", "ba") === 2)  // costs two substitutions
+    assert(dl("abcdef", "abcfed") === 2)
+    assert(dl("kitten", "sitting") === 3) // no transpositions: = lev
+    assert(dl("", "abc") === 3)
+    assert(dl("abc", "") === 3)
+    assert(dl("", "") === 0)
+  }
+
+  test("DamerauLev is bounded by OSA and Levenshtein, bounded below by " +
+    "the length gap, identity-zero and symmetric") {
+    forAll(Gen.zip(smallStr, smallStr)) { case (a, b) =>
+      val d = dl(a, b)
+      assert(d <= osaRef(a, b), s"dl > osa on ($a, $b)")
+      assert(osaRef(a, b) <= levRef(a, b), s"osa > lev on ($a, $b)")
+      assert(d >= math.abs(a.length - b.length))
+      assert(d === dl(b, a), s"asymmetric on ($a, $b)")
+      assert(dl(a, a) === 0)
+    }
+  }
+
+  test("DamerauLev satisfies the triangle inequality (the metric " +
+    "property OSA famously violates)") {
+    forAll(Gen.zip(smallStr, smallStr, smallStr)) { case (a, b, c) =>
+      assert(dl(a, c) <= dl(a, b) + dl(b, c),
+        s"triangle violated on ($a, $b, $c)")
+    }
+  }
+
+  test("DamerauLevenshtein expression eval path matches the static " +
+    "kernel and handles code points above the BMP as single units") {
+    forAll(Gen.zip(smallStr, smallStr)) { case (a, b) =>
+      val e = graft.catalyst.DamerauLevenshtein(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(a),
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(b),
+          org.apache.spark.sql.types.StringType))
+      assert(e.eval(null) === dl(a, b))
+    }
+    // U+1F600 is a surrogate pair in UTF-16; as a code point it is ONE
+    // edit unit: swapping it with an adjacent ASCII char is one
+    // transposition, not a char-level scramble.
+    val smiley = new String(Character.toChars(0x1F600))
+    assert(dl(s"a$smiley", s"${smiley}a") === 1)
+    assert(dl(smiley, "") === 1)
+  }
 }

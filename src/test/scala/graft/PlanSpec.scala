@@ -1079,4 +1079,34 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled <= 1,
       s"only lineitem-orders may pair as a shuffle join, saw $shuffled")
   }
+
+  test("q404: the Q6 scan-side query pushes all three predicates and " +
+    "prunes the read schema to the filter + measure columns") {
+    val plan = planOf("q404_forecast_revenue_change")
+    assert(plan.contains("PushedFilters: ["), plan.take(800))
+    val pushed = plan.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"),
+      s"all three Q6 predicates must reach the parquet scan: $pushed")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey")
+      && !readSchema.contains("l_returnflag")
+      && !readSchema.contains("l_tax"),
+      s"Q6 must not read columns it never touches: $readSchema")
+  }
+
+  test("q405: the Q9 join tree broadcasts part and supplier-nation; " +
+    "only lineitem-orders may pair as a shuffle join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val nodes = aqeNodes("q405_product_type_profit")
+    val bc = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    val shuffled = nodes.count(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec])
+    assert(bc >= 2,
+      s"part and supplier-nation sides must broadcast, saw $bc")
+    assert(shuffled <= 1,
+      s"only lineitem-orders may pair as a shuffle join, saw $shuffled")
+  }
 }
