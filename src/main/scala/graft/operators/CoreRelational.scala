@@ -615,6 +615,159 @@ object CoreRelational extends QueryModule {
                CAST(est AS BIGINT) AS est, exact,
                CAST((est - exact) * 1000000 // nullif(exact, 0)
                  AS BIGINT) AS bias_ppm
-        FROM rows_ ORDER BY set_name"""))
+        FROM rows_ ORDER BY set_name""")),
+
+    Q(
+      "q410_kll_quantile_sketch",
+      "KLL QUANTILE SKETCH WITH A SELF-TRACKED ERROR CERTIFICATE " +
+        "(Karnin-Lang-Liberty 2016's compactor ladder, fully " +
+        "deterministic — parity-alternating compaction, no RNG — as a " +
+        "native TypedImperativeAggregate, catalyst/QuantileSketchAgg: " +
+        "the missing member of the sketch family: bounded-memory " +
+        "MERGEABLE quantiles, where q113's built-in Greenwald-Khanna " +
+        "is not mergeable across arbitrary partials and q168/q377 are " +
+        "exact but domain-scale): the order-value sketch (k=1024, a " +
+        "few KB) is built in ONE map-side-combined pass, seven " +
+        "percentile probes are answered from the blob on the driver, " +
+        "and each answer's TRUE rank interval (one conditional-sum " +
+        "pass computes R<= and R< of every estimate — tie-aware, a " +
+        "repeated value occupies a rank SPAN) is checked against the " +
+        "certificate the sketch carried through every compaction: " +
+        "R<=(est) >= target - errBound and R<(est) <= target + " +
+        "errBound - 1, where errBound = sum of " +
+        "2^level per performed compaction — an exact worst-case " +
+        "bound, not a probabilistic one. The ESTIMATE depends on the " +
+        "partial-merge tree (not contractual in Spark), so the " +
+        "driver-facing row is the CERTIFICATE CHECK (stable under any " +
+        "shape — also why no SQL oracle can exist: DuckDB cannot " +
+        "replay Spark's merge tree; KernelPropertySpec pins the bound " +
+        "under 1/4/32-way splits and adversarial merge trees) beside " +
+        "the deterministic exact percentile value from the counting-" +
+        "CDF. 100 TB: sketch state is O(k log(n/k)) longs per group " +
+        "forever; the wire carries kilobyte sketches, never values — " +
+        "q218's incremental-rollup shape for latency ladders.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.catalyst.QuantileSketch
+        val v = Tables.t(s, dir, "orders")
+          .select(expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("v"))
+        val blob = v.agg(QuantileSketch
+            .kll_sketch_agg($"v", 1024).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val sk = QuantileSketch.deserialize(blob)
+        val e = sk.errBound
+        // theory ceiling: errBound <= 2 n L / k with L levels; the flag
+        // is stable under every merge shape while errBound itself isn't
+        val lTheory = 64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, sk.n / 1024)) + 2
+        val certLeTheory = e <= 2L * sk.n * lTheory / 1024 + 1L
+        val probes = Seq(1L, 10L, 25L, 50L, 75L, 90L, 99L).map { p =>
+          val t = math.max(1L, p * sk.n / 100L)
+          (p, t, sk.quantileAtRank(t))
+        }
+        val pf = probes.toDF("pct", "target_rank", "est")
+        // ONE conditional-sum pass grades all seven estimates; the
+        // tie-aware guarantee needs both R<=(est) and R<(est): the
+        // returned value occupies a rank interval, and the certificate
+        // says that interval comes within errBound of the target
+        val ranks = v.agg(
+          count(lit(1)).as("n"),
+          probes.flatMap { case (p, _, est) => Seq(
+            sum(($"v" <= est).cast("long")).as(s"le$p"),
+            sum(($"v" < est).cast("long")).as(s"lt$p")) }: _*)
+        val wCum = Window.orderBy($"v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = v.groupBy($"v").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(wCum))
+        val exact = pf.join(cum, $"cum" >= $"target_rank")
+          .groupBy($"pct").agg(min($"v").as("exact_value_cents"))
+        pf.crossJoin(broadcast(ranks))
+          .withColumn("r_le",
+            probes.foldLeft(lit(0L)) { case (acc, (p, _, _)) =>
+              when($"pct" === p, col(s"le$p")).otherwise(acc) })
+          .withColumn("r_lt",
+            probes.foldLeft(lit(0L)) { case (acc, (p, _, _)) =>
+              when($"pct" === p, col(s"lt$p")).otherwise(acc) })
+          .join(broadcast(exact), Seq("pct"))
+          .select($"pct", $"n", $"target_rank", $"exact_value_cents",
+            ($"r_le" >= $"target_rank" - e &&
+              $"r_lt" <= $"target_rank" + e - 1L).cast("long")
+              .as("within_certificate"),
+            lit(if (certLeTheory) 1L else 0L).as("cert_le_theory"))
+          .orderBy($"pct")
+      },
+      None),
+
+    Q(
+      "q411_kll_day_week_rollup",
+      "INCREMENTAL QUANTILE ROLLUP FROM PERSISTED DAY SKETCHES — the " +
+        "operational reason mergeable quantiles exist (q218's " +
+        "day-sketch shape applied to percentiles): per-day KLL " +
+        "sketches of event value (k=256, built in one map-side pass) " +
+        "roll up to per-week sketches by BLOB MERGE (kll_merge_agg — " +
+        "the week stage touches kilobytes of sketch state, never the " +
+        "values it summarizes; tomorrow's week only re-merges 7 " +
+        "blobs), and every weekly p50/p90/p99 answer is graded " +
+        "against its week's exact rank interval under the certificate " +
+        "the blobs carried through build AND merge (merged errBound = " +
+        "sum of input certificates + merge compactions — still an " +
+        "exact worst-case bound). Output is merge-shape-stable like " +
+        "q410: the certificate check and the deterministic exact " +
+        "value, not the shape-dependent estimate (hence rows-only; " +
+        "KernelPropertySpec owns the kernel bound). Weeks are " +
+        "engine-portable epoch-day div 7 (q383's rule). 100 TB: the " +
+        "day grain is the only row-scale aggregate; rollups and " +
+        "probes run on the bounded (week, pct) domain.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.catalyst.QuantileSketch
+        val ev = Tables.t(s, dir, "events")
+          .select(expr("cast(datediff(to_date(ts), date'1970-01-01') " +
+              "as bigint) div 7").as("wk"),
+            to_date($"ts").as("d"),
+            expr("cast(round(value * 1000000) as bigint)").as("vm"))
+        val day = ev.groupBy($"wk", $"d")
+          .agg(QuantileSketch.kll_sketch_agg($"vm", 256).as("sk"))
+        val week = day.groupBy($"wk")
+          .agg(count(lit(1)).as("n_days"),
+            QuantileSketch.kll_merge_agg($"sk").as("sk"))
+          .collect()
+        val probes = Seq(50L, 90L, 99L)
+        val graded = week.flatMap { r =>
+          val wk = r.getLong(0)
+          val nDays = r.getLong(1)
+          val sk = QuantileSketch.deserialize(r.getAs[Array[Byte]](2))
+          probes.map { p =>
+            val t = math.max(1L, p * sk.n / 100L)
+            (wk, nDays, p, t, sk.quantileAtRank(t), sk.errBound)
+          }
+        }.toSeq
+        val pf = graded
+          .toDF("wk", "n_days", "pct", "target_rank", "est", "err_bound")
+        // one pass grades every (week, probe) estimate tie-aware
+        val ranks = ev.join(broadcast(pf), Seq("wk"))
+          .groupBy($"wk", $"pct")
+          .agg(count(lit(1)).as("n_week"),
+            sum(($"vm" <= $"est").cast("long")).as("r_le"),
+            sum(($"vm" < $"est").cast("long")).as("r_lt"))
+        val wCum = Window.partitionBy($"wk").orderBy($"vm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ev.groupBy($"wk", $"vm").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(wCum))
+        val exact = pf.join(cum, Seq("wk"))
+          .filter($"cum" >= $"target_rank")
+          .groupBy($"wk", $"pct")
+          .agg(min($"vm").as("exact_value_micros"))
+        pf.join(ranks, Seq("wk", "pct"))
+          .join(exact, Seq("wk", "pct"))
+          .select($"wk", $"pct", $"n_week", $"n_days",
+            $"exact_value_micros",
+            ($"r_le" >= $"target_rank" - $"err_bound" &&
+              $"r_lt" <= $"target_rank" + $"err_bound" - 1L)
+              .cast("long").as("within_certificate"))
+          .orderBy($"wk", $"pct")
+      },
+      None)
   )
 }

@@ -566,4 +566,127 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(dl(s"a$smiley", s"${smiley}a") === 1)
     assert(dl(smiley, "") === 1)
   }
+
+  // ---- KLL quantile sketch (q410) ---------------------------------------
+
+  import graft.catalyst.QuantileSketch
+
+  private def weightMass(s: QuantileSketch.Sketch): Long =
+    (0 until s.numLevels).map(h => (1L << h) * s.levels(h).size).sum
+
+  /** Deterministic value stream: the portable Knuth mix over 0..n-1 —
+    * shuffled-looking, reproducible, with duplicates. */
+  private def stream(n: Int): Array[Long] =
+    Array.tabulate(n)(i => (i.toLong * 2654435761L + 987654321L) % 100000L)
+
+  private def countLe(sorted: Array[Long], x: Long): Long = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= x) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  private def countLt(sorted: Array[Long], x: Long): Long =
+    countLe(sorted, x - 1)
+
+  /** The tie-aware KLL guarantee (values may repeat, so a returned
+    * value OCCUPIES a rank interval [R<(v)+1, R<=(v)]; the certificate
+    * says that interval comes within errBound of the target):
+    * R<=(est) >= t - E  and  R<(est) <= t + E - 1. */
+  private def assertCertificate(s: QuantileSketch.Sketch,
+      sorted: Array[Long]): Unit = {
+    assert(weightMass(s) === s.n,
+      "compaction must conserve total weight exactly")
+    val e = s.errBound
+    Seq(1L, 10L, 25L, 50L, 75L, 90L, 99L).foreach { p =>
+      val t = math.max(1L, p * s.n / 100L)
+      val est = s.quantileAtRank(t)
+      val rLe = countLe(sorted, est)
+      val rLt = countLt(sorted, est)
+      assert(rLe >= t - e,
+        s"p$p: R<=(est)=$rLe below target $t - errBound $e")
+      assert(rLt <= t + e - 1,
+        s"p$p: R<(est)=$rLt above target $t + errBound $e - 1")
+    }
+  }
+
+  test("KLL sketch is exact (errBound 0) below capacity and on " +
+    "constant input") {
+    val s = new QuantileSketch.Sketch(1024)
+    val vs = stream(500)
+    vs.foreach(s.insert)
+    assert(s.errBound === 0L)
+    val sorted = vs.sorted
+    Seq(1L, 250L, 500L).foreach { t =>
+      assert(s.quantileAtRank(t) === sorted((t - 1).toInt))
+    }
+    val c = new QuantileSketch.Sketch(64)
+    (1 to 10000).foreach(_ => c.insert(42L))
+    assert(c.quantileAtRank(1L) === 42L)
+    assert(c.quantileAtRank(c.n / 2) === 42L)
+    assert(weightMass(c) === 10000L)
+  }
+
+  test("KLL certificate bounds true rank error at 100k inserts and " +
+    "stays under the 2nL/k theory ceiling") {
+    val vs = stream(100000)
+    val s = new QuantileSketch.Sketch(256)
+    vs.foreach(s.insert)
+    assertCertificate(s, vs.sorted)
+    val lTheory = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, s.n / 256)) + 2
+    assert(s.errBound <= 2L * s.n * lTheory / 256 + 1,
+      s"errBound ${s.errBound} above theory for n=${s.n}, k=256")
+  }
+
+  test("KLL certificate holds under every merge shape: sequential " +
+    "4-way, sequential 32-way, and an adversarial pairwise tree") {
+    val vs = stream(100000)
+    val sorted = vs.sorted
+    def build(chunk: Array[Long]): QuantileSketch.Sketch = {
+      val s = new QuantileSketch.Sketch(256)
+      chunk.foreach(s.insert)
+      s
+    }
+    Seq(4, 32).foreach { ways =>
+      val parts = vs.grouped((vs.length + ways - 1) / ways)
+        .map(build).toSeq
+      val acc = parts.head
+      parts.tail.foreach(acc.merge)
+      assert(acc.n === vs.length.toLong)
+      assertCertificate(acc, sorted)
+    }
+    // adversarial: balanced pairwise tree (the shape a parallel
+    // combiner produces), 32 leaves
+    var layer = vs.grouped((vs.length + 31) / 32).map(build).toSeq
+    while (layer.size > 1) {
+      layer = layer.grouped(2).map { pair =>
+        if (pair.size == 2) { pair.head.merge(pair(1)); pair.head }
+        else pair.head
+      }.toSeq
+    }
+    assert(layer.head.n === vs.length.toLong)
+    assertCertificate(layer.head, sorted)
+  }
+
+  test("KLL serialization round-trips bit-identically and preserves " +
+    "behavior") {
+    val s = new QuantileSketch.Sketch(128)
+    stream(20000).foreach(s.insert)
+    val bytes = s.serialize()
+    val back = QuantileSketch.deserialize(bytes)
+    assert(java.util.Arrays.equals(back.serialize(), bytes))
+    assert(back.n === s.n && back.errBound === s.errBound)
+    Seq(1L, 5000L, 10000L, 20000L).foreach { t =>
+      assert(back.quantileAtRank(t) === s.quantileAtRank(t))
+    }
+    // a deserialized sketch keeps merging correctly
+    val other = new QuantileSketch.Sketch(128)
+    stream(5000).foreach(other.insert)
+    back.merge(other)
+    assert(back.n === 25000L)
+    assert(weightMass(back) === 25000L)
+  }
 }
