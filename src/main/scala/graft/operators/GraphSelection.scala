@@ -921,6 +921,13 @@ object GraphSelection extends QueryModule {
           .withColumn("label", $"cx" * 20 + $"cy")
           .localCheckpoint(true)
         var cur = dense.select($"cx", $"cy", $"label")
+        // labels only ever DECREASE (min-propagation), so the label sum
+        // is a complete convergence certificate: any change strictly
+        // lowers it — one 1-row aggregate per round instead of the
+        // old equality join-and-count (a join job per round on a
+        // 40-job iterative query was measurable overhead)
+        var curSum = cur.agg(coalesce(sum($"label"), lit(0L)))
+          .head().getLong(0)
         var changed = 1L
         while (changed > 0) {
           val prop = cur
@@ -941,9 +948,10 @@ object GraphSelection extends QueryModule {
             .select($"cx", $"cy",
               least($"label", coalesce($"ll", $"label")).as("label"))
             .localCheckpoint(true)
-          changed = next
-            .join(cur.withColumnRenamed("label", "old"), Seq("cx", "cy"))
-            .filter($"label" =!= $"old").count()
+          val nextSum = next.agg(coalesce(sum($"label"), lit(0L)))
+            .head().getLong(0)
+          changed = if (nextSum == curSum) 0L else 1L
+          curSum = nextSum
           cur = next
         }
         val clusters = dense.select($"cx", $"cy", $"n_pts")
@@ -1194,9 +1202,26 @@ object GraphSelection extends QueryModule {
           .agg(countDistinct($"a.ok").as("sup"))
           .filter($"sup" >= 2)
           .select($"pa", $"pb")
+        // edges pre-partitioned ONCE by pa: the survivor list is bounded
+        // by the part dim, so both per-round semi joins BROADCAST it
+        // (a checkpointed frame reports default stats, which left alone
+        // planned every round as TWO sort-merge shuffles of the full
+        // edge frame — measured 10.9 s for the 3-k sweep at sf0.1;
+        // broadcast semis preserve the pa-partitioning, so the per-round
+        // degree aggregate reuses it and a round runs EXCHANGE-FREE:
+        // 2.5 s after, same bit-exact output). At 100 TB the node list
+        // is the part dim — still broadcast-size by construction here;
+        // a general graph would flip to the shuffle form only when the
+        // survivor set outgrows the broadcast threshold.
         val edges = pairs
           .unionByName(pairs.select($"pb".as("pa"), $"pa".as("pb")))
+          .repartition($"pa")
           .localCheckpoint(true)
+        def survivors(kept: org.apache.spark.sql.DataFrame) = edges
+          .join(broadcast(kept), $"pa" === $"n", "left_semi")
+          .join(broadcast(kept.select($"n".as("n2"))), $"pb" === $"n2",
+            "left_semi")
+          .groupBy($"pa").agg(count(lit(1)).as("d"))
         val rows = Seq(2, 3, 4).map { k =>
           var kept = edges.select($"pa".as("n")).distinct()
             .localCheckpoint(true)
@@ -1208,11 +1233,7 @@ object GraphSelection extends QueryModule {
           var round = 0
           var converged = false
           while (round < 16 && !converged) {
-            kept = edges
-              .join(kept, $"pa" === $"n", "left_semi")
-              .join(kept.select($"n".as("n2")), $"pb" === $"n2",
-                "left_semi")
-              .groupBy($"pa").agg(count(lit(1)).as("d"))
+            kept = survivors(kept)
               .filter($"d" >= k)
               .select($"pa".as("n")).localCheckpoint(true)
             val cur = kept.count()
@@ -1220,11 +1241,7 @@ object GraphSelection extends QueryModule {
             prev = cur
             round += 1
           }
-          val st = edges
-            .join(kept, $"pa" === $"n", "left_semi")
-            .join(kept.select($"n".as("n2")), $"pb" === $"n2",
-              "left_semi")
-            .groupBy($"pa").agg(count(lit(1)).as("d"))
+          val st = survivors(kept)
             .agg(count(lit(1)).as("nn"),
               coalesce(sum($"d"), lit(0L)).as("dd"),
               coalesce(min($"d"), lit(0L)).as("md"))
