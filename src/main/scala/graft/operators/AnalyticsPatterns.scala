@@ -3732,14 +3732,21 @@ object AnalyticsPatterns extends QueryModule {
         concat(lit("C"), $"o_custkey").as("dst"))
       .distinct()
     val e = snap(e0.union(e0.select($"dst".as("src"), $"src".as("dst"))))
+    // loop INVARIANTS materialized once (deg/nodes/eDeg used to replan
+    // and reshuffle from e on every iteration), and the rank vector
+    // BROADCASTS into each step: the node domain here is the supplier +
+    // customer dims — bounded by construction — so an iteration costs
+    // exactly ONE exchange (the dst-grain contribution aggregate); a
+    // general web-scale graph would keep the shuffle-join form instead
     val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
-    val nodes = e.select($"src".as("node")).distinct()
-    val eDeg = e.join(deg, Seq("src"))
+    val nodes = snap(e.select($"src".as("node")).distinct())
+    val eDeg = snap(e.join(deg, Seq("src")))
     def step(r: DataFrame): DataFrame = {
-      val s2 = eDeg.join(r.withColumnRenamed("node", "src"), Seq("src"))
+      val s2 = eDeg
+        .join(broadcast(r.withColumnRenamed("node", "src")), Seq("src"))
         .select($"dst".as("node"), expr("r DIV d").as("c"))
         .groupBy($"node").agg(sum($"c").as("s"))
-      nodes.join(s2, Seq("node"), "left")
+      nodes.join(broadcast(s2), Seq("node"), "left")
         .select($"node",
           (lit(150000L) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
     }

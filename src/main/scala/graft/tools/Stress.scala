@@ -861,6 +861,21 @@ object Stress {
     time(s"zone-map audit ${(1.5 * mult).toInt max 1}M orders (global ntile)") {
       SparkEntry.queries("q406_zonemap_scan_audit")(s, out).count()
     }
+    // KLL sketch build over the full lineitem price column — the
+    // map-side-combine linearity probe for the quantile kernel: one
+    // sketch, 32 partial sketches merged, certificate checked in-row
+    // by the q410 query body (orders) and here at 4x the rows.
+    time(s"kll sketch build ${6 * mult}M lineitem prices") {
+      import graft.catalyst.QuantileSketch
+      val blob = s.read.parquet(s"$out/lineitem.parquet")
+        .select(expr("cast(round(l_extendedprice * 100) as bigint)")
+          .as("v"))
+        .agg(QuantileSketch.kll_sketch_agg(col("v"), 1024).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sk = QuantileSketch.deserialize(blob)
+      println(s"  kll n=${sk.n} retained=${sk.retained} " +
+        s"errBound=${sk.errBound} (${sk.errBound * 1000000 / sk.n} ppm)")
+    }
     s.stop()
   }
 }
