@@ -2318,6 +2318,122 @@ object Dedup extends QueryModule {
                CAST(count(DISTINCT CASE WHEN lcp >= 20 THEN doc_id END)
                  AS BIGINT) AS docs_implicated,
                CAST(max(lcp) AS BIGINT) AS max_lcp
-        FROM pairs GROUP BY lang ORDER BY lang"""))
+        FROM pairs GROUP BY lang ORDER BY lang""")),
+
+    Q(
+      "q412_bcubed_cluster_eval",
+      "B-CUBED CLUSTERING EVALUATION (Bagga-Baldwin 1998; Amigo 2009 " +
+        "showed it the only common clustering metric satisfying all " +
+        "four formal constraints) grading CHEAP DEDUP KEYS against " +
+        "the exact content-hash truth — the question every pipeline " +
+        "faces before paying for full-content hashing: how wrong is " +
+        "keying on a 40-char prefix, or on the first 8 tokens? " +
+        "Per element, precision = |cand cluster ∩ truth cluster| / " +
+        "|cand cluster| and recall the mirror — both exact rationals " +
+        "computed per (truth, cand) CELL (a cell's a elements each " +
+        "contribute a*1e6 div size, one truncating division " +
+        "identical in both engines), averaged by one final div N. " +
+        "Pair-level over/under-merge counts come from group sizes " +
+        "alone (sum n*(n-1)/2 — no pair frame is ever materialized). " +
+        "Every candidate key is a FUNCTION of the full text, so " +
+        "truth-equal docs can never split across candidate clusters: " +
+        "recall = 1e6 and under_merge = 0 STRUCTURALLY (the in-row " +
+        "self-audit — it holds at sf0.1 where 8 exact-dup docs exist, " +
+        "not just on singleton truth) while precision prices each " +
+        "key's over-merging. 100 TB: three size aggregates on (key) " +
+        "grains plus one cell aggregate; nothing quadratic anywhere.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id", sha2($"text", 256).as("t"),
+            substring($"text", 1, 40).as("c_prefix"),
+            concat_ws(" ", slice(split($"text", " "), 1, 8))
+              .as("c_tokens"))
+          .localCheckpoint(true)
+        def grade(method: String, cCol: String) = {
+          val base = docs.select($"doc_id", $"t", col(cCol).as("c"))
+          val nt = base.groupBy($"t").agg(count(lit(1)).as("nt"))
+          val nc = base.groupBy($"c").agg(count(lit(1)).as("nc"))
+          val cells = base.groupBy($"t", $"c")
+            .agg(count(lit(1)).as("a"))
+            .join(nt, Seq("t")).join(nc, Seq("c"))
+          cells.agg(
+              sum($"a").as("n_docs"),
+              sum($"a" * expr("a * 1000000 div nc")).as("psum"),
+              sum($"a" * expr("a * 1000000 div nt")).as("rsum"),
+              sum(expr("a * (a - 1) div 2")).as("p_tc"))
+            .crossJoin(broadcast(nt.agg(
+              count(lit(1)).as("n_truth_clusters"),
+              sum(expr("nt * (nt - 1) div 2")).as("p_t"))))
+            .crossJoin(broadcast(nc.agg(
+              count(lit(1)).as("n_cand_clusters"),
+              sum(expr("nc * (nc - 1) div 2")).as("p_c"))))
+            .select(lit(method).as("method"), $"n_docs",
+              $"n_truth_clusters", $"n_cand_clusters",
+              expr("psum div n_docs").as("precision_ppm"),
+              expr("rsum div n_docs").as("recall_ppm"),
+              expr("case when psum div n_docs + rsum div n_docs = 0 " +
+                "then 0 else 2 * (psum div n_docs) * (rsum div n_docs)" +
+                " div (psum div n_docs + rsum div n_docs) end")
+                .as("f1_ppm"),
+              ($"p_c" - $"p_tc").as("over_merge_pairs"),
+              ($"p_t" - $"p_tc").as("under_merge_pairs"))
+        }
+        grade("prefix40", "c_prefix")
+          .unionByName(grade("tokens8", "c_tokens"))
+          .orderBy($"method")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, sha256(text) AS t,
+                 substr(text, 1, 40) AS c_prefix,
+                 array_to_string(list_slice(string_split(text, ' '),
+                   1, 8), ' ') AS c_tokens
+          FROM documents),
+        m AS (
+          SELECT 'prefix40' AS method, doc_id, t, c_prefix AS c
+          FROM docs
+          UNION ALL
+          SELECT 'tokens8', doc_id, t, c_tokens FROM docs),
+        nt AS (SELECT method, t, count(*) AS nt
+               FROM m GROUP BY 1, 2),
+        nc AS (SELECT method, c, count(*) AS nc
+               FROM m GROUP BY 1, 2),
+        cells AS (
+          SELECT m.method, m.t, m.c, count(*) AS a
+          FROM m GROUP BY 1, 2, 3),
+        j AS (
+          SELECT cells.method, a, nt.nt, nc.nc
+          FROM cells
+          JOIN nt ON cells.method = nt.method AND cells.t = nt.t
+          JOIN nc ON cells.method = nc.method AND cells.c = nc.c),
+        agg AS (
+          SELECT method,
+                 CAST(sum(a) AS BIGINT) AS n_docs,
+                 CAST(sum(a * (a * 1000000 // nc)) AS BIGINT) AS psum,
+                 CAST(sum(a * (a * 1000000 // nt)) AS BIGINT) AS rsum,
+                 CAST(sum(a * (a - 1) // 2) AS BIGINT) AS p_tc
+          FROM j GROUP BY 1),
+        tt AS (
+          SELECT method, CAST(count(*) AS BIGINT) AS n_truth_clusters,
+                 CAST(sum(nt * (nt - 1) // 2) AS BIGINT) AS p_t
+          FROM nt GROUP BY 1),
+        cc AS (
+          SELECT method, CAST(count(*) AS BIGINT) AS n_cand_clusters,
+                 CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS p_c
+          FROM nc GROUP BY 1)
+        SELECT agg.method, n_docs, n_truth_clusters, n_cand_clusters,
+               CAST(psum // n_docs AS BIGINT) AS precision_ppm,
+               CAST(rsum // n_docs AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN psum // n_docs + rsum // n_docs = 0
+                 THEN 0 ELSE 2 * (psum // n_docs) * (rsum // n_docs)
+                 // (psum // n_docs + rsum // n_docs) END AS BIGINT)
+                 AS f1_ppm,
+               CAST(p_c - p_tc AS BIGINT) AS over_merge_pairs,
+               CAST(p_t - p_tc AS BIGINT) AS under_merge_pairs
+        FROM agg
+        JOIN tt ON agg.method = tt.method
+        JOIN cc ON agg.method = cc.method
+        ORDER BY agg.method"""))
   )
 }
