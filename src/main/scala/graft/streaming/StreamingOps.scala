@@ -1907,6 +1907,96 @@ object StreamingOps extends QueryModule {
                CASE WHEN count(*) < 64 THEN CAST(count(*) AS BIGINT)
                     ELSE CAST(CAST(63 AS BIGINT) * 2147483647
                       // max(h) AS BIGINT) END AS est
-        FROM top GROUP BY t ORDER BY t"""))
+        FROM top GROUP BY t ORDER BY t""")),
+
+    Q(
+      "q413_stream_kll_percentiles",
+      "STREAMING PERCENTILE MONITOR ON PER-KEY KLL STATE — q410's " +
+        "quantile sketch as a STANDING query (the q402 discipline " +
+        "applied to the compactor family): per event type, " +
+        "flatMapGroupsWithState holds ONE serialized KLL sketch " +
+        "(k=256, O(k log n/k) bytes per key FOREVER — the standing " +
+        "'p99 so far' a naive streaming percentile grows without " +
+        "bound to answer), each batch deserializes, inserts, " +
+        "re-serializes and re-emits. Unlike KMV (q402) the drained " +
+        "state is NOT bit-equal to the batch build — compactor " +
+        "sketches are merge-shape-dependent and the batch boundary " +
+        "IS a merge shape — which is exactly why the certificate " +
+        "matters: errBound accumulates through every batch, and the " +
+        "drained sketch's p50/p90/p99 are graded IN-ROW against the " +
+        "exact batch-side rank intervals under that carried bound " +
+        "(tie-aware, q410's R<=/R< form). Output is batching-shape-" +
+        "stable: the certificate verdicts and exact counting-CDF " +
+        "values, never the raw estimates. 100 TB: state is kilobytes " +
+        "per key; the grading scan is the audit, not the operator.",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        import s.implicits._
+        import graft.catalyst.QuantileSketch
+        val perType = eventsStream(s, dir)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type",
+            expr("cast(round(value * 1000000) as bigint)").as("vm"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            (t: String, rows: Iterator[(String, Long)],
+             state: GroupState[Array[Byte]]) => {
+              val sk = state.getOption
+                .map(QuantileSketch.deserialize)
+                .getOrElse(new QuantileSketch.Sketch(256))
+              rows.foreach(r => sk.insert(r._2))
+              val bytes = sk.serialize()
+              state.update(bytes)
+              Iterator((t, sk.n, bytes))
+            })
+          .toDF("t", "rows_seen", "sk")
+        val out = runToMemory(s, perType, "graft_mem_kll", "update",
+          shufflePartitions = Some(2))
+        import org.apache.spark.sql.expressions.Window
+        val last = out.withColumn("rn", row_number().over(
+            Window.partitionBy($"t").orderBy($"rows_seen".desc)))
+          .filter($"rn" === 1)
+          .select($"t", $"sk").collect()
+        val probes = Seq(50L, 90L, 99L)
+        val graded = last.flatMap { r =>
+          val sk = QuantileSketch.deserialize(r.getAs[Array[Byte]](1))
+          probes.map { p =>
+            val tgt = math.max(1L, p * sk.n / 100L)
+            (r.getString(0), p, tgt, sk.quantileAtRank(tgt),
+              sk.errBound, sk.n)
+          }
+        }.toSeq
+        val pf = graded
+          .toDF("t", "pct", "target_rank", "est", "err_bound", "n_sk")
+        val ev = graft.Tables.t(s, dir, "events")
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"event_type".as("t"),
+            expr("cast(round(value * 1000000) as bigint)").as("vm"))
+        val ranks = ev.join(broadcast(pf), Seq("t"))
+          .groupBy($"t", $"pct")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(($"vm" <= $"est").cast("long")).as("r_le"),
+            sum(($"vm" < $"est").cast("long")).as("r_lt"))
+        val wCum = Window.partitionBy($"t").orderBy($"vm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = ev.groupBy($"t", $"vm").agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum($"cnt").over(wCum))
+        val exact = pf.join(cum, Seq("t"))
+          .filter($"cum" >= $"target_rank")
+          .groupBy($"t", $"pct")
+          .agg(min($"vm").as("exact_value_micros"))
+        pf.join(ranks, Seq("t", "pct")).join(exact, Seq("t", "pct"))
+          .select($"t", $"pct", $"n_sk", $"n_batch",
+            ($"n_sk" === $"n_batch").cast("long")
+              .as("stream_saw_every_row"),
+            $"exact_value_micros",
+            ($"r_le" >= $"target_rank" - $"err_bound" &&
+              $"r_lt" <= $"target_rank" + $"err_bound" - 1L)
+              .cast("long").as("within_certificate"))
+          .orderBy($"t", $"pct")
+      },
+      None)
   )
 }
