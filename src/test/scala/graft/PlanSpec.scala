@@ -1109,4 +1109,48 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffled <= 1,
       s"only lineitem-orders may pair as a shuffle join, saw $shuffled")
   }
+
+  test("q409: the join-size estimators never materialize the join — " +
+    "one scan per fact table, zero join operators anywhere") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec, BroadcastNestedLoopJoinExec}
+    assert(scanLeafCount("q409_correlated_sample_join_size") == 2,
+      "lineitem + events exactly once each")
+    val joins = aqeNodes("q409_correlated_sample_join_size").count(n =>
+      n.isInstanceOf[BroadcastHashJoinExec] ||
+        n.isInstanceOf[SortMergeJoinExec] ||
+        n.isInstanceOf[ShuffledHashJoinExec] ||
+        n.isInstanceOf[BroadcastNestedLoopJoinExec])
+    assert(joins == 0,
+      s"the estimate must come from per-key count tables, not from " +
+        s"executing the join it sizes — found $joins join node(s)")
+  }
+
+  test("kll_sketch_agg combines MAP-SIDE: the aggregate plans as a " +
+    "partial/final ObjectHashAggregate pair, so the wire carries " +
+    "sketches, never values") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = spark.read
+      .parquet(s"$sfDir/orders.parquet")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+      .agg(graft.catalyst.QuantileSketch.kll_sketch_agg(col("v"), 256))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+      .toString.split("== Initial Plan ==").head
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val aggs = walk(df.queryExecution.executedPlan).collect {
+      case a: ObjectHashAggregateExec => a }
+    assert(aggs.size >= 2,
+      s"expected partial+final ObjectHashAggregate, plan:\n" +
+        plan.take(1200))
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode.toString.contains("Partial"))),
+      "a Partial-mode aggregate must run before the exchange")
+  }
 }
