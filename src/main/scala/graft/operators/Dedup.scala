@@ -2434,6 +2434,119 @@ object Dedup extends QueryModule {
         FROM agg
         JOIN tt ON agg.method = tt.method
         JOIN cc ON agg.method = cc.method
-        ORDER BY agg.method"""))
+        ORDER BY agg.method""")),
+
+    Q(
+      "q414_ari_purity_eval",
+      "ADJUSTED RAND INDEX + PURITY for the same cheap-dedup-key " +
+        "clusterings (Hubert-Arabie 1985's chance-corrected " +
+        "pair-counting index and the classic majority-overlap purity " +
+        "pair — the two standard clustering-eval lenses BESIDE " +
+        "q412's element-centric B-cubed, each sensitive to a " +
+        "different failure: ARI punishes chance-level agreement, " +
+        "purity ignores fragmentation, B-cubed penalizes both): all " +
+        "four statistics reduce to the same three group-size " +
+        "aggregates q412 computes (cell sizes a, truth sizes nt, " +
+        "candidate sizes nc — no pair frame ever materializes), and " +
+        "ARI's rational ((T*2*P_tc - 2*P_t*P_c) / (T*(P_t+P_c) - " +
+        "2*P_t*P_c) with T = C(n,2)) is emitted as one sign-" +
+        "extracted cross-multiplied ppm division — exact integers " +
+        "end to end. Purity = sum over candidate clusters of their " +
+        "majority-truth overlap div N; inverse purity mirrors from " +
+        "the truth side, and since candidate keys only COARSEN the " +
+        "text-equal truth here, inverse purity = 1e6 structurally " +
+        "(the self-audit, same argument as q412's recall). 100 TB: " +
+        "identical shape to q412 — key-grain aggregates only.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+          .select($"doc_id", sha2($"text", 256).as("t"),
+            substring($"text", 1, 40).as("c_prefix"),
+            concat_ws(" ", slice(split($"text", " "), 1, 8))
+              .as("c_tokens"))
+          .localCheckpoint(true)
+        def grade(method: String, cCol: String) = {
+          val base = docs.select($"doc_id", $"t", col(cCol).as("c"))
+          val cells = base.groupBy($"t", $"c")
+            .agg(count(lit(1)).as("a"))
+          val perC = cells.groupBy($"c")
+            .agg(sum($"a").as("nc"), max($"a").as("maj_c"))
+          val perT = cells.groupBy($"t")
+            .agg(sum($"a").as("nt"), max($"a").as("maj_t"))
+          cells.agg(sum(expr("a * (a - 1) div 2")).as("p_tc"))
+            .crossJoin(broadcast(perC.agg(
+              sum($"nc").as("n"),
+              sum(expr("nc * (nc - 1) div 2")).as("p_c"),
+              sum($"maj_c").as("maj_c_sum"))))
+            .crossJoin(broadcast(perT.agg(
+              sum(expr("nt * (nt - 1) div 2")).as("p_t"),
+              sum($"maj_t").as("maj_t_sum"))))
+            .select(lit(method).as("method"), $"n",
+              expr("n * (n - 1) div 2").as("big_t"),
+              $"p_tc", $"p_t", $"p_c", $"maj_c_sum", $"maj_t_sum")
+            .select($"method", $"n", $"p_tc", $"p_t", $"p_c",
+              expr("case when big_t * (p_t + p_c) - 2 * p_t * p_c = 0 " +
+                "then 1000000 else " +
+                "(case when big_t * 2 * p_tc - 2 * p_t * p_c >= 0 " +
+                "then 1 else -1 end) * " +
+                "(abs(big_t * 2 * p_tc - 2 * p_t * p_c) * 1000000 " +
+                "div (big_t * (p_t + p_c) - 2 * p_t * p_c)) end")
+                .as("ari_ppm"),
+              expr("maj_c_sum * 1000000 div n").as("purity_ppm"),
+              expr("maj_t_sum * 1000000 div n")
+                .as("inverse_purity_ppm"))
+        }
+        grade("prefix40", "c_prefix")
+          .unionByName(grade("tokens8", "c_tokens"))
+          .orderBy($"method")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, sha256(text) AS t,
+                 substr(text, 1, 40) AS c_prefix,
+                 array_to_string(list_slice(string_split(text, ' '),
+                   1, 8), ' ') AS c_tokens
+          FROM documents),
+        m AS (
+          SELECT 'prefix40' AS method, doc_id, t, c_prefix AS c
+          FROM docs
+          UNION ALL
+          SELECT 'tokens8', doc_id, t, c_tokens FROM docs),
+        cells AS (
+          SELECT method, t, c, CAST(count(*) AS BIGINT) AS a
+          FROM m GROUP BY 1, 2, 3),
+        pc AS (
+          SELECT method, CAST(sum(nc) AS BIGINT) AS n,
+                 CAST(sum(nc * (nc - 1) // 2) AS BIGINT) AS p_c,
+                 CAST(sum(maj_c) AS BIGINT) AS maj_c_sum
+          FROM (SELECT method, c, sum(a) AS nc, max(a) AS maj_c
+                FROM cells GROUP BY 1, 2) GROUP BY 1),
+        pt AS (
+          SELECT method,
+                 CAST(sum(nt * (nt - 1) // 2) AS BIGINT) AS p_t,
+                 CAST(sum(maj_t) AS BIGINT) AS maj_t_sum
+          FROM (SELECT method, t, sum(a) AS nt, max(a) AS maj_t
+                FROM cells GROUP BY 1, 2) GROUP BY 1),
+        ag AS (
+          SELECT method,
+                 CAST(sum(a * (a - 1) // 2) AS BIGINT) AS p_tc
+          FROM cells GROUP BY 1),
+        j AS (
+          SELECT ag.method, n, p_tc, p_t, p_c, maj_c_sum, maj_t_sum,
+                 n * (n - 1) // 2 AS big_t
+          FROM ag JOIN pc ON ag.method = pc.method
+          JOIN pt ON ag.method = pt.method)
+        SELECT method, n, p_tc, p_t, p_c,
+               CAST(CASE WHEN big_t * (p_t + p_c) - 2 * p_t * p_c = 0
+                 THEN 1000000 ELSE
+                 (CASE WHEN big_t * 2 * p_tc - 2 * p_t * p_c >= 0
+                  THEN 1 ELSE -1 END) *
+                 (abs(big_t * 2 * p_tc - 2 * p_t * p_c) * 1000000
+                  // (big_t * (p_t + p_c) - 2 * p_t * p_c)) END
+                 AS BIGINT) AS ari_ppm,
+               CAST(maj_c_sum * 1000000 // n AS BIGINT) AS purity_ppm,
+               CAST(maj_t_sum * 1000000 // n AS BIGINT)
+                 AS inverse_purity_ppm
+        FROM j ORDER BY method"""))
   )
 }
