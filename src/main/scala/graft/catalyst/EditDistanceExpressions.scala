@@ -2,9 +2,9 @@ package graft.catalyst
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.graft.{ColumnBridgeImpl => ColumnBridge}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** TRUE (unrestricted) Damerau-Levenshtein distance — the Lowrance-Wagner
@@ -99,8 +99,13 @@ object DamerauLev {
   * (the `levenshtein` built-in's own pattern), keeping the enclosing
   * WholeStageCodegen span intact. */
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+  // analysis-time type check (the built-in `levenshtein`'s own contract):
+  // a non-string child must fail in the analyzer, not as a runtime
+  // ClassCastException inside generated code
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType)
   override def nullSafeEval(a: Any, b: Any): Any =
     DamerauLev.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

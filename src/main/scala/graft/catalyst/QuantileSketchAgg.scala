@@ -2,10 +2,10 @@ package graft.catalyst
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.{ColumnBridgeImpl => ColumnBridge}
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Mergeable KLL-style quantile sketch over LongType values (Karnin-
   * Lang-Liberty 2016's compactor ladder, made fully deterministic:
@@ -211,10 +211,15 @@ case class KllSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QuantileSketch.Sketch] {
+  extends TypedImperativeAggregate[QuantileSketch.Sketch]
+  with ExpectsInputTypes {
 
   require(k >= 8 && k <= 65536 && (k & 1) == 0,
     s"k must be even in [8, 65536]: $k")
+
+  // analysis-time check: a non-long child would otherwise pass analysis
+  // and throw ClassCastException from update() at runtime
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): QuantileSketch.Sketch =
     new QuantileSketch.Sketch(k)
@@ -259,7 +264,11 @@ case class KllMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[QuantileSketch.Sketch] {
+  extends TypedImperativeAggregate[QuantileSketch.Sketch]
+  with ExpectsInputTypes {
+
+  // analysis-time check: only serialized sketch blobs are mergeable
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   // the buffer adopts the first input's k; an empty placeholder with
   // k=0 marks "nothing merged yet"

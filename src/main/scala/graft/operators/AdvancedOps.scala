@@ -863,22 +863,31 @@ object AdvancedOps extends QueryModule {
         "damerau_levenshtein implementation must agree bit-for-bit " +
         "on every pair (the two implementations were cross-verified " +
         "on 3000 random pairs; KernelPropertySpec pins the metric " +
-        "properties OSA violates). 100 TB: names dedup to a bounded " +
-        "domain FIRST (one distinct), the pair join runs inside " +
-        "noun blocks of that bounded frame, and the kernel is one " +
-        "static call inside whole-stage codegen.",
+        "properties OSA violates). 100 TB: names dedup FIRST (one " +
+        "distinct); part nouns are a bounded domain, and supplier " +
+        "names — whose domain grows linearly with scale because the " +
+        "suppkey is embedded — block on the LOSSLESS FastSS " +
+        "delete-one neighborhood (Bocek et al. 2007), keeping the " +
+        "candidate join linear in the domain instead of quadratic; " +
+        "the kernel is one static call inside whole-stage codegen.",
       (s, dir) => {
         import s.implicits._
         import graft.catalyst.DamerauLev.damerau_levenshtein
+        // `keys` returns the ARRAY of block keys a name belongs to; a
+        // candidate pair is any two names sharing >= 1 key (exploded
+        // equi-join, then distinct — a pair sharing several keys must
+        // score once), and the exact DP filter makes any lossless
+        // over-generation harmless
         def scored(df: org.apache.spark.sql.DataFrame, family: String,
-            block: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+            keys: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
             maxDl: Int) = {
           val names = df.distinct()
             .select(col(df.columns.head).as("name"))
-            .withColumn("blk", block(col("name")))
+            .withColumn("blk", explode(keys(col("name"))))
           val a = names.select($"name".as("name_a"), $"blk")
           val b = names.select($"name".as("name_b"), $"blk".as("blk_b"))
           a.join(b, $"blk" === $"blk_b" && $"name_a" < $"name_b")
+            .select($"name_a", $"name_b").distinct()
             .select($"name_a", $"name_b",
               damerau_levenshtein($"name_a", $"name_b").as("dl"),
               levenshtein($"name_a", $"name_b").as("lev"))
@@ -889,14 +898,29 @@ object AdvancedOps extends QueryModule {
               ($"lev" - $"dl").cast("long").as("saved"))
         }
         // part names block on the noun (adjective typos, no digit
-        // structure); supplier names are one block — digit-adjacent
-        // ids like ...012 / ...021 are exactly the single-transposition
-        // near-misses the Damerau metric exists to catch (dl=1, lev=2)
+        // structure). Supplier names embed the suppkey, so their
+        // distinct domain grows LINEARLY with scale factor and a
+        // single shared block would make the self-join O(|supplier|^2)
+        // — instead they block on the FastSS delete-one-character
+        // neighborhood (Bocek et al. 2007), which is LOSSLESS at
+        // dl<=1: a substitution pair shares the variant deleting the
+        // substituted position, a transposition xABy/xBAy shares xBy
+        // (delete 'A' from both), and an insertion pair contains the
+        // shorter name in both key sets — so every dl<=1 pair meets
+        // in >= 1 bucket, buckets stay O(1) (names sharing a delete-1
+        // variant), and the candidate count is linear in the domain.
+        // Digit-adjacent ids like ...012 / ...021 are exactly the
+        // single-transposition near-misses the metric exists to
+        // catch (dl=1, lev=2, 45 such pairs at sf0.01).
         scored(Tables.t(s, dir, "part").select($"p_name"),
-            "part_name", n => split(n, " ").getItem(1), 4)
+            "part_name", n => array(split(n, " ").getItem(1)), 4)
           .unionAll(scored(
             Tables.t(s, dir, "supplier").select($"s_name"),
-            "supplier_name", _ => lit("s"), 1))
+            "supplier_name",
+            _ => expr("array_distinct(concat(array(name), " +
+              "transform(sequence(1, length(name)), i -> " +
+              "concat(substring(name, 1, i - 1), " +
+              "substring(name, i + 1, length(name))))))"), 1))
           .orderBy($"family", $"name_a", $"name_b")
       },
       Some("""

@@ -2355,8 +2355,13 @@ object FeaturePlatform extends QueryModule {
         "rational: z^2 = (W+ - n(n+1)/4)^2 / Var with the tie-" +
         "corrected Var = [n(n+1)(2n+1) - sum(c^3-c)/2]/24 collapses " +
         "to z2_ppm = (2*W2 - n(n+1))^2 * 3 * 10^6 div (2 * V24) — " +
-        "numerator squared in DECIMAL(38,0) (HUGEINT in the oracle), " +
-        "never a float. 100 TB: one (user, half) aggregate is the " +
+        "numerator squared AND the 2*V24 divisor both in " +
+        "DECIMAL(38,0) (HUGEINT in the oracle): 2n^3 overflows int64 " +
+        "near n ~ 1.6M paired users, so the divisor is computed " +
+        "natively wide as 2n(n+1)(2n+1) - tie3 (the tie3/2 halving " +
+        "folded into the doubling; tie3 = sum c^3-c is always even), " +
+        "never a float and never a narrow intermediate. 100 TB: one " +
+        "(user, half) aggregate is the " +
         "only row-scale shuffle; the rank algebra runs on the " +
         "bounded |d|-domain frame.",
       (s, dir) => {
@@ -2383,19 +2388,23 @@ object FeaturePlatform extends QueryModule {
         ranked.agg(
             sum($"cnt").as("n"),
             sum($"pos" * (lit(2L) * $"cumb" + $"cnt" + 1L)).as("w2_pos"),
-            sum(expr("cnt * cnt * cnt - cnt")).as("tie3"))
+            sum(expr("cast(cnt as decimal(38,0)) * cnt * cnt - cnt"))
+              .as("tie3"))
           .select($"n", $"w2_pos",
             ($"n" * ($"n" + 1L) - $"w2_pos").as("w2_neg"),
             ($"tie3" / 2L).cast("long").as("tie_correction"),
-            expr("n * (n + 1) * (2 * n + 1) - tie3 div 2").as("v24"),
+            // the 2*V24 divisor computed NATIVELY in DECIMAL(38,0) —
+            // the previous form built n(n+1)(2n+1) in BIGINT first
+            // (wraps near n ~ 1.6M) and only widened afterwards
+            expr("cast(2 as decimal(38,0)) * n * (n + 1) * (2 * n + 1)" +
+              " - tie3").as("v24x2"),
             expr("case when 2 * w2_pos >= n * (n + 1) then 1 " +
               "else -1 end").as("z_sign"),
             expr("cast(2 * w2_pos - n * (n + 1) as decimal(38,0))")
               .as("num"))
           .select($"n", $"w2_pos", $"w2_neg", $"tie_correction",
             $"z_sign",
-            expr("cast(num * num * 3000000 div " +
-              "cast(2 * v24 as decimal(38,0)) as bigint)")
+            expr("cast(num * num * 3000000 div v24x2 as bigint)")
               .as("z2_ppm"))
       },
       Some("""
@@ -2428,7 +2437,8 @@ object FeaturePlatform extends QueryModule {
           SELECT CAST(sum(cnt) AS BIGINT) AS n,
                  CAST(sum(pos * (2 * cumb + cnt + 1)) AS BIGINT)
                    AS w2_pos,
-                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+                 CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                   AS HUGEINT) AS tie3
           FROM ranked)
         SELECT n, w2_pos,
                CAST(n * (n + 1) - w2_pos AS BIGINT) AS w2_neg,
@@ -2437,7 +2447,8 @@ object FeaturePlatform extends QueryModule {
                  ELSE -1 END AS INTEGER) AS z_sign,
                CAST(CAST(2 * w2_pos - n * (n + 1) AS HUGEINT)
                  * (2 * w2_pos - n * (n + 1)) * 3000000
-                 // (2 * (n * (n + 1) * (2 * n + 1) - tie3 // 2))
+                 // (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)
+                    - tie3)
                  AS BIGINT) AS z2_ppm
         FROM agg"""))
   )
