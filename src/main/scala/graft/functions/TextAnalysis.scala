@@ -2092,11 +2092,22 @@ object TextAnalysis extends QueryModule {
         "tie-break] -> re-symbolize with the codegen'd bpeApplyMerge " +
         "fold -> localCheckpoint so the plan stays one merge deep -> " +
         "repeat). Output: (iteration, a, b, n_merged_pair) — exactly " +
-        "what ships to the tokenizer artifact store. Rows-only: the " +
-        "merge table is the product of an iterative distributed " +
-        "argmax-train loop outside SQL's reach; BpeSpec replays the " +
-        "learned merges against an independent in-memory reference " +
-        "scanner and pins them. 100 TB: each iteration is one " +
+        "what ships to the tokenizer artifact store. PROMOTED round " +
+        "12 from rows-only to a GENERATED oracle (q363's chained-CTE " +
+        "discipline): the trainer is fully deterministic (exact " +
+        "integer pair counts, count-desc + lexical-binary argmax), so " +
+        "the oracle replays all 8 iterations as 8 CTE triples " +
+        "(pair-count / 1-row argmax / re-symbolize). The one subtle " +
+        "leg — the greedy LEFT-TO-RIGHT NON-OVERLAPPING merge fold — " +
+        "maps exactly onto SQL replace() by encoding the symbol " +
+        "sequence as per-symbol-delimited units (chr31+sym+chr31 " +
+        "each; pattern [a][b] -> [ab]): replace() scans left to " +
+        "right and resumes AFTER each replacement, precisely the " +
+        "fold's greedy non-overlap semantics, and the per-symbol " +
+        "wrapping makes cross-boundary false matches impossible " +
+        "([a,b,a,b] merges twice; [xa,b] never matches). BpeSpec " +
+        "still replays the merges against the independent in-memory " +
+        "scanner. 100 TB: each iteration is one " +
         "map-side-combined pair count over the CURRENT symbol corpus " +
         "(shuffle bounded by the vocab-pair domain, never corpus " +
         "bytes) — the q150 snap-per-iteration discipline.",
@@ -2108,7 +2119,7 @@ object TextAnalysis extends QueryModule {
             $"a", $"b", $"n_merged_pair")
           .orderBy($"iteration")
       },
-      None),
+      Some(bpeTrainOracleSql(8))),
 
     Q(
       "q379_langid_confusion",
@@ -2391,6 +2402,61 @@ object TextAnalysis extends QueryModule {
     * order. On a real cluster the corpus frame would persist to
     * disk-backed storage between iterations exactly like q150's
     * pagerankInt (same snap-per-iteration argument). */
+  /** GENERATED DuckDB oracle replaying [[bpeTrain]]'s full nMerges-
+    * iteration loop as chained CTEs (the q363/q378 generated-oracle
+    * discipline — every step below is exact-integer or binary-collation
+    * string logic, so the replay is bit-safe):
+    *  - symbol sequences travel as strings of chr(31)-wrapped units
+    *    (`[a][b][c]` for word "abc", where `[x]` = chr31 + x + chr31);
+    *  - pair counting splits on the chr31-chr31 unit boundary and sums
+    *    word frequencies (identical to bpePairCounts by linearity);
+    *  - the winner is the same (n DESC, a, b) argmax — DuckDB's default
+    *    VARCHAR collation is binary memcmp, the UTF8String order Spark
+    *    sorts by;
+    *  - applying a merge is ONE replace('[a][b]' -> '[ab]'): SQL
+    *    replace scans left-to-right and resumes AFTER each replacement,
+    *    which is exactly bpeApplyMerge's greedy non-overlapping fold,
+    *    and the per-symbol wrapping makes a cross-symbol-boundary match
+    *    impossible ("xa","b" does not contain '[a][b]'). */
+  def bpeTrainOracleSql(nMerges: Int): String = {
+    def unit(x: String) = s"chr(31) || $x || chr(31)"
+    def it(i: Int): String = s"""
+      p$i AS (
+        SELECT pr.a, pr.b, CAST(sum(wcount) AS BIGINT) AS n
+        FROM (
+          SELECT wcount,
+                 unnest([struct_pack(a := syms[j], b := syms[j+1])
+                         for j in range(1, len(syms))]) AS pr
+          FROM (SELECT string_split(substr(s, 2, len(s) - 2),
+                         chr(31) || chr(31)) AS syms, wcount
+                FROM c${i - 1}) t
+          WHERE len(syms) >= 2) u
+        GROUP BY pr.a, pr.b),
+      w$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+      c$i AS MATERIALIZED (
+        SELECT replace(s, ${unit("w.a")} || ${unit("w.b")},
+                       ${unit("w.a || w.b")}) AS s, wcount
+        FROM c${i - 1}, w$i w)"""
+    s"""
+      WITH words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcount
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+              FROM documents)
+        WHERE len(word) >= 2 GROUP BY word),
+      c0 AS MATERIALIZED (
+        SELECT chr(31) ||
+               array_to_string([word[j] for j in range(1, len(word) + 1)],
+                               chr(31) || chr(31)) || chr(31) AS s,
+               wcount
+        FROM words),
+      ${(1 to nMerges).map(it).mkString(",")}
+      SELECT * FROM (${(1 to nMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS iteration, a, b, " +
+          s"CAST(n AS BIGINT) AS n_merged_pair FROM w$i")
+        .mkString(" UNION ALL ")})
+      ORDER BY iteration"""
+  }
+
   def bpeTrain(s: org.apache.spark.sql.SparkSession, dir: String,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     import s.implicits._

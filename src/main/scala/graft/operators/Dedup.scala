@@ -59,6 +59,25 @@ object Dedup extends QueryModule {
     Tables.t(s, dir, "documents").select($"doc_id", shingles(trim($"text")).as("sh"))
   }
 
+  /** THE decontamination kill list — training docs (doc_id % 10 != 0)
+    * sharing ANY shingle with the eval split, the GPT-3/Pile n-gram
+    * rule. One definition shared by q177 (the removal ledger) and the
+    * index delete lifecycles (q415/q416 use a slice of it as their
+    * takedown feed), so "contaminated" can never mean two different
+    * sets across the corpus. Same asymmetric 100 TB shape as q120:
+    * eval shingles DISTINCT-ed then broadcast, corpus scanned once,
+    * only matched doc_ids reach the distinct. */
+  def contaminatedTrainDocIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val evalH = sh.filter($"doc_id" % 10 === 0)
+      .select(explode($"sh").as("h")).distinct()
+    sh.filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", explode($"sh").as("h"))
+      .join(broadcast(evalH), Seq("h"))
+      .select($"doc_id").distinct()
+  }
+
   /** Exact Jaccard pairs (d1 < d2) with similarity >= threshold, via the
     * shingle inverted index. Both oracle-checked queries reuse this.
     *
@@ -386,6 +405,36 @@ object Dedup extends QueryModule {
       .parquet(s"$indexRoot/$batchKey")
   }
 
+  /** Append a kill list (any single-id-column frame) to the signature
+    * index's tombstone set — the dedup-family twin of
+    * Similarity.deleteIvfVectors (q415), kept in a SIBLING directory
+    * (`<root>_tombstones`) so the data glob `<root>/ * ` can never pick
+    * it up as signatures. O(|kill|); the index itself is never touched.
+    * Idempotent by read-side distinct — replaying a delete appends
+    * duplicate rows but changes no dedup result and no compaction
+    * outcome (q416's replay_noop cell). */
+  def deleteSignatures(kill: DataFrame, indexRoot: String): Unit = {
+    import kill.sparkSession.implicits._
+    kill.select(col(kill.columns.head).cast("long").as("doc_id"))
+      .distinct()
+      .coalesce(1).write.mode("append")
+      .parquet(s"${indexRoot}_tombstones")
+  }
+
+  /** The current tombstone set for a signature index (distinct doc_ids;
+    * empty when the index predates the delete lifecycle or was just
+    * compacted). Accepts either the index root or the `<root>/ * ` data
+    * glob readers pass around. Bounded between compactions — compaction
+    * applies and clears it. */
+  def signatureTombstones(s: SparkSession, indexPath: String): DataFrame = {
+    import s.implicits._
+    val root = indexPath.stripSuffix("/*")
+    val p = java.nio.file.Paths.get(s"${root}_tombstones")
+    if (java.nio.file.Files.exists(p))
+      s.read.parquet(p.toString).select($"doc_id").distinct()
+    else Seq.empty[Long].toDF("doc_id")
+  }
+
   /** Batch keys already folded into `base` — kept in a SIBLING directory
     * (`<root>_folded_batches`) so the data glob `<root>/ * ` can never
     * pick the manifest up as a malformed signature file. Empty until the
@@ -422,19 +471,30 @@ object Dedup extends QueryModule {
         .toSeq.sorted
       finally st.close()
     }
-    if (keys.isEmpty) return Nil
+    val nTombstoned = signatureTombstones(s, indexRoot).count()
+    if (keys.isEmpty && nTombstoned == 0) return Nil
     val tmp = java.nio.file.Paths.get(s"${indexRoot}_compacting")
     // targetFiles sizes the rewrite: 1 at fixture scale, index_bytes /
-    // maxPartitionBytes for a real deployment (the q268 sizing rule)
+    // maxPartitionBytes for a real deployment (the q268 sizing rule).
+    // Tombstoned signatures are dropped HERE — the physical application
+    // of every delete since the last compaction; dedup output cannot
+    // change (reads already excluded them), q416 grades the equality.
     s.read.parquet(s"$indexRoot/*")
+      .join(broadcast(signatureTombstones(s, indexRoot)), Seq("doc_id"),
+        "left_anti")
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$tmp/base")
     val old = java.nio.file.Paths.get(s"${indexRoot}_precompact")
     java.nio.file.Files.move(rootP, old)
     java.nio.file.Files.move(tmp, rootP)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    keys.toDF("batch_key").coalesce(1)
-      .write.mode("append").parquet(s"${indexRoot}_folded_batches")
+    if (keys.nonEmpty)
+      keys.toDF("batch_key").coalesce(1)
+        .write.mode("append").parquet(s"${indexRoot}_folded_batches")
+    // clear AFTER the swap: a crash in between leaves stale tombstones
+    // whose anti-join is a harmless no-op, never a resurrection
+    Seq.empty[Long].toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"${indexRoot}_tombstones")
     keys
   }
 
@@ -455,7 +515,13 @@ object Dedup extends QueryModule {
       bands: Int = 16): DataFrame = {
     import s.implicits._
     val rows = k / bands
+    // tombstoned (deleted) index docs drop out BEFORE banding, so a
+    // killed doc neither pairs nor occupies candidate slots — the q416
+    // lifecycle's logical-exclusion leg (the broadcast set is bounded
+    // between compactions, which apply + clear it)
     val idx = s.read.parquet(indexPath) // (doc_id, sh, mh)
+      .join(broadcast(signatureTombstones(s, indexPath)), Seq("doc_id"),
+        "left_anti")
     val fresh = signatureIndex(newDocs, k)
     def banded(sigs: DataFrame) = sigs.select($"doc_id",
       posexplode(bandKeys($"mh", bands, rows)).as(Seq("band_idx", "band_key")))
@@ -1171,13 +1237,7 @@ object Dedup extends QueryModule {
         "+ anti-join. Counts and token sums are integer-exact.",
       (s, dir) => {
         import s.implicits._
-        val sh = docShingles(s, dir)
-        val evalH = sh.filter($"doc_id" % 10 === 0)
-          .select(explode($"sh").as("h")).distinct()
-        val contaminated = sh.filter($"doc_id" % 10 =!= 0)
-          .select($"doc_id", explode($"sh").as("h"))
-          .join(broadcast(evalH), Seq("h"))
-          .select($"doc_id").distinct()
+        val contaminated = contaminatedTrainDocIds(s, dir)
         val train = Tables.t(s, dir, "documents")
           .filter($"doc_id" % 10 =!= 0)
           .select($"doc_id", $"lang",
@@ -2451,8 +2511,14 @@ object Dedup extends QueryModule {
         "ARI's rational ((T*2*P_tc - 2*P_t*P_c) / (T*(P_t+P_c) - " +
         "2*P_t*P_c) with T = C(n,2)) is emitted as one sign-" +
         "extracted cross-multiplied ppm division — exact integers " +
-        "end to end. Purity = sum over candidate clusters of their " +
-        "majority-truth overlap div N; inverse purity mirrors from " +
+        "end to end, with the quadratic products (T is O(n^2), so " +
+        "T*(P_t+P_c) is O(n^4) in doc count) carried in " +
+        "DECIMAL(38,0) / HUGEINT per the q407/q352 convention and " +
+        "the C(n,2) halving folded algebraically into the rational " +
+        "(b2 = n(n-1); num and den both doubled) so no intermediate " +
+        "ever narrows back to BIGINT. Purity = sum over candidate " +
+        "clusters of their majority-truth overlap div N; inverse " +
+        "purity mirrors from " +
         "the truth side, and since candidate keys only COARSEN the " +
         "text-equal truth here, inverse purity = 1e6 structurally " +
         "(the self-audit, same argument as q412's recall). 100 TB: " +
@@ -2482,15 +2548,26 @@ object Dedup extends QueryModule {
               sum(expr("nt * (nt - 1) div 2")).as("p_t"),
               sum($"maj_t").as("maj_t_sum"))))
             .select(lit(method).as("method"), $"n",
-              expr("n * (n - 1) div 2").as("big_t"),
+              // DECIMAL(38,0) (HUGEINT in the oracle) for the ARI
+              // rational, the q407/q352 convention: big_t = n(n-1)/2 is
+              // quadratic in doc count, so big_t*(p_t+p_c) overflows
+              // int64 near n ~ millions of docs — Spark (non-ANSI)
+              // would wrap silently while DuckDB raises. The /2 in
+              // big_t is folded algebraically (b2 = n(n-1) = 2*big_t;
+              // multiply num and den by 2) so no integral `div` — which
+              // always returns BIGINT in Spark — sits mid-chain.
+              expr("cast(n as decimal(38,0)) * (n - 1)").as("b2"),
               $"p_tc", $"p_t", $"p_c", $"maj_c_sum", $"maj_t_sum")
+            .withColumn("ari_num",
+              expr("b2 * 2 * p_tc - " +
+                "4 * cast(p_t as decimal(38,0)) * p_c"))
+            .withColumn("ari_den",
+              expr("b2 * (p_t + p_c) - " +
+                "4 * cast(p_t as decimal(38,0)) * p_c"))
             .select($"method", $"n", $"p_tc", $"p_t", $"p_c",
-              expr("case when big_t * (p_t + p_c) - 2 * p_t * p_c = 0 " +
-                "then 1000000 else " +
-                "(case when big_t * 2 * p_tc - 2 * p_t * p_c >= 0 " +
-                "then 1 else -1 end) * " +
-                "(abs(big_t * 2 * p_tc - 2 * p_t * p_c) * 1000000 " +
-                "div (big_t * (p_t + p_c) - 2 * p_t * p_c)) end")
+              expr("case when ari_den = 0 then 1000000 else " +
+                "(case when ari_num >= 0 then 1 else -1 end) * " +
+                "(abs(ari_num) * 1000000 div ari_den) end")
                 .as("ari_ppm"),
               expr("maj_c_sum * 1000000 div n").as("purity_ppm"),
               expr("maj_t_sum * 1000000 div n")
@@ -2533,20 +2610,116 @@ object Dedup extends QueryModule {
           FROM cells GROUP BY 1),
         j AS (
           SELECT ag.method, n, p_tc, p_t, p_c, maj_c_sum, maj_t_sum,
-                 n * (n - 1) // 2 AS big_t
+                 CAST(n AS HUGEINT) * (n - 1) AS b2
           FROM ag JOIN pc ON ag.method = pc.method
-          JOIN pt ON ag.method = pt.method)
+          JOIN pt ON ag.method = pt.method),
+        r AS (
+          SELECT method, n, p_tc, p_t, p_c, maj_c_sum, maj_t_sum,
+                 b2 * 2 * p_tc
+                   - 4 * CAST(p_t AS HUGEINT) * p_c AS ari_num,
+                 b2 * (p_t + p_c)
+                   - 4 * CAST(p_t AS HUGEINT) * p_c AS ari_den
+          FROM j)
         SELECT method, n, p_tc, p_t, p_c,
-               CAST(CASE WHEN big_t * (p_t + p_c) - 2 * p_t * p_c = 0
-                 THEN 1000000 ELSE
-                 (CASE WHEN big_t * 2 * p_tc - 2 * p_t * p_c >= 0
-                  THEN 1 ELSE -1 END) *
-                 (abs(big_t * 2 * p_tc - 2 * p_t * p_c) * 1000000
-                  // (big_t * (p_t + p_c) - 2 * p_t * p_c)) END
+               CAST(CASE WHEN ari_den = 0 THEN 1000000 ELSE
+                 (CASE WHEN ari_num >= 0 THEN 1 ELSE -1 END) *
+                 (abs(ari_num) * 1000000 // ari_den) END
                  AS BIGINT) AS ari_ppm,
                CAST(maj_c_sum * 1000000 // n AS BIGINT) AS purity_ppm,
                CAST(maj_t_sum * 1000000 // n AS BIGINT)
                  AS inverse_purity_ppm
-        FROM j ORDER BY method"""))
+        FROM r ORDER BY method""")),
+
+    Q(
+      "q416_signature_tombstone_delete",
+      "SIGNATURE-INDEX DELETE/TOMBSTONE LIFECYCLE — q415's takedown " +
+        "verb applied to the dedup stack's own persisted index " +
+        "(write q119 → add q128 → compact q323 → DELETE, closing the " +
+        "maintenance alphabet on the second index family): " +
+        "deleteSignatures appends the kill list (a % 7 slice of the " +
+        "q177 decontamination output — every such doc is a train doc, " +
+        "hence in the index) as an O(|kill|) sibling-directory write; " +
+        "incrementalNeardupPairs anti-joins tombstoned docs out " +
+        "BEFORE banding, so a killed doc neither pairs nor generates " +
+        "candidates; compactSignatureIndex physically drops the " +
+        "tombstoned signatures and clears the set (and now runs on a " +
+        "tombstones-only index — no batch subdirectories needed). " +
+        "The graded cells are STRONGER than constant booleans where " +
+        "the oracle can reach: n_killed, n_pairs_before, and " +
+        "n_pairs_removed are all recomputed independently in SQL " +
+        "(the exact Jaccard pair set restricted to pairs touching an " +
+        "arriving doc — q119's proven premise — split by whether the " +
+        "partner is killed); the lifecycle equalities (post-delete " +
+        "output == pre-delete output minus killed-touching pairs, " +
+        "post-compaction bit-identical, physical drop exactly " +
+        "|kill|, tombstones cleared, replay a no-op) are q323-style " +
+        "booleans. 100 TB: delete is the kill-list write; the dedup " +
+        "overhead is one broadcast anti-join bounded between " +
+        "compactions; the drop piggybacks on the compaction rewrite.",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.t(s, dir, "documents")
+        val root = graft.TempRoots.freshForDir("graft_sigdel", dir).toString
+        writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), s"$root/base")
+        val probe = docs.filter($"doc_id" % 10 === 0)
+        def dedup(): Seq[(Long, Long, Double)] =
+          incrementalNeardupPairs(s, s"$root/*", probe, 0.8)
+            .select($"d1", $"d2", $"jac")
+            .as[(Long, Long, Double)].collect().toSeq.sorted
+        val p0 = dedup()
+        val killedIds = contaminatedTrainDocIds(s, dir)
+          .filter($"doc_id" % 7 === 3)
+          .as[Long].collect().toSet
+        val rowsBefore = s.read.parquet(s"$root/*").count()
+        deleteSignatures(
+          killedIds.toSeq.sorted.toDF("doc_id"), root)
+        val p1 = dedup()
+        val expectedP1 = p0.filterNot { case (d1, d2, _) =>
+          killedIds.contains(d1) || killedIds.contains(d2) }
+        compactSignatureIndex(s, root)
+        val tombstonesCleared = signatureTombstones(s, root).count() == 0L
+        val p2 = dedup()
+        val rowsAfter = s.read.parquet(s"$root/*").count()
+        deleteSignatures(
+          killedIds.toSeq.sorted.toDF("doc_id"), root) // replay
+        val p3 = dedup()
+        Seq((killedIds.size.toLong,
+          p0.size.toLong,
+          (p0.size - expectedP1.size).toLong,
+          p1 == expectedP1,
+          p2 == p1,
+          rowsBefore - rowsAfter == killedIds.size.toLong,
+          tombstonesCleared,
+          p3 == p2))
+          .toDF("n_killed", "n_pairs_before", "n_pairs_removed",
+            "delete_matches_filter", "compaction_bitexact",
+            "rows_dropped_exact", "tombstones_cleared", "replay_noop")
+      },
+      Some(s"""
+        WITH $jaccardPairsCte,
+        jp AS (
+          SELECT d1, d2 FROM jpairs
+          WHERE CAST(common AS DOUBLE) / (n1 + n2 - common) >= 0.8),
+        touching AS (
+          SELECT d1, d2 FROM jp WHERE d1 % 10 = 0 OR d2 % 10 = 0),
+        evh AS (SELECT DISTINCT unnest(sh) AS h FROM shng
+                WHERE doc_id % 10 = 0),
+        cont AS (SELECT DISTINCT u.doc_id
+                 FROM (SELECT doc_id, unnest(sh) AS h FROM shng
+                       WHERE doc_id % 10 <> 0) u
+                 JOIN evh ON u.h = evh.h),
+        kill AS (SELECT doc_id FROM cont WHERE doc_id % 7 = 3)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM kill) AS n_killed,
+               (SELECT CAST(count(*) AS BIGINT) FROM touching)
+                 AS n_pairs_before,
+               (SELECT CAST(count(*) AS BIGINT) FROM touching
+                WHERE d1 IN (SELECT doc_id FROM kill)
+                   OR d2 IN (SELECT doc_id FROM kill))
+                 AS n_pairs_removed,
+               true AS delete_matches_filter,
+               true AS compaction_bitexact,
+               true AS rows_dropped_exact,
+               true AS tombstones_cleared,
+               true AS replay_noop"""))
   )
 }

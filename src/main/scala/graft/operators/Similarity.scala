@@ -1277,11 +1277,19 @@ object Similarity extends QueryModule {
         "a 64-value driver artifact in BigInt. Output: per-iteration " +
         "Rayleigh quotient (micro) and its share of total variance " +
         "(ppm) — the convergence curve a platform monitors to stop " +
-        "early. Rows-only: the iterate depends on the evolving " +
-        "driver-side vector, outside SQL's reach; the spec pins the " +
-        "Rayleigh quotient's monotone convergence, the EVR bracket " +
-        "[1/64, 1], and thread-count invariance (implied by the " +
-        "integer sums).",
+        "early. PROMOTED round 12 from rows-only to a GENERATED " +
+        "oracle (q363/q378's discipline — the q352-style argument " +
+        "that a fixed-depth deterministic iteration chain IS " +
+        "SQL-expressible): every step is exact-integer (long dots, " +
+        "DECIMAL/HUGEINT per-dim sums, truncating divisions with " +
+        "signs extracted, BigInteger floor-sqrt normalization — " +
+        "replayed in SQL as correctly-rounded double sqrt plus a +-2 " +
+        "integer clamp, exact because the double's relative error at " +
+        "these magnitudes is under one ulp of the root), so the " +
+        "oracle replays all 8 iterations as chained CTEs over the " +
+        "exploded (vec_id, pos) frame and the 64-row evolving v " +
+        "tables. The spec still pins monotone convergence and the " +
+        "EVR bracket [1/64, 1].",
       (s, dir) => {
         import s.implicits._
         val xm = Tables.t(s, dir, "embeddings")
@@ -1336,7 +1344,7 @@ object Similarity extends QueryModule {
         iters.toDF("iteration", "rayleigh_micro", "evr_ppm")
           .orderBy($"iteration")
       },
-      None),
+      Some(powerIterationOracleSql(8))),
 
     Q(
       "q378_kmeans_elbow",
@@ -1467,8 +1475,186 @@ object Similarity extends QueryModule {
                CAST(sum(ratio_ppm) // count(*) AS BIGINT)
                  AS mean_ratio_ppm
         FROM r GROUP BY probe_id ORDER BY probe_id""")
-    )
+    ),
+
+    Q(
+      "q415_ivf_tombstone_delete",
+      "ANN INDEX DELETE/TOMBSTONE LIFECYCLE — the missing maintenance " +
+        "verb after build (q233) → add (q234) → compact (q305): a " +
+        "real corpus loop REMOVES vectors (takedowns; the engine's " +
+        "own q177 decontamination emits exactly such a kill list, " +
+        "and a slice of that list is the takedown feed here), and " +
+        "without tombstones one deletion forces a full rebuild. " +
+        "Lifecycle: deleteIvfVectors appends the kill list as an " +
+        "O(|kill|) metadata write (LSM/Lucene-style — lists never " +
+        "touched); every persisted search anti-joins the tombstone " +
+        "set out BEFORE ADC scoring, so a deleted vector neither " +
+        "appears nor occupies a shortlist slot a live runner-up " +
+        "should get; compactIvfLists then drops the tombstoned CODES " +
+        "PHYSICALLY and clears the set (crash between swap and clear " +
+        "leaves only a harmless no-op filter). The audit runs the " +
+        "full cycle — search, delete, search, compact, search, " +
+        "REPLAY the delete, search — and grades q323's constant-" +
+        "expectation booleans: killed ids absent post-delete, post-" +
+        "delete and post-compaction searches BIT-IDENTICAL (logical " +
+        "exclusion == physical absence, the contract that makes the " +
+        "tombstone filter trustworthy), physical rows dropped " +
+        "EXACTLY |kill list|, tombstone set empty after compaction, " +
+        "replay of an applied delete a no-op. n_killed itself is " +
+        "computed independently by the oracle (the decontamination " +
+        "slice joined to the embedding domain in SQL). 100 TB: " +
+        "delete cost is the kill-list write; search overhead is one " +
+        "broadcast anti-join bounded between compactions; the " +
+        "physical drop piggybacks on the compaction rewrite the " +
+        "index already owes.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots.freshForDir("graft_ivfdel", dir).toString
+        writeIvfIndex(emb, root, nlist = 16, iters = 2)
+        val probes = emb.filter($"vec_id" % 50 === 7)
+        def search(): Seq[String] =
+          adcSearchPersisted(s, root, probes, k = 5, nprobe = 4)
+            .collect().toSeq.map(_.toString).sorted
+        val r0 = search()
+        // takedown feed: the q177 decontamination kill list, sliced
+        // (% 7 == 3, ~1/7 of contaminated docs — a realistic takedown
+        // batch, not a corpus wipe) and intersected with the ids the
+        // index actually holds
+        val kill = graft.operators.Dedup.contaminatedTrainDocIds(s, dir)
+          .filter($"doc_id" % 7 === 3)
+          .join(emb.select($"vec_id"), $"doc_id" === $"vec_id", "left_semi")
+          .select($"doc_id".as("vec_id"))
+        val killedIds = kill.as[Long].collect().toSet
+        val rowsBefore = s.read.parquet(s"$root/lists").count()
+        deleteIvfVectors(kill, root)
+        val r1 = search()
+        val killedAbsent = {
+          val ids = adcSearchPersisted(s, root, probes, k = 5, nprobe = 4)
+            .select($"vec_id").as[Long].collect()
+          !ids.exists(killedIds.contains)
+        }
+        compactIvfLists(s, root)
+        val tombstonesCleared = ivfTombstones(s, root).count() == 0L
+        val r2 = search()
+        val rowsAfter = s.read.parquet(s"$root/lists").count()
+        deleteIvfVectors(kill, root) // replay of an already-applied delete
+        val r3 = search()
+        Seq((killedIds.size.toLong,
+          r0 != r1, // the delete visibly changed results
+          killedAbsent,
+          r1 == r2,
+          rowsBefore - rowsAfter == killedIds.size.toLong,
+          tombstonesCleared,
+          r3 == r2))
+          .toDF("n_killed", "delete_observable", "killed_absent",
+            "compaction_bitexact", "rows_dropped_exact",
+            "tombstones_cleared", "replay_noop")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               ${graft.operators.Dedup.duckTokens} AS t FROM documents),
+        shng AS (SELECT doc_id,
+               ${graft.operators.Dedup.duckShingles} AS sh FROM toks),
+        ev AS (SELECT DISTINCT unnest(sh) AS h FROM shng
+               WHERE doc_id % 10 = 0),
+        cont AS (SELECT DISTINCT u.doc_id
+                 FROM (SELECT doc_id, unnest(sh) AS h FROM shng
+                       WHERE doc_id % 10 <> 0) u
+                 JOIN ev ON u.h = ev.h),
+        kill AS (SELECT c.doc_id FROM cont c
+                 JOIN embeddings e ON c.doc_id = e.vec_id
+                 WHERE c.doc_id % 7 = 3)
+        SELECT CAST(count(*) AS BIGINT) AS n_killed,
+               true AS delete_observable,
+               true AS killed_absent,
+               true AS compaction_bitexact,
+               true AS rows_dropped_exact,
+               true AS tombstones_cleared,
+               true AS replay_noop
+        FROM kill"""))
   )
+
+  /** GENERATED DuckDB oracle for q369 — the full 8-iteration power
+    * iteration replayed as chained CTEs over the exploded (vec_id, pos)
+    * frame (q363/q378's generated-oracle discipline). Bit-safety, leg
+    * by leg against the Scala driver loop:
+    *  - micro coords / centering: CAST(round(x*1e6) AS BIGINT) then an
+    *    integer subtraction of the truncated mean — Spark's
+    *    (sum/n).cast(long) is a DOUBLE division then truncation, and
+    *    the sums here (<= 2^31-ish micros) are exactly representable,
+    *    so trunc(sum::DOUBLE / n) replays it bit-for-bit;
+    *  - per-row dot sv: exact BIGINT sum, then `// 1e7` — DuckDB's //
+    *    truncates toward zero exactly like Spark's div (verified on
+    *    negative operands);
+    *  - per-dim X'(Xv) and the Rayleigh numerator: HUGEINT, the
+    *    oracle-side DECIMAL(38,0);
+    *  - normalization: BigInteger.sqrt is floor-sqrt; the replay takes
+    *    floor(sqrt(x::DOUBLE)) — correctly rounded, so off by at most
+    *    ~sqrt(x)*2^-52 < 1 at the ~1e31 magnitudes here — and clamps
+    *    with a +-2 integer search (max r with r^2 <= x), making the
+    *    result EXACT, not approximately right;
+    *  - the v update divides |w|*1e6 by the norm with the sign pulled
+    *    out (both engines truncate toward zero on non-negatives). */
+  private def powerIterationOracleSql(nIters: Int): String = {
+    def it(i: Int): String = s"""
+      svd$i AS MATERIALIZED (
+        SELECT ce.vec_id,
+               CAST(sum(ce.c * v.v) AS BIGINT) // 10000000 AS sv
+        FROM ce JOIN v${i - 1} v USING (pos) GROUP BY ce.vec_id),
+      w$i AS MATERIALIZED (
+        SELECT ce.pos,
+               CAST(sum(CAST(s.sv AS HUGEINT) * ce.c) AS HUGEINT) AS w
+        FROM ce JOIN svd$i s USING (vec_id) GROUP BY ce.pos),
+      r$i AS (SELECT CAST(sum(CAST(sv AS HUGEINT) * sv) AS HUGEINT)
+                AS rnum FROM svd$i),
+      nsq$i AS (SELECT CAST(sum(w * w) AS HUGEINT) AS x FROM w$i),
+      n0$i AS (SELECT x, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT)
+                 AS r0 FROM nsq$i),
+      nrm$i AS (
+        SELECT greatest(CAST(1 AS HUGEINT),
+          (SELECT max(r0 + d.d)
+           FROM n0$i, (VALUES (-2),(-1),(0),(1),(2)) d(d)
+           WHERE r0 + d.d >= 0 AND (r0 + d.d) * (r0 + d.d) <= x)) AS norm
+        FROM n0$i),
+      v$i AS MATERIALIZED (
+        SELECT pos,
+               CAST((CASE WHEN w >= 0 THEN 1 ELSE -1 END) *
+                    ((abs(w) * 1000000) // (SELECT norm FROM nrm$i))
+                 AS BIGINT) AS v
+        FROM w$i),
+      out$i AS (
+        SELECT CAST($i AS BIGINT) AS iteration,
+               CAST(rnum * 100 // (CAST((SELECT n FROM nn) AS HUGEINT)
+                 * 1000000) AS BIGINT) AS rayleigh_micro,
+               CAST(rnum * 100000000 // (SELECT t FROM tr) AS BIGINT)
+                 AS evr_ppm
+        FROM r$i)"""
+    s"""
+      WITH xe AS MATERIALIZED (
+        SELECT vec_id, g.pos,
+               CAST(round(CAST(embedding[g.pos + 1] AS DOUBLE) * 1000000)
+                 AS BIGINT) AS x
+        FROM embeddings, generate_series(0, 63) g(pos)),
+      nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM xe),
+      mu AS MATERIALIZED (
+        SELECT pos, CAST(trunc(CAST(sum(x) AS DOUBLE) / (SELECT n FROM nn))
+          AS BIGINT) AS m
+        FROM xe GROUP BY pos),
+      ce AS MATERIALIZED (
+        SELECT xe.vec_id, xe.pos, xe.x - mu.m AS c
+        FROM xe JOIN mu USING (pos)),
+      tr AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS t
+             FROM ce),
+      v0 AS MATERIALIZED (
+        SELECT g.pos, CAST(125000 AS BIGINT) AS v
+        FROM generate_series(0, 63) g(pos)),
+      ${(1 to nIters).map(it).mkString(",")}
+      SELECT * FROM (${(1 to nIters).map(i => s"SELECT * FROM out$i")
+        .mkString(" UNION ALL ")})
+      ORDER BY iteration"""
+  }
 
   /** GENERATED DuckDB oracle for q378 — the FULL k-means pipeline (seed →
     * 2 Lloyd iterations → assignment → inertia) replayed in SQL, per
@@ -1744,6 +1930,11 @@ object Similarity extends QueryModule {
     Seq.empty[String].toDF("batch_key")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$path/compacted_batches")
+    // the (initially empty) tombstone set — deletes append here,
+    // searches anti-join it, compaction applies + clears it
+    Seq.empty[Long].toDF("vec_id")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
     // one writer task per list -> ONE file per inverted list (the
     // posting-list ideal; 32 shuffle partitions x nlist dirs would
     // otherwise scatter ~500 small files every search pays to open)
@@ -1779,6 +1970,59 @@ object Similarity extends QueryModule {
     s.read.parquet(s"$path/compacted_batches")
       .as[String].collect().toSet
   }
+
+  // ——— Tombstone / delete lifecycle (q415) ———
+  //
+  // A real corpus loop REMOVES vectors — takedowns, and the engine's own
+  // q177 decontamination produces exactly such a kill list. Without
+  // tombstones a single deletion forces a full index rebuild (retraining
+  // the codebook, rewriting every list). The lifecycle here is the
+  // classic LSM/Lucene delete: deletes are O(|kill list|) metadata
+  // appends; every search anti-joins the (tiny, bounded-between-
+  // compactions) tombstone set out of the candidate stage BEFORE any
+  // scoring; the next [[compactIvfLists]] applies them PHYSICALLY
+  // (drops the coded rows) and clears the list. Bit-exactness contract:
+  // a tombstone-filtered search and a post-compaction search return
+  // IDENTICAL rows (the filter runs before the shortlist, so physical
+  // absence and logical exclusion admit the same runner-up candidates) —
+  // q415 grades that equality, replay-safety, and exact physical drop
+  // counts every round.
+
+  /** Append a kill list (any single-id-column frame) to the index's
+    * tombstone set. Idempotent by READ-side distinct: replaying a delete
+    * appends duplicate rows but changes no search result and no
+    * compaction outcome (q415's replay_noop cell). O(|kill|) — never
+    * touches the lists. */
+  def deleteIvfVectors(kill: DataFrame, path: String): Unit = {
+    import kill.sparkSession.implicits._
+    kill.select(col(kill.columns.head).cast("long").as("vec_id"))
+      .distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The current tombstone set (distinct vec_ids; empty frame when the
+    * index predates the delete lifecycle or was just compacted).
+    * Bounded between compactions — compaction applies and clears it —
+    * so broadcasting it into the search anti-join stays cheap; an
+    * operator letting millions of deletes pile up should compact, not
+    * widen this join. */
+  def ivfTombstones(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val p = java.nio.file.Paths.get(s"$path/tombstones")
+    if (java.nio.file.Files.exists(p))
+      s.read.parquet(p.toString).select($"vec_id").distinct()
+    else Seq.empty[Long].toDF("vec_id")
+  }
+
+  /** Candidate rows minus tombstoned ids — applied BEFORE shortlist /
+    * scoring in every persisted-index search, so a logically-deleted
+    * vector can neither appear in results nor occupy a shortlist slot
+    * a live runner-up should get (that slot-freeing is what makes
+    * post-delete and post-compaction searches bit-identical). */
+  private def dropTombstoned(lists: DataFrame, s: SparkSession,
+      path: String): DataFrame =
+    lists.join(broadcast(ivfTombstones(s, path)), Seq("vec_id"),
+      "left_anti")
 
   /** Add an arriving batch to the persisted index WITHOUT retraining and
     * WITHOUT touching history: reload the codebook (k rows), assign the
@@ -1825,12 +2069,17 @@ object Similarity extends QueryModule {
     val lists = s.read.parquet(s"$path/lists")
     val folded = lists.select($"batch").distinct()
       .as[String].collect().filter(_ != "base").sorted.toSeq
-    if (folded.isEmpty) return Nil
+    val nTombstoned = ivfTombstones(s, path).count()
+    if (folded.isEmpty && nTombstoned == 0) return Nil
     val nlist = s.read.parquet(s"$path/codebook").count().toInt
     val tmp = s"$path/lists_compacting"
     // one shuffle bounded by the index size; repartition(nlist, list_id)
-    // → at most one writer task per list → one file per list directory
-    lists.withColumn("batch", lit("base"))
+    // → at most one writer task per list → one file per list directory.
+    // Tombstoned rows are dropped HERE — the physical application of
+    // every delete since the last compaction; because searches already
+    // excluded them before the shortlist, this rewrite cannot change
+    // any search result (q415's compaction_bitexact cell).
+    dropTombstoned(lists, s, path).withColumn("batch", lit("base"))
       .repartition(nlist, $"list_id")
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(tmp)
@@ -1839,8 +2088,16 @@ object Similarity extends QueryModule {
     java.nio.file.Files.move(p.resolve("lists"), old)
     java.nio.file.Files.move(p.resolve("lists_compacting"), p.resolve("lists"))
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    folded.toDF("batch_key").coalesce(1)
-      .write.mode("append").parquet(s"$path/compacted_batches")
+    if (folded.nonEmpty)
+      folded.toDF("batch_key").coalesce(1)
+        .write.mode("append").parquet(s"$path/compacted_batches")
+    // tombstones are now physically applied — clear the set AFTER the
+    // lists swap: a crash between swap and clear leaves stale tombstones
+    // whose anti-join is a harmless no-op (the rows are already gone),
+    // never a resurrection. A vector re-ADDED after this clear is new
+    // data and searches normally (the delete was applied, not eternal).
+    Seq.empty[Long].toDF("vec_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tombstones")
     folded
   }
 
@@ -1857,7 +2114,7 @@ object Similarity extends QueryModule {
     import graft.catalyst.VecOps.top_centroids
     import s.implicits._
     val cb = readIvfCodebook(s, path)
-    val lists = s.read.parquet(s"$path/lists")
+    val lists = dropTombstoned(s.read.parquet(s"$path/lists"), s, path)
     val p = probes
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
         explode(top_centroids($"embedding", cb, nprobe)).as("lid"))
@@ -1887,7 +2144,9 @@ object Similarity extends QueryModule {
     // subspace width comes FROM the persisted artifact — a pqCodebooks
     // retune cannot silently desync the probe-side slicing
     val sub = pqs.head.head.length
-    val lists = s.read.parquet(s"$path/lists")
+    // tombstones drop out BEFORE the ADC scoring / shortlist, so a
+    // deleted vector frees its shortlist slot for the live runner-up
+    val lists = dropTombstoned(s.read.parquet(s"$path/lists"), s, path)
     val p = probes
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
         explode(top_centroids($"embedding", cb, nprobe)).as("lid"))

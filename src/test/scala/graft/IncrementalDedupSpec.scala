@@ -165,4 +165,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(Dedup.foldedSignatureKeys(spark, root).nonEmpty,
       "the folded-key manifest must record a mid-stream compaction")
   }
+
+  test("q416 signature delete lifecycle: tombstoned docs stop pairing, " +
+    "replay is a no-op, compaction drops them physically and clears " +
+    "the set") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val root = TempRoots.freshForDir("graft_sigdel_spec", sfDir).toString
+    Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+      s"$root/base")
+    val probe = docs.filter($"doc_id" % 10 === 0)
+    def dedup(): Seq[(Long, Long, Double)] =
+      Dedup.incrementalNeardupPairs(spark, s"$root/*", probe, 0.8)
+        .select($"d1", $"d2", $"jac")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val p0 = dedup()
+    // kill the index-side partner of every found pair — observability
+    // guaranteed: all pairs touching only killed index docs must vanish
+    val kill = p0.flatMap(p => Seq(p._1, p._2))
+      .filter(_ % 10 != 0).distinct.toSet
+    assume(kill.nonEmpty, "fixture has no new-old pairs to kill")
+    Dedup.deleteSignatures(kill.toSeq.sorted.toDF("doc_id"), root)
+    val p1 = dedup()
+    val expected = p0.filterNot(p =>
+      kill.contains(p._1) || kill.contains(p._2))
+    assert(p1 == expected,
+      "post-delete output must equal pre-delete minus killed-touching " +
+        "pairs")
+    assert(p1 != p0, "deleting pair partners must change the output")
+    // replay before compaction: appended duplicates, same answer
+    Dedup.deleteSignatures(kill.toSeq.sorted.toDF("doc_id"), root)
+    assert(dedup() == p1)
+    val rowsBefore = spark.read.parquet(s"$root/*").count()
+    Dedup.compactSignatureIndex(spark, root)
+    assert(dedup() == p1,
+      "physical drop must be bit-identical to the tombstone filter")
+    assert(spark.read.parquet(s"$root/*").count() ==
+      rowsBefore - kill.size,
+      "compaction must drop exactly the killed signatures")
+    assert(Dedup.signatureTombstones(spark, root).count() == 0,
+      "compaction must clear applied tombstones")
+    // replay after the clear: rows already gone, still a no-op
+    Dedup.deleteSignatures(kill.toSeq.sorted.toDF("doc_id"), root)
+    assert(dedup() == p1)
+  }
 }

@@ -329,4 +329,50 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(numFiles(probed) < numFiles(full),
       s"pruning read ${numFiles(probed)} files vs full ${numFiles(full)}")
   }
+
+  test("q415 delete lifecycle survives a restart: tombstones are disk " +
+    "state, replay is a no-op, compaction applies-then-clears exactly " +
+    "once") {
+    // own index — the shared `root` must stay delete-free for the other
+    // tests
+    val r = TempRoots.freshForDir("graft_ivf_del_spec", sfDir).toString
+    Similarity.writeIvfIndex(history, r, nlist = 16, iters = 2)
+    val probes = e.filter($"vec_id" < 8)
+    def search() = Similarity.adcSearchPersisted(spark, r, probes,
+      k = 5, nprobe = 4).collect().toSeq.map(_.toString).sorted
+    val before = search()
+    // kill the current top-1 neighbors — guarantees the delete is
+    // observable and the shortlist slots get re-filled
+    val kill = Similarity.adcSearchPersisted(spark, r, probes,
+        k = 1, nprobe = 4)
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(kill.nonEmpty)
+    Similarity.deleteIvfVectors(kill.toSeq.sorted.toDF("vec_id"), r)
+    val afterDelete = search()
+    assert(afterDelete != before, "deleting top-1 ids must change results")
+    val ids = Similarity.adcSearchPersisted(spark, r, probes,
+      k = 5, nprobe = 4).select($"vec_id").as[Long].collect()
+    assert(!ids.exists(kill.contains), "tombstoned ids surfaced in search")
+    // "restart": all state is on disk — a fresh read path (new DataFrames
+    // from the same dir) must see the tombstones; then an at-least-once
+    // REPLAY of the same delete must change nothing
+    Similarity.deleteIvfVectors(kill.toSeq.sorted.toDF("vec_id"), r)
+    assert(search() == afterDelete, "replayed delete must be a no-op")
+    val rowsBefore = spark.read.parquet(s"$r/lists").count()
+    Similarity.compactIvfLists(spark, r)
+    assert(search() == afterDelete,
+      "physical drop at compaction must be bit-identical to the logical " +
+        "tombstone filter")
+    assert(spark.read.parquet(s"$r/lists").count() ==
+      rowsBefore - kill.size, "compaction must drop exactly the kill set")
+    assert(Similarity.ivfTombstones(spark, r).count() == 0,
+      "compaction must clear applied tombstones")
+    // post-clear replay: the rows are gone, the anti-join is a no-op
+    Similarity.deleteIvfVectors(kill.toSeq.sorted.toDF("vec_id"), r)
+    assert(search() == afterDelete)
+    // knnIvfPersisted honors tombstones too
+    val knnIds = Similarity.knnIvfPersisted(spark, r, probes, 5, 4)
+      .select($"vec_id").as[Long].collect()
+    assert(!knnIds.exists(kill.contains))
+  }
 }
