@@ -1857,15 +1857,25 @@ object Dedup extends QueryModule {
                 "concat(element_at(t, i), char(31), element_at(t, i + 1)," +
                 " char(31), element_at(t, i + 2)))"))
               .otherwise(array(array_join($"t", "\u001f")))).as("sh"))
-        val pref = prefSrc.select($"doc_id",
+        // materialize the per-doc STRING shingle arrays FIRST (one slim
+        // row per doc): the prefix projection below references `sh`
+        // three times (size twice for the slice length, the array once
+        // for the sort), and higher-order functions are excluded from
+        // codegen subexpression elimination — so without this barrier
+        // CollapseProject inlines the whole tokenize+transform+concat+
+        // distinct pipeline once PER REFERENCE and the candidate leg
+        // re-tokenizes the corpus ~4x (measured: the leg drops
+        // 9.5 s -> ~2.5 s at sf0.1; round 11's exploded-frame
+        // checkpoint below had only deduplicated across the two JOIN
+        // SIDES, not across the references inside this projection)
+        val shMat = prefSrc.localCheckpoint(true)
+        val pref = shMat.select($"doc_id",
           size($"sh").cast("long").as("n"),
           slice(array_sort($"sh"), lit(1),
             (size($"sh") - expr("(size(sh) * 4 + 4) div 5") + 1)
               .cast("int")).as("prefix"))
-        // materialize the slim exploded-prefix frame ONCE: it feeds BOTH
-        // sides of the self-join, and without the barrier the whole
-        // string-shingle pipeline (transform+concat+sort per doc) would
-        // re-run per side — measured 21 s -> ~8 s at sf0.1
+        // the slim exploded-prefix frame still materializes ONCE — it
+        // feeds BOTH sides of the self-join (round 11's fix, kept)
         val ex = pref.select($"doc_id", $"n", explode($"prefix").as("h"))
           .localCheckpoint(true)
         val cand = ex.select($"doc_id".as("d1"), $"n".as("n1"), $"h")
