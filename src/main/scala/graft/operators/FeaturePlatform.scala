@@ -2450,7 +2450,111 @@ object FeaturePlatform extends QueryModule {
                  // (CAST(2 AS HUGEINT) * n * (n + 1) * (2 * n + 1)
                     - tie3)
                  AS BIGINT) AS z2_ppm
-        FROM agg"""))
+        FROM agg""")),
+
+    Q(
+      "q417_shard_sort_zonemap",
+      "SORT-ON-WRITE GATED BY THE ENGINE'S OWN FILES — q406 modeled " +
+        "zone maps on ntile'd row groups and argued for a sort-on-" +
+        "write knob the shard writer didn't have; this round the knob " +
+        "exists (TrainingShards.write(sortColumns=...)) and the audit " +
+        "re-runs against REAL parquet files the engine itself wrote: " +
+        "orders sharded twice through the SAME writer (4 shards, " +
+        "250-row file cap) — once in reproducible-shuffle order, once " +
+        "sorted by price cents within each shard — then every " +
+        "physical file's min/max/match-count is measured via " +
+        "input_file_name() and the q406 statistics recomputed per " +
+        "layout. The ORACLE replays the writer's whole layout " +
+        "CONTRACT in SQL: the md5-seeded two-phase global rank " +
+        "(q125's proven replay), shard = rk mod 4, within-shard " +
+        "order (rk, or price-with-rk-tie-break), and the 250-row " +
+        "file split as rank-div-250 groups — so a writer regression " +
+        "(split boundaries, sort not honored, shard drift) flips " +
+        "REAL file counts against the modeled ones and goes driver-" +
+        "red. 100 TB: the writer is the same one-pass " +
+        "repartitionByRange; the audit is one input_file_name " +
+        "group-by per layout.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+        val root = graft.TempRoots.freshForDir("graft_shardsort", dir)
+          .toString
+        graft.sink.TrainingShards.write(o, s"$root/ins", "seed42", 4,
+          maxRecordsPerFile = 250L)
+        graft.sink.TrainingShards.write(o, s"$root/srt", "seed42", 4,
+          maxRecordsPerFile = 250L, sortColumns = Seq("v"))
+        val lo = 25000000L; val hi = 25250000L
+        def audit(layout: String, path: String) =
+          s.read.parquet(path)
+            .select($"v", input_file_name().as("f"))
+            .groupBy($"f")
+            .agg(min($"v").as("zmin"), max($"v").as("zmax"),
+              sum($"v".between(lo, hi).cast("long")).as("n_match"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(($"zmin" <= hi && $"zmax" >= lo).cast("long"))
+                .as("files_zonemap_scan"),
+              sum(($"n_match" > 0L).cast("long")).as("files_matching"),
+              sum($"n_match").as("rows_selected"))
+            .select(lit(layout).as("layout"), $"n_files",
+              $"files_zonemap_scan", $"files_matching",
+              ($"files_zonemap_scan" - $"files_matching").as("false_scan"),
+              $"rows_selected")
+        audit("insertion_rk", s"$root/ins")
+          .unionAll(audit("sorted_by_price", s"$root/srt"))
+          .orderBy($"layout")
+      },
+      Some("""
+        WITH r AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 row_number() OVER (ORDER BY
+                   md5('seed42:' || CAST(o_orderkey AS VARCHAR)),
+                   o_orderkey) - 1 AS rk
+          FROM orders),
+        sh AS (SELECT v, rk, CAST(rk % 4 AS INTEGER) AS shard FROM r),
+        fi AS (
+          SELECT v, shard,
+                 (row_number() OVER (PARTITION BY shard ORDER BY rk) - 1)
+                   // 250 AS fidx
+          FROM sh),
+        fs AS (
+          SELECT v, shard,
+                 (row_number() OVER (PARTITION BY shard ORDER BY v, rk)
+                   - 1) // 250 AS fidx
+          FROM sh),
+        zi AS (
+          SELECT shard, fidx, min(v) AS zmin, max(v) AS zmax,
+                 sum(CASE WHEN v BETWEEN 25000000 AND 25250000
+                   THEN 1 ELSE 0 END) AS n_match
+          FROM fi GROUP BY 1, 2),
+        zs AS (
+          SELECT shard, fidx, min(v) AS zmin, max(v) AS zmax,
+                 sum(CASE WHEN v BETWEEN 25000000 AND 25250000
+                   THEN 1 ELSE 0 END) AS n_match
+          FROM fs GROUP BY 1, 2),
+        a AS (
+          SELECT 'insertion_rk' AS layout,
+                 CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(CASE WHEN zmin <= 25250000
+                     AND zmax >= 25000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files_zonemap_scan,
+                 CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS files_matching,
+                 CAST(sum(n_match) AS BIGINT) AS rows_selected
+          FROM zi
+          UNION ALL
+          SELECT 'sorted_by_price', CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN zmin <= 25250000
+                     AND zmax >= 25000000 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(sum(CASE WHEN n_match > 0 THEN 1 ELSE 0 END)
+                   AS BIGINT),
+                 CAST(sum(n_match) AS BIGINT)
+          FROM zs)
+        SELECT layout, n_files, files_zonemap_scan, files_matching,
+               CAST(files_zonemap_scan - files_matching AS BIGINT)
+                 AS false_scan, rows_selected
+        FROM a ORDER BY layout"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

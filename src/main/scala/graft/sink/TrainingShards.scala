@@ -55,19 +55,32 @@ object TrainingShards {
     * split file holds a contiguous rank range, so files stay
     * individually ordered and range-disjoint (a reader orders a shard's
     * files by their first rank — no global sort ever needed again).
+    *
+    * `sortColumns` is the SORT-ON-WRITE knob q406's zone-map audit
+    * argues for: when non-empty, rows inside each shard are ordered by
+    * those columns (rk appended as the deterministic tie-break) instead
+    * of the shuffle order, so every split file covers a narrow value
+    * range and a reader's min/max file statistics prune a band probe to
+    * the 1-2 files that hold it — the measured difference between
+    * reading 2 files and all of them (q406: 64 -> 2 at equal file
+    * counts; q417 re-measures it on files THIS writer produced).
+    * Training readers that need shuffle order leave it empty; analytic
+    * consumers of the same shards set it to their probe column.
     * Returns the per-shard (shard_id, n_rows) audit. */
   def write(docs: DataFrame, path: String, seed: String,
-      nShards: Int, maxRecordsPerFile: Long = 0L): Array[(Int, Long)] = {
+      nShards: Int, maxRecordsPerFile: Long = 0L,
+      sortColumns: Seq[String] = Nil): Array[(Int, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     val sharded = withShardIds(docs, seed, nShards)
+    val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
     sharded
       // range partitioning: shard_id values map to distinct partitions
       // (one write task per shard). Hash repartition collides shard ids
       // (pmod(hash(id), n) is not a bijection) — output stays correct
       // but ~1/e of the tasks end up empty and others carry 2-3 shards
       .repartitionByRange(nShards, $"shard_id")
-      .sortWithinPartitions($"shard_id", $"rk")
+      .sortWithinPartitions(order: _*)
       .write.partitionBy("shard_id")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)

@@ -79,4 +79,60 @@ class TrainingShardsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sortColumns: the sort-on-write knob makes real files zone-map-" +
+    "prunable — band probe touches a small fraction of sorted files, " +
+    "every insertion-order file") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+    val root = TempRoots.freshForDir("graft_shardsort_spec", sfDir).toString
+    TrainingShards.write(o, s"$root/ins", "seed42", 4,
+      maxRecordsPerFile = 100L)
+    TrainingShards.write(o, s"$root/srt", "seed42", 4,
+      maxRecordsPerFile = 100L, sortColumns = Seq("v"))
+    val lo = 25000000L; val hi = 25250000L
+    def scanStats(path: String): (Long, Long) = {
+      val z = spark.read.parquet(path)
+        .select($"v", input_file_name().as("f"))
+        .groupBy($"f")
+        .agg(min($"v").as("zmin"), max($"v").as("zmax"))
+        .agg(count(lit(1)),
+          sum(($"zmin" <= hi && $"zmax" >= lo).cast("long")))
+        .head()
+      (z.getLong(0), z.getLong(1))
+    }
+    val (nIns, scanIns) = scanStats(s"$root/ins")
+    val (nSrt, scanSrt) = scanStats(s"$root/srt")
+    assert(nIns == nSrt, "both layouts must produce the same file count")
+    assert(scanIns == nIns,
+      "insertion-order zone maps must all straddle the band (that is " +
+        s"the pathology): scanned $scanIns of $nIns")
+    // structural bound: within each shard the band is CONTIGUOUS in the
+    // sorted order, so it spans at most ceil(band_rows_in_shard/cap)+1
+    // files; with the fixture band ≲ one file per shard, 2 per shard is
+    // the loose ceiling (insertion order scans ALL files regardless)
+    assert(scanSrt <= 2 * 4,
+      s"sorted layout must prune the band probe to ~1 file per shard: " +
+        s"scanned $scanSrt of $nSrt")
+    assert(scanSrt < scanIns,
+      s"sorting must strictly beat insertion order: $scanSrt vs $scanIns")
+    // the knob must not change WHAT is stored — same rows both layouts
+    def rows(path: String) = spark.read.parquet(path)
+      .select($"doc_id", $"v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(s"$root/ins") === rows(s"$root/srt"))
+    // within each sorted file, rows really are in v order (the contract
+    // a sequential reader of one file relies on)
+    val perFile = spark.read.parquet(s"$root/srt")
+      .select($"v", input_file_name().as("f"))
+      .withColumn("ord", monotonically_increasing_id())
+      .collect().groupBy(_.getString(1))
+    perFile.values.foreach { rws =>
+      val vs = rws.sortBy(_.getLong(2)).map(_.getLong(0))
+      assert(vs.sameElements(vs.sorted), "file rows not in sort order")
+    }
+  }
 }
