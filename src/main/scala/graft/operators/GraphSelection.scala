@@ -1202,57 +1202,88 @@ object GraphSelection extends QueryModule {
           .agg(countDistinct($"a.ok").as("sup"))
           .filter($"sup" >= 2)
           .select($"pa", $"pb")
-        // edges pre-partitioned ONCE by pa: the survivor list is bounded
-        // by the part dim, so both per-round semi joins BROADCAST it
-        // (a checkpointed frame reports default stats, which left alone
-        // planned every round as TWO sort-merge shuffles of the full
-        // edge frame — measured 10.9 s for the 3-k sweep at sf0.1;
-        // broadcast semis preserve the pa-partitioning, so the per-round
-        // degree aggregate reuses it and a round runs EXCHANGE-FREE:
-        // 2.5 s after, same bit-exact output). At 100 TB the node list
-        // is the part dim — still broadcast-size by construction here;
-        // a general graph would flip to the shuffle form only when the
-        // survivor set outgrows the broadcast threshold.
+        // edges pre-partitioned ONCE by pa; the per-round physical form
+        // is size-GATED inside kcoreStats: survivor lists under the
+        // broadcast threshold (this fixture's case — the node list is
+        // the part dim by construction) ride broadcast semi joins and
+        // each round runs EXCHANGE-FREE; a general graph whose survivor
+        // set outgrows the threshold flips to shuffle semi joins with
+        // the same bit-exact fixpoint (GraphPathSpec + the 10x Stress
+        // probe run BOTH forms and assert equality).
         val edges = pairs
           .unionByName(pairs.select($"pb".as("pa"), $"pa".as("pb")))
           .repartition($"pa")
           .localCheckpoint(true)
-        def survivors(kept: org.apache.spark.sql.DataFrame) = edges
-          .join(broadcast(kept), $"pa" === $"n", "left_semi")
-          .join(broadcast(kept.select($"n".as("n2"))), $"pb" === $"n2",
-            "left_semi")
-          .groupBy($"pa").agg(count(lit(1)).as("d"))
-        val rows = Seq(2, 3, 4).map { k =>
-          var kept = edges.select($"pa".as("n")).distinct()
-            .localCheckpoint(true)
-          // early-exit at the fixpoint: identical to the oracle's fixed
-          // 16 rounds (peeling is idempotent there), but the 10x Stress
-          // probe measured the convergence tail as most of the wall —
-          // the count() per round is against a checkpointed frame
-          var prev = kept.count()
-          var round = 0
-          var converged = false
-          while (round < 16 && !converged) {
-            kept = survivors(kept)
-              .filter($"d" >= k)
-              .select($"pa".as("n")).localCheckpoint(true)
-            val cur = kept.count()
-            converged = cur == prev
-            prev = cur
-            round += 1
-          }
-          val st = survivors(kept)
-            .agg(count(lit(1)).as("nn"),
-              coalesce(sum($"d"), lit(0L)).as("dd"),
-              coalesce(min($"d"), lit(0L)).as("md"))
-            .head()
-          (k.toLong, st.getLong(0), st.getLong(1) / 2, st.getLong(2))
-        }
-        rows.toDF("k", "n_core_nodes", "n_core_edges",
-          "min_core_degree").orderBy($"k")
+        kcoreStats(edges, Seq(2, 3, 4))
+          .toDF("k", "n_core_nodes", "n_core_edges",
+            "min_core_degree").orderBy($"k")
       },
       Some(kcoreOracleSql))
   )
+
+  /** K-core peel statistics over a prepared SYMMETRIC edge frame
+    * (pa, pb) — both directions present, ideally pre-partitioned by pa
+    * and checkpointed (q395 does both). Returns per k:
+    * (k, core nodes, core edges, min in-core degree).
+    *
+    * The physical form of a peel round is SIZE-GATED, which is what
+    * makes the operator a general-graph citizen instead of a fixture
+    * trick: while the survivor list has at most `broadcastThreshold`
+    * nodes it is BROADCAST into the two semi joins — they preserve the
+    * edge frame's pa-partitioning, so the round's degree aggregate
+    * runs exchange-free (measured 10.9 s -> 2.5 s for q395's 3-k
+    * sweep at sf0.1). Past the threshold the same logical round runs
+    * as shuffle semi joins — more exchanges, same unique fixpoint
+    * (peel order never changes a k-core, so the two forms agree
+    * BIT-EXACTLY; GraphPathSpec asserts it on the fixture graph and
+    * the 10x Stress probe on the 6M-row co-purchase graph). The
+    * default threshold (1M nodes ~ 8 MB of longs) is the classic
+    * broadcast-join envelope; a billion-node graph starts on the
+    * shuffle form and — because peeling only shrinks the survivor
+    * set — HOPS DOWN to the broadcast form the moment the core
+    * fits, exactly like AQE's runtime broadcast demotion. */
+  def kcoreStats(edges: org.apache.spark.sql.DataFrame, ks: Seq[Int],
+      broadcastThreshold: Long = 1000000L): Seq[(Long, Long, Long, Long)] = {
+    val s = edges.sparkSession
+    import s.implicits._
+    def survivors(kept: org.apache.spark.sql.DataFrame,
+        nKept: Long) = {
+      val (k1, k2) =
+        if (nKept <= broadcastThreshold)
+          (broadcast(kept), broadcast(kept.select($"n".as("n2"))))
+        else (kept, kept.select($"n".as("n2")))
+      edges
+        .join(k1, $"pa" === $"n", "left_semi")
+        .join(k2, $"pb" === $"n2", "left_semi")
+        .groupBy($"pa").agg(count(lit(1)).as("d"))
+    }
+    ks.map { k =>
+      var kept = edges.select($"pa".as("n")).distinct()
+        .localCheckpoint(true)
+      // early-exit at the fixpoint: identical to the oracle's fixed
+      // 16 rounds (peeling is idempotent there), but the 10x Stress
+      // probe measured the convergence tail as most of the wall —
+      // the count() per round is against a checkpointed frame
+      var prev = kept.count()
+      var round = 0
+      var converged = false
+      while (round < 16 && !converged) {
+        kept = survivors(kept, prev)
+          .filter($"d" >= k)
+          .select($"pa".as("n")).localCheckpoint(true)
+        val cur = kept.count()
+        converged = cur == prev
+        prev = cur
+        round += 1
+      }
+      val st = survivors(kept, prev)
+        .agg(count(lit(1)).as("nn"),
+          coalesce(sum($"d"), lit(0L)).as("dd"),
+          coalesce(min($"d"), lit(0L)).as("md"))
+        .head()
+      (k.toLong, st.getLong(0), st.getLong(1) / 2, st.getLong(2))
+    }
+  }
 
   /** GENERATED DuckDB oracle for q395 — 16 unrolled peel rounds per k " +
     * (the q378/q363 generated-oracle discipline). Fixed-unroll is safe

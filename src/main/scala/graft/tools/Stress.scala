@@ -839,6 +839,32 @@ object Stress {
     time(s"k-core peel ${6 * mult}M lineitem co-purchase") {
       SparkEntry.queries("q395_kcore_decomposition")(s, out).count()
     }
+    // round 12: the size-gated general-graph form — threshold 0 forces
+    // every peel round onto SHUFFLE semi joins (the path a graph whose
+    // survivor set outgrows the broadcast envelope takes); the fixpoint
+    // must be BIT-EQUAL to the broadcast form's (peel order and
+    // physical plan can change cost, never a k-core). Measured here so
+    // the q395 docstring's flip-cost claim is a number.
+    time(s"k-core SHUFFLE-form peel ${6 * mult}M co-purchase (gate check)") {
+      import graft.operators.GraphSelection
+      val li = s.read.parquet(s"$out/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(countDistinct(col("a.ok")).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("pa"), col("pb"))
+      val edges = pairs
+        .unionByName(pairs.select(col("pb").as("pa"), col("pa").as("pb")))
+        .repartition(col("pa"))
+        .localCheckpoint(true)
+      val bc = GraphSelection.kcoreStats(edges, Seq(2, 3, 4))
+      val sh = GraphSelection.kcoreStats(edges, Seq(2, 3, 4),
+        broadcastThreshold = 0L)
+      require(bc == sh, s"k-core gate changed the answer: $bc vs $sh")
+      println(s"  broadcast==shuffle fixpoint: $bc")
+    }
     time(s"did permutation x100 ${6 * mult}M events") {
       SparkEntry.queries("q400_did_permutation_test")(s, out).count()
     }
