@@ -1997,6 +1997,147 @@ object StreamingOps extends QueryModule {
               .cast("long").as("within_certificate"))
           .orderBy($"t", $"pct")
       },
-      None)
+      None),
+
+    Q(
+      "q418_stream_delete_maintenance",
+      "STREAMING DELETE MAINTENANCE — the q415 tombstone lifecycle " +
+        "run as a STANDING takedown feed against the self-maintaining " +
+        "index (q313's loop gains the delete verb, completing " +
+        "add/compact/DELETE in streaming form): the arriving split " +
+        "lands via q313's add loop; then a kill feed (q415's " +
+        "decontamination slice, range-split into TWO files consumed " +
+        "one per micro-batch) drives foreachBatch deleteIvfVectors " +
+        "with a SCHEDULED maintenance fold (one compaction slot in " +
+        "this fixture window — production compacts nightly, not per " +
+        "batch) that fires deterministically after the first delete " +
+        "micro-batch, so the drained index holds BOTH delete states " +
+        "at once: batch-1 kills physically dropped (the fold's drop " +
+        "count self-checked against the pending set it applied), " +
+        "batch-2 kills pending as logical tombstones. Graded: the " +
+        "drained search " +
+        "BIT-EQUALS the one-shot batch lifecycle on a separate root " +
+        "(same history-trained codebook + one add + one delete — " +
+        "micro-batch boundaries, mid-stream compaction, and " +
+        "logical-vs-physical state are all invisible in the answer, " +
+        "which is the composed replay-safety theorem worth pinning), " +
+        "killed ids absent, the mid-stream fold dropped exactly the " +
+        "first batch's rows, and a final compaction changes nothing " +
+        "but physical state. n_killed is recomputed independently " +
+        "by the oracle. 100 TB: deletes are O(|kill|) metadata " +
+        "appends on the standing loop; the physical drop piggybacks " +
+        "on compactions the loop already runs.",
+      (s, dir) => {
+        import graft.operators.Similarity
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots
+          .freshForDir("graft_ivf_sdel", dir).toString
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        // phase 1: q313's standing add loop (one batch here — the
+        // split-invariance of adds is q313's own graded claim)
+        val adds = embeddingsStream(s, dir)
+          .filter($"vec_id" % 10 === 0)
+          .select($"vec_id", $"embedding")
+        val qa = adds.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) => Similarity.addIvfBatch(b, root, s"a$id")
+        }.start()
+        try qa.processAllAvailable() finally qa.stop()
+        // the takedown feed: two deterministic arrival files
+        val kill = graft.operators.Dedup.contaminatedTrainDocIds(s, dir)
+          .filter($"doc_id" % 7 === 5)
+          .join(e.select($"vec_id"), $"doc_id" === $"vec_id", "left_semi")
+          .select($"doc_id".as("vec_id"))
+        val killedIds = kill.as[Long].collect().toSet
+        val feed = graft.TempRoots
+          .freshForDir("graft_ivf_sdel_feed", dir).toString
+        kill.repartitionByRange(2, $"vec_id")
+          .write.mode("overwrite").parquet(feed)
+        val rowsPreDelete = s.read.parquet(s"$root/lists").count()
+        // the maintenance fold runs on a SCHEDULE (one slot in this
+        // fixture window — production compacts nightly, not per batch),
+        // so it fires after the FIRST delete micro-batch and the second
+        // batch's tombstones stay logical at drain — the drained index
+        // then holds BOTH delete states at once, which is the point
+        var foldUsed = false
+        var midFoldExact = false
+        val dels = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val qd = dels.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            Similarity.deleteIvfVectors(b, root)
+            val pending = Similarity.ivfTombstones(s, root).count()
+            if (!foldUsed && pending >= 8) {
+              val before = s.read.parquet(s"$root/lists").count()
+              Similarity.compactIvfLists(s, root)
+              val after = s.read.parquet(s"$root/lists").count()
+              midFoldExact = before - after == pending
+              foldUsed = true
+            }
+        }.start()
+        try qd.processAllAvailable() finally qd.stop()
+        val probes = e.filter($"vec_id" % 50 === 7)
+        def search(r: String): Seq[String] =
+          Similarity.adcSearchPersisted(s, r, probes, k = 5, nprobe = 4)
+            .collect().toSeq.map(_.toString).sorted
+        val streamed = search(root)
+        val killedAbsent = {
+          val ids = Similarity.adcSearchPersisted(s, root, probes,
+            k = 5, nprobe = 4).select($"vec_id").as[Long].collect()
+          !ids.exists(killedIds.contains)
+        }
+        // the one-shot batch reference: same trainer, one add, one
+        // delete — boundaries and compactions must be invisible
+        val ref = graft.TempRoots
+          .freshForDir("graft_ivf_sdel_ref", dir).toString
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), ref,
+          nlist = 16, iters = 2)
+        Similarity.addIvfBatch(e.filter($"vec_id" % 10 === 0), ref, "all")
+        Similarity.deleteIvfVectors(
+          killedIds.toSeq.sorted.toDF("vec_id"), ref)
+        val batchRef = search(ref)
+        // final compaction applies the pending batch-2 tombstones
+        val pendingAtDrain = Similarity.ivfTombstones(s, root).count()
+        Similarity.compactIvfLists(s, root)
+        val rowsFinal = s.read.parquet(s"$root/lists").count()
+        Seq((killedIds.size.toLong,
+          streamed == batchRef,
+          killedAbsent,
+          midFoldExact,
+          pendingAtDrain > 0L,
+          rowsPreDelete - rowsFinal == killedIds.size.toLong,
+          search(root) == streamed))
+          .toDF("n_killed", "stream_equals_batch", "killed_absent",
+            "mid_stream_fold_exact", "tombstones_pending_at_drain",
+            "final_drop_exact", "post_compact_search_unchanged")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               ${graft.operators.Dedup.duckTokens} AS t FROM documents),
+        shng AS (SELECT doc_id,
+               ${graft.operators.Dedup.duckShingles} AS sh FROM toks),
+        ev AS (SELECT DISTINCT unnest(sh) AS h FROM shng
+               WHERE doc_id % 10 = 0),
+        cont AS (SELECT DISTINCT u.doc_id
+                 FROM (SELECT doc_id, unnest(sh) AS h FROM shng
+                       WHERE doc_id % 10 <> 0) u
+                 JOIN ev ON u.h = ev.h),
+        kill AS (SELECT c.doc_id FROM cont c
+                 JOIN embeddings e ON c.doc_id = e.vec_id
+                 WHERE c.doc_id % 7 = 5)
+        SELECT CAST(count(*) AS BIGINT) AS n_killed,
+               true AS stream_equals_batch,
+               true AS killed_absent,
+               true AS mid_stream_fold_exact,
+               true AS tombstones_pending_at_drain,
+               true AS final_drop_exact,
+               true AS post_compact_search_unchanged
+        FROM kill"""))
   )
 }
