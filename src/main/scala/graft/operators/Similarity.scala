@@ -1514,9 +1514,15 @@ object Similarity extends QueryModule {
         val root = graft.TempRoots.freshForDir("graft_ivfdel", dir).toString
         writeIvfIndex(emb, root, nlist = 16, iters = 2)
         val probes = emb.filter($"vec_id" % 50 === 7)
-        def search(): Seq[String] =
-          adcSearchPersisted(s, root, probes, k = 5, nprobe = 4)
-            .collect().toSeq.map(_.toString).sorted
+        // one physical search per index STATE — result strings and the
+        // returned-id set both read the same collected rows (the
+        // earlier shape ran the identical deterministic search twice
+        // just to project ids)
+        def searchRows(): Array[org.apache.spark.sql.Row] =
+          adcSearchPersisted(s, root, probes, k = 5, nprobe = 4).collect()
+        def strs(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+          rows.toSeq.map(_.toString).sorted
+        def search(): Seq[String] = strs(searchRows())
         val r0 = search()
         // takedown feed: the q177 decontamination kill list, sliced
         // (% 7 == 3, ~1/7 of contaminated docs — a realistic takedown
@@ -1529,12 +1535,10 @@ object Similarity extends QueryModule {
         val killedIds = kill.as[Long].collect().toSet
         val rowsBefore = s.read.parquet(s"$root/lists").count()
         deleteIvfVectors(kill, root)
-        val r1 = search()
-        val killedAbsent = {
-          val ids = adcSearchPersisted(s, root, probes, k = 5, nprobe = 4)
-            .select($"vec_id").as[Long].collect()
-          !ids.exists(killedIds.contains)
-        }
+        val r1Rows = searchRows()
+        val r1 = strs(r1Rows)
+        val killedAbsent =
+          !r1Rows.exists(r => killedIds.contains(r.getAs[Long]("vec_id")))
         compactIvfLists(s, root)
         val tombstonesCleared = ivfTombstones(s, root).count() == 0L
         val r2 = search()
@@ -1913,13 +1917,21 @@ object Similarity extends QueryModule {
     * duplication. The initial build statically overwrites the whole
     * table as batch=base. */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, copyCodebooksFrom: Option[String] = None): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
     // fused trainer: one corpus scan per Lloyd iteration trains the
     // coarse book and all m PQ books (bit-identical to the sequential
-    // kmeansCodebook + pqCodebooks — PqSpec asserts it)
-    val (cb, pqs) = trainIvfPqCodebooks(corpus, nlist = nlist, iters = iters)
+    // kmeansCodebook + pqCodebooks — PqSpec asserts it).
+    // copyCodebooksFrom reuses another index's persisted books instead
+    // of retraining: the trainer is deterministic, so for the SAME
+    // training slice the copied books are bit-identical to a fresh
+    // train (IvfIndexSpec pins it) — a reference-index build against
+    // an existing index's books skips its Lloyd scans entirely.
+    val (cb, pqs) = copyCodebooksFrom match {
+      case Some(src) => (readIvfCodebook(s, src), readPqCodebooks(s, src))
+      case None => trainIvfPqCodebooks(corpus, nlist = nlist, iters = iters)
+    }
     cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")

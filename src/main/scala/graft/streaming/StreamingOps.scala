@@ -2083,21 +2083,28 @@ object StreamingOps extends QueryModule {
         }.start()
         try qd.processAllAvailable() finally qd.stop()
         val probes = e.filter($"vec_id" % 50 === 7)
-        def search(r: String): Seq[String] =
+        // one physical search per index state: strings and the id set
+        // project from the same collected rows
+        def searchRows(r: String): Array[org.apache.spark.sql.Row] =
           Similarity.adcSearchPersisted(s, r, probes, k = 5, nprobe = 4)
-            .collect().toSeq.map(_.toString).sorted
-        val streamed = search(root)
-        val killedAbsent = {
-          val ids = Similarity.adcSearchPersisted(s, root, probes,
-            k = 5, nprobe = 4).select($"vec_id").as[Long].collect()
-          !ids.exists(killedIds.contains)
-        }
-        // the one-shot batch reference: same trainer, one add, one
-        // delete — boundaries and compactions must be invisible
+            .collect()
+        def strs(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+          rows.toSeq.map(_.toString).sorted
+        def search(r: String): Seq[String] = strs(searchRows(r))
+        val streamedRows = searchRows(root)
+        val streamed = strs(streamedRows)
+        val killedAbsent = !streamedRows.exists(r =>
+          killedIds.contains(r.getAs[Long]("vec_id")))
+        // the one-shot batch reference: SAME history-trained books (the
+        // deterministic trainer on the same slice reproduces them
+        // bit-identically, so the build copies root's persisted books
+        // instead of re-running the Lloyd scans — IvfIndexSpec pins the
+        // equivalence), one add, one delete — boundaries and
+        // compactions must be invisible
         val ref = graft.TempRoots
           .freshForDir("graft_ivf_sdel_ref", dir).toString
         Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), ref,
-          nlist = 16, iters = 2)
+          nlist = 16, iters = 2, copyCodebooksFrom = Some(root))
         Similarity.addIvfBatch(e.filter($"vec_id" % 10 === 0), ref, "all")
         Similarity.deleteIvfVectors(
           killedIds.toSeq.sorted.toDF("vec_id"), ref)

@@ -375,4 +375,36 @@ class IvfIndexSpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect()
     assert(!knnIds.exists(kill.contains))
   }
+
+  test("writeIvfIndex(copyCodebooksFrom) reproduces a fresh train " +
+    "bit-identically: books, lists, and search all equal") {
+    // the q418 reference-index build copies the streaming root's books
+    // instead of re-running the Lloyd scans — sound ONLY because the
+    // deterministic trainer on the same slice would reproduce them
+    // bit-for-bit; this pins that equivalence on disk, not by argument.
+    // Both indexes are built HERE (the suite-shared root accumulates
+    // adds/compactions from other tests, so it is not a valid
+    // fresh-train reference by the time this test runs)
+    val fresh = TempRoots.freshForDir("graft_ivf_cbfresh", sfDir).toString
+    Similarity.writeIvfIndex(history, fresh, nlist = 16, iters = 2)
+    val copied = TempRoots.freshForDir("graft_ivf_cbcopy", sfDir).toString
+    Similarity.writeIvfIndex(history, copied, nlist = 16, iters = 2,
+      copyCodebooksFrom = Some(fresh))
+    assert(Similarity.readIvfCodebook(spark, copied).map(_.toSeq).toSeq ==
+      Similarity.readIvfCodebook(spark, fresh).map(_.toSeq).toSeq,
+      "copied coarse codebook must equal the trained one")
+    assert(Similarity.readPqCodebooks(spark, copied)
+        .map(_.map(_.toSeq).toSeq) ==
+      Similarity.readPqCodebooks(spark, fresh).map(_.map(_.toSeq).toSeq),
+      "copied PQ codebooks must equal the trained ones")
+    def lists(p: String) = spark.read.parquet(s"$p/lists")
+      .orderBy($"vec_id").collect().toSeq.map(_.toString)
+    assert(lists(copied) == lists(fresh),
+      "assignment against copied books must equal the trained build")
+    val probes = e.filter($"vec_id" % 50 === 7)
+    def search(p: String) = Similarity
+      .adcSearchPersisted(spark, p, probes, k = 5, nprobe = 4)
+      .collect().toSeq.map(_.toString).sorted
+    assert(search(copied) == search(fresh))
+  }
 }
