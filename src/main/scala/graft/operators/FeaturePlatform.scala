@@ -2554,7 +2554,393 @@ object FeaturePlatform extends QueryModule {
         SELECT layout, n_files, files_zonemap_scan, files_matching,
                CAST(files_zonemap_scan - files_matching AS BIGINT)
                  AS false_scan, rows_selected
-        FROM a ORDER BY layout"""))
+        FROM a ORDER BY layout""")),
+
+    Q(
+      "q419_pass_at_k",
+      "UNBIASED pass@k (Chen et al. 2021, 'Evaluating Large Language " +
+        "Models Trained on Code' — the standard code-eval metric): " +
+        "each order is a 'problem', its lineitems are the n sampled " +
+        "'completions', a sample passes when l_returnflag = 'R', and " +
+        "pass@k per problem is the exact combinatorial estimator " +
+        "1 - C(n-c,k)/C(n,k) — NOT the biased empirical fraction of " +
+        "k-subsets actually drawn. All arithmetic is exact integers: " +
+        "binomials via factorial() (both engines compute n<=20 " +
+        "factorials as exact integers; n is the per-problem sample " +
+        "budget, bounded by GENERATION design in a real eval — 10 or " +
+        "100 — never data-scale, and the n<=20 guard makes the bound " +
+        "explicit), the per-problem rate floored to ppm AFTER the " +
+        "exactly-dividing binomial ratio, and the per-priority mean " +
+        "as one integer div. Problems need n >= 5 so k=5 is always " +
+        "defined. Plan: ONE lineitem aggregate to problem grain " +
+        "(map-side combinable), a row-scale join to the problem's " +
+        "priority, the k in {1,3,5} fan-out on the aggregated frame, " +
+        "then a bounded (k x priority) aggregate. 100 TB: a billion " +
+        "eval samples reduce to per-problem (n, c) counters in one " +
+        "pass; the combinatorics never touch row-scale data again.",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(($"l_returnflag" === "R").cast("long")).as("c"))
+          .filter($"n" >= 5L && $"n" <= 20L)
+        val pri = Tables.t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderpriority".as("priority"))
+        t.join(pri, $"l_orderkey" === $"o_orderkey")
+          .select($"priority", explode(typedLit(Seq(1L, 3L, 5L))).as("k"),
+            $"n", $"c")
+          .withColumn("ppm", expr(
+            "CASE WHEN n - c >= k THEN " +
+              "((factorial(cast(n as int)) div " +
+              "(factorial(cast(k as int)) * " +
+              "factorial(cast(n - k as int)))) - " +
+              "(factorial(cast(n - c as int)) div " +
+              "(factorial(cast(k as int)) * " +
+              "factorial(cast(n - c - k as int))))) * 1000000 div " +
+              "(factorial(cast(n as int)) div " +
+              "(factorial(cast(k as int)) * " +
+              "factorial(cast(n - k as int)))) " +
+              "ELSE 1000000 END"))
+          .groupBy($"k", $"priority")
+          .agg(count(lit(1)).as("n_problems"),
+            expr("sum(ppm) div count(1)").as("mean_pass_ppm"))
+          .orderBy($"k", $"priority")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_orderkey, count(*) AS n,
+                 sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS c
+          FROM lineitem GROUP BY 1),
+        tk AS (
+          SELECT o.o_orderpriority AS priority, k.k, t.n, t.c
+          FROM t JOIN orders o ON t.l_orderkey = o.o_orderkey
+          CROSS JOIN (SELECT unnest([1, 3, 5]) AS k) k
+          WHERE t.n >= 5 AND t.n <= 20),
+        pp AS (
+          SELECT priority, k,
+                 CASE WHEN n - c >= k THEN
+                   ((factorial(CAST(n AS INTEGER)) //
+                     (factorial(CAST(k AS INTEGER)) *
+                      factorial(CAST(n - k AS INTEGER)))) -
+                    (factorial(CAST(n - c AS INTEGER)) //
+                     (factorial(CAST(k AS INTEGER)) *
+                      factorial(CAST(n - c - k AS INTEGER))))) * 1000000
+                   // (factorial(CAST(n AS INTEGER)) //
+                       (factorial(CAST(k AS INTEGER)) *
+                        factorial(CAST(n - k AS INTEGER))))
+                 ELSE 1000000 END AS ppm
+          FROM tk)
+        SELECT CAST(k AS BIGINT) AS k, priority,
+               CAST(count(*) AS BIGINT) AS n_problems,
+               CAST(sum(ppm) // count(*) AS BIGINT) AS mean_pass_ppm
+        FROM pp GROUP BY k, priority ORDER BY k, priority""")),
+
+    Q(
+      "q420_bradley_terry",
+      "BRADLEY-TERRY STRENGTH RANKING from pairwise preferences " +
+        "(Bradley & Terry 1952; the chatbot-arena / RLHF-preference " +
+        "aggregation model, fit by the Hunter 2004 MM algorithm): " +
+        "every order that contains >= 2 brands is a pairwise " +
+        "'battle' per brand pair — the brand with the higher " +
+        "integer-cents revenue inside that order wins (tie -> the " +
+        "lexicographically lower brand, deterministic) — and the MM " +
+        "fixed point p_i = W_i / sum_j n_ij/(p_i+p_j) runs EIGHT " +
+        "iterations entirely in integer fixed point: ratings in ppm, " +
+        "each pair term n_ij*10^12 div (p_i+p_j), re-normalized to " +
+        "mean 10^6 per round — sums of integers are order-" +
+        "independent, so unlike a float MM the fit is bit-stable on " +
+        "any cluster and REPLAYABLE in SQL (the oracle unrolls all 8 " +
+        "rounds as chained CTEs in HUGEINT; q369's promoted-" +
+        "deterministic-iteration discipline). A +1-win-per-direction " +
+        "Laplace prior on every OBSERVED pair keeps the comparison " +
+        "graph's MM update defined (a zero-win brand would otherwise " +
+        "hit 0/0 — the standard regularization). Plan: one broadcast " +
+        "dim join + one (order, brand) aggregate are the only row-" +
+        "scale shuffles; the within-order pair fan-out is bounded by " +
+        "order width (<= C(7,2) rows per order), the win matrix by " +
+        "the 25-brand domain (<= 300 cells, map-side combinable), " +
+        "and the MM loop runs on the driver over that bounded " +
+        "matrix (the k-means-centroid argument: collected state is " +
+        "domain-bounded, never row-scale). 100 TB: a billion " +
+        "preference battles reduce to the same 300 counters.",
+      (s, dir) => {
+        import s.implicits._
+        val pt = Tables.t(s, dir, "part")
+          .select($"p_partkey", $"p_brand")
+        val ob = Tables.t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey",
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+          .join(broadcast(pt), $"l_partkey" === $"p_partkey")
+          .groupBy($"l_orderkey", $"p_brand")
+          .agg(sum($"c").as("cents"))
+        val a = ob.select($"l_orderkey", $"p_brand".as("ba"),
+          $"cents".as("ca"))
+        val b = ob.select($"l_orderkey", $"p_brand".as("bb"),
+          $"cents".as("cb"))
+        val mat = a.join(b, Seq("l_orderkey")).filter($"ba" < $"bb")
+          .select($"ba", $"bb",
+            when($"ca" >= $"cb", 1L).otherwise(0L).as("wa"))
+          .groupBy($"ba", $"bb")
+          .agg((count(lit(1)) + 2L).as("n"), (sum($"wa") + 1L).as("w"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3)))
+        // symmetric view: one row per (brand, opponent); w carries the
+        // +1 prior per direction, n the +2
+        val sym = mat.flatMap { case (i, j, n, w) =>
+          Seq((i, j, n, w), (j, i, n, n - w)) }
+        val brands = sym.map(_._1).distinct.sorted.toSeq
+        val byI = sym.groupBy(_._1)
+        val bigW = byI.view.mapValues(rs =>
+          BigInt(rs.map(_._4).sum)).toMap
+        val wins = byI.view.mapValues(rs =>
+          rs.map(_._4).sum - rs.length.toLong).toMap
+        val games = byI.view.mapValues(rs =>
+          rs.map(_._3 - 2L).sum).toMap
+        val T = BigInt("1000000000000")
+        val nb = BigInt(brands.size)
+        var p: Map[String, BigInt] =
+          brands.map(_ -> BigInt(1000000)).toMap
+        for (_ <- 1 to 8) {
+          val praw = brands.map { i =>
+            val si = byI(i).map { case (_, j, n, _) =>
+              (BigInt(n) * T) / (p(i) + p(j)) }.sum
+            i -> (bigW(i) * T) / si
+          }.toMap
+          val tot = praw.values.sum
+          p = brands.map(i =>
+            i -> (praw(i) * nb * BigInt(1000000)) / tot).toMap
+        }
+        brands.map(i =>
+            (i, p(i).toLong, wins(i), games(i)))
+          .toDF("brand", "rating_ppm", "wins", "games")
+          .orderBy($"rating_ppm".desc, $"brand")
+      },
+      Some("""
+        WITH ob AS MATERIALIZED (
+          SELECT l_orderkey AS o, p_brand AS b,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        pr AS MATERIALIZED (
+          SELECT a.b AS ba, c.b AS bb,
+                 CASE WHEN a.cents >= c.cents THEN 1 ELSE 0 END AS wa
+          FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b),
+        m AS MATERIALIZED (
+          SELECT ba, bb, count(*) + 2 AS n, sum(wa) + 1 AS w
+          FROM pr GROUP BY 1, 2),
+        sym AS MATERIALIZED (
+          SELECT ba AS i, bb AS j, n, w FROM m
+          UNION ALL
+          SELECT bb AS i, ba AS j, n, n - w AS w FROM m),
+        wt AS MATERIALIZED (
+          SELECT i, CAST(sum(w) AS HUGEINT) AS wi,
+                 CAST(sum(w) - count(*) AS BIGINT) AS wins,
+                 CAST(sum(n - 2) AS BIGINT) AS games
+          FROM sym GROUP BY 1),
+        cn AS (SELECT CAST(count(*) AS HUGEINT) AS nb FROM wt),
+        p0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS p FROM wt),
+        r1 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p0 pi ON sym.i = pi.i
+          JOIN p0 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p1 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r1) AS p FROM r1),
+        r2 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p1 pi ON sym.i = pi.i
+          JOIN p1 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p2 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r2) AS p FROM r2),
+        r3 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p2 pi ON sym.i = pi.i
+          JOIN p2 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p3 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r3) AS p FROM r3),
+        r4 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p3 pi ON sym.i = pi.i
+          JOIN p3 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p4 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r4) AS p FROM r4),
+        r5 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p4 pi ON sym.i = pi.i
+          JOIN p4 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p5 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r5) AS p FROM r5),
+        r6 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p5 pi ON sym.i = pi.i
+          JOIN p5 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p6 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r6) AS p FROM r6),
+        r7 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p6 pi ON sym.i = pi.i
+          JOIN p6 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p7 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r7) AS p FROM r7),
+        r8 AS MATERIALIZED (
+          SELECT sym.i, wt.wi * 1000000000000 //
+                 sum(CAST(sym.n AS HUGEINT) * 1000000000000 //
+                     (pi.p + pj.p)) AS praw
+          FROM sym JOIN p7 pi ON sym.i = pi.i
+          JOIN p7 pj ON sym.j = pj.i
+          JOIN wt ON wt.i = sym.i
+          GROUP BY sym.i, wt.wi),
+        p8 AS MATERIALIZED (SELECT i, praw * (SELECT nb FROM cn) * 1000000 //
+                      (SELECT sum(praw) FROM r8) AS p FROM r8)
+        SELECT wt.i AS brand, CAST(p8.p AS BIGINT) AS rating_ppm,
+               wt.wins, wt.games
+        FROM p8 JOIN wt ON p8.i = wt.i
+        ORDER BY rating_ppm DESC, brand""")),
+
+    Q(
+      "q421_fleiss_kappa",
+      "FLEISS' KAPPA (Fleiss 1971) — multi-rater chance-corrected " +
+        "agreement, completing the annotator-QA ladder: q318 Cohen is " +
+        "exactly-2-raters, q397 Krippendorff handles missing labels; " +
+        "Fleiss is the fixed-panel m-raters form every labeling " +
+        "campaign with 3+ annotators reports. Three deterministic " +
+        "raters each assign one of 3 categories to every document " +
+        "(rater A: n_chars bands at the corpus tertiles 216/372; " +
+        "rater B: whitespace-token-count bands at 39/68; rater C: " +
+        "mean-token-length deci-chars bands at 54/56 — integer div, " +
+        "no floats). Per item the category histogram (n0,n1,n2) with " +
+        "n0+n1+n2 = m = 3; P_i = (sum n_j^2 - m)/(m(m-1)); " +
+        "kappa = (P - Pe)/(1 - Pe) cleared of every division into " +
+        "ONE sign-extracted integer div: num = (SS - N*m)*(N*m)^2 - " +
+        "N*m*(m-1)*sum(C_j^2), den = N*m*(m-1)*((N*m)^2 - " +
+        "sum(C_j^2)), both in DECIMAL(38,0)/HUGEINT (SS*(Nm)^2 " +
+        "passes int64 near N ~ 10^5 — wide from the start, the " +
+        "q407 lesson). Plan: one row-scale projection computes all " +
+        "three labels in the same codegen'd pass (no explode — " +
+        "token count via size(filter(split))), one aggregate to six " +
+        "counters, O(1) arithmetic after. 100 TB: a billion labeled " +
+        "docs reduce to (N, SS, C0, C1, C2).",
+      (s, dir) => {
+        import s.implicits._
+        val tk = size(filter(split(trim($"text"), " "),
+          x => x =!= lit("")))
+        val labeled = Tables.t(s, dir, "documents")
+          .select($"n_chars", tk.cast("long").as("tk"))
+          .select(
+            when($"n_chars" < 216, 0L).when($"n_chars" < 372, 1L)
+              .otherwise(2L).as("ra"),
+            when($"tk" < 39L, 0L).when($"tk" < 68L, 1L).otherwise(2L)
+              .as("rb"),
+            expr("(n_chars * 10) div tk").as("avl"))
+          .withColumn("rc",
+            when($"avl" < 54L, 0L).when($"avl" < 56L, 1L).otherwise(2L))
+        val perItem = labeled.select(
+          (($"ra" === 0L).cast("long") + ($"rb" === 0L).cast("long") +
+            ($"rc" === 0L).cast("long")).as("n0"),
+          (($"ra" === 1L).cast("long") + ($"rb" === 1L).cast("long") +
+            ($"rc" === 1L).cast("long")).as("n1"),
+          (($"ra" === 2L).cast("long") + ($"rb" === 2L).cast("long") +
+            ($"rc" === 2L).cast("long")).as("n2"))
+        perItem.agg(
+            count(lit(1)).as("n_items"),
+            sum($"n0" * $"n0" + $"n1" * $"n1" + $"n2" * $"n2").as("ss"),
+            sum($"n0").as("c0"), sum($"n1").as("c1"), sum($"n2").as("c2"))
+          .select($"n_items", $"ss", $"c0", $"c1", $"c2",
+            expr("(ss - n_items * 3) * 1000000 div (n_items * 6)")
+              .as("pbar_ppm"),
+            expr("(c0*c0 + c1*c1 + c2*c2) * 1000000 div " +
+              "((n_items * 3) * (n_items * 3))").as("pe_ppm"),
+            expr("CASE WHEN (cast(ss - n_items * 3 as decimal(38,0))) * " +
+              "(n_items * 3) * (n_items * 3) - " +
+              "cast(n_items as decimal(38,0)) * 6 * " +
+              "(c0*c0 + c1*c1 + c2*c2) >= 0 THEN 1 ELSE -1 END * " +
+              "cast(abs((cast(ss - n_items * 3 as decimal(38,0))) * " +
+              "(n_items * 3) * (n_items * 3) - " +
+              "cast(n_items as decimal(38,0)) * 6 * " +
+              "(c0*c0 + c1*c1 + c2*c2)) * 1000000 div " +
+              "(cast(n_items as decimal(38,0)) * 6 * " +
+              "(cast(n_items as decimal(38,0)) * 3 * n_items * 3 - " +
+              "(c0*c0 + c1*c1 + c2*c2))) as bigint)").as("kappa_ppm"))
+      },
+      Some("""
+        WITH lab AS (
+          SELECT CASE WHEN n_chars < 216 THEN 0
+                      WHEN n_chars < 372 THEN 1 ELSE 2 END AS ra,
+                 CASE WHEN tk < 39 THEN 0
+                      WHEN tk < 68 THEN 1 ELSE 2 END AS rb,
+                 CASE WHEN (n_chars * 10) // tk < 54 THEN 0
+                      WHEN (n_chars * 10) // tk < 56 THEN 1
+                      ELSE 2 END AS rc
+          FROM (SELECT n_chars,
+                  len(list_filter(string_split(trim(text), ' '),
+                    x -> x <> '')) AS tk
+                FROM documents)),
+        pi AS (
+          SELECT (CASE WHEN ra = 0 THEN 1 ELSE 0 END +
+                  CASE WHEN rb = 0 THEN 1 ELSE 0 END +
+                  CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS n0,
+                 (CASE WHEN ra = 1 THEN 1 ELSE 0 END +
+                  CASE WHEN rb = 1 THEN 1 ELSE 0 END +
+                  CASE WHEN rc = 1 THEN 1 ELSE 0 END) AS n1,
+                 (CASE WHEN ra = 2 THEN 1 ELSE 0 END +
+                  CASE WHEN rb = 2 THEN 1 ELSE 0 END +
+                  CASE WHEN rc = 2 THEN 1 ELSE 0 END) AS n2
+          FROM lab),
+        agg AS (
+          SELECT count(*) AS n_items,
+                 sum(n0*n0 + n1*n1 + n2*n2) AS ss,
+                 sum(n0) AS c0, sum(n1) AS c1, sum(n2) AS c2
+          FROM pi)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST(ss AS BIGINT) AS ss,
+               CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+               CAST(c2 AS BIGINT) AS c2,
+               CAST((ss - n_items * 3) * 1000000 // (n_items * 6)
+                 AS BIGINT) AS pbar_ppm,
+               CAST((c0*c0 + c1*c1 + c2*c2) * 1000000 //
+                 ((n_items * 3) * (n_items * 3)) AS BIGINT) AS pe_ppm,
+               CAST((CASE WHEN CAST(ss - n_items * 3 AS HUGEINT) *
+                 (n_items * 3) * (n_items * 3) -
+                 CAST(n_items AS HUGEINT) * 6 *
+                 (c0*c0 + c1*c1 + c2*c2) >= 0 THEN 1 ELSE -1 END) *
+                 (abs(CAST(ss - n_items * 3 AS HUGEINT) *
+                 (n_items * 3) * (n_items * 3) -
+                 CAST(n_items AS HUGEINT) * 6 *
+                 (c0*c0 + c1*c1 + c2*c2)) * 1000000 //
+                 (CAST(n_items AS HUGEINT) * 6 *
+                 (CAST(n_items AS HUGEINT) * 3 * n_items * 3 -
+                 (c0*c0 + c1*c1 + c2*c2)))) AS BIGINT) AS kappa_ppm
+        FROM agg"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
