@@ -2940,7 +2940,304 @@ object FeaturePlatform extends QueryModule {
                  (CAST(n_items AS HUGEINT) * 6 *
                  (CAST(n_items AS HUGEINT) * 3 * n_items * 3 -
                  (c0*c0 + c1*c1 + c2*c2)))) AS BIGINT) AS kappa_ppm
-        FROM agg"""))
+        FROM agg""")),
+
+    Q(
+      "q422_delong_auc_variance",
+      "DeLONG AUC VARIANCE + SIGNIFICANCE (DeLong, DeLong & " +
+        "Clarke-Pearson 1988) — q267 emits the exact tie-corrected " +
+        "AUC point estimate; a metrics platform also owes the ERROR " +
+        "BAR, and DeLong's placement-value variance is the standard " +
+        "one. The trick that keeps it exact: per score group the " +
+        "doubled placements v2 = 2*cum_neg_below + neg_eq (positives " +
+        "vs negatives) and u2 = 2*cum_pos_below + pos_eq share " +
+        "denominators with AUC = W/(2mn), so in z^2 = " +
+        "(AUC - 1/2)^2 / (S10/m + S01/n) EVERY (2mn)^2 CANCELS and " +
+        "z^2 = (W - mn)^2 * m(m-1)n(n-1) / (SP*n(n-1) + SN*m(m-1)) " +
+        "with SP = sum_g pos_g*(v2_g*m - W)^2, SN = sum_g " +
+        "neg_g*(u2_g*n - W)^2 — a PURE INTEGER rational, emitted as " +
+        "one DECIMAL(38,0)-cleared floor at milli scale plus the " +
+        "exact cross-multiplied 5%% decision vs 3.841459 (the q401 " +
+        "discipline; a float DeLong drifts with summation order). " +
+        "The fixture's independence makes this the negative control: " +
+        "AUC ~ chance and the test must NOT reject. var_e12 is the " +
+        "variance itself at e-12 scale, decimal-internal. Plan: " +
+        "identical row-scale legs to q267 (two user-keyed semi-joins, " +
+        "4-row broadcast score join); ALL DeLong algebra runs on the " +
+        "<=4-row score-group domain. 100 TB: a billion eval rows " +
+        "reduce to (pos, neg) per score group; the variance costs " +
+        "nothing after.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", $"event_type", $"event_id", $"ts",
+            unix_micros($"ts".cast("timestamp")).as("us"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 25")
+              .as("ch"))
+        val clicks = ev.filter($"event_type" === "click")
+        val purch = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"us".as("p_us"))
+        def labeled(cl: org.apache.spark.sql.DataFrame) = {
+          val conv = cl.join(purch,
+            $"user_id" === $"p_user" && $"p_us" > $"us" &&
+              $"p_us" - $"us" <= 86400000000L, "left_semi")
+          cl.join(conv.select($"event_id".as("cid")),
+              $"event_id" === $"cid", "left")
+            .select($"ch", when($"cid".isNotNull, 1L).otherwise(0L).as("y"))
+        }
+        val split = "timestamp'2024-01-16 00:00:00'"
+        val rates = labeled(clicks.filter(expr(s"ts < $split")))
+          .groupBy($"ch")
+          .agg(expr("(sum(y) * 1000000) div count(1)").as("score_ppm"))
+        val eval0 = labeled(clicks.filter(expr(s"ts >= $split")))
+          .join(broadcast(rates), Seq("ch"))
+          .groupBy($"score_ppm")
+          .agg(sum($"y").as("pos"), sum(lit(1L) - $"y").as("neg"))
+        val w = Window.orderBy($"score_ppm") // <=4-row score domain
+        val g = eval0
+          .withColumn("cnb", coalesce(sum($"neg").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("cpb", coalesce(sum($"pos").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("v2", lit(2L) * $"cnb" + $"neg")
+          .withColumn("u2", lit(2L) * $"cpb" + $"pos")
+        val tot = g.agg(sum($"pos").as("m"), sum($"neg").as("n"),
+          sum($"pos" * $"v2").as("wd"))
+        g.crossJoin(broadcast(tot))
+          .agg(
+            first($"m").as("n_pos"), first($"n").as("n_neg"),
+            first($"wd").as("auc_num"),
+            sum(expr("cast(pos as decimal(38,0)) * " +
+              "(cast(v2 as decimal(38,0)) * m - wd) * " +
+              "(cast(v2 as decimal(38,0)) * m - wd)")).as("sp"),
+            sum(expr("cast(neg as decimal(38,0)) * " +
+              "(cast(u2 as decimal(38,0)) * n - wd) * " +
+              "(cast(u2 as decimal(38,0)) * n - wd)")).as("sn"))
+          .select($"n_pos", $"n_neg", $"auc_num",
+            (lit(2L) * $"n_pos" * $"n_neg").as("auc_den"),
+            expr("(auc_num * 10000) div (2 * n_pos * n_neg)").as("auc_bp"),
+            $"sp", $"sn")
+          .select($"n_pos", $"n_neg", $"auc_num", $"auc_den", $"auc_bp",
+            expr("cast((sp * n_neg * (n_neg - 1) + " +
+              "sn * n_pos * (n_pos - 1)) * 1000000000000 div " +
+              "((cast(2 as decimal(38,0)) * n_pos * n_neg) * " +
+              "(2 * n_pos * n_neg) * n_pos * (n_pos - 1) * " +
+              "n_neg * (n_neg - 1)) as bigint)").as("var_e12"),
+            expr("cast(case when sp * n_neg * (n_neg - 1) + " +
+              "sn * n_pos * (n_pos - 1) = 0 then null else " +
+              "(cast(auc_num as decimal(38,0)) - n_pos * n_neg) * " +
+              "(cast(auc_num as decimal(38,0)) - n_pos * n_neg) * " +
+              "n_pos * (n_pos - 1) * n_neg * (n_neg - 1) * 1000 div " +
+              "(sp * n_neg * (n_neg - 1) + sn * n_pos * (n_pos - 1)) " +
+              "end as bigint)").as("z2_milli"),
+            expr("cast(case when sp * n_neg * (n_neg - 1) + " +
+              "sn * n_pos * (n_pos - 1) = 0 then 0 when " +
+              "(cast(auc_num as decimal(38,0)) - n_pos * n_neg) * " +
+              "(cast(auc_num as decimal(38,0)) - n_pos * n_neg) * " +
+              "n_pos * (n_pos - 1) * n_neg * (n_neg - 1) * 1000000 > " +
+              "3841459 * (sp * n_neg * (n_neg - 1) + " +
+              "sn * n_pos * (n_pos - 1)) then 1 else 0 end as bigint)")
+              .as("significant_5pct"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, ts,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(json_extract(props, 'k') AS BIGINT) // 25 AS ch
+          FROM events),
+        p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        lab AS (
+          SELECT c.ts, c.ch,
+                 CASE WHEN EXISTS (SELECT 1 FROM p
+                                   WHERE p.user_id = c.user_id
+                                     AND p.us > c.us
+                                     AND p.us - c.us <= 86400000000)
+                      THEN 1 ELSE 0 END AS y
+          FROM e c WHERE c.event_type = 'click'),
+        rates AS (
+          SELECT ch, (sum(y) * 1000000) // count(*) AS score_ppm
+          FROM lab WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY ch),
+        ev AS (
+          SELECT r.score_ppm,
+                 CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(sum(1 - y) AS BIGINT) AS neg
+          FROM lab l JOIN rates r USING (ch)
+          WHERE l.ts >= TIMESTAMP '2024-01-16 00:00:00'
+          GROUP BY r.score_ppm),
+        ranked AS (
+          SELECT pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY score_ppm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cnb,
+                 coalesce(sum(pos) OVER (ORDER BY score_ppm
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cpb
+          FROM ev),
+        gg AS (
+          SELECT pos, neg, 2 * cnb + neg AS v2, 2 * cpb + pos AS u2
+          FROM ranked),
+        tot AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS m,
+                 CAST(sum(neg) AS BIGINT) AS n,
+                 CAST(sum(pos * (2 * cnb + neg)) AS BIGINT) AS wd
+          FROM ranked),
+        comp AS (
+          SELECT max(m) AS m, max(n) AS n, max(wd) AS wd,
+                 sum(CAST(pos AS HUGEINT) *
+                     (CAST(v2 AS HUGEINT) * m - wd) *
+                     (CAST(v2 AS HUGEINT) * m - wd)) AS sp,
+                 sum(CAST(neg AS HUGEINT) *
+                     (CAST(u2 AS HUGEINT) * n - wd) *
+                     (CAST(u2 AS HUGEINT) * n - wd)) AS sn
+          FROM gg CROSS JOIN tot)
+        SELECT m AS n_pos, n AS n_neg, wd AS auc_num,
+               2 * m * n AS auc_den,
+               (wd * 10000) // (2 * m * n) AS auc_bp,
+               CAST((sp * n * (n - 1) + sn * m * (m - 1))
+                 * 1000000000000
+                 // ((CAST(2 AS HUGEINT) * m * n) * (2 * m * n)
+                    * m * (m - 1) * n * (n - 1)) AS BIGINT) AS var_e12,
+               CAST(CASE WHEN sp * n * (n - 1) + sn * m * (m - 1) = 0
+                 THEN NULL ELSE
+                 (CAST(wd AS HUGEINT) - m * n) *
+                 (CAST(wd AS HUGEINT) - m * n) *
+                 m * (m - 1) * n * (n - 1) * 1000
+                 // (sp * n * (n - 1) + sn * m * (m - 1))
+                 END AS BIGINT) AS z2_milli,
+               CAST(CASE WHEN sp * n * (n - 1) + sn * m * (m - 1) = 0
+                 THEN 0 WHEN
+                 (CAST(wd AS HUGEINT) - m * n) *
+                 (CAST(wd AS HUGEINT) - m * n) *
+                 m * (m - 1) * n * (n - 1) * 1000000 >
+                 3841459 * (sp * n * (n - 1) + sn * m * (m - 1))
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant_5pct
+        FROM comp""")),
+
+    Q(
+      "q423_bloom_manifest_skipping",
+      "PER-FILE BLOOM-FILTER MANIFEST for POINT LOOKUPS — the hash " +
+        "complement of the q417 zone-map story: min/max statistics " +
+        "prune RANGE probes on sorted layouts, but a point lookup on " +
+        "an UNSORTED high-cardinality key (every file's min/max " +
+        "spans the domain) reads every file without a hash index — " +
+        "exactly why Parquet added column bloom filters. The engine " +
+        "shards the order-key corpus through its own writer " +
+        "(TrainingShards, q417's layout contract), then builds a " +
+        "CONSTANT-SIZE manifest: per physical file, two 4093-bit " +
+        "bitmaps (the native bitmap_set_agg) over two independent " +
+        "integer mixers of the key — k=2, m=4093, ~512 B per file " +
+        "REGARDLESS of row count. A probe reads a file only if BOTH " +
+        "its bit positions are set; present keys are found in " +
+        "exactly their one home file, absent keys are rejected by " +
+        "the manifest alone with the measured false-positive files " +
+        "counted per probe. The ORACLE replays the decision " +
+        "procedure end to end in SQL (writer rank contract + the " +
+        "same mixers + bit-membership as h-set semi-joins — a " +
+        "bitmap of distinct h values passes iff h(probe) is in the " +
+        "file's h-set), so a writer, mixer, or bitmap regression " +
+        "flips real file counts driver-red. Plan: manifest build is " +
+        "ONE input_file_name group-by (map-side partials into " +
+        "512-byte bitmaps); the probe check runs on FILE-METADATA " +
+        "grain (a row per file, the q268 class). 100 TB: the " +
+        "manifest for a million files is ~1 GB — a broadcast — and " +
+        "a takedown/point-audit touches only passing files instead " +
+        "of the fleet.",
+      (s, dir) => {
+        import s.implicits._
+        import graft.catalyst.BitmapAgg.bitmap_agg
+        val keys = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"))
+        val root = graft.TempRoots
+          .freshForDir("graft_bloomman", dir).toString
+        graft.sink.TrainingShards.write(keys, root, "seed42", 4,
+          maxRecordsPerFile = 250L)
+        val files = s.read.parquet(root)
+          .select($"doc_id".as("key"), input_file_name().as("f"))
+        def h1(c: org.apache.spark.sql.Column) =
+          (c * 2654435761L) % 4093L
+        def h2(c: org.apache.spark.sql.Column) =
+          (c * 1327217885L) % 4093L
+        // one row per physical file: two 512-byte bloom bitmaps
+        val man = files.groupBy($"f")
+          .agg(bitmap_agg(h1($"key")).as("b1"),
+            bitmap_agg(h2($"key")).as("b2"))
+          .collect()
+          .map(r => (java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+            java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
+        val maxKey = keys.agg(max($"doc_id")).head().getLong(0)
+        val present = keys.filter($"doc_id" % 12500L === 7L)
+          .select($"doc_id").as[Long].collect().sorted
+        val probes = present.map((_, 1L)) ++
+          Seq(maxKey + 1L, maxKey + 2L, maxKey + 3L).map((_, 0L))
+        // true containment per probe, computed distributed
+        val probeDf = probes.map(_._1).toSeq.toDF("key")
+        val containing = files.join(broadcast(probeDf), Seq("key"))
+          .groupBy($"key").agg(countDistinct($"f").as("nc"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val nFiles = man.length.toLong
+        probes.toSeq.map { case (k, pres) =>
+          val i1 = ((k * 2654435761L) % 4093L).toInt
+          val i2 = ((k * 1327217885L) % 4093L).toInt
+          val pass = man.count { case (b1, b2) =>
+            b1.get(i1) && b2.get(i2) }.toLong
+          val cont = containing.getOrElse(k, 0L)
+          (k, pres, nFiles, pass, cont, pass - cont)
+        }.toDF("key", "present", "n_files", "files_bloom_pass",
+            "files_containing", "false_pos")
+          .orderBy($"key")
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderkey AS key,
+                 row_number() OVER (ORDER BY
+                   md5('seed42:' || CAST(o_orderkey AS VARCHAR)),
+                   o_orderkey) - 1 AS rk
+          FROM orders),
+        fi AS MATERIALIZED (
+          SELECT key, CAST(rk % 4 AS INTEGER) AS shard,
+                 (row_number() OVER (PARTITION BY rk % 4 ORDER BY rk)
+                   - 1) // 250 AS fidx,
+                 (key * 2654435761) % 4093 AS h1,
+                 (key * 1327217885) % 4093 AS h2
+          FROM r),
+        nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files
+               FROM (SELECT DISTINCT shard, fidx FROM fi)),
+        probes AS (
+          SELECT key, CAST(1 AS BIGINT) AS present FROM fi
+          WHERE key % 12500 = 7
+          UNION ALL
+          SELECT mx + i, CAST(0 AS BIGINT)
+          FROM (SELECT max(key) AS mx FROM fi)
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)),
+        ph AS (
+          SELECT key, present,
+                 (key * 2654435761) % 4093 AS h1,
+                 (key * 1327217885) % 4093 AS h2
+          FROM probes),
+        f1 AS (SELECT DISTINCT shard, fidx, h1 FROM fi),
+        f2 AS (SELECT DISTINCT shard, fidx, h2 FROM fi),
+        pass AS (
+          SELECT ph.key, a.shard, a.fidx
+          FROM ph JOIN f1 a ON a.h1 = ph.h1
+          JOIN f2 b ON b.shard = a.shard AND b.fidx = a.fidx
+            AND b.h2 = ph.h2
+          GROUP BY 1, 2, 3),
+        pc AS (
+          SELECT ph.key, CAST(count(pass.shard) AS BIGINT) AS np
+          FROM ph LEFT JOIN pass ON pass.key = ph.key
+          GROUP BY ph.key),
+        ct AS (
+          SELECT ph.key, CAST(count(*) AS BIGINT) AS nc
+          FROM ph JOIN fi ON fi.key = ph.key
+          GROUP BY ph.key)
+        SELECT ph.key, ph.present, nf.n_files,
+               pc.np AS files_bloom_pass,
+               coalesce(ct.nc, 0) AS files_containing,
+               pc.np - coalesce(ct.nc, 0) AS false_pos
+        FROM ph CROSS JOIN nf
+        JOIN pc ON pc.key = ph.key
+        LEFT JOIN ct ON ct.key = ph.key
+        ORDER BY ph.key"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability
