@@ -2861,7 +2861,7 @@ object FeaturePlatform extends QueryModule {
               .otherwise(2L).as("ra"),
             when($"tk" < 39L, 0L).when($"tk" < 68L, 1L).otherwise(2L)
               .as("rb"),
-            expr("(n_chars * 10) div tk").as("avl"))
+            expr("(n_chars * 10) div greatest(tk, 1)").as("avl"))
           .withColumn("rc",
             when($"avl" < 54L, 0L).when($"avl" < 56L, 1L).otherwise(2L))
         val perItem = labeled.select(
@@ -2878,8 +2878,11 @@ object FeaturePlatform extends QueryModule {
           .select($"n_items", $"ss", $"c0", $"c1", $"c2",
             expr("(ss - n_items * 3) * 1000000 div (n_items * 6)")
               .as("pbar_ppm"),
-            expr("(c0*c0 + c1*c1 + c2*c2) * 1000000 div " +
-              "((n_items * 3) * (n_items * 3))").as("pe_ppm"),
+            expr("cast((cast(c0 as decimal(38,0))*c0 + " +
+              "cast(c1 as decimal(38,0))*c1 + " +
+              "cast(c2 as decimal(38,0))*c2) * 1000000 div " +
+              "(cast(n_items as decimal(38,0)) * 3 * n_items * 3) " +
+              "as bigint)").as("pe_ppm"),
             expr("CASE WHEN (cast(ss - n_items * 3 as decimal(38,0))) * " +
               "(n_items * 3) * (n_items * 3) - " +
               "cast(n_items as decimal(38,0)) * 6 * " +
@@ -2898,8 +2901,8 @@ object FeaturePlatform extends QueryModule {
                       WHEN n_chars < 372 THEN 1 ELSE 2 END AS ra,
                  CASE WHEN tk < 39 THEN 0
                       WHEN tk < 68 THEN 1 ELSE 2 END AS rb,
-                 CASE WHEN (n_chars * 10) // tk < 54 THEN 0
-                      WHEN (n_chars * 10) // tk < 56 THEN 1
+                 CASE WHEN (n_chars * 10) // greatest(tk, 1) < 54 THEN 0
+                      WHEN (n_chars * 10) // greatest(tk, 1) < 56 THEN 1
                       ELSE 2 END AS rc
           FROM (SELECT n_chars,
                   len(list_filter(string_split(trim(text), ' '),
@@ -2927,8 +2930,10 @@ object FeaturePlatform extends QueryModule {
                CAST(c2 AS BIGINT) AS c2,
                CAST((ss - n_items * 3) * 1000000 // (n_items * 6)
                  AS BIGINT) AS pbar_ppm,
-               CAST((c0*c0 + c1*c1 + c2*c2) * 1000000 //
-                 ((n_items * 3) * (n_items * 3)) AS BIGINT) AS pe_ppm,
+               CAST((CAST(c0 AS HUGEINT)*c0 + CAST(c1 AS HUGEINT)*c1 +
+                 CAST(c2 AS HUGEINT)*c2) * 1000000 //
+                 (CAST(n_items AS HUGEINT) * 3 * n_items * 3)
+                 AS BIGINT) AS pe_ppm,
                CAST((CASE WHEN CAST(ss - n_items * 3 AS HUGEINT) *
                  (n_items * 3) * (n_items * 3) -
                  CAST(n_items AS HUGEINT) * 6 *
@@ -3015,7 +3020,9 @@ object FeaturePlatform extends QueryModule {
               "(cast(u2 as decimal(38,0)) * n - wd)")).as("sn"))
           .select($"n_pos", $"n_neg", $"auc_num",
             (lit(2L) * $"n_pos" * $"n_neg").as("auc_den"),
-            expr("(auc_num * 10000) div (2 * n_pos * n_neg)").as("auc_bp"),
+            expr("cast(cast(auc_num as decimal(38,0)) * 10000 div " +
+              "(cast(2 as decimal(38,0)) * n_pos * n_neg) as bigint)")
+              .as("auc_bp"),
             $"sp", $"sn")
           .select($"n_pos", $"n_neg", $"auc_num", $"auc_den", $"auc_bp",
             expr("cast((sp * n_neg * (n_neg - 1) + " +
@@ -3092,7 +3099,8 @@ object FeaturePlatform extends QueryModule {
           FROM gg CROSS JOIN tot)
         SELECT m AS n_pos, n AS n_neg, wd AS auc_num,
                2 * m * n AS auc_den,
-               (wd * 10000) // (2 * m * n) AS auc_bp,
+               CAST(CAST(wd AS HUGEINT) * 10000 //
+                 (CAST(2 AS HUGEINT) * m * n) AS BIGINT) AS auc_bp,
                CAST((sp * n * (n - 1) + sn * m * (m - 1))
                  * 1000000000000
                  // ((CAST(2 AS HUGEINT) * m * n) * (2 * m * n)
@@ -3237,7 +3245,85 @@ object FeaturePlatform extends QueryModule {
         FROM ph CROSS JOIN nf
         JOIN pc ON pc.key = ph.key
         LEFT JOIN ct ON ct.key = ph.key
-        ORDER BY ph.key"""))
+        ORDER BY ph.key""")),
+
+    Q(
+      "q424_snapshot_time_travel",
+      "SNAPSHOT TIME TRAVEL on the shard store — the lakehouse commit " +
+        "protocol in its smallest honest form (data first, ONE " +
+        "manifest row second; readers resolve snapshots from the " +
+        "manifest ALONE), the provenance property a training pipeline " +
+        "actually needs: re-run an eval against the EXACT corpus a " +
+        "model saw, after later snapshots rewrote it. The engine " +
+        "commits v1 (the 70%% slice), then v2 (a correction: the " +
+        "%%10=3 tranche RETRACTED, the late %%10>=7 tranche added), " +
+        "then simulates the crash window by writing v3's DATA without " +
+        "its manifest row. Graded: the latest-resolved read returns " +
+        "v2 (the orphan is invisible — version resolution is manifest-" +
+        "gated, not directory-listing-gated), and the PINNED v1 read " +
+        "still returns v1's exact rows after both later writes — " +
+        "n_rows and integer-cents totals of both snapshots recomputed " +
+        "independently by the oracle from the slice definitions. " +
+        "orphan_data_exists vs latest_version is the crash-safety " +
+        "pair: the directory IS on disk, no reader can see it. " +
+        "100 TB: a snapshot commit is one manifest-row append; " +
+        "resolution is a metadata read (rows per VERSION, not per " +
+        "file); pinning costs nothing because old data is immutable.",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val root = graft.TempRoots
+          .freshForDir("graft_snapshots", dir).toString
+        val v1 = graft.sink.TrainingShards.writeVersion(
+          o.filter($"doc_id" % 10 < 7), root, "seed42", 4)
+        val v2 = graft.sink.TrainingShards.writeVersion(
+          o.filter($"doc_id" % 10 =!= 3), root, "seed42", 4)
+        // the crash window: v3's data lands, its manifest row does not
+        graft.sink.TrainingShards.writeVersion(
+          o.filter($"doc_id" % 10 === 0), root, "seed42", 4,
+          commit = false)
+        val orphanOnDisk = new java.io.File(s"$root/v=3").exists()
+        val latest = graft.sink.TrainingShards.readVersion(s, root)
+        val pinned = graft.sink.TrainingShards
+          .readVersion(s, root, Some(v1))
+        def stats(df: org.apache.spark.sql.DataFrame, label: String,
+            version: Int) =
+          df.agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+            .select(lit(label).as("snapshot"),
+              lit(version.toLong).as("version"),
+              $"n_rows", $"sum_cents",
+              lit(orphanOnDisk).as("orphan_data_exists"),
+              lit(graft.sink.TrainingShards
+                .committedVersions(s, root).last == v2)
+                .as("orphan_invisible"))
+        stats(latest, "latest_after_crash", v2)
+          .unionAll(stats(pinned, "pinned_v1", v1))
+          .orderBy($"snapshot")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders),
+        v2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sc
+          FROM o WHERE k % 10 <> 3),
+        v1 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS sc
+          FROM o WHERE k % 10 < 7)
+        SELECT 'latest_after_crash' AS snapshot,
+               CAST(2 AS BIGINT) AS version, n AS n_rows,
+               sc AS sum_cents, true AS orphan_data_exists,
+               true AS orphan_invisible
+        FROM v2
+        UNION ALL
+        SELECT 'pinned_v1', CAST(1 AS BIGINT), n, sc, true, true
+        FROM v1
+        ORDER BY snapshot"""))
   )
 
   /** The calibration ground-truth table shared by q228 (reliability

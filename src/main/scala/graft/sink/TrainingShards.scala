@@ -88,4 +88,62 @@ object TrainingShards {
       .groupBy($"shard_id").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
   }
+
+  // ——— Versioned snapshots (time travel, q424) ———
+  //
+  // The lakehouse commit protocol in its smallest honest form: data for
+  // version N lands under `path/v=N/` FIRST, then ONE row (version,
+  // n_rows) appends to the manifest at `path/manifest`. Readers resolve
+  // snapshots from the MANIFEST ALONE, so a version exists exactly when
+  // its manifest row committed — a crash between the data write and the
+  // manifest append leaves an orphan `v=N` directory that NO reader can
+  // see (and a retried commit overwrite-rewrites it, the q305 replay
+  // discipline). Pinning version k keeps returning k's bytes forever,
+  // regardless of how many snapshots commit after it — the property
+  // training-data provenance actually needs (re-run an eval against the
+  // exact corpus a model saw). At 100 TB the manifest is rows-per-
+  // version, not per-file: resolution is a metadata read.
+
+  /** Versions with a committed manifest row (empty for a fresh root). */
+  def committedVersions(s: SparkSession, path: String): Seq[Int] = {
+    import s.implicits._
+    try s.read.parquet(s"$path/manifest")
+      .select($"version").as[Int].collect().toSeq.sorted
+    catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+  }
+
+  /** Write `docs` as the next snapshot version under `path` and commit
+    * it to the manifest (data first, manifest row second). Returns the
+    * committed version number. `commit = false` simulates the crash
+    * window: data lands, the manifest row does not — the snapshot must
+    * stay invisible. */
+  def writeVersion(docs: DataFrame, path: String, seed: String,
+      nShards: Int, maxRecordsPerFile: Long = 0L,
+      sortColumns: Seq[String] = Nil, commit: Boolean = true): Int = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val next = committedVersions(s, path).lastOption.getOrElse(0) + 1
+    // overwrite, not errorIfExists: a retry after a torn commit must
+    // rewrite the orphan directory and then commit it
+    val audit = write(docs, s"$path/v=$next", seed, nShards,
+      maxRecordsPerFile, sortColumns)
+    if (commit)
+      Seq((next, audit.map(_._2).sum))
+        .toDF("version", "n_rows")
+        .coalesce(1).write.mode("append").parquet(s"$path/manifest")
+    next
+  }
+
+  /** Read a snapshot: `version = None` resolves the LATEST committed
+    * version from the manifest; `Some(k)` pins version k (which must be
+    * committed — an orphan data directory is not a snapshot). */
+  def readVersion(s: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val committed = committedVersions(s, path)
+    require(committed.nonEmpty, s"no committed snapshots under $path")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
+      s"version $v is not committed (manifest has ${committed.mkString(",")})")
+    s.read.parquet(s"$path/v=$v")
+  }
 }

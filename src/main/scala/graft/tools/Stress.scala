@@ -911,6 +911,24 @@ object Stress {
       println(s"  kll n=${sk.n} retained=${sk.retained} " +
         s"errBound=${sk.errBound} (${sk.errBound * 1000000 / sk.n} ppm)")
     }
+    // Bloom manifest at 10x: 1.5M orders through the shard writer's
+    // 250-row file cap = ~6000 physical files, so this measures the
+    // shape that matters at scale — manifest build is one group-by
+    // producing ~512 B per FILE (3 MB total for 6000 files, the
+    // broadcast-a-million-files story), and the probe loop is
+    // per-(probe, file) metadata work, never data reads. The write of
+    // 6000 small files dominates the wall; the manifest+probe legs are
+    // the point.
+    time(s"bloom manifest ${1.5 * mult}M orders -> ~${6 * mult}k files") {
+      SparkEntry.queries("q423_bloom_manifest_skipping")(s, out).count()
+    }
+    // Snapshot time travel at 10x: two committed versions (~1.05M and
+    // ~1.35M rows) + the torn third — commit cost is the data write
+    // plus ONE manifest row; resolution stays a metadata read at any
+    // version count.
+    time(s"snapshot time travel ${1.5 * mult}M orders x2 versions") {
+      SparkEntry.queries("q424_snapshot_time_travel")(s, out).count()
+    }
     s.stop()
   }
 }

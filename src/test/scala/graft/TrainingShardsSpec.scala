@@ -135,4 +135,48 @@ class TrainingShardsSpec extends AnyFunSuite {
       assert(vs.sameElements(vs.sorted), "file rows not in sort order")
     }
   }
+
+  test("versioned snapshots: manifest-gated visibility, pinned reads " +
+    "are immutable, a torn commit is invisible and its retry heals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_spec").toString
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().toSeq.sorted
+    val v1Keys = keys(o.filter($"doc_id" % 10 < 7))
+    val v2Keys = keys(o.filter($"doc_id" % 10 =!= 3))
+    assert(TrainingShards.committedVersions(spark, root).isEmpty)
+    val v1 = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 10 < 7), root, "s", 4)
+    assert(v1 == 1)
+    val v2 = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 10 =!= 3), root, "s", 4)
+    assert(v2 == 2)
+    // latest resolves v2; pinned v1 returns v1's exact rows after it
+    assert(keys(TrainingShards.readVersion(spark, root)) == v2Keys)
+    assert(keys(TrainingShards.readVersion(spark, root, Some(1))) == v1Keys)
+    // torn commit: data lands, manifest row does not -> invisible
+    TrainingShards.writeVersion(o.filter($"doc_id" % 10 === 0), root,
+      "s", 4, commit = false)
+    assert(new java.io.File(s"$root/v=3").exists(),
+      "the orphan data directory must be on disk for the test to bite")
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1, 2))
+    assert(keys(TrainingShards.readVersion(spark, root)) == v2Keys,
+      "latest must still resolve v2 past the orphan directory")
+    intercept[IllegalArgumentException] {
+      TrainingShards.readVersion(spark, root, Some(3))
+    }
+    // the RETRY of the torn commit overwrites the orphan and commits —
+    // version numbering comes from the manifest, so the retry IS v3
+    val v3Keys = keys(o.filter($"doc_id" % 10 === 0))
+    val v3 = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 10 === 0), root, "s", 4)
+    assert(v3 == 3)
+    assert(keys(TrainingShards.readVersion(spark, root)) == v3Keys)
+    assert(keys(TrainingShards.readVersion(spark, root, Some(1))) == v1Keys,
+      "pinned v1 must survive every later commit")
+  }
 }
