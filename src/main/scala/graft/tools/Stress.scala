@@ -918,14 +918,22 @@ object Stress {
     // broadcast-a-million-files story), and the probe loop is
     // per-(probe, file) metadata work, never data reads. The write of
     // 6000 small files dominates the wall; the manifest+probe legs are
-    // the point.
+    // the point. Measured (local[32], quiet window): 37.9 s / 76.9 MiB
+    // shuffle for the FULL lifecycle (write + manifest + 123 probes) —
+    // vs the q417 zone-map probe's 64-file write at bench scale, the
+    // wall here is ~6000 parquet file creations, i.e. the known
+    // small-file tax the q268 compaction planner exists to pay down;
+    // the manifest group-by and the 123x6000 bit tests are sub-second.
     time(s"bloom manifest ${1.5 * mult}M orders -> ~${6 * mult}k files") {
       SparkEntry.queries("q423_bloom_manifest_skipping")(s, out).count()
     }
     // Snapshot time travel at 10x: two committed versions (~1.05M and
     // ~1.35M rows) + the torn third — commit cost is the data write
     // plus ONE manifest row; resolution stays a metadata read at any
-    // version count.
+    // version count. Measured (local[32], quiet window): 7.7 s /
+    // 152.3 MiB shuffle — three full shard writes (the two-phase rank
+    // exchange each) plus two snapshot reads; the manifest legs never
+    // show up in the profile, which is the design claim.
     time(s"snapshot time travel ${1.5 * mult}M orders x2 versions") {
       SparkEntry.queries("q424_snapshot_time_travel")(s, out).count()
     }
