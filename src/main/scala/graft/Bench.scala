@@ -276,9 +276,10 @@ object Bench {
     val quietSubstituted: Seq[String] =
       if (quietDivergent.isEmpty) Seq.empty
       else {
+        // only `best`/`results` change; the raw measurement pairs in
+        // "runs" are untouched — they stay the audit trail for the
+        // substituted rows
         quietDivergent.foreach { n => best += n -> quietQs(n) }
-        runs = benchQueries.map { q =>
-          (q.name, latest(q.name)._1, latest(q.name)._2) }
         results = benchQueries.map(q => q.name -> best(q.name))
         quietDivergent
       }

@@ -413,27 +413,18 @@ object Dedup extends QueryModule {
     * Idempotent by read-side distinct — replaying a delete appends
     * duplicate rows but changes no dedup result and no compaction
     * outcome (q416's replay_noop cell). */
-  def deleteSignatures(kill: DataFrame, indexRoot: String): Unit = {
-    import kill.sparkSession.implicits._
-    kill.select(col(kill.columns.head).cast("long").as("doc_id"))
-      .distinct()
-      .coalesce(1).write.mode("append")
-      .parquet(s"${indexRoot}_tombstones")
-  }
+  def deleteSignatures(kill: DataFrame, indexRoot: String): Unit =
+    graft.sink.Tombstones.append(kill, s"${indexRoot}_tombstones",
+      "doc_id")
 
   /** The current tombstone set for a signature index (distinct doc_ids;
     * empty when the index predates the delete lifecycle or was just
     * compacted). Accepts either the index root or the `<root>/ * ` data
     * glob readers pass around. Bounded between compactions — compaction
     * applies and clears it. */
-  def signatureTombstones(s: SparkSession, indexPath: String): DataFrame = {
-    import s.implicits._
-    val root = indexPath.stripSuffix("/*")
-    val p = java.nio.file.Paths.get(s"${root}_tombstones")
-    if (java.nio.file.Files.exists(p))
-      s.read.parquet(p.toString).select($"doc_id").distinct()
-    else Seq.empty[Long].toDF("doc_id")
-  }
+  def signatureTombstones(s: SparkSession, indexPath: String): DataFrame =
+    graft.sink.Tombstones.read(s,
+      s"${indexPath.stripSuffix("/*")}_tombstones", "doc_id")
 
   /** Batch keys already folded into `base` — kept in a SIBLING directory
     * (`<root>_folded_batches`) so the data glob `<root>/ * ` can never
@@ -471,7 +462,10 @@ object Dedup extends QueryModule {
         .toSeq.sorted
       finally st.close()
     }
-    val nTombstoned = signatureTombstones(s, indexRoot).count()
+    // one tombstone read serves both the early-exit gate and the
+    // anti-join below (mirrors compactIvfLists)
+    val tomb = signatureTombstones(s, indexRoot)
+    val nTombstoned = tomb.count()
     if (keys.isEmpty && nTombstoned == 0) return Nil
     val tmp = java.nio.file.Paths.get(s"${indexRoot}_compacting")
     // targetFiles sizes the rewrite: 1 at fixture scale, index_bytes /
@@ -480,8 +474,7 @@ object Dedup extends QueryModule {
     // of every delete since the last compaction; dedup output cannot
     // change (reads already excluded them), q416 grades the equality.
     s.read.parquet(s"$indexRoot/*")
-      .join(broadcast(signatureTombstones(s, indexRoot)), Seq("doc_id"),
-        "left_anti")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$tmp/base")
     val old = java.nio.file.Paths.get(s"${indexRoot}_precompact")
@@ -491,10 +484,9 @@ object Dedup extends QueryModule {
     if (keys.nonEmpty)
       keys.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"${indexRoot}_folded_batches")
-    // clear AFTER the swap: a crash in between leaves stale tombstones
-    // whose anti-join is a harmless no-op, never a resurrection
-    Seq.empty[Long].toDF("doc_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"${indexRoot}_tombstones")
+    // clear AFTER the swap (the ordering argument lives on
+    // Tombstones.clear)
+    graft.sink.Tombstones.clear(s, s"${indexRoot}_tombstones", "doc_id")
     keys
   }
 

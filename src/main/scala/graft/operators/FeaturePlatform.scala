@@ -2886,14 +2886,14 @@ object FeaturePlatform extends QueryModule {
             expr("CASE WHEN (cast(ss - n_items * 3 as decimal(38,0))) * " +
               "(n_items * 3) * (n_items * 3) - " +
               "cast(n_items as decimal(38,0)) * 6 * " +
-              "(c0*c0 + c1*c1 + c2*c2) >= 0 THEN 1 ELSE -1 END * " +
+              "(cast(c0 as decimal(38,0))*c0 + cast(c1 as decimal(38,0))*c1 + cast(c2 as decimal(38,0))*c2) >= 0 THEN 1 ELSE -1 END * " +
               "cast(abs((cast(ss - n_items * 3 as decimal(38,0))) * " +
               "(n_items * 3) * (n_items * 3) - " +
               "cast(n_items as decimal(38,0)) * 6 * " +
-              "(c0*c0 + c1*c1 + c2*c2)) * 1000000 div " +
+              "(cast(c0 as decimal(38,0))*c0 + cast(c1 as decimal(38,0))*c1 + cast(c2 as decimal(38,0))*c2)) * 1000000 div " +
               "(cast(n_items as decimal(38,0)) * 6 * " +
               "(cast(n_items as decimal(38,0)) * 3 * n_items * 3 - " +
-              "(c0*c0 + c1*c1 + c2*c2))) as bigint)").as("kappa_ppm"))
+              "(cast(c0 as decimal(38,0))*c0 + cast(c1 as decimal(38,0))*c1 + cast(c2 as decimal(38,0))*c2))) as bigint)").as("kappa_ppm"))
       },
       Some("""
         WITH lab AS (
@@ -2937,14 +2937,14 @@ object FeaturePlatform extends QueryModule {
                CAST((CASE WHEN CAST(ss - n_items * 3 AS HUGEINT) *
                  (n_items * 3) * (n_items * 3) -
                  CAST(n_items AS HUGEINT) * 6 *
-                 (c0*c0 + c1*c1 + c2*c2) >= 0 THEN 1 ELSE -1 END) *
+                 (CAST(c0 AS HUGEINT)*c0 + CAST(c1 AS HUGEINT)*c1 + CAST(c2 AS HUGEINT)*c2) >= 0 THEN 1 ELSE -1 END) *
                  (abs(CAST(ss - n_items * 3 AS HUGEINT) *
                  (n_items * 3) * (n_items * 3) -
                  CAST(n_items AS HUGEINT) * 6 *
-                 (c0*c0 + c1*c1 + c2*c2)) * 1000000 //
+                 (CAST(c0 AS HUGEINT)*c0 + CAST(c1 AS HUGEINT)*c1 + CAST(c2 AS HUGEINT)*c2)) * 1000000 //
                  (CAST(n_items AS HUGEINT) * 6 *
                  (CAST(n_items AS HUGEINT) * 3 * n_items * 3 -
-                 (c0*c0 + c1*c1 + c2*c2)))) AS BIGINT) AS kappa_ppm
+                 (CAST(c0 AS HUGEINT)*c0 + CAST(c1 AS HUGEINT)*c1 + CAST(c2 AS HUGEINT)*c2)))) AS BIGINT) AS kappa_ppm
         FROM agg""")),
 
     Q(
@@ -3028,7 +3028,7 @@ object FeaturePlatform extends QueryModule {
             expr("cast((sp * n_neg * (n_neg - 1) + " +
               "sn * n_pos * (n_pos - 1)) * 1000000000000 div " +
               "((cast(2 as decimal(38,0)) * n_pos * n_neg) * " +
-              "(2 * n_pos * n_neg) * n_pos * (n_pos - 1) * " +
+              "2 * n_pos * n_neg * n_pos * (n_pos - 1) * " +
               "n_neg * (n_neg - 1)) as bigint)").as("var_e12"),
             expr("cast(case when sp * n_neg * (n_neg - 1) + " +
               "sn * n_pos * (n_pos - 1) = 0 then null else " +
@@ -3103,7 +3103,7 @@ object FeaturePlatform extends QueryModule {
                  (CAST(2 AS HUGEINT) * m * n) AS BIGINT) AS auc_bp,
                CAST((sp * n * (n - 1) + sn * m * (m - 1))
                  * 1000000000000
-                 // ((CAST(2 AS HUGEINT) * m * n) * (2 * m * n)
+                 // ((CAST(2 AS HUGEINT) * m * n) * 2 * m * n
                     * m * (m - 1) * n * (n - 1)) AS BIGINT) AS var_e12,
                CAST(CASE WHEN sp * n * (n - 1) + sn * m * (m - 1) = 0
                  THEN NULL ELSE

@@ -1944,9 +1944,7 @@ object Similarity extends QueryModule {
       .parquet(s"$path/compacted_batches")
     // the (initially empty) tombstone set — deletes append here,
     // searches anti-join it, compaction applies + clears it
-    Seq.empty[Long].toDF("vec_id")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/tombstones")
+    graft.sink.Tombstones.clear(s, s"$path/tombstones", "vec_id")
     // one writer task per list -> ONE file per inverted list (the
     // posting-list ideal; 32 shuffle partitions x nlist dirs would
     // otherwise scatter ~500 small files every search pays to open)
@@ -2005,12 +2003,8 @@ object Similarity extends QueryModule {
     * appends duplicate rows but changes no search result and no
     * compaction outcome (q415's replay_noop cell). O(|kill|) — never
     * touches the lists. */
-  def deleteIvfVectors(kill: DataFrame, path: String): Unit = {
-    import kill.sparkSession.implicits._
-    kill.select(col(kill.columns.head).cast("long").as("vec_id"))
-      .distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-  }
+  def deleteIvfVectors(kill: DataFrame, path: String): Unit =
+    graft.sink.Tombstones.append(kill, s"$path/tombstones", "vec_id")
 
   /** The current tombstone set (distinct vec_ids; empty frame when the
     * index predates the delete lifecycle or was just compacted).
@@ -2018,13 +2012,8 @@ object Similarity extends QueryModule {
     * so broadcasting it into the search anti-join stays cheap; an
     * operator letting millions of deletes pile up should compact, not
     * widen this join. */
-  def ivfTombstones(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    val p = java.nio.file.Paths.get(s"$path/tombstones")
-    if (java.nio.file.Files.exists(p))
-      s.read.parquet(p.toString).select($"vec_id").distinct()
-    else Seq.empty[Long].toDF("vec_id")
-  }
+  def ivfTombstones(s: SparkSession, path: String): DataFrame =
+    graft.sink.Tombstones.read(s, s"$path/tombstones", "vec_id")
 
   /** Candidate rows minus tombstoned ids — applied BEFORE shortlist /
     * scoring in every persisted-index search, so a logically-deleted
@@ -2081,7 +2070,11 @@ object Similarity extends QueryModule {
     val lists = s.read.parquet(s"$path/lists")
     val folded = lists.select($"batch").distinct()
       .as[String].collect().filter(_ != "base").sorted.toSeq
-    val nTombstoned = ivfTombstones(s, path).count()
+    // one tombstone read serves both the early-exit gate and the
+    // anti-join below (the two-scan shape paid a redundant job per
+    // maintenance call, including the common no-tombstone case)
+    val tomb = ivfTombstones(s, path)
+    val nTombstoned = tomb.count()
     if (folded.isEmpty && nTombstoned == 0) return Nil
     val nlist = s.read.parquet(s"$path/codebook").count().toInt
     val tmp = s"$path/lists_compacting"
@@ -2091,7 +2084,8 @@ object Similarity extends QueryModule {
     // every delete since the last compaction; because searches already
     // excluded them before the shortlist, this rewrite cannot change
     // any search result (q415's compaction_bitexact cell).
-    dropTombstoned(lists, s, path).withColumn("batch", lit("base"))
+    lists.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .withColumn("batch", lit("base"))
       .repartition(nlist, $"list_id")
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(tmp)
@@ -2104,12 +2098,10 @@ object Similarity extends QueryModule {
       folded.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"$path/compacted_batches")
     // tombstones are now physically applied — clear the set AFTER the
-    // lists swap: a crash between swap and clear leaves stale tombstones
-    // whose anti-join is a harmless no-op (the rows are already gone),
-    // never a resurrection. A vector re-ADDED after this clear is new
-    // data and searches normally (the delete was applied, not eternal).
-    Seq.empty[Long].toDF("vec_id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/tombstones")
+    // lists swap (the ordering argument lives on Tombstones.clear). A
+    // vector re-ADDED after this clear is new data and searches
+    // normally (the delete was applied, not eternal).
+    graft.sink.Tombstones.clear(s, s"$path/tombstones", "vec_id")
     folded
   }
 

