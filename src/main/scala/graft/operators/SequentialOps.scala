@@ -1138,6 +1138,100 @@ object SequentialOps extends QueryModule {
                    * (o1 * 1000000 - e1_micros) * 1000
                  > 3841 * CAST(v_micros AS HUGEINT) * 1000000
                  AS BIGINT) AS significant_5pct
-        FROM agg"""))
+        FROM agg""")),
+
+    Q(
+      "q425_nelson_aalen",
+      "NELSON-AALEN CUMULATIVE HAZARD with the Aalen variance " +
+        "(Nelson 1972, Aalen 1978) — the survival family's third leg: " +
+        "q241's Kaplan-Meier is the product-limit SURVIVAL curve, " +
+        "q401's log-rank COMPARES two groups; this is the hazard-sum " +
+        "estimator H(t) = sum_{t_i <= t} d_i/n_i with variance " +
+        "sum d_i/n_i^2 — the curve reliability engineering and churn " +
+        "modeling actually plot, and unlike the KM product it needs NO " +
+        "sequential recurrence: both cumulatives are WINDOW SUMS of " +
+        "per-step integer floors (d*10^6 div n and d*10^12 div n^2 — " +
+        "n >= d >= 1 makes every denominator nonzero, no guards), so " +
+        "the whole estimator replays as two cumsum windows over the " +
+        "bounded duration domain on both engines. Same endpoint as " +
+        "q401: time-to-first-purchase from signup, administratively " +
+        "censored at tau = 5 days (censored users leave the risk set " +
+        "without contributing a death — the correction that makes " +
+        "this estimator honest where a naive conversion-rate-by-day " +
+        "curve overstates late hazard). 100 TB: one user-grain " +
+        "aggregate is the row-scale work; the curve is arithmetic on " +
+        "the <=6-row duration domain.",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.t(s, dir, "events")
+          .select($"user_id", to_date($"ts").as("d"), $"event_type")
+        val entry = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"d").as("e"))
+        val firstp = ev.filter($"event_type" === "purchase")
+          .groupBy($"user_id").agg(min($"d").as("p"))
+        val tau = 5L
+        val byT = entry.join(firstp, Seq("user_id"), "left")
+          .select(coalesce(greatest(datediff($"p", $"e").cast("long"),
+            lit(0L)), lit(Long.MaxValue)).as("gap"))
+          .select(least($"gap", lit(tau)).as("t"),
+            ($"gap" > tau).as("censored"))
+          .groupBy($"t")
+          .agg(count(lit(1)).as("m"),
+            sum(when(!$"censored", 1L).otherwise(0L)).as("dd"))
+        val wRev = Window.orderBy($"t")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wCum = Window.orderBy($"t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT.withColumn("n", sum($"m").over(wRev))
+          .filter($"dd" > 0)
+          .select($"t", $"n".as("n_risk"), $"dd".as("n_events"),
+            expr("dd * 1000000 div n").as("hazard_step_e6"),
+            expr("cast(cast(dd as decimal(38,0)) * 1000000000000 div " +
+              "(cast(n as decimal(38,0)) * n) as bigint)")
+              .as("var_step_e12"))
+          .withColumn("cum_hazard_e6",
+            sum($"hazard_step_e6").over(wCum))
+          .withColumn("aalen_var_e12",
+            sum($"var_step_e12").over(wCum))
+          .drop("hazard_step_e6", "var_step_e12")
+          .orderBy($"t")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+        en AS (SELECT user_id, min(d) AS e FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (SELECT user_id, min(d) AS p FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+        u AS (
+          SELECT CASE WHEN gap > 5 THEN 5 ELSE gap END AS t,
+                 gap > 5 AS censored
+          FROM (SELECT coalesce(
+                  CASE WHEN date_diff('day', en.e, fp.p) < 0 THEN 0
+                       ELSE date_diff('day', en.e, fp.p) END,
+                  9223372036854775807) AS gap
+                FROM en LEFT JOIN fp USING (user_id))),
+        byt AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                   AS BIGINT) AS dd
+          FROM u GROUP BY t),
+        risk AS (
+          SELECT t, dd,
+                 sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING) AS n
+          FROM byt),
+        steps AS (
+          SELECT t, n, dd,
+                 dd * 1000000 // n AS h6,
+                 CAST(CAST(dd AS HUGEINT) * 1000000000000 //
+                   (CAST(n AS HUGEINT) * n) AS BIGINT) AS v12
+          FROM risk WHERE dd > 0)
+        SELECT t, CAST(n AS BIGINT) AS n_risk, dd AS n_events,
+               CAST(sum(h6) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_e6,
+               CAST(sum(v12) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS aalen_var_e12
+        FROM steps ORDER BY t"""))
   )
 }

@@ -2149,6 +2149,108 @@ object StreamingOps extends QueryModule {
                true AS tombstones_pending_at_drain,
                true AS final_drop_exact,
                true AS post_compact_search_unchanged
-        FROM kill"""))
+        FROM kill""")),
+
+    Q(
+      "q426_stream_snapshot_commits",
+      "EXACTLY-ONCE STREAMING SNAPSHOT PUBLICATION — q424's versioned " +
+        "store driven by a stream: each micro-batch commits ONE new " +
+        "snapshot version through the batch-id-keyed manifest " +
+        "(TrainingShards.writeVersion(batchId=...)), which is what " +
+        "turns foreachBatch's at-least-once replay into exactly-once " +
+        "publication — a REPLAYED batch resolves to its already-" +
+        "committed version and overwrite-rewrites identical data in " +
+        "place instead of minting a new snapshot (IdempotentParquet" +
+        "Sink's batch-keyed discipline lifted to versioned snapshots; " +
+        "the manifest row, not the data write, is the commit point). " +
+        "The feed is a deterministic PARITY split of orders into two " +
+        "arrival files consumed one per trigger; after the drain the " +
+        "query REPLAYS the first batch's id with its identical rows " +
+        "and grades: version count unchanged, the replayed version's " +
+        "rows byte-identical, the sibling version untouched, and each " +
+        "snapshot parity-homogeneous — per-parity row counts and " +
+        "integer-cents totals recomputed independently by the oracle. " +
+        "100 TB: a streaming corpus build commits one manifest row " +
+        "per micro-batch; replay cost is one batch rewrite, never a " +
+        "corpus scan, and readers pin any version mid-stream.",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val feed = graft.TempRoots
+          .freshForDir("graft_snapfeed", dir).toString
+        // two deterministic arrival files: the parity split (one write
+        // per file so the stream's batch contents are SQL-replayable)
+        o.filter($"doc_id" % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(feed)
+        o.filter($"doc_id" % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(feed)
+        val root = graft.TempRoots
+          .freshForDir("graft_snapstream", dir).toString
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            TrainingShards.writeVersion(
+              b.select($"doc_id", $"cents"), root, "seed42", 2,
+              batchId = Some(s"b$id")): Unit
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        val byBatch = TrainingShards.committedBatchVersions(s, root)
+        val nVersions1 = TrainingShards.committedVersions(s, root).size
+        def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
+        def rows(v: Int): Seq[String] = snap(v)
+          .select($"doc_id", $"cents").orderBy($"doc_id")
+          .collect().toSeq.map(_.toString)
+        val v0 = byBatch("b0")
+        val vSib = byBatch("b1")
+        val v0Before = rows(v0)
+        val sibBefore = rows(vSib)
+        // the at-least-once replay: same batch id, identical rows
+        val par0 = snap(v0).agg(min($"doc_id" % 2)).head().getLong(0)
+        TrainingShards.writeVersion(
+          o.filter($"doc_id" % 2 === par0), root, "seed42", 2,
+          batchId = Some("b0"))
+        val replayNoop =
+          TrainingShards.committedVersions(s, root).size == nVersions1 &&
+            nVersions1 == 2
+        val replayRowsUnchanged = rows(v0) == v0Before
+        val siblingUnchanged = rows(vSib) == sibBefore
+        byBatch.values.toSeq.sorted.map { v =>
+          val st = snap(v).agg(
+            min($"doc_id" % 2).as("pmin"), max($"doc_id" % 2).as("pmax"),
+            count(lit(1)).as("n"), sum($"cents").as("sc")).head()
+          (st.getLong(0), st.getLong(2), st.getLong(3),
+            st.getLong(0) == st.getLong(1), 2L,
+            replayNoop, replayRowsUnchanged, siblingUnchanged)
+        }.toDF("parity", "n_rows", "sum_cents", "split_homogeneous",
+            "n_versions", "replay_noop", "replay_rows_unchanged",
+            "sibling_unchanged")
+          .orderBy($"parity")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT CAST(0 AS BIGINT) AS parity,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS split_homogeneous,
+               CAST(2 AS BIGINT) AS n_versions,
+               true AS replay_noop, true AS replay_rows_unchanged,
+               true AS sibling_unchanged
+        FROM o WHERE k % 2 = 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, CAST(2 AS BIGINT),
+               true, true, true
+        FROM o WHERE k % 2 = 1
+        ORDER BY parity"""))
   )
 }

@@ -179,4 +179,41 @@ class TrainingShardsSpec extends AnyFunSuite {
     assert(keys(TrainingShards.readVersion(spark, root, Some(1))) == v1Keys,
       "pinned v1 must survive every later commit")
   }
+
+  test("batch-id-keyed versions: a replayed batch id resolves to its " +
+    "committed version and mints nothing; a new id mints the next") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_batch").toString
+    val a = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 2 === 0), root, "s", 2,
+      batchId = Some("b0"))
+    assert(a == 1)
+    assert(TrainingShards.committedBatchVersions(spark, root) ==
+      Map("b0" -> 1))
+    // replay: same id, identical rows -> same version, no new commit
+    val a2 = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 2 === 0), root, "s", 2,
+      batchId = Some("b0"))
+    assert(a2 == 1)
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1))
+    // a new id mints the next version
+    val b = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 2 === 1), root, "s", 2,
+      batchId = Some("b1"))
+    assert(b == 2)
+    assert(TrainingShards.committedBatchVersions(spark, root) ==
+      Map("b0" -> 1, "b1" -> 2))
+    // id-less commits coexist on the same root (manifest rows carry a
+    // null batch_id and are skipped by the batch lookup)
+    val c = TrainingShards.writeVersion(
+      o.filter($"doc_id" % 10 === 0), root, "s", 2)
+    assert(c == 3)
+    assert(TrainingShards.committedBatchVersions(spark, root) ==
+      Map("b0" -> 1, "b1" -> 2))
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1, 2, 3))
+  }
 }
