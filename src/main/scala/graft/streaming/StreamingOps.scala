@@ -2204,13 +2204,18 @@ object StreamingOps extends QueryModule {
         val byBatch = TrainingShards.committedBatchVersions(s, root)
         val nVersions1 = TrainingShards.committedVersions(s, root).size
         def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
-        def rows(v: Int): Seq[String] = snap(v)
-          .select($"doc_id", $"cents").orderBy($"doc_id")
-          .collect().toSeq.map(_.toString)
+        // snapshot identity compares as a DISTRIBUTED order-independent
+        // fingerprint (count, cents total, hash-sum — q142's snapshot-
+        // diff discipline): collecting 150k formatted rows to the
+        // driver x4 was most of this query's wall, for the same check
+        def fp(v: Int): Seq[Any] = snap(v)
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
         val v0 = byBatch("b0")
         val vSib = byBatch("b1")
-        val v0Before = rows(v0)
-        val sibBefore = rows(vSib)
+        val v0Before = fp(v0)
+        val sibBefore = fp(vSib)
         // the at-least-once replay: same batch id, identical rows
         val par0 = snap(v0).agg(min($"doc_id" % 2)).head().getLong(0)
         TrainingShards.writeVersion(
@@ -2219,8 +2224,8 @@ object StreamingOps extends QueryModule {
         val replayNoop =
           TrainingShards.committedVersions(s, root).size == nVersions1 &&
             nVersions1 == 2
-        val replayRowsUnchanged = rows(v0) == v0Before
-        val siblingUnchanged = rows(vSib) == sibBefore
+        val replayRowsUnchanged = fp(v0) == v0Before
+        val siblingUnchanged = fp(vSib) == sibBefore
         byBatch.values.toSeq.sorted.map { v =>
           val st = snap(v).agg(
             min($"doc_id" % 2).as("pmin"), max($"doc_id" % 2).as("pmax"),
