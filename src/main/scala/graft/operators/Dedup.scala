@@ -432,9 +432,9 @@ object Dedup extends QueryModule {
     * first compaction. */
   def foldedSignatureKeys(s: SparkSession, indexRoot: String): Set[String] = {
     import s.implicits._
-    val p = java.nio.file.Paths.get(s"${indexRoot}_folded_batches")
-    if (!java.nio.file.Files.exists(p)) Set.empty
-    else s.read.parquet(p.toString).as[String].collect().toSet
+    val p = s"${indexRoot}_folded_batches"
+    if (!graft.sink.Fs.exists(s, p)) Set.empty
+    else s.read.parquet(p).as[String].collect().toSet
   }
 
   /** MAINTENANCE: fold every batch subdirectory of the signature index
@@ -451,23 +451,14 @@ object Dedup extends QueryModule {
   def compactSignatureIndex(s: SparkSession, indexRoot: String,
       targetFiles: Int = 1): Seq[String] = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
-    val rootP = java.nio.file.Paths.get(indexRoot)
-    val keys = {
-      val st = java.nio.file.Files.list(rootP)
-      try st.iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(n => n != "base" && !n.startsWith("_") && !n.startsWith("."))
-        .toSeq.sorted
-      finally st.close()
-    }
+    val keys = graft.sink.Fs.listDirNames(s, indexRoot)
+      .filter(n => n != "base" && !n.startsWith("_") && !n.startsWith("."))
     // one tombstone read serves both the early-exit gate and the
     // anti-join below (mirrors compactIvfLists)
     val tomb = signatureTombstones(s, indexRoot)
     val nTombstoned = tomb.count()
     if (keys.isEmpty && nTombstoned == 0) return Nil
-    val tmp = java.nio.file.Paths.get(s"${indexRoot}_compacting")
+    val tmp = s"${indexRoot}_compacting"
     // targetFiles sizes the rewrite: 1 at fixture scale, index_bytes /
     // maxPartitionBytes for a real deployment (the q268 sizing rule).
     // Tombstoned signatures are dropped HERE — the physical application
@@ -477,10 +468,10 @@ object Dedup extends QueryModule {
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$tmp/base")
-    val old = java.nio.file.Paths.get(s"${indexRoot}_precompact")
-    java.nio.file.Files.move(rootP, old)
-    java.nio.file.Files.move(tmp, rootP)
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    val old = s"${indexRoot}_precompact"
+    graft.sink.Fs.move(s, indexRoot, old)
+    graft.sink.Fs.move(s, tmp, indexRoot)
+    graft.sink.Fs.delete(s, old)
     if (keys.nonEmpty)
       keys.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"${indexRoot}_folded_batches")

@@ -3025,11 +3025,20 @@ object FeaturePlatform extends QueryModule {
               .as("auc_bp"),
             $"sp", $"sn")
           .select($"n_pos", $"n_neg", $"auc_num", $"auc_den", $"auc_bp",
-            expr("cast((sp * n_neg * (n_neg - 1) + " +
-              "sn * n_pos * (n_pos - 1)) * 1000000000000 div " +
-              "((cast(2 as decimal(38,0)) * n_pos * n_neg) * " +
-              "2 * n_pos * n_neg * n_pos * (n_pos - 1) * " +
-              "n_neg * (n_neg - 1)) as bigint)").as("var_e12"),
+            // var split as sp/(4m^3(m-1)n^2) + sn/(4m^2n^3(n-1)) — the
+            // single-fraction form's numerator grows ~m^3*n^4*10^12 and
+            // bursts DECIMAL(38,0)/HUGEINT once per-class counts reach
+            // a few thousand; cancelling the cross factor before the
+            // scale keeps each numerator at ~m^3*n^2*10^12, safe to
+            // ~1e5 rows per class (the two floors differ from the
+            // joint floor by at most 1e-12 — both engines replay the
+            // same split)
+            expr("cast(sp * 1000000000000 div " +
+              "(cast(4 as decimal(38,0)) * n_pos * n_pos * n_pos * " +
+              "(n_pos - 1) * n_neg * n_neg) + " +
+              "sn * 1000000000000 div " +
+              "(cast(4 as decimal(38,0)) * n_pos * n_pos * n_neg * " +
+              "n_neg * n_neg * (n_neg - 1)) as bigint)").as("var_e12"),
             expr("cast(case when sp * n_neg * (n_neg - 1) + " +
               "sn * n_pos * (n_pos - 1) = 0 then null else " +
               "(cast(auc_num as decimal(38,0)) - n_pos * n_neg) * " +
@@ -3101,10 +3110,11 @@ object FeaturePlatform extends QueryModule {
                2 * m * n AS auc_den,
                CAST(CAST(wd AS HUGEINT) * 10000 //
                  (CAST(2 AS HUGEINT) * m * n) AS BIGINT) AS auc_bp,
-               CAST((sp * n * (n - 1) + sn * m * (m - 1))
-                 * 1000000000000
-                 // ((CAST(2 AS HUGEINT) * m * n) * 2 * m * n
-                    * m * (m - 1) * n * (n - 1)) AS BIGINT) AS var_e12,
+               CAST(sp * 1000000000000
+                 // (CAST(4 AS HUGEINT) * m * m * m * (m - 1) * n * n)
+                 + sn * 1000000000000
+                 // (CAST(4 AS HUGEINT) * m * m * n * n * n * (n - 1))
+                 AS BIGINT) AS var_e12,
                CAST(CASE WHEN sp * n * (n - 1) + sn * m * (m - 1) = 0
                  THEN NULL ELSE
                  (CAST(wd AS HUGEINT) - m * n) *
@@ -3284,7 +3294,7 @@ object FeaturePlatform extends QueryModule {
         graft.sink.TrainingShards.writeVersion(
           o.filter($"doc_id" % 10 === 0), root, "seed42", 4,
           commit = false)
-        val orphanOnDisk = new java.io.File(s"$root/v=3").exists()
+        val orphanOnDisk = graft.sink.Fs.exists(s, s"$root/v=3")
         val latest = graft.sink.TrainingShards.readVersion(s, root)
         val pinned = graft.sink.TrainingShards
           .readVersion(s, root, Some(v1))
@@ -3323,8 +3333,467 @@ object FeaturePlatform extends QueryModule {
         UNION ALL
         SELECT 'pinned_v1', CAST(1 AS BIGINT), n, sc, true, true
         FROM v1
-        ORDER BY snapshot"""))
+        ORDER BY snapshot""")),
+
+    Q(
+      "q427_snapshot_concurrent_mint",
+      "CONCURRENT SNAPSHOT MINT — the multi-writer edge q424's " +
+        "single-writer protocol left sharp: two writers that read the " +
+        "same manifest state both resolve 'next version = N' and, " +
+        "under a read-then-append mint, overwrite each other's data " +
+        "and interleave duplicate manifest rows. The hardened mint " +
+        "makes BOTH slots one-winner rename claims (Fs.claim): each " +
+        "writer stages its shards privately, then claims v=N by " +
+        "rename-if-absent; the loser advances to v=N+1 by renaming " +
+        "the SAME staged bytes — no rewrite, no torn directory, and " +
+        "the commit row claim after a won data claim cannot lose. The " +
+        "query RACES two real writer threads through the worst-case " +
+        "interleave (a barrier between each thread's staged build and " +
+        "its first claim attempt guarantees both resolve the same " +
+        "next version before either claims) and grades: no shared " +
+        "version, manifest = exactly {1,2,3}, each writer's returned " +
+        "version holds exactly its own rows (count + cents total + " +
+        "order-independent hash fingerprint), and the base snapshot " +
+        "is untouched — per-slice rows and totals recomputed " +
+        "independently by the oracle; which THREAD got which version " +
+        "is scheduling-dependent and deliberately absent from the " +
+        "output. 100 TB: a claim is one metadata rename regardless of " +
+        "snapshot size, so writer concurrency costs nothing data-" +
+        "proportional; on HDFS the rename is NameNode-atomic (object " +
+        "stores need their own committer, as every lakehouse " +
+        "documents).",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val root = graft.TempRoots
+          .freshForDir("graft_snapmint", dir).toString
+        val base = o.filter($"doc_id" % 10 === 0)
+        val a = o.filter($"doc_id" % 2 === 0 && $"doc_id" % 10 =!= 0)
+        val b = o.filter($"doc_id" % 2 === 1)
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        val (fpBase, fpA, fpB) = (fp(base), fp(a), fp(b))
+        TrainingShards.writeVersion(base, root, "seed42", 2)
+        // the worst-case interleave: BOTH writers finish their staged
+        // builds and resolve the same next version before either
+        // claims (the timed fallback only loosens the barrier if a
+        // writer died — grading still holds, the race is just softer)
+        val gate = new java.util.concurrent.CountDownLatch(2)
+        val hook: () => Unit = () => {
+          gate.countDown()
+          gate.await(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+        }
+        val minted = new Array[Int](2)
+        val ta = new Thread(() => minted(0) = TrainingShards
+          .writeVersion(a, root, "seed42", 2, preClaim = hook))
+        val tb = new Thread(() => minted(1) = TrainingShards
+          .writeVersion(b, root, "seed42", 2, preClaim = hook))
+        ta.start(); tb.start(); ta.join(); tb.join()
+        val Array(va, vb) = minted
+        def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
+        val noShared = va != vb
+        val mintedSet = Set(va, vb) == Set(2, 3) &&
+          TrainingShards.committedVersions(s, root) == Seq(1, 2, 3)
+        val ownBytes = fp(snap(va)) == fpA && fp(snap(vb)) == fpB &&
+          fp(snap(1)) == fpBase
+        def stats(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+            .select(lit(label).as("writer"), $"n_rows", $"sum_cents",
+              lit(noShared).as("no_shared_version"),
+              lit(mintedSet).as("minted_exactly_2_and_3"),
+              lit(ownBytes).as("each_writer_reads_own_rows"))
+        stats(snap(1), "base")
+          .unionAll(stats(snap(va), "writer_a"))
+          .unionAll(stats(snap(vb), "writer_b"))
+          .orderBy($"writer")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT 'base' AS writer, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS no_shared_version,
+               true AS minted_exactly_2_and_3,
+               true AS each_writer_reads_own_rows
+        FROM o WHERE k % 10 = 0
+        UNION ALL
+        SELECT 'writer_a', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM o WHERE k % 2 = 0 AND k % 10 <> 0
+        UNION ALL
+        SELECT 'writer_b', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM o WHERE k % 2 = 1
+        ORDER BY writer""")),
+
+    Q(
+      "q428_snapshot_retention_gc",
+      "SNAPSHOT RETENTION + ORPHAN VACUUM — the half of the lakehouse " +
+        "contract q424 deferred: without expiry, versions accumulate " +
+        "forever and a crashed writer's claimed-but-uncommitted " +
+        "directory leaks unbounded. expireVersions(keep=N) retires " +
+        "all but the newest N committed versions — per version the " +
+        "MANIFEST row is deleted FIRST, then the data directory, so a " +
+        "crash mid-expire can leave an invisible orphan (healed by " +
+        "the next vacuum) but NEVER a committed version whose bytes " +
+        "are gone — then vacuums orphan data dirs BELOW the newest " +
+        "commit (a claim below the newest commit can never commit " +
+        "again, so it is provably garbage; an orphan above it may be " +
+        "an in-flight writer between its two claims and is spared). " +
+        "The query builds the full degraded state: v1,v2 committed, a " +
+        "crashed writer's orphan occupying v=3, v4 minted OVER the " +
+        "orphan (the claim loop skips it — a dead writer never blocks " +
+        "the store), v5 committed, then a simulated expire crash " +
+        "(v1's manifest row deleted, data left) before a real " +
+        "expire(keep=2). Graded: the crashed state already hides v1, " +
+        "the expire removes exactly {1,2,3}, survivors' bytes are " +
+        "fingerprint-identical across the expire (the pinned-reader " +
+        "guarantee), retired directories are physically gone, and a " +
+        "pin of a retired version is rejected — surviving-slice rows " +
+        "and totals recomputed independently by the oracle. 100 TB: " +
+        "expiry is O(retired) metadata deletes + data-dir removals of " +
+        "exactly the retired bytes; nothing surviving is read, " +
+        "copied, or rewritten.",
+      (s, dir) => {
+        import graft.sink.{Fs, TrainingShards}
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        def slice(r: Int) = o.filter($"doc_id" % 5 === r)
+        val root = graft.TempRoots
+          .freshForDir("graft_snapgc", dir).toString
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        TrainingShards.writeVersion(slice(0), root, "seed42", 2)
+        TrainingShards.writeVersion(slice(1), root, "seed42", 2)
+        // a crashed writer: data claimed at v=3, commit row never lands
+        TrainingShards.writeVersion(slice(2), root, "seed42", 2,
+          commit = false)
+        val v4 = TrainingShards.writeVersion(slice(3), root, "seed42", 2)
+        val v5 = TrainingShards.writeVersion(slice(4), root, "seed42", 2)
+        val orphanSkipped = v4 == 4 && v5 == 5
+        def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
+        val (fp4, fp5) = (fp(snap(4)), fp(snap(5)))
+        // the expire crash window: v1's commit row retired, data not
+        // yet — the version must ALREADY be invisible in this state
+        Fs.delete(s, s"$root/manifest/c_1")
+        val crashHidesV1 =
+          TrainingShards.committedVersions(s, root) == Seq(2, 4, 5) &&
+            Fs.exists(s, s"$root/v=1")
+        val removed = TrainingShards.expireVersions(s, root, keep = 2)
+        val removedExact = removed == Seq(1, 2, 3)
+        val survivorsIntact = fp(snap(4)) == fp4 && fp(snap(5)) == fp5 &&
+          TrainingShards.committedVersions(s, root) == Seq(4, 5)
+        val dirsGone = !Fs.exists(s, s"$root/v=1") &&
+          !Fs.exists(s, s"$root/v=2") && !Fs.exists(s, s"$root/v=3")
+        val pinRejected = scala.util.Try(
+          TrainingShards.readVersion(s, root, Some(2))).isFailure
+        def stats(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+            .select(lit(label).as("snapshot"), $"n_rows", $"sum_cents",
+              lit(orphanSkipped).as("mint_skips_dead_claim"),
+              lit(crashHidesV1).as("expire_crash_hides_first"),
+              lit(removedExact).as("removed_exactly_1_2_3"),
+              lit(survivorsIntact).as("survivor_bytes_unchanged"),
+              lit(dirsGone).as("retired_dirs_gone"),
+              lit(pinRejected).as("pin_of_retired_rejected"))
+        stats(snap(4), "v4_survivor")
+          .unionAll(stats(snap(5), "v5_survivor"))
+          .orderBy($"snapshot")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT 'v4_survivor' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS mint_skips_dead_claim,
+               true AS expire_crash_hides_first,
+               true AS removed_exactly_1_2_3,
+               true AS survivor_bytes_unchanged,
+               true AS retired_dirs_gone,
+               true AS pin_of_retired_rejected
+        FROM o WHERE k % 5 = 3
+        UNION ALL
+        SELECT 'v5_survivor', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true, true, true, true
+        FROM o WHERE k % 5 = 4
+        ORDER BY snapshot""")),
+
+    Q(
+      "q429_snapshot_schema_evolution",
+      "SNAPSHOT SCHEMA EVOLUTION — the first schema change a real " +
+        "corpus build makes (a column added between v=N and v=N+1) " +
+        "meets the versioned store: the PINNED read must return v=N's " +
+        "original schema forever (immutable bytes, immutable shape — " +
+        "provenance reads cannot grow columns retroactively), while a " +
+        "consumer unioning across versions wants every snapshot " +
+        "CONFORMED to the latest schema with added columns back-" +
+        "filled null — q131's mergeSchema discipline applied through " +
+        "the manifest as a READ-SIDE view (readVersionEvolved), never " +
+        "a rewrite. v1 commits (doc_id, cents); v2 adds the order-" +
+        "priority column; the query grades the pinned v1 schema " +
+        "(exactly its original columns), the evolved v1 schema " +
+        "(exactly the latest's, order and types), and reads BOTH " +
+        "versions through the evolved view — per-version rows, cents " +
+        "totals, and the count of populated priority values (0 for " +
+        "the back-filled v1, every row for v2) recomputed " +
+        "independently by the oracle. Dropped columns are the same " +
+        "projection in reverse (absent from the latest schema, they " +
+        "vanish from the view); widened types cast up. 100 TB: " +
+        "conformance is a projection pushed to the parquet scan — " +
+        "null literals cost nothing, no snapshot is ever rewritten " +
+        "for a schema change.",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+            $"o_orderpriority".as("prio"))
+        val root = graft.TempRoots
+          .freshForDir("graft_snapevo", dir).toString
+        val v1 = TrainingShards.writeVersion(
+          o.filter($"doc_id" % 2 === 0).select($"doc_id", $"cents"),
+          root, "seed42", 2)
+        TrainingShards.writeVersion(
+          o.filter($"doc_id" % 2 === 1), root, "seed42", 2)
+        val latest = TrainingShards.readVersion(s, root)
+        val pinned = TrainingShards.readVersion(s, root, Some(v1))
+        val pinnedOriginal = pinned.columns.sorted.toSeq ==
+          Seq("cents", "doc_id", "rk", "shard_id")
+        val evolved1 = TrainingShards.readVersionEvolved(s, root, Some(v1))
+        def shape(df: org.apache.spark.sql.DataFrame) =
+          df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+        val evolvedMatchesLatest = shape(evolved1) == shape(latest)
+        def stats(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+            count($"prio").as("n_prio_set"))
+            .select(lit(label).as("snapshot"), $"n_rows", $"sum_cents",
+              $"n_prio_set",
+              lit(pinnedOriginal).as("pinned_schema_original"),
+              lit(evolvedMatchesLatest).as("evolved_schema_matches_latest"))
+        stats(evolved1, "v1_evolved")
+          .unionAll(stats(
+            TrainingShards.readVersionEvolved(s, root), "v2_latest"))
+          .orderBy($"snapshot")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT 'v1_evolved' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               CAST(0 AS BIGINT) AS n_prio_set,
+               true AS pinned_schema_original,
+               true AS evolved_schema_matches_latest
+        FROM o WHERE k % 2 = 0
+        UNION ALL
+        SELECT 'v2_latest', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+               true, true
+        FROM o WHERE k % 2 = 1
+        ORDER BY snapshot""")),
+
+    Q(
+      "q431_dawid_skene",
+      "DAWID-SKENE ANNOTATOR MODEL (Dawid & Skene 1979 — the " +
+        "label-aggregation EM every crowd/LLM-judge pipeline " +
+        "rediscovers; capstone of the q419-q421 annotator-eval tier): " +
+        "three deterministic raters with DIFFERENT error rates label " +
+        "every order's latent binary class through arithmetic noise " +
+        "mixers, and two full EM rounds jointly recover per-annotator " +
+        "CONFUSION MATRICES, class priors, and posterior labels — " +
+        "majority vote weights all raters equally; Dawid-Skene learns " +
+        "whom to trust. ENTIRELY in ppm integer fixed point (q420's " +
+        "discipline): posteriors init as vote fractions, each M-step " +
+        "is ONE row-scale aggregate to 8 bounded sums (class masses + " +
+        "per-annotator label-1 masses, Laplace +1-item smoothing " +
+        "keeps every cell positive), each E-step a per-row chain of " +
+        "three ppm multiplies per class with ONE truncating " +
+        "normalization div — sums of integers are order-independent, " +
+        "so the fit is bit-stable on any cluster and the oracle " +
+        "REPLAYS both rounds as materialized CTE chains (majority " +
+        "init -> M1 -> E1 -> M2 -> E2). Output: the 12-cell " +
+        "confusion tensor in ppm, the learned prior, and argmax-" +
+        "posterior accuracy against the latent class — all BIGINT-" +
+        "exact cross-engine. Plan: M-steps are map-side-combinable " +
+        "aggregates to a 1-row frame; E-steps are codegen'd per-row " +
+        "projections with the 14 model scalars inlined as literals " +
+        "(the k-means-centroid argument: collected state is " +
+        "domain-bounded, never row-scale). 100 TB: a billion " +
+        "annotations stream through the same 8 counters per round; " +
+        "the driver holds 14 numbers.",
+      (s, dir) => {
+        import s.implicits._
+        val M = 1000000L
+        val it = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("k"))
+          .select($"k", when($"k" % 7 < 3, 1L).otherwise(0L).as("c"))
+          .select($"k", $"c",
+            when(($"k" * 13L + 1L) % 100L < 10L, lit(1L) - $"c")
+              .otherwise($"c").as("l0"),
+            when(($"k" * 29L + 5L) % 100L < 25L, lit(1L) - $"c")
+              .otherwise($"c").as("l1"),
+            when(($"k" * 37L + 11L) % 100L < 40L, lit(1L) - $"c")
+              .otherwise($"c").as("l2"))
+        val t0 = it.withColumn("t1",
+          expr("(l0 + l1 + l2) * 1000000 div 3"))
+        // M-step: one aggregate -> (s1, s0, per-annotator label-1
+        // masses under each class); pi/priors in ppm with Laplace
+        // +1-item smoothing, truncating div (all positive)
+        def mstep(t: org.apache.spark.sql.DataFrame)
+            : (Long, Long, Array[Array[Array[Long]]]) = {
+          val aggs = Seq(sum($"t1"), sum(lit(M) - $"t1")) ++
+            (0 to 2).flatMap { a =>
+              Seq(sum(when(col(s"l$a") === 1, $"t1").otherwise(0L)),
+                sum(when(col(s"l$a") === 1, lit(M) - $"t1")
+                  .otherwise(0L)))
+            }
+          val r = t.agg(aggs.head, aggs.tail: _*).head()
+          val s1 = r.getLong(0); val s0 = r.getLong(1)
+          val p1 = s1 * M / (s1 + s0)
+          val p0 = s0 * M / (s1 + s0)
+          val pi = Array.ofDim[Long](3, 2, 2)
+          for (a <- 0 to 2) {
+            val nc1 = r.getLong(2 + 2 * a)
+            val nc0 = r.getLong(3 + 2 * a)
+            pi(a)(1)(1) = (nc1 + M) * M / (s1 + 2 * M)
+            pi(a)(1)(0) = (s1 - nc1 + M) * M / (s1 + 2 * M)
+            pi(a)(0)(1) = (nc0 + M) * M / (s0 + 2 * M)
+            pi(a)(0)(0) = (s0 - nc0 + M) * M / (s0 + 2 * M)
+          }
+          (p1, p0, pi)
+        }
+        // E-step: per-row ppm product chain, model scalars inlined
+        def estep(t: org.apache.spark.sql.DataFrame, p1: Long,
+            p0: Long, pi: Array[Array[Array[Long]]])
+            : org.apache.spark.sql.DataFrame = {
+          // inlined model scalars carry the L suffix: a bare 7-digit
+          // ppm literal parses as INT32 and the u-product would
+          // overflow it under ANSI
+          def pick(a: Int, cls: Int) =
+            s"(case when l$a = 1 then ${pi(a)(cls)(1)}L " +
+              s"else ${pi(a)(cls)(0)}L end)"
+          def u(cls: Int, pr: Long) =
+            s"((((${pr}L * ${pick(0, cls)}) div 1000000) * " +
+              s"${pick(1, cls)} div 1000000) * ${pick(2, cls)}) " +
+              "div 1000000"
+          t.withColumn("u1", expr(u(1, p1)))
+            .withColumn("u0", expr(u(0, p0)))
+            .withColumn("t1", expr("case when u1 + u0 = 0 then 500000 " +
+              "else (u1 * 1000000) div (u1 + u0) end"))
+            .drop("u1", "u0")
+        }
+        val (p1a, p0a, piA) = mstep(t0)
+        val e1 = estep(t0, p1a, p0a, piA)
+        val (p1b, p0b, piB) = mstep(e1)
+        val e2 = estep(e1, p1b, p0b, piB)
+        val acc = e2.agg(
+          sum(when(when($"t1" > 500000L, 1L).otherwise(0L) === $"c",
+            1L).otherwise(0L)).as("nc"),
+          count(lit(1)).as("ni")).head()
+        val rows = for { a <- 0 to 2; cls <- 0 to 1; l <- 0 to 1 }
+          yield (a.toLong, cls.toLong, l.toLong, piB(a)(cls)(l),
+            p1b, acc.getLong(0), acc.getLong(1))
+        rows.toDF("annotator", "true_class", "obs_label", "pi_ppm",
+            "prior1_ppm", "n_argmax_correct", "n_items")
+          .orderBy($"annotator", $"true_class", $"obs_label")
+      },
+      Some(dawidSkeneOracleSql))
   )
+
+  /** q431's oracle: both EM rounds unrolled as materialized CTE chains
+    * (majority init -> M1 -> E1 -> M2 -> E2), generated so the M/E
+    * algebra exists ONCE per step shape — the q420/q369 deterministic-
+    * iteration discipline. MATERIALIZED is load-bearing: e2 references
+    * e1 through m2 AND pi2, and a non-materialized chain re-expands the
+    * whole lineage per reference. */
+  private def dawidSkeneOracleSql: String = {
+    def m(i: Int, in: String): String = {
+      val masses = (0 to 2).map { a =>
+        s"CAST(sum(CASE WHEN l$a = 1 THEN t1 ELSE 0 END) AS BIGINT) " +
+          s"AS a${a}c1, " +
+          s"CAST(sum(CASE WHEN l$a = 1 THEN 1000000 - t1 ELSE 0 END) " +
+          s"AS BIGINT) AS a${a}c0"
+      }.mkString(", ")
+      val cells = (0 to 2).map { a =>
+        s"(a${a}c1 + 1000000) * 1000000 // (s1 + 2000000) AS pi${a}_1_1, " +
+          s"(s1 - a${a}c1 + 1000000) * 1000000 // (s1 + 2000000) AS pi${a}_1_0, " +
+          s"(a${a}c0 + 1000000) * 1000000 // (s0 + 2000000) AS pi${a}_0_1, " +
+          s"(s0 - a${a}c0 + 1000000) * 1000000 // (s0 + 2000000) AS pi${a}_0_0"
+      }.mkString(", ")
+      s"""m$i AS MATERIALIZED (
+        SELECT CAST(sum(t1) AS BIGINT) AS s1,
+               CAST(sum(1000000 - t1) AS BIGINT) AS s0, $masses
+        FROM $in),
+      pi$i AS MATERIALIZED (
+        SELECT s1 * 1000000 // (s1 + s0) AS p1,
+               s0 * 1000000 // (s1 + s0) AS p0, $cells
+        FROM m$i)"""
+    }
+    def e(i: Int, in: String): String = {
+      def pick(a: Int, cls: Int) =
+        s"(CASE WHEN l$a = 1 THEN pi${a}_${cls}_1 ELSE pi${a}_${cls}_0 END)"
+      def u(cls: Int, pr: String) =
+        s"(((($pr * ${pick(0, cls)}) // 1000000) * ${pick(1, cls)} " +
+          s"// 1000000) * ${pick(2, cls)}) // 1000000"
+      s"""e$i AS MATERIALIZED (
+        SELECT k, c, l0, l1, l2,
+               CASE WHEN u1 + u0 = 0 THEN 500000
+                    ELSE (u1 * 1000000) // (u1 + u0) END AS t1
+        FROM (SELECT k, c, l0, l1, l2,
+                     ${u(1, "p1")} AS u1,
+                     ${u(0, "p0")} AS u0
+              FROM $in CROSS JOIN pi$i))"""
+    }
+    val finalRows = (for { a <- 0 to 2; cls <- 0 to 1; l <- 0 to 1 }
+      yield s"SELECT CAST($a AS BIGINT) AS annotator, " +
+        s"CAST($cls AS BIGINT) AS true_class, " +
+        s"CAST($l AS BIGINT) AS obs_label, " +
+        s"CAST(pi${a}_${cls}_$l AS BIGINT) AS pi_ppm, " +
+        s"CAST(p1 AS BIGINT) AS prior1_ppm, " +
+        "acc.nc AS n_argmax_correct, acc.ni AS n_items " +
+        "FROM pi2 CROSS JOIN acc").mkString(" UNION ALL ")
+    s"""
+      WITH lb AS MATERIALIZED (
+        SELECT k, c,
+          CASE WHEN (k * 13 + 1) % 100 < 10 THEN 1 - c ELSE c END AS l0,
+          CASE WHEN (k * 29 + 5) % 100 < 25 THEN 1 - c ELSE c END AS l1,
+          CASE WHEN (k * 37 + 11) % 100 < 40 THEN 1 - c ELSE c END AS l2
+        FROM (SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 7 < 3 THEN 1 ELSE 0 END AS c
+              FROM orders)),
+      t0 AS MATERIALIZED (
+        SELECT k, c, l0, l1, l2,
+               CAST((l0 + l1 + l2) * 1000000 // 3 AS BIGINT) AS t1
+        FROM lb),
+      ${m(1, "t0")},
+      ${e(1, "t0")},
+      ${m(2, "e1")},
+      ${e(2, "e1")},
+      acc AS (
+        SELECT CAST(sum(CASE WHEN (CASE WHEN t1 > 500000 THEN 1 ELSE 0
+                 END) = c THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(count(*) AS BIGINT) AS ni
+        FROM e2)
+      $finalRows
+      ORDER BY annotator, true_class, obs_label"""
+  }
 
   /** The calibration ground-truth table shared by q228 (reliability
     * diagram) and q285 (isotonic fit): clicks banded by value

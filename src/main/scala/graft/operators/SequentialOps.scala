@@ -1042,10 +1042,14 @@ object SequentialOps extends QueryModule {
         val firstp = ev.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"d").as("p"))
         val tau = 5L
+        // null gap (user never purchases) propagates to the +inf
+        // sentinel = censored at tau; Spark's greatest() skips nulls,
+        // so the null branch is explicit (q425's seam, aligned here)
         val byT = entry.join(firstp, Seq("user_id"), "left")
           .select(($"user_id" % 2).as("g"),
-            coalesce(greatest(datediff($"p", $"e").cast("long"),
-              lit(0L)), lit(Long.MaxValue)).as("gap"))
+            when(datediff($"p", $"e").isNull, Long.MaxValue)
+              .otherwise(greatest(datediff($"p", $"e").cast("long"),
+                lit(0L))).as("gap"))
           .select($"g", least($"gap", lit(tau)).as("t"),
             ($"gap" > tau).as("censored"))
           .groupBy($"t")
@@ -1091,7 +1095,8 @@ object SequentialOps extends QueryModule {
                WHERE event_type = 'purchase' GROUP BY 1),
         u0 AS (
           SELECT entry.user_id % 2 AS g,
-                 coalesce(greatest(datediff('day', e, p), 0),
+                 coalesce(CASE WHEN datediff('day', e, p) < 0 THEN 0
+                               ELSE datediff('day', e, p) END,
                    9223372036854775807) AS gap
           FROM entry LEFT JOIN fp ON entry.user_id = fp.user_id),
         u AS (
@@ -1170,9 +1175,14 @@ object SequentialOps extends QueryModule {
         val firstp = ev.filter($"event_type" === "purchase")
           .groupBy($"user_id").agg(min($"d").as("p"))
         val tau = 5L
+        // null gap (user never purchases) must PROPAGATE to the +inf
+        // sentinel — Spark's greatest() SKIPS nulls (greatest(NULL,0)=0
+        // would count a signup-only user as a death at t=0), so the
+        // null branch is taken explicitly before the clamp
         val byT = entry.join(firstp, Seq("user_id"), "left")
-          .select(coalesce(greatest(datediff($"p", $"e").cast("long"),
-            lit(0L)), lit(Long.MaxValue)).as("gap"))
+          .select(when(datediff($"p", $"e").isNull, Long.MaxValue)
+            .otherwise(greatest(datediff($"p", $"e").cast("long"),
+              lit(0L))).as("gap"))
           .select(least($"gap", lit(tau)).as("t"),
             ($"gap" > tau).as("censored"))
           .groupBy($"t")

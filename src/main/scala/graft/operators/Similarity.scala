@@ -771,15 +771,8 @@ object Similarity extends QueryModule {
           nlist = 16, iters = 2)
         addIvfBatch(e.filter($"vec_id" % 20 === 0), root, "day1")
         addIvfBatch(e.filter($"vec_id" % 20 === 10), root, "day2")
-        def files(): Long = {
-          val walk = java.nio.file.Files.walk(
-            java.nio.file.Paths.get(root, "lists"))
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala
-              .count(_.getFileName.toString.endsWith(".parquet")).toLong
-          } finally walk.close()
-        }
+        def files(): Long =
+          graft.sink.Fs.countFiles(s, s"$root/lists", ".parquet")
         def search(): Seq[org.apache.spark.sql.Row] =
           knnIvfPersisted(s, root, e.filter($"vec_id" < 8),
             k = 5, nprobe = 2).collect().toSeq
@@ -2089,11 +2082,10 @@ object Similarity extends QueryModule {
       .repartition(nlist, $"list_id")
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(tmp)
-    val p = java.nio.file.Paths.get(path)
-    val old = p.resolve("lists_precompact")
-    java.nio.file.Files.move(p.resolve("lists"), old)
-    java.nio.file.Files.move(p.resolve("lists_compacting"), p.resolve("lists"))
-    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    val old = s"$path/lists_precompact"
+    graft.sink.Fs.move(s, s"$path/lists", old)
+    graft.sink.Fs.move(s, s"$path/lists_compacting", s"$path/lists")
+    graft.sink.Fs.delete(s, old)
     if (folded.nonEmpty)
       folded.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"$path/compacted_batches")

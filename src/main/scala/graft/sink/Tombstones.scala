@@ -36,9 +36,11 @@ object Tombstones {
     * index predates the delete lifecycle or was just compacted). */
   def read(s: SparkSession, store: String, idCol: String): DataFrame = {
     import s.implicits._
-    val p = java.nio.file.Paths.get(store)
-    if (java.nio.file.Files.exists(p))
-      s.read.parquet(p.toString).select(col(idCol)).distinct()
+    // Fs.exists, not java.nio: the store lives beside the index, which
+    // on a cluster is an hdfs://-style URI a local probe cannot see —
+    // a false "absent" here would silently ignore every delete
+    if (Fs.exists(s, store))
+      s.read.parquet(store).select(col(idCol)).distinct()
     else Seq.empty[Long].toDF(idCol)
   }
 

@@ -2256,6 +2256,129 @@ object StreamingOps extends QueryModule {
                CAST(sum(c) AS BIGINT), true, CAST(2 AS BIGINT),
                true, true, true
         FROM o WHERE k % 2 = 1
-        ORDER BY parity"""))
+        ORDER BY parity""")),
+
+    Q(
+      "q430_stream_bloom_maintenance",
+      "STREAMING BLOOM-MANIFEST MAINTENANCE — q423's per-file bloom " +
+        "manifest stops being a one-shot artifact and joins the " +
+        "standing index loop (q313/q418's foreachBatch lifecycle): " +
+        "each ADD micro-batch upserts bloom rows for exactly ITS new " +
+        "files (a scan of that batch directory alone — new files " +
+        "cannot collide with existing rows, so the upsert is a pure " +
+        "append), and the SCHEDULED mid-stream compaction rebuilds " +
+        "the manifest from the layout it just rewrote via a staged " +
+        "write + rename swap (a crash mid-rebuild leaves the old " +
+        "manifest intact). Without this, a standing ingest that " +
+        "wants point-lookup skipping rescans the corpus per batch. " +
+        "The feed is the %%10==0 embedding tranche range-split into " +
+        "THREE arrival files (one per trigger); the fold fires " +
+        "deterministically after the second add, so the final store " +
+        "exercised BOTH maintenance verbs (rebuild over compacted " +
+        "base + append of the post-fold batch). Graded: the drained " +
+        "incremental manifest BIT-EQUALS a from-scratch q423-style " +
+        "build over the same lists (count + order-independent hash " +
+        "fingerprint), every probe's true home file passes its bloom " +
+        "(no false negatives — the skipping contract), per-probe " +
+        "containment counts (each vector lives in exactly ONE " +
+        "inverted-list file; absent keys in none) recomputed " +
+        "independently by the oracle. 100 TB: manifest maintenance " +
+        "is one group-by over each micro-batch's OWN files (~512 B " +
+        "of bitmap per file); the corpus-wide scan happens only " +
+        "inside compactions that rewrote those bytes anyway.",
+      (s, dir) => {
+        import graft.operators.Similarity
+        import graft.sink.{BloomManifest, Fs}
+        import s.implicits._
+        val e = Tables.t(s, dir, "embeddings")
+          .select($"vec_id", $"embedding")
+        val root = graft.TempRoots
+          .freshForDir("graft_ivf_bloom", dir).toString
+        Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
+          nlist = 16, iters = 2)
+        val store = s"$root/bloom_manifest"
+        BloomManifest.rebuild(s, store, s"$root/lists", "vec_id")
+        val feed = graft.TempRoots
+          .freshForDir("graft_ivf_bloom_feed", dir).toString
+        e.filter($"vec_id" % 10 === 0)
+          .repartitionByRange(3, $"vec_id")
+          .write.mode("overwrite").parquet(feed)
+        // the standing loop: add + manifest upsert per micro-batch,
+        // one scheduled fold (fires after the SECOND add — gated on
+        // the batch index, never on contents, q418's determinism
+        // lesson) that compacts the lists and rebuilds the manifest
+        var batches = 0
+        var foldUsed = false
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            Similarity.addIvfBatch(b, root, s"a$id")
+            val bdir = s"$root/lists/batch=a$id"
+            if (Fs.exists(s, bdir))
+              BloomManifest.append(s, store, bdir, "vec_id")
+            batches += 1
+            if (batches == 2) {
+              Similarity.compactIvfLists(s, root): Unit
+              BloomManifest.rebuild(s, store, s"$root/lists", "vec_id")
+              foldUsed = true
+            }
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        // the from-scratch reference build over the same final layout
+        val scratch = s"$root/bloom_scratch"
+        BloomManifest.rebuild(s, scratch, s"$root/lists", "vec_id")
+        def fp(p: String): Seq[Any] = BloomManifest.read(s, p)
+          .agg(count(lit(1)),
+            sum(xxhash64($"f", $"b1", $"b2").cast("decimal(38,0)")))
+          .head().toSeq
+        val manifestBitexact = fp(store) == fp(scratch)
+        // probe verdicts: bounded collects (manifest rows ~ file
+        // count; containment pairs ~ one row per present probe)
+        val man = BloomManifest.read(s, store).collect()
+          .map(r => r.getAs[String]("f") ->
+            (java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
+          .toMap
+        val maxId = e.agg(max($"vec_id")).head().getLong(0)
+        val present = e.filter($"vec_id" % 50 === 7)
+          .select($"vec_id").as[Long].collect().sorted
+        val probes = present.map((_, 1L)) ++
+          Seq(maxId + 1L, maxId + 2L, maxId + 3L).map((_, 0L))
+        val probeDf = probes.map(_._1).toSeq.toDF("k")
+        val contRows = s.read.parquet(s"$root/lists")
+          .select($"vec_id".cast("long").as("k"),
+            input_file_name().as("f"))
+          .join(broadcast(probeDf), Seq("k"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val noFalseNeg = contRows.forall { case (k, f) =>
+          man(f)._1.get(BloomManifest.h1Long(k)) &&
+            man(f)._2.get(BloomManifest.h2Long(k)) }
+        val nCont = contRows.groupBy(_._1).map { case (k, v) =>
+          k -> v.size.toLong }
+        probes.toSeq.map { case (k, pres) =>
+          (k, pres, nCont.getOrElse(k, 0L), manifestBitexact,
+            noFalseNeg, foldUsed && batches == 3)
+        }.toDF("vec_id", "present", "files_containing",
+            "manifest_bitexact", "no_false_negatives",
+            "fold_and_append_paths_used")
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT vec_id, CAST(1 AS BIGINT) AS present
+          FROM embeddings WHERE vec_id % 50 = 7
+          UNION ALL
+          SELECT mx + i, CAST(0 AS BIGINT)
+          FROM (SELECT max(vec_id) AS mx FROM embeddings)
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS i))
+        SELECT vec_id, present, present AS files_containing,
+               true AS manifest_bitexact,
+               true AS no_false_negatives,
+               true AS fold_and_append_paths_used
+        FROM p ORDER BY vec_id"""))
   )
 }

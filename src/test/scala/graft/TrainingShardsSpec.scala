@@ -169,15 +169,124 @@ class TrainingShardsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TrainingShards.readVersion(spark, root, Some(3))
     }
-    // the RETRY of the torn commit overwrites the orphan and commits —
-    // version numbering comes from the manifest, so the retry IS v3
+    // the RETRY of the torn commit SKIPS the orphan slot: an orphan is
+    // indistinguishable from a concurrent writer's claimed-but-not-yet-
+    // committed directory, so the one-winner claim loop advances past
+    // it (overwriting it would be exactly the multi-writer data race
+    // the claims exist to prevent) — the retry lands at v4 and the
+    // orphan stays invisible until expire's vacuum collects it
     val v3Keys = keys(o.filter($"doc_id" % 10 === 0))
-    val v3 = TrainingShards.writeVersion(
+    val v4 = TrainingShards.writeVersion(
       o.filter($"doc_id" % 10 === 0), root, "s", 4)
-    assert(v3 == 3)
+    assert(v4 == 4)
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1, 2, 4))
     assert(keys(TrainingShards.readVersion(spark, root)) == v3Keys)
     assert(keys(TrainingShards.readVersion(spark, root, Some(1))) == v1Keys,
       "pinned v1 must survive every later commit")
+    // vacuum: the orphan below the newest commit is provably dead and
+    // collected; every committed version survives a keep-everything
+    // expire untouched
+    val removed = TrainingShards.expireVersions(spark, root, keep = 3)
+    assert(removed == Seq(3))
+    assert(!new java.io.File(s"$root/v=3").exists())
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1, 2, 4))
+  }
+
+  test("concurrent mint: one-winner claims — racing writers never " +
+    "share a version and each reads back its own rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_race").toString
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().toSeq.sorted
+    val aIn = o.filter($"doc_id" % 2 === 0)
+    val bIn = o.filter($"doc_id" % 2 === 1)
+    val (aKeys, bKeys) = (keys(aIn), keys(bIn))
+    // barrier: both writers stage and resolve the SAME next version
+    // before either claims — the worst-case interleave, every run
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val hook: () => Unit = () => {
+      gate.countDown()
+      gate.await(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    val minted = new Array[Int](2)
+    val ta = new Thread(() => minted(0) =
+      TrainingShards.writeVersion(aIn, root, "s", 2, preClaim = hook))
+    val tb = new Thread(() => minted(1) =
+      TrainingShards.writeVersion(bIn, root, "s", 2, preClaim = hook))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    val Array(va, vb) = minted
+    assert(va != vb, "two writers shared a version")
+    assert(Set(va, vb) == Set(1, 2))
+    assert(TrainingShards.committedVersions(spark, root) == Seq(1, 2))
+    assert(keys(TrainingShards.readVersion(spark, root, Some(va))) == aKeys)
+    assert(keys(TrainingShards.readVersion(spark, root, Some(vb))) == bKeys)
+  }
+
+  test("expire: manifest-first ordering, pinned survivors byte-stable, " +
+    "retired pins rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_expire").toString
+    def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().toSeq.sorted
+    (0 to 3).foreach { r =>
+      TrainingShards.writeVersion(
+        o.filter($"doc_id" % 4 === r), root, "s", 2): Unit
+    }
+    val v3Keys = keys(TrainingShards.readVersion(spark, root, Some(3)))
+    val v4Keys = keys(TrainingShards.readVersion(spark, root, Some(4)))
+    // crash window: a retired version's manifest row goes first, so
+    // this intermediate state must already hide v1 while its data dir
+    // is still on disk (never the reverse — a committed version with
+    // missing data would break every resolving reader)
+    graft.sink.Fs.delete(spark, s"$root/manifest/c_1")
+    assert(TrainingShards.committedVersions(spark, root) == Seq(2, 3, 4))
+    assert(new java.io.File(s"$root/v=1").exists())
+    val removed = TrainingShards.expireVersions(spark, root, keep = 2)
+    assert(removed == Seq(1, 2),
+      "expire must retire v2 and vacuum the crashed v1 orphan")
+    assert(TrainingShards.committedVersions(spark, root) == Seq(3, 4))
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(!new java.io.File(s"$root/v=2").exists())
+    assert(keys(TrainingShards.readVersion(spark, root, Some(3))) == v3Keys)
+    assert(keys(TrainingShards.readVersion(spark, root, Some(4))) == v4Keys)
+    intercept[IllegalArgumentException] {
+      TrainingShards.readVersion(spark, root, Some(2))
+    }
+  }
+
+  test("schema evolution: pinned read keeps the original shape; the " +
+    "evolved view conforms to the latest schema with null back-fill") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        $"o_orderpriority".as("prio"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_evo").toString
+    TrainingShards.writeVersion(
+      o.filter($"doc_id" % 2 === 0).select($"doc_id"), root, "s", 2)
+    TrainingShards.writeVersion(
+      o.filter($"doc_id" % 2 === 1), root, "s", 2)
+    val pinned = TrainingShards.readVersion(spark, root, Some(1))
+    assert(!pinned.columns.contains("prio"),
+      "pinned reads must never grow columns retroactively")
+    val evolved = TrainingShards.readVersionEvolved(spark, root, Some(1))
+    val latest = TrainingShards.readVersion(spark, root)
+    assert(evolved.schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
+      latest.schema.fields.toSeq.map(f => (f.name, f.dataType)))
+    assert(evolved.count() == pinned.count())
+    assert(evolved.filter($"prio".isNotNull).count() == 0,
+      "added columns back-fill null for pre-evolution snapshots")
+    assert(TrainingShards.readVersionEvolved(spark, root)
+      .filter($"prio".isNull).count() == 0)
   }
 
   test("batch-id-keyed versions: a replayed batch id resolves to its " +
