@@ -262,6 +262,45 @@ class TrainingShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc merge: update/delete/insert land in the next version; the " +
+    "pre-merge pin is untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_merge").toString
+    val v1 = TrainingShards.writeVersion(o, root, "s", 2)
+    val n1 = o.count()
+    val mx = o.agg(max($"doc_id")).head().getLong(0)
+    val changes = o.filter($"doc_id" % 10 === 5)
+      .select(lit("update").as("op"), $"doc_id", ($"cents" + 7L).as("cents"))
+      .unionByName(o.filter($"doc_id" % 10 === 6)
+        .select(lit("delete").as("op"), $"doc_id", $"cents"))
+      .unionByName(Seq(mx + 1L).toDF("doc_id")
+        .select(lit("insert").as("op"), $"doc_id", lit(5L).as("cents")))
+    val v2 = TrainingShards.mergeVersion(spark, root, changes,
+      "doc_id", "s", 2)
+    assert(v2 == v1 + 1)
+    val m = TrainingShards.readVersion(spark, root, Some(v2))
+    val nDel = o.filter($"doc_id" % 10 === 6).count()
+    assert(m.count() == n1 - nDel + 1)
+    assert(m.filter($"doc_id" === mx + 1L).select($"cents")
+      .head().getLong(0) == 5L)
+    // an updated row carries the corrected value; original pin does not
+    val probe = o.filter($"doc_id" % 10 === 5)
+      .agg(min($"doc_id")).head().getLong(0)
+    val was = o.filter($"doc_id" === probe).select($"cents")
+      .head().getLong(0)
+    assert(m.filter($"doc_id" === probe).select($"cents")
+      .head().getLong(0) == was + 7L)
+    assert(TrainingShards.readVersion(spark, root, Some(v1))
+      .filter($"doc_id" === probe).select($"cents")
+      .head().getLong(0) == was)
+    assert(TrainingShards.readVersion(spark, root, Some(v1)).count() == n1)
+  }
+
   test("schema evolution: pinned read keeps the original shape; the " +
     "evolved view conforms to the latest schema with null back-fill") {
     import org.apache.spark.sql.functions._
