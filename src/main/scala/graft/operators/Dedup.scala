@@ -469,6 +469,7 @@ object Dedup extends QueryModule {
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(s"$tmp/base")
     val old = s"${indexRoot}_precompact"
+    graft.sink.Fs.delete(s, old) // crashed prior swap's leftover
     graft.sink.Fs.move(s, indexRoot, old)
     graft.sink.Fs.move(s, tmp, indexRoot)
     graft.sink.Fs.delete(s, old)

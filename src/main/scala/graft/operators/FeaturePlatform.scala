@@ -3999,7 +3999,121 @@ object FeaturePlatform extends QueryModule {
                true AS skipping_read_equals_full_scan
         FROM p LEFT JOIN o ON o.k = p.k
         GROUP BY p.k, p.present
-        ORDER BY key"""))
+        ORDER BY key""")),
+
+    Q(
+      "q436_incremental_view_maintenance",
+      "INCREMENTAL VIEW MAINTENANCE with retractions — the classic " +
+        "materialized-view delta algebra (Blakeley 1986; what every " +
+        "warehouse MV and streaming upsert sink reimplements): a " +
+        "per-priority (count, cents-total) view over the snapshot " +
+        "store is kept current from CDC deltas ALONE — inserts " +
+        "contribute (+1, +new), deletes retract (-1, -old), updates " +
+        "contribute (0, new-old) via before/after images — while the " +
+        "base table itself advances through q432's mergeVersion, so " +
+        "the maintained view and the store stay two independent " +
+        "consumers of one change feed. Two change batches apply in " +
+        "sequence (the q435 algebra: +7 on %%10==5, retract %%10==6, " +
+        "+11 on %%10==7, three inserts into the 1-URGENT group); the " +
+        "maintained state is then AUDITED against a full recompute " +
+        "over the store's latest snapshot — bit-equal, which is the " +
+        "theorem: delta application commutes with aggregation. " +
+        "Per-group rows and totals recomputed independently by the " +
+        "oracle from the change algebra. Plan: each delta aggregates " +
+        "map-side onto the bounded priority domain before touching " +
+        "the 5-row state (a full-outer join on the domain); the base " +
+        "is NEVER rescanned by maintenance — the recompute here is " +
+        "the audit, not the mechanism. 100 TB: view upkeep costs " +
+        "O(|delta| + |domain|) per batch against a billion-row base; " +
+        "the alternative is a corpus scan per refresh.",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+            $"o_orderpriority".as("prio"))
+        val root = graft.TempRoots
+          .freshForDir("graft_ivm", dir).toString
+        val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
+        def viewOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        val state0 = viewOf(TrainingShards.readVersion(s, root, Some(v1)))
+        val mx = o.agg(max($"doc_id")).head().getLong(0)
+        // CDC rows carry before/after images — what the delta algebra
+        // (and any real CDC source: Debezium, binlog) actually needs
+        val b0 = o.filter($"doc_id" % 10 === 5)
+          .select(lit("update").as("op"), $"doc_id", $"prio",
+            $"cents".as("old_cents"), ($"cents" + 7L).as("new_cents"))
+          .unionByName(o.filter($"doc_id" % 10 === 6)
+            .select(lit("delete").as("op"), $"doc_id", $"prio",
+              $"cents".as("old_cents"),
+              lit(null).cast("long").as("new_cents")))
+        val b1 = o.filter($"doc_id" % 10 === 7)
+          .select(lit("update").as("op"), $"doc_id", $"prio",
+            $"cents".as("old_cents"), ($"cents" + 11L).as("new_cents"))
+          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+            .select(lit("insert").as("op"), $"doc_id",
+              lit("1-URGENT").as("prio"),
+              lit(null).cast("long").as("old_cents"),
+              lit(99999L).as("new_cents")))
+        def applyDelta(state: org.apache.spark.sql.DataFrame,
+            changes: org.apache.spark.sql.DataFrame) = {
+          val d = changes.groupBy($"prio").agg(
+            sum(when($"op" === "insert", 1L)
+              .when($"op" === "delete", -1L).otherwise(0L)).as("dn"),
+            sum(coalesce($"new_cents", lit(0L)) -
+              coalesce($"old_cents", lit(0L))).as("dc"))
+          state.join(d, Seq("prio"), "full_outer")
+            .select($"prio",
+              (coalesce($"n_rows", lit(0L)) + coalesce($"dn", lit(0L)))
+                .as("n_rows"),
+              (coalesce($"sum_cents", lit(0L)) + coalesce($"dc", lit(0L)))
+                .as("sum_cents"))
+            .filter($"n_rows" > 0)
+        }
+        val state2 = applyDelta(applyDelta(state0, b0), b1)
+        // the store advances through the SAME feed (the other consumer)
+        def toMerge(b: org.apache.spark.sql.DataFrame) = b
+          .select($"op", $"doc_id",
+            coalesce($"new_cents", $"old_cents").as("cents"), $"prio")
+        TrainingShards.mergeVersion(s, root, toMerge(b0), "doc_id",
+          "seed42", 2)
+        val v3 = TrainingShards.mergeVersion(s, root, toMerge(b1),
+          "doc_id", "seed42", 2)
+        val recompute = viewOf(TrainingShards.readVersion(s, root))
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2))).sortBy(_._1).toSeq
+        val maintained = rows(state2)
+        val matches = maintained == rows(recompute)
+        val versions = v3 == 3 &&
+          TrainingShards.committedVersions(s, root) == Seq(1, 2, 3)
+        maintained.map { case (p, n, sc) =>
+          (p, n, sc, matches, versions)
+        }.toDF("prio", "n_rows", "sum_cents",
+            "maintained_equals_recompute", "store_versions_1_2_3")
+          .orderBy($"prio")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderpriority AS p
+          FROM orders),
+        fin AS (
+          SELECT p, CASE WHEN k % 10 = 5 THEN c + 7
+                         WHEN k % 10 = 7 THEN c + 11
+                         ELSE c END AS c
+          FROM o WHERE k % 10 <> 6
+          UNION ALL
+          SELECT '1-URGENT', 99999 FROM range(3))
+        SELECT p AS prio, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS maintained_equals_recompute,
+               true AS store_versions_1_2_3
+        FROM fin GROUP BY p ORDER BY prio"""))
   )
 
   /** q431's oracle: both EM rounds unrolled as materialized CTE chains

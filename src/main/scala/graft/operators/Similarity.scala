@@ -2083,6 +2083,7 @@ object Similarity extends QueryModule {
       .write.partitionBy("batch", "list_id")
       .mode("overwrite").parquet(tmp)
     val old = s"$path/lists_precompact"
+    graft.sink.Fs.delete(s, old) // crashed prior swap's leftover
     graft.sink.Fs.move(s, s"$path/lists", old)
     graft.sink.Fs.move(s, s"$path/lists_compacting", s"$path/lists")
     graft.sink.Fs.delete(s, old)

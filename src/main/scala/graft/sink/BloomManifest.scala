@@ -64,6 +64,7 @@ object BloomManifest {
       .coalesce(1).write.mode("overwrite").parquet(staged)
     if (Fs.exists(s, store)) {
       val old = s"${store}_preswap"
+      Fs.delete(s, old) // a crashed prior swap's leftover blocks rename
       Fs.move(s, store, old)
       Fs.move(s, staged, store)
       Fs.delete(s, old)

@@ -83,6 +83,22 @@ object Fs {
       .map(_.getPath.getName).sorted
   }
 
+  /** Names of ALL immediate children of `path` (files and directories;
+    * empty when absent) — includes underscore-prefixed entries the
+    * parquet reader hides, which is how commit markers carried inside
+    * a data directory are enumerated. */
+  def listNames(s: SparkSession, path: String): Seq[String] = {
+    val (fs, p) = fsp(s, path)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** Create an empty marker file (parents included). */
+  def touch(s: SparkSession, path: String): Unit = {
+    val (fs, p) = fsp(s, path)
+    fs.create(p, true).close()
+  }
+
   /** Count of files under `path` (recursive) whose name ends with
     * `suffix` — the physical-file audit the compaction queries grade. */
   def countFiles(s: SparkSession, path: String, suffix: String): Long = {

@@ -2379,6 +2379,275 @@ object StreamingOps extends QueryModule {
                true AS manifest_bitexact,
                true AS no_false_negatives,
                true AS fold_and_append_paths_used
-        FROM p ORDER BY vec_id"""))
+        FROM p ORDER BY vec_id""")),
+
+    Q(
+      "q435_stream_cdc_merge",
+      "STREAMING CDC MERGE — q432's upsert verb driven by a change " +
+        "FEED through q426's exactly-once machinery, with the replay " +
+        "semantics a MERGE actually needs: writeVersion's replay " +
+        "rewrites identical bytes, but a merge re-derived against the " +
+        "store's CURRENT latest would apply its change set TWICE once " +
+        "later batches have advanced it — so a replayed change-batch " +
+        "id is a PURE NO-OP (effect-once, not write-twice; the " +
+        "committed manifest row is the dedup ledger). The feed is two " +
+        "op-tagged arrival files consumed one per trigger — batch 0 " +
+        "corrects the %%10==5 tranche by +7 cents and retracts " +
+        "%%10==6; batch 1 corrects %%10==7 by +11 and inserts three " +
+        "rows above the key domain (key-disjoint batches, so the " +
+        "terminal state is order-free) — each micro-batch publishing " +
+        "one snapshot version through mergeVersion(batchId=...). " +
+        "Post-drain the query REPLAYS batch 0's exact change set with " +
+        "its committed id and grades: version count unchanged, the " +
+        "LATEST fingerprint untouched (the double-apply a naive " +
+        "replay would cause is the specific bug graded away), every " +
+        "intermediate version's rows and cents totals recomputed " +
+        "independently by the oracle from the change algebra, and " +
+        "the base pin still exact. 100 TB: a standing CDC consumer " +
+        "publishes one version per micro-batch at delta cost; crash " +
+        "replay costs a manifest lookup, never a corpus rewrite or a " +
+        "double-applied correction.",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val root = graft.TempRoots
+          .freshForDir("graft_cdcstream", dir).toString
+        val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
+        val mx = o.agg(max($"doc_id")).head().getLong(0)
+        val b0 = o.filter($"doc_id" % 10 === 5)
+          .select(lit("update").as("op"), $"doc_id",
+            ($"cents" + 7L).as("cents"))
+          .unionByName(o.filter($"doc_id" % 10 === 6)
+            .select(lit("delete").as("op"), $"doc_id", $"cents"))
+        val b1 = o.filter($"doc_id" % 10 === 7)
+          .select(lit("update").as("op"), $"doc_id",
+            ($"cents" + 11L).as("cents"))
+          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+            .select(lit("insert").as("op"), $"doc_id",
+              lit(99999L).as("cents")))
+        val feed = graft.TempRoots
+          .freshForDir("graft_cdcfeed", dir).toString
+        // two deterministic arrival files (the q426 pattern: separate
+        // sequential writes -> mtime order -> one per trigger)
+        b0.coalesce(1).write.mode("overwrite").parquet(feed)
+        b1.coalesce(1).write.mode("append").parquet(feed)
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            TrainingShards.mergeVersion(s, root, b, "doc_id",
+              "seed42", 2, batchId = Some(s"b$id")): Unit
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        val byBatch = TrainingShards.committedBatchVersions(s, root)
+        val (v2, v3) = (byBatch("b0"), byBatch("b1"))
+        def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
+        def fp(v: Int): Seq[Any] = snap(v)
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        val (fpV3, fpV2) = (fp(v3), fp(v2))
+        // the at-least-once replay, POST-drain: same id, same change
+        // rows — must be a pure no-op, never a re-derived double-apply
+        TrainingShards.mergeVersion(s, root, b0, "doc_id", "seed42", 2,
+          batchId = Some("b0"))
+        val replayNoop =
+          TrainingShards.committedVersions(s, root) == Seq(1, 2, 3) &&
+            fp(v3) == fpV3 && fp(v2) == fpV2
+        val ordered = v1 == 1 && v2 == 2 && v3 == 3
+        def stats(v: Int, label: String) = snap(v)
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit(label).as("snapshot"), $"n_rows", $"sum_cents",
+            lit(replayNoop).as("replay_pure_noop"),
+            lit(ordered).as("versions_in_feed_order"))
+        stats(v1, "v1_base").unionAll(stats(v2, "v2_after_b0"))
+          .unionAll(stats(v3, "v3_after_b1"))
+          .orderBy($"snapshot")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT 'v1_base' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS replay_pure_noop,
+               true AS versions_in_feed_order
+        FROM o
+        UNION ALL
+        SELECT 'v2_after_b0',
+               CAST(count(*) FILTER (WHERE k % 10 <> 6) AS BIGINT),
+               CAST(sum(CASE WHEN k % 10 = 5 THEN c + 7 ELSE c END)
+                 FILTER (WHERE k % 10 <> 6) AS BIGINT),
+               true, true
+        FROM o
+        UNION ALL
+        SELECT 'v3_after_b1',
+               CAST(count(*) FILTER (WHERE k % 10 <> 6) + 3 AS BIGINT),
+               CAST(sum(CASE WHEN k % 10 = 5 THEN c + 7
+                             WHEN k % 10 = 7 THEN c + 11
+                             ELSE c END)
+                 FILTER (WHERE k % 10 <> 6) + 3 * 99999 AS BIGINT),
+               true, true
+        FROM o
+        ORDER BY snapshot""")),
+
+    Q(
+      "q437_stream_view_maintenance",
+      "STREAMING MATERIALIZED VIEW — q436's delta algebra run as a " +
+        "standing consumer, completing the maintenance matrix (q435 " +
+        "keeps the TABLE current from the change feed; this keeps the " +
+        "VIEW current from the same feed): a persisted per-priority " +
+        "(count, cents-total) state table absorbs each micro-batch's " +
+        "before/after-image delta — insert +1/+new, delete -1/-old, " +
+        "update 0/diff — through a staged-write + rename swap (a crash " +
+        "mid-refresh leaves the previous view intact, never a torn " +
+        "one), with the APPLIED-BATCH LEDGER riding INSIDE the view " +
+        "directory as reader-hidden marker files so state and ledger " +
+        "commit in the SAME rename — a replayed batch id hits the " +
+        "ledger and touches nothing, and no crash point can leave a " +
+        "refreshed view without its marker (the double-apply window a " +
+        "separately-written ledger would reopen; like q435's merge, a " +
+        "re-derived delta must never re-apply). Post-drain the query " +
+        "replays batch 0's exact delta and grades: view fingerprint " +
+        "untouched, ledger size unchanged, and the drained view " +
+        "BIT-EQUAL to a full recompute over the snapshot store's " +
+        "latest version (the store advanced through q435's merge of " +
+        "the same feed — two independent consumers, one truth); " +
+        "per-group rows and totals recomputed independently by the " +
+        "oracle. 100 TB: the view refresh touches O(|delta| + " +
+        "|domain|) per batch and the state table is domain-sized — " +
+        "the standing alternative to a corpus-scan refresh cadence.",
+      (s, dir) => {
+        import graft.sink.{Fs, TrainingShards}
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+            $"o_orderpriority".as("prio"))
+        val root = graft.TempRoots
+          .freshForDir("graft_sview", dir).toString
+        TrainingShards.writeVersion(o, root, "seed42", 2)
+        val view = s"$root/view"
+        def viewOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        viewOf(o).coalesce(1).write.mode("overwrite").parquet(view)
+        val mx = o.agg(max($"doc_id")).head().getLong(0)
+        val b0 = o.filter($"doc_id" % 10 === 5)
+          .select(lit("update").as("op"), $"doc_id", $"prio",
+            $"cents".as("old_cents"), ($"cents" + 7L).as("new_cents"))
+          .unionByName(o.filter($"doc_id" % 10 === 6)
+            .select(lit("delete").as("op"), $"doc_id", $"prio",
+              $"cents".as("old_cents"),
+              lit(null).cast("long").as("new_cents")))
+        val b1 = o.filter($"doc_id" % 10 === 7)
+          .select(lit("update").as("op"), $"doc_id", $"prio",
+            $"cents".as("old_cents"), ($"cents" + 11L).as("new_cents"))
+          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+            .select(lit("insert").as("op"), $"doc_id",
+              lit("1-URGENT").as("prio"),
+              lit(null).cast("long").as("old_cents"),
+              lit(99999L).as("new_cents")))
+        val feed = graft.TempRoots
+          .freshForDir("graft_sview_feed", dir).toString
+        b0.coalesce(1).write.mode("overwrite").parquet(feed)
+        b1.coalesce(1).write.mode("append").parquet(feed)
+        // the applied-batch ledger rides INSIDE the view directory as
+        // underscore-prefixed marker files (hidden from the parquet
+        // reader), so view state and ledger commit in the SAME rename
+        // — there is no window where a refreshed view exists without
+        // its marker (the double-apply a separate ledger write would
+        // reopen)
+        def appliedIds(): Set[String] = Fs.listNames(s, view)
+          .filter(_.startsWith("_applied_"))
+          .map(_.stripPrefix("_applied_")).toSet
+        def refresh(b: org.apache.spark.sql.DataFrame, id: String)
+            : Unit = {
+          val applied = appliedIds()
+          if (applied.contains(id)) return
+          val d = b.groupBy($"prio").agg(
+            sum(when($"op" === "insert", 1L)
+              .when($"op" === "delete", -1L).otherwise(0L)).as("dn"),
+            sum(coalesce($"new_cents", lit(0L)) -
+              coalesce($"old_cents", lit(0L))).as("dc"))
+          val next = s.read.parquet(view)
+            .join(d, Seq("prio"), "full_outer")
+            .select($"prio",
+              (coalesce($"n_rows", lit(0L)) + coalesce($"dn", lit(0L)))
+                .as("n_rows"),
+              (coalesce($"sum_cents", lit(0L)) +
+                coalesce($"dc", lit(0L))).as("sum_cents"))
+            .filter($"n_rows" > 0)
+          val staged = s"${view}_refreshing"
+          next.coalesce(1).write.mode("overwrite").parquet(staged)
+          (applied + id).foreach(i =>
+            Fs.touch(s, s"$staged/_applied_$i"))
+          val old = s"${view}_preswap"
+          Fs.delete(s, old)
+          Fs.move(s, view, old)
+          Fs.move(s, staged, view)
+          Fs.delete(s, old)
+        }
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            TrainingShards.mergeVersion(s, root, b
+              .select($"op", $"doc_id",
+                coalesce($"new_cents", $"old_cents").as("cents"), $"prio"),
+              "doc_id", "seed42", 2, batchId = Some(s"b$id")): Unit
+            refresh(b, s"b$id")
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        def fpView(): Seq[Any] = s.read.parquet(view)
+          .agg(count(lit(1)), sum(xxhash64($"prio", $"n_rows",
+            $"sum_cents").cast("decimal(38,0)"))).head().toSeq
+        val (fpBefore, nApplied) = (fpView(), appliedIds().size)
+        // post-drain replay of batch 0: ledger hit, view untouched
+        refresh(b0, "b0")
+        val replayNoop = fpView() == fpBefore &&
+          appliedIds().size == nApplied && nApplied == 2
+        val recompute = viewOf(TrainingShards.readVersion(s, root))
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getLong(2))).sortBy(_._1).toSeq
+        val maintained = rows(s.read.parquet(view)
+          .select($"prio", $"n_rows", $"sum_cents"))
+        val matches = maintained == rows(recompute)
+        maintained.map { case (p, n, sc) =>
+          (p, n, sc, matches, replayNoop)
+        }.toDF("prio", "n_rows", "sum_cents",
+            "view_equals_store_recompute", "replay_pure_noop")
+          .orderBy($"prio")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderpriority AS p
+          FROM orders),
+        fin AS (
+          SELECT p, CASE WHEN k % 10 = 5 THEN c + 7
+                         WHEN k % 10 = 7 THEN c + 11
+                         ELSE c END AS c
+          FROM o WHERE k % 10 <> 6
+          UNION ALL
+          SELECT '1-URGENT', 99999 FROM range(3))
+        SELECT p AS prio, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS view_equals_store_recompute,
+               true AS replay_pure_noop
+        FROM fin GROUP BY p ORDER BY prio"""))
   )
 }

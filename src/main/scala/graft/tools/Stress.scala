@@ -937,6 +937,47 @@ object Stress {
     time(s"snapshot time travel ${1.5 * mult}M orders x2 versions") {
       SparkEntry.queries("q424_snapshot_time_travel")(s, out).count()
     }
+    // Round-13 storage/eval families at 10x.
+    // Concurrent mint: two ~750k-row writers racing through the barrier
+    // interleave — the claim legs are metadata renames, so the wall is
+    // the two staged shard writes (both writers build concurrently).
+    // Measured (local[32], quiet window): 7.0 s / 90.0 MiB shuffle.
+    time(s"snapshot concurrent mint ${1.5 * mult}M orders, 2 writers") {
+      SparkEntry.queries("q427_snapshot_concurrent_mint")(s, out).count()
+    }
+    // CDC merge: full 1.5M-row base version + a ~300k-row change set —
+    // the anti-join rides the republish shuffle; cost == two snapshot
+    // writes, which is the design claim (merge adds no extra exchange).
+    // Measured: 10.1 s / 177.0 MiB shuffle (two full shard writes).
+    time(s"snapshot cdc merge ${1.5 * mult}M orders") {
+      SparkEntry.queries("q432_snapshot_cdc_merge")(s, out).count()
+    }
+    // Streaming bloom maintenance over the 200k-embedding IVF loop: three
+    // add batches + one mid-stream fold; per-batch manifest upkeep scans
+    // only that batch's files (the incremental claim measured against the
+    // from-scratch rebuild the query itself performs at drain).
+    // Measured: 13.8 s / 94.4 MiB (index build + 3-batch drain + fold + 2
+    // manifest rebuilds; dominated by the IVF add/compact writes).
+    time("stream bloom maintenance 200k embeddings") {
+      SparkEntry.queries("q430_stream_bloom_maintenance")(s, out).count()
+    }
+    // Dawid-Skene: two EM rounds over 1.5M tri-annotated items — four
+    // row-scale passes (2 M-step aggregates to 8 sums, 2 E-step
+    // projections folded into downstream scans), driver holds 14 scalars.
+    // Measured: 1.3 s / 0.0 MiB shuffle (pure scan+combine, no exchange).
+    time(s"dawid-skene EM ${1.5 * mult}M items x3 raters") {
+      SparkEntry.queries("q431_dawid_skene")(s, out).count()
+    }
+    // Bloom skipping read over the ~6000-file shard store: the probe set
+    // resolves via ~3 MB of driver bitmaps and the skipping scan opens
+    // only passing files (vs the 6000-file fleet) — the write of 6000
+    // small files dominates, as in the q423 probe above.
+    // Measured: 53.0 s / 95.0 MiB shuffle — the 6000-small-file write
+    // plus the manifest build; the probe resolution and the skipping
+    // scan itself are the sub-second tail (the point).
+    time(s"bloom skipping read ${1.5 * mult}M orders -> ~${6 * mult}k files") {
+      SparkEntry.queries("q434_bloom_skipping_read")(s, out).count()
+    }
     s.stop()
   }
 }

@@ -301,6 +301,38 @@ class TrainingShardsSpec extends AnyFunSuite {
     assert(TrainingShards.readVersion(spark, root, Some(v1)).count() == n1)
   }
 
+  test("bloom manifest lifecycle: per-batch append bit-equals the " +
+    "from-scratch build; a crashed swap's leftover never blocks the " +
+    "next rebuild") {
+    import graft.sink.{BloomManifest, Fs}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec").toString
+    o.filter($"doc_id" % 3 =!= 0).coalesce(2)
+      .write.mode("overwrite").parquet(s"$root/d/batch=base")
+    val store = s"$root/bloom"
+    BloomManifest.rebuild(spark, store, s"$root/d", "doc_id")
+    // a new batch arrives: append covers exactly its files
+    o.filter($"doc_id" % 3 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/d/batch=nb")
+    BloomManifest.append(spark, store, s"$root/d/batch=nb", "doc_id")
+    def fp(p: String): Seq[Any] = BloomManifest.read(spark, p)
+      .agg(count(lit(1)),
+        sum(xxhash64($"f", $"b1", $"b2").cast("decimal(38,0)")))
+      .head().toSeq
+    BloomManifest.rebuild(spark, s"$root/scratch", s"$root/d", "doc_id")
+    assert(fp(store) == fp(s"$root/scratch"),
+      "incremental manifest must bit-equal the from-scratch build")
+    // a crashed prior swap left _preswap behind: rebuild must heal
+    Fs.touch(spark, s"${store}_preswap/leftover")
+    BloomManifest.rebuild(spark, store, s"$root/d", "doc_id")
+    assert(fp(store) == fp(s"$root/scratch"))
+    assert(!Fs.exists(spark, s"${store}_preswap"))
+  }
+
   test("schema evolution: pinned read keeps the original shape; the " +
     "evolved view conforms to the latest schema with null back-fill") {
     import org.apache.spark.sql.functions._
