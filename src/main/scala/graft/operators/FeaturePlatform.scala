@@ -3171,10 +3171,10 @@ object FeaturePlatform extends QueryModule {
           maxRecordsPerFile = 250L)
         val files = s.read.parquet(root)
           .select($"doc_id".as("key"), input_file_name().as("f"))
-        def h1(c: org.apache.spark.sql.Column) =
-          (c * 2654435761L) % 4093L
-        def h2(c: org.apache.spark.sql.Column) =
-          (c * 1327217885L) % 4093L
+        // the mixers are THE shared constants (BloomManifest.h1/h2) —
+        // q430's incremental store must bit-equal this one-shot build,
+        // so there is exactly one definition to retune
+        import graft.sink.BloomManifest.{h1, h2}
         // one row per physical file: two 512-byte bloom bitmaps
         val man = files.groupBy($"f")
           .agg(bitmap_agg(h1($"key")).as("b1"),
@@ -3194,8 +3194,8 @@ object FeaturePlatform extends QueryModule {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val nFiles = man.length.toLong
         probes.toSeq.map { case (k, pres) =>
-          val i1 = ((k * 2654435761L) % 4093L).toInt
-          val i2 = ((k * 1327217885L) % 4093L).toInt
+          val i1 = graft.sink.BloomManifest.h1Long(k)
+          val i2 = graft.sink.BloomManifest.h2Long(k)
           val pass = man.count { case (b1, b2) =>
             b1.get(i1) && b2.get(i2) }.toLong
           val cont = containing.getOrElse(k, 0L)
@@ -3215,8 +3215,8 @@ object FeaturePlatform extends QueryModule {
           SELECT key, CAST(rk % 4 AS INTEGER) AS shard,
                  (row_number() OVER (PARTITION BY rk % 4 ORDER BY rk)
                    - 1) // 250 AS fidx,
-                 (key * 2654435761) % 4093 AS h1,
-                 (key * 1327217885) % 4093 AS h2
+                 (CAST(key AS HUGEINT) * 2654435761) % 4093 AS h1,
+                 (CAST(key AS HUGEINT) * 1327217885) % 4093 AS h2
           FROM r),
         nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files
                FROM (SELECT DISTINCT shard, fidx FROM fi)),
@@ -3229,8 +3229,8 @@ object FeaturePlatform extends QueryModule {
           CROSS JOIN (SELECT unnest([1, 2, 3]) AS i)),
         ph AS (
           SELECT key, present,
-                 (key * 2654435761) % 4093 AS h1,
-                 (key * 1327217885) % 4093 AS h2
+                 (CAST(key AS HUGEINT) * 2654435761) % 4093 AS h1,
+                 (CAST(key AS HUGEINT) * 1327217885) % 4093 AS h2
           FROM probes),
         f1 AS (SELECT DISTINCT shard, fidx, h1 FROM fi),
         f2 AS (SELECT DISTINCT shard, fidx, h2 FROM fi),
@@ -3665,17 +3665,23 @@ object FeaturePlatform extends QueryModule {
                   .otherwise(0L)))
             }
           val r = t.agg(aggs.head, aggs.tail: _*).head()
-          val s1 = r.getLong(0); val s0 = r.getLong(1)
-          val p1 = s1 * M / (s1 + s0)
-          val p0 = s0 * M / (s1 + s0)
+          // driver scaling in BigInt: s1*10^6 bursts Long at ~9.2e12
+          // total posterior mass (~9M tri-rated items) and a wrapped
+          // prior would silently corrupt every pi cell where the
+          // HUGEINT oracle errors loudly — the 10x Stress run already
+          // sits within 1.5x of that ceiling
+          val Mb = BigInt(M)
+          val s1 = BigInt(r.getLong(0)); val s0 = BigInt(r.getLong(1))
+          val p1 = (s1 * Mb / (s1 + s0)).toLong
+          val p0 = (s0 * Mb / (s1 + s0)).toLong
           val pi = Array.ofDim[Long](3, 2, 2)
           for (a <- 0 to 2) {
-            val nc1 = r.getLong(2 + 2 * a)
-            val nc0 = r.getLong(3 + 2 * a)
-            pi(a)(1)(1) = (nc1 + M) * M / (s1 + 2 * M)
-            pi(a)(1)(0) = (s1 - nc1 + M) * M / (s1 + 2 * M)
-            pi(a)(0)(1) = (nc0 + M) * M / (s0 + 2 * M)
-            pi(a)(0)(0) = (s0 - nc0 + M) * M / (s0 + 2 * M)
+            val nc1 = BigInt(r.getLong(2 + 2 * a))
+            val nc0 = BigInt(r.getLong(3 + 2 * a))
+            pi(a)(1)(1) = ((nc1 + Mb) * Mb / (s1 + 2 * Mb)).toLong
+            pi(a)(1)(0) = ((s1 - nc1 + Mb) * Mb / (s1 + 2 * Mb)).toLong
+            pi(a)(0)(1) = ((nc0 + Mb) * Mb / (s0 + 2 * Mb)).toLong
+            pi(a)(0)(0) = ((s0 - nc0 + Mb) * Mb / (s0 + 2 * Mb)).toLong
           }
           (p1, p0, pi)
         }
@@ -4124,11 +4130,14 @@ object FeaturePlatform extends QueryModule {
     * whole lineage per reference. */
   private def dawidSkeneOracleSql: String = {
     def m(i: Int, in: String): String = {
+      // HUGEINT masses: the pi arithmetic multiplies them by 10^6,
+      // which bursts BIGINT at ~9e12 mass (the engine's driver math is
+      // BigInt for the same reason)
       val masses = (0 to 2).map { a =>
-        s"CAST(sum(CASE WHEN l$a = 1 THEN t1 ELSE 0 END) AS BIGINT) " +
+        s"CAST(sum(CASE WHEN l$a = 1 THEN t1 ELSE 0 END) AS HUGEINT) " +
           s"AS a${a}c1, " +
           s"CAST(sum(CASE WHEN l$a = 1 THEN 1000000 - t1 ELSE 0 END) " +
-          s"AS BIGINT) AS a${a}c0"
+          s"AS HUGEINT) AS a${a}c0"
       }.mkString(", ")
       val cells = (0 to 2).map { a =>
         s"(a${a}c1 + 1000000) * 1000000 // (s1 + 2000000) AS pi${a}_1_1, " +
@@ -4137,8 +4146,8 @@ object FeaturePlatform extends QueryModule {
           s"(s0 - a${a}c0 + 1000000) * 1000000 // (s0 + 2000000) AS pi${a}_0_0"
       }.mkString(", ")
       s"""m$i AS MATERIALIZED (
-        SELECT CAST(sum(t1) AS BIGINT) AS s1,
-               CAST(sum(1000000 - t1) AS BIGINT) AS s0, $masses
+        SELECT CAST(sum(t1) AS HUGEINT) AS s1,
+               CAST(sum(1000000 - t1) AS HUGEINT) AS s0, $masses
         FROM $in),
       pi$i AS MATERIALIZED (
         SELECT s1 * 1000000 // (s1 + s0) AS p1,

@@ -28,12 +28,21 @@ object BloomManifest {
 
   val bits = 4093L
 
-  def h1(c: Column): Column = (c * 2654435761L) % bits
-  def h2(c: Column): Column = (c * 1327217885L) % bits
+  // the multiply runs in DECIMAL(38,0): a bare long product wraps for
+  // keys >= ~3.47e9 (Long.MaxValue / 2654435761) and the wrapped
+  // remainder goes NEGATIVE — BitSet.get throws and bitmap_agg rejects
+  // the position, so a 64-bit key domain (the 100 TB story) needs the
+  // exact widening. Keys are ids, assumed nonnegative (both engines'
+  // % keep the dividend's sign).
+  private def mix(c: Column, m: Long): Column =
+    ((c.cast("decimal(38,0)") * m) % bits).cast("long")
+
+  def h1(c: Column): Column = mix(c, 2654435761L)
+  def h2(c: Column): Column = mix(c, 1327217885L)
 
   /** Driver-side twins of the mixers, for probing collected bitmaps. */
-  def h1Long(k: Long): Int = ((k * 2654435761L) % bits).toInt
-  def h2Long(k: Long): Int = ((k * 1327217885L) % bits).toInt
+  def h1Long(k: Long): Int = ((BigInt(k) * 2654435761L) % bits).toInt
+  def h2Long(k: Long): Int = ((BigInt(k) * 1327217885L) % bits).toInt
 
   /** One row per physical parquet file under `dataPath`: (f, b1, b2). */
   def fileRows(s: SparkSession, dataPath: String, keyCol: String)

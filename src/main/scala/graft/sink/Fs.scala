@@ -49,7 +49,24 @@ object Fs {
     * to retry with the next slot. See the object docstring for the
     * atomicity layering. */
   def claim(s: SparkSession, src: String, dst: String): Boolean =
+    claim(s, src, dst, guard = None)
+
+  /** [[claim]] with a precondition evaluated under the SAME lock as
+    * the rename: the claim succeeds only if `guard` still exists at
+    * claim time. This is how a commit claim and a concurrent vacuum's
+    * delete serialize within one driver (the snapshot store's
+    * expire-vs-live-writer seam): the vacuum deletes under
+    * [[locked]], so the guard check and the rename are atomic with
+    * respect to it — a vacuumed data slot can never gain a commit
+    * row. Throws when the guard is gone (a loud abort, never a
+    * silent half-commit). */
+  def claim(s: SparkSession, src: String, dst: String,
+      guard: Option[String]): Boolean =
     claimLock.synchronized {
+      guard.foreach { g =>
+        require(exists(s, g),
+          s"claim guard $g vanished (vacuumed mid-commit?) — aborting")
+      }
       val (fs, d) = fsp(s, dst)
       if (fs.exists(d)) false
       else {
@@ -58,6 +75,11 @@ object Fs {
         fs.rename(new org.apache.hadoop.fs.Path(src), d)
       }
     }
+
+  /** Run `f` under the claim lock — pairs a maintenance delete with
+    * the claims it must serialize against (same-JVM guarantee; across
+    * drivers the maintenance-window caveat on expireVersions holds). */
+  def locked[T](f: => T): T = claimLock.synchronized(f)
 
   /** Unconditional move (the compaction swap — destination known
     * absent). */

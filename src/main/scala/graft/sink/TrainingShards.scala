@@ -113,12 +113,30 @@ object TrainingShards {
 
   private def manifestDir(path: String) = s"$path/manifest"
 
-  private def readManifest(s: SparkSession, path: String): DataFrame =
+  /** Active writers' staging directories in THIS driver — lets expiry
+    * vacuum crashed writers' staging leftovers without touching an
+    * in-flight build (cross-driver staging is covered by the same
+    * maintenance-window caveat as the orphan vacuum). */
+  private val activeStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Commit slots with a committed row. A slot exists only if its c_N
+    * directory arrived by the one-winner rename (so it is complete);
+    * gating the read on the SLOT listing — not on the bare manifest
+    * directory — means a crash between Fs.claim's mkdirs(manifest) and
+    * its rename (first commit on a fresh root) leaves an empty
+    * manifest directory that still reads as "no versions", not as a
+    * permanently unreadable store. */
+  private def commitSlots(s: SparkSession, path: String): Seq[String] =
+    Fs.listDirNames(s, manifestDir(path)).filter(_.startsWith("c_"))
+
+  private def readManifest(s: SparkSession, path: String,
+      slots: Seq[String]): DataFrame =
     // recursiveFileLookup: each commit is its own c_N subdirectory (the
     // one-winner rename slot); the default hidden-path filter skips the
     // _SUCCESS markers inside them
     s.read.option("recursiveFileLookup", "true")
-      .parquet(manifestDir(path))
+      .parquet(slots.map(n => s"${manifestDir(path)}/$n"): _*)
 
   /** Versions with a committed manifest row (empty for a fresh root).
     * Existence-gated through [[Fs]], not a caught AnalysisException — a
@@ -126,8 +144,9 @@ object TrainingShards {
     * the listener bus on every fresh root. */
   def committedVersions(s: SparkSession, path: String): Seq[Int] = {
     import s.implicits._
-    if (!Fs.exists(s, manifestDir(path))) Nil
-    else readManifest(s, path)
+    val slots = commitSlots(s, path)
+    if (slots.isEmpty) Nil
+    else readManifest(s, path, slots)
       .select($"version").as[Int].collect().toSeq.sorted
   }
 
@@ -136,8 +155,9 @@ object TrainingShards {
   def committedBatchVersions(s: SparkSession, path: String)
       : Map[String, Int] = {
     import s.implicits._
-    if (!Fs.exists(s, manifestDir(path))) Map.empty
-    else readManifest(s, path)
+    val slots = commitSlots(s, path)
+    if (slots.isEmpty) Map.empty
+    else readManifest(s, path, slots)
       .select($"batch_id", $"version")
       .where($"batch_id".isNotNull)
       .as[(String, Int)].collect().toMap
@@ -191,43 +211,57 @@ object TrainingShards {
         // replay of the same batch heals it, so the old-dir move is
         // conditional rather than a hard failure
         val staged = s"$path/_staging/replay_$tok"
-        write(docs, staged, seed, nShards, maxRecordsPerFile, sortColumns)
         val retired = s"$path/_staging/retired_$tok"
-        if (Fs.exists(s, s"$path/v=$v")) Fs.move(s, s"$path/v=$v", retired)
-        Fs.move(s, staged, s"$path/v=$v")
-        Fs.delete(s, retired)
+        activeStaging.add(staged); activeStaging.add(retired)
+        try {
+          write(docs, staged, seed, nShards, maxRecordsPerFile,
+            sortColumns)
+          if (Fs.exists(s, s"$path/v=$v"))
+            Fs.move(s, s"$path/v=$v", retired)
+          Fs.move(s, staged, s"$path/v=$v")
+          Fs.delete(s, retired)
+        } finally {
+          activeStaging.remove(staged); activeStaging.remove(retired)
+        }
         v
       case None =>
         val staged = s"$path/_staging/$tok"
-        val audit = write(docs, staged, seed, nShards,
-          maxRecordsPerFile, sortColumns)
-        val nRows = audit.map(_._2).sum
-        preClaim()
-        var v = committedVersions(s, path).lastOption.getOrElse(0) + 1
-        var attempts = 0
-        while (!Fs.claim(s, staged, s"$path/v=$v")) {
-          // lost the race (or the slot holds a crashed writer's
-          // orphan): advance — the staged bytes just rename again
-          v += 1
-          attempts += 1
-          require(attempts < 10000, s"could not claim a version under $path")
+        val ctok = s"$path/_staging/c_$tok"
+        activeStaging.add(staged); activeStaging.add(ctok)
+        try {
+          val audit = write(docs, staged, seed, nShards,
+            maxRecordsPerFile, sortColumns)
+          val nRows = audit.map(_._2).sum
+          preClaim()
+          var v = committedVersions(s, path).lastOption.getOrElse(0) + 1
+          var attempts = 0
+          while (!Fs.claim(s, staged, s"$path/v=$v")) {
+            // lost the race (or the slot holds a crashed writer's
+            // orphan): advance — the staged bytes just rename again
+            v += 1
+            attempts += 1
+            require(attempts < 10000,
+              s"could not claim a version under $path")
+          }
+          if (commit) {
+            Seq((v, nRows, batchId.orNull))
+              .toDF("version", "n_rows", "batch_id")
+              .coalesce(1).write.mode("overwrite").parquet(ctok)
+            // the commit claim carries the data slot as its GUARD,
+            // checked under the same lock the vacuum deletes under: a
+            // concurrent expire that collected this claim makes the
+            // commit abort loudly — a committed row whose data is
+            // gone cannot happen within one driver (across drivers
+            // the expireVersions maintenance-window caveat applies)
+            require(Fs.claim(s, ctok, s"${manifestDir(path)}/c_$v",
+                guard = Some(s"$path/v=$v")),
+              s"commit slot c_$v already owned — data claim was not " +
+                "exclusive")
+          }
+          v
+        } finally {
+          activeStaging.remove(staged); activeStaging.remove(ctok)
         }
-        if (commit) {
-          val ctok = s"$path/_staging/c_$tok"
-          Seq((v, nRows, batchId.orNull))
-            .toDF("version", "n_rows", "batch_id")
-            .coalesce(1).write.mode("overwrite").parquet(ctok)
-          // guard against a concurrent expire's vacuum having collected
-          // this claim (possible only when maintenance runs against
-          // live writers — see the expireVersions caveat): never
-          // commit a row whose data is gone
-          require(Fs.exists(s, s"$path/v=$v"),
-            s"claimed slot v=$v was vacuumed mid-commit — rerun " +
-              "expireVersions outside the write path")
-          require(Fs.claim(s, ctok, s"${manifestDir(path)}/c_$v"),
-            s"commit slot c_$v already owned — data claim was not exclusive")
-        }
-        v
     }
   }
 
@@ -252,11 +286,14 @@ object TrainingShards {
     * Caveat (the standard lakehouse VACUUM constraint): "immediately"
     * is not atomic — if a writer sits between its two claims while a
     * LATER version commits AND expire runs in exactly that window, the
-    * vacuum can collect the in-flight claim. Run expiry as maintenance
-    * (not concurrent with writers); [[writeVersion]] additionally
-    * re-checks its claimed slot before committing, so the failure mode
-    * is a loud aborted commit, never a committed version without
-    * data. */
+    * vacuum can collect the in-flight claim. Within one driver the
+    * races serialize: each orphan delete re-checks "still uncommitted"
+    * under the claim lock, and the commit claim carries the data slot
+    * as a lock-held guard — so the failure mode is a loud aborted
+    * commit, never a committed version without data. Across drivers,
+    * run expiry as maintenance (not concurrent with writers). Crashed
+    * writers' staging leftovers are vacuumed too (anything under
+    * `_staging` no live writer in this driver owns). */
   def expireVersions(s: SparkSession, path: String, keep: Int): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1 (got $keep)")
     val committed = committedVersions(s, path)
@@ -271,8 +308,26 @@ object TrainingShards {
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
       .filter(v => v < maxCommitted && !survivors.contains(v))
-    orphans.foreach(v => Fs.delete(s, s"$path/v=$v"))
-    (retired ++ orphans).sorted
+    // each orphan delete re-verifies "still uncommitted" UNDER the
+    // claim lock, pairing with the guard writeVersion's commit claim
+    // evaluates under the same lock: within one driver, vacuum and
+    // commit serialize — a slot is either vacuumed before its commit
+    // (which then aborts loudly) or committed before the re-check
+    // (which then spares it); never both
+    val vacuumed = orphans.filter { v =>
+      Fs.locked {
+        if (Fs.exists(s, s"${manifestDir(path)}/c_$v")) false
+        else { Fs.delete(s, s"$path/v=$v"); true }
+      }
+    }
+    // crashed writers' staging leftovers are snapshot-sized — vacuum
+    // everything no live writer in this driver owns (cross-driver
+    // staging falls under the same maintenance-window caveat)
+    Fs.listDirNames(s, s"$path/_staging")
+      .map(n => s"$path/_staging/$n")
+      .filterNot(activeStaging.contains)
+      .foreach(Fs.delete(s, _))
+    (retired ++ vacuumed).sorted
   }
 
   /** Read a snapshot: `version = None` resolves the LATEST committed

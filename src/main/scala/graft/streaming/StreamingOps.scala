@@ -2159,8 +2159,9 @@ object StreamingOps extends QueryModule {
         "(TrainingShards.writeVersion(batchId=...)), which is what " +
         "turns foreachBatch's at-least-once replay into exactly-once " +
         "publication — a REPLAYED batch resolves to its already-" +
-        "committed version and overwrite-rewrites identical data in " +
-        "place instead of minting a new snapshot (IdempotentParquet" +
+        "committed version and swaps in identical rebuilt data (a " +
+        "staged build + rename pair, never a torn visible directory) " +
+        "instead of minting a new snapshot (IdempotentParquet" +
         "Sink's batch-keyed discipline lifted to versioned snapshots; " +
         "the manifest row, not the data write, is the commit point). " +
         "The feed is a deterministic PARITY split of orders into two " +

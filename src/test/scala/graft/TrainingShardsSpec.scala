@@ -226,6 +226,39 @@ class TrainingShardsSpec extends AnyFunSuite {
     assert(keys(TrainingShards.readVersion(spark, root, Some(vb))) == bKeys)
   }
 
+  test("claim storm: eight writers race one root — every version " +
+    "distinct, every writer reads back exactly its own rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_storm").toString
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(n)
+    val hook: () => Unit = () => {
+      gate.countDown()
+      gate.await(180, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    val minted = new Array[Int](n)
+    val counts = (0 until n).map(i =>
+      o.filter($"doc_id" % n === i).count()).toArray
+    val threads = (0 until n).map { i =>
+      new Thread(() => minted(i) = TrainingShards.writeVersion(
+        o.filter($"doc_id" % n === i), root, "s", 2, preClaim = hook))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(minted.distinct.length == n, s"shared versions: ${minted.toSeq}")
+    assert(minted.sorted.toSeq == (1 to n),
+      s"non-contiguous mint: ${minted.sorted.toSeq}")
+    assert(TrainingShards.committedVersions(spark, root) == (1 to n))
+    (0 until n).foreach { i =>
+      assert(TrainingShards.readVersion(spark, root, Some(minted(i)))
+        .count() == counts(i),
+        s"writer $i (v=${minted(i)}) lost rows")
+    }
+  }
+
   test("expire: manifest-first ordering, pinned survivors byte-stable, " +
     "retired pins rejected") {
     import org.apache.spark.sql.functions._
