@@ -4235,8 +4235,11 @@ object FeaturePlatform extends QueryModule {
             expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
         val root = graft.TempRoots
           .freshForDir("graft_snaphist", dir).toString
+        // 1000-row files: enough physical files for the skipping claim
+        // (~150 per version at sf0.1) without q423's deliberate
+        // small-file tax — this query pays the write twice
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 4,
-          maxRecordsPerFile = 250L)
+          maxRecordsPerFile = 1000L)
         val mx = o.agg(max($"doc_id")).head().getLong(0)
         val changes = o.filter($"doc_id" % 10 === 5)
           .select(lit("update").as("op"), $"doc_id",
@@ -4247,7 +4250,7 @@ object FeaturePlatform extends QueryModule {
             .select(lit("insert").as("op"), $"doc_id",
               lit(99999L).as("cents")))
         val v2 = TrainingShards.mergeVersion(s, root, changes,
-          "doc_id", "seed42", 4, maxRecordsPerFile = 250L)
+          "doc_id", "seed42", 4, maxRecordsPerFile = 1000L)
         val probeIds = (o.filter($"doc_id" % 12500 isin (5L, 6L, 7L))
           .select($"doc_id").as[Long].collect().sorted
           :+ (mx + 1L) :+ (mx + 9L)).toSeq
