@@ -444,13 +444,22 @@ object Dedup extends QueryModule {
     * footer costs forever). The signature multiset is preserved exactly
     * (incremental-dedup output is bit-identical across the fold); the
     * rewrite lands in a sibling temp dir and swaps in by directory
-    * rename, so a crash mid-compaction loses nothing; folded keys are
-    * then appended to the manifest so a late REPLAY of a folded batch
-    * stays a no-op ([[addSignatureIndexBatch]]) instead of
-    * re-duplicating vectors that now live in base. Returns folded keys. */
+    * rename, so a crash mid-compaction never loses signatures, though
+    * the swap's two renames leave one window where the live root is
+    * briefly absent (the bytes survive at `*_precompact`); the next
+    * maintenance call HEALS that window by restoring the pre-compaction
+    * copy before folding. Folded keys are then appended to the manifest
+    * so a late REPLAY of a folded batch stays a no-op
+    * ([[addSignatureIndexBatch]]) instead of re-duplicating vectors
+    * that now live in base. Returns folded keys. */
   def compactSignatureIndex(s: SparkSession, indexRoot: String,
       targetFiles: Int = 1): Seq[String] = {
     import s.implicits._
+    // heal a crashed predecessor's swap window: live root absent but
+    // the pre-compaction copy survives -> restore it and re-fold
+    if (!graft.sink.Fs.exists(s, indexRoot) &&
+        graft.sink.Fs.exists(s, s"${indexRoot}_precompact"))
+      graft.sink.Fs.move(s, s"${indexRoot}_precompact", indexRoot)
     val keys = graft.sink.Fs.listDirNames(s, indexRoot)
       .filter(n => n != "base" && !n.startsWith("_") && !n.startsWith("."))
     // one tombstone read serves both the early-exit gate and the

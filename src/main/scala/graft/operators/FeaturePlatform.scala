@@ -3747,10 +3747,10 @@ object FeaturePlatform extends QueryModule {
         "half-applied state.",
       (s, dir) => {
         import graft.sink.TrainingShards
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
         val root = graft.TempRoots
           .freshForDir("graft_snapmerge", dir).toString
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
@@ -3760,18 +3760,9 @@ object FeaturePlatform extends QueryModule {
           .head().toSeq
         def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
         val v1Before = fp(snap(v1))
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
-        val updates = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id",
-            ($"cents" + 7L).as("cents"))
-        val deletes = o.filter($"doc_id" % 10 === 6)
-          .select(lit("delete").as("op"), $"doc_id", $"cents")
-        val inserts = Seq(mx + 1L, mx + 2L, mx + 3L)
-          .toDF("doc_id")
-          .select(lit("insert").as("op"), $"doc_id",
-            lit(99999L).as("cents"))
-        val v2 = TrainingShards.mergeVersion(s, root,
-          updates.unionByName(deletes).unionByName(inserts),
+        val changes = CdcFixture.toMerge(
+          CdcFixture.singleBatch(of, CdcFixture.maxKey(of)))
+        val v2 = TrainingShards.mergeVersion(s, root, changes,
           "doc_id", "seed42", 2)
         val v1Unchanged = fp(snap(v1)) == v1Before
         val advancedOnce = v2 == v1 + 1 &&
@@ -3784,11 +3775,12 @@ object FeaturePlatform extends QueryModule {
         stats(v1, "v1_premerge").unionAll(stats(v2, "v2_merged"))
           .orderBy($"snapshot")
       },
-      Some("""
+      Some(s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
-          FROM orders)
+          FROM orders)${graft.CdcFixture.oracleStateCte("fin",
+            b1 = false, withInserts = true, prio = false)}
         SELECT 'v1_premerge' AS snapshot,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(c) AS BIGINT) AS sum_cents,
@@ -3797,11 +3789,10 @@ object FeaturePlatform extends QueryModule {
         FROM o
         UNION ALL
         SELECT 'v2_merged',
-               CAST(count(*) FILTER (WHERE k % 10 <> 6) + 3 AS BIGINT),
-               CAST(sum(CASE WHEN k % 10 = 5 THEN c + 7 ELSE c END)
-                 FILTER (WHERE k % 10 <> 6) + 3 * 99999 AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT),
                true, true
-        FROM o
+        FROM fin
         ORDER BY snapshot""")),
 
     Q(
@@ -4034,11 +4025,9 @@ object FeaturePlatform extends QueryModule {
         "the alternative is a corpus scan per refresh.",
       (s, dir) => {
         import graft.sink.TrainingShards
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
-            $"o_orderpriority".as("prio"))
+        val o = CdcFixture.orders(s, dir)
         val root = graft.TempRoots
           .freshForDir("graft_ivm", dir).toString
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
@@ -4046,24 +4035,11 @@ object FeaturePlatform extends QueryModule {
           .groupBy($"prio")
           .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
         val state0 = viewOf(TrainingShards.readVersion(s, root, Some(v1)))
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
         // CDC rows carry before/after images — what the delta algebra
-        // (and any real CDC source: Debezium, binlog) actually needs
-        val b0 = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id", $"prio",
-            $"cents".as("old_cents"), ($"cents" + 7L).as("new_cents"))
-          .unionByName(o.filter($"doc_id" % 10 === 6)
-            .select(lit("delete").as("op"), $"doc_id", $"prio",
-              $"cents".as("old_cents"),
-              lit(null).cast("long").as("new_cents")))
-        val b1 = o.filter($"doc_id" % 10 === 7)
-          .select(lit("update").as("op"), $"doc_id", $"prio",
-            $"cents".as("old_cents"), ($"cents" + 11L).as("new_cents"))
-          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
-            .select(lit("insert").as("op"), $"doc_id",
-              lit("1-URGENT").as("prio"),
-              lit(null).cast("long").as("old_cents"),
-              lit(99999L).as("new_cents")))
+        // (and any real CDC source: Debezium, binlog) actually needs;
+        // the change algebra itself lives ONCE in CdcFixture
+        val b0 = CdcFixture.batch0(o)
+        val b1 = CdcFixture.batch1(o, CdcFixture.maxKey(o))
         def applyDelta(state: org.apache.spark.sql.DataFrame,
             changes: org.apache.spark.sql.DataFrame) = {
           val d = changes.groupBy($"prio").agg(
@@ -4081,13 +4057,10 @@ object FeaturePlatform extends QueryModule {
         }
         val state2 = applyDelta(applyDelta(state0, b0), b1)
         // the store advances through the SAME feed (the other consumer)
-        def toMerge(b: org.apache.spark.sql.DataFrame) = b
-          .select($"op", $"doc_id",
-            coalesce($"new_cents", $"old_cents").as("cents"), $"prio")
-        TrainingShards.mergeVersion(s, root, toMerge(b0), "doc_id",
-          "seed42", 2)
-        val v3 = TrainingShards.mergeVersion(s, root, toMerge(b1),
-          "doc_id", "seed42", 2)
+        TrainingShards.mergeVersion(s, root,
+          CdcFixture.toMerge(b0, withPrio = true), "doc_id", "seed42", 2)
+        val v3 = TrainingShards.mergeVersion(s, root,
+          CdcFixture.toMerge(b1, withPrio = true), "doc_id", "seed42", 2)
         val recompute = viewOf(TrainingShards.readVersion(s, root))
         def rows(df: org.apache.spark.sql.DataFrame) = df
           .collect().map(r => (r.getString(0), r.getLong(1),
@@ -4102,19 +4075,13 @@ object FeaturePlatform extends QueryModule {
             "maintained_equals_recompute", "store_versions_1_2_3")
           .orderBy($"prio")
       },
-      Some("""
+      Some(s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c,
                  o_orderpriority AS p
-          FROM orders),
-        fin AS (
-          SELECT p, CASE WHEN k % 10 = 5 THEN c + 7
-                         WHEN k % 10 = 7 THEN c + 11
-                         ELSE c END AS c
-          FROM o WHERE k % 10 <> 6
-          UNION ALL
-          SELECT '1-URGENT', 99999 FROM range(3))
+          FROM orders)${graft.CdcFixture.oracleStateCte("fin",
+            b1 = true, withInserts = true, prio = true)}
         SELECT p AS prio, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS maintained_equals_recompute,
@@ -4144,22 +4111,15 @@ object FeaturePlatform extends QueryModule {
         "output is the CHANGE volume, never the corpus.",
       (s, dir) => {
         import graft.sink.TrainingShards
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
         val root = graft.TempRoots
           .freshForDir("graft_snapdiff", dir).toString
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
-        val changes = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id",
-            ($"cents" + 7L).as("cents"))
-          .unionByName(o.filter($"doc_id" % 10 === 6)
-            .select(lit("delete").as("op"), $"doc_id", $"cents"))
-          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
-            .select(lit("insert").as("op"), $"doc_id",
-              lit(99999L).as("cents")))
+        val changes = CdcFixture.toMerge(
+          CdcFixture.singleBatch(of, CdcFixture.maxKey(of)))
         val v2 = TrainingShards.mergeVersion(s, root, changes,
           "doc_id", "seed42", 2)
         val d = TrainingShards.diffVersions(s, root, v1, v2, "doc_id")
@@ -4185,7 +4145,9 @@ object FeaturePlatform extends QueryModule {
             lit(recovers).as("diff_recovers_changeset"))
           .orderBy($"op")
       },
-      Some("""
+      Some({
+        import graft.CdcFixture._
+        s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
@@ -4194,22 +4156,27 @@ object FeaturePlatform extends QueryModule {
                CAST(sum(c) AS BIGINT) AS sum_before_cents,
                CAST(0 AS BIGINT) AS sum_after_cents,
                true AS diff_recovers_changeset
-        FROM o WHERE k % 10 = 6
+        FROM o WHERE k % 10 = $delTranche
         UNION ALL
-        SELECT 'insert', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
-               CAST(3 * 99999 AS BIGINT), true
+        SELECT 'insert', CAST($nInserts AS BIGINT), CAST(0 AS BIGINT),
+               CAST($nInserts * $insertCents AS BIGINT), true
         UNION ALL
         SELECT 'update', CAST(count(*) AS BIGINT),
                CAST(sum(c) AS BIGINT),
-               CAST(sum(c) + 7 * count(*) AS BIGINT), true
-        FROM o WHERE k % 10 = 5
-        ORDER BY op""")),
+               CAST(sum(c) + $updLow * count(*) AS BIGINT), true
+        FROM o WHERE k % 10 = $updLowTranche
+        ORDER BY op"""})),
 
     Q(
       "q439_snapshot_point_history",
       "TIME-TRAVELING POINT LOOKUP — q434's bloom-manifest skipping " +
         "read composed with q424's version pinning: each committed " +
-        "snapshot carries its own per-file bloom manifest, and a " +
+        "snapshot carries its own per-file bloom manifest MINTED AT " +
+        "COMMIT (writeVersion/mergeVersion's bloomKeyCol embeds " +
+        "`v=N/_bloom` between the data claim and the commit claim, so " +
+        "no visible version lacks its manifest and this audit never " +
+        "rebuilds metadata whose purpose is avoiding corpus scans — " +
+        "the q430 maintenance discipline applied to snapshots), and a " +
         "point audit asks 'what did THIS key hold at version N?' by " +
         "resolving the probe against version N's bitmaps and opening " +
         "only that version's passing files — the provenance query a " +
@@ -4229,36 +4196,30 @@ object FeaturePlatform extends QueryModule {
         "corpus end to end.",
       (s, dir) => {
         import graft.sink.{BloomManifest, TrainingShards}
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
         val root = graft.TempRoots
           .freshForDir("graft_snaphist", dir).toString
         // 1000-row files: enough physical files for the skipping claim
         // (~150 per version at sf0.1) without q423's deliberate
         // small-file tax — this query pays the write twice
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 4,
-          maxRecordsPerFile = 1000L)
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
-        val changes = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id",
-            ($"cents" + 7L).as("cents"))
-          .unionByName(o.filter($"doc_id" % 10 === 6)
-            .select(lit("delete").as("op"), $"doc_id", $"cents"))
-          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
-            .select(lit("insert").as("op"), $"doc_id",
-              lit(99999L).as("cents")))
+          maxRecordsPerFile = 1000L, bloomKeyCol = Some("doc_id"))
+        val mx = CdcFixture.maxKey(o)
+        val changes = CdcFixture.toMerge(CdcFixture.singleBatch(of, mx))
         val v2 = TrainingShards.mergeVersion(s, root, changes,
-          "doc_id", "seed42", 4, maxRecordsPerFile = 1000L)
+          "doc_id", "seed42", 4, maxRecordsPerFile = 1000L,
+          bloomKeyCol = Some("doc_id"))
         val probeIds = (o.filter($"doc_id" % 12500 isin (5L, 6L, 7L))
           .select($"doc_id").as[Long].collect().sorted
           :+ (mx + 1L) :+ (mx + 9L)).toSeq
         val probeDf = probeIds.toDF("doc_id")
         def lookup(v: Int, label: String) = {
-          val store = s"$root/bloom_v$v"
-          BloomManifest.rebuild(s, store, s"$root/v=$v", "doc_id")
-          val man = BloomManifest.read(s, store).collect()
+          // the COMMITTED manifest — minted inside the version's own
+          // claim, never rebuilt by the audit
+          val man = s.read.parquet(s"$root/v=$v/_bloom").collect()
             .map(r => r.getAs[String]("f") ->
               (java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
                 java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
@@ -4296,22 +4257,16 @@ object FeaturePlatform extends QueryModule {
             "skipping_read_equals_full_scan")
           .orderBy($"key", $"snapshot")
       },
-      Some("""
+      Some(s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
-          FROM orders),
-        mxx AS (SELECT max(k) AS mx FROM o),
+          FROM orders)${graft.CdcFixture.oracleStateCte("v2",
+            b1 = false, withInserts = true, prio = false)},
         p AS (
           SELECT k FROM o WHERE k % 12500 IN (5, 6, 7)
           UNION ALL SELECT mx + 1 FROM mxx
-          UNION ALL SELECT mx + 9 FROM mxx),
-        v2 AS (
-          SELECT k, CASE WHEN k % 10 = 5 THEN c + 7 ELSE c END AS c
-          FROM o WHERE k % 10 <> 6
-          UNION ALL
-          SELECT mx + i, 99999 FROM mxx
-          CROSS JOIN (SELECT unnest([1, 2, 3]) AS i))
+          UNION ALL SELECT mx + 9 FROM mxx)
         SELECT p.k AS key, 'v1_premerge' AS snapshot,
                CAST(count(o.k) AS BIGINT) AS n_found,
                CAST(coalesce(sum(o.c), 0) AS BIGINT) AS cents_found,
@@ -4322,6 +4277,319 @@ object FeaturePlatform extends QueryModule {
                CAST(count(v2.k) AS BIGINT),
                CAST(coalesce(sum(v2.c), 0) AS BIGINT), true
         FROM p LEFT JOIN v2 ON v2.k = p.k GROUP BY p.k
+        ORDER BY key, snapshot""")),
+
+    Q(
+      "q440_cow_merge_file_reuse",
+      "COPY-ON-WRITE SNAPSHOT MERGE — the storage economics the " +
+        "full-rewrite store concedes (its own mergeVersion docstring: " +
+        "'the dominant cost is the new version's shard write, which " +
+        "every published snapshot pays'): CowSnapshots' manifests " +
+        "list FILE GROUPS per shard, shard routing is KEY-STABLE " +
+        "(pmod(xxhash64(seed,key), n) — an untouched key keeps " +
+        "hashing into an untouched group, the property the rank-based " +
+        "round-robin kernel structurally lacks), and a CDC merge " +
+        "rewrites ONLY the shard groups the delta's 6 keys route to, " +
+        "RE-LISTING the parent's entries for every other shard — " +
+        "physical bytes shared across versions, exactly how " +
+        "Delta/Iceberg manifests work, rebuilt here on the one-winner " +
+        "claim idiom. Graded: v2's rows and cents recomputed " +
+        "independently by the oracle from the tiny-batch algebra, v1 " +
+        "pin fingerprint-identical, REUSE measured structurally — " +
+        "every untouched shard's v2 manifest entry is byte-for-byte " +
+        "the parent's (same group dir), a majority of shards reused, " +
+        "and the rows physically rewritten for v2 are under half the " +
+        "corpus. 100 TB: merge cost scales with |delta| (one bounded " +
+        "shard-set read + one small group write + a manifest claim), " +
+        "never with the corpus; storage is O(history of changes).",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_merge", dir).toString
+        val nSh = 16
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        def snap(v: Int) = CowSnapshots.readVersion(s, root, Some(v))
+        val v1Before = fp(snap(v1))
+        val changes = CdcFixture.toMerge(
+          CdcFixture.tinyBatch(of, CdcFixture.maxKey(of)))
+        val v2 = CowSnapshots.mergeVersion(s, root, changes,
+          "doc_id", "seed42", nSh)
+        val e1 = CowSnapshots.entries(s, root, v1)
+        val e2 = CowSnapshots.entries(s, root, v2)
+        val touched = changes
+          .select(CowSnapshots.shardOf("seed42", $"doc_id", nSh)
+            .as("sh")).distinct().as[Int].collect().toSet
+        val parentOf = e1.map(e => e._1 -> e._2).toMap
+        val reused = e2.filter { case (sh, d, _) =>
+          parentOf.get(sh).contains(d) }
+        // reuse is exact: an entry is reused iff its shard is
+        // untouched, a majority of shards are reused, and the parent
+        // group physically backs them (same dir strings = same bytes)
+        val reuseExact =
+          reused.map(_._1).toSet == e1.map(_._1).toSet.diff(touched) &&
+            reused.size * 2 > nSh
+        val rewrittenRows = e2.filterNot { case (sh, d, _) =>
+          parentOf.get(sh).contains(d) }.map(_._3).sum
+        val totalRows = e2.map(_._3).sum
+        val rewriteBounded = rewrittenRows * 2 < totalRows
+        val v1Unchanged = fp(snap(v1)) == v1Before
+        val advancedOnce = v2 == v1 + 1 &&
+          CowSnapshots.committedVersions(s, root) == Seq(v1, v2)
+        def stats(v: Int, label: String) = snap(v)
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit(label).as("snapshot"), $"n_rows", $"sum_cents",
+            lit(reuseExact).as("untouched_shards_reuse_parent_files"),
+            lit(rewriteBounded).as("rewrite_bounded_by_delta"),
+            lit(v1Unchanged).as("premerge_pin_unchanged"),
+            lit(advancedOnce).as("version_advanced_once"))
+        stats(v1, "v1_premerge").unionAll(stats(v2, "v2_merged"))
+          .orderBy($"snapshot")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = false)}
+        SELECT 'v1_premerge' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS untouched_shards_reuse_parent_files,
+               true AS rewrite_bounded_by_delta,
+               true AS premerge_pin_unchanged,
+               true AS version_advanced_once
+        FROM o
+        UNION ALL
+        SELECT 'v2_merged', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true, true
+        FROM fin
+        ORDER BY snapshot""")),
+
+    Q(
+      "q441_cow_expire_refcount",
+      "REF-COUNTED SNAPSHOT EXPIRY — what retention must mean once " +
+        "versions SHARE files: q428's expire deletes a retired " +
+        "version's whole directory, but a copy-on-write store cannot " +
+        "(the parent's groups back newer versions), so expiry becomes " +
+        "reference-counted file GC — a group dies exactly when its " +
+        "LAST referencing version retires. The query builds the full " +
+        "sharing topology: v1 (group t0, all shards), v2 = tiny merge " +
+        "(t0 reused + new group t1), v3 = second merge over the SAME " +
+        "key set (t0 reused + new t2 — t1 now referenced by v2 " +
+        "alone). expire(keep=1) retires v1+v2 and must collect " +
+        "EXACTLY t1: t0 outlives BOTH its original versions because " +
+        "v3 still references it (the copy-on-write point), t2 lives, " +
+        "v3's bytes are fingerprint-identical across the expire, and " +
+        "retired pins are rejected. v3's rows and cents recomputed " +
+        "independently by the oracle from the two-batch algebra. " +
+        "100 TB: expiry deletes |history of retired changes|, not " +
+        "O(versions x corpus); the ref count is a manifest-only " +
+        "set-difference, no data reads.",
+      (s, dir) => {
+        import graft.sink.{CowSnapshots, Fs}
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_gc", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val v2 = CowSnapshots.mergeVersion(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx)),
+          "doc_id", "seed42", nSh)
+        val v3 = CowSnapshots.mergeVersion(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx)),
+          "doc_id", "seed42", nSh)
+        def dirs(v: Int) =
+          CowSnapshots.entries(s, root, v).map(_._2).toSet
+        val (d1, d2, d3) = (dirs(v1), dirs(v2), dirs(v3))
+        val t0 = d1.head // v1 is one group
+        val t1 = (d2 -- d1).head // v2's delta group
+        val t2 = (d3 -- d2 -- d1).head // v3's delta group
+        // the topology the GC is graded against: v3 reuses t0 but not
+        // t1 (same key set twice -> second merge rewrites exactly the
+        // first's shards)
+        val topology = d1 == Set(t0) && d2 == Set(t0, t1) &&
+          d3 == Set(t0, t2)
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        val fp3 = fp(CowSnapshots.readVersion(s, root, Some(v3)))
+        val removed = CowSnapshots.expireVersions(s, root, keep = 1)
+        val live = Fs.listDirNames(s, s"$root/files").toSet
+        val gcExact = removed == Seq(v1, v2) &&
+          live.contains(t0) && live.contains(t2) && !live.contains(t1)
+        val survivorIntact =
+          fp(CowSnapshots.readVersion(s, root, Some(v3))) == fp3 &&
+            CowSnapshots.committedVersions(s, root) == Seq(v3)
+        val pinRejected = scala.util.Try(
+          CowSnapshots.readVersion(s, root, Some(v1))).isFailure
+        CowSnapshots.readVersion(s, root, Some(v3))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit("v3_survivor").as("snapshot"), $"n_rows",
+            $"sum_cents",
+            lit(topology).as("sharing_topology_as_designed"),
+            lit(gcExact).as("gc_collects_exactly_unreferenced"),
+            lit(survivorIntact).as("survivor_bytes_unchanged"),
+            lit(pinRejected).as("pin_of_retired_rejected"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = true)}
+        SELECT 'v3_survivor' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS sharing_topology_as_designed,
+               true AS gc_collects_exactly_unreferenced,
+               true AS survivor_bytes_unchanged,
+               true AS pin_of_retired_rejected
+        FROM fin""")),
+
+    Q(
+      "q442_cow_point_history",
+      "SHARD-ROUTED TIME-TRAVELING POINT LOOKUP — q439's history " +
+        "audit on the copy-on-write store, where the metadata story " +
+        "compounds: every file group carries its per-file bloom " +
+        "manifest FROM BIRTH (minted with the group's own staged " +
+        "bytes, before the group is visible — never rebuilt, never " +
+        "absent), and the KEY-STABLE shard kernel routes each probe " +
+        "to ONE shard before a single bloom row is consulted, so a " +
+        "point audit at version N touches: one manifest read, one " +
+        "shard's bloom rows, the passing files of that one shard — " +
+        "O(1) metadata + O(1) data files out of the whole fleet, at " +
+        "ANY historical version, with versions sharing both bytes AND " +
+        "bloom rows for untouched shards. Probes cover updated, " +
+        "deleted, unchanged, inserted, and never-existing keys; " +
+        "per-(key,version) found-counts and cents recomputed " +
+        "independently by the oracle (a bloom false negative or a " +
+        "mis-routed shard loses a row and flips the driver red), plus " +
+        "skipping-equals-full-scan fingerprints and the structural " +
+        "claim that every probe read stayed inside its routed shard. " +
+        "100 TB: the full-rewrite store's history audit pays " +
+        "per-version manifests over ALL files; here it pays one " +
+        "shard's slice of one version's manifest.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_hist", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh, maxRecordsPerFile = 500L)
+        val v2 = CowSnapshots.mergeVersion(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx)),
+          "doc_id", "seed42", nSh, maxRecordsPerFile = 500L)
+        // probe set mirrors the oracle: the 2 updated keys, the
+        // retracted key, the lowest %10==1 (unchanged) key, one
+        // inserted key, one never-existing key
+        val updKeys = o.filter($"doc_id" % 10 === 5)
+          .orderBy($"doc_id").limit(2).select($"doc_id")
+          .as[Long].collect().toSeq
+        val delKey = o.filter($"doc_id" % 10 === 6)
+          .orderBy($"doc_id").limit(1).select($"doc_id")
+          .as[Long].head()
+        val uncKey = o.filter($"doc_id" % 10 === 1)
+          .orderBy($"doc_id").limit(1).select($"doc_id")
+          .as[Long].head()
+        val probeIds =
+          (updKeys ++ Seq(delKey, uncKey, mx + 1L, mx + 9L)).sorted
+        val probeDf = probeIds.toDF("doc_id")
+        def lookup(v: Int, label: String) = {
+          // one version's bloom rows, keyed by shard (bounded: one row
+          // per physical file)
+          val man = CowSnapshots.bloomRows(s, root, v).collect()
+            .map(r => (r.getInt(0), r.getString(1),
+              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
+          val byShard = man.groupBy(_._1)
+          val nFilesTotal = man.length
+          val routed = probeIds.map { k =>
+            k -> CowSnapshots.shardOfKey(s, "seed42", k, nSh) }
+          val passFiles = routed.flatMap { case (k, sh) =>
+            byShard.getOrElse(sh, Array.empty).filter { case (_, _, b1, b2) =>
+              b1.get(graft.sink.BloomManifest.h1Long(k)) &&
+                b2.get(graft.sink.BloomManifest.h2Long(k)) }.map(_._2)
+          }.distinct.sorted
+          val singleShardBound = routed.forall { case (k, sh) =>
+            val opened = byShard.getOrElse(sh, Array.empty).count {
+              case (_, _, b1, b2) =>
+                b1.get(graft.sink.BloomManifest.h1Long(k)) &&
+                  b2.get(graft.sink.BloomManifest.h2Long(k)) }
+            opened <= byShard.get(sh).map(_.length).getOrElse(0) &&
+              opened < nFilesTotal
+          }
+          val got = (if (passFiles.isEmpty)
+              CowSnapshots.readVersion(s, root, Some(v)).limit(0)
+            else s.read.parquet(passFiles: _*))
+            .select($"doc_id", $"cents")
+            .join(broadcast(probeDf), Seq("doc_id"))
+          def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+          val full = CowSnapshots.readVersion(s, root, Some(v))
+            .select($"doc_id", $"cents")
+            .join(broadcast(probeDf), Seq("doc_id"))
+          val equalsFull = fp(got) == fp(full)
+          val found = got.groupBy($"doc_id")
+            .agg(count(lit(1)).as("nf"), sum($"cents").as("sc"))
+            .collect().map(r =>
+              r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+          probeIds.map { k =>
+            val (nf, sc) = found.getOrElse(k, (0L, 0L))
+            (k, label, nf, sc, equalsFull && singleShardBound)
+          }
+        }
+        val rows = lookup(v1, "v1_premerge") ++ lookup(v2, "v2_merged")
+        val allOk = rows.forall(_._5)
+        rows.map { case (k, l, nf, sc, _) => (k, l, nf, sc, allOk) }
+          .toDF("key", "snapshot", "n_found", "cents_found",
+            "skipping_within_routed_shard_equals_full_scan")
+          .orderBy($"key", $"snapshot")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = false)},
+        p AS (
+          SELECT k FROM fin_uk
+          UNION ALL SELECT k FROM fin_dk
+          UNION ALL
+          (SELECT k FROM o WHERE k % 10 = 1 ORDER BY k LIMIT 1)
+          UNION ALL SELECT mx + 1 FROM fin_mx
+          UNION ALL SELECT mx + 9 FROM fin_mx)
+        SELECT p.k AS key, 'v1_premerge' AS snapshot,
+               CAST(count(o.k) AS BIGINT) AS n_found,
+               CAST(coalesce(sum(o.c), 0) AS BIGINT) AS cents_found,
+               true AS skipping_within_routed_shard_equals_full_scan
+        FROM p LEFT JOIN o ON o.k = p.k GROUP BY p.k
+        UNION ALL
+        SELECT p.k, 'v2_merged',
+               CAST(count(fin.k) AS BIGINT),
+               CAST(coalesce(sum(fin.c), 0) AS BIGINT), true
+        FROM p LEFT JOIN fin ON fin.k = p.k GROUP BY p.k
         ORDER BY key, snapshot"""))
   )
 

@@ -2056,10 +2056,19 @@ object Similarity extends QueryModule {
     * re-materializing vectors that now live in base. The rewrite lands
     * in a temp dir first and swaps in by directory rename — the old
     * lists stay intact until the compacted table is fully written, so a
-    * crash mid-compaction loses no data (at worst it leaves a stale
-    * temp dir the next compaction overwrites). Returns the folded keys. */
+    * crash mid-compaction never loses data, though the swap's two
+    * renames leave one window where the live path is briefly absent
+    * (the bytes survive at `lists_precompact`); the next maintenance
+    * call HEALS that window by restoring the pre-compaction copy before
+    * folding, at the cost of redoing at most one compaction's work.
+    * Returns the folded keys. */
   def compactIvfLists(s: SparkSession, path: String): Seq[String] = {
     import s.implicits._
+    // heal a crashed predecessor's swap window: live lists absent but
+    // the pre-compaction copy survives -> restore it and re-fold
+    if (!graft.sink.Fs.exists(s, s"$path/lists") &&
+        graft.sink.Fs.exists(s, s"$path/lists_precompact"))
+      graft.sink.Fs.move(s, s"$path/lists_precompact", s"$path/lists")
     val lists = s.read.parquet(s"$path/lists")
     val folded = lists.select($"batch").distinct()
       .as[String].collect().filter(_ != "base").sorted.toSeq

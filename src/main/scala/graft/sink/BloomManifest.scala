@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   *     is a pure append).
   *   - [[rebuild]] after a COMPACTION: the fold rewrote every file, so
   *     the manifest rebuilds from the compacted layout it already
-  *     scanned, landing via a staged write + rename swap (a crash
-  *     mid-rebuild leaves the old manifest intact, never a torn one).
+  *     scanned.
+  *
+  * The store is a [[GenDir]]: every rebuild lands as a new generation
+  * through one one-winner rename, readers resolve the newest committed
+  * generation, and the previous one is retained until the NEXT publish
+  * — no step of a rebuild (crash or concurrent reader) ever observes
+  * an absent or torn manifest, closing the double-rename visibility
+  * window the old staged-write+swap carried. [[mint]] writes the same
+  * rows into a plain immutable directory — the commit-time form the
+  * snapshot store embeds per version (`v=N/_bloom`), which is atomic
+  * with the version's own data claim and never rebuilt.
   *
   * Two 4093-bit bitmaps per file over independent integer mixers
   * (k=2, m=4093 — q423's parameters, shared so the incremental store
@@ -57,29 +66,28 @@ object BloomManifest {
   }
 
   /** Upsert for an ADD: bloom rows for the new batch directory's files
-    * only — a pure append (new files, no existing rows to displace). */
+    * only — a pure append into the current generation (new files, no
+    * existing rows to displace). */
   def append(s: SparkSession, store: String, batchPath: String,
       keyCol: String): Unit =
-    fileRows(s, batchPath, keyCol)
-      .coalesce(1).write.mode("append").parquet(store)
+    GenDir.append(s, store, fileRows(s, batchPath, keyCol))
 
-  /** Full rebuild after a compaction rewrote the layout: staged write,
-    * then rename swap (crash-safe — the old manifest survives until
-    * the new one is complete). */
+  /** Full rebuild after a compaction rewrote the layout: lands as the
+    * next committed generation — the public store resolves to a
+    * complete manifest at every crash point, and a reader mid-rebuild
+    * keeps the previous generation's bytes. */
   def rebuild(s: SparkSession, store: String, dataPath: String,
-      keyCol: String): Unit = {
-    val staged = s"${store}_rebuilding"
+      keyCol: String): Unit =
+    GenDir.publish(s, store, fileRows(s, dataPath, keyCol))
+
+  /** Commit-time mint into a plain immutable directory (the per-
+    * version `v=N/_bloom` the snapshot store embeds) — written once,
+    * atomic with its version's visibility, never swapped. */
+  def mint(s: SparkSession, dest: String, dataPath: String,
+      keyCol: String): Unit =
     fileRows(s, dataPath, keyCol)
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    if (Fs.exists(s, store)) {
-      val old = s"${store}_preswap"
-      Fs.delete(s, old) // a crashed prior swap's leftover blocks rename
-      Fs.move(s, store, old)
-      Fs.move(s, staged, store)
-      Fs.delete(s, old)
-    } else Fs.move(s, staged, store)
-  }
+      .coalesce(1).write.mode("overwrite").parquet(dest)
 
   def read(s: SparkSession, store: String): DataFrame =
-    s.read.parquet(store)
+    GenDir.read(s, store)
 }

@@ -1,0 +1,320 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** COPY-ON-WRITE versioned snapshots — the file-granular economics the
+  * full-rewrite store ([[TrainingShards.writeVersion]]) honestly
+  * concedes it lacks: there, every published version rewrites the
+  * ENTIRE corpus, so a daily CDC merge on a 100 TB corpus costs 100 TB
+  * of write amplification per merge and O(versions x corpus) storage
+  * until expiry. Here a version's manifest lists FILE GROUPS, and a
+  * merge rewrites only the shard groups the delta's keys route to —
+  * version N+1's manifest re-lists the untouched majority of version
+  * N's physical files (exactly how Delta/Iceberg manifests work, in
+  * this store's own one-winner-claim idiom). Merge cost scales with
+  * |delta|, storage with |history of changes|, never with the corpus.
+  *
+  * Layout under `root`:
+  *   - `files/<tok>/shard=K/ * .parquet` — immutable file groups, one
+  *     `tok` per publish operation; rows inside a shard are ordered by
+  *     key, so capped files are range-disjoint.
+  *   - `files/<tok>/_bloom/` — the group's per-file bloom manifest
+  *     (shard, file name, two 4093-bit bitmaps — [[BloomManifest]]'s
+  *     mixers), MINTED WITH THE GROUP: point-lookup metadata exists
+  *     the instant the data does, never rebuilt (q439's lesson applied
+  *     from birth).
+  *   - `manifest/c_N/` — version N's commit, one one-winner rename
+  *     claim ([[Fs.claim]]): one row PER SHARD = (version, shard, dir,
+  *     n_rows, batch_id). Readers resolve versions from the manifest
+  *     alone; a crash before the commit claim leaves invisible file
+  *     groups that the age-gated vacuum collects.
+  *
+  * Unlike the rank-based round-robin kernel (which reshuffles every
+  * row's shard when the corpus changes), shard routing here is
+  * KEY-STABLE: `shard = pmod(xxhash64(seed, key), nShards)` — the
+  * property copy-on-write requires, since an untouched key must keep
+  * hashing into an untouched file group. Routing is content-derived
+  * and deterministic across cluster layouts, like every kernel in
+  * this engine.
+  *
+  * Expiry is REF-COUNTED file GC: retiring a version deletes its
+  * manifest rows first (readers stay sound at every intermediate
+  * state), then deletes exactly the file groups no surviving version
+  * references — a group shared with a survivor lives on, which is the
+  * whole point. Commit-vs-vacuum serializes through the same manifest
+  * lease as the full-rewrite store. */
+object CowSnapshots {
+
+  private def manifestDir(root: String) = s"$root/manifest"
+  private def filesDir(root: String) = s"$root/files"
+  private def lease(root: String) = s"${manifestDir(root)}/_lease"
+
+  /** The key-stable routing kernel (exposed for specs and the
+    * time-travel point lookup, which routes each probe to its one
+    * shard before touching any bloom row). */
+  def shardOf(seed: String, key: Column, nShards: Int): Column =
+    pmod(xxhash64(lit(seed), key), lit(nShards.toLong)).cast("int")
+
+  /** Driver-side twin for probe routing. */
+  def shardOfKey(s: SparkSession, seed: String, key: Long,
+      nShards: Int): Int = {
+    import s.implicits._
+    Seq(key).toDF("k")
+      .select(shardOf(seed, col("k"), nShards)).head().getInt(0)
+  }
+
+  private def commitSlots(s: SparkSession, root: String): Seq[String] =
+    Fs.listDirNames(s, manifestDir(root)).filter(_.startsWith("c_"))
+
+  private def readManifest(s: SparkSession, root: String,
+      slots: Seq[String]): DataFrame =
+    s.read.option("recursiveFileLookup", "true")
+      .parquet(slots.map(n => s"${manifestDir(root)}/$n"): _*)
+
+  def committedVersions(s: SparkSession, root: String): Seq[Int] = {
+    import s.implicits._
+    val slots = commitSlots(s, root)
+    if (slots.isEmpty) Nil
+    else readManifest(s, root, slots)
+      .select($"version").distinct().as[Int].collect().toSeq.sorted
+  }
+
+  def committedBatchVersions(s: SparkSession, root: String)
+      : Map[String, Int] = {
+    import s.implicits._
+    val slots = commitSlots(s, root)
+    if (slots.isEmpty) Map.empty
+    else readManifest(s, root, slots)
+      .select($"batch_id", $"version").where($"batch_id".isNotNull)
+      .distinct().as[(String, Int)].collect().toMap
+  }
+
+  /** Version `v`'s manifest entries: (shard, dir, n_rows), sorted by
+    * shard. Empty shards have no entry. */
+  def entries(s: SparkSession, root: String, v: Int)
+      : Seq[(Int, String, Long)] = {
+    import s.implicits._
+    readManifest(s, root, Seq(s"c_$v"))
+      .select($"shard", $"dir", $"n_rows")
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  /** Build one immutable file group from a frame that already carries
+    * a `shard` column; returns (tok, per-shard row counts). The
+    * group's bloom manifest is minted from the staged bytes BEFORE the
+    * group becomes visible — file names (not full paths) are stored,
+    * so the post-move paths resolve. */
+  private def buildGroup(df: DataFrame, root: String, keyCol: String,
+      nShards: Int, maxRecordsPerFile: Long): (String, Map[Int, Long]) = {
+    val s = df.sparkSession
+    import s.implicits._
+    val tok = java.util.UUID.randomUUID().toString.take(12)
+    val staged = s"$root/_staging/$tok"
+    df.repartitionByRange(nShards, $"shard")
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(staged)
+    val back = s.read.parquet(staged)
+    val counts = back.groupBy($"shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bloom rows per physical file, minted with the group: (shard,
+    // fname, b1, b2) — fname is the basename, rename-proof
+    import graft.catalyst.BitmapAgg.bitmap_agg
+    back.select(col(keyCol).cast("long").as("k"), col("shard"),
+        substring_index(input_file_name(), "/", -1).as("fname"))
+      .groupBy($"shard", $"fname")
+      .agg(bitmap_agg(BloomManifest.h1($"k")).as("b1"),
+        bitmap_agg(BloomManifest.h2($"k")).as("b2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/_bloom")
+    Fs.move(s, staged, s"${filesDir(root)}/$tok")
+    (tok, counts)
+  }
+
+  /** Claim the next version slot for `rows` (one manifest row per
+    * shard). Returns the committed version. */
+  private def commitRows(s: SparkSession, root: String,
+      rows: Seq[(Int, String, Long)], batchId: Option[String]): Int = {
+    import s.implicits._
+    val ctokBase = s"$root/_staging/c_" +
+      java.util.UUID.randomUUID().toString.take(12)
+    var v = committedVersions(s, root).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    var done = false
+    while (!done) {
+      rows.map { case (sh, dir, n) => (v, sh, dir, n, batchId.orNull) }
+        .toDF("version", "shard", "dir", "n_rows", "batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(ctokBase)
+      // the commit claim runs under the manifest lease — the same
+      // cross-driver arbiter the ref-counted GC takes, so a group can
+      // never be collected between its reference check and the commit
+      done = Fs.withLease(s, lease(root)) {
+        Fs.claim(s, ctokBase, s"${manifestDir(root)}/c_$v")
+      }
+      if (!done) { v += 1; attempts += 1 }
+      require(attempts < 10000, s"could not claim a version under $root")
+    }
+    v
+  }
+
+  /** Publish `docs` as the next full version (every shard written).
+    * `batchId` gives exactly-once replay: a committed id resolves to
+    * its version as a pure no-op (the referenced file groups are
+    * immutable — nothing to heal, nothing to rewrite). */
+  def writeVersion(docs: DataFrame, root: String, keyCol: String,
+      seed: String, nShards: Int, maxRecordsPerFile: Long = 0L,
+      batchId: Option[String] = None): Int = {
+    val s = docs.sparkSession
+    batchId.flatMap(id => committedBatchVersions(s, root).get(id)) match {
+      case Some(v) => v
+      case None =>
+        val df = docs.withColumn("shard",
+          shardOf(seed, col(keyCol), nShards))
+        val (tok, counts) =
+          buildGroup(df, root, keyCol, nShards, maxRecordsPerFile)
+        commitRows(s, root,
+          counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n) },
+          batchId)
+    }
+  }
+
+  /** Read a committed snapshot (latest when `version` is None): the
+    * manifest's file groups, nothing else. The `shard` partition
+    * column is not resurfaced — the data schema is the writer's. */
+  def readVersion(s: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val committed = committedVersions(s, root)
+    require(committed.nonEmpty, s"no committed snapshots under $root")
+    val v = version.getOrElse(committed.last)
+    require(committed.contains(v),
+      s"version $v is not committed (manifest has ${committed.mkString(",")})")
+    val paths = entries(s, root, v).map { case (sh, dir, _) =>
+      s"${filesDir(root)}/$dir/shard=$sh" }
+    require(paths.nonEmpty, s"version $v has no file groups")
+    s.read.parquet(paths: _*)
+  }
+
+  /** MERGE a CDC change set (op in insert|update|delete beside the
+    * data schema) into the latest snapshot — the copy-on-write verb:
+    * only the shard groups the delta's keys route to are read,
+    * merged, and rewritten as ONE new file group; every untouched
+    * shard's manifest entry is RE-LISTED from the parent version
+    * verbatim, physical bytes shared. Replay of a committed batch id
+    * is a pure no-op (effect-once — the q435 discipline). The
+    * anti-join side is size-gated exactly like the full-rewrite
+    * store's. Returns the new version. */
+  def mergeVersion(s: SparkSession, root: String, changes: DataFrame,
+      keyCol: String, seed: String, nShards: Int,
+      maxRecordsPerFile: Long = 0L, batchId: Option[String] = None,
+      broadcastKeyLimit: Long = 2000000L): Int = {
+    import s.implicits._
+    batchId.flatMap(id => committedBatchVersions(s, root).get(id)) match {
+      case Some(v) => v
+      case None =>
+        val vCur = committedVersions(s, root).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed snapshots under $root"))
+        val cur = entries(s, root, vCur)
+        // the delta's keys route to a bounded shard set — collect is
+        // <= nShards ints, never row-scale
+        val touched = changes
+          .select(shardOf(seed, col(keyCol), nShards).as("shard"))
+          .distinct().as[Int].collect().toSet
+        val (touchedEntries, keptEntries) =
+          cur.partition { case (sh, _, _) => touched.contains(sh) }
+        val touchedPaths = touchedEntries.map { case (sh, dir, _) =>
+          s"${filesDir(root)}/$dir/shard=$sh" }
+        val before =
+          if (touchedPaths.isEmpty)
+            readVersion(s, root, Some(vCur)).limit(0)
+          else s.read.parquet(touchedPaths: _*)
+        val delKeys = changes.filter(col("op").isin("update", "delete"))
+          .select(col(keyCol)).distinct()
+        val gated =
+          if (delKeys.count() <= broadcastKeyLimit) broadcast(delKeys)
+          else delKeys
+        val incoming = changes.filter(col("op").isin("insert", "update"))
+          .select(before.columns.toIndexedSeq.map(col): _*)
+        val merged = before.join(gated, Seq(keyCol), "left_anti")
+          .unionByName(incoming)
+          .withColumn("shard", shardOf(seed, col(keyCol), nShards))
+        val (tok, counts) =
+          buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile)
+        val newRows = counts.toSeq.sorted
+          .map { case (sh, n) => (sh, tok, n) }
+        commitRows(s, root,
+          (keptEntries.map { case (sh, dir, n) => (sh, dir, n) } ++
+            newRows).sortBy(_._1),
+          batchId)
+    }
+  }
+
+  /** Retire all but the newest `keep` versions, then REF-COUNTED file
+    * GC: a file group is deleted exactly when no surviving version's
+    * manifest references it — groups shared across versions survive
+    * their oldest referrer's retirement, which is what makes
+    * copy-on-write storage O(history of changes). Manifest rows go
+    * first (a crash mid-expire leaves unreferenced groups for the
+    * next GC, never a committed version with missing files). Crashed
+    * writers' never-referenced groups and staging leftovers are
+    * vacuumed past `orphanTtlMs` of age, under the manifest lease (a
+    * younger unreferenced group may be an in-flight commit). Returns
+    * the retired versions. */
+  def expireVersions(s: SparkSession, root: String, keep: Int,
+      orphanTtlMs: Long = 3600000L): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    val committed = committedVersions(s, root)
+    val retired = committed.dropRight(keep)
+    if (retired.isEmpty && committed.isEmpty) return Nil
+    def refs(vs: Seq[Int]): Set[String] =
+      vs.flatMap(v => entries(s, root, v).map(_._2)).toSet
+    val refsBefore = refs(committed)
+    retired.foreach(v => Fs.delete(s, s"${manifestDir(root)}/c_$v"))
+    val survivors = committed.drop(retired.size)
+    val refsAfter = refs(survivors)
+    // provably dead: referenced before, by no survivor now
+    (refsBefore -- refsAfter).foreach(d =>
+      Fs.delete(s, s"${filesDir(root)}/$d"))
+    // never-referenced groups (crashed pre-commit writers): age-gated,
+    // re-checked under the lease so an in-flight commit's group can't
+    // be collected between its build and its manifest claim
+    val now = System.currentTimeMillis()
+    Fs.listDirNames(s, filesDir(root))
+      .filterNot(refsAfter.contains)
+      .filter(d => now - Fs.modTime(s, s"${filesDir(root)}/$d")
+        >= orphanTtlMs)
+      .foreach { d =>
+        Fs.withLease(s, lease(root)) {
+          val stillUnref = !refs(committedVersions(s, root)).contains(d)
+          if (stillUnref) Fs.delete(s, s"${filesDir(root)}/$d")
+        }
+      }
+    // staging leftovers, same age gate
+    Fs.listDirNames(s, s"$root/_staging")
+      .map(n => s"$root/_staging/$n")
+      .filter(p => now - Fs.modTime(s, p) >= orphanTtlMs)
+      .foreach(Fs.delete(s, _))
+    retired
+  }
+
+  /** Version `v`'s bloom manifest rows resolved to absolute file
+    * paths: (shard, f, b1, b2) for exactly the files the version
+    * references — each group's `_bloom` filtered to the shards this
+    * version takes FROM THAT GROUP (a group shared by many versions
+    * carries rows for all its shards; a version may reference only
+    * some). */
+  def bloomRows(s: SparkSession, root: String, v: Int): DataFrame = {
+    import s.implicits._
+    val es = entries(s, root, v)
+    val byDir = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    byDir.map { case (dir, shards) =>
+      s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
+        .where($"shard".isin(shards.toSeq: _*))
+        .select($"shard",
+          concat(lit(s"${filesDir(root)}/$dir/shard="), $"shard",
+            lit("/"), $"fname").as("f"),
+          $"b1", $"b2")
+    }.reduce(_ unionByName _)
+  }
+}

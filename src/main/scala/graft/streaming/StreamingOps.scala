@@ -2410,25 +2410,16 @@ object StreamingOps extends QueryModule {
         "double-applied correction.",
       (s, dir) => {
         import graft.sink.TrainingShards
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
         val root = graft.TempRoots
           .freshForDir("graft_cdcstream", dir).toString
         val v1 = TrainingShards.writeVersion(o, root, "seed42", 2)
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
-        val b0 = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id",
-            ($"cents" + 7L).as("cents"))
-          .unionByName(o.filter($"doc_id" % 10 === 6)
-            .select(lit("delete").as("op"), $"doc_id", $"cents"))
-        val b1 = o.filter($"doc_id" % 10 === 7)
-          .select(lit("update").as("op"), $"doc_id",
-            ($"cents" + 11L).as("cents"))
-          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
-            .select(lit("insert").as("op"), $"doc_id",
-              lit(99999L).as("cents")))
+        val b0 = CdcFixture.toMerge(CdcFixture.batch0(of))
+        val b1 = CdcFixture.toMerge(
+          CdcFixture.batch1(of, CdcFixture.maxKey(of)))
         val feed = graft.TempRoots
           .freshForDir("graft_cdcfeed", dir).toString
         // two deterministic arrival files (the q426 pattern: separate
@@ -2471,11 +2462,14 @@ object StreamingOps extends QueryModule {
           .unionAll(stats(v3, "v3_after_b1"))
           .orderBy($"snapshot")
       },
-      Some("""
+      Some(s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
-          FROM orders)
+          FROM orders)${graft.CdcFixture.oracleStateCte("fin0",
+            b1 = false, withInserts = false, prio = false)}${
+            graft.CdcFixture.oracleStateCte("fin1",
+              b1 = true, withInserts = true, prio = false)}
         SELECT 'v1_base' AS snapshot,
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(c) AS BIGINT) AS sum_cents,
@@ -2483,21 +2477,13 @@ object StreamingOps extends QueryModule {
                true AS versions_in_feed_order
         FROM o
         UNION ALL
-        SELECT 'v2_after_b0',
-               CAST(count(*) FILTER (WHERE k % 10 <> 6) AS BIGINT),
-               CAST(sum(CASE WHEN k % 10 = 5 THEN c + 7 ELSE c END)
-                 FILTER (WHERE k % 10 <> 6) AS BIGINT),
-               true, true
-        FROM o
+        SELECT 'v2_after_b0', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true
+        FROM fin0
         UNION ALL
-        SELECT 'v3_after_b1',
-               CAST(count(*) FILTER (WHERE k % 10 <> 6) + 3 AS BIGINT),
-               CAST(sum(CASE WHEN k % 10 = 5 THEN c + 7
-                             WHEN k % 10 = 7 THEN c + 11
-                             ELSE c END)
-                 FILTER (WHERE k % 10 <> 6) + 3 * 99999 AS BIGINT),
-               true, true
-        FROM o
+        SELECT 'v3_after_b1', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true
+        FROM fin1
         ORDER BY snapshot""")),
 
     Q(
@@ -2508,13 +2494,17 @@ object StreamingOps extends QueryModule {
         "VIEW current from the same feed): a persisted per-priority " +
         "(count, cents-total) state table absorbs each micro-batch's " +
         "before/after-image delta — insert +1/+new, delete -1/-old, " +
-        "update 0/diff — through a staged-write + rename swap (a crash " +
-        "mid-refresh leaves the previous view intact, never a torn " +
-        "one), with the APPLIED-BATCH LEDGER riding INSIDE the view " +
-        "directory as reader-hidden marker files so state and ledger " +
-        "commit in the SAME rename — a replayed batch id hits the " +
-        "ledger and touches nothing, and no crash point can leave a " +
-        "refreshed view without its marker (the double-apply window a " +
+        "update 0/diff — published as GENERATION-COMMITTED snapshots " +
+        "(GenDir: one one-winner rename per refresh, readers resolve " +
+        "the newest committed generation, the previous one retained " +
+        "until the NEXT publish — at EVERY crash point the public " +
+        "path resolves to a complete state, closing the old " +
+        "double-rename's visible-absence window), with the " +
+        "APPLIED-BATCH LEDGER riding INSIDE each generation as " +
+        "reader-hidden marker files so state and ledger commit in the " +
+        "SAME rename — a replayed batch id hits the ledger and " +
+        "touches nothing, and no crash point can leave a refreshed " +
+        "view without its marker (the double-apply window a " +
         "separately-written ledger would reopen; like q435's merge, a " +
         "re-derived delta must never re-apply). Post-drain the query " +
         "replays batch 0's exact delta and grades: view fingerprint " +
@@ -2527,12 +2517,10 @@ object StreamingOps extends QueryModule {
         "|domain|) per batch and the state table is domain-sized — " +
         "the standing alternative to a corpus-scan refresh cadence.",
       (s, dir) => {
-        import graft.sink.{Fs, TrainingShards}
+        import graft.sink.{GenDir, TrainingShards}
+        import graft.CdcFixture
         import s.implicits._
-        val o = Tables.t(s, dir, "orders")
-          .select($"o_orderkey".as("doc_id"),
-            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
-            $"o_orderpriority".as("prio"))
+        val o = CdcFixture.orders(s, dir)
         val root = graft.TempRoots
           .freshForDir("graft_sview", dir).toString
         TrainingShards.writeVersion(o, root, "seed42", 2)
@@ -2540,34 +2528,21 @@ object StreamingOps extends QueryModule {
         def viewOf(df: org.apache.spark.sql.DataFrame) = df
           .groupBy($"prio")
           .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
-        viewOf(o).coalesce(1).write.mode("overwrite").parquet(view)
-        val mx = o.agg(max($"doc_id")).head().getLong(0)
-        val b0 = o.filter($"doc_id" % 10 === 5)
-          .select(lit("update").as("op"), $"doc_id", $"prio",
-            $"cents".as("old_cents"), ($"cents" + 7L).as("new_cents"))
-          .unionByName(o.filter($"doc_id" % 10 === 6)
-            .select(lit("delete").as("op"), $"doc_id", $"prio",
-              $"cents".as("old_cents"),
-              lit(null).cast("long").as("new_cents")))
-        val b1 = o.filter($"doc_id" % 10 === 7)
-          .select(lit("update").as("op"), $"doc_id", $"prio",
-            $"cents".as("old_cents"), ($"cents" + 11L).as("new_cents"))
-          .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
-            .select(lit("insert").as("op"), $"doc_id",
-              lit("1-URGENT").as("prio"),
-              lit(null).cast("long").as("old_cents"),
-              lit(99999L).as("new_cents")))
+        GenDir.publish(s, view, viewOf(o))
+        val b0 = CdcFixture.batch0(o)
+        val b1 = CdcFixture.batch1(o, CdcFixture.maxKey(o))
         val feed = graft.TempRoots
           .freshForDir("graft_sview_feed", dir).toString
         b0.coalesce(1).write.mode("overwrite").parquet(feed)
         b1.coalesce(1).write.mode("append").parquet(feed)
-        // the applied-batch ledger rides INSIDE the view directory as
+        // the applied-batch ledger rides INSIDE each view generation as
         // underscore-prefixed marker files (hidden from the parquet
         // reader), so view state and ledger commit in the SAME rename
         // — there is no window where a refreshed view exists without
         // its marker (the double-apply a separate ledger write would
-        // reopen)
-        def appliedIds(): Set[String] = Fs.listNames(s, view)
+        // reopen), and no crash point at which the public view path
+        // fails to resolve a complete prior state (GenDir's guarantee)
+        def appliedIds(): Set[String] = GenDir.listCurrent(s, view)
           .filter(_.startsWith("_applied_"))
           .map(_.stripPrefix("_applied_")).toSet
         def refresh(b: org.apache.spark.sql.DataFrame, id: String)
@@ -2579,7 +2554,7 @@ object StreamingOps extends QueryModule {
               .when($"op" === "delete", -1L).otherwise(0L)).as("dn"),
             sum(coalesce($"new_cents", lit(0L)) -
               coalesce($"old_cents", lit(0L))).as("dc"))
-          val next = s.read.parquet(view)
+          val next = GenDir.read(s, view)
             .join(d, Seq("prio"), "full_outer")
             .select($"prio",
               (coalesce($"n_rows", lit(0L)) + coalesce($"dn", lit(0L)))
@@ -2587,15 +2562,8 @@ object StreamingOps extends QueryModule {
               (coalesce($"sum_cents", lit(0L)) +
                 coalesce($"dc", lit(0L))).as("sum_cents"))
             .filter($"n_rows" > 0)
-          val staged = s"${view}_refreshing"
-          next.coalesce(1).write.mode("overwrite").parquet(staged)
-          (applied + id).foreach(i =>
-            Fs.touch(s, s"$staged/_applied_$i"))
-          val old = s"${view}_preswap"
-          Fs.delete(s, old)
-          Fs.move(s, view, old)
-          Fs.move(s, staged, view)
-          Fs.delete(s, old)
+          GenDir.publish(s, view, next,
+            markers = (applied + id).toSeq.sorted.map(i => s"_applied_$i"))
         }
         val st = s.readStream
           .schema(s.read.parquet(feed).schema)
@@ -2604,14 +2572,13 @@ object StreamingOps extends QueryModule {
         val q = st.writeStream.foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
-            TrainingShards.mergeVersion(s, root, b
-              .select($"op", $"doc_id",
-                coalesce($"new_cents", $"old_cents").as("cents"), $"prio"),
+            TrainingShards.mergeVersion(s, root,
+              CdcFixture.toMerge(b.toDF(), withPrio = true),
               "doc_id", "seed42", 2, batchId = Some(s"b$id")): Unit
             refresh(b, s"b$id")
         }.start()
         try q.processAllAvailable() finally q.stop()
-        def fpView(): Seq[Any] = s.read.parquet(view)
+        def fpView(): Seq[Any] = GenDir.read(s, view)
           .agg(count(lit(1)), sum(xxhash64($"prio", $"n_rows",
             $"sum_cents").cast("decimal(38,0)"))).head().toSeq
         val (fpBefore, nApplied) = (fpView(), appliedIds().size)
@@ -2623,7 +2590,7 @@ object StreamingOps extends QueryModule {
         def rows(df: org.apache.spark.sql.DataFrame) = df
           .collect().map(r => (r.getString(0), r.getLong(1),
             r.getLong(2))).sortBy(_._1).toSeq
-        val maintained = rows(s.read.parquet(view)
+        val maintained = rows(GenDir.read(s, view)
           .select($"prio", $"n_rows", $"sum_cents"))
         val matches = maintained == rows(recompute)
         maintained.map { case (p, n, sc) =>
@@ -2632,19 +2599,13 @@ object StreamingOps extends QueryModule {
             "view_equals_store_recompute", "replay_pure_noop")
           .orderBy($"prio")
       },
-      Some("""
+      Some(s"""
         WITH o AS (
           SELECT o_orderkey AS k,
                  CAST(round(o_totalprice * 100) AS BIGINT) AS c,
                  o_orderpriority AS p
-          FROM orders),
-        fin AS (
-          SELECT p, CASE WHEN k % 10 = 5 THEN c + 7
-                         WHEN k % 10 = 7 THEN c + 11
-                         ELSE c END AS c
-          FROM o WHERE k % 10 <> 6
-          UNION ALL
-          SELECT '1-URGENT', 99999 FROM range(3))
+          FROM orders)${graft.CdcFixture.oracleStateCte("fin",
+            b1 = true, withInserts = true, prio = true)}
         SELECT p AS prio, CAST(count(*) AS BIGINT) AS n_rows,
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS view_equals_store_recompute,

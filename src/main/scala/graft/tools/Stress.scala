@@ -978,6 +978,57 @@ object Stress {
     time(s"bloom skipping read ${1.5 * mult}M orders -> ~${6 * mult}k files") {
       SparkEntry.queries("q434_bloom_skipping_read")(s, out).count()
     }
+    // Round-14: the copy-on-write claim measured — a FULL publish pays
+    // the corpus write; a tiny merge (6 keys over 64 shards) must pay
+    // only its touched shards' rewrite + a manifest claim. The two
+    // numbers side by side ARE the scale argument (the full-rewrite
+    // store pays the first cost on EVERY merge by design).
+    locally {
+      import graft.sink.CowSnapshots
+      val o = s.read.parquet(s"$out/orders.parquet")
+        .select(col("o_orderkey").as("doc_id"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val root = "/tmp/graft_stress_cow"
+      graft.sink.Fs.delete(s, root)
+      time(s"cow FULL publish ${1.5 * mult}M orders, 64 shards") {
+        CowSnapshots.writeVersion(o, root, "doc_id", "s", 64)
+      }
+      val of = o.withColumn("prio", lit("x"))
+      val mx = graft.CdcFixture.maxKey(of)
+      time("cow tiny merge (6-key delta) over the same store") {
+        CowSnapshots.mergeVersion(s, root,
+          graft.CdcFixture.toMerge(graft.CdcFixture.tinyBatch(of, mx)),
+          "doc_id", "s", 64)
+      }
+      // the size gate: broadcast and shuffle anti-join forms of the
+      // SAME dense merge must agree (fingerprints compared in-run)
+      val dense = graft.CdcFixture.toMerge(
+        graft.CdcFixture.singleBatch(of, mx + 10))
+      def fp(v: Int): Seq[Any] =
+        CowSnapshots.readVersion(s, root, Some(v))
+          .agg(count(lit(1)), sum(col("cents"))).head().toSeq
+      var vb = 0
+      time(s"cow dense merge, broadcast gate (~${300 * mult}k keys)") {
+        vb = CowSnapshots.mergeVersion(s, root, dense, "doc_id", "s", 64)
+      }
+      val fpB = fp(vb)
+      val root2 = "/tmp/graft_stress_cow2"
+      graft.sink.Fs.delete(s, root2)
+      CowSnapshots.writeVersion(o, root2, "doc_id", "s", 64)
+      CowSnapshots.mergeVersion(s, root2,
+        graft.CdcFixture.toMerge(graft.CdcFixture.tinyBatch(of, mx)),
+        "doc_id", "s", 64)
+      var vs = 0
+      time("cow dense merge, shuffle gate (broadcastKeyLimit=0)") {
+        vs = CowSnapshots.mergeVersion(s, root2, dense, "doc_id", "s",
+          64, broadcastKeyLimit = 0L)
+      }
+      val fpS = CowSnapshots.readVersion(s, root2, Some(vs))
+        .agg(count(col("cents")), sum(col("cents"))).head().toSeq
+      require(fpB(1) == fpS(1),
+        s"size-gate changed the merge result: $fpB vs $fpS")
+      println(s"  gate forms agree: $fpB")
+    }
     s.stop()
   }
 }

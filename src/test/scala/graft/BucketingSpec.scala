@@ -55,4 +55,59 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS orders_b")
     }
   }
+
+  test("snapshot diff over bucket-registered versions joins with zero " +
+    "exchanges — the q438 docstring's co-location claim, proven in-plan") {
+    import graft.sink.TrainingShards
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.t(spark, sfDir, "orders")
+        .select($"o_orderkey".as("doc_id"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_diff_bucket").toString
+      val v1 = TrainingShards.writeVersion(o, root, "s", 2)
+      val mx = o.agg(max($"doc_id")).head().getLong(0)
+      val v2 = TrainingShards.mergeVersion(spark, root,
+        CdcFixture.toMerge(CdcFixture.singleBatch(
+          o.withColumn("prio", lit("x")), mx)),
+        "doc_id", "s", 2)
+      // a deployment registers both versions as bucketed tables on the
+      // diff key; the diff's full-outer join then co-locates
+      def register(v: Int, name: String): Unit =
+        TrainingShards.readVersion(spark, root, Some(v))
+          .drop("rk", "shard_id")
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(name)
+      register(v1, "snap_v1_b"); register(v2, "snap_v2_b")
+      val a = spark.table("snap_v1_b")
+        .select($"doc_id", struct($"cents").as("before"))
+      val b = spark.table("snap_v2_b")
+        .select($"doc_id", struct($"cents").as("after"))
+      val diff = a.join(b, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"before".isNull, "insert")
+            .when($"after".isNull, "delete")
+            .when($"before" =!= $"after", "update").as("op"))
+        .where($"op".isNotNull)
+      val n = diff.count()
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(plan.contains("SelectedBucketsCount"),
+        "diff scans must be bucket-aware")
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        "bucketed diff join sides must not re-shuffle")
+      // and the co-located diff finds exactly the change set's keys
+      val expected = o.filter($"doc_id" % 10 === 5).count() +
+        o.filter($"doc_id" % 10 === 6).count() + 3
+      assert(n == expected, s"diff rows $n vs change-set keys $expected")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS snap_v1_b")
+      spark.sql("DROP TABLE IF EXISTS snap_v2_b")
+    }
+  }
 }

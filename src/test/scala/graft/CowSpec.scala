@@ -1,0 +1,114 @@
+package graft
+
+import graft.sink.{CowSnapshots, Fs}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The copy-on-write store's contracts below the query corpus's grain:
+  * the routing kernel's key-stability (THE property that makes reuse
+  * possible), merge-equals-recompute over arbitrary change sets,
+  * effect-once replay, and the age-gated orphan vacuum. */
+class CowSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("shard routing is key-stable: a key's shard never depends on " +
+    "what else is in the frame (the rank-based kernel's failure mode)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    def routes(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select($"doc_id",
+        CowSnapshots.shardOf("s", $"doc_id", 16).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val all = routes(o)
+    val half = routes(o.filter($"doc_id" % 2 === 0))
+    assert(half.forall { case (k, sh) => all(k) == sh },
+      "removing rows must not move any surviving key's shard")
+    // and the driver-side twin agrees with the distributed kernel
+    all.take(20).foreach { case (k, sh) =>
+      assert(CowSnapshots.shardOfKey(spark, "s", k, 16) == sh)
+    }
+  }
+
+  test("merge equals recompute: applying a change set through the " +
+    "copy-on-write merge matches rebuilding the final state from " +
+    "scratch, and pinned history survives") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_spec").toString
+    val v1 = CowSnapshots.writeVersion(o, root, "doc_id", "s", 8)
+    val mx = o.agg(max($"doc_id")).head().getLong(0)
+    // a DENSE change set (every %10 tranche) — worst case for reuse,
+    // still correct: all shards rewritten, result exact
+    val changes = CdcFixture.toMerge(CdcFixture.singleBatch(
+      o.withColumn("prio", lit("x")), mx))
+    val v2 = CowSnapshots.mergeVersion(spark, root, changes,
+      "doc_id", "s", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = rows(
+      o.filter($"doc_id" % 10 =!= 6)
+        .select($"doc_id",
+          when($"doc_id" % 10 === 5, $"cents" + 7L)
+            .otherwise($"cents").as("cents"))
+        .unionByName(Seq(mx + 1L, mx + 2L, mx + 3L).toDF("doc_id")
+          .select($"doc_id", lit(99999L).as("cents"))))
+    assert(rows(CowSnapshots.readVersion(spark, root, Some(v2)))
+      == expected)
+    assert(rows(CowSnapshots.readVersion(spark, root, Some(v1)))
+      == rows(o), "the pinned parent must be untouched")
+    // gate-forced shuffle anti-join gives the identical result
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_cow_spec2").toString
+    CowSnapshots.writeVersion(o, root2, "doc_id", "s", 8)
+    val v2b = CowSnapshots.mergeVersion(spark, root2, changes,
+      "doc_id", "s", 8, broadcastKeyLimit = 0L)
+    assert(rows(CowSnapshots.readVersion(spark, root2, Some(v2b)))
+      == expected, "the size-gated shuffle form must match broadcast")
+  }
+
+  test("exactly-once: a replayed batch id is a pure no-op; the orphan " +
+    "vacuum is age-gated and lease-checked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_replay").toString
+    val v1 = CowSnapshots.writeVersion(o, root, "doc_id", "s", 4,
+      batchId = Some("b0"))
+    val mx = o.agg(max($"doc_id")).head().getLong(0)
+    val tiny = CdcFixture.toMerge(CdcFixture.tinyBatch(
+      o.withColumn("prio", lit("x")), mx))
+    val v2 = CowSnapshots.mergeVersion(spark, root, tiny,
+      "doc_id", "s", 4, batchId = Some("b1"))
+    def fp(v: Int) = CowSnapshots.readVersion(spark, root, Some(v))
+      .agg(count(lit(1)), sum($"cents")).head().toSeq
+    val (f1, f2) = (fp(v1), fp(v2))
+    // replays: same ids resolve to the same versions, nothing written
+    assert(CowSnapshots.writeVersion(o, root, "doc_id", "s", 4,
+      batchId = Some("b0")) == v1)
+    assert(CowSnapshots.mergeVersion(spark, root, tiny,
+      "doc_id", "s", 4, batchId = Some("b1")) == v2)
+    assert(CowSnapshots.committedVersions(spark, root) == Seq(v1, v2))
+    assert(fp(v1) == f1 && fp(v2) == f2)
+    // a crashed writer's never-referenced group: spared while young,
+    // collected once past the ttl
+    Fs.touch(spark, s"$root/files/deadtok/shard=0/part-junk.parquet")
+    CowSnapshots.expireVersions(spark, root, keep = 2,
+      orphanTtlMs = 3600000L)
+    assert(Fs.exists(spark, s"$root/files/deadtok"),
+      "a young unreferenced group may be an in-flight commit — spared")
+    CowSnapshots.expireVersions(spark, root, keep = 2, orphanTtlMs = 0L)
+    assert(!Fs.exists(spark, s"$root/files/deadtok"),
+      "an aged-out unreferenced group is vacuumed")
+    assert(fp(v1) == f1 && fp(v2) == f2,
+      "committed versions must survive the vacuum byte-stable")
+  }
+}

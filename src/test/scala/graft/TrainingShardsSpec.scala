@@ -335,9 +335,9 @@ class TrainingShardsSpec extends AnyFunSuite {
   }
 
   test("bloom manifest lifecycle: per-batch append bit-equals the " +
-    "from-scratch build; a crashed swap's leftover never blocks the " +
-    "next rebuild") {
-    import graft.sink.{BloomManifest, Fs}
+    "from-scratch build; rebuilds land as generations and the public " +
+    "root resolves a complete manifest at every point") {
+    import graft.sink.{BloomManifest, Fs, GenDir}
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val o = Tables.t(spark, sfDir, "orders")
@@ -359,11 +359,20 @@ class TrainingShardsSpec extends AnyFunSuite {
     BloomManifest.rebuild(spark, s"$root/scratch", s"$root/d", "doc_id")
     assert(fp(store) == fp(s"$root/scratch"),
       "incremental manifest must bit-equal the from-scratch build")
-    // a crashed prior swap left _preswap behind: rebuild must heal
-    Fs.touch(spark, s"${store}_preswap/leftover")
+    // a crashed prior publish's staging leftover never blocks or
+    // corrupts the next rebuild, and the store stays resolvable
+    Fs.touch(spark, s"$store/_staging/deadtok/leftover")
+    val before = fp(store)
     BloomManifest.rebuild(spark, store, s"$root/d", "doc_id")
-    assert(fp(store) == fp(s"$root/scratch"))
-    assert(!Fs.exists(spark, s"${store}_preswap"))
+    assert(fp(store) == before,
+      "a rebuild over unchanged data must be bit-identical")
+    assert(GenDir.resolve(spark, store).isDefined)
+    assert(Fs.listDirNames(spark, s"$store/_staging").isEmpty,
+      "publish must sweep dead writers' staging leftovers")
+    // generations lag by one: the previous rebuild's bytes survive the
+    // next publish (a reader that resolved just before keeps reading)
+    val gens = Fs.listDirNames(spark, store).filter(_.startsWith("g_"))
+    assert(gens.size == 2, s"expected current + previous gen, got $gens")
   }
 
   test("schema evolution: pinned read keeps the original shape; the " +
