@@ -166,13 +166,28 @@ object Fs {
       while (!held) {
         held = claimRaw(s, staged.toString, leasePath)
         if (!held) {
-          // lease taken: break it if stale, else wait and retry
+          // lease taken: break it if stale, else wait and retry. The
+          // break itself must be ONE-WINNER: a bare delete would let a
+          // second breaker queue behind the first and delete the
+          // first's freshly-ACQUIRED live lease (two holders — the
+          // exact race the lease prevents). Renaming the stale lease
+          // aside is arbitrated like every other claim: exactly one
+          // breaker's rename succeeds, the loser's throws on the
+          // vanished source and simply retries.
           val age = modTime(s, leasePath) match {
             case -1L => -1L
             case t => System.currentTimeMillis() - t
           }
-          if (age > staleMs) fs.delete(p, true): Unit
-          else Thread.sleep(20)
+          if (age > staleMs) {
+            val aside = new org.apache.hadoop.fs.Path(p.getParent,
+              s"_lease_broken_$tok")
+            try {
+              if (claimRaw(s, leasePath, aside.toString))
+                fs.delete(aside, true): Unit
+            } catch {
+              case _: java.io.IOException => () // lost the break race
+            }
+          } else Thread.sleep(20)
           require(System.currentTimeMillis() < deadline,
             s"could not acquire lease $leasePath within ${timeoutMs}ms")
         }

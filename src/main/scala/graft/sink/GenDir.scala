@@ -64,10 +64,15 @@ object GenDir {
     // lagging GC: keep N and N-1 (a reader that resolved just before
     // this publish still reads complete bytes); drop everything older
     gens(s, root).dropRight(2).foreach(o => Fs.delete(s, s"$root/g_$o"))
-    // crashed publishes' staging leftovers (ours succeeded, so any
-    // remaining staging entry is a dead writer's)
+    // crashed publishes' staging leftovers — AGE-GATED like every
+    // other staging vacuum in the storage layer: a concurrent
+    // publisher's fully-staged, not-yet-claimed generation must land
+    // next, not vanish under it mid-claim
+    val now = System.currentTimeMillis()
     Fs.listDirNames(s, s"$root/_staging").filterNot(_ == tok)
-      .foreach(o => Fs.delete(s, s"$root/_staging/$o"))
+      .map(o => s"$root/_staging/$o")
+      .filter(p => now - Fs.modTime(s, p) >= 3600000L)
+      .foreach(Fs.delete(s, _))
   }
 
   /** Append rows INTO the current generation (parquet append —

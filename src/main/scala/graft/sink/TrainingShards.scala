@@ -266,9 +266,16 @@ object TrainingShards {
             // vacuum's deletes also take, so a vacuumed data slot can
             // never gain a commit row from ANY driver; the failure
             // mode stays a loud aborted commit
+            // the guard probes the write committer's _SUCCESS marker,
+            // not the bare directory: the bloom mint above re-creates
+            // `v=N/` if a concurrent vacuum collected the slot (its
+            // parquet write remakes parent dirs), and a bare-path
+            // guard would then pass on a directory holding only
+            // `_bloom` — committing a version whose data is gone.
+            // _SUCCESS only ever exists if the claimed DATA survived.
             Fs.withLease(s, s"${manifestDir(path)}/_lease") {
               require(Fs.claim(s, ctok, s"${manifestDir(path)}/c_$v",
-                  guard = Some(s"$path/v=$v")),
+                  guard = Some(s"$path/v=$v/_SUCCESS")),
                 s"commit slot c_$v already owned — data claim was not " +
                   "exclusive")
             }

@@ -2610,6 +2610,114 @@ object StreamingOps extends QueryModule {
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS view_equals_store_recompute,
                true AS replay_pure_noop
-        FROM fin GROUP BY p ORDER BY prio"""))
+        FROM fin GROUP BY p ORDER BY prio""")),
+
+    Q(
+      "q443_cow_stream_merge",
+      "STREAMING COPY-ON-WRITE MERGE — q435's standing CDC consumer " +
+        "re-pointed at the file-granular store, where the per-batch " +
+        "economics finally match what a standing consumer needs: " +
+        "each micro-batch's merge publishes one snapshot version that " +
+        "REWRITES ONLY the shard groups its tiny delta routes to and " +
+        "re-lists the parent's entries for the rest — so a day of " +
+        "micro-batches costs O(sum of deltas), not O(batches x " +
+        "corpus), which is the difference between a CDC consumer that " +
+        "scales and one that rewrites a 100 TB corpus per trigger. " +
+        "Effect-once replay rides the same committed-manifest ledger " +
+        "(a replayed change-batch id is a PURE no-op — never a merge " +
+        "re-derived against an advanced latest). Graded: every " +
+        "version's rows and cents recomputed independently by the " +
+        "oracle from the two-tiny-batch algebra, versions in feed " +
+        "order, post-drain replay of batch 0 leaving version count " +
+        "AND the latest fingerprint untouched, and PER-MICRO-BATCH " +
+        "file reuse — each publication's manifest re-lists its " +
+        "parent's entries for every shard its delta left untouched. " +
+        "100 TB: the standing consumer's steady-state write volume " +
+        "is the change feed's, amplified only by shard granularity.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_stream", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val b0 = CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx))
+        val b1 = CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx))
+        val feed = graft.TempRoots
+          .freshForDir("graft_cow_stream_feed", dir).toString
+        b0.coalesce(1).write.mode("overwrite").parquet(feed)
+        b1.coalesce(1).write.mode("append").parquet(feed)
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            CowSnapshots.mergeVersion(s, root, b.toDF(), "doc_id",
+              "seed42", nSh, batchId = Some(s"b$id")): Unit
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        val byBatch = CowSnapshots.committedBatchVersions(s, root)
+        val (v2, v3) = (byBatch("b0"), byBatch("b1"))
+        def snap(v: Int) = CowSnapshots.readVersion(s, root, Some(v))
+        def fp(v: Int): Seq[Any] = snap(v)
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        val (fpV3, fpV2) = (fp(v3), fp(v2))
+        // per-micro-batch reuse: each child re-lists its parent's
+        // entries for every shard the batch's delta left untouched
+        // (the shared predicate all three COW queries grade with)
+        val perBatchReuse =
+          CowSnapshots.reusesParentEntries(s, root, v1, v2, b0,
+            "doc_id", "seed42", nSh) &&
+            CowSnapshots.reusesParentEntries(s, root, v2, v3, b1,
+              "doc_id", "seed42", nSh)
+        // post-drain replay: pure no-op on versions AND bytes
+        CowSnapshots.mergeVersion(s, root, b0, "doc_id", "seed42",
+          nSh, batchId = Some("b0"))
+        val replayNoop =
+          CowSnapshots.committedVersions(s, root) == Seq(1, 2, 3) &&
+            fp(v3) == fpV3 && fp(v2) == fpV2
+        val ordered = v1 == 1 && v2 == 2 && v3 == 3
+        def stats(v: Int, label: String) = snap(v)
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit(label).as("snapshot"), $"n_rows", $"sum_cents",
+            lit(perBatchReuse).as("each_batch_reuses_parent_files"),
+            lit(replayNoop).as("replay_pure_noop"),
+            lit(ordered).as("versions_in_feed_order"))
+        stats(v1, "v1_base").unionAll(stats(v2, "v2_after_b0"))
+          .unionAll(stats(v3, "v3_after_b1"))
+          .orderBy($"snapshot")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin0",
+            withSecond = false)}${graft.CdcFixture.oracleTinyStateCte(
+            "fin1", withSecond = true)}
+        SELECT 'v1_base' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS each_batch_reuses_parent_files,
+               true AS replay_pure_noop,
+               true AS versions_in_feed_order
+        FROM o
+        UNION ALL
+        SELECT 'v2_after_b0', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM fin0
+        UNION ALL
+        SELECT 'v3_after_b1', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM fin1
+        ORDER BY snapshot"""))
   )
 }

@@ -983,6 +983,15 @@ object Stress {
     // only its touched shards' rewrite + a manifest claim. The two
     // numbers side by side ARE the scale argument (the full-rewrite
     // store pays the first cost on EVERY merge by design).
+    // Measured (local[32], quiet window): FULL publish of 1.5M rows
+    // 3.49 s / 16.2 MiB shuffle; tiny merge 2.59 s / 1.5 MiB — the
+    // WIRE is delta-proportional (10.8x less shuffle); the residual
+    // wall is fixture-scale job overhead (manifest reads, the
+    // bounded shard-set collect), which amortizes at real scale where
+    // the write dominates. Dense ~300k-key merge: broadcast gate
+    // 5.96 s / 18.1 MiB vs forced shuffle gate 5.52 s / 35.9 MiB,
+    // results bit-identical — at this delta size the forms tie, and
+    // the gate exists for the driver-memory cliff, not the wall.
     locally {
       import graft.sink.CowSnapshots
       val o = s.read.parquet(s"$out/orders.parquet")
@@ -1024,8 +1033,10 @@ object Stress {
           64, broadcastKeyLimit = 0L)
       }
       val fpS = CowSnapshots.readVersion(s, root2, Some(vs))
-        .agg(count(col("cents")), sum(col("cents"))).head().toSeq
-      require(fpB(1) == fpS(1),
+        .agg(count(lit(1)), sum(col("cents"))).head().toSeq
+      // cardinality AND sum: a dropped zero-cents row or an offsetting
+      // duplicate must not pass as "agreement"
+      require(fpB == fpS,
         s"size-gate changed the merge result: $fpB vs $fpS")
       println(s"  gate forms agree: $fpB")
     }

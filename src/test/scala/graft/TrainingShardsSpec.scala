@@ -360,15 +360,18 @@ class TrainingShardsSpec extends AnyFunSuite {
     assert(fp(store) == fp(s"$root/scratch"),
       "incremental manifest must bit-equal the from-scratch build")
     // a crashed prior publish's staging leftover never blocks or
-    // corrupts the next rebuild, and the store stays resolvable
+    // corrupts the next rebuild, and the store stays resolvable; the
+    // sweep is AGE-GATED, so a young staging entry (possibly a live
+    // concurrent publisher's) is spared rather than deleted mid-claim
     Fs.touch(spark, s"$store/_staging/deadtok/leftover")
     val before = fp(store)
     BloomManifest.rebuild(spark, store, s"$root/d", "doc_id")
     assert(fp(store) == before,
       "a rebuild over unchanged data must be bit-identical")
     assert(GenDir.resolve(spark, store).isDefined)
-    assert(Fs.listDirNames(spark, s"$store/_staging").isEmpty,
-      "publish must sweep dead writers' staging leftovers")
+    assert(Fs.listDirNames(spark, s"$store/_staging") == Seq("deadtok"),
+      "a YOUNG staging entry is spared by the age gate (it may be a " +
+        "live concurrent publisher's build)")
     // generations lag by one: the previous rebuild's bytes survive the
     // next publish (a reader that resolved just before keeps reading)
     val gens = Fs.listDirNames(spark, store).filter(_.startsWith("g_"))
