@@ -4509,6 +4509,12 @@ object FeaturePlatform extends QueryModule {
         val probeIds =
           (updKeys ++ Seq(delKey, uncKey, mx + 1L, mx + 9L)).sorted
         val probeDf = probeIds.toDF("doc_id")
+        // one routing job for ALL probes (not one per probe) — the
+        // driver-side map both versions' lookups share
+        val routedShard: Map[Long, Int] = probeIds.toDF("k")
+          .select($"k", CowSnapshots.shardOf("seed42", $"k", nSh)
+            .as("sh"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
         def lookup(v: Int, label: String) = {
           // one version's bloom rows, keyed by shard (bounded: one row
           // per physical file)
@@ -4518,8 +4524,7 @@ object FeaturePlatform extends QueryModule {
               java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
           val byShard = man.groupBy(_._1)
           val nFilesTotal = man.length
-          val routed = probeIds.map { k =>
-            k -> CowSnapshots.shardOfKey(s, "seed42", k, nSh) }
+          val routed = probeIds.map(k => k -> routedShard(k))
           val passFiles = routed.flatMap { case (k, sh) =>
             byShard.getOrElse(sh, Array.empty).filter { case (_, _, b1, b2) =>
               b1.get(graft.sink.BloomManifest.h1Long(k)) &&
@@ -4655,7 +4660,308 @@ object FeaturePlatform extends QueryModule {
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS pinned_read_keeps_shape,
                true AS evolution_shares_parent_files
-        FROM fin GROUP BY 1 ORDER BY src_class"""))
+        FROM fin GROUP BY 1 ORDER BY src_class""")),
+
+    Q(
+      "q445_cow_manifest_pruned_diff",
+      "MANIFEST-PRUNED SNAPSHOT DIFF — the copy-on-write manifest's " +
+        "third dividend (after write amplification q440 and metadata " +
+        "sharing q442): two versions that SHARE a shard's file group " +
+        "share it by dir-name identity in their manifests, and " +
+        "immutable groups mean an identical entry is a PROOF of " +
+        "equality — so the diff reads only the shards whose entries " +
+        "differ, decided from manifest rows alone with ZERO data " +
+        "reads for the pruning decision. q438's full-rewrite diff " +
+        "pays an honest corpus-wide full-outer join because its " +
+        "rank-based kernel rewrites every shard every version; here " +
+        "a tiny CDC merge's diff touches a handful of shard " +
+        "directories out of the corpus. Graded: the diff of " +
+        "merge(v1, tiny changes) recovers EXACTLY the change set " +
+        "(the q438 round-trip theorem, order-independent " +
+        "fingerprint over (op, key, effective cents)), per-op key " +
+        "counts and before/after cents totals recomputed " +
+        "independently by the oracle from the tiny algebra, and the " +
+        "structural pruning claims: changed shards under half the " +
+        "fleet, and diff(v, v) reads ZERO shards. 100 TB: 'what " +
+        "changed between yesterday's corpus and today's' costs the " +
+        "CHANGED shards' read — on a CDC cadence, megabytes, not " +
+        "100 TB twice.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_diff", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val changes = CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx))
+        val v2 = CowSnapshots.mergeVersion(s, root, changes,
+          "doc_id", "seed42", nSh)
+        val (nChanged, nTotal, d) =
+          CowSnapshots.diffVersions(s, root, v1, v2, "doc_id")
+        val pruned = nChanged * 2 < nTotal
+        val (selfChanged, _, selfDiff) =
+          CowSnapshots.diffVersions(s, root, v2, v2, "doc_id")
+        val selfEmpty = selfChanged == 0 && selfDiff.isEmpty
+        // the round trip: the diff, normalized to (op, key, effective
+        // cents), fingerprints identically to the change set itself
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)),
+            sum(xxhash64($"op", $"doc_id", $"c").cast("decimal(38,0)")))
+          .head().toSeq
+        val diffNorm = d.select($"op", $"doc_id",
+          when($"op" === "delete", $"before.cents")
+            .otherwise($"after.cents").as("c"))
+        val recovers = fp(diffNorm) ==
+          fp(changes.select($"op", $"doc_id", $"cents".as("c")))
+        d.groupBy($"op")
+          .agg(count(lit(1)).as("n_keys"),
+            sum(coalesce($"before.cents", lit(0L)))
+              .as("sum_before_cents"),
+            sum(coalesce($"after.cents", lit(0L)))
+              .as("sum_after_cents"))
+          .select($"op", $"n_keys", $"sum_before_cents",
+            $"sum_after_cents",
+            lit(recovers).as("diff_recovers_changeset"),
+            lit(pruned).as("diff_reads_minority_of_shards"),
+            lit(selfEmpty).as("self_diff_reads_zero_shards"))
+          .orderBy($"op")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = false)}
+        SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(c) AS BIGINT) AS sum_before_cents,
+               CAST(0 AS BIGINT) AS sum_after_cents,
+               true AS diff_recovers_changeset,
+               true AS diff_reads_minority_of_shards,
+               true AS self_diff_reads_zero_shards
+        FROM o WHERE k IN (SELECT k FROM fin_dk)
+        UNION ALL
+        SELECT 'insert', CAST(${graft.CdcFixture.nInserts} AS BIGINT),
+               CAST(0 AS BIGINT),
+               CAST(${graft.CdcFixture.nInserts} *
+                 ${graft.CdcFixture.insertCents} AS BIGINT),
+               true, true, true
+        UNION ALL
+        SELECT 'update', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT),
+               CAST(sum(c) + ${graft.CdcFixture.updLow} * count(*)
+                 AS BIGINT), true, true, true
+        FROM o WHERE k IN (SELECT k FROM fin_uk)
+        ORDER BY op""")),
+
+    Q(
+      "q446_cow_delta_merge",
+      "MERGE-ON-READ DELTAS — the other half of the lakehouse " +
+        "write/read trade, beside q440's copy-on-write: a COW merge " +
+        "rewrites every TOUCHED SHARD in full, so a 6-key correction " +
+        "against 100 TB still rewrites whole-shard gigabytes; " +
+        "appendDeltas publishes the op-tagged change rows themselves " +
+        "as shard-routed DELTA GROUPS appended to the manifest — " +
+        "O(|delta|) bytes written, every parent entry (base AND " +
+        "chain) re-listed verbatim, nothing rewritten at all. Reads " +
+        "of delta-bearing shards pay a bounded latest-wins merge " +
+        "(highest manifest seq per key wins; a delete row erases); " +
+        "flat shards stream untouched. The GRADED THEOREM is " +
+        "semantic equivalence: the same two change batches applied " +
+        "through appendDeltas and through mergeVersion on a sibling " +
+        "store produce BIT-IDENTICAL states at every version " +
+        "(fingerprint-compared in-engine), with each version's rows " +
+        "and cents also recomputed independently by the oracle; " +
+        "structurally, each delta publish adds exactly the batch's " +
+        "row count in new manifest entries and rewrites zero parent " +
+        "groups, and replay of a committed batch id is a pure no-op. " +
+        "100 TB: the write-optimized verb for hot CDC streams — " +
+        "write cost is the change feed's own bytes; the read-side " +
+        "merge is the rent, paid only on delta-bearing shards and " +
+        "only until compaction (q447).",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val nSh = 32
+        val mx = CdcFixture.maxKey(of)
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_mor", dir).toString
+        val twin = graft.TempRoots
+          .freshForDir("graft_cow_mor_twin", dir).toString
+        val b0 = CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx))
+        val b1 = CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx))
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val v2 = CowSnapshots.appendDeltas(s, root, b0, "doc_id",
+          "seed42", nSh, batchId = Some("b0"))
+        val v3 = CowSnapshots.appendDeltas(s, root, b1, "doc_id",
+          "seed42", nSh, batchId = Some("b1"))
+        // the copy-on-write twin: same feed, rewrite verb. The twins'
+        // v1 bases are writeVersion over the SAME frame (identical by
+        // construction), so equivalence is graded on the two MERGED
+        // versions; every (store, version) is read exactly ONCE — one
+        // aggregate serves fingerprint and output stats both
+        CowSnapshots.writeVersion(o, twin, "doc_id", "seed42", nSh)
+        CowSnapshots.mergeVersion(s, twin, b0, "doc_id", "seed42", nSh)
+        CowSnapshots.mergeVersion(s, twin, b1, "doc_id", "seed42", nSh)
+        def fp(root0: String, v: Int): Seq[Any] =
+          CowSnapshots.readVersion(s, root0, Some(v))
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+        val fps = Map(v1 -> fp(root, v1), v2 -> fp(root, v2),
+          v3 -> fp(root, v3))
+        val equivalent = Seq(v2, v3)
+          .forall(v => fps(v) == fp(twin, v))
+        // structural: each delta publish re-lists EVERY parent entry
+        // and adds exactly the batch's rows as new entries
+        def es(v: Int) = CowSnapshots.allEntries(s, root, v).toSet
+        val (e1, e2, e3) = (es(v1), es(v2), es(v3))
+        val nothingRewritten = e1.subsetOf(e2) && e2.subsetOf(e3)
+        val deltaBounded =
+          (e2 -- e1).toSeq.map(_._3).sum == b0.count() &&
+            (e3 -- e2).toSeq.map(_._3).sum == b1.count()
+        // effect-once: replaying b0's committed id post-publication
+        val replayV = CowSnapshots.appendDeltas(s, root, b0, "doc_id",
+          "seed42", nSh, batchId = Some("b0"))
+        val replayNoop = replayV == v2 &&
+          CowSnapshots.committedVersions(s, root) == Seq(1, 2, 3) &&
+          fp(root, v3) == fps(v3)
+        val labels = Map(v1 -> "v1_base", v2 -> "v2_after_b0",
+          v3 -> "v3_after_b1")
+        labels.toSeq.map { case (v, label) =>
+          (label, fps(v)(0).asInstanceOf[Long],
+            fps(v)(1).asInstanceOf[Long], equivalent,
+            nothingRewritten, deltaBounded, replayNoop)
+        }.toDF("snapshot", "n_rows", "sum_cents",
+            "delta_equals_cow_bitexact",
+            "delta_publish_rewrites_nothing",
+            "new_entries_bounded_by_batch", "replay_pure_noop")
+          .orderBy($"snapshot")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin0",
+            withSecond = false)}${graft.CdcFixture.oracleTinyStateCte(
+            "fin1", withSecond = true)}
+        SELECT 'v1_base' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS delta_equals_cow_bitexact,
+               true AS delta_publish_rewrites_nothing,
+               true AS new_entries_bounded_by_batch,
+               true AS replay_pure_noop
+        FROM o
+        UNION ALL
+        SELECT 'v2_after_b0', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true, true
+        FROM fin0
+        UNION ALL
+        SELECT 'v3_after_b1', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true, true
+        FROM fin1
+        ORDER BY snapshot""")),
+
+    Q(
+      "q447_cow_delta_compaction",
+      "DELTA-CHAIN COMPACTION — the maintenance verb that converts " +
+        "q446's merge-on-read debt back into free reads: " +
+        "compactDeltas folds every delta-bearing shard's resolved " +
+        "state into ONE new flat seq-0 group (routing reproduced " +
+        "from the manifest's RECORDED table properties — seed, shard " +
+        "count, key column ride in the commit rows, the Delta-log " +
+        "discipline, so maintenance cannot be mis-parameterized by a " +
+        "caller) and RE-LISTS every flat shard verbatim — compaction " +
+        "cost scales with the accumulated delta volume's shards, " +
+        "never the corpus, and the never-touched majority of the " +
+        "ORIGINAL base group is still shared three versions and one " +
+        "compaction later. Graded: the compacted version BIT-EQUALS " +
+        "the pre-compaction read (fingerprint in-engine, rows and " +
+        "cents recomputed independently by the oracle), the " +
+        "compacted manifest carries no delta entries, the original " +
+        "base group still backs every untouched shard, and a " +
+        "post-compaction expire(keep=1) collects the folded chain's " +
+        "groups while the still-shared base survives — the " +
+        "ref-counted GC composing with merge-on-read. 100 TB: the " +
+        "compaction cadence IS the read/write knob — hot tables " +
+        "compact nightly at delta cost, cold ones never pay it.",
+      (s, dir) => {
+        import graft.sink.{CowSnapshots, Fs}
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val nSh = 32
+        val mx = CdcFixture.maxKey(of)
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_compact", dir).toString
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        CowSnapshots.appendDeltas(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx)),
+          "doc_id", "seed42", nSh)
+        val v3 = CowSnapshots.appendDeltas(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx)),
+          "doc_id", "seed42", nSh)
+        def fp(v: Int): Seq[Any] =
+          CowSnapshots.readVersion(s, root, Some(v))
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+        val fpBefore = fp(v3)
+        val v4 = CowSnapshots.compactDeltas(s, root)
+        val bitexact = fp(v4) == fpBefore
+        val e4 = CowSnapshots.allEntries(s, root, v4)
+        val flatAgain = e4.forall(_._4 == 0)
+        val e1 = CowSnapshots.allEntries(s, root, v1)
+        val baseTok = e1.head._2
+        val deltaToks = CowSnapshots.allEntries(s, root, v3)
+          .filter(_._4 > 0).map(_._2).distinct
+        val baseStillShared = e4.count(_._2 == baseTok) ==
+          e1.count { case (sh, _, _, _) =>
+            e4.exists(e => e._1 == sh && e._2 == baseTok) } &&
+            e4.exists(_._2 == baseTok)
+        // retention composes: only v4 survives; the folded delta
+        // chain's groups lose their last referrer and die, the base
+        // group lives on under v4
+        CowSnapshots.expireVersions(s, root, keep = 1)
+        val live = Fs.listDirNames(s, s"$root/files").toSet
+        val gcComposes = deltaToks.forall(!live.contains(_)) &&
+          live.contains(baseTok) &&
+          CowSnapshots.committedVersions(s, root) == Seq(v4) &&
+          fp(v4) == fpBefore
+        CowSnapshots.readVersion(s, root, Some(v4))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit("v4_compacted").as("snapshot"), $"n_rows",
+            $"sum_cents",
+            lit(bitexact).as("compaction_bitexact"),
+            lit(flatAgain).as("no_delta_entries_remain"),
+            lit(baseStillShared).as("untouched_base_group_still_shared"),
+            lit(gcComposes).as("expire_collects_folded_chain_only"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = true)}
+        SELECT 'v4_compacted' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS compaction_bitexact,
+               true AS no_delta_entries_remain,
+               true AS untouched_base_group_still_shared,
+               true AS expire_collects_folded_chain_only
+        FROM fin"""))
   )
 
   /** q431's oracle: both EM rounds unrolled as materialized CTE chains

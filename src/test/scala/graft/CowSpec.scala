@@ -72,6 +72,67 @@ class CowSpec extends AnyFunSuite {
       == expected, "the size-gated shuffle form must match broadcast")
   }
 
+  test("merge-on-read resolution: chained deltas resolve latest-wins " +
+    "per key, a later copy-on-write merge folds only the chains its " +
+    "delta touches, and diff prunes on whole chains") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_mor_spec").toString
+    val mx = o.agg(max($"doc_id")).head().getLong(0)
+    val keys = o.orderBy($"doc_id").limit(3)
+      .select($"doc_id").as[Long].collect()
+    val Array(k0, k1, k2) = keys
+    CowSnapshots.writeVersion(o, root, "doc_id", "s", 8)
+    // delta 1: update k0, delete k1, insert mx+1
+    val d1 = Seq(("update", k0, 1L), ("delete", k1, 0L),
+      ("insert", mx + 1L, 50L)).toDF("op", "doc_id", "cents")
+    val v2 = CowSnapshots.appendDeltas(spark, root, d1, "doc_id", "s", 8)
+    // delta 2: update the k0 UPDATED row again, update the INSERTED
+    // row, delete k2 — every later-wins shape in one chain
+    val d2 = Seq(("update", k0, 2L), ("update", mx + 1L, 60L),
+      ("delete", k2, 0L)).toDF("op", "doc_id", "cents")
+    val v3 = CowSnapshots.appendDeltas(spark, root, d2, "doc_id", "s", 8)
+    def vals(v: Int): Map[Long, Long] =
+      CowSnapshots.readVersion(spark, root, Some(v))
+        .filter($"doc_id".isin(k0, k1, k2, mx + 1L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v2Vals = vals(v2)
+    assert(v2Vals(k0) == 1L && !v2Vals.contains(k1) &&
+      v2Vals(mx + 1L) == 50L, s"v2 resolution wrong: $v2Vals")
+    val v3Vals = vals(v3)
+    assert(v3Vals(k0) == 2L && !v3Vals.contains(k1) &&
+      !v3Vals.contains(k2) && v3Vals(mx + 1L) == 60L,
+      s"v3 latest-wins resolution wrong: $v3Vals")
+    // row counts: base n - 2 deletes + 1 insert
+    val n0 = o.count()
+    assert(CowSnapshots.readVersion(spark, root, Some(v3)).count()
+      == n0 - 2 + 1)
+    // a copy-on-write merge now touches ONLY k0's shard: its chain
+    // folds into the new group; other chains stay
+    val d3 = Seq(("update", k0, 3L)).toDF("op", "doc_id", "cents")
+    val v4 = CowSnapshots.mergeVersion(spark, root, d3, "doc_id", "s", 8)
+    val v4Vals = vals(v4)
+    assert(v4Vals(k0) == 3L && !v4Vals.contains(k1) &&
+      !v4Vals.contains(k2) && v4Vals(mx + 1L) == 60L)
+    val sh0 = CowSnapshots.shardOfKey(spark, "s", k0, 8)
+    val e4 = CowSnapshots.allEntries(spark, root, v4)
+    assert(e4.filter(_._1 == sh0).forall(_._4 == 0),
+      "the merged shard's chain must be folded flat")
+    // diff across the delta versions recovers the delta's effects
+    val (nChanged, nTotal, d) =
+      CowSnapshots.diffVersions(spark, root, v2, v3, "doc_id")
+    val ops = d.select($"op", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops == Set(("update", k0), ("update", mx + 1L),
+      ("delete", k2)), s"diff over delta chains wrong: $ops")
+    assert(nChanged <= 3 && nChanged < nTotal,
+      "diff must prune to the delta-touched chains")
+  }
+
   test("exactly-once: a replayed batch id is a pure no-op; the orphan " +
     "vacuum is age-gated and lease-checked") {
     import org.apache.spark.sql.functions._
