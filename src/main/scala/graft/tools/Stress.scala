@@ -983,15 +983,16 @@ object Stress {
     // only its touched shards' rewrite + a manifest claim. The two
     // numbers side by side ARE the scale argument (the full-rewrite
     // store pays the first cost on EVERY merge by design).
-    // Measured (local[32], quiet window): FULL publish of 1.5M rows
-    // 3.49 s / 16.2 MiB shuffle; tiny merge 2.59 s / 1.5 MiB — the
-    // WIRE is delta-proportional (10.8x less shuffle); the residual
-    // wall is fixture-scale job overhead (manifest reads, the
-    // bounded shard-set collect), which amortizes at real scale where
-    // the write dominates. Dense ~300k-key merge: broadcast gate
-    // 5.96 s / 18.1 MiB vs forced shuffle gate 5.52 s / 35.9 MiB,
-    // results bit-identical — at this delta size the forms tie, and
-    // the gate exists for the driver-memory cliff, not the wall.
+    // Measured (local[32], quiet window, post-manifest-cache): FULL
+    // publish of 1.5M rows 2.95 s / 16.2 MiB shuffle; tiny merge
+    // 2.03 s / 1.5 MiB — the WIRE is delta-proportional (10.8x less
+    // shuffle); the residual wall is fixture-scale job overhead (the
+    // staged write + bounded shard-set collect), which amortizes at
+    // real scale where the write dominates. Dense ~300k-key merge:
+    // broadcast gate 4.40 s / 18.1 MiB vs forced shuffle gate 4.70 s
+    // / 35.9 MiB, results identical in count AND sum — at this delta
+    // size the forms tie, and the gate exists for the driver-memory
+    // cliff, not the wall.
     locally {
       import graft.sink.CowSnapshots
       val o = s.read.parquet(s"$out/orders.parquet")
