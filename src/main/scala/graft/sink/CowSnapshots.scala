@@ -660,7 +660,15 @@ object CowSnapshots {
     * references — each group's `_bloom` filtered to the shards this
     * version takes FROM THAT GROUP (a group shared by many versions
     * carries rows for all its shards; a version may reference only
-    * some). */
+    * some). On a DELTA-bearing version the rows include the delta
+    * groups' blooms — correct as a routing verdict (no false
+    * negatives: any file that could hold the key's LATEST row
+    * passes), but a point reader over chains must still resolve ops
+    * across the passing files (a delete row's key passes its delta
+    * group's bloom BY DESIGN — that hit is how the reader learns the
+    * key is gone without scanning the base). q442 grades the flat
+    * form; the chain-resolving point reader is the natural next
+    * audit. */
   def bloomRows(s: SparkSession, root: String, v: Int): DataFrame = {
     import s.implicits._
     val es = entries(s, root, v)
