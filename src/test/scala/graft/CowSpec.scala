@@ -133,6 +133,67 @@ class CowSpec extends AnyFunSuite {
       "diff must prune to the delta-touched chains")
   }
 
+  test("bloom routing over a delta chain: no false negatives for the " +
+    "latest row, and a deleted key's delta-bloom hit is how a point " +
+    "reader learns it is gone without scanning the base") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_bloomchain").toString
+    val keys = o.orderBy($"doc_id").limit(2)
+      .select($"doc_id").as[Long].collect()
+    val Array(kUpd, kDel) = keys
+    CowSnapshots.writeVersion(o, root, "doc_id", "s", 8)
+    val d1 = Seq(("update", kUpd, 123L), ("delete", kDel, 0L))
+      .toDF("op", "doc_id", "cents")
+    val v2 = CowSnapshots.appendDeltas(spark, root, d1, "doc_id", "s", 8)
+    val man = CowSnapshots.bloomRows(spark, root, v2).collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+        java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
+    def passing(k: Long): Seq[String] = {
+      val sh = CowSnapshots.shardOfKey(spark, "s", k, 8)
+      man.filter(_._1 == sh).filter { case (_, _, b1, b2) =>
+        b1.get(graft.sink.BloomManifest.h1Long(k)) &&
+          b2.get(graft.sink.BloomManifest.h2Long(k)) }.map(_._2).toSeq
+    }
+    // the delete's key must pass at least one DELTA group file — that
+    // hit is the signal; and resolving the passing files' rows must
+    // yield 123 for the updated key and NOTHING for the deleted one
+    Seq(kUpd, kDel).foreach { k =>
+      val files = passing(k)
+      assert(files.nonEmpty, s"bloom false negative for key $k")
+      val rows = spark.read.option("mergeSchema", "true")
+        .parquet(files: _*)
+        .filter($"doc_id" === k)
+      val resolved = rows
+        .withColumn("_op", coalesce($"op", lit("upsert")))
+        .withColumn("_seq",
+          when($"op".isNotNull, 1).otherwise(0)) // base files lack op
+        .orderBy($"_seq".desc).collect()
+      assert(resolved.nonEmpty,
+        s"passing files must contain key $k's history")
+      val latest = resolved.head
+      if (k == kUpd) {
+        assert(latest.getAs[String]("_op") == "update" &&
+          latest.getAs[Long]("cents") == 123L)
+      } else {
+        assert(latest.getAs[String]("_op") == "delete",
+          "the deleted key's LATEST passing row must be the delete " +
+            "marker — the reader learns the key is gone from the " +
+            "delta files alone")
+      }
+    }
+    // and the resolved read agrees end-to-end
+    val vals = CowSnapshots.readVersion(spark, root, Some(v2))
+      .filter($"doc_id".isin(kUpd, kDel)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == Map(kUpd -> 123L))
+  }
+
   test("exactly-once: a replayed batch id is a pure no-op; the orphan " +
     "vacuum is age-gated and lease-checked") {
     import org.apache.spark.sql.functions._
