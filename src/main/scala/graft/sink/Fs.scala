@@ -238,10 +238,16 @@ object Fs {
 
   /** Modification time of `path` in epoch millis (-1 when absent) —
     * the age gate the staging vacuum uses to spare a LIVE cross-driver
-    * writer's in-flight build. */
+    * writer's in-flight build, and the stale probe in [[withLease]].
+    * Absence is detected by CATCHING the stat's not-found, never by an
+    * exists pre-check: the probed path is often another thread's lease
+    * or staging directory, which can be released between a pre-check
+    * and the stat — the claim-storm race caught exactly that TOCTOU
+    * as a dead writer thread. */
   def modTime(s: SparkSession, path: String): Long = {
     val (fs, p) = fsp(s, path)
-    if (!fs.exists(p)) -1L else fs.getFileStatus(p).getModificationTime
+    try fs.getFileStatus(p).getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L }
   }
 
   /** Count of files under `path` (recursive) whose name ends with
