@@ -2279,8 +2279,61 @@ object TextAnalysis extends QueryModule {
                  AS BIGINT) AS chi2_milli,
                CAST((b - c) * (b - c) * 1000 > 3841 * (b + c)
                  AS BIGINT) AS significant_5pct
-        FROM agg"""))
+        FROM agg""")),
+
+    Q(
+      "q453_aho_corasick_dictionary",
+      "AHO-CORASICK DICTIONARY SCREENING (Aho & Corasick 1975) — the " +
+        "multi-pattern kernel a corpus pipeline runs constantly " +
+        "(blocklist terms, PII markers, license fragments, " +
+        "contamination probes): the bounded dictionary compiles ONCE " +
+        "on the driver into a dense byte-level DFA (fail links folded " +
+        "into the transition table — no failure chain in the hot " +
+        "loop), and each document is scanned in ONE pass emitting a " +
+        "64-bit presence bitmask via a native codegen'd expression " +
+        "(catalyst/AhoCorasickExpressions — one table read and one " +
+        "mask OR per byte, inside WholeStageCodegen). The dictionary " +
+        "deliberately exercises the automaton's sharing: nested " +
+        "patterns ('scan' inside 'table scan', 'low' inside 'slow'), " +
+        "cross-word phrases, a shared-prefix pair, and one absent " +
+        "probe that must report zero. Per-pattern doc-frequencies are " +
+        "decoded from the masks by a broadcast bit-test (integer ops " +
+        "— the d x docs work here is bit probes, never string scans) " +
+        "and EVERY count is recomputed independently by the oracle's " +
+        "per-pattern instr() scan. AhoSpec additionally pins the mask " +
+        "against a naive per-pattern contains() over the corpus. " +
+        "100 TB: one DFA pass per document replaces d substring " +
+        "scans — the factor-of-|dictionary| read-amplification " +
+        "difference — with zero shuffle before the 63-key count.",
+      (s, dir) => {
+        import graft.catalyst.AhoCorasick
+        import s.implicits._
+        val pats = q453Patterns
+        val masks = Tables.t(s, dir, "documents")
+          .select(AhoCorasick.ac_mask($"text", pats).as("mask"))
+        val patDf = pats.zipWithIndex.toDF("pattern", "pid")
+        masks.join(broadcast(patDf))
+          .groupBy($"pattern")
+          .agg(sum(expr("shiftright(mask, pid) & 1")).as("n_docs"))
+          .orderBy($"pattern")
+      },
+      Some(s"""
+        SELECT pattern,
+               CAST(sum(CASE WHEN instr(text, pattern) > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+        FROM (VALUES ${q453Patterns.map(p => s"('$p')").mkString(", ")})
+          AS pats(pattern)
+        CROSS JOIN documents
+        GROUP BY pattern ORDER BY pattern"""))
   )
+
+  /** q453's dictionary — nested patterns, cross-word phrases, a
+    * shared-prefix pair, and an absent probe (no quotes/escapes: the
+    * list is inlined into the oracle SQL as VALUES literals). */
+  val q453Patterns: Seq[String] = Seq(
+    "table scan", "scan", "slow", "low", "hash join", "join",
+    "merge batch", "merge", "a row", "row fast", "fast", "value table",
+    "never-in-corpus")
 
   /** Apply one BPE merge (a, b) -> a||b to a symbol array, greedy
     * left-to-right non-overlapping — the between-iterations step of a

@@ -3682,7 +3682,110 @@ object AnalyticsPatterns extends QueryModule {
                CAST((CASE WHEN sketch_est < actual_rows THEN -1
                  ELSE 1 END) * ((abs(sketch_est - actual_rows)
                  * 10000) // actual_rows) AS BIGINT) AS sketch_err_bp
-        FROM u ORDER BY edge"""))
+        FROM u ORDER BY edge""")),
+
+    Q(
+      "q452_misra_gries_heavy_hitters",
+      "MISRA-GRIES HEAVY HITTERS WITH A DETERMINISTIC CERTIFICATE " +
+        "(Misra & Gries 1982; merge soundness per Agarwal et al. " +
+        "2013 'Mergeable Summaries') — the deterministic counter " +
+        "complement to q264's SpaceSaving stream and the sketch " +
+        "family's only member with a ZERO-false-negative guarantee: " +
+        "each input partition runs the classic c=4-counter loop " +
+        "(arrivals increment a held counter, fill an empty slot, or " +
+        "decrement ALL counters — so every item with in-partition " +
+        "frequency > n_p/5 provably survives), and because a global " +
+        "share > N/6 forces an above-threshold share in at least one " +
+        "partition, the UNION of per-partition survivors is a " +
+        "certified SUPERSET of the true heavy hitters over the " +
+        "leading DIGIT of integer order cents (q238's Benford axis — " +
+        "the fixtures' one genuinely skewed categorical: digits 1-4 " +
+        "carry ~22% each, 5-9 ~2%, so the answer clears the " +
+        "threshold with a >5pp margin on both sides at every SF). " +
+        "The exact confirm pass then counts ONLY candidate keys " +
+        "(the isin filter reaches the scan) and keeps those with " +
+        "n*6 > N — so the final answer is EXACT and partitioning-" +
+        "invariant, which is what lets a trained-sketch-free query " +
+        "take a bit-exact DuckDB oracle where q134/q264 are " +
+        "rows-only. The certificate rides as theorem booleans " +
+        "(partitioning-dependent counter values never reach the " +
+        "output): every confirmed heavy hitter was a candidate, the " +
+        "candidate set is bounded by 5 x input partitions, and the " +
+        "summed MG lower bounds straddle the exact counts within " +
+        "the summed n_p/6 decrement budget. 100 TB: the MG pass is " +
+        "one scan with O(c) state per task and O(c x tasks) driver " +
+        "rows — no shuffle, no full-domain groupBy — and the " +
+        "confirm pass aggregates a candidate-filtered scan onto a " +
+        "<= 5 x tasks key domain; the win over an exact groupBy " +
+        "grows with domain cardinality (trillions of keys -> " +
+        "dozens of candidates).",
+      (s, dir) => {
+        import s.implicits._
+        val k = 6 // report share > N/6; MG needs k-1 = 5 counters
+        val keys = Tables.t(s, dir, "orders")
+          .select(substring(expr(
+            "cast(round(o_totalprice * 100) as bigint)").cast("string"),
+            1, 1).as("grp")).as[String]
+        val nParts = keys.rdd.getNumPartitions.toLong
+        // per-partition Misra-Gries: c = k-1 counters, emitted as
+        // (key, lower_bound) survivor rows — O(c) rows per task
+        val surv = keys.mapPartitions { it =>
+          val c = k - 1
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { x =>
+            m.get(x) match {
+              case Some(v) => m.update(x, v + 1)
+              case None if m.size < c => m.update(x, 1L)
+              case None =>
+                m.mapValuesInPlace((_, v) => v - 1)
+                m.filterInPlace((_, v) => v > 0)
+            }
+          }
+          m.iterator
+        }.toDF("grp", "lb")
+        // candidates: bounded by c x partitions — a driver-safe collect
+        val cand = surv.groupBy($"grp").agg(sum($"lb").as("cert_lb"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val candKeys = cand.keys.toSeq.sorted
+        val candidatesBounded = candKeys.size.toLong <= (k - 1) * nParts
+        // exact confirm over the CANDIDATE-filtered scan only
+        val n = keys.count()
+        val exact = keys.toDF("grp")
+          .where($"grp".isin(candKeys: _*))
+          .groupBy($"grp").agg(count(lit(1)).as("n_exact"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val hh = exact.filter { case (_, ne) => ne * k > n }.toSeq.sorted
+        // theorem certificates: every HH surfaced as a candidate (by
+        // construction here, but asserted against the EXACT pass), and
+        // each candidate's summed MG lower bound undercounts its true
+        // frequency by at most the summed per-partition decrement
+        // budget n_p/(c+1) <= N/k
+        val allHhWereCandidates = hh.forall(h => cand.contains(h._1))
+        val boundHolds = candKeys.forall { g =>
+          val lb = cand(g); val ne = exact(g)
+          lb <= ne && (ne - lb) * k <= n
+        }
+        hh.map { case (g, ne) =>
+          (g, ne, n, candidatesBounded, allHhWereCandidates, boundHolds)
+        }.toDF("grp", "n_exact", "n_total",
+            "candidates_bounded_by_counters_x_partitions",
+            "all_heavy_hitters_were_candidates",
+            "mg_undercount_within_decrement_budget")
+          .orderBy($"grp")
+      },
+      Some("""
+        WITH g AS (
+          SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS grp,
+                 CAST(count(*) AS BIGINT) AS n_exact
+          FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM g)
+        SELECT grp, n_exact, n_total,
+               true AS candidates_bounded_by_counters_x_partitions,
+               true AS all_heavy_hitters_were_candidates,
+               true AS mg_undercount_within_decrement_budget
+        FROM g, t WHERE n_exact * 6 > n_total
+        ORDER BY grp"""))
   )
 
   /** Integer fixed-point PageRank over the symmetrized supplier↔customer

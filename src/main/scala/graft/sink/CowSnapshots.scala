@@ -56,12 +56,23 @@ object CowSnapshots {
   def shardOf(seed: String, key: Column, nShards: Int): Column =
     pmod(xxhash64(lit(seed), key), lit(nShards.toLong)).cast("int")
 
-  /** Driver-side twin for probe routing. */
-  def shardOfKey(s: SparkSession, seed: String, key: Long,
-      nShards: Int): Int = {
-    import s.implicits._
-    Seq(key).toDF("k")
-      .select(shardOf(seed, col("k"), nShards)).head().getInt(0)
+  /** Driver-side twin of [[shardOf]] — pure JVM arithmetic, NO Spark
+    * job per probe (the column-form twin launched a single-row job
+    * per lookup, a full job-submission latency on every interactive
+    * point probe). Reproduces `xxhash64(lit(seed), key)` exactly:
+    * Spark's XxHash64 folds its children left-to-right starting from
+    * seed 42 — the string's UTF-8 bytes first, then the long — and
+    * the property spec pins bit-equality against the column form
+    * across the key domain (negatives included), so a drift between
+    * the two routings cannot land silently. */
+  def shardOfKey(seed: String, key: Long, nShards: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(seed)
+    val h0 = XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+    val h = XXH64.hashLong(key, h0)
+    val n = nShards.toLong
+    (((h % n) + n) % n).toInt
   }
 
   private def commitSlots(s: SparkSession, root: String): Seq[String] =
@@ -99,11 +110,21 @@ object CowSnapshots {
       schemaDdl: String, keyCol: String, seed: String, nShards: Int,
       batchId: Option[String])
 
-  private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Meta]()
+  /** Keyed by (root, version, SLOT MTIME): a slot number can be reused
+    * across store incarnations — this driver's own wipe-and-rebuild
+    * (handled by the remove() on claim/retire) but also ANOTHER
+    * driver's, which this JVM never observes. The rename that lands a
+    * claim preserves the staged directory's own mtime, so two
+    * incarnations of c_N carry different mtimes and resolve to
+    * different cache rows — a second driver's rebuild invalidates this
+    * driver's cache by construction, at the cost of one metadata stat
+    * per lookup (no Spark job). */
+  private val metaCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Int, Long), Meta]()
 
-  private def meta(s: SparkSession, root: String, v: Int): Meta =
-    metaCache.computeIfAbsent((root, v), _ => {
+  private def meta(s: SparkSession, root: String, v: Int): Meta = {
+    val mt = Fs.modTime(s, s"${manifestDir(root)}/c_$v")
+    metaCache.computeIfAbsent((root, v, mt), _ => {
       import s.implicits._
       val rows = readManifest(s, root, Seq(s"c_$v"))
         .select($"shard", $"dir", $"n_rows", $"seq", $"schema_ddl",
@@ -115,6 +136,10 @@ object CowSnapshots {
       Meta(rows.map(r => (r._1, r._2, r._3, r._4))
         .sortBy(e => (e._1, e._4)).toSeq, h._5, h._6, h._7, h._8, h._9)
     })
+  }
+
+  private def dropCached(root: String, v: Int): Unit =
+    metaCache.keySet.removeIf(k => k._1 == root && k._2 == v): Unit
 
   /** Version `v`'s manifest entries: (shard, dir, n_rows), sorted by
     * shard. Empty shards have no entry. A flat (copy-on-write-only)
@@ -159,78 +184,142 @@ object CowSnapshots {
 
   /** Build one immutable file group from a frame that already carries
     * a `shard` column; returns (tok, per-shard row counts). The
-    * group's bloom manifest is minted from the staged bytes BEFORE the
-    * group becomes visible — file names (not full paths) are stored,
-    * so the post-move paths resolve. */
+    * group's file-level metadata is minted from the staged bytes
+    * BEFORE the group becomes visible — file names (not full paths)
+    * are stored, so the post-move paths resolve. One `_bloom` row per
+    * physical file carries BOTH skipping families in one aggregate
+    * and one write: the two bloom bitmaps (point lookups) and
+    * per-integral-column min/max ZONE MAPS (range predicates — the
+    * Delta/Iceberg discipline of min/max IN the manifest, so range
+    * planning never opens a single data-file footer).
+    *
+    * `sortColumns` is the sort-on-write knob (q417's, applied to the
+    * copy-on-write layout): rows inside each shard are ordered by
+    * those columns (key appended as tie-break) instead of by key, so
+    * with `maxRecordsPerFile` capping, each split file covers a
+    * NARROW value range of the sort column and the zone maps prune a
+    * band probe to the 1-2 files per shard that hold it. */
   private def buildGroup(df: DataFrame, root: String, keyCol: String,
-      nShards: Int, maxRecordsPerFile: Long): (String, Map[Int, Long]) = {
+      nShards: Int, maxRecordsPerFile: Long,
+      sortColumns: Seq[String] = Nil): (String, Map[Int, Long]) = {
     val s = df.sparkSession
     import s.implicits._
     val tok = java.util.UUID.randomUUID().toString.take(12)
     val staged = s"$root/_staging/$tok"
+    val order = (col("shard") +: sortColumns.map(col)) :+ col(keyCol)
     df.repartitionByRange(nShards, $"shard")
-      .sortWithinPartitions(col("shard"), col(keyCol))
+      .sortWithinPartitions(order: _*)
       .write.partitionBy("shard")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(staged)
     val back = s.read.parquet(staged)
     val counts = back.groupBy($"shard").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // bloom rows per physical file, minted with the group: (shard,
-    // fname, b1, b2) — fname is the basename, rename-proof
     import graft.catalyst.BitmapAgg.bitmap_agg
-    back.select(col(keyCol).cast("long").as("k"), col("shard"),
-        substring_index(input_file_name(), "/", -1).as("fname"))
+    val statCols = back.schema.fields.filter { f =>
+      f.name != "shard" && (f.dataType ==
+        org.apache.spark.sql.types.LongType || f.dataType ==
+        org.apache.spark.sql.types.IntegerType || f.dataType ==
+        org.apache.spark.sql.types.ShortType || f.dataType ==
+        org.apache.spark.sql.types.ByteType)
+    }.map(_.name).toIndexedSeq
+    val statAggs =
+      if (statCols.isEmpty) Seq(
+        lit(null).cast("map<string,bigint>").as("mins"),
+        lit(null).cast("map<string,bigint>").as("maxs"))
+      else Seq(
+        map_from_arrays(
+          array(statCols.map(lit): _*),
+          array(statCols.map(c => min(col(c)).cast("long")): _*))
+          .as("mins"),
+        map_from_arrays(
+          array(statCols.map(lit): _*),
+          array(statCols.map(c => max(col(c)).cast("long")): _*))
+          .as("maxs"))
+    back.select((col(keyCol).cast("long").as("k") +: col("shard") +:
+        substring_index(input_file_name(), "/", -1).as("fname") +:
+        statCols.map(col)): _*)
       .groupBy($"shard", $"fname")
       .agg(bitmap_agg(BloomManifest.h1($"k")).as("b1"),
-        bitmap_agg(BloomManifest.h2($"k")).as("b2"))
+        (bitmap_agg(BloomManifest.h2($"k")).as("b2") +: statAggs): _*)
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/_bloom")
     Fs.move(s, staged, s"${filesDir(root)}/$tok")
     (tok, counts)
   }
 
   /** Claim the next version slot for `rows` (one manifest row per
-    * shard, all carrying the version's recorded schema). Under the
-    * lease — the same arbiter the GC's deletes take — the claim first
-    * re-verifies every referenced file group still exists: a merge
-    * that planned against a version the GC retired mid-flight aborts
-    * LOUDLY instead of committing a version with missing files (the
-    * existence probe is `_SUCCESS`-based, so a directory some other
-    * writer merely re-created cannot satisfy it). Returns the
-    * committed version. */
+    * shard, all carrying the version's recorded schema). The whole
+    * commit — latest-version resolution, parent validation, staged
+    * manifest write, group-existence probes, claim — runs under ONE
+    * hold of the manifest lease, the same arbiter the GC's deletes
+    * take:
+    *
+    *   - every referenced file group must still exist (`_SUCCESS`-
+    *     probed, so a directory some other writer merely re-created
+    *     cannot satisfy it) — a merge that planned against a version
+    *     the GC retired mid-flight aborts LOUDLY instead of
+    *     committing a version with missing files;
+    *   - when `expectedParent` is set (every DERIVED publish: merge,
+    *     delta append, compaction), the latest committed version must
+    *     still BE that parent — a concurrent commit that advanced the
+    *     store means this publish was derived from stale state, and
+    *     blindly taking the next slot would silently revert the
+    *     intervening version's changes (the lost update Delta/Iceberg
+    *     abort on). The caller re-derives against the new latest and
+    *     retries; only parent-independent full publishes
+    *     ([[writeVersion]]) keep the blind slot-bump.
+    *
+    * The manifest rows are a handful of KBs, so staging them inside
+    * the lease costs microseconds of extra hold time and buys the
+    * check-then-claim atomicity. Returns the committed version. */
   private def commitRows(s: SparkSession, root: String,
       rows: Seq[(Int, String, Long, Int)], schemaDdl: String,
       keyCol: String, seed: String, nShards: Int,
-      batchId: Option[String]): Int = {
+      batchId: Option[String], expectedParent: Option[Int] = None): Int = {
     import s.implicits._
+    require(rows.nonEmpty,
+      s"refusing to commit an EMPTY manifest under $root — a zero-row " +
+        "publish would mint a version no reader can resolve metadata " +
+        "for; publish at least one row")
     val ctokBase = s"$root/_staging/c_" +
       java.util.UUID.randomUUID().toString.take(12)
-    var v = committedVersions(s, root).lastOption.getOrElse(0) + 1
-    var attempts = 0
-    var done = false
-    while (!done) {
-      rows.map { case (sh, dir, n, seq) =>
-        (v, sh, dir, n, seq, schemaDdl, keyCol, seed, nShards,
-          batchId.orNull) }
-        .toDF("version", "shard", "dir", "n_rows", "seq",
-          "schema_ddl", "key_col", "seed", "n_shards", "batch_id")
-        .coalesce(1).write.mode("overwrite").parquet(ctokBase)
-      done = Fs.withLease(s, lease(root)) {
-        rows.map(_._2).distinct.foreach { d =>
-          require(Fs.exists(s, s"${filesDir(root)}/$d/_SUCCESS"),
-            s"file group $d vanished before commit (expired " +
-              "mid-merge?) — aborting; retry against the new latest")
-        }
-        Fs.claim(s, ctokBase, s"${manifestDir(root)}/c_$v")
+    val v = Fs.withLease(s, lease(root)) {
+      val latest = committedVersions(s, root).lastOption.getOrElse(0)
+      expectedParent.foreach { p =>
+        require(latest == p,
+          s"store advanced to v$latest while this publish was derived " +
+            s"against v$p — committing would silently revert " +
+            s"v${p + 1}..v$latest (lost update); re-derive against " +
+            "the new latest and retry")
       }
-      if (!done) { v += 1; attempts += 1 }
-      require(attempts < 10000, s"could not claim a version under $root")
+      rows.map(_._2).distinct.foreach { d =>
+        require(Fs.exists(s, s"${filesDir(root)}/$d/_SUCCESS"),
+          s"file group $d vanished before commit (expired " +
+            "mid-merge?) — aborting; retry against the new latest")
+      }
+      var vTry = latest + 1
+      var attempts = 0
+      var done = false
+      while (!done) {
+        rows.map { case (sh, dir, n, seq) =>
+          (vTry, sh, dir, n, seq, schemaDdl, keyCol, seed, nShards,
+            batchId.orNull) }
+          .toDF("version", "shard", "dir", "n_rows", "seq",
+            "schema_ddl", "key_col", "seed", "n_shards", "batch_id")
+          .coalesce(1).write.mode("overwrite").parquet(ctokBase)
+        done = Fs.claim(s, ctokBase, s"${manifestDir(root)}/c_$vTry")
+        if (!done) { vTry += 1; attempts += 1 }
+        require(attempts < 10000,
+          s"could not claim a version under $root")
+      }
+      vTry
     }
     // a slot number can be REUSED across store incarnations (a test
     // harness clearing and rebuilding the same root, or expire
     // followed by fresh commits) — a landed claim is the one event
-    // that makes any previously-cached (root, v) stale
-    metaCache.remove((root, v))
+    // that makes any previously-cached (root, v) stale in THIS driver
+    // (another driver's reuse is covered by the mtime cache key)
+    dropCached(root, v)
     v
   }
 
@@ -240,7 +329,8 @@ object CowSnapshots {
     * immutable — nothing to heal, nothing to rewrite). */
   def writeVersion(docs: DataFrame, root: String, keyCol: String,
       seed: String, nShards: Int, maxRecordsPerFile: Long = 0L,
-      batchId: Option[String] = None): Int = {
+      batchId: Option[String] = None,
+      sortColumns: Seq[String] = Nil): Int = {
     val s = docs.sparkSession
     batchId.flatMap(id => committedBatchVersions(s, root).get(id)) match {
       case Some(v) => v
@@ -248,7 +338,8 @@ object CowSnapshots {
         val df = docs.withColumn("shard",
           shardOf(seed, col(keyCol), nShards))
         val (tok, counts) =
-          buildGroup(df, root, keyCol, nShards, maxRecordsPerFile)
+          buildGroup(df, root, keyCol, nShards, maxRecordsPerFile,
+            sortColumns)
         commitRows(s, root,
           counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) },
           docs.schema.toDDL, keyCol, seed, nShards, batchId)
@@ -288,13 +379,21 @@ object CowSnapshots {
     * and [[mergeVersion]]/[[compactDeltas]] (touched shards).
     *
     * Resolution: flat shards (base group only) stream straight off
-    * their files — zero overhead, the common case. Delta-bearing
-    * shards union base rows (seq 0) with their delta chains' op-tagged
-    * rows and keep each key's HIGHEST-seq row, dropping it when that
-    * row is a delete — one window shuffle over the DELTA-BEARING
-    * shards' rows only, which is merge-on-read's documented trade:
-    * O(|delta| files) writes bought with a bounded read-side merge,
-    * until [[compactDeltas]] folds the chain. */
+    * their files — zero overhead, the common case. For delta-bearing
+    * shards the winner per key is each key's HIGHEST-seq row (dropped
+    * when that row is a delete), and the plan exploits that a BASE
+    * row can only win when NO delta touches its key: the delta
+    * chains' op-tagged rows resolve latest-wins among THEMSELVES (a
+    * window over O(|delta|) rows), and the base side anti-joins the
+    * deltas' distinct-key set — size-gated broadcast, the store's
+    * standard discipline — so the shuffle scales with |delta|, not
+    * with the touched shards' full base size (a 6-row delta on a hot
+    * shard no longer re-shuffles the shard's whole base at read
+    * time). This is merge-on-read's documented trade, with the
+    * read-side rent now O(|delta| + base scan), until
+    * [[compactDeltas]] folds the chain. [[appendDeltas]] enforces
+    * one op per key per batch, so within a chain the seq ordering is
+    * total per key — no nondeterministic intra-batch tie. */
   private def readEntries(s: SparkSession, root: String, v: Int,
       es: Seq[(Int, String, Long, Int)]): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -324,24 +423,44 @@ object CowSnapshots {
         val keyCol = versionKeyCol(s, root, v)
         // one read per (group, seq) — groups bounded by the chain
         // length x touched shards, never per-file
-        val parts = chained.groupBy(e => (e._2, e._4)).toSeq
-          .map { case ((dir, seq), rows) =>
-            val raw = s.read.option("mergeSchema", "true")
-              .parquet(rows.map(r =>
-                s"${filesDir(root)}/$dir/shard=${r._1}"): _*)
-            val op = if (raw.columns.contains("op")) col("op")
-              else lit("upsert")
-            conform(raw, Seq("_op" -> op, "_seq" -> lit(seq)))
-          }
-        val unioned = parts.reduce(_ unionByName _)
+        def readPart(entries: Seq[(Int, String, Long, Int)]) =
+          entries.groupBy(e => (e._2, e._4)).toSeq
+            .map { case ((dir, seq), rows) =>
+              val raw = s.read.option("mergeSchema", "true")
+                .parquet(rows.map(r =>
+                  s"${filesDir(root)}/$dir/shard=${r._1}"): _*)
+              val op = if (raw.columns.contains("op")) col("op")
+                else lit("upsert")
+              conform(raw, Seq("_op" -> op, "_seq" -> lit(seq)))
+            }
+        val (baseEs, deltaEs) = chained.partition(_._4 == 0)
+        // latest-wins among the DELTAS alone: O(|delta|) rows through
+        // the window, one winner per touched key ([[appendDeltas]]'s
+        // per-batch key uniqueness makes the seq order total per key)
+        val deltas = readPart(deltaEs).reduce(_ unionByName _)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
           .orderBy(col("_seq").desc)
-        Some(unioned
+        val winners = deltas
           .withColumn("_rn", org.apache.spark.sql.functions
             .row_number().over(w))
-          .where(col("_rn") === 1 && col("_op") =!= "delete")
-          .drop("_op", "_seq", "_rn"))
+          .where(col("_rn") === 1)
+        // a base row survives iff no delta touched its key — the
+        // anti-join side is the deltas' distinct keys, size-gated
+        // broadcast (delta-proportional, never shard-proportional)
+        val deltaKeys = deltas.select(col(keyCol)).distinct()
+        val gated =
+          if (deltaKeys.count() <= 2000000L) broadcast(deltaKeys)
+          else deltaKeys
+        val kept = baseEs match {
+          case Nil => None
+          case es => Some(readPart(es).reduce(_ unionByName _)
+            .drop("_op", "_seq")
+            .join(gated, Seq(keyCol), "left_anti"))
+        }
+        val applied = winners.where(col("_op") =!= "delete")
+          .drop("_op", "_seq", "_rn")
+        Some(kept.fold(applied)(_ unionByName applied))
       }
     (flatDf, resolved) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -420,7 +539,8 @@ object CowSnapshots {
   def mergeVersion(s: SparkSession, root: String, changes: DataFrame,
       keyCol: String, seed: String, nShards: Int,
       maxRecordsPerFile: Long = 0L, batchId: Option[String] = None,
-      broadcastKeyLimit: Long = 2000000L): Int = {
+      broadcastKeyLimit: Long = 2000000L,
+      preCommit: () => Unit = () => ()): Int = {
     import s.implicits._
     batchId.flatMap(id => committedBatchVersions(s, root).get(id)) match {
       case Some(v) => v
@@ -475,11 +595,16 @@ object CowSnapshots {
           buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile)
         val newRows = counts.toSeq.sorted
           .map { case (sh, n) => (sh, tok, n, 0) }
+        // fault-injection seam (the q427/preClaim discipline): a
+        // barrier between the staged build and the commit, where a
+        // concurrent writer may advance the store — the lost-update
+        // spec drives it; production callers leave it default
+        preCommit()
         commitRows(s, root,
           (keptEntries.map { case (sh, dir, n, seq) =>
             (sh, dir, n, seq) } ++ newRows).sortBy(e => (e._1, e._4)),
           org.apache.spark.sql.types.StructType(target.fields).toDDL,
-          keyCol, seed, nShards, batchId)
+          keyCol, seed, nShards, batchId, expectedParent = Some(vCur))
     }
   }
 
@@ -515,6 +640,20 @@ object CowSnapshots {
           s"delta feed columns ${feedCols.mkString(",")} must equal " +
             s"the recorded schema ${recorded.fieldNames.mkString(",")}" +
             " — schema evolution rides the copy-on-write merge")
+        // one op per key per batch: two ops for one key land at the
+        // SAME manifest seq, and latest-wins over equal seqs would be
+        // an arbitrary coin flip (an upsert+delete pair in one batch
+        // must be two batches — each gets its own seq). One counting
+        // job over the DELTA, never the corpus.
+        val (nRows, nKeys) = {
+          val r = changes.agg(count(lit(1)),
+            countDistinct(col(keyCol))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        require(nKeys == nRows,
+          s"delta batch carries ${nRows - nKeys} duplicate key(s) — " +
+            "one op per key per batch (equal-seq ops cannot be " +
+            "ordered); split conflicting ops across batches")
         val delta = changes
           .select((col("op") +: recorded.fields.toIndexedSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name))): _*)
@@ -529,7 +668,8 @@ object CowSnapshots {
         commitRows(s, root,
           (cur.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
             deltaRows).sortBy(e => (e._1, e._4)),
-          recorded.toDDL, keyCol, seed, nShards, batchId)
+          recorded.toDDL, keyCol, seed, nShards, batchId,
+          expectedParent = Some(vCur))
     }
   }
 
@@ -546,6 +686,11 @@ object CowSnapshots {
   def compactDeltas(s: SparkSession, root: String,
       maxRecordsPerFile: Long = 0L,
       batchId: Option[String] = None): Int = {
+    // effect-once like the other publish verbs: a replayed committed
+    // id resolves to its version as a pure no-op
+    val replay =
+      batchId.flatMap(id => committedBatchVersions(s, root).get(id))
+    if (replay.isDefined) return replay.get
     val vCur = committedVersions(s, root).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no committed snapshots under $root"))
@@ -568,7 +713,8 @@ object CowSnapshots {
       (flat.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
         counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) })
         .sortBy(e => (e._1, e._4)),
-      recorded.toDDL, keyCol, seed, nShards, batchId)
+      recorded.toDDL, keyCol, seed, nShards, batchId,
+      expectedParent = Some(vCur))
   }
 
   /** Retire all but the newest `keep` versions, then REF-COUNTED file
@@ -606,7 +752,7 @@ object CowSnapshots {
       .flatMap(v => entries(s, root, v).map(_._2)).toSet
     retired.foreach { v =>
       Fs.delete(s, s"${manifestDir(root)}/c_$v")
-      metaCache.remove((root, v)): Unit
+      dropCached(root, v)
     }
     val now = System.currentTimeMillis()
     Fs.withLease(s, lease(root)) {
@@ -667,8 +813,8 @@ object CowSnapshots {
     * across the passing files (a delete row's key passes its delta
     * group's bloom BY DESIGN — that hit is how the reader learns the
     * key is gone without scanning the base). q442 grades the flat
-    * form; the chain-resolving point reader is the natural next
-    * audit. */
+    * form; [[pointReadLatest]] is the chain-resolving reader (q448)
+    * built on exactly that signal. */
   def bloomRows(s: SparkSession, root: String, v: Int): DataFrame = {
     import s.implicits._
     val es = entries(s, root, v)
@@ -681,5 +827,197 @@ object CowSnapshots {
             lit("/"), $"fname").as("f"),
           $"b1", $"b2")
     }.reduce(_ unionByName _)
+  }
+
+  /** Version `v`'s ZONE-MAP rows resolved to absolute file paths:
+    * (shard, f, col, min_l, max_l) — one row per (referenced file,
+    * integral column), from the same commit-minted `_bloom` manifests
+    * the point lookups read (min/max ride BESIDE the bitmaps: one
+    * metadata family, one mint, two skipping regimes). Flat versions
+    * only grade ranges through [[readVersionRanged]]; this resolver
+    * itself serves any version's entries. */
+  def statsRows(s: SparkSession, root: String, v: Int): DataFrame = {
+    import s.implicits._
+    val es = entries(s, root, v)
+    val byDir = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    byDir.map { case (dir, shards) =>
+      s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
+        .where($"shard".isin(shards.toSeq: _*))
+        .select($"shard",
+          concat(lit(s"${filesDir(root)}/$dir/shard="), $"shard",
+            lit("/"), $"fname").as("f"),
+          explode($"mins").as(Seq("col", "min_l")),
+          $"maxs")
+        .select($"shard", $"f", $"col", $"min_l",
+          element_at($"maxs", $"col").as("max_l"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Range-predicate read that decides its file list from the
+    * MANIFEST ALONE: keep exactly the files whose [min_l, max_l] zone
+    * map for `column` overlaps [lo, hi] (a file with a null stat is
+    * kept — skipping must never lose a row), open only those, and
+    * apply the residual filter. With sort-on-write (`sortColumns` at
+    * publish) the kept set is the 1-2 files per shard that hold the
+    * band — the q417 measurement on the copy-on-write layout, with
+    * the decision now ZERO data reads (the full-rewrite store's zone
+    * maps live in parquet footers, which planning must open; these
+    * live in the commit-minted manifest). Returns (files opened,
+    * files total, frame) so callers grade the pruning structurally.
+    * Flat versions only: a delta chain's latest-wins resolution needs
+    * every chain file regardless of range — compact first (the
+    * maintenance cadence [[appendDeltasMaintained]] automates). */
+  def readVersionRanged(s: SparkSession, root: String, v: Int,
+      column: String, lo: Long, hi: Long): (Long, Long, DataFrame) = {
+    val es = allEntries(s, root, v)
+    require(es.forall(_._4 == 0),
+      s"version $v carries delta chains — range-pruned reads need a " +
+        "FLAT version (compactDeltas first)")
+    val recorded = versionSchema(s, root, v)
+    val stats = statsRows(s, root, v).collect()
+      .map(r => (r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    require(stats.nonEmpty, s"version $v has no zone-map rows — " +
+      "groups minted before stats existed must be republished")
+    val allFiles = stats.map(_._1).distinct
+    val colStats = stats.filter(_._2 == column)
+    require(colStats.nonEmpty,
+      s"no zone maps for column '$column' (integral columns only)")
+    val statted = colStats.map(_._1).toSet
+    val kept = colStats.collect {
+      case (f, _, mn, mx)
+        if mn.forall(_ <= hi) && mx.forall(_ >= lo) => f
+    } ++ allFiles.filterNot(statted.contains)
+    val df =
+      if (kept.isEmpty)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), recorded)
+      else {
+        val raw = s.read.option("mergeSchema", "true")
+          .parquet(kept.toIndexedSeq: _*)
+        val have = raw.columns.toSet
+        raw.select(recorded.fields.toIndexedSeq.map { f =>
+          if (have.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name) }: _*)
+          .where(col(column).between(lo, hi))
+      }
+    (kept.size.toLong, allFiles.length.toLong, df)
+  }
+
+  /** One resolved point read: the key's surviving row values (aligned
+    * to the version's recorded schema; empty = absent or deleted),
+    * the files actually OPENED, and whether the verdict came from
+    * delta files alone (base never opened). */
+  final case class PointRead(key: Long, rows: Seq[Seq[Any]],
+      filesOpened: Seq[String], resolvedFromDeltaAlone: Boolean)
+
+  /** CHAIN-RESOLVING bloom-routed point lookup — the reader
+    * [[bloomRows]]' routing verdict promises, over FLAT and
+    * DELTA-BEARING versions alike: each key routes to ONE shard
+    * driver-side (no Spark job — [[shardOfKey]]), the version's bloom
+    * rows for that shard pick the passing files, and the passing
+    * files are probed HIGHEST-SEQ-FIRST with early stop — the first
+    * seq level that holds the key decides (a delta level's `op` says
+    * upsert-or-deleted; the base level says present). So on a
+    * delta-bearing shard a DELETED key's lookup ends at its delta
+    * file's delete marker — the base group, which genuinely contains
+    * the key's pre-delete row and passes its bloom as a true
+    * positive, is NEVER OPENED; and an updated key's latest value is
+    * read from O(|delta|) bytes. [[appendDeltas]]' one-op-per-key-
+    * per-batch invariant makes the per-key seq order total, so
+    * "highest seq" is well-defined. Point-lookup cost at any version:
+    * one manifest read, one shard's bloom rows, and the passing
+    * files of the winning seq level — O(1) metadata + O(1) data
+    * files out of the fleet. */
+  def pointReadLatest(s: SparkSession, root: String, v: Int,
+      keys: Seq[Long]): Seq[PointRead] = {
+    import s.implicits._
+    val es = allEntries(s, root, v)
+    val keyCol = versionKeyCol(s, root, v)
+    val (seed, nShards) = versionRouting(s, root, v)
+    val recorded = versionSchema(s, root, v)
+    val routed = keys.map(k => k -> shardOfKey(seed, k, nShards)).toMap
+    val needed = routed.values.toSet
+    // (shard, seq, path, b1, b2) for the needed shards only — one
+    // _bloom read per referenced group, rows bounded by file count
+    val fileMeta: Seq[(Int, Int, String,
+        java.util.BitSet, java.util.BitSet)] =
+      es.groupBy(_._2).toSeq.flatMap { case (dir, dirEs) =>
+        val want = dirEs.collect {
+          case (sh, _, _, seq) if needed.contains(sh) => sh -> seq
+        }.toMap
+        if (want.isEmpty) Nil
+        else s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
+          .where($"shard".isin(want.keys.toSeq: _*))
+          .select($"shard", $"fname", $"b1", $"b2")
+          .collect().toSeq.map { r =>
+            val sh = r.getInt(0)
+            (sh, want(sh),
+              s"${filesDir(root)}/$dir/shard=$sh/${r.getString(1)}",
+              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
+              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2")))
+          }
+      }
+    keys.map { k =>
+      val passing = fileMeta.filter { case (sh, _, _, b1, b2) =>
+        sh == routed(k) && b1.get(BloomManifest.h1Long(k)) &&
+          b2.get(BloomManifest.h2Long(k))
+      }
+      val bySeqDesc = passing.groupBy(_._2).toSeq.sortBy(-_._1)
+      var opened = Vector.empty[String]
+      var verdict: Option[(Seq[Seq[Any]], Int)] = None
+      for ((seq, fs) <- bySeqDesc if verdict.isEmpty) {
+        val paths = fs.map(_._3)
+        opened = opened ++ paths
+        val hit = s.read.option("mergeSchema", "true")
+          .parquet(paths: _*).where(col(keyCol) === k).collect().toSeq
+        if (hit.nonEmpty) {
+          val surviving =
+            if (seq > 0 &&
+                hit.head.schema.fieldNames.contains("op") &&
+                hit.head.getAs[String]("op") == "delete") Nil
+            else hit.map { r =>
+              val have = r.schema.fieldNames.toSet
+              recorded.fields.toSeq.map(f =>
+                if (have.contains(f.name)) r.getAs[Any](f.name)
+                else null)
+            }
+          verdict = Some((surviving, seq))
+        }
+      }
+      PointRead(k, verdict.map(_._1).getOrElse(Nil), opened.toSeq,
+        verdict.exists(_._2 > 0))
+    }
+  }
+
+  /** The standing-consumer maintenance discipline (q313/q430's,
+    * applied to merge-on-read): publish `changes` as a delta batch,
+    * then — once ANY shard's chain reaches `maxChainLen` delta levels
+    * — fold every chain back to flat groups, bounding the read-side
+    * resolution rent a standing CDC feed would otherwise grow without
+    * limit. Both verbs ride the committed-batch ledger, so an
+    * at-least-once replay is effect-once end to end: a replayed
+    * append resolves to its version untouched, and the compaction
+    * either already committed (its id resolves) or re-fires on the
+    * still-long chain it crashed before folding — same end state
+    * either way. Returns (delta version, compacted version if one
+    * was published). */
+  def appendDeltasMaintained(s: SparkSession, root: String,
+      changes: DataFrame, keyCol: String, seed: String, nShards: Int,
+      maxChainLen: Int, batchId: Option[String] = None)
+      : (Int, Option[Int]) = {
+    require(maxChainLen >= 1,
+      s"maxChainLen must be >= 1 (got $maxChainLen)")
+    val dv = appendDeltas(s, root, changes, keyCol, seed, nShards,
+      batchId)
+    val cur = allEntries(s, root, committedVersions(s, root).last)
+    val chainLen = cur.groupBy(_._1).valuesIterator
+      .map(_.count(_._4 > 0)).maxOption.getOrElse(0)
+    if (chainLen >= maxChainLen)
+      (dv, Some(compactDeltas(s, root,
+        batchId = batchId.map(id => s"$id-compact"))))
+    else (dv, None)
   }
 }

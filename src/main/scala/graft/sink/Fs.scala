@@ -150,7 +150,18 @@ object Fs {
     * JVM's threads. A crashed holder's stale lease is broken after
     * `staleMs` (the breaker deletes and retries the claim rather than
     * assuming ownership). Object stores without atomic rename keep
-    * the documented maintenance-window caveat instead. */
+    * the documented maintenance-window caveat instead.
+    *
+    * `f` MUST complete well under `staleMs`: past it, a breaker may
+    * legitimately take the lease over. Ownership is carried by a
+    * holder TOKEN file inside the lease directory — the release
+    * deletes the lease only after verifying its own token is still
+    * inside (a holder that outlived `staleMs` and got broken finds a
+    * successor's token, or none, and releases NOTHING — the old
+    * unconditional delete would have killed the successor's live
+    * lease and admitted a third holder), and the breaker re-checks
+    * the renamed-aside lease's age before discarding it, returning a
+    * fresh lease it raced by mistake. */
   def withLease[T](s: SparkSession, leasePath: String,
       staleMs: Long = 600000L, timeoutMs: Long = 120000L)(f: => T): T = {
     val (fs, p) = fsp(s, leasePath)
@@ -158,7 +169,7 @@ object Fs {
     val staged = new org.apache.hadoop.fs.Path(
       p.getParent, s"_lease_staging_$tok")
     fs.mkdirs(staged)
-    fs.create(new org.apache.hadoop.fs.Path(staged, "holder"), true)
+    fs.create(new org.apache.hadoop.fs.Path(staged, s"holder_$tok"), true)
       .close()
     val deadline = System.currentTimeMillis() + timeoutMs
     try {
@@ -182,8 +193,23 @@ object Fs {
             val aside = new org.apache.hadoop.fs.Path(p.getParent,
               s"_lease_broken_$tok")
             try {
-              if (claimRaw(s, leasePath, aside.toString))
-                fs.delete(aside, true): Unit
+              if (claimRaw(s, leasePath, aside.toString)) {
+                // TOCTOU re-check: between measuring the age and the
+                // rename, the stale holder may have released and a
+                // FRESH holder claimed — the rename then stole a live
+                // lease. The renamed-aside dir kept its mtime, so
+                // staleness is re-measurable: a genuinely stale lease
+                // is discarded; a fresh one is put BACK (the victim
+                // never observed the round trip — its token is still
+                // inside).
+                val asideAge = modTime(s, aside.toString) match {
+                  case -1L => Long.MaxValue
+                  case t => System.currentTimeMillis() - t
+                }
+                if (asideAge > staleMs) fs.delete(aside, true): Unit
+                else if (!claimRaw(s, aside.toString, leasePath))
+                  fs.delete(aside, true): Unit // a third claim landed
+              }
             } catch {
               case _: java.io.IOException => () // lost the break race
             }
@@ -192,7 +218,14 @@ object Fs {
             s"could not acquire lease $leasePath within ${timeoutMs}ms")
         }
       }
-      try f finally fs.delete(p, true)
+      try f finally {
+        // release ONLY what we still own: if our token is gone, a
+        // breaker (rightly — f overstayed staleMs) took the lease
+        // over, and deleting the path now would kill the successor's
+        // live lease
+        if (listNames(s, leasePath).contains(s"holder_$tok"))
+          fs.delete(p, true): Unit
+      }
     } finally fs.delete(staged, true): Unit
   }
 

@@ -48,10 +48,22 @@ object GenDir {
     * would still never tear — claims are one-winner — the loser's
     * generation simply lands next. */
   def publish(s: SparkSession, root: String, df: DataFrame,
-      files: Int = 1, markers: Seq[String] = Nil): Unit = {
+      files: Int = 1, markers: Seq[String] = Nil): Unit =
+    publishStaged(s, root, markers) { staged =>
+      df.coalesce(files).write.mode("overwrite").parquet(staged)
+    }
+
+  /** [[publish]] with the staged bytes written by the CALLER — for
+    * generations that are not one flat frame (a `partitionBy` table
+    * like the IVF index's lists, a directory of batch subdirectories
+    * like the signature index). `write` receives the private staging
+    * path; everything it leaves there lands as the next generation
+    * through the same one claim. */
+  def publishStaged(s: SparkSession, root: String,
+      markers: Seq[String] = Nil)(write: String => Unit): Unit = {
     val tok = java.util.UUID.randomUUID().toString.take(12)
     val staged = s"$root/_staging/$tok"
-    df.coalesce(files).write.mode("overwrite").parquet(staged)
+    write(staged)
     // markers (e.g. the applied-batch ledger) ride INSIDE the staged
     // generation, so state and ledger commit in the SAME rename
     markers.foreach(m => Fs.touch(s, s"$staged/$m"))

@@ -225,9 +225,15 @@ object TrainingShards {
           try {
             write(docs, staged, seed, nShards, maxRecordsPerFile,
               sortColumns)
-            Fs.claim(s, staged, s"$path/v=$v"): Unit
-            bloomKeyCol.foreach(k => BloomManifest.mint(s,
-              s"$path/v=$v/_bloom", s"$path/v=$v", k))
+            // the bloom mint runs ONLY when THIS call won the heal
+            // claim: a loser minting unconditionally would overwrite
+            // the winner's `_bloom` concurrently (mode overwrite is
+            // not atomic — a reader of the committed version could
+            // observe a torn manifest). The loser is a pure no-op;
+            // its staged bytes fall to the age-gated vacuum.
+            if (Fs.claim(s, staged, s"$path/v=$v"))
+              bloomKeyCol.foreach(k => BloomManifest.mint(s,
+                s"$path/v=$v/_bloom", s"$path/v=$v", k))
           } finally activeStaging.remove(staged)
         }
         v

@@ -2718,6 +2718,133 @@ object StreamingOps extends QueryModule {
         SELECT 'v3_after_b1', CAST(count(*) AS BIGINT),
                CAST(sum(c) AS BIGINT), true, true, true
         FROM fin1
+        ORDER BY snapshot""")),
+
+    Q(
+      "q449_cow_stream_autocompact",
+      "SELF-MAINTAINING MERGE-ON-READ LIFECYCLE — the q313/q430 " +
+        "standing-maintenance discipline applied to the delta-chain " +
+        "store: a streaming consumer publishes each micro-batch " +
+        "through appendDeltasMaintained (O(|delta|)-byte writes, " +
+        "q446's verb) and the SAME loop folds every chain back to " +
+        "flat groups the moment any shard's chain reaches the length " +
+        "threshold — so the read-side resolution rent a standing CDC " +
+        "feed accrues is BOUNDED by construction, never by an " +
+        "operator remembering to run maintenance. Graded: every " +
+        "version's rows and cents recomputed independently by the " +
+        "oracle from the two-tiny-batch algebra; the compaction " +
+        "observed MID-STREAM from the manifest trail (the delta " +
+        "versions carry chains, the auto-compacted version is flat, " +
+        "and its batch id rides the compaction ledger); the end " +
+        "state BIT-EQUAL to a copy-on-write twin fed the same " +
+        "batches (q446's equivalence theorem surviving the " +
+        "maintenance loop); and post-drain replay of both batch ids " +
+        "a pure no-op — the replayed append resolves to its version " +
+        "and the chain check finds nothing left to fold. 100 TB: a " +
+        "standing CDC consumer whose write cost is the feed's bytes " +
+        "and whose read tax is capped at maxChainLen window merges, " +
+        "forever, unattended.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_autocompact", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val b0 = CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx))
+        val b1 = CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx))
+        val feed = graft.TempRoots
+          .freshForDir("graft_cow_autocompact_feed", dir).toString
+        b0.coalesce(1).write.mode("overwrite").parquet(feed)
+        b1.coalesce(1).write.mode("append").parquet(feed)
+        val st = s.readStream
+          .schema(s.read.parquet(feed).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            CowSnapshots.appendDeltasMaintained(s, root, b.toDF(),
+              "doc_id", "seed42", nSh, maxChainLen = 2,
+              batchId = Some(s"b$id")): Unit
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        val byBatch = CowSnapshots.committedBatchVersions(s, root)
+        val (v2, v3) = (byBatch("b0"), byBatch("b1"))
+        val v4 = byBatch("b1-compact")
+        def chainLen(v: Int) = CowSnapshots.allEntries(s, root, v)
+          .groupBy(_._1).valuesIterator.map(_.count(_._4 > 0))
+          .maxOption.getOrElse(0)
+        // the manifest trail proves the fold happened mid-stream:
+        // deltas accrued to the threshold, then the very next version
+        // is flat
+        val trail = chainLen(v2) == 1 && chainLen(v3) == 2 &&
+          chainLen(v4) == 0 && v4 == v3 + 1
+        def fp(root0: String, v: Int): Seq[Any] =
+          CowSnapshots.readVersion(s, root0, Some(v))
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+        val fps = Map(v2 -> fp(root, v2), v3 -> fp(root, v3),
+          v4 -> fp(root, v4))
+        // the copy-on-write twin fed the same batches: the maintained
+        // merge-on-read end state must be bit-identical
+        val twin = graft.TempRoots
+          .freshForDir("graft_cow_autocompact_twin", dir).toString
+        CowSnapshots.writeVersion(o, twin, "doc_id", "seed42", nSh)
+        CowSnapshots.mergeVersion(s, twin, b0, "doc_id", "seed42", nSh)
+        val tv = CowSnapshots.mergeVersion(s, twin, b1, "doc_id",
+          "seed42", nSh)
+        val equalsTwin = fps(v4) == fp(twin, tv)
+        // post-drain replay of BOTH ledgered ids: versions and bytes
+        // untouched, and nothing re-folds
+        val r0 = CowSnapshots.appendDeltasMaintained(s, root, b0,
+          "doc_id", "seed42", nSh, maxChainLen = 2,
+          batchId = Some("b0"))
+        val r1 = CowSnapshots.appendDeltasMaintained(s, root, b1,
+          "doc_id", "seed42", nSh, maxChainLen = 2,
+          batchId = Some("b1"))
+        val replayNoop = r0 == ((v2, None)) && r1 == ((v3, None)) &&
+          CowSnapshots.committedVersions(s, root) ==
+            Seq(v1, v2, v3, v4) && fp(root, v4) == fps(v4)
+        val labels = Seq(v2 -> "v2_after_b0", v3 -> "v3_after_b1",
+          v4 -> "v4_autocompacted")
+        labels.map { case (v, label) =>
+          (label, fps(v)(0).asInstanceOf[Long],
+            fps(v)(1).asInstanceOf[Long], trail, equalsTwin,
+            replayNoop)
+        }.toDF("snapshot", "n_rows", "sum_cents",
+            "compaction_observed_mid_stream",
+            "end_state_equals_cow_twin_bitexact", "replay_pure_noop")
+          .orderBy($"snapshot")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin0",
+            withSecond = false)}${graft.CdcFixture.oracleTinyStateCte(
+            "fin1", withSecond = true)}
+        SELECT 'v2_after_b0' AS snapshot,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS compaction_observed_mid_stream,
+               true AS end_state_equals_cow_twin_bitexact,
+               true AS replay_pure_noop
+        FROM fin0
+        UNION ALL
+        SELECT 'v3_after_b1', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM fin1
+        UNION ALL
+        SELECT 'v4_autocompacted', CAST(count(*) AS BIGINT),
+               CAST(sum(c) AS BIGINT), true, true, true
+        FROM fin1
         ORDER BY snapshot"""))
   )
 }

@@ -26,8 +26,119 @@ class CowSpec extends AnyFunSuite {
       "removing rows must not move any surviving key's shard")
     // and the driver-side twin agrees with the distributed kernel
     all.take(20).foreach { case (k, sh) =>
-      assert(CowSnapshots.shardOfKey(spark, "s", k, 16) == sh)
+      assert(CowSnapshots.shardOfKey("s", k, 16) == sh)
     }
+  }
+
+  test("driver-local shardOfKey bit-equals the column-form kernel " +
+    "across the key domain — negatives, extremes, many seeds and " +
+    "shard counts — with ZERO Spark jobs per probe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val keys = (Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      Long.MaxValue - 1, 42L, -42L) ++
+      Seq.fill(200)(rnd.nextLong())).distinct
+    for ((seed, n) <- Seq(("s", 8), ("seed42", 16), ("", 7),
+        ("another-seed", 1), ("s", 1024))) {
+      val fromCol = keys.toDF("k")
+        .select($"k", CowSnapshots.shardOf(seed, $"k", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(CowSnapshots.shardOfKey(seed, k, n) == fromCol(k),
+          s"driver/column routing drift for key=$k seed=$seed n=$n")
+      }
+    }
+  }
+
+  test("slot reuse across store incarnations never serves a stale " +
+    "manifest: wipe-and-rebuild (and expire-then-reclaim) of the same " +
+    "c_N slot invalidates any cached metadata — the cross-driver case " +
+    "the in-process remove() cannot see (cache rows are keyed on the " +
+    "slot's mtime, which a new incarnation necessarily changes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_stale").toString
+    val v1 = CowSnapshots.writeVersion(o, root, "doc_id", "s", 4)
+    // populate the cache through a real read
+    val n1 = CowSnapshots.readVersion(spark, root, Some(v1)).count()
+    // ANOTHER DRIVER wipes and rebuilds the same root with different
+    // data — simulated by going around this JVM's invalidation hooks:
+    // raw filesystem deletes, then a rebuild that lands on the SAME
+    // slot number c_1
+    Fs.delete(spark, root)
+    Thread.sleep(50) // mtime granularity headroom
+    val half = o.filter($"doc_id" % 2 === 0)
+    val v1b = CowSnapshots.writeVersion(half, root, "doc_id", "s", 4)
+    assert(v1b == v1, "rebuild must land on the reused slot number")
+    val n2 = CowSnapshots.readVersion(spark, root, Some(v1b)).count()
+    assert(n2 == half.count() && n2 != n1,
+      s"stale cache: reused slot c_$v1 served the OLD incarnation's " +
+        s"manifest ($n1 rows) instead of the new one's ($n2 expected)")
+    // expire-then-reclaim inside one incarnation stays fresh too
+    val mx = o.agg(max($"doc_id")).head().getLong(0)
+    val tiny = CdcFixture.toMerge(CdcFixture.tinyBatch(
+      o.withColumn("prio", lit("x")), mx))
+    val v2 = CowSnapshots.mergeVersion(spark, root, tiny,
+      "doc_id", "s", 4)
+    CowSnapshots.expireVersions(spark, root, keep = 1, orphanTtlMs = 0L)
+    assert(CowSnapshots.committedVersions(spark, root) == Seq(v2))
+    val nAfter = CowSnapshots.readVersion(spark, root, Some(v2)).count()
+    // the store holds the EVEN half: the tiny batch's 2 update keys
+    // (%10==5, odd) match nothing and land as new rows, its delete key
+    // (%10==6, even) removes one, the 3 inserts add
+    assert(nAfter == n2 + 2 - 1 + CdcFixture.nInserts,
+      "post-expire read through the cache must stay exact")
+  }
+
+  test("lost update aborted: a merge that planned against a parent " +
+    "the store has advanced past must abort loudly at commit instead " +
+    "of silently reverting the intervening version's changes — the " +
+    "multi-writer conflict Delta/Iceberg abort on") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cow_lostupd").toString
+    CowSnapshots.writeVersion(o, root, "doc_id", "s", 8)
+    val keys = o.orderBy($"doc_id").limit(2)
+      .select($"doc_id").as[Long].collect()
+    val Array(kA, kB) = keys
+    val mergeA = Seq(("update", kA, 111L)).toDF("op", "doc_id", "cents")
+    val mergeB = Seq(("update", kB, 222L)).toDF("op", "doc_id", "cents")
+    // merge A plans against v1; between its staged build and its
+    // commit, a concurrent writer lands merge B (the preCommit seam
+    // models the interleave deterministically)
+    val e = intercept[IllegalArgumentException] {
+      CowSnapshots.mergeVersion(spark, root, mergeA, "doc_id", "s", 8,
+        preCommit = () => {
+          CowSnapshots.mergeVersion(spark, root, mergeB,
+            "doc_id", "s", 8): Unit
+        })
+    }
+    assert(e.getMessage.contains("lost update"),
+      s"wrong abort reason: ${e.getMessage}")
+    // the store holds exactly B's effect; A was never half-applied
+    val vals = CowSnapshots.readVersion(spark, root, None)
+      .filter($"doc_id".isin(kA, kB)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals(kB) == 222L && vals(kA) != 111L,
+      s"lost-update abort must leave the interloper's commit intact: $vals")
+    assert(CowSnapshots.committedVersions(spark, root) == Seq(1, 2))
+    // the aborted merge RE-DERIVES against the new latest and lands
+    val v3 = CowSnapshots.mergeVersion(spark, root, mergeA,
+      "doc_id", "s", 8)
+    val after = CowSnapshots.readVersion(spark, root, Some(v3))
+      .filter($"doc_id".isin(kA, kB)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(kA -> 111L, kB -> 222L),
+      "the retry against the new latest must preserve BOTH merges")
   }
 
   test("merge equals recompute: applying a change set through the " +
@@ -118,7 +229,7 @@ class CowSpec extends AnyFunSuite {
     val v4Vals = vals(v4)
     assert(v4Vals(k0) == 3L && !v4Vals.contains(k1) &&
       !v4Vals.contains(k2) && v4Vals(mx + 1L) == 60L)
-    val sh0 = CowSnapshots.shardOfKey(spark, "s", k0, 8)
+    val sh0 = CowSnapshots.shardOfKey("s", k0, 8)
     val e4 = CowSnapshots.allEntries(spark, root, v4)
     assert(e4.filter(_._1 == sh0).forall(_._4 == 0),
       "the merged shard's chain must be folded flat")
@@ -155,7 +266,7 @@ class CowSpec extends AnyFunSuite {
         java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
         java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2"))))
     def passing(k: Long): Seq[String] = {
-      val sh = CowSnapshots.shardOfKey(spark, "s", k, 8)
+      val sh = CowSnapshots.shardOfKey("s", k, 8)
       man.filter(_._1 == sh).filter { case (_, _, b1, b2) =>
         b1.get(graft.sink.BloomManifest.h1Long(k)) &&
           b2.get(graft.sink.BloomManifest.h2Long(k)) }.map(_._2).toSeq

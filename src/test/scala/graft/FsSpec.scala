@@ -107,6 +107,44 @@ class FsSpec extends AnyFunSuite {
     assert(!Fs.exists(spark, lease))
   }
 
+  test("withLease ownership tokens: an overstayed holder whose lease a " +
+    "breaker legitimately took over must NOT release the successor's " +
+    "live lease — the third-holder admission an unconditional release " +
+    "delete allowed") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fs_lease_tok").toString
+    val lease = s"$root/_lease"
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    val bHolds = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bSawLiveLease = false
+    val a = new Thread(() => {
+      Fs.withLease(spark, lease, staleMs = 150L) {
+        Thread.sleep(700) // overstays staleMs — a breaker takes over
+      }
+      aDone.countDown()
+    })
+    a.start()
+    Thread.sleep(250) // let A acquire and go stale
+    val b = new Thread(() => {
+      Fs.withLease(spark, lease, staleMs = 150L) {
+        bHolds.countDown()
+        // hold ACROSS A's release path: A must find its token gone
+        // and delete nothing
+        aDone.await(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+        Thread.sleep(50)
+        bSawLiveLease = Fs.exists(spark, lease)
+      }
+    })
+    b.start()
+    assert(bHolds.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "the breaker must take over a stale lease")
+    a.join(15000); b.join(15000)
+    assert(bSawLiveLease,
+      "the overstayed holder deleted its successor's live lease")
+    assert(!Fs.exists(spark, lease),
+      "the successor must still release its own lease cleanly")
+  }
+
   test("GenDir: every crash point of a publish leaves a complete, " +
     "resolvable artifact at the public root") {
     import spark.implicits._
