@@ -378,9 +378,42 @@ object Dedup extends QueryModule {
       .withColumn("mh", minhashSignature($"sh", k))
   }
 
-  /** Write the corpus signature index once (overwrite = rebuild). */
+  /** Write the corpus signature index once (overwrite = rebuild) — the
+    * plain single-directory form for indexes that never take
+    * incremental adds (q119's daily-dedup reference). The batch-index
+    * LIFECYCLE (add/compact/delete) uses [[initSignatureIndex]]'s
+    * generation-committed layout instead. */
   def writeSignatureIndex(corpus: DataFrame, path: String, k: Int = 64): Unit =
     signatureIndex(corpus, k).write.mode("overwrite").parquet(path)
+
+  /** Initialize a BATCH-lifecycle signature index at `root`: the history
+    * corpus's signatures land as subdirectory `base` of generation 1 of
+    * a generation-committed directory ([[graft.sink.GenDir]]).
+    * [[addSignatureIndexBatch]] writes INTO the current generation;
+    * [[compactSignatureIndex]] publishes its folded rewrite as the NEXT
+    * generation through one one-winner claim — so readers resolve a
+    * complete index at every instant of every maintenance op (the old
+    * delete/move/move swap's brief-absence window, and the heal code it
+    * required, are structurally gone). */
+  def initSignatureIndex(hist: DataFrame, root: String, k: Int = 64): Unit =
+    graft.sink.GenDir.publishStaged(hist.sparkSession, root) { staged =>
+      signatureIndex(hist, k).write.mode("overwrite")
+        .parquet(s"$staged/base")
+    }
+
+  /** Resolve an index path argument to the READABLE data location: a
+    * generation-committed root (or its legacy `<root>/ *` glob form)
+    * resolves to the current generation's subdirectory glob; a plain
+    * [[writeSignatureIndex]] directory passes through unchanged. */
+  def signatureIndexData(s: SparkSession, indexPath: String): String = {
+    val root = indexPath.stripSuffix("/*")
+    graft.sink.GenDir.resolve(s, root)
+      .map(g => s"$g/*").getOrElse(indexPath)
+  }
+
+  /** The batch-lifecycle index's signature rows (current generation). */
+  def readSignatureIndex(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(signatureIndexData(s, root))
 
   /** Add a batch's signatures to a multi-directory index as its own
     * OVERWRITTEN subdirectory — the maintenance step that keeps the
@@ -401,8 +434,13 @@ object Dedup extends QueryModule {
     // IVF index handles identically)
     if (foldedSignatureKeys(batch.sparkSession, indexRoot)
       .contains(batchKey)) return
+    val gen = graft.sink.GenDir
+      .resolve(batch.sparkSession, indexRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no committed index generation under $indexRoot — " +
+            "initSignatureIndex first"))
     signatureIndex(batch, k).write.mode("overwrite")
-      .parquet(s"$indexRoot/$batchKey")
+      .parquet(s"$gen/$batchKey")
   }
 
   /** Append a kill list (any single-id-column frame) to the signature
@@ -443,49 +481,44 @@ object Dedup extends QueryModule {
     * small files, and every `<root>/ * ` glob read pays their listing +
     * footer costs forever). The signature multiset is preserved exactly
     * (incremental-dedup output is bit-identical across the fold); the
-    * rewrite lands in a sibling temp dir and swaps in by directory
-    * rename, so a crash mid-compaction never loses signatures, though
-    * the swap's two renames leave one window where the live root is
-    * briefly absent (the bytes survive at `*_precompact`); the next
-    * maintenance call HEALS that window by restoring the pre-compaction
-    * copy before folding. Folded keys are then appended to the manifest
-    * so a late REPLAY of a folded batch stays a no-op
+    * rewrite is staged privately and published as the index's NEXT
+    * generation through one one-winner claim ([[graft.sink.GenDir]]) —
+    * the live index is complete at every instant, so there is no
+    * between-renames absence window and no heal path (a crash
+    * mid-compaction leaves only an invisible staged dir for the
+    * age-gated vacuum; the previous generation is retained one publish
+    * cycle for in-flight readers). Folded keys are then appended to
+    * the manifest so a late REPLAY of a folded batch stays a no-op
     * ([[addSignatureIndexBatch]]) instead of re-duplicating vectors
     * that now live in base. Returns folded keys. */
   def compactSignatureIndex(s: SparkSession, indexRoot: String,
       targetFiles: Int = 1): Seq[String] = {
     import s.implicits._
-    // heal a crashed predecessor's swap window: live root absent but
-    // the pre-compaction copy survives -> restore it and re-fold
-    if (!graft.sink.Fs.exists(s, indexRoot) &&
-        graft.sink.Fs.exists(s, s"${indexRoot}_precompact"))
-      graft.sink.Fs.move(s, s"${indexRoot}_precompact", indexRoot)
-    val keys = graft.sink.Fs.listDirNames(s, indexRoot)
+    val gen = graft.sink.GenDir.resolve(s, indexRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index generation under $indexRoot"))
+    val keys = graft.sink.Fs.listDirNames(s, gen)
       .filter(n => n != "base" && !n.startsWith("_") && !n.startsWith("."))
     // one tombstone read serves both the early-exit gate and the
     // anti-join below (mirrors compactIvfLists)
     val tomb = signatureTombstones(s, indexRoot)
     val nTombstoned = tomb.count()
     if (keys.isEmpty && nTombstoned == 0) return Nil
-    val tmp = s"${indexRoot}_compacting"
     // targetFiles sizes the rewrite: 1 at fixture scale, index_bytes /
     // maxPartitionBytes for a real deployment (the q268 sizing rule).
     // Tombstoned signatures are dropped HERE — the physical application
     // of every delete since the last compaction; dedup output cannot
     // change (reads already excluded them), q416 grades the equality.
-    s.read.parquet(s"$indexRoot/*")
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(s"$tmp/base")
-    val old = s"${indexRoot}_precompact"
-    graft.sink.Fs.delete(s, old) // crashed prior swap's leftover
-    graft.sink.Fs.move(s, indexRoot, old)
-    graft.sink.Fs.move(s, tmp, indexRoot)
-    graft.sink.Fs.delete(s, old)
+    graft.sink.GenDir.publishStaged(s, indexRoot) { staged =>
+      s.read.parquet(s"$gen/*")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(s"$staged/base")
+    }
     if (keys.nonEmpty)
       keys.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"${indexRoot}_folded_batches")
-    // clear AFTER the swap (the ordering argument lives on
+    // clear AFTER the publish (the ordering argument lives on
     // Tombstones.clear)
     graft.sink.Tombstones.clear(s, s"${indexRoot}_tombstones", "doc_id")
     keys
@@ -512,7 +545,8 @@ object Dedup extends QueryModule {
     // killed doc neither pairs nor occupies candidate slots — the q416
     // lifecycle's logical-exclusion leg (the broadcast set is bounded
     // between compactions, which apply + clear it)
-    val idx = s.read.parquet(indexPath) // (doc_id, sh, mh)
+    val idx = s.read // (doc_id, sh, mh) — generation-resolved
+      .parquet(signatureIndexData(s, indexPath))
       .join(broadcast(signatureTombstones(s, indexPath)), Seq("doc_id"),
         "left_anti")
     val fresh = signatureIndex(newDocs, k)
@@ -1764,8 +1798,10 @@ object Dedup extends QueryModule {
         "loop (q119/q128) leaves one subdirectory per added batch, so " +
         "a year of adds is 365 directories of small files every " +
         "glob-read search pays for; compactSignatureIndex folds them " +
-        "into one base (rename-swapped — the old index survives a " +
-        "crash mid-fold), records the folded keys in a SIBLING " +
+        "into one base (published as the NEXT generation of the " +
+        "GenDir-committed index through one one-winner claim — the " +
+        "live index is complete at every instant of the fold), " +
+        "records the folded keys in a SIBLING " +
         "manifest the data glob can't mistake for signatures, and " +
         "addSignatureIndexBatch turns a late replay of a folded key " +
         "into a NO-OP (a blind rewrite would re-duplicate every " +
@@ -1782,15 +1818,15 @@ object Dedup extends QueryModule {
         import s.implicits._
         val docs = Tables.t(s, dir, "documents")
         val root = graft.TempRoots.freshForDir("graft_sigcmp", dir).toString
-        writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), s"$root/base")
+        initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), root)
         addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
           root, "day1")
         addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 10),
           root, "day2")
         val probe = docs.filter($"doc_id" % 20 === 10)
-        def dedup() = incrementalNeardupPairs(s, s"$root/*", probe, 0.8)
+        def dedup() = incrementalNeardupPairs(s, root, probe, 0.8)
           .collect().toSeq
-        def rows() = s.read.parquet(s"$root/*").count()
+        def rows() = readSignatureIndex(s, root).count()
         val (pairsBefore, rowsBefore) = (dedup(), rows())
         val folded = compactSignatureIndex(s, root)
         val (pairsAfter, rowsAfter) = (dedup(), rows())
@@ -2663,17 +2699,17 @@ object Dedup extends QueryModule {
         import s.implicits._
         val docs = Tables.t(s, dir, "documents")
         val root = graft.TempRoots.freshForDir("graft_sigdel", dir).toString
-        writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), s"$root/base")
+        initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), root)
         val probe = docs.filter($"doc_id" % 10 === 0)
         def dedup(): Seq[(Long, Long, Double)] =
-          incrementalNeardupPairs(s, s"$root/*", probe, 0.8)
+          incrementalNeardupPairs(s, root, probe, 0.8)
             .select($"d1", $"d2", $"jac")
             .as[(Long, Long, Double)].collect().toSeq.sorted
         val p0 = dedup()
         val killedIds = contaminatedTrainDocIds(s, dir)
           .filter($"doc_id" % 7 === 3)
           .as[Long].collect().toSet
-        val rowsBefore = s.read.parquet(s"$root/*").count()
+        val rowsBefore = readSignatureIndex(s, root).count()
         deleteSignatures(
           killedIds.toSeq.sorted.toDF("doc_id"), root)
         val p1 = dedup()
@@ -2682,7 +2718,7 @@ object Dedup extends QueryModule {
         compactSignatureIndex(s, root)
         val tombstonesCleared = signatureTombstones(s, root).count() == 0L
         val p2 = dedup()
-        val rowsAfter = s.read.parquet(s"$root/*").count()
+        val rowsAfter = readSignatureIndex(s, root).count()
         deleteSignatures(
           killedIds.toSeq.sorted.toDF("doc_id"), root) // replay
         val p3 = dedup()

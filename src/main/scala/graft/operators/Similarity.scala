@@ -771,16 +771,19 @@ object Similarity extends QueryModule {
           nlist = 16, iters = 2)
         addIvfBatch(e.filter($"vec_id" % 20 === 0), root, "day1")
         addIvfBatch(e.filter($"vec_id" % 20 === 10), root, "day2")
-        def files(): Long =
-          graft.sink.Fs.countFiles(s, s"$root/lists", ".parquet")
+        // counts resolve the CURRENT committed generation — the live
+        // table (the retained previous generation is lifecycle
+        // insurance, not part of the index)
+        def files(): Long = graft.sink.Fs.countFiles(s,
+          ivfListsPath(s, root), ".parquet")
         def search(): Seq[org.apache.spark.sql.Row] =
           knnIvfPersisted(s, root, e.filter($"vec_id" < 8),
             k = 5, nprobe = 2).collect().toSeq
         val before = search(); val fb = files()
-        val rb = s.read.parquet(s"$root/lists").count()
+        val rb = s.read.parquet(ivfListsPath(s, root)).count()
         val folded = compactIvfLists(s, root)
         val after = search(); val fa = files()
-        val ra = s.read.parquet(s"$root/lists").count()
+        val ra = s.read.parquet(ivfListsPath(s, root)).count()
         Seq((fb, fa, folded.size.toLong, before == after, rb, ra))
           .toDF("files_before", "files_after", "batches_folded",
             "search_unchanged", "rows_before", "rows_after")
@@ -1526,7 +1529,7 @@ object Similarity extends QueryModule {
           .join(emb.select($"vec_id"), $"doc_id" === $"vec_id", "left_semi")
           .select($"doc_id".as("vec_id"))
         val killedIds = kill.as[Long].collect().toSet
-        val rowsBefore = s.read.parquet(s"$root/lists").count()
+        val rowsBefore = s.read.parquet(ivfListsPath(s, root)).count()
         deleteIvfVectors(kill, root)
         val r1Rows = searchRows()
         val r1 = strs(r1Rows)
@@ -1535,7 +1538,7 @@ object Similarity extends QueryModule {
         compactIvfLists(s, root)
         val tombstonesCleared = ivfTombstones(s, root).count() == 0L
         val r2 = search()
-        val rowsAfter = s.read.parquet(s"$root/lists").count()
+        val rowsAfter = s.read.parquet(ivfListsPath(s, root)).count()
         deleteIvfVectors(kill, root) // replay of an already-applied delete
         val r3 = search()
         Seq((killedIds.size.toLong,
@@ -1907,8 +1910,14 @@ object Similarity extends QueryModule {
     * `path/compacted_batches` = the (initially empty) manifest of batch
     * keys [[compactIvfLists]] has folded into base — the record that
     * keeps a replayed add of a folded batch a no-op instead of a
-    * duplication. The initial build statically overwrites the whole
-    * table as batch=base. */
+    * duplication. The lists table lives inside a GENERATION-committed
+    * directory ([[graft.sink.GenDir]]): the initial build publishes
+    * generation 1, adds write INTO the current generation, and
+    * compaction publishes the folded rewrite as the NEXT generation
+    * through one one-winner claim — readers always resolve a complete
+    * table at every instant of every maintenance op (the old
+    * delete/move/move swap's brief-absence window, and the heal code
+    * it required, are structurally gone). */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       iters: Int = 2, copyCodebooksFrom: Option[String] = None): Unit = {
     val s = corpus.sparkSession
@@ -1940,12 +1949,25 @@ object Similarity extends QueryModule {
     graft.sink.Tombstones.clear(s, s"$path/tombstones", "vec_id")
     // one writer task per list -> ONE file per inverted list (the
     // posting-list ideal; 32 shuffle partitions x nlist dirs would
-    // otherwise scatter ~500 small files every search pays to open)
-    ivfPqAssign(corpus, cb, pqs).withColumn("batch", lit("base"))
-      .repartition(nlist, col("list_id"))
-      .write.partitionBy("batch", "list_id")
-      .mode("overwrite").parquet(s"$path/lists")
+    // otherwise scatter ~500 small files every search pays to open);
+    // published as generation 1 of the generation-committed lists dir
+    graft.sink.GenDir.publishStaged(s, s"$path/lists") { staged =>
+      ivfPqAssign(corpus, cb, pqs).withColumn("batch", lit("base"))
+        .repartition(nlist, col("list_id"))
+        .write.partitionBy("batch", "list_id")
+        .mode("overwrite").parquet(staged)
+    }
   }
+
+  /** The lists table's CURRENT committed generation — the one path every
+    * reader and writer resolves ([[graft.sink.GenDir]] resolution: the
+    * highest committed `g_N`). Partition discovery, pruning, and the
+    * `batch=`/`list_id=` layout are untouched — the generation dir IS
+    * the table root. */
+  def ivfListsPath(s: SparkSession, path: String): String =
+    graft.sink.GenDir.resolve(s, s"$path/lists").getOrElse(
+      throw new IllegalStateException(
+        s"no committed lists generation under $path — writeIvfIndex first"))
 
   /** Reload the persisted coarse codebook (k rows — a driver artifact,
     * same class as the LSH plane matrix). */
@@ -2041,7 +2063,7 @@ object Similarity extends QueryModule {
       "dynamic") {
       ivfPqAssign(batch, cb, pqs).withColumn("batch", lit(batchKey))
         .write.partitionBy("batch", "list_id")
-        .mode("overwrite").parquet(s"$path/lists")
+        .mode("overwrite").parquet(ivfListsPath(s, path))
     }
   }
 
@@ -2053,23 +2075,18 @@ object Similarity extends QueryModule {
     * (search results are bit-identical before/after); the folded keys
     * are appended to `path/compacted_batches` so a late replay of a
     * folded batch stays a no-op ([[addIvfBatch]]) instead of
-    * re-materializing vectors that now live in base. The rewrite lands
-    * in a temp dir first and swaps in by directory rename — the old
-    * lists stay intact until the compacted table is fully written, so a
-    * crash mid-compaction never loses data, though the swap's two
-    * renames leave one window where the live path is briefly absent
-    * (the bytes survive at `lists_precompact`); the next maintenance
-    * call HEALS that window by restoring the pre-compaction copy before
-    * folding, at the cost of redoing at most one compaction's work.
-    * Returns the folded keys. */
+    * re-materializing vectors that now live in base. The rewrite is
+    * staged privately and published as the lists dir's NEXT
+    * generation through one one-winner claim ([[graft.sink.GenDir]]):
+    * the live table is complete at every instant — there is no
+    * between-renames absence window anymore, hence no heal path (the
+    * previous generation is retained one publish cycle, so a reader
+    * that resolved it mid-compaction still reads complete bytes; a
+    * crash mid-compaction leaves only an invisible staged dir for the
+    * age-gated vacuum). Returns the folded keys. */
   def compactIvfLists(s: SparkSession, path: String): Seq[String] = {
     import s.implicits._
-    // heal a crashed predecessor's swap window: live lists absent but
-    // the pre-compaction copy survives -> restore it and re-fold
-    if (!graft.sink.Fs.exists(s, s"$path/lists") &&
-        graft.sink.Fs.exists(s, s"$path/lists_precompact"))
-      graft.sink.Fs.move(s, s"$path/lists_precompact", s"$path/lists")
-    val lists = s.read.parquet(s"$path/lists")
+    val lists = s.read.parquet(ivfListsPath(s, path))
     val folded = lists.select($"batch").distinct()
       .as[String].collect().filter(_ != "base").sorted.toSeq
     // one tombstone read serves both the early-exit gate and the
@@ -2079,23 +2096,19 @@ object Similarity extends QueryModule {
     val nTombstoned = tomb.count()
     if (folded.isEmpty && nTombstoned == 0) return Nil
     val nlist = s.read.parquet(s"$path/codebook").count().toInt
-    val tmp = s"$path/lists_compacting"
     // one shuffle bounded by the index size; repartition(nlist, list_id)
     // → at most one writer task per list → one file per list directory.
     // Tombstoned rows are dropped HERE — the physical application of
     // every delete since the last compaction; because searches already
     // excluded them before the shortlist, this rewrite cannot change
     // any search result (q415's compaction_bitexact cell).
-    lists.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-      .withColumn("batch", lit("base"))
-      .repartition(nlist, $"list_id")
-      .write.partitionBy("batch", "list_id")
-      .mode("overwrite").parquet(tmp)
-    val old = s"$path/lists_precompact"
-    graft.sink.Fs.delete(s, old) // crashed prior swap's leftover
-    graft.sink.Fs.move(s, s"$path/lists", old)
-    graft.sink.Fs.move(s, s"$path/lists_compacting", s"$path/lists")
-    graft.sink.Fs.delete(s, old)
+    graft.sink.GenDir.publishStaged(s, s"$path/lists") { staged =>
+      lists.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .withColumn("batch", lit("base"))
+        .repartition(nlist, $"list_id")
+        .write.partitionBy("batch", "list_id")
+        .mode("overwrite").parquet(staged)
+    }
     if (folded.nonEmpty)
       folded.toDF("batch_key").coalesce(1)
         .write.mode("append").parquet(s"$path/compacted_batches")
@@ -2120,7 +2133,8 @@ object Similarity extends QueryModule {
     import graft.catalyst.VecOps.top_centroids
     import s.implicits._
     val cb = readIvfCodebook(s, path)
-    val lists = dropTombstoned(s.read.parquet(s"$path/lists"), s, path)
+    val lists = dropTombstoned(
+      s.read.parquet(ivfListsPath(s, path)), s, path)
     val p = probes
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
         explode(top_centroids($"embedding", cb, nprobe)).as("lid"))
@@ -2152,7 +2166,8 @@ object Similarity extends QueryModule {
     val sub = pqs.head.head.length
     // tombstones drop out BEFORE the ADC scoring / shortlist, so a
     // deleted vector frees its shortlist slot for the live runner-up
-    val lists = dropTombstoned(s.read.parquet(s"$path/lists"), s, path)
+    val lists = dropTombstoned(
+      s.read.parquet(ivfListsPath(s, path)), s, path)
     val p = probes
       .select($"vec_id".as("probe_id"), $"embedding".as("probe_vec"),
         explode(top_centroids($"embedding", cb, nprobe)).as("lid"))

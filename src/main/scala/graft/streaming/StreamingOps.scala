@@ -1234,8 +1234,8 @@ object StreamingOps extends QueryModule {
         val docs = Tables.t(s, dir, "documents")
         val idxRoot = graft.TempRoots
           .freshForDir("graft_sidx_stream", dir).toString
-        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
-          s"$idxRoot/base")
+        Dedup.initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+          idxRoot)
         val outRoot = graft.TempRoots
           .freshForDir("graft_sdedup_out", dir).toString
         val arriving = docsStream(s, dir).filter($"doc_id" % 10 === 0)
@@ -1243,7 +1243,7 @@ object StreamingOps extends QueryModule {
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              batchId: Long) =>
-              Dedup.incrementalNeardupPairs(s, s"$idxRoot/*", batch, 0.8)
+              Dedup.incrementalNeardupPairs(s, idxRoot, batch, 0.8)
                 .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
               Dedup.addSignatureIndexBatch(batch, idxRoot, s"b$batchId")
           }
@@ -1749,7 +1749,8 @@ object StreamingOps extends QueryModule {
         Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
           nlist = 16, iters = 2)
         def batchDirs(): Int = {
-          val lists = new java.io.File(s"$root/lists")
+          val lists = new java.io.File(
+            Similarity.ivfListsPath(s, root).stripPrefix("file:"))
           lists.listFiles().count { f =>
             f.isDirectory && f.getName.startsWith("batch=") &&
               f.getName != "batch=base"
@@ -1799,8 +1800,8 @@ object StreamingOps extends QueryModule {
         val docs = Tables.t(s, dir, "documents")
         val root = graft.TempRoots
           .freshForDir("graft_sidx_auto", dir).toString
-        Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
-          s"$root/base")
+        Dedup.initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
+          root)
         val outRoot = graft.TempRoots
           .freshForDir("graft_sdedup_auto_out", dir).toString
         // three deterministic arrival files -> three micro-batches
@@ -1809,7 +1810,8 @@ object StreamingOps extends QueryModule {
         docs.filter($"doc_id" % 10 === 0)
           .repartitionByRange(3, $"doc_id")
           .write.mode("overwrite").parquet(feed)
-        def subdirs(): Int = new java.io.File(root).listFiles()
+        def subdirs(): Int = new java.io.File(graft.sink.GenDir
+          .resolve(s, root).get.stripPrefix("file:")).listFiles()
           .count(f => f.isDirectory && f.getName != "base" &&
             !f.getName.startsWith("_") && !f.getName.startsWith("."))
         // schema from the feed's own footer (the round-7 rule: never
@@ -1822,7 +1824,7 @@ object StreamingOps extends QueryModule {
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              batchId: Long) =>
-              Dedup.incrementalNeardupPairs(s, s"$root/*", batch, 0.8)
+              Dedup.incrementalNeardupPairs(s, root, batch, 0.8)
                 .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
               Dedup.addSignatureIndexBatch(batch, root, s"b$batchId")
               if (subdirs() > 1) { Dedup.compactSignatureIndex(s, root); () }
@@ -2056,7 +2058,8 @@ object StreamingOps extends QueryModule {
           .freshForDir("graft_ivf_sdel_feed", dir).toString
         kill.repartitionByRange(2, $"vec_id")
           .write.mode("overwrite").parquet(feed)
-        val rowsPreDelete = s.read.parquet(s"$root/lists").count()
+        val rowsPreDelete =
+          s.read.parquet(Similarity.ivfListsPath(s, root)).count()
         // the maintenance fold runs on a SCHEDULE (one slot in this
         // fixture window — production compacts nightly, not per batch),
         // so it fires after the FIRST delete micro-batch and the second
@@ -2078,9 +2081,11 @@ object StreamingOps extends QueryModule {
             // would make the graded booleans depend on how the range
             // split happened to distribute ids across the two files
             if (!foldUsed && pending > 0) {
-              val before = s.read.parquet(s"$root/lists").count()
+              val before =
+                s.read.parquet(Similarity.ivfListsPath(s, root)).count()
               Similarity.compactIvfLists(s, root)
-              val after = s.read.parquet(s"$root/lists").count()
+              val after =
+                s.read.parquet(Similarity.ivfListsPath(s, root)).count()
               midFoldExact = before - after == pending
               foldUsed = true
             }
@@ -2116,7 +2121,8 @@ object StreamingOps extends QueryModule {
         // final compaction applies the pending batch-2 tombstones
         val pendingAtDrain = Similarity.ivfTombstones(s, root).count()
         Similarity.compactIvfLists(s, root)
-        val rowsFinal = s.read.parquet(s"$root/lists").count()
+        val rowsFinal =
+          s.read.parquet(Similarity.ivfListsPath(s, root)).count()
         Seq((killedIds.size.toLong,
           streamed == batchRef,
           killedAbsent,
@@ -2298,7 +2304,8 @@ object StreamingOps extends QueryModule {
         Similarity.writeIvfIndex(e.filter($"vec_id" % 10 =!= 0), root,
           nlist = 16, iters = 2)
         val store = s"$root/bloom_manifest"
-        BloomManifest.rebuild(s, store, s"$root/lists", "vec_id")
+        BloomManifest.rebuild(s, store,
+          Similarity.ivfListsPath(s, root), "vec_id")
         val feed = graft.TempRoots
           .freshForDir("graft_ivf_bloom_feed", dir).toString
         e.filter($"vec_id" % 10 === 0)
@@ -2318,20 +2325,23 @@ object StreamingOps extends QueryModule {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
             Similarity.addIvfBatch(b, root, s"a$id")
-            val bdir = s"$root/lists/batch=a$id"
+            val bdir =
+              s"${Similarity.ivfListsPath(s, root)}/batch=a$id"
             if (Fs.exists(s, bdir))
               BloomManifest.append(s, store, bdir, "vec_id")
             batches += 1
             if (batches == 2) {
               Similarity.compactIvfLists(s, root): Unit
-              BloomManifest.rebuild(s, store, s"$root/lists", "vec_id")
+              BloomManifest.rebuild(s, store,
+          Similarity.ivfListsPath(s, root), "vec_id")
               foldUsed = true
             }
         }.start()
         try q.processAllAvailable() finally q.stop()
         // the from-scratch reference build over the same final layout
         val scratch = s"$root/bloom_scratch"
-        BloomManifest.rebuild(s, scratch, s"$root/lists", "vec_id")
+        BloomManifest.rebuild(s, scratch,
+          Similarity.ivfListsPath(s, root), "vec_id")
         def fp(p: String): Seq[Any] = BloomManifest.read(s, p)
           .agg(count(lit(1)),
             sum(xxhash64($"f", $"b1", $"b2").cast("decimal(38,0)")))
@@ -2350,7 +2360,8 @@ object StreamingOps extends QueryModule {
         val probes = present.map((_, 1L)) ++
           Seq(maxId + 1L, maxId + 2L, maxId + 3L).map((_, 0L))
         val probeDf = probes.map(_._1).toSeq.toDF("k")
-        val contRows = s.read.parquet(s"$root/lists")
+        val contRows =
+          s.read.parquet(Similarity.ivfListsPath(s, root))
           .select($"vec_id".cast("long").as("k"),
             input_file_name().as("f"))
           .join(broadcast(probeDf), Seq("k"))
@@ -2845,6 +2856,132 @@ object StreamingOps extends QueryModule {
         SELECT 'v4_autocompacted', CAST(count(*) AS BIGINT),
                CAST(sum(c) AS BIGINT), true, true, true
         FROM fin1
-        ORDER BY snapshot"""))
+        ORDER BY snapshot""")),
+
+    Q(
+      "q454_stream_schema_evolution",
+      "MID-STREAM SCHEMA EVOLUTION — the q444 dividend under a " +
+        "STANDING consumer, the case a fixed-schema file stream " +
+        "cannot even represent: the CDC feed arrives as JSON " +
+        "payloads (the Kafka/Debezium shape), each micro-batch is " +
+        "parsed against ITS OWN inferred schema inside foreachBatch, " +
+        "and when batch 1 starts carrying a new `src` column the " +
+        "merge simply publishes it — the feed's schema IS the new " +
+        "version's schema, the added column lands only in the shards " +
+        "batch 1 rewrites anyway (untouched groups null-fill through " +
+        "the mergeSchema read), and the version pinned BEFORE the " +
+        "evolution keeps its own shape with no conform logic because " +
+        "the manifest's file list is the schema boundary. No stream " +
+        "restart, no ALTER, no backfill job — the 100 TB corpus " +
+        "gains a column mid-stream for the price of one batch's " +
+        "delta write. Graded: v2's (pre-evolution) and v3's " +
+        "(per-src-class) rows and cents recomputed independently by " +
+        "the oracle from the two-tiny-batch algebra; the pinned v2 " +
+        "read carries NO src column while v3 does (the mid-stream " +
+        "boundary observed from the store alone); the evolved " +
+        "version still REUSES the parent's untouched file groups; " +
+        "and a post-drain replay of both ledgered batch ids is a " +
+        "pure no-op.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_sevo", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh)
+        val b0 = CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx))
+        val b1 = CdcFixture.toMerge(CdcFixture.tinyBatch2(of, mx))
+          .withColumn("src", lit("corrected"))
+        // the feed is JSON text — the only stream shape whose schema
+        // CAN drift between micro-batches (a parquet stream pins its
+        // schema at start)
+        val feed = graft.TempRoots
+          .freshForDir("graft_cow_sevo_feed", dir).toString
+        b0.toJSON.coalesce(1).write.mode("overwrite").text(feed)
+        b1.toJSON.coalesce(1).write.mode("append").text(feed)
+        def parse(b: org.apache.spark.sql.DataFrame) =
+          s.read.json(b.select($"value").as[String])
+        val st = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 1)
+          .text(feed)
+        val q = st.writeStream.foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            CowSnapshots.mergeVersion(s, root, parse(b.toDF()),
+              "doc_id", "seed42", nSh, batchId = Some(s"b$id")): Unit
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        val byBatch = CowSnapshots.committedBatchVersions(s, root)
+        val (v2, v3) = (byBatch("b0"), byBatch("b1"))
+        val pre = CowSnapshots.readVersion(s, root, Some(v2))
+        val post = CowSnapshots.readVersion(s, root, Some(v3))
+        val boundaryObserved = !pre.columns.contains("src") &&
+          post.columns.contains("src")
+        val reuses = CowSnapshots.reusesParentEntries(s, root, v2, v3,
+          b1, "doc_id", "seed42", nSh)
+        def fp(v: Int): Seq[Any] =
+          CowSnapshots.readVersion(s, root, Some(v))
+            .agg(count(lit(1)), sum($"cents"),
+              sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+            .head().toSeq
+        val fp3 = fp(v3)
+        val r0 = CowSnapshots.mergeVersion(s, root,
+          parse(b0.toJSON.toDF("value")), "doc_id", "seed42", nSh,
+          batchId = Some("b0"))
+        val r1 = CowSnapshots.mergeVersion(s, root,
+          parse(b1.toJSON.toDF("value")), "doc_id", "seed42", nSh,
+          batchId = Some("b1"))
+        val replayNoop = r0 == v2 && r1 == v3 &&
+          CowSnapshots.committedVersions(s, root) == Seq(v1, v2, v3) &&
+          fp(v3) == fp3
+        val preRow = pre
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit("v2_after_b0").as("snapshot"),
+            lit("none").as("src_class"), $"n_rows", $"sum_cents")
+        val postRows = post
+          .groupBy(coalesce($"src", lit("none")).as("src_class"))
+          .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+          .select(lit("v3_after_b1").as("snapshot"), $"src_class",
+            $"n_rows", $"sum_cents")
+        preRow.unionByName(postRows)
+          .select($"snapshot", $"src_class", $"n_rows", $"sum_cents",
+            lit(boundaryObserved).as("evolution_boundary_observed"),
+            lit(reuses).as("evolved_reuses_parent_groups"),
+            lit(replayNoop).as("replay_pure_noop"))
+          .orderBy($"snapshot", $"src_class")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin0",
+            withSecond = false)}${graft.CdcFixture.oracleTinyStateCte(
+            "fin1", withSecond = true)}
+        SELECT 'v2_after_b0' AS snapshot, 'none' AS src_class,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS evolution_boundary_observed,
+               true AS evolved_reuses_parent_groups,
+               true AS replay_pure_noop
+        FROM fin0
+        UNION ALL
+        SELECT 'v3_after_b1', src_class,
+               CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+               true, true, true
+        FROM (
+          SELECT CASE WHEN k IN (SELECT k FROM fin1_uk)
+                        OR k > (SELECT mx FROM fin1_mx)
+                      THEN 'corrected' ELSE 'none' END AS src_class, c
+          FROM fin1)
+        GROUP BY src_class
+        ORDER BY snapshot, src_class"""))
   )
 }

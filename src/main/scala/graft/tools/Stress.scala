@@ -743,8 +743,9 @@ object Stress {
           e.filter($"vec_id" < 8), k = 5, nprobe = 4).count()
       }
       def files(): Long = {
-        val walk = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(root, "lists"))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(
+          graft.operators.Similarity.ivfListsPath(s, root)
+            .stripPrefix("file:")))
         try {
           import scala.jdk.CollectionConverters._
           walk.iterator().asScala

@@ -115,14 +115,17 @@ class IncrementalDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Tables.t(spark, sfDir, "documents")
     val root = TempRoots.freshForDir("graft_sigcmp_spec", sfDir).toString
-    Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
-      s"$root/base")
+    Dedup.initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), root)
     Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 0),
       root, "day1")
     Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 10),
       root, "day2")
+    // counts resolve the LIVE generation (GenDir retains the previous
+    // generation one cycle as crash insurance — it is not the index)
     def files(): Long = {
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val gen = graft.sink.GenDir.resolve(spark, root).get
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(gen.stripPrefix("file:")))
       try {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala
@@ -130,7 +133,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       } finally walk.close()
     }
     val probe = docs.filter($"doc_id" % 20 === 10)
-    def dedup() = Dedup.incrementalNeardupPairs(spark, s"$root/*", probe, 0.8)
+    def dedup() = Dedup.incrementalNeardupPairs(spark, root, probe, 0.8)
       .orderBy($"d1", $"d2").collect().toSeq
     val (before, fb) = (dedup(), files())
     val folded = Dedup.compactSignatureIndex(spark, root)
@@ -143,10 +146,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
       root, "day1")
     assert(files() == fa, "replay of a folded key must write nothing")
     // a NEW key after compaction still adds normally
-    val rowsBefore = spark.read.parquet(s"$root/*").count()
+    val rowsBefore = Dedup.readSignatureIndex(spark, root).count()
     Dedup.addSignatureIndexBatch(docs.filter($"doc_id" % 20 === 5),
       root, "day3")
-    assert(spark.read.parquet(s"$root/*").count() > rowsBefore,
+    assert(Dedup.readSignatureIndex(spark, root).count() > rowsBefore,
       "a new batch key must still extend the index after compaction")
   }
 
@@ -155,7 +158,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     SparkEntry.queries("q325_stream_signature_maintenance")(spark, sfDir)
       .collect()
     val root = TempRoots.forDir("graft_sidx_auto", sfDir).toString
-    val subdirs = new java.io.File(root).listFiles()
+    val gen = graft.sink.GenDir.resolve(spark, root).get
+    val subdirs = new java.io.File(gen.stripPrefix("file:")).listFiles()
       .count(f => f.isDirectory && f.getName != "base" &&
         !f.getName.startsWith("_") && !f.getName.startsWith("."))
     // three micro-batches at policy >1: fold after batch 2, batch 3's
@@ -171,11 +175,10 @@ class IncrementalDedupSpec extends AnyFunSuite {
     "the set") {
     val docs = Tables.t(spark, sfDir, "documents")
     val root = TempRoots.freshForDir("graft_sigdel_spec", sfDir).toString
-    Dedup.writeSignatureIndex(docs.filter($"doc_id" % 10 =!= 0),
-      s"$root/base")
+    Dedup.initSignatureIndex(docs.filter($"doc_id" % 10 =!= 0), root)
     val probe = docs.filter($"doc_id" % 10 === 0)
     def dedup(): Seq[(Long, Long, Double)] =
-      Dedup.incrementalNeardupPairs(spark, s"$root/*", probe, 0.8)
+      Dedup.incrementalNeardupPairs(spark, root, probe, 0.8)
         .select($"d1", $"d2", $"jac")
         .as[(Long, Long, Double)].collect().toSeq.sorted
     val p0 = dedup()
@@ -195,11 +198,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // replay before compaction: appended duplicates, same answer
     Dedup.deleteSignatures(kill.toSeq.sorted.toDF("doc_id"), root)
     assert(dedup() == p1)
-    val rowsBefore = spark.read.parquet(s"$root/*").count()
+    val rowsBefore = Dedup.readSignatureIndex(spark, root).count()
     Dedup.compactSignatureIndex(spark, root)
     assert(dedup() == p1,
       "physical drop must be bit-identical to the tombstone filter")
-    assert(spark.read.parquet(s"$root/*").count() ==
+    assert(Dedup.readSignatureIndex(spark, root).count() ==
       rowsBefore - kill.size,
       "compaction must drop exactly the killed signatures")
     assert(Dedup.signatureTombstones(spark, root).count() == 0,

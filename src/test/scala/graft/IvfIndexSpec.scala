@@ -112,7 +112,7 @@ class IvfIndexSpec extends AnyFunSuite {
   test("merged index holds exactly the corpus, each vector assigned as a " +
     "full one-shot assignment with the same codebook would") {
     Similarity.addIvfBatch(batch, root, "spec_b0")
-    val merged = spark.read.parquet(s"$root/lists")
+    val merged = spark.read.parquet(Similarity.ivfListsPath(spark, root))
       .select($"vec_id", $"list_id".cast("int").as("list_id"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val cb = Similarity.readIvfCodebook(spark, root)
@@ -125,7 +125,7 @@ class IvfIndexSpec extends AnyFunSuite {
   }
 
   test("replaying a batch key is idempotent — no duplicate vectors") {
-    def batchRows = spark.read.parquet(s"$root/lists")
+    def batchRows = spark.read.parquet(Similarity.ivfListsPath(spark, root))
       .filter($"batch" === "spec_replay").count()
     Similarity.addIvfBatch(batch, root, "spec_replay")
     val once = batchRows
@@ -188,8 +188,8 @@ class IvfIndexSpec extends AnyFunSuite {
     Similarity.addIvfBatch(day1, r, "day1")
     Similarity.addIvfBatch(day2, r, "day2")
     def files(): Long = {
-      val walk = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(r, "lists"))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        Similarity.ivfListsPath(spark, r).stripPrefix("file:")))
       try {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala
@@ -199,7 +199,7 @@ class IvfIndexSpec extends AnyFunSuite {
     def search(): Seq[org.apache.spark.sql.Row] =
       Similarity.knnIvfPersisted(spark, r, e.filter($"vec_id" < 8),
         k = 5, nprobe = 2).collect().toSeq
-    def rows(): Long = spark.read.parquet(s"$r/lists").count()
+    def rows(): Long = spark.read.parquet(Similarity.ivfListsPath(spark, r)).count()
     val (s0, f0, n0) = (search(), files(), rows())
     assert(n0 == e.count(), "merged pre-compaction index holds the corpus")
     val folded = Similarity.compactIvfLists(spark, r)
@@ -210,7 +210,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(files() < f0,
       s"compaction must strictly reduce file count: ${files()} vs $f0")
     assert(rows() == n0, "compaction must conserve the row multiset")
-    assert(spark.read.parquet(s"$r/lists")
+    assert(spark.read.parquet(Similarity.ivfListsPath(spark, r))
       .filter($"batch" =!= "base").count() == 0,
       "every batch partition must be folded into base")
     // the replay-of-a-folded-batch case: without the manifest this
@@ -262,12 +262,12 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     arrive(part1)
     runOnce()
-    val afterPart1 = spark.read.parquet(s"$r/lists").count()
+    val afterPart1 = spark.read.parquet(Similarity.ivfListsPath(spark, r)).count()
     assert(afterPart1 == history.count() + part1.count(),
       "part 1 must land exactly once before the stop")
     arrive(part2)
     runOnce() // the restart
-    val lists = spark.read.parquet(s"$r/lists")
+    val lists = spark.read.parquet(Similarity.ivfListsPath(spark, r))
     assert(lists.count() == e.count(),
       "restart must add ONLY part 2 — a re-processed part 1 would " +
         "duplicate its vectors")
@@ -297,7 +297,9 @@ class IvfIndexSpec extends AnyFunSuite {
     // batches the final fold left behind (== 0 if the last batch
     // triggered it; <= 2 + 1 otherwise)
     val root = TempRoots.forDir("graft_ivf_autocmp", sfDir).toString
-    val dirs = new java.io.File(s"$root/lists").listFiles()
+    val dirs = new java.io.File(
+      Similarity.ivfListsPath(spark, root).stripPrefix("file:"))
+      .listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("batch=") &&
         f.getName != "batch=base")
     assert(dirs <= 3,
@@ -307,7 +309,7 @@ class IvfIndexSpec extends AnyFunSuite {
   test("the lists layout partition-prunes: a probed-list filter scans " +
     "only its directories") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val probed = spark.read.parquet(s"$root/lists")
+    val probed = spark.read.parquet(Similarity.ivfListsPath(spark, root))
       .filter($"list_id".isin(3, 7))
     val scans = probed.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
@@ -320,7 +322,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // and the pruned scan READS strictly fewer files than a full scan
     // (execute both; numFiles is the post-pruning metric)
     probed.collect()
-    val full = spark.read.parquet(s"$root/lists")
+    val full = spark.read.parquet(Similarity.ivfListsPath(spark, root))
     full.collect()
     def numFiles(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.executedPlan.collect {
@@ -358,12 +360,12 @@ class IvfIndexSpec extends AnyFunSuite {
     // REPLAY of the same delete must change nothing
     Similarity.deleteIvfVectors(kill.toSeq.sorted.toDF("vec_id"), r)
     assert(search() == afterDelete, "replayed delete must be a no-op")
-    val rowsBefore = spark.read.parquet(s"$r/lists").count()
+    val rowsBefore = spark.read.parquet(Similarity.ivfListsPath(spark, r)).count()
     Similarity.compactIvfLists(spark, r)
     assert(search() == afterDelete,
       "physical drop at compaction must be bit-identical to the logical " +
         "tombstone filter")
-    assert(spark.read.parquet(s"$r/lists").count() ==
+    assert(spark.read.parquet(Similarity.ivfListsPath(spark, r)).count() ==
       rowsBefore - kill.size, "compaction must drop exactly the kill set")
     assert(Similarity.ivfTombstones(spark, r).count() == 0,
       "compaction must clear applied tombstones")
@@ -397,7 +399,8 @@ class IvfIndexSpec extends AnyFunSuite {
         .map(_.map(_.toSeq).toSeq) ==
       Similarity.readPqCodebooks(spark, fresh).map(_.map(_.toSeq).toSeq),
       "copied PQ codebooks must equal the trained ones")
-    def lists(p: String) = spark.read.parquet(s"$p/lists")
+    def lists(p: String) =
+      spark.read.parquet(Similarity.ivfListsPath(spark, p))
       .orderBy($"vec_id").collect().toSeq.map(_.toString)
     assert(lists(copied) == lists(fresh),
       "assignment against copied books must equal the trained build")

@@ -197,10 +197,10 @@ class StreamingSpec extends AnyFunSuite {
     // after batch A), doc 30 unrelated
     Seq((1L, text(100), "s")).toDF("doc_id", "text", "source")
       .createOrReplaceTempView("hist")
-    Dedup.writeSignatureIndex(spark.table("hist"), s"$idxRoot/base")
+    Dedup.initSignatureIndex(spark.table("hist"), idxRoot)
     def runBody(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         batchId: Long): Unit = {
-      Dedup.incrementalNeardupPairs(spark, s"$idxRoot/*", batch, 0.8)
+      Dedup.incrementalNeardupPairs(spark, idxRoot, batch, 0.8)
         .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
       Dedup.addSignatureIndexBatch(batch, idxRoot, s"b$batchId")
     }
