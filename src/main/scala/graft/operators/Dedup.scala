@@ -432,15 +432,29 @@ object Dedup extends QueryModule {
     // NO-OP: rewriting its subdirectory would duplicate every signature
     // compaction just moved (the replay-of-a-compacted-batch case the
     // IVF index handles identically)
-    if (foldedSignatureKeys(batch.sparkSession, indexRoot)
-      .contains(batchKey)) return
-    val gen = graft.sink.GenDir
-      .resolve(batch.sparkSession, indexRoot).getOrElse(
+    val s = batch.sparkSession
+    if (foldedSignatureKeys(s, indexRoot).contains(batchKey)) return
+    def gen(): String = graft.sink.GenDir
+      .resolve(s, indexRoot).getOrElse(
         throw new IllegalStateException(
           s"no committed index generation under $indexRoot — " +
             "initSignatureIndex first"))
-    signatureIndex(batch, k).write.mode("overwrite")
-      .parquet(s"$gen/$batchKey")
+    // resolve-write-recheck (mirrors addIvfBatch): a concurrent
+    // compaction publishing mid-write would strand this batch in the
+    // superseded generation — redo into the current one unless the
+    // compaction already folded the key
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val g = gen()
+      signatureIndex(batch, k).write.mode("overwrite")
+        .parquet(s"$g/$batchKey")
+      done = gen() == g ||
+        foldedSignatureKeys(s, indexRoot).contains(batchKey)
+      attempts += 1
+      require(attempts < 100,
+        s"add of $batchKey cannot land under $indexRoot")
+    }
   }
 
   /** Append a kill list (any single-id-column frame) to the signature

@@ -5121,8 +5121,13 @@ object FeaturePlatform extends QueryModule {
         val o = CdcFixture.orders(s, dir).drop("prio")
         val root = graft.TempRoots
           .freshForDir("graft_cow_zone", dir).toString
+        // file cap scales with the input so the fleet stays ~40 files
+        // at EVERY sf (a fixed cap writes 1000 tiny files at sf0.1 —
+        // the q268 small-file pathology — while the pruning audit only
+        // needs each file to cover a narrow cents range)
+        val cap = math.max(150L, o.count() / 40L)
         val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
-          "seed42", 2, maxRecordsPerFile = 150L,
+          "seed42", 2, maxRecordsPerFile = cap,
           sortColumns = Seq("cents"))
         val (lo, hi) = (20000000L, 21000000L)
         val (opened, total, band) =

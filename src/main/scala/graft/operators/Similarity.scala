@@ -2059,11 +2059,28 @@ object Similarity extends QueryModule {
     if (compactedBatchKeys(s, path).contains(batchKey)) return
     val cb = readIvfCodebook(s, path)
     val pqs = readPqCodebooks(s, path)
-    graft.Confs.withConf(s, "spark.sql.sources.partitionOverwriteMode",
-      "dynamic") {
-      ivfPqAssign(batch, cb, pqs).withColumn("batch", lit(batchKey))
-        .write.partitionBy("batch", "list_id")
-        .mode("overwrite").parquet(ivfListsPath(s, path))
+    // resolve-write-recheck: if a concurrent compaction published a
+    // NEW generation mid-write, this add landed in the superseded one
+    // and would silently vanish with its lagging GC — redo into the
+    // current generation (idempotent: same batch + same books =>
+    // identical partitions), unless the compaction already FOLDED this
+    // key (then base holds the rows and the redo must stay a no-op).
+    // Index maintenance is single-consumer by contract; this guard
+    // turns the one dangerous interleave into eventual landing.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val gen = ivfListsPath(s, path)
+      graft.Confs.withConf(s, "spark.sql.sources.partitionOverwriteMode",
+        "dynamic") {
+        ivfPqAssign(batch, cb, pqs).withColumn("batch", lit(batchKey))
+          .write.partitionBy("batch", "list_id")
+          .mode("overwrite").parquet(gen)
+      }
+      done = ivfListsPath(s, path) == gen ||
+        compactedBatchKeys(s, path).contains(batchKey)
+      attempts += 1
+      require(attempts < 100, s"add of $batchKey cannot land under $path")
     }
   }
 

@@ -110,21 +110,27 @@ object CowSnapshots {
       schemaDdl: String, keyCol: String, seed: String, nShards: Int,
       batchId: Option[String])
 
-  /** Keyed by (root, version, SLOT MTIME): a slot number can be reused
-    * across store incarnations — this driver's own wipe-and-rebuild
-    * (handled by the remove() on claim/retire) but also ANOTHER
-    * driver's, which this JVM never observes. The rename that lands a
-    * claim preserves the staged directory's own mtime, so two
-    * incarnations of c_N carry different mtimes and resolve to
-    * different cache rows — a second driver's rebuild invalidates this
-    * driver's cache by construction, at the cost of one metadata stat
-    * per lookup (no Spark job). */
+  /** Keyed by (root, version, SLOT INCARNATION): a slot number can be
+    * reused across store incarnations — this driver's own
+    * wipe-and-rebuild (handled by the remove() on claim/retire) but
+    * also ANOTHER driver's, which this JVM never observes. The
+    * incarnation id is the slot's sorted child-file listing: every
+    * manifest write mints part files with fresh UUID names, so two
+    * incarnations of c_N can never alias — unlike an mtime key, which
+    * collapses on filesystems with coarse (e.g. 1 s) timestamp
+    * granularity when the wipe-and-rebuild lands inside one tick. One
+    * metadata listing per lookup, no Spark job. Rows whose incarnation
+    * was superseded are evicted on the next lookup of the same (root,
+    * version), so the cache never accumulates dead incarnations. */
   private val metaCache = new java.util.concurrent
-    .ConcurrentHashMap[(String, Int, Long), Meta]()
+    .ConcurrentHashMap[(String, Int, String), Meta]()
 
   private def meta(s: SparkSession, root: String, v: Int): Meta = {
-    val mt = Fs.modTime(s, s"${manifestDir(root)}/c_$v")
-    metaCache.computeIfAbsent((root, v, mt), _ => {
+    val inc = Fs.listNames(s, s"${manifestDir(root)}/c_$v")
+      .filter(_.endsWith(".parquet")).mkString(",")
+    metaCache.keySet.removeIf(k =>
+      k._1 == root && k._2 == v && k._3 != inc)
+    metaCache.computeIfAbsent((root, v, inc), _ => {
       import s.implicits._
       val rows = readManifest(s, root, Seq(s"c_$v"))
         .select($"shard", $"dir", $"n_rows", $"seq", $"schema_ddl",
@@ -961,10 +967,16 @@ object CowSnapshots {
           }
       }
     keys.map { k =>
-      val passing = fileMeta.filter { case (sh, _, _, b1, b2) =>
-        sh == routed(k) && b1.get(BloomManifest.h1Long(k)) &&
-          b2.get(BloomManifest.h2Long(k))
-      }
+      // the bitmap mixers keep the dividend's sign and the MINT
+      // rejects negative positions loudly (BloomManifest.mix scaladoc)
+      // — so a negative probe key structurally cannot be in any file:
+      // report absent instead of handing BitSet.get a negative index
+      val (i1, i2) = (BloomManifest.h1Long(k), BloomManifest.h2Long(k))
+      val passing =
+        if (i1 < 0 || i2 < 0) Nil
+        else fileMeta.filter { case (sh, _, _, b1, b2) =>
+          sh == routed(k) && b1.get(i1) && b2.get(i2)
+        }
       val bySeqDesc = passing.groupBy(_._2).toSeq.sortBy(-_._1)
       var opened = Vector.empty[String]
       var verdict: Option[(Seq[Seq[Any]], Int)] = None

@@ -154,14 +154,26 @@ object Fs {
     *
     * `f` MUST complete well under `staleMs`: past it, a breaker may
     * legitimately take the lease over. Ownership is carried by a
-    * holder TOKEN file inside the lease directory — the release
-    * deletes the lease only after verifying its own token is still
-    * inside (a holder that outlived `staleMs` and got broken finds a
-    * successor's token, or none, and releases NOTHING — the old
-    * unconditional delete would have killed the successor's live
-    * lease and admitted a third holder), and the breaker re-checks
-    * the renamed-aside lease's age before discarding it, returning a
-    * fresh lease it raced by mistake. */
+    * holder TOKEN file inside the lease directory. The release is a
+    * one-winner CAPTURE, never a blind delete: the holder renames the
+    * lease to a private path, verifies the captured directory carries
+    * its OWN token, and only then deletes it — a capture that turns
+    * out to hold a SUCCESSOR's lease (this holder overstayed, was
+    * broken, and a successor claimed between the ownership check and
+    * the capture) is put straight back, so an overstayed holder can
+    * never destroy its successor's live lease (the old
+    * listNames-then-delete was check-then-act and kept exactly that
+    * window). The lease's age is refreshed at every claim ATTEMPT —
+    * not just at staging time — so a claimant that spun through a
+    * long contention period still acquires a lease born at age ~0
+    * (unrefreshed, a lease could be breakable the instant it landed).
+    * The breaker re-checks the renamed-aside lease's age before
+    * discarding it and returns a fresh lease it raced by mistake,
+    * retrying the put-back briefly if a third claim landed in the
+    * window. Residual physical race (unavoidable with rename-only
+    * primitives): a breaker that measures a stale age can capture a
+    * lease released-and-reclaimed in the same instant — kept harmless
+    * in practice by the f ≪ staleMs contract above. */
   def withLease[T](s: SparkSession, leasePath: String,
       staleMs: Long = 600000L, timeoutMs: Long = 120000L)(f: => T): T = {
     val (fs, p) = fsp(s, leasePath)
@@ -171,10 +183,22 @@ object Fs {
     fs.mkdirs(staged)
     fs.create(new org.apache.hadoop.fs.Path(staged, s"holder_$tok"), true)
       .close()
+    // refresh the staged dir's mtime so the lease, whenever its claim
+    // finally lands, is born at age ~0 (setTimes where supported; a
+    // marker-file rotation updates the dir mtime everywhere else)
+    def refreshAge(): Unit =
+      try fs.setTimes(staged, System.currentTimeMillis(), -1L)
+      catch {
+        case _: Exception =>
+          val m = new org.apache.hadoop.fs.Path(staged, s"ts_$tok")
+          fs.delete(m, false)
+          fs.create(m, true).close()
+      }
     val deadline = System.currentTimeMillis() + timeoutMs
     try {
       var held = false
       while (!held) {
+        refreshAge()
         held = claimRaw(s, staged.toString, leasePath)
         if (!held) {
           // lease taken: break it if stale, else wait and retry. The
@@ -207,8 +231,19 @@ object Fs {
                   case t => System.currentTimeMillis() - t
                 }
                 if (asideAge > staleMs) fs.delete(aside, true): Unit
-                else if (!claimRaw(s, aside.toString, leasePath))
-                  fs.delete(aside, true): Unit // a third claim landed
+                else {
+                  // a FRESH lease was captured by mistake — put it
+                  // back. A third claim may transiently hold the path;
+                  // retry briefly rather than destroying the victim's
+                  // live lease on the first failure.
+                  var returned = false
+                  val until = System.currentTimeMillis() + 2000L
+                  while (!returned && System.currentTimeMillis() < until) {
+                    returned = claimRaw(s, aside.toString, leasePath)
+                    if (!returned) Thread.sleep(10)
+                  }
+                  if (!returned) fs.delete(aside, true): Unit
+                }
               }
             } catch {
               case _: java.io.IOException => () // lost the break race
@@ -219,12 +254,32 @@ object Fs {
         }
       }
       try f finally {
-        // release ONLY what we still own: if our token is gone, a
-        // breaker (rightly — f overstayed staleMs) took the lease
-        // over, and deleting the path now would kill the successor's
-        // live lease
-        if (listNames(s, leasePath).contains(s"holder_$tok"))
-          fs.delete(p, true): Unit
+        // release by one-winner CAPTURE: rename the lease to a private
+        // path, verify the captured dir carries OUR token, delete only
+        // then. The capture-then-verify closes the old
+        // listNames-then-delete race — if between the ownership check
+        // and the delete a breaker replaced us with a successor, the
+        // capture holds the SUCCESSOR's lease, the token mismatch is
+        // detected, and the lease goes straight back (brief retry if a
+        // third claim landed inside the put-back window).
+        val rel = new org.apache.hadoop.fs.Path(
+          p.getParent, s"_lease_released_$tok")
+        try {
+          if (listNames(s, leasePath).contains(s"holder_$tok") &&
+              claimRaw(s, leasePath, rel.toString)) {
+            if (listNames(s, rel.toString).contains(s"holder_$tok"))
+              fs.delete(rel, true): Unit
+            else {
+              var returned = false
+              val until = System.currentTimeMillis() + 2000L
+              while (!returned && System.currentTimeMillis() < until) {
+                returned = claimRaw(s, rel.toString, leasePath)
+                if (!returned) Thread.sleep(10)
+              }
+              if (!returned) fs.delete(rel, true): Unit
+            }
+          } // token already gone: a breaker (rightly) took over — no-op
+        } catch { case _: java.io.IOException => () }
       }
     } finally fs.delete(staged, true): Unit
   }

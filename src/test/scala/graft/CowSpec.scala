@@ -303,6 +303,15 @@ class CowSpec extends AnyFunSuite {
       .filter($"doc_id".isin(kUpd, kDel)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(vals == Map(kUpd -> 123L))
+    // a NEGATIVE probe key structurally cannot be in any file (the
+    // bitmap mint rejects negative positions) — the point reader must
+    // report absent, never hand BitSet.get a negative index
+    val negs = CowSnapshots.pointReadLatest(spark, root, v2,
+      Seq(-1L, Long.MinValue, kUpd))
+    assert(negs.filter(_.key < 0).forall(pr =>
+      pr.rows.isEmpty && pr.filesOpened.isEmpty))
+    assert(negs.find(_.key == kUpd).get
+      .rows.map(_(1)) == Seq(123L))
   }
 
   test("exactly-once: a replayed batch id is a pure no-op; the orphan " +
