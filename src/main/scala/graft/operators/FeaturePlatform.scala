@@ -5258,7 +5258,87 @@ object FeaturePlatform extends QueryModule {
                CAST(sum(c) AS BIGINT) AS sum_cents,
                true AS maintained_equals_recompute,
                true AS diff_reads_minority_of_shards
-        FROM finp GROUP BY p ORDER BY prio"""))
+        FROM finp GROUP BY p ORDER BY prio""")),
+
+    Q(
+      "q455_cow_chain_ranged_read",
+      "CHAIN-AWARE RANGE READ — q450's zone-map skipping completed " +
+        "for the version state q450's contract excludes: a version " +
+        "that CARRIES merge-on-read delta chains. Per-file skipping " +
+        "is unsound on a delta-bearing shard (a chain row can move a " +
+        "key INTO or OUT of the band, and a delete's absence is " +
+        "invisible to any base file's min/max), so " +
+        "readVersionRangedResolved splits the fleet by the manifest " +
+        "alone: flat shards prune their file lists from the " +
+        "commit-minted zone maps exactly as q450's read does — zero " +
+        "data reads for the decision — while the delta-bearing " +
+        "shards resolve latest-wins over their full chains first and " +
+        "range-filter after. Between compactions the range tax is " +
+        "band-overlapping flat files + the touched shards' chains, " +
+        "BOTH minorities of the fleet on a CDC cadence — and both " +
+        "asserted structurally here: band rows and cents recomputed " +
+        "independently by the oracle from the post-delta algebra " +
+        "(the updated keys' +7-cent shift and the retracted key's " +
+        "absence are IN the graded numbers), the ranged read " +
+        "fingerprint-equal to the full resolved scan's band filter, " +
+        "flat opens a minority of flat files, and delta-bearing " +
+        "shards a minority of the 16-shard fleet. 100 TB: a range " +
+        "probe on a live CDC table costs the overlapping flat files " +
+        "plus O(touched chains) — never a corpus scan, and never a " +
+        "wrong answer bought from a stale zone map.",
+      (s, dir) => {
+        import graft.sink.CowSnapshots
+        import graft.CdcFixture
+        import s.implicits._
+        val of = CdcFixture.orders(s, dir)
+        val o = of.drop("prio")
+        val root = graft.TempRoots
+          .freshForDir("graft_cow_chainrange", dir).toString
+        val nSh = 16
+        val mx = CdcFixture.maxKey(of)
+        // ~6-10 sorted files per shard at every sf, so each file
+        // covers a narrow cents range and the band prunes hard
+        val cap = math.max(16L, o.count() / 160L)
+        val v1 = CowSnapshots.writeVersion(o, root, "doc_id",
+          "seed42", nSh, maxRecordsPerFile = cap,
+          sortColumns = Seq("cents"))
+        val v2 = CowSnapshots.appendDeltas(s, root,
+          CdcFixture.toMerge(CdcFixture.tinyBatch(of, mx)),
+          "doc_id", "seed42", nSh)
+        val (lo, hi) = (20000000L, 21000000L)
+        val rr = CowSnapshots
+          .readVersionRangedResolved(s, root, v2, "cents", lo, hi)
+        def fp(df: org.apache.spark.sql.DataFrame): Seq[Any] = df
+          .agg(count(lit(1)), sum($"cents"),
+            sum(xxhash64($"doc_id", $"cents").cast("decimal(38,0)")))
+          .head().toSeq
+        val full = CowSnapshots.readVersion(s, root, Some(v2))
+          .where($"cents".between(lo, hi))
+        val equalsFull = fp(rr.df) == fp(full)
+        val flatPruned =
+          rr.flatFilesOpened * 2 < rr.flatFilesTotal &&
+            rr.flatFilesOpened > 0
+        val deltaMinority =
+          rr.deltaShards > 0 && rr.deltaShards * 2 < rr.nShards
+        rr.df.agg(count(lit(1)).as("n_rows"),
+            sum($"cents").as("sum_cents"))
+          .select($"n_rows", $"sum_cents",
+            lit(equalsFull).as("equals_full_resolved_scan"),
+            lit(flatPruned).as("flat_band_opens_minority"),
+            lit(deltaMinority).as("delta_shards_minority_of_fleet"))
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders)${graft.CdcFixture.oracleTinyStateCte("fin",
+            withSecond = false)}
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               true AS equals_full_resolved_scan,
+               true AS flat_band_opens_minority,
+               true AS delta_shards_minority_of_fleet
+        FROM fin WHERE c BETWEEN 20000000 AND 21000000"""))
   )
 
   /** q431's oracle: both EM rounds unrolled as materialized CTE chains

@@ -912,6 +912,78 @@ object CowSnapshots {
     (kept.size.toLong, allFiles.length.toLong, df)
   }
 
+  /** A chain-aware ranged read's audit shape: zone-map pruning applied
+    * to the FLAT shards, full chain resolution on the delta-bearing
+    * ones, and the file accounting callers grade structurally. */
+  final case class RangedRead(flatFilesOpened: Long,
+      flatFilesTotal: Long, deltaShardFiles: Long, deltaShards: Long,
+      nShards: Long, df: DataFrame)
+
+  /** Range read over ANY version — the chain-aware completion of
+    * [[readVersionRanged]]'s flat-only contract: shards WITHOUT delta
+    * chains prune their file list from the manifest's zone maps
+    * exactly as the flat read does (zero data reads for the
+    * decision), while delta-BEARING shards are resolved latest-wins
+    * over their full chains first and range-filtered after — a chain
+    * row can move a key INTO or OUT of the band (an update changing
+    * the column) or remove it entirely (a delete), so no per-file
+    * skipping decision is sound there until [[compactDeltas]] folds
+    * the chain flat again. Between compactions the range tax is
+    * therefore: band-overlapping flat files + the touched shards'
+    * chains — both minorities of the fleet on a CDC cadence, and both
+    * reported in the returned [[RangedRead]] so callers can assert
+    * it. */
+  def readVersionRangedResolved(s: SparkSession, root: String, v: Int,
+      column: String, lo: Long, hi: Long): RangedRead = {
+    val es = allEntries(s, root, v)
+    val deltaShardSet = es.filter(_._4 > 0).map(_._1).toSet
+    val (deltaEs, _) = es.partition(e => deltaShardSet.contains(e._1))
+    val recorded = versionSchema(s, root, v)
+    val (_, nShards) = versionRouting(s, root, v)
+    val stats = statsRows(s, root, v).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    require(stats.nonEmpty, s"version $v has no zone-map rows — " +
+      "groups minted before stats existed must be republished")
+    val flatStats = stats.filterNot(t => deltaShardSet.contains(t._1))
+    val flatFiles = flatStats.map(_._2).distinct
+    val colStats = flatStats.filter(_._3 == column)
+    val statted = colStats.map(_._2).toSet
+    val kept = colStats.collect {
+      case (_, f, _, mn, mx)
+        if mn.forall(_ <= hi) && mx.forall(_ >= lo) => f
+    } ++ flatFiles.filterNot(statted.contains)
+    val deltaFiles = stats
+      .filter(t => deltaShardSet.contains(t._1)).map(_._2).distinct
+    val flatDf =
+      if (kept.isEmpty) None
+      else {
+        val raw = s.read.option("mergeSchema", "true")
+          .parquet(kept.toIndexedSeq: _*)
+        val have = raw.columns.toSet
+        Some(raw.select(recorded.fields.toIndexedSeq.map { f =>
+          if (have.contains(f.name))
+            col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name) }: _*)
+          .where(col(column).between(lo, hi)))
+      }
+    val deltaDf =
+      if (deltaEs.isEmpty) None
+      else Some(readEntries(s, root, v, deltaEs)
+        .where(col(column).between(lo, hi)))
+    val df = (flatDf, deltaDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), recorded)
+    }
+    RangedRead(kept.size.toLong, flatFiles.length.toLong,
+      deltaFiles.length.toLong, deltaShardSet.size.toLong,
+      nShards.toLong, df)
+  }
+
   /** One resolved point read: the key's surviving row values (aligned
     * to the version's recorded schema; empty = absent or deleted),
     * the files actually OPENED, and whether the verdict came from

@@ -60,6 +60,30 @@ object CrossDriverProbe {
           out.println(s"$i $won")
         }
         out.close()
+      case "merge" =>
+        // optimistic multi-writer CDC: N single-key inserts against
+        // the SHARED CowSnapshots store at <root>/store, each retried
+        // when the lost-update guard aborts a publish derived from a
+        // parent the other driver advanced past (the retry re-derives
+        // against the new latest — the Delta/Iceberg commit loop)
+        import s.implicits._
+        val out = new java.io.PrintWriter(s"$root/merge_$id.log")
+        val base = if (id == "b") 2000000L else 1000000L
+        (1 to n).foreach { i =>
+          val ch = Seq(("insert", base + i, base + i))
+            .toDF("op", "doc_id", "cents")
+          var v = -1
+          while (v < 0) {
+            try v = graft.sink.CowSnapshots.mergeVersion(
+              s, s"$root/store", ch, "doc_id", "s", 4)
+            catch {
+              case e: IllegalArgumentException
+                if e.getMessage.contains("lost update") => ()
+            }
+          }
+          out.println(s"$i $v")
+        }
+        out.close()
     }
     s.stop()
   }

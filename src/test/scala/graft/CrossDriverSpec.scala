@@ -125,4 +125,55 @@ class CrossDriverSpec extends AnyFunSuite {
       }
     } finally p.destroyForcibly(): Unit
   }
+
+  test("TWO real JVMs as optimistic CDC writers on ONE copy-on-write " +
+    "store: the lost-update abort + retry loop converges with every " +
+    "merge applied exactly once and a linear version history") {
+    import graft.sink.CowSnapshots
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_xdrv_merge").toString
+    val store = s"$root/store"
+    val baseKeys = (1L to 50L).toSeq
+    CowSnapshots.writeVersion(
+      baseKeys.map(k => (k, k * 10L)).toDF("doc_id", "cents"),
+      store, "doc_id", "s", 4)
+    val n = 4
+    val p = spawnProbe("merge", root, "b", n, staleMs = 60000L)
+    try {
+      awaitReadyThenGo(root, "b")
+      (1 to n).foreach { i =>
+        val ch = Seq(("insert", 1000000L + i, 1000000L + i))
+          .toDF("op", "doc_id", "cents")
+        var v = -1
+        while (v < 0) {
+          try v = CowSnapshots.mergeVersion(
+            spark, store, ch, "doc_id", "s", 4)
+          catch {
+            case e: IllegalArgumentException
+              if e.getMessage.contains("lost update") => ()
+          }
+        }
+      }
+      assert(p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+        "probe JVM did not finish")
+      assert(p.exitValue() == 0,
+        s"probe failed; tail of probe_b.out:\n" + scala.util.Try(
+          scala.io.Source.fromFile(s"$root/probe_b.out").getLines()
+            .toSeq.takeRight(20).mkString("\n")).getOrElse("?"))
+      // linear history: base + exactly one committed version per merge
+      assert(CowSnapshots.committedVersions(spark, store) ==
+        (1 to 2 * n + 1).toSeq,
+        "every surviving commit slot must be a distinct linear version")
+      // zero lost updates: the final state holds the base AND all
+      // 2n inserts from BOTH drivers, each exactly once
+      val fin = CowSnapshots.readVersion(spark, store, None)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val want = (baseKeys ++ (1 to n).map(1000000L + _) ++
+        (1 to n).map(2000000L + _)).sorted
+      assert(fin == want,
+        "a merge was lost or doubled across the two drivers")
+    } finally p.destroyForcibly(): Unit
+  }
 }
