@@ -3703,8 +3703,10 @@ object AnalyticsPatterns extends QueryModule {
         "carry ~22% each, 5-9 ~2%, so the answer clears the " +
         "threshold with a >5pp margin on both sides at every SF). " +
         "The exact confirm pass then counts ONLY candidate keys " +
-        "(the isin filter reaches the scan) and keeps those with " +
-        "n*6 > N — so the final answer is EXACT and partitioning-" +
+        "(the isin filter runs before the aggregate, so " +
+        "non-candidates never reach the shuffle) and keeps those " +
+        "with n*6 > N — so the final answer is EXACT and " +
+        "partitioning-" +
         "invariant, which is what lets a trained-sketch-free query " +
         "take a bit-exact DuckDB oracle where q134/q264 are " +
         "rows-only. The certificate rides as theorem booleans " +

@@ -51,6 +51,20 @@ class AhoSpec extends AnyFunSuite {
     }
   }
 
+  test("q453 plan: the ac_mask projection stays inside whole-stage " +
+    "codegen — the one-DFA-pass-per-document claim is only worth its " +
+    "name if the scan loop is codegen'd, not interpreter-fallback") {
+    val pats = graft.functions.TextAnalysis.q453Patterns
+    val df = Tables.t(spark, sfDir, "documents")
+      .select(AhoCorasick.ac_mask($"text", pats).as("m"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("ac_mask")),
+      s"ac_mask fell out of WholeStageCodegen:\n${plan.take(1200)}")
+  }
+
   test("non-ASCII UTF-8 patterns: byte-level presence equals " +
     "character-level presence") {
     val pats = Seq("héllo", "é", "日本", "ab")
