@@ -483,10 +483,12 @@ object Dedup extends QueryModule {
     * pick the manifest up as a malformed signature file. Empty until the
     * first compaction. */
   def foldedSignatureKeys(s: SparkSession, indexRoot: String): Set[String] = {
-    import s.implicits._
     val p = s"${indexRoot}_folded_batches"
     if (!graft.sink.Fs.exists(s, p)) Set.empty
-    else s.read.parquet(p).as[String].collect().toSet
+    // driver-side read (TinyParquet): the ledger is driver-sized
+    // metadata — a Spark job per lookup was pure overhead
+    else graft.sink.TinyParquet.read(s, p, Seq("batch_key" -> "string"))
+      .map(_.head.asInstanceOf[String]).toSet
   }
 
   /** MAINTENANCE: fold every batch subdirectory of the signature index
@@ -530,8 +532,9 @@ object Dedup extends QueryModule {
         .write.mode("overwrite").parquet(s"$staged/base")
     }
     if (keys.nonEmpty)
-      keys.toDF("batch_key").coalesce(1)
-        .write.mode("append").parquet(s"${indexRoot}_folded_batches")
+      graft.sink.TinyParquet.write(s, s"${indexRoot}_folded_batches",
+        Seq("batch_key" -> "string"), keys.map(Seq(_)),
+        overwrite = false)
     // clear AFTER the publish (the ordering argument lives on
     // Tombstones.clear)
     graft.sink.Tombstones.clear(s, s"${indexRoot}_tombstones", "doc_id")

@@ -1259,14 +1259,26 @@ object GraphSelection extends QueryModule {
         .join(k2, $"pb" === $"n2", "left_semi")
         .groupBy($"pa").agg(count(lit(1)).as("d"))
     }
+    // For ASCENDING ks, each k-core is CONTAINED in the previous one
+    // (Seidman: the k-core is a subgraph of the (k-1)-core), and the
+    // peel's unique fixpoint is reached from ANY seed that is a
+    // superset of the core — so each peel starts from the previous
+    // k's converged core instead of the full node set, skipping the
+    // early rounds that would just re-peel what the previous k
+    // already removed. Bit-identical by the same order-independence
+    // argument the oracle's fixed unroll relies on (GraphPathSpec
+    // asserts the stats against the from-scratch form). A
+    // non-ascending k falls back to the full seed.
+    var prevSeed: Option[(org.apache.spark.sql.DataFrame, Long, Int)] =
+      None
     ks.map { k =>
-      var kept = edges.select($"pa".as("n")).distinct()
-        .localCheckpoint(true)
-      // early-exit at the fixpoint: identical to the oracle's fixed
-      // 16 rounds (peeling is idempotent there), but the 10x Stress
-      // probe measured the convergence tail as most of the wall —
-      // the count() per round is against a checkpointed frame
-      var prev = kept.count()
+      var (kept, prev) = prevSeed match {
+        case Some((core, n, pk)) if k >= pk => (core, n)
+        case _ =>
+          val full = edges.select($"pa".as("n")).distinct()
+            .localCheckpoint(true)
+          (full, full.count())
+      }
       var round = 0
       var converged = false
       while (round < 16 && !converged) {
@@ -1278,6 +1290,7 @@ object GraphSelection extends QueryModule {
         prev = cur
         round += 1
       }
+      prevSeed = Some((kept, prev, k))
       val st = survivors(kept, prev)
         .agg(count(lit(1)).as("nn"),
           coalesce(sum($"d"), lit(0L)).as("dd"),

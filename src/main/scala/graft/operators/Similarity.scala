@@ -1941,9 +1941,10 @@ object Similarity extends QueryModule {
       pk.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
     }.toDF("subspace", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    Seq.empty[String].toDF("batch_key")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/compacted_batches")
+    // driver-side mint (TinyParquet): the ledger is driver-sized
+    // metadata — a Spark write job per index build was pure overhead
+    graft.sink.TinyParquet.write(s, s"$path/compacted_batches",
+      Seq("batch_key" -> "string"), Nil, overwrite = true)
     // the (initially empty) tombstone set — deletes append here,
     // searches anti-join it, compaction applies + clears it
     graft.sink.Tombstones.clear(s, s"$path/tombstones", "vec_id")
@@ -1969,32 +1970,56 @@ object Similarity extends QueryModule {
       throw new IllegalStateException(
         s"no committed lists generation under $path — writeIvfIndex first"))
 
+  /** Driver-artifact cache for the tiny per-index metadata tables the
+    * verbs reload constantly — codebooks (immutable once minted),
+    * PQ codebooks, and the compacted-batches ledger (append-only).
+    * Keyed by (dir, INCARNATION = sorted part-file listing): every
+    * rewrite/append mints fresh UUID part names, so a changed table is
+    * a NEW cache key and a stale row is unreachable — the same
+    * discipline as the snapshot stores' manifest caches, applied to
+    * the index family. Each lookup costs one metadata listing; the
+    * previous shape paid a small Spark job per call — an add + search
+    * lifecycle pays it ~6-10 times per index. */
+  private val artifactCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), AnyRef]()
+
+  private def cachedArtifact[T <: AnyRef](s: SparkSession, dir: String)(
+      load: => T): T = {
+    val inc = graft.sink.Fs.listNames(s, dir)
+      .filter(_.endsWith(".parquet")).mkString(",")
+    artifactCache.keySet.removeIf(k => k._1 == dir && k._2 != inc)
+    artifactCache.computeIfAbsent((dir, inc), _ => load).asInstanceOf[T]
+  }
+
   /** Reload the persisted coarse codebook (k rows — a driver artifact,
     * same class as the LSH plane matrix). */
-  def readIvfCodebook(s: SparkSession, path: String): Array[Array[Double]] = {
-    import s.implicits._
-    s.read.parquet(s"$path/codebook").orderBy($"cid")
-      .select($"centroid").collect()
-      .map(_.getSeq[Double](0).toArray)
-  }
+  def readIvfCodebook(s: SparkSession, path: String): Array[Array[Double]] =
+    cachedArtifact(s, s"$path/codebook") {
+      import s.implicits._
+      s.read.parquet(s"$path/codebook").orderBy($"cid")
+        .select($"centroid").collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
 
   /** Reload the persisted per-subspace PQ codebooks (m×k rows — the same
     * driver-artifact class as the coarse codebook). */
-  def readPqCodebooks(s: SparkSession, path: String): Seq[Array[Array[Double]]] = {
-    import s.implicits._
-    s.read.parquet(s"$path/pq_codebooks").orderBy($"subspace", $"cid")
-      .collect()
-      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getSeq[Double](2).toArray))
-  }
+  def readPqCodebooks(s: SparkSession, path: String): Seq[Array[Array[Double]]] =
+    cachedArtifact(s, s"$path/pq_codebooks") {
+      import s.implicits._
+      s.read.parquet(s"$path/pq_codebooks").orderBy($"subspace", $"cid")
+        .collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Double](2).toArray))
+    }
 
   /** Batch keys [[compactIvfLists]] has folded into base — empty until
     * the first compaction. */
-  def compactedBatchKeys(s: SparkSession, path: String): Set[String] = {
-    import s.implicits._
-    s.read.parquet(s"$path/compacted_batches")
-      .as[String].collect().toSet
-  }
+  def compactedBatchKeys(s: SparkSession, path: String): Set[String] =
+    cachedArtifact(s, s"$path/compacted_batches") {
+      graft.sink.TinyParquet.read(s, s"$path/compacted_batches",
+        Seq("batch_key" -> "string"))
+        .map(_.head.asInstanceOf[String]).toSet
+    }
 
   // ——— Tombstone / delete lifecycle (q415) ———
   //
@@ -2127,8 +2152,9 @@ object Similarity extends QueryModule {
         .mode("overwrite").parquet(staged)
     }
     if (folded.nonEmpty)
-      folded.toDF("batch_key").coalesce(1)
-        .write.mode("append").parquet(s"$path/compacted_batches")
+      graft.sink.TinyParquet.write(s, s"$path/compacted_batches",
+        Seq("batch_key" -> "string"), folded.map(Seq(_)),
+        overwrite = false)
     // tombstones are now physically applied — clear the set AFTER the
     // lists swap (the ordering argument lives on Tombstones.clear). A
     // vector re-ADDED after this clear is new data and searches

@@ -78,10 +78,17 @@ object CowSnapshots {
   private def commitSlots(s: SparkSession, root: String): Seq[String] =
     Fs.listDirNames(s, manifestDir(root)).filter(_.startsWith("c_"))
 
-  private def readManifest(s: SparkSession, root: String,
-      slots: Seq[String]): DataFrame =
-    s.read.option("recursiveFileLookup", "true")
-      .parquet(slots.map(n => s"${manifestDir(root)}/$n"): _*)
+  /** The manifest row's flat schema — written and read DRIVER-SIDE
+    * ([[TinyParquet]]): manifest rows are driver-sized on both ends
+    * (shards x chain length), and the Spark-job round trip per
+    * commit/meta-read was pure per-publish overhead (the Delta-log
+    * discipline: transaction metadata is driver I/O, never a cluster
+    * job). */
+  private val manifestRowSchema: TinyParquet.Schema = Seq(
+    "version" -> "int", "shard" -> "int", "dir" -> "string",
+    "n_rows" -> "long", "seq" -> "int", "schema_ddl" -> "string",
+    "key_col" -> "string", "seed" -> "string", "n_shards" -> "int",
+    "batch_id" -> "string")
 
   /** Committed versions from the SLOT LISTING alone — the slot name
     * IS the version (claimed as `c_N`), so resolution is one
@@ -131,16 +138,16 @@ object CowSnapshots {
     metaCache.keySet.removeIf(k =>
       k._1 == root && k._2 == v && k._3 != inc)
     metaCache.computeIfAbsent((root, v, inc), _ => {
-      import s.implicits._
-      val rows = readManifest(s, root, Seq(s"c_$v"))
-        .select($"shard", $"dir", $"n_rows", $"seq", $"schema_ddl",
-          $"key_col", $"seed", $"n_shards", $"batch_id")
-        .as[(Int, String, Long, Int, String, String, String, Int,
-          Option[String])]
-        .collect()
+      val rows = TinyParquet.read(s, s"${manifestDir(root)}/c_$v",
+        manifestRowSchema)
       val h = rows.head
-      Meta(rows.map(r => (r._1, r._2, r._3, r._4))
-        .sortBy(e => (e._1, e._4)).toSeq, h._5, h._6, h._7, h._8, h._9)
+      Meta(rows.map(r => (r(1).asInstanceOf[Int],
+          r(2).asInstanceOf[String], r(3).asInstanceOf[Long],
+          r(4).asInstanceOf[Int]))
+        .sortBy(e => (e._1, e._4)),
+        h(5).asInstanceOf[String], h(6).asInstanceOf[String],
+        h(7).asInstanceOf[String], h(8).asInstanceOf[Int],
+        Option(h(9).asInstanceOf[String]))
     })
   }
 
@@ -207,20 +214,42 @@ object CowSnapshots {
     * band probe to the 1-2 files per shard that hold it. */
   private def buildGroup(df: DataFrame, root: String, keyCol: String,
       nShards: Int, maxRecordsPerFile: Long,
-      sortColumns: Seq[String] = Nil): (String, Map[Int, Long]) = {
+      candShards: Seq[Int], sortColumns: Seq[String] = Nil)
+      : (String, Map[Int, Long]) = {
     val s = df.sparkSession
     import s.implicits._
     val tok = java.util.UUID.randomUUID().toString.take(12)
     val staged = s"$root/_staging/$tok"
     val order = (col("shard") +: sortColumns.map(col)) :+ col(keyCol)
+    // per-shard counts ride the WRITE job as an Observation (one sum
+    // per candidate shard id — the caller knows the routing domain)
+    // instead of a separate count job re-reading the staged bytes:
+    // same counts, one job and one whole-group scan fewer per publish
+    // (guide §1.2 — every version mint pays this). The observe sits
+    // ABOVE the range exchange: range partitioning runs a separate
+    // bounds-sampling pass over its child, and a metrics node below
+    // the exchange would accumulate both passes (measured:
+    // exactly-double counts); above it, only the real write pass
+    // flows through, and the in-file sort applies after the
+    // pass-through metrics node — layout unchanged.
+    val obs = new org.apache.spark.sql.Observation(
+      "group_audit_" + tok)
+    val audits = candShards.map(k =>
+      sum(when($"shard" === k, 1L).otherwise(0L)).as(s"n_$k"))
     df.repartitionByRange(nShards, $"shard")
+      .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
       .write.partitionBy("shard")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(staged)
+    val metrics = obs.get
+    val counts: Map[Int, Long] = candShards.flatMap { k =>
+      metrics.get(s"n_$k") match {
+        case Some(n: Long) if n > 0L => Some(k -> n)
+        case _ => None
+      }
+    }.toMap
     val back = s.read.parquet(staged)
-    val counts = back.groupBy($"shard").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     import graft.catalyst.BitmapAgg.bitmap_agg
     val statCols = back.schema.fields.filter { f =>
       f.name != "shard" && (f.dataType ==
@@ -307,12 +336,11 @@ object CowSnapshots {
       var attempts = 0
       var done = false
       while (!done) {
-        rows.map { case (sh, dir, n, seq) =>
-          (vTry, sh, dir, n, seq, schemaDdl, keyCol, seed, nShards,
-            batchId.orNull) }
-          .toDF("version", "shard", "dir", "n_rows", "seq",
-            "schema_ddl", "key_col", "seed", "n_shards", "batch_id")
-          .coalesce(1).write.mode("overwrite").parquet(ctokBase)
+        TinyParquet.write(s, ctokBase, manifestRowSchema,
+          rows.map { case (sh, dir, n, seq) =>
+            Seq(vTry, sh, dir, n, seq, schemaDdl, keyCol, seed,
+              nShards, batchId.orNull) },
+          overwrite = true)
         done = Fs.claim(s, ctokBase, s"${manifestDir(root)}/c_$vTry")
         if (!done) { vTry += 1; attempts += 1 }
         require(attempts < 10000,
@@ -324,8 +352,17 @@ object CowSnapshots {
     // harness clearing and rebuilding the same root, or expire
     // followed by fresh commits) — a landed claim is the one event
     // that makes any previously-cached (root, v) stale in THIS driver
-    // (another driver's reuse is covered by the mtime cache key)
+    // (another driver's reuse is covered by the incarnation cache key).
+    // The just-committed manifest is fully in hand, so pre-populate the
+    // cache with it: the next entries/schema/key lookup over this
+    // version costs a listing and zero Spark jobs.
     dropCached(root, v)
+    metaCache.put((root, v,
+        Fs.listNames(s, s"${manifestDir(root)}/c_$v")
+          .filter(_.endsWith(".parquet")).mkString(",")),
+      Meta(rows.map(r => (r._1, r._2, r._3, r._4))
+          .sortBy(e => (e._1, e._4)),
+        schemaDdl, keyCol, seed, nShards, batchId))
     v
   }
 
@@ -345,7 +382,7 @@ object CowSnapshots {
           shardOf(seed, col(keyCol), nShards))
         val (tok, counts) =
           buildGroup(df, root, keyCol, nShards, maxRecordsPerFile,
-            sortColumns)
+            0 until nShards, sortColumns)
         commitRows(s, root,
           counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) },
           docs.schema.toDDL, keyCol, seed, nShards, batchId)
@@ -417,12 +454,19 @@ object CowSnapshots {
     }
     val deltaShards = es.filter(_._4 > 0).map(_._1).toSet
     val (flat, chained) = es.partition(e => !deltaShards.contains(e._1))
+    // All reads below go PER GROUP with plain footer inference: a file
+    // group is written in one shot, so its schema is uniform — the
+    // old mergeSchema option launched a 32-task distributed
+    // footer-merge job per read (pure overhead for a handful of
+    // files), and cross-group schema drift (post-evolution) is
+    // already handled by conform() + unionByName, which is the
+    // recorded-schema truth mergeSchema only approximated.
     val flatDf =
       if (flat.isEmpty) None
-      else Some(conform(
-        s.read.option("mergeSchema", "true").parquet(flat.map {
-          case (sh, dir, _, _) => s"${filesDir(root)}/$dir/shard=$sh"
-        }: _*), Nil))
+      else Some(flat.groupBy(_._2).toSeq.map { case (dir, dirEs) =>
+        conform(s.read.parquet(dirEs.map { case (sh, _, _, _) =>
+          s"${filesDir(root)}/$dir/shard=$sh" }: _*), Nil)
+      }.reduce(_ unionByName _))
     val resolved =
       if (chained.isEmpty) None
       else {
@@ -432,9 +476,8 @@ object CowSnapshots {
         def readPart(entries: Seq[(Int, String, Long, Int)]) =
           entries.groupBy(e => (e._2, e._4)).toSeq
             .map { case ((dir, seq), rows) =>
-              val raw = s.read.option("mergeSchema", "true")
-                .parquet(rows.map(r =>
-                  s"${filesDir(root)}/$dir/shard=${r._1}"): _*)
+              val raw = s.read.parquet(rows.map(r =>
+                s"${filesDir(root)}/$dir/shard=${r._1}"): _*)
               val op = if (raw.columns.contains("op")) col("op")
                 else lit("upsert")
               conform(raw, Seq("_op" -> op, "_seq" -> lit(seq)))
@@ -598,7 +641,8 @@ object CowSnapshots {
         val merged = kept.unionByName(incoming)
           .withColumn("shard", shardOf(seed, col(keyCol), nShards))
         val (tok, counts) =
-          buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile)
+          buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile,
+            0 until nShards)
         val newRows = counts.toSeq.sorted
           .map { case (sh, n) => (sh, tok, n, 0) }
         // fault-injection seam (the q427/preClaim discipline): a
@@ -665,7 +709,7 @@ object CowSnapshots {
             col(f.name).cast(f.dataType).as(f.name))): _*)
           .withColumn("shard", shardOf(seed, col(keyCol), nShards))
         val (tok, counts) =
-          buildGroup(delta, root, keyCol, nShards, 0L)
+          buildGroup(delta, root, keyCol, nShards, 0L, 0 until nShards)
         val cur = allEntries(s, root, vCur)
         val maxSeq = cur.groupBy(_._1).view
           .mapValues(_.map(_._4).max).toMap
@@ -714,7 +758,7 @@ object CowSnapshots {
     val resolved = readEntries(s, root, vCur, chained)
       .withColumn("shard", shardOf(seed, col(keyCol), nShards))
     val (tok, counts) = buildGroup(resolved, root, keyCol,
-      deltaShards.size, maxRecordsPerFile)
+      deltaShards.size, maxRecordsPerFile, deltaShards.toSeq.sorted)
     commitRows(s, root,
       (flat.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
         counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) })
@@ -899,17 +943,30 @@ object CowSnapshots {
       if (kept.isEmpty)
         s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), recorded)
-      else {
-        val raw = s.read.option("mergeSchema", "true")
-          .parquet(kept.toIndexedSeq: _*)
+      else readFilesConformed(s, root, kept.toIndexedSeq, recorded)
+        .where(col(column).between(lo, hi))
+    (kept.size.toLong, allFiles.length.toLong, df)
+  }
+
+  /** Read absolute data-file paths conformed to `recorded`, grouped
+    * per file GROUP: a group is written in one shot so its schema is
+    * uniform — plain footer inference per group replaces the old
+    * mergeSchema option's 32-task distributed footer-merge job, and
+    * cross-group drift (post-evolution) is handled by the conform
+    * projection + unionByName, the recorded-schema truth. */
+  private def readFilesConformed(s: SparkSession, root: String,
+      files: Seq[String],
+      recorded: org.apache.spark.sql.types.StructType): DataFrame = {
+    val prefix = s"${filesDir(root)}/"
+    files.groupBy(f => f.stripPrefix(prefix).takeWhile(_ != '/')).toSeq
+      .map { case (_, fs) =>
+        val raw = s.read.parquet(fs: _*)
         val have = raw.columns.toSet
         raw.select(recorded.fields.toIndexedSeq.map { f =>
           if (have.contains(f.name))
             col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name) }: _*)
-          .where(col(column).between(lo, hi))
-      }
-    (kept.size.toLong, allFiles.length.toLong, df)
+      }.reduce(_ unionByName _)
   }
 
   /** A chain-aware ranged read's audit shape: zone-map pruning applied
@@ -958,16 +1015,8 @@ object CowSnapshots {
       .filter(t => deltaShardSet.contains(t._1)).map(_._2).distinct
     val flatDf =
       if (kept.isEmpty) None
-      else {
-        val raw = s.read.option("mergeSchema", "true")
-          .parquet(kept.toIndexedSeq: _*)
-        val have = raw.columns.toSet
-        Some(raw.select(recorded.fields.toIndexedSeq.map { f =>
-          if (have.contains(f.name))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name) }: _*)
-          .where(col(column).between(lo, hi)))
-      }
+      else Some(readFilesConformed(s, root, kept.toIndexedSeq, recorded)
+        .where(col(column).between(lo, hi)))
     val deltaDf =
       if (deltaEs.isEmpty) None
       else Some(readEntries(s, root, v, deltaEs)
@@ -1055,7 +1104,10 @@ object CowSnapshots {
       for ((seq, fs) <- bySeqDesc if verdict.isEmpty) {
         val paths = fs.map(_._3)
         opened = opened ++ paths
-        val hit = s.read.option("mergeSchema", "true")
+        // one (shard, seq) level = one manifest entry = one file
+        // group: schema uniform, plain footer inference (mergeSchema
+        // here cost a distributed footer-merge job per probe level)
+        val hit = s.read
           .parquet(paths: _*).where(col(keyCol) === k).collect().toSeq
         if (hit.nonEmpty) {
           val surviving =

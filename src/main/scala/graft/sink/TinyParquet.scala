@@ -1,0 +1,152 @@
+package graft.sink
+
+import org.apache.spark.sql.SparkSession
+
+/** DRIVER-SIDE parquet I/O for driver-sized FLAT metadata artifacts —
+  * commit manifests, tombstone sets, applied-batch ledgers. These are
+  * a handful of rows that already live on the driver on both sides of
+  * the I/O, yet routing them through a Spark write/read paid a full
+  * job per touch: task launch, committer temp-dir dance, listener
+  * round trips — measured 150-600 ms per tiny artifact on the
+  * lifecycle queries, dozens of touches per query. A lakehouse's
+  * transaction log is driver-written metadata (Delta's JSON commits,
+  * Iceberg's manifest lists) for exactly this reason; this object is
+  * that discipline for the engine's own stores, keeping the parquet
+  * format so every existing file (and any external reader) stays
+  * compatible — the reader consumes Spark-written files and Spark
+  * consumes these, bit-equal contents either way.
+  *
+  * Flat schemas only (int/long/double/string, nullable), which covers
+  * every manifest/ledger/tombstone table in the storage layer; nested
+  * artifacts (codebooks' array columns, view states) stay on the
+  * Spark writer. Files are written through the path's own Hadoop
+  * FileSystem (the [[Fs]] scheme-correctness argument), one file per
+  * write call with a fresh UUID name — the incarnation-keyed caches
+  * remain sound.
+  */
+object TinyParquet {
+
+  import org.apache.parquet.schema.{MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+
+  /** Column spec: name -> one of "int" | "long" | "double" | "string".
+    * All columns are written optional (Spark reads them nullable, the
+    * same as its own writer's default). */
+  type Schema = Seq[(String, String)]
+
+  private def messageType(schema: Schema): MessageType = {
+    val b = Types.buildMessage()
+    schema.foreach {
+      case (n, "int") => b.addField(Types.optional(INT32).named(n))
+      case (n, "long") => b.addField(Types.optional(INT64).named(n))
+      case (n, "double") => b.addField(Types.optional(DOUBLE).named(n))
+      case (n, "string") => b.addField(Types.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType()).named(n))
+      case (n, t) => throw new IllegalArgumentException(
+        s"TinyParquet: unsupported type $t for column $n")
+    }
+    b.named("spark_schema")
+  }
+
+  /** Write `rows` (null cells allowed) as ONE parquet file under the
+    * directory `dir` (created if absent; `overwrite = true` clears the
+    * directory first — same visible semantics as the Spark writer's
+    * overwrite at these call sites). */
+  def write(s: SparkSession, dir: String, schema: Schema,
+      rows: Seq[Seq[Any]], overwrite: Boolean): Unit = {
+    val (fs, d) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+    }
+    if (overwrite && fs.exists(d)) fs.delete(d, true): Unit
+    fs.mkdirs(d)
+    val file = new org.apache.hadoop.fs.Path(d,
+      s"part-${java.util.UUID.randomUUID().toString.take(12)}.parquet")
+    val mt = messageType(schema)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(mt, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val factory = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(mt)
+      rows.foreach { r =>
+        val g = factory.newGroup()
+        schema.zip(r).foreach {
+          case (_, null) => ()
+          case ((n, "int"), v) => g.append(n, v.asInstanceOf[Int])
+          case ((n, "long"), v) => g.append(n, v.asInstanceOf[Long])
+          case ((n, "double"), v) => g.append(n, v.asInstanceOf[Double])
+          case ((n, "string"), v) => g.append(n, v.asInstanceOf[String])
+          case ((n, t), _) => throw new IllegalArgumentException(
+            s"TinyParquet: unsupported type $t for column $n")
+        }
+        w.write(g)
+      }
+    } finally w.close()
+  }
+
+  /** Read every `*.parquet` file under `dir` (non-recursive; absent
+    * dir = no rows) into driver rows, null for absent optional cells.
+    * Columns are resolved BY NAME against `schema`, so files written
+    * by the Spark writer (its own column order) and by [[write]] read
+    * identically; a file missing a requested column yields nulls for
+    * it (the Spark reader's missing-column semantics). */
+  def read(s: SparkSession, dir: String, schema: Schema)
+      : Seq[Seq[Any]] = {
+    val (fs, d) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+    }
+    if (!fs.exists(d)) return Nil
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    files.flatMap { st =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          st.getPath)
+        .withConf(conf)
+        .build()
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        var g = r.read()
+        while (g != null) {
+          val gt = g.getType
+          out += schema.map { case (n, t) =>
+            val idx = gt.getFields.asScala.indexWhere(_.getName == n)
+            if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+            else t match {
+              case "int" => g.getInteger(idx, 0)
+              case "long" => g.getLong(idx, 0)
+              case "double" => g.getDouble(idx, 0)
+              case "string" => g.getString(idx, 0)
+              case other => throw new IllegalArgumentException(
+                s"TinyParquet: unsupported type $other for column $n")
+            }
+          }
+          g = r.read()
+        }
+        out.toSeq
+      } finally r.close()
+    }
+  }
+
+  private implicit class JListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      import scala.jdk.CollectionConverters._
+      l.iterator().asScala.toSeq
+    }
+  }
+}

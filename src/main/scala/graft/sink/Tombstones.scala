@@ -26,29 +26,39 @@ import org.apache.spark.sql.functions._
 object Tombstones {
 
   /** Append a kill list: first column cast to long as `idCol`,
-    * de-duplicated, one small file per delete call. */
-  def append(kill: DataFrame, store: String, idCol: String): Unit =
-    kill.select(col(kill.columns.head).cast("long").as(idCol))
-      .distinct()
-      .coalesce(1).write.mode("append").parquet(store)
+    * de-duplicated, one small file per delete call. The file lands
+    * DRIVER-SIDE ([[TinyParquet]]): a kill list is bounded metadata
+    * (the whole design premise — searches broadcast the set), so the
+    * collect is driver-sized by contract and the old
+    * distinct-shuffle + write-commit job per delete call was pure
+    * overhead. Same parquet layout on disk, bit-compatible with
+    * files the previous Spark writer left behind. */
+  def append(kill: DataFrame, store: String, idCol: String): Unit = {
+    val s = kill.sparkSession
+    val ids = kill.select(col(kill.columns.head).cast("long").as(idCol))
+      .collect().map(_.getLong(0)).distinct.sorted
+    TinyParquet.write(s, store, Seq(idCol -> "long"),
+      ids.map(id => Seq(id)).toSeq, overwrite = false)
+  }
 
   /** The current tombstone set (distinct ids; empty frame when the
-    * index predates the delete lifecycle or was just compacted). */
+    * index predates the delete lifecycle or was just compacted).
+    * Driver-read into a local relation: the anti-joins it feeds
+    * broadcast it anyway, and a local relation needs no scan job. */
   def read(s: SparkSession, store: String, idCol: String): DataFrame = {
     import s.implicits._
     // Fs.exists, not java.nio: the store lives beside the index, which
     // on a cluster is an hdfs://-style URI a local probe cannot see —
     // a false "absent" here would silently ignore every delete
     if (Fs.exists(s, store))
-      s.read.parquet(store).select(col(idCol)).distinct()
+      TinyParquet.read(s, store, Seq(idCol -> "long"))
+        .map(_.head.asInstanceOf[Long]).distinct.sorted.toDF(idCol)
     else Seq.empty[Long].toDF(idCol)
   }
 
   /** Reset the store to empty — call only after the compaction swap
     * has physically applied every pending delete. */
-  def clear(s: SparkSession, store: String, idCol: String): Unit = {
-    import s.implicits._
-    Seq.empty[Long].toDF(idCol)
-      .coalesce(1).write.mode("overwrite").parquet(store)
-  }
+  def clear(s: SparkSession, store: String, idCol: String): Unit =
+    TinyParquet.write(s, store, Seq(idCol -> "long"), Nil,
+      overwrite = true)
 }

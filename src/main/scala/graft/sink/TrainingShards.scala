@@ -73,20 +73,46 @@ object TrainingShards {
     val s = docs.sparkSession
     import s.implicits._
     val sharded = withShardIds(docs, seed, nShards)
+    // the per-shard audit rides the WRITE job as an Observation (one
+    // sum per shard id — shard_id = rk % nShards, so the domain is
+    // known) instead of a full read-back of the just-written bytes:
+    // same counts, one job and one whole-output scan fewer per publish
+    // (guide §1.2/§2.4 — a lifecycle query pays this on every
+    // version it mints). The observe node sits BELOW the repartition
+    // so the write's physical layout (range partition + in-file sort)
+    // is untouched.
+    val obs = new org.apache.spark.sql.Observation(
+      "shard_audit_" + java.util.UUID.randomUUID().toString.take(8))
     val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
+    val audits = (0 until nShards).map(k =>
+      sum(when($"shard_id" === k, 1L).otherwise(0L)).as(s"n_$k"))
     sharded
       // range partitioning: shard_id values map to distinct partitions
       // (one write task per shard). Hash repartition collides shard ids
       // (pmod(hash(id), n) is not a bijection) — output stays correct
       // but ~1/e of the tasks end up empty and others carry 2-3 shards
       .repartitionByRange(nShards, $"shard_id")
+      // the observe sits ABOVE the range exchange: range partitioning
+      // runs a separate bounds-SAMPLING pass over its child, and a
+      // metrics node below the exchange would accumulate both passes
+      // (measured: exactly-double counts); above it, only the real
+      // write pass flows through. sortWithinPartitions after a
+      // pass-through metrics node leaves the written layout unchanged.
+      .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
       .write.partitionBy("shard_id")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)
-    s.read.parquet(path)
-      .groupBy($"shard_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val metrics = obs.get
+    // same shape as the old read-back groupBy: shards with no rows
+    // produce no audit entry (and an all-empty write none at all —
+    // a sum over zero rows observes as null)
+    (0 until nShards).flatMap { k =>
+      metrics.get(s"n_$k") match {
+        case Some(n: Long) if n > 0L => Some((k, n))
+        case _ => None
+      }
+    }.toArray
   }
 
   // ——— Versioned snapshots (time travel, q424/q426/q427/q428) ———
@@ -130,38 +156,67 @@ object TrainingShards {
   private def commitSlots(s: SparkSession, path: String): Seq[String] =
     Fs.listDirNames(s, manifestDir(path)).filter(_.startsWith("c_"))
 
-  private def readManifest(s: SparkSession, path: String,
-      slots: Seq[String]): DataFrame =
-    // recursiveFileLookup: each commit is its own c_N subdirectory (the
-    // one-winner rename slot); the default hidden-path filter skips the
-    // _SUCCESS markers inside them
-    s.read.option("recursiveFileLookup", "true")
-      .parquet(slots.map(n => s"${manifestDir(path)}/$n"): _*)
+  /** The commit row's flat schema — written and read DRIVER-SIDE
+    * ([[TinyParquet]]): a manifest row is driver-sized metadata on
+    * both ends, and the Spark-job round trip it used to take was pure
+    * per-publish overhead (the Delta-log discipline: transaction
+    * metadata is driver I/O, never a cluster job). */
+  private val commitRowSchema: TinyParquet.Schema =
+    Seq("version" -> "int", "n_rows" -> "long", "batch_id" -> "string")
 
   /** Versions with a committed manifest row (empty for a fresh root).
-    * Existence-gated through [[Fs]], not a caught AnalysisException — a
-    * failed read would spam benign PATH_NOT_FOUND ERROR stacks through
-    * the listener bus on every fresh root. */
-  def committedVersions(s: SparkSession, path: String): Seq[Int] = {
-    import s.implicits._
-    val slots = commitSlots(s, path)
-    if (slots.isEmpty) Nil
-    else readManifest(s, path, slots)
-      .select($"version").as[Int].collect().toSeq.sorted
+    * Resolved from the SLOT LISTING alone — the slot name IS the
+    * version (claimed as `c_N`, carrying one row whose `version` = N),
+    * so resolution is one metadata listing and zero Spark jobs (the
+    * CowSnapshots discipline; previously every call paid a tiny
+    * manifest-read job, dozens per lifecycle query). Existence-gated
+    * through [[Fs]], not a caught AnalysisException — a failed read
+    * would spam benign PATH_NOT_FOUND ERROR stacks through the
+    * listener bus on every fresh root. */
+  def committedVersions(s: SparkSession, path: String): Seq[Int] =
+    commitSlots(s, path).map(_.stripPrefix("c_").toInt).sorted
+
+  /** One committed slot's (version, batch_id), cached per (path, slot,
+    * SLOT INCARNATION) — a c_N slot is immutable once claimed
+    * (retirement deletes it wholesale), and the incarnation key (the
+    * slot's sorted part-file listing; every manifest write mints fresh
+    * UUID part names) makes a recycled slot number a NEW cache key, so
+    * a wipe-and-rebuild or expire-reclaim — this driver's or another's
+    * — can never serve a stale row (the CowSnapshots metaCache
+    * discipline). First lookup per never-seen slot costs one tiny
+    * read; [[writeVersion]] pre-populates its own commit, so the
+    * common replay lookup costs a listing and zero jobs. */
+  private val slotCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, String, String), (Int, Option[String])]()
+
+  private def slotIncarnation(s: SparkSession, path: String,
+      slot: String): String =
+    Fs.listNames(s, s"${manifestDir(path)}/$slot")
+      .filter(_.endsWith(".parquet")).mkString(",")
+
+  private def slotMeta(s: SparkSession, path: String, slot: String)
+      : (Int, Option[String]) = {
+    val inc = slotIncarnation(s, path, slot)
+    slotCache.keySet.removeIf(k =>
+      k._1 == path && k._2 == slot && k._3 != inc)
+    slotCache.computeIfAbsent((path, slot, inc), _ => {
+      val r = TinyParquet.read(s, s"${manifestDir(path)}/$slot",
+        commitRowSchema).head
+      (r(0).asInstanceOf[Int], Option(r(2).asInstanceOf[String]))
+    })
   }
+
+  private def dropCachedSlot(path: String, slot: String): Unit =
+    slotCache.keySet.removeIf(k => k._1 == path && k._2 == slot): Unit
 
   /** batch_id -> version for every committed row that carries an id
     * (rows from id-less [[writeVersion]] calls are skipped). */
   def committedBatchVersions(s: SparkSession, path: String)
-      : Map[String, Int] = {
-    import s.implicits._
-    val slots = commitSlots(s, path)
-    if (slots.isEmpty) Map.empty
-    else readManifest(s, path, slots)
-      .select($"batch_id", $"version")
-      .where($"batch_id".isNotNull)
-      .as[(String, Int)].collect().toMap
-  }
+      : Map[String, Int] =
+    commitSlots(s, path).flatMap { slot =>
+      val (v, id) = slotMeta(s, path, slot)
+      id.map(_ -> v)
+    }.toMap
 
   /** Write `docs` as the next snapshot version under `path` and commit
     * it to the manifest (staged data build, one-winner data claim, then
@@ -262,9 +317,8 @@ object TrainingShards {
           bloomKeyCol.foreach(k => BloomManifest.mint(s,
             s"$path/v=$v/_bloom", s"$path/v=$v", k))
           if (commit) {
-            Seq((v, nRows, batchId.orNull))
-              .toDF("version", "n_rows", "batch_id")
-              .coalesce(1).write.mode("overwrite").parquet(ctok)
+            TinyParquet.write(s, ctok, commitRowSchema,
+              Seq(Seq(v, nRows, batchId.orNull)), overwrite = true)
             // the commit claim carries the data slot as its GUARD,
             // checked under the same lock the vacuum deletes under
             // (same-driver serialization), and the whole claim runs
@@ -285,6 +339,13 @@ object TrainingShards {
                 s"commit slot c_$v already owned — data claim was not " +
                   "exclusive")
             }
+            // pre-populate the slot cache with the row just committed
+            // (known in hand) so replay lookups over this root cost a
+            // listing and zero Spark jobs
+            dropCachedSlot(path, s"c_$v")
+            slotCache.put(
+              (path, s"c_$v", slotIncarnation(s, path, s"c_$v")),
+              (v, batchId)): Unit
           }
           v
         } finally {
@@ -329,6 +390,7 @@ object TrainingShards {
     val retired = committed.dropRight(keep)
     retired.foreach { v =>
       Fs.delete(s, s"${manifestDir(path)}/c_$v")
+      dropCachedSlot(path, s"c_$v")
       Fs.delete(s, s"$path/v=$v")
     }
     val survivors = committed.drop(retired.size).toSet

@@ -1,0 +1,109 @@
+package graft.tools
+
+import graft._
+
+/** Per-Spark-job profiler for MULTI-JOB lifecycle queries (the snapshot /
+  * CoW / index-maintenance family), where one `q.run().count()` submits
+  * dozens of jobs and `.explain` of the final frame shows only the last:
+  * `runMain graft.tools.JobProfile <queryName> [sfDir] [runs]` runs the
+  * query with a listener recording every job's wall ms, task count, and
+  * shuffle read/write bytes, then prints the jobs sorted by cost with the
+  * call site (first non-Spark stack frame of the submitting thread is not
+  * available post-hoc, so the job group/description plus stage names are
+  * printed instead). Second run reported separately — the bench scores
+  * min-of-2, so the warm run is the one to optimize. */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobProfile <queryName> [sfDir] [runs]")
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val s = GraftSession.create()
+    val q = SparkEntry.allQueries.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query $name"))
+
+    final case class J(id: Int, var desc: String = "",
+      var submitted: Long = 0L, var completed: Long = 0L,
+      var tasks: Int = 0, var stages: Int = 0,
+      var shufRead: Long = 0L, var shufWrite: Long = 0L,
+      var inBytes: Long = 0L, var callSite: String = "")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    // SQL execution id -> description ("count at Foo.scala:42") so jobs
+    // submitted through the async SQL executor still get a call site
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui
+            .SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId.toString, s.description)
+        case _ => ()
+      }
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val j = J(e.jobId)
+        j.submitted = e.time
+        j.desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        j.callSite = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execDesc.get(id)))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        j.stages = e.stageIds.size
+        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+        jobs.put(e.jobId, j)
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobs.get(e.jobId)).foreach(_.completed = e.time)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val sid = e.stageInfo.stageId
+        Option(stageToJob.get(sid)).flatMap(j => Option(jobs.get(j)))
+          .foreach { j =>
+            j.tasks += e.stageInfo.numTasks
+            if (j.callSite.isEmpty) j.callSite = e.stageInfo.name.take(70)
+            val m = e.stageInfo.taskMetrics
+            if (m != null) {
+              j.shufRead += m.shuffleReadMetrics.totalBytesRead
+              j.shufWrite += m.shuffleWriteMetrics.bytesWritten
+              j.inBytes += m.inputMetrics.bytesRead
+            }
+          }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    (1 to runs).foreach { i =>
+      jobs.clear(); stageToJob.clear()
+      val t0 = System.nanoTime()
+      val n = q.run(s, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // drain listener bus so late events land before we read
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val js = jobs.values.asScala.toSeq.sortBy(_.id)
+      val totalJobMs = js.map(j => math.max(0L, j.completed - j.submitted)).sum
+      println(f"JOBPROFILE run$i wall=$wall%.2fs rows=$n jobs=${js.size} " +
+        f"sum_job_ms=$totalJobMs gaps_ms=${(wall * 1000).toLong - totalJobMs}")
+      js.sortBy(j => -(j.completed - j.submitted)).take(30).foreach { j =>
+        println(f"JOB ${j.id}%4d ${j.completed - j.submitted}%6dms " +
+          f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
+          f"in=${j.inBytes / 1024}%7dK sr=${j.shufRead / 1024}%6dK " +
+          f"sw=${j.shufWrite / 1024}%6dK  ${j.callSite.take(70)}%-70s " +
+          j.desc.take(60))
+      }
+      // aggregate by call site: where do the jobs (and their ms) come from
+      js.groupBy(_.callSite).toSeq
+        .map { case (cs, g) =>
+          (cs, g.size, g.map(j => math.max(0L, j.completed - j.submitted)).sum) }
+        .sortBy(-_._3).take(25).foreach { case (cs, n, ms) =>
+          println(f"SITE $ms%7dms n=$n%3d  ${cs.take(90)}")
+        }
+    }
+    s.stop()
+  }
+}
