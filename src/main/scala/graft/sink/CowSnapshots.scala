@@ -214,7 +214,8 @@ object CowSnapshots {
     * band probe to the 1-2 files per shard that hold it. */
   private def buildGroup(df: DataFrame, root: String, keyCol: String,
       nShards: Int, maxRecordsPerFile: Long,
-      candShards: Seq[Int], sortColumns: Seq[String] = Nil)
+      candShards: Seq[Int], sortColumns: Seq[String] = Nil,
+      knownRows: Option[Long] = None)
       : (String, Map[Int, Long]) = {
     val s = df.sparkSession
     import s.implicits._
@@ -236,7 +237,21 @@ object CowSnapshots {
       "group_audit_" + tok)
     val audits = candShards.map(k =>
       sum(when($"shard" === k, 1L).otherwise(0L)).as(s"n_$k"))
-    df.repartitionByRange(nShards, $"shard")
+    // A KNOWN-TINY input (a CDC delta — appendDeltas has already
+    // counted it for the one-op-per-key check) skips the range
+    // machinery: the bounds-SAMPLING pass plus an nShards-task write
+    // are pure overhead for a handful of rows, and a single sorted
+    // task produces the IDENTICAL layout — partitionBy still splits
+    // by shard value, so each touched shard gets exactly one file
+    // with the same in-file order the per-shard task produced (no
+    // maxRecordsPerFile interplay: the tiny path is only taken far
+    // below any file cap). The bound is a per-task row count, not a
+    // local-core tune — one write task on 100k rows is right on any
+    // cluster.
+    val arranged =
+      if (knownRows.exists(_ <= 100000L)) df.coalesce(1)
+      else df.repartitionByRange(nShards, $"shard")
+    arranged
       .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
       .write.partitionBy("shard")
@@ -454,19 +469,21 @@ object CowSnapshots {
     }
     val deltaShards = es.filter(_._4 > 0).map(_._1).toSet
     val (flat, chained) = es.partition(e => !deltaShards.contains(e._1))
-    // All reads below go PER GROUP with plain footer inference: a file
-    // group is written in one shot, so its schema is uniform — the
-    // old mergeSchema option launched a 32-task distributed
-    // footer-merge job per read (pure overhead for a handful of
-    // files), and cross-group schema drift (post-evolution) is
-    // already handled by conform() + unionByName, which is the
-    // recorded-schema truth mergeSchema only approximated.
+    // The flat read passes the version's RECORDED schema explicitly:
+    // one relation over every flat shard path, no mergeSchema (whose
+    // distributed footer-merge cost a 32-task job per read), no
+    // per-group union (whose k tiny relations each got the
+    // minPartitionNum split — measured as a regression on multi-group
+    // versions). The recorded schema is the manifest's truth: a
+    // pre-evolution group's files simply lack the newer columns and
+    // the parquet reader null-fills them, exactly what the conform
+    // projection produced.
     val flatDf =
       if (flat.isEmpty) None
-      else Some(flat.groupBy(_._2).toSeq.map { case (dir, dirEs) =>
-        conform(s.read.parquet(dirEs.map { case (sh, _, _, _) =>
-          s"${filesDir(root)}/$dir/shard=$sh" }: _*), Nil)
-      }.reduce(_ unionByName _))
+      else Some(conform(
+        s.read.schema(recorded).parquet(flat.map {
+          case (sh, dir, _, _) => s"${filesDir(root)}/$dir/shard=$sh"
+        }: _*), Nil))
     val resolved =
       if (chained.isEmpty) None
       else {
@@ -709,7 +726,8 @@ object CowSnapshots {
             col(f.name).cast(f.dataType).as(f.name))): _*)
           .withColumn("shard", shardOf(seed, col(keyCol), nShards))
         val (tok, counts) =
-          buildGroup(delta, root, keyCol, nShards, 0L, 0 until nShards)
+          buildGroup(delta, root, keyCol, nShards, 0L, 0 until nShards,
+            knownRows = Some(nRows))
         val cur = allEntries(s, root, vCur)
         val maxSeq = cur.groupBy(_._1).view
           .mapValues(_.map(_._4).max).toMap
@@ -948,26 +966,17 @@ object CowSnapshots {
     (kept.size.toLong, allFiles.length.toLong, df)
   }
 
-  /** Read absolute data-file paths conformed to `recorded`, grouped
-    * per file GROUP: a group is written in one shot so its schema is
-    * uniform — plain footer inference per group replaces the old
-    * mergeSchema option's 32-task distributed footer-merge job, and
-    * cross-group drift (post-evolution) is handled by the conform
-    * projection + unionByName, the recorded-schema truth. */
+  /** Read absolute data-file paths as ONE relation with the version's
+    * RECORDED schema passed explicitly — no mergeSchema (a 32-task
+    * distributed footer-merge job per read), no per-group union (k
+    * tiny relations each paying the minPartitionNum split). The
+    * recorded schema is the manifest's truth: files from pre-evolution
+    * groups lack the newer columns and the parquet reader null-fills
+    * them. */
   private def readFilesConformed(s: SparkSession, root: String,
       files: Seq[String],
-      recorded: org.apache.spark.sql.types.StructType): DataFrame = {
-    val prefix = s"${filesDir(root)}/"
-    files.groupBy(f => f.stripPrefix(prefix).takeWhile(_ != '/')).toSeq
-      .map { case (_, fs) =>
-        val raw = s.read.parquet(fs: _*)
-        val have = raw.columns.toSet
-        raw.select(recorded.fields.toIndexedSeq.map { f =>
-          if (have.contains(f.name))
-            col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name) }: _*)
-      }.reduce(_ unionByName _)
-  }
+      recorded: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(recorded).parquet(files: _*)
 
   /** A chain-aware ranged read's audit shape: zone-map pruning applied
     * to the FLAT shards, full chain resolution on the delta-bearing

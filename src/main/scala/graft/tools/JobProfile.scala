@@ -103,6 +103,17 @@ object JobProfile {
         .sortBy(-_._3).take(25).foreach { case (cs, n, ms) =>
           println(f"SITE $ms%7dms n=$n%3d  ${cs.take(90)}")
         }
+      // gap attribution: driver-side time between a job's end and the
+      // NEXT job's start, charged to the next job's call site (the
+      // driver work before a job is usually building that job's plan)
+      val ordered = js.sortBy(_.submitted)
+      val gaps = ordered.zip(ordered.drop(1)).map { case (a, b) =>
+        (math.max(0L, b.submitted - a.completed), b.callSite) }
+      gaps.groupBy(_._2).toSeq
+        .map { case (cs, g) => (cs, g.size, g.map(_._1).sum) }
+        .sortBy(-_._3).take(15).foreach { case (cs, n, ms) =>
+          println(f"GAPB4 $ms%7dms n=$n%3d  ${cs.take(90)}")
+        }
     }
     s.stop()
   }
