@@ -1096,7 +1096,8 @@ object CowSnapshots {
               java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2")))
           }
       }
-    keys.map { k =>
+    // per-key passing files per seq level, from metadata alone
+    val passingByKey: Map[Long, Seq[(Int, Seq[String])]] = keys.map { k =>
       // the bitmap mixers keep the dividend's sign and the MINT
       // rejects negative positions loudly (BloomManifest.mix scaladoc)
       // — so a negative probe key structurally cannot be in any file:
@@ -1107,33 +1108,70 @@ object CowSnapshots {
         else fileMeta.filter { case (sh, _, _, b1, b2) =>
           sh == routed(k) && b1.get(i1) && b2.get(i2)
         }
-      val bySeqDesc = passing.groupBy(_._2).toSeq.sortBy(-_._1)
-      var opened = Vector.empty[String]
-      var verdict: Option[(Seq[Seq[Any]], Int)] = None
-      for ((seq, fs) <- bySeqDesc if verdict.isEmpty) {
-        val paths = fs.map(_._3)
-        opened = opened ++ paths
-        // one (shard, seq) level = one manifest entry = one file
-        // group: schema uniform, plain footer inference (mergeSchema
-        // here cost a distributed footer-merge job per probe level)
-        val hit = s.read
-          .parquet(paths: _*).where(col(keyCol) === k).collect().toSeq
-        if (hit.nonEmpty) {
-          val surviving =
-            if (seq > 0 &&
-                hit.head.schema.fieldNames.contains("op") &&
-                hit.head.getAs[String]("op") == "delete") Nil
-            else hit.map { r =>
-              val have = r.schema.fieldNames.toSet
-              recorded.fields.toSeq.map(f =>
-                if (have.contains(f.name)) r.getAs[Any](f.name)
-                else null)
-            }
-          verdict = Some((surviving, seq))
+      k -> passing.groupBy(_._2).toSeq.sortBy(-_._1)
+        .map { case (seq, fs) => (seq, fs.map(_._3)) }
+    }.toMap
+    // LEVEL-SYNCHRONIZED batched probe: walk seq levels highest-first
+    // and, per level, read each file group ONCE for every still-
+    // unresolved key routed to it (isin filter) — one job per (level,
+    // group) instead of one per (key, level), with the sequential
+    // walk's per-key semantics preserved exactly: a key's verdict
+    // level, its opened-file attribution (its OWN bloom-passing files
+    // at the levels it visited), and the early stop that never opens
+    // base under a delta verdict are all per-key as before. Batching
+    // cannot leak rows between keys: a row for key k lives only in
+    // files that contain k, all of which pass k's bloom (no false
+    // negatives), so filtering the union read back to each key's own
+    // hits reproduces the solo read.
+    val verdicts = scala.collection.mutable.Map.empty[Long,
+      (Seq[Seq[Any]], Int)]
+    val openedBy = scala.collection.mutable.Map.empty[Long,
+      Vector[String]].withDefaultValue(Vector.empty)
+    val allSeqsDesc = passingByKey.values.flatMap(_.map(_._1))
+      .toSeq.distinct.sorted.reverse
+    for (seq <- allSeqsDesc) {
+      val active = keys.filter(k => !verdicts.contains(k) &&
+        passingByKey(k).exists(_._1 == seq))
+      if (active.nonEmpty) {
+        active.foreach { k =>
+          openedBy(k) = openedBy(k) ++
+            passingByKey(k).find(_._1 == seq).get._2
+        }
+        // group this level's files by their file GROUP (one dir =
+        // uniform schema); a key's hits at one level live in exactly
+        // one group (one manifest entry per (shard, seq))
+        val byDir = active.flatMap { k =>
+          passingByKey(k).find(_._1 == seq).get._2.map(p => (p, k))
+        }.groupBy(_._1.split("/shard=").head)
+        byDir.foreach { case (_, pathKeys) =>
+          val paths = pathKeys.map(_._1).distinct
+          val ks = pathKeys.map(_._2).distinct
+          val hits = s.read.parquet(paths: _*)
+            .where(col(keyCol).isin(ks: _*)).collect().toSeq
+          hits.groupBy(_.getAs[Any](keyCol) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case other => other.toString.toLong
+          }).foreach { case (k, hit) =>
+            val surviving =
+              if (seq > 0 &&
+                  hit.head.schema.fieldNames.contains("op") &&
+                  hit.head.getAs[String]("op") == "delete") Nil
+              else hit.map { r =>
+                val have = r.schema.fieldNames.toSet
+                recorded.fields.toSeq.map(f =>
+                  if (have.contains(f.name)) r.getAs[Any](f.name)
+                  else null)
+              }
+            verdicts(k) = (surviving, seq)
+          }
         }
       }
-      PointRead(k, verdict.map(_._1).getOrElse(Nil), opened.toSeq,
-        verdict.exists(_._2 > 0))
+    }
+    keys.map { k =>
+      val v = verdicts.get(k)
+      PointRead(k, v.map(_._1).getOrElse(Nil), openedBy(k),
+        v.exists(_._2 > 0))
     }
   }
 
