@@ -309,10 +309,17 @@ object Bench {
     // NOTE: `total` is deliberately corpus-wide (computed from `results`,
     // not the `rs` slice) — the compact summary line reports the full
     // run's total next to only the slowest queries.
+    // The line also records the EFFECTIVE parallelism (the resolved
+    // master string and the context's defaultParallelism): the r15
+    // scaling block could not adjudicate "does the bench honor
+    // $SPARK_GRAFT_CPUS" from the artifact alone — now every artifact
+    // carries the value the session actually ran with.
+    val master = spark.sparkContext.master
+    val defaultPar = spark.sparkContext.defaultParallelism
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {
       val qs = rs.map { case (k, v) => jstr(k) + f""":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibrationSec%.3f,"queries":$qs$extra,"noisy":$noisy,"sf":${jstr(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration_sec":$calibrationSec%.3f,"master":${jstr(master)},"default_parallelism":$defaultPar,"queries":$qs$extra,"noisy":$noisy,"sf":${jstr(sfDir)}}"""
     }
     // full JSON carries both raw runs per query so a reader can audit the
     // spread behind any reported min

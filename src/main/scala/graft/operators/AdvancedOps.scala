@@ -12,6 +12,41 @@ object AdvancedOps extends QueryModule {
 
   override def queries: Seq[Q] = Seq(
     Q(
+      "q456_scaling_cpu_probe",
+      "EMBARRASSINGLY PARALLEL CPU PROBE — the bench's core-count " +
+        "contract made self-evident (the r15 scaling block could not " +
+        "adjudicate whether the low-core run honored " +
+        "$SPARK_GRAFT_CPUS because every measured query was driver/" +
+        "metadata-bound at sf0.1): a fixed per-input-row budget of " +
+        "codegen'd xxhash64 chains over a 64-split range — no I/O " +
+        "after one tiny input aggregate, no shuffle, no driver work — " +
+        "so wall time is work/cores and an 8-vs-32-core bench pair " +
+        "MUST separate by ~4x when the env is honored. The chain seed " +
+        "folds in the input's max key, so the output derives from the " +
+        "parquet input and the per-row budget scales the probe with " +
+        "the scale factor like every real query. Deterministic " +
+        "(count, max-hash, checksum) row; rows-only (DuckDB has no " +
+        "xxhash64 twin).",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.t(s, dir, "orders")
+        val r = o.agg(count(lit(1)), max($"o_orderkey")).head()
+        val (nOrders, mx) = (r.getLong(0), r.getLong(1))
+        // 3200 hash-chain steps of length 8 per order row: ~3.8G
+        // hashes at sf0.1 — a few seconds of pure parallel CPU at 32
+        // cores, ~4x that at 8. Fixed constants; work scales with SF.
+        val n = nOrders * 3200L
+        def chain(c: org.apache.spark.sql.Column, k: Int)
+            : org.apache.spark.sql.Column =
+          if (k == 0) c else chain(xxhash64(c), k - 1)
+        s.range(0L, n, 1L, 64)
+          .select(chain($"id" + lit(mx), 8).as("h"))
+          .agg(count(lit(1)).as("n_rows"), max($"h").as("max_h"),
+            sum(pmod($"h", lit(1000000L))).as("checksum"))
+      },
+      None),
+
+    Q(
       "q43_stats_aggs",
       "Statistical aggregates: stddev/variance (sample), correlation and " +
         "covariance between price and discount.",

@@ -2483,8 +2483,13 @@ object FeaturePlatform extends QueryModule {
           .toString
         graft.sink.TrainingShards.write(o, s"$root/ins", "seed42", 4,
           maxRecordsPerFile = 250L)
-        graft.sink.TrainingShards.write(o, s"$root/srt", "seed42", 4,
-          maxRecordsPerFile = 250L, sortColumns = Seq("v"))
+        // the sorted layout derives from the FIRST layout's persisted
+        // (rk, shard_id) columns — one rank-kernel run feeds both
+        // writes (bit-identical files to a direct sorted write;
+        // TrainingShardsSpec pins it)
+        graft.sink.TrainingShards.resortLayout(s, s"$root/ins",
+          s"$root/srt", 4, maxRecordsPerFile = 250L,
+          sortColumns = Seq("v"))
         val lo = 25000000L; val hi = 25250000L
         def audit(layout: String, path: String) =
           s.read.parquet(path)

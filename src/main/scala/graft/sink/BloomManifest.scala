@@ -82,11 +82,22 @@ object BloomManifest {
 
   /** Commit-time mint into a plain immutable directory (the per-
     * version `v=N/_bloom` the snapshot store embeds) — written once,
-    * atomic with its version's visibility, never swapped. */
+    * atomic with its version's visibility, never swapped. The
+    * aggregation is a Spark scan of the version (genuine work); the
+    * resulting rows are file-count metadata, collected and written
+    * DRIVER-SIDE ([[TinyParquet]]) — the coalesce(1) write job and its
+    * committer dance were pure per-publish overhead (guide §1.2).
+    * Same Spark-readable bytes (q439 reads them with the Spark
+    * reader). */
   def mint(s: SparkSession, dest: String, dataPath: String,
-      keyCol: String): Unit =
-    fileRows(s, dataPath, keyCol)
-      .coalesce(1).write.mode("overwrite").parquet(dest)
+      keyCol: String): Unit = {
+    val rows = fileRows(s, dataPath, keyCol).collect().toSeq.map(r =>
+      Seq(r.getString(0), r.getAs[Array[Byte]]("b1"),
+        r.getAs[Array[Byte]]("b2")))
+    TinyParquet.write(s, dest,
+      Seq("f" -> "string", "b1" -> "binary", "b2" -> "binary"),
+      rows, overwrite = true)
+  }
 
   def read(s: SparkSession, store: String): DataFrame =
     GenDir.read(s, store)

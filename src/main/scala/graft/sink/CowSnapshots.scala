@@ -237,17 +237,21 @@ object CowSnapshots {
       "group_audit_" + tok)
     val audits = candShards.map(k =>
       sum(when($"shard" === k, 1L).otherwise(0L)).as(s"n_$k"))
-    // A KNOWN-TINY input (a CDC delta — appendDeltas has already
-    // counted it for the one-op-per-key check) skips the range
-    // machinery: the bounds-SAMPLING pass plus an nShards-task write
-    // are pure overhead for a handful of rows, and a single sorted
-    // task produces the IDENTICAL layout — partitionBy still splits
-    // by shard value, so each touched shard gets exactly one file
-    // with the same in-file order the per-shard task produced (no
-    // maxRecordsPerFile interplay: the tiny path is only taken far
-    // below any file cap). The bound is a per-task row count, not a
-    // local-core tune — one write task on 100k rows is right on any
-    // cluster.
+    // A KNOWN-TINY input (a CDC delta appendDeltas has counted, or a
+    // merge/compaction whose output is BOUNDED by manifest row counts)
+    // skips the range machinery. That saves more than task count: the
+    // bounds-SAMPLING pass evaluates the whole child plan a SECOND
+    // time — for a merge that means re-reading the touched shards and
+    // re-running the anti-join — and then an nShards-task write
+    // follows, all pure overhead for a handful of rows. A single
+    // sorted task produces the IDENTICAL layout: partitionBy still
+    // splits by shard value (the dynamic-partition writer starts a new
+    // file on each shard change and rolls at maxRecordsPerFile within
+    // one, so per-shard file boundaries land exactly where the
+    // per-shard task's did — same sorted order, same 500-row splits).
+    // The bound is a per-task row count, not a local-core tune — one
+    // write task on 100k rows is right on any cluster; a corpus-scale
+    // merge exceeds the bound and keeps the range path.
     val arranged =
       if (knownRows.exists(_ <= 100000L)) df.coalesce(1)
       else df.repartitionByRange(nShards, $"shard")
@@ -264,15 +268,58 @@ object CowSnapshots {
         case _ => None
       }
     }.toMap
-    val back = s.read.parquet(staged)
-    import graft.catalyst.BitmapAgg.bitmap_agg
-    val statCols = back.schema.fields.filter { f =>
-      f.name != "shard" && (f.dataType ==
-        org.apache.spark.sql.types.LongType || f.dataType ==
-        org.apache.spark.sql.types.IntegerType || f.dataType ==
-        org.apache.spark.sql.types.ShortType || f.dataType ==
-        org.apache.spark.sql.types.ByteType)
+    // ---- bloom/zone-map mint over the staged bytes ---------------------
+    // The per-(file) rows are driver-sized metadata (one row per
+    // physical file), so the WRITE is always driver-side TinyParquet
+    // (same Spark-readable bytes, no committer job per publish). The
+    // AGGREGATION stays a Spark job for big groups — it scans every row
+    // — but a KNOWN-TINY group (the delta-append path, which already
+    // counted its rows) is read back driver-side instead: zero Spark
+    // jobs for the whole mint (guide §1.2 — every delta publish paid a
+    // read-back scan job + a coalesce(1) write job here). Integral-typed
+    // key/stat columns only on the driver path (the contract of these
+    // stores); anything else falls back to the Spark aggregation.
+    val statCols = df.schema.fields.filter { f =>
+      f.name != "shard" && integralType(f.dataType)
     }.map(_.name).toIndexedSeq
+    val keyIntegral = df.schema.fields
+      .find(_.name == keyCol).exists(f => integralType(f.dataType))
+    val bloomRows: Seq[Seq[Any]] =
+      if (knownRows.exists(_ <= 100000L) && keyIntegral)
+        mintRowsDriverSide(s, staged, keyCol, statCols)
+      else
+        mintRowsSpark(s, staged, keyCol, statCols)
+    TinyParquet.write(s, s"$staged/_bloom", bloomRowSchema, bloomRows,
+      overwrite = true)
+    Fs.move(s, staged, s"${filesDir(root)}/$tok")
+    (tok, counts)
+  }
+
+  private def integralType(t: org.apache.spark.sql.types.DataType)
+      : Boolean = t == org.apache.spark.sql.types.LongType ||
+    t == org.apache.spark.sql.types.IntegerType ||
+    t == org.apache.spark.sql.types.ShortType ||
+    t == org.apache.spark.sql.types.ByteType
+
+  /** The `_bloom` manifest row: one per physical file — bloom bitmaps
+    * for point skipping, per-integral-column min/max zone maps for
+    * range skipping. Written driver-side ([[TinyParquet]], the map
+    * columns in Spark's own MAP encoding) and read driver-side by
+    * every consumer; bytes stay bit-compatible with the old Spark
+    * coalesce(1) writer's. */
+  private val bloomRowSchema: TinyParquet.Schema = Seq(
+    "shard" -> "int", "fname" -> "string", "b1" -> "binary",
+    "b2" -> "binary", "mins" -> "map<string,long>",
+    "maxs" -> "map<string,long>")
+
+  /** Mint rows via one Spark aggregation over the staged group (the
+    * general, corpus-scale path), collected — rows are file-count-
+    * bounded. */
+  private def mintRowsSpark(s: SparkSession, staged: String,
+      keyCol: String, statCols: IndexedSeq[String]): Seq[Seq[Any]] = {
+    import s.implicits._
+    import graft.catalyst.BitmapAgg.bitmap_agg
+    val back = s.read.parquet(staged)
     val statAggs =
       if (statCols.isEmpty) Seq(
         lit(null).cast("map<string,bigint>").as("mins"),
@@ -292,9 +339,64 @@ object CowSnapshots {
       .groupBy($"shard", $"fname")
       .agg(bitmap_agg(BloomManifest.h1($"k")).as("b1"),
         (bitmap_agg(BloomManifest.h2($"k")).as("b2") +: statAggs): _*)
-      .coalesce(1).write.mode("overwrite").parquet(s"$staged/_bloom")
-    Fs.move(s, staged, s"${filesDir(root)}/$tok")
-    (tok, counts)
+      .collect().toSeq.map { r =>
+        Seq(r.getInt(0), r.getString(1), r.getAs[Array[Byte]]("b1"),
+          r.getAs[Array[Byte]]("b2"),
+          r.getAs[scala.collection.Map[String, Any]]("mins"),
+          r.getAs[scala.collection.Map[String, Any]]("maxs"))
+      }
+  }
+
+  /** Mint rows DRIVER-SIDE for a known-tiny staged group: read each
+    * staged file's key + integral stat columns through the driver
+    * parquet reader and fold the same bitmaps/min/max the Spark
+    * aggregation computes — BitSet.toByteArray is canonical, so the
+    * bytes bit-equal the aggregate's for the same key set (CowSpec
+    * pins the equivalence). Zero Spark jobs. */
+  private def mintRowsDriverSide(s: SparkSession, staged: String,
+      keyCol: String, statCols: IndexedSeq[String]): Seq[Seq[Any]] = {
+    import graft.catalyst.BitmapAgg
+    val cols = (keyCol +: statCols.filterNot(_ == keyCol)).toIndexedSeq
+    val statIdx = statCols.map(cols.indexOf).toArray
+    Fs.listDirNames(s, staged).filter(_.startsWith("shard="))
+      .sortBy(_.stripPrefix("shard=").toInt).flatMap { shd =>
+        val sh = shd.stripPrefix("shard=").toInt
+        Fs.listNames(s, s"$staged/$shd")
+          .filter(f => f.endsWith(".parquet") && !f.startsWith("_") &&
+            !f.startsWith(".")).sorted.map { fname =>
+            val recs = TinyParquet.readFile(s,
+              new org.apache.hadoop.fs.Path(s"$staged/$shd/$fname"),
+              cols.map(_ -> "integral"))
+            val b1 = new java.util.BitSet()
+            val b2 = new java.util.BitSet()
+            val mins = Array.fill[java.lang.Long](statCols.size)(null)
+            val maxs = Array.fill[java.lang.Long](statCols.size)(null)
+            recs.foreach { r =>
+              val k = r(0).asInstanceOf[java.lang.Long]
+              if (k != null) {
+                // same loud dense-domain guard as bitmap_agg's
+                b1.set(BitmapAgg.requireDense(
+                  BloomManifest.h1Long(k).toLong))
+                b2.set(BitmapAgg.requireDense(
+                  BloomManifest.h2Long(k).toLong))
+              }
+              var i = 0
+              while (i < statCols.size) {
+                val v = r(statIdx(i)).asInstanceOf[java.lang.Long]
+                if (v != null) {
+                  if (mins(i) == null || v < mins(i)) mins(i) = v
+                  if (maxs(i) == null || v > maxs(i)) maxs(i) = v
+                }
+                i += 1
+              }
+            }
+            def toMap(a: Array[java.lang.Long]): Any =
+              if (statCols.isEmpty) null
+              else statCols.zip(a).toMap: scala.collection.Map[String, Any]
+            Seq(sh, fname, b1.toByteArray, b2.toByteArray,
+              toMap(mins), toMap(maxs))
+          }
+      }
   }
 
   /** Claim the next version slot for `rows` (one manifest row per
@@ -513,10 +615,15 @@ object CowSnapshots {
           .where(col("_rn") === 1)
         // a base row survives iff no delta touched its key — the
         // anti-join side is the deltas' distinct keys, size-gated
-        // broadcast (delta-proportional, never shard-proportional)
+        // broadcast (delta-proportional, never shard-proportional).
+        // The gate reads the MANIFEST's n_rows for the delta entries
+        // (distinct keys <= delta rows, so the bound is conservative)
+        // instead of counting with a Spark job — one job fewer per
+        // chained read (guide §1.2)
         val deltaKeys = deltas.select(col(keyCol)).distinct()
+        val deltaRowsTotal = deltaEs.map(_._3).sum
         val gated =
-          if (deltaKeys.count() <= 2000000L) broadcast(deltaKeys)
+          if (deltaRowsTotal <= 2000000L) broadcast(deltaKeys)
           else deltaKeys
         val kept = baseEs match {
           case Nil => None
@@ -615,11 +722,22 @@ object CowSnapshots {
           throw new IllegalArgumentException(
             s"no committed snapshots under $root"))
         val cur = allEntries(s, root, vCur)
-        // the delta's keys route to a bounded shard set — collect is
-        // <= nShards ints, never row-scale
-        val touched = changes
-          .select(shardOf(seed, col(keyCol), nShards).as("shard"))
-          .distinct().as[Int].collect().toSet
+        // ONE aggregation job over the delta computes both decisions
+        // the merge plans from (guide §1.2 — previously two jobs): the
+        // touched shard set (collect is <= nShards rows, never
+        // row-scale) and the delete/update key count for the
+        // broadcast gate — keys partition by shard, so the per-shard
+        // distinct counts sum to the global distinct count exactly
+        val changeStats = changes
+          .groupBy(shardOf(seed, col(keyCol), nShards).as("shard"))
+          .agg(countDistinct(when(col("op").isin("update", "delete"),
+            col(keyCol))).as("n_del_keys"),
+            sum(when(col("op").isin("insert", "update"), 1L)
+              .otherwise(0L)).as("n_incoming"))
+          .collect()
+        val touched = changeStats.map(_.getInt(0)).toSet
+        val nDelKeys = changeStats.map(_.getLong(1)).sum
+        val nIncoming = changeStats.map(_.getLong(2)).sum
         val (touchedEntries, keptEntries) =
           cur.partition { case (sh, _, _, _) => touched.contains(sh) }
         // the touched shards read through the shared kernel: conformed
@@ -632,7 +750,7 @@ object CowSnapshots {
         val delKeys = changes.filter(col("op").isin("update", "delete"))
           .select(col(keyCol)).distinct()
         val gated =
-          if (delKeys.count() <= broadcastKeyLimit) broadcast(delKeys)
+          if (nDelKeys <= broadcastKeyLimit) broadcast(delKeys)
           else delKeys
         // the change feed's schema (minus op) IS the new version's
         // schema — schema evolution rides the merge, ADDITIVE ONLY:
@@ -642,12 +760,28 @@ object CowSnapshots {
         // it — a half-dropped column no reader can reason about).
         // Dropping a column is a full republish (writeVersion).
         val target = changes.drop("op").schema
-        val curRecorded = versionSchema(s, root, vCur).fieldNames.toSet
-        val missing = curRecorded -- target.fieldNames.toSet
+        val curSchema = versionSchema(s, root, vCur)
+        val missing = curSchema.fieldNames.toSet --
+          target.fieldNames.toSet
         require(missing.isEmpty,
           s"change feed is missing current column(s) " +
             s"${missing.mkString(", ")} — merges evolve schemas " +
             "additively; drop columns via a full writeVersion republish")
+        // additive means TYPES stay put too: a feed that re-types an
+        // existing column would make the recorded schema disagree with
+        // the untouched shared groups' files, and the recorded-schema
+        // read has no per-group cast to paper over it — reject loudly
+        // (re-typing is a full writeVersion republish, like a drop)
+        val targetTypes = target.fields
+          .map(f => f.name -> f.dataType).toMap
+        val retyped = curSchema.fields.filter(f =>
+          targetTypes.get(f.name).exists(_ != f.dataType))
+        require(retyped.isEmpty,
+          s"change feed re-types existing column(s) " +
+            retyped.map(f => s"${f.name}: ${f.dataType.simpleString} " +
+              s"-> ${targetTypes(f.name).simpleString}").mkString(", ") +
+            " — merges evolve schemas additively (add columns only); " +
+            "re-type via a full writeVersion republish")
         val have = before.columns.toSet
         val kept0 = before.join(gated, Seq(keyCol), "left_anti")
         val kept = kept0.select(target.fields.toIndexedSeq.map { f =>
@@ -657,9 +791,16 @@ object CowSnapshots {
           .select(target.fieldNames.toIndexedSeq.map(col): _*)
         val merged = kept.unionByName(incoming)
           .withColumn("shard", shardOf(seed, col(keyCol), nShards))
+        // manifest-derived output bound: kept <= the touched shards'
+        // recorded rows, incoming counted by the stats job above — a
+        // CDC-sized merge takes buildGroup's single-task path (no
+        // bounds-sampling re-evaluation of the whole merge plan)
+        val mergedBound = touchedEntries.map(_._3).sum + nIncoming
         val (tok, counts) =
           buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile,
-            0 until nShards)
+            0 until nShards,
+            knownRows =
+              if (mergedBound <= 100000L) Some(mergedBound) else None)
         val newRows = counts.toSeq.sorted
           .map { case (sh, n) => (sh, tok, n, 0) }
         // fault-injection seam (the q427/preClaim discipline): a
@@ -775,8 +916,15 @@ object CowSnapshots {
     val (seed, nShards) = versionRouting(s, root, vCur)
     val resolved = readEntries(s, root, vCur, chained)
       .withColumn("shard", shardOf(seed, col(keyCol), nShards))
+    // manifest-derived bound on the folded output (resolution only
+    // drops rows): a CDC-cadence compaction takes the single-task
+    // write path — no bounds-sampling re-evaluation of the full
+    // latest-wins resolution plan
+    val chainedBound = chained.map(_._3).sum
     val (tok, counts) = buildGroup(resolved, root, keyCol,
-      deltaShards.size, maxRecordsPerFile, deltaShards.toSeq.sorted)
+      deltaShards.size, maxRecordsPerFile, deltaShards.toSeq.sorted,
+      knownRows =
+        if (chainedBound <= 100000L) Some(chainedBound) else None)
     commitRows(s, root,
       (flat.map { case (sh, dir, n, seq) => (sh, dir, n, seq) } ++
         counts.toSeq.sorted.map { case (sh, n) => (sh, tok, n, 0) })
@@ -885,16 +1033,37 @@ object CowSnapshots {
     * built on exactly that signal. */
   def bloomRows(s: SparkSession, root: String, v: Int): DataFrame = {
     import s.implicits._
+    bloomRowsLocal(s, root, v)
+      .map { case (sh, f, b1, b2, _, _) => (sh, f, b1, b2) }
+      .toDF("shard", "f", "b1", "b2")
+  }
+
+  /** Driver-side resolution of version `v`'s `_bloom` rows to
+    * (shard, absolute file path, b1, b2, mins, maxs) — the manifest is
+    * file-count-bounded metadata read through [[TinyParquet]], ZERO
+    * Spark jobs (each consumer previously paid one read job per
+    * referenced group, several per point lookup / ranged read). Rows
+    * are filtered to the shards this version takes from each group and
+    * ordered by (group dir, shard, fname) — deterministic. */
+  private def bloomRowsLocal(s: SparkSession, root: String, v: Int)
+      : Seq[(Int, String, Array[Byte], Array[Byte],
+        scala.collection.Map[String, Any],
+        scala.collection.Map[String, Any])] = {
     val es = entries(s, root, v)
     val byDir = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
-    byDir.map { case (dir, shards) =>
-      s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
-        .where($"shard".isin(shards.toSeq: _*))
-        .select($"shard",
-          concat(lit(s"${filesDir(root)}/$dir/shard="), $"shard",
-            lit("/"), $"fname").as("f"),
-          $"b1", $"b2")
-    }.reduce(_ unionByName _)
+    byDir.toSeq.sortBy(_._1).flatMap { case (dir, shards) =>
+      TinyParquet.read(s, s"${filesDir(root)}/$dir/_bloom",
+          bloomRowSchema)
+        .collect {
+          case Seq(sh: Integer, fname: String, b1: Array[Byte],
+              b2: Array[Byte], mins, maxs)
+            if shards.contains(sh.intValue) =>
+            (sh.intValue,
+              s"${filesDir(root)}/$dir/shard=$sh/$fname", b1, b2,
+              mins.asInstanceOf[scala.collection.Map[String, Any]],
+              maxs.asInstanceOf[scala.collection.Map[String, Any]])
+        }
+    }
   }
 
   /** Version `v`'s ZONE-MAP rows resolved to absolute file paths:
@@ -906,20 +1075,25 @@ object CowSnapshots {
     * itself serves any version's entries. */
   def statsRows(s: SparkSession, root: String, v: Int): DataFrame = {
     import s.implicits._
-    val es = entries(s, root, v)
-    val byDir = es.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
-    byDir.map { case (dir, shards) =>
-      s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
-        .where($"shard".isin(shards.toSeq: _*))
-        .select($"shard",
-          concat(lit(s"${filesDir(root)}/$dir/shard="), $"shard",
-            lit("/"), $"fname").as("f"),
-          explode($"mins").as(Seq("col", "min_l")),
-          $"maxs")
-        .select($"shard", $"f", $"col", $"min_l",
-          element_at($"maxs", $"col").as("max_l"))
-    }.reduce(_ unionByName _)
+    statsRowsLocal(s, root, v)
+      .toDF("shard", "f", "col", "min_l", "max_l")
   }
+
+  /** Driver-side twin of [[statsRows]]: one (shard, file, col, min,
+    * max) tuple per (referenced file, integral column) — null min/max
+    * for an all-null column, exactly the exploded-map rows the Spark
+    * form produced. Zero Spark jobs. */
+  private def statsRowsLocal(s: SparkSession, root: String, v: Int)
+      : Seq[(Int, String, String, java.lang.Long, java.lang.Long)] =
+    bloomRowsLocal(s, root, v).flatMap {
+      case (sh, f, _, _, mins, maxs) =>
+        if (mins == null) Nil
+        else mins.toSeq.sortBy(_._1).map { case (c, mn) =>
+          (sh, f, c, mn.asInstanceOf[java.lang.Long],
+            Option(maxs).flatMap(_.get(c)).orNull
+              .asInstanceOf[java.lang.Long])
+        }
+    }
 
   /** Range-predicate read that decides its file list from the
     * MANIFEST ALONE: keep exactly the files whose [min_l, max_l] zone
@@ -942,10 +1116,10 @@ object CowSnapshots {
       s"version $v carries delta chains — range-pruned reads need a " +
         "FLAT version (compactDeltas first)")
     val recorded = versionSchema(s, root, v)
-    val stats = statsRows(s, root, v).collect()
-      .map(r => (r.getString(1), r.getString(2),
-        if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // zone-map planning from the driver-read manifest rows — zero jobs
+    val stats = statsRowsLocal(s, root, v)
+      .map(t => (t._2, t._3, Option(t._4).map(_.longValue),
+        Option(t._5).map(_.longValue)))
     require(stats.nonEmpty, s"version $v has no zone-map rows — " +
       "groups minted before stats existed must be republished")
     val allFiles = stats.map(_._1).distinct
@@ -1006,10 +1180,10 @@ object CowSnapshots {
     val (deltaEs, _) = es.partition(e => deltaShardSet.contains(e._1))
     val recorded = versionSchema(s, root, v)
     val (_, nShards) = versionRouting(s, root, v)
-    val stats = statsRows(s, root, v).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        if (r.isNullAt(3)) None else Some(r.getLong(3)),
-        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // zone-map planning from the driver-read manifest rows — zero jobs
+    val stats = statsRowsLocal(s, root, v)
+      .map(t => (t._1, t._2, t._3, Option(t._4).map(_.longValue),
+        Option(t._5).map(_.longValue)))
     require(stats.nonEmpty, s"version $v has no zone-map rows — " +
       "groups minted before stats existed must be republished")
     val flatStats = stats.filterNot(t => deltaShardSet.contains(t._1))
@@ -1076,8 +1250,10 @@ object CowSnapshots {
     val recorded = versionSchema(s, root, v)
     val routed = keys.map(k => k -> shardOfKey(seed, k, nShards)).toMap
     val needed = routed.values.toSet
-    // (shard, seq, path, b1, b2) for the needed shards only — one
-    // _bloom read per referenced group, rows bounded by file count
+    // (shard, seq, path, b1, b2) for the needed shards only — the
+    // _bloom manifests are read DRIVER-SIDE (TinyParquet), so routing
+    // metadata for a point lookup costs zero Spark jobs (previously
+    // one tiny read job per referenced group, several per lookup)
     val fileMeta: Seq[(Int, Int, String,
         java.util.BitSet, java.util.BitSet)] =
       es.groupBy(_._2).toSeq.flatMap { case (dir, dirEs) =>
@@ -1085,15 +1261,15 @@ object CowSnapshots {
           case (sh, _, _, seq) if needed.contains(sh) => sh -> seq
         }.toMap
         if (want.isEmpty) Nil
-        else s.read.parquet(s"${filesDir(root)}/$dir/_bloom")
-          .where($"shard".isin(want.keys.toSeq: _*))
-          .select($"shard", $"fname", $"b1", $"b2")
-          .collect().toSeq.map { r =>
-            val sh = r.getInt(0)
+        else TinyParquet.read(s, s"${filesDir(root)}/$dir/_bloom",
+            bloomRowSchema).collect {
+          case Seq(shI: Integer, fname: String, b1: Array[Byte],
+              b2: Array[Byte], _, _) if want.contains(shI.intValue) =>
+            val sh = shI.intValue
             (sh, want(sh),
-              s"${filesDir(root)}/$dir/shard=$sh/${r.getString(1)}",
-              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b1")),
-              java.util.BitSet.valueOf(r.getAs[Array[Byte]]("b2")))
+              s"${filesDir(root)}/$dir/shard=$sh/$fname",
+              java.util.BitSet.valueOf(b1),
+              java.util.BitSet.valueOf(b2))
           }
       }
     // per-key passing files per seq level, from metadata alone

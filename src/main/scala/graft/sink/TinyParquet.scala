@@ -30,9 +30,16 @@ object TinyParquet {
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.parquet.schema.LogicalTypeAnnotation
 
-  /** Column spec: name -> one of "int" | "long" | "double" | "string".
-    * All columns are written optional (Spark reads them nullable, the
-    * same as its own writer's default). */
+  /** Column spec: name -> one of "int" | "long" | "double" | "string"
+    * | "binary" | "map<string,long>" (the Spark-compatible MAP group
+    * encoding — key_value/key STRING/value INT64 — so files written
+    * here and by Spark's own writer stay mutually readable; the bloom
+    * manifests' mins/maxs columns). All columns are written optional
+    * (Spark reads them nullable, the same as its own writer's default).
+    * The read-only type "integral" accepts whichever of INT32/INT64
+    * backs the column in the file and yields java.lang.Long — for
+    * projecting id/stat columns out of data files whose exact width
+    * the reader doesn't care about. */
   type Schema = Seq[(String, String)]
 
   private def messageType(schema: Schema): MessageType = {
@@ -43,6 +50,16 @@ object TinyParquet {
       case (n, "double") => b.addField(Types.optional(DOUBLE).named(n))
       case (n, "string") => b.addField(Types.optional(BINARY)
         .as(LogicalTypeAnnotation.stringType()).named(n))
+      case (n, "binary") => b.addField(Types.optional(BINARY).named(n))
+      case (n, "map<string,long>") =>
+        b.addField(Types.optionalGroup()
+          .as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(Types.required(BINARY)
+              .as(LogicalTypeAnnotation.stringType()).named("key"))
+            .addField(Types.optional(INT64).named("value"))
+            .named("key_value"))
+          .named(n))
       case (n, t) => throw new IllegalArgumentException(
         s"TinyParquet: unsupported type $t for column $n")
     }
@@ -85,6 +102,20 @@ object TinyParquet {
           case ((n, "long"), v) => g.append(n, v.asInstanceOf[Long])
           case ((n, "double"), v) => g.append(n, v.asInstanceOf[Double])
           case ((n, "string"), v) => g.append(n, v.asInstanceOf[String])
+          case ((n, "binary"), v) => g.add(n,
+            org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+          case ((n, "map<string,long>"), v) =>
+            val mg = g.addGroup(n)
+            // sorted entries: deterministic bytes for identical maps
+            v.asInstanceOf[scala.collection.Map[String, Any]].toSeq
+              .sortBy(_._1)
+              .foreach { case (k, vv) =>
+                val kv = mg.addGroup("key_value")
+                kv.append("key", k)
+                if (vv != null)
+                  kv.append("value", vv.asInstanceOf[Long]): Unit
+              }
           case ((n, t), _) => throw new IllegalArgumentException(
             s"TinyParquet: unsupported type $t for column $n")
         }
@@ -106,41 +137,70 @@ object TinyParquet {
       (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
     }
     if (!fs.exists(d)) return Nil
-    val conf = new org.apache.hadoop.conf.Configuration(
-      s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(d).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
         && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-    files.flatMap { st =>
-      val r = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          st.getPath)
-        .withConf(conf)
-        .build()
-      try {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-        var g = r.read()
-        while (g != null) {
-          val gt = g.getType
-          out += schema.map { case (n, t) =>
-            val idx = gt.getFields.asScala.indexWhere(_.getName == n)
-            if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
-            else t match {
-              case "int" => g.getInteger(idx, 0)
-              case "long" => g.getLong(idx, 0)
-              case "double" => g.getDouble(idx, 0)
-              case "string" => g.getString(idx, 0)
-              case other => throw new IllegalArgumentException(
-                s"TinyParquet: unsupported type $other for column $n")
-            }
+    files.flatMap(st => readFile(s, st.getPath, schema))
+  }
+
+  /** Read ONE parquet file into driver rows (same by-name resolution
+    * as [[read]]) — for callers that need per-file attribution, e.g.
+    * the bloom-manifest mint over a staged file group. */
+  def readFile(s: SparkSession, file: org.apache.hadoop.fs.Path,
+      schema: Schema): Seq[Seq[Any]] = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        file)
+      .withConf(conf)
+      .build()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      var g = r.read()
+      while (g != null) {
+        val gt = g.getType
+        out += schema.map { case (n, t) =>
+          val idx = gt.getFields.asScala.indexWhere(_.getName == n)
+          if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
+          else t match {
+            case "int" => g.getInteger(idx, 0)
+            case "long" => g.getLong(idx, 0)
+            case "double" => g.getDouble(idx, 0)
+            case "string" => g.getString(idx, 0)
+            case "binary" => g.getBinary(idx, 0).getBytes
+            case "integral" =>
+              // whichever int width the file carries, widened to Long
+              import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+              gt.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 =>
+                  java.lang.Long.valueOf(g.getLong(idx, 0))
+                case PrimitiveTypeName.INT32 =>
+                  java.lang.Long.valueOf(g.getInteger(idx, 0).toLong)
+                case other => throw new IllegalArgumentException(
+                  s"TinyParquet: column $n is $other, not integral")
+              }
+            case "map<string,long>" =>
+              val mg = g.getGroup(idx, 0)
+              val nkv = mg.getFieldRepetitionCount("key_value")
+              (0 until nkv).map { i =>
+                val kv = mg.getGroup("key_value", i)
+                val k = kv.getString("key", 0)
+                val v: Any =
+                  if (kv.getFieldRepetitionCount("value") == 0) null
+                  else java.lang.Long.valueOf(kv.getLong("value", 0))
+                k -> v
+              }.toMap
+            case other => throw new IllegalArgumentException(
+              s"TinyParquet: unsupported type $other for column $n")
           }
-          g = r.read()
         }
-        out.toSeq
-      } finally r.close()
-    }
+        g = r.read()
+      }
+      out.toSeq
+    } finally r.close()
   }
 
   private implicit class JListOps[A](l: java.util.List[A]) {

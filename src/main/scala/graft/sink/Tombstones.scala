@@ -33,13 +33,32 @@ object Tombstones {
     * distinct-shuffle + write-commit job per delete call was pure
     * overhead. Same parquet layout on disk, bit-compatible with
     * files the previous Spark writer left behind. */
-  def append(kill: DataFrame, store: String, idCol: String): Unit = {
+  def append(kill: DataFrame, store: String, idCol: String,
+      maxIds: Int = MaxAppendIds): Unit = {
     val s = kill.sparkSession
-    val ids = kill.select(col(kill.columns.head).cast("long").as(idCol))
-      .collect().map(_.getLong(0)).distinct.sorted
+    // ENFORCED driver bound (not just by-contract): the collect is
+    // sound only because kill lists are bounded metadata — a
+    // pathological delete feed must fail loudly before it OOMs the
+    // driver, not during. limit(N+1) keeps this one job and bounded
+    // memory: when the feed is within bound the take returns every
+    // row, and one extra row is proof of violation. `maxIds` is a
+    // spec seam; production callers keep the default.
+    val rows = kill.select(
+        col(kill.columns.head).cast("long").as(idCol))
+      .limit(maxIds + 1).collect()
+    require(rows.length <= maxIds,
+      s"tombstone append exceeds $maxIds ids — a delete feed " +
+        "this large is not bounded metadata; compact the index (which " +
+        "applies and clears pending tombstones) and split the feed")
+    val ids = rows.map(_.getLong(0)).distinct.sorted
     TinyParquet.write(s, store, Seq(idCol -> "long"),
       ids.map(id => Seq(id)).toSeq, overwrite = false)
   }
+
+  /** Hard ceiling on one append's kill list — the driver-side store
+    * is sound only for bounded metadata (searches broadcast the set);
+    * 10M longs is already ~80 MB of driver heap. */
+  val MaxAppendIds: Int = 10000000
 
   /** The current tombstone set (distinct ids; empty frame when the
     * index predates the delete lifecycle or was just compacted).

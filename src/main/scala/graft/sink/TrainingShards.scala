@@ -78,9 +78,10 @@ object TrainingShards {
     // known) instead of a full read-back of the just-written bytes:
     // same counts, one job and one whole-output scan fewer per publish
     // (guide §1.2/§2.4 — a lifecycle query pays this on every
-    // version it mints). The observe node sits BELOW the repartition
-    // so the write's physical layout (range partition + in-file sort)
-    // is untouched.
+    // version it mints). The observe node sits ABOVE the range
+    // exchange (see the comment at the .observe call below — below it,
+    // the bounds-sampling pass double-counts); a pass-through metrics
+    // node there leaves the write's physical layout untouched.
     val obs = new org.apache.spark.sql.Observation(
       "shard_audit_" + java.util.UUID.randomUUID().toString.take(8))
     val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
@@ -113,6 +114,37 @@ object TrainingShards {
         case _ => None
       }
     }.toArray
+  }
+
+  /** Rewrite an ALREADY-WRITTEN shard layout under a different
+    * within-shard sort order, reusing the persisted (rk, shard_id)
+    * columns as the materialized rank kernel — the second layout of a
+    * dual-layout publish (q417: shuffle order for training readers,
+    * sort-on-write for analytic probes) costs one scan of the first
+    * layout's bytes instead of a second run of the two-window rank
+    * computation (guide §2.4: two operations keyed the same way share
+    * one materialization; the written layout IS the materialization —
+    * no cache, no checkpoint). Output is bit-identical to
+    * `write(docs, to, ..., sortColumns)`: same rows with the same
+    * deterministic ranks, same (shard_id, sortColumns, rk) total
+    * order, and the dynamic-partition writer rolls files at the same
+    * per-shard record boundaries (TrainingShardsSpec pins the
+    * equivalence file-by-file). */
+  def resortLayout(s: SparkSession, from: String, to: String,
+      nShards: Int, maxRecordsPerFile: Long = 0L,
+      sortColumns: Seq[String] = Nil): Unit = {
+    import s.implicits._
+    val sharded = s.read.parquet(from)
+    require(sharded.columns.contains("rk") &&
+      sharded.columns.contains("shard_id"),
+      s"$from is not a TrainingShards layout (rk/shard_id missing)")
+    val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
+    sharded
+      .repartitionByRange(nShards, $"shard_id")
+      .sortWithinPartitions(order: _*)
+      .write.partitionBy("shard_id")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(to)
   }
 
   // ——— Versioned snapshots (time travel, q424/q426/q427/q428) ———

@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   * Scale notes: streaming aggs shuffle by (window, key) exactly like batch
   * groupBy; state store size is bounded by |windows|x|keys| and watermarks
   * evict closed windows — the knobs that keep 100 TB/day ingest bounded.
+  *
+  * CHECKPOINT DURABILITY (production caveat): [[graft.GraftSession]]
+  * sets a DEFAULT streaming checkpoint root on RAM-backed /dev/shm —
+  * right for these drained harness loops (the offset-WAL fsyncs cost
+  * more than a micro-batch's work at fixture scale, and a drained
+  * query's checkpoint dies with the call), WRONG for any standing
+  * production stream: a driver restart loses /dev/shm and with it
+  * exactly-once resumption. A production deployment MUST pass an
+  * explicit durable `checkpointLocation` per query — the option
+  * overrides the session default untouched (StreamingSpec pins the
+  * override), which is also how the exactly-once resume specs run.
   */
 object StreamingOps extends QueryModule {
 

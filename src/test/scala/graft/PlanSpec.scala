@@ -1153,4 +1153,35 @@ class PlanSpec extends AnyFunSuite {
       _.mode.toString.contains("Partial"))),
       "a Partial-mode aggregate must run before the exchange")
   }
+
+  test("the shard kernel's only UNPARTITIONED window runs on the " +
+    "16-row bucket-offset domain, never on row-scale data (the " +
+    "WindowExec single-partition warnings every publish emits are " +
+    "this bounded window, pinned)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val o = Tables.t(spark, sfDir, "orders")
+      .select($"o_orderkey".as("doc_id"))
+    val df = graft.sink.TrainingShards.withShardIds(o, "s", 4)
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "the offset window should be unpartitioned")
+    unpart.foreach { w =>
+      // the window's subtree must aggregate BY THE BUCKET before the
+      // window sees a row — the domain is conv(1 hex char) = 16 values
+      val aggBelow = w.child.collect {
+        case a: Aggregate if a.groupingExpressions.size == 1 => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window must sit above the bucket aggregate:\n$w")
+    }
+    // and the domain really is <= 16 rows regardless of corpus size
+    val nBuckets = o
+      .withColumn("h", md5(concat(lit("s:"), $"doc_id".cast("string"))))
+      .select(conv(substring($"h", 1, 1), 16, 10).cast("int").as("b"))
+      .distinct().count()
+    assert(nBuckets <= 16L)
+  }
 }

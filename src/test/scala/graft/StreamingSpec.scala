@@ -324,6 +324,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("explicit checkpointLocation overrides the RAM-backed session " +
+    "default (the production durability path — the default is for " +
+    "drained harness loops only)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the session default IS set (RAM-backed root) …
+    val dflt = spark.conf.getOption("spark.sql.streaming.checkpointLocation")
+    assert(dflt.exists(_.startsWith("/dev/shm")),
+      s"expected a RAM-backed default checkpoint root, got $dflt")
+    // … and an explicit per-query location wins over it untouched
+    val root = graft.TempRoots.freshForDir("graft_ckpt_override", "synth")
+    val src = root.resolve("src"); val ckpt = root.resolve("ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val sch = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(sch).parquet(src.toString)
+      .groupBy($"v").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .option("checkpointLocation", ckpt.toString)
+      .queryName("graft_ckpt_override_t").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(java.nio.file.Files.exists(ckpt.resolve("offsets")) &&
+      java.nio.file.Files.list(ckpt.resolve("offsets")).count() > 0,
+      "the offset WAL must land under the EXPLICIT location")
+    assert(spark.table("graft_ckpt_override_t").count() == 2)
+  }
+
   test("stateful session-window query resumes EXACTLY-ONCE from its " +
     "checkpoint across a stop/restart") {
     // The fault-tolerance story a long-running deployment leans on:
