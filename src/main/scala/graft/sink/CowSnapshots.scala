@@ -227,12 +227,14 @@ object CowSnapshots {
     // instead of a separate count job re-reading the staged bytes:
     // same counts, one job and one whole-group scan fewer per publish
     // (guide §1.2 — every version mint pays this). The observe sits
-    // ABOVE the range exchange: range partitioning runs a separate
-    // bounds-sampling pass over its child, and a metrics node below
-    // the exchange would accumulate both passes (measured:
-    // exactly-double counts); above it, only the real write pass
-    // flows through, and the in-file sort applies after the
-    // pass-through metrics node — layout unchanged.
+    // ABOVE the exchange, where it has always been: under the old
+    // range partitioning a metrics node below the exchange was also
+    // evaluated by the bounds-sampling pass and double-counted
+    // (measured: exactly-2x); the exact exchange has no sampling
+    // pass, but the position costs nothing and stays safe against
+    // any future re-introduction of range partitioning. The in-file
+    // sort applies after the pass-through metrics node — layout
+    // unchanged.
     val obs = new org.apache.spark.sql.Observation(
       "group_audit_" + tok)
     val audits = candShards.map(k =>
@@ -254,7 +256,11 @@ object CowSnapshots {
     // merge exceeds the bound and keeps the range path.
     val arranged =
       if (knownRows.exists(_ <= 100000L)) df.coalesce(1)
-      else df.repartitionByRange(nShards, $"shard")
+      // exact one-task-per-shard exchange over the KNOWN routing
+      // domain ([[ShardExchange]]) — same layout range partitioning
+      // gave, minus the bounds-sampling pass that evaluated the whole
+      // child plan (a full merge, for mergeVersion) a second time
+      else ShardExchange.exact(df, candShards, $"shard")
     arranged
       .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
@@ -1305,6 +1311,31 @@ object CowSnapshots {
       Vector[String]].withDefaultValue(Vector.empty)
     val allSeqsDesc = passingByKey.values.flatMap(_.map(_._1))
       .toSeq.distinct.sorted.reverse
+    // A FLAT recorded schema (every field a TinyParquet-readable
+    // primitive — the storage fixtures' shape) probes DRIVER-SIDE: a
+    // point lookup's winning level is 1-2 capped files, and reading
+    // them through the driver parquet reader is how a real point-get
+    // behaves — zero Spark jobs (previously one tiny read job per
+    // (level, group)). Nested/exotic schemas keep the Spark read.
+    def tinyTypeOf(t: org.apache.spark.sql.types.DataType)
+        : Option[String] = t match {
+      case org.apache.spark.sql.types.LongType => Some("long")
+      case org.apache.spark.sql.types.IntegerType => Some("int")
+      case org.apache.spark.sql.types.DoubleType => Some("double")
+      case org.apache.spark.sql.types.StringType => Some("string")
+      case _ => None
+    }
+    val tinySchema: Option[TinyParquet.Schema] = {
+      val m = recorded.fields.toSeq
+        .map(f => tinyTypeOf(f.dataType).map(f.name -> _))
+      if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+    }
+    def keyAsLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case null => None
+      case other => Some(other.toString.toLong)
+    }
     for (seq <- allSeqsDesc) {
       val active = keys.filter(k => !verdicts.contains(k) &&
         passingByKey(k).exists(_._1 == seq))
@@ -1322,23 +1353,37 @@ object CowSnapshots {
         byDir.foreach { case (_, pathKeys) =>
           val paths = pathKeys.map(_._1).distinct
           val ks = pathKeys.map(_._2).distinct
-          val hits = s.read.parquet(paths: _*)
-            .where(col(keyCol).isin(ks: _*)).collect().toSeq
-          hits.groupBy(_.getAs[Any](keyCol) match {
-            case l: Long => l
-            case i: Int => i.toLong
-            case other => other.toString.toLong
-          }).foreach { case (k, hit) =>
+          // (key, op-if-any, recorded-aligned values) per matching row
+          val hits: Seq[(Long, Option[String], Seq[Any])] =
+            tinySchema match {
+              case Some(fl) =>
+                val schema = fl :+ ("op" -> "string")
+                val keyIdx = recorded.fieldIndex(keyCol)
+                paths.flatMap(p => TinyParquet.readFile(s,
+                    new org.apache.hadoop.fs.Path(p), schema))
+                  .flatMap { r =>
+                    keyAsLong(r(keyIdx)).filter(ks.contains).map(kv =>
+                      (kv, Option(r.last.asInstanceOf[String]), r.init))
+                  }
+              case None =>
+                s.read.parquet(paths: _*)
+                  .where(col(keyCol).isin(ks: _*)).collect().toSeq
+                  .map { row =>
+                    val have = row.schema.fieldNames.toSet
+                    val vals = recorded.fields.toSeq.map(f =>
+                      if (have.contains(f.name)) row.getAs[Any](f.name)
+                      else null)
+                    (keyAsLong(row.getAs[Any](keyCol)).get,
+                      if (have.contains("op"))
+                        Option(row.getAs[String]("op"))
+                      else None,
+                      vals)
+                  }
+            }
+          hits.groupBy(_._1).foreach { case (k, hit) =>
             val surviving =
-              if (seq > 0 &&
-                  hit.head.schema.fieldNames.contains("op") &&
-                  hit.head.getAs[String]("op") == "delete") Nil
-              else hit.map { r =>
-                val have = r.schema.fieldNames.toSet
-                recorded.fields.toSeq.map(f =>
-                  if (have.contains(f.name)) r.getAs[Any](f.name)
-                  else null)
-              }
+              if (seq > 0 && hit.head._2.contains("delete")) Nil
+              else hit.map(_._3)
             verdicts(k) = (surviving, seq)
           }
         }

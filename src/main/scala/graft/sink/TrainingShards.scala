@@ -87,18 +87,18 @@ object TrainingShards {
     val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
     val audits = (0 until nShards).map(k =>
       sum(when($"shard_id" === k, 1L).otherwise(0L)).as(s"n_$k"))
-    sharded
-      // range partitioning: shard_id values map to distinct partitions
-      // (one write task per shard). Hash repartition collides shard ids
-      // (pmod(hash(id), n) is not a bijection) — output stays correct
-      // but ~1/e of the tasks end up empty and others carry 2-3 shards
-      .repartitionByRange(nShards, $"shard_id")
-      // the observe sits ABOVE the range exchange: range partitioning
-      // runs a separate bounds-SAMPLING pass over its child, and a
-      // metrics node below the exchange would accumulate both passes
-      // (measured: exactly-double counts); above it, only the real
-      // write pass flows through. sortWithinPartitions after a
-      // pass-through metrics node leaves the written layout unchanged.
+    // exact one-task-per-shard exchange ([[ShardExchange]]): the same
+    // one-partition-per-shard layout range partitioning produced, but
+    // WITHOUT the bounds-sampling pass that evaluated the whole rank
+    // kernel a second time per publish (measured as the largest job
+    // in every full-rewrite lifecycle profile)
+    ShardExchange.exact(sharded, 0 until nShards, $"shard_id")
+      // the observe sits ABOVE the exchange, where it has always been:
+      // under the old range partitioning a metrics node below the
+      // exchange was accumulated by the bounds-sampling pass too
+      // (measured: exactly-double counts); the exact exchange has no
+      // sampling pass, but the position costs nothing and stays safe
+      // against any future re-introduction of range partitioning.
       .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
       .write.partitionBy("shard_id")
@@ -139,8 +139,11 @@ object TrainingShards {
       sharded.columns.contains("shard_id"),
       s"$from is not a TrainingShards layout (rk/shard_id missing)")
     val order = ($"shard_id" +: sortColumns.map(col)) :+ $"rk"
-    sharded
-      .repartitionByRange(nShards, $"shard_id")
+    // exact exchange, deliberately not range: range partitioning's
+    // bounds-SAMPLING pass would read the `from` layout's many capped
+    // files a second time (measured: the sampling re-read cost as much
+    // as the rank kernel this verb exists to skip)
+    ShardExchange.exact(sharded, 0 until nShards, $"shard_id")
       .sortWithinPartitions(order: _*)
       .write.partitionBy("shard_id")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types._
   * (main.go:101-127: fetch → sleep(interval) → fan-out); its Spark-native
   * form is Structured Streaming. Each corpus query below runs a real
   * streaming query (file source → transforms → memory sink), drains it
-  * with processAllAvailable, and returns the result table — so the
+  * under Trigger.AvailableNow (plan all pending batches, honor per-
+  * batch read limits, self-terminate — same batch boundaries as the
+  * old processAllAvailable drain, less stop/poll latency per query),
+  * and returns the result table — so the
   * STREAMING operator itself is what the DuckDB oracle checks, via the
   * batch-equivalent SQL. Watermark *dropping* semantics need multi-batch
   * input and are covered deterministically in StreamingSpec with
@@ -193,14 +196,20 @@ object StreamingOps extends QueryModule {
         shufflePartitions.map("spark.sql.shuffle.partitions" -> _.toString)
       val prev = overrides.keys.map(k => k -> s.conf.getOption(k)).toMap
       overrides.foreach { case (k, v) => s.conf.set(k, v) }
+      // Trigger.AvailableNow: plan every pending batch up front, then
+      // self-terminate — same batch boundaries as the old
+      // processAllAvailable drain (read limits are honored per batch),
+      // ~0.1 s less stop/poll latency per drained query (measured in
+      // tools/DrainBench; x the whole streaming family per bench run)
       try streamed.writeStream.outputMode(mode).format("memory")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt).queryName(name).start()
       finally prev.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
     }
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
     s.table(name)
   }
 
@@ -1258,8 +1267,8 @@ object StreamingOps extends QueryModule {
                 .write.mode("overwrite").parquet(s"$outRoot/b$batchId")
               Dedup.addSignatureIndexBatch(batch, idxRoot, s"b$batchId")
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
@@ -1301,8 +1310,8 @@ object StreamingOps extends QueryModule {
              batchId: Long) =>
               Similarity.addIvfBatch(batch, root, s"b$batchId")
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         Similarity.knnIvfPersisted(s, root,
           e.filter($"vec_id" < 8), k = 5, nprobe = 2)
       },
@@ -1466,8 +1475,8 @@ object StreamingOps extends QueryModule {
                 .write.partitionBy("shard_id").mode("overwrite")
                 .parquet(s"$outRoot/b$batchId")
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         s.read.parquet(s"$outRoot/*")
           .groupBy($"shard_id")
           .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
@@ -1593,8 +1602,8 @@ object StreamingOps extends QueryModule {
                 .write.mode("overwrite")
                 .parquet(s"$outRoot/quarantine/b$batchId")
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val accepted = s.read.parquet(s"$outRoot/accepted/*")
         // an all-clean batch writes only _SUCCESS into its quarantine
         // subdir; pin the schema so the read can't fail on inference
@@ -1777,8 +1786,8 @@ object StreamingOps extends QueryModule {
               Similarity.addIvfBatch(batch, root, s"b$batchId")
               if (batchDirs() > 2) { Similarity.compactIvfLists(s, root); () }
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         Similarity.knnIvfPersisted(s, root,
           e.filter($"vec_id" < 8), k = 5, nprobe = 2)
       },
@@ -1840,8 +1849,8 @@ object StreamingOps extends QueryModule {
               Dedup.addSignatureIndexBatch(batch, root, s"b$batchId")
               if (subdirs() > 1) { Dedup.compactSignatureIndex(s, root); () }
           }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         s.read.parquet(s"$outRoot/*").orderBy($"d1", $"d2")
       },
       Some(graft.operators.Dedup.jaccardOracle(0.8,
@@ -2057,8 +2066,8 @@ object StreamingOps extends QueryModule {
         val qa = adds.writeStream.foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) => Similarity.addIvfBatch(b, root, s"a$id")
-        }.start()
-        try qa.processAllAvailable() finally qa.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try qa.awaitTermination() finally qa.stop()
         // the takedown feed: two deterministic arrival files
         val kill = graft.operators.Dedup.contaminatedTrainDocIds(s, dir)
           .filter($"doc_id" % 7 === 5)
@@ -2100,8 +2109,8 @@ object StreamingOps extends QueryModule {
               midFoldExact = before - after == pending
               foldUsed = true
             }
-        }.start()
-        try qd.processAllAvailable() finally qd.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try qd.awaitTermination() finally qd.stop()
         val probes = e.filter($"vec_id" % 50 === 7)
         // one physical search per index state: strings and the id set
         // project from the same collected rows
@@ -2217,8 +2226,8 @@ object StreamingOps extends QueryModule {
             TrainingShards.writeVersion(
               b.select($"doc_id", $"cents"), root, "seed42", 2,
               batchId = Some(s"b$id")): Unit
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val byBatch = TrainingShards.committedBatchVersions(s, root)
         val nVersions1 = TrainingShards.committedVersions(s, root).size
         def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
@@ -2347,8 +2356,8 @@ object StreamingOps extends QueryModule {
           Similarity.ivfListsPath(s, root), "vec_id")
               foldUsed = true
             }
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         // the from-scratch reference build over the same final layout
         val scratch = s"$root/bloom_scratch"
         BloomManifest.rebuild(s, scratch,
@@ -2457,8 +2466,8 @@ object StreamingOps extends QueryModule {
            id: Long) =>
             TrainingShards.mergeVersion(s, root, b, "doc_id",
               "seed42", 2, batchId = Some(s"b$id")): Unit
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val byBatch = TrainingShards.committedBatchVersions(s, root)
         val (v2, v3) = (byBatch("b0"), byBatch("b1"))
         def snap(v: Int) = TrainingShards.readVersion(s, root, Some(v))
@@ -2598,8 +2607,8 @@ object StreamingOps extends QueryModule {
               CdcFixture.toMerge(b.toDF(), withPrio = true),
               "doc_id", "seed42", 2, batchId = Some(s"b$id")): Unit
             refresh(b, s"b$id")
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         def fpView(): Seq[Any] = GenDir.read(s, view)
           .agg(count(lit(1)), sum(xxhash64($"prio", $"n_rows",
             $"sum_cents").cast("decimal(38,0)"))).head().toSeq
@@ -2683,8 +2692,8 @@ object StreamingOps extends QueryModule {
            id: Long) =>
             CowSnapshots.mergeVersion(s, root, b.toDF(), "doc_id",
               "seed42", nSh, batchId = Some(s"b$id")): Unit
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val byBatch = CowSnapshots.committedBatchVersions(s, root)
         val (v2, v3) = (byBatch("b0"), byBatch("b1"))
         def snap(v: Int) = CowSnapshots.readVersion(s, root, Some(v))
@@ -2794,8 +2803,8 @@ object StreamingOps extends QueryModule {
             CowSnapshots.appendDeltasMaintained(s, root, b.toDF(),
               "doc_id", "seed42", nSh, maxChainLen = 2,
               batchId = Some(s"b$id")): Unit
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val byBatch = CowSnapshots.committedBatchVersions(s, root)
         val (v2, v3) = (byBatch("b0"), byBatch("b1"))
         val v4 = byBatch("b1-compact")
@@ -2928,8 +2937,8 @@ object StreamingOps extends QueryModule {
            id: Long) =>
             CowSnapshots.mergeVersion(s, root, parse(b.toDF()),
               "doc_id", "seed42", nSh, batchId = Some(s"b$id")): Unit
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
         val byBatch = CowSnapshots.committedBatchVersions(s, root)
         val (v2, v3) = (byBatch("b0"), byBatch("b1"))
         val pre = CowSnapshots.readVersion(s, root, Some(v2))

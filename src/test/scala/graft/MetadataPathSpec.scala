@@ -152,6 +152,32 @@ class MetadataPathSpec extends AnyFunSuite {
     assert(Tombstones.read(spark, store, "vec_id").count() == 10L)
   }
 
+  test("ShardExchange.exact puts every shard in its own partition — " +
+    "the range layout without the bounds-sampling pass") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(0, 1000)
+      .select(($"id" % 7).cast("int").as("shard"), $"id")
+    val ex = graft.sink.ShardExchange.exact(df, 0 until 7, col("shard"))
+      .select($"shard", spark_partition_id().as("p")).distinct()
+      .collect()
+    assert(ex.length == 7 &&
+      ex.forall(r => r.getInt(0) == r.getInt(1)),
+      s"each shard must land in ITS OWN partition index: " +
+        ex.map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).mkString(","))
+    // and an arbitrary sparse domain (compactDeltas routes original
+    // shard ids through a size-of-domain exchange)
+    val dom = Seq(3, 11, 42)
+    val df2 = spark.range(0, 300)
+      .select(expr("cast(element_at(array(3,11,42), " +
+        "cast(id % 3 as int) + 1) as int)").as("shard"))
+    val ex2 = graft.sink.ShardExchange.exact(df2, dom, col("shard"))
+      .select($"shard", spark_partition_id().as("p")).distinct()
+      .collect()
+    assert(ex2.length == 3 &&
+      ex2.forall(r => dom.indexOf(r.getInt(0)) == r.getInt(1)))
+  }
+
   test("resortLayout reproduces the direct sorted write file-by-file " +
     "(q417's dual publish shares one rank-kernel run)") {
     import org.apache.spark.sql.functions._
