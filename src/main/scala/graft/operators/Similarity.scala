@@ -1934,13 +1934,19 @@ object Similarity extends QueryModule {
       case Some(src) => (readIvfCodebook(s, src), readPqCodebooks(s, src))
       case None => trainIvfPqCodebooks(corpus, nlist = nlist, iters = iters)
     }
-    cb.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    pqs.zipWithIndex.flatMap { case (pk, j) =>
-      pk.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
-    }.toDF("subspace", "cid", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    // codebooks are driver arrays on BOTH ends of the I/O — written
+    // and read through TinyParquet (Spark-readable LIST encoding), so
+    // an index build/reload no longer pays a Spark job per artifact
+    graft.sink.TinyParquet.write(s, s"$path/codebook",
+      Seq("cid" -> "int", "centroid" -> "array<double>"),
+      cb.zipWithIndex.map { case (c, i) => Seq(i, c.toSeq) }.toSeq,
+      overwrite = true)
+    graft.sink.TinyParquet.write(s, s"$path/pq_codebooks",
+      Seq("subspace" -> "int", "cid" -> "int",
+        "centroid" -> "array<double>"),
+      pqs.zipWithIndex.flatMap { case (pk, j) =>
+        pk.zipWithIndex.map { case (c, i) => Seq(j, i, c.toSeq) }
+      }.toSeq, overwrite = true)
     // driver-side mint (TinyParquet): the ledger is driver-sized
     // metadata — a Spark write job per index build was pure overhead
     graft.sink.TinyParquet.write(s, s"$path/compacted_batches",
@@ -1995,21 +2001,22 @@ object Similarity extends QueryModule {
     * same class as the LSH plane matrix). */
   def readIvfCodebook(s: SparkSession, path: String): Array[Array[Double]] =
     cachedArtifact(s, s"$path/codebook") {
-      import s.implicits._
-      s.read.parquet(s"$path/codebook").orderBy($"cid")
-        .select($"centroid").collect()
-        .map(_.getSeq[Double](0).toArray)
+      graft.sink.TinyParquet.read(s, s"$path/codebook",
+          Seq("cid" -> "int", "centroid" -> "array<double>"))
+        .sortBy(_.head.asInstanceOf[Int])
+        .map(_(1).asInstanceOf[Seq[Double]].toArray).toArray
     }
 
   /** Reload the persisted per-subspace PQ codebooks (m×k rows — the same
     * driver-artifact class as the coarse codebook). */
   def readPqCodebooks(s: SparkSession, path: String): Seq[Array[Array[Double]]] =
     cachedArtifact(s, s"$path/pq_codebooks") {
-      import s.implicits._
-      s.read.parquet(s"$path/pq_codebooks").orderBy($"subspace", $"cid")
-        .collect()
-        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map(_._2.map(_.getSeq[Double](2).toArray))
+      graft.sink.TinyParquet.read(s, s"$path/pq_codebooks",
+          Seq("subspace" -> "int", "cid" -> "int",
+            "centroid" -> "array<double>"))
+        .groupBy(_.head.asInstanceOf[Int]).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_(1).asInstanceOf[Int])
+          .map(_(2).asInstanceOf[Seq[Double]].toArray).toArray)
     }
 
   /** Batch keys [[compactIvfLists]] has folded into base — empty until
@@ -2137,7 +2144,9 @@ object Similarity extends QueryModule {
     val tomb = ivfTombstones(s, path)
     val nTombstoned = tomb.count()
     if (folded.isEmpty && nTombstoned == 0) return Nil
-    val nlist = s.read.parquet(s"$path/codebook").count().toInt
+    // nlist from the cached driver artifact — zero jobs (was a Spark
+    // count over the codebook file per maintenance call)
+    val nlist = readIvfCodebook(s, path).length
     // one shuffle bounded by the index size; repartition(nlist, list_id)
     // → at most one writer task per list → one file per list directory.
     // Tombstoned rows are dropped HERE — the physical application of

@@ -215,6 +215,8 @@ object CowSnapshots {
   private def buildGroup(df: DataFrame, root: String, keyCol: String,
       nShards: Int, maxRecordsPerFile: Long,
       candShards: Seq[Int], sortColumns: Seq[String] = Nil,
+      // known (or manifest-bounded) input row count: small values gate
+      // the DRIVER-SIDE bloom mint (zero Spark jobs for the mint)
       knownRows: Option[Long] = None)
       : (String, Map[Int, Long]) = {
     val s = df.sparkSession
@@ -239,28 +241,18 @@ object CowSnapshots {
       "group_audit_" + tok)
     val audits = candShards.map(k =>
       sum(when($"shard" === k, 1L).otherwise(0L)).as(s"n_$k"))
-    // A KNOWN-TINY input (a CDC delta appendDeltas has counted, or a
-    // merge/compaction whose output is BOUNDED by manifest row counts)
-    // skips the range machinery. That saves more than task count: the
-    // bounds-SAMPLING pass evaluates the whole child plan a SECOND
-    // time — for a merge that means re-reading the touched shards and
-    // re-running the anti-join — and then an nShards-task write
-    // follows, all pure overhead for a handful of rows. A single
-    // sorted task produces the IDENTICAL layout: partitionBy still
-    // splits by shard value (the dynamic-partition writer starts a new
-    // file on each shard change and rolls at maxRecordsPerFile within
-    // one, so per-shard file boundaries land exactly where the
-    // per-shard task's did — same sorted order, same 500-row splits).
-    // The bound is a per-task row count, not a local-core tune — one
-    // write task on 100k rows is right on any cluster; a corpus-scale
-    // merge exceeds the bound and keeps the range path.
-    val arranged =
-      if (knownRows.exists(_ <= 100000L)) df.coalesce(1)
-      // exact one-task-per-shard exchange over the KNOWN routing
-      // domain ([[ShardExchange]]) — same layout range partitioning
-      // gave, minus the bounds-sampling pass that evaluated the whole
-      // child plan (a full merge, for mergeVersion) a second time
-      else ShardExchange.exact(df, candShards, $"shard")
+    // ONE write shape for every group build: the exact
+    // one-task-per-shard exchange ([[ShardExchange]]) — the layout
+    // range partitioning gave, minus the bounds-SAMPLING pass that
+    // evaluated the whole child plan a SECOND time (the entire
+    // touched-shard read + anti-join, for a merge). This replaced two
+    // earlier shapes: repartitionByRange (the sampling double-eval)
+    // and a known-tiny coalesce(1) path (which existed only to dodge
+    // that sampling, and SERIALIZED parquet file creation — a capped
+    // 56k-row merge writing ~112 files in one task measured slower
+    // than the parallel exchange). Empty candidate shards cost one
+    // empty task and write nothing.
+    val arranged = ShardExchange.exact(df, candShards, $"shard")
     arranged
       .observe(obs, audits.head, audits.tail: _*)
       .sortWithinPartitions(order: _*)
@@ -290,8 +282,13 @@ object CowSnapshots {
     }.map(_.name).toIndexedSeq
     val keyIntegral = df.schema.fields
       .find(_.name == keyCol).exists(f => integralType(f.dataType))
+    // the driver fold wins only at TRUE delta sizes: the example-API
+    // row reader is serial and object-per-row (measured ~3.5 s on a
+    // 56k-row capped merge vs ~0.3 s for the parallel Spark
+    // aggregation) — gate it to a few thousand rows, where it costs
+    // milliseconds and removes the mint's scan job outright
     val bloomRows: Seq[Seq[Any]] =
-      if (knownRows.exists(_ <= 100000L) && keyIntegral)
+      if (knownRows.exists(_ <= 5000L) && keyIntegral)
         mintRowsDriverSide(s, staged, keyCol, statCols)
       else
         mintRowsSpark(s, staged, keyCol, statCols)
@@ -799,8 +796,7 @@ object CowSnapshots {
           .withColumn("shard", shardOf(seed, col(keyCol), nShards))
         // manifest-derived output bound: kept <= the touched shards'
         // recorded rows, incoming counted by the stats job above — a
-        // CDC-sized merge takes buildGroup's single-task path (no
-        // bounds-sampling re-evaluation of the whole merge plan)
+        // CDC-sized merge's bloom mint folds DRIVER-SIDE in buildGroup
         val mergedBound = touchedEntries.map(_._3).sum + nIncoming
         val (tok, counts) =
           buildGroup(merged, root, keyCol, nShards, maxRecordsPerFile,
@@ -923,9 +919,8 @@ object CowSnapshots {
     val resolved = readEntries(s, root, vCur, chained)
       .withColumn("shard", shardOf(seed, col(keyCol), nShards))
     // manifest-derived bound on the folded output (resolution only
-    // drops rows): a CDC-cadence compaction takes the single-task
-    // write path — no bounds-sampling re-evaluation of the full
-    // latest-wins resolution plan
+    // drops rows): a CDC-cadence compaction's bloom mint folds
+    // DRIVER-SIDE in buildGroup
     val chainedBound = chained.map(_._3).sum
     val (tok, counts) = buildGroup(resolved, root, keyCol,
       deltaShards.size, maxRecordsPerFile, deltaShards.toSeq.sorted,

@@ -60,6 +60,13 @@ object TinyParquet {
             .addField(Types.optional(INT64).named("value"))
             .named("key_value"))
           .named(n))
+      case (n, "array<double>") =>
+        b.addField(Types.optionalGroup()
+          .as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(Types.optional(DOUBLE).named("element"))
+            .named("list"))
+          .named(n))
       case (n, t) => throw new IllegalArgumentException(
         s"TinyParquet: unsupported type $t for column $n")
     }
@@ -116,6 +123,11 @@ object TinyParquet {
                 if (vv != null)
                   kv.append("value", vv.asInstanceOf[Long]): Unit
               }
+          case ((n, "array<double>"), v) =>
+            val ag = g.addGroup(n)
+            v.asInstanceOf[Seq[Double]].foreach { d =>
+              ag.addGroup("list").append("element", d): Unit
+            }
           case ((n, t), _) => throw new IllegalArgumentException(
             s"TinyParquet: unsupported type $t for column $n")
         }
@@ -193,6 +205,11 @@ object TinyParquet {
                   else java.lang.Long.valueOf(kv.getLong("value", 0))
                 k -> v
               }.toMap
+            case "array<double>" =>
+              val ag = g.getGroup(idx, 0)
+              val ne = ag.getFieldRepetitionCount("list")
+              (0 until ne).map(i =>
+                ag.getGroup("list", i).getDouble("element", 0))
             case other => throw new IllegalArgumentException(
               s"TinyParquet: unsupported type $other for column $n")
           }

@@ -36,16 +36,19 @@ object Tombstones {
   def append(kill: DataFrame, store: String, idCol: String,
       maxIds: Int = MaxAppendIds): Unit = {
     val s = kill.sparkSession
-    // ENFORCED driver bound (not just by-contract): the collect is
-    // sound only because kill lists are bounded metadata — a
-    // pathological delete feed must fail loudly before it OOMs the
-    // driver, not during. limit(N+1) keeps this one job and bounded
-    // memory: when the feed is within bound the take returns every
-    // row, and one extra row is proof of violation. `maxIds` is a
-    // spec seam; production callers keep the default.
+    // ENFORCED driver bound (not just by-contract): a pathological
+    // delete feed must fail loudly instead of OOMing the driver. The
+    // check runs AFTER one plain collect — deliberately NOT
+    // limit(N+1).collect(), whose executeTake runs the kill-list plan
+    // in scale-up waves and re-evaluated the (join-shaped) feed
+    // multiple times (measured: q415 1.8x slower) — with two loud
+    // backstops: spark.driver.maxResultSize bounds the collect itself
+    // (its failure names the limit), and the require here enforces
+    // the policy bound before anything is written. `maxIds` is a spec
+    // seam; production callers keep the default.
     val rows = kill.select(
         col(kill.columns.head).cast("long").as(idCol))
-      .limit(maxIds + 1).collect()
+      .collect()
     require(rows.length <= maxIds,
       s"tombstone append exceeds $maxIds ids — a delete feed " +
         "this large is not bounded metadata; compact the index (which " +

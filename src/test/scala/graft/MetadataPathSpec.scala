@@ -54,6 +54,21 @@ class MetadataPathSpec extends AnyFunSuite {
     assert(java.util.BitSet.valueOf(b1.asInstanceOf[Array[Byte]]) == bs)
     assert(mins.asInstanceOf[scala.collection.Map[String, Any]] ==
       Map("x" -> 9L))
+    // array<double> both directions (the codebook artifacts' encoding)
+    val arrDir = TempRoots.root("graft_tinypq_spec").resolve("a").toString
+    val arrSchema: TinyParquet.Schema =
+      Seq("cid" -> "int", "centroid" -> "array<double>")
+    TinyParquet.write(spark, arrDir, arrSchema,
+      Seq(Seq(0, Seq(1.5, -2.25)), Seq(1, Seq.empty[Double])),
+      overwrite = true)
+    val viaSpark = spark.read.parquet(arrDir).orderBy($"cid")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(viaSpark.toSeq == Seq((0, Seq(1.5, -2.25)), (1, Seq())))
+    val arrDir2 = TempRoots.root("graft_tinypq_spec").resolve("a2").toString
+    Seq((3, Seq(0.5, 7.0))).toDF("cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(arrDir2)
+    val viaTiny = TinyParquet.read(spark, arrDir2, arrSchema)
+    assert(viaTiny == Seq(Seq(3, Seq(0.5, 7.0))))
   }
 
   test("known-tiny driver-side bloom mint bit-equals the Spark " +
